@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only probe: schema + timestamp handling of the testdata. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    for (t <- Tables.names) {
+      val df = Tables.load(spark, dir, t)
+      println(s"== $t ==")
+      df.printSchema()
+      if (t == "events" || t == "orders") df.show(3, truncate = false)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table registry over the driver's TPC-H-ish testdata
+  * (repo:TESTDATA.md). Plays the role of the reference's per-table
+  * path registry (reference: spark/batch_silver.py:20-37 TABLES list,
+  * spark/batch_gold.py:27-40 silver paths).
+  *
+  * Scale note: every load is a plain parquet scan, so Catalyst's
+  * file-source pushdown (filters, column pruning, partition pruning)
+  * applies unchanged whether the path is a 6 MB local file or a
+  * 100 TB partitioned S3 prefix.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Must be on before schema inference of the ns-timestamp events table;
+    // harmless for the ms/us tables. Runtime-settable SQL conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(sfDir, name))
+    // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects; read the raw int64 (legacy conf set in sessions()) and
+    // normalize to TimestampType (microsecond) here so every downstream
+    // operator sees an ordinary timestamp column.
+    if (name == "events" && df.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType) {
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else df
+  }
+
+}
