@@ -12,13 +12,7 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.001"
-    for (t <- Tables.names) {
-      val df = Tables.load(spark, dir, t)
-      println(s"== $t ==")
-      df.printSchema()
-      if (t == "events" || t == "orders") df.show(3, truncate = false)
-    }
+    println(s"entry rows = ${SparkEntry.entry(spark).count()}")
     spark.stop()
   }
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every operator from SURVEY.md §2 is a named query here; each
   * SQL-expressible one has a DuckDB oracle in [[oracleSql]] with
   * identical output column names (driver hash-compares after sorting
-  * columns by name).
+  * columns by name). Queries without an oracle get the weaker
+  * rows-only check and a ScalaTest spec instead.
   */
 object SparkEntry {
 
@@ -17,14 +18,72 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_order_items_rollup" -> (gold.Enrich.orderItemsRollup _),
-    "q06_orders_enriched"    -> (gold.Enrich.ordersEnriched _)
+    // gold layer (A1-A6, J1/J2, P2, F3/F4/F9/F10)
+    "q01_order_items_rollup"  -> (gold.Enrich.orderItemsRollup _),
+    "q02_payment_rollup"      -> (gold.Summaries.paymentRollup _),
+    "q03_daily_sales_summary" -> (gold.Summaries.dailySalesSummary _),
+    "q04_customer_segments"   -> (gold.Summaries.customerSegments _),
+    "q05_product_performance" -> (gold.Summaries.productPerformance _),
+    "q06_orders_enriched"     -> (gold.Enrich.ordersEnriched _),
+    // relational ops (J6, O2, §2.7, F3/P9, P8/F4)
+    "q07_anti_join_customers" -> (ops.Relational.customersWithoutBigOrders _),
+    "q21_top_orders"          -> (ops.Relational.topOrders _),
+    "q22_set_ops"             -> (ops.Relational.setOps _),
+    "q24_part_buckets"        -> (ops.Relational.partBuckets _),
+    "q25_null_handling"       -> (ops.Relational.nullHandling _),
+    // CDC / silver (W1/W2, A7/A8, F1/F2, T6, S5)
+    "q09_latest_event_per_user" -> (cdc.Cdc.latestEventPerUser _),
+    "q10_first_event_per_user"  -> (cdc.Cdc.firstEventPerUser _),
+    "q11_distinct_dims"         -> (cdc.Cdc.distinctDims _),
+    "q12_silver_compaction"     -> (cdc.Cdc.silverCompaction _),
+    "q13_merge_upsert"          -> (cdc.Cdc.mergeUpsert _),
+    // warehouse star schema (F11/F14/F15, J3, S11)
+    "q08_fact_order_lines"   -> (warehouse.Star.factOrderLines _),
+    "q19_dim_order_status"   -> (warehouse.Star.dimOrderStatus _),
+    "q20_event_type_keys"    -> (warehouse.Star.eventTypeKeys _),
+    "q26_surrogate_join"     -> (warehouse.Star.surrogateJoinConsistency _),
+    "q27_dim_customer"       -> (warehouse.Star.dimCustomer _),
+    // materialized views (A9-A12, J5)
+    "q14_mv_daily_revenue"   -> (warehouse.Views.mvDailyRevenue _),
+    "q15_mv_monthly_revenue" -> (warehouse.Views.mvMonthlyRevenue _),
+    "q16_mv_nation_revenue"  -> (warehouse.Views.mvNationRevenue _),
+    "q17_mv_hourly_pattern"  -> (warehouse.Views.mvHourlyPattern _),
+    // date dimension (S10, F18-F20)
+    "q18_dim_time"           -> (warehouse.DateDim.dimTime _),
+    // scalar function surface (F6-F9)
+    "q23_timestamp_codec"    -> (functions.TimeFns.timestampCodec _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q01_order_items_rollup" -> gold.Enrich.orderItemsRollupSql,
-    "q06_orders_enriched"    -> gold.Enrich.ordersEnrichedSql
+    "q01_order_items_rollup"  -> gold.Enrich.orderItemsRollupSql,
+    "q02_payment_rollup"      -> gold.Summaries.paymentRollupSql,
+    "q03_daily_sales_summary" -> gold.Summaries.dailySalesSummarySql,
+    "q04_customer_segments"   -> gold.Summaries.customerSegmentsSql,
+    "q05_product_performance" -> gold.Summaries.productPerformanceSql,
+    "q06_orders_enriched"     -> gold.Enrich.ordersEnrichedSql,
+    "q07_anti_join_customers" -> ops.Relational.customersWithoutBigOrdersSql,
+    "q21_top_orders"          -> ops.Relational.topOrdersSql,
+    "q22_set_ops"             -> ops.Relational.setOpsSql,
+    "q24_part_buckets"        -> ops.Relational.partBucketsSql,
+    "q25_null_handling"       -> ops.Relational.nullHandlingSql,
+    "q09_latest_event_per_user" -> cdc.Cdc.latestEventPerUserSql,
+    "q10_first_event_per_user"  -> cdc.Cdc.firstEventPerUserSql,
+    "q11_distinct_dims"         -> cdc.Cdc.distinctDimsSql,
+    "q12_silver_compaction"     -> cdc.Cdc.silverCompactionSql,
+    "q13_merge_upsert"          -> cdc.Cdc.mergeUpsertSql,
+    "q08_fact_order_lines"   -> warehouse.Star.factOrderLinesSql,
+    "q19_dim_order_status"   -> warehouse.Star.dimOrderStatusSql,
+    "q20_event_type_keys"    -> warehouse.Star.eventTypeKeysSql,
+    "q26_surrogate_join"     -> warehouse.Star.surrogateJoinConsistencySql,
+    // q27_dim_customer: xxhash64 not reproducible in DuckDB — covered
+    // by q26 join-consistency + XxHashSpec (SURVEY §7.4)
+    "q14_mv_daily_revenue"   -> warehouse.Views.mvDailyRevenueSql,
+    "q15_mv_monthly_revenue" -> warehouse.Views.mvMonthlyRevenueSql,
+    "q16_mv_nation_revenue"  -> warehouse.Views.mvNationRevenueSql,
+    "q17_mv_hourly_pattern"  -> warehouse.Views.mvHourlyPatternSql,
+    "q18_dim_time"           -> warehouse.DateDim.dimTimeSql,
+    "q23_timestamp_codec"    -> functions.TimeFns.timestampCodecSql
   )
 }

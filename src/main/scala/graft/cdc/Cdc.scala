@@ -1,0 +1,161 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.Tables
+
+/** CDC core — the Spark-native rebuild of the reference's Silver layer
+  * (reference: spark/batch_silver.py): JSON envelope extraction (F1/F2),
+  * latest-row-per-key window dedup (W1), soft-delete filtering (T6/P6),
+  * and MERGE-upsert semantics (S5) emulated without Delta as
+  * union → window-latest → rewrite (SURVEY §7.4 mitigation).
+  *
+  * Substrate: the `events` table plays the CDC log — `user_id` is the
+  * primary key, `ts` the CDC timestamp, `event_type` the operation
+  * ('error' plays the delete/tombstone op), `props` the JSON payload.
+  *
+  * Scale design: W1 is one hash exchange on the PK followed by an
+  * in-partition sort — Spark's WindowExec never materializes a group in
+  * memory beyond the frame. For a 100 TB log the right physical shape
+  * is exactly this (shuffle once on the merge key); with bucketed lake
+  * tables the exchange disappears entirely. Skewed keys (one hot
+  * entity) are handled by AQE skew-split since rank-within-key still
+  * only needs key-local order.
+  */
+object Cdc {
+
+  /** Events with the window rank attached: row_number() over
+    * (PARTITION BY user_id ORDER BY ts DESC, event_id DESC).
+    * Tie-break on the unique event_id pins determinism (SURVEY §7.4:
+    * reference's arbitrary-first is nondeterministic; we pin). */
+  private def ranked(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("_rn", row_number().over(w))
+  }
+
+  /** Epoch microseconds of ts — the oracle-safe way to surface event
+    * timestamps (events.parquet is nanos; Spark truncates to micros,
+    * so raw timestamp output would hash-mismatch DuckDB's nanos). */
+  private def epochUs(c: Column): Column = unix_micros(c)
+
+  /** W1 + P7: latest event per user (reference: spark/batch_silver.py:107-112). */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    ranked(Tables.load(spark, dir, "events"))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"),
+        epochUs(col("ts")).as("ts_us"), col("event_id"))
+      .orderBy(col("user_id"))
+
+  val latestEventPerUserSql: String =
+    """SELECT user_id, event_type, value,
+      |  date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS ts_us,
+      |  event_id
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01', ts) DESC,
+      |                 event_id DESC) AS rn
+      |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** W2: first event per user, ascending (reference:
+    * spark/load_warehouse.py:286-289 first-item-per-order). */
+  def firstEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.load(spark, dir, "events")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"),
+        epochUs(col("ts")).as("ts_us"), col("event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val firstEventPerUserSql: String =
+    """SELECT user_id, event_type, value,
+      |  date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS ts_us,
+      |  event_id
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01', ts) ASC,
+      |                 event_id ASC) AS rn
+      |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** A7: projection-level distinct (reference: spark/load_warehouse.py:115). */
+  def distinctDims(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  val distinctDimsSql: String =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  /** F1 + F2 + W1 + T6: the full Silver compaction — parse the JSON
+    * payload as Map(String,String) exactly like the reference parses
+    * Debezium envelopes (spark/batch_silver.py:60-104), keep the latest
+    * row per key, drop soft-deleted rows ('error' plays op='d'), type
+    * the extracted column. */
+  def silverCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = Tables.load(spark, dir, "events")
+      .withColumn("_payload",
+        from_json(col("props"), MapType(StringType, StringType)))
+      .withColumn("k_value", col("_payload").getItem("k").cast("int"))
+    ranked(parsed)
+      .filter(col("_rn") === 1)
+      .filter(col("event_type") =!= "error") // soft-delete (T6)
+      .select(col("user_id"), col("event_type"), col("k_value"),
+        col("value"), epochUs(col("ts")).as("ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val silverCompactionSql: String =
+    """SELECT user_id, event_type,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+      |  value,
+      |  date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS ts_us
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01', ts) DESC,
+      |                 event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin
+
+  /** S5 + J7: MERGE upsert emulated Delta-free. Target = state compacted
+    * from the first half of the log; source = second half; MERGE with
+    * whenMatchedUpdateAll/whenNotMatchedInsertAll ≡ latest-per-key over
+    * target ∪ source (reference: spark/batch_silver.py:146-159; SURVEY
+    * §7.4). The emulation is a full-table rewrite — same cost class as
+    * Delta MERGE's file rewrite, one shuffle on the merge key. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val cut = 5000L // event_id is dense 0..N; split the log in two
+    val target = ranked(events.filter(col("event_id") < cut))
+      .filter(col("_rn") === 1).drop("_rn")
+    val source = events.filter(col("event_id") >= cut)
+    ranked(target.unionByName(source))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"),
+        epochUs(col("ts")).as("ts_us"), col("event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH target AS (
+      |  SELECT user_id, event_type, value, ts, event_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01', ts) DESC,
+      |               event_id DESC) AS rn
+      |    FROM events WHERE event_id < 5000) WHERE rn = 1),
+      |source AS (
+      |  SELECT user_id, event_type, value, ts, event_id
+      |  FROM events WHERE event_id >= 5000),
+      |unioned AS (SELECT * FROM target UNION ALL SELECT * FROM source)
+      |SELECT user_id, event_type, value,
+      |  date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS ts_us,
+      |  event_id
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01', ts) DESC,
+      |                 event_id DESC) AS rn
+      |      FROM unioned) WHERE rn = 1 ORDER BY user_id""".stripMargin
+}
