@@ -27,6 +27,18 @@ import graft.Tables
   */
 object Cdc {
 
+  /** Library combinator — keep the single latest row per key under an
+    * explicit total order (reference: spark/batch_silver.py:107-112).
+    * One hash exchange on `keys` + in-partition sort; no state beyond
+    * the running rank. */
+  def latestPerKey(df: DataFrame, keys: Seq[String],
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Events with the window rank attached: row_number() over
     * (PARTITION BY user_id ORDER BY ts DESC, event_id DESC).
     * Tie-break on the unique event_id pins determinism (SURVEY §7.4:

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.warehouse.Star
+
+/** Surrogate-key semantics (F14/F15) that the DuckDB oracle can't see. */
+class StarSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("xxhash64 surrogate is deterministic and seed-stable") {
+    val a = Seq("1", "2", "42").toDF("k")
+      .select(Star.surrogate(col("k")).as("h")).as[Long].collect()
+    val b = Seq("1", "2", "42").toDF("k")
+      .select(Star.surrogate(col("k")).as("h")).as[Long].collect()
+    assert(a.toSeq == b.toSeq)
+    // Spark's xxhash64 default seed is 42; pin one value so an engine
+    // upgrade that silently changes hashing breaks loudly.
+    val one = Seq("1").toDF("k")
+      .select(xxhash64(col("k")).as("h")).as[Long].head()
+    assert(one == a(0))
+  }
+
+  test("dim-fact join via surrogate keys preserves the natural join") {
+    val natural = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey")).count()
+    val viaHash = Star.surrogateJoinConsistency(spark, sfDir).count()
+    assert(natural == viaHash)
+  }
+
+  test("map lookup falls back to default for unmapped values") {
+    val keys = Star.eventTypeKeys(spark, sfDir)
+    val errRows = keys.filter(col("event_type") === "error")
+    assert(errRows.count() > 0)
+    assert(errRows.filter(col("type_key") =!= 0).count() == 0)
+  }
+}
