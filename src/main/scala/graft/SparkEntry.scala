@@ -51,7 +51,18 @@ object SparkEntry {
     // date dimension (S10, F18-F20)
     "q18_dim_time"           -> (warehouse.DateDim.dimTime _),
     // scalar function surface (F6-F9)
-    "q23_timestamp_codec"    -> (functions.TimeFns.timestampCodec _)
+    "q23_timestamp_codec"    -> (functions.TimeFns.timestampCodec _),
+    // text analysis extensions (SURVEY §7.5)
+    "q28_token_stats"     -> (ext.TextAnalysis.tokenStats _),
+    "q29_quality_score"   -> (ext.TextAnalysis.qualityScore _),
+    "q30_lang_id"         -> (ext.TextAnalysis.langId _),
+    "q31_doc_fingerprint" -> (ext.TextAnalysis.docFingerprint _),
+    // dedup extensions (SURVEY §7.5)
+    "q32_exact_dedup"        -> (ext.Dedup.exactDedup _),
+    "q33_ngram_jaccard"      -> (ext.Dedup.ngramJaccardPairs _),
+    "q34_minhash_bands"      -> (ext.Dedup.minhashBands _),
+    "q35_simhash"            -> (ext.Dedup.simhash _),
+    "q36_embedding_near_dup" -> (ext.Dedup.embeddingNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,6 +95,15 @@ object SparkEntry {
     "q16_mv_nation_revenue"  -> warehouse.Views.mvNationRevenueSql,
     "q17_mv_hourly_pattern"  -> warehouse.Views.mvHourlyPatternSql,
     "q18_dim_time"           -> warehouse.DateDim.dimTimeSql,
-    "q23_timestamp_codec"    -> functions.TimeFns.timestampCodecSql
+    "q23_timestamp_codec"    -> functions.TimeFns.timestampCodecSql,
+    "q28_token_stats"     -> ext.TextAnalysis.tokenStatsSql,
+    "q29_quality_score"   -> ext.TextAnalysis.qualityScoreSql,
+    "q30_lang_id"         -> ext.TextAnalysis.langIdSql,
+    "q31_doc_fingerprint" -> ext.TextAnalysis.docFingerprintSql,
+    "q32_exact_dedup"     -> ext.Dedup.exactDedupSql,
+    "q33_ngram_jaccard"   -> ext.Dedup.ngramJaccardPairsSql,
+    // q34_minhash_bands / q35_simhash: xxhash64 has no DuckDB analog —
+    // rows-only check + DedupSpec (SURVEY §7.4 xxhash64-in-oracle note)
+    "q36_embedding_near_dup" -> ext.Dedup.embeddingNearDupSql
   )
 }

@@ -1,0 +1,211 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline (SURVEY §7.5
+  * north-star): exact (hash-groupBy), n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup — over `documents.parquet`
+  * and `embeddings.parquet`.
+  *
+  * Scale design per operator:
+  *  - exact: one hash exchange on a 128-bit fingerprint; at 100 TB the
+  *    fingerprint groupBy is the canonical map-side-combinable dedup.
+  *  - n-gram Jaccard: the exact quadratic path — shingle explode +
+  *    equi-join on shingle. Correct but O(pairs); kept as the oracle
+  *    baseline for the LSH path and for small/medium corpora.
+  *  - MinHash+LSH: the 100 TB path — constant-size signature per doc
+  *    (k=16 mins), banded into 4 buckets; near-dup candidates meet in
+  *    a bucket equi-join instead of an all-pairs comparison.
+  *  - SimHash: 64-bit sketch per doc via weighted bit-votes; hamming
+  *    ball lookup for near-dup (spec-verified).
+  *  - embedding cosine: brute-force pair filter here (exact); the ANN
+  *    path for scale lives in [[Similarity]].
+  */
+object Dedup {
+
+  /** Word tokens, shared with [[TextAnalysis]]. */
+  private def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** Distinct word-3-gram shingles; empty array when under 3 tokens
+    * (mirrors DuckDB `range(1, len-1)` which is empty there). */
+  private[ext] def shingles(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val shinglesSql =
+    """list_distinct(list_transform(
+      |    range(1, len(regexp_split_to_array(text, '\s+')) - 1),
+      |    i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')))"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- q32
+
+  /** Exact dedup over a corpus with planted duplicates (the table
+    * unioned with an id-shifted copy of itself): group by content
+    * fingerprint, keep the smallest doc_id, count members. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val copy = d.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    d.unionByName(copy)
+      .groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+        .as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_dups"))
+      .orderBy(col("keep_id"))
+  }
+
+  val exactDedupSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+      |SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+      |  min(doc_id) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS n_dups
+      |FROM all_docs GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+
+  /** Exact n-gram Jaccard near-dup pairs: docs sharing >= 3 distinct
+    * word-3-grams, with integer intersection/union counts (ints keep
+    * the oracle compare exact; jaccard = inter/union downstream). */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val sh = d.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val ns = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+      .filter(col("inter_cnt") >= 3)
+    inter
+      .join(ns.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(ns.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
+        (col("na.ns") + col("nb.ns") - col("inter_cnt")).as("union_cnt"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardPairsSql: String =
+    s"""WITH s AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY 1),
+       |i AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS inter_cnt
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3)
+       |SELECT i.doc_a, i.doc_b, i.inter_cnt,
+       |  CAST(na.ns + nb.ns - i.inter_cnt AS BIGINT) AS union_cnt
+       |FROM i
+       |JOIN n na ON i.doc_a = na.doc_id
+       |JOIN n nb ON i.doc_b = nb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+
+  val MinhashK = 16  // hash functions per signature
+  val MinhashBands = 4 // → 4 rows per band
+
+  /** MinHash signatures banded for LSH: per doc, k=16 min-hashes
+    * (xxhash64 seeded by function index), packed into 4 band hashes.
+    * Near-dup candidates = docs sharing (band, band_hash).
+    *
+    * No DuckDB oracle (xxhash64 has no DuckDB analog) — verified by
+    * DedupSpec: planted 90%-overlap docs collide in >=1 band, the LSH
+    * candidate set is a superset of the high-Jaccard pairs. */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val exploded = d
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val minAggs = (0 until MinhashK).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sig = exploded.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+    val rowsPerBand = MinhashK / MinhashBands
+    val bandHashes = (0 until MinhashBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      xxhash64(cols: _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(bandHashes: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+      .orderBy(col("doc_id"), col("band"))
+  }
+
+  /** LSH candidate pairs: equi-join on (band, band_hash) — the scale
+    * path that replaces the all-pairs shingle join of q33. */
+  def minhashCandidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  // ---------------------------------------------------------------- q35
+
+  /** 64-bit SimHash per doc: tokens weighted by in-doc frequency vote
+    * on each bit of xxhash64(token); bit set where the vote is
+    * positive. Near-dup = small hamming distance (DedupSpec). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$b")
+    }
+    val votes = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---------------------------------------------------------------- q36
+
+  /** Embedding near-dup: all pairs with cosine >= 0.40, exact
+    * brute-force (the ANN path for 100 TB is Similarity.knnLsh).
+    * Cosine computed as a sequential double fold — the same order the
+    * DuckDB oracle's list_dot_product uses — and rounded to 4 dp. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("emb"), x => x * x), lit(0.0d), (acc, x) => acc + x)))
+    val pairs = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val dot = aggregate(zip_with(col("a.emb"), col("b.emb"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    pairs
+      .withColumn("cos", dot / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.40)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                          CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.40
+      |ORDER BY vec_a, vec_b""".stripMargin
+}

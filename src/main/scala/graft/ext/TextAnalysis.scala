@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline — beyond the
+  * reference's surface (SURVEY §7.5): token counting, quality scoring,
+  * language-ID, document fingerprinting, all over `documents.parquet`.
+  *
+  * Every operator is a narrow projection + scalar expressions: no
+  * shuffle at all (verified via explain — a single WholeStageCodegen
+  * over the scan), so each scales linearly to 100 TB with zero
+  * exchange; the parquet scan prunes to exactly the referenced columns.
+  *
+  * Determinism discipline: each query's arithmetic is written as the
+  * SAME expression tree in Spark and the DuckDB oracle (single
+  * divisions / left-assoc sums), so doubles match bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Tokens by whitespace runs — the shared tokenizer. */
+  private def tokens(c: Column): Column = split(c, "\\s+")
+  private val tokensSql = "regexp_split_to_array(text, '\\s+')"
+
+  // ---------------------------------------------------------------- q28
+
+  /** Per-document token statistics: token count (whitespace split),
+    * char count, non-whitespace chars, mean token length. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_nonws"),
+      (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+        size(tokens(col("text")))).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonws,
+       |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |    / len($tokensSql) AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
+
+  /** Heuristic quality score: stopword ratio + length saturation +
+    * punctuation penalty, then a CASE band. The score formula is the
+    * same left-assoc expression in Spark and the oracle. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopCnt = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+      .cast("double")
+    val punctCnt = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+      .cast("double")
+    val stopRatio = (stopCnt / nTok).as("stopword_ratio")
+    val punctRatio = (punctCnt / length(col("text")).cast("double"))
+      .as("punct_ratio")
+    val score = round(
+      lit(0.5) * (stopCnt / nTok) +
+        lit(0.3) * least(lit(1.0), nTok / lit(100.0)) +
+        lit(0.2) * (lit(1.0) - punctCnt / length(col("text")).cast("double")),
+      6).as("quality_score")
+    d.select(col("doc_id"), stopRatio, punctRatio, score)
+      .withColumn("quality_band",
+        when(col("quality_score") >= 0.45, "high")
+          .when(col("quality_score") >= 0.35, "medium")
+          .otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter($tokensSql, t -> t IN ($stopList))) AS DOUBLE) AS sc,
+       |    CAST(len($tokensSql) AS DOUBLE) AS nt,
+       |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS pc,
+       |    CAST(length(text) AS DOUBLE) AS nc
+       |  FROM documents)
+       |SELECT doc_id,
+       |  sc / nt AS stopword_ratio,
+       |  pc / nc AS punct_ratio,
+       |  round(0.5 * (sc / nt) + 0.3 * least(1.0, nt / 100.0)
+       |        + 0.2 * (1.0 - pc / nc), 6) AS quality_score,
+       |  CASE WHEN round(0.5 * (sc / nt) + 0.3 * least(1.0, nt / 100.0)
+       |        + 0.2 * (1.0 - pc / nc), 6) >= 0.45 THEN 'high'
+       |       WHEN round(0.5 * (sc / nt) + 0.3 * least(1.0, nt / 100.0)
+       |        + 0.2 * (1.0 - pc / nc), 6) >= 0.35 THEN 'medium'
+       |       ELSE 'low' END AS quality_band
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q30
+
+  /** Marker-word profiles per language (function-word heuristic — the
+    * n-gram-profile idea reduced to its deterministic core so the
+    * DuckDB oracle can mirror it exactly). Tested on genuinely
+    * multilingual snippets in TextAnalysisSpec. */
+  private[ext] val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "que", "de", "los"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Predict language = argmax over marker-word counts, 'und' when no
+    * marker hits; fixed tie-break order en>de>es>fr>zh. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = tokens(col("text"))
+    val scores = langProfiles.map { case (lang, words) =>
+      size(filter(toks, t => t.isin(words.map(lit): _*)))
+        .cast("long").as(s"s_$lang")
+    }
+    val scored = d.select(col("doc_id") +: scores: _*)
+    val best = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = langProfiles.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight keeps declaration order as precedence (en first)
+    scored.select(col("doc_id"), pred.as("lang_pred"), best.as("marker_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val scoreCols = langProfiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter($tokensSql, t -> t IN ($list))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n    ")
+    val gr = langProfiles.map { case (l, _) => s"s_$l" }.mkString(", ")
+    val caseChain = langProfiles.map { case (l, _) =>
+      s"WHEN s_$l = g AND g > 0 THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM documents),
+       |g AS (SELECT *, greatest($gr) AS g FROM s)
+       |SELECT doc_id,
+       |  CASE $caseChain ELSE 'und' END AS lang_pred,
+       |  g AS marker_hits
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q31
+
+  /** Content fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the exact-dedup key. Both engines implement RFC-1321 md5,
+    * so hex strings compare exactly. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(
+      col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextAnalysis}
+
+/** Semantic tests for the §7.5 extension operators whose core claims the
+  * DuckDB oracle can't check (xxhash64-based sketches) plus language-ID
+  * behavior on genuinely multilingual snippets. */
+class ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup pairs every doc with its planted copy (n_dups = 2)") {
+    val out = Dedup.exactDedup(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // the query unions an id-shifted copy, so every fingerprint group
+    // holds at least the original + copy
+    assert(out.forall(_.getAs[Long]("n_dups") >= 2))
+    // and keep_id is always an original (un-shifted) id
+    assert(out.forall(_.getAs[Long]("keep_id") < 1000000L))
+  }
+
+  test("minhash LSH: near-identical docs collide in at least one band") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val distinctDoc = (1 to 40).map(i => s"other$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("minhash").toString
+    docs(1L -> base, 2L -> nearDup, 3L -> distinctDoc)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val bands = Dedup.minhashBands(spark, tmp)
+    val pairs = Dedup.minhashCandidatePairs(bands).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missed: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"false candidate with unrelated doc: $pairs")
+  }
+
+  test("simhash: hamming(near-dup) < hamming(unrelated)") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i % 30 == 0) "x" else s"w$i").mkString(" ")
+    val far = (1 to 60).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("simhash").toString
+    docs(1L -> base, 2L -> near, 3L -> far)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sh = Dedup.simhash(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)),
+      s"near=${ham(sh(1L), sh(2L))} far=${ham(sh(1L), sh(3L))}")
+  }
+
+  test("langId classifies obvious language snippets") {
+    val tmp = java.nio.file.Files.createTempDirectory("langid").toString
+    docs(
+      1L -> "the cat is on a mat and the dog is in the yard",
+      2L -> "der hund und die katze das ist gut und der tag ist schön",
+      3L -> "el perro y la casa que los gatos de la ciudad",
+      4L -> "qwerty zxcvb 12345")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.langId(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "es")
+    assert(out(4L) == "und")
+  }
+
+  test("extension queries shuffle only where the algorithm requires") {
+    // token stats / fingerprint are pure scans: no Exchange in the plan
+    Seq(TextAnalysis.tokenStats _, TextAnalysis.docFingerprint _,
+      TextAnalysis.qualityScore _, TextAnalysis.langId _).foreach { q =>
+      val plan = q(spark, sfDir).queryExecution.executedPlan.toString
+      // the trailing orderBy is a sort (range exchange) — strip the
+      // top-level sort by checking the pre-sort stages have no hash
+      // aggregate exchanges
+      assert(!plan.contains("hashpartitioning"),
+        s"unexpected hash shuffle in scan-only query:\n$plan")
+    }
+  }
+}
