@@ -62,7 +62,12 @@ object SparkEntry {
     "q33_ngram_jaccard"      -> (ext.Dedup.ngramJaccardPairs _),
     "q34_minhash_bands"      -> (ext.Dedup.minhashBands _),
     "q35_simhash"            -> (ext.Dedup.simhash _),
-    "q36_embedding_near_dup" -> (ext.Dedup.embeddingNearDup _)
+    "q36_embedding_near_dup" -> (ext.Dedup.embeddingNearDup _),
+    // similarity search extensions (SURVEY §7.5)
+    "q37_knn_brute_force" -> (ext.Similarity.knnBruteForce _),
+    "q38_knn_lsh"         -> (ext.Similarity.knnLsh _),
+    "q39_ivf_assign"      -> (ext.Similarity.ivfAssign _),
+    "q40_knn_ivf"         -> (ext.Similarity.knnIvf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,6 +109,11 @@ object SparkEntry {
     "q33_ngram_jaccard"   -> ext.Dedup.ngramJaccardPairsSql,
     // q34_minhash_bands / q35_simhash: xxhash64 has no DuckDB analog —
     // rows-only check + DedupSpec (SURVEY §7.4 xxhash64-in-oracle note)
-    "q36_embedding_near_dup" -> ext.Dedup.embeddingNearDupSql
+    "q36_embedding_near_dup" -> ext.Dedup.embeddingNearDupSql,
+    "q37_knn_brute_force" -> ext.Similarity.knnBruteForceSql,
+    // q38_knn_lsh: approximate by design (xxhash64 hyperplanes) —
+    // rows-only check + SimilaritySpec recall assertion vs q37
+    "q39_ivf_assign" -> ext.Similarity.ivfAssignSql,
+    "q40_knn_ivf"    -> ext.Similarity.knnIvfSql
   )
 }

