@@ -67,7 +67,12 @@ object SparkEntry {
     "q37_knn_brute_force" -> (ext.Similarity.knnBruteForce _),
     "q38_knn_lsh"         -> (ext.Similarity.knnLsh _),
     "q39_ivf_assign"      -> (ext.Similarity.ivfAssign _),
-    "q40_knn_ivf"         -> (ext.Similarity.knnIvf _)
+    "q40_knn_ivf"         -> (ext.Similarity.knnIvf _),
+    // multimodal columns (SURVEY §7.5)
+    "q41_asset_manifest" -> (ext.Multimodal.assetManifest _),
+    "q42_asset_features" -> (ext.Multimodal.assetFeatures _),
+    // structured streaming bronze (T1-T7, S1/S3)
+    "q43_stream_bronze"  -> (streaming.Bronze.streamBronze _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,6 +119,10 @@ object SparkEntry {
     // q38_knn_lsh: approximate by design (xxhash64 hyperplanes) —
     // rows-only check + SimilaritySpec recall assertion vs q37
     "q39_ivf_assign" -> ext.Similarity.ivfAssignSql,
-    "q40_knn_ivf"    -> ext.Similarity.knnIvfSql
+    "q40_knn_ivf"    -> ext.Similarity.knnIvfSql,
+    "q41_asset_manifest" -> ext.Multimodal.assetManifestSql,
+    // q42_asset_features: imperative decode stub — rows-only check +
+    // MultimodalSpec pins the stub arithmetic
+    "q43_stream_bronze" -> streaming.Bronze.streamBronzeSql
   )
 }

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.Tables
+
+/** Structured-Streaming bronze ingest (SURVEY §2.9 T1–T7, §2.1 S1/S3;
+  * reference: spark/streaming_bronze.py:64-110).
+  *
+  * The reference tails 8 Kafka CDC topics; this harness has no broker,
+  * so the unbounded source is a file-stream over the `events` table —
+  * the source swap is one line (`readStream.format("kafka")`), every
+  * transform downstream is source-agnostic. Semantics reproduced:
+  *
+  *  - P1 envelope projection: raw payload kept as one JSON string
+  *    (`_raw_value`), audit columns `_key`/`_ingested_at`/
+  *    `_source_table` attached (streaming_bronze.py:80-89);
+  *  - S3 sink: append-only micro-batch write through `foreachBatch`,
+  *    Hive-partitioned by `_source_table`, empty batches skipped
+  *    (streaming_bronze.py:95-104);
+  *  - T3 recovery: checkpointed offsets — re-running over the same
+  *    checkpoint ingests nothing new (at-least-once into bronze, dedup
+  *    downstream by W1, exactly as the reference).
+  *
+  * Scale: the projection is stateless (no watermark/state store — the
+  * reference keeps bronze stateless too, T5), so throughput scales
+  * with source partitions; the partitioned append keeps bronze
+  * prunable by `_source_table` for the silver compactor.
+  */
+object Bronze {
+
+  /** Raw file schema of the events stream, with the ns-timestamp kept
+    * as raw long exactly as the parquet stores it (readStream needs an
+    * explicit schema; conversion happens in the projection). */
+  private def rawSchema(spark: SparkSession, srcDir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(srcDir).schema
+  }
+
+  /** The P1 envelope projection — shared verbatim between the stream
+    * and the batch-equivalence check. */
+  def envelope(df: DataFrame, sourceTable: String): DataFrame = {
+    val ts = if (df.schema("ts").dataType == LongType)
+      timestamp_micros(expr("ts div 1000")) else col("ts")
+    df.select(
+      col("event_id").cast("string").as("_key"),
+      to_json(struct(df.columns.map(col): _*)).as("_raw_value"),
+      ts.as("_event_ts"),
+      current_timestamp().as("_ingested_at"),
+      lit(sourceTable).as("_source_table"),
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** Run the ingest to completion over whatever files exist now
+    * (Trigger.AvailableNow = drain-and-stop; a deployment would use
+    * the reference's 5 s processing-time trigger, T1). */
+  def ingest(spark: SparkSession, srcDir: String, sinkDir: String,
+             checkpointDir: String): Unit = {
+    val stream = spark.readStream
+      .schema(rawSchema(spark, srcDir))
+      .option("maxFilesPerTrigger", "1") // exercise >1 micro-batch
+      .parquet(srcDir)
+    val bronze = envelope(stream, "events")
+    val q = bronze.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("append")
+            .partitionBy("_source_table")
+            .parquet(sinkDir)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** q43: full stream-to-bronze round trip as a gated query — ingest
+    * into a fresh sink, read the bronze table back, surface the
+    * deterministic columns (everything except the `_ingested_at` wall
+    * clock). The DuckDB oracle is the equivalent batch projection, so
+    * stream-vs-batch equivalence IS the correctness check. */
+  def streamBronze(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("bronze").toString
+    // the file-stream source wants a DIRECTORY to tail; stage the
+    // events file into one (symlink — no copy)
+    val src = Files.createDirectories(Paths.get(s"$base/src"))
+    Files.createSymbolicLink(src.resolve("events.parquet"),
+      Paths.get(Tables.path(dir, "events")))
+    ingest(spark, src.toString, s"$base/sink", s"$base/ckpt")
+    spark.read.parquet(s"$base/sink")
+      .select(col("_source_table"), col("_key"),
+        unix_micros(col("_event_ts")).as("_event_ts_us"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val streamBronzeSql: String =
+    """SELECT 'events' AS _source_table,
+      |  CAST(event_id AS VARCHAR) AS _key,
+      |  date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS _event_ts_us,
+      |  event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+}

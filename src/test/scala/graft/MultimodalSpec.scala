@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+
+/** Pins the multimodal plumbing: stub-decode arithmetic against
+  * independently computed values, column pruning of the payload, and
+  * the frame sampler's reassembly property. */
+class MultimodalSpec extends SparkSuite {
+
+  test("decode stub matches independently computed byte stats") {
+    val feats = Multimodal.assetFeatures(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty)
+    docs.take(50).foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val f = feats(r.getLong(0))
+      assert(f.getAs[Long]("n_bytes") == bytes.length)
+      val mean = bytes.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble /
+        bytes.length
+      assert(math.abs(f.getAs[Double]("mean_byte") - mean) < 1e-12)
+      assert(f.getAs[Int]("n_frames") ==
+        (bytes.length + Multimodal.FrameStride - 1) / Multimodal.FrameStride)
+    }
+  }
+
+  test("manifest prunes the payload column from the parquet scan") {
+    val plan = Multimodal.assetManifest(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // n_bytes comes from octet_length(cast(text)), so `text` is read,
+    // but nothing else beyond the manifest inputs may be
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("lang"), s"lang not pruned:\n$plan")
+  }
+
+  test("frame sampler splits payload into stride-sized frames that reassemble") {
+    val assets = Multimodal.assets(spark, sfDir).limit(20)
+    val frames = Multimodal.sampleFrames(assets)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val originals = assets.collect().map(a => a.doc_id -> a.payload).toMap
+    originals.foreach { case (id, payload) =>
+      val rebuilt = frames(id).sortBy(_.getAs[Int]("frame_no"))
+        .flatMap(_.getAs[Array[Byte]]("frame_bytes"))
+      assert(java.util.Arrays.equals(rebuilt, payload),
+        s"doc $id frames do not reassemble")
+      frames(id).dropRight(1).foreach(f =>
+        assert(f.getAs[Array[Byte]]("frame_bytes").length ==
+          Multimodal.FrameStride))
+    }
+  }
+}

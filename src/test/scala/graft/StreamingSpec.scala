@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Bronze
+
+/** Streaming bronze semantics the oracle gate can't see: multi-batch
+  * execution, checkpointed restart idempotence, and partition layout. */
+class StreamingSpec extends SparkSuite {
+
+  /** Write df as a single flat parquet FILE (the file-stream source
+    * lists leaf files; a nested dir-per-write layout would defeat
+    * schema inference). */
+  private def writeOneFile(df: org.apache.spark.sql.DataFrame,
+                           dest: String): Unit = {
+    val tmp = Files.createTempDirectory("onefile").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+    Files.move(part.toPath, java.nio.file.Paths.get(dest))
+  }
+
+  test("stream ingest equals batch projection and restart adds nothing") {
+    val base = Files.createTempDirectory("bronzespec").toString
+    val src = s"$base/src"
+    // two source files → at least two micro-batches (maxFilesPerTrigger=1)
+    val events = Tables.load(spark, sfDir, "events")
+    writeOneFile(events.filter(col("event_id") % 2 === 0), s"$src/a.parquet")
+    writeOneFile(events.filter(col("event_id") % 2 === 1), s"$src/b.parquet")
+
+    Bronze.ingest(spark, src, s"$base/sink", s"$base/ckpt")
+    val bronze = spark.read.parquet(s"$base/sink")
+    assert(bronze.count() == events.count())
+    // append-only at-least-once, dedup downstream: keys survive exactly
+    assert(bronze.select("_key").distinct().count() == events.count())
+    // partitioned by _source_table (Hive layout)
+    assert(new java.io.File(s"$base/sink/_source_table=events").isDirectory)
+
+    // restart over the same checkpoint: offsets recorded, nothing re-ingested
+    Bronze.ingest(spark, src, s"$base/sink", s"$base/ckpt")
+    assert(spark.read.parquet(s"$base/sink").count() == events.count())
+  }
+
+  test("raw json payload round-trips through from_json (silver contract)") {
+    val base = Files.createTempDirectory("bronzespec2").toString
+    val src = s"$base/src"
+    writeOneFile(Tables.load(spark, sfDir, "events").limit(100),
+      s"$src/a.parquet")
+    Bronze.ingest(spark, src, s"$base/sink", s"$base/ckpt")
+    val parsed = spark.read.parquet(s"$base/sink")
+      .select(col("event_id"),
+        from_json(col("_raw_value"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)).as("m"))
+      .select(col("event_id"), col("m.event_type").as("et"))
+    val direct = Tables.load(spark, sfDir, "events").limit(100)
+      .select(col("event_id"), col("event_type").as("et"))
+    assert(parsed.exceptAll(direct).isEmpty && direct.exceptAll(parsed).isEmpty)
+  }
+}
