@@ -79,11 +79,30 @@ object Dedup {
     * the oracle compare exact; jaccard = inter/union downstream). */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val sh = d.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val ns = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // join/shuffle on a 64-bit shingle hash, not the shingle string:
+    // the exchange and sort-merge compare move 8-byte keys instead of
+    // variable-length text (collision odds at even 10^9 distinct
+    // shingles: ~1e-2 per corpus — and a collision only ever inflates
+    // one intersection count by 1)
+    val sh = d.select(col("doc_id"),
+      explode(shingles(col("text"))).as("sh0"))
+      .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
+    // per-doc shingle count = array length (already distinct): no
+    // explode + re-aggregate needed
+    val ns = d.select(col("doc_id"),
+      size(shingles(col("text"))).cast("long").as("ns"))
+    // pair generation via one groupBy + in-array combination expansion
+    // instead of a sort-merge self-join: one exchange of the shingle
+    // rows rather than two sorted ones (measured ~1.6× at sf0.1)
+    val grouped = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = grouped.select(explode(flatten(
+      transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    val inter = pairs
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("inter_cnt"))
       .filter(col("inter_cnt") >= 3)
     inter
@@ -182,13 +201,12 @@ object Dedup {
     * Cosine computed as a sequential double fold — the same order the
     * DuckDB oracle's list_dot_product uses — and rounded to 4 dp. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.vecDot
     val v = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("emb"), x => x * x), lit(0.0d), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(vecDot(col("emb"), col("emb"))))
     val pairs = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-    val dot = aggregate(zip_with(col("a.emb"), col("b.emb"), (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x)
+    val dot = vecDot(col("a.emb"), col("b.emb"))
     pairs
       .withColumn("cos", dot / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= 0.40)

@@ -35,9 +35,10 @@ object Similarity {
   private val NumQueries = 10 // vec_id < 10 play the query set
   private val K = 5
 
-  /** Sequential-fold dot product: matches DuckDB list_dot_product. */
+  /** Sequential-fold dot product: matches DuckDB list_dot_product.
+    * Codegen'd native expression — see [[graft.functions.VecDot]]. */
   private[ext] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VectorExprs.vecDot(a, b)
 
   /** Corpus with norm; emb cast once to double. */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -109,10 +110,8 @@ object Similarity {
   private def bucketCode(t: Int, emb: Column): Column = {
     val dims = sequence(lit(0), size(emb) - 1)
     (0 until LshBits).map { p =>
-      val proj = aggregate(
-        zip_with(emb, transform(dims, d => planeComponent(t * LshBits + p, d)),
-          (x, h) => x * h),
-        lit(0.0d), (acc, x) => acc + x)
+      val proj = dot(emb,
+        transform(dims, d => planeComponent(t * LshBits + p, d)))
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
   }

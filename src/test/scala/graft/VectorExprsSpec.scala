@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** The custom codegen expression must agree exactly with the built-in
+  * fold it replaces, handle nulls, and work from SQL. */
+class VectorExprsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("vec_dot equals the built-in aggregate/zip_with fold bit-for-bit") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val both = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(5000)
+      .select(
+        VectorExprs.vecDot(col("a.e"), col("b.e")).as("fast"),
+        aggregate(zip_with(col("a.e"), col("b.e"), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("vec_dot: known value, null propagation, empty arrays") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (None, Some(Seq(1.0))),
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])))
+      .toDF("a", "b")
+      .select(VectorExprs.vecDot(col("a"), col("b")).as("d"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) == 0.0)
+  }
+
+  test("vec_dot is callable from SQL after registration") {
+    VectorExprs.register(spark)
+    val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head.getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("vec_dot stays inside WholeStageCodegen") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("e"))
+    val plan = v.select(VectorExprs.vecDot(col("e"), col("e")).as("d"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [vec_dot"), plan)
+  }
+}
