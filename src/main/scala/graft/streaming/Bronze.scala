@@ -69,7 +69,11 @@ object Bronze {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          batch.write.mode("append")
+          // sortWithinPartitions = the clustered-sort storage analog
+          // (SURVEY O3, ClickHouse MergeTree ORDER BY): rows land
+          // time-ordered within each file for downstream range skips
+          batch.sortWithinPartitions("_event_ts")
+            .write.mode("append")
             .partitionBy("_source_table")
             .parquet(sinkDir)
         }

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Source/sink surface not exercised by the parquet-based oracle gate:
+  * CSV ingest with header + rename map (SURVEY S8), idempotent
+  * insert-if-absent (S8's ON CONFLICT DO NOTHING analog), and parquet
+  * schema drift on append (T7 mergeSchema). */
+class SourcesSpec extends SparkSuite {
+
+  test("CSV round trip with header and column-rename map (S8)") {
+    val base = Files.createTempDirectory("csv").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "n_chars").limit(200)
+    docs.write.option("header", "true").csv(s"$base/out")
+    // the reference renames Kaggle CSV headers via a per-table map
+    // (scripts/load_kaggle_data.py:27-115); same pattern here
+    // explicit schema, as the reference does with per-table column
+    // maps (no inference relied on — SURVEY §1.3)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val renames = Map("doc_id" -> "document_id", "lang" -> "language")
+    val back = renames.foldLeft(
+      spark.read.option("header", "true").schema(schema)
+        .csv(s"$base/out")) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to)
+    }
+    assert(back.columns.toSet == Set("document_id", "language", "n_chars"))
+    assert(back.count() == docs.count())
+    assert(back.schema("document_id").dataType == LongType)
+  }
+
+  test("insert-if-absent: dedup-then-append equals ON CONFLICT DO NOTHING (S8)") {
+    import spark.implicits._
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val incoming = Seq((2L, "CHANGED"), (3L, "c")).toDF("id", "v")
+    // idempotent insert = append only the keys not already present
+    val inserted = incoming.join(existing, Seq("id"), "left_anti")
+    val result = existing.unionByName(inserted)
+    val m = result.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "a", 2L -> "b", 3L -> "c")) // 2 kept, not changed
+  }
+
+  test("parquet append with evolving schema reads merged (T7)") {
+    val base = Files.createTempDirectory("drift").toString
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "v").write.mode("append").parquet(base)
+    Seq((2L, "y", 9.5)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(base)
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.columns.toSet == Set("id", "v", "extra"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("extra")) ||
+      byId(1L).getAs[Any]("extra") == null)
+    assert(byId(2L).getAs[Double]("extra") == 9.5)
+  }
+}
