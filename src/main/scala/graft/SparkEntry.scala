@@ -72,7 +72,10 @@ object SparkEntry {
     "q41_asset_manifest" -> (ext.Multimodal.assetManifest _),
     "q42_asset_features" -> (ext.Multimodal.assetFeatures _),
     // structured streaming bronze (T1-T7, S1/S3)
-    "q43_stream_bronze"  -> (streaming.Bronze.streamBronze _)
+    "q43_stream_bronze"  -> (streaming.Bronze.streamBronze _),
+    // event-time analytics (beyond-reference streaming surface)
+    "q44_windowed_counts" -> (streaming.Sessions.windowedCounts _),
+    "q45_sessionization"  -> (streaming.Sessions.sessionize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,6 +126,8 @@ object SparkEntry {
     "q41_asset_manifest" -> ext.Multimodal.assetManifestSql,
     // q42_asset_features: imperative decode stub — rows-only check +
     // MultimodalSpec pins the stub arithmetic
-    "q43_stream_bronze" -> streaming.Bronze.streamBronzeSql
+    "q43_stream_bronze" -> streaming.Bronze.streamBronzeSql,
+    "q44_windowed_counts" -> streaming.Sessions.windowedCountsSql,
+    "q45_sessionization"  -> streaming.Sessions.sessionizeSql
   )
 }

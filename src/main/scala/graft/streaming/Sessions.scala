@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-time analytics over the `events` stream table — the
+  * Structured-Streaming surface the reference leaves on the table
+  * (SURVEY T5 marks watermarks/windows/state "absent"): tumbling
+  * event-time windows and gap-based sessionization. Both are defined
+  * BATCH-first here (oracle-checkable in DuckDB), and the streaming
+  * executions in [[StatefulStreams]] are held to these results by
+  * batch-equivalence specs — the same discipline as q43.
+  *
+  * Scale: both queries shuffle once on their natural key
+  * (window×type / user) and aggregate map-side first; sessionization's
+  * window sort is per-user, so skew is bounded by the hottest user —
+  * the salting pattern in `ops/Salt` applies if one user dominates.
+  */
+object Sessions {
+
+  /** Epoch-hour of ts — identical integer arithmetic in both engines. */
+  private def hourBucket(c: org.apache.spark.sql.Column) =
+    (unix_micros(c) / lit(3600000000L)).cast("long")
+
+  // ---------------------------------------------------------------- q44
+
+  /** Tumbling 1-hour event-time windows per event_type, via the
+    * built-in `window()` (the streaming-native construct, usable
+    * unchanged under `readStream` + watermark). */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Cols.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+  }
+
+  val windowedCountsSql: String =
+    s"""SELECT
+       |  date_diff('microsecond', TIMESTAMP '1970-01-01',
+       |            time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_us,
+       |  event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  ${graft.util.Cols.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+
+  /** Session gap: a new session starts after >= 30 min of user silence. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Gap-based sessionization, batch form: lag + cumulative-sum of
+    * session-start markers — the standard SQL shape, one shuffle on
+    * user_id reused by both windows. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val marked = e.withColumn("new_session",
+      when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) >= SessionGapUs
+        || lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+    marked
+      .withColumn("session_no", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value,
+       |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS ts_us
+       |  FROM events),
+       |m AS (
+       |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w >= $SessionGapUs
+       |                   OR lag(ts_us) OVER w IS NULL
+       |            THEN 1 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |s AS (
+       |  SELECT *, sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_no
+       |  FROM m)
+       |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  min(ts_us) AS start_us, max(ts_us) AS end_us
+       |FROM s GROUP BY user_id, session_no
+       |ORDER BY user_id, session_no""".stripMargin
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming executions of the [[Sessions]] analytics — watermarked
+  * windowed aggregation and custom session state via
+  * `flatMapGroupsWithState` — held to the batch definitions by
+  * StatefulStreamsSpec (same batch-equivalence discipline as q43).
+  *
+  * Scale notes: the windowed aggregate's state is one row per open
+  * (window × type) — bounded by the watermark horizon; sessionization
+  * state is one [[SessState]] per active user, and each micro-batch
+  * buffers only that batch's events per user before folding them into
+  * state (not the full history).
+  */
+object StatefulStreams {
+
+  case class SessEvent(user_id: Long, event_id: Long, ts_us: Long)
+  case class SessState(sessionNo: Long, startUs: Long, endUs: Long, n: Long)
+  case class SessOut(user_id: Long, session_no: Long, n_events: Long,
+                     start_us: Long, end_us: Long)
+
+  private def rawEvents(spark: SparkSession, srcDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** q44's aggregation under readStream + watermark, complete mode:
+    * every micro-batch re-emits the full (small: windows × types)
+    * result, so the last emission IS the final answer. */
+  def windowedCountsStream(spark: SparkSession, srcDir: String,
+                           ckptDir: String)(sink: DataFrame => Unit): Unit = {
+    val agg = rawEvents(spark, srcDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Cols.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (df: DataFrame, _: Long) => sink(df) }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Gap sessionization with custom state: one [[SessState]] per user,
+    * carried across micro-batches (and across restarts, via the
+    * checkpointed state store). Emits every session touched in the
+    * batch — closed sessions finally, the open one provisionally, so
+    * downstream keeps the last emission per (user, session_no),
+    * exactly the CDC latest-per-key pattern (W1). */
+  def sessionizeStream(spark: SparkSession, srcDir: String,
+                       ckptDir: String)(sink: DataFrame => Unit): Unit = {
+    import spark.implicits._
+    val events = rawEvents(spark, srcDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[SessEvent]
+
+    val update: (Long, Iterator[SessEvent], GroupState[SessState]) =>
+        Iterator[SessOut] = { (userId, batch, state) =>
+      // fold THIS batch's events (sorted — arrival within a batch is
+      // unordered) into the running session state
+      val sorted = batch.toVector.sortBy(e => (e.ts_us, e.event_id))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var st = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue, 0L))
+        val out = Vector.newBuilder[SessOut]
+        sorted.foreach { e =>
+          if (st.n == 0L || e.ts_us - st.endUs >= Sessions.SessionGapUs) {
+            if (st.n > 0L) // close previous session
+              out += SessOut(userId, st.sessionNo, st.n, st.startUs, st.endUs)
+            st = SessState(st.sessionNo + 1, e.ts_us, e.ts_us, 1L)
+          } else {
+            st = st.copy(endUs = e.ts_us, n = st.n + 1)
+          }
+        }
+        // provisional emission of the (still open) current session
+        out += SessOut(userId, st.sessionNo, st.n, st.startUs, st.endUs)
+        state.update(st)
+        out.result().iterator
+      }
+    }
+
+    val sessions = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(update)
+
+    val q = sessions.toDF().writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (df: DataFrame, _: Long) => sink(df) }
+      .start()
+    q.awaitTermination()
+  }
+}

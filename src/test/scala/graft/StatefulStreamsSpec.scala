@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.streaming.{Sessions, StatefulStreams}
+
+/** Stream-vs-batch equivalence for the stateful operators, including
+  * session state carried across separate runs through the checkpointed
+  * state store. */
+class StatefulStreamsSpec extends SparkSuite {
+
+  private def stage(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+    val tmp = Files.createTempDirectory("stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+    Files.move(part.toPath, java.nio.file.Paths.get(dest))
+  }
+
+  // events with ts kept as raw long (the on-disk shape the stream reads)
+  private def rawLongEvents() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  test("watermarked windowed aggregation equals the batch window query") {
+    val base = Files.createTempDirectory("winstream").toString
+    stage(rawLongEvents(), s"$base/src/all.parquet")
+    var last: Array[Row] = Array.empty
+    StatefulStreams.windowedCountsStream(spark, s"$base/src", s"$base/ckpt") {
+      df => last = df.collect()
+    }
+    val batch = Sessions.windowedCounts(spark, sfDir).collect()
+    assert(last.nonEmpty)
+    def key(r: Row) = (r.getLong(0), r.getString(1))
+    val got = last.map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+    val want = batch.map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState sessionization equals batch, across restarts") {
+    val base = Files.createTempDirectory("sessstream").toString
+    val raw = rawLongEvents()
+    val cutUs = raw.selectExpr("percentile_approx(ts div 1000, 0.5)")
+      .head.getLong(0) // median: both runs carry real state traffic
+    val emitted = collection.mutable.ArrayBuffer.empty[Row]
+    val sink = (df: org.apache.spark.sql.DataFrame) =>
+      { emitted ++= df.collect(); () }
+
+    // run 1: first half of the timeline
+    stage(raw.filter(expr(s"ts div 1000") < cutUs), s"$base/src/a.parquet")
+    StatefulStreams.sessionizeStream(spark, s"$base/src", s"$base/ckpt")(sink)
+    // run 2: later events arrive; state resumes from the checkpoint
+    stage(raw.filter(expr(s"ts div 1000") >= cutUs), s"$base/src/b.parquet")
+    StatefulStreams.sessionizeStream(spark, s"$base/src", s"$base/ckpt")(sink)
+
+    // latest-per-(user, session): provisional open-session emissions are
+    // superseded by later ones (the W1 pattern)
+    val finalRows = emitted.zipWithIndex
+      .groupBy(r => (r._1.getLong(0), r._1.getLong(1)))
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+    val got = finalRows.map { case ((u, s), r) =>
+      (u, s, r.getLong(2), r.getLong(3), r.getLong(4)) }.toSet
+
+    val want = Sessions.sessionize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
+}
