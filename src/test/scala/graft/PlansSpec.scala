@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape regression guards for the parity queries: the physical
+  * plans the 100 TB design depends on (pruning, pushdown, broadcast,
+  * partial aggregation, top-k) must survive refactors. Assertions are
+  * on executedPlan strings — coarse but stable. */
+class PlansSpec extends SparkSuite {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q03 daily summary prunes the orders scan to the 3 needed columns") {
+    val p = plan("q03_daily_sales_summary")
+    assert(p.contains("ReadSchema: struct<o_custkey"))
+    assert(!p.contains("o_orderpriority"), "scan reads unneeded columns")
+  }
+
+  test("q03 daily summary aggregates partially before the exchange") {
+    val p = plan("q03_daily_sales_summary")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q06 enrichment broadcasts dims and shuffle-joins the big sides") {
+    val p = plan("q06_orders_enriched")
+    assert(p.contains("BroadcastHashJoin"), "nation/region should broadcast")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "orders⋈customer should be a shuffle join (both sides big at scale)")
+  }
+
+  test("q08 fact build honors the broadcast hint with no probe-side shuffle") {
+    val p = plan("q08_fact_order_lines")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      "lineitem must stream through the broadcast join unshuffled")
+  }
+
+  test("q21 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q21_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q24 bucket filter pushes down to the parquet scan") {
+    val p = plan("q24_part_buckets")
+    assert(p.contains("PushedFilters: [") &&
+      (p.contains("PushedFilters: [IsNotNull") ||
+        p.contains("GreaterThan") || p.contains("LessThan")),
+      s"no pushed filters in:\n$p")
+  }
+
+  test("q37 exact knn broadcasts the query side, not the corpus") {
+    val p = plan("q37_knn_brute_force")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+}
