@@ -75,7 +75,10 @@ object SparkEntry {
     "q43_stream_bronze"  -> (streaming.Bronze.streamBronze _),
     // event-time analytics (beyond-reference streaming surface)
     "q44_windowed_counts" -> (streaming.Sessions.windowedCounts _),
-    "q45_sessionization"  -> (streaming.Sessions.sessionize _)
+    "q45_sessionization"  -> (streaming.Sessions.sessionize _),
+    // multi-level aggregation (beyond-reference, §2.4 gap)
+    "q46_rollup_revenue"     -> (ops.Analytics.rollupRevenue _),
+    "q47_pivot_event_counts" -> (ops.Analytics.pivotEventCounts _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,6 +131,8 @@ object SparkEntry {
     // MultimodalSpec pins the stub arithmetic
     "q43_stream_bronze" -> streaming.Bronze.streamBronzeSql,
     "q44_windowed_counts" -> streaming.Sessions.windowedCountsSql,
-    "q45_sessionization"  -> streaming.Sessions.sessionizeSql
+    "q45_sessionization"  -> streaming.Sessions.sessionizeSql,
+    "q46_rollup_revenue"     -> ops.Analytics.rollupRevenueSql,
+    "q47_pivot_event_counts" -> ops.Analytics.pivotEventCountsSql
   )
 }

@@ -143,8 +143,12 @@ object Dedup {
     * candidate set is a superset of the high-Jaccard pairs. */
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
+    // hash the variable-length shingle string ONCE; the k hash
+    // functions mix the resulting 8-byte value — 16× less string
+    // hashing per shingle row, same independence properties
     val exploded = d
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh0"))
+      .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
     val minAggs = (0 until MinhashK).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     val sig = exploded.groupBy(col("doc_id"))

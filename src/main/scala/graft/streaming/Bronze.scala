@@ -58,10 +58,13 @@ object Bronze {
     * (Trigger.AvailableNow = drain-and-stop; a deployment would use
     * the reference's 5 s processing-time trigger, T1). */
   def ingest(spark: SparkSession, srcDir: String, sinkDir: String,
-             checkpointDir: String): Unit = {
-    val stream = spark.readStream
-      .schema(rawSchema(spark, srcDir))
-      .option("maxFilesPerTrigger", "1") // exercise >1 micro-batch
+             checkpointDir: String,
+             maxFilesPerTrigger: Option[Int] = None): Unit = {
+    // default: AvailableNow drains in as few micro-batches as the file
+    // list allows; tests cap files-per-trigger to force multi-batch
+    val reader = spark.readStream.schema(rawSchema(spark, srcDir))
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(srcDir)
     val bronze = envelope(stream, "events")
     val q = bronze.writeStream

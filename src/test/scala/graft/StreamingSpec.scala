@@ -31,7 +31,8 @@ class StreamingSpec extends SparkSuite {
     writeOneFile(events.filter(col("event_id") % 2 === 0), s"$src/a.parquet")
     writeOneFile(events.filter(col("event_id") % 2 === 1), s"$src/b.parquet")
 
-    Bronze.ingest(spark, src, s"$base/sink", s"$base/ckpt")
+    Bronze.ingest(spark, src, s"$base/sink", s"$base/ckpt",
+      maxFilesPerTrigger = Some(1))
     val bronze = spark.read.parquet(s"$base/sink")
     assert(bronze.count() == events.count())
     // append-only at-least-once, dedup downstream: keys survive exactly
