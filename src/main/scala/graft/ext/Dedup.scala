@@ -52,11 +52,16 @@ object Dedup {
     * unioned with an id-shifted copy of itself): group by content
     * fingerprint, keep the smallest doc_id, count members. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val copy = d.withColumn("doc_id", col("doc_id") + lit(1000000L))
-    d.unionByName(copy)
-      .groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " ")))
-        .as("fingerprint"))
+    // fingerprint the N distinct texts once, THEN union the id-shifted
+    // copy of the (doc_id, fingerprint) projection — the regex + md5
+    // run on N rows, not 2N
+    val fp = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+          .as("fingerprint"))
+    val copy = fp.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    fp.unionByName(copy)
+      .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_dups"))
       .orderBy(col("keep_id"))
