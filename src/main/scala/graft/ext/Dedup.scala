@@ -96,18 +96,17 @@ object Dedup {
     // explode + re-aggregate needed
     val ns = d.select(col("doc_id"),
       size(shingles(col("text"))).cast("long").as("ns"))
-    // pair generation via one groupBy + in-array combination expansion
-    // instead of a sort-merge self-join: one exchange of the shingle
-    // rows rather than two sorted ones (measured ~1.6× at sf0.1)
+    // pair generation via one groupBy + a custom pair-combination
+    // Generator instead of a sort-merge self-join: one exchange of the
+    // shingle rows rather than two sorted ones, and no intermediate
+    // nested-array allocation (graft.functions.PairCombinations)
     val grouped = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
-    val pairs = grouped.select(explode(flatten(
-      transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    val pairs = grouped.select(
+      graft.functions.GeneratorExprs.pairCombinations(col("ds")))
     val inter = pairs
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("inter_cnt"))
       .filter(col("inter_cnt") >= 3)
     inter

@@ -40,6 +40,15 @@ class VectorExprsSpec extends SparkSuite {
     assert(r == 11.0)
   }
 
+  test("pair_combinations emits exactly the i<j pairs, in order") {
+    val df = Seq(Seq(1L, 2L, 3L, 4L), Seq(7L), Seq.empty[Long])
+      .toDF("ds")
+      .select(graft.functions.GeneratorExprs.pairCombinations(col("ds")))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+  }
+
   test("vec_dot stays inside WholeStageCodegen") {
     val v = Tables.load(spark, sfDir, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
