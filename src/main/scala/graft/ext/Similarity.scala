@@ -100,21 +100,31 @@ object Similarity {
   val LshTables = 8
   val LshBits = 4
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
-    * xxhash64(plane-id, dim-index) scaled — no RNG, reproducible
-    * across runs and engines. */
-  private def planeComponent(planeId: Int, d: Column): Column =
-    xxhash64(lit(planeId), d).cast("double") / lit(9.223372036854776e18)
+  /** Deterministic pseudo-random hyperplanes: component (p, d) =
+    * xxhash64(p, d) scaled to [-1, 1]. Evaluated ONCE through Spark's
+    * own xxhash64 (a 2048-value driver round-trip), then embedded as
+    * literal arrays — so every per-row projection is a codegen'd
+    * [[graft.functions.VecDot]] against a constant instead of an
+    * interpreted per-row plane construction. */
+  private def planes(spark: SparkSession, dim: Int): IndexedSeq[Array[Double]] = {
+    import spark.implicits._
+    val flat = (0 until LshTables * LshBits)
+      .flatMap(p => (0 until dim).map(d => (p, d))).toDF("p", "d")
+      .select(col("p"), col("d"),
+        (xxhash64(col("p"), col("d")).cast("double") /
+          lit(9.223372036854776e18)).as("v"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    (0 until LshTables * LshBits).map(p =>
+      Array.tabulate(dim)(d => flat((p, d))))
+  }
 
   /** Per-table signed-projection bucket code (LshBits sign bits). */
-  private def bucketCode(t: Int, emb: Column): Column = {
-    val dims = sequence(lit(0), size(emb) - 1)
+  private def bucketCode(t: Int, emb: Column,
+                         pl: IndexedSeq[Array[Double]]): Column =
     (0 until LshBits).map { p =>
-      val proj = dot(emb,
-        transform(dims, d => planeComponent(t * LshBits + p, d)))
+      val proj = dot(emb, typedLit(pl(t * LshBits + p).toSeq))
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
-  }
 
   /** LSH ANN: candidates share a bucket in ≥1 of the 4 tables (OR of
     * 8-bit AND-codes), reranked by exact cosine. Rows-only in the
@@ -122,20 +132,30 @@ object Similarity {
     * recall@5 against q37. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
+    val dim = Tables.load(spark, dir, "embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
+    val pl = planes(spark, dim)
+    // bucket rows carry only (vec_id, tbl, code) — the 64-double
+    // embeddings never enter the candidate join/shuffle; they come
+    // back via two id-equi-joins for the exact rerank
     val codes = v.select(
-      col("vec_id"), col("emb"), col("nrm"),
+      col("vec_id"),
       posexplode(array((0 until LshTables).map(t =>
-        bucketCode(t, col("emb"))): _*)))
+        bucketCode(t, col("emb"), pl)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "code")
     val qCodes = codes.filter(col("vec_id") < NumQueries)
     val cands = qCodes.as("q").join(codes.as("v"),
         col("q.tbl") === col("v.tbl") && col("q.code") === col("v.code") &&
           col("q.vec_id") =!= col("v.vec_id"))
-      .groupBy(col("q.vec_id").as("query_id"), col("v.vec_id").as("neighbor_id"))
-      .agg(first(col("q.emb")).as("qe"), first(col("q.nrm")).as("qn"),
-        first(col("v.emb")).as("ve"), first(col("v.nrm")).as("vn"))
-    val scored = cands.select(col("query_id"), col("neighbor_id"),
-      (dot(col("qe"), col("ve")) / (col("qn") * col("vn"))).as("cos"))
+      .select(col("q.vec_id").as("query_id"), col("v.vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cands
+      .join(v.select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("emb").as("ve"),
+        col("nrm").as("vn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("ve")) / (col("qn") * col("vn"))).as("cos"))
     topK(scored)
   }
 
