@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed medallion pipeline — the reference's four jobs
+  * (streaming_bronze → batch_silver → batch_gold → load_warehouse) as
+  * one runnable DAG over the testdata, persisting every layer:
+  *
+  *   bronze/   streamed CDC envelope, partitioned by source table
+  *   silver/   compacted latest-per-key state
+  *   gold/     4 business tables (reference: batch_gold.py:266-280)
+  *   warehouse/ star schema (dims + fact) + 4 MV rollups
+  *
+  * Layout decisions carry the reference's scale posture: bronze is
+  * Hive-partitioned by `_source_table` (streaming_bronze.py:102), the
+  * fact is partitioned monthly (`month_key` ≡ ClickHouse
+  * `PARTITION BY toYYYYMM`, 03_fact_tables.sql:53) so MV-style
+  * queries prune to the months they touch, and every write is an
+  * idempotent overwrite (the reference's TRUNCATE-then-load, S7).
+  *
+  * `main` runs it end-to-end: `runMain graft.Pipeline <sfDir> <outDir>`.
+  */
+object Pipeline {
+
+  /** All layer outputs, in dependency order. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    // ---- bronze (streaming; its own checkpoint under outDir)
+    streaming.Bronze.ingest(spark,
+      stageEventsDir(sfDir), s"$outDir/bronze/events",
+      s"$outDir/_checkpoints/bronze_events")
+
+    // ---- silver: compacted current state from the CDC log
+    write(cdc.Cdc.silverCompaction(spark, sfDir), s"$outDir/silver/events_state")
+
+    // ---- gold: the reference's four business tables
+    write(gold.Enrich.ordersEnriched(spark, sfDir), s"$outDir/gold/orders_enriched")
+    write(gold.Summaries.dailySalesSummary(spark, sfDir), s"$outDir/gold/daily_sales_summary")
+    write(gold.Summaries.customerSegments(spark, sfDir), s"$outDir/gold/customer_segments")
+    write(gold.Summaries.productPerformance(spark, sfDir), s"$outDir/gold/product_performance")
+
+    // ---- warehouse: star schema, fact partitioned monthly
+    write(warehouse.Star.dimCustomer(spark, sfDir), s"$outDir/warehouse/dim_customer")
+    write(warehouse.Star.dimOrderStatus(spark, sfDir), s"$outDir/warehouse/dim_order_status")
+    write(warehouse.DateDim.dimTime(spark, sfDir), s"$outDir/warehouse/dim_time")
+    warehouse.Star.factOrderLines(spark, sfDir)
+      .withColumn("month_key", col("date_key").cast("int").divide(100).cast("int"))
+      .write.mode("overwrite").partitionBy("month_key")
+      .parquet(s"$outDir/warehouse/fact_order_lines")
+
+    // ---- MV layer: rollups over the fact/base tables
+    write(warehouse.Views.mvDailyRevenue(spark, sfDir), s"$outDir/warehouse/mv_daily_revenue")
+    write(warehouse.Views.mvMonthlyRevenue(spark, sfDir), s"$outDir/warehouse/mv_monthly_revenue")
+    write(warehouse.Views.mvNationRevenue(spark, sfDir), s"$outDir/warehouse/mv_nation_revenue")
+    write(warehouse.Views.mvHourlyPattern(spark, sfDir), s"$outDir/warehouse/mv_hourly_pattern")
+  }
+
+  private def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Stage the events file into a directory for the file-stream source. */
+  private def stageEventsDir(sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createDirectories(
+      Paths.get(Files.createTempDirectory("pipeline").toString, "src"))
+    Files.createSymbolicLink(src.resolve("events.parquet"),
+      Paths.get(Tables.path(sfDir, "events")))
+    src.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_pipeline"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir)
+    println(s"[pipeline] all layers written to $outDir")
+    spark.stop()
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+/** The composed pipeline writes every layer, with the layouts the
+  * scale design promises (bronze partitioned by source table, fact
+  * partitioned monthly). */
+class PipelineSpec extends SparkSuite {
+
+  test("pipeline writes all layers with expected layouts and rows") {
+    val out = Files.createTempDirectory("pipeline_out").toString
+    Pipeline.run(spark, sfDir, out)
+
+    val tables = Seq(
+      "bronze/events", "silver/events_state",
+      "gold/orders_enriched", "gold/daily_sales_summary",
+      "gold/customer_segments", "gold/product_performance",
+      "warehouse/dim_customer", "warehouse/dim_order_status",
+      "warehouse/dim_time", "warehouse/fact_order_lines",
+      "warehouse/mv_daily_revenue", "warehouse/mv_monthly_revenue",
+      "warehouse/mv_nation_revenue", "warehouse/mv_hourly_pattern")
+    tables.foreach { t =>
+      assert(spark.read.parquet(s"$out/$t").count() > 0, s"$t is empty")
+    }
+
+    // layout contracts
+    assert(new java.io.File(s"$out/bronze/events/_source_table=events")
+      .isDirectory, "bronze not partitioned by source table")
+    val monthDirs = new java.io.File(s"$out/warehouse/fact_order_lines")
+      .listFiles().filter(_.getName.startsWith("month_key="))
+    assert(monthDirs.length > 1, "fact not partitioned monthly")
+
+    // referential sanity: every fact row's order exists in gold
+    val fact = spark.read.parquet(s"$out/warehouse/fact_order_lines")
+    val gold = spark.read.parquet(s"$out/gold/orders_enriched")
+    assert(fact.join(gold, fact("l_orderkey") === gold("o_orderkey"),
+      "left_anti").count() == 0, "fact rows reference missing orders")
+  }
+}
