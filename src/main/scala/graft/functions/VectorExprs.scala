@@ -84,19 +84,31 @@ object VectorExprs {
   /** Idempotent SQL-function registration on an existing session (the
     * driver contract hands us pre-built sessions, so extension-style
     * injection at build time isn't always available). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_dot"), info,
       (children: Seq[Expression]) => VecDot(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pair_combinations"),
+      new ExpressionInfo(classOf[PairCombinations].getCanonicalName,
+        "pair_combinations"),
+      (children: Seq[Expression]) => PairCombinations(children.head))
+  }
 }
 
 /** `SparkSessionExtensions` hook for deployments that own the session
   * builder: `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getCanonicalName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pair_combinations"),
+      new ExpressionInfo(classOf[PairCombinations].getCanonicalName,
+        "pair_combinations"),
+      (children: Seq[Expression]) => PairCombinations(children.head)))
+  }
 }
