@@ -78,7 +78,9 @@ object SparkEntry {
     "q45_sessionization"  -> (streaming.Sessions.sessionize _),
     // multi-level aggregation (beyond-reference, §2.4 gap)
     "q46_rollup_revenue"     -> (ops.Analytics.rollupRevenue _),
-    "q47_pivot_event_counts" -> (ops.Analytics.pivotEventCounts _)
+    "q47_pivot_event_counts" -> (ops.Analytics.pivotEventCounts _),
+    "q48_bpe_token_stats"    -> (ext.TextAnalysis.bpeTokenStats _),
+    "q49_top_terms"          -> (ext.TextAnalysis.topTerms _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,6 +135,8 @@ object SparkEntry {
     "q44_windowed_counts" -> streaming.Sessions.windowedCountsSql,
     "q45_sessionization"  -> streaming.Sessions.sessionizeSql,
     "q46_rollup_revenue"     -> ops.Analytics.rollupRevenueSql,
-    "q47_pivot_event_counts" -> ops.Analytics.pivotEventCountsSql
+    "q47_pivot_event_counts" -> ops.Analytics.pivotEventCountsSql,
+    "q48_bpe_token_stats"    -> ext.TextAnalysis.bpeTokenStatsSql,
+    "q49_top_terms"          -> ext.TextAnalysis.topTermsSql
   )
 }

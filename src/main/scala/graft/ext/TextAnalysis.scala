@@ -173,4 +173,72 @@ object TextAnalysis {
       |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+
+  /** GPT-2-style pre-tokenizer pattern, restricted to the RE2-safe
+    * subset (no lookarounds) so Spark (java.util.regex) and DuckDB
+    * (RE2) match identically: contractions, space-prefixed letter
+    * runs, digit runs, punctuation runs, whitespace. */
+  private[ext] val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Token counting with the BPE-ish regex (the tokenizer-budget
+    * estimate a training pipeline runs before the real tokenizer):
+    * token count, distinct-token count, chars-per-token. */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    d.select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (length(concat_ws("", col("toks"))).cast("double") /
+          size(col("toks"))).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeTokenStatsSql: String = {
+    val re = BpePattern.replace("\\", "\\").replace("'", "''")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$re') AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |  CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+       |    AS chars_per_token
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q49
+
+  /** Corpus-level term statistics: top 50 tokens by document frequency
+    * (deterministic tie-break on the token), with total frequency —
+    * the vocabulary scan a filtering/weighting stage needs. Scale: one
+    * explode + two-phase agg on the token; the topN is
+    * TakeOrderedAndProject (no global sort). */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("term_freq"))
+      .orderBy(col("doc_freq").desc, col("term_freq").desc, col("tok"))
+      .limit(50)
+  }
+
+  val topTermsSql: String =
+    """SELECT tok,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+      |  CAST(count(*) AS BIGINT) AS term_freq
+      |FROM (SELECT doc_id,
+      |        unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |      FROM documents)
+      |WHERE length(tok) > 0
+      |GROUP BY tok
+      |ORDER BY doc_freq DESC, term_freq DESC, tok LIMIT 50""".stripMargin
 }
