@@ -80,7 +80,8 @@ object SparkEntry {
     "q46_rollup_revenue"     -> (ops.Analytics.rollupRevenue _),
     "q47_pivot_event_counts" -> (ops.Analytics.pivotEventCounts _),
     "q48_bpe_token_stats"    -> (ext.TextAnalysis.bpeTokenStats _),
-    "q49_top_terms"          -> (ext.TextAnalysis.topTerms _)
+    "q49_top_terms"          -> (ext.TextAnalysis.topTerms _),
+    "q50_dedup_clusters"     -> (ext.Dedup.dedupClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,6 +138,7 @@ object SparkEntry {
     "q46_rollup_revenue"     -> ops.Analytics.rollupRevenueSql,
     "q47_pivot_event_counts" -> ops.Analytics.pivotEventCountsSql,
     "q48_bpe_token_stats"    -> ext.TextAnalysis.bpeTokenStatsSql,
-    "q49_top_terms"          -> ext.TextAnalysis.topTermsSql
+    "q49_top_terms"          -> ext.TextAnalysis.topTermsSql,
+    "q50_dedup_clusters"     -> ext.Dedup.dedupClustersSql
   )
 }

@@ -206,6 +206,68 @@ object Dedup {
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---------------------------------------------------------------- q50
+
+  /** Duplicate-cluster assignment: connected components over the
+    * near-dup pair graph (q33's inter>=3 pairs), each doc labeled
+    * with the min doc_id reachable — the "keep one per cluster" step
+    * that ends a dedup pipeline.
+    *
+    * Distributed iterative min-label propagation: each round joins
+    * labels across edges and takes the neighborhood min; lineage is
+    * cut with localCheckpoint per round. Rounds ≈ graph diameter
+    * (label MINIMUM propagates shortest-path-fast); each round is one
+    * shuffle join + aggregate — the standard large-scale connected-
+    * components shape. The DuckDB oracle computes the same components
+    * via a recursive reachability closure.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .toDF("src", "dst").localCheckpoint()
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    var labels = docs.withColumn("cluster_id", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val msgs = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(msgs, labels("doc_id") === msgs("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE s AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |i AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM i
+       |  UNION ALL SELECT doc_b, doc_a FROM i),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q36
 
   /** Embedding near-dup: all pairs with cosine >= 0.40, exact

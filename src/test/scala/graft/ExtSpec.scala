@@ -68,6 +68,22 @@ class ExtSpec extends SparkSuite {
     assert(out(4L) == "und")
   }
 
+  test("dedup clusters merge chains: a~b and b~c puts a,b,c together") {
+    // doc1 ~ doc2 (share a run), doc2 ~ doc3 (share a different run),
+    // doc1 and doc3 share nothing directly; doc4 is isolated
+    val mk = (a: Int, b: Int) =>
+      ((a to a + 9) ++ (b to b + 9)).map(i => s"w$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("cc").toString
+    docs(1L -> mk(0, 100), 2L -> mk(100, 200), 3L -> mk(200, 300),
+      4L -> mk(500, 600))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cl = Dedup.dedupClusters(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L,
+      s"chain not merged: $cl")
+    assert(cl(4L) == 4L, s"isolated doc joined a cluster: $cl")
+  }
+
   test("extension queries shuffle only where the algorithm requires") {
     // token stats / fingerprint are pure scans: no Exchange in the plan
     Seq(TextAnalysis.tokenStats _, TextAnalysis.docFingerprint _,
