@@ -81,7 +81,9 @@ object SparkEntry {
     "q47_pivot_event_counts" -> (ops.Analytics.pivotEventCounts _),
     "q48_bpe_token_stats"    -> (ext.TextAnalysis.bpeTokenStats _),
     "q49_top_terms"          -> (ext.TextAnalysis.topTerms _),
-    "q50_dedup_clusters"     -> (ext.Dedup.dedupClusters _)
+    "q50_dedup_clusters"     -> (ext.Dedup.dedupClusters _),
+    "q51_label_centroids"    -> (ext.Similarity.labelCentroids _),
+    "q52_char_quantiles"     -> (ext.TextAnalysis.charQuantiles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,6 +141,8 @@ object SparkEntry {
     "q47_pivot_event_counts" -> ops.Analytics.pivotEventCountsSql,
     "q48_bpe_token_stats"    -> ext.TextAnalysis.bpeTokenStatsSql,
     "q49_top_terms"          -> ext.TextAnalysis.topTermsSql,
-    "q50_dedup_clusters"     -> ext.Dedup.dedupClustersSql
+    "q50_dedup_clusters"     -> ext.Dedup.dedupClustersSql,
+    "q51_label_centroids"    -> ext.Similarity.labelCentroidsSql,
+    "q52_char_quantiles"     -> ext.TextAnalysis.charQuantilesSql
   )
 }

@@ -235,6 +235,39 @@ object Similarity {
     topK(scored)
   }
 
+  // ---------------------------------------------------------------- q51
+
+  /** Per-label centroid components (the class-prototype computation a
+    * labeling/clustering stage needs), flat (label, pos, value) shape.
+    *
+    * Order-independent exact float discipline: each component scales
+    * by 2^40 (exact — power-of-two scaling never rounds a double),
+    * floors to a long (identical toward-minus-infinity semantics in
+    * both engines; a double→decimal or double→bigint CAST would round
+    * differently between engines), sums in integer space (exact,
+    * partition-order independent), and descales once. One explode +
+    * one two-phase aggregate keyed on (label, pos) — dimension-
+    * parallel at scale. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1099511627776.0 // 2^40
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+    e.groupBy(col("label"), col("pos"))
+      .agg((sum(floor(col("col") * Scale).cast("long")) / lit(Scale) /
+        count(lit(1))).as("centroid_val"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  val labelCentroidsSql: String =
+    """SELECT e.label, t.i - 1 AS pos,
+      |  sum(CAST(floor(e.emb[t.i] * 1099511627776.0) AS BIGINT))
+      |    / 1099511627776.0 / count(*) AS centroid_val
+      |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+      |      FROM embeddings) e,
+      |  LATERAL (SELECT unnest(range(1, len(e.emb) + 1)) AS i) t
+      |GROUP BY e.label, t.i
+      |ORDER BY label, pos""".stripMargin
+
   val knnIvfSql: String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -241,4 +241,27 @@ object TextAnalysis {
       |WHERE length(tok) > 0
       |GROUP BY tok
       |ORDER BY doc_freq DESC, term_freq DESC, tok LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+
+  /** Exact interpolated quantiles of document length per language
+    * (corpus profiling for length filters). Both engines implement the
+    * R-7 definition (rank = (n-1)·p, linear interpolation), so the
+    * doubles compare exactly. Exact percentile collects per-group
+    * sorted values — at 100 TB swap to approx_percentile and declare
+    * the sketch, or compute via the two-pass count + windowed rank. */
+  def charQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val charQuantilesSql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  quantile_cont(n_chars, 0.5) AS median_chars,
+      |  quantile_cont(n_chars, 0.9) AS p90_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }
