@@ -222,26 +222,39 @@ object Dedup {
     * via a recursive reachability closure.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // lean pair derivation: q33's candidate pairs WITHOUT the
+    // union-count joins and global sort it adds for reporting
+    val d = Tables.load(spark, dir, "documents")
+    val sh = d.select(col("doc_id"),
+        explode(shingles(col("text"))).as("sh0"))
+      .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
+    val grouped = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = grouped
+      .select(graft.functions.GeneratorExprs.pairCombinations(col("ds")))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 3)
+      .select(col("a"), col("b"))
     val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"),
-        col("doc_a").as("doc_b")))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .toDF("src", "dst").localCheckpoint()
-    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
-    var labels = docs.withColumn("cluster_id", col("doc_id"))
+    var labels = d.select(col("doc_id"))
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
       val msgs = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      // fold the convergence flag into the same pass: one join per round
       val next = labels.join(msgs, labels("doc_id") === msgs("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"),
-            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).cast("long").as("_chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
-        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
-      labels = next
+      changed = next.agg(coalesce(sum(col("_chg")), lit(0L))).head.getLong(0)
+      labels = next.drop("_chg")
       rounds += 1
     }
     labels.orderBy(col("doc_id"))
