@@ -83,7 +83,8 @@ object SparkEntry {
     "q49_top_terms"          -> (ext.TextAnalysis.topTerms _),
     "q50_dedup_clusters"     -> (ext.Dedup.dedupClusters _),
     "q51_label_centroids"    -> (ext.Similarity.labelCentroids _),
-    "q52_char_quantiles"     -> (ext.TextAnalysis.charQuantiles _)
+    "q52_char_quantiles"     -> (ext.TextAnalysis.charQuantiles _),
+    "q53_asof_snapshots"     -> (cdc.Cdc.asofSnapshots _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -143,6 +144,7 @@ object SparkEntry {
     "q49_top_terms"          -> ext.TextAnalysis.topTermsSql,
     "q50_dedup_clusters"     -> ext.Dedup.dedupClustersSql,
     "q51_label_centroids"    -> ext.Similarity.labelCentroidsSql,
-    "q52_char_quantiles"     -> ext.TextAnalysis.charQuantilesSql
+    "q52_char_quantiles"     -> ext.TextAnalysis.charQuantilesSql,
+    "q53_asof_snapshots"     -> cdc.Cdc.asofSnapshotsSql
   )
 }

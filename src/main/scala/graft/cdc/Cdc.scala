@@ -139,6 +139,72 @@ object Cdc {
     * target ∪ source (reference: spark/batch_silver.py:146-159; SURVEY
     * §7.4). The emulation is a full-table rewrite — same cost class as
     * Delta MERGE's file rewrite, one shuffle on the merge key. */
+  /** q53 — point-in-time snapshots via a scalable AS-OF join: for each
+    * (user, probe timestamp), the latest event at-or-before the probe
+    * (the "state of every entity at time T" reconstruction a CDC lake
+    * serves; beyond the reference's surface — SURVEY §2.3 lists as-of
+    * among joins the reference lacks).
+    *
+    * Implementation is the distributed as-of shape: probes and events
+    * UNION into one stream, one hash exchange on the key, one
+    * in-partition sort by (time, side, id), and a running
+    * `last(_, ignoreNulls)` carries the latest event forward into
+    * each probe row. No range-join explosion, no per-probe scan —
+    * cost is a single sort-shuffle of |events| + |probes| at any
+    * scale. Ties: an event exactly AT the probe instant is visible
+    * (side orders events first), and equal-timestamp events resolve
+    * by max event_id — both pinned in the oracle via (ts DESC,
+    * event_id DESC) rank. */
+  def asofSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"), col("event_type"), col("value"))
+    val probes = events.select(col("user_id")).distinct()
+      .select(col("user_id"), explode(expr(
+        "sequence(timestamp'2024-01-05', timestamp'2024-01-25', " +
+          "interval 5 days)")).as("snap_ts"))
+      .select(col("user_id"), unix_micros(col("snap_ts")).as("t_us"))
+    val tagged = events.withColumn("side", lit(0))
+      .unionByName(probes
+        .withColumn("event_id", lit(null).cast("long"))
+        .withColumn("event_type", lit(null).cast("string"))
+        .withColumn("value", lit(null).cast("double"))
+        .withColumn("side", lit(1)))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("side"), coalesce(col("event_id"), lit(-1L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("le_id", last(col("event_id"), ignoreNulls = true).over(w))
+      .withColumn("le_type", last(col("event_type"), ignoreNulls = true).over(w))
+      .withColumn("le_value", last(col("value"), ignoreNulls = true).over(w))
+      .withColumn("le_ts", last(when(col("side") === 0, col("t_us")),
+        ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("t_us").as("snap_us"),
+        col("le_id").as("event_id"), col("le_type").as("event_type"),
+        col("le_value").as("value"), col("le_ts").as("ts_us"))
+      .orderBy(col("user_id"), col("snap_us"))
+  }
+
+  val asofSnapshotsSql: String =
+    """WITH probes AS (
+      |  SELECT DISTINCT user_id, unnest(generate_series(
+      |    TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
+      |    INTERVAL 5 DAY)) AS snap_ts
+      |  FROM events),
+      |j AS (
+      |  SELECT p.user_id,
+      |    date_diff('microsecond', TIMESTAMP '1970-01-01', p.snap_ts)
+      |      AS snap_us,
+      |    e.event_id, e.event_type, e.value,
+      |    date_diff('microsecond', TIMESTAMP '1970-01-01', e.ts) AS ts_us,
+      |    row_number() OVER (PARTITION BY p.user_id, p.snap_ts
+      |      ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      |  FROM probes p LEFT JOIN events e
+      |    ON e.user_id = p.user_id AND e.ts <= p.snap_ts)
+      |SELECT user_id, snap_us, event_id, event_type, value, ts_us
+      |FROM j WHERE rn = 1 ORDER BY user_id, snap_us""".stripMargin
+
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
     val cut = 5000L // event_id is dense 0..N; split the log in two
