@@ -84,7 +84,8 @@ object SparkEntry {
     "q50_dedup_clusters"     -> (ext.Dedup.dedupClusters _),
     "q51_label_centroids"    -> (ext.Similarity.labelCentroids _),
     "q52_char_quantiles"     -> (ext.TextAnalysis.charQuantiles _),
-    "q53_asof_snapshots"     -> (cdc.Cdc.asofSnapshots _)
+    "q53_asof_snapshots"     -> (cdc.Cdc.asofSnapshots _),
+    "q54_join_matrix"        -> (ops.Relational.joinMatrix _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -145,6 +146,7 @@ object SparkEntry {
     "q50_dedup_clusters"     -> ext.Dedup.dedupClustersSql,
     "q51_label_centroids"    -> ext.Similarity.labelCentroidsSql,
     "q52_char_quantiles"     -> ext.TextAnalysis.charQuantilesSql,
-    "q53_asof_snapshots"     -> cdc.Cdc.asofSnapshotsSql
+    "q53_asof_snapshots"     -> cdc.Cdc.asofSnapshotsSql,
+    "q54_join_matrix"        -> ops.Relational.joinMatrixSql
   )
 }

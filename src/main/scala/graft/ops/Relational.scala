@@ -13,6 +13,55 @@ import graft.util.Cols._
   */
 object Relational {
 
+  /** q54 — the join types the reference never writes but a replacement
+    * engine must surface (SURVEY §2.3 "missing" list): FULL OUTER
+    * between two aggregates with partly-disjoint key ranges (null
+    * sides survive on both ends), plus an existence flag over a
+    * distinct probe (the oracle-checkable spelling of semi-join
+    * semantics; `"left_semi"` itself is one join-type string away).
+    * One shuffle per aggregate + one on the join key. */
+  def joinMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val events = graft.Tables.load(spark, dir, "events")
+    val spend = orders.groupBy(col("o_custkey").as("id"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.util.Cols.dsum(col("o_totalprice")).as("spend"))
+    val activity = events.groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("n_events"))
+    val purchasers = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("id")).distinct()
+    spend.join(activity, Seq("id"), "full_outer")
+      .join(purchasers.withColumn("has_purchase", lit(1L)), Seq("id"),
+        "left")
+      .select(col("id"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0d)).as("spend"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("has_purchase"), lit(0L)).as("has_purchase"))
+      .orderBy(col("id"))
+  }
+
+  val joinMatrixSql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey AS id, CAST(count(*) AS BIGINT) AS n_orders,
+       |    ${graft.util.Cols.dsumSql("o_totalprice")} AS spend
+       |  FROM orders GROUP BY 1),
+       |activity AS (
+       |  SELECT user_id AS id, CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1),
+       |purchasers AS (
+       |  SELECT DISTINCT user_id AS id FROM events
+       |  WHERE event_type = 'purchase')
+       |SELECT COALESCE(s.id, a.id) AS id,
+       |  COALESCE(s.n_orders, 0) AS n_orders,
+       |  COALESCE(s.spend, 0.0) AS spend,
+       |  COALESCE(a.n_events, 0) AS n_events,
+       |  CAST(CASE WHEN p.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS has_purchase
+       |FROM spend s FULL OUTER JOIN activity a ON s.id = a.id
+       |LEFT JOIN purchasers p ON COALESCE(s.id, a.id) = p.id
+       |ORDER BY id""".stripMargin
+
   /** J6 + P10: left anti join — customers having no high-value order
     * (reference: scripts/data_generator.py:276-279 finds delivered
     * orders without a review via LEFT JOIN … IS NULL; Spark's

@@ -47,6 +47,17 @@ class PlansSpec extends SparkSuite {
       s"no pushed filters in:\n$p")
   }
 
+  test("q53 as-of join costs exactly one hash exchange on the key") {
+    val p = plan("q53_asof_snapshots")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(exchanges <= 2, // union sides may each show one pre-AQE
+      s"as-of join shuffles more than the union+window design:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not fall back to a range join")
+  }
+
   test("q37 exact knn broadcasts the query side, not the corpus") {
     val p = plan("q37_knn_brute_force")
     assert(p.contains("BroadcastNestedLoopJoin") ||
