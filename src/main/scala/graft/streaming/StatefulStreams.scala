@@ -50,6 +50,27 @@ object StatefulStreams {
     q.awaitTermination()
   }
 
+  /** Streaming exactly-once dedup — the streaming counterpart of the
+    * W1 batch dedup that resolves the bronze sink's at-least-once
+    * delivery (SURVEY T3): `withWatermark + dropDuplicates(keys)`
+    * keeps first-seen per key, holding state only until the watermark
+    * passes the event time (bounded state at 100 TB/day; the batch W1
+    * remains the backstop for later-than-watermark replays, exactly
+    * the reference's layered design). */
+  def dedupStream(spark: SparkSession, srcDir: String,
+                  ckptDir: String)(sink: DataFrame => Unit): Unit = {
+    val deduped = rawEvents(spark, srcDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (df: DataFrame, _: Long) => sink(df) }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Gap sessionization with custom state: one [[SessState]] per user,
     * carried across micro-batches (and across restarts, via the
     * checkpointed state store). Emits every session touched in the

@@ -42,6 +42,21 @@ class StatefulStreamsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming dropDuplicates removes at-least-once replays") {
+    val base = Files.createTempDirectory("dedupstream").toString
+    val raw = rawLongEvents().limit(400)
+    // the same events delivered twice (two files) = at-least-once replay
+    stage(raw, s"$base/src/a.parquet")
+    stage(raw, s"$base/src/b.parquet")
+    val rows = collection.mutable.ArrayBuffer.empty[Row]
+    StatefulStreams.dedupStream(spark, s"$base/src", s"$base/ckpt") {
+      df => rows ++= df.select("event_id").collect()
+    }
+    val ids = rows.map(_.getLong(0))
+    assert(ids.size == ids.distinct.size, "duplicates survived the stream")
+    assert(ids.distinct.size == 400)
+  }
+
   test("flatMapGroupsWithState sessionization equals batch, across restarts") {
     val base = Files.createTempDirectory("sessstream").toString
     val raw = rawLongEvents()
