@@ -27,7 +27,7 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     // ---- bronze (streaming; its own checkpoint under outDir)
     streaming.Bronze.ingest(spark,
-      stageEventsDir(sfDir), s"$outDir/bronze/events",
+      stageEventsDir(sfDir, outDir), s"$outDir/bronze/events",
       s"$outDir/_checkpoints/bronze_events")
 
     // ---- silver: compacted current state from the CDC log
@@ -58,13 +58,16 @@ object Pipeline {
   private def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
-  /** Stage the events file into a directory for the file-stream source. */
-  private def stageEventsDir(sfDir: String): String = {
+  /** Stage the events file for the file-stream source at a STABLE
+    * path under outDir: the checkpoint's seen-files log keys on the
+    * absolute path, so a fresh temp dir per run would re-ingest (and
+    * append-duplicate) the same file on every rerun. */
+  private def stageEventsDir(sfDir: String, outDir: String): String = {
     import java.nio.file.{Files, Paths}
-    val src = Files.createDirectories(
-      Paths.get(Files.createTempDirectory("pipeline").toString, "src"))
-    Files.createSymbolicLink(src.resolve("events.parquet"),
-      Paths.get(Tables.path(sfDir, "events")))
+    val src = Files.createDirectories(Paths.get(s"$outDir/_staging/events"))
+    val link = src.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(Tables.path(sfDir, "events")))
     src.toString
   }
 

@@ -173,16 +173,19 @@ object Cdc {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("t_us"), col("side"), coalesce(col("event_id"), lit(-1L)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry the WHOLE event as one struct through a single
+    // last(ignoreNulls): per-column lasts would stitch fields from
+    // different events whenever the latest event holds a null column
+    val ev = when(col("side") === 0,
+      struct(col("t_us").as("ts_us"), col("event_id"),
+        col("event_type"), col("value")))
     tagged
-      .withColumn("le_id", last(col("event_id"), ignoreNulls = true).over(w))
-      .withColumn("le_type", last(col("event_type"), ignoreNulls = true).over(w))
-      .withColumn("le_value", last(col("value"), ignoreNulls = true).over(w))
-      .withColumn("le_ts", last(when(col("side") === 0, col("t_us")),
-        ignoreNulls = true).over(w))
+      .withColumn("le", last(ev, ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("user_id"), col("t_us").as("snap_us"),
-        col("le_id").as("event_id"), col("le_type").as("event_type"),
-        col("le_value").as("value"), col("le_ts").as("ts_us"))
+        col("le.event_id").as("event_id"),
+        col("le.event_type").as("event_type"),
+        col("le.value").as("value"), col("le.ts_us").as("ts_us"))
       .orderBy(col("user_id"), col("snap_us"))
   }
 

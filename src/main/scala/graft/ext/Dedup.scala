@@ -27,8 +27,8 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Word tokens, shared with [[TextAnalysis]]. */
-  private def tokens(c: Column): Column = split(c, "\\s+")
+  /** Word tokens — single definition lives in [[TextAnalysis]]. */
+  private def tokens(c: Column): Column = TextAnalysis.tokens(c)
 
   /** Distinct word-3-gram shingles; empty array when under 3 tokens
     * (mirrors DuckDB `range(1, len-1)` which is empty there). */
@@ -57,8 +57,7 @@ object Dedup {
     // run on N rows, not 2N
     val fp = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
-        md5(lower(regexp_replace(col("text"), "\\s+", " ")))
-          .as("fingerprint"))
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     val copy = fp.withColumn("doc_id", col("doc_id") + lit(1000000L))
     fp.unionByName(copy)
       .groupBy(col("fingerprint"))
@@ -243,7 +242,8 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    val maxRounds = 50 // >> any real near-dup chain; convergence checked below
+    while (changed > 0 && rounds < maxRounds) {
       val msgs = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
       // fold the convergence flag into the same pass: one join per round
@@ -257,6 +257,9 @@ object Dedup {
       labels = next.drop("_chg")
       rounds += 1
     }
+    // fail loudly rather than return silently-wrong intermediate labels
+    require(changed == 0,
+      s"connected components did not converge in $maxRounds rounds")
     labels.orderBy(col("doc_id"))
   }
 
@@ -289,9 +292,7 @@ object Dedup {
     * DuckDB oracle's list_dot_product uses — and rounded to 4 dp. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs.vecDot
-    val v = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(vecDot(col("emb"), col("emb"))))
+    val v = Similarity.vectors(spark, dir)
     val pairs = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
     val dot = vecDot(col("a.emb"), col("b.emb"))
     pairs

@@ -40,8 +40,10 @@ object Similarity {
   private[ext] def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.vecDot(a, b)
 
-  /** Corpus with norm; emb cast once to double. */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus with norm; emb cast once to double (shared with
+    * [[Dedup.embeddingNearDup]] — one definition keeps the
+    * normalization bit-identical across every oracle). */
+  private[ext] def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
@@ -252,9 +254,13 @@ object Similarity {
     val Scale = 1099511627776.0 // 2^40
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+    // decimal(38,0), not long: a long sum wraps silently past ~2^23
+    // rows per group (terms reach 2^40); decimal matches DuckDB's
+    // BIGINT→HUGEINT sum promotion and both convert the same exact
+    // integer to double before the descale divisions
     e.groupBy(col("label"), col("pos"))
-      .agg((sum(floor(col("col") * Scale).cast("long")) / lit(Scale) /
-        count(lit(1))).as("centroid_val"))
+      .agg((sum(floor(col("col") * Scale).cast("decimal(38,0)")) /
+        lit(Scale) / count(lit(1))).as("centroid_val"))
       .orderBy(col("label"), col("pos"))
   }
 

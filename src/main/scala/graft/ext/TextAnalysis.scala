@@ -20,9 +20,15 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  /** Tokens by whitespace runs — the shared tokenizer. */
-  private def tokens(c: Column): Column = split(c, "\\s+")
+  /** Tokens by whitespace runs — the shared tokenizer (also used by
+    * [[Dedup]]; one definition keeps oracle parity in one place). */
+  private[ext] def tokens(c: Column): Column = split(c, "\\s+")
   private val tokensSql = "regexp_split_to_array(text, '\\s+')"
+
+  /** Whitespace-normalized lowercase md5 — the shared content
+    * fingerprint ([[docFingerprint]] and [[Dedup.exactDedup]]). */
+  private[ext] def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(c, "\\s+", " ")))
 
   // ---------------------------------------------------------------- q28
 
@@ -163,7 +169,7 @@ object TextAnalysis {
     val d = Tables.load(spark, dir, "documents")
     d.select(
       col("doc_id"),
-      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"),
+      fingerprint(col("text")).as("fingerprint"),
       length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -200,7 +206,7 @@ object TextAnalysis {
   }
 
   val bpeTokenStatsSql: String = {
-    val re = BpePattern.replace("\\", "\\").replace("'", "''")
+    val re = BpePattern.replace("'", "''")
     s"""WITH t AS (
        |  SELECT doc_id, regexp_extract_all(text, '$re') AS toks
        |  FROM documents)

@@ -21,10 +21,6 @@ import graft.Tables
   */
 object Sessions {
 
-  /** Epoch-hour of ts — identical integer arithmetic in both engines. */
-  private def hourBucket(c: org.apache.spark.sql.Column) =
-    (unix_micros(c) / lit(3600000000L)).cast("long")
-
   // ---------------------------------------------------------------- q44
 
   /** Tumbling 1-hour event-time windows per event_type, via the

@@ -59,9 +59,14 @@ object StatefulStreams {
     * the reference's layered design). */
   def dedupStream(spark: SparkSession, srcDir: String,
                   ckptDir: String)(sink: DataFrame => Unit): Unit = {
+    // dropDuplicatesWithinWatermark, NOT dropDuplicates(id): with the
+    // event-time column absent from the keys, plain dropDuplicates
+    // never evicts its state (unbounded growth) and silently drops
+    // rows older than the watermark; the WithinWatermark variant
+    // bounds state AND keeps late first-arrivals
     val deduped = rawEvents(spark, srcDir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
     val q = deduped.writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode(OutputMode.Append())
@@ -100,7 +105,10 @@ object StatefulStreams {
               out += SessOut(userId, st.sessionNo, st.n, st.startUs, st.endUs)
             st = SessState(st.sessionNo + 1, e.ts_us, e.ts_us, 1L)
           } else {
-            st = st.copy(endUs = e.ts_us, n = st.n + 1)
+            // max, not assignment: a cross-batch out-of-order event
+            // must not move the session end backward (a later event
+            // within the true gap would then wrongly open a session)
+            st = st.copy(endUs = math.max(st.endUs, e.ts_us), n = st.n + 1)
           }
         }
         // provisional emission of the (still open) current session

@@ -35,5 +35,12 @@ class PipelineSpec extends SparkSuite {
     val gold = spark.read.parquet(s"$out/gold/orders_enriched")
     assert(fact.join(gold, fact("l_orderkey") === gold("o_orderkey"),
       "left_anti").count() == 0, "fact rows reference missing orders")
+
+    // rerun idempotence: the checkpointed bronze ingest must not
+    // re-append, and every batch layer overwrites
+    val bronzeRows = spark.read.parquet(s"$out/bronze/events").count()
+    Pipeline.run(spark, sfDir, out)
+    assert(spark.read.parquet(s"$out/bronze/events").count() == bronzeRows,
+      "pipeline rerun duplicated bronze rows")
   }
 }
