@@ -85,7 +85,8 @@ object SparkEntry {
     "q51_label_centroids"    -> (ext.Similarity.labelCentroids _),
     "q52_char_quantiles"     -> (ext.TextAnalysis.charQuantiles _),
     "q53_asof_snapshots"     -> (cdc.Cdc.asofSnapshots _),
-    "q54_join_matrix"        -> (ops.Relational.joinMatrix _)
+    "q54_join_matrix"        -> (ops.Relational.joinMatrix _),
+    "q55_moving_revenue"     -> (ops.Analytics.movingRevenue _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,6 +148,7 @@ object SparkEntry {
     "q51_label_centroids"    -> ext.Similarity.labelCentroidsSql,
     "q52_char_quantiles"     -> ext.TextAnalysis.charQuantilesSql,
     "q53_asof_snapshots"     -> cdc.Cdc.asofSnapshotsSql,
-    "q54_join_matrix"        -> ops.Relational.joinMatrixSql
+    "q54_join_matrix"        -> ops.Relational.joinMatrixSql,
+    "q55_moving_revenue"     -> ops.Analytics.movingRevenueSql
   )
 }

@@ -59,6 +59,45 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q55
+
+  /** Analytic window surface the reference never uses (SURVEY §2.5:
+    * "no analytic lag/lead, no frames"): 7-row moving average over
+    * daily revenue plus day-over-day delta via lag. Frame sums run in
+    * exact decimal (order-independent), surfaced as double divisions
+    * of identical operands in both engines.
+    *
+    * Scale note: an unpartitioned orderBy window serializes onto one
+    * task — correct here (one row per day), and the pattern at 100 TB
+    * is to window WITHIN a partition key (month) carrying a 6-row
+    * overlap, or a range frame on a bucketed key. */
+  def movingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(Cols.dsum(col("o_totalprice")).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("order_date"))
+    val ma = w.rowsBetween(-6, 0)
+    daily.select(col("order_date"), col("revenue"),
+        (sum(col("revenue").cast("decimal(18,2)")).over(ma).cast("double") /
+          count(lit(1)).over(ma)).as("ma7"),
+        (col("revenue") - lag(col("revenue"), 1).over(w)).as("delta"))
+      .orderBy(col("order_date"))
+  }
+
+  val movingRevenueSql: String =
+    s"""WITH daily AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |    ${Cols.dsumSql("o_totalprice")} AS revenue
+       |  FROM orders GROUP BY 1)
+       |SELECT order_date, revenue,
+       |  CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER ma AS DOUBLE)
+       |    / count(*) OVER ma AS ma7,
+       |  revenue - lag(revenue, 1) OVER (ORDER BY order_date) AS delta
+       |FROM daily
+       |WINDOW ma AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING
+       |              AND CURRENT ROW)
+       |ORDER BY order_date""".stripMargin
+
   val pivotEventCountsSql: String = {
     val cells = EventTypes.map(t =>
       s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS \"$t\"")
