@@ -86,7 +86,8 @@ object SparkEntry {
     "q52_char_quantiles"     -> (ext.TextAnalysis.charQuantiles _),
     "q53_asof_snapshots"     -> (cdc.Cdc.asofSnapshots _),
     "q54_join_matrix"        -> (ops.Relational.joinMatrix _),
-    "q55_moving_revenue"     -> (ops.Analytics.movingRevenue _)
+    "q55_moving_revenue"     -> (ops.Analytics.movingRevenue _),
+    "q56_ivf_refined_assign" -> (ext.Similarity.ivfRefinedAssign _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,6 +150,7 @@ object SparkEntry {
     "q52_char_quantiles"     -> ext.TextAnalysis.charQuantilesSql,
     "q53_asof_snapshots"     -> cdc.Cdc.asofSnapshotsSql,
     "q54_join_matrix"        -> ops.Relational.joinMatrixSql,
-    "q55_moving_revenue"     -> ops.Analytics.movingRevenueSql
+    "q55_moving_revenue"     -> ops.Analytics.movingRevenueSql,
+    "q56_ivf_refined_assign" -> ext.Similarity.ivfRefinedAssignSql
   )
 }

@@ -237,6 +237,88 @@ object Similarity {
     topK(scored)
   }
 
+  // ---------------------------------------------------------------- q56
+
+  /** One Lloyd iteration over the IVF quantizer: assign to the
+    * deterministic seed centroids (q39), recompute each cell's
+    * centroid as the per-dimension mean of its members (the q51
+    * floor-scale integer discipline keeps the means bit-exact and
+    * partition-order independent), then re-assign against the refined
+    * centroids. This is the real k-means training step — iterate it
+    * and the quantizer converges; every step stays oracle-checkable
+    * because nothing depends on execution order.
+    *
+    * Scale: assignment is a broadcast argmin (one corpus scan);
+    * centroid refresh is one explode + (cell, pos)-keyed aggregate
+    * whose output is k×dim rows — negligible against the corpus. */
+  def ivfRefinedAssign(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1099511627776.0 // 2^40, as q51
+    val v = vectors(spark, dir).withColumn("n2", dot(col("emb"), col("emb")))
+    val cents0 = v.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell_id"), col("emb").as("cemb"),
+        col("n2").as("cn2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2"), col("cell_id"))
+    val assign0 = v.join(broadcast(cents0))
+      .withColumn("dist2",
+        col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"))
+    val refined = v.join(assign0, Seq("vec_id"))
+      .select(col("cell_id"), posexplode(col("emb")))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg((sum(floor(col("col") * Scale).cast("decimal(38,0)")) /
+        lit(Scale) / count(lit(1))).as("cv"))
+      .groupBy(col("cell_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("cemb"))
+      .withColumn("cn2", dot(col("cemb"), col("cemb")))
+    v.join(broadcast(refined))
+      .withColumn("dist2",
+        col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"), round(col("dist2"), 4).as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  val ivfRefinedAssignSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                     CAST(embedding AS DOUBLE[])) AS n2
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell_id, emb AS cemb, n2 AS cn2
+       |  FROM v WHERE vec_id < $IvfCells),
+       |a0 AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT v.vec_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY v.n2 + c.cn2 - 2.0 * list_dot_product(v.emb, c.cemb),
+       |                 c.cell_id) AS rn
+       |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
+       |comp AS (
+       |  SELECT a0.cell_id, t.i - 1 AS pos,
+       |    sum(CAST(floor(v.emb[t.i] * 1099511627776.0) AS BIGINT))
+       |      / 1099511627776.0 / count(*) AS cv
+       |  FROM v JOIN a0 ON v.vec_id = a0.vec_id,
+       |    LATERAL (SELECT unnest(range(1, len(v.emb) + 1)) AS i) t
+       |  GROUP BY a0.cell_id, t.i),
+       |c1 AS (
+       |  SELECT cell_id, list(cv ORDER BY pos) AS cemb,
+       |    list_dot_product(list(cv ORDER BY pos),
+       |                     list(cv ORDER BY pos)) AS cn2
+       |  FROM comp GROUP BY cell_id)
+       |SELECT vec_id, cell_id, round(dist2, 4) AS dist2 FROM (
+       |  SELECT v.vec_id, c.cell_id,
+       |    v.n2 + c.cn2 - 2.0 * list_dot_product(v.emb, c.cemb) AS dist2,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY v.n2 + c.cn2 - 2.0 * list_dot_product(v.emb, c.cemb),
+       |               c.cell_id) AS rn
+       |  FROM v CROSS JOIN c1 c) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q51
 
   /** Per-label centroid components (the class-prototype computation a

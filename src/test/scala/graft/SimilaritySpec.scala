@@ -37,6 +37,15 @@ class SimilaritySpec extends SparkSuite {
     assert(assigned.select("vec_id").distinct().count() == n)
   }
 
+  test("Lloyd refinement never increases total within-cell distance") {
+    def totalDist(df: org.apache.spark.sql.DataFrame) =
+      df.agg(org.apache.spark.sql.functions.sum("dist2")).head.getDouble(0)
+    val seed = totalDist(Similarity.ivfAssign(spark, sfDir))
+    val refined = totalDist(Similarity.ivfRefinedAssign(spark, sfDir))
+    assert(refined <= seed + 1e-6,
+      s"refinement worsened the quantizer: $seed -> $refined")
+  }
+
   test("ivfAssign broadcasts the centroids (no corpus shuffle join)") {
     val plan = Similarity.ivfAssign(spark, sfDir)
       .queryExecution.executedPlan.toString
