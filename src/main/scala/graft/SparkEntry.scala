@@ -87,7 +87,8 @@ object SparkEntry {
     "q53_asof_snapshots"     -> (cdc.Cdc.asofSnapshots _),
     "q54_join_matrix"        -> (ops.Relational.joinMatrix _),
     "q55_moving_revenue"     -> (ops.Analytics.movingRevenue _),
-    "q56_ivf_refined_assign" -> (ext.Similarity.ivfRefinedAssign _)
+    "q56_ivf_refined_assign" -> (ext.Similarity.ivfRefinedAssign _),
+    "q57_training_selection" -> (ext.Curation.trainingSelection _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,6 +152,7 @@ object SparkEntry {
     "q53_asof_snapshots"     -> cdc.Cdc.asofSnapshotsSql,
     "q54_join_matrix"        -> ops.Relational.joinMatrixSql,
     "q55_moving_revenue"     -> ops.Analytics.movingRevenueSql,
-    "q56_ivf_refined_assign" -> ext.Similarity.ivfRefinedAssignSql
+    "q56_ivf_refined_assign" -> ext.Similarity.ivfRefinedAssignSql,
+    "q57_training_selection" -> ext.Curation.trainingSelectionSql
   )
 }

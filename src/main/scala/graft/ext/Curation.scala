@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The capstone training-data query (q57): the corpus a curation
+  * pipeline actually ships. A document survives iff it is
+  *
+  *  1. its duplicate-cluster representative (min doc_id of its
+  *     connected component — q50),
+  *  2. not low-quality (q29's score band),
+  *  3. confidently language-identified (q30's marker heuristic),
+  *
+  * and comes out with its token budget (q28) attached. One query
+  * composes the four extension pillars; at 100 TB each input is a
+  * materialized table and this is three id-equi-joins over them —
+  * the joins all key on doc_id, so co-partitioning (bucketing by
+  * doc_id at write time) makes the composition exchange-free.
+  */
+object Curation {
+
+  def trainingSelection(spark: SparkSession, dir: String): DataFrame = {
+    val reps = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"), col("quality_band"))
+    val lang = TextAnalysis.langId(spark, dir)
+      .select(col("doc_id"), col("lang_pred"))
+    val tokens = TextAnalysis.tokenStats(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+    reps
+      .join(quality, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .join(tokens, Seq("doc_id"))
+      .filter(col("quality_band") =!= "low" && col("lang_pred") =!= "und")
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle composes the q50/q29/q30/q28 CTE bodies verbatim. */
+  val trainingSelectionSql: String = {
+    val stopList = Seq("the", "a", "of", "and", "is", "in", "to")
+      .map(s => s"'$s'").mkString(", ")
+    val toks = "regexp_split_to_array(text, '\\s+')"
+    val scoreCols = TextAnalysis.langProfiles.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter($toks, t -> t IN ($list))) AS BIGINT) AS s_$l"
+    }.mkString(",\n      ")
+    val gr = TextAnalysis.langProfiles.map { case (l, _) => s"s_$l" }
+      .mkString(", ")
+    val caseChain = TextAnalysis.langProfiles.map { case (l, _) =>
+      s"WHEN s_$l = g AND g > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len($toks) - 1),
+       |    i -> array_to_string($toks[i:i+2], ' ')))) AS s
+       |  FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |reps AS (
+       |  SELECT d.doc_id FROM documents d LEFT JOIN reach r
+       |    ON r.a = d.doc_id
+       |  GROUP BY d.doc_id
+       |  HAVING least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id),
+       |qf AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
+       |      AS sc,
+       |    CAST(len($toks) AS DOUBLE) AS nt,
+       |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+       |      AS pc,
+       |    CAST(length(text) AS DOUBLE) AS nc
+       |  FROM documents),
+       |quality AS (
+       |  SELECT doc_id,
+       |    round(0.5 * (sc / nt) + 0.3 * least(1.0, nt / 100.0)
+       |          + 0.2 * (1.0 - pc / nc), 6) AS quality_score
+       |  FROM qf),
+       |ls AS (
+       |  SELECT doc_id,
+       |      $scoreCols
+       |  FROM documents),
+       |lg AS (SELECT *, greatest($gr) AS g FROM ls),
+       |lang AS (
+       |  SELECT doc_id, CASE $caseChain ELSE 'und' END AS lang_pred
+       |  FROM lg),
+       |tok AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT r.doc_id, lang.lang_pred, quality.quality_score, tok.n_tokens
+       |FROM reps r
+       |JOIN quality ON quality.doc_id = r.doc_id
+       |JOIN lang ON lang.doc_id = r.doc_id
+       |JOIN tok ON tok.doc_id = r.doc_id
+       |WHERE quality.quality_score >= 0.35 AND lang.lang_pred <> 'und'
+       |ORDER BY r.doc_id""".stripMargin
+  }
+}
