@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -78,9 +77,6 @@ object Dedup {
 
   // ---------------------------------------------------------------- q33
 
-  /** Exact n-gram Jaccard near-dup pairs: docs sharing >= 3 distinct
-    * word-3-grams, with integer intersection/union counts (ints keep
-    * the oracle compare exact; jaccard = inter/union downstream). */
   /** The shared (doc_a, doc_b, inter_cnt >= 3) near-dup pair table —
     * the expensive intermediate behind BOTH q33 (pair reporting) and
     * q50 (cluster assignment). Cached + persisted per (session, dir):
@@ -116,6 +112,10 @@ object Dedup {
           .persist()
       })
 
+  /** q33 — exact n-gram Jaccard near-dup pairs: docs sharing >= 3
+    * distinct word-3-grams, with integer intersection/union counts
+    * (ints keep the oracle compare exact; jaccard = inter/union
+    * downstream). */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     // per-doc shingle count = array length (already distinct): no

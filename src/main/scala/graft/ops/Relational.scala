@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.util.Cols._
 
 /** Standalone relational operators from SURVEY §2 that aren't part of a
   * gold/warehouse pipeline: anti join (J6), top-k (O2), set operations

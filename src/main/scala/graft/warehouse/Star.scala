@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.util.Cols._
 
 /** Warehouse star schema — the Spark-native rebuild of the reference's
   * `load_warehouse.py`: xxhash64 surrogate keys (F14), literal-map dict
