@@ -88,7 +88,9 @@ object SparkEntry {
     "q54_join_matrix"        -> (ops.Relational.joinMatrix _),
     "q55_moving_revenue"     -> (ops.Analytics.movingRevenue _),
     "q56_ivf_refined_assign" -> (ext.Similarity.ivfRefinedAssign _),
-    "q57_training_selection" -> (ext.Curation.trainingSelection _)
+    "q57_training_selection" -> (ext.Curation.trainingSelection _),
+    // df-capped near-dup pair generation (the 100 TB-safe q33 sibling)
+    "q58_capped_pairs"       -> (ext.Dedup.cappedNearDupPairs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,12 +130,13 @@ object SparkEntry {
     "q31_doc_fingerprint" -> ext.TextAnalysis.docFingerprintSql,
     "q32_exact_dedup"     -> ext.Dedup.exactDedupSql,
     "q33_ngram_jaccard"   -> ext.Dedup.ngramJaccardPairsSql,
-    // q34_minhash_bands / q35_simhash: xxhash64 has no DuckDB analog —
-    // rows-only check + DedupSpec (SURVEY §7.4 xxhash64-in-oracle note)
+    // q34/q35/q38 sketches derive from md5 prefixes (HashBridge), so
+    // both engines compute bit-identical signatures → full oracles
+    "q34_minhash_bands"      -> ext.Dedup.minhashBandsSql,
+    "q35_simhash"            -> ext.Dedup.simhashSql,
     "q36_embedding_near_dup" -> ext.Dedup.embeddingNearDupSql,
     "q37_knn_brute_force" -> ext.Similarity.knnBruteForceSql,
-    // q38_knn_lsh: approximate by design (xxhash64 hyperplanes) —
-    // rows-only check + SimilaritySpec recall assertion vs q37
+    "q38_knn_lsh"    -> ext.Similarity.knnLshSql,
     "q39_ivf_assign" -> ext.Similarity.ivfAssignSql,
     "q40_knn_ivf"    -> ext.Similarity.knnIvfSql,
     "q41_asset_manifest" -> ext.Multimodal.assetManifestSql,
@@ -153,6 +156,7 @@ object SparkEntry {
     "q54_join_matrix"        -> ops.Relational.joinMatrixSql,
     "q55_moving_revenue"     -> ops.Analytics.movingRevenueSql,
     "q56_ivf_refined_assign" -> ext.Similarity.ivfRefinedAssignSql,
-    "q57_training_selection" -> ext.Curation.trainingSelectionSql
+    "q57_training_selection" -> ext.Curation.trainingSelectionSql,
+    "q58_capped_pairs"       -> ext.Dedup.cappedNearDupPairsSql
   )
 }

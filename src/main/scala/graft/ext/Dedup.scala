@@ -16,13 +16,25 @@ import graft.Tables
   *  - n-gram Jaccard: the exact quadratic path — shingle explode +
   *    equi-join on shingle. Correct but O(pairs); kept as the oracle
   *    baseline for the LSH path and for small/medium corpora.
+  *    [[cappedNearDupPairs]] is the production variant: a document-
+  *    frequency cutoff drops boilerplate shingles before the pair
+  *    expansion, bounding every group to O(DfCap²) pairs.
   *  - MinHash+LSH: the 100 TB path — constant-size signature per doc
   *    (k=16 mins), banded into 4 buckets; near-dup candidates meet in
   *    a bucket equi-join instead of an all-pairs comparison.
-  *  - SimHash: 64-bit sketch per doc via weighted bit-votes; hamming
+  *  - SimHash: 60-bit sketch per doc via weighted bit-votes; hamming
   *    ball lookup for near-dup (spec-verified).
-  *  - embedding cosine: brute-force pair filter here (exact); the ANN
-  *    path for scale lives in [[Similarity]].
+  *  - embedding cosine: exact all-pairs via balanced block
+  *    partitioning (equi-joins only, no nested-loop node); the
+  *    bounded-recall ANN paths for scale live in [[Similarity]].
+  *
+  * Sketch-hash discipline: every sketch (minhash, simhash, band
+  * hashes) derives from md5 prefixes, NOT xxhash64 — both engines
+  * implement RFC-1321 md5 bit-identically, so the DuckDB oracle
+  * reproduces each sketch exactly ([[HashBridge]]). xxhash64 remains
+  * only where the reference itself uses it (F14 surrogate keys,
+  * reference spark/load_warehouse.py:109) and in the q33/q50 shingle
+  * shuffle key (below).
   */
 object Dedup {
 
@@ -77,40 +89,70 @@ object Dedup {
 
   // ---------------------------------------------------------------- q33
 
-  /** The shared (doc_a, doc_b, inter_cnt >= 3) near-dup pair table —
-    * the expensive intermediate behind BOTH q33 (pair reporting) and
-    * q50 (cluster assignment). Cached + persisted per (session, dir):
-    * the shingle explode, groupBy exchange, and pair aggregation run
-    * once per session, exactly the materialize-shared-intermediate
-    * move a 100 TB pipeline makes (write the pair table, read it from
-    * every consumer). */
-  private val interCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  /** Per-(session, dir) cache of expensive shared intermediates — the
+    * materialize-once move a 100 TB pipeline makes (write the table,
+    * read it from every consumer), expressed in-session.
+    *
+    * Keying: (the session object itself, canonical path, dir mtime,
+    * kind). SparkSession uses identity equality, so sessions can never
+    * collide (unlike the raw identityHashCode int a previous revision
+    * keyed on); the canonical path unifies spellings of the same dir;
+    * the mtime invalidates the entry when the parquet under the dir is
+    * rewritten in-process. Entries of stopped sessions are pruned on
+    * every access, so long-lived processes don't accumulate stale
+    * DataFrames, leaked persisted blocks, or strong session refs.
+    */
+  private val interCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long, String), DataFrame]
 
+  private def cached(spark: SparkSession, dir: String, kind: String)
+                    (build: => DataFrame): DataFrame = {
+    interCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) interCache.remove(k)
+    }
+    val canon = new java.io.File(dir).getCanonicalPath
+    val mtime = new java.io.File(canon).lastModified
+    interCache.getOrElseUpdate((spark, canon, mtime, kind), build)
+  }
+
+  /** The exploded-and-grouped shingle table: (sh, sorted member docs)
+    * for every shingle shared by >1 doc. The expensive stage (shingle
+    * explode + one hash exchange) behind BOTH pair generators.
+    *
+    * The group/join key is xxhash64(shingle), not the shingle string:
+    * the exchange moves 8-byte keys instead of text. CONTRACT NOTE:
+    * this makes the "exact" Jaccard counts exact-up-to-hash-collision
+    * (odds even at 10^9 distinct shingles: ~1e-2 per corpus, and a
+    * collision only inflates one count by 1 / can add one spurious
+    * edge); the DuckDB oracle joins on the strings, so a collision
+    * would surface as a gate mismatch rather than pass silently. */
+  private def shingleGroups(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "shingleGroups") {
+      val d = Tables.load(spark, dir, "documents")
+      val sh = d.select(col("doc_id"),
+        explode(shingles(col("text"))).as("sh0"))
+        .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
+      sh.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .persist()
+    }
+
+  /** The shared (doc_a, doc_b, inter_cnt >= 3) near-dup pair table —
+    * the expensive intermediate behind q33 (pair reporting), q50
+    * (cluster assignment) and q57 (curation). Cached per (session,
+    * dir); pair generation via the custom combination Generator
+    * instead of a sort-merge self-join: one exchange, no intermediate
+    * nested-array allocation. */
   private[ext] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    interCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir), {
-        val d = Tables.load(spark, dir, "documents")
-        // join/shuffle on a 64-bit shingle hash, not the shingle
-        // string: the exchange moves 8-byte keys instead of text
-        // (collision odds even at 10^9 distinct shingles: ~1e-2 per
-        // corpus — and a collision only inflates one count by 1)
-        val sh = d.select(col("doc_id"),
-          explode(shingles(col("text"))).as("sh0"))
-          .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
-        // pair generation via one groupBy + the custom combination
-        // Generator instead of a sort-merge self-join: one exchange,
-        // no intermediate nested-array allocation
-        val grouped = sh.groupBy(col("sh"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) > 1)
-        grouped.select(
-            graft.functions.GeneratorExprs.pairCombinations(col("ds")))
-          .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
-          .agg(count(lit(1)).as("inter_cnt"))
-          .filter(col("inter_cnt") >= 3)
-          .persist()
-      })
+    cached(spark, dir, "pairs") {
+      shingleGroups(spark, dir).select(
+          graft.functions.GeneratorExprs.pairCombinations(col("ds")))
+        .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+        .agg(count(lit(1)).as("inter_cnt"))
+        .filter(col("inter_cnt") >= 3)
+        .persist()
+    }
 
   /** q33 — exact n-gram Jaccard near-dup pairs: docs sharing >= 3
     * distinct word-3-grams, with integer intersection/union counts
@@ -147,43 +189,115 @@ object Dedup {
        |JOIN n nb ON i.doc_b = nb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+
+  /** Document-frequency cutoff for [[cappedNearDupPairs]]: shingles
+    * shared by more than this many documents are boilerplate ("all
+    * rights reserved") and are dropped before pair expansion. */
+  val DfCap = 50
+
+  /** q58 — the production near-dup pair generator: identical to q33's
+    * expansion but shingles with document frequency > [[DfCap]] never
+    * reach [[graft.functions.PairCombinations]].
+    *
+    * This is THE fix for the hot-shingle M² blowup at 100 TB: an
+    * uncapped group of M documents emits M(M−1)/2 pairs from a single
+    * task (one boilerplate shingle shared by 10⁶ docs = 5·10¹¹ pairs
+    * = a guaranteed OOM); with the cutoff every group is bounded by
+    * DfCap(DfCap−1)/2 ≈ 1.2k pairs, so the expansion stage is
+    * embarrassingly parallel regardless of corpus skew. The
+    * information loss is principled: a shingle occurring in >DfCap
+    * docs carries ~zero signal about any PAIR being near-duplicates
+    * (standard df-cutoff, same idea as stopword removal in MinHash
+    * pipelines). ScaleSpec plants a hot shingle and proves the bound;
+    * q33 stays as the uncapped exact oracle baseline. */
+  def cappedNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    shingleGroups(spark, dir)
+      .filter(size(col("ds")) <= DfCap)
+      .select(graft.functions.GeneratorExprs.pairCombinations(col("ds")))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+      .filter(col("inter_cnt") >= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val cappedNearDupPairsSql: String =
+    s"""WITH s AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |f AS (SELECT sh FROM s GROUP BY sh
+       |      HAVING count(*) > 1 AND count(*) <= $DfCap),
+       |sf AS (SELECT s.doc_id, s.sh FROM s JOIN f USING (sh))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS inter_cnt
+       |FROM sf a JOIN sf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- q34
 
   val MinhashK = 16  // hash functions per signature
   val MinhashBands = 4 // → 4 rows per band
 
-  /** MinHash signatures banded for LSH: per doc, k=16 min-hashes
-    * (xxhash64 seeded by function index), packed into 4 band hashes.
-    * Near-dup candidates = docs sharing (band, band_hash).
+  /** MinHash signatures banded for LSH: per doc, k=16 min-hashes,
+    * packed into 4 band hashes. Near-dup candidates = docs sharing
+    * (band, band_hash).
     *
-    * No DuckDB oracle (xxhash64 has no DuckDB analog) — verified by
-    * DedupSpec: planted 90%-overlap docs collide in >=1 band, the LSH
-    * candidate set is a superset of the high-Jaccard pairs. */
+    * Hash family: Kirsch–Mitzenmacher double hashing h_i = h1 + i·h2
+    * over two independent 32-bit values cut from ONE md5 per shingle —
+    * so the k=16 functions cost one digest, and the whole signature is
+    * bit-reproducible in the DuckDB oracle ([[HashBridge]]). The
+    * groupBy shuffles only (doc_id, 16 longs) partial states —
+    * map-side combined; band packing is md5 over the 4 decimal-encoded
+    * mins (identical string encoding in both engines). */
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    import HashBridge.{md5Bits32, md5Bits60}
     val d = Tables.load(spark, dir, "documents")
-    // hash the variable-length shingle string ONCE; the k hash
-    // functions mix the resulting 8-byte value — 16× less string
-    // hashing per shingle row. Explode + codegen'd hash aggregate
-    // beats the shuffle-free array_min(transform(...)) alternative
-    // here because higher-order-function lambdas run interpreted
-    // (measured 3.0s vs 5.4s at sf0.1); the groupBy shuffles only
-    // (doc_id, 16 longs) partial states — map-side combined.
     val exploded = d
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh0"))
-      .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
+      .withColumn("m", md5(col("sh0")))
+      .select(col("doc_id"),
+        md5Bits32(col("m"), 1).as("h1"), md5Bits32(col("m"), 9).as("h2"))
     val minAggs = (0 until MinhashK).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"g$i"))
     val sig = exploded.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
     val rowsPerBand = MinhashK / MinhashBands
     val bandHashes = (0 until MinhashBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      xxhash64(cols: _*)
+      val cols = (0 until rowsPerBand).map(r => col(s"g${b * rowsPerBand + r}"))
+      md5Bits60(md5(concat_ws(":", cols: _*)))
     }
     sig.select(col("doc_id"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
       .orderBy(col("doc_id"), col("band"))
+  }
+
+  val minhashBandsSql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"min(h1 + $i * h2) AS g$i").mkString(",\n    ")
+    val rowsPerBand = MinhashK / MinhashBands
+    val bandCases = (0 until MinhashBands).map { b =>
+      val concat = (0 until rowsPerBand)
+        .map(r => s"CAST(g${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"WHEN $b THEN ${HashBridge.md5Bits60Sql(s"md5($concat)")}"
+    }.mkString("\n      ")
+    s"""WITH s AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${HashBridge.md5Bits32Sql("md5(sh)", 1)} AS h1,
+       |    ${HashBridge.md5Bits32Sql("md5(sh)", 9)} AS h2
+       |  FROM s),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST(b.band AS INT) AS band,
+       |  CASE b.band
+       |      $bandCases
+       |  END AS band_hash
+       |FROM sig CROSS JOIN (SELECT unnest(range($MinhashBands)) AS band) b
+       |ORDER BY doc_id, band""".stripMargin
   }
 
   /** LSH candidate pairs: equi-join on (band, band_hash) — the scale
@@ -198,26 +312,52 @@ object Dedup {
 
   // ---------------------------------------------------------------- q35
 
-  /** 64-bit SimHash per doc: tokens weighted by in-doc frequency vote
-    * on each bit of xxhash64(token); bit set where the vote is
-    * positive. Near-dup = small hamming distance (DedupSpec). */
+  val SimhashBits = 60 // md5-prefix hash width (HashBridge)
+
+  /** 60-bit SimHash per doc: tokens weighted by in-doc frequency vote
+    * on each bit of the token's md5-derived hash; bit set where the
+    * vote is positive. Near-dup = small hamming distance (ExtSpec).
+    * Fully oracle-checked: the per-token hash, the 60 bit-votes, and
+    * the final integer are identical arithmetic in both engines. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import HashBridge.md5Bits60
     val d = Tables.load(spark, dir, "documents")
     val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map { b =>
+      .withColumn("h", md5Bits60(md5(col("tok"))))
+    val bitVotes = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
         .otherwise(-col("cnt"))).as(s"v$b")
     }
     val votes = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sim = (0 until 64).map { b =>
+    val sim = (0 until SimhashBits).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     votes.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
   }
 
-  /** Hamming distance between two 64-bit sketches. */
+  val simhashSql: String = {
+    val votes = (0 until SimhashBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS v$b")
+      .mkString(",\n    ")
+    val bits = (0 until SimhashBits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt,
+       |    ${HashBridge.md5Bits60Sql("md5(tok)")} AS h
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |        FROM documents)
+       |  GROUP BY doc_id, tok),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM t GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  /** Hamming distance between two sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   // ---------------------------------------------------------------- q50
@@ -234,38 +374,45 @@ object Dedup {
     * shuffle join + aggregate — the standard large-scale connected-
     * components shape. The DuckDB oracle computes the same components
     * via a recursive reachability closure.
-    */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
-    val pairs = nearDupPairs(spark, dir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val edges = pairs
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = d.select(col("doc_id"))
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    val maxRounds = 50 // >> any real near-dup chain; convergence checked below
-    while (changed > 0 && rounds < maxRounds) {
-      val msgs = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      // fold the convergence flag into the same pass: one join per round
-      val next = labels.join(msgs, labels("doc_id") === msgs("src"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"),
-            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-          (col("nbr_min") < col("cluster_id")).cast("long").as("_chg"))
-        .localCheckpoint()
-      changed = next.agg(coalesce(sum(col("_chg")), lit(0L))).head.getLong(0)
-      labels = next.drop("_chg")
-      rounds += 1
+    *
+    * The converged labels are cached per (session, dir) like the pair
+    * table, so downstream consumers (q57) pay a join, not a re-run of
+    * the iteration. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    convergedLabels(spark, dir).orderBy(col("doc_id"))
+
+  private def convergedLabels(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "labels") {
+      val d = Tables.load(spark, dir, "documents")
+      val pairs = nearDupPairs(spark, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val edges = pairs
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+        .toDF("src", "dst").localCheckpoint()
+      var labels = d.select(col("doc_id"))
+        .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      val maxRounds = 50 // >> any real near-dup chain; convergence checked below
+      while (changed > 0 && rounds < maxRounds) {
+        val msgs = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+        // fold the convergence flag into the same pass: one join per round
+        val next = labels.join(msgs, labels("doc_id") === msgs("src"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"),
+              coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+            (col("nbr_min") < col("cluster_id")).cast("long").as("_chg"))
+          .localCheckpoint()
+        changed = next.agg(coalesce(sum(col("_chg")), lit(0L))).head.getLong(0)
+        labels = next.drop("_chg")
+        rounds += 1
+      }
+      // fail loudly rather than return silently-wrong intermediate labels
+      require(changed == 0,
+        s"connected components did not converge in $maxRounds rounds")
+      labels
     }
-    // fail loudly rather than return silently-wrong intermediate labels
-    require(changed == 0,
-      s"connected components did not converge in $maxRounds rounds")
-    labels.orderBy(col("doc_id"))
-  }
 
   val dedupClustersSql: String =
     s"""WITH RECURSIVE s AS (
@@ -290,17 +437,75 @@ object Dedup {
 
   // ---------------------------------------------------------------- q36
 
-  /** Embedding near-dup: all pairs with cosine >= 0.40, exact
-    * brute-force (the ANN path for 100 TB is Similarity.knnLsh).
-    * Cosine computed as a sequential double fold — the same order the
-    * DuckDB oracle's list_dot_product uses — and rounded to 4 dp. */
+  /** Block count for the balanced all-pairs partitioning (must be
+    * even). Per-task memory is bounded by one block (N/B vectors);
+    * shuffle replication of the corpus is ×(B/2+1). */
+  val NearDupBlocks = 16
+
+  /** Embedding near-dup: ALL pairs with cosine >= 0.40, exact.
+    *
+    * Plan shape: balanced ring block-partitioning instead of the
+    * non-equi self-join (which plans as BroadcastNestedLoopJoin —
+    * a single-driver-broadcast O(N²) loop). Each vector lands in
+    * block b = vec_id mod B and is streamed to B/2+1 target blocks
+    * chosen so every unordered block pair {j,k} is covered EXACTLY
+    * once with even load (ring scheme: j covers j..j+B/2−1 mod B, and
+    * j+B/2 only from the lower half). The pair compare is then one
+    * shuffle equi-join on the target block id: B(B+1)/2-ish reducer
+    * tasks, each holding one block's vectors (N/B) — per-task memory
+    * bounded, no nested-loop node, horizontally parallel.
+    *
+    * Why not a sub-quadratic prefilter? Measured on this corpus the
+    * qualifying pairs are a continuum down to cos 0.4000098 (no
+    * separated "planted dup" mass; p99 of the pair-cosine
+    * distribution is 0.29): hyperplane LSH at p_bit=0.631 would need
+    * ≥56 OR-ed 4-bit tables for completeness (more candidates than
+    * brute force), and IVF cell-join with 3-of-8 probes covers only
+    * 79% of qualifying pairs. Exact near-dup at a threshold this deep
+    * into the bulk is inherently Ω(N²) compare; this operator makes
+    * the N² distributed and memory-safe, and the bounded-recall
+    * sub-quadratic paths are [[Similarity.knnLsh]]/[[Similarity.knnIvf]].
+    *
+    * Cosine is a sequential double fold ([[graft.functions.VecDot]]) —
+    * the same order DuckDB's list_dot_product uses — rounded to 4 dp;
+    * dot/norm products are orientation-independent bit-exactly, so
+    * block orientation never perturbs the oracle compare. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs.vecDot
+    val b = NearDupBlocks
+    require(b % 2 == 0, "NearDupBlocks must be even")
     val v = Similarity.vectors(spark, dir)
-    val pairs = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-    val dot = vecDot(col("a.emb"), col("b.emb"))
-    pairs
-      .withColumn("cos", dot / (col("a.nrm") * col("b.nrm")))
+      .withColumn("blk", pmod(col("vec_id"), lit(b)).cast("int"))
+    val ringTargets = concat(
+      transform(sequence(lit(0), lit(b / 2 - 1)),
+        d => pmod(col("blk") + d, lit(b))),
+      when(col("blk") < b / 2, array(col("blk") + lit(b / 2)))
+        .otherwise(array().cast("array<int>")))
+    val lhs = v.select(col("vec_id").as("ida"), col("emb").as("ea"),
+      col("nrm").as("na"), col("blk").as("ba"),
+      explode(ringTargets).as("tb"))
+    val rhs = v.select(col("vec_id").as("idb"), col("emb").as("eb"),
+      col("nrm").as("nb"), col("blk").as("tb"))
+    lhs.join(rhs, Seq("tb"))
+      .filter(col("ba") =!= col("tb") || col("ida") < col("idb"))
+      .withColumn("cos", vecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.40)
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The naive non-equi spelling (BroadcastNestedLoopJoin) — kept ONLY
+    * as the reference implementation ExtSpec compares the block-
+    * partitioned plan against; never gated, never run at scale. */
+  private[graft] def embeddingNearDupBrute(spark: SparkSession,
+                                           dir: String): DataFrame = {
+    import graft.functions.VectorExprs.vecDot
+    val v = Similarity.vectors(spark, dir)
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        vecDot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= 0.40)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 4).as("cos_sim"))

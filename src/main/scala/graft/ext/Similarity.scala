@@ -95,30 +95,45 @@ object Similarity {
 
   // Tuned for the test corpus where even true top-5 neighbors sit at
   // cosine ≈ 0.3 (θ≈72°, per-bit collision p≈0.6): 4-bit codes give
-  // p⁴≈0.13 per table and 8 OR-ed tables lift recall@5 to ≈0.65.
-  // Denser corpora (real embeddings cluster far tighter) would take
-  // more bits per table for selectivity; both are constants a caller
-  // would tune per corpus.
+  // p⁴≈0.13 per table and 8 OR-ed tables lift recall@5 well past the
+  // 0.6 spec bar. Denser corpora (real embeddings cluster far
+  // tighter) would take more bits per table for selectivity; both are
+  // constants a caller would tune per corpus.
   val LshTables = 8
   val LshBits = 4
 
   /** Deterministic pseudo-random hyperplanes: component (p, d) =
-    * xxhash64(p, d) scaled to [-1, 1]. Evaluated ONCE through Spark's
-    * own xxhash64 (a 2048-value driver round-trip), then embedded as
-    * literal arrays — so every per-row projection is a codegen'd
-    * [[graft.functions.VecDot]] against a constant instead of an
-    * interpreted per-row plane construction. */
-  private def planes(spark: SparkSession, dim: Int): IndexedSeq[Array[Double]] = {
-    import spark.implicits._
-    val flat = (0 until LshTables * LshBits)
-      .flatMap(p => (0 until dim).map(d => (p, d))).toDF("p", "d")
-      .select(col("p"), col("d"),
-        (xxhash64(col("p"), col("d")).cast("double") /
-          lit(9.223372036854776e18)).as("v"))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    (0 until LshTables * LshBits).map(p =>
-      Array.tabulate(dim)(d => flat((p, d))))
+    * md5("p:d") top-60-bits scaled to [−1, 1) — the [[HashBridge]]
+    * discipline, so the DuckDB oracle regenerates the IDENTICAL
+    * doubles and q38 is fully hash-checked despite being an LSH
+    * structure. Computed driver-side in plain Scala (java's
+    * MessageDigest is the same RFC-1321 md5) and embedded as literal
+    * arrays, so every per-row projection is a codegen'd
+    * [[graft.functions.VecDot]] against a constant — no Spark
+    * round-trip, no interpreted per-row plane construction. */
+  private[ext] def planeComponent(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
+      576460752303423488.0d - 1.0d // 2^59: exact power-of-two descale
   }
+
+  private def planes(dim: Int): IndexedSeq[Array[Double]] =
+    (0 until LshTables * LshBits).map(p =>
+      Array.tabulate(dim)(d => planeComponent(p, d)))
+
+  /** DuckDB spelling of [[planeComponent]], as a (p, plane) CTE body
+    * parameterized on the corpus CTE name (reads the dim from it). */
+  private def planesSql(vCte: String): String =
+    s"""SELECT p.p AS p,
+       |    list(CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':' ||
+       |                  CAST(d.d AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+       |         / 576460752303423488.0 - 1.0 ORDER BY d.d) AS plane
+       |  FROM (SELECT unnest(range(${LshTables * LshBits})) AS p) p
+       |  CROSS JOIN (SELECT unnest(range(
+       |    (SELECT min(len(emb)) FROM $vCte))) AS d) d
+       |  GROUP BY p.p""".stripMargin
 
   /** Per-table signed-projection bucket code (LshBits sign bits). */
   private def bucketCode(t: Int, emb: Column,
@@ -128,15 +143,17 @@ object Similarity {
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** LSH ANN: candidates share a bucket in ≥1 of the 4 tables (OR of
-    * 8-bit AND-codes), reranked by exact cosine. Rows-only in the
-    * oracle gate (approximate by design); SimilaritySpec asserts
-    * recall@5 against q37. */
+  /** LSH ANN: candidates share a bucket in ≥1 of the [[LshTables]]
+    * tables (OR of [[LshBits]]-bit AND-codes), reranked by exact
+    * cosine. Fully oracle-checked: md5-derived planes make the bucket
+    * codes — and therefore the candidate set and the top-k —
+    * deterministic across engines; SimilaritySpec additionally
+    * asserts recall@5 against the exact q37. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val dim = Tables.load(spark, dir, "embeddings")
       .select(size(col("embedding"))).head.getInt(0)
-    val pl = planes(spark, dim)
+    val pl = planes(dim)
     // bucket rows carry only (vec_id, tbl, code) — the 64-double
     // embeddings never enter the candidate join/shuffle; they come
     // back via two id-equi-joins for the exact rerank
@@ -160,6 +177,38 @@ object Similarity {
         (dot(col("qe"), col("ve")) / (col("qn") * col("vn"))).as("cos"))
     topK(scored)
   }
+
+  val knnLshSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |pl AS (
+       |  ${planesSql("v")}),
+       |codes AS (
+       |  SELECT v.vec_id, CAST(pl.p // $LshBits AS INT) AS tbl,
+       |    sum(CASE WHEN list_dot_product(v.emb, pl.plane) >= 0
+       |        THEN (1 << (pl.p % $LshBits)) ELSE 0 END) AS code
+       |  FROM v CROSS JOIN pl
+       |  GROUP BY v.vec_id, pl.p // $LshBits),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM codes q JOIN codes c
+       |    ON q.tbl = c.tbl AND q.code = c.code AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_dot_product(qv.emb, nv.emb) / (qv.nrm * nv.nrm) AS cos
+       |  FROM cand
+       |  JOIN v qv ON qv.vec_id = cand.query_id
+       |  JOIN v nv ON nv.vec_id = cand.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |  round(cos, 4) AS cos_sim
+       |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q39
 
