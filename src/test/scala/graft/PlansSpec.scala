@@ -58,6 +58,13 @@ class PlansSpec extends SparkSuite {
       "as-of must not fall back to a range join")
   }
 
+  test("q36 exact near-dup runs as equi-joins — no nested-loop node") {
+    val p = plan("q36_embedding_near_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q36 fell back to an all-pairs loop join:\n$p")
+  }
+
   test("q37 exact knn broadcasts the query side, not the corpus") {
     val p = plan("q37_knn_brute_force")
     assert(p.contains("BroadcastNestedLoopJoin") ||

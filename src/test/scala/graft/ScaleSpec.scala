@@ -4,8 +4,79 @@ import org.apache.spark.sql.functions._
 import graft.ops.Scale
 
 /** The scale utilities must be result-identical to the plain operators
-  * they replace, and bucketed tables must join without an exchange. */
+  * they replace, bucketed tables must join without an exchange, the
+  * df-cap must bound hot-shingle pair expansion, and AQE's skew-join
+  * split must demonstrably engage on a planted hot key. */
 class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("df-capped pair generation bounds a planted hot shingle") {
+    // 60 docs share one boilerplate 5-token run → 3 shingles with
+    // document frequency 60 > DfCap=50; every pair of them co-occurs
+    // in exactly those 3 shingles → the UNCAPPED expansion emits
+    // C(60,2)=1770 boilerplate pairs from those groups. Two more docs
+    // share 3 RARE shingles (df=2) → one genuine near-dup pair.
+    val hot = (1 to 60).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon u${i}a u${i}b u${i}c"))
+    val rare = Seq(
+      (101L, "red orange yellow green blue q1"),
+      (102L, "red orange yellow green blue q2"))
+    val tmp = java.nio.file.Files.createTempDirectory("hotshingle").toString
+    (hot ++ rare).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val capped = graft.ext.Dedup.cappedNearDupPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((101L, 102L)),
+      s"df-cap must keep only the rare-shingle pair, got: $capped")
+
+    // the uncapped exact baseline really would emit the M² blowup —
+    // this is the behavior the cap exists to bound
+    val uncapped = graft.ext.Dedup.ngramJaccardPairs(spark, tmp).count()
+    assert(uncapped == 60L * 59 / 2 + 1,
+      s"expected 1771 uncapped pairs, got $uncapped")
+  }
+
+  test("AQE splits the planted hot key; salted join matches its result") {
+    // 80% of the big side lands on key 0 → one reducer partition ~5 MB
+    // vs tiny siblings. With the skew threshold lowered to test scale,
+    // AQE must re-plan the sort-merge join with skew=true — the
+    // no-code-change first answer to skew the 100 TB posture relies
+    // on. The manual salted path must agree exactly; its niche is
+    // aggregation-key skew and single keys beyond AQE's split
+    // granularity (ops/Scale.scala scaladoc).
+    val big = spark.range(0, 500000)
+      .select(when(col("id") % 5 =!= 0, lit(0L)).otherwise(col("id") % 1000)
+        .as("k"), col("id").as("v"))
+    val small = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 2).as("attr"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+    try {
+      val joined = big.join(small, Seq("k"))
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      // collect() (not count()) so THIS Dataset's adaptive plan is the
+      // one executed — count() compiles a separate aggregate query and
+      // the inspected plan would never finalize
+      val (nAqe, tAqe) = timed(joined.collect().length.toLong)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+      val (nSalted, tSalted) = timed(
+        Scale.saltedJoin(big, small, "k", 8).count())
+      assert(nAqe == 500000L && nSalted == nAqe)
+      info(f"planted-skew join: AQE split $tAqe%.2fs vs salted $tSalted%.2fs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
 
   test("salted join equals plain inner join") {
     val events = Tables.load(spark, sfDir, "events")

@@ -45,6 +45,42 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$base/sink").count() == events.count())
   }
 
+  test("T4: concurrent per-topic streams with independent checkpoints") {
+    // the reference runs 8 StreamingQueries in one session, one per
+    // CDC topic, each with its own sink + checkpoint
+    // (streaming_bronze.py:130-144); reproduce with 3 staged topics
+    // driven concurrently, then prove checkpoint independence by
+    // restarting ONE topic and observing no re-ingest anywhere.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    val base = Files.createTempDirectory("multistream").toString
+    val events = Tables.load(spark, sfDir, "events")
+    val topics = Seq(0, 1, 2)
+    topics.foreach { t =>
+      writeOneFile(events.filter(col("event_id") % 3 === t),
+        s"$base/src$t/a.parquet")
+    }
+    val runs = topics.map { t =>
+      Future(Bronze.ingest(spark, s"$base/src$t",
+        s"$base/sink$t", s"$base/ckpt$t"))
+    }
+    Await.result(Future.sequence(runs), 120.seconds)
+    val counts = topics.map(t =>
+      t -> spark.read.parquet(s"$base/sink$t").count()).toMap
+    assert(counts.values.sum == events.count())
+    assert(counts.values.forall(_ > 0))
+
+    // restart topic 1 only: its checkpoint already covers the file —
+    // nothing new lands there, and the sibling sinks are untouched
+    Bronze.ingest(spark, s"$base/src1", s"$base/sink1", s"$base/ckpt1")
+    topics.foreach { t =>
+      assert(spark.read.parquet(s"$base/sink$t").count() == counts(t),
+        s"topic $t re-ingested after a sibling restart")
+    }
+  }
+
   test("raw json payload round-trips through from_json (silver contract)") {
     val base = Files.createTempDirectory("bronzespec2").toString
     val src = s"$base/src"
