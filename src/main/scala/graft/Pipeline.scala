@@ -30,10 +30,18 @@ object Pipeline {
       stageEventsDir(sfDir, outDir), s"$outDir/bronze/events",
       s"$outDir/_checkpoints/bronze_events")
 
-    // ---- silver: compacted current state from the CDC log
-    write(cdc.Cdc.silverCompaction(spark, sfDir), s"$outDir/silver/events_state")
+    // ---- silver: compacted current state, read FROM THE BRONZE SINK
+    // (the reference's layer chaining: batch_silver.py reads the
+    // bronze Delta written by streaming_bronze.py)
+    write(cdc.Cdc.silverFromBronze(spark, s"$outDir/bronze/events"),
+      s"$outDir/silver/events_state")
 
-    // ---- gold: the reference's four business tables
+    // ---- gold: the reference's four business tables. These source
+    // the typed lake tables directly BY DESIGN: the reference's
+    // silver zone is "cleaned, typed copies of the 8 OLTP tables"
+    // (batch_silver.py), and the driver's TPC-H-ish substrate IS that
+    // zone already — only the events CDC log has a raw form, and its
+    // bronze→silver lineage is exercised above.
     write(gold.Enrich.ordersEnriched(spark, sfDir), s"$outDir/gold/orders_enriched")
     write(gold.Summaries.dailySalesSummary(spark, sfDir), s"$outDir/gold/daily_sales_summary")
     write(gold.Summaries.customerSegments(spark, sfDir), s"$outDir/gold/customer_segments")

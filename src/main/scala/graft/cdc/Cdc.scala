@@ -104,13 +104,12 @@ object Cdc {
     """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
-  /** F1 + F2 + W1 + T6: the full Silver compaction — parse the JSON
-    * payload as Map(String,String) exactly like the reference parses
-    * Debezium envelopes (spark/batch_silver.py:60-104), keep the latest
-    * row per key, drop soft-deleted rows ('error' plays op='d'), type
-    * the extracted column. */
-  def silverCompaction(spark: SparkSession, dir: String): DataFrame = {
-    val parsed = Tables.load(spark, dir, "events")
+  /** The compaction core shared by the direct-log and bronze-sourced
+    * silver builders: parse the JSON payload, keep the latest row per
+    * key, drop soft-deleted rows, type the extracted column. Input
+    * needs columns (user_id, event_type, value, event_id, ts, props). */
+  private def compactState(events: DataFrame): DataFrame = {
+    val parsed = events
       .withColumn("_payload",
         from_json(col("props"), MapType(StringType, StringType)))
       .withColumn("k_value", col("_payload").getItem("k").cast("int"))
@@ -120,6 +119,32 @@ object Cdc {
       .select(col("user_id"), col("event_type"), col("k_value"),
         col("value"), epochUs(col("ts")).as("ts_us"))
       .orderBy(col("user_id"))
+  }
+
+  /** F1 + F2 + W1 + T6: the full Silver compaction — parse the JSON
+    * payload as Map(String,String) exactly like the reference parses
+    * Debezium envelopes (spark/batch_silver.py:60-104), keep the latest
+    * row per key, drop soft-deleted rows ('error' plays op='d'), type
+    * the extracted column. */
+  def silverCompaction(spark: SparkSession, dir: String): DataFrame =
+    compactState(Tables.load(spark, dir, "events"))
+
+  /** The same compaction fed from a BRONZE SINK instead of the raw
+    * log — the layer-to-layer lineage the reference chains
+    * (streaming_bronze → batch_silver reads the bronze Delta,
+    * spark/batch_silver.py:33-44). The CDC columns are reconstructed
+    * from the envelope: typed columns passed through the projection,
+    * `ts` from `_event_ts`, and the original `props` JSON recovered
+    * out of `_raw_value`. PipelineSpec proves the result is identical
+    * to compacting the raw log directly (stream→bronze→silver ≡
+    * batch). */
+  def silverFromBronze(spark: SparkSession, bronzeDir: String): DataFrame = {
+    val bronze = spark.read.parquet(bronzeDir)
+    compactState(bronze.select(
+      col("user_id"), col("event_type"), col("value"), col("event_id"),
+      col("_event_ts").as("ts"),
+      from_json(col("_raw_value"), MapType(StringType, StringType))
+        .getItem("props").as("props")))
   }
 
   val silverCompactionSql: String =

@@ -30,6 +30,14 @@ class PipelineSpec extends SparkSuite {
       .listFiles().filter(_.getName.startsWith("month_key="))
     assert(monthDirs.length > 1, "fact not partitioned monthly")
 
+    // lineage: the bronze-sourced silver state must equal compacting
+    // the raw log directly (stream→bronze→silver ≡ batch path)
+    val viaBronze = spark.read.parquet(s"$out/silver/events_state")
+    val direct = cdc.Cdc.silverCompaction(spark, sfDir)
+    assert(viaBronze.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaBronze).isEmpty,
+      "bronze-sourced silver diverges from direct compaction")
+
     // referential sanity: every fact row's order exists in gold
     val fact = spark.read.parquet(s"$out/warehouse/fact_order_lines")
     val gold = spark.read.parquet(s"$out/gold/orders_enriched")

@@ -33,6 +33,16 @@ class VectorExprsSpec extends SparkSuite {
     assert(rows(2).getDouble(0) == 0.0)
   }
 
+  test("vec_dot raises on ragged arrays instead of truncating") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)))
+      .toDF("a", "b")
+      .select(VectorExprs.vecDot(col("a"), col("b")).as("d"))
+    val e = intercept[Exception] { df.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("length mismatch")), e.toString)
+  }
+
   test("vec_dot is callable from SQL after registration") {
     VectorExprs.register(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
