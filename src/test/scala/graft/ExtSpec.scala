@@ -85,6 +85,30 @@ class ExtSpec extends SparkSuite {
     assert(cl(4L) == 4L, s"isolated doc joined a cluster: $cl")
   }
 
+  test("native shingles expression equals the declarative HOF spelling") {
+    // bit parity over the real corpus INCLUDING edge shapes: short
+    // texts, repeated shingles, leading/trailing/multi whitespace
+    val corpus = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val edge = Seq(501L -> "a b", 502L -> "x y z", 503L -> "  p q r  ",
+      504L -> "t t t t t", 505L -> "").toDF("doc_id", "text")
+    val df = corpus.unionByName(edge).select(
+      col("doc_id"),
+      graft.functions.TextExprs.shingles(col("text"), 3).as("fast"),
+      Dedup.shinglesDeclarative(col("text")).as("ref"))
+    assert(df.filter(not(col("fast") <=> col("ref"))).count() == 0)
+  }
+
+  test("driver union-find CC equals the distributed label propagation") {
+    // the adaptive size switch must be invisible in the result: force
+    // both paths over the same pair table and compare labels exactly
+    val (viaDriver, viaLoop) = Dedup.ccBothPaths(spark, sfDir)
+    val a = viaDriver.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = viaLoop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty && a == b)
+    // and at least one real multi-doc cluster exists in the testdata
+    assert(a.exists { case (d, c) => d != c })
+  }
+
   test("block-partitioned near-dup equals the naive all-pairs join") {
     // the ring partitioning must cover every unordered pair exactly
     // once — compare against the BroadcastNestedLoopJoin reference
