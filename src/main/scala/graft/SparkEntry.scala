@@ -90,7 +90,12 @@ object SparkEntry {
     "q56_ivf_refined_assign" -> (ext.Similarity.ivfRefinedAssign _),
     "q57_training_selection" -> (ext.Curation.trainingSelection _),
     // df-capped near-dup pair generation (the 100 TB-safe q33 sibling)
-    "q58_capped_pairs"       -> (ext.Dedup.cappedNearDupPairs _)
+    "q58_capped_pairs"       -> (ext.Dedup.cappedNearDupPairs _),
+    // training-mix curation additions (deterministic sampler, TF-IDF
+    // keyword extraction, curriculum binning)
+    "q59_training_mix"       -> (ext.Curation.trainingMixSample _),
+    "q60_tfidf_terms"        -> (ext.TextAnalysis.tfidfTopTerms _),
+    "q61_length_curriculum"  -> (ext.TextAnalysis.lengthCurriculum _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -157,6 +162,9 @@ object SparkEntry {
     "q55_moving_revenue"     -> ops.Analytics.movingRevenueSql,
     "q56_ivf_refined_assign" -> ext.Similarity.ivfRefinedAssignSql,
     "q57_training_selection" -> ext.Curation.trainingSelectionSql,
-    "q58_capped_pairs"       -> ext.Dedup.cappedNearDupPairsSql
+    "q58_capped_pairs"       -> ext.Dedup.cappedNearDupPairsSql,
+    "q59_training_mix"       -> ext.Curation.trainingMixSampleSql,
+    "q60_tfidf_terms"        -> ext.TextAnalysis.tfidfTopTermsSql,
+    "q61_length_curriculum"  -> ext.TextAnalysis.lengthCurriculumSql
   )
 }

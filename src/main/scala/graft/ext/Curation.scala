@@ -19,6 +19,55 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  // ---------------------------------------------------------------- q59
+
+  /** Per-language keep rates for the training-mix sample, as EXACT
+    * 60-bit integer thresholds (rate × 2^60): the keep decision is an
+    * integer compare on a 60-bit md5 hash — no float anywhere, so the
+    * sample is bit-reproducible across engines, reruns and cluster
+    * sizes (the property a training pipeline needs from its sampler:
+    * re-running the job, or re-sharding the corpus, must never change
+    * which documents are in the mix). */
+  private val MixRates: Seq[(String, Double)] = Seq(
+    "en" -> 1.0, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.25)
+  private val DefaultRate = 0.1
+  private def threshold(rate: Double): Long =
+    (rate * 1152921504606846976.0d).toLong // × 2^60, exact for these rates
+
+  /** q59 — deterministic stratified sampling by language: keep doc iff
+    * md5("mix:" + doc_id) < threshold(lang). One narrow scan, zero
+    * shuffles (the filter is a scalar predicate); at 100 TB this is
+    * the canonical hash-mod sampler — embarrassingly parallel,
+    * no reservoir state, stable under re-partitioning. */
+  def trainingMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.load(spark, dir, "documents")
+    val h = HashBridge.md5Bits60(
+      md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+    val thr = MixRates.foldRight(
+      lit(threshold(DefaultRate))) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(threshold(r))).otherwise(acc)
+    }
+    d.select(col("doc_id"), col("lang"), h.as("sample_hash"))
+      .filter(col("sample_hash") < thr)
+      .orderBy(col("doc_id"))
+  }
+
+  val trainingMixSampleSql: String = {
+    val cases = MixRates.map { case (l, r) =>
+      s"WHEN lang = '$l' THEN ${threshold(r)}"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  ${HashBridge.md5Bits60Sql(
+            "md5('mix:' || CAST(doc_id AS VARCHAR))")} AS sample_hash
+       |FROM documents
+       |WHERE ${HashBridge.md5Bits60Sql(
+            "md5('mix:' || CAST(doc_id AS VARCHAR))")}
+       |  < (CASE $cases ELSE ${threshold(DefaultRate)} END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q57
+
   def trainingSelection(spark: SparkSession, dir: String): DataFrame = {
     val reps = Dedup.dedupClusters(spark, dir)
       .filter(col("doc_id") === col("cluster_id")).select("doc_id")

@@ -270,4 +270,89 @@ object TextAnalysis {
       |  quantile_cont(n_chars, 0.5) AS median_chars,
       |  quantile_cont(n_chars, 0.9) AS p90_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+
+  /** q60 — TF-IDF top terms per document (the keyword extraction /
+    * relevance-weighting step of a filtering stage): weight =
+    * tf × (N / df) — the rational idf form, NOT log-scaled, so the
+    * doubles are the same three IEEE ops in both engines (an `ln`
+    * would hinge on libm rounding). Top 3 per doc, ties broken on the
+    * token.
+    *
+    * Scale: one explode + (doc, tok) count (exchange 1), token df
+    * aggregate (exchange 2 — vocabulary-sized, tiny output), join
+    * back on tok, then the per-doc window (exchange 3 on doc_id).
+    * All three keys are natural and unskewed except stopword tokens
+    * in the df join — at 100 TB the df table stays vocabulary-sized
+    * (millions), so Spark broadcasts it and exchange 3 is the only
+    * corpus-sized shuffle. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val n = d.count() // corpus size: one cheap metadata-ish scan
+    val tf = d.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .withColumn("weight",
+        col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("tok"), round(col("weight"), 6).as("weight"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+      |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM tf GROUP BY tok),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    CAST(tf.tf AS DOUBLE) * n.n / CAST(df.df AS DOUBLE) AS weight,
+      |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+      |      CAST(tf.tf AS DOUBLE) * n.n / CAST(df.df AS DOUBLE) DESC,
+      |      tf.tok) AS rank
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+      |SELECT doc_id, tok, round(weight, 6) AS weight, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+
+  /** q61 — curriculum length buckets: ntile(4) over (n_chars, doc_id)
+    * — the quartile binning a curriculum or packing stage uses. The
+    * doc_id tie-break makes the assignment total-order deterministic,
+    * so both engines agree exactly.
+    *
+    * Scale note: ntile needs a single global ordering (one range
+    * exchange + an unpartitioned window — the same single-reducer
+    * shape as any exact global quantile). At 100 TB swap to bucket
+    * boundaries from approx_percentile over a sample, then a
+    * broadcast range-lookup — declared approximation; the exact form
+    * stays as the oracle for it. */
+  def lengthCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    d.select(col("doc_id"), col("n_chars"))
+      .withColumn("bucket", ntile(4).over(w).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lengthCurriculumSql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INT) AS bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -121,6 +121,26 @@ class ExtSpec extends SparkSuite {
     assert(fast.toSeq == brute.toSeq)
   }
 
+  test("training-mix sampler: deterministic, rate-accurate, en kept whole") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val s1 = graft.ext.Curation.trainingMixSample(spark, sfDir)
+    val ids1 = s1.collect().map(_.getLong(0)).toSet
+    // rerun = identical sample (hash-based, no state, no rng)
+    val ids2 = graft.ext.Curation.trainingMixSample(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // en rate is 1.0: every en doc survives
+    val en = docs.filter(col("lang") === "en").count()
+    assert(s1.filter(col("lang") === "en").count() == en)
+    // 0.5-rate strata land near half (binomial tolerance)
+    val de = docs.filter(col("lang") === "de").count().toDouble
+    if (de >= 20) {
+      val kept = s1.filter(col("lang") === "de").count().toDouble
+      assert(kept / de > 0.25 && kept / de < 0.75,
+        s"de keep ratio ${kept / de} far from 0.5")
+    }
+  }
+
   test("extension queries shuffle only where the algorithm requires") {
     // token stats / fingerprint are pure scans: no Exchange in the plan
     Seq(TextAnalysis.tokenStats _, TextAnalysis.docFingerprint _,
