@@ -23,6 +23,14 @@ object Tables {
     // Must be on before schema inference of the ns-timestamp events table;
     // harmless for the ms/us tables. Runtime-settable SQL conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // collect_list/collect_set aggregates run on ObjectHashAggregateExec,
+    // whose default in-memory-hash-map limit (128 distinct keys per task)
+    // forces an external sort-based fallback on any real group count —
+    // the shingle-group stage behind q33/q34/q50/q58 measured ~2-3x
+    // slower under it. 64k keys/task is still bounded memory (the
+    // per-group buffers, not the map, dominate) at any scale factor.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     val df = spark.read.parquet(path(sfDir, name))
     // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
     // rejects; read the raw int64 (legacy conf set in sessions()) and
