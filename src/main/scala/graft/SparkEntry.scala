@@ -95,7 +95,12 @@ object SparkEntry {
     // keyword extraction, curriculum binning)
     "q59_training_mix"       -> (ext.Curation.trainingMixSample _),
     "q60_tfidf_terms"        -> (ext.TextAnalysis.tfidfTopTerms _),
-    "q61_length_curriculum"  -> (ext.TextAnalysis.lengthCurriculum _)
+    "q61_length_curriculum"  -> (ext.TextAnalysis.lengthCurriculum _),
+    // text-cleaning stage (scrub/normalize, repetition filter,
+    // corpus boilerplate detection)
+    "q62_text_scrub"         -> (ext.Cleaning.textScrub _),
+    "q63_repetition_score"   -> (ext.Cleaning.repetitionScore _),
+    "q64_boilerplate_ngrams" -> (ext.Cleaning.boilerplateNgrams _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -165,6 +170,9 @@ object SparkEntry {
     "q58_capped_pairs"       -> ext.Dedup.cappedNearDupPairsSql,
     "q59_training_mix"       -> ext.Curation.trainingMixSampleSql,
     "q60_tfidf_terms"        -> ext.TextAnalysis.tfidfTopTermsSql,
-    "q61_length_curriculum"  -> ext.TextAnalysis.lengthCurriculumSql
+    "q61_length_curriculum"  -> ext.TextAnalysis.lengthCurriculumSql,
+    "q62_text_scrub"         -> ext.Cleaning.textScrubSql,
+    "q63_repetition_score"   -> ext.Cleaning.repetitionScoreSql,
+    "q64_boilerplate_ngrams" -> ext.Cleaning.boilerplateNgramsSql
   )
 }

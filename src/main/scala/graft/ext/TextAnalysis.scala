@@ -57,7 +57,7 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- q29
 
-  private val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
+  private[ext] val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
 
   /** Heuristic quality score: stopword ratio + length saturation +
     * punctuation penalty, then a CASE band. The score formula is the
@@ -280,13 +280,18 @@ object TextAnalysis {
     * would hinge on libm rounding). Top 3 per doc, ties broken on the
     * token.
     *
-    * Scale: one explode + (doc, tok) count (exchange 1), token df
-    * aggregate (exchange 2 — vocabulary-sized, tiny output), join
-    * back on tok, then the per-doc window (exchange 3 on doc_id).
-    * All three keys are natural and unskewed except stopword tokens
-    * in the df join — at 100 TB the df table stays vocabulary-sized
-    * (millions), so Spark broadcasts it and exchange 3 is the only
-    * corpus-sized shuffle. */
+    * Scale: one explode + (doc, tok) count (exchange 1), then df as
+    * `count(*) over (partition by tok)` — legal because tf already
+    * holds exactly one row per (doc, tok), so the partition row count
+    * IS the document frequency (exchange 2), then the per-doc rank
+    * window (exchange 3 on doc_id). The window spelling keeps the
+    * plan LINEAR: the naive tf-join-df formulation references the tf
+    * subtree twice and Spark computes the explode + aggregate twice
+    * (no automatic CSE across DataFrame DAG branches) — measured 2x
+    * at sf0.1. Hot stopword tokens skew exchange 2 exactly as they
+    * would the df aggregate; AQE's skew handling doesn't split
+    * window partitions, so at 100 TB a stopword prefilter (or the
+    * df-capped variant of q58) is the mitigation. */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     val n = d.count() // corpus size: one cheap metadata-ish scan
@@ -294,15 +299,14 @@ object TextAnalysis {
         explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("weight").desc, col("tok"))
-    tf.join(df, Seq("tok"))
+    tf.withColumn("df", count(lit(1)).over(wTok))
       .withColumn("weight",
         col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(wDoc))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("tok"), round(col("weight"), 6).as("weight"),
         col("rank").cast("int").as("rank"))
