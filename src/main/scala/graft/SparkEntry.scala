@@ -100,7 +100,10 @@ object SparkEntry {
     // corpus boilerplate detection)
     "q62_text_scrub"         -> (ext.Cleaning.textScrub _),
     "q63_repetition_score"   -> (ext.Cleaning.repetitionScore _),
-    "q64_boilerplate_ngrams" -> (ext.Cleaning.boilerplateNgrams _)
+    "q64_boilerplate_ngrams" -> (ext.Cleaning.boilerplateNgrams _),
+    // sketch layer (HLL distinct, bloom-prefiltered semi join)
+    "q65_distinct_sketch"    -> (ops.Sketches.distinctSketch _),
+    "q66_bloom_semi_join"    -> (ops.Sketches.bloomSemiJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -173,6 +176,8 @@ object SparkEntry {
     "q61_length_curriculum"  -> ext.TextAnalysis.lengthCurriculumSql,
     "q62_text_scrub"         -> ext.Cleaning.textScrubSql,
     "q63_repetition_score"   -> ext.Cleaning.repetitionScoreSql,
-    "q64_boilerplate_ngrams" -> ext.Cleaning.boilerplateNgramsSql
+    "q64_boilerplate_ngrams" -> ext.Cleaning.boilerplateNgramsSql,
+    "q65_distinct_sketch"    -> ops.Sketches.distinctSketchSql,
+    "q66_bloom_semi_join"    -> ops.Sketches.bloomSemiJoinSql
   )
 }
