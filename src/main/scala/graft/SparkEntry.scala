@@ -103,7 +103,9 @@ object SparkEntry {
     "q64_boilerplate_ngrams" -> (ext.Cleaning.boilerplateNgrams _),
     // sketch layer (HLL distinct, bloom-prefiltered semi join)
     "q65_distinct_sketch"    -> (ops.Sketches.distinctSketch _),
-    "q66_bloom_semi_join"    -> (ops.Sketches.bloomSemiJoin _)
+    "q66_bloom_semi_join"    -> (ops.Sketches.bloomSemiJoin _),
+    // interval-join attribution (batch twin of the stream-stream join)
+    "q67_click_attribution"  -> (streaming.Sessions.clickAttribution _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,6 +180,7 @@ object SparkEntry {
     "q63_repetition_score"   -> ext.Cleaning.repetitionScoreSql,
     "q64_boilerplate_ngrams" -> ext.Cleaning.boilerplateNgramsSql,
     "q65_distinct_sketch"    -> ops.Sketches.distinctSketchSql,
-    "q66_bloom_semi_join"    -> ops.Sketches.bloomSemiJoinSql
+    "q66_bloom_semi_join"    -> ops.Sketches.bloomSemiJoinSql,
+    "q67_click_attribution"  -> streaming.Sessions.clickAttributionSql
   )
 }

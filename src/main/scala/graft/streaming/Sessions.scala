@@ -91,4 +91,55 @@ object Sessions {
        |  min(ts_us) AS start_us, max(ts_us) AS end_us
        |FROM s GROUP BY user_id, session_no
        |ORDER BY user_id, session_no""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+
+  /** Attribution window: a purchase counts for a click that happened
+    * at most this long before it. */
+  val AttributionWindowUs: Long = 3600L * 1000000
+
+  /** q67 — click→purchase attribution: per user, purchases landing
+    * within [[AttributionWindowUs]] AFTER a click by the same user
+    * (inclusive both ends), rolled up to per-user pair counts and lag
+    * bounds. Batch definition of the stream-stream interval join —
+    * [[StatefulStreams.clickAttributionStream]] executes the same
+    * join under two watermarked streams and is held to this result.
+    *
+    * Scale: equi-join on user_id (the interval predicate stays a
+    * post-join filter — Spark has no interval-join physical operator
+    * in batch, and the per-user match set is small); the rollup rides
+    * the same user_id exchange under AQE. In streaming the interval
+    * bound is what lets the state store EVICT: each side holds only
+    * the watermark horizon of rows. */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("click_us"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("buy_us"))
+    clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("buy_us") >= col("click_us") &&
+          col("buy_us") <= col("click_us") + AttributionWindowUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("buy_us") - col("click_us")).as("min_lag_us"),
+        max(col("buy_us") - col("click_us")).as("max_lag_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val clickAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us
+       |  FROM events)
+       |SELECT c.user_id,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  min(p.us - c.us) AS min_lag_us,
+       |  max(p.us - c.us) AS max_lag_us
+       |FROM e c JOIN e p ON c.user_id = p.user_id
+       |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+       |  AND p.us >= c.us AND p.us <= c.us + $AttributionWindowUs
+       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 }

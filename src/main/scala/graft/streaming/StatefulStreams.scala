@@ -130,4 +130,39 @@ object StatefulStreams {
       .start()
     q.awaitTermination()
   }
+
+  /** Stream-stream interval self-join: the q67 click→purchase
+    * attribution join under two WATERMARKED streams over the same
+    * staged source. Emits raw (user, click_us, buy_us) match rows in
+    * append mode — the rollup happens downstream (spec) so the stream
+    * stays single-stateful-operator and each emission is final.
+    *
+    * The interval bound `p_ts ∈ [c_ts, c_ts + window]` combined with
+    * both watermarks is what bounds the join STATE: clicks older than
+    * watermark − window and purchases older than watermark are
+    * evicted — without the time bound a stream-stream join holds both
+    * sides forever. */
+  def clickAttributionStream(spark: SparkSession, srcDir: String,
+                             ckptDir: String)(sink: DataFrame => Unit): Unit = {
+    val ev = rawEvents(spark, srcDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(buys,
+      expr("c_user = p_user AND p_ts >= c_ts AND " +
+        "p_ts <= c_ts + interval 1 hour"))
+      .select(col("c_user").as("user_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("buy_us"))
+    val q = joined.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (df: DataFrame, _: Long) => sink(df) }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -57,6 +57,24 @@ class StatefulStreamsSpec extends SparkSuite {
     assert(ids.distinct.size == 400)
   }
 
+  test("stream-stream interval join equals the batch attribution query") {
+    val base = Files.createTempDirectory("ssjoin").toString
+    stage(rawLongEvents(), s"$base/src/all.parquet")
+    val pairs = collection.mutable.ArrayBuffer.empty[Row]
+    StatefulStreams.clickAttributionStream(spark, s"$base/src", s"$base/ckpt") {
+      df => pairs ++= df.collect()
+    }
+    // roll the emitted (user, click_us, buy_us) pairs up like q67
+    val got = pairs.groupBy(_.getLong(0)).map { case (u, rs) =>
+      val lags = rs.map(r => r.getLong(2) - r.getLong(1))
+      (u, rs.size.toLong, lags.min, lags.max)
+    }.toSet
+    val want = Sessions.clickAttribution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization equals batch, across restarts") {
     val base = Files.createTempDirectory("sessstream").toString
     val raw = rawLongEvents()
