@@ -105,7 +105,11 @@ object SparkEntry {
     "q65_distinct_sketch"    -> (ops.Sketches.distinctSketch _),
     "q66_bloom_semi_join"    -> (ops.Sketches.bloomSemiJoin _),
     // interval-join attribution (batch twin of the stream-stream join)
-    "q67_click_attribution"  -> (streaming.Sessions.clickAttribution _)
+    "q67_click_attribution"  -> (streaming.Sessions.clickAttribution _),
+    // quota sampler, VARIANT path extraction, ranking window suite
+    "q68_quota_sample"       -> (ext.Curation.quotaSample _),
+    "q69_variant_extract"    -> (ops.SemiStructured.variantExtract _),
+    "q70_window_suite"       -> (ops.Analytics.windowSuite _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -181,6 +185,9 @@ object SparkEntry {
     "q64_boilerplate_ngrams" -> ext.Cleaning.boilerplateNgramsSql,
     "q65_distinct_sketch"    -> ops.Sketches.distinctSketchSql,
     "q66_bloom_semi_join"    -> ops.Sketches.bloomSemiJoinSql,
-    "q67_click_attribution"  -> streaming.Sessions.clickAttributionSql
+    "q67_click_attribution"  -> streaming.Sessions.clickAttributionSql,
+    "q68_quota_sample"       -> ext.Curation.quotaSampleSql,
+    "q69_variant_extract"    -> ops.SemiStructured.variantExtractSql,
+    "q70_window_suite"       -> ops.Analytics.windowSuiteSql
   )
 }

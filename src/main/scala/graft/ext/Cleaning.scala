@@ -151,9 +151,13 @@ object Cleaning {
 
   // ---------------------------------------------------------------- q64
 
-  /** Minimum share of the corpus a 3-gram must appear in to count as
-    * boilerplate (C4-style "all rights reserved" detection). */
-  val BoilerplateMinShare = 0.05
+  /** Boilerplate threshold: a 3-gram counts once its document
+    * frequency reaches max(ceil([[BoilerplateMinShare]]·n),
+    * [[BoilerplateMinDf]]) — share-based so real corpora scale the
+    * bar with size, with an absolute floor so small corpora (where
+    * share·n rounds to 1) don't call every 3-gram boilerplate. */
+  val BoilerplateMinShare = 0.001
+  val BoilerplateMinDf = 5L
 
   /** q64 — corpus-level boilerplate n-grams: word-3-grams present in
     * ≥ [[BoilerplateMinShare]] of documents, with document frequency
@@ -170,7 +174,8 @@ object Cleaning {
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     val n = d.count()
-    val minDf = math.ceil(BoilerplateMinShare * n).toLong
+    val minDf = math.max(math.ceil(BoilerplateMinShare * n).toLong,
+      BoilerplateMinDf)
     d.select(explode(shingles(col("text"), 3)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("df"))
@@ -193,6 +198,7 @@ object Cleaning {
        |g AS (SELECT ngram, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
        |SELECT g.ngram, g.df, round(CAST(g.df AS DOUBLE) / n.n, 6) AS doc_share
        |FROM g CROSS JOIN n
-       |WHERE g.df >= ceil($BoilerplateMinShare * n.n)
+       |WHERE g.df >= greatest(ceil($BoilerplateMinShare * n.n),
+       |                       $BoilerplateMinDf)
        |ORDER BY g.df DESC, g.ngram""".stripMargin
 }

@@ -154,4 +154,46 @@ object Curation {
        |WHERE quality.quality_score >= 0.35 AND lang.lang_pred <> 'und'
        |ORDER BY r.doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q68
+
+  /** Fixed per-stratum quota for the q68 sampler. */
+  val QuotaPerLang = 25
+
+  /** q68 — deterministic QUOTA sampling: exactly
+    * min([[QuotaPerLang]], |stratum|) docs per language, picked by
+    * md5-hash rank — the fixed-budget companion of q59's rate
+    * sampler (a training mix usually pins "N docs of language X", not
+    * a rate). Hash-ranked, so the pick set is stable across reruns
+    * and re-sharding, and oracle-reproducible.
+    *
+    * Scale: window row_number sorts each stratum — fine while strata
+    * are language-sized partitions of the shuffle (the sort is
+    * per-partition, spillable). At 100 TB skip the full sort: sample
+    * the hash column, estimate the per-stratum k-th hash quantile,
+    * filter to it (q59's shape), and exact-top-k only the survivors. */
+  def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.load(spark, dir, "documents")
+    val h = HashBridge.md5Bits60(
+      md5(concat(lit("quota:"), col("doc_id").cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("sample_hash"), col("doc_id"))
+    d.select(col("doc_id"), col("lang"), h.as("sample_hash"))
+      .withColumn("pick_no", row_number().over(w))
+      .filter(col("pick_no") <= QuotaPerLang)
+      .select(col("doc_id"), col("lang"), col("pick_no").cast("int").as("pick_no"))
+      .orderBy(col("lang"), col("pick_no"))
+  }
+
+  val quotaSampleSql: String = {
+    val h = HashBridge.md5Bits60Sql("md5('quota:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id)
+       |      AS pick_no
+       |  FROM documents)
+       |SELECT doc_id, lang, CAST(pick_no AS INT) AS pick_no
+       |FROM ranked WHERE pick_no <= $QuotaPerLang
+       |ORDER BY lang, pick_no""".stripMargin
+  }
 }

@@ -106,4 +106,49 @@ object Analytics {
        |  $cells
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q70
+
+  /** q70 — ranking/distribution window suite per customer order
+    * history: row_number, ntile quartiles, percent_rank, cume_dist,
+    * first/nth value, and a 3-row running sum. The ordering key
+    * (o_orderdate, o_orderkey) is TOTAL, so every ranking function is
+    * deterministic and ANSI RANGE/ROWS default-frame differences
+    * can't bite (no peer rows).
+    *
+    * Scale: all eight functions ride ONE exchange + sort on
+    * o_custkey — Catalyst collapses same-spec window functions into a
+    * single WindowExec; the running sum folds in exact decimal. */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run3 = w.rowsBetween(-2, 0)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first_value(col("o_totalprice")).over(w).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(run3)
+          .cast("double").as("run3_sum"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val windowSuiteSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(row_number() OVER w AS INT) AS rn,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run3_sum
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -39,6 +39,40 @@ class PlansSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("hive-partitioned write prunes non-matching partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("prune").toString
+    Tables.load(spark, sfDir, "events")
+      .withColumn("event_date",
+        date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(tmp)
+    val dates = spark.read.parquet(tmp)
+      .select(col("event_date").cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(dates.length > 1, "need >1 partition for a pruning test")
+    val one = spark.read.parquet(tmp)
+      .filter(col("event_date").cast("string") === dates.head)
+    val p = one.queryExecution.executedPlan.toString
+    // the partition predicate must be resolved against the directory
+    // layout (PartitionFilters), not evaluated per row after the scan
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)].*", "$1")
+        .contains("event_date"), s"no partition pruning in:\n$p")
+    val scanned = one.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanned.contains(1),
+      s"expected exactly 1 of ${dates.length} partitions scanned, got $scanned")
+  }
+
+  test("q70 window suite computes all eight functions in one exchange") {
+    val p = plan("q70_window_suite")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
   test("q24 bucket filter pushes down to the parquet scan") {
     val p = plan("q24_part_buckets")
     assert(p.contains("PushedFilters: [") &&
