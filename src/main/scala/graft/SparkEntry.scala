@@ -109,7 +109,10 @@ object SparkEntry {
     // quota sampler, VARIANT path extraction, ranking window suite
     "q68_quota_sample"       -> (ext.Curation.quotaSample _),
     "q69_variant_extract"    -> (ops.SemiStructured.variantExtract _),
-    "q70_window_suite"       -> (ops.Analytics.windowSuite _)
+    "q70_window_suite"       -> (ops.Analytics.windowSuite _),
+    // incremental MV merge (gate proves merge ≡ recompute) and SCD2
+    "q71_incremental_mv"     -> (warehouse.Views.incrementalMvMonthly _),
+    "q72_scd2_user_state"    -> (warehouse.Scd.scd2UserState _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -188,6 +191,8 @@ object SparkEntry {
     "q67_click_attribution"  -> streaming.Sessions.clickAttributionSql,
     "q68_quota_sample"       -> ext.Curation.quotaSampleSql,
     "q69_variant_extract"    -> ops.SemiStructured.variantExtractSql,
-    "q70_window_suite"       -> ops.Analytics.windowSuiteSql
+    "q70_window_suite"       -> ops.Analytics.windowSuiteSql,
+    "q71_incremental_mv"     -> warehouse.Views.incrementalMvMonthlySql,
+    "q72_scd2_user_state"    -> warehouse.Scd.scd2UserStateSql
   )
 }

@@ -110,4 +110,50 @@ object Views {
        |  CAST(count(*) AS BIGINT) AS event_count,
        |  ${dsumSql("value")} AS total_value
        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+
+  /** The "already materialized" horizon for the incremental-MV demo:
+    * months strictly before this cut sit in the stored MV state; rows
+    * from the cut onward arrive as the delta batch. */
+  val IncrementalCutMonth = "1997-01"
+
+  /** q71 — INCREMENTAL materialized-view maintenance, made explicit
+    * (A13 is otherwise recompute≡maintain "by design"): the monthly
+    * revenue MV is produced by MERGING a pre-aggregated state (months
+    * before [[IncrementalCutMonth]]) with a delta batch aggregate —
+    * never re-scanning the old fact rows — and the oracle is the full
+    * recompute, so the gate itself proves merge ≡ recompute.
+    *
+    * The algebra that makes it correct: count and sum are
+    * commutative-monoid aggregates, and the partial sums stay EXACT
+    * DECIMAL until the final surface cast — a double partial would
+    * make merge order observable. At 100 TB this is the only viable
+    * MV strategy (the delta is a day, the state is years), exactly
+    * the reference's refresh loop
+    * (clickhouse_init/04_materialized_views.sql's MVs are
+    * incremental by engine design). */
+  def incrementalMvMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+    val state = partial(o.filter(col("order_month") < IncrementalCutMonth))
+    val delta = partial(o.filter(col("order_month") >= IncrementalCutMonth))
+    state.unionByName(delta)
+      .groupBy(col("order_month"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("rev_dec")).as("rev_merged"))
+      .select(col("order_month"), col("n_orders"),
+        col("rev_merged").cast("double").as("revenue"))
+      .orderBy(col("order_month"))
+  }
+
+  val incrementalMvMonthlySql: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS revenue
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }

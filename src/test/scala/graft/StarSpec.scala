@@ -34,4 +34,25 @@ class StarSpec extends SparkSuite {
     assert(errRows.count() > 0)
     assert(errRows.filter(col("type_key") =!= 0).count() == 0)
   }
+
+  test("SCD2 versions tile each user's timeline with one open version") {
+    val v = graft.warehouse.Scd.scd2UserState(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(v.nonEmpty)
+    v.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("version_no"))
+      // exactly one current (open-ended) version, and it is the last
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1, s"user $u")
+      assert(sorted.last.getAs[Boolean]("is_current"), s"user $u")
+      // each version ends exactly where the next begins; state changes
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("effective_to_us") ==
+            b.getAs[Long]("effective_from_us"), s"gap for user $u")
+          assert(a.getAs[String]("state") != b.getAs[String]("state"),
+            s"non-change version for user $u")
+        case _ => ()
+      }
+    }
+  }
 }
