@@ -112,7 +112,9 @@ object SparkEntry {
     "q70_window_suite"       -> (ops.Analytics.windowSuite _),
     // incremental MV merge (gate proves merge ≡ recompute) and SCD2
     "q71_incremental_mv"     -> (warehouse.Views.incrementalMvMonthly _),
-    "q72_scd2_user_state"    -> (warehouse.Scd.scd2UserState _)
+    "q72_scd2_user_state"    -> (warehouse.Scd.scd2UserState _),
+    // int8-quantized shortlist + exact rerank (gate = brute-force oracle)
+    "q73_knn_quantized"      -> (ext.Similarity.knnQuantized _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -193,6 +195,7 @@ object SparkEntry {
     "q69_variant_extract"    -> ops.SemiStructured.variantExtractSql,
     "q70_window_suite"       -> ops.Analytics.windowSuiteSql,
     "q71_incremental_mv"     -> warehouse.Views.incrementalMvMonthlySql,
-    "q72_scd2_user_state"    -> warehouse.Scd.scd2UserStateSql
+    "q72_scd2_user_state"    -> warehouse.Scd.scd2UserStateSql,
+    "q73_knn_quantized"      -> ext.Similarity.knnQuantizedSql
   )
 }

@@ -436,4 +436,68 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
        |  round(cos, 4) AS cos_sim
        |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+
+  /** Shortlist size for the quantized first pass — 10·K wide, so the
+    * int8 ordering has an order-of-magnitude margin to land the true
+    * top-K inside it. */
+  val QuantShortlist = 50
+
+  /** q73 — int8 scalar-quantized kNN with exact rerank: the memory/
+    * shuffle tier between brute force (q37) and the bucketed paths
+    * (q38/q40).
+    *
+    * Stage 1 quantizes each vector to 64 bytes (per-vector symmetric
+    * scale s = 127 / max|xᵢ|, qᵢ = round(xᵢ·s)) — at 100 TB the
+    * corpus scan and any exchange carry ~1/8 of the float64 bytes —
+    * and ranks an approximate shortlist of [[QuantShortlist]] per
+    * query on the integer dot product (descaled by s_q·s_v; exact
+    * integer arithmetic in double — every int8 product is ≤ 2¹⁴, far
+    * inside the 2⁵³ mantissa, so the approx scores are
+    * bit-deterministic). Stage 2 joins ONLY the shortlist back to the
+    * full-precision vectors and reranks with the exact cosine.
+    *
+    * GATE CONTRACT: the output is the EXACT top-K (q37's oracle
+    * verbatim) — the quantization margin on this corpus puts every
+    * true top-5 neighbor inside the 50-wide shortlist (asserted
+    * against [[knnBruteForce]] in SimilaritySpec), and because both
+    * stages are deterministic, that containment is a fixed property
+    * of the data, not a flaky bound. A corpus where int8 error could
+    * demote a true neighbor past rank 50 would fail the gate loudly —
+    * the right behavior for a path that claims exactness. */
+  def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+      .withColumn("s", lit(127.0) / array_max(transform(col("emb"), x => abs(x))))
+      // genuinely byte-sized: the column an index table would store
+      .withColumn("q8", transform(col("emb"),
+        x => round(x * col("s")).cast("tinyint")))
+    val q = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("s").as("q_s"), col("q8").as("q_q8"))
+    // stage 1: approx scores on the quantized arrays (queries broadcast,
+    // corpus streams its int8 view only)
+    val approx = q.join(v.select(col("vec_id"), col("s"), col("q8")),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("approx",
+        dot(col("q_q8").cast("array<double>"), col("q8").cast("array<double>"))
+          / (col("q_s") * col("s")))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val shortlist = approx.withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= QuantShortlist)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("neighbor_id"))
+    // stage 2: exact rerank of the shortlist only
+    val scored = shortlist
+      .join(vectors(spark, dir).select(col("vec_id"), col("emb"), col("nrm")),
+        col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm"))).as("cos"))
+    topK(scored)
+  }
+
+  /** q73's gate IS exactness: the quantized+rerank pipeline must
+    * reproduce the brute-force answer. */
+  val knnQuantizedSql: String = knnBruteForceSql
 }

@@ -137,4 +137,28 @@ class ScaleSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("small-file compaction: size-targeted rewrite preserves data") {
+    // the OPTIMIZE/bin-packing pattern: a streaming sink leaves many
+    // tiny files; the compactor rewrites each partition's data into
+    // ceil(bytes / target) files. (q12 is the ROW-level compaction;
+    // this is the FILE-level companion.)
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val events = Tables.load(spark, sfDir, "events")
+    events.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    assert(parquetFiles(s"$base/small") == 64)
+    val small = spark.read.parquet(s"$base/small")
+    val bytes = new java.io.File(s"$base/small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = 4L * 1024 * 1024 // 4 MB target files for the test
+    val nOut = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+    small.repartition(nOut).write.mode("overwrite").parquet(s"$base/compact")
+    val compact = spark.read.parquet(s"$base/compact")
+    assert(parquetFiles(s"$base/compact") == nOut)
+    assert(nOut < 64)
+    assert(compact.count() == events.count())
+    assert(compact.exceptAll(small).isEmpty && small.exceptAll(compact).isEmpty)
+  }
 }

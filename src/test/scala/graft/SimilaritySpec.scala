@@ -12,6 +12,14 @@ class SimilaritySpec extends SparkSuite {
 
   lazy val exact = topkSets(Similarity.knnBruteForce(spark, sfDir).collect())
 
+  test("int8-quantized shortlist + rerank reproduces brute force exactly") {
+    val quant = Similarity.knnQuantized(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val brute = Similarity.knnBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(quant.toSeq == brute.toSeq)
+  }
+
   test("LSH recall@5 vs brute force is usable (>= 0.5 mean)") {
     val approx = topkSets(Similarity.knnLsh(spark, sfDir).collect())
     val recalls = exact.map { case (q, truth) =>
