@@ -114,7 +114,9 @@ object SparkEntry {
     "q71_incremental_mv"     -> (warehouse.Views.incrementalMvMonthly _),
     "q72_scd2_user_state"    -> (warehouse.Scd.scd2UserState _),
     // int8-quantized shortlist + exact rerank (gate = brute-force oracle)
-    "q73_knn_quantized"      -> (ext.Similarity.knnQuantized _)
+    "q73_knn_quantized"      -> (ext.Similarity.knnQuantized _),
+    // train/eval contamination flags (cross-set n-gram overlap)
+    "q74_decontamination"    -> (ext.Dedup.decontamination _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -196,6 +198,7 @@ object SparkEntry {
     "q70_window_suite"       -> ops.Analytics.windowSuiteSql,
     "q71_incremental_mv"     -> warehouse.Views.incrementalMvMonthlySql,
     "q72_scd2_user_state"    -> warehouse.Scd.scd2UserStateSql,
-    "q73_knn_quantized"      -> ext.Similarity.knnQuantizedSql
+    "q73_knn_quantized"      -> ext.Similarity.knnQuantizedSql,
+    "q74_decontamination"    -> ext.Dedup.decontaminationSql
   )
 }

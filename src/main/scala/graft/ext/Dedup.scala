@@ -588,4 +588,62 @@ object Dedup {
       |FROM v a JOIN v b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.40
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+
+  /** Every ~97th doc plays the held-out benchmark set (deterministic
+    * stand-in for an external eval corpus). */
+  val BenchmarkModulus = 97
+  /** Shared-3-gram floor for a contamination flag (same floor as the
+    * q33 near-dup pairs). */
+  val ContaminationMinShared = 3L
+
+  /** q74 — train/eval DECONTAMINATION: flag training documents that
+    * share ≥ [[ContaminationMinShared]] distinct word-3-grams with
+    * any benchmark document — the overlap check a training pipeline
+    * runs before the mix is final (the cross-set sibling of q33's
+    * within-set pairs). Output: one row per contaminated training
+    * doc with its worst-overlap benchmark doc (ties → lowest id).
+    *
+    * Scale shape: benchmark sets are tiny next to the corpus, so the
+    * benchmark shingle table BROADCASTS (hash-before-broadcast — 8-byte
+    * keys, same collision contract as q33) and the training side
+    * streams through one scan + broadcast join; only the matched
+    * (train, bench) pairs reach the aggregate exchange. */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    def sh(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(shingles(col("text"))).as("s0"))
+        .select(col("doc_id"), xxhash64(col("s0")).as("sh"))
+    val isBench = pmod(col("doc_id"), lit(BenchmarkModulus)) === 0
+    val train = sh(d.filter(!isBench))
+    val bench = sh(d.filter(isBench))
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val overlaps = train.join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContaminationMinShared)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("n_shared").desc, col("bench_id"))
+    overlaps.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminationSql: String =
+    s"""WITH s AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |o AS (
+       |  SELECT t.doc_id, b.doc_id AS bench_id,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM s t JOIN s b ON t.sh = b.sh
+       |  WHERE t.doc_id % $BenchmarkModulus <> 0
+       |    AND b.doc_id % $BenchmarkModulus = 0
+       |  GROUP BY 1, 2 HAVING count(*) >= $ContaminationMinShared),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY n_shared DESC, bench_id) AS rn FROM o)
+       |SELECT doc_id, bench_id, n_shared FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
 }
