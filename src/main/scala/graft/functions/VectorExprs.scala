@@ -105,6 +105,14 @@ object VectorExprs {
       new ExpressionInfo(classOf[PairCombinations].getCanonicalName,
         "pair_combinations"),
       (children: Seq[Expression]) => PairCombinations(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getCanonicalName, "shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => Shingles(text, 3)
+        case Seq(text, n) => Shingles(text,
+          n.eval().asInstanceOf[Number].intValue())
+      })
   }
 }
 
@@ -122,5 +130,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PairCombinations].getCanonicalName,
         "pair_combinations"),
       (children: Seq[Expression]) => PairCombinations(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getCanonicalName, "shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => Shingles(text, 3)
+        case Seq(text, n) => Shingles(text,
+          n.eval().asInstanceOf[Number].intValue())
+      }))
   }
 }

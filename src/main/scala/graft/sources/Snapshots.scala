@@ -81,4 +81,42 @@ object Snapshots {
     require(isComplete(tableDir, v), s"version $v is not committed")
     spark.read.parquet(versionDir(tableDir, v))
   }
+
+  /** Idempotent commit at a CALLER-CHOSEN version — the
+    * exactly-once `foreachBatch` sink: pass the micro-batch id as the
+    * version and a replayed batch after restart becomes a no-op
+    * (Delta's `txnAppId`/`txnVersion` pattern). Returns true iff this
+    * call wrote the version.
+    *
+    * A claimed-but-incomplete dir (writer crashed mid-batch) is
+    * rewritten: after a streaming restart the single owning query is
+    * the only writer of that batch id, so the rewrite races nobody. */
+  def commitIfAbsent(df: DataFrame, tableDir: String, v: Int): Boolean = {
+    if (isComplete(tableDir, v)) false
+    else {
+      new File(tableDir).mkdirs()
+      new File(versionDir(tableDir, v)).mkdir() // may already be claimed
+      df.write.mode(SaveMode.Overwrite).parquet(versionDir(tableDir, v))
+      true
+    }
+  }
+
+  /** MERGE-commit: upsert `source` into the latest snapshot (or seed
+    * with it) and commit the RESULT as the next version — Delta's
+    * `merge` + transaction in one step, over [[graft.silver.Merge]]
+    * semantics. Readers on the old version stay isolated; the merge
+    * becomes visible atomically with the new version's _SUCCESS. */
+  def mergeCommit(spark: SparkSession, source: DataFrame, tableDir: String,
+                  keys: Seq[String], versionCol: String): Int = {
+    val merged = versions(tableDir) match {
+      case Seq() => source
+      case vs =>
+        graft.silver.Merge.upsert(
+          readVersion(spark, tableDir, vs.last), source, keys, versionCol)
+    }
+    // materialize before the claim: the merged plan reads the OLD
+    // version's files, which stay immutable, but computing it inside
+    // the new claimed dir's write is still one job
+    commit(merged, tableDir)
+  }
 }

@@ -54,6 +54,41 @@ class SnapshotsSpec extends SparkSuite {
     assert(latest.length == 1) // one of the two single-row commits won
   }
 
+  test("commitIfAbsent is exactly-once per batch id and heals a torn claim") {
+    val t = table()
+    assert(Snapshots.commitIfAbsent(Seq((1, "a")).toDF("k", "s"), t, 0))
+    // replay of the same batch id after restart: no-op
+    assert(!Snapshots.commitIfAbsent(Seq((1, "dup")).toDF("k", "s"), t, 0))
+    assert(Snapshots.read(spark, t).collect().head.getString(1) == "a")
+    // a crashed writer claimed batch 1 and died mid-write
+    assert(new java.io.File(s"$t/v=1").mkdir())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t/v=1/part-torn.parquet"), "garbage")
+    assert(Snapshots.versions(t) == Seq(0))
+    // the restarted query rewrites its own batch
+    assert(Snapshots.commitIfAbsent(Seq((2, "b")).toDF("k", "s"), t, 1))
+    assert(Snapshots.versions(t) == Seq(0, 1))
+    assert(Snapshots.read(spark, t).collect().head.getString(1) == "b")
+  }
+
+  test("mergeCommit upserts into the latest snapshot as a new version") {
+    val t = table()
+    val v0 = Snapshots.mergeCommit(spark,
+      Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "s", "ver"),
+      t, Seq("k"), "ver")
+    val v1 = Snapshots.mergeCommit(spark,
+      Seq((2, "b2", 2L), (3, "c", 2L)).toDF("k", "s", "ver"),
+      t, Seq("k"), "ver")
+    assert(v0 == 0 && v1 == 1)
+    val latest = Snapshots.read(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(latest == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+    // time travel still shows the pre-merge state
+    val old = Snapshots.readVersion(spark, t, 0).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(old == Map(1 -> "a", 2 -> "b"))
+  }
+
   test("a reader pinned to a version is isolated from later commits") {
     val t = table()
     Snapshots.commit(Seq((1, "old")).toDF("k", "s"), t)

@@ -50,6 +50,16 @@ class VectorExprsSpec extends SparkSuite {
     assert(r == 11.0)
   }
 
+  test("shingles is callable from SQL, with and without explicit n") {
+    VectorExprs.register(spark)
+    val r3 = spark.sql("SELECT shingles('a b c d') AS s")
+      .head.getSeq[String](0)
+    assert(r3 == Seq("a b c", "b c d"))
+    val r2 = spark.sql("SELECT shingles('a b c d', 2) AS s")
+      .head.getSeq[String](0)
+    assert(r2 == Seq("a b", "b c", "c d"))
+  }
+
   test("pair_combinations emits exactly the i<j pairs, in order") {
     val df = Seq(Seq(1L, 2L, 3L, 4L), Seq(7L), Seq.empty[Long])
       .toDF("ds")
