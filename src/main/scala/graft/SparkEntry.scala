@@ -116,7 +116,9 @@ object SparkEntry {
     // int8-quantized shortlist + exact rerank (gate = brute-force oracle)
     "q73_knn_quantized"      -> (ext.Similarity.knnQuantized _),
     // train/eval contamination flags (cross-set n-gram overlap)
-    "q74_decontamination"    -> (ext.Dedup.decontamination _)
+    "q74_decontamination"    -> (ext.Dedup.decontamination _),
+    // expectation suite (one-scan row-local checks + broadcast FK)
+    "q75_data_quality"       -> (ops.Quality.ordersExpectations _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -199,6 +201,7 @@ object SparkEntry {
     "q71_incremental_mv"     -> warehouse.Views.incrementalMvMonthlySql,
     "q72_scd2_user_state"    -> warehouse.Scd.scd2UserStateSql,
     "q73_knn_quantized"      -> ext.Similarity.knnQuantizedSql,
-    "q74_decontamination"    -> ext.Dedup.decontaminationSql
+    "q74_decontamination"    -> ext.Dedup.decontaminationSql,
+    "q75_data_quality"       -> ops.Quality.ordersExpectationsSql
   )
 }
