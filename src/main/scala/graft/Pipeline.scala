@@ -42,10 +42,20 @@ object Pipeline {
     // (batch_silver.py), and the driver's TPC-H-ish substrate IS that
     // zone already — only the events CDC log has a raw form, and its
     // bronze→silver lineage is exercised above.
-    write(gold.Enrich.ordersEnriched(spark, sfDir), s"$outDir/gold/orders_enriched")
-    write(gold.Summaries.dailySalesSummary(spark, sfDir), s"$outDir/gold/daily_sales_summary")
-    write(gold.Summaries.customerSegments(spark, sfDir), s"$outDir/gold/customer_segments")
-    write(gold.Summaries.productPerformance(spark, sfDir), s"$outDir/gold/product_performance")
+    //
+    // Gold publishes as VERSIONED SNAPSHOTS (sources.Snapshots): the
+    // reference's TRUNCATE-then-load (S7) leaves dashboards a visible
+    // empty window between truncate and load-complete; a snapshot
+    // commit swaps atomically (readers see the old version until
+    // _SUCCESS lands) and keeps history for time travel.
+    sources.Snapshots.commit(
+      gold.Enrich.ordersEnriched(spark, sfDir), s"$outDir/gold/orders_enriched")
+    sources.Snapshots.commit(
+      gold.Summaries.dailySalesSummary(spark, sfDir), s"$outDir/gold/daily_sales_summary")
+    sources.Snapshots.commit(
+      gold.Summaries.customerSegments(spark, sfDir), s"$outDir/gold/customer_segments")
+    sources.Snapshots.commit(
+      gold.Summaries.productPerformance(spark, sfDir), s"$outDir/gold/product_performance")
 
     // ---- warehouse: star schema, fact partitioned monthly
     write(warehouse.Star.dimCustomer(spark, sfDir), s"$outDir/warehouse/dim_customer")

@@ -101,6 +101,16 @@ object Snapshots {
     }
   }
 
+  /** LOG-table read: the union of ALL committed versions — for tables
+    * where each version is an appended micro-batch (the bronze log),
+    * not a full snapshot. One multi-path parquet read, so pruning and
+    * pushdown work across the whole log. */
+  def readLog(spark: SparkSession, tableDir: String): DataFrame = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no committed versions under $tableDir")
+    spark.read.parquet(vs.map(versionDir(tableDir, _)): _*)
+  }
+
   /** MERGE-commit: upsert `source` into the latest snapshot (or seed
     * with it) and commit the RESULT as the next version — Delta's
     * `merge` + transaction in one step, over [[graft.silver.Merge]]

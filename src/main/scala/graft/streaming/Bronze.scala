@@ -85,6 +85,36 @@ object Bronze {
     q.awaitTermination()
   }
 
+  /** [[ingest]] with transaction-log delivery: each micro-batch
+    * commits as one version of a [[graft.sources.Snapshots]] LOG
+    * table, keyed by the batch id — so replays (checkpoint loss,
+    * restart races) become no-ops instead of appended duplicates.
+    * This closes the at-least-once gap the plain parquet-append sink
+    * carries (SURVEY T3: the batch W1 dedup is the backstop there);
+    * here delivery is exactly-once by construction. Partition columns
+    * stay available downstream via `readLog`. */
+  def ingestSnapshots(spark: SparkSession, srcDir: String, tableDir: String,
+                      checkpointDir: String,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.schema(rawSchema(spark, srcDir))
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(srcDir)
+    val bronze = envelope(stream, "events")
+    val q = bronze.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Snapshots.commitIfAbsent(
+            batch.sortWithinPartitions("_event_ts"), tableDir, id.toInt)
+          ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** q43: full stream-to-bronze round trip as a gated query — ingest
     * into a fresh sink, read the bronze table back, surface the
     * deterministic columns (everything except the `_ingested_at` wall

@@ -13,14 +13,19 @@ class PipelineSpec extends SparkSuite {
 
     val tables = Seq(
       "bronze/events", "silver/events_state",
-      "gold/orders_enriched", "gold/daily_sales_summary",
-      "gold/customer_segments", "gold/product_performance",
       "warehouse/dim_customer", "warehouse/dim_order_status",
       "warehouse/dim_time", "warehouse/fact_order_lines",
       "warehouse/mv_daily_revenue", "warehouse/mv_monthly_revenue",
       "warehouse/mv_nation_revenue", "warehouse/mv_hourly_pattern")
     tables.foreach { t =>
       assert(spark.read.parquet(s"$out/$t").count() > 0, s"$t is empty")
+    }
+    // gold publishes as versioned snapshot tables
+    val goldTables = Seq("gold/orders_enriched", "gold/daily_sales_summary",
+      "gold/customer_segments", "gold/product_performance")
+    goldTables.foreach { t =>
+      assert(sources.Snapshots.read(spark, s"$out/$t").count() > 0,
+        s"$t is empty")
     }
 
     // layout contracts
@@ -40,15 +45,22 @@ class PipelineSpec extends SparkSuite {
 
     // referential sanity: every fact row's order exists in gold
     val fact = spark.read.parquet(s"$out/warehouse/fact_order_lines")
-    val gold = spark.read.parquet(s"$out/gold/orders_enriched")
+    val gold = sources.Snapshots.read(spark, s"$out/gold/orders_enriched")
     assert(fact.join(gold, fact("l_orderkey") === gold("o_orderkey"),
       "left_anti").count() == 0, "fact rows reference missing orders")
 
-    // rerun idempotence: the checkpointed bronze ingest must not
-    // re-append, and every batch layer overwrites
+    // rerun: the checkpointed bronze ingest must not re-append; gold
+    // gains a version whose LATEST content is unchanged (and v0 stays
+    // readable — time travel)
     val bronzeRows = spark.read.parquet(s"$out/bronze/events").count()
     Pipeline.run(spark, sfDir, out)
     assert(spark.read.parquet(s"$out/bronze/events").count() == bronzeRows,
       "pipeline rerun duplicated bronze rows")
+    val goldDir = s"$out/gold/orders_enriched"
+    assert(sources.Snapshots.versions(goldDir) == Seq(0, 1))
+    val v0 = sources.Snapshots.readVersion(spark, goldDir, 0)
+    val v1 = sources.Snapshots.read(spark, goldDir)
+    assert(v0.exceptAll(v1).isEmpty && v1.exceptAll(v0).isEmpty,
+      "gold rerun changed content")
   }
 }
