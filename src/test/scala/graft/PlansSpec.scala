@@ -67,6 +67,21 @@ class PlansSpec extends SparkSuite {
       s"expected exactly 1 of ${dates.length} partitions scanned, got $scanned")
   }
 
+  test("join-strategy hints are honored: shuffle_hash beats sort-merge on demand") {
+    import org.apache.spark.sql.functions.col
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer").hint("shuffle_hash")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = o.join(c, col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"),
+        "hint ignored — sort-merge chosen over shuffled hash")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q70 window suite computes all eight functions in one exchange") {
     val p = plan("q70_window_suite")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -45,6 +45,31 @@ class SourcesSpec extends SparkSuite {
     assert(m == Map(1L -> "a", 2L -> "b", 3L -> "c")) // 2 kept, not changed
   }
 
+  test("malformed JSON degrades to null under from_json, loudly under _corrupt_record") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val rows = Seq((1L, """{"k": 7}"""), (2L, """{"k": """), (3L, "not json"))
+      .toDF("id", "props")
+    // PERMISSIVE scalar path: bad documents → null, good ones parse —
+    // the behavior a 100 TB ingest needs (quarantine by isNull, don't
+    // fail the job on one bad producer)
+    val parsed = rows.select(col("id"),
+      from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .as("p"))
+      .select(col("id"), col("p.k").as("k"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(parsed == Map(1L -> Some(7L), 2L -> None, 3L -> None))
+    // corrupt-record capture: the quarantine column holds the raw text
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("_corrupt_record", StringType)))
+    val captured = rows.select(col("id"),
+      from_json(col("props"), schema).as("p")).select("id", "p._corrupt_record")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(captured(1L).isEmpty)
+    assert(captured(2L).nonEmpty && captured(3L).nonEmpty)
+  }
+
   test("parquet append with evolving schema reads merged (T7)") {
     val base = Files.createTempDirectory("drift").toString
     import spark.implicits._
