@@ -19,14 +19,20 @@ import org.apache.spark.sql.SparkSession
   * cache warm-up is never laundered into a steady-state number. */
 object Bench {
 
-  /** Queries whose second run would NOT repeat the first run's work —
-    * either they build a deliberately session-cached intermediate
-    * (q33/q50/q57/q58: the shared pair/label tables, Dedup.cached) or
-    * they have consumed-on-first-run streaming side effects (q43's
-    * checkpoint). Re-measuring these would report warm-cache time as
-    * if it were the query's cost, so their first measurement stands. */
+  /** Queries whose second run would NOT repeat the first run's work:
+    * q33 cold-builds the session-cached shingle/pair tables
+    * (Dedup.cached), q50 cold-builds the cluster-label cache on top,
+    * and q43 has consumed-on-first-run streaming side effects (its
+    * checkpoint). Re-measuring those would report warm-cache time as
+    * if it were the build's cost, so their first measurement stands.
+    * q57/q58 are NOT exempt although they read the same caches: in
+    * run order (sorted names) the caches are already warm before
+    * their FIRST run, so min-of-2 reports what their number honestly
+    * is — the incremental cost given the materialize-once tables,
+    * exactly their documented 100 TB shape (q33's number carries the
+    * shared build). */
   private val NoRemeasure = Set("q33_ngram_jaccard", "q43_stream_bronze",
-    "q50_dedup_clusters", "q57_training_selection", "q58_capped_pairs")
+    "q50_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,8 +57,13 @@ object Bench {
       case (name, fn) =>
         val run = time((s, d) => { fn(s, d).count(); () })
         val best =
-          if (NoRemeasure(name)) run
-          else math.min(run, time((s, d) => { fn(s, d).count(); () }))
+          if (NoRemeasure(name) || run < 0) run
+          else {
+            // a failed re-measure (-1 sentinel) must not masquerade as
+            // the minimum: the first successful time stands
+            val rerun = time((s, d) => { fn(s, d).count(); () })
+            if (rerun < 0) run else math.min(run, rerun)
+          }
         name -> best
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -119,7 +119,11 @@ object Dedup {
       if (k._1.sparkContext.isStopped) interCache.remove(k)
     }
     val canon = new java.io.File(dir).getCanonicalPath
-    val mtime = new java.io.File(canon).lastModified
+    // stat the documents TABLE dir, not the corpus parent: appends land
+    // inside the table dir and only bump its own mtime (a parent-dir
+    // stat would miss in-place appends and serve stale pairs/labels)
+    val mtime = new java.io.File(graft.Tables.path(canon, "documents"))
+      .lastModified
     interCache.getOrElseUpdate((spark, canon, mtime, kind), build)
   }
 

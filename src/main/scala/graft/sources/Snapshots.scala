@@ -115,18 +115,43 @@ object Snapshots {
     * with it) and commit the RESULT as the next version — Delta's
     * `merge` + transaction in one step, over [[graft.silver.Merge]]
     * semantics. Readers on the old version stay isolated; the merge
-    * becomes visible atomically with the new version's _SUCCESS. */
+    * becomes visible atomically with the new version's _SUCCESS.
+    *
+    * CONCURRENCY CONTRACT: one writer per table. A merge is a
+    * read-modify-write, so two concurrent mergeCommits would each
+    * derive from the same base and the later one would silently drop
+    * the earlier one's keys — [[commit]]'s claim race protects the
+    * VERSION NUMBERS, not the merge lineage (Delta raises
+    * ConcurrentAppendException here; a full conflict detector is out
+    * of scope). As a best-effort guard, a version COMMITTED between
+    * our base read and our claim is detected after the write: the
+    * stale version rolls back (its dir deleted) and the caller gets a
+    * ConcurrentModificationException to retry on. A racer that
+    * CLAIMED earlier but completes later is not detectable this way —
+    * hence the single-writer contract. */
   def mergeCommit(spark: SparkSession, source: DataFrame, tableDir: String,
                   keys: Seq[String], versionCol: String): Int = {
-    val merged = versions(tableDir) match {
+    val base = versions(tableDir)
+    val merged = base match {
       case Seq() => source
       case vs =>
         graft.silver.Merge.upsert(
           readVersion(spark, tableDir, vs.last), source, keys, versionCol)
     }
-    // materialize before the claim: the merged plan reads the OLD
-    // version's files, which stay immutable, but computing it inside
-    // the new claimed dir's write is still one job
-    commit(merged, tableDir)
+    // the merged plan reads the base version's files, which stay
+    // immutable even while later versions land
+    val v = commit(merged, tableDir)
+    val interleaved = versions(tableDir)
+      .filter(x => x > base.lastOption.getOrElse(-1) && x < v)
+    if (interleaved.nonEmpty) {
+      def deleteRec(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+      }
+      deleteRec(new File(versionDir(tableDir, v)))
+      throw new java.util.ConcurrentModificationException(
+        s"version(s) $interleaved committed under mergeCommit's base " +
+          s"(read $base); stale merge $v rolled back — retry")
+    }
+    v
   }
 }

@@ -38,11 +38,9 @@ object Scd {
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull ||
         col("prev_type") =!= col("event_type"))
-    val w2 = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
     changes
-      .withColumn("version_no", row_number().over(w2))
-      .withColumn("effective_to_us", lead(col("ts_us"), 1).over(w2))
+      .withColumn("version_no", row_number().over(w))
+      .withColumn("effective_to_us", lead(col("ts_us"), 1).over(w))
       .select(col("user_id"), col("version_no").cast("int").as("version_no"),
         col("event_type").as("state"),
         col("ts_us").as("effective_from_us"),

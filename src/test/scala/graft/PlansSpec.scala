@@ -71,6 +71,7 @@ class PlansSpec extends SparkSuite {
     import org.apache.spark.sql.functions.col
     val o = Tables.load(spark, sfDir, "orders")
     val c = Tables.load(spark, sfDir, "customer").hint("shuffle_hash")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val p = o.join(c, col("o_custkey") === col("c_custkey"))
@@ -79,7 +80,7 @@ class PlansSpec extends SparkSuite {
       assert(!p.contains("SortMergeJoin"),
         "hint ignored — sort-merge chosen over shuffled hash")
     } finally
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q70 window suite computes all eight functions in one exchange") {

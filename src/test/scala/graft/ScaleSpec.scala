@@ -110,6 +110,7 @@ class ScaleSpec extends SparkSuite {
   test("bucketed tables join with zero exchanges") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       Tables.load(spark, sfDir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -119,12 +120,9 @@ class ScaleSpec extends SparkSuite {
         .select("l_orderkey", "l_quantity")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("b_lineitem")
-      val joined = spark.conf.get("spark.sql.autoBroadcastJoinThreshold") match {
-        case _ =>
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-          spark.table("b_orders").join(spark.table("b_lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("Exchange"),
@@ -132,7 +130,7 @@ class ScaleSpec extends SparkSuite {
       assert(joined.count() ==
         Tables.load(spark, sfDir, "lineitem").count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
