@@ -118,7 +118,9 @@ object SparkEntry {
     // train/eval contamination flags (cross-set n-gram overlap)
     "q74_decontamination"    -> (ext.Dedup.decontamination _),
     // expectation suite (one-scan row-local checks + broadcast FK)
-    "q75_data_quality"       -> (ops.Quality.ordersExpectations _)
+    "q75_data_quality"       -> (ops.Quality.ordersExpectations _),
+    // native session_window spelling of q45 (streaming-ready operator)
+    "q76_session_windows"    -> (streaming.Sessions.sessionWindows _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -202,6 +204,7 @@ object SparkEntry {
     "q72_scd2_user_state"    -> warehouse.Scd.scd2UserStateSql,
     "q73_knn_quantized"      -> ext.Similarity.knnQuantizedSql,
     "q74_decontamination"    -> ext.Dedup.decontaminationSql,
-    "q75_data_quality"       -> ops.Quality.ordersExpectationsSql
+    "q75_data_quality"       -> ops.Quality.ordersExpectationsSql,
+    "q76_session_windows"    -> streaming.Sessions.sessionWindowsSql
   )
 }

@@ -92,6 +92,56 @@ object Sessions {
        |FROM s GROUP BY user_id, session_no
        |ORDER BY user_id, session_no""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+
+  /** q76 — the NATIVE session-window spelling of q45: one
+    * `groupBy(user, session_window(ts, gap))` instead of the
+    * lag + cumulative-sum island construction. Same gap semantics
+    * (Spark merges sessions while `next.ts < prev.ts + gap`, i.e. a
+    * gap ≥ 30 min opens a new session — exactly q45's predicate);
+    * the window END is last event + gap by definition, so the oracle
+    * derives it as max(ts) + gap from the island construction.
+    *
+    * Why both spellings exist: session_window runs UNCHANGED under
+    * readStream + watermark (the streaming-native path, state evicted
+    * by watermark), while the island form is the portable batch shape
+    * every SQL engine can run — the gate proves they agree. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Cols.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  val sessionWindowsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, value,
+       |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS ts_us
+       |  FROM events),
+       |m AS (
+       |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w >= $SessionGapUs
+       |                   OR lag(ts_us) OVER w IS NULL
+       |            THEN 1 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+       |s AS (
+       |  SELECT *, sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts_us
+       |    ROWS UNBOUNDED PRECEDING) AS session_no
+       |  FROM m)
+       |SELECT user_id,
+       |  min(ts_us) AS session_start_us,
+       |  max(ts_us) + $SessionGapUs AS session_end_us,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  ${graft.util.Cols.dsumSql("value")} AS sum_value
+       |FROM s GROUP BY user_id, session_no
+       |ORDER BY user_id, session_start_us""".stripMargin
+
   // ---------------------------------------------------------------- q67
 
   /** Attribution window: a purchase counts for a click that happened
