@@ -120,7 +120,9 @@ object SparkEntry {
     // expectation suite (one-scan row-local checks + broadcast FK)
     "q75_data_quality"       -> (ops.Quality.ordersExpectations _),
     // native session_window spelling of q45 (streaming-ready operator)
-    "q76_session_windows"    -> (streaming.Sessions.sessionWindows _)
+    "q76_session_windows"    -> (streaming.Sessions.sessionWindows _),
+    // byte-budgeted training-batch packing over the asset manifest
+    "q77_batch_packing"      -> (ext.Multimodal.batchPacking _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -205,6 +207,7 @@ object SparkEntry {
     "q73_knn_quantized"      -> ext.Similarity.knnQuantizedSql,
     "q74_decontamination"    -> ext.Dedup.decontaminationSql,
     "q75_data_quality"       -> ops.Quality.ordersExpectationsSql,
-    "q76_session_windows"    -> streaming.Sessions.sessionWindowsSql
+    "q76_session_windows"    -> streaming.Sessions.sessionWindowsSql,
+    "q77_batch_packing"      -> ext.Multimodal.batchPackingSql
   )
 }

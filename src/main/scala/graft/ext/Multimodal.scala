@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -72,6 +73,48 @@ object Multimodal {
       |  CAST(16 + n_chars % 240 AS INT) AS width,
       |  CAST(16 + (n_chars * 7) % 240 AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+
+  /** Target bytes per training batch for the packer. */
+  val BatchTargetBytes = 64L * 1024
+
+  /** q77 — deterministic training-batch packing: assign each asset of
+    * a modality to a byte-budgeted batch so a loader can fetch
+    * batch-sized shards. batch_no = floor(bytes-before-this-asset /
+    * target) over the (format, doc_id) order — the closed-form
+    * running-sum spelling (a batch may overflow by at most one
+    * asset, the standard relaxation that keeps packing parallel and
+    * rerun-stable instead of sequential first-fit).
+    *
+    * Scale: ONE window per modality partition — the running sum
+    * shuffles on `format`. Real corpora sub-partition the window key
+    * (e.g. (modality, shard_date)) so no single partition serializes;
+    * the per-row arithmetic is unchanged. */
+  def batchPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("format")).orderBy(col("doc_id"))
+    assetManifest(spark, dir)
+      .withColumn("bytes_before",
+        coalesce(sum(col("n_bytes"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("format"), col("doc_id"), col("n_bytes"),
+        (col("bytes_before") / BatchTargetBytes).cast("long").as("batch_no"))
+      .orderBy(col("format"), col("doc_id"))
+  }
+
+  val batchPackingSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    ['image','audio','video'][CAST(substr(source, 4) AS INT) % 3 + 1]
+       |      AS format,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents)
+       |SELECT format, doc_id, n_bytes,
+       |  CAST(floor(coalesce(sum(n_bytes) OVER (
+       |      PARTITION BY format ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    / $BatchTargetBytes) AS BIGINT) AS batch_no
+       |FROM m ORDER BY format, doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q42
 

@@ -51,4 +51,22 @@ class MultimodalSpec extends SparkSuite {
           Multimodal.FrameStride))
     }
   }
+
+  test("batch packing: contiguous batch numbers, bounded overflow") {
+    val rows = Multimodal.batchPacking(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (fmt, perFmt) =>
+      val byBatch = perFmt.groupBy(_._2)
+      val ids = byBatch.keys.toSeq.sorted
+      assert(ids == (0L until ids.size).toSeq, s"$fmt gaps: $ids")
+      byBatch.foreach { case (b, as) =>
+        val bytes = as.map(_._3).sum
+        val maxAsset = as.map(_._3).max
+        // floor(bytes_before/target) packing: a batch holds at most
+        // target + one overflowing asset
+        assert(bytes <= Multimodal.BatchTargetBytes + maxAsset,
+          s"$fmt batch $b holds $bytes bytes")
+      }
+    }
+  }
 }
