@@ -122,7 +122,10 @@ object SparkEntry {
     // native session_window spelling of q45 (streaming-ready operator)
     "q76_session_windows"    -> (streaming.Sessions.sessionWindows _),
     // byte-budgeted training-batch packing over the asset manifest
-    "q77_batch_packing"      -> (ext.Multimodal.batchPacking _)
+    "q77_batch_packing"      -> (ext.Multimodal.batchPacking _),
+    // CUBE grouping sets; blocked fuzzy entity resolution
+    "q78_cube_revenue"       -> (ops.Analytics.cubeRevenue _),
+    "q79_entity_resolution"  -> (ops.EntityResolution.fuzzyPartLinkage _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -208,6 +211,8 @@ object SparkEntry {
     "q74_decontamination"    -> ext.Dedup.decontaminationSql,
     "q75_data_quality"       -> ops.Quality.ordersExpectationsSql,
     "q76_session_windows"    -> streaming.Sessions.sessionWindowsSql,
-    "q77_batch_packing"      -> ext.Multimodal.batchPackingSql
+    "q77_batch_packing"      -> ext.Multimodal.batchPackingSql,
+    "q78_cube_revenue"       -> ops.Analytics.cubeRevenueSql,
+    "q79_entity_resolution"  -> ops.EntityResolution.fuzzyPartLinkageSql
   )
 }

@@ -107,6 +107,41 @@ object Analytics {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q78
+
+  /** q78 — CUBE over (year, status): all four grouping sets in one
+    * pass (rollup q46 covers the hierarchical prefix sets; CUBE adds
+    * the (status)-only slice), with grouping_id as the level
+    * discriminator and coalesced labels so the subtotal rows carry no
+    * NULL ambiguity. One expand + one aggregate exchange — the expand
+    * multiplies input by the grouping-set count BEFORE the map-side
+    * combine, the standard CUBE cost model. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.cube(year(col("o_orderdate")).as("order_year"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        Cols.dsum(col("o_totalprice")).as("revenue"),
+        grouping_id().cast("long").as("lvl"))
+      .select(
+        coalesce(col("order_year").cast("string"), lit("ALL")).as("order_year"),
+        coalesce(col("status"), lit("ALL")).as("status"),
+        col("n_orders"), col("revenue"), col("lvl"))
+      .orderBy(col("lvl"), col("order_year"), col("status"))
+  }
+
+  val cubeRevenueSql: String =
+    s"""SELECT
+       |  coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+       |  coalesce(o_orderstatus, 'ALL') AS status,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  ${Cols.dsumSql("o_totalprice")} AS revenue,
+       |  CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus)
+       |    AS BIGINT) AS lvl
+       |FROM orders
+       |GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+       |ORDER BY lvl, order_year, status""".stripMargin
+
   // ---------------------------------------------------------------- q70
 
   /** q70 — ranking/distribution window suite per customer order

@@ -131,6 +131,35 @@ object StatefulStreams {
     q.awaitTermination()
   }
 
+  /** q76's session_window aggregation under readStream + watermark —
+    * the claim that the native operator runs unchanged in streaming,
+    * executed. Session windows support APPEND mode only: a session
+    * row emits once — FINAL — when the watermark passes its end, so
+    * sessions inside the last watermark horizon stay in state until
+    * later data advances the clock (the spec stages a far-future
+    * sentinel event to flush them, which is exactly how a production
+    * stream's own traffic closes old sessions). */
+  def sessionWindowsStream(spark: SparkSession, srcDir: String,
+                           ckptDir: String)(sink: DataFrame => Unit): Unit = {
+    val agg = rawEvents(spark, srcDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Cols.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (df: DataFrame, _: Long) => sink(df) }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-stream interval self-join: the q67 click→purchase
     * attribution join under two WATERMARKED streams over the same
     * staged source. Emits raw (user, click_us, buy_us) match rows in

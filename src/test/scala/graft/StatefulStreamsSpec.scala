@@ -57,6 +57,33 @@ class StatefulStreamsSpec extends SparkSuite {
     assert(ids.distinct.size == 400)
   }
 
+  test("native session_window stream equals the batch q76 result") {
+    val base = Files.createTempDirectory("swstream").toString
+    val raw = rawLongEvents()
+    stage(raw, s"$base/src/all.parquet")
+    val emitted = collection.mutable.ArrayBuffer.empty[Row]
+    val sink = (df: org.apache.spark.sql.DataFrame) =>
+      { emitted ++= df.collect(); () }
+    graft.streaming.StatefulStreams.sessionWindowsStream(
+      spark, s"$base/src", s"$base/ckpt")(sink)
+    // append mode holds sessions inside the final watermark horizon;
+    // a far-future sentinel event (fake user) advances the clock and
+    // flushes them — the role later real traffic plays in production
+    val maxTs = raw.agg(max(expr("ts"))).head.getLong(0)
+    stage(raw.limit(1)
+        .withColumn("ts", lit(maxTs + 365L * 86400 * 1000000000L))
+        .withColumn("user_id", lit(-1L)),
+      s"$base/src/sentinel.parquet")
+    graft.streaming.StatefulStreams.sessionWindowsStream(
+      spark, s"$base/src", s"$base/ckpt")(sink)
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))
+    val got = emitted.map(key).filter(_._1 >= 0).toSet
+    val want = Sessions.sessionWindows(spark, sfDir).collect().map(key).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("snapshot-log bronze sink is exactly-once across checkpoint loss") {
     val base = Files.createTempDirectory("snapbronze").toString
     val raw = rawLongEvents().limit(600)
