@@ -125,7 +125,9 @@ object SparkEntry {
     "q77_batch_packing"      -> (ext.Multimodal.batchPacking _),
     // CUBE grouping sets; blocked fuzzy entity resolution
     "q78_cube_revenue"       -> (ops.Analytics.cubeRevenue _),
-    "q79_entity_resolution"  -> (ops.EntityResolution.fuzzyPartLinkage _)
+    "q79_entity_resolution"  -> (ops.EntityResolution.fuzzyPartLinkage _),
+    // q27's dimension build with the cross-engine md5 surrogate key
+    "q80_dim_customer_md5"   -> (warehouse.Star.dimCustomerMd5 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -213,6 +215,7 @@ object SparkEntry {
     "q76_session_windows"    -> streaming.Sessions.sessionWindowsSql,
     "q77_batch_packing"      -> ext.Multimodal.batchPackingSql,
     "q78_cube_revenue"       -> ops.Analytics.cubeRevenueSql,
-    "q79_entity_resolution"  -> ops.EntityResolution.fuzzyPartLinkageSql
+    "q79_entity_resolution"  -> ops.EntityResolution.fuzzyPartLinkageSql,
+    "q80_dim_customer_md5"   -> warehouse.Star.dimCustomerMd5Sql
   )
 }

@@ -132,4 +132,30 @@ object Star {
         col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("c_acctbal"))
       .orderBy(col("c_custkey"))
+
+  // ---------------------------------------------------------------- q80
+
+  /** q80 — q27's dimension build with a CROSS-ENGINE surrogate key:
+    * the 60-bit md5 bridge ([[graft.ext.HashBridge]]) instead of
+    * xxhash64, which DuckDB cannot reproduce. q27 stays as the
+    * reference-fidelity spelling (spark/load_warehouse.py:109 uses
+    * xxhash64, rows-only + XxHashSpec); this twin makes the surrogate
+    * PATTERN itself fully oracle-hash-checked — same salt/collision
+    * properties, one digest per row, pick per deployment. */
+  def dimCustomerMd5(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(
+        graft.ext.HashBridge.md5Bits60(
+          md5(concat(lit("dim:"), col("c_custkey").cast("string"))))
+          .as("customer_key"),
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  val dimCustomerMd5Sql: String =
+    s"""SELECT
+       |  ${graft.ext.HashBridge.md5Bits60Sql(
+            "md5('dim:' || CAST(c_custkey AS VARCHAR))")} AS customer_key,
+       |  c_custkey, c_name, c_mktsegment, c_acctbal
+       |FROM customer ORDER BY c_custkey""".stripMargin
 }
