@@ -127,7 +127,9 @@ object SparkEntry {
     "q78_cube_revenue"       -> (ops.Analytics.cubeRevenue _),
     "q79_entity_resolution"  -> (ops.EntityResolution.fuzzyPartLinkage _),
     // q27's dimension build with the cross-engine md5 surrogate key
-    "q80_dim_customer_md5"   -> (warehouse.Star.dimCustomerMd5 _)
+    "q80_dim_customer_md5"   -> (warehouse.Star.dimCustomerMd5 _),
+    // integer-exact PageRank over the shared near-dup graph
+    "q81_pagerank_neardup"   -> (ext.Graph.pagerankNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -216,6 +218,7 @@ object SparkEntry {
     "q77_batch_packing"      -> ext.Multimodal.batchPackingSql,
     "q78_cube_revenue"       -> ops.Analytics.cubeRevenueSql,
     "q79_entity_resolution"  -> ops.EntityResolution.fuzzyPartLinkageSql,
-    "q80_dim_customer_md5"   -> warehouse.Star.dimCustomerMd5Sql
+    "q80_dim_customer_md5"   -> warehouse.Star.dimCustomerMd5Sql,
+    "q81_pagerank_neardup"   -> ext.Graph.pagerankNearDupSql
   )
 }
