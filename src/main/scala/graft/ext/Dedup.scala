@@ -113,7 +113,7 @@ object Dedup {
   private val interCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Long, String), DataFrame]
 
-  private def cached(spark: SparkSession, dir: String, kind: String)
+  private[ext] def cached(spark: SparkSession, dir: String, kind: String)
                     (build: => DataFrame): DataFrame = {
     interCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) interCache.remove(k)

@@ -39,9 +39,19 @@ object Graph {
     * pair table is the SAME session-cached intermediate q33/q50/q57
     * share, so the graph build adds no new scan. */
   def pagerankNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // co-partition the symmetric edge table on its join key ONCE and
+    // cache it beside the pair table: every iteration's join then
+    // shuffles only the node-sized contribution table, not the edges
+    // (at 100 TB edges dominate; re-shuffling them x iterations is
+    // the naive PageRank's main waste)
+    val edges = Dedup.cached(spark, dir, "pagerankEdges") {
+      val pairs = Dedup.nearDupPairs(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+      pairs.unionByName(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .repartition(col("doc_a"))
+        .persist()
+    }
     val deg = edges.groupBy(col("doc_a"))
       .agg(count(lit(1)).as("outdeg"))
     val n = deg.count()
