@@ -444,10 +444,16 @@ object Dedup {
         coalesce(col("_lbl"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Symmetrize an undirected pair table into directed edges (both
+    * orientations) — one definition for every graph consumer (CC here,
+    * PageRank in [[Graph]]). */
+  private[ext] def symmetrize(pairs: DataFrame, a: String, b: String): DataFrame =
+    pairs.select(col(a), col(b))
+      .unionByName(pairs.select(col(b).as(a), col(a).as(b)))
+
   /** Distributed iterative min-label propagation — the 100 TB path. */
   private def distributedCc(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    val edges = symmetrize(pairs, "a", "b")
       .toDF("src", "dst").localCheckpoint()
     var labels = docs.select(col("doc_id"))
       .withColumn("cluster_id", col("doc_id")).localCheckpoint()

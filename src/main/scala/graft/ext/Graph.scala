@@ -45,10 +45,7 @@ object Graph {
     // (at 100 TB edges dominate; re-shuffling them x iterations is
     // the naive PageRank's main waste)
     val edges = Dedup.cached(spark, dir, "pagerankEdges") {
-      val pairs = Dedup.nearDupPairs(spark, dir)
-        .select(col("doc_a"), col("doc_b"))
-      pairs.unionByName(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      Dedup.symmetrize(Dedup.nearDupPairs(spark, dir), "doc_a", "doc_b")
         .repartition(col("doc_a"))
         .persist()
     }

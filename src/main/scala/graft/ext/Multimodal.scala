@@ -98,7 +98,10 @@ object Multimodal {
         coalesce(sum(col("n_bytes"))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("format"), col("doc_id"), col("n_bytes"),
-        (col("bytes_before") / BatchTargetBytes).cast("long").as("batch_no"))
+        // integer `div`, not `/`: the double route is exact only while
+        // sums stay under 2^53 and the target is a power of two —
+        // neither is a property worth depending on at the design scale
+        expr(s"bytes_before div ${BatchTargetBytes}L").as("batch_no"))
       .orderBy(col("format"), col("doc_id"))
   }
 
@@ -110,10 +113,10 @@ object Multimodal {
        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
        |  FROM documents)
        |SELECT format, doc_id, n_bytes,
-       |  CAST(floor(coalesce(sum(n_bytes) OVER (
+       |  CAST(coalesce(sum(n_bytes) OVER (
        |      PARTITION BY format ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |    / $BatchTargetBytes) AS BIGINT) AS batch_no
+       |    // $BatchTargetBytes AS BIGINT) AS batch_no
        |FROM m ORDER BY format, doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q42

@@ -144,14 +144,23 @@ object Snapshots {
     val interleaved = versions(tableDir)
       .filter(x => x > base.lastOption.getOrElse(-1) && x < v)
     if (interleaved.nonEmpty) {
-      def deleteRec(f: File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
-      }
-      deleteRec(new File(versionDir(tableDir, v)))
+      // UNPUBLISH FIRST: deleting _SUCCESS atomically returns the
+      // version to claimed-but-incomplete (invisible to every reader
+      // primitive) BEFORE any data file disappears — deleting data
+      // under a still-visible _SUCCESS would hand readLog a silently
+      // truncated version, the torn read this module exists to prevent
+      new File(versionDir(tableDir, v), "_SUCCESS").delete()
+      deleteRecursively(new File(versionDir(tableDir, v)))
       throw new java.util.ConcurrentModificationException(
         s"version(s) $interleaved committed under mergeCommit's base " +
           s"(read $base); stale merge $v rolled back — retry")
     }
     v
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
   }
 }

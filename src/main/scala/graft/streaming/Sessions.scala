@@ -96,11 +96,17 @@ object Sessions {
 
   /** q76 — the NATIVE session-window spelling of q45: one
     * `groupBy(user, session_window(ts, gap))` instead of the
-    * lag + cumulative-sum island construction. Same gap semantics
-    * (Spark merges sessions while `next.ts < prev.ts + gap`, i.e. a
-    * gap ≥ 30 min opens a new session — exactly q45's predicate);
-    * the window END is last event + gap by definition, so the oracle
-    * derives it as max(ts) + gap from the island construction.
+    * lag + cumulative-sum island construction. BOUNDARY CONTRACT:
+    * Spark's merging iterator starts a new session only when
+    * `next.ts > prev.ts + gap` (verified against
+    * MergingSessionsIterator: the compare is strict-greater), so an
+    * event landing EXACTLY gap after its predecessor MERGES — one
+    * boundary event different from q45, whose island predicate
+    * `diff >= gap` splits there (and whose streaming twin does too).
+    * The oracle below uses the native operator's `>` so the gate
+    * pins the real engine semantics rather than papering over the
+    * off-by-boundary; the window END is last event + gap by
+    * definition, so the oracle derives it as max(ts) + gap.
     *
     * Why both spellings exist: session_window runs UNCHANGED under
     * readStream + watermark (the streaming-native path, state evicted
@@ -121,17 +127,17 @@ object Sessions {
 
   val sessionWindowsSql: String =
     s"""WITH e AS (
-       |  SELECT user_id, value,
+       |  SELECT user_id, event_id, value,
        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS ts_us
        |  FROM events),
        |m AS (
-       |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w >= $SessionGapUs
+       |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > $SessionGapUs
        |                   OR lag(ts_us) OVER w IS NULL
        |            THEN 1 ELSE 0 END AS new_session
-       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
        |s AS (
        |  SELECT *, sum(new_session) OVER (
-       |    PARTITION BY user_id ORDER BY ts_us
+       |    PARTITION BY user_id ORDER BY ts_us, event_id
        |    ROWS UNBOUNDED PRECEDING) AS session_no
        |  FROM m)
        |SELECT user_id,

@@ -58,7 +58,17 @@ class MultimodalSpec extends SparkSuite {
     rows.groupBy(_._1).foreach { case (fmt, perFmt) =>
       val byBatch = perFmt.groupBy(_._2)
       val ids = byBatch.keys.toSeq.sorted
-      assert(ids == (0L until ids.size).toSeq, s"$fmt gaps: $ids")
+      assert(ids.head == 0L, s"$fmt batches must start at 0")
+      // an id gap is legal ONLY when the earlier batch holds an asset
+      // spanning the skipped byte range (the documented one-asset
+      // overflow); otherwise ids are contiguous
+      ids.sliding(2).foreach {
+        case Seq(a, b) if b > a + 1 =>
+          val spanned = (b - a - 1) * Multimodal.BatchTargetBytes
+          assert(byBatch(a).map(_._3).max >= spanned,
+            s"$fmt gap $a->$b without an asset spanning it")
+        case _ => ()
+      }
       byBatch.foreach { case (b, as) =>
         val bytes = as.map(_._3).sum
         val maxAsset = as.map(_._3).max
