@@ -129,7 +129,9 @@ object SparkEntry {
     // q27's dimension build with the cross-engine md5 surrogate key
     "q80_dim_customer_md5"   -> (warehouse.Star.dimCustomerMd5 _),
     // integer-exact PageRank over the shared near-dup graph
-    "q81_pagerank_neardup"   -> (ext.Graph.pagerankNearDup _)
+    "q81_pagerank_neardup"   -> (ext.Graph.pagerankNearDup _),
+    // quality-weighted importance sampling (keep probability = q29 score)
+    "q82_weighted_sample"    -> (ext.Curation.qualityWeightedSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,6 +221,7 @@ object SparkEntry {
     "q78_cube_revenue"       -> ops.Analytics.cubeRevenueSql,
     "q79_entity_resolution"  -> ops.EntityResolution.fuzzyPartLinkageSql,
     "q80_dim_customer_md5"   -> warehouse.Star.dimCustomerMd5Sql,
-    "q81_pagerank_neardup"   -> ext.Graph.pagerankNearDupSql
+    "q81_pagerank_neardup"   -> ext.Graph.pagerankNearDupSql,
+    "q82_weighted_sample"    -> ext.Curation.qualityWeightedSampleSql
   )
 }

@@ -155,6 +155,55 @@ object Curation {
        |ORDER BY r.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q82
+
+  /** q82 — QUALITY-WEIGHTED deterministic sampling: each document's
+    * keep probability IS its quality score (q29), decided by
+    * `hash < floor(score · 2^60)` — the importance-sampling step of a
+    * training mix (upweight clean text, downweight junk) with q59's
+    * bit-reproducibility. Parity: the score is the oracle-proven q29
+    * expression; `· 2^60` and `floor` are exact IEEE ops on identical
+    * doubles, and the compare is integer — no rounding-mode
+    * divergence anywhere. Zero shuffles: scan → scalar predicate. */
+  def qualityWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val h = HashBridge.md5Bits60(
+      md5(concat(lit("wq:"), col("doc_id").cast("string"))))
+    scored
+      .withColumn("sample_hash", h)
+      .withColumn("threshold",
+        floor(col("quality_score") * lit(1152921504606846976.0d))
+          .cast("long"))
+      .filter(col("sample_hash") < col("threshold"))
+      .select(col("doc_id"), col("quality_score"), col("sample_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityWeightedSampleSql: String = {
+    val h = HashBridge.md5Bits60Sql("md5('wq:' || CAST(doc_id AS VARCHAR))")
+    // re-derive the q29 score expression (same CTE as the q29 oracle)
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      t -> t IN (${TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")})))
+       |      AS DOUBLE) AS sc,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS nt,
+       |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+       |      AS pc,
+       |    CAST(length(text) AS DOUBLE) AS nc
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(0.5 * (sc / nt) + 0.3 * least(1.0, nt / 100.0)
+       |          + 0.2 * (1.0 - pc / nc), 6) AS quality_score
+       |  FROM f)
+       |SELECT doc_id, quality_score, $h AS sample_hash
+       |FROM q
+       |WHERE $h < CAST(floor(quality_score * 1152921504606846976.0) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q68
 
   /** Fixed per-stratum quota for the q68 sampler. */
