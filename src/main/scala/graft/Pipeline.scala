@@ -25,6 +25,7 @@ object Pipeline {
 
   /** All layer outputs, in dependency order. */
   def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    lastRunMetrics.clear()
     // ---- bronze (streaming; its own checkpoint under outDir)
     streaming.Bronze.ingest(spark,
       stageEventsDir(sfDir, outDir), s"$outDir/bronze/events",
@@ -73,8 +74,23 @@ object Pipeline {
     write(warehouse.Views.mvHourlyPattern(spark, sfDir), s"$outDir/warehouse/mv_hourly_pattern")
   }
 
-  private def write(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+  /** Per-layer write metrics collected via `Dataset.observe` — row
+    * counts ride the write job itself (an accumulator fed during the
+    * action) instead of a second count() scan per table; a production
+    * pipeline ships these to its metrics sink for freshness/volume
+    * alerting. Cleared at the start of each [[run]]. */
+  val lastRunMetrics: collection.mutable.Map[String, Long] =
+    collection.mutable.Map.empty
+
+  private def write(df: DataFrame, path: String): Unit = {
+    val name = path.replaceAll(".*/", "")
+    val obs = new org.apache.spark.sql.Observation(s"write_$name")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(path)
+    lastRunMetrics.put(name, obs.get("n_rows").asInstanceOf[Long])
+    ()
+  }
 
   /** Stage the events file for the file-stream source at a STABLE
     * path under outDir: the checkpoint's seen-files log keys on the

@@ -62,5 +62,11 @@ class PipelineSpec extends SparkSuite {
     val v1 = sources.Snapshots.read(spark, goldDir)
     assert(v0.exceptAll(v1).isEmpty && v1.exceptAll(v0).isEmpty,
       "gold rerun changed content")
+
+    // observe-based write metrics rode the write jobs (no extra scans)
+    val metrics = Pipeline.lastRunMetrics
+    assert(metrics("events_state") ==
+      spark.read.parquet(s"$out/silver/events_state").count())
+    assert(metrics.get("mv_daily_revenue").exists(_ > 0))
   }
 }

@@ -45,6 +45,27 @@ class SourcesSpec extends SparkSuite {
     assert(m == Map(1L -> "a", 2L -> "b", 3L -> "c")) // 2 kept, not changed
   }
 
+  test("JSON-lines source: explicit schema, typed reads, corrupt-line capture") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      ("""{"id": 1, "name": "a", "score": 0.5}""" + "\n" +
+       """{"id": 2, "name": "b"}""" + "\n" +
+       """{"id": broken""" + "\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    // explicit schema (never inferred — an inference pass over 100 TB
+    // is a full extra scan) + PERMISSIVE corrupt capture
+    val rows = spark.read.schema(schema).json(dir).collect()
+    assert(rows.length == 3)
+    val good = rows.filter(_.getAs[String]("_corrupt_record") == null)
+    assert(good.map(_.getAs[Long]("id")).sorted.sameElements(Array(1L, 2L)))
+    assert(good.find(_.getAs[Long]("id") == 2L).get.isNullAt(2)) // absent field
+    assert(rows.count(_.getAs[String]("_corrupt_record") != null) == 1)
+  }
+
   test("malformed JSON degrades to null under from_json, loudly under _corrupt_record") {
     import spark.implicits._
     import org.apache.spark.sql.types._
