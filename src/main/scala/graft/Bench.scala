@@ -1,8 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Driver bench: one JSON line of per-query seconds over the gated
-  * inventory.
+/** Driver bench: times every gated query and reports a
+  * truncation-proof artifact.
   *
   * Methodology (round-2): every query is timed TWICE and the minimum
   * is reported — uniform steady-state measurement (JMH-style best-of-N
@@ -16,28 +16,54 @@ import org.apache.spark.sql.SparkSession
   * BASELINE.md "round-1 q34 anomaly"). Queries that build
   * session-cached intermediates or consume streaming state are
   * exempt ([[NoRemeasure]]) and keep their first — cold — time, so
-  * cache warm-up is never laundered into a steady-state number. */
+  * cache warm-up is never laundered into a steady-state number.
+  *
+  * Artifact discipline (round-3): the driver stores only the LAST
+  * 2000 characters of stdout, which silently truncated round-2's
+  * single long JSON line to 57 of 82 queries. Now:
+  *  - the COMPLETE record (full query names, every raw run, best,
+  *    total) is written to [[OutFile]] in the repo, adjudicable
+  *    regardless of stdout capture;
+  *  - the final stdout line is a compact JSON kept under
+  *    [[MaxLineChars]] (short qNN keys, 3-decimal raw-run pairs,
+  *    the total LAST so front-truncation can never eat it), so the
+  *    driver's tail parse gets every query + both raw runs.
+  */
 object Bench {
 
   /** Queries whose second run would NOT repeat the first run's work:
     * q33 cold-builds the session-cached shingle/pair tables
-    * (Dedup.cached), q50 cold-builds the cluster-label cache, q81
-    * cold-builds the co-partitioned edge cache on top of the pairs,
-    * and q43 has consumed-on-first-run streaming side effects (its
-    * checkpoint). Re-measuring those would report warm-cache time as
-    * if it were the build's cost, so their first measurement stands.
-    * q57/q58 are NOT exempt although they read the same caches: in
-    * run order (sorted names) the caches are already warm before
-    * their FIRST run, so min-of-2 reports what their number honestly
-    * is — the incremental cost given the materialize-once tables,
-    * exactly their documented 100 TB shape (q33's number carries the
-    * shared build). */
+    * (Dedup.cached), q50 cold-builds the cluster-label cache, q57
+    * cold-builds the CAPPED pair + label caches (round-3: the
+    * curation chain routes through the df-cap, and in sorted run
+    * order q57 is the first consumer), q81 cold-builds the
+    * co-partitioned edge cache on top of the pairs, and q43/q84 have
+    * consumed-on-first-run streaming side effects (their checkpoints).
+    * Re-measuring those would report warm-cache time as if it were
+    * the build's cost, so their first measurement stands. q58/q83/q85
+    * are NOT exempt although they read the capped caches: in run
+    * order the caches are already warm before their FIRST run, so
+    * min-of-2 reports what their number honestly is — the incremental
+    * cost given the materialize-once tables (q57's number carries the
+    * shared capped build; q33's carries the uncapped one). */
   private val NoRemeasure = Set("q33_ngram_jaccard", "q43_stream_bronze",
-    "q50_dedup_clusters", "q81_pagerank_neardup")
+    "q50_dedup_clusters", "q57_training_selection", "q81_pagerank_neardup",
+    "q84_pipeline_gold")
+
+  /** Complete-record sidecar, committed with the repo. */
+  val OutFile = "BENCH_LOCAL.json"
+  /** Hard budget for the final stdout line (driver tail = 2000). */
+  val MaxLineChars = 1900
+
+  private def r3(x: Double): String =
+    if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // single-run mode for scaling experiments (sf1): quadratic exact
+    // baselines are minutes there; pay them once
+    val once = sys.env.get("SPARK_GRAFT_BENCH_ONCE").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,23 +80,53 @@ object Bench {
       try { fn(spark, sfDir) } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    // name -> every raw run, in run order (1 entry for NoRemeasure)
+    val runs: Seq[(String, Seq[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val run = time((s, d) => { fn(s, d).count(); () })
-        val best =
-          if (NoRemeasure(name) || run < 0) run
-          else {
-            // a failed re-measure (-1 sentinel) must not masquerade as
-            // the minimum: the first successful time stands
-            val rerun = time((s, d) => { fn(s, d).count(); () })
-            if (rerun < 0) run else math.min(run, rerun)
-          }
-        name -> best
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+        val raw =
+          if (once || NoRemeasure(name) || run < 0) Seq(run)
+          else Seq(run, time((s, d) => { fn(s, d).count(); () }))
+        name -> raw
+      }
+    def best(raw: Seq[Double]): Double = {
+      // a failed re-measure (-1 sentinel) must not masquerade as the
+      // minimum: the first successful time stands
+      val ok = raw.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val total = runs.map(r => math.max(0.0, best(r._2))).sum
+
+    // ---- complete sidecar: full names, all raw runs, best, total
+    val fullEntries = runs.map { case (name, raw) =>
+      s""""$name":{"runs":[${raw.map(r3).mkString(",")}],"best":${r3(best(raw))}}"""
+    }.mkString(",\n  ")
+    val sidecar =
+      s"""{
+         |  "sf":"$sfDir","cpus":$cpus,"n_queries":${runs.size},
+         |  "timing":"min of the listed runs; single entry = cold cache-builder or once-mode",
+         |  "total_best_sec":${r3(total)},
+         |  "queries":{
+         |  $fullEntries
+         |  }
+         |}""".stripMargin
+    try java.nio.file.Files.write(java.nio.file.Paths.get(OutFile),
+      (sidecar + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $OutFile: $e") }
+
+    // ---- compact final line: short qNN keys + raw pairs, total LAST
+    def line(withRuns: Boolean): String = {
+      val qs = runs.map { case (name, raw) =>
+        val short = name.takeWhile(_ != '_')
+        val v = if (withRuns) s"[${raw.map(r3).mkString(",")}]" else r3(best(raw))
+        s""""$short":$v"""
+      }.mkString("{", ",", "}")
+      s"""{"queries":$qs,"sf":"$sfDir","file":"$OutFile","metric":"total","unit":"sec","value":${r3(total)}}"""
+    }
+    val out = { val l = line(withRuns = true)
+      if (l.length <= MaxLineChars) l else line(withRuns = false) }
+    println(out)
     spark.stop()
   }
 }

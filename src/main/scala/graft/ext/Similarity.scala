@@ -215,6 +215,27 @@ object Similarity {
   val IvfCells = 8
   val IvfProbes = 2
 
+  /** Argmin over the broadcast N×k expansion as ONE map-side-combined
+    * aggregate: `min(struct(dist2, cell_id, extra…))` — struct
+    * ordering is lexicographic, so the minimum IS the (dist2 asc,
+    * cell_id asc) head row the previous `row_number` window selected,
+    * with the same deterministic tie-break. The win at scale: the
+    * partial min collapses each vector's k candidate rows to one
+    * BEFORE the exchange, so the shuffle moves N rows instead of
+    * sorting N×k inside window partitions (verdict r2 item 4;
+    * PlansSpec asserts the assign plans are Window-free and
+    * partially aggregated). `extra` columns (emb/nrm for the probe
+    * path) ride in trailing struct fields — compared only on total
+    * (dist2, cell_id) ties, i.e. never, since cell_id is unique. */
+  private def argminCell(expanded: DataFrame, extra: Seq[String]): DataFrame = {
+    val fields = Seq(col("dist2"), col("cell_id")) ++ extra.map(col)
+    expanded
+      .groupBy(col("vec_id"))
+      .agg(min(struct(fields: _*)).as("m"))
+      .select(Seq(col("vec_id"), col("m.dist2"), col("m.cell_id")) ++
+        extra.map(e => col(s"m.$e")): _*)
+  }
+
   /** Cell assignment: nearest of the [[IvfCells]] deterministic
     * centroids by squared L2 = a·a + b·b − 2·a·b (argmin, tie-break
     * on centroid id). Broadcast join: one corpus scan, no corpus
@@ -225,13 +246,10 @@ object Similarity {
     val cents = v.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell_id"), col("emb").as("cemb"),
         col("n2").as("cn2"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist2"), col("cell_id"))
-    v.join(broadcast(cents))
+    val expanded = v.join(broadcast(cents))
       .withColumn("dist2",
         col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    argminCell(expanded, Seq.empty)
       .select(col("vec_id"), col("cell_id"), round(col("dist2"), 4).as("dist2"))
       .orderBy(col("vec_id"))
   }
@@ -265,16 +283,20 @@ object Similarity {
     val cents = v.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell_id"), col("emb").as("cemb"),
         col("n2").as("cn2"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist2"), col("cell_id"))
-    val ranked = v.join(broadcast(cents))
+    def expand(src: DataFrame): DataFrame = src.join(broadcast(cents))
       .withColumn("dist2",
         col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
-      .withColumn("rn", row_number().over(w))
-    val corpusCells = ranked.filter(col("rn") === 1)
+    // corpus side: one-per-vector argmin aggregate (emb/nrm ride in
+    // the struct — no join-back, no N×k window sort)
+    val corpusCells = argminCell(expand(v), Seq("emb", "nrm"))
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell_id"))
-    val queryCells = ranked
-      .filter(col("vec_id") < NumQueries && col("rn") <= IvfProbes)
+    // probe side: top-nprobe needs a rank, but only over the tiny
+    // query subset (NumQueries×k rows) — the window is negligible here
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2"), col("cell_id"))
+    val queryCells = expand(v.filter(col("vec_id") < NumQueries))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"),
         col("nrm").as("qn"), col("cell_id"))
     val scored = queryCells.as("q").join(corpusCells.as("v"),
@@ -306,13 +328,10 @@ object Similarity {
     val cents0 = v.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell_id"), col("emb").as("cemb"),
         col("n2").as("cn2"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist2"), col("cell_id"))
-    val assign0 = v.join(broadcast(cents0))
+    def expand(cents: DataFrame): DataFrame = v.join(broadcast(cents))
       .withColumn("dist2",
         col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val assign0 = argminCell(expand(cents0), Seq.empty)
       .select(col("vec_id"), col("cell_id"))
     val refined = v.join(assign0, Seq("vec_id"))
       .select(col("cell_id"), posexplode(col("emb")))
@@ -323,11 +342,7 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         s => s.getField("cv")).as("cemb"))
       .withColumn("cn2", dot(col("cemb"), col("cemb")))
-    v.join(broadcast(refined))
-      .withColumn("dist2",
-        col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    argminCell(expand(refined), Seq.empty)
       .select(col("vec_id"), col("cell_id"), round(col("dist2"), 4).as("dist2"))
       .orderBy(col("vec_id"))
   }

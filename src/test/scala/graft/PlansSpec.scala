@@ -120,4 +120,18 @@ class PlansSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q39 ivf assign is a Window-free partial-aggregated argmin") {
+    val p = plan("q39_ivf_assign")
+    assert(!p.contains("Window"),
+      s"argmin fell back to a row_number window (N×k sort):\n$p")
+    assert(p.contains("partial_min"),
+      s"argmin must map-side combine before the exchange:\n$p")
+  }
+
+  test("q56 refined assign keeps both assignment passes Window-free") {
+    val p = plan("q56_ivf_refined_assign")
+    assert(!p.contains("Window"),
+      s"argmin fell back to a row_number window (N×k sort):\n$p")
+  }
 }
