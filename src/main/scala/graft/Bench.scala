@@ -31,21 +31,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Queries whose second run would NOT repeat the first run's work:
-    * q33 cold-builds the session-cached shingle/pair tables
-    * (Dedup.cached), q50 cold-builds the cluster-label cache, q57
-    * cold-builds the CAPPED pair + label caches (round-3: the
-    * curation chain routes through the df-cap, and in sorted run
-    * order q57 is the first consumer), q81 cold-builds the
-    * co-partitioned edge cache on top of the pairs, and q43/q84 have
-    * consumed-on-first-run streaming side effects (their checkpoints).
-    * Re-measuring those would report warm-cache time as if it were
-    * the build's cost, so their first measurement stands. q58/q83/q85
-    * are NOT exempt although they read the capped caches: in run
-    * order the caches are already warm before their FIRST run, so
-    * min-of-2 reports what their number honestly is — the incremental
-    * cost given the materialize-once tables (q57's number carries the
-    * shared capped build; q33's carries the uncapped one). */
+  /** Queries kept at their FIRST (cold) measurement. Two reasons:
+    *
+    * (a) the second run would NOT repeat the first run's work, so
+    * min-of-2 would launder cache warm-up into a steady-state number:
+    * q33 cold-builds the session-cached shingle-group + UNCAPPED pair
+    * tables (Dedup.cached), q50 cold-builds the uncapped cluster-label
+    * cache, q57 cold-builds the CAPPED pair + capped label caches (in
+    * sorted run order it is the first consumer of the capped chain),
+    * q81 cold-builds the co-partitioned PageRank edge cache on top of
+    * the capped pairs, and q43's checkpoint is consumed on first run.
+    *
+    * (b) q84 runs the full pipeline into a FRESH dir each call — both
+    * runs would be identically cold, so a second multi-second run
+    * buys no steady-state information; its single cold time IS its
+    * honest number.
+    *
+    * q58/q83 are NOT exempt although they read the capped caches: in
+    * run order q57 has already warmed those before their first run,
+    * so min-of-2 reports their honest incremental cost given the
+    * materialize-once tables (q57's number carries the shared capped
+    * build; q33's carries the uncapped one). Membership is asserted
+    * against the registry at startup, so this set cannot silently
+    * drift from the query inventory. */
   private val NoRemeasure = Set("q33_ngram_jaccard", "q43_stream_bronze",
     "q50_dedup_clusters", "q57_training_selection", "q81_pagerank_neardup",
     "q84_pipeline_gold")
@@ -59,6 +67,9 @@ object Bench {
     if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
   def main(args: Array[String]): Unit = {
+    val unknown = NoRemeasure.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"NoRemeasure names absent from SparkEntry.queries: $unknown")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // single-run mode for scaling experiments (sf1): quadratic exact
@@ -95,7 +106,12 @@ object Bench {
       val ok = raw.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
+    // a crashed query (-1 sentinel) contributes 0 s to the total; the
+    // explicit n_failed count keeps that from silently shrinking the
+    // headline — any n_failed > 0 means the total is NOT a full-suite
+    // number
     val total = runs.map(r => math.max(0.0, best(r._2))).sum
+    val nFailed = runs.count(r => best(r._2) < 0)
 
     // ---- complete sidecar: full names, all raw runs, best, total
     val fullEntries = runs.map { case (name, raw) =>
@@ -103,9 +119,10 @@ object Bench {
     }.mkString(",\n  ")
     val sidecar =
       s"""{
-         |  "sf":"$sfDir","cpus":$cpus,"n_queries":${runs.size},
+         |  "sf":"$sfDir","cpus":$cpus,"n_queries":${runs.size},"n_failed":$nFailed,
          |  "timing":"min of the listed runs; single entry = cold cache-builder or once-mode",
          |  "total_best_sec":${r3(total)},
+         |  "total_is_complete":${nFailed == 0},
          |  "queries":{
          |  $fullEntries
          |  }
@@ -115,17 +132,25 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $OutFile: $e") }
 
-    // ---- compact final line: short qNN keys + raw pairs, total LAST
+    // ---- compact final line: short qNN keys + raw pairs, total LAST.
+    // sf is the dir BASENAME (the full env-provided path is unbounded
+    // and lives in the sidecar); three fallback stages guarantee the
+    // line fits the driver's tail capture with the total intact:
+    // raw pairs → bests only → no query map at all.
+    val sfName = new java.io.File(sfDir).getName
+    val tail =
+      s""""sf":"$sfName","file":"$OutFile","n_failed":$nFailed,"metric":"total","unit":"sec","value":${r3(total)}}"""
     def line(withRuns: Boolean): String = {
       val qs = runs.map { case (name, raw) =>
         val short = name.takeWhile(_ != '_')
         val v = if (withRuns) s"[${raw.map(r3).mkString(",")}]" else r3(best(raw))
         s""""$short":$v"""
       }.mkString("{", ",", "}")
-      s"""{"queries":$qs,"sf":"$sfDir","file":"$OutFile","metric":"total","unit":"sec","value":${r3(total)}}"""
+      s"""{"queries":$qs,$tail"""
     }
-    val out = { val l = line(withRuns = true)
-      if (l.length <= MaxLineChars) l else line(withRuns = false) }
+    val out = Seq(line(withRuns = true), line(withRuns = false), s"{$tail")
+      .find(_.length <= MaxLineChars)
+      .getOrElse(s"{$tail")
     println(out)
     spark.stop()
   }

@@ -49,13 +49,13 @@ object Pipeline {
     // empty window between truncate and load-complete; a snapshot
     // commit swaps atomically (readers see the old version until
     // _SUCCESS lands) and keeps history for time travel.
-    sources.Snapshots.commit(
+    snapshotCommit(
       gold.Enrich.ordersEnriched(spark, sfDir), s"$outDir/gold/orders_enriched")
-    sources.Snapshots.commit(
+    snapshotCommit(
       gold.Summaries.dailySalesSummary(spark, sfDir), s"$outDir/gold/daily_sales_summary")
-    sources.Snapshots.commit(
+    snapshotCommit(
       gold.Summaries.customerSegments(spark, sfDir), s"$outDir/gold/customer_segments")
-    sources.Snapshots.commit(
+    snapshotCommit(
       gold.Summaries.productPerformance(spark, sfDir), s"$outDir/gold/product_performance")
 
     // ---- warehouse: star schema, fact partitioned monthly
@@ -82,15 +82,44 @@ object Pipeline {
   val lastRunMetrics: collection.mutable.Map[String, Long] =
     collection.mutable.Map.empty
 
-  private def write(df: DataFrame, path: String): Unit = {
-    val name = path.replaceAll(".*/", "")
-    val obs = new org.apache.spark.sql.Observation(s"write_$name")
-    df.observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(path)
+  private def observed(df: DataFrame, name: String)
+      (action: DataFrame => Unit): Unit = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"write_${name}_${System.nanoTime()}")
+    action(df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n_rows")))
     lastRunMetrics.put(name, obs.get("n_rows").asInstanceOf[Long])
     ()
   }
+
+  private def write(df: DataFrame, path: String): Unit =
+    observed(df, path.replaceAll(".*/", ""))(
+      _.write.mode("overwrite").parquet(path))
+
+  /** Gold-layer commits ride the same observe-backed metrics as plain
+    * writes — the snapshot path must not bypass volume alerting (the
+    * observation attaches to the commit's own write job). */
+  private def snapshotCommit(df: DataFrame, tableDir: String): Unit =
+    observed(df, tableDir.replaceAll(".*/", ""))(
+      sources.Snapshots.commit(_, tableDir))
+
+  /** q84 — the composed DAG as a gated query: run the FULL medallion
+    * pipeline (streaming bronze → silver compaction → gold snapshot
+    * commits → warehouse star + MVs) into a fresh directory, then read
+    * one gold table back FROM ITS COMMITTED SNAPSHOT. The DuckDB
+    * oracle is q03's SQL, so the gate proves the end-to-end DAG —
+    * including the stream ingest, every layer write, and the
+    * Snapshots commit/read round trip — reproduces the direct
+    * batch-query result bit-for-bit. Always cold (fresh out dir +
+    * checkpoint per call); Bench exempts it from re-measurement. */
+  def pipelineGold(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_q84").toString
+    run(spark, dir, out)
+    sources.Snapshots.read(spark, s"$out/gold/daily_sales_summary")
+      .orderBy(col("order_date"))
+  }
+
+  val pipelineGoldSql: String = gold.Summaries.dailySalesSummarySql
 
   /** Stage the events file for the file-stream source at a STABLE
     * path under outDir: the checkpoint's seen-files log keys on the

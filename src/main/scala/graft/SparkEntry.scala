@@ -131,7 +131,13 @@ object SparkEntry {
     // integer-exact PageRank over the shared near-dup graph
     "q81_pagerank_neardup"   -> (ext.Graph.pagerankNearDup _),
     // quality-weighted importance sampling (keep probability = q29 score)
-    "q82_weighted_sample"    -> (ext.Curation.qualityWeightedSample _)
+    "q82_weighted_sample"    -> (ext.Curation.qualityWeightedSample _),
+    // connected components over the df-CAPPED pair graph — the
+    // production clustering lineage q57's representatives come from
+    "q83_capped_clusters"    -> (ext.Dedup.cappedDedupClusters _),
+    // the composed medallion DAG end-to-end, gated through a gold
+    // snapshot read-back
+    "q84_pipeline_gold"      -> (Pipeline.pipelineGold _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -181,8 +187,10 @@ object SparkEntry {
     "q39_ivf_assign" -> ext.Similarity.ivfAssignSql,
     "q40_knn_ivf"    -> ext.Similarity.knnIvfSql,
     "q41_asset_manifest" -> ext.Multimodal.assetManifestSql,
-    // q42_asset_features: imperative decode stub — rows-only check +
-    // MultimodalSpec pins the stub arithmetic
+    // q42: the imperative decode parses a deterministic payload header,
+    // so the oracle re-derives every feature in SQL (round 4; q27 is
+    // now the only rows-only gate)
+    "q42_asset_features" -> ext.Multimodal.assetFeaturesSql,
     "q43_stream_bronze" -> streaming.Bronze.streamBronzeSql,
     "q44_windowed_counts" -> streaming.Sessions.windowedCountsSql,
     "q45_sessionization"  -> streaming.Sessions.sessionizeSql,
@@ -222,6 +230,8 @@ object SparkEntry {
     "q79_entity_resolution"  -> ops.EntityResolution.fuzzyPartLinkageSql,
     "q80_dim_customer_md5"   -> warehouse.Star.dimCustomerMd5Sql,
     "q81_pagerank_neardup"   -> ext.Graph.pagerankNearDupSql,
-    "q82_weighted_sample"    -> ext.Curation.qualityWeightedSampleSql
+    "q82_weighted_sample"    -> ext.Curation.qualityWeightedSampleSql,
+    "q83_capped_clusters"    -> ext.Dedup.cappedDedupClustersSql,
+    "q84_pipeline_gold"      -> Pipeline.pipelineGoldSql
   )
 }

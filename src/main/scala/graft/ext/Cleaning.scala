@@ -44,12 +44,14 @@ object Cleaning {
     * is the corpus-visible effect the oracle locks in. */
   def textScrub(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val scrubbed =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), UrlRe, "<URL>"),
-          EmailRe, "<EMAIL>"),
-        DigitsRe, "<NUM>")
+    // each count runs against the text AS THAT PASS SAW IT: an email
+    // inside an already-redacted URL is never replaced by the email
+    // pass, so counting every pattern on the original text would
+    // overstate what was redacted (the counts exist to gate "mostly
+    // PII" docs, so they must equal actual replacements)
+    val afterUrl = regexp_replace(col("text"), UrlRe, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailRe, "<EMAIL>")
+    val scrubbed = regexp_replace(afterEmail, DigitsRe, "<NUM>")
     val toks = split(scrubbed, "\\s+")
     val kept = filter(toks, t =>
       length(t) > 0 && !t.isin(TextAnalysis.stopwords.map(lit): _*))
@@ -57,8 +59,8 @@ object Cleaning {
       col("doc_id"),
       concat_ws(" ", kept).as("clean_text"),
       regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_urls"),
-      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(col("text"), lit(DigitsRe)).cast("long").as("n_digit_runs"),
+      regexp_count(afterUrl, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(DigitsRe)).cast("long").as("n_digit_runs"),
       (size(toks) - size(kept)).cast("long").as("n_tokens_removed"))
       .orderBy(col("doc_id"))
   }
@@ -67,22 +69,28 @@ object Cleaning {
     val stopList = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH s AS (
        |  SELECT doc_id, text,
-       |    regexp_replace(regexp_replace(regexp_replace(text,
-       |      '$UrlRe', '<URL>', 'g'),
-       |      '$EmailRe', '<EMAIL>', 'g'),
-       |      '$DigitsRe', '<NUM>', 'g') AS scrubbed
+       |    regexp_replace(text, '$UrlRe', '<URL>', 'g') AS after_url
        |  FROM documents),
+       |s2 AS (
+       |  SELECT *,
+       |    regexp_replace(after_url, '$EmailRe', '<EMAIL>', 'g') AS after_email
+       |  FROM s),
+       |s3 AS (
+       |  SELECT *,
+       |    regexp_replace(after_email, '$DigitsRe', '<NUM>', 'g') AS scrubbed
+       |  FROM s2),
        |t AS (
-       |  SELECT doc_id, text,
+       |  SELECT doc_id, text, after_url, after_email,
        |    regexp_split_to_array(scrubbed, '\\s+') AS toks,
        |    list_filter(regexp_split_to_array(scrubbed, '\\s+'),
        |      x -> length(x) > 0 AND x NOT IN ($stopList)) AS kept
-       |  FROM s)
+       |  FROM s3)
        |SELECT doc_id,
        |  array_to_string(kept, ' ') AS clean_text,
        |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_urls,
-       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
-       |  CAST(len(regexp_extract_all(text, '$DigitsRe')) AS BIGINT)
+       |  CAST(len(regexp_extract_all(after_url, '$EmailRe')) AS BIGINT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(after_email, '$DigitsRe')) AS BIGINT)
        |    AS n_digit_runs,
        |  CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
        |FROM t ORDER BY doc_id""".stripMargin

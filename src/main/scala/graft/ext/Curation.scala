@@ -69,7 +69,10 @@ object Curation {
   // ---------------------------------------------------------------- q57
 
   def trainingSelection(spark: SparkSession, dir: String): DataFrame = {
-    val reps = Dedup.dedupClusters(spark, dir)
+    // cluster representatives come from the CAPPED chain (q83): the
+    // df-cutoff pair graph is the production lineage — one boilerplate
+    // shingle can never inject an M²-pair stage into this query
+    val reps = Dedup.cappedDedupClusters(spark, dir)
       .filter(col("doc_id") === col("cluster_id")).select("doc_id")
     val quality = TextAnalysis.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality_score"), col("quality_band"))
@@ -87,7 +90,9 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  /** The oracle composes the q50/q29/q30/q28 CTE bodies verbatim. */
+  /** The oracle composes the q83/q29/q30/q28 CTE bodies verbatim —
+    * cluster reps from the CAPPED pair graph (q58's df cutoff before
+    * pair expansion), matching [[trainingSelection]]'s lineage. */
   val trainingSelectionSql: String = {
     val stopList = Seq("the", "a", "of", "and", "is", "in", "to")
       .map(s => s"'$s'").mkString(", ")
@@ -106,9 +111,12 @@ object Curation {
        |    range(1, len($toks) - 1),
        |    i -> array_to_string($toks[i:i+2], ' ')))) AS s
        |  FROM documents),
+       |f AS (SELECT s FROM sh GROUP BY s
+       |      HAVING count(*) > 1 AND count(*) <= ${Dedup.DfCap}),
+       |sfs AS (SELECT sh.doc_id, sh.s FROM sh JOIN f USING (s)),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM sfs a JOIN sfs b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 3),
        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
        |  UNION ALL SELECT doc_b, doc_a FROM p),

@@ -164,9 +164,9 @@ object Dedup {
 
   /** The UNCAPPED (doc_a, doc_b, inter_cnt >= 3) near-dup pair table —
     * the exact-oracle baseline behind q33 (pair reporting) and its
-    * fixtures q50/q81. NOT the production default: the hot-shingle M²
-    * expansion is unbounded (see [[cappedPairs]], which the q57
-    * curation chain consumes). Cached per (session, dir). */
+    * fixture q50 (uncapped clustering). NOT the production default:
+    * the hot-shingle M² expansion is unbounded (see [[cappedPairs]],
+    * which the q57/q81/q83 chain consumes). Cached per (session, dir). */
   private[ext] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "pairs") {
       expandPairs(shingleGroups(spark, dir)).persist()
@@ -176,8 +176,8 @@ object Dedup {
     * groups with document frequency ≤ [[DfCap]] — every group bounded
     * to DfCap(DfCap−1)/2 pairs regardless of corpus skew (the 100 TB
     * contract ScaleSpec proves on a planted hot shingle). This is the
-    * cached intermediate the downstream chain (q57 curation, q83
-    * clustering, q85 PageRank) consumes; q58 gates its contents. */
+    * cached intermediate the downstream chain (q57 curation, q81
+    * PageRank, q83 clustering) consumes; q58 gates its contents. */
   private[ext] def cappedPairs(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "cappedPairs") {
       expandPairs(shingleGroups(spark, dir).filter(size(col("ds")) <= DfCap))

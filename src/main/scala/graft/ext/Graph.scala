@@ -35,9 +35,12 @@ object Graph {
     *
     * Scale: each iteration is one join (edges ⋈ ranks on the 8-byte
     * src key) + one map-side-combined sum — the canonical distributed
-    * PageRank shape; the rank/degree tables stay node-sized. The
-    * pair table is the SAME session-cached intermediate q33/q50/q57
-    * share, so the graph build adds no new scan. */
+    * PageRank shape; the rank/degree tables stay node-sized. The edge
+    * source is the CAPPED pair table ([[Dedup.cappedPairs]], the SAME
+    * session-cached intermediate q57/q58/q83 share): a boilerplate
+    * shingle shared by M docs can never inject an M²-edge graph into
+    * the centrality stage, so the edge build is bounded per shingle
+    * group — the last link of the 100 TB-safe dedup lineage. */
   def pagerankNearDup(spark: SparkSession, dir: String): DataFrame = {
     // co-partition the symmetric edge table on its join key ONCE and
     // cache it beside the pair table: every iteration's join then
@@ -45,7 +48,7 @@ object Graph {
     // (at 100 TB edges dominate; re-shuffling them x iterations is
     // the naive PageRank's main waste)
     val edges = Dedup.cached(spark, dir, "pagerankEdges") {
-      Dedup.symmetrize(Dedup.nearDupPairs(spark, dir), "doc_a", "doc_b")
+      Dedup.symmetrize(Dedup.cappedPairs(spark, dir), "doc_a", "doc_b")
         .repartition(col("doc_a"))
         .persist()
     }
@@ -72,7 +75,8 @@ object Graph {
   }
 
   val pagerankNearDupSql: String = {
-    // the oracle joins on the shingle STRINGS (same derivation as q33)
+    // the oracle joins on the shingle STRINGS (same derivation as q58:
+    // the df-capped pair graph)
     val shingles =
       """list_distinct(list_transform(
         |    range(1, len(regexp_split_to_array(text, '\s+')) - 1),
@@ -80,9 +84,12 @@ object Graph {
         .stripMargin
     s"""WITH s AS (
        |  SELECT DISTINCT doc_id, unnest($shingles) AS sh FROM documents),
+       |f AS (SELECT sh FROM s GROUP BY sh
+       |      HAVING count(*) > 1 AND count(*) <= ${Dedup.DfCap}),
+       |sf AS (SELECT s.doc_id, s.sh FROM s JOIN f USING (sh)),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM sf a JOIN sf b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 3),
        |e AS (SELECT doc_a, doc_b FROM p
        |      UNION ALL SELECT doc_b, doc_a FROM p),

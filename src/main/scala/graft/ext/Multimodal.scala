@@ -9,15 +9,19 @@ import graft.Tables
 /** A multimodal asset row: media payload as an opaque binary column +
   * typed metadata. Derived deterministically from `documents` (the
   * container ships no media decoders — SURVEY §7.5 multimodal note):
-  * payload = UTF-8 bytes of the text, format/width/height = arithmetic
-  * on (source, n_chars). The derivation is fake; the COLUMN SHAPES and
-  * the processing plumbing are the real thing under test. */
+  * payload = a BMP/WAV-style fixed header (magic, format initial,
+  * zero-padded width/height — [[Multimodal.HeaderLen]] bytes) followed
+  * by the UTF-8 text bytes as the body; format/width/height =
+  * arithmetic on (source, n_chars). The MEDIA content is fake; the
+  * COLUMN SHAPES, the header parse, and the processing plumbing are
+  * the real thing under test. */
 case class Asset(doc_id: Long, format: String, payload: Array[Byte],
                  width: Int, height: Int)
 
-/** Decoded features per asset (see [[Multimodal.decodeFeatures]]). */
+/** Features decoded FROM THE PAYLOAD BYTES (header parse + body
+  * arithmetic — see [[Multimodal.decodeFeatures]]). */
 case class AssetFeatures(doc_id: Long, format: String, n_bytes: Long,
-                         mean_byte: Double, n_frames: Int)
+                         width: Int, height: Int, n_frames: Int)
 
 /** Multimodal-column plumbing for a training-data pipeline: binary
   * payload columns with typed metadata, batch-shaped per-partition
@@ -39,17 +43,29 @@ object Multimodal {
     expr("element_at(array('image','audio','video'), " +
       "CAST(substring(source, 4, 10) AS INT) % 3 + 1)")
 
+  /** Byte length of the payload header:
+    * `GRFT` (4) + format initial (1) + width (4) + height (4) + `|`. */
+  val HeaderLen = 14
+
   /** The assets table: documents re-shaped into binary payload +
-    * metadata columns (schema = [[Asset]]). */
+    * metadata columns (schema = [[Asset]]). The payload leads with a
+    * deterministic [[HeaderLen]]-byte header, so the decode stage has
+    * real bytes to parse and the q42 oracle can re-derive every
+    * feature in SQL. */
   def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
+    val width = (lit(16) + col("n_chars") % 240).cast("int")
+    val height = (lit(16) + (col("n_chars") * 7) % 240).cast("int")
     Tables.load(spark, dir, "documents")
       .select(
         col("doc_id"),
         formatExpr.as("format"),
-        col("text").cast("binary").as("payload"),
-        (lit(16) + col("n_chars") % 240).cast("int").as("width"),
-        (lit(16) + (col("n_chars") * 7) % 240).cast("int").as("height"))
+        concat(lit("GRFT"), substring(formatExpr, 1, 1),
+          lpad(width.cast("string"), 4, "0"),
+          lpad(height.cast("string"), 4, "0"),
+          lit("|"), col("text")).cast("binary").as("payload"),
+        width.as("width"),
+        height.as("height"))
       .as[Asset]
   }
 
@@ -66,13 +82,13 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   val assetManifestSql: String =
-    """SELECT doc_id,
-      |  ['image','audio','video'][CAST(substr(source, 4) AS INT) % 3 + 1]
-      |    AS format,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CAST(16 + n_chars % 240 AS INT) AS width,
-      |  CAST(16 + (n_chars * 7) % 240 AS INT) AS height
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  ['image','audio','video'][CAST(substr(source, 4) AS INT) % 3 + 1]
+       |    AS format,
+       |  CAST(octet_length(encode(text)) + $HeaderLen AS BIGINT) AS n_bytes,
+       |  CAST(16 + n_chars % 240 AS INT) AS width,
+       |  CAST(16 + (n_chars * 7) % 240 AS INT) AS height
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q77
 
@@ -110,7 +126,7 @@ object Multimodal {
        |  SELECT doc_id,
        |    ['image','audio','video'][CAST(substr(source, 4) AS INT) % 3 + 1]
        |      AS format,
-       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |    CAST(octet_length(encode(text)) + $HeaderLen AS BIGINT) AS n_bytes
        |  FROM documents)
        |SELECT format, doc_id, n_bytes,
        |  CAST(coalesce(sum(n_bytes) OVER (
@@ -124,18 +140,23 @@ object Multimodal {
   /** Bytes-per-frame for the frame sampler stub. */
   val FrameStride = 256
 
-  /** STUB decode: a real deployment would link an image/audio codec
-    * here (absent in this container); the fake derives deterministic
-    * "features" from the raw bytes so the plumbing stays testable.
-    * Everything AROUND the stub — typed batch iteration, partition
-    * amortization, output schema — is the real pattern. */
-  private def decodeStub(a: Asset): AssetFeatures = {
+  /** Header-parse decode: reads the [[HeaderLen]]-byte header out of
+    * the raw payload bytes (magic check, fixed-offset width/height
+    * fields — the BMP/WAV pattern) and derives frame count from the
+    * byte length. A real deployment swaps the body handling for an
+    * image/audio codec (absent in this container); the header parse,
+    * typed batch iteration, partition amortization, and output schema
+    * are the real pattern — and every feature is re-derivable in SQL,
+    * so q42 carries a full DuckDB oracle. */
+  private def decodeAsset(a: Asset): AssetFeatures = {
+    val hdr = new String(a.payload, 0, HeaderLen, "UTF-8")
+    require(hdr.startsWith("GRFT") && hdr.charAt(HeaderLen - 1) == '|',
+      s"asset ${a.doc_id}: bad payload header '$hdr'")
+    val width = hdr.substring(5, 9).toInt
+    val height = hdr.substring(9, 13).toInt
     val n = a.payload.length.toLong
-    val mean =
-      if (n == 0) 0.0
-      else a.payload.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / n
     val frames = ((n + FrameStride - 1) / FrameStride).toInt
-    AssetFeatures(a.doc_id, a.format, n, mean, frames)
+    AssetFeatures(a.doc_id, a.format, n, width, height, frames)
   }
 
   /** Per-partition batch decode over the typed Dataset. */
@@ -144,15 +165,27 @@ object Multimodal {
     assets.mapPartitions { batch =>
       // per-partition decoder setup would go here (codec init, model
       // load) — amortized across the whole batch, as with mapInPandas
-      batch.map(decodeStub)
+      batch.map(decodeAsset)
     }
   }
 
-  /** q42: features for every asset. Rows-only in the oracle gate (the
-    * decode is imperative); MultimodalSpec pins the stub's arithmetic
-    * against independently-computed values. */
+  /** q42: features for every asset, decoded from the payload bytes.
+    * Fully oracle-gated: the DuckDB side re-derives the header fields
+    * from the same (source, n_chars) arithmetic the header was built
+    * from, so a decode that mis-parses any offset hash-mismatches. */
   def assetFeatures(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(assets(spark, dir)).toDF().orderBy(col("doc_id"))
+
+  val assetFeaturesSql: String =
+    s"""SELECT doc_id,
+       |  ['image','audio','video'][CAST(substr(source, 4) AS INT) % 3 + 1]
+       |    AS format,
+       |  CAST(octet_length(encode(text)) + $HeaderLen AS BIGINT) AS n_bytes,
+       |  CAST(16 + n_chars % 240 AS INT) AS width,
+       |  CAST(16 + (n_chars * 7) % 240 AS INT) AS height,
+       |  CAST((octet_length(encode(text)) + $HeaderLen + $FrameStride - 1)
+       |    // $FrameStride AS INT) AS n_frames
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Frame sampling: every [[FrameStride]]-th byte slice as one
     * "frame" row — the explode pattern a video pipeline uses to turn

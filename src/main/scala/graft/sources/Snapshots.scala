@@ -36,16 +36,16 @@ object Snapshots {
   private def isComplete(tableDir: String, v: Int): Boolean =
     new File(versionDir(tableDir, v), "_SUCCESS").isFile
 
-  /** All committed (reader-visible) versions, ascending. */
+  /** All committed (reader-visible) versions, ascending. listFiles is
+    * null on a vanished dir or an IO error — treated as "no versions"
+    * rather than an NPE (the dir can disappear between the isDirectory
+    * check and the listing under concurrent cleanup). */
   def versions(tableDir: String): Seq[Int] = {
-    val base = new File(tableDir)
-    if (!base.isDirectory) Seq.empty
-    else
-      base.listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("v="))
-        .map(_.getName.stripPrefix("v=").toInt)
-        .filter(isComplete(tableDir, _))
-        .sorted
+    Option(new File(tableDir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toInt)
+      .filter(isComplete(tableDir, _))
+      .sorted
   }
 
   /** Commit `df` as the next version; returns the committed version
@@ -124,11 +124,15 @@ object Snapshots {
     * VERSION NUMBERS, not the merge lineage (Delta raises
     * ConcurrentAppendException here; a full conflict detector is out
     * of scope). As a best-effort guard, a version COMMITTED between
-    * our base read and our claim is detected after the write: the
-    * stale version rolls back (its dir deleted) and the caller gets a
-    * ConcurrentModificationException to retry on. A racer that
-    * CLAIMED earlier but completes later is not detectable this way —
-    * hence the single-writer contract. */
+    * our base read and our claim is rejected — and, unlike a plain
+    * [[commit]]+rollback, the stale merge is NEVER PUBLISHED even
+    * transiently: the merged data is staged without its `_SUCCESS`
+    * marker, the interleaved-version check runs while the version is
+    * still invisible to every reader primitive, and only a clean
+    * check creates `_SUCCESS`. A dirty check deletes the
+    * never-visible dir and throws ConcurrentModificationException to
+    * retry on. A racer that CLAIMED earlier but completes later is
+    * not detectable this way — hence the single-writer contract. */
   def mergeCommit(spark: SparkSession, source: DataFrame, tableDir: String,
                   keys: Seq[String], versionCol: String): Int = {
     val base = versions(tableDir)
@@ -138,25 +142,44 @@ object Snapshots {
         graft.silver.Merge.upsert(
           readVersion(spark, tableDir, vs.last), source, keys, versionCol)
     }
-    // the merged plan reads the base version's files, which stay
-    // immutable even while later versions land
-    val v = commit(merged, tableDir)
+    // STAGE: run the (expensive) merge job into a hidden dir no reader
+    // primitive lists; the plan reads the base version's files, which
+    // stay immutable even while later versions land
+    new File(tableDir).mkdirs()
+    val staging =
+      new File(tableDir, s".merge-${java.util.UUID.randomUUID}")
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+    new File(staging, "_SUCCESS").delete() // stays unpublished below
+    onMergeBeforeClaim()
+    // CLAIM: mkdir-race a version slot, then move the staged data
+    // files in (same-FS renames; the dir stays claimed-but-incomplete
+    // — invisible — because _SUCCESS is withheld)
+    var v = nextCandidate(tableDir)
+    while (!new File(versionDir(tableDir, v)).mkdir()) v += 1
+    Option(staging.listFiles()).getOrElse(Array.empty).foreach { f =>
+      require(f.renameTo(new File(versionDir(tableDir, v), f.getName)),
+        s"could not move staged ${f.getName} into version $v")
+    }
+    staging.delete()
     val interleaved = versions(tableDir)
       .filter(x => x > base.lastOption.getOrElse(-1) && x < v)
     if (interleaved.nonEmpty) {
-      // UNPUBLISH FIRST: deleting _SUCCESS atomically returns the
-      // version to claimed-but-incomplete (invisible to every reader
-      // primitive) BEFORE any data file disappears — deleting data
-      // under a still-visible _SUCCESS would hand readLog a silently
-      // truncated version, the torn read this module exists to prevent
-      new File(versionDir(tableDir, v), "_SUCCESS").delete()
+      // never published: no _SUCCESS was ever created for v, so no
+      // reader can have observed it — delete and signal retry
       deleteRecursively(new File(versionDir(tableDir, v)))
       throw new java.util.ConcurrentModificationException(
         s"version(s) $interleaved committed under mergeCommit's base " +
-          s"(read $base); stale merge $v rolled back — retry")
+          s"(read $base); unpublished stale merge $v discarded — retry")
     }
+    // PUBLISH: _SUCCESS lands only after the check passes
+    new File(versionDir(tableDir, v), "_SUCCESS").createNewFile()
     v
   }
+
+  /** Test seam: runs after the merge result is staged (still
+    * invisible) and before the version claim — lets a spec inject a
+    * racing commit deterministically into the detection window. */
+  private[graft] var onMergeBeforeClaim: () => Unit = () => ()
 
   private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

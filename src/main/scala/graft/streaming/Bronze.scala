@@ -87,12 +87,24 @@ object Bronze {
 
   /** [[ingest]] with transaction-log delivery: each micro-batch
     * commits as one version of a [[graft.sources.Snapshots]] LOG
-    * table, keyed by the batch id — so replays (checkpoint loss,
-    * restart races) become no-ops instead of appended duplicates.
-    * This closes the at-least-once gap the plain parquet-append sink
-    * carries (SURVEY T3: the batch W1 dedup is the backstop there);
-    * here delivery is exactly-once by construction. Partition columns
-    * stay available downstream via `readLog`. */
+    * table, keyed by the batch id — so a restart over the SAME
+    * checkpoint replays become no-ops instead of appended duplicates
+    * (Delta's `txnAppId`/`txnVersion` pattern). This closes the
+    * at-least-once gap the plain parquet-append sink carries (SURVEY
+    * T3: the batch W1 dedup is the backstop there).
+    *
+    * DELIVERY CONTRACT — exactly-once holds iff batch ids stay
+    * deterministic, which Structured Streaming guarantees only while
+    * the CHECKPOINT IS RETAINED: on recovery the offset log replays
+    * identical (id → offset-range) batches, so a replayed id carries
+    * identical content and skipping it is safe. If the checkpoint is
+    * LOST, a fresh query re-batches the source from scratch with NO
+    * relation to the old ids — batch 0 may now span everything — and
+    * id-keyed skipping would silently drop data. A rebuilt checkpoint
+    * therefore REQUIRES a fresh tableDir (or wiping the old one);
+    * pairing a new checkpoint with an old log table is operator
+    * error, same as re-pointing a Delta `txnAppId` at a stale log.
+    * Partition columns stay available downstream via `readLog`. */
   def ingestSnapshots(spark: SparkSession, srcDir: String, tableDir: String,
                       checkpointDir: String,
                       maxFilesPerTrigger: Option[Int] = None): Unit = {

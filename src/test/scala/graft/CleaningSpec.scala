@@ -35,6 +35,20 @@ class CleaningSpec extends SparkSuite {
     assert(out(3L).getAs[Long]("n_tokens_removed") == 0L)
   }
 
+  test("redaction counts reflect what each sequential pass replaced") {
+    // the email and the digit run live INSIDE the URL: the URL pass
+    // swallows them, so the later passes replace nothing — counts of
+    // actual replacements must be (1, 0, 0), not the (1, 1, 1) a
+    // count-on-original-text would report
+    val dir = stage(
+      1L -> "see https://u.example.com/jo.doe@mail.example.org/1234567890 end")
+    val out = Cleaning.textScrub(spark, dir).collect().head
+    assert(out.getAs[String]("clean_text") == "see <URL> end")
+    assert(out.getAs[Long]("n_urls") == 1L)
+    assert(out.getAs[Long]("n_emails") == 0L)
+    assert(out.getAs[Long]("n_digit_runs") == 0L)
+  }
+
   test("repetitionScore flags looping text and hot tokens") {
     val looping = Seq.fill(30)("spam spam eggs").mkString(" ") // 90 tokens
     val diverse = (1 to 90).map(i => s"tok$i").mkString(" ")

@@ -8,21 +8,25 @@ import graft.ext.Multimodal
   * the frame sampler's reassembly property. */
 class MultimodalSpec extends SparkSuite {
 
-  test("decode stub matches independently computed byte stats") {
+  test("decode parses the payload header back to the asset metadata") {
     val feats = Multimodal.assetFeatures(spark, sfDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
-    val docs = Tables.load(spark, sfDir, "documents")
-      .select("doc_id", "text").collect()
-    assert(docs.nonEmpty)
-    docs.take(50).foreach { r =>
-      val bytes = r.getString(1).getBytes("UTF-8")
-      val f = feats(r.getLong(0))
-      assert(f.getAs[Long]("n_bytes") == bytes.length)
-      val mean = bytes.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble /
-        bytes.length
-      assert(math.abs(f.getAs[Double]("mean_byte") - mean) < 1e-12)
+    val assets = Multimodal.assets(spark, sfDir).collect()
+    assert(assets.nonEmpty)
+    assets.take(50).foreach { a =>
+      val f = feats(a.doc_id)
+      // n_bytes = header + UTF-8 body, straight from the raw payload
+      assert(f.getAs[Long]("n_bytes") == a.payload.length)
+      assert(a.payload.length >= Multimodal.HeaderLen)
+      // width/height parsed OUT OF THE BYTES must round-trip the
+      // metadata columns the header was built from
+      assert(f.getAs[Int]("width") == a.width)
+      assert(f.getAs[Int]("height") == a.height)
+      // header magic + format initial are really in the payload
+      val hdr = new String(a.payload, 0, Multimodal.HeaderLen, "UTF-8")
+      assert(hdr.startsWith("GRFT" + a.format.head))
       assert(f.getAs[Int]("n_frames") ==
-        (bytes.length + Multimodal.FrameStride - 1) / Multimodal.FrameStride)
+        (a.payload.length + Multimodal.FrameStride - 1) / Multimodal.FrameStride)
     }
   }
 

@@ -35,6 +35,22 @@ class ScaleSpec extends SparkSuite {
     val uncapped = graft.ext.Dedup.ngramJaccardPairs(spark, tmp).count()
     assert(uncapped == 60L * 59 / 2 + 1,
       s"expected 1771 uncapped pairs, got $uncapped")
+
+    // ...and the bound must HOLD THROUGH CLUSTERING (q83): the capped
+    // labels merge only the genuine rare-shingle pair, while every
+    // hot-boilerplate doc stays its own singleton cluster — whereas
+    // the uncapped clustering (q50) welds all 60 hot docs into one
+    // component. This is the q57/q81 lineage contract.
+    val cappedLabels = graft.ext.Dedup.cappedDedupClusters(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((hot.map(_._1) :+ 101L).map(id => id -> id) :+
+      (102L -> 101L)).toMap
+    assert(cappedLabels == expected,
+      s"capped clustering must keep hot docs singleton, got: $cappedLabels")
+    val uncappedLabels = graft.ext.Dedup.dedupClusters(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1 to 60).forall(i => uncappedLabels(i.toLong) == 1L),
+      "uncapped clustering welds the hot-shingle docs into one component")
   }
 
   test("AQE splits the planted hot key; salted join matches its result") {

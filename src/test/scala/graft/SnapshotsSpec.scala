@@ -89,6 +89,42 @@ class SnapshotsSpec extends SparkSuite {
     assert(old == Map(1 -> "a", 2 -> "b"))
   }
 
+  test("mergeCommit rejects an interleaved writer without ever publishing") {
+    val t = table()
+    Snapshots.mergeCommit(spark,
+      Seq((1, "a", 1L)).toDF("k", "s", "ver"), t, Seq("k"), "ver") // v=0
+    // inject a racing commit into the window between the stale
+    // merge's base read and its version claim — the two-writer race
+    // the module's concurrency contract warns about
+    val visibleInWindow = scala.collection.mutable.Buffer.empty[Seq[Int]]
+    Snapshots.onMergeBeforeClaim = () => {
+      visibleInWindow += Snapshots.versions(t) // staged merge invisible?
+      Snapshots.commit(
+        Seq((2, "racer", 1L)).toDF("k", "s", "ver"), t) // claims v=1
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.mergeCommit(spark,
+          Seq((1, "stale", 2L)).toDF("k", "s", "ver"), t, Seq("k"), "ver")
+      }
+    } finally Snapshots.onMergeBeforeClaim = () => ()
+    // inside the window only the base version was visible
+    assert(visibleInWindow == Seq(Seq(0)))
+    // after the rollback: base + racer only; the stale merge (claimed
+    // v=2) left no committed version, no claimed dir, and no staging
+    assert(Snapshots.versions(t) == Seq(0, 1))
+    val leftovers = new java.io.File(t).listFiles().map(_.getName).toSet
+    assert(leftovers == Set("v=0", "v=1"), s"orphan dirs: $leftovers")
+    // the surviving state is exactly base ⊕ racer — nothing from the
+    // rejected merge leaked into any reader path
+    assert(Snapshots.read(spark, t).collect().map(_.getString(1))
+      .sameElements(Array("racer")))
+    // and a clean retry (new base read) succeeds as v=2
+    val retry = Snapshots.mergeCommit(spark,
+      Seq((1, "retry", 2L)).toDF("k", "s", "ver"), t, Seq("k"), "ver")
+    assert(retry == 2)
+  }
+
   test("a reader pinned to a version is isolated from later commits") {
     val t = table()
     Snapshots.commit(Seq((1, "old")).toDF("k", "s"), t)
