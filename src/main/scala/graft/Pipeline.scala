@@ -23,19 +23,41 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** All layer outputs, in dependency order. */
+  /** All layer outputs, in dependency order. Each stage logs its wall
+    * time into [[lastRunMetrics]] (`<stage>_ms`) — the per-layer
+    * duration a production scheduler alerts on, and the profiling
+    * surface for the q84 end-to-end gate. */
   def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     lastRunMetrics.clear()
-    // ---- bronze (streaming; its own checkpoint under outDir)
-    streaming.Bronze.ingest(spark,
-      stageEventsDir(sfDir, outDir), s"$outDir/bronze/events",
-      s"$outDir/_checkpoints/bronze_events")
+    // FOUR independent branches run as concurrent Spark job groups:
+    // (bronze → silver) is the only intra-branch dependency; gold,
+    // warehouse and MV source the typed lake tables directly (see the
+    // gold note below), so end-to-end wall time is max(branch), not
+    // sum — the shape the reference gets from running its batch
+    // scripts as separate applications against one cluster.
+    inParallel(
+      () => {
+        // ---- bronze (streaming; its own checkpoint under outDir)
+        timed("bronze") {
+          streaming.Bronze.ingest(spark,
+            stageEventsDir(sfDir, outDir), s"$outDir/bronze/events",
+            s"$outDir/_checkpoints/bronze_events")
+        }
+        // ---- silver: compacted current state, read FROM THE BRONZE
+        // SINK (the reference's layer chaining: batch_silver.py reads
+        // the bronze Delta written by streaming_bronze.py)
+        timed("silver") {
+          write(cdc.Cdc.silverFromBronze(spark, s"$outDir/bronze/events"),
+            s"$outDir/silver/events_state")
+        }
+      },
+      () => goldLayer(spark, sfDir, outDir),
+      () => warehouseLayer(spark, sfDir, outDir),
+      () => mvLayer(spark, sfDir, outDir))
+  }
 
-    // ---- silver: compacted current state, read FROM THE BRONZE SINK
-    // (the reference's layer chaining: batch_silver.py reads the
-    // bronze Delta written by streaming_bronze.py)
-    write(cdc.Cdc.silverFromBronze(spark, s"$outDir/bronze/events"),
-      s"$outDir/silver/events_state")
+  private def goldLayer(spark: SparkSession, sfDir: String,
+                        outDir: String): Unit = {
 
     // ---- gold: the reference's four business tables. These source
     // the typed lake tables directly BY DESIGN: the reference's
@@ -49,38 +71,92 @@ object Pipeline {
     // empty window between truncate and load-complete; a snapshot
     // commit swaps atomically (readers see the old version until
     // _SUCCESS lands) and keeps history for time travel.
-    snapshotCommit(
-      gold.Enrich.ordersEnriched(spark, sfDir), s"$outDir/gold/orders_enriched")
-    snapshotCommit(
-      gold.Summaries.dailySalesSummary(spark, sfDir), s"$outDir/gold/daily_sales_summary")
-    snapshotCommit(
-      gold.Summaries.customerSegments(spark, sfDir), s"$outDir/gold/customer_segments")
-    snapshotCommit(
-      gold.Summaries.productPerformance(spark, sfDir), s"$outDir/gold/product_performance")
+    timed("gold") {
+      inParallel(
+        () => snapshotCommit(
+          gold.Enrich.ordersEnriched(spark, sfDir), s"$outDir/gold/orders_enriched"),
+        () => snapshotCommit(
+          gold.Summaries.dailySalesSummary(spark, sfDir), s"$outDir/gold/daily_sales_summary"),
+        () => snapshotCommit(
+          gold.Summaries.customerSegments(spark, sfDir), s"$outDir/gold/customer_segments"),
+        () => snapshotCommit(
+          gold.Summaries.productPerformance(spark, sfDir), s"$outDir/gold/product_performance"))
+    }
+  }
 
-    // ---- warehouse: star schema, fact partitioned monthly
-    write(warehouse.Star.dimCustomer(spark, sfDir), s"$outDir/warehouse/dim_customer")
-    write(warehouse.Star.dimOrderStatus(spark, sfDir), s"$outDir/warehouse/dim_order_status")
-    write(warehouse.DateDim.dimTime(spark, sfDir), s"$outDir/warehouse/dim_time")
-    warehouse.Star.factOrderLines(spark, sfDir)
-      .withColumn("month_key", col("date_key").cast("int").divide(100).cast("int"))
-      .write.mode("overwrite").partitionBy("month_key")
-      .parquet(s"$outDir/warehouse/fact_order_lines")
+  /** Warehouse: star schema, fact partitioned monthly. */
+  private def warehouseLayer(spark: SparkSession, sfDir: String,
+                             outDir: String): Unit = {
+    timed("warehouse") {
+      inParallel(
+        () => write(warehouse.Star.dimCustomer(spark, sfDir), s"$outDir/warehouse/dim_customer"),
+        () => write(warehouse.Star.dimOrderStatus(spark, sfDir), s"$outDir/warehouse/dim_order_status"),
+        () => write(warehouse.DateDim.dimTime(spark, sfDir), s"$outDir/warehouse/dim_time"),
+        // ONE file per month partition: a dynamic partitionBy straight
+        // off the shuffle writes (tasks × months) files — a small-file
+        // storm that quintuples the commit's rename fan-out and poisons
+        // every downstream scan. The repartition keys the exchange on
+        // the partition column so each month is written by exactly one
+        // task. (At 100 TB, sub-split hot months with a second
+        // repartition key — pmod(hash(order_key), k) — to keep file
+        // sizes bounded while staying one-writer-per-file.)
+        () => write(warehouse.Star.factOrderLines(spark, sfDir)
+          .withColumn("month_key",
+            col("date_key").cast("int").divide(100).cast("int"))
+          .repartition(col("month_key")),
+          s"$outDir/warehouse/fact_order_lines", Seq("month_key")))
+    }
+  }
 
-    // ---- MV layer: rollups over the fact/base tables
-    write(warehouse.Views.mvDailyRevenue(spark, sfDir), s"$outDir/warehouse/mv_daily_revenue")
-    write(warehouse.Views.mvMonthlyRevenue(spark, sfDir), s"$outDir/warehouse/mv_monthly_revenue")
-    write(warehouse.Views.mvNationRevenue(spark, sfDir), s"$outDir/warehouse/mv_nation_revenue")
-    write(warehouse.Views.mvHourlyPattern(spark, sfDir), s"$outDir/warehouse/mv_hourly_pattern")
+  /** MV layer: rollups over the fact/base tables. */
+  private def mvLayer(spark: SparkSession, sfDir: String,
+                      outDir: String): Unit = {
+    timed("mv") {
+      inParallel(
+        () => write(warehouse.Views.mvDailyRevenue(spark, sfDir), s"$outDir/warehouse/mv_daily_revenue"),
+        () => write(warehouse.Views.mvMonthlyRevenue(spark, sfDir), s"$outDir/warehouse/mv_monthly_revenue"),
+        () => write(warehouse.Views.mvNationRevenue(spark, sfDir), s"$outDir/warehouse/mv_nation_revenue"),
+        () => write(warehouse.Views.mvHourlyPattern(spark, sfDir), s"$outDir/warehouse/mv_hourly_pattern"))
+    }
+  }
+
+  private def timed(stage: String)(body: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    body
+    lastRunMetrics.put(s"${stage}_ms", (System.nanoTime() - t0) / 1000000)
+    ()
+  }
+
+  /** Submit independent table builds as concurrent Spark jobs and
+    * barrier on all of them (failures propagate). A dedicated
+    * one-thread-per-task pool — NOT the shared global EC — because the
+    * tasks block on Spark actions and calls nest (branch → per-table):
+    * blocking a bounded shared pool from nested levels can starve it
+    * into deadlock, while pool-per-call keeps every blocked level
+    * progressing. Driver-side threads are cheap at this fan-out (≤12);
+    * the real parallelism lives in the Spark scheduler, which
+    * fair-shares executor slots among the submitted jobs. */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try Await.result(
+      Future.sequence(tasks.map(t => Future(t()))), 30.minutes)
+    finally pool.shutdown()
+    ()
   }
 
   /** Per-layer write metrics collected via `Dataset.observe` — row
     * counts ride the write job itself (an accumulator fed during the
-    * action) instead of a second count() scan per table; a production
-    * pipeline ships these to its metrics sink for freshness/volume
-    * alerting. Cleared at the start of each [[run]]. */
+    * action) instead of a second count() scan per table, plus
+    * per-stage wall times (`<stage>_ms`); a production pipeline ships
+    * these to its metrics sink for freshness/volume alerting.
+    * Thread-safe (concurrent branch writers), cleared at the start of
+    * each [[run]]. */
   val lastRunMetrics: collection.mutable.Map[String, Long] =
-    collection.mutable.Map.empty
+    scala.collection.concurrent.TrieMap.empty
 
   private def observed(df: DataFrame, name: String)
       (action: DataFrame => Unit): Unit = {
@@ -92,9 +168,10 @@ object Pipeline {
     ()
   }
 
-  private def write(df: DataFrame, path: String): Unit =
+  private def write(df: DataFrame, path: String,
+                    partitionCols: Seq[String] = Seq.empty): Unit =
     observed(df, path.replaceAll(".*/", ""))(
-      _.write.mode("overwrite").parquet(path))
+      _.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path))
 
   /** Gold-layer commits ride the same observe-backed metrics as plain
     * writes — the snapshot path must not bypass volume alerting (the
@@ -146,7 +223,9 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, sfDir, outDir)
-    println(s"[pipeline] all layers written to $outDir")
+    println(s"[pipeline] all layers written to $outDir; metrics: " +
+      lastRunMetrics.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString(", "))
     spark.stop()
   }
 }
