@@ -137,7 +137,10 @@ object SparkEntry {
     "q83_capped_clusters"    -> (ext.Dedup.cappedDedupClusters _),
     // the composed medallion DAG end-to-end, gated through a gold
     // snapshot read-back
-    "q84_pipeline_gold"      -> (Pipeline.pipelineGold _)
+    "q84_pipeline_gold"      -> (Pipeline.pipelineGold _),
+    // LSH candidate pairs off the q34 band table — the sub-quadratic
+    // near-dup candidate generator, exact-set oracle-checked
+    "q85_lsh_candidates"     -> (ext.Dedup.lshCandidates _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -232,6 +235,7 @@ object SparkEntry {
     "q81_pagerank_neardup"   -> ext.Graph.pagerankNearDupSql,
     "q82_weighted_sample"    -> ext.Curation.qualityWeightedSampleSql,
     "q83_capped_clusters"    -> ext.Dedup.cappedDedupClustersSql,
-    "q84_pipeline_gold"      -> Pipeline.pipelineGoldSql
+    "q84_pipeline_gold"      -> Pipeline.pipelineGoldSql,
+    "q85_lsh_candidates"     -> ext.Dedup.lshCandidatesSql
   )
 }

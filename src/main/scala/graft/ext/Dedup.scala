@@ -335,6 +335,50 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+  /** q85 — the LSH candidate generator as a gated query: docs whose
+    * q34 signatures collide in ≥1 band. This is the sub-quadratic
+    * near-dup path end-to-end (signature → band bucket → equi-join):
+    * candidate volume is Σ_bucket C(|bucket|,2) — corpus-skew-safe
+    * because a bucket only fills when 4 consecutive min-hashes all
+    * agree, which (unlike a shared boilerplate shingle) already IS
+    * strong similarity evidence. Fully oracle-checked: both engines
+    * compute bit-identical band hashes ([[HashBridge]]), so the
+    * candidate SET matches exactly, not just statistically. */
+  def lshCandidates(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidatePairs(minhashBands(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val lshCandidatesSql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"min(h1 + $i * h2) AS g$i").mkString(",\n    ")
+    val rowsPerBand = MinhashK / MinhashBands
+    val bandExprs = (0 until MinhashBands).map { b =>
+      val concat = (0 until rowsPerBand)
+        .map(r => s"CAST(g${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      HashBridge.md5Bits60Sql(s"md5($concat)")
+    }.mkString(", ")
+    s"""WITH s AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${HashBridge.md5Bits32Sql("md5(sh)", 1)} AS h1,
+       |    ${HashBridge.md5Bits32Sql("md5(sh)", 9)} AS h2
+       |  FROM s),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, u.band, [$bandExprs][u.band + 1] AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest(range($MinhashBands)) AS band) u)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_hash = b.band_hash
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q35
 
   val SimhashBits = 60 // md5-prefix hash width (HashBridge)
