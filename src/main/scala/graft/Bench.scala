@@ -47,16 +47,21 @@ object Bench {
     * buys no steady-state information; its single cold time IS its
     * honest number.
     *
-    * q58/q83 are NOT exempt although they read the capped caches: in
-    * run order q57 has already warmed those before their first run,
-    * so min-of-2 reports their honest incremental cost given the
-    * materialize-once tables (q57's number carries the shared capped
-    * build; q33's carries the uncapped one). Membership is asserted
-    * against the registry at startup, so this set cannot silently
-    * drift from the query inventory. */
-  private val NoRemeasure = Set("q33_ngram_jaccard", "q43_stream_bronze",
-    "q50_dedup_clusters", "q57_training_selection", "q81_pagerank_neardup",
-    "q84_pipeline_gold")
+    * q34 cold-builds the cached MinHash signature table (its q85/q88
+    * consumers read it warm) and q35 the cached SimHash sketch table
+    * (consumed by q89), so both keep their cold time for the same
+    * reason as q33.
+    *
+    * q58/q83/q85/q88/q89 are NOT exempt although they read caches: in
+    * run order the builders have already warmed those before their
+    * first run, so min-of-2 reports their honest incremental cost
+    * given the materialize-once tables (q57's number carries the
+    * shared capped build; q33's carries the uncapped one). Membership
+    * is asserted against the registry at startup, so this set cannot
+    * silently drift from the query inventory. */
+  private val NoRemeasure = Set("q33_ngram_jaccard", "q34_minhash_bands",
+    "q35_simhash", "q43_stream_bronze", "q50_dedup_clusters",
+    "q57_training_selection", "q81_pagerank_neardup", "q84_pipeline_gold")
 
   /** Complete-record sidecar, committed with the repo. */
   val OutFile = "BENCH_LOCAL.json"

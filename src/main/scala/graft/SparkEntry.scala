@@ -140,7 +140,19 @@ object SparkEntry {
     "q84_pipeline_gold"      -> (Pipeline.pipelineGold _),
     // LSH candidate pairs off the q34 band table — the sub-quadratic
     // near-dup candidate generator, exact-set oracle-checked
-    "q85_lsh_candidates"     -> (ext.Dedup.lshCandidates _)
+    "q85_lsh_candidates"     -> (ext.Dedup.lshCandidates _),
+    // char-collision + type-token-ratio diversity scoring (the
+    // exact-rational entropy proxy)
+    "q86_char_diversity"     -> (ext.TextAnalysis.charDiversity _),
+    // cluster-balanced embedding sample: per-IVF-cell hash quota
+    "q87_ivf_diversity"      -> (ext.Similarity.ivfDiversitySample _),
+    // MinHash Jaccard estimates over the q85 candidates (the
+    // threshold step of the LSH pipeline; signatures never re-read
+    // the shingle table)
+    "q88_minhash_jaccard"    -> (ext.Dedup.minhashJaccardEst _),
+    // SimHash hamming near-dup via the pigeonhole band join —
+    // bucketed completeness at radius 3, all-pairs oracle
+    "q89_simhash_neardup"    -> (ext.Dedup.simhashNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -236,6 +248,10 @@ object SparkEntry {
     "q82_weighted_sample"    -> ext.Curation.qualityWeightedSampleSql,
     "q83_capped_clusters"    -> ext.Dedup.cappedDedupClustersSql,
     "q84_pipeline_gold"      -> Pipeline.pipelineGoldSql,
-    "q85_lsh_candidates"     -> ext.Dedup.lshCandidatesSql
+    "q85_lsh_candidates"     -> ext.Dedup.lshCandidatesSql,
+    "q86_char_diversity"     -> ext.TextAnalysis.charDiversitySql,
+    "q87_ivf_diversity"      -> ext.Similarity.ivfDiversitySampleSql,
+    "q88_minhash_jaccard"    -> ext.Dedup.minhashJaccardEstSql,
+    "q89_simhash_neardup"    -> ext.Dedup.simhashNearDupSql
   )
 }

@@ -261,6 +261,10 @@ object Dedup {
 
   val MinhashK = 16  // hash functions per signature
   val MinhashBands = 4 // → 4 rows per band
+  // declared HERE, before the q88/q89 vals that interpolate it into
+  // oracle SQL: a forward val reference in a Scala object silently
+  // reads the default 0 during initialization
+  val SimhashBits = 60 // md5-prefix hash width (HashBridge)
 
   /** MinHash signatures banded for LSH: per doc, k=16 min-hashes,
     * packed into 4 band hashes. Near-dup candidates = docs sharing
@@ -273,18 +277,31 @@ object Dedup {
     * groupBy shuffles only (doc_id, 16 longs) partial states —
     * map-side combined; band packing is md5 over the 4 decimal-encoded
     * mins (identical string encoding in both engines). */
+  /** The cached per-doc signature table (doc_id, g0..g15) — the
+    * materialized intermediate a MinHash pipeline writes once and
+    * every consumer (band packing q34/q85, similarity estimation q88)
+    * reads: one shingle explode + one map-side-combined 16-min
+    * aggregate, persisted per (session, dir). */
+  private[ext] def minhashSignatures(spark: SparkSession,
+                                     dir: String): DataFrame =
+    cached(spark, dir, "minhashSig") {
+      import HashBridge.md5Bits32
+      val d = Tables.load(spark, dir, "documents")
+      val exploded = d
+        .select(col("doc_id"), explode(shingles(col("text"))).as("sh0"))
+        .withColumn("m", md5(col("sh0")))
+        .select(col("doc_id"),
+          md5Bits32(col("m"), 1).as("h1"), md5Bits32(col("m"), 9).as("h2"))
+      val minAggs = (0 until MinhashK).map(i =>
+        min(col("h1") + lit(i.toLong) * col("h2")).as(s"g$i"))
+      exploded.groupBy(col("doc_id"))
+        .agg(minAggs.head, minAggs.tail: _*)
+        .persist()
+    }
+
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    import HashBridge.{md5Bits32, md5Bits60}
-    val d = Tables.load(spark, dir, "documents")
-    val exploded = d
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh0"))
-      .withColumn("m", md5(col("sh0")))
-      .select(col("doc_id"),
-        md5Bits32(col("m"), 1).as("h1"), md5Bits32(col("m"), 9).as("h2"))
-    val minAggs = (0 until MinhashK).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"g$i"))
-    val sig = exploded.groupBy(col("doc_id"))
-      .agg(minAggs.head, minAggs.tail: _*)
+    import HashBridge.md5Bits60
+    val sig = minhashSignatures(spark, dir)
     val rowsPerBand = MinhashK / MinhashBands
     val bandHashes = (0 until MinhashBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"g${b * rowsPerBand + r}"))
@@ -379,31 +396,180 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q88
+
+  /** q88 — MinHash Jaccard ESTIMATION over the q85 candidates: for
+    * each colliding pair, the fraction of the 16 signature components
+    * that agree — the unbiased Jaccard estimator that lets the LSH
+    * pipeline THRESHOLD candidates without ever touching the shingle
+    * sets again (the step between candidate generation and the final
+    * keep/drop decision). Exact parity: the match count is integer
+    * and the estimate is one division by 16 (a power of two —
+    * lossless in IEEE), so both engines produce identical doubles.
+    *
+    * Scale: candidates ⋈ signatures twice on doc_id — both sides are
+    * doc-sized (N rows, 16 longs), the shingle-sized tables are never
+    * revisited. The signature table is the shared cached intermediate
+    * ([[minhashSignatures]]), so this query adds two node-sized
+    * hash joins and nothing else. */
+  def minhashJaccardEst(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val aSide = sig.select(col("doc_id").as("doc_a") +:
+      (0 until MinhashK).map(i => col(s"g$i").as(s"ga$i")): _*)
+    val bSide = sig.select(col("doc_id").as("doc_b") +:
+      (0 until MinhashK).map(i => col(s"g$i").as(s"gb$i")): _*)
+    val matches = (0 until MinhashK)
+      .map(i => when(col(s"ga$i") === col(s"gb$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    minhashCandidatePairs(minhashBands(spark, dir))
+      .join(aSide, Seq("doc_a"))
+      .join(bSide, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), matches.as("n_matches"),
+        (matches.cast("double") / lit(MinhashK.toDouble)).as("jaccard_est"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashJaccardEstSql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"min(h1 + $i * h2) AS g$i").mkString(",\n    ")
+    val rowsPerBand = MinhashK / MinhashBands
+    val bandExprs = (0 until MinhashBands).map { b =>
+      val concat = (0 until rowsPerBand)
+        .map(r => s"CAST(g${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      HashBridge.md5Bits60Sql(s"md5($concat)")
+    }.mkString(", ")
+    val matchSum = (0 until MinhashK)
+      .map(i => s"CASE WHEN sa.g$i = sb.g$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${HashBridge.md5Bits32Sql("md5(sh)", 1)} AS h1,
+       |    ${HashBridge.md5Bits32Sql("md5(sh)", 9)} AS h2
+       |  FROM s),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, u.band, [$bandExprs][u.band + 1] AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest(range($MinhashBands)) AS band) u),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST($matchSum AS BIGINT) AS n_matches,
+       |  CAST($matchSum AS DOUBLE) / $MinhashK.0 AS jaccard_est
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.doc_a
+       |JOIN sig sb ON sb.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q89
+
+  /** 60 bits split into 4 bands of 15: by pigeonhole, any pair within
+    * hamming distance [[SimhashHammingMax]] = 3 leaves at least one
+    * band untouched, so the band-bucket equi-join finds EVERY
+    * qualifying pair — bucketed completeness, not bucketed recall. */
+  val SimhashNearDupBands = 4
+  val SimhashBandBits = 15
+  val SimhashHammingMax = 3
+
+  /** q89 — SimHash near-dup pairs: docs whose 60-bit sketches differ
+    * in ≤ [[SimhashHammingMax]] bits, found via the pigeonhole band
+    * join (the classic simhash dedup layout). The expensive sketch is
+    * computed once ([[simhashSketches]], cached); candidates are one
+    * equi-join on (band, 15-bit key); random unrelated sketches
+    * collide in a band with p≈2⁻¹⁵, so candidate volume stays
+    * near-linear while completeness at the threshold is exact —
+    * unlike MinHash LSH (q85), which trades recall for volume, this
+    * tier trades nothing at its (tighter) radius. Fully
+    * oracle-checked against the ALL-PAIRS hamming filter in DuckDB —
+    * the gate proves the pigeonhole shortcut loses no pair. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashSketches(spark, dir)
+    val bandArr = array((0 until SimhashNearDupBands).map { b =>
+      shiftright(col("simhash"), b * SimhashBandBits)
+        .bitwiseAND(lit((1L << SimhashBandBits) - 1))
+    }: _*)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        posexplode(bandArr))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming(col("a.simhash"), col("b.simhash")).cast("int")
+          .as("hamming_dist"))
+      .distinct()
+      .filter(col("hamming_dist") <= SimhashHammingMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashNearDupSql: String = {
+    val votes = (0 until SimhashBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS v$b")
+      .mkString(",\n    ")
+    val bits = (0 until SimhashBits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt,
+       |    ${HashBridge.md5Bits60Sql("md5(tok)")} AS h
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |        FROM documents)
+       |  GROUP BY doc_id, tok),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM t GROUP BY doc_id),
+       |sk AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM v)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming_dist
+       |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $SimhashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q35
 
-  val SimhashBits = 60 // md5-prefix hash width (HashBridge)
+  /** The cached 60-bit SimHash sketch table — computed once per
+    * (session, dir), consumed by q35 (reporting) and q89 (near-dup
+    * band join, which references the table TWICE in a self-join:
+    * without the persist the 60-vote aggregate would run twice — no
+    * cross-branch CSE in Catalyst). */
+  private[ext] def simhashSketches(spark: SparkSession,
+                                   dir: String): DataFrame =
+    cached(spark, dir, "simhash") {
+      import HashBridge.md5Bits60
+      val d = Tables.load(spark, dir, "documents")
+      val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("h", md5Bits60(md5(col("tok"))))
+      val bitVotes = (0 until SimhashBits).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"v$b")
+      }
+      val votes = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+      val sim = (0 until SimhashBits).map { b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      votes.select(col("doc_id"), sim.as("simhash")).persist()
+    }
 
   /** 60-bit SimHash per doc: tokens weighted by in-doc frequency vote
     * on each bit of the token's md5-derived hash; bit set where the
-    * vote is positive. Near-dup = small hamming distance (ExtSpec).
+    * vote is positive. Near-dup = small hamming distance (q89).
     * Fully oracle-checked: the per-token hash, the 60 bit-votes, and
     * the final integer are identical arithmetic in both engines. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    import HashBridge.md5Bits60
-    val d = Tables.load(spark, dir, "documents")
-    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5Bits60(md5(col("tok"))))
-    val bitVotes = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"v$b")
-    }
-    val votes = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sim = (0 until SimhashBits).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    votes.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
-  }
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSketches(spark, dir).orderBy(col("doc_id"))
 
   val simhashSql: String = {
     val votes = (0 until SimhashBits).map(b =>

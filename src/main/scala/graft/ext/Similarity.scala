@@ -515,4 +515,65 @@ object Similarity {
   /** q73's gate IS exactness: the quantized+rerank pipeline must
     * reproduce the brute-force answer. */
   val knnQuantizedSql: String = knnBruteForceSql
+
+  // ---------------------------------------------------------------- q87
+
+  /** Per-cell quota for the diversity sampler. */
+  val DiversityPerCell = 40
+
+  /** q87 — IVF-STRATIFIED diversity sampling: at most
+    * [[DiversityPerCell]] vectors per IVF cell, picked by md5-hash
+    * rank — the embedding-space version of the q68 quota sampler. A
+    * uniform sample of a skewed corpus reproduces the skew; sampling
+    * the same budget FROM EACH CELL of the coarse quantizer caps any
+    * one mode's share, which is the standard cheap diversity pass a
+    * training mix runs over embeddings (cluster-balanced selection).
+    * Deterministic end-to-end: cell assignment is q39's oracle-exact
+    * argmin, the pick is a hash rank — rerun- and reshard-stable.
+    *
+    * Scale: cell assignment is the q39 broadcast argmin (no corpus
+    * shuffle); the quota is one window per cell partition. At 100 TB
+    * with more cells than executors the window key already spreads;
+    * for huge single cells use the q68 note's quantile-prefilter to
+    * avoid the full per-cell sort. */
+  def ivfDiversitySample(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.ext.HashBridge.md5Bits60(
+      md5(concat(lit("ivfs:"), col("vec_id").cast("string"))))
+    val w = Window.partitionBy(col("cell_id"))
+      .orderBy(col("sample_hash"), col("vec_id"))
+    ivfAssign(spark, dir)
+      .select(col("vec_id"), col("cell_id"))
+      .withColumn("sample_hash", h)
+      .withColumn("pick_no", row_number().over(w).cast("int"))
+      .filter(col("pick_no") <= DiversityPerCell)
+      .select(col("vec_id"), col("cell_id"), col("pick_no"))
+      .orderBy(col("cell_id"), col("pick_no"))
+  }
+
+  val ivfDiversitySampleSql: String = {
+    val h = graft.ext.HashBridge.md5Bits60Sql(
+      "md5('ivfs:' || CAST(asg.vec_id AS VARCHAR))")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                     CAST(embedding AS DOUBLE[])) AS n2
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cell_id, emb AS cemb, n2 AS cn2
+       |  FROM v WHERE vec_id < $IvfCells),
+       |d AS (
+       |  SELECT v.vec_id, c.cell_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY v.n2 + c.cn2 - 2.0 * list_dot_product(v.emb, c.cemb),
+       |               c.cell_id) AS rn
+       |  FROM v CROSS JOIN c),
+       |assigned AS (SELECT vec_id, cell_id FROM d WHERE rn = 1),
+       |ranked AS (
+       |  SELECT asg.vec_id, asg.cell_id,
+       |    row_number() OVER (PARTITION BY asg.cell_id
+       |      ORDER BY $h, asg.vec_id) AS pick_no
+       |  FROM assigned asg)
+       |SELECT vec_id, cell_id, CAST(pick_no AS INT) AS pick_no
+       |FROM ranked WHERE pick_no <= $DiversityPerCell
+       |ORDER BY cell_id, pick_no""".stripMargin
+  }
 }

@@ -359,4 +359,72 @@ object TextAnalysis {
     """SELECT doc_id, n_chars,
       |  CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INT) AS bucket
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+
+  /** q86 — character/token DIVERSITY scoring, the entropy-proxy
+    * quality tier (gibberish and looping text sit at the extremes of
+    * both metrics):
+    *
+    *  - `char_collision`: the probability two random character
+    *    positions hold the same char — Σ n_c(n_c−1) / (N(N−1)), the
+    *    Simpson index. Chosen over Shannon entropy DELIBERATELY: it
+    *    is one division of two exact 64-bit integers, so both
+    *    engines produce bit-identical doubles, where entropy's
+    *    per-term log2 would drift by libm ulps between JVM and
+    *    DuckDB (the same exactness discipline as the integer
+    *    PageRank / decimal centroid choices).
+    *  - `ttr`: type-token ratio distinct/total tokens — again one
+    *    exact integer division.
+    *
+    * Scale: the char histogram is explode + two map-side-combined
+    * hash aggregates keyed on (doc_id, ch) then doc_id; ttr is
+    * array arithmetic inside the scan projection. Joined on doc_id —
+    * both sides doc-sized. */
+  def charDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val hist = d.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+    val coll = hist.groupBy(col("doc_id")).agg(
+      sum(col("n")).as("n_chars_total"),
+      count(lit(1)).as("distinct_chars"),
+      sum(col("n") * (col("n") - lit(1L))).as("coll_num"))
+    val toks = tokens(col("text"))
+    val ttr = d.select(col("doc_id"),
+      (size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")).as("ttr"))
+    coll.join(ttr, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chars_total"), col("distinct_chars"),
+        (col("coll_num").cast("double") /
+          (col("n_chars_total") * (col("n_chars_total") - lit(1L)))
+            .cast("double")).as("char_collision"),
+        col("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val charDiversitySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |hist AS (
+      |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+      |  FROM ch GROUP BY doc_id, c),
+      |coll AS (
+      |  SELECT doc_id,
+      |    CAST(sum(n) AS BIGINT) AS n_chars_total,
+      |    CAST(count(*) AS BIGINT) AS distinct_chars,
+      |    CAST(sum(n * (n - 1)) AS BIGINT) AS coll_num
+      |  FROM hist GROUP BY doc_id),
+      |t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(regexp_split_to_array(text, '\s+')))
+      |      AS DOUBLE) /
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS ttr
+      |  FROM documents)
+      |SELECT coll.doc_id, coll.n_chars_total, coll.distinct_chars,
+      |  CAST(coll.coll_num AS DOUBLE) /
+      |    CAST(coll.n_chars_total * (coll.n_chars_total - 1) AS DOUBLE)
+      |    AS char_collision,
+      |  t.ttr
+      |FROM coll JOIN t ON t.doc_id = coll.doc_id
+      |ORDER BY coll.doc_id""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 
 /** Semantic tests for the §7.5 extension operators beyond what the
   * DuckDB oracle gate checks: sketch behavior on planted near-dups,
@@ -139,6 +139,56 @@ class ExtSpec extends SparkSuite {
       assert(kept / de > 0.25 && kept / de < 0.75,
         s"de keep ratio ${kept / de} far from 0.5")
     }
+  }
+
+  test("simhash band join finds EVERY pair within the hamming radius") {
+    // the q89 pigeonhole claim: the (band, key) equi-join must equal
+    // the brute all-pairs hamming filter — completeness, not recall
+    val sk = Dedup.simhash(spark, sfDir)
+      .select("doc_id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sk; (idb, sb) <- sk
+      if ida < idb &&
+        java.lang.Long.bitCount(sa ^ sb) <= Dedup.SimhashHammingMax
+    } yield (ida, idb)).toSet
+    val viaBands = Dedup.simhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBands == brute,
+      s"pigeonhole join lost/invented pairs: ${viaBands.diff(brute)} / ${brute.diff(viaBands)}")
+    assert(brute.nonEmpty, "corpus should contain at least one near-dup pair")
+  }
+
+  test("minhash jaccard estimate is consistent with its signatures") {
+    val est = Dedup.minhashJaccardEst(spark, sfDir).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val (m, e) = (r.getLong(2), r.getDouble(3))
+      assert(m >= 1 && m <= Dedup.MinhashK) // candidates share ≥1 band
+      assert(e == m.toDouble / Dedup.MinhashK)
+    }
+  }
+
+  test("char diversity: planted extremes land at the metric bounds") {
+    val tmp = java.nio.file.Files.createTempDirectory("chardiv").toString
+    Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "x y x y x y"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.charDiversity(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("char_collision") == 1.0) // one char only
+    assert(out(2L).getAs[Double]("char_collision") == 0.0) // all distinct
+    assert(out(1L).getAs[Double]("ttr") == 1.0)            // one token, one type
+    assert(out(3L).getAs[Double]("ttr") == 2.0 / 6.0)      // x,y over 6 tokens
+  }
+
+  test("ivf diversity sample respects the per-cell quota and determinism") {
+    val s1 = Similarity.ivfDiversitySample(spark, sfDir).collect()
+    val s2 = Similarity.ivfDiversitySample(spark, sfDir).collect()
+    assert(s1.map(_.toString).sameElements(s2.map(_.toString)))
+    val perCell = s1.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= Similarity.DiversityPerCell))
+    assert(perCell.nonEmpty)
   }
 
   test("extension queries shuffle only where the algorithm requires") {
