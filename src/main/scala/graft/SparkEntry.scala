@@ -152,7 +152,10 @@ object SparkEntry {
     "q88_minhash_jaccard"    -> (ext.Dedup.minhashJaccardEst _),
     // SimHash hamming near-dup via the pigeonhole band join —
     // bucketed completeness at radius 3, all-pairs oracle
-    "q89_simhash_neardup"    -> (ext.Dedup.simhashNearDup _)
+    "q89_simhash_neardup"    -> (ext.Dedup.simhashNearDup _),
+    // contrastive hard negatives: top-k most-similar with a DIFFERENT
+    // label (query side broadcasts, corpus streams once)
+    "q90_hard_negatives"     -> (ext.Similarity.hardNegatives _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -252,6 +255,7 @@ object SparkEntry {
     "q86_char_diversity"     -> ext.TextAnalysis.charDiversitySql,
     "q87_ivf_diversity"      -> ext.Similarity.ivfDiversitySampleSql,
     "q88_minhash_jaccard"    -> ext.Dedup.minhashJaccardEstSql,
-    "q89_simhash_neardup"    -> ext.Dedup.simhashNearDupSql
+    "q89_simhash_neardup"    -> ext.Dedup.simhashNearDupSql,
+    "q90_hard_negatives"     -> ext.Similarity.hardNegativesSql
   )
 }

@@ -576,4 +576,61 @@ object Similarity {
        |FROM ranked WHERE pick_no <= $DiversityPerCell
        |ORDER BY cell_id, pick_no""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q90
+
+  /** Negatives kept per query. */
+  val HardNegK = 3
+
+  /** q90 — HARD-NEGATIVE mining for contrastive training: for each
+    * query vector, the [[HardNegK]] most-similar corpus vectors with
+    * a DIFFERENT label — maximally confusing negatives are the ones
+    * that teach an embedding model its decision boundary (the
+    * standard retrieval-training data op next to kNN's positives).
+    * Exact brute-force spelling, same determinism contract as q37
+    * (tie-break on neighbor id, cosine via the codegen [[dot]] fold).
+    *
+    * Scale: the query side broadcasts and the corpus streams once —
+    * identical shape to q37; at 100 TB the mining runs over the ANN
+    * shortlist instead (q40's probe or q73's quantized pass, then
+    * the label-mismatch filter + rerank on the shortlist only). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val v = vectors(spark, dir).join(lbl, Seq("vec_id"))
+    val q = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"))
+    val scored = q.join(v,
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+          .as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH v AS (
+       |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+       |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                          CAST(e.embedding AS DOUBLE[]))) AS nrm,
+       |    e.label
+       |  FROM embeddings e),
+       |q AS (SELECT * FROM v WHERE vec_id < $NumQueries),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    list_dot_product(q.emb, v.emb) / (q.nrm * v.nrm) AS cos
+       |  FROM q JOIN v ON v.vec_id <> q.vec_id AND v.label <> q.label),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |  round(cos, 4) AS cos_sim
+       |FROM r WHERE rank <= $HardNegK ORDER BY query_id, rank""".stripMargin
 }

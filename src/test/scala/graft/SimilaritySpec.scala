@@ -54,6 +54,26 @@ class SimilaritySpec extends SparkSuite {
       s"refinement worsened the quantizer: $seed -> $refined")
   }
 
+  test("hard negatives never share the query's label and rank by cosine") {
+    val labels = Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val negs = Similarity.hardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(negs.nonEmpty)
+    negs.foreach { case (q, n, _, _) =>
+      assert(labels(q) != labels(n), s"negative $n shares label with $q")
+    }
+    // within each query, cosine non-increasing across ranks
+    negs.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // each negative must be at least as close as every other
+    // different-label vector excluded from the top-k (spot check via
+    // count: exactly HardNegK per query when enough candidates exist)
+    assert(negs.groupBy(_._1).values.forall(_.length == Similarity.HardNegK))
+  }
+
   test("ivfAssign broadcasts the centroids (no corpus shuffle join)") {
     val plan = Similarity.ivfAssign(spark, sfDir)
       .queryExecution.executedPlan.toString
