@@ -155,7 +155,10 @@ object SparkEntry {
     "q89_simhash_neardup"    -> (ext.Dedup.simhashNearDup _),
     // contrastive hard negatives: top-k most-similar with a DIFFERENT
     // label (query side broadcasts, corpus streams once)
-    "q90_hard_negatives"     -> (ext.Similarity.hardNegatives _)
+    "q90_hard_negatives"     -> (ext.Similarity.hardNegatives _),
+    // overlapping token-window chunking — the tokenize-and-shard
+    // flatMap that ends every LLM data pipeline
+    "q91_doc_chunks"         -> (ext.TextAnalysis.docChunks _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,6 +259,7 @@ object SparkEntry {
     "q87_ivf_diversity"      -> ext.Similarity.ivfDiversitySampleSql,
     "q88_minhash_jaccard"    -> ext.Dedup.minhashJaccardEstSql,
     "q89_simhash_neardup"    -> ext.Dedup.simhashNearDupSql,
-    "q90_hard_negatives"     -> ext.Similarity.hardNegativesSql
+    "q90_hard_negatives"     -> ext.Similarity.hardNegativesSql,
+    "q91_doc_chunks"         -> ext.TextAnalysis.docChunksSql
   )
 }

@@ -427,4 +427,62 @@ object TextAnalysis {
       |  t.ttr
       |FROM coll JOIN t ON t.doc_id = coll.doc_id
       |ORDER BY coll.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+
+  /** Tokens per training chunk and the stride between chunk starts
+    * (overlap = [[ChunkTokens]] − [[ChunkStride]] = 16 tokens, the
+    * usual context-carryover so no sentence is ever split across a
+    * boundary without appearing whole in a neighbor). */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** q91 — document CHUNKING: split each document's token stream into
+    * overlapping [[ChunkTokens]]-token windows — the
+    * tokenize-and-shard step that turns a raw corpus into
+    * training-sequence rows (every LLM data pipeline ends with it).
+    * Chunk count = 1 + ⌈max(0, n−C) / stride⌉, so a short doc is one
+    * chunk and the final chunk may run short; both engines slice with
+    * clamping semantics, so the layout is bit-identical.
+    *
+    * Scale: a pure flatMap — `posexplode(sequence(...))` over the
+    * scan, zero exchanges before the output sort; at 100 TB this is
+    * the shape that parallelizes perfectly (one generator row in,
+    * ~n/stride rows out, no state). */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = tokens(col("text"))
+    val nChunks = (lit(1) + floor(
+      (greatest(size(toks) - ChunkTokens, lit(0)) + lit(ChunkStride - 1))
+        / ChunkStride)).cast("int")
+    d.select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no").cast("int").as("chunk_no"),
+        slice(col("toks"), col("chunk_no") * ChunkStride + lit(1),
+          lit(ChunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_no"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
+  val docChunksSql: String = {
+    val toks = "regexp_split_to_array(text, '\\s+')"
+    s"""WITH base AS (
+       |  SELECT doc_id, $toks AS toks,
+       |    1 + CAST(ceil(greatest(len($toks) - $ChunkTokens, 0)
+       |      / ${ChunkStride}.0) AS INT) AS n_chunks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, unnest(range(n_chunks)) AS chunk_no, toks
+       |  FROM base)
+       |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+       |  CAST(len(toks[chunk_no * $ChunkStride + 1 :
+       |            chunk_no * $ChunkStride + $ChunkTokens]) AS BIGINT)
+       |    AS n_chunk_tokens,
+       |  array_to_string(toks[chunk_no * $ChunkStride + 1 :
+       |            chunk_no * $ChunkStride + $ChunkTokens], ' ')
+       |    AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_no""".stripMargin
+  }
 }

@@ -191,6 +191,30 @@ class ExtSpec extends SparkSuite {
     assert(perCell.nonEmpty)
   }
 
+  test("doc chunks tile the token stream exactly as specified") {
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TextAnalysis.docChunks(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == texts.keySet)
+    texts.take(50).foreach { case (id, text) =>
+      val toks = text.split("\\s+")
+      val cs = chunks(id).sortBy(_.getInt(1))
+      cs.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getInt(1) == i) // contiguous 0-based chunk numbers
+        val want = toks.slice(i * TextAnalysis.ChunkStride,
+          i * TextAnalysis.ChunkStride + TextAnalysis.ChunkTokens)
+        assert(c.getString(3) == want.mkString(" "))
+        assert(c.getLong(2) == want.length)
+      }
+      // coverage: the final chunk reaches the end of the token stream
+      val lastEnd = (cs.length - 1) * TextAnalysis.ChunkStride +
+        cs.last.getLong(2)
+      assert(lastEnd >= toks.length)
+    }
+  }
+
   test("extension queries shuffle only where the algorithm requires") {
     // token stats / fingerprint are pure scans: no Exchange in the plan
     Seq(TextAnalysis.tokenStats _, TextAnalysis.docFingerprint _,
