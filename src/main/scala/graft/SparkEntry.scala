@@ -158,7 +158,9 @@ object SparkEntry {
     "q90_hard_negatives"     -> (ext.Similarity.hardNegatives _),
     // overlapping token-window chunking — the tokenize-and-shard
     // flatMap that ends every LLM data pipeline
-    "q91_doc_chunks"         -> (ext.TextAnalysis.docChunks _)
+    "q91_doc_chunks"         -> (ext.TextAnalysis.docChunks _),
+    // per-source corpus health rollup (volume, dup rate, quality)
+    "q92_corpus_report"      -> (ext.TextAnalysis.corpusReport _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -260,6 +262,7 @@ object SparkEntry {
     "q88_minhash_jaccard"    -> ext.Dedup.minhashJaccardEstSql,
     "q89_simhash_neardup"    -> ext.Dedup.simhashNearDupSql,
     "q90_hard_negatives"     -> ext.Similarity.hardNegativesSql,
-    "q91_doc_chunks"         -> ext.TextAnalysis.docChunksSql
+    "q91_doc_chunks"         -> ext.TextAnalysis.docChunksSql,
+    "q92_corpus_report"      -> ext.TextAnalysis.corpusReportSql
   )
 }

@@ -485,4 +485,71 @@ object TextAnalysis {
        |    AS chunk_text
        |FROM c ORDER BY doc_id, chunk_no""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q92
+
+  /** q92 — per-source CORPUS HEALTH report: the monitoring rollup a
+    * data pipeline publishes after each crawl/ingest batch — document
+    * volume, exact-dup rate (via the q32 fingerprint), token volume,
+    * and mean quality (q29's score) PER SOURCE, so a regressing feed
+    * is visible as its own row. Parity discipline: dup_rate is one
+    * exact integer division; avg_quality sums the 6-dp scores in
+    * exact decimal ([[graft.util.Cols.davg]]) so partial aggregation
+    * order can never perturb the mean.
+    *
+    * Scale: one scan computing fingerprint + token count + score in
+    * the projection, one hash exchange on source. countDistinct
+    * plans as the standard two-phase partial_count(distinct fp) —
+    * per-source fingerprint sets never sit in one task's memory. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopCnt = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+      .cast("double")
+    val punctCnt = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+      .cast("double")
+    val score = round(
+      lit(0.5) * (stopCnt / nTok) +
+        lit(0.3) * least(lit(1.0), nTok / lit(100.0)) +
+        lit(0.2) * (lit(1.0) - punctCnt / length(col("text")).cast("double")),
+      6)
+    d.select(col("source"), fingerprint(col("text")).as("fp"),
+        size(toks).cast("long").as("nt"), score.as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("nt")).as("n_tokens"),
+        graft.util.Cols.davg(col("q"), 6).as("avg_quality"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_unique"), col("dup_rate"),
+        col("n_tokens"), col("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  val corpusReportSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+       |    CAST(len($tokensSql) AS BIGINT) AS nt,
+       |    round(
+       |      0.5 * (CAST(len(list_filter($tokensSql, t -> t IN ($stopList)))
+       |               AS DOUBLE) / CAST(len($tokensSql) AS DOUBLE))
+       |      + 0.3 * least(1.0, CAST(len($tokensSql) AS DOUBLE) / 100.0)
+       |      + 0.2 * (1.0 -
+       |          CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+       |            AS DOUBLE) / CAST(length(text) AS DOUBLE)),
+       |      6) AS q
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+       |  1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS dup_rate,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  ${graft.util.Cols.davgSql("q", 6)} AS avg_quality
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
 }

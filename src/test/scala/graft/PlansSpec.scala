@@ -134,4 +134,38 @@ class PlansSpec extends SparkSuite {
     assert(!p.contains("Window"),
       s"argmin fell back to a row_number window (N×k sort):\n$p")
   }
+
+  test("q88/q89 reuse their cached sketch tables instead of recomputing") {
+    // the signature/sketch aggregates must come from InMemoryRelation
+    // (the materialize-once cache) — a plan that re-runs the shingle
+    // or token explode would double the dominant cost
+    Seq("q88_minhash_jaccard", "q89_simhash_neardup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q does not read the persisted sketch cache:\n$p")
+    }
+  }
+
+  test("q89 band join is an equi-join, never a nested loop") {
+    val p = plan("q89_simhash_neardup")
+    assert(!p.contains("NestedLoop"), s"q89 planned a nested loop:\n$p")
+  }
+
+  test("q91 chunking is a pure generator — no exchange before the sort") {
+    val p = plan("q91_doc_chunks")
+    assert(!p.contains("hashpartitioning"),
+      s"chunking flatMap must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected a generator node:\n$p")
+  }
+
+  test("q92 corpus report is one scan + one aggregation exchange") {
+    val p = plan("q92_corpus_report")
+    // two-phase distinct-aggregate planning keys every exchange on
+    // source (or source+fp for the distinct): no other shuffle keys
+    val exchanges = "hashpartitioning\\(([a-z_#0-9, ]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(k => assert(k.contains("source"),
+      s"q92 exchange keyed off-source ($k):\n$p"))
+  }
 }
