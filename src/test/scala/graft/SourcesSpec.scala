@@ -91,6 +91,24 @@ class SourcesSpec extends SparkSuite {
     assert(captured(2L).nonEmpty && captured(3L).nonEmpty)
   }
 
+  test("JSONL export: size-targeted shards, lossless round trip") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("jsonl").toString
+    // small target to force multiple shards at test scale
+    val n = graft.sources.Export.writeJsonlShards(docs, out, 64L * 1024)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(files.length == n && n > 1, s"expected $n shards")
+    // size-targeted: every shard within target + slack for row skew
+    files.foreach(f => assert(f.length < 3 * 64L * 1024,
+      s"${f.getName} is ${f.length} bytes"))
+    // round trip: schema'd re-read returns exactly the same rows
+    val back = spark.read.schema(docs.schema).json(out)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("parquet append with evolving schema reads merged (T7)") {
     val base = Files.createTempDirectory("drift").toString
     import spark.implicits._
