@@ -160,7 +160,10 @@ object SparkEntry {
     // flatMap that ends every LLM data pipeline
     "q91_doc_chunks"         -> (ext.TextAnalysis.docChunks _),
     // per-source corpus health rollup (volume, dup rate, quality)
-    "q92_corpus_report"      -> (ext.TextAnalysis.corpusReport _)
+    "q92_corpus_report"      -> (ext.TextAnalysis.corpusReport _),
+    // incremental ingest: new batch vs df-capped corpus shingle index
+    // (broadcast batch, one index scan — never O(corpus²))
+    "q93_incremental_neardup" -> (ext.Dedup.incrementalNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -263,6 +266,7 @@ object SparkEntry {
     "q89_simhash_neardup"    -> ext.Dedup.simhashNearDupSql,
     "q90_hard_negatives"     -> ext.Similarity.hardNegativesSql,
     "q91_doc_chunks"         -> ext.TextAnalysis.docChunksSql,
-    "q92_corpus_report"      -> ext.TextAnalysis.corpusReportSql
+    "q92_corpus_report"      -> ext.TextAnalysis.corpusReportSql,
+    "q93_incremental_neardup" -> ext.Dedup.incrementalNearDupSql
   )
 }

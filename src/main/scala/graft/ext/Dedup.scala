@@ -867,6 +867,62 @@ object Dedup {
       |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.40
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+
+  /** Every ~11th doc plays the newly-ingested batch in q93. */
+  val IngestModulus = 11
+
+  /** q93 — INCREMENTAL near-dup ingest: match a new document batch
+    * against the EXISTING corpus without re-pairing the corpus — the
+    * shape every production ingest actually runs (q33/q58 are the
+    * one-time backfill; this is the steady state). The corpus side is
+    * the df-capped shingle index (boilerplate shingles dropped at
+    * index-build time, same [[DfCap]] contract as q58); the new batch
+    * is tiny relative to the corpus, so its shingle table BROADCASTS
+    * and the index streams through one scan — total cost per ingest
+    * is O(index), never O(corpus²). New-vs-new pairs inside the batch
+    * are the batch's own q58 pass; this operator covers new-vs-old.
+    *
+    * Same hash-key contract as q33: Spark joins on xxhash64(shingle)
+    * (8-byte exchange keys), the DuckDB oracle joins the strings — a
+    * collision would surface as a gate mismatch, not pass silently. */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    def sh(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(shingles(col("text"))).as("s0"))
+        .select(col("doc_id"), xxhash64(col("s0")).as("sh"))
+    val isNew = pmod(col("doc_id"), lit(IngestModulus)) === 0
+    val corpusSh = sh(d.filter(!isNew))
+    // df-capped index: one aggregate over the corpus shingles, then a
+    // semi-join keeps only index entries under the cap
+    val keep = corpusSh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_df")).filter(col("n_df") <= DfCap)
+      .select("sh")
+    val index = corpusSh.join(keep, Seq("sh"), "left_semi")
+    val batchSh = sh(d.filter(isNew))
+      .select(col("doc_id").as("new_id"), col("sh"))
+    index.join(broadcast(batchSh), Seq("sh"))
+      .groupBy(col("new_id"), col("doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  val incrementalNearDupSql: String =
+    s"""WITH s AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |corpus AS (SELECT * FROM s WHERE doc_id % $IngestModulus <> 0),
+       |keep AS (SELECT sh FROM corpus GROUP BY sh
+       |         HAVING count(*) <= $DfCap),
+       |idx AS (SELECT c.doc_id, c.sh FROM corpus c JOIN keep USING (sh)),
+       |batch AS (SELECT doc_id AS new_id, sh FROM s
+       |          WHERE doc_id % $IngestModulus = 0)
+       |SELECT b.new_id, i.doc_id AS corpus_id,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM idx i JOIN batch b USING (sh)
+       |GROUP BY 1, 2 HAVING count(*) >= 3
+       |ORDER BY new_id, corpus_id""".stripMargin
+
   // ---------------------------------------------------------------- q74
 
   /** Every ~97th doc plays the held-out benchmark set (deterministic
