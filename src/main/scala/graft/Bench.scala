@@ -68,6 +68,33 @@ object Bench {
   /** Hard budget for the final stdout line (driver tail = 2000). */
   val MaxLineChars = 1900
 
+  /** Iterations of the calibration spin — sized to ~25 ms on a quiet
+    * host, so the per-query probes add ~5 s to a 93-query double-run
+    * suite while making host contention measurable. */
+  val ProbeIters = 30000000
+
+  /** Side-effect sink that keeps the JIT from eliding the probe loop. */
+  @volatile private var probeSink = 0L
+
+  /** Fixed single-threaded CPU-spin probe (xorshift64), timed. This is
+    * the contention calibration three rounds of adjudication asked
+    * for: the workload is constant, so its measured time is a direct
+    * sample of how much CPU this process was actually given in that
+    * window. A query measured alongside a probe ≫ the run's baseline
+    * (min over all probes) was measured on a starved host, and the
+    * artifact now carries that evidence per-query — no rerun needed. */
+  private def cpuProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < ProbeIters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    probeSink = x
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def r3(x: Double): String =
     if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -96,14 +123,20 @@ object Bench {
       try { fn(spark, sfDir) } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // name -> every raw run, in run order (1 entry for NoRemeasure)
-    val runs: Seq[(String, Seq[Double])] =
+    // JIT-warm the probe, then take the pre-suite quiet reading
+    (0 until 5).foreach(_ => cpuProbe())
+    // name -> (every raw run, probe time sampled just before each run)
+    val runs: Seq[(String, Seq[Double], Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val c1 = cpuProbe()
         val run = time((s, d) => { fn(s, d).count(); () })
-        val raw =
-          if (once || NoRemeasure(name) || run < 0) Seq(run)
-          else Seq(run, time((s, d) => { fn(s, d).count(); () }))
-        name -> raw
+        val (raw, cal) =
+          if (once || NoRemeasure(name) || run < 0) (Seq(run), Seq(c1))
+          else {
+            val c2 = cpuProbe()
+            (Seq(run, time((s, d) => { fn(s, d).count(); () })), Seq(c1, c2))
+          }
+        (name, raw, cal)
       }
     def best(raw: Seq[Double]): Double = {
       // a failed re-measure (-1 sentinel) must not masquerade as the
@@ -117,15 +150,26 @@ object Bench {
     // number
     val total = runs.map(r => math.max(0.0, best(r._2))).sum
     val nFailed = runs.count(r => best(r._2) < 0)
+    // calibration summary: the min over the whole suite is the quiet-
+    // host reference; any window's probe / calMin ratio is its
+    // contention factor (1.0 = undisturbed)
+    val allCal = runs.flatMap(_._3)
+    val calMin = allCal.min
+    val calMax = allCal.max
+    val calMed = allCal.sorted.apply(allCal.size / 2)
 
-    // ---- complete sidecar: full names, all raw runs, best, total
-    val fullEntries = runs.map { case (name, raw) =>
-      s""""$name":{"runs":[${raw.map(r3).mkString(",")}],"best":${r3(best(raw))}}"""
+    // ---- complete sidecar: full names, all raw runs + the CPU-probe
+    // reading sampled immediately before each run, best, total
+    val fullEntries = runs.map { case (name, raw, cal) =>
+      s""""$name":{"runs":[${raw.map(r3).mkString(",")}],""" +
+        s""""cal":[${cal.map(r3).mkString(",")}],"best":${r3(best(raw))}}"""
     }.mkString(",\n  ")
     val sidecar =
       s"""{
          |  "sf":"$sfDir","cpus":$cpus,"n_queries":${runs.size},"n_failed":$nFailed,
          |  "timing":"min of the listed runs; single entry = cold cache-builder or once-mode",
+         |  "calibration":"cal[i] = seconds for a fixed $ProbeIters-iteration single-threaded spin sampled just before run i; cal/cal_min_sec > ~1.5 marks a contended window",
+         |  "cal_min_sec":${r3(calMin)},"cal_med_sec":${r3(calMed)},"cal_max_sec":${r3(calMax)},
          |  "total_best_sec":${r3(total)},
          |  "total_is_complete":${nFailed == 0},
          |  "queries":{
@@ -144,9 +188,9 @@ object Bench {
     // raw pairs → bests only → no query map at all.
     val sfName = new java.io.File(sfDir).getName
     val tail =
-      s""""sf":"$sfName","file":"$OutFile","n_failed":$nFailed,"metric":"total","unit":"sec","value":${r3(total)}}"""
+      s""""sf":"$sfName","file":"$OutFile","cal":[${r3(calMin)},${r3(calMed)},${r3(calMax)}],"n_failed":$nFailed,"metric":"total","unit":"sec","value":${r3(total)}}"""
     def line(withRuns: Boolean): String = {
-      val qs = runs.map { case (name, raw) =>
+      val qs = runs.map { case (name, raw, _) =>
         val short = name.takeWhile(_ != '_')
         val v = if (withRuns) s"[${raw.map(r3).mkString(",")}]" else r3(best(raw))
         s""""$short":$v"""

@@ -412,7 +412,10 @@ object Dedup {
     * revisited. The signature table is the shared cached intermediate
     * ([[minhashSignatures]]), so this query adds two node-sized
     * hash joins and nothing else. */
-  def minhashJaccardEst(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered (doc_a, doc_b, n_matches, jaccard_est) estimates over
+    * the LSH candidates — the shared body of q88 (reporting) and the
+    * q94 keep/drop threshold. */
+  private def jaccardEstimates(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir)
     val aSide = sig.select(col("doc_id").as("doc_a") +:
       (0 until MinhashK).map(i => col(s"g$i").as(s"ga$i")): _*)
@@ -426,8 +429,10 @@ object Dedup {
       .join(bSide, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), matches.as("n_matches"),
         (matches.cast("double") / lit(MinhashK.toDouble)).as("jaccard_est"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def minhashJaccardEst(spark: SparkSession, dir: String): DataFrame =
+    jaccardEstimates(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   val minhashJaccardEstSql: String = {
     val mins = (0 until MinhashK)
@@ -468,6 +473,99 @@ object Dedup {
        |JOIN sig sa ON sa.doc_id = c.doc_a
        |JOIN sig sb ON sb.doc_id = c.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q94
+
+  /** Keep threshold on the 16-component signature: ≥ 8 matching
+    * components ≈ estimated Jaccard ≥ 0.5 — the near-dup bar the LSH
+    * pipeline ships with (same ballpark as the q33 inter/union
+    * evidence, far above the ~1/2³² noise floor of unrelated docs). */
+  val MinhashKeepMatches = 8L
+
+  /** The q94 edge set: LSH candidates whose estimated Jaccard clears
+    * [[MinhashKeepMatches]]/16 — cached, it feeds the clustering the
+    * same way [[cappedPairs]] feeds q83. */
+  private[ext] def minhashKeptPairs(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "minhashKept") {
+      jaccardEstimates(spark, dir)
+        .filter(col("n_matches") >= MinhashKeepMatches)
+        .select(col("doc_a"), col("doc_b"))
+        .persist()
+    }
+
+  /** q94 — the SKETCH-BASED production dedup chain end-to-end:
+    * signatures (q34) → LSH candidates (q85) → Jaccard-estimate
+    * threshold (q88, keep at ≥ [[MinhashKeepMatches]]/16) → connected
+    * components → min-id representative per cluster. This is what a
+    * 100 TB near-dup pipeline actually ships — every stage is
+    * constant-work per document (16-long signature, band bucket join,
+    * integer component compare), no stage ever touches the shingle
+    * sets after the one signature build, and the final labels are the
+    * same CC machinery as q83 (driver union-find under
+    * [[CcDriverMaxEdges]], distributed min-label propagation above).
+    * The shingle-df chain (q58→q83) and this minhash chain are the
+    * two independent production lineages; ExtSpec proves this one's
+    * recall against the exact q33 pairs at the same Jaccard bar.
+    *
+    * Fully oracle-checked: every sketch derives from md5 prefixes
+    * ([[HashBridge]]), so DuckDB reproduces the candidate set, the
+    * estimates, AND the resulting components bit-identically. */
+  def minhashDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    convergedLabels(spark, dir, "minhashLabels", minhashKeptPairs(spark, dir))
+      .orderBy(col("doc_id"))
+
+  val minhashDedupClustersSql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"min(h1 + $i * h2) AS g$i").mkString(",\n    ")
+    val rowsPerBand = MinhashK / MinhashBands
+    val bandExprs = (0 until MinhashBands).map { b =>
+      val concat = (0 until rowsPerBand)
+        .map(r => s"CAST(g${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      HashBridge.md5Bits60Sql(s"md5($concat)")
+    }.mkString(", ")
+    val matchSum = (0 until MinhashK)
+      .map(i => s"CASE WHEN sa.g$i = sb.g$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE s AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${HashBridge.md5Bits32Sql("md5(sh)", 1)} AS h1,
+       |    ${HashBridge.md5Bits32Sql("md5(sh)", 9)} AS h2
+       |  FROM s),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, u.band, [$bandExprs][u.band + 1] AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest(range($MinhashBands)) AS band) u),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id),
+       |kept AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b
+       |  WHERE $matchSum >= $MinhashKeepMatches),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM kept
+       |  UNION ALL SELECT doc_b, doc_a FROM kept),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q89
@@ -866,6 +964,84 @@ object Dedup {
       |FROM v a JOIN v b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.40
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+
+  /** Same cosine bar as the exact q36 near-dup — within a cell, the
+    * pruning decision matches the exact operator's notion of "dup". */
+  val SemDedupThreshold = 0.40
+
+  /** q96 — SemDeDup-style EMBEDDING CLUSTER DEDUP: prune near-
+    * duplicate vectors inside each IVF cell — the embedding-space
+    * analog of q83's capped shingle clustering, and the production
+    * answer to the one dedup modality whose exact form (q36) is
+    * inherently Ω(N²). Following SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster with a coarse quantizer, then compare
+    * pairs ONLY within a cluster — cross-cell pairs are never
+    * generated, so total compare work is Σ_cell C(|cell|, 2) instead
+    * of C(N, 2), and each cell's pairs expand inside one equi-join
+    * bucket (per-task memory bounded by the largest cell; at 100 TB
+    * the cell count scales with the corpus so |cell| stays ~constant
+    * and the whole pass is linear).
+    *
+    * Keep rule: a vector is PRUNED when any LOWER-ID vector in the
+    * same cell has cosine ≥ [[SemDedupThreshold]] — the deterministic
+    * one-join spelling of SemDeDup's keep-one-per-duplicate-group
+    * (the kept-only sequential variant needs an ordered scan that
+    * doesn't distribute; the any-lower-id rule is one equi-join,
+    * rerun-stable, and prunes a superset). Output keeps every vector
+    * with its decision, so downstream joins can pick either side.
+    *
+    * Recall contract (the LSH trade, declared): only same-cell dup
+    * pairs are seen — ExtSpec measures the within-cell share of q36's
+    * exact pairs on this corpus; more cells/probes tighten or trade
+    * it, exactly as in the SemDeDup paper. */
+  def semDedupCells(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.vecDot
+    val assigned = Similarity.corpusCellAssignment(spark, dir)
+    val side = assigned
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell_id"))
+    val drops = side.as("x").join(side.as("y"),
+        col("x.cell_id") === col("y.cell_id") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .filter(vecDot(col("x.emb"), col("y.emb")) /
+        (col("x.nrm") * col("y.nrm")) >= SemDedupThreshold)
+      .select(col("x.vec_id")).distinct()
+    assigned.join(drops.withColumn("_drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        when(col("_drop").isNotNull, 0).otherwise(1).cast("int").as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semDedupCellsSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                     CAST(embedding AS DOUBLE[])) AS n2,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cell_id, emb AS cemb, n2 AS cn2
+       |  FROM v WHERE vec_id < ${Similarity.IvfCells}),
+       |d AS (
+       |  SELECT v.vec_id, c.cell_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY v.n2 + c.cn2 - 2.0 * list_dot_product(v.emb, c.cemb),
+       |               c.cell_id) AS rn
+       |  FROM v CROSS JOIN c),
+       |asg AS (SELECT vec_id, cell_id FROM d WHERE rn = 1),
+       |drops AS (
+       |  SELECT DISTINCT x.vec_id
+       |  FROM asg x
+       |  JOIN asg y ON x.cell_id = y.cell_id AND y.vec_id < x.vec_id
+       |  JOIN v vx ON vx.vec_id = x.vec_id
+       |  JOIN v vy ON vy.vec_id = y.vec_id
+       |  WHERE list_dot_product(vx.emb, vy.emb) / (vx.nrm * vy.nrm)
+       |    >= $SemDedupThreshold)
+       |SELECT a.vec_id, a.cell_id,
+       |  CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+       |FROM asg a LEFT JOIN drops dr ON dr.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   // ---------------------------------------------------------------- q93
 

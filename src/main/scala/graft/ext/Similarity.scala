@@ -48,16 +48,26 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
 
-  /** Exact top-k per query, deterministic tie-break on neighbor id. */
-  private def topK(scored: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("int").as("rank"), round(col("cos"), 4).as("cos_sim"))
+  /** Exact top-k per query, deterministic tie-break on neighbor id.
+    *
+    * NOT a `row_number` window (which sorts every scored row inside
+    * each query partition — all Q×N rows through the exchange): the
+    * [[graft.functions.BoundedTopK]] aggregate keeps a k-sized buffer,
+    * so the partial aggregate collapses each (partition, query) to ≤ k
+    * candidates before the shuffle and no full sort runs — the q39/q56
+    * `min(struct)` argmin generalized to k (PlansSpec asserts the knn
+    * plans are Window-free). Score negation makes the ascending
+    * aggregate rank descending; IEEE negation is exact, so `cos` comes
+    * back bit-identical and every oracle compare is untouched. */
+  private def topK(scored: DataFrame, k: Int = K): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.AggExprs.topKMin(
+        -col("cos"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(-col("col.score"), 4).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   // ---------------------------------------------------------------- q37
 
@@ -278,6 +288,23 @@ object Similarity {
     * reranks exactly within them. Deterministic ⇒ full DuckDB oracle.
     * At scale the cell filter becomes partition pruning on a corpus
     * laid out by cell_id. */
+  /** (vec_id, emb, nrm, cell_id) — every corpus vector with its IVF
+    * cell, via the one-per-vector argmin aggregate (emb/nrm ride in
+    * the struct — no join-back, no N×k window sort). Shared by the
+    * q40 probe path and [[Dedup.semDedupCells]] (q96). */
+  private[ext] def corpusCellAssignment(spark: SparkSession,
+                                        dir: String): DataFrame = {
+    val v = vectors(spark, dir).withColumn("n2", dot(col("emb"), col("emb")))
+    val cents = v.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell_id"), col("emb").as("cemb"),
+        col("n2").as("cn2"))
+    val expanded = v.join(broadcast(cents))
+      .withColumn("dist2",
+        col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
+    argminCell(expanded, Seq("emb", "nrm"))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell_id"))
+  }
+
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir).withColumn("n2", dot(col("emb"), col("emb")))
     val cents = v.filter(col("vec_id") < IvfCells)
@@ -286,10 +313,8 @@ object Similarity {
     def expand(src: DataFrame): DataFrame = src.join(broadcast(cents))
       .withColumn("dist2",
         col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
-    // corpus side: one-per-vector argmin aggregate (emb/nrm ride in
-    // the struct — no join-back, no N×k window sort)
-    val corpusCells = argminCell(expand(v), Seq("emb", "nrm"))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cell_id"))
+    // corpus side: shared cell assignment (argmin aggregate)
+    val corpusCells = corpusCellAssignment(spark, dir)
     // probe side: top-nprobe needs a rank, but only over the tiny
     // query subset (NumQueries×k rows) — the window is negligible here
     val w = Window.partitionBy(col("vec_id"))
@@ -497,14 +522,18 @@ object Similarity {
       .withColumn("approx",
         dot(col("q_q8").cast("array<double>"), col("q8").cast("array<double>"))
           / (col("q_s") * col("s")))
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("vec_id"))
-    val shortlist = approx.withColumn("arn", row_number().over(wApprox))
-      .filter(col("arn") <= QuantShortlist)
-      .select(col("query_id"), col("q_emb"), col("q_nrm"),
-        col("vec_id").as("neighbor_id"))
+    // shortlist via the k-bounded aggregate (not a window): the
+    // partial agg trims each partition to 50 candidates per query
+    // before any exchange, and only (query_id, id) pairs move — the
+    // embeddings join back below
+    val shortlist = approx.groupBy(col("query_id"))
+      .agg(graft.functions.AggExprs.topKMin(
+        -col("approx"), col("vec_id"), QuantShortlist).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("neighbor_id"))
     // stage 2: exact rerank of the shortlist only
     val scored = shortlist
+      .join(q.select(col("query_id"), col("q_emb"), col("q_nrm")),
+        Seq("query_id"))
       .join(vectors(spark, dir).select(col("vec_id"), col("emb"), col("nrm")),
         col("vec_id") === col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -591,9 +620,11 @@ object Similarity {
     * (tie-break on neighbor id, cosine via the codegen [[dot]] fold).
     *
     * Scale: the query side broadcasts and the corpus streams once —
-    * identical shape to q37; at 100 TB the mining runs over the ANN
-    * shortlist instead (q40's probe or q73's quantized pass, then
-    * the label-mismatch filter + rerank on the shortlist only). */
+    * identical shape to q37, and the rank is the k-bounded [[topK]]
+    * aggregate (Window-free, plan-asserted): each scan partition
+    * emits at most [[HardNegK]] candidates per query, so the exchange
+    * never carries the scored N_q×N rows. At 100 TB the mining runs
+    * over the ANN shortlist instead — [[hardNegativesAnn]] (q95). */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val lbl = graft.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"))
@@ -606,13 +637,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
           .as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= HardNegK)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("int").as("rank"), round(col("cos"), 4).as("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    topK(scored, HardNegK)
   }
 
   val hardNegativesSql: String =
@@ -633,4 +658,65 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
        |  round(cos, 4) AS cos_sim
        |FROM r WHERE rank <= $HardNegK ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+
+  /** Shortlist width for the ANN hard-negative pass — 10× the kept
+    * [[HardNegK]], the same order-of-magnitude margin as q73's. */
+  val AnnNegShortlist = 30
+
+  /** q95 — hard negatives over an ANN SHORTLIST: q90's declared
+    * 100 TB path as its own gated query. Stage 1 scores the
+    * label-mismatched corpus against each query on int8-quantized
+    * vectors (the q73 tier: the streamed corpus bytes drop 8×) and
+    * keeps only [[AnnNegShortlist]] candidates per query via the
+    * k-bounded aggregate; stage 2 reranks that bounded set with the
+    * exact cosine and keeps [[HardNegK]].
+    *
+    * GATE CONTRACT (the q73 precedent): the output must equal the
+    * exact q90 answer verbatim — on this corpus the int8 margin puts
+    * every true top-[[HardNegK]] negative inside the 30-wide
+    * shortlist (SimilaritySpec asserts that containment against the
+    * brute-force scores), and both stages are deterministic, so the
+    * equality is a fixed property of the data. A corpus where
+    * quantization error pushed a true hard negative past rank 30
+    * would fail the gate loudly — correct for a path claiming
+    * exactness. This closes the brute-force-has-a-sublinear-sibling
+    * invariant: q37→q38/q40/q73, q90→q95. */
+  def hardNegativesAnn(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val v = vectors(spark, dir).join(lbl, Seq("vec_id"))
+      .withColumn("s", lit(127.0) / array_max(transform(col("emb"), x => abs(x))))
+      .withColumn("q8", transform(col("emb"),
+        x => round(x * col("s")).cast("tinyint")))
+    val q = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"),
+        col("s").as("q_s"), col("q8").as("q_q8"))
+    // stage 1: int8 approx scores, label filter pushed BEFORE the
+    // scoring so same-label vectors never cost a dot product
+    val approx = q.join(v.select(col("vec_id"), col("label"), col("s"), col("q8")),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .withColumn("approx",
+        dot(col("q_q8").cast("array<double>"), col("q8").cast("array<double>"))
+          / (col("q_s") * col("s")))
+    val shortlist = approx.groupBy(col("query_id"))
+      .agg(graft.functions.AggExprs.topKMin(
+        -col("approx"), col("vec_id"), AnnNegShortlist).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("neighbor_id"))
+    // stage 2: exact rerank of the bounded candidate set only
+    val scored = shortlist
+      .join(q.select(col("query_id"), col("q_emb"), col("q_nrm")),
+        Seq("query_id"))
+      .join(vectors(spark, dir).select(col("vec_id"), col("emb"), col("nrm")),
+        col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm"))).as("cos"))
+    topK(scored, HardNegK)
+  }
+
+  /** q95's gate IS exactness: the quantized shortlist + rerank must
+    * reproduce q90's brute-force answer. */
+  val hardNegativesAnnSql: String = hardNegativesSql
 }

@@ -390,14 +390,20 @@ object TextAnalysis {
       count(lit(1)).as("distinct_chars"),
       sum(col("n") * (col("n") - lit(1L))).as("coll_num"))
     val toks = tokens(col("text"))
+    // degenerate-doc guards: for a 1-char document (or an empty token
+    // array) the denominator is 0 — Spark's non-ANSI Divide yields
+    // NULL there while DuckDB's default IEEE division yields inf/NaN,
+    // so both sides pin the degenerate case to an explicit NULL
     val ttr = d.select(col("doc_id"),
-      (size(array_distinct(toks)).cast("double") /
-        size(toks).cast("double")).as("ttr"))
+      when(size(toks) > 0,
+        size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double")).as("ttr"))
     coll.join(ttr, Seq("doc_id"))
       .select(col("doc_id"), col("n_chars_total"), col("distinct_chars"),
-        (col("coll_num").cast("double") /
-          (col("n_chars_total") * (col("n_chars_total") - lit(1L)))
-            .cast("double")).as("char_collision"),
+        when(col("n_chars_total") > 1,
+          col("coll_num").cast("double") /
+            (col("n_chars_total") * (col("n_chars_total") - lit(1L)))
+              .cast("double")).as("char_collision"),
         col("ttr"))
       .orderBy(col("doc_id"))
   }
@@ -416,14 +422,17 @@ object TextAnalysis {
       |  FROM hist GROUP BY doc_id),
       |t AS (
       |  SELECT doc_id,
-      |    CAST(len(list_distinct(regexp_split_to_array(text, '\s+')))
-      |      AS DOUBLE) /
-      |    CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS ttr
+      |    CASE WHEN len(regexp_split_to_array(text, '\s+')) > 0 THEN
+      |      CAST(len(list_distinct(regexp_split_to_array(text, '\s+')))
+      |        AS DOUBLE) /
+      |      CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+      |    END AS ttr
       |  FROM documents)
       |SELECT coll.doc_id, coll.n_chars_total, coll.distinct_chars,
-      |  CAST(coll.coll_num AS DOUBLE) /
-      |    CAST(coll.n_chars_total * (coll.n_chars_total - 1) AS DOUBLE)
-      |    AS char_collision,
+      |  CASE WHEN coll.n_chars_total > 1 THEN
+      |    CAST(coll.coll_num AS DOUBLE) /
+      |      CAST(coll.n_chars_total * (coll.n_chars_total - 1) AS DOUBLE)
+      |  END AS char_collision,
       |  t.ttr
       |FROM coll JOIN t ON t.doc_id = coll.doc_id
       |ORDER BY coll.doc_id""".stripMargin

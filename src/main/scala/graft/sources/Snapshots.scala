@@ -153,14 +153,24 @@ object Snapshots {
     onMergeBeforeClaim()
     // CLAIM: mkdir-race a version slot, then move the staged data
     // files in (same-FS renames; the dir stays claimed-but-incomplete
-    // — invisible — because _SUCCESS is withheld)
+    // — invisible — because _SUCCESS is withheld). A rename failing
+    // mid-move must not strand a permanently-occupied version slot
+    // holding partial data plus the leftover staging dir: both are
+    // reclaimed before the failure propagates (the slot was never
+    // published, so no reader can have observed it).
     var v = nextCandidate(tableDir)
     while (!new File(versionDir(tableDir, v)).mkdir()) v += 1
-    Option(staging.listFiles()).getOrElse(Array.empty).foreach { f =>
-      require(f.renameTo(new File(versionDir(tableDir, v), f.getName)),
-        s"could not move staged ${f.getName} into version $v")
+    try {
+      Option(staging.listFiles()).getOrElse(Array.empty).foreach { f =>
+        require(f.renameTo(new File(versionDir(tableDir, v), f.getName)),
+          s"could not move staged ${f.getName} into version $v")
+      }
+      staging.delete()
+    } catch { case e: Throwable =>
+      deleteRecursively(new File(versionDir(tableDir, v)))
+      deleteRecursively(staging)
+      throw e
     }
-    staging.delete()
     val interleaved = versions(tableDir)
       .filter(x => x > base.lastOption.getOrElse(-1) && x < v)
     if (interleaved.nonEmpty) {
