@@ -50,7 +50,10 @@ object Bench {
     * q34 cold-builds the cached MinHash signature table (its q85/q88
     * consumers read it warm) and q35 the cached SimHash sketch table
     * (consumed by q89), so both keep their cold time for the same
-    * reason as q33.
+    * reason as q33. q94 cold-builds the minhash chain's kept-pair and
+    * label caches (nothing earlier in run order touches them — the
+    * q50 situation, not the q83 one), so its first run carries that
+    * build honestly.
     *
     * q58/q83/q85/q88/q89 are NOT exempt although they read caches: in
     * run order the builders have already warmed those before their
@@ -61,7 +64,8 @@ object Bench {
     * silently drift from the query inventory. */
   private val NoRemeasure = Set("q33_ngram_jaccard", "q34_minhash_bands",
     "q35_simhash", "q43_stream_bronze", "q50_dedup_clusters",
-    "q57_training_selection", "q81_pagerank_neardup", "q84_pipeline_gold")
+    "q57_training_selection", "q81_pagerank_neardup", "q84_pipeline_gold",
+    "q94_minhash_clusters")
 
   /** Complete-record sidecar, committed with the repo. */
   val OutFile = "BENCH_LOCAL.json"

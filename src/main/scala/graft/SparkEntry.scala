@@ -163,7 +163,17 @@ object SparkEntry {
     "q92_corpus_report"      -> (ext.TextAnalysis.corpusReport _),
     // incremental ingest: new batch vs df-capped corpus shingle index
     // (broadcast batch, one index scan — never O(corpus²))
-    "q93_incremental_neardup" -> (ext.Dedup.incrementalNearDup _)
+    "q93_incremental_neardup" -> (ext.Dedup.incrementalNearDup _),
+    // the sketch-based production dedup chain END-TO-END: signatures →
+    // LSH candidates → Jaccard-estimate threshold → connected
+    // components → representative labels (the minhash sibling of q83)
+    "q94_minhash_clusters"   -> (ext.Dedup.minhashDedupClusters _),
+    // q90's 100 TB path as its own gate: int8 shortlist + exact
+    // rerank must reproduce the brute-force answer verbatim
+    "q95_hard_negatives_ann" -> (ext.Similarity.hardNegativesAnn _),
+    // SemDeDup-style per-IVF-cell embedding dedup — the sublinear
+    // production sibling of the Ω(N²) exact q36
+    "q96_semdedup_cells"     -> (ext.Dedup.semDedupCells _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -267,6 +277,9 @@ object SparkEntry {
     "q90_hard_negatives"     -> ext.Similarity.hardNegativesSql,
     "q91_doc_chunks"         -> ext.TextAnalysis.docChunksSql,
     "q92_corpus_report"      -> ext.TextAnalysis.corpusReportSql,
-    "q93_incremental_neardup" -> ext.Dedup.incrementalNearDupSql
+    "q93_incremental_neardup" -> ext.Dedup.incrementalNearDupSql,
+    "q94_minhash_clusters"   -> ext.Dedup.minhashDedupClustersSql,
+    "q95_hard_negatives_ann" -> ext.Similarity.hardNegativesAnnSql,
+    "q96_semdedup_cells"     -> ext.Dedup.semDedupCellsSql
   )
 }

@@ -169,6 +169,53 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("minhash cluster chain recovers the exact near-dup pairs (q94 recall)") {
+    // ground truth: q33's exact pairs at the chain's own Jaccard bar
+    // (estimated >= MinhashKeepMatches/16 targets true J >= 0.5)
+    val exact = Dedup.ngramJaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2).toDouble / r.getLong(3)))
+      .filter(_._3 >= Dedup.MinhashKeepMatches.toDouble / Dedup.MinhashK)
+      .map(p => (p._1, p._2))
+    assert(exact.nonEmpty, "corpus should contain true pairs at J >= 0.5")
+    val labels = Dedup.minhashDedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recalled = exact.count { case (a, b) => labels(a) == labels(b) }
+    val recall = recalled.toDouble / exact.length
+    assert(recall >= 0.8,
+      s"sketch chain recall $recall over ${exact.length} exact pairs")
+    // and the chain must not weld everything: clusters stay granular
+    assert(labels.values.toSet.size > labels.size / 2,
+      "minhash clustering collapsed the corpus")
+  }
+
+  test("semdedup prunes exactly per its any-lower-id-in-cell rule (q96)") {
+    // independent re-derivation of the keep/prune decision from the
+    // raw embeddings + the q39 assignment, compared row-for-row
+    val emb = Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val out = Dedup.semDedupCells(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == emb.size) // every vector present, with a decision
+    val cells = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, cell, kept) =>
+      val dupBelow = cells.exists { case (o, c) =>
+        c == cell && o < id && cos(emb(o), emb(id)) >= Dedup.SemDedupThreshold
+      }
+      assert(kept == (if (dupBelow) 0 else 1),
+        s"vec $id in cell $cell: kept=$kept but dupBelow=$dupBelow")
+    }
+    // non-vacuous on this corpus: at least one prune and one keep
+    assert(out.exists(_._3 == 0) && out.exists(_._3 == 1))
+  }
+
   test("char diversity: planted extremes land at the metric bounds") {
     val tmp = java.nio.file.Files.createTempDirectory("chardiv").toString
     Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "x y x y x y"))

@@ -135,6 +135,19 @@ class PlansSpec extends SparkSuite {
       s"argmin fell back to a row_number window (N×k sort):\n$p")
   }
 
+  test("q90/q95 hard negatives rank via the k-bounded aggregate, not a Window") {
+    // the q39/q56 precedent generalized to top-k: the scored N_q×N
+    // rows must never pass through a row_number sort — each partition
+    // emits at most k candidates per query via top_k_min
+    Seq("q90_hard_negatives", "q95_hard_negatives_ann").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q fell back to a row_number window (N_q×N sort):\n$p")
+      assert(p.contains("top_k_min"),
+        s"$q must rank through the BoundedTopK aggregate:\n$p")
+    }
+  }
+
   test("q88/q89 reuse their cached sketch tables instead of recomputing") {
     // the signature/sketch aggregates must come from InMemoryRelation
     // (the materialize-once cache) — a plan that re-runs the shingle

@@ -74,6 +74,19 @@ class SimilaritySpec extends SparkSuite {
     assert(negs.groupBy(_._1).values.forall(_.length == Similarity.HardNegK))
   }
 
+  test("ANN-shortlist hard negatives reproduce brute force exactly (q95 ≡ q90)") {
+    // the q73 gate contract extended to negatives: the int8 shortlist
+    // must contain every true top-HardNegK different-label neighbor,
+    // and the exact rerank must then reproduce q90 verbatim — rank,
+    // id, and rounded cosine all equal
+    val ann = Similarity.hardNegativesAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val brute = Similarity.hardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(ann.nonEmpty)
+    assert(ann.toSeq == brute.toSeq)
+  }
+
   test("ivfAssign broadcasts the centroids (no corpus shuffle join)") {
     val plan = Similarity.ivfAssign(spark, sfDir)
       .queryExecution.executedPlan.toString

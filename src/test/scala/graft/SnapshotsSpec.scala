@@ -125,6 +125,45 @@ class SnapshotsSpec extends SparkSuite {
     assert(retry == 2)
   }
 
+  test("two racing mergeCommits: exactly one publishes, loser fully reclaimed") {
+    // both writers derive from the same base — the exact lost-update
+    // race the concurrency contract exists for. The seam fires the
+    // second (complete) mergeCommit inside the first's stage→claim
+    // window, deterministically: the inner merge wins the version
+    // race, the outer must detect it, publish NOTHING, and leave no
+    // staging or claimed dir behind.
+    val t = table()
+    Snapshots.mergeCommit(spark,
+      Seq((1, "a", 1L)).toDF("k", "s", "ver"), t, Seq("k"), "ver") // v=0
+    var innerV = -1
+    Snapshots.onMergeBeforeClaim = () => {
+      Snapshots.onMergeBeforeClaim = () => () // inner run races no one
+      innerV = Snapshots.mergeCommit(spark,
+        Seq((2, "winner", 1L)).toDF("k", "s", "ver"), t, Seq("k"), "ver")
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.mergeCommit(spark,
+          Seq((1, "loser", 2L)).toDF("k", "s", "ver"), t, Seq("k"), "ver")
+      }
+    } finally Snapshots.onMergeBeforeClaim = () => ()
+    assert(innerV == 1)
+    assert(Snapshots.versions(t) == Seq(0, 1))
+    // loser left nothing: no claimed v=2 slot, no .merge-* staging
+    val leftovers = new java.io.File(t).listFiles().map(_.getName).toSet
+    assert(leftovers == Set("v=0", "v=1"), s"orphan dirs: $leftovers")
+    // winner's merge is the visible state (base ⊕ winner, loser absent)
+    val latest = Snapshots.read(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(latest == Map(1 -> "a", 2 -> "winner"))
+    // loser retries from the new base and lands cleanly as v=2
+    assert(Snapshots.mergeCommit(spark,
+      Seq((1, "retry", 2L)).toDF("k", "s", "ver"), t, Seq("k"), "ver") == 2)
+    assert(Snapshots.read(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(1 -> "retry", 2 -> "winner"))
+  }
+
   test("a reader pinned to a version is isolated from later commits") {
     val t = table()
     Snapshots.commit(Seq((1, "old")).toDF("k", "s"), t)
