@@ -26,7 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pre-size AND pre-touch the heap: on a virtualized host, guest
+  // page-backing (first-touch faults) during heap growth lands inside
+  // the first heavy query's measured window — at 10× test scale that
+  // inflated the composed-pipeline query ~7× (195 s → 29 s once the
+  // pages are backed up front; see BASELINE.md round-5 notes). Real
+  // clusters run executors with Xms=Xmx for exactly this reason.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 ) ++
   // extra JVM flags for perf experiments (e.g. code-cache sizing /
   // diagnostics) without editing the build: space-separated list

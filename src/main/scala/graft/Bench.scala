@@ -99,6 +99,25 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** ALL-CORES throughput probe: `n` threads each run the fixed spin
+    * concurrently; returns the wall seconds for the slowest. The
+    * single-thread probe misses the failure mode that actually moved
+    * round-to-round totals (a boot where 32 vCPUs are time-sliced
+    * onto fewer physical cores slows every 32-way Spark stage while
+    * one idle core still spins at full speed) — the ratio
+    * single/parallel × n = EFFECTIVE CORES this boot, the number that
+    * makes cross-boot total comparisons adjudicable. Measured once
+    * before and once after the suite (~0.1 s each). */
+  private def parProbe(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until n).map { _ =>
+      val t = new Thread(() => { cpuProbe(); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def r3(x: Double): String =
     if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -127,8 +146,12 @@ object Bench {
       try { fn(spark, sfDir) } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // JIT-warm the probe, then take the pre-suite quiet reading
+    // JIT-warm the probe, then take the pre-suite readings: single-
+    // thread (per-query contention tracking) and all-cores (effective
+    // parallelism of this boot)
     (0 until 5).foreach(_ => cpuProbe())
+    val preSingle = cpuProbe()
+    val prePar = parProbe(cpus.toInt)
     // name -> (every raw run, probe time sampled just before each run)
     val runs: Seq[(String, Seq[Double], Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -161,6 +184,12 @@ object Bench {
     val calMin = allCal.min
     val calMax = allCal.max
     val calMed = allCal.sorted.apply(allCal.size / 2)
+    // post-suite all-cores reading; effective cores = n × single/par
+    // (min over pre/post = best throughput the boot showed us)
+    val postSingle = cpuProbe()
+    val postPar = parProbe(cpus.toInt)
+    val effCores =
+      cpus.toInt * math.min(preSingle / prePar, postSingle / postPar)
 
     // ---- complete sidecar: full names, all raw runs + the CPU-probe
     // reading sampled immediately before each run, best, total
@@ -174,6 +203,8 @@ object Bench {
          |  "timing":"min of the listed runs; single entry = cold cache-builder or once-mode",
          |  "calibration":"cal[i] = seconds for a fixed $ProbeIters-iteration single-threaded spin sampled just before run i; cal/cal_min_sec > ~1.5 marks a contended window",
          |  "cal_min_sec":${r3(calMin)},"cal_med_sec":${r3(calMed)},"cal_max_sec":${r3(calMax)},
+         |  "parallelism":"single-thread spin ${r3(preSingle)}/${r3(postSingle)} s vs $cpus-thread spin ${r3(prePar)}/${r3(postPar)} s (pre/post) -> effective_cores = cpus x best single/par ratio; a boot whose vCPUs are time-sliced onto fewer physical cores shows here, not in the single-thread cal",
+         |  "effective_cores":${r3(effCores)},
          |  "total_best_sec":${r3(total)},
          |  "total_is_complete":${nFailed == 0},
          |  "queries":{
@@ -192,7 +223,7 @@ object Bench {
     // raw pairs → bests only → no query map at all.
     val sfName = new java.io.File(sfDir).getName
     val tail =
-      s""""sf":"$sfName","file":"$OutFile","cal":[${r3(calMin)},${r3(calMed)},${r3(calMax)}],"n_failed":$nFailed,"metric":"total","unit":"sec","value":${r3(total)}}"""
+      s""""sf":"$sfName","file":"$OutFile","cal":[${r3(calMin)},${r3(calMed)},${r3(calMax)}],"eff_cores":${r3(effCores)},"n_failed":$nFailed,"metric":"total","unit":"sec","value":${r3(total)}}"""
     def line(withRuns: Boolean): String = {
       val qs = runs.map { case (name, raw, _) =>
         val short = name.takeWhile(_ != '_')
