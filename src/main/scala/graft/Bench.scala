@@ -53,7 +53,8 @@ object Bench {
     * reason as q33. q94 cold-builds the minhash chain's kept-pair and
     * label caches (nothing earlier in run order touches them — the
     * q50 situation, not the q83 one), so its first run carries that
-    * build honestly.
+    * build honestly. q40 cold-builds the session-cached IVF cell
+    * assignment its q87/q96 consumers read warm.
     *
     * q58/q83/q85/q88/q89 are NOT exempt although they read caches: in
     * run order the builders have already warmed those before their
@@ -63,9 +64,9 @@ object Bench {
     * is asserted against the registry at startup, so this set cannot
     * silently drift from the query inventory. */
   private val NoRemeasure = Set("q33_ngram_jaccard", "q34_minhash_bands",
-    "q35_simhash", "q43_stream_bronze", "q50_dedup_clusters",
-    "q57_training_selection", "q81_pagerank_neardup", "q84_pipeline_gold",
-    "q94_minhash_clusters")
+    "q35_simhash", "q40_knn_ivf", "q43_stream_bronze",
+    "q50_dedup_clusters", "q57_training_selection",
+    "q81_pagerank_neardup", "q84_pipeline_gold", "q94_minhash_clusters")
 
   /** Complete-record sidecar, committed with the repo. */
   val OutFile = "BENCH_LOCAL.json"

@@ -173,7 +173,15 @@ object SparkEntry {
     "q95_hard_negatives_ann" -> (ext.Similarity.hardNegativesAnn _),
     // SemDeDup-style per-IVF-cell embedding dedup — the sublinear
     // production sibling of the Ω(N²) exact q36
-    "q96_semdedup_cells"     -> (ext.Dedup.semDedupCells _)
+    "q96_semdedup_cells"     -> (ext.Dedup.semDedupCells _),
+    // CCNet-style LM fluency proxy: avg corpus bigram frequency per
+    // doc, exact-integer (no libm perplexity drift)
+    "q97_bigram_familiarity" -> (ext.TextAnalysis.bigramFamiliarity _),
+    // deterministic stratified 80/10/10 split, exact per-lang quotas
+    "q98_stratified_split"   -> (ext.Curation.stratifiedSplit _),
+    // top-k per group via the k-bounded aggregate on the relational
+    // surface (Window-free twin of the row_number spelling)
+    "q99_top_per_customer"   -> (ops.Relational.topOrdersPerCustomer _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -280,6 +288,9 @@ object SparkEntry {
     "q93_incremental_neardup" -> ext.Dedup.incrementalNearDupSql,
     "q94_minhash_clusters"   -> ext.Dedup.minhashDedupClustersSql,
     "q95_hard_negatives_ann" -> ext.Similarity.hardNegativesAnnSql,
-    "q96_semdedup_cells"     -> ext.Dedup.semDedupCellsSql
+    "q96_semdedup_cells"     -> ext.Dedup.semDedupCellsSql,
+    "q97_bigram_familiarity" -> ext.TextAnalysis.bigramFamiliaritySql,
+    "q98_stratified_split"   -> ext.Curation.stratifiedSplitSql,
+    "q99_top_per_customer"   -> ops.Relational.topOrdersPerCustomerSql
   )
 }

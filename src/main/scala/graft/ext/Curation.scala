@@ -253,4 +253,60 @@ object Curation {
        |FROM ranked WHERE pick_no <= $QuotaPerLang
        |ORDER BY lang, pick_no""".stripMargin
   }
+
+  // ------------------------------------------------------------- q98
+
+  /** Train/val/test proportions in tenths: 8/1/1. */
+  val SplitTrainTenths = 8
+  val SplitValTenths = 1
+
+  /** q98 — STRATIFIED train/val/test split: every language stratum is
+    * partitioned 80/10/10 with EXACT integer quotas (floor(n·8/10)
+    * train, floor(n·9/10) cumulative val, remainder test), assignment
+    * decided by md5-hash rank within the stratum — deterministic,
+    * seedless, rerun-stable, and independent of input order: the
+    * properties an eval split must have so that no document ever
+    * migrates between train and test across pipeline reruns (the
+    * silent eval-contamination failure mode). The hash is salted
+    * distinctly from q68's sampler so the two rankings are
+    * independent draws.
+    *
+    * Scale: the rank is a per-stratum sort — at 100 TB run it as one
+    * range-partitioned sort per stratum (Spark's Window already
+    * spills); the decision itself is two integer compares. A split is
+    * computed once per corpus snapshot and persisted, so sort cost
+    * amortizes to zero across consumers (same materialize-once
+    * contract as the sketch tables). */
+  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.load(spark, dir, "documents")
+    val h = HashBridge.md5Bits60(
+      md5(concat(lit("split:"), col("doc_id").cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("split_hash"), col("doc_id"))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    d.select(col("doc_id"), col("lang"), h.as("split_hash"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .select(col("doc_id"), col("lang"),
+        when(col("rk") <= col("n") * SplitTrainTenths / 10, "train")
+          .when(col("rk") <= col("n") * (SplitTrainTenths + SplitValTenths) / 10,
+            "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedSplitSql: String = {
+    val h = HashBridge.md5Bits60Sql("md5('split:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN rk <= n * $SplitTrainTenths // 10 THEN 'train'
+       |       WHEN rk <= n * ${SplitTrainTenths + SplitValTenths} // 10
+       |         THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  }
 }

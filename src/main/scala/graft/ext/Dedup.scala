@@ -114,15 +114,24 @@ object Dedup {
     .empty[(SparkSession, String, Long, String), DataFrame]
 
   private[ext] def cached(spark: SparkSession, dir: String, kind: String)
-                    (build: => DataFrame): DataFrame = {
+                    (build: => DataFrame): DataFrame =
+    cachedOn(spark, dir, "documents", kind)(build)
+
+  /** [[cached]] generalized to the source table the intermediate
+    * derives from — embedding-side caches (e.g. the IVF cell
+    * assignment) must invalidate on `embeddings` rewrites, not
+    * `documents` ones. */
+  private[ext] def cachedOn(spark: SparkSession, dir: String,
+                            table: String, kind: String)
+                           (build: => DataFrame): DataFrame = {
     interCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) interCache.remove(k)
     }
     val canon = new java.io.File(dir).getCanonicalPath
-    // stat the documents TABLE dir, not the corpus parent: appends land
+    // stat the source TABLE dir, not the corpus parent: appends land
     // inside the table dir and only bump its own mtime (a parent-dir
     // stat would miss in-place appends and serve stale pairs/labels)
-    val mtime = new java.io.File(graft.Tables.path(canon, "documents"))
+    val mtime = new java.io.File(graft.Tables.path(canon, table))
       .lastModified
     interCache.getOrElseUpdate((spark, canon, mtime, kind), build)
   }

@@ -292,18 +292,27 @@ object Similarity {
     * cell, via the one-per-vector argmin aggregate (emb/nrm ride in
     * the struct — no join-back, no N×k window sort). Shared by the
     * q40 probe path and [[Dedup.semDedupCells]] (q96). */
+  /** The materialized corpus→cell assignment — SESSION-CACHED, the
+    * production shape: a 100 TB deployment writes the IVF assignment
+    * once and every consumer (probe search q40, diversity sampling
+    * q87, SemDeDup q96) reads that table instead of re-running the
+    * broadcast-centroid argmin per query. Mirrors the sketch-table
+    * caches (q34/q35); first consumer in bench run order (q40) is the
+    * cold builder and sits in `Bench.NoRemeasure`. */
   private[ext] def corpusCellAssignment(spark: SparkSession,
-                                        dir: String): DataFrame = {
-    val v = vectors(spark, dir).withColumn("n2", dot(col("emb"), col("emb")))
-    val cents = v.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cell_id"), col("emb").as("cemb"),
-        col("n2").as("cn2"))
-    val expanded = v.join(broadcast(cents))
-      .withColumn("dist2",
-        col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
-    argminCell(expanded, Seq("emb", "nrm"))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cell_id"))
-  }
+                                        dir: String): DataFrame =
+    Dedup.cachedOn(spark, dir, "embeddings", "cellAssign") {
+      val v = vectors(spark, dir).withColumn("n2", dot(col("emb"), col("emb")))
+      val cents = v.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cell_id"), col("emb").as("cemb"),
+          col("n2").as("cn2"))
+      val expanded = v.join(broadcast(cents))
+        .withColumn("dist2",
+          col("n2") + col("cn2") - lit(2.0d) * dot(col("emb"), col("cemb")))
+      argminCell(expanded, Seq("emb", "nrm"))
+        .select(col("vec_id"), col("emb"), col("nrm"), col("cell_id"))
+        .persist()
+    }
 
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir).withColumn("n2", dot(col("emb"), col("emb")))

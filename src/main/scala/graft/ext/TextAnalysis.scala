@@ -561,4 +561,62 @@ object TextAnalysis {
        |  ${graft.util.Cols.davgSql("q", 6)} AS avg_quality
        |FROM f GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ------------------------------------------------------------- q97
+
+  /** q97 — BIGRAM FAMILIARITY: a language-model fluency proxy in
+    * exact integer arithmetic. CCNet-style corpora filter on LM
+    * perplexity (Wenzek et al. 2019, arXiv:1911.00359 — a KenLM
+    * 5-gram model scores every paragraph); the transcendental log in
+    * true perplexity drifts by libm ulps across engines, so this
+    * operator keeps the model's COUNTS: familiarity = the average
+    * corpus frequency of a document's adjacent-token bigrams (exact
+    * decimal mean over integers). Gibberish and OCR noise sit at the
+    * floor (every transition unique), templated boilerplate at the
+    * ceiling — the same ordering the log-space score induces on the
+    * count model, minus the float hazard.
+    *
+    * Scale: token explode → one hash exchange building the bigram
+    * count table (the "LM training" pass), one join back (the
+    * "scoring" pass) — both linear; at 100 TB the count table is the
+    * artifact you persist and the scoring pass streams against it
+    * (same materialize-once shape as the sketch tables). */
+  def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = tokens(col("text"))
+    // adjacent pairs, 1-based element_at; empty for <2-token docs
+    val bgArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bg = d.select(col("doc_id"), explode(bgArr).as("bg"))
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val scored = bg.join(counts, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.util.Cols.davg(col("cnt"), 0).as("familiarity"))
+    d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("familiarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramFamiliaritySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |b AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+       |  FROM t CROSS JOIN LATERAL
+       |    (SELECT unnest(range(1, len(toks))) AS i) u),
+       |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bg),
+       |s AS (
+       |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    ${graft.util.Cols.davgSql("cnt", 0)} AS familiarity
+       |  FROM b JOIN c USING (bg) GROUP BY b.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+       |  s.familiarity
+       |FROM documents d LEFT JOIN s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

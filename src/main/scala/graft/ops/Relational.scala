@@ -96,6 +96,47 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** Per-group result width for [[topOrdersPerCustomer]]. */
+  val TopPerGroup = 3
+
+  /** q99 — top-k PER GROUP without a window: each customer's
+    * [[TopPerGroup]] most expensive orders, ranked through the
+    * k-bounded [[graft.functions.BoundedTopK]] aggregate rather than
+    * `row_number() OVER (PARTITION BY …)`. The window spelling sorts
+    * every group's full order list inside the exchange; the aggregate
+    * collapses each (partition, customer) to ≤ k candidates BEFORE
+    * the shuffle, so the exchange carries ≤ k·groups rows no matter
+    * how hot a group gets — the q90/q95 plan shape proven on the
+    * relational surface (PlansSpec asserts Window-free here too).
+    * Decimal prices cast to double for the aggregate's buffer; both
+    * engines apply the same IEEE rounding so the oracle compare is
+    * exact. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+    scored.groupBy(col("o_custkey"))
+      .agg(graft.functions.AggExprs.topKMin(
+        -col("price"), col("o_orderkey"), TopPerGroup).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("col.score")).as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  val topOrdersPerCustomerSql: String =
+    s"""WITH r AS (
+       |  SELECT o_custkey, o_orderkey,
+       |    CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS rank
+       |  FROM orders)
+       |SELECT o_custkey, o_orderkey, CAST(rank AS INT) AS rank, o_totalprice
+       |FROM r WHERE rank <= $TopPerGroup
+       |ORDER BY o_custkey, rank""".stripMargin
+
   /** §2.7: set operations (beyond-reference — the reference has none;
     * SURVEY marks them as free from Dataset). Customers with both an
     * open ('O') and a finished ('F') order, minus any with a pending

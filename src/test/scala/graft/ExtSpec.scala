@@ -216,6 +216,63 @@ class ExtSpec extends SparkSuite {
     assert(out.exists(_._3 == 0) && out.exists(_._3 == 1))
   }
 
+  test("bigram familiarity ranks templated text above gibberish (q97)") {
+    val tmp = java.nio.file.Files.createTempDirectory("bigram").toString
+    docs(
+      1L -> "the cat sat here",   // shares "the cat" with doc 2
+      2L -> "the cat ran home",
+      3L -> "zq xv jk wp qm",     // gibberish: every bigram unique
+      4L -> "one")                // <2 tokens: no bigrams
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.ext.TextAnalysis.bigramFamiliarity(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 4)
+    // docs 1/2 each hold one corpus-count-2 bigram ("the cat") among
+    // three: familiarity (2+1+1)/3 > doc 3's all-singleton 1.0
+    assert(out(3L).getAs[Double]("familiarity") == 1.0)
+    assert(out(1L).getAs[Double]("familiarity") > 1.0)
+    assert(out(2L).getAs[Double]("familiarity") > 1.0)
+    assert(out(4L).getAs[Long]("n_bigrams") == 0L)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("familiarity")))
+  }
+
+  test("stratified split: exact 80/10/10 quotas per stratum, rerun-stable (q98)") {
+    val s1 = graft.ext.Curation.stratifiedSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val s2 = graft.ext.Curation.stratifiedSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(s1.toSeq == s2.toSeq) // deterministic, seedless
+    // complete partition of the corpus
+    assert(s1.length == Tables.load(spark, sfDir, "documents").count())
+    // exact integer quotas inside every language stratum
+    s1.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      val by = rows.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(by.getOrElse("train", 0) == n * 8 / 10, s"$lang train")
+      assert(by.getOrElse("val", 0) == n * 9 / 10 - n * 8 / 10, s"$lang val")
+      assert(by.getOrElse("test", 0) == n - n * 9 / 10, s"$lang test")
+    }
+  }
+
+  test("top-k per customer equals the row_number window spelling (q99)") {
+    import org.apache.spark.sql.expressions.Window
+    val viaAgg = graft.ops.Relational.topOrdersPerCustomer(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+    val viaWindow = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= graft.ops.Relational.TopPerGroup)
+      .orderBy(col("o_custkey"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3),
+        r.getDouble(2)))
+    assert(viaAgg.nonEmpty)
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+  }
+
   test("char diversity: planted extremes land at the metric bounds") {
     val tmp = java.nio.file.Files.createTempDirectory("chardiv").toString
     Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "x y x y x y"))

@@ -139,7 +139,8 @@ class PlansSpec extends SparkSuite {
     // the q39/q56 precedent generalized to top-k: the scored N_q×N
     // rows must never pass through a row_number sort — each partition
     // emits at most k candidates per query via top_k_min
-    Seq("q90_hard_negatives", "q95_hard_negatives_ann").foreach { q =>
+    Seq("q90_hard_negatives", "q95_hard_negatives_ann",
+        "q99_top_per_customer").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"),
         s"$q fell back to a row_number window (N_q×N sort):\n$p")
