@@ -181,7 +181,10 @@ object SparkEntry {
     "q98_stratified_split"   -> (ext.Curation.stratifiedSplit _),
     // top-k per group via the k-bounded aggregate on the relational
     // surface (Window-free twin of the row_number spelling)
-    "q99_top_per_customer"   -> (ops.Relational.topOrdersPerCustomer _)
+    "q99_top_per_customer"   -> (ops.Relational.topOrdersPerCustomer _),
+    // OPTIMIZE ZORDER analog: Morton-interleaved (customer, day)
+    // layout key + the range-sorted rewrite order
+    "q100_zorder_layout"     -> (ops.Scale.zOrderedOrders _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -291,6 +294,7 @@ object SparkEntry {
     "q96_semdedup_cells"     -> ext.Dedup.semDedupCellsSql,
     "q97_bigram_familiarity" -> ext.TextAnalysis.bigramFamiliaritySql,
     "q98_stratified_split"   -> ext.Curation.stratifiedSplitSql,
-    "q99_top_per_customer"   -> ops.Relational.topOrdersPerCustomerSql
+    "q99_top_per_customer"   -> ops.Relational.topOrdersPerCustomerSql,
+    "q100_zorder_layout"     -> ops.Scale.zOrderedOrdersSql
   )
 }

@@ -152,6 +152,44 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("z-order layout shrinks per-file spans in BOTH dimensions (q100)") {
+    // the min/max-stats pruning argument measured on real files: split
+    // the table into 16 files three ways and compare each file's value
+    // span per dimension. A single-column sort gives perfect locality
+    // on that column and none on the other; the z-layout (16 files =
+    // 4 high curve bits = a 4×4 grid over the normalized plane) must
+    // beat the single-sort layout on its BLIND dimension by a wide
+    // margin while staying well under the unsorted span on both.
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val z = graft.ops.Scale.zOrderedOrders(spark, sfDir)
+      .select("o_custkey", "day_no", "z_value")
+    def spans(df: org.apache.spark.sql.DataFrame, sortCols: Seq[String],
+              path: String): (Double, Double) = {
+      val sorted = if (sortCols.isEmpty) df
+        else df.repartitionByRange(16, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      sorted.write.mode("overwrite").parquet(path)
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("o_custkey") - min("o_custkey")).as("cs"),
+          (max("day_no") - min("day_no")).as("ds"))
+        .collect()
+      (perFile.map(_.getAs[Long]("cs")).sum.toDouble / perFile.length,
+        perFile.map(_.getAs[Long]("ds")).sum.toDouble / perFile.length)
+    }
+    val (cRand, dRand) = spans(z.repartition(16), Seq.empty, s"$base/rand")
+    val (cCust, dCust) = spans(z, Seq("o_custkey"), s"$base/cust")
+    val (cZ, dZ) = spans(z, Seq("z_value"), s"$base/z")
+    info(f"avg per-file span custkey/day: random $cRand%.0f/$dRand%.0f, " +
+      f"custkey-sort $cCust%.0f/$dCust%.0f, z-order $cZ%.0f/$dZ%.0f")
+    // single-column sort: near-perfect on custkey, blind on day
+    assert(cCust < cRand / 4)
+    // z-order: materially better than random on BOTH dimensions…
+    assert(cZ < cRand / 2 && dZ < dRand / 2)
+    // …and far better than the single-sort layout on ITS blind dim
+    assert(dZ < dCust / 2)
+  }
+
   test("small-file compaction: size-targeted rewrite preserves data") {
     // the OPTIMIZE/bin-packing pattern: a streaming sink leaves many
     // tiny files; the compactor rewrites each partition's data into
