@@ -186,6 +186,73 @@ object Snapshots {
     v
   }
 
+  /** VACUUM: retention cleanup, the Delta `VACUUM` analog. Deletes
+    * (a) committed versions older than the newest `keepLast`, and
+    * (b) torn claims (dirs without `_SUCCESS`) strictly BELOW the
+    * newest committed version — under the one-writer-per-table
+    * contract such a claim's writer is gone and the slot can never
+    * complete (a streaming `commitIfAbsent` writer re-claims its
+    * batch id before any later batch commits, so a torn dir below
+    * the committed frontier is structurally abandoned). A torn claim
+    * ABOVE the newest committed version is an in-flight writer and is
+    * never touched. Returns the version numbers removed.
+    *
+    * Readers pinned to a vacuumed version fail on their next
+    * re-execution — the same contract as Delta: retention bounds time
+    * travel. At 100 TB this is the operation that bounds storage; the
+    * protocol cost is one directory listing plus the deletes. */
+  def vacuum(tableDir: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val committed = versions(tableDir)
+    if (committed.isEmpty) return Seq.empty
+    val dropCommitted = committed.dropRight(keepLast)
+    val frontier = committed.last
+    val tornBelow = Option(new File(tableDir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toInt)
+      .filter(v => v < frontier && !isComplete(tableDir, v) &&
+        !committed.contains(v))
+    val gone = (dropCommitted ++ tornBelow).sorted
+    gone.foreach(v => deleteRecursively(new File(versionDir(tableDir, v))))
+    gone
+  }
+
+  /** CHANGE DATA FEED between two committed versions — Delta CDF's
+    * question ("what changed from v_a to v_b?") answered from the
+    * immutable snapshots themselves: one full-outer join on the key.
+    * Emits one row per changed key with `_change_type` ∈
+    * {insert, update_postimage, delete}; insert/update carry the
+    * post-image columns, delete the pre-image. Unchanged keys emit
+    * nothing (compared as null-safe structs over every non-key
+    * column).
+    *
+    * Scale: the join shuffles both snapshots on the key once —
+    * identical cost to the MERGE that produced the newer version; a
+    * log-structured implementation would read the delta files
+    * instead, which is exactly what [[readLog]]-style tables give the
+    * streaming path. */
+  def changesBetween(spark: SparkSession, tableDir: String,
+                     fromV: Int, toV: Int, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pre = readVersion(spark, tableDir, fromV)
+    val post = readVersion(spark, tableDir, toV)
+    val nonKey = post.columns.toSeq.filterNot(keys.contains)
+    val a = pre.select(
+      keys.map(col) :+ struct(nonKey.map(col): _*).as("_pre"): _*)
+    val b = post.select(
+      keys.map(col) :+ struct(nonKey.map(col): _*).as("_post"): _*)
+    a.join(b, keys, "full_outer")
+      .withColumn("_change_type",
+        when(col("_pre").isNull, "insert")
+          .when(col("_post").isNull, "delete")
+          .when(not(col("_pre") <=> col("_post")), "update_postimage"))
+      .filter(col("_change_type").isNotNull)
+      .select(keys.map(col) ++ nonKey.map(c =>
+        when(col("_change_type") === "delete", col(s"_pre.$c"))
+          .otherwise(col(s"_post.$c")).as(c)) :+ col("_change_type"): _*)
+  }
+
   /** Test seam: runs after the merge result is staged (still
     * invisible) and before the version claim — lets a spec inject a
     * racing commit deterministically into the detection window. */

@@ -164,6 +164,41 @@ class SnapshotsSpec extends SparkSuite {
       Map(1 -> "retry", 2 -> "winner"))
   }
 
+  test("vacuum drops old versions and abandoned claims, keeps the frontier") {
+    val t = table()
+    (0 to 3).foreach(i =>
+      Snapshots.commit(Seq((i, s"v$i")).toDF("k", "s"), t)) // v0..v3
+    // torn claim BELOW the frontier (abandoned writer) — reclaimable
+    assert(new java.io.File(s"$t/v=1/_SUCCESS").delete())
+    // torn claim ABOVE the frontier (in-flight writer) — untouchable
+    assert(new java.io.File(s"$t/v=9").mkdir())
+    val gone = Snapshots.vacuum(t, keepLast = 2)
+    assert(gone == Seq(0, 1)) // v0 by retention, v1 as abandoned claim
+    assert(Snapshots.versions(t) == Seq(2, 3))
+    val left = new java.io.File(t).listFiles().map(_.getName).toSet
+    assert(left == Set("v=2", "v=3", "v=9"), s"got $left")
+    // latest still reads; vacuumed version is gone for time travel
+    assert(Snapshots.read(spark, t).collect().head.getString(1) == "v3")
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, t, 0)
+    }
+  }
+
+  test("changesBetween classifies inserts, updates and deletes (CDF)") {
+    val t = table()
+    Snapshots.commit(
+      Seq((1, "a", 10), (2, "b", 10), (4, "keep", 10)).toDF("k", "s", "x"), t)
+    Snapshots.commit(
+      Seq((2, "b2", 11), (3, "c", 11), (4, "keep", 10)).toDF("k", "s", "x"), t)
+    val ch = Snapshots.changesBetween(spark, t, 0, 1, Seq("k")).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getInt(2), r.getString(3)))
+      .toMap
+    assert(ch == Map(
+      1 -> (("a", 10, "delete")),          // pre-image on delete
+      2 -> (("b2", 11, "update_postimage")),
+      3 -> (("c", 11, "insert"))))         // unchanged key 4 absent
+  }
+
   test("a reader pinned to a version is isolated from later commits") {
     val t = table()
     Snapshots.commit(Seq((1, "old")).toDF("k", "s"), t)
