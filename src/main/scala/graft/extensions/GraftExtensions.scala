@@ -1,0 +1,77 @@
+package graft.extensions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{BoundedTopK, PairCombinations, Shingles, VecDot}
+
+/** SQL surface for the library's native Catalyst expressions — the
+  * `SparkSessionExtensions` injection point (SURVEY §2.10): a session
+  * built with `spark.sql.extensions=graft.extensions.GraftExtensions`
+  * can call every custom expression from plain SQL, so the engine's
+  * hot-path primitives are first-class library functions, not
+  * Scala-only helpers:
+  *
+  *  - `vec_dot(a, b)` — codegen'd sequential-fold dot product
+  *    ([[graft.functions.VecDot]]);
+  *  - `shingles(text, n)` — distinct word n-grams in one imperative
+  *    pass ([[graft.functions.Shingles]]);
+  *  - `pair_combinations(sorted_ids)` — C(n,2) pair generator
+  *    ([[graft.functions.PairCombinations]]);
+  *  - `top_k_min(score, id, k)` — k-bounded ranking aggregate
+  *    ([[graft.functions.BoundedTopK]]).
+  *
+  * Literal-only parameters (`n`, `k`) are enforced at resolution time
+  * with a clear error, matching how Spark's own `approx_percentile`
+  * treats its accuracy argument. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private def fn(name: String, usage: String)(builder: FunctionBuilder)
+    : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (FunctionIdentifier(name), info(name, usage), builder)
+
+  /** The injected (identifier, info, builder) triples — exposed so
+    * specs can register the identical surface on a plain session. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
+    Seq(
+      fn("vec_dot", "vec_dot(a, b) - sequential-fold dot product") {
+        case Seq(a, b) => VecDot(a, b)
+        case args => throw new IllegalArgumentException(
+          s"vec_dot expects 2 arguments, got ${args.size}")
+      },
+      fn("shingles", "shingles(text, n) - distinct word n-grams") {
+        case Seq(t, n) => Shingles(t, litInt(n, "shingles", "n"))
+        case args => throw new IllegalArgumentException(
+          s"shingles expects 2 arguments, got ${args.size}")
+      },
+      fn("pair_combinations",
+        "pair_combinations(ids) - all C(n,2) ordered pairs") {
+        case Seq(a) => PairCombinations(a)
+        case args => throw new IllegalArgumentException(
+          s"pair_combinations expects 1 argument, got ${args.size}")
+      },
+      fn("top_k_min",
+        "top_k_min(score, id, k) - k smallest (score, id) pairs") {
+        case Seq(s, i, k) => BoundedTopK(s, i, litInt(k, "top_k_min", "k"))
+        case args => throw new IllegalArgumentException(
+          s"top_k_min expects 3 arguments, got ${args.size}")
+      })
+}

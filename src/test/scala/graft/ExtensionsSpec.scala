@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.GraftExtensions
+
+/** The SparkSessionExtensions surface: every native expression must be
+  * callable from plain SQL with semantics identical to its Column
+  * wrapper. The suite session was not built with the extensions
+  * config, so the spec registers the EXACT triples the extension class
+  * injects (GraftExtensions.functions is the single source of truth
+  * for both paths) and drives them through spark.sql. */
+class ExtensionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  GraftExtensions.functions.foreach { case (id, inf, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+  }
+
+  test("the extension class injects all four functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders resolve
+    assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
+      Seq("pair_combinations", "shingles", "top_k_min", "vec_dot"))
+  }
+
+  test("SQL vec_dot equals the declarative fold on real embeddings") {
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .createOrReplaceTempView("ext_emb")
+    val bad = spark.sql(
+      """SELECT vec_id FROM ext_emb
+        |WHERE vec_dot(emb, emb) <>
+        |  aggregate(zip_with(emb, emb, (x, y) -> x * y), 0.0d, (s, v) -> s + v)
+        |""".stripMargin)
+    assert(bad.count() == 0)
+  }
+
+  test("SQL shingles matches the Column wrapper bit-for-bit") {
+    Tables.load(spark, sfDir, "documents").limit(50)
+      .createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql("SELECT doc_id, shingles(text, 3) AS s FROM ext_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaCol = Tables.load(spark, sfDir, "documents").limit(50)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.shingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
+  test("SQL pair_combinations generates every ordered pair") {
+    val pairs = spark.sql(
+      "SELECT pair_combinations(array(1L, 5L, 9L)) AS (a, b)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 5L), (1L, 9L), (5L, 9L)))
+  }
+
+  test("SQL top_k_min ranks groups like the window spelling") {
+    Seq((1L, 10L, 3.0), (1L, 11L, 1.0), (1L, 12L, 2.0),
+        (2L, 20L, 5.0), (2L, 21L, 4.0))
+      .toDF("g", "id", "score").createOrReplaceTempView("ext_scores")
+    val out = spark.sql(
+      """SELECT g, tk.id AS id, tk.score AS score
+        |FROM (SELECT g, top_k_min(score, id, 2) AS tks FROM ext_scores GROUP BY g)
+        |LATERAL VIEW explode(tks) AS tk
+        |ORDER BY g, score""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 11L, 1.0), (1L, 12L, 2.0),
+      (2L, 21L, 4.0), (2L, 20L, 5.0)))
+  }
+
+  test("non-literal k/n arguments fail with a clear message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT top_k_min(1.0d, 1L, CAST(rand() * 3 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
