@@ -75,4 +75,57 @@ class PropertySpec extends SparkSuite {
       assert(perGroup == df.count())
     }
   }
+
+  test("z-value interleave roundtrips both dimensions exactly") {
+    // deinterleaving the Morton value must recover the inputs for the
+    // full 16-bit domain — generated adversarially: bit-edge values,
+    // powers of two, random interior points
+    val edge = Seq(0L, 1L, 2L, 3L, 255L, 256L, 32767L, 32768L, 65535L)
+    val rnd = new scala.util.Random(13)
+    val dims = (edge ++ Seq.fill(40)(rnd.nextInt(65536).toLong))
+      .flatMap(a => (edge ++ Seq.fill(3)(rnd.nextInt(65536).toLong))
+        .map(b => (a, b)))
+    val out = dims.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.ops.Scale.zValue(col("a"), col("b")).as("z"))
+      .collect()
+    out.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var (da, db) = (0L, 0L)
+      (0 until graft.ops.Scale.ZBits).foreach { i =>
+        da |= ((z >> (2 * i)) & 1L) << i
+        db |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(da == a && db == b, s"roundtrip failed for ($a,$b): z=$z")
+    }
+    // interleave is injective over the generated set
+    assert(out.map(_.getLong(2)).distinct.length == dims.length)
+  }
+
+  test("top_k_min equals sort-take(k) under any partitioning") {
+    // the partial/merge path of the bounded aggregate must be
+    // invisible: same result at 1, 7 and 32 partitions, equal to the
+    // driver-side sort — including duplicate scores (tie on id) and
+    // k larger than some groups
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 400).map { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(20) / 2.0, i.toLong)
+    }
+    val expect = rows.groupBy(_._1).view.mapValues(
+      _.map(r => (r._2, r._3)).sorted.take(7)).toMap
+    Seq(1, 7, 32).foreach { parts =>
+      val got = rows.toDF("g", "score", "id").repartition(parts)
+        .groupBy(col("g"))
+        .agg(graft.functions.AggExprs.topKMin(
+          col("score"), col("id"), 7).as("tk"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(s => (s.getDouble(0), s.getLong(1))))
+        .toMap
+      expect.foreach { case (g, want) =>
+        assert(got(g).toSeq == want.toSeq, s"parts=$parts group=$g")
+      }
+    }
+  }
 }
