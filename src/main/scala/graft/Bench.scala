@@ -66,7 +66,8 @@ object Bench {
   private val NoRemeasure = Set("q33_ngram_jaccard", "q34_minhash_bands",
     "q35_simhash", "q40_knn_ivf", "q43_stream_bronze",
     "q50_dedup_clusters", "q57_training_selection",
-    "q81_pagerank_neardup", "q84_pipeline_gold", "q94_minhash_clusters")
+    "q81_pagerank_neardup", "q84_pipeline_gold", "q94_minhash_clusters",
+    "q101_stream_ingest") // fresh stage+checkpoint per call — the q84 case
 
   /** Complete-record sidecar, committed with the repo. */
   val OutFile = "BENCH_LOCAL.json"

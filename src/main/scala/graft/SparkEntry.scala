@@ -184,7 +184,11 @@ object SparkEntry {
     "q99_top_per_customer"   -> (ops.Relational.topOrdersPerCustomer _),
     // OPTIMIZE ZORDER analog: Morton-interleaved (customer, day)
     // layout key + the range-sorted rewrite order
-    "q100_zorder_layout"     -> (ops.Scale.zOrderedOrders _)
+    "q100_zorder_layout"     -> (ops.Scale.zOrderedOrders _),
+    // q93 executed as a real Structured Streaming query: file-source
+    // micro-batches broadcast against the capped corpus index; the
+    // oracle is q93's SQL verbatim (per-batch ≡ global by keying)
+    "q101_stream_ingest"     -> (streaming.DedupIngest.streamNearDupIngest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -295,6 +299,7 @@ object SparkEntry {
     "q97_bigram_familiarity" -> ext.TextAnalysis.bigramFamiliaritySql,
     "q98_stratified_split"   -> ext.Curation.stratifiedSplitSql,
     "q99_top_per_customer"   -> ops.Relational.topOrdersPerCustomerSql,
-    "q100_zorder_layout"     -> ops.Scale.zOrderedOrdersSql
+    "q100_zorder_layout"     -> ops.Scale.zOrderedOrdersSql,
+    "q101_stream_ingest"     -> ext.Dedup.incrementalNearDupSql
   )
 }

@@ -1071,25 +1071,41 @@ object Dedup {
     * Same hash-key contract as q33: Spark joins on xxhash64(shingle)
     * (8-byte exchange keys), the DuckDB oracle joins the strings — a
     * collision would surface as a gate mismatch, not pass silently. */
-  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** Hashed shingle table: (doc_id, xxhash64(shingle)). */
+  private[graft] def shingleTable(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(shingles(col("text"))).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("sh"))
+
+  /** The df-capped CORPUS shingle index q93 and its streaming twin
+    * (q101) probe: corpus = every doc outside the [[IngestModulus]]
+    * batch; one aggregate drops shingles over [[DfCap]]. */
+  private[graft] def cappedCorpusIndex(spark: SparkSession,
+                                       dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    def sh(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), explode(shingles(col("text"))).as("s0"))
-        .select(col("doc_id"), xxhash64(col("s0")).as("sh"))
-    val isNew = pmod(col("doc_id"), lit(IngestModulus)) === 0
-    val corpusSh = sh(d.filter(!isNew))
-    // df-capped index: one aggregate over the corpus shingles, then a
-    // semi-join keeps only index entries under the cap
+    val corpusSh = shingleTable(
+      d.filter(pmod(col("doc_id"), lit(IngestModulus)) =!= 0))
     val keep = corpusSh.groupBy(col("sh"))
       .agg(count(lit(1)).as("n_df")).filter(col("n_df") <= DfCap)
       .select("sh")
-    val index = corpusSh.join(keep, Seq("sh"), "left_semi")
-    val batchSh = sh(d.filter(isNew))
-      .select(col("doc_id").as("new_id"), col("sh"))
+    corpusSh.join(keep, Seq("sh"), "left_semi")
+  }
+
+  /** Match one ingest batch's hashed shingles `(new_id, sh)` against
+    * the index — the per-micro-batch body shared verbatim by q93 and
+    * the stream-executed q101. */
+  private[graft] def ingestMatches(index: DataFrame,
+                                   batchSh: DataFrame): DataFrame =
     index.join(broadcast(batchSh), Seq("sh"))
       .groupBy(col("new_id"), col("doc_id").as("corpus_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
+
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val batchSh = shingleTable(
+      d.filter(pmod(col("doc_id"), lit(IngestModulus)) === 0))
+      .select(col("doc_id").as("new_id"), col("sh"))
+    ingestMatches(cappedCorpusIndex(spark, dir), batchSh)
       .orderBy(col("new_id"), col("corpus_id"))
   }
 

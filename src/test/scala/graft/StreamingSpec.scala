@@ -45,6 +45,17 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$base/sink").count() == events.count())
   }
 
+  test("stream-executed near-dup ingest equals the batch operator (q101)") {
+    // the stream must reproduce q93 exactly even though its work is
+    // split across ≥2 micro-batches (2 staged files, 1 per trigger)
+    val viaStream = streaming.DedupIngest.streamNearDupIngest(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaBatch = graft.ext.Dedup.incrementalNearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaStream.nonEmpty)
+    assert(viaStream.toSeq == viaBatch.toSeq)
+  }
+
   test("T4: concurrent per-topic streams with independent checkpoints") {
     // the reference runs 8 StreamingQueries in one session, one per
     // CDC topic, each with its own sink + checkpoint
