@@ -818,7 +818,7 @@ object Dedup {
             coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
           (col("nbr_min") < col("cluster_id")).cast("long").as("_chg"))
         .localCheckpoint()
-      changed = next.agg(coalesce(sum(col("_chg")), lit(0L))).head.getLong(0)
+      changed = next.agg(coalesce(sum(col("_chg")), lit(0L))).head().getLong(0)
       labels = next.drop("_chg")
       rounds += 1
     }

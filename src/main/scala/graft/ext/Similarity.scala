@@ -162,7 +162,7 @@ object Similarity {
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val dim = Tables.load(spark, dir, "embeddings")
-      .select(size(col("embedding"))).head.getInt(0)
+      .select(size(col("embedding"))).head().getInt(0)
     val pl = planes(dim)
     // bucket rows carry only (vec_id, tbl, code) — the 64-double
     // embeddings never enter the candidate join/shuffle; they come

@@ -23,10 +23,10 @@ object Export {
     * count. */
   def writeJsonlShards(df: DataFrame, path: String,
                        targetBytes: Long = 64L * 1024 * 1024): Int = {
-    val row = to_json(struct(df.columns.map(col): _*))
+    val row = to_json(struct(df.columns.toIndexedSeq.map(col): _*))
     val bytes = df.select(
         coalesce(sum(octet_length(row) + lit(1L)), lit(0L)).as("b"))
-      .head.getLong(0)
+      .head().getLong(0)
     val shards = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     df.repartition(shards).write.mode("overwrite").json(path)
     shards

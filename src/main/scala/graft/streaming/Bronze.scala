@@ -47,7 +47,7 @@ object Bronze {
       timestamp_micros(expr("ts div 1000")) else col("ts")
     df.select(
       col("event_id").cast("string").as("_key"),
-      to_json(struct(df.columns.map(col): _*)).as("_raw_value"),
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("_raw_value"),
       ts.as("_event_ts"),
       current_timestamp().as("_ingested_at"),
       lit(sourceTable).as("_source_table"),
