@@ -188,7 +188,10 @@ object SparkEntry {
     // q93 executed as a real Structured Streaming query: file-source
     // micro-batches broadcast against the capped corpus index; the
     // oracle is q93's SQL verbatim (per-batch ≡ global by keying)
-    "q101_stream_ingest"     -> (streaming.DedupIngest.streamNearDupIngest _)
+    "q101_stream_ingest"     -> (streaming.DedupIngest.streamNearDupIngest _),
+    // approx_percentile next to the exact quantile, gated through the
+    // sketch's actual rank contract (two-sided, tie-safe)
+    "q102_approx_quantiles"  -> (ops.Sketches.approxQuantiles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -300,6 +303,7 @@ object SparkEntry {
     "q98_stratified_split"   -> ext.Curation.stratifiedSplitSql,
     "q99_top_per_customer"   -> ops.Relational.topOrdersPerCustomerSql,
     "q100_zorder_layout"     -> ops.Scale.zOrderedOrdersSql,
-    "q101_stream_ingest"     -> ext.Dedup.incrementalNearDupSql
+    "q101_stream_ingest"     -> ext.Dedup.incrementalNearDupSql,
+    "q102_approx_quantiles"  -> ops.Sketches.approxQuantilesSql
   )
 }

@@ -112,4 +112,69 @@ object Sketches {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       .orderBy(col("c_custkey"))
   }
+
+  // ---------------------------------------------------------------- q102
+
+  /** approx_percentile accuracy parameter: rank error ≤ 1/accuracy. */
+  val PctAccuracy = 1000
+  /** Tested percentiles. */
+  val Pcts = Seq(0.5, 0.95)
+
+  /** q102 — approximate QUANTILE sketch with a VERIFIED rank
+    * contract: per return flag, the exact interpolated median/p95 of
+    * `l_quantity` (oracle-checkable, the q52 integer-parity pattern)
+    * next to `approx_percentile`'s answers, gated through the
+    * guarantee the sketch actually makes. A value-distance check
+    * would be meaningless (quantiles of a heavy-tie distribution jump
+    * in value steps), so the contract is rank-based, ties handled
+    * two-sided: some rank within ±1/[[PctAccuracy]] of the target
+    * must be consistent with the returned value, i.e.
+    * `count(< v)/n ≤ p + ε` and `count(≤ v)/n ≥ p − ε`.
+    *
+    * Scale: the sketch is one pass + an O(accuracy) merge per group
+    * (the reason it exists — exact `percentile` buffers every value
+    * per group); the verification join-back is test-scale work the
+    * gate pays to keep the contract honest, not part of the
+    * production operator. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("q"))
+    val eps = 1.0 / PctAccuracy
+    val agg = li.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("percentile(q, 0.5)").as("median_exact"),
+        expr("percentile(q, 0.95)").as("p95_exact"),
+        expr(s"approx_percentile(q, array(${Pcts.mkString(", ")})," +
+          s" $PctAccuracy)").as("apx"))
+      .select(col("flag"), col("n_rows"), col("median_exact"),
+        col("p95_exact"),
+        col("apx").getItem(0).as("a50"), col("apx").getItem(1).as("a95"))
+    val ranks = li.join(agg.select("flag", "a50", "a95"), Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(
+        (sum(when(col("q") < col("a50"), 1L).otherwise(0L)) /
+          count(lit(1))).as("lt50"),
+        (sum(when(col("q") <= col("a50"), 1L).otherwise(0L)) /
+          count(lit(1))).as("le50"),
+        (sum(when(col("q") < col("a95"), 1L).otherwise(0L)) /
+          count(lit(1))).as("lt95"),
+        (sum(when(col("q") <= col("a95"), 1L).otherwise(0L)) /
+          count(lit(1))).as("le95"))
+    agg.join(ranks, Seq("flag"))
+      .select(col("flag"), col("n_rows"),
+        col("median_exact"), col("p95_exact"),
+        (col("lt50") <= 0.5 + eps && col("le50") >= 0.5 - eps)
+          .as("ok_median"),
+        (col("lt95") <= 0.95 + eps && col("le95") >= 0.95 - eps)
+          .as("ok_p95"))
+      .orderBy(col("flag"))
+  }
+
+  val approxQuantilesSql: String =
+    """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median_exact,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.95) AS p95_exact,
+      |  TRUE AS ok_median, TRUE AS ok_p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin
 }

@@ -28,4 +28,23 @@ class SketchesSpec extends SparkSuite {
       rows.map(r => s"${r.getAs[String]("event_type")}: ok=" +
         r.getAs[Boolean]("approx_ok")).mkString(", "))
   }
+
+  test("approx quantile rank contract holds, and has teeth (q102)") {
+    val rows = Sketches.approxQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Boolean]("ok_median") &&
+      r.getAs[Boolean]("ok_p95")))
+    // the two-sided tie-safe check must REJECT a value that is not a
+    // valid approximate median — re-derive it by hand for a planted
+    // distribution and a deliberately wrong candidate
+    val q = (1 to 100).map(_.toLong) // uniform 1..100
+    val eps = 1.0 / Sketches.PctAccuracy
+    def okMedian(v: Long): Boolean = {
+      val lt = q.count(_ < v).toDouble / q.size
+      val le = q.count(_ <= v).toDouble / q.size
+      lt <= 0.5 + eps && le >= 0.5 - eps
+    }
+    assert(okMedian(50L) && okMedian(51L)) // true medians pass
+    assert(!okMedian(60L) && !okMedian(40L)) // off-rank values fail
+  }
 }
