@@ -579,7 +579,9 @@ object Similarity {
       md5(concat(lit("ivfs:"), col("vec_id").cast("string"))))
     val w = Window.partitionBy(col("cell_id"))
       .orderBy(col("sample_hash"), col("vec_id"))
-    ivfAssign(spark, dir)
+    // same argmin assignment as q39, read from the session-cached
+    // table (one materialization shared with q40/q96)
+    corpusCellAssignment(spark, dir)
       .select(col("vec_id"), col("cell_id"))
       .withColumn("sample_hash", h)
       .withColumn("pick_no", row_number().over(w).cast("int"))

@@ -149,6 +149,42 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("q94 minhash chain reads its cached labels, never the shingle explode") {
+    // the chain's plan must source the localCheckpoint'd label table
+    // (Scan ExistingRDD); a plan that re-runs the signature build
+    // would double the dominant cost on every invocation
+    val p = plan("q94_minhash_clusters")
+    assert(p.contains("ExistingRDD"),
+      s"q94 does not read the checkpointed chain labels:\n$p")
+    assert(!p.contains("Generate"),
+      s"q94 must never re-run the shingle explode:\n$p")
+  }
+
+  test("q96/q87 reuse the session-cached IVF assignment") {
+    Seq("q96_semdedup_cells", "q87_ivf_diversity").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q recomputes the cell assignment instead of reading the cache:\n$p")
+    }
+  }
+
+  test("q100 z-layout sorts range-partitioned — no single-reducer funnel") {
+    // the only SinglePartition allowed is the 1-row min/max bounds
+    // aggregate; the DATA path must be a distributed range sort with
+    // no global rank window
+    val p = plan("q100_zorder_layout")
+    assert(p.contains("rangepartitioning"),
+      s"z-order rewrite must be a distributed range sort:\n$p")
+    assert(!p.contains("Window"), s"no global rank window:\n$p")
+  }
+
+  test("q102 quantile contract is Window-free with partial aggregation") {
+    val p = plan("q102_approx_quantiles")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_"),
+      s"quantile aggregates must map-side combine:\n$p")
+  }
+
   test("q88/q89 reuse their cached sketch tables instead of recomputing") {
     // the signature/sketch aggregates must come from InMemoryRelation
     // (the materialize-once cache) — a plan that re-runs the shingle
