@@ -191,7 +191,10 @@ object SparkEntry {
     "q101_stream_ingest"     -> (streaming.DedupIngest.streamNearDupIngest _),
     // approx_percentile next to the exact quantile, gated through the
     // sketch's actual rank contract (two-sided, tie-safe)
-    "q102_approx_quantiles"  -> (ops.Sketches.approxQuantiles _)
+    "q102_approx_quantiles"  -> (ops.Sketches.approxQuantiles _),
+    // cross-doc sequence packing: hash-streamed floor-of-running-sum
+    // assignment of docs to fixed-token training examples
+    "q103_sequence_packing"  -> (ext.TextAnalysis.sequencePacking _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -304,6 +307,7 @@ object SparkEntry {
     "q99_top_per_customer"   -> ops.Relational.topOrdersPerCustomerSql,
     "q100_zorder_layout"     -> ops.Scale.zOrderedOrdersSql,
     "q101_stream_ingest"     -> ext.Dedup.incrementalNearDupSql,
-    "q102_approx_quantiles"  -> ops.Sketches.approxQuantilesSql
+    "q102_approx_quantiles"  -> ops.Sketches.approxQuantilesSql,
+    "q103_sequence_packing"  -> ext.TextAnalysis.sequencePackingSql
   )
 }

@@ -619,4 +619,58 @@ object TextAnalysis {
        |  s.familiarity
        |FROM documents d LEFT JOIN s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q103
+
+  /** Token budget per packed training sequence. */
+  val PackTokenBudget = 512L
+  /** Parallel packing streams — each packs independently. */
+  val PackStreams = 8
+
+  /** q103 — cross-document SEQUENCE PACKING: assign every document to
+    * a fixed-token-budget training example — the assembly step between
+    * chunking (q91) and shard export, where short documents are
+    * concatenated (with separator masking downstream) so no batch
+    * token is padding. Documents hash into [[PackStreams]] independent
+    * streams (deterministic `doc_id % streams`); within a stream the
+    * greedy doc-order packer is the floor-of-running-sum relaxation
+    * proven in q77: example = ⌊tokens-before / budget⌋, so every
+    * example holds ≤ budget tokens + at most ONE overflowing document
+    * (exact bin packing is NP-hard and order-dependent; this form is
+    * deterministic, one window pass, and rerun-stable).
+    *
+    * Scale: the pack is a per-stream running sum — [[PackStreams]]
+    * independent window partitions, each a single ordered scan; at
+    * 100 TB raise the stream count with the cluster (the packer is
+    * embarrassingly parallel across streams, and stream count only
+    * changes WHICH docs share an example, not the budget contract). */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    d.select(col("doc_id"),
+        pmod(col("doc_id"), lit(PackStreams.toLong)).as("stream"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("stream"), col("n_tokens"),
+        floor(col("tokens_before") / PackTokenBudget).as("example_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sequencePackingSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $PackStreams AS stream,
+       |    CAST(len($tokensSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, stream, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS tokens_before
+       |  FROM t)
+       |SELECT doc_id, stream, n_tokens,
+       |  tokens_before // $PackTokenBudget AS example_id
+       |FROM r ORDER BY doc_id""".stripMargin
 }

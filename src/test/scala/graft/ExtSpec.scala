@@ -273,6 +273,32 @@ class ExtSpec extends SparkSuite {
     assert(viaAgg.toSeq == viaWindow.toSeq)
   }
 
+  test("sequence packing: budget respected up to one overflow doc (q103)") {
+    val out = graft.ext.TextAnalysis.sequencePacking(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // complete and unique: every document packed exactly once
+    assert(out.length == Tables.load(spark, sfDir, "documents").count())
+    assert(out.map(_._1).distinct.length == out.length)
+    // per (stream, example): tokens minus its LAST doc fit the budget
+    // (the floor-of-running-sum relaxation — overflow ≤ 1 document),
+    // and examples are non-empty contiguous ids within each stream
+    out.groupBy(t => (t._2, t._4)).foreach { case ((s, e), docs) =>
+      val total = docs.map(_._3).sum
+      val largestLast = docs.maxBy(_._1)._3
+      assert(total - largestLast < graft.ext.TextAnalysis.PackTokenBudget,
+        s"stream $s example $e: ${total}tok exceeds budget before its last doc")
+    }
+    out.groupBy(_._2).foreach { case (s, docs) =>
+      val ids = docs.map(_._4).distinct.sorted.toSeq
+      assert(ids == (ids.head to ids.last).toSeq,
+        s"stream $s has gaps in example ids: $ids")
+    }
+    // deterministic rerun
+    val again = graft.ext.TextAnalysis.sequencePacking(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("char diversity: planted extremes land at the metric bounds") {
     val tmp = java.nio.file.Files.createTempDirectory("chardiv").toString
     Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "x y x y x y"))
