@@ -67,7 +67,47 @@ object Bench {
     "q35_simhash", "q40_knn_ivf", "q43_stream_bronze",
     "q50_dedup_clusters", "q57_training_selection",
     "q81_pagerank_neardup", "q84_pipeline_gold", "q94_minhash_clusters",
-    "q101_stream_ingest") // fresh stage+checkpoint per call — the q84 case
+    "q101_stream_ingest", // fresh stage+checkpoint per call — the q84 case
+    "q104_pruned_scan")   // fresh snapshot commit per call — same class
+
+  /** Contended-window rescue (round-6 policy): a non-[[NoRemeasure]]
+    * query whose EVERY run carried a calibration probe above
+    * [[RescueCalFactor]] × the quiet floor was measured only on a
+    * starved host — min-of-2 can't save it (r5's q09: cal 0.304/0.570
+    * vs floor 0.046, reported 3.68 s for a 0.36 s query). Such a query
+    * earns ONE extra run, drawn from a suite-level budget of
+    * [[RescueBudget]] so systemic contention (every window hot) can't
+    * double the suite. The floor is the running min of every probe
+    * seen so far (seeded by the pre-suite reading), so early queries
+    * adjudicate against the best evidence available at their turn. */
+  val RescueCalFactor = 1.5
+  val RescueBudget = 8
+
+  /** Measurement policy for one query, isolated for unit testing:
+    * first run always; a re-measure unless `remeasure` is false or the
+    * first run failed; one rescue run iff every cal sample exceeded
+    * [[RescueCalFactor]] × `calFloor` and `tryRescue()` grants budget.
+    * Returns (raw runs, cal samples), parallel sequences. */
+  private[graft] def measureQuery(remeasure: Boolean,
+                                  run: () => Double,
+                                  probe: () => Double,
+                                  calFloor: Double,
+                                  tryRescue: () => Boolean)
+      : (Seq[Double], Seq[Double]) = {
+    val c1 = probe()
+    val r1 = run()
+    if (!remeasure || r1 < 0) (Seq(r1), Seq(c1))
+    else {
+      val c2 = probe()
+      val r2 = run()
+      val raw = Seq(r1, r2)
+      val cal = Seq(c1, c2)
+      if (cal.forall(_ > RescueCalFactor * calFloor) && tryRescue()) {
+        val c3 = probe()
+        (raw :+ run(), cal :+ c3)
+      } else (raw, cal)
+    }
+  }
 
   /** Complete-record sidecar, committed with the repo. */
   val OutFile = "BENCH_LOCAL.json"
@@ -154,19 +194,24 @@ object Bench {
     (0 until 5).foreach(_ => cpuProbe())
     val preSingle = cpuProbe()
     val prePar = parProbe(cpus.toInt)
-    // name -> (every raw run, probe time sampled just before each run)
+    // name -> (every raw run, probe time sampled just before each run);
+    // the rescue policy (see measureQuery) grants a bounded third run
+    // to queries whose every window the probe marked contended
+    var calFloor = preSingle
+    var rescuesLeft = RescueBudget
     val runs: Seq[(String, Seq[Double], Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val c1 = cpuProbe()
-        val run = time((s, d) => { fn(s, d).count(); () })
-        val (raw, cal) =
-          if (once || NoRemeasure(name) || run < 0) (Seq(run), Seq(c1))
-          else {
-            val c2 = cpuProbe()
-            (Seq(run, time((s, d) => { fn(s, d).count(); () })), Seq(c1, c2))
-          }
+        val (raw, cal) = measureQuery(
+          remeasure = !(once || NoRemeasure(name)),
+          run = () => time((s, d) => { fn(s, d).count(); () }),
+          probe = () => cpuProbe(),
+          calFloor = calFloor,
+          tryRescue = () =>
+            if (rescuesLeft > 0) { rescuesLeft -= 1; true } else false)
+        calFloor = math.min(calFloor, cal.min)
         (name, raw, cal)
       }
+    val nRescued = RescueBudget - rescuesLeft
     def best(raw: Seq[Double]): Double = {
       // a failed re-measure (-1 sentinel) must not masquerade as the
       // minimum: the first successful time stands
@@ -186,12 +231,14 @@ object Bench {
     val calMin = allCal.min
     val calMax = allCal.max
     val calMed = allCal.sorted.apply(allCal.size / 2)
-    // post-suite all-cores reading; effective cores = n × single/par
-    // (min over pre/post = best throughput the boot showed us)
+    // post-suite all-cores reading; effective cores = n × single/par,
+    // each probe taken at its CLEANEST (min over pre/post) so one
+    // contended single-thread sample can't inflate the ratio — the
+    // resulting estimate is the most conservative consistent reading
     val postSingle = cpuProbe()
     val postPar = parProbe(cpus.toInt)
-    val effCores =
-      cpus.toInt * math.min(preSingle / prePar, postSingle / postPar)
+    val effCores = cpus.toInt *
+      math.min(preSingle, postSingle) / math.min(prePar, postPar)
 
     // ---- complete sidecar: full names, all raw runs + the CPU-probe
     // reading sampled immediately before each run, best, total
@@ -204,6 +251,7 @@ object Bench {
          |  "sf":"$sfDir","cpus":$cpus,"n_queries":${runs.size},"n_failed":$nFailed,
          |  "timing":"min of the listed runs; single entry = cold cache-builder or once-mode",
          |  "calibration":"cal[i] = seconds for a fixed $ProbeIters-iteration single-threaded spin sampled just before run i; cal/cal_min_sec > ~1.5 marks a contended window",
+         |  "rescue_policy":"a query whose EVERY window had cal > $RescueCalFactor x the running floor got one extra run (3 entries in runs/cal), from a suite budget of $RescueBudget; n_rescued used $nRescued",
          |  "cal_min_sec":${r3(calMin)},"cal_med_sec":${r3(calMed)},"cal_max_sec":${r3(calMax)},
          |  "parallelism":"single-thread spin ${r3(preSingle)}/${r3(postSingle)} s vs $cpus-thread spin ${r3(prePar)}/${r3(postPar)} s (pre/post) -> effective_cores = cpus x best single/par ratio; a boot whose vCPUs are time-sliced onto fewer physical cores shows here, not in the single-thread cal",
          |  "effective_cores":${r3(effCores)},

@@ -194,7 +194,11 @@ object SparkEntry {
     "q102_approx_quantiles"  -> (ops.Sketches.approxQuantiles _),
     // cross-doc sequence packing: hash-streamed floor-of-running-sum
     // assignment of docs to fixed-token training examples
-    "q103_sequence_packing"  -> (ext.TextAnalysis.sequencePacking _)
+    "q103_sequence_packing"  -> (ext.TextAnalysis.sequencePacking _),
+    // stats-based file skipping over the q100 Z-order layout: commit
+    // with a per-file min/max manifest, answer a 2-D range query by
+    // scanning only intersecting files (gate = unpruned-filter parity)
+    "q104_pruned_scan"       -> (ops.Scale.zorderPrunedScan _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -308,6 +312,7 @@ object SparkEntry {
     "q100_zorder_layout"     -> ops.Scale.zOrderedOrdersSql,
     "q101_stream_ingest"     -> ext.Dedup.incrementalNearDupSql,
     "q102_approx_quantiles"  -> ops.Sketches.approxQuantilesSql,
-    "q103_sequence_packing"  -> ext.TextAnalysis.sequencePackingSql
+    "q103_sequence_packing"  -> ext.TextAnalysis.sequencePackingSql,
+    "q104_pruned_scan"       -> ops.Scale.zorderPrunedScanSql
   )
 }

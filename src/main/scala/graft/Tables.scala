@@ -44,4 +44,11 @@ object Tables {
     } else df
   }
 
+  /** Register every testdata table as a session temp view, so the
+    * engine's relational surface is reachable from plain `spark.sql`
+    * text exactly like the native functions GraftExtensions injects —
+    * the catalog face of the engine (SqlSurfaceSpec proves §2 gates
+    * expressed as SQL text match their DataFrame spellings). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }

@@ -107,8 +107,10 @@ object Dedup {
     * keyed on); the canonical path unifies spellings of the same dir;
     * the mtime invalidates the entry when the parquet under the dir is
     * rewritten in-process. Entries of stopped sessions are pruned on
-    * every access, so long-lived processes don't accumulate stale
-    * DataFrames, leaked persisted blocks, or strong session refs.
+    * every access, and an mtime-superseded entry is unpersisted and
+    * evicted before its replacement builds, so long-lived processes
+    * don't accumulate stale DataFrames, leaked persisted blocks, or
+    * strong session refs.
     */
   private val interCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Long, String), DataFrame]
@@ -133,6 +135,14 @@ object Dedup {
     // stat would miss in-place appends and serve stale pairs/labels)
     val mtime = new java.io.File(graft.Tables.path(canon, table))
       .lastModified
+    // evict superseded entries of the SAME (session, dir, kind) whose
+    // mtime no longer matches: without this, an in-process table
+    // rewrite would leave the old persisted DataFrame pinned in the
+    // live session's block manager forever
+    interCache.keys.foreach { k =>
+      if ((k._1 eq spark) && k._2 == canon && k._4 == kind && k._3 != mtime)
+        interCache.remove(k).foreach(_.unpersist(blocking = true))
+    }
     interCache.getOrElseUpdate((spark, canon, mtime, kind), build)
   }
 
@@ -766,7 +776,7 @@ object Dedup {
     * union-by-min so every root is its component's min doc_id), joined
     * back as a broadcast map. One collect of the (small) pair table,
     * zero iterative jobs. */
-  private def driverCc(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def driverCc(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
@@ -800,7 +810,7 @@ object Dedup {
       .unionByName(pairs.select(col(b).as(a), col(a).as(b)))
 
   /** Distributed iterative min-label propagation — the 100 TB path. */
-  private def distributedCc(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def distributedCc(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = symmetrize(pairs, "a", "b")
       .toDF("src", "dst").localCheckpoint()
     var labels = docs.select(col("doc_id"))

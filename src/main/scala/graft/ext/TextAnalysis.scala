@@ -671,6 +671,6 @@ object TextAnalysis {
        |      AS tokens_before
        |  FROM t)
        |SELECT doc_id, stream, n_tokens,
-       |  tokens_before // $PackTokenBudget AS example_id
+       |  CAST(tokens_before // $PackTokenBudget AS BIGINT) AS example_id
        |FROM r ORDER BY doc_id""".stripMargin
 }

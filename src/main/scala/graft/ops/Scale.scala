@@ -132,6 +132,57 @@ object Scale {
       .orderBy(col("z_value"), col("o_orderkey"))
   }
 
+  /** The q104 pruning predicate — a 2-D box over the Z-order dims
+    * (~7% of customers × ~20% of days at any SF, so a clustered
+    * layout prunes hard in both dimensions at once). */
+  val PruneCustLo = 100L
+  val PruneCustHi = 199L
+  val PruneDayLo = 1000L
+  val PruneDayHi = 1499L
+
+  /** q104 — STATS-PRUNED SNAPSHOT SCAN: the payoff step of the q100
+    * layout. Commits the Z-ordered orders as a [[graft.sources.Snapshots]]
+    * version with a per-file min/max manifest on (o_custkey, day_no),
+    * then answers a 2-D range query by scanning ONLY the files whose
+    * stats spans intersect the box — `OPTIMIZE ZORDER BY` plus Delta/
+    * Iceberg data skipping (or ClickHouse's ORDER-BY sparse index,
+    * reference clickhouse_init/03_fact_tables.sql:54-55) end-to-end.
+    * The gate is the strongest one available: the pruned scan plus the
+    * exact predicate must reproduce the oracle's full-table filter
+    * verbatim, so a manifest that ever skipped a needed file would
+    * hash-mismatch. ScaleSpec additionally asserts the scanned-file
+    * FRACTION is small, which is the part a correct-but-useless
+    * manifest would fail.
+    *
+    * Scale: the layout write is q100's range-partitioned sort (paid
+    * once per compaction); the query itself reads manifest rows
+    * (files, not data) to choose files, then scans the few survivors
+    * with the predicate pushed to parquet. Fresh temp table per call —
+    * always cold, the q84/q101 cost class. */
+  def zorderPrunedScan(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q104").toString
+    try {
+      val table = s"$work/orders_z"
+      val v = graft.sources.Snapshots.commitWithStats(
+        zOrderedOrders(spark, dir), table, Seq("o_custkey", "day_no"))
+      graft.sources.Snapshots.readPruned(spark, table, v,
+          Seq(("o_custkey", PruneCustLo, PruneCustHi),
+            ("day_no", PruneDayLo, PruneDayHi)))
+        .filter(col("o_custkey").between(PruneCustLo, PruneCustHi) &&
+          col("day_no").between(PruneDayLo, PruneDayHi))
+        .select("o_orderkey", "o_custkey", "day_no", "z_value")
+        .orderBy("o_orderkey")
+        .localCheckpoint() // pin rows before the temp table is deleted
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
+
   val zOrderedOrdersSql: String = {
     val dayExpr = "CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)"
     val maxV = (1L << ZBits) - 1
@@ -151,4 +202,13 @@ object Scale {
        |  ${zValueSql("nc", "nd")} AS z_value
        |FROM n ORDER BY z_value, o_orderkey""".stripMargin
   }
+
+  /** q104 oracle: the pruned scan + exact predicate must equal the
+    * plain filter over the full z-ordered derivation. */
+  val zorderPrunedScanSql: String =
+    s"""WITH z AS ($zOrderedOrdersSql)
+       |SELECT o_orderkey, o_custkey, day_no, z_value FROM z
+       |WHERE o_custkey BETWEEN $PruneCustLo AND $PruneCustHi
+       |  AND day_no BETWEEN $PruneDayLo AND $PruneDayHi
+       |ORDER BY o_orderkey""".stripMargin
 }

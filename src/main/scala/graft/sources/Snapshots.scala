@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.File
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 
 /** Versioned-snapshot tables on a plain filesystem — the Delta-free
   * answer to the transaction-log behaviors the environment's missing
@@ -99,6 +99,100 @@ object Snapshots {
       df.write.mode(SaveMode.Overwrite).parquet(versionDir(tableDir, v))
       true
     }
+  }
+
+  /** Underscore-prefixed so Spark's file listing treats the manifest
+    * as hidden: a plain [[readVersion]] scan never sees it. */
+  val StatsDir = "_stats"
+
+  /** Commit `df` as the next version WITH a per-file min/max stats
+    * manifest over `statsCols` — the data-skipping metadata of the
+    * lake formats (Delta's per-file `stats` JSON, Iceberg's manifest
+    * min/max, ClickHouse's sparse index over the MergeTree ORDER BY:
+    * reference clickhouse_init/03_fact_tables.sql:54-55). Combined
+    * with a clustered layout ([[graft.ops.Scale.zOrderedOrders]]) the
+    * manifest is what converts the sort into scan-time file pruning.
+    *
+    * Stats columns are captured as longs (integral/date keys — the
+    * clustering-key case); the manifest is one small parquet under
+    * `v=n/_stats`, hidden from data reads. Visibility discipline:
+    * `_SUCCESS` is withheld until the manifest lands, so readers can
+    * never observe a version whose stats are missing — the same
+    * stage-then-publish move [[mergeCommit]] makes. Cost: one extra
+    * scan of the just-written files (what Delta's stats collection
+    * pays), aggregated per-file with no shuffle wider than the file
+    * count. */
+  def commitWithStats(df: DataFrame, tableDir: String,
+                      statsCols: Seq[String]): Int = {
+    require(statsCols.nonEmpty, "statsCols must name at least one column")
+    new File(tableDir).mkdirs()
+    var v = nextCandidate(tableDir)
+    while (!new File(versionDir(tableDir, v)).mkdir()) v += 1
+    val dir = versionDir(tableDir, v)
+    df.write.mode(SaveMode.Append).parquet(dir)
+    new File(dir, "_SUCCESS").delete() // withheld until stats land
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$StatsDir")
+    new File(dir, "_SUCCESS").createNewFile()
+    v
+  }
+
+  /** The stats manifest of a committed version: one row per data file
+    * with `min_<col>`/`max_<col>` for every stats column. */
+  def statsManifest(spark: SparkSession, tableDir: String, v: Int): DataFrame = {
+    require(isComplete(tableDir, v), s"version $v is not committed")
+    spark.read.parquet(s"${versionDir(tableDir, v)}/$StatsDir")
+  }
+
+  /** Files of version `v` whose [min,max] span INTERSECTS every range
+    * in `ranges` (col, lo, hi), plus the total file count — the
+    * data-skipping decision itself, exposed so specs can assert the
+    * scanned fraction. Null stats (all-null file) never prune: the
+    * contract is a superset — every file that COULD hold a matching
+    * row is kept, exactly parquet row-group pruning's semantics one
+    * level up. The manifest is a handful of rows per 1000 files, so
+    * the driver-side filter is negligible at any table size (the lake
+    * formats make the same call: skipping decisions read manifests,
+    * not data). */
+  private[graft] def pruneFiles(spark: SparkSession, tableDir: String, v: Int,
+      ranges: Seq[(String, Long, Long)]): (Seq[String], Int) = {
+    val dir = versionDir(tableDir, v)
+    val m = statsManifest(spark, tableDir, v).collect().toSeq
+    def stat(r: Row, name: String): Option[Long] = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    }
+    val kept = m.filter { r =>
+      ranges.forall { case (c, lo, hi) =>
+        (stat(r, s"min_$c"), stat(r, s"max_$c")) match {
+          case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
+          case _ => true
+        }
+      }
+    }.map(r => s"$dir/${r.getAs[String]("file")}")
+    (kept, m.size)
+  }
+
+  /** Stats-pruned snapshot scan: reads ONLY the files whose min/max
+    * span can intersect `ranges`. Returns a superset of the exact
+    * range result (callers re-apply the precise predicate — same
+    * contract as partition pruning); over a Z-ordered layout the
+    * superset is small in BOTH dimensions at once (ScaleSpec measures
+    * the scanned-file fraction; the q104 gate proves result equality
+    * with the unpruned scan). */
+  def readPruned(spark: SparkSession, tableDir: String, v: Int,
+                 ranges: Seq[(String, Long, Long)]): DataFrame = {
+    val (files, _) = pruneFiles(spark, tableDir, v, ranges)
+    if (files.isEmpty) readVersion(spark, tableDir, v).limit(0)
+    else spark.read.parquet(files: _*)
   }
 
   /** LOG-table read: the union of ALL committed versions — for tables

@@ -32,45 +32,70 @@ object DedupIngest {
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = true)))
 
+  private val matchSchema = StructType(Seq(
+    StructField("new_id", LongType, nullable = false),
+    StructField("corpus_id", LongType, nullable = false),
+    StructField("n_shared", LongType, nullable = false)))
+
   /** q101 — run the staged ingest stream to completion and return the
     * accumulated matches. Multi-batch by construction: the staging
     * write splits the new docs over two files and the stream caps
     * files-per-trigger at one, so at least two real micro-batches
     * execute (StreamingSpec additionally pins stream ≡ batch). Fresh
     * temp dirs per call (always cold, like q84); the output is pinned
-    * via localCheckpoint and the work dir deleted before returning. */
-  def streamNearDupIngest(spark: SparkSession, dir: String): DataFrame = {
+    * via localCheckpoint and the work dir deleted before returning —
+    * on the failure path too (try/finally), so a crashed stream can't
+    * strand staging parquet + checkpoint under /tmp. */
+  def streamNearDupIngest(spark: SparkSession, dir: String): DataFrame =
+    runIngest(spark, dir, identity)
+
+  /** [[streamNearDupIngest]] with a per-micro-batch tap, so specs can
+    * inject a mid-stream failure and assert cleanup. Sink layout is
+    * exactly-once: each micro-batch overwrites its own
+    * `batch=<batchId>` subdir, so a retried batch replaces rather than
+    * duplicates its output, and a pre-seeded empty `batch=-1` keeps
+    * the sink readable even when the staged source matches nothing. */
+  private[graft] def runIngest(spark: SparkSession, dir: String,
+                               tap: DataFrame => DataFrame): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_q101").toString
-    val srcDir = s"$work/incoming"
-    val sinkDir = s"$work/matches"
-    val d = graft.Tables.load(spark, dir, "documents")
-    d.filter(pmod(col("doc_id"), lit(Dedup.IngestModulus)) === 0)
-      .select("doc_id", "text")
-      .repartition(2)
-      .write.parquet(srcDir)
-    val index = Dedup.cappedCorpusIndex(spark, dir)
-      .localCheckpoint() // computed once; micro-batches only re-join
-    val q = spark.readStream.schema(incomingSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$work/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val batchSh = Dedup.shingleTable(batch)
-            .select(col("doc_id").as("new_id"), col("sh"))
-          Dedup.ingestMatches(index, batchSh)
-            .write.mode("append").parquet(sinkDir)
+    try {
+      val srcDir = s"$work/incoming"
+      val sinkDir = s"$work/matches"
+      val d = graft.Tables.load(spark, dir, "documents")
+      d.filter(pmod(col("doc_id"), lit(Dedup.IngestModulus)) === 0)
+        .select("doc_id", "text")
+        .repartition(2)
+        .write.parquet(srcDir)
+      // seed the sink: an all-empty stream (foreachBatch never fires)
+      // must still read back as zero matches, not a missing-path error
+      spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          matchSchema)
+        .write.parquet(s"$sinkDir/batch=-1")
+      val index = Dedup.cappedCorpusIndex(spark, dir)
+        .localCheckpoint() // computed once; micro-batches only re-join
+      val q = spark.readStream.schema(incomingSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/_checkpoint")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = tap(batch)
+          if (!b.isEmpty) {
+            val batchSh = Dedup.shingleTable(b)
+              .select(col("doc_id").as("new_id"), col("sh"))
+            Dedup.ingestMatches(index, batchSh)
+              .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+          }
         }
-      }
-      .start()
-    q.awaitTermination()
-    val result = spark.read.parquet(sinkDir)
-      .orderBy(col("new_id"), col("corpus_id"))
-      .localCheckpoint()
-    deleteRecursively(new java.io.File(work))
-    result
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(sinkDir)
+        .drop("batch") // partition-discovery column from the sink layout
+        .orderBy(col("new_id"), col("corpus_id"))
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(work))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -345,6 +345,25 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("an in-process table rewrite evicts and unpersists its superseded cache") {
+    // corpusCellAssignment persist()s under a (session, dir, mtime,
+    // kind) key; rewriting the table must unpersist the stale entry
+    // instead of leaving it pinned in the block manager forever
+    val tmp = java.nio.file.Files.createTempDirectory("cacheevict").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$tmp/embeddings.parquet"))
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    graft.ext.Similarity.ivfDiversitySample(spark, tmp).count()
+    val afterFirst = persisted
+    // "rewrite" = same bytes, new mtime (the invalidation key)
+    val f = new java.io.File(s"$tmp/embeddings.parquet")
+    assert(f.setLastModified(f.lastModified() + 5000))
+    graft.ext.Similarity.ivfDiversitySample(spark, tmp).count()
+    assert(persisted == afterFirst,
+      "superseded cell assignment must be unpersisted, not accumulated")
+  }
+
   test("extension queries shuffle only where the algorithm requires") {
     // token stats / fingerprint are pure scans: no Exchange in the plan
     Seq(TextAnalysis.tokenStats _, TextAnalysis.docFingerprint _,

@@ -102,6 +102,30 @@ class PropertySpec extends SparkSuite {
     assert(out.map(_.getLong(2)).distinct.length == dims.length)
   }
 
+  test("distributed CC converges on long path graphs (driver path disabled)") {
+    // the distributed min-label loop moves a label ONE hop per round,
+    // so a path graph of diameter d needs exactly d rounds — diameter
+    // 20 exercises real multi-round convergence (ExtSpec's graphs are
+    // shallow) while staying under the 50-round loud-failure cap. Two
+    // disjoint paths + isolated nodes pin the label semantics: every
+    // member gets its component's MIN doc_id, singletons label
+    // themselves.
+    val pathA = (0L until 21L).map(i => (100L + i, 100L + i + 1)) // 101..121 -> min 100
+    val pathB = (0L until 15L).map(i => (300L + i, 300L + i + 1))
+    val docs = ((100L to 121L) ++ (300L to 315L) ++ Seq(900L, 901L))
+      .toDF("doc_id")
+    val pairs = (pathA ++ pathB).toDF("a", "b")
+    val labels = graft.ext.Dedup.distributedCc(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 121L).foreach(d => assert(labels(d) == 100L, s"doc $d"))
+    (300L to 315L).foreach(d => assert(labels(d) == 300L, s"doc $d"))
+    assert(labels(900L) == 900L && labels(901L) == 901L)
+    // and the driver union-find agrees exactly on the same graph
+    val viaDriver = graft.ext.Dedup.driverCc(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == labels)
+  }
+
   test("top_k_min equals sort-take(k) under any partitioning") {
     // the partial/merge path of the bounded aggregate must be
     // invisible: same result at 1, 7 and 32 partitions, equal to the

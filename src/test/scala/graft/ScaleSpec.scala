@@ -190,6 +190,82 @@ class ScaleSpec extends SparkSuite {
     assert(dZ < dCust / 2)
   }
 
+  test("stats manifest prunes a 2-D range query to a small file fraction (q104)") {
+    // the payoff step of the z-order layout: commit 16 z-range files
+    // with a per-file (o_custkey, day_no) min/max manifest, then ask
+    // Snapshots which files a 2-D box can touch. On a 16-file layout
+    // (4 curve bits = a 4x4 grid over the normalized plane) the q104
+    // box (~7% of customers x ~21% of days) must scan well under half
+    // the files — the part a correct-but-useless manifest would fail —
+    // while the pruned+filtered rows stay EQUAL to the unpruned filter.
+    val base = java.nio.file.Files.createTempDirectory("prunedscan").toString
+    val table = s"$base/orders_z"
+    val z = Scale.zOrderedOrders(spark, sfDir)
+      .repartitionByRange(16, col("z_value"))
+      .sortWithinPartitions("z_value")
+    val v = graft.sources.Snapshots.commitWithStats(
+      z, table, Seq("o_custkey", "day_no"))
+    val ranges = Seq(
+      ("o_custkey", Scale.PruneCustLo, Scale.PruneCustHi),
+      ("day_no", Scale.PruneDayLo, Scale.PruneDayHi))
+    val (kept, total) = graft.sources.Snapshots.pruneFiles(
+      spark, table, v, ranges)
+    info(s"pruned 2-D box scan: ${kept.size} of $total files")
+    assert(total == 16, s"expected 16 data files, manifest saw $total")
+    assert(kept.nonEmpty, "the box matches rows; pruning must keep files")
+    assert(kept.size <= total / 3,
+      s"z-layout + stats should prune hard: kept ${kept.size}/$total")
+
+    val predicate = col("o_custkey").between(Scale.PruneCustLo, Scale.PruneCustHi) &&
+      col("day_no").between(Scale.PruneDayLo, Scale.PruneDayHi)
+    val pruned = graft.sources.Snapshots.readPruned(spark, table, v, ranges)
+      .filter(predicate)
+    val full = graft.sources.Snapshots.read(spark, table).filter(predicate)
+    assert(pruned.count() == full.count() && full.count() > 0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+
+    // single-dimension boxes prune too (the both-dims-at-once promise):
+    // each one-sided range must still skip files
+    val (cOnly, _) = graft.sources.Snapshots.pruneFiles(spark, table, v,
+      Seq(("o_custkey", Scale.PruneCustLo, Scale.PruneCustHi)))
+    val (dOnly, _) = graft.sources.Snapshots.pruneFiles(spark, table, v,
+      Seq(("day_no", Scale.PruneDayLo, Scale.PruneDayHi)))
+    assert(cOnly.size < total && dOnly.size < total,
+      s"each single dim must prune: cust ${cOnly.size}, day ${dOnly.size}")
+  }
+
+  test("null stats never prune (superset contract) and empty boxes read empty") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val base = java.nio.file.Files.createTempDirectory("nullstats").toString
+    val table = s"$base/t"
+    // two single-partition halves → two files: one with k=1..10, one
+    // all-null; the all-null file has null min/max and must survive
+    // every box, because "no stats" can never prove "no match".
+    // (Built at the RDD level: a DataFrame coalesce(1)-union would be
+    // collapsed back to one partition by the optimizer.)
+    val schema = StructType(Seq(StructField("k", LongType, nullable = true),
+      StructField("s", StringType, nullable = true)))
+    val rdd = spark.sparkContext
+      .parallelize((1L to 10L).map(k => Row(k, s"v$k")), 1)
+      .union(spark.sparkContext.parallelize(
+        Seq(Row(null, "n1"), Row(null, "n2")), 1))
+    val v = graft.sources.Snapshots.commitWithStats(
+      spark.createDataFrame(rdd, schema), table, Seq("k"))
+    val (far, total) = graft.sources.Snapshots.pruneFiles(
+      spark, table, v, Seq(("k", 100L, 200L)))
+    assert(total == 2 && far.size == 1,
+      s"box misses the valued file but must keep the null-stats file: $far")
+    // the superset then filters to empty — correct, just unprunable
+    val rows = graft.sources.Snapshots.readPruned(spark, table, v,
+      Seq(("k", 100L, 200L))).filter(col("k").between(100, 200))
+    assert(rows.count() == 0)
+    // a box over the data keeps both files (valued + unprunable null)
+    val (hit, _) = graft.sources.Snapshots.pruneFiles(
+      spark, table, v, Seq(("k", 5L, 6L)))
+    assert(hit.size == 2)
+  }
+
   test("small-file compaction: size-targeted rewrite preserves data") {
     // the OPTIMIZE/bin-packing pattern: a streaming sink leaves many
     // tiny files; the compactor rewrites each partition's data into

@@ -56,6 +56,32 @@ class StreamingSpec extends SparkSuite {
     assert(viaStream.toSeq == viaBatch.toSeq)
   }
 
+  test("q101 cleans its temp work dir on the failure path too") {
+    def q101Dirs: Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_q101")).map(_.getName).toSet
+    }
+    val before = q101Dirs
+    val e = intercept[Exception] {
+      streaming.DedupIngest.runIngest(spark, sfDir,
+        _ => throw new RuntimeException("planted mid-stream failure"))
+    }
+    assert(e.getMessage != null)
+    val leaked = q101Dirs -- before
+    assert(leaked.isEmpty,
+      s"failed stream left staging/checkpoint dirs behind: $leaked")
+  }
+
+  test("q101 with an all-empty stream still reads back as zero matches") {
+    // every micro-batch emptied by the tap → foreachBatch writes
+    // nothing → only the seeded batch=-1 sink exists; the read must
+    // return an empty frame with the match schema, not a path error
+    val out = streaming.DedupIngest.runIngest(spark, sfDir, _.limit(0))
+    assert(out.columns.toSeq == Seq("new_id", "corpus_id", "n_shared"))
+    assert(out.count() == 0)
+  }
+
   test("T4: concurrent per-topic streams with independent checkpoints") {
     // the reference runs 8 StreamingQueries in one session, one per
     // CDC topic, each with its own sink + checkpoint

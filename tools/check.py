@@ -55,6 +55,24 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
     if len(got) != len(want):
         print(f"FAIL {name}: row count spark={len(got)} oracle={len(want)}")
         return False
+    # the driver hashes TYPED encodings, so a DuckDB HUGEINT next to a
+    # Spark BIGINT fails there even when every value prints the same
+    # (round-5 q103); approximate that check with a dtype compare
+    def family(dt: str) -> str:
+        dt = str(dt)
+        for f in ("int", "float", "bool", "datetime", "object", "str"):
+            if f in dt:
+                return "object" if f == "str" else f
+        return dt
+    for col in sorted(got.columns):
+        ga, wa = str(got[col].dtype), str(want[col].dtype)
+        # columns with nulls decay to float64/object on either side —
+        # only adjudicate when both sides are null-free
+        if family(ga) != family(wa) and not (
+                got[col].isna().any() or want[col].isna().any()):
+            print(f"WARN {name}: dtype family differs on {col}: "
+                  f"spark={ga} oracle={wa} — driver's typed hash would mismatch")
+            ok = False
     got, want = norm(got), norm(want)
     n_bad = 0
     for col in got.columns:
