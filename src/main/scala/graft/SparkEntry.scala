@@ -198,7 +198,18 @@ object SparkEntry {
     // stats-based file skipping over the q100 Z-order layout: commit
     // with a per-file min/max manifest, answer a 2-D range query by
     // scanning only intersecting files (gate = unpruned-filter parity)
-    "q104_pruned_scan"       -> (ops.Scale.zorderPrunedScan _)
+    "q104_pruned_scan"       -> (ops.Scale.zorderPrunedScan _),
+    // product-analytics retention matrix: first-activity cohorts x
+    // day offset with exact survival rates
+    "q105_retention_cohorts" -> (ops.Analytics.retentionCohorts _),
+    // Delta-CDF analog gated end-to-end: two committed state versions
+    // diffed into insert/update_postimage/delete rows
+    "q106_change_data_feed"  -> (cdc.Cdc.changeDataFeed _),
+    // strict event-time funnel signup -> click(6h) -> purchase(24h)
+    "q107_funnel_stages"     -> (ops.Analytics.funnelStages _),
+    // substring-level dedup metrics: repeated 8-token spans with exact
+    // merged-interval coverage per doc (Lee et al. 2022 ExactSubstr)
+    "q108_repeated_spans"    -> (ext.Dedup.repeatedSpans _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -313,6 +324,10 @@ object SparkEntry {
     "q101_stream_ingest"     -> ext.Dedup.incrementalNearDupSql,
     "q102_approx_quantiles"  -> ops.Sketches.approxQuantilesSql,
     "q103_sequence_packing"  -> ext.TextAnalysis.sequencePackingSql,
-    "q104_pruned_scan"       -> ops.Scale.zorderPrunedScanSql
+    "q104_pruned_scan"       -> ops.Scale.zorderPrunedScanSql,
+    "q105_retention_cohorts" -> ops.Analytics.retentionCohortsSql,
+    "q106_change_data_feed"  -> cdc.Cdc.changeDataFeedSql,
+    "q107_funnel_stages"     -> ops.Analytics.funnelStagesSql,
+    "q108_repeated_spans"    -> ext.Dedup.repeatedSpansSql
   )
 }

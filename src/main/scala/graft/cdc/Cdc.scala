@@ -264,4 +264,87 @@ object Cdc {
       |        ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01', ts) DESC,
       |                 event_id DESC) AS rn
       |      FROM unioned) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q106
+
+  /** The q106 snapshot boundary — state as of mid-stream vs state over
+    * the full log (the testdata events span 2024-01). */
+  val CdfCutoff = "2024-01-16 00:00:00"
+
+  /** q106 — CHANGE DATA FEED between two snapshot versions, gated
+    * end-to-end: commit the per-user latest state at [[CdfCutoff]] as
+    * version 0 and the full-log state as version 1 of a
+    * [[graft.sources.Snapshots]] table, then ask
+    * [[graft.sources.Snapshots.changesBetween]] what changed — Delta
+    * CDF's `table_changes(...)` re-expressed over immutable plain-
+    * parquet versions. Soft-deleted users (latest op = 'error', the
+    * tombstone convention of this CDC substrate) are absent from a
+    * state snapshot, so users tombstoned between the versions surface
+    * as `delete` rows, new users as `insert`, changed states as
+    * `update_postimage` — all three paths live in the gate (sf0.01:
+    * 22/23/98).
+    *
+    * Scale: each state build is the W1 window (one exchange on the
+    * key); the diff itself is [[graft.sources.Snapshots.changesBetween]]'s
+    * single null-safe full-outer join on the key — the same cost class
+    * as the MERGE that would produce v1, with no log replay. Fresh
+    * temp table per call (always cold, the q84/q101/q104 class). */
+  def changeDataFeed(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q106").toString
+    try {
+      val table = s"$work/user_state"
+      val e = Tables.load(spark, dir, "events")
+      def state(src: DataFrame): DataFrame =
+        latestPerKey(src, Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+          .filter(col("event_type") =!= "error") // tombstoned ⇒ absent
+          .select("user_id", "event_id", "event_type", "value")
+      graft.sources.Snapshots.commit(
+        state(e.filter(col("ts") < lit(CdfCutoff).cast("timestamp"))), table)
+      graft.sources.Snapshots.commit(state(e), table)
+      graft.sources.Snapshots.changesBetween(spark, table, 0, 1, Seq("user_id"))
+        .orderBy(col("user_id"))
+        .localCheckpoint() // pin rows before the temp table is deleted
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
+  val changeDataFeedSql: String =
+    s"""WITH s0 AS (
+       |  SELECT user_id, event_id, event_type, value FROM (
+       |    SELECT user_id, event_id, event_type, value,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+       |          DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts < TIMESTAMP '$CdfCutoff')
+       |  WHERE rn = 1 AND event_type <> 'error'),
+       |s1 AS (
+       |  SELECT user_id, event_id, event_type, value FROM (
+       |    SELECT user_id, event_id, event_type, value,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+       |          DESC, event_id DESC) AS rn
+       |    FROM events)
+       |  WHERE rn = 1 AND event_type <> 'error')
+       |SELECT coalesce(s1.user_id, s0.user_id) AS user_id,
+       |  CASE WHEN s1.user_id IS NULL THEN s0.event_id ELSE s1.event_id END
+       |    AS event_id,
+       |  CASE WHEN s1.user_id IS NULL THEN s0.event_type ELSE s1.event_type END
+       |    AS event_type,
+       |  CASE WHEN s1.user_id IS NULL THEN s0.value ELSE s1.value END
+       |    AS value,
+       |  CASE WHEN s0.user_id IS NULL THEN 'insert'
+       |       WHEN s1.user_id IS NULL THEN 'delete'
+       |       WHEN NOT (s0.event_id IS NOT DISTINCT FROM s1.event_id
+       |             AND s0.event_type IS NOT DISTINCT FROM s1.event_type
+       |             AND s0.value IS NOT DISTINCT FROM s1.value)
+       |         THEN 'update_postimage' END AS _change_type
+       |FROM s0 FULL OUTER JOIN s1 ON s0.user_id = s1.user_id
+       |WHERE _change_type IS NOT NULL
+       |ORDER BY user_id""".stripMargin
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
 }

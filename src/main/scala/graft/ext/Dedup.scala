@@ -1191,4 +1191,99 @@ object Dedup {
        |    ORDER BY n_shared DESC, bench_id) AS rn FROM o)
        |SELECT doc_id, bench_id, n_shared FROM r WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q108
+
+  /** Window length (tokens) of the q108 repeated-span detector. */
+  val SpanTokens = 8
+
+  /** q108 — REPEATED-SPAN COVERAGE: substring-level dedup metrics in
+    * the spirit of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better" — their ExactSubstr removes ≥50-token
+    * spans that recur anywhere in the corpus). Every [[SpanTokens]]-
+    * token window is hashed across the corpus; a window occurring in
+    * ≥2 distinct documents is a repeated span, and each document
+    * reports its repeated-span count plus the EXACT number of tokens
+    * covered by the union of its repeated windows (overlapping windows
+    * merged interval-style: contribution = span end minus the running
+    * max end of everything before it — one ordered pass per doc,
+    * all-integer, so both engines agree bitwise). `dup_frac` is the
+    * per-doc fraction a substring-level deduper would strip.
+    *
+    * Differs from doc-level shingle dedup (q33/q58): those score DOC
+    * pairs by shared-shingle counts; this measures WHICH SLICES of
+    * each doc are boilerplate, the pre-step of span excision.
+    *
+    * Scale: explode is linear in corpus tokens; the repeated-window
+    * reduction is one hash exchange on the span key (df-cap thinking
+    * applies — a stop-phrase span has bounded effect because only
+    * DISTINCT membership ≥2 is asked, not pairs); the coverage merge
+    * is one window pass keyed by doc. Nothing is quadratic. */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = tokens(col("text"))
+    // positional windows: (pos, 8-gram) per start index — built
+    // declaratively because [[shingles]] dedups (coverage needs every
+    // occurrence with its position)
+    val wins = d.select(col("doc_id"),
+        when(size(toks) >= SpanTokens,
+          transform(sequence(lit(0), size(toks) - SpanTokens),
+            i => struct(i.as("pos"),
+              concat_ws(" ", slice(toks, i + 1, lit(SpanTokens))).as("sh"))))
+          .otherwise(array().cast("array<struct<pos:int,sh:string>>"))
+          .as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.sh").as("sh"))
+    val repeated = wins.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("sh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perDoc = wins.join(repeated, Seq("sh"), "left_semi")
+      .withColumn("prev_end", max(col("pos") + SpanTokens).over(w))
+      .withColumn("contrib", greatest(lit(0),
+        col("pos") + SpanTokens -
+          greatest(coalesce(col("prev_end"), lit(0)), col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_spans"),
+        sum(col("contrib")).cast("long").as("covered_tokens"))
+    d.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_spans"), lit(0L)).as("n_rep_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repeatedSpansSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+       |    array_to_string(toks[u.i+1 : u.i+$SpanTokens], ' ') AS sh
+       |  FROM t, unnest(range(greatest(len(toks) - ${SpanTokens - 1}, 0)))
+       |    AS u(i)),
+       |rep AS (SELECT sh FROM w GROUP BY sh
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT doc_id, pos,
+       |    greatest(0, pos + $SpanTokens - greatest(coalesce(
+       |      max(pos + $SpanTokens) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos))
+       |      AS contrib
+       |  FROM w JOIN rep USING (sh)),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rep_spans,
+       |    CAST(sum(contrib) AS BIGINT) AS covered_tokens
+       |  FROM cov GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  coalesce(per.n_rep_spans, 0) AS n_rep_spans,
+       |  coalesce(per.covered_tokens, 0) AS covered_tokens,
+       |  CAST(coalesce(per.covered_tokens, 0) AS DOUBLE) / len(t.toks)
+       |    AS dup_frac
+       |FROM t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id""".stripMargin
 }

@@ -186,4 +186,142 @@ object Analytics {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+
+  /** q105 — RETENTION COHORT MATRIX over the event stream: users
+    * cohorted by first-activity day, one row per (cohort, day offset)
+    * with the surviving distinct-user count and exact retention rate —
+    * the product-analytics staple every warehouse replacement gets
+    * asked for (the Amplitude/Mixpanel "retention" chart as one
+    * query).
+    *
+    * Scale: three aggregations, every one keyed on user_id or on the
+    * tiny (cohort, offset) result — the first-activity reduction and
+    * the distinct (user, day) projection shuffle the event stream ON
+    * THE SAME KEY, so a 100 TB run co-partitions them once; the
+    * cohort-size table is days×1 rows and broadcasts. The retention
+    * ratio divides two exact longs, so the double is bit-identical on
+    * both engines. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val first = e.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val act = e.select(col("user_id"), to_date(col("ts")).as("act_day"))
+      .distinct()
+    val sizes = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(first, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("act_day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("cohort_size"), col("active_users"),
+        (col("active_users").cast("double") / col("cohort_size"))
+          .as("retention_rate"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH f AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS cd FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad FROM events),
+      |s AS (SELECT cd, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1),
+      |j AS (
+      |  SELECT a.user_id, f.cd,
+      |    CAST(date_diff('day', f.cd, a.ad) AS INT) AS day_offset
+      |  FROM a JOIN f USING (user_id))
+      |SELECT strftime(j.cd, '%Y-%m-%d') AS cohort_day, j.day_offset,
+      |  s.cohort_size,
+      |  CAST(count(DISTINCT j.user_id) AS BIGINT) AS active_users,
+      |  CAST(count(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size
+      |    AS retention_rate
+      |FROM j JOIN s USING (cd)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q107
+
+  /** Conversion windows for the q107 funnel: a click counts only
+    * within 6 hours of the first signup, a purchase only within 24
+    * hours of that click. */
+  val FunnelClickWindowHours = 6
+  val FunnelPurchaseWindowHours = 24
+
+  /** q107 — ORDERED FUNNEL: signup → click (≤6 h later) → purchase
+    * (≤24 h after the click), one row per user with the event time of
+    * each stage reached and the furthest stage. Strict event-time
+    * ordering between stages — the sequence matters, not mere
+    * presence, which is what separates a funnel from three filters.
+    * Stage times surface as unix MICROS (the q09 ts_us precedent: the
+    * raw parquet is nanosecond-precision, Spark truncates to µs, so
+    * every comparison and output must happen at µs on both engines or
+    * sub-µs residue flips ties).
+    *
+    * Scale: each stage is filter → per-user min — three aggregations
+    * all keyed on user_id (one partitioning reused), each consuming
+    * the previous stage's (small) per-user table on the same key.
+    * No window over the raw stream, no self-join of events×events. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val clickW = FunnelClickWindowHours.toLong * 3600L * 1000000L
+    val buyW = FunnelPurchaseWindowHours.toLong * 3600L * 1000000L
+    val users = e.select(col("user_id")).distinct()
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("signup_us"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("us") > col("signup_us") &&
+        col("us") <= col("signup_us") + clickW)
+      .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("us") > col("click_us") &&
+        col("us") <= col("click_us") + buyW)
+      .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+    users
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_us"), col("click_us"),
+        col("purchase_us"),
+        when(col("purchase_us").isNotNull, 3)
+          .when(col("click_us").isNotNull, 2)
+          .when(col("signup_us").isNotNull, 1)
+          .otherwise(0).as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelStagesSql: String = {
+    val us = "date_diff('microsecond', TIMESTAMP '1970-01-01', e.ts)"
+    val clickW = FunnelClickWindowHours.toLong * 3600L * 1000000L
+    val buyW = FunnelPurchaseWindowHours.toLong * 3600L * 1000000L
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |s1 AS (
+       |  SELECT e.user_id, min($us) AS signup_us FROM events e
+       |  WHERE e.event_type = 'signup' GROUP BY 1),
+       |s2 AS (
+       |  SELECT e.user_id, min($us) AS click_us
+       |  FROM events e JOIN s1 USING (user_id)
+       |  WHERE e.event_type = 'click' AND $us > s1.signup_us
+       |    AND $us <= s1.signup_us + $clickW
+       |  GROUP BY 1),
+       |s3 AS (
+       |  SELECT e.user_id, min($us) AS purchase_us
+       |  FROM events e JOIN s2 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND $us > s2.click_us
+       |    AND $us <= s2.click_us + $buyW
+       |  GROUP BY 1)
+       |SELECT u.user_id, s1.signup_us, s2.click_us, s3.purchase_us,
+       |  CAST(CASE WHEN s3.purchase_us IS NOT NULL THEN 3
+       |            WHEN s2.click_us IS NOT NULL THEN 2
+       |            WHEN s1.signup_us IS NOT NULL THEN 1
+       |            ELSE 0 END AS INT) AS funnel_stage
+       |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       |  LEFT JOIN s3 USING (user_id)
+       |ORDER BY user_id""".stripMargin
+  }
 }

@@ -345,6 +345,35 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("repeated spans: planted shared runs yield exact merged coverage (q108)") {
+    import spark.implicits._
+    // doc 1 and doc 2 share a 10-token run -> windows at starts 0..2
+    // (3 spans), merged coverage = 10 tokens; doc 3 shares an 8-token
+    // run with doc 1's tail? no — keep doc 3 fully unique (0 spans);
+    // docs 4/5 share TWO disjoint 8-token runs separated by unique
+    // tokens -> 2 spans each, coverage 16, intervals must NOT merge
+    val shared10 = (1 to 10).map(i => s"s$i").mkString(" ")
+    val runA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared10 u1a u1b u1c"),
+      (2L, s"u2a $shared10 u2b"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+      (4L, s"$runA g1 g2 g3 $runB"),
+      (5L, s"$runA h1 h2 h3 h4 $runB"))
+    val tmp = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.ext.Dedup.repeatedSpans(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("dup_frac"))).toMap
+    assert(out(1L) == ((3L, 10L, 10.0 / 13)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((3L, 10L, 10.0 / 12)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0.0)), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((2L, 16L, 16.0 / 19)), s"doc4: ${out(4L)}")
+    assert(out(5L) == ((2L, 16L, 16.0 / 20)), s"doc5: ${out(5L)}")
+  }
+
   test("an in-process table rewrite evicts and unpersists its superseded cache") {
     // corpusCellAssignment persist()s under a (session, dir, mtime,
     // kind) key; rewriting the table must unpersist the stale entry

@@ -208,6 +208,27 @@ class PlansSpec extends SparkSuite {
     assert(p.contains("Generate"), s"expected a generator node:\n$p")
   }
 
+  test("q105/q107 analytics stay equi-join only, keyed on user_id") {
+    Seq("q105_retention_cohorts", "q107_funnel_stages").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q fell back to a non-equi join:\n$p")
+    }
+    // the funnel must never window over the raw event stream
+    assert(!plan("q107_funnel_stages").contains("Window"))
+    // the cohort-size side is a broadcast, not a shuffle
+    assert(plan("q105_retention_cohorts").contains("BroadcastHashJoin"))
+  }
+
+  test("q108 repeated spans: generator + hash joins, nothing quadratic") {
+    val p = plan("q108_repeated_spans")
+    assert(p.contains("Generate"), s"expected the window explode:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q108 planned an all-pairs join:\n$p")
+  }
+
   test("q92 corpus report is one scan + one aggregation exchange") {
     val p = plan("q92_corpus_report")
     // two-phase distinct-aggregate planning keys every exchange on
