@@ -69,7 +69,8 @@ object Bench {
     "q81_pagerank_neardup", "q84_pipeline_gold", "q94_minhash_clusters",
     "q101_stream_ingest", // fresh stage+checkpoint per call — the q84 case
     "q104_pruned_scan",   // fresh snapshot commit per call — same class
-    "q106_change_data_feed") // two fresh snapshot commits per call
+    "q106_change_data_feed", // two fresh snapshot commits per call
+    "q110_bucketed_rollup")  // fresh bucketed table writes per call
 
   /** Contended-window rescue (round-6 policy): a non-[[NoRemeasure]]
     * query whose EVERY run carried a calibration probe above

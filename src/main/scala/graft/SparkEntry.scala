@@ -209,7 +209,13 @@ object SparkEntry {
     "q107_funnel_stages"     -> (ops.Analytics.funnelStages _),
     // substring-level dedup metrics: repeated 8-token spans with exact
     // merged-interval coverage per doc (Lee et al. 2022 ExactSubstr)
-    "q108_repeated_spans"    -> (ext.Dedup.repeatedSpans _)
+    "q108_repeated_spans"    -> (ext.Dedup.repeatedSpans _),
+    // triangle counts + local clustering coefficient over the capped
+    // near-dup graph (ordered-edge enumeration, exact 2T/d(d-1))
+    "q109_triangle_coefs"    -> (ext.Graph.triangleCoefficients _),
+    // bucketed co-located join + rollup: zero hash exchanges end-to-end
+    // (the plan contract is require()d inside the query)
+    "q110_bucketed_rollup"   -> (ops.Scale.bucketedRollup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -328,6 +334,8 @@ object SparkEntry {
     "q105_retention_cohorts" -> ops.Analytics.retentionCohortsSql,
     "q106_change_data_feed"  -> cdc.Cdc.changeDataFeedSql,
     "q107_funnel_stages"     -> ops.Analytics.funnelStagesSql,
-    "q108_repeated_spans"    -> ext.Dedup.repeatedSpansSql
+    "q108_repeated_spans"    -> ext.Dedup.repeatedSpansSql,
+    "q109_triangle_coefs"    -> ext.Graph.triangleCoefficientsSql,
+    "q110_bucketed_rollup"   -> ops.Scale.bucketedRollupSql
   )
 }

@@ -127,4 +127,86 @@ object Graph {
        |SELECT doc_id, outdeg, CAST(r AS BIGINT) AS rank_units
        |FROM r3 ORDER BY rank_units DESC, doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q109
+
+  /** q109 — TRIANGLE COUNTS + LOCAL CLUSTERING COEFFICIENT over the
+    * capped near-dup graph: how CLIQUE-LIKE each document's dup
+    * neighborhood is. A boilerplate family shows as a dense triangle
+    * cluster (coefficient → 1); a hub doc linking otherwise-unrelated
+    * docs shows coefficient → 0 — the standard graph-quality signal
+    * next to q81's centrality, and the metric that distinguishes "one
+    * template, many fills" from "chains of drifting revisions" in a
+    * dedup report.
+    *
+    * Enumeration is the ordered-edge-list join: every triangle
+    * x<y<z is found exactly once as (x,y)⋈(y,z)⋈(x,z) — three
+    * equi-joins, no orientation dedup pass. Coefficient = 2T/(d(d−1))
+    * divides exact longs, so the double is engine-identical.
+    *
+    * Scale: edges come from the SAME session-cached capped pair table
+    * the whole q57/q58/q81/q83 lineage shares, so per-shingle-group
+    * boundedness caps the edge list before any join; the standard
+    * further step at extreme scale (orient edges low-degree → high
+    * so join fan-out is √m-bounded) is noted but unnecessary on a
+    * df-capped graph whose components are clique-sized. */
+  def triangleCoefficients(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.cappedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.doc_b") === col("bc.doc_a"))
+      .join(e.as("ac"), col("ab.doc_a") === col("ac.doc_a") &&
+        col("bc.doc_b") === col("ac.doc_b"))
+      .select(col("ab.doc_a").as("x"), col("ab.doc_b").as("y"),
+        col("bc.doc_b").as("z"))
+    val triPerDoc = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    deg.join(triPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          lit(2.0d) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(0.0d).as("clustering_coef"))
+      .orderBy(col("doc_id"))
+  }
+
+  val triangleCoefficientsSql: String = {
+    val shingles =
+      """list_distinct(list_transform(
+        |    range(1, len(regexp_split_to_array(text, '\s+')) - 1),
+        |    i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')))"""
+        .stripMargin
+    s"""WITH s AS (
+       |  SELECT DISTINCT doc_id, unnest($shingles) AS sh FROM documents),
+       |f AS (SELECT sh FROM s GROUP BY sh
+       |      HAVING count(*) > 1 AND count(*) <= ${Dedup.DfCap}),
+       |sf AS (SELECT s.doc_id, s.sh FROM s JOIN f USING (sh)),
+       |e AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sf a JOIN sf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |tri AS (
+       |  SELECT ab.doc_a AS x, ab.doc_b AS y, bc.doc_b AS z
+       |  FROM e ab JOIN e bc ON ab.doc_b = bc.doc_a
+       |    JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+       |m AS (SELECT x AS doc_id FROM tri
+       |      UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+       |t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |      FROM m GROUP BY 1),
+       |deg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+       |    (SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e)
+       |  GROUP BY 1)
+       |SELECT deg.doc_id, deg.degree,
+       |  coalesce(t.n_triangles, 0) AS n_triangles,
+       |  CASE WHEN deg.degree >= 2
+       |       THEN 2e0 * coalesce(t.n_triangles, 0)
+       |            / (deg.degree * (deg.degree - 1))
+       |       ELSE 0e0 END AS clustering_coef
+       |FROM deg LEFT JOIN t USING (doc_id) ORDER BY deg.doc_id""".stripMargin
+  }
 }

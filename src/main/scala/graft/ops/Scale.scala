@@ -203,6 +203,65 @@ object Scale {
        |FROM n ORDER BY z_value, o_orderkey""".stripMargin
   }
 
+  /** q110 — BUCKETED CO-LOCATED JOIN + ROLLUP, gated end-to-end: both
+    * fact tables are written bucketed (and sorted) on the join key, so
+    * the orders⋈lineitem sort-merge join AND the per-order aggregation
+    * after it run with ZERO hash exchanges — the bucketing payoff
+    * (ClickHouse ORDER-BY co-location / Hive bucketed MERGE join) that
+    * ScaleSpec proves as a plan property, promoted to a result-parity
+    * gate. The function itself requires the no-hash-exchange plan
+    * before executing, so the layout contract can't silently rot.
+    *
+    * Scale: this is THE shape for a recurring big-big join at 100 TB —
+    * pay the bucketed write once per table, then every join/rollup on
+    * the bucket key is exchange-free regardless of data volume; only
+    * the final presentation sort moves data. Fresh bucketed write per
+    * call (always cold, the q84/q101/q104/q106 class). */
+  def bucketedRollup(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q110").toString
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      graft.Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$work/orders").saveAsTable("graft_b_orders")
+      graft.Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$work/lineitem").saveAsTable("graft_b_lineitem")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val rolled = spark.table("graft_b_orders")
+          .join(spark.table("graft_b_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_custkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            graft.util.Cols.dsum(col("l_quantity")).as("sum_qty"),
+            graft.util.Cols.dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy(col("o_orderkey"))
+        val plan = rolled.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join/rollup must not hash-shuffle:\n$plan")
+        rolled.localCheckpoint() // pin rows before the tables drop
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+        spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      }
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
+  val bucketedRollupSql: String =
+    s"""SELECT o_orderkey, o_custkey,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  ${graft.util.Cols.dsumSql("l_quantity")} AS sum_qty,
+       |  ${graft.util.Cols.dsumSql("l_extendedprice")} AS sum_price
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin
+
   /** q104 oracle: the pruned scan + exact predicate must equal the
     * plain filter over the full z-ordered derivation. */
   val zorderPrunedScanSql: String =
