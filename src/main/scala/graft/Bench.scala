@@ -70,7 +70,8 @@ object Bench {
     "q101_stream_ingest", // fresh stage+checkpoint per call — the q84 case
     "q104_pruned_scan",   // fresh snapshot commit per call — same class
     "q106_change_data_feed", // two fresh snapshot commits per call
-    "q110_bucketed_rollup")  // fresh bucketed table writes per call
+    "q110_bucketed_rollup",  // fresh bucketed table writes per call
+    "q111_pq_codes")         // cold builder of the cached PQ code table (q112 reads warm)
 
   /** Contended-window rescue (round-6 policy): a non-[[NoRemeasure]]
     * query whose EVERY run carried a calibration probe above

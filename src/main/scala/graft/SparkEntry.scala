@@ -215,7 +215,13 @@ object SparkEntry {
     "q109_triangle_coefs"    -> (ext.Graph.triangleCoefficients _),
     // bucketed co-located join + rollup: zero hash exchanges end-to-end
     // (the plan contract is require()d inside the query)
-    "q110_bucketed_rollup"   -> (ops.Scale.bucketedRollup _)
+    "q110_bucketed_rollup"   -> (ops.Scale.bucketedRollup _),
+    // product quantization: 4x16-dim subspace codebooks, one int code
+    // per subspace per vector (the 64x-compression index encoding)
+    "q111_pq_codes"          -> (ext.Similarity.pqCodes _),
+    // ADC search over the PQ codes: broadcast per-query lookup tables,
+    // corpus moves as 4 ints/vector, exact rerank of the 30-shortlist
+    "q112_knn_pq"            -> (ext.Similarity.knnPq _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -336,6 +342,8 @@ object SparkEntry {
     "q107_funnel_stages"     -> ops.Analytics.funnelStagesSql,
     "q108_repeated_spans"    -> ext.Dedup.repeatedSpansSql,
     "q109_triangle_coefs"    -> ext.Graph.triangleCoefficientsSql,
-    "q110_bucketed_rollup"   -> ops.Scale.bucketedRollupSql
+    "q110_bucketed_rollup"   -> ops.Scale.bucketedRollupSql,
+    "q111_pq_codes"          -> ext.Similarity.pqCodesSql,
+    "q112_knn_pq"            -> ext.Similarity.knnPqSql
   )
 }

@@ -38,6 +38,30 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.5, s"mean recall@5 = $mean")
   }
 
+  test("ADC+rerank with a full-corpus shortlist IS brute force (q112 identity)") {
+    // when the shortlist covers every corpus vector the PQ estimate
+    // only orders the rerank's INPUT, which rescans exact embeddings —
+    // so the pipeline must reproduce brute force verbatim, rounding
+    // and tie-breaks included
+    val n = Tables.load(spark, sfDir, "embeddings").count().toInt
+    val full = Similarity.knnPqWith(spark, sfDir, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val brute = Similarity.knnBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(full.toSeq == brute.toSeq)
+  }
+
+  test("PQ/ADC recall@5 vs brute force is usable with a TIGHT shortlist") {
+    // 10 of ~50 corpus vectors (20%) — the approximation must carry
+    // real signal, not survive on shortlist width
+    val approx = topkSets(Similarity.knnPqWith(spark, sfDir, 10).collect())
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall@5 = $mean")
+  }
+
   test("every vector lands in exactly one IVF cell") {
     val n = Tables.load(spark, sfDir, "embeddings").count()
     val assigned = Similarity.ivfAssign(spark, sfDir)
