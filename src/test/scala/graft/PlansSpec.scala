@@ -221,6 +221,16 @@ class PlansSpec extends SparkSuite {
     assert(plan("q105_retention_cohorts").contains("BroadcastHashJoin"))
   }
 
+  test("q112 ADC search is Window-free and reads the cached code table") {
+    val p = plan("q112_knn_pq")
+    assert(!p.contains("Window"),
+      s"shortlist fell back to a row_number window:\n$p")
+    assert(p.contains("top_k_min"),
+      s"shortlist must rank through the BoundedTopK aggregate:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"q112 recomputes the PQ code table instead of reading the cache:\n$p")
+  }
+
   test("q108 repeated spans: generator + hash joins, nothing quadratic") {
     val p = plan("q108_repeated_spans")
     assert(p.contains("Generate"), s"expected the window explode:\n$p")

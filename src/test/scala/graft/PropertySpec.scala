@@ -126,6 +126,47 @@ class PropertySpec extends SparkSuite {
     assert(viaDriver == labels)
   }
 
+  test("repeated-span coverage equals brute force on adversarial corpora") {
+    // 2-token alphabet makes 8-token windows collide constantly;
+    // lengths 5..30 include docs too short to window at all — the
+    // merged-interval arithmetic must match a position-marking brute
+    // force on every doc
+    val L = graft.ext.Dedup.SpanTokens
+    val rnd = new scala.util.Random(41)
+    val docs = (1 to 20).map { id =>
+      val n = 5 + rnd.nextInt(26)
+      (id.toLong, Seq.fill(n)(if (rnd.nextBoolean()) "a" else "b")
+        .mkString(" "))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("spanprop").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // brute force: mark covered positions directly
+    val wins = docs.map { case (id, text) =>
+      val t = text.split("\\s+")
+      id -> (0 to t.length - L).map(i => i -> t.slice(i, i + L).mkString(" "))
+    }.toMap
+    val repeated = wins.toSeq.flatMap { case (id, ws) =>
+      ws.map(w => (w._2, id))
+    }.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expect = docs.map { case (id, text) =>
+      val rep = wins(id).filter(w => repeated(w._2))
+      val covered = rep.flatMap(w => w._1 until w._1 + L).distinct.size
+      id -> (text.split("\\s+").length.toLong, rep.size.toLong, covered.toLong)
+    }.toMap
+
+    val got = graft.ext.Dedup.repeatedSpans(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, want) =>
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+    // the fixture must actually exercise the merge path
+    assert(expect.values.exists(_._2 > 1), "fixture has no overlapping spans")
+  }
+
   test("top_k_min equals sort-take(k) under any partitioning") {
     // the partial/merge path of the bounded aggregate must be
     // invisible: same result at 1, 7 and 32 partitions, equal to the
