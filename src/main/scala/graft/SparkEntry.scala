@@ -221,7 +221,13 @@ object SparkEntry {
     "q111_pq_codes"          -> (ext.Similarity.pqCodes _),
     // ADC search over the PQ codes: broadcast per-query lookup tables,
     // corpus moves as 4 ints/vector, exact rerank of the 30-shortlist
-    "q112_knn_pq"            -> (ext.Similarity.knnPq _)
+    "q112_knn_pq"            -> (ext.Similarity.knnPq _),
+    // classic decision-support shapes (TPC-H Q1/Q3/Q5 adapted):
+    // one-scan pricing summary, selective multi-join top-10, 6-way
+    // star join with a cross-dimension equality
+    "q113_pricing_summary"   -> (ops.Olap.pricingSummary _),
+    "q114_shipping_priority" -> (ops.Olap.shippingPriority _),
+    "q115_local_volume"      -> (ops.Olap.localSupplierVolume _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -344,6 +350,9 @@ object SparkEntry {
     "q109_triangle_coefs"    -> ext.Graph.triangleCoefficientsSql,
     "q110_bucketed_rollup"   -> ops.Scale.bucketedRollupSql,
     "q111_pq_codes"          -> ext.Similarity.pqCodesSql,
-    "q112_knn_pq"            -> ext.Similarity.knnPqSql
+    "q112_knn_pq"            -> ext.Similarity.knnPqSql,
+    "q113_pricing_summary"   -> ops.Olap.pricingSummarySql,
+    "q114_shipping_priority" -> ops.Olap.shippingPrioritySql,
+    "q115_local_volume"      -> ops.Olap.localSupplierVolumeSql
   )
 }

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Cols
+
+/** Classic decision-support queries — the TPC-H shapes (Q1/Q3/Q5)
+  * adapted to the testdata's column subset. The reference is an
+  * e-commerce lakehouse whose gold/warehouse layer answers exactly
+  * this class of question (reference: clickhouse_init/
+  * 04_materialized_views.sql, spark/batch_gold.py:104-153); these
+  * gates prove the engine runs the canonical OLAP benchmark shapes a
+  * migrating user would bring along: one-scan grouped pricing
+  * summaries, selective multi-join top-k, and a 6-way star join with
+  * a cross-dimension equality (customer and supplier in the same
+  * nation).
+  *
+  * Float discipline: every money aggregate runs through the exact-
+  * decimal [[Cols.dsum]] path; per-row products like
+  * `price·(1−disc)·(1+tax)` are IEEE doubles evaluated in the same
+  * literal order on both engines, then summed exactly as decimals.
+  *
+  * Scale: Q1 is a single scan with map-side partial aggregation into
+  * 6 groups; Q3 pushes both date filters into the scans, joins
+  * big-big on the natural keys and top-10s through
+  * TakeOrderedAndProject; Q5 broadcasts the three dimension tables
+  * and shuffles facts once each — the plans Catalyst already picks
+  * when the query is written declaratively.
+  */
+object Olap {
+
+  /** Q1 pricing-summary cutoff (testdata ships through 2001-11). */
+  val PricingShipCutoff = "2000-09-02"
+
+  /** q113 — TPC-H Q1: pricing summary report. One scan of lineitem,
+    * grouped by return flag and line status. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val discPrice = col("l_extendedprice") * (lit(1.0d) - col("l_discount"))
+    val charge = discPrice * (lit(1.0d) + col("l_tax"))
+    l.filter(col("l_shipdate") <= lit(PricingShipCutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Cols.dsum(col("l_quantity")).as("sum_qty"),
+        Cols.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Cols.dsum(discPrice, 4).as("sum_disc_price"),
+        Cols.dsum(charge, 6).as("sum_charge"),
+        Cols.davg(col("l_quantity")).as("avg_qty"),
+        Cols.davg(col("l_extendedprice")).as("avg_price"),
+        Cols.davg(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Cols.dsumSql("l_quantity")} AS sum_qty,
+       |  ${Cols.dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${Cols.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)}
+       |    AS sum_disc_price,
+       |  ${Cols.dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)}
+       |    AS sum_charge,
+       |  ${Cols.davgSql("l_quantity")} AS avg_qty,
+       |  ${Cols.davgSql("l_extendedprice")} AS avg_price,
+       |  ${Cols.davgSql("l_discount", 4)} AS avg_disc,
+       |  CAST(count(*) AS BIGINT) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$PricingShipCutoff 00:00:00'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q3 parameters. */
+  val ShippingSegment = "BUILDING"
+  val ShippingDate = "1998-03-15"
+
+  /** q114 — TPC-H Q3: shipping priority. Orders of one market segment
+    * not yet shipped at the date, top 10 by outstanding revenue.
+    * (The testdata carries no o_shippriority; o_orderpriority plays
+    * its role in the projection.) */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === ShippingSegment)
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit(ShippingDate).cast("timestamp"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(ShippingDate).cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(Cols.dsum(
+        col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 4)
+        .as("revenue"))
+      .select(col("o_orderkey"), col("revenue"), col("order_date"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    s"""SELECT o.o_orderkey,
+       |  ${Cols.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+       |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       |  o.o_orderpriority
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |WHERE c.c_mktsegment = '$ShippingSegment'
+       |  AND o.o_orderdate < TIMESTAMP '$ShippingDate 00:00:00'
+       |  AND l.l_shipdate > TIMESTAMP '$ShippingDate 00:00:00'
+       |GROUP BY 1, 3, 4
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Q5 parameters. */
+  val VolumeRegion = "ASIA"
+  val VolumeYearStart = "1996-01-01"
+  val VolumeYearEnd = "1997-01-01"
+
+  /** q115 — TPC-H Q5: local supplier volume. Revenue from lineitems
+    * where the supplier and the ordering customer sit in the same
+    * nation of one region, for one order year — the 6-way star join
+    * with a cross-dimension equality no single fact column carries. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(VolumeYearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(VolumeYearEnd).cast("timestamp"))
+    val l = Tables.load(spark, dir, "lineitem")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === VolumeRegion)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Cols.dsum(
+        col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val localSupplierVolumeSql: String =
+    s"""SELECT n.n_name,
+       |  ${Cols.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  AND s.s_nationkey = c.c_nationkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = '$VolumeRegion'
+       |  AND o.o_orderdate >= TIMESTAMP '$VolumeYearStart 00:00:00'
+       |  AND o.o_orderdate < TIMESTAMP '$VolumeYearEnd 00:00:00'
+       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+}

@@ -239,6 +239,22 @@ class PlansSpec extends SparkSuite {
       s"q108 planned an all-pairs join:\n$p")
   }
 
+  test("q113/q114/q115 plan as the canonical TPC-H shapes") {
+    // Q1: one scan, date filter pushed to parquet, map-side partials
+    val p1 = plan("q113_pricing_summary")
+    assert(p1.contains("PushedFilters: [") && p1.contains("l_shipdate"),
+      s"Q1 ship-date filter not pushed:\n$p1")
+    assert(p1.contains("partial_"), s"Q1 must map-side combine:\n$p1")
+    // Q3: top-10 via TakeOrderedAndProject, never a global sort
+    val p3 = plan("q114_shipping_priority")
+    assert(p3.contains("TakeOrderedAndProject"), p3)
+    // Q5: dimensions broadcast; no cartesian fallback anywhere
+    val p5 = plan("q115_local_volume")
+    assert(p5.contains("BroadcastHashJoin"), p5)
+    assert(!p5.contains("CartesianProduct") &&
+      !p5.contains("BroadcastNestedLoopJoin"), p5)
+  }
+
   test("q92 corpus report is one scan + one aggregation exchange") {
     val p = plan("q92_corpus_report")
     // two-phase distinct-aggregate planning keys every exchange on
