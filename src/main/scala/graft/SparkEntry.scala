@@ -227,7 +227,11 @@ object SparkEntry {
     // star join with a cross-dimension equality
     "q113_pricing_summary"   -> (ops.Olap.pricingSummary _),
     "q114_shipping_priority" -> (ops.Olap.shippingPriority _),
-    "q115_local_volume"      -> (ops.Olap.localSupplierVolume _)
+    "q115_local_volume"      -> (ops.Olap.localSupplierVolume _),
+    // one SQL text, two engines: a correlated-scalar-subquery query
+    // executed from raw SQL over registered views; the oracle is the
+    // IDENTICAL string
+    "q116_sql_correlated"    -> (ops.Olap.correlatedSpend _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -353,6 +357,7 @@ object SparkEntry {
     "q112_knn_pq"            -> ext.Similarity.knnPqSql,
     "q113_pricing_summary"   -> ops.Olap.pricingSummarySql,
     "q114_shipping_priority" -> ops.Olap.shippingPrioritySql,
-    "q115_local_volume"      -> ops.Olap.localSupplierVolumeSql
+    "q115_local_volume"      -> ops.Olap.localSupplierVolumeSql,
+    "q116_sql_correlated"    -> ops.Olap.correlatedSpendSql
   )
 }

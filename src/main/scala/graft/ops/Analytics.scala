@@ -196,26 +196,38 @@ object Analytics {
     * asked for (the Amplitude/Mixpanel "retention" chart as one
     * query).
     *
-    * Scale: three aggregations, every one keyed on user_id or on the
-    * tiny (cohort, offset) result — the first-activity reduction and
-    * the distinct (user, day) projection shuffle the event stream ON
-    * THE SAME KEY, so a 100 TB run co-partitions them once; the
-    * cohort-size table is days×1 rows and broadcasts. The retention
-    * ratio divides two exact longs, so the double is bit-identical on
-    * both engines. */
+    * Scale: the event stream is shuffled ONCE — a single per-user
+    * aggregation produces both the first-activity day and the
+    * distinct-day set (bounded by the observation window, ≤31 here,
+    * ≤365 for a year — a set, never the raw events), so cohort, size,
+    * and offsets all derive from the user-sized table without
+    * touching events again; the cohort-size table is days×1 rows and
+    * broadcasts. The retention ratio divides two exact longs, so the
+    * double is bit-identical on both engines. */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
-    val first = e.groupBy(col("user_id"))
-      .agg(to_date(min(col("ts"))).as("cohort_day"))
-    val act = e.select(col("user_id"), to_date(col("ts")).as("act_day"))
-      .distinct()
-    val sizes = first.groupBy(col("cohort_day"))
-      .agg(count(lit(1)).as("cohort_size"))
-    act.join(first, Seq("user_id"))
+    val perUser = e.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"),
+        collect_set(to_date(col("ts"))).as("days"))
+    val agg = perUser
+      .select(col("user_id"), col("cohort_day"),
+        explode(col("days")).as("act_day"))
       .withColumn("day_offset", datediff(col("act_day"), col("cohort_day")))
       .groupBy(col("cohort_day"), col("day_offset"))
-      .agg(countDistinct(col("user_id")).as("active_users"))
-      .join(broadcast(sizes), Seq("cohort_day"))
+      // each user appears at most once per (cohort, offset): days is a
+      // SET and cohort_day is functional on user — plain count IS the
+      // distinct-user count, without distinct-aggregate machinery
+      .agg(count(lit(1)).as("active_users"))
+    // cohort_size = the offset-0 row's count (a user's first day is in
+    // their day set by construction), read back with a window over the
+    // cohort×offset table — deriving it from a second events pass
+    // would re-shuffle the fact stream (column pruning makes the two
+    // per-user subplans differ, so exchange reuse can't save it)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day"))
+    agg
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("active_users"))).over(w))
       .select(
         date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset"), col("cohort_size"), col("active_users"),

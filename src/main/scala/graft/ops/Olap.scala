@@ -159,4 +159,40 @@ object Olap {
        |  AND o.o_orderdate >= TIMESTAMP '$VolumeYearStart 00:00:00'
        |  AND o.o_orderdate < TIMESTAMP '$VolumeYearEnd 00:00:00'
        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** ONE SQL text, TWO engines: q116's query and its oracle are the
+    * SAME string — dialect-neutral ANSI with the exact-decimal float
+    * discipline baked in — so the gate proves Spark's SQL front end
+    * (parser → correlated-scalar-subquery decorrelation → plan)
+    * produces the same answer DuckDB does from identical input text.
+    * Customers spending more than 2× their nation's per-customer
+    * average: the correlated aggregate subquery is the shape
+    * Catalyst rewrites into a join under the hood.
+    *
+    * All spends are exact-decimal sums surfaced as n/100 doubles, the
+    * nation average divides an exact decimal sum by a count, and the
+    * 2× comparison is the same IEEE op on both engines — no value
+    * drift anywhere. */
+  val correlatedSpendSql: String =
+    """WITH spend AS (
+      |  SELECT c.c_custkey, c.c_name, c.c_nationkey,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_custkey, c.c_name, c.c_nationkey)
+      |SELECT s.c_custkey, s.c_name, s.spend
+      |FROM spend s
+      |WHERE s.spend > 2 * (
+      |  SELECT CAST(sum(CAST(s2.spend AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |  FROM spend s2 WHERE s2.c_nationkey = s.c_nationkey)
+      |ORDER BY s.c_custkey""".stripMargin
+
+  /** q116 — the engine running raw SQL text end-to-end: registers the
+    * lake tables as views and executes [[correlatedSpendSql]] through
+    * `spark.sql`. Scale: Catalyst decorrelates the scalar subquery
+    * into an aggregate + join on c_nationkey — no per-row subquery
+    * execution exists in the physical plan (PlansSpec guards it). */
+  def correlatedSpend(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(correlatedSpendSql)
+  }
 }

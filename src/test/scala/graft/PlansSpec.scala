@@ -217,8 +217,10 @@ class PlansSpec extends SparkSuite {
     }
     // the funnel must never window over the raw event stream
     assert(!plan("q107_funnel_stages").contains("Window"))
-    // the cohort-size side is a broadcast, not a shuffle
-    assert(plan("q105_retention_cohorts").contains("BroadcastHashJoin"))
+    // the cohort-size read-back is a window over the tiny cohort×offset
+    // table — q105 needs NO join at all (and so no second events pass)
+    val p105 = plan("q105_retention_cohorts")
+    assert(p105.contains("Window") && !p105.contains("Join"), p105)
   }
 
   test("q112 ADC search is Window-free and reads the cached code table") {
@@ -253,6 +255,24 @@ class PlansSpec extends SparkSuite {
     assert(p5.contains("BroadcastHashJoin"), p5)
     assert(!p5.contains("CartesianProduct") &&
       !p5.contains("BroadcastNestedLoopJoin"), p5)
+  }
+
+  test("q116 correlated subquery decorrelates into joins (no per-row subquery)") {
+    val p = plan("q116_sql_correlated")
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+      s"correlated subquery not decorrelated:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q105 retention shuffles the event stream exactly once") {
+    // the per-user aggregation is the only exchange keyed on user_id;
+    // everything downstream works on user- or day-sized tables
+    val p = plan("q105_retention_cohorts")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(userExchanges <= 1,
+      s"events shuffled more than once on user_id:\n$p")
   }
 
   test("q92 corpus report is one scan + one aggregation exchange") {
