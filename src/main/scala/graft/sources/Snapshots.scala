@@ -146,10 +146,21 @@ object Snapshots {
   }
 
   /** The stats manifest of a committed version: one row per data file
-    * with `min_<col>`/`max_<col>` for every stats column. */
+    * with `min_<col>`/`max_<col>` for every stats column. The part
+    * files are listed explicitly: handing Spark the underscore-
+    * prefixed dir trips the hidden-path filter's "all paths were
+    * ignored" warning, and a glob trips the streaming-sink metadata
+    * probe's logged stack trace — both harmless, both noise. */
   def statsManifest(spark: SparkSession, tableDir: String, v: Int): DataFrame = {
     require(isComplete(tableDir, v), s"version $v is not committed")
-    spark.read.parquet(s"${versionDir(tableDir, v)}/$StatsDir")
+    val parts = Option(
+      new File(versionDir(tableDir, v), StatsDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    require(parts.nonEmpty, s"version $v has no stats manifest")
+    spark.read.parquet(parts.toIndexedSeq: _*)
   }
 
   /** Files of version `v` whose [min,max] span INTERSECTS every range
