@@ -141,9 +141,16 @@ object Snapshots {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$StatsDir")
+    onStatsBeforePublish()
     new File(dir, "_SUCCESS").createNewFile()
     v
   }
+
+  /** Test seam: runs after data + stats are staged, before `_SUCCESS`
+    * publishes the version — lets a spec pin that a writer crashing
+    * here leaves NO reader-visible version (the stage-then-publish
+    * contract of [[commitWithStats]]). */
+  private[graft] var onStatsBeforePublish: () => Unit = () => ()
 
   /** The stats manifest of a committed version: one row per data file
     * with `min_<col>`/`max_<col>` for every stats column. The part

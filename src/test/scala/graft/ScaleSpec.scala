@@ -266,6 +266,58 @@ class ScaleSpec extends SparkSuite {
     assert(hit.size == 2)
   }
 
+  test("stats pruning is exact under random layouts and boxes (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val base = java.nio.file.Files.createTempDirectory("pruneprop").toString
+    (1 to 2).foreach { trial =>
+      val table = s"$base/t$trial"
+      val data = (1 to 200).map(_ =>
+        (rnd.nextInt(1000).toLong, rnd.nextInt(100).toLong))
+      val v = graft.sources.Snapshots.commitWithStats(
+        data.toDF("k", "w").repartitionByRange(8, col("k")),
+        table, Seq("k", "w"))
+      (1 to 4).foreach { _ =>
+        val lo = rnd.nextInt(1000).toLong; val hi = lo + rnd.nextInt(300)
+        val wlo = rnd.nextInt(100).toLong; val whi = wlo + rnd.nextInt(40)
+        val ranges = Seq(("k", lo, hi), ("w", wlo, whi))
+        val pred = col("k").between(lo, hi) && col("w").between(wlo, whi)
+        val pruned = graft.sources.Snapshots
+          .readPruned(spark, table, v, ranges).filter(pred)
+        val full = graft.sources.Snapshots
+          .readVersion(spark, table, v).filter(pred)
+        assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+          s"pruning changed the result for k∈[$lo,$hi], w∈[$wlo,$whi]")
+      }
+    }
+  }
+
+  test("a writer crashing before publish leaves no reader-visible version") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("crashstats")
+      .toString + "/t"
+    graft.sources.Snapshots.onStatsBeforePublish = () => {
+      // data + stats are fully staged at this point, yet no reader
+      // primitive may see the version
+      assert(graft.sources.Snapshots.versions(table).isEmpty,
+        "version visible before _SUCCESS")
+      throw new RuntimeException("planted crash before publish")
+    }
+    try {
+      val e = intercept[RuntimeException] {
+        graft.sources.Snapshots.commitWithStats(
+          (1L to 10L).map(k => (k, k * 2)).toDF("k", "w"), table, Seq("k"))
+      }
+      assert(e.getMessage.contains("planted crash"))
+      assert(graft.sources.Snapshots.versions(table).isEmpty)
+    } finally graft.sources.Snapshots.onStatsBeforePublish = () => ()
+    // a later clean commit claims the NEXT slot and is fully readable
+    val v = graft.sources.Snapshots.commitWithStats(
+      (1L to 10L).map(k => (k, k * 2)).toDF("k", "w"), table, Seq("k"))
+    assert(graft.sources.Snapshots.versions(table) == Seq(v))
+    assert(graft.sources.Snapshots.read(spark, table).count() == 10)
+  }
+
   test("small-file compaction: size-targeted rewrite preserves data") {
     // the OPTIMIZE/bin-packing pattern: a streaming sink leaves many
     // tiny files; the compactor rewrites each partition's data into
