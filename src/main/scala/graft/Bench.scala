@@ -163,6 +163,30 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-size disk probe — the I/O sibling of [[cpuProbe]]: write
+    * 32 MiB to the temp filesystem, fsync, read back. The always-cold
+    * queries (q84/q101/q104/q106/q110) are WRITE-bound, so a boot
+    * with a slow or busy disk inflates them while every CPU cal stays
+    * clean — this probe makes that case adjudicable too. Taken once
+    * before and once after the suite. */
+  private def ioProbe(): Double = {
+    val t0 = System.nanoTime()
+    val f = java.io.File.createTempFile("graft_io", ".probe")
+    try {
+      val buf = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(buf, 0x5A.toByte)
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var i = 0
+        while (i < 32) { out.write(buf); i += 1 }
+        out.getFD.sync()
+      } finally out.close()
+      val in = new java.io.FileInputStream(f)
+      try { while (in.read(buf) > 0) () } finally in.close()
+    } finally { f.delete(); () }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def r3(x: Double): String =
     if (x < 0) "-1" else BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -197,6 +221,7 @@ object Bench {
     (0 until 5).foreach(_ => cpuProbe())
     val preSingle = cpuProbe()
     val prePar = parProbe(cpus.toInt)
+    val preIo = ioProbe()
     // name -> (every raw run, probe time sampled just before each run);
     // the rescue policy (see measureQuery) grants a bounded third run
     // to queries whose every window the probe marked contended
@@ -240,6 +265,7 @@ object Bench {
     // resulting estimate is the most conservative consistent reading
     val postSingle = cpuProbe()
     val postPar = parProbe(cpus.toInt)
+    val postIo = ioProbe()
     val effCores = cpus.toInt *
       math.min(preSingle, postSingle) / math.min(prePar, postPar)
 
@@ -258,6 +284,8 @@ object Bench {
          |  "cal_min_sec":${r3(calMin)},"cal_med_sec":${r3(calMed)},"cal_max_sec":${r3(calMax)},
          |  "parallelism":"single-thread spin ${r3(preSingle)}/${r3(postSingle)} s vs $cpus-thread spin ${r3(prePar)}/${r3(postPar)} s (pre/post) -> effective_cores = cpus x best single/par ratio; a boot whose vCPUs are time-sliced onto fewer physical cores shows here, not in the single-thread cal",
          |  "effective_cores":${r3(effCores)},
+         |  "io_probe":"seconds to write 32 MiB + fsync + read back, pre/post suite — the write-bound always-cold queries (q84/q101/q104/q106/q110) track THIS, not the CPU cal",
+         |  "io_probe_sec":[${r3(preIo)},${r3(postIo)}],
          |  "total_best_sec":${r3(total)},
          |  "total_is_complete":${nFailed == 0},
          |  "queries":{

@@ -46,6 +46,52 @@ class ProductAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("funnel equals a brute-force replay on random event streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val types = Vector("signup", "click", "purchase", "view", "error")
+    val base = 1700000000000000L // µs epoch, arbitrary
+    val events = (0 until 8).flatMap { u =>
+      (0 until 40).map { i =>
+        val us = base + rnd.nextInt(5 * 24 * 3600) * 1000000L + i // unique
+        (u * 40 + i.toLong, new java.sql.Timestamp(us / 1000),
+          u.toLong, types(rnd.nextInt(types.size)), 1.0, "{}")
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("funnelprop").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+
+    val clickW = ops.Analytics.FunnelClickWindowHours * 3600L * 1000000L
+    val buyW = ops.Analytics.FunnelPurchaseWindowHours * 3600L * 1000000L
+    // brute force: replay each user's stream in time order. The
+    // java.sql.Timestamp constructor floors to millis here (the
+    // generated µs are ms-aligned plus the uniqueness counter), so
+    // re-derive the expected micros from what parquet actually stores
+    val stored = spark.read.parquet(s"$tmp/events.parquet")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = stored.groupBy(_._1).map { case (u, evs) =>
+      val sorted = evs.sortBy(_._3)
+      val s1 = sorted.collectFirst { case (_, "signup", t) => t }
+      val s2 = s1.flatMap(s => sorted.collectFirst {
+        case (_, "click", t) if t > s && t <= s + clickW => t })
+      val s3 = s2.flatMap(c => sorted.collectFirst {
+        case (_, "purchase", t) if t > c && t <= c + buyW => t })
+      u -> (s1, s2, s3)
+    }
+    val got = ops.Analytics.funnelStages(spark, tmp).collect().map { r =>
+      def us(c: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+      r.getAs[Long]("user_id") ->
+        (us("signup_us"), us("click_us"), us("purchase_us"))
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (u, want) =>
+      assert(got(u) == want, s"user $u: got ${got(u)}, want $want")
+    }
+  }
+
   test("q106 change feed classifies inserts/updates/deletes against the states") {
     val changes = cdc.Cdc.changeDataFeed(spark, sfDir).collect()
     assert(changes.nonEmpty)
