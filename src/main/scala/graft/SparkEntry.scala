@@ -231,7 +231,10 @@ object SparkEntry {
     // one SQL text, two engines: a correlated-scalar-subquery query
     // executed from raw SQL over registered views; the oracle is the
     // IDENTICAL string
-    "q116_sql_correlated"    -> (ops.Olap.correlatedSpend _)
+    "q116_sql_correlated"    -> (ops.Olap.correlatedSpend _),
+    // REAL JDBC sink + partitioned parallel scan (S6/S9) against the
+    // classpath's embedded Derby; gate = q03's own oracle
+    "q117_jdbc_roundtrip"    -> (sources.Jdbc.jdbcRoundtrip _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -358,6 +361,7 @@ object SparkEntry {
     "q113_pricing_summary"   -> ops.Olap.pricingSummarySql,
     "q114_shipping_priority" -> ops.Olap.shippingPrioritySql,
     "q115_local_volume"      -> ops.Olap.localSupplierVolumeSql,
-    "q116_sql_correlated"    -> ops.Olap.correlatedSpendSql
+    "q116_sql_correlated"    -> ops.Olap.correlatedSpendSql,
+    "q117_jdbc_roundtrip"    -> sources.Jdbc.jdbcRoundtripSql
   )
 }

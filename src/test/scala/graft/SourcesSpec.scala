@@ -109,6 +109,31 @@ class SourcesSpec extends SparkSuite {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("JDBC sink + partitioned scan: stripes cover everything, filters push (S6/S9)") {
+    val src = gold.Summaries.dailySalesSummary(spark, sfDir)
+    val back = sources.Jdbc.jdbcRoundtrip(spark, sfDir)
+    // the scan really fans out over ScanPartitions concurrent queries
+    // (asserted on the relation: the trailing sort may later coalesce)
+    assert(back.queryExecution.executedPlan.toString
+        .contains(s"numPartitions=${sources.Jdbc.ScanPartitions}"),
+      back.queryExecution.executedPlan.toString)
+    // stripes partition the table: no row lost or doubled, values
+    // (including doubles through Derby's DOUBLE) survive bit-exact
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // predicates push into the warehouse query instead of filtering
+    // rows Spark-side after a full extract
+    val filtered = spark.read
+      .option("driver", sources.Jdbc.Driver)
+      .jdbc(sources.Jdbc.Url, "daily_sales", new java.util.Properties() {
+        setProperty("driver", sources.Jdbc.Driver)
+      })
+      .filter(org.apache.spark.sql.functions.col("total_orders") > 5)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("total_orders"),
+      s"JDBC filter not pushed:\n$plan")
+  }
+
   test("parquet append with evolving schema reads merged (T7)") {
     val base = Files.createTempDirectory("drift").toString
     import spark.implicits._
