@@ -282,7 +282,7 @@ object Bench {
          |  "calibration":"cal[i] = seconds for a fixed $ProbeIters-iteration single-threaded spin sampled just before run i; cal/cal_min_sec > ~1.5 marks a contended window",
          |  "rescue_policy":"a query whose EVERY window had cal > $RescueCalFactor x the running floor got one extra run (3 entries in runs/cal), from a suite budget of $RescueBudget; n_rescued used $nRescued",
          |  "cal_min_sec":${r3(calMin)},"cal_med_sec":${r3(calMed)},"cal_max_sec":${r3(calMax)},
-         |  "parallelism":"single-thread spin ${r3(preSingle)}/${r3(postSingle)} s vs $cpus-thread spin ${r3(prePar)}/${r3(postPar)} s (pre/post) -> effective_cores = cpus x best single/par ratio; a boot whose vCPUs are time-sliced onto fewer physical cores shows here, not in the single-thread cal",
+         |  "parallelism":"single-thread spin ${r3(preSingle)}/${r3(postSingle)} s vs $cpus-thread spin ${r3(prePar)}/${r3(postPar)} s (pre/post) -> effective_cores = cpus x min(single)/min(par), each probe at its cleanest so one contended sample can't inflate the ratio; a boot whose vCPUs are time-sliced onto fewer physical cores shows here, not in the single-thread cal",
          |  "effective_cores":${r3(effCores)},
          |  "io_probe":"seconds to write 32 MiB + fsync + read back, pre/post suite — the write-bound always-cold queries (q84/q101/q104/q106/q110) track THIS, not the CPU cal",
          |  "io_probe_sec":[${r3(preIo)},${r3(postIo)}],

@@ -218,14 +218,8 @@ object Pipeline {
     val result = sources.Snapshots.read(spark, s"$out/gold/daily_sales_summary")
       .orderBy(col("order_date"))
       .localCheckpoint()
-    deleteRecursively(new java.io.File(out))
+    graft.util.Fs.deleteRecursively(new java.io.File(out))
     result
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-    ()
   }
 
   val pipelineGoldSql: String = gold.Summaries.dailySalesSummarySql

@@ -216,11 +216,11 @@ object SparkEntry {
     // bucketed co-located join + rollup: zero hash exchanges end-to-end
     // (the plan contract is require()d inside the query)
     "q110_bucketed_rollup"   -> (ops.Scale.bucketedRollup _),
-    // product quantization: 4x16-dim subspace codebooks, one int code
-    // per subspace per vector (the 64x-compression index encoding)
+    // product quantization: 8 subspaces x 32-entry codebooks, one int
+    // code per subspace per vector (the index-compression encoding)
     "q111_pq_codes"          -> (ext.Similarity.pqCodes _),
     // ADC search over the PQ codes: broadcast per-query lookup tables,
-    // corpus moves as 4 ints/vector, exact rerank of the 30-shortlist
+    // corpus moves as 8 ints/vector, exact rerank of the 100-shortlist
     "q112_knn_pq"            -> (ext.Similarity.knnPq _),
     // classic decision-support shapes (TPC-H Q1/Q3/Q5 adapted):
     // one-scan pricing summary, selective multi-join top-10, 6-way

@@ -305,7 +305,7 @@ object Cdc {
       graft.sources.Snapshots.changesBetween(spark, table, 0, 1, Seq("user_id"))
         .orderBy(col("user_id"))
         .localCheckpoint() // pin rows before the temp table is deleted
-    } finally deleteRecursively(new java.io.File(work))
+    } finally graft.util.Fs.deleteRecursively(new java.io.File(work))
   }
 
   val changeDataFeedSql: String =
@@ -342,9 +342,4 @@ object Cdc {
        |WHERE _change_type IS NOT NULL
        |ORDER BY user_id""".stripMargin
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-    ()
-  }
 }

@@ -59,11 +59,27 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  private val shinglesSql =
+  private[ext] val shinglesSql =
     """list_distinct(list_transform(
       |    range(1, len(regexp_split_to_array(text, '\s+')) - 1),
       |    i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')))"""
       .stripMargin
+
+  /** Shared oracle prelude: the df-capped ordered near-dup pair table
+    * as CTEs `s → f → sf → p` — the single SQL derivation of
+    * [[cappedPairs]] that every graph-flavored oracle (q81 PageRank,
+    * q109 triangles) builds on, so the shingle length and the
+    * df-cap/≥3-shared edge contract live in ONE place. */
+  private[ext] lazy val cappedPairCteSql: String =
+    s"""s AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |f AS (SELECT sh FROM s GROUP BY sh
+       |      HAVING count(*) > 1 AND count(*) <= $DfCap),
+       |sf AS (SELECT s.doc_id, s.sh FROM s JOIN f USING (sh)),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sf a JOIN sf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
 
   // ---------------------------------------------------------------- q32
 

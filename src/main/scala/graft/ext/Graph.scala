@@ -76,21 +76,8 @@ object Graph {
 
   val pagerankNearDupSql: String = {
     // the oracle joins on the shingle STRINGS (same derivation as q58:
-    // the df-capped pair graph)
-    val shingles =
-      """list_distinct(list_transform(
-        |    range(1, len(regexp_split_to_array(text, '\s+')) - 1),
-        |    i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')))"""
-        .stripMargin
-    s"""WITH s AS (
-       |  SELECT DISTINCT doc_id, unnest($shingles) AS sh FROM documents),
-       |f AS (SELECT sh FROM s GROUP BY sh
-       |      HAVING count(*) > 1 AND count(*) <= ${Dedup.DfCap}),
-       |sf AS (SELECT s.doc_id, s.sh FROM s JOIN f USING (sh)),
-       |p AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sf a JOIN sf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+    // the df-capped pair graph, via the shared CTE prelude)
+    s"""WITH ${Dedup.cappedPairCteSql},
        |e AS (SELECT doc_a, doc_b FROM p
        |      UNION ALL SELECT doc_b, doc_a FROM p),
        |deg AS (SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS outdeg
@@ -174,32 +161,19 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
-  val triangleCoefficientsSql: String = {
-    val shingles =
-      """list_distinct(list_transform(
-        |    range(1, len(regexp_split_to_array(text, '\s+')) - 1),
-        |    i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')))"""
-        .stripMargin
-    s"""WITH s AS (
-       |  SELECT DISTINCT doc_id, unnest($shingles) AS sh FROM documents),
-       |f AS (SELECT sh FROM s GROUP BY sh
-       |      HAVING count(*) > 1 AND count(*) <= ${Dedup.DfCap}),
-       |sf AS (SELECT s.doc_id, s.sh FROM s JOIN f USING (sh)),
-       |e AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sf a JOIN sf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+  val triangleCoefficientsSql: String =
+    s"""WITH ${Dedup.cappedPairCteSql},
        |tri AS (
        |  SELECT ab.doc_a AS x, ab.doc_b AS y, bc.doc_b AS z
-       |  FROM e ab JOIN e bc ON ab.doc_b = bc.doc_a
-       |    JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+       |  FROM p ab JOIN p bc ON ab.doc_b = bc.doc_a
+       |    JOIN p ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
        |m AS (SELECT x AS doc_id FROM tri
        |      UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
        |t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
        |      FROM m GROUP BY 1),
        |deg AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
-       |    (SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e)
+       |    (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p)
        |  GROUP BY 1)
        |SELECT deg.doc_id, deg.degree,
        |  coalesce(t.n_triangles, 0) AS n_triangles,
@@ -208,5 +182,4 @@ object Graph {
        |            / (deg.degree * (deg.degree - 1))
        |       ELSE 0e0 END AS clustering_coef
        |FROM deg LEFT JOIN t USING (doc_id) ORDER BY deg.doc_id""".stripMargin
-  }
 }

@@ -827,21 +827,21 @@ object Similarity {
   val AdcShortlist = 100
 
   /** q112 — ADC (asymmetric distance computation) SEARCH over the PQ
-    * codes: per query, a 4×16 lookup table of subspace distances to
-    * every codebook entry; a corpus vector's estimated distance is the
-    * SUM OF 4 TABLE LOOKUPS selected by its stored codes — never a
-    * touch of the raw corpus vectors until the exact rerank of the
-    * [[AdcShortlist]] survivors. The estimate sums in FIXED subspace
-    * order (pd0+pd1+pd2+pd3 as an expression, not a float aggregate),
-    * so both engines produce bit-identical estimates and the oracle
-    * recomputes the whole pipeline. SimilaritySpec measures recall
-    * against brute-force q37.
+    * codes: per query, a [[PqSub]]×[[PqCents]] (8×32) lookup table of
+    * subspace distances to every codebook entry; a corpus vector's
+    * estimated distance is the SUM OF 8 TABLE LOOKUPS selected by its
+    * stored codes — never a touch of the raw corpus vectors until the
+    * exact rerank of the [[AdcShortlist]] survivors. The estimate
+    * sums in FIXED subspace order (pd0+…+pd7 as an expression, not a
+    * float aggregate), so both engines produce bit-identical
+    * estimates and the oracle recomputes the whole pipeline.
+    * SimilaritySpec measures recall against brute-force q37.
     *
     * Scale: the scored stream is code rows ⋈ broadcast LUT — the
-    * corpus moves as 4 ints per vector (the entire point of PQ);
-    * shortlisting is the k-bounded aggregate (≤ 30 rows per partition
-    * per query before the exchange); only ≤ 30×queries vectors are
-    * ever re-read at full width. */
+    * corpus moves as [[PqSub]] ints per vector (the entire point of
+    * PQ); shortlisting is the k-bounded aggregate (≤ [[AdcShortlist]]
+    * rows per partition per query before the exchange); only
+    * ≤ AdcShortlist×queries vectors are ever re-read at full width. */
   def knnPq(spark: SparkSession, dir: String): DataFrame =
     knnPqWith(spark, dir, AdcShortlist)
 

@@ -174,13 +174,7 @@ object Scale {
         .select("o_orderkey", "o_custkey", "day_no", "z_value")
         .orderBy("o_orderkey")
         .localCheckpoint() // pin rows before the temp table is deleted
-    } finally deleteRecursively(new java.io.File(work))
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-    ()
+    } finally graft.util.Fs.deleteRecursively(new java.io.File(work))
   }
 
   val zOrderedOrdersSql: String = {
@@ -251,7 +245,7 @@ object Scale {
         spark.sql("DROP TABLE IF EXISTS graft_b_orders")
         spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
       }
-    } finally deleteRecursively(new java.io.File(work))
+    } finally graft.util.Fs.deleteRecursively(new java.io.File(work))
   }
 
   val bucketedRollupSql: String =

@@ -279,8 +279,8 @@ object Snapshots {
       }
       staging.delete()
     } catch { case e: Throwable =>
-      deleteRecursively(new File(versionDir(tableDir, v)))
-      deleteRecursively(staging)
+      graft.util.Fs.deleteRecursively(new File(versionDir(tableDir, v)))
+      graft.util.Fs.deleteRecursively(staging)
       throw e
     }
     val interleaved = versions(tableDir)
@@ -288,7 +288,7 @@ object Snapshots {
     if (interleaved.nonEmpty) {
       // never published: no _SUCCESS was ever created for v, so no
       // reader can have observed it — delete and signal retry
-      deleteRecursively(new File(versionDir(tableDir, v)))
+      graft.util.Fs.deleteRecursively(new File(versionDir(tableDir, v)))
       throw new java.util.ConcurrentModificationException(
         s"version(s) $interleaved committed under mergeCommit's base " +
           s"(read $base); unpublished stale merge $v discarded — retry")
@@ -326,7 +326,7 @@ object Snapshots {
       .filter(v => v < frontier && !isComplete(tableDir, v) &&
         !committed.contains(v))
     val gone = (dropCommitted ++ tornBelow).sorted
-    gone.foreach(v => deleteRecursively(new File(versionDir(tableDir, v))))
+    gone.foreach(v => graft.util.Fs.deleteRecursively(new File(versionDir(tableDir, v))))
     gone
   }
 
@@ -370,9 +370,4 @@ object Snapshots {
     * racing commit deterministically into the detection window. */
   private[graft] var onMergeBeforeClaim: () => Unit = () => ()
 
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-    ()
-  }
 }

@@ -95,12 +95,7 @@ object DedupIngest {
         .drop("batch") // partition-discovery column from the sink layout
         .orderBy(col("new_id"), col("corpus_id"))
         .localCheckpoint()
-    } finally deleteRecursively(new java.io.File(work))
+    } finally graft.util.Fs.deleteRecursively(new java.io.File(work))
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-    ()
-  }
 }

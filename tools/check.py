@@ -70,7 +70,7 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
         # only adjudicate when both sides are null-free
         if family(ga) != family(wa) and not (
                 got[col].isna().any() or want[col].isna().any()):
-            print(f"WARN {name}: dtype family differs on {col}: "
+            print(f"FAIL {name}: dtype family differs on {col}: "
                   f"spark={ga} oracle={wa} — driver's typed hash would mismatch")
             ok = False
     got, want = norm(got), norm(want)
