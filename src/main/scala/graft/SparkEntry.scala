@@ -234,7 +234,10 @@ object SparkEntry {
     "q116_sql_correlated"    -> (ops.Olap.correlatedSpend _),
     // REAL JDBC sink + partitioned parallel scan (S6/S9) against the
     // classpath's embedded Derby; gate = q03's own oracle
-    "q117_jdbc_roundtrip"    -> (sources.Jdbc.jdbcRoundtrip _)
+    "q117_jdbc_roundtrip"    -> (sources.Jdbc.jdbcRoundtrip _),
+    // TPC-H Q18: HAVING-filtered aggregate subquery joined back with
+    // payload, top-100 by order value
+    "q118_large_volume"      -> (ops.Olap.largeVolumeCustomers _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -362,6 +365,7 @@ object SparkEntry {
     "q114_shipping_priority" -> ops.Olap.shippingPrioritySql,
     "q115_local_volume"      -> ops.Olap.localSupplierVolumeSql,
     "q116_sql_correlated"    -> ops.Olap.correlatedSpendSql,
-    "q117_jdbc_roundtrip"    -> sources.Jdbc.jdbcRoundtripSql
+    "q117_jdbc_roundtrip"    -> sources.Jdbc.jdbcRoundtripSql,
+    "q118_large_volume"      -> ops.Olap.largeVolumeCustomersSql
   )
 }

@@ -160,6 +160,47 @@ object Olap {
        |  AND o.o_orderdate < TIMESTAMP '$VolumeYearEnd 00:00:00'
        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Q18 volume threshold (sum of line quantities per order). */
+  val LargeOrderQty = 200
+
+  /** q118 — TPC-H Q18: large-volume customers. Orders whose total line
+    * quantity clears [[LargeOrderQty]] (the HAVING-filtered aggregate
+    * subquery), joined back to customer, top 100 by order value — the
+    * aggregate-then-semi-join-with-payload shape that Catalyst plans
+    * as one lineitem aggregation feeding an equi-join, never a
+    * per-order correlated scan.
+    *
+    * Scale: the HAVING aggregate reduces lineitem to order grain
+    * map-side-combined; both joins key on natural keys, and the
+    * top-100 runs through TakeOrderedAndProject. */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(Cols.dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > LargeOrderQty)
+    Tables.load(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.load(spark, dir, "customer"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val largeVolumeCustomersSql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, ${Cols.dsumSql("l_quantity")} AS sum_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING ${Cols.dsumSql("l_quantity")} > $LargeOrderQty)
+       |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       |  o.o_totalprice, big.sum_qty
+       |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin
+
   /** ONE SQL text, TWO engines: q116's query and its oracle are the
     * SAME string — dialect-neutral ANSI with the exact-decimal float
     * discipline baked in — so the gate proves Spark's SQL front end

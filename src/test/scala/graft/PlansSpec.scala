@@ -255,6 +255,13 @@ class PlansSpec extends SparkSuite {
     assert(p5.contains("BroadcastHashJoin"), p5)
     assert(!p5.contains("CartesianProduct") &&
       !p5.contains("BroadcastNestedLoopJoin"), p5)
+    // Q18: aggregate-subquery join plans as equi-joins + top-100 via
+    // TakeOrderedAndProject, with the lineitem rollup map-side combined
+    val p18 = plan("q118_large_volume")
+    assert(p18.contains("TakeOrderedAndProject"), p18)
+    assert(p18.contains("partial_"), p18)
+    assert(!p18.contains("CartesianProduct") &&
+      !p18.contains("BroadcastNestedLoopJoin"), p18)
   }
 
   test("q116 correlated subquery decorrelates into joins (no per-row subquery)") {
