@@ -165,10 +165,10 @@ object Bench {
 
   /** Fixed-size disk probe — the I/O sibling of [[cpuProbe]]: write
     * 32 MiB to the temp filesystem, fsync, read back. The always-cold
-    * queries (q84/q101/q104/q106/q110) are WRITE-bound, so a boot
-    * with a slow or busy disk inflates them while every CPU cal stays
-    * clean — this probe makes that case adjudicable too. Taken once
-    * before and once after the suite. */
+    * queries (q84/q101/q104/q106/q110/q117) are WRITE-bound, so a
+    * boot with a slow or busy disk inflates them while every CPU cal
+    * stays clean — this probe makes that case adjudicable too. Taken
+    * once before and once after the suite. */
   private def ioProbe(): Double = {
     val t0 = System.nanoTime()
     val f = java.io.File.createTempFile("graft_io", ".probe")
@@ -284,7 +284,7 @@ object Bench {
          |  "cal_min_sec":${r3(calMin)},"cal_med_sec":${r3(calMed)},"cal_max_sec":${r3(calMax)},
          |  "parallelism":"single-thread spin ${r3(preSingle)}/${r3(postSingle)} s vs $cpus-thread spin ${r3(prePar)}/${r3(postPar)} s (pre/post) -> effective_cores = cpus x min(single)/min(par), each probe at its cleanest so one contended sample can't inflate the ratio; a boot whose vCPUs are time-sliced onto fewer physical cores shows here, not in the single-thread cal",
          |  "effective_cores":${r3(effCores)},
-         |  "io_probe":"seconds to write 32 MiB + fsync + read back, pre/post suite — the write-bound always-cold queries (q84/q101/q104/q106/q110) track THIS, not the CPU cal",
+         |  "io_probe":"seconds to write 32 MiB + fsync + read back, pre/post suite — the write-bound always-cold queries (q84/q101/q104/q106/q110/q117) track THIS, not the CPU cal",
          |  "io_probe_sec":[${r3(preIo)},${r3(postIo)}],
          |  "total_best_sec":${r3(total)},
          |  "total_is_complete":${nFailed == 0},

@@ -27,7 +27,7 @@ object Jdbc {
   val Driver = "org.apache.derby.jdbc.EmbeddedDriver"
   val ScanPartitions = 4
 
-  private def props: java.util.Properties = {
+  private[graft] def props: java.util.Properties = {
     val p = new java.util.Properties()
     p.setProperty("driver", Driver)
     p
@@ -37,14 +37,22 @@ object Jdbc {
     * JDBC sink, read it back as a 4-way partitioned parallel scan,
     * and return it ordered — the gate equals q03's own oracle, so any
     * type-mapping or stripe-boundary defect (lost rows, doubled rows,
-    * mangled doubles through Derby's DOUBLE) hash-mismatches. */
+    * mangled doubles through Derby's DOUBLE) hash-mismatches. Stripe
+    * bounds derive from the source's actual min/max (constants would
+    * silently degenerate to one unbounded stripe at a scale factor
+    * where every value clears them — the parallelism would vanish
+    * while the plan still said numPartitions=4). */
   def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = graft.gold.Summaries.dailySalesSummary(spark, dir)
     src.write.mode(SaveMode.Overwrite).jdbc(Url, "daily_sales", props)
+    val b = src.agg(org.apache.spark.sql.functions.min("total_orders"),
+      org.apache.spark.sql.functions.max("total_orders")).head()
+    val lo = b.getLong(0)
+    val hi = math.max(b.getLong(1), lo + 1) // Spark requires lo < hi
     spark.read
       .option("partitionColumn", "total_orders")
-      .option("lowerBound", "0")
-      .option("upperBound", "64")
+      .option("lowerBound", lo.toString)
+      .option("upperBound", hi.toString)
       .option("numPartitions", ScanPartitions.toString)
       .jdbc(Url, "daily_sales", props)
       .orderBy(col("order_date"))

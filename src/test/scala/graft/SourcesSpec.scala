@@ -124,10 +124,7 @@ class SourcesSpec extends SparkSuite {
     // predicates push into the warehouse query instead of filtering
     // rows Spark-side after a full extract
     val filtered = spark.read
-      .option("driver", sources.Jdbc.Driver)
-      .jdbc(sources.Jdbc.Url, "daily_sales", new java.util.Properties() {
-        setProperty("driver", sources.Jdbc.Driver)
-      })
+      .jdbc(sources.Jdbc.Url, "daily_sales", sources.Jdbc.props)
       .filter(org.apache.spark.sql.functions.col("total_orders") > 5)
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("total_orders"),
