@@ -259,15 +259,17 @@ object Bench {
     val calMin = allCal.min
     val calMax = allCal.max
     val calMed = allCal.sorted.apply(allCal.size / 2)
-    // post-suite all-cores reading; effective cores = n × single/par,
-    // each probe taken at its CLEANEST (min over pre/post) so one
-    // contended single-thread sample can't inflate the ratio — the
-    // resulting estimate is the most conservative consistent reading
+    // post-suite all-cores reading; effective cores = n × single/par
+    // taken as the MIN over the per-window ratios — each ratio pairs a
+    // single-thread and a parallel probe from the SAME window, so the
+    // estimate never mixes the cleanest single of one window with the
+    // cleanest parallel of the other (which would overstate cores);
+    // min over consistent pairs is the conservative reading
     val postSingle = cpuProbe()
     val postPar = parProbe(cpus.toInt)
     val postIo = ioProbe()
     val effCores = cpus.toInt *
-      math.min(preSingle, postSingle) / math.min(prePar, postPar)
+      math.min(preSingle / prePar, postSingle / postPar)
 
     // ---- complete sidecar: full names, all raw runs + the CPU-probe
     // reading sampled immediately before each run, best, total
@@ -282,7 +284,7 @@ object Bench {
          |  "calibration":"cal[i] = seconds for a fixed $ProbeIters-iteration single-threaded spin sampled just before run i; cal/cal_min_sec > ~1.5 marks a contended window",
          |  "rescue_policy":"a query whose EVERY window had cal > $RescueCalFactor x the running floor got one extra run (3 entries in runs/cal), from a suite budget of $RescueBudget; n_rescued used $nRescued",
          |  "cal_min_sec":${r3(calMin)},"cal_med_sec":${r3(calMed)},"cal_max_sec":${r3(calMax)},
-         |  "parallelism":"single-thread spin ${r3(preSingle)}/${r3(postSingle)} s vs $cpus-thread spin ${r3(prePar)}/${r3(postPar)} s (pre/post) -> effective_cores = cpus x min(single)/min(par), each probe at its cleanest so one contended sample can't inflate the ratio; a boot whose vCPUs are time-sliced onto fewer physical cores shows here, not in the single-thread cal",
+         |  "parallelism":"single-thread spin ${r3(preSingle)}/${r3(postSingle)} s vs $cpus-thread spin ${r3(prePar)}/${r3(postPar)} s (pre/post) -> effective_cores = cpus x min(pre_single/pre_par, post_single/post_par): per-window ratios, so the estimate never pairs probes from different windows; min over consistent pairs is the conservative reading. A boot whose vCPUs are time-sliced onto fewer physical cores shows here, not in the single-thread cal",
          |  "effective_cores":${r3(effCores)},
          |  "io_probe":"seconds to write 32 MiB + fsync + read back, pre/post suite — the write-bound always-cold queries (q84/q101/q104/q106/q110/q117) track THIS, not the CPU cal",
          |  "io_probe_sec":[${r3(preIo)},${r3(postIo)}],

@@ -214,22 +214,27 @@ object Scale {
   def bucketedRollup(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_q110").toString
+    // catalog names derive from the temp dir, so concurrent
+    // invocations sharing a SparkSession (parallel spec runs) never
+    // drop or shadow each other's tables — each call owns exactly the
+    // two names it registers and drops only those in the finally
+    val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val ordersTbl = s"graft_b_orders_$tag"
+    val lineitemTbl = s"graft_b_lineitem_$tag"
     try {
-      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
-      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
       graft.Tables.load(spark, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$work/orders").saveAsTable("graft_b_orders")
+        .option("path", s"$work/orders").saveAsTable(ordersTbl)
       graft.Tables.load(spark, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$work/lineitem").saveAsTable("graft_b_lineitem")
+        .option("path", s"$work/lineitem").saveAsTable(lineitemTbl)
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        val rolled = spark.table("graft_b_orders")
-          .join(spark.table("graft_b_lineitem"),
+        val rolled = spark.table(ordersTbl)
+          .join(spark.table(lineitemTbl),
             col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_orderkey"), col("o_custkey"))
           .agg(count(lit(1)).as("n_lines"),
@@ -242,8 +247,8 @@ object Scale {
         rolled.localCheckpoint() // pin rows before the tables drop
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS graft_b_orders")
-        spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+        spark.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+        spark.sql(s"DROP TABLE IF EXISTS $lineitemTbl")
       }
     } finally graft.util.Fs.deleteRecursively(new java.io.File(work))
   }

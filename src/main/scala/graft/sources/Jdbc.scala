@@ -37,24 +37,41 @@ object Jdbc {
     * JDBC sink, read it back as a 4-way partitioned parallel scan,
     * and return it ordered — the gate equals q03's own oracle, so any
     * type-mapping or stripe-boundary defect (lost rows, doubled rows,
-    * mangled doubles through Derby's DOUBLE) hash-mismatches. Stripe
-    * bounds derive from the source's actual min/max (constants would
-    * silently degenerate to one unbounded stripe at a scale factor
-    * where every value clears them — the parallelism would vanish
-    * while the plan still said numPartitions=4). */
+    * mangled doubles through Derby's DOUBLE) hash-mismatches.
+    *
+    * The stripe column is a `yyyymmdd` int derived from the summary's
+    * own date — unique per row and uniformly spread over the date
+    * range, so all [[ScanPartitions]] stripes carry real rows at every
+    * scale factor (SourcesSpec asserts it). The previous choice,
+    * `total_orders`, clustered tightly around the daily mean and could
+    * leave stripes empty or skewed. Bounds derive from the data
+    * (constants would silently degenerate to one unbounded stripe at a
+    * scale factor where every value clears them); the first/last
+    * stripes stay unbounded by Spark's JDBC contract, so no row is
+    * ever lost to a bounds bug. An empty source skips the partitioned
+    * read entirely — min/max of nothing is null, and the contract is
+    * empty-in/empty-out, not an NPE. */
   def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = graft.gold.Summaries.dailySalesSummary(spark, dir)
+      .withColumn("date_key",
+        org.apache.spark.sql.functions.regexp_replace(
+          col("order_date"), "-", "").cast("int"))
     src.write.mode(SaveMode.Overwrite).jdbc(Url, "daily_sales", props)
-    val b = src.agg(org.apache.spark.sql.functions.min("total_orders"),
-      org.apache.spark.sql.functions.max("total_orders")).head()
-    val lo = b.getLong(0)
-    val hi = math.max(b.getLong(1), lo + 1) // Spark requires lo < hi
-    spark.read
-      .option("partitionColumn", "total_orders")
-      .option("lowerBound", lo.toString)
-      .option("upperBound", hi.toString)
-      .option("numPartitions", ScanPartitions.toString)
-      .jdbc(Url, "daily_sales", props)
+    val b = src.agg(org.apache.spark.sql.functions.min("date_key"),
+      org.apache.spark.sql.functions.max("date_key")).head()
+    val reader =
+      if (b.isNullAt(0)) spark.read // empty table: nothing to stripe
+      else {
+        val lo = b.getInt(0).toLong
+        val hi = math.max(b.getInt(1).toLong, lo + 1) // Spark requires lo < hi
+        spark.read
+          .option("partitionColumn", "date_key")
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
+          .option("numPartitions", ScanPartitions.toString)
+      }
+    reader.jdbc(Url, "daily_sales", props)
+      .drop("date_key")
       .orderBy(col("order_date"))
   }
 

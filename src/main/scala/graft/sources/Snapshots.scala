@@ -129,8 +129,16 @@ object Snapshots {
     var v = nextCandidate(tableDir)
     while (!new File(versionDir(tableDir, v)).mkdir()) v += 1
     val dir = versionDir(tableDir, v)
-    df.write.mode(SaveMode.Append).parquet(dir)
-    new File(dir, "_SUCCESS").delete() // withheld until stats land
+    // SUPPRESS the job's own _SUCCESS: letting the parquet commit drop
+    // the marker and deleting it afterwards leaves a window (or, if the
+    // process dies inside it, a permanent state) where isComplete is
+    // true with no stats manifest — readers would observe a committed
+    // version that readPruned cannot serve. Write options land on the
+    // job's hadoop conf, so the suppression is per-write, not global.
+    df.write.mode(SaveMode.Append)
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(dir)
+    onDataBeforeStats()
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val aggs = statsCols.flatMap(c => Seq(
@@ -151,6 +159,12 @@ object Snapshots {
     * here leaves NO reader-visible version (the stage-then-publish
     * contract of [[commitWithStats]]). */
   private[graft] var onStatsBeforePublish: () => Unit = () => ()
+
+  /** Test seam: runs after the data job commits, before the stats job
+    * starts — the window where the OLD implementation (delete the
+    * job's `_SUCCESS` after the fact) could expose a stats-less
+    * version. A spec crashes here and asserts no version is visible. */
+  private[graft] var onDataBeforeStats: () => Unit = () => ()
 
   /** The stats manifest of a committed version: one row per data file
     * with `min_<col>`/`max_<col>` for every stats column. The part

@@ -50,6 +50,15 @@ class EdgeCasesSpec extends SparkSuite {
     assert(ext.TextAnalysis.bigramFamiliarity(spark, emptyDir).count() == 0)
   }
 
+  test("JDBC round trip is empty-in empty-out, not an NPE on null bounds") {
+    // min/max of an empty daily summary are null; the round trip must
+    // fall back to an unpartitioned read instead of Row.getInt on null
+    val dir = java.nio.file.Files.createTempDirectory("emptyorders").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "orders").limit(0)
+      .write.parquet(s"$dir/orders.parquet")
+    assert(sources.Jdbc.jdbcRoundtrip(spark, dir).count() == 0)
+  }
+
   test("pagerank keeps its documented loud failure on an empty graph") {
     val e = intercept[IllegalArgumentException] {
       ext.Graph.pagerankNearDup(spark, emptyDir).count()

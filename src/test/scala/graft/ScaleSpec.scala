@@ -318,6 +318,36 @@ class ScaleSpec extends SparkSuite {
     assert(graft.sources.Snapshots.read(spark, table).count() == 10)
   }
 
+  test("a writer crashing between data job and stats job is also invisible") {
+    // the EARLIER window: Spark's parquet job normally drops _SUCCESS
+    // at its own commit, so deleting it afterwards would leave a
+    // moment (or, on a crash, a permanent state) where the version
+    // looked committed with no stats manifest. commitWithStats
+    // suppresses the job marker instead; this spec crashes in exactly
+    // that window and proves no reader primitive sees the version.
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("crashdata")
+      .toString + "/t"
+    graft.sources.Snapshots.onDataBeforeStats = () => {
+      assert(graft.sources.Snapshots.versions(table).isEmpty,
+        "version visible after the data job, before stats")
+      throw new RuntimeException("planted crash before stats")
+    }
+    try {
+      val e = intercept[RuntimeException] {
+        graft.sources.Snapshots.commitWithStats(
+          (1L to 10L).map(k => (k, k * 2)).toDF("k", "w"), table, Seq("k"))
+      }
+      assert(e.getMessage.contains("planted crash"))
+      assert(graft.sources.Snapshots.versions(table).isEmpty)
+    } finally graft.sources.Snapshots.onDataBeforeStats = () => ()
+    // recovery: the next clean commit works and readPruned serves it
+    val v = graft.sources.Snapshots.commitWithStats(
+      (1L to 10L).map(k => (k, k * 2)).toDF("k", "w"), table, Seq("k"))
+    assert(graft.sources.Snapshots
+      .readPruned(spark, table, v, Seq(("k", 3L, 5L))).count() > 0)
+  }
+
   test("small-file compaction: size-targeted rewrite preserves data") {
     // the OPTIMIZE/bin-packing pattern: a streaming sink leaves many
     // tiny files; the compactor rewrites each partition's data into

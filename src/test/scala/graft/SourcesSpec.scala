@@ -129,7 +129,26 @@ class SourcesSpec extends SparkSuite {
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("total_orders"),
       s"JDBC filter not pushed:\n$plan")
+    // the yyyymmdd stripe key spreads rows over EVERY stripe — the
+    // parallelism the partitioned scan exists for (a clustered key
+    // like total_orders left stripes empty at some scale factors)
+    val b = spark.read.jdbc(sources.Jdbc.Url, "daily_sales", sources.Jdbc.props)
+      .agg(org.apache.spark.sql.functions.min("date_key"),
+        org.apache.spark.sql.functions.max("date_key")).head()
+    val striped = spark.read
+      .option("partitionColumn", "date_key")
+      .option("lowerBound", b.getInt(0).toString)
+      .option("upperBound", b.getInt(1).toString)
+      .option("numPartitions", sources.Jdbc.ScanPartitions.toString)
+      .jdbc(sources.Jdbc.Url, "daily_sales", sources.Jdbc.props)
+    val perStripe = striped.rdd
+      .mapPartitions(it => Iterator(it.size)).collect()
+    assert(perStripe.length == sources.Jdbc.ScanPartitions,
+      s"expected ${sources.Jdbc.ScanPartitions} stripes: ${perStripe.toSeq}")
+    assert(perStripe.forall(_ > 0),
+      s"empty stripe in ${perStripe.toSeq} — the stripe key is skewed")
   }
+
 
   test("parquet append with evolving schema reads merged (T7)") {
     val base = Files.createTempDirectory("drift").toString
