@@ -237,7 +237,17 @@ object SparkEntry {
     "q117_jdbc_roundtrip"    -> (sources.Jdbc.jdbcRoundtrip _),
     // TPC-H Q18: HAVING-filtered aggregate subquery joined back with
     // payload, top-100 by order value
-    "q118_large_volume"      -> (ops.Olap.largeVolumeCustomers _)
+    "q118_large_volume"      -> (ops.Olap.largeVolumeCustomers _),
+    // correlated-subquery tier, same-SQL-text both engines: Q4 shape
+    // (EXISTS with an extra non-equi correlated predicate), Q21 shape
+    // (EXISTS + NOT EXISTS stacked over the same table), Q22 shape
+    // (NOT EXISTS + uncorrelated scalar subquery)
+    "q119_late_exists"       -> (ops.Olap.lateExists _),
+    "q120_waiting_supplier"  -> (ops.Olap.waitingSupplier _),
+    "q121_dormant_customers" -> (ops.Olap.dormantCustomers _),
+    // TPC-H Q13: filtered left-outer join feeding stacked aggregates
+    // (count-of-counts over the null-producing side)
+    "q122_order_distribution" -> (ops.Olap.orderCountDistribution _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -366,6 +376,10 @@ object SparkEntry {
     "q115_local_volume"      -> ops.Olap.localSupplierVolumeSql,
     "q116_sql_correlated"    -> ops.Olap.correlatedSpendSql,
     "q117_jdbc_roundtrip"    -> sources.Jdbc.jdbcRoundtripSql,
-    "q118_large_volume"      -> ops.Olap.largeVolumeCustomersSql
+    "q118_large_volume"      -> ops.Olap.largeVolumeCustomersSql,
+    "q119_late_exists"       -> ops.Olap.lateExistsSql,
+    "q120_waiting_supplier"  -> ops.Olap.waitingSupplierSql,
+    "q121_dormant_customers" -> ops.Olap.dormantCustomersSql,
+    "q122_order_distribution" -> ops.Olap.orderCountDistributionSql
   )
 }

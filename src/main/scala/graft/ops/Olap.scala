@@ -236,4 +236,148 @@ object Olap {
     Tables.registerViews(spark, dir)
     spark.sql(correlatedSpendSql)
   }
+
+  // --------------------------------------------------------------------
+  // Round 7: the correlated EXISTS / NOT-EXISTS tier (TPC-H Q4, Q21,
+  // Q22, Q13 shapes). Like q116, each SQL-front-end query below is ONE
+  // dialect-neutral text executed verbatim by BOTH engines, so the gate
+  // proves Spark's parser + subquery decorrelation produce DuckDB's
+  // answer from identical input. The testdata carries no
+  // l_commitdate/l_receiptdate, so Q4/Q21's lateness predicates are
+  // re-expressed over the columns it does have (ship lag vs the order
+  // date; returned lines) — the decorrelation shapes are unchanged.
+  // --------------------------------------------------------------------
+
+  /** q119 — TPC-H Q4 shape: priority distribution of orders with at
+    * least one LATE line, where "late" correlates the inner lineitem
+    * against the OUTER row's order date (shipped >60 days after
+    * ordering). The EXISTS carries both an equi-correlation
+    * (l_orderkey = o_orderkey) and a non-equi correlated predicate —
+    * Catalyst must decorrelate the pair into one left-semi join with a
+    * compound condition; a per-order subquery scan would be O(orders ×
+    * lineitem). PlansSpec asserts the semi join and the pushed date
+    * filters. */
+  val lateExistsSql: String =
+    """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  def lateExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(lateExistsSql)
+  }
+
+  /** q120 — TPC-H Q21 shape, the hardest decorrelation in the suite:
+    * EXISTS and NOT EXISTS stacked over the SAME inner table. Suppliers
+    * of one nation who alone returned a line on a finished
+    * multi-supplier order: l1 joins supplier/orders/nation, the EXISTS
+    * proves another supplier touched the order, the NOT EXISTS proves
+    * no OTHER supplier's line was returned. Catalyst must plan ONE
+    * left-semi and ONE left-anti join on l_orderkey (suppkey
+    * inequality in the condition) — never a per-row re-scan. */
+  val WaitingNation = "NATION_7"
+
+  val waitingSupplierSql: String =
+    s"""SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+       |FROM supplier s
+       |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+       |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |WHERE o.o_orderstatus = 'F'
+       |  AND l1.l_returnflag = 'R'
+       |  AND n.n_name = '$WaitingNation'
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM lineitem l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_returnflag = 'R')
+       |GROUP BY s.s_name
+       |ORDER BY numwait DESC, s.s_name""".stripMargin
+
+  def waitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(waitingSupplierSql)
+  }
+
+  /** q121 — TPC-H Q22 shape: NOT EXISTS + an uncorrelated scalar
+    * subquery in the SAME predicate. High-balance customers of a fixed
+    * nation set with no RECENT order (every testdata customer has SOME
+    * order, so Q22's "never ordered" becomes "dormant since
+    * [[DormantCutoff]]" — the anti-join shape is identical), where
+    * "high" compares against the average positive balance of the same
+    * nation set. The scalar subquery evaluates ONCE (sum cast exact,
+    * divided by count — bit-stable on both engines); the NOT EXISTS
+    * decorrelates into a left-anti join on c_custkey with the date
+    * bound in the condition. */
+  val DormantCutoff = "2000-01-01"
+
+  val dormantCustomersSql: String =
+    s"""SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       |FROM customer c
+       |WHERE c.c_nationkey IN (1, 3, 5, 10, 17, 21, 24)
+       |  AND c.c_acctbal > (
+       |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+       |      / count(*)
+       |    FROM customer c2
+       |    WHERE c2.c_acctbal > 0e0
+       |      AND c2.c_nationkey IN (1, 3, 5, 10, 17, 21, 24))
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders o
+       |    WHERE o.o_custkey = c.c_custkey
+       |      AND o.o_orderdate >= TIMESTAMP '$DormantCutoff 00:00:00')
+       |GROUP BY c.c_nationkey
+       |ORDER BY c.c_nationkey""".stripMargin
+
+  def dormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(dormantCustomersSql)
+  }
+
+  /** q122 — TPC-H Q13: customer order-count distribution through a
+    * LEFT OUTER join whose join condition carries an extra filter on
+    * the null-producing side (priority ≠ 1-URGENT — the o_comment
+    * NOT-LIKE of the original). Two stacked aggregates: per-customer
+    * count(o_orderkey) (null-side rows count 0 — the outer-join
+    * semantics the gate exists to pin), then the count-of-counts.
+    *
+    * Scale: one shuffle of orders on o_custkey for the join + first
+    * aggregate; the second aggregate groups ~thousands of rows on an
+    * int. The filter sits IN the join condition, not under a WHERE
+    * (which would turn the outer join inner and drop 0-order
+    * customers) — the classic Q13 trap, caught by the oracle. */
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey") &&
+        col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val orderCountDistributionSql: String =
+    """WITH c_orders AS (
+      |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c
+      |  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      |    AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
 }

@@ -272,6 +272,46 @@ class PlansSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q119/q120/q121 EXISTS tiers decorrelate into semi/anti joins") {
+    // Q4 shape: the EXISTS (with its extra non-equi correlated
+    // predicate) must become ONE left-semi join; both date filters on
+    // orders push to the parquet scan; no per-row subquery remains
+    val p19 = plan("q119_late_exists")
+    assert(p19.contains("LeftSemi"), s"Q4 EXISTS not a semi join:\n$p19")
+    assert(p19.contains("PushedFilters: [") && p19.contains("o_orderdate"),
+      s"Q4 date filters not pushed:\n$p19")
+    assert(!p19.toLowerCase.contains("subquery"),
+      s"Q4 kept a per-row subquery:\n$p19")
+    // Q21 shape: EXISTS -> left-semi AND NOT EXISTS -> left-anti over
+    // the same table, the supplier/nation dims broadcast, and nothing
+    // degenerates into a nested-loop or cartesian fallback
+    val p20 = plan("q120_waiting_supplier")
+    assert(p20.contains("LeftSemi") && p20.contains("LeftAnti"),
+      s"Q21 EXISTS/NOT EXISTS not semi+anti joins:\n$p20")
+    assert(!p20.toLowerCase.contains("subquery"),
+      s"Q21 kept a per-row subquery:\n$p20")
+    assert(!p20.contains("CartesianProduct") &&
+      !p20.contains("BroadcastNestedLoopJoin"), p20)
+    // Q22 shape: the NOT EXISTS decorrelates into a left-anti join;
+    // the scalar subquery is UNcorrelated so it may remain as a
+    // once-evaluated scalar (that IS the efficient plan) — what must
+    // not appear is any join-shaped fallback scanning per row
+    val p21 = plan("q121_dormant_customers")
+    assert(p21.contains("LeftAnti"), s"Q22 NOT EXISTS not an anti join:\n$p21")
+    assert(!p21.contains("CartesianProduct") &&
+      !p21.contains("BroadcastNestedLoopJoin"), p21)
+  }
+
+  test("q122 Q13 plans the filtered outer join + stacked aggregates") {
+    val p = plan("q122_order_distribution")
+    assert(p.contains("LeftOuter"), s"Q13 lost the outer join:\n$p")
+    // the priority filter sits in the join, pushed to the orders scan
+    // as a plain predicate (it only removes right-side rows)
+    assert(p.contains("partial_count"), s"Q13 must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q105 retention shuffles the event stream exactly once") {
     // the per-user aggregation is the only exchange keyed on user_id;
     // everything downstream works on user- or day-sized tables
