@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Layout decisions carry the reference's scale posture: bronze is
   * Hive-partitioned by `_source_table` (streaming_bronze.py:102), the
-  * fact is partitioned monthly (`month_key` ≡ ClickHouse
-  * `PARTITION BY toYYYYMM`, 03_fact_tables.sql:53) so MV-style
-  * queries prune to the months they touch, and every write is an
+  * fact publishes as a stats-committed snapshot range-clustered on
+  * (month_key, l_orderkey) (≡ ClickHouse `PARTITION BY toYYYYMM` +
+  * `ORDER BY`, 03_fact_tables.sql:53-55) so month- or order-bounded
+  * readers skip files through the manifest, and every write is an
   * idempotent overwrite (the reference's TRUNCATE-then-load, S7).
   *
   * `main` runs it end-to-end: `runMain graft.Pipeline <sfDir> <outDir>`.
@@ -84,7 +85,35 @@ object Pipeline {
     }
   }
 
-  /** Warehouse: star schema, fact partitioned monthly. */
+  /** Range partitions of the fact snapshot — each output file is a
+    * contiguous (month, order) block, so the stats manifest prunes
+    * month-range scans to a few files. 32 matches the suite's shuffle
+    * parallelism; at 100 TB raise it until files sit near the 128 MB
+    * parquet sweet spot (the layout logic is volume-independent). */
+  val FactRangeFiles = 32
+
+  /** Months of fact history the recent-revenue branch reads. */
+  val RecentMonths = 4
+
+  /** Warehouse: star schema; the fact publishes as a stats-committed
+    * snapshot CLUSTERED on (month_key, l_orderkey) — the liquid-
+    * clustering spelling of the reference's monthly partitioning
+    * (ClickHouse PARTITION BY toYYYYMM + ORDER BY,
+    * 03_fact_tables.sql:53-55): a range repartition writes contiguous
+    * (month, order) blocks, `commitWithStats` records per-file
+    * min/max, and month- or order-bounded readers skip files through
+    * the manifest instead of directory names. Directory partitioning
+    * prunes exactly one column; the manifest prunes BOTH dimensions
+    * of the clustering key, and adding one costs a manifest row, not
+    * a directory fan-out.
+    *
+    * The recent-revenue branch is the in-DAG consumer of that layout:
+    * it resolves the newest [[RecentMonths]] months FROM THE MANIFEST
+    * (metadata, no data scan), reads only intersecting files via
+    * `readPruned`, and publishes the monthly rollup. File counts land
+    * in [[lastRunMetrics]] (`fact_files_scanned`/`fact_files_total`)
+    * so the spec — and a production freshness dashboard — can assert
+    * the branch actually skipped. */
   private def warehouseLayer(spark: SparkSession, sfDir: String,
                              outDir: String): Unit = {
     timed("warehouse") {
@@ -92,19 +121,36 @@ object Pipeline {
         () => write(warehouse.Star.dimCustomer(spark, sfDir), s"$outDir/warehouse/dim_customer"),
         () => write(warehouse.Star.dimOrderStatus(spark, sfDir), s"$outDir/warehouse/dim_order_status"),
         () => write(warehouse.DateDim.dimTime(spark, sfDir), s"$outDir/warehouse/dim_time"),
-        // ONE file per month partition: a dynamic partitionBy straight
-        // off the shuffle writes (tasks × months) files — a small-file
-        // storm that quintuples the commit's rename fan-out and poisons
-        // every downstream scan. The repartition keys the exchange on
-        // the partition column so each month is written by exactly one
-        // task. (At 100 TB, sub-split hot months with a second
-        // repartition key — pmod(hash(order_key), k) — to keep file
-        // sizes bounded while staying one-writer-per-file.)
-        () => write(warehouse.Star.factOrderLines(spark, sfDir)
-          .withColumn("month_key",
-            col("date_key").cast("int").divide(100).cast("int"))
-          .repartition(col("month_key")),
-          s"$outDir/warehouse/fact_order_lines", Seq("month_key")))
+        () => {
+          val factDir = s"$outDir/warehouse/fact_order_lines"
+          val fact = warehouse.Star.factOrderLines(spark, sfDir)
+            .withColumn("month_key",
+              col("date_key").cast("int").divide(100).cast("int"))
+            .repartitionByRange(FactRangeFiles,
+              col("month_key"), col("l_orderkey"))
+            .sortWithinPartitions("month_key", "l_orderkey")
+          observed(fact, "fact_order_lines")(df =>
+            sources.Snapshots.commitWithStats(
+              df, factDir, Seq("month_key", "l_orderkey")))
+          // recent slice: newest months resolved from the manifest
+          val v = sources.Snapshots.versions(factDir).last
+          val maxMonth = sources.Snapshots
+            .statsManifest(spark, factDir, v)
+            .agg(max(col("max_month_key"))).head().getLong(0)
+          val loMonth = maxMonth - (RecentMonths - 1)
+          val range = Seq(("month_key", loMonth, maxMonth))
+          val (kept, total) = sources.Snapshots.pruneFiles(
+            spark, factDir, v, range)
+          lastRunMetrics.put("fact_files_scanned", kept.size.toLong)
+          lastRunMetrics.put("fact_files_total", total.toLong)
+          write(sources.Snapshots.readPruned(spark, factDir, v, range)
+            .filter(col("month_key").between(loMonth, maxMonth))
+            .groupBy(col("month_key"))
+            .agg(util.Cols.dsum(col("net_amount"), 4).as("net_revenue"),
+              count(lit(1)).as("n_lines"))
+            .orderBy(col("month_key")),
+            s"$outDir/warehouse/mv_recent_revenue")
+        })
     }
   }
 

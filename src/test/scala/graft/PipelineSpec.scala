@@ -14,9 +14,10 @@ class PipelineSpec extends SparkSuite {
     val tables = Seq(
       "bronze/events", "silver/events_state",
       "warehouse/dim_customer", "warehouse/dim_order_status",
-      "warehouse/dim_time", "warehouse/fact_order_lines",
+      "warehouse/dim_time",
       "warehouse/mv_daily_revenue", "warehouse/mv_monthly_revenue",
-      "warehouse/mv_nation_revenue", "warehouse/mv_hourly_pattern")
+      "warehouse/mv_nation_revenue", "warehouse/mv_hourly_pattern",
+      "warehouse/mv_recent_revenue")
     tables.foreach { t =>
       assert(spark.read.parquet(s"$out/$t").count() > 0, s"$t is empty")
     }
@@ -31,9 +32,46 @@ class PipelineSpec extends SparkSuite {
     // layout contracts
     assert(new java.io.File(s"$out/bronze/events/_source_table=events")
       .isDirectory, "bronze not partitioned by source table")
-    val monthDirs = new java.io.File(s"$out/warehouse/fact_order_lines")
-      .listFiles().filter(_.getName.startsWith("month_key="))
-    assert(monthDirs.length > 1, "fact not partitioned monthly")
+    // the fact is a stats-committed snapshot clustered on
+    // (month_key, l_orderkey): per-file month spans must be narrow
+    // (the range layout), and the in-DAG recent-revenue branch must
+    // have scanned a strict subset of its files through the manifest
+    val factDir = s"$out/warehouse/fact_order_lines"
+    val factV = sources.Snapshots.versions(factDir).last
+    val manifest = sources.Snapshots.statsManifest(spark, factDir, factV)
+    assert(manifest.count() > 1, "fact should land as multiple files")
+    // span comparisons stay in yyyymm KEY units (a year boundary is a
+    // jump of ~89, not 1) — per-file spans vs the global key span
+    val spans = manifest.agg(
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("max_month_key") -
+          org.apache.spark.sql.functions.col("min_month_key")),
+      org.apache.spark.sql.functions.max("max_month_key"),
+      org.apache.spark.sql.functions.min("min_month_key")).head()
+    val (fileSpan, globalSpan) =
+      (spans.getLong(0), spans.getLong(1) - spans.getLong(2))
+    assert(fileSpan < globalSpan / 4,
+      s"a fact file spans $fileSpan of $globalSpan key units — not clustered")
+    val metrics0 = Pipeline.lastRunMetrics
+    assert(metrics0("fact_files_scanned") < metrics0("fact_files_total"),
+      s"recent branch scanned ${metrics0("fact_files_scanned")}/" +
+        s"${metrics0("fact_files_total")} files — pruning did nothing")
+    // the pruned rollup equals the same rollup over the FULL fact
+    val fullFact = sources.Snapshots.read(spark, factDir)
+    val maxMonth = fullFact
+      .agg(org.apache.spark.sql.functions.max("month_key")).head().getInt(0)
+    val recompute = fullFact
+      .filter(org.apache.spark.sql.functions.col("month_key")
+        .between(maxMonth - (Pipeline.RecentMonths - 1), maxMonth))
+      .groupBy("month_key")
+      .agg(util.Cols.dsum(org.apache.spark.sql.functions.col("net_amount"), 4)
+        .as("net_revenue"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_lines"))
+    val recent = spark.read.parquet(s"$out/warehouse/mv_recent_revenue")
+    assert(recent.exceptAll(recompute).isEmpty &&
+      recompute.exceptAll(recent).isEmpty,
+      "pruned recent-revenue branch diverges from the full-fact rollup")
 
     // lineage: the bronze-sourced silver state must equal compacting
     // the raw log directly (stream→bronze→silver ≡ batch path)
@@ -44,7 +82,7 @@ class PipelineSpec extends SparkSuite {
       "bronze-sourced silver diverges from direct compaction")
 
     // referential sanity: every fact row's order exists in gold
-    val fact = spark.read.parquet(s"$out/warehouse/fact_order_lines")
+    val fact = sources.Snapshots.read(spark, factDir)
     val gold = sources.Snapshots.read(spark, s"$out/gold/orders_enriched")
     assert(fact.join(gold, fact("l_orderkey") === gold("o_orderkey"),
       "left_anti").count() == 0, "fact rows reference missing orders")

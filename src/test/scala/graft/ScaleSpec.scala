@@ -234,6 +234,30 @@ class ScaleSpec extends SparkSuite {
       s"each single dim must prune: cust ${cOnly.size}, day ${dOnly.size}")
   }
 
+  test("q104's snapshot builder is session-cached and mtime-evicted") {
+    // the compaction write is paid once per session (the q111→q112
+    // discipline): a second call returns the SAME committed snapshot,
+    // and rewriting the source table evicts it (old temp dir deleted)
+    val src = java.nio.file.Files.createTempDirectory("zcache").toString
+    Tables.load(spark, sfDir, "orders").write
+      .parquet(s"$src/orders.parquet")
+    val a = Scale.zorderStatsSnapshot(spark, src)
+    val b = Scale.zorderStatsSnapshot(spark, src)
+    assert(a == b, "second call must reuse the cached snapshot")
+    assert(new java.io.File(a._1).isDirectory)
+    // q104's measured body reproduces the full filter from the cache
+    val q = Scale.zorderPrunedScan(spark, src)
+    assert(q.count() > 0)
+    // a table rewrite (mtime bump) must evict: new snapshot dir, old
+    // one reclaimed — the round-5 sketch-cache eviction contract
+    val tdir = new java.io.File(s"$src/orders.parquet")
+    assert(tdir.setLastModified(tdir.lastModified + 10000))
+    val c = Scale.zorderStatsSnapshot(spark, src)
+    assert(c._1 != a._1, "superseded snapshot must not be served")
+    assert(!new java.io.File(a._1).exists,
+      "evicted snapshot's temp dir must be reclaimed")
+  }
+
   test("null stats never prune (superset contract) and empty boxes read empty") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
