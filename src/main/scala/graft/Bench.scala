@@ -73,7 +73,8 @@ object Bench {
     // min-of-2 reports the warm pruned-read — the operator's payoff
     "q106_change_data_feed", // two fresh snapshot commits per call
     "q110_bucketed_rollup",  // fresh bucketed table writes per call
-    "q111_pq_codes")         // cold builder of the cached PQ code table (q112 reads warm)
+    "q111_pq_codes",         // cold builder of the cached PQ code table (q112 reads warm)
+    "q123_streaming_mv")     // fresh staging + checkpoint per call — the q101 case
 
   /** Contended-window rescue (round-6 policy): a non-[[NoRemeasure]]
     * query whose EVERY run carried a calibration probe above

@@ -129,9 +129,14 @@ object Pipeline {
             .repartitionByRange(FactRangeFiles,
               col("month_key"), col("l_orderkey"))
             .sortWithinPartitions("month_key", "l_orderkey")
+          // min/max stats serve the month-range branch below; the
+          // l_orderkey BLOOM serves point lookups ("all lines of
+          // order X") that the month-major sort leaves unprunable —
+          // per-file orderkey spans are wide inside each month block
           observed(fact, "fact_order_lines")(df =>
             sources.Snapshots.commitWithStats(
-              df, factDir, Seq("month_key", "l_orderkey")))
+              df, factDir, Seq("month_key", "l_orderkey"),
+              Seq("l_orderkey")))
           // recent slice: newest months resolved from the manifest
           val v = sources.Snapshots.versions(factDir).last
           val maxMonth = sources.Snapshots

@@ -247,7 +247,11 @@ object SparkEntry {
     "q121_dormant_customers" -> (ops.Olap.dormantCustomers _),
     // TPC-H Q13: filtered left-outer join feeding stacked aggregates
     // (count-of-counts over the null-producing side)
-    "q122_order_distribution" -> (ops.Olap.orderCountDistribution _)
+    "q122_order_distribution" -> (ops.Olap.orderCountDistribution _),
+    // q71's incremental MV maintained by a REAL update-mode streaming
+    // aggregation (state store + micro-batches); oracle = the full
+    // recompute, so the gate proves stream-maintained ≡ recomputed
+    "q123_streaming_mv"      -> (streaming.StatefulStreams.streamingMvMonthly _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -380,6 +384,7 @@ object SparkEntry {
     "q119_late_exists"       -> ops.Olap.lateExistsSql,
     "q120_waiting_supplier"  -> ops.Olap.waitingSupplierSql,
     "q121_dormant_customers" -> ops.Olap.dormantCustomersSql,
-    "q122_order_distribution" -> ops.Olap.orderCountDistributionSql
+    "q122_order_distribution" -> ops.Olap.orderCountDistributionSql,
+    "q123_streaming_mv"      -> warehouse.Views.incrementalMvMonthlySql
   )
 }

@@ -281,8 +281,10 @@ object Olap {
     * proves another supplier touched the order, the NOT EXISTS proves
     * no OTHER supplier's line was returned. Catalyst must plan ONE
     * left-semi and ONE left-anti join on l_orderkey (suppkey
-    * inequality in the condition) — never a per-row re-scan. */
-  val WaitingNation = "NATION_7"
+    * inequality in the condition) — never a per-row re-scan.
+    * (Two nations rather than Q21's one so the gate stays populated
+    * at sf0.001, where a single nation's suppliers can all miss.) */
+  val WaitingNations: Seq[String] = Seq("NATION_3", "NATION_18")
 
   val waitingSupplierSql: String =
     s"""SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
@@ -292,7 +294,7 @@ object Olap {
        |JOIN nation n ON s.s_nationkey = n.n_nationkey
        |WHERE o.o_orderstatus = 'F'
        |  AND l1.l_returnflag = 'R'
-       |  AND n.n_name = '$WaitingNation'
+       |  AND n.n_name IN (${WaitingNations.map(n => s"'$n'").mkString(", ")})
        |  AND EXISTS (
        |    SELECT 1 FROM lineitem l2
        |    WHERE l2.l_orderkey = l1.l_orderkey

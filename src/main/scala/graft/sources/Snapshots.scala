@@ -123,7 +123,32 @@ object Snapshots {
     * pays), aggregated per-file with no shuffle wider than the file
     * count. */
   def commitWithStats(df: DataFrame, tableDir: String,
-                      statsCols: Seq[String]): Int = {
+                      statsCols: Seq[String]): Int =
+    commitWithStats(df, tableDir, statsCols, Seq.empty)
+
+  /** [[commitWithStats]] plus per-file BLOOM FILTERS over `bloomCols`
+    * — the point-lookup half of data skipping (Delta's
+    * `delta.bloomFilter` column option, ClickHouse's `bloom_filter`
+    * skip index): min/max spans prune RANGE predicates but are
+    * useless for a selective key equality over a layout not sorted by
+    * that key; the bloom answers "could file F hold key k?" from
+    * [[BloomBits]] bits per file.
+    *
+    * Build: each row's key hashes to [[BloomHashes]] positions via
+    * `xxhash64(key, i)` (codegen'd, distributed, one explode +
+    * one (file, word) aggregation — no driver work); the filter is
+    * stored as (file, colname, word, bits) rows beside the stats
+    * manifest. Probe ([[readPrunedPoint]]): the driver recomputes the
+    * same positions with catalyst's own XXH64 and keeps files whose
+    * bits are all set — a superset by construction (false positives
+    * read harmlessly; false negatives are impossible, and a file
+    * absent from the bloom manifest is never pruned). Size
+    * [[BloomBits]] to expected rows/file: at ~128 MB parquet files
+    * raise it with the row count, exactly Delta's `numItems` knob —
+    * the manifest grows linearly in files either way, metadata not
+    * data. */
+  def commitWithStats(df: DataFrame, tableDir: String,
+                      statsCols: Seq[String], bloomCols: Seq[String]): Int = {
     require(statsCols.nonEmpty, "statsCols must name at least one column")
     new File(tableDir).mkdirs()
     var v = nextCandidate(tableDir)
@@ -149,9 +174,95 @@ object Snapshots {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$StatsDir")
+    if (bloomCols.nonEmpty) {
+      val reread = spark.read.parquet(dir)
+      bloomCols.map { c =>
+        val positions = (0 until BloomHashes).map(i =>
+          pmod(xxhash64(col(c).cast("long"), lit(i.toLong)),
+            lit(BloomBits.toLong)))
+        reread.filter(col(c).isNotNull)
+          .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"),
+            explode(array(positions: _*)).as("pos"))
+          .groupBy(col("file"),
+            (col("pos") / 64).cast("int").as("word"))
+          .agg(expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+            .as("bits"))
+          .withColumn("colname", lit(c))
+      }.reduce(_.unionByName(_))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$BloomDir")
+    }
     onStatsBeforePublish()
     new File(dir, "_SUCCESS").createNewFile()
     v
+  }
+
+  /** Bits per per-file bloom filter (2 KiB); [[BloomHashes]] probe
+    * positions per key. FPR ≈ (1−e^(−kn/m))^k: ~2% at 2k rows/file. */
+  val BloomBits = 16384
+  val BloomHashes = 3
+  val BloomDir = "_bloom"
+
+  /** The probe positions for `value` — REPLICATES Spark's
+    * `xxhash64(key_as_long, i_as_long)` bit-for-bit on the driver
+    * (seed 42, left-fold over children with seed chaining), so the
+    * reader agrees with the writer about every bit. BloomSpec holds
+    * this equality against the engine's own xxhash64 column. */
+  private[graft] def bloomPositions(value: Long): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until BloomHashes).map { i =>
+      val h = XXH64.hashLong(i.toLong, XXH64.hashLong(value, 42L))
+      (((h % BloomBits) + BloomBits) % BloomBits).toInt
+    }
+  }
+
+  /** Files of version `v` that might contain ANY of `values` in
+    * `keyCol` per the per-file blooms, plus the total file count. A
+    * file with no bloom rows (older commit, all-null column) is never
+    * pruned — the same superset contract as [[pruneFiles]]. */
+  private[graft] def pruneFilesPoint(spark: SparkSession, tableDir: String,
+      v: Int, keyCol: String, values: Seq[Long]): (Seq[String], Int) = {
+    val dir = versionDir(tableDir, v)
+    val allFiles = statsManifest(spark, tableDir, v)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val parts = Option(new File(dir, BloomDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    require(parts.nonEmpty, s"version $v has no bloom manifest")
+    import org.apache.spark.sql.functions.col
+    val words: Map[String, Map[Int, Long]] =
+      spark.read.parquet(parts.toIndexedSeq: _*)
+        .filter(col("colname") === keyCol)
+        .select("file", "word", "bits").collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rows) =>
+          f -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        }
+    val probes = values.map(bloomPositions)
+    val kept = allFiles.filter { f =>
+      words.get(f) match {
+        case None => true // no bloom for this file: cannot prune
+        case Some(bits) => probes.exists(_.forall { p =>
+          (bits.getOrElse(p / 64, 0L) & (1L << (p % 64))) != 0L
+        })
+      }
+    }.map(f => s"$dir/$f")
+    (kept, allFiles.size)
+  }
+
+  /** Point-lookup pruned scan: reads only the files whose bloom says
+    * `keyCol` might hold one of `values`. Superset contract — callers
+    * re-apply the exact predicate, false positives cost a file read,
+    * false negatives cannot happen (ScaleSpec proves result parity
+    * and measures the scanned fraction). */
+  def readPrunedPoint(spark: SparkSession, tableDir: String, v: Int,
+                      keyCol: String, values: Seq[Long]): DataFrame = {
+    val (files, _) = pruneFilesPoint(spark, tableDir, v, keyCol, values)
+    if (files.isEmpty) readVersion(spark, tableDir, v).limit(0)
+    else spark.read.parquet(files: _*)
   }
 
   /** Test seam: runs after data + stats are staged, before `_SUCCESS`

@@ -50,17 +50,33 @@ object DedupIngest {
     runIngest(spark, dir, identity)
 
   /** [[streamNearDupIngest]] with a per-micro-batch tap, so specs can
-    * inject a mid-stream failure and assert cleanup. Sink layout is
-    * exactly-once: each micro-batch overwrites its own
-    * `batch=<batchId>` subdir, so a retried batch replaces rather than
-    * duplicates its output, and a pre-seeded empty `batch=-1` keeps
-    * the sink readable even when the staged source matches nothing. */
+    * inject a mid-stream failure and assert cleanup. */
   private[graft] def runIngest(spark: SparkSession, dir: String,
                                tap: DataFrame => DataFrame): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_q101").toString
-    try {
-      val srcDir = s"$work/incoming"
-      val sinkDir = s"$work/matches"
+    try runIngestIn(spark, dir, work, tap, _ => ())
+    finally graft.util.Fs.deleteRecursively(new java.io.File(work))
+  }
+
+  /** The ingest stream over a CALLER-OWNED work dir, so a spec can
+    * kill it and RESTART over the same staging + checkpoint + sink —
+    * the replay path a temp-dir-per-call wrapper can't reach. Sink
+    * layout is exactly-once: each micro-batch overwrites its own
+    * `batch=<batchId>` subdir, so a batch re-delivered after a crash
+    * between sink write and checkpoint commit REPLACES its own output
+    * rather than appending a duplicate; a pre-seeded empty `batch=-1`
+    * keeps the sink readable even when the staged source matches
+    * nothing. `afterBatch` runs after the sink write and before
+    * Spark's checkpoint commit for the batch — throwing there is
+    * exactly the crash window the replay spec exercises. Staging and
+    * the sink seed are written only on first entry (a restart finds
+    * them and resumes from the checkpoint). */
+  private[graft] def runIngestIn(spark: SparkSession, dir: String,
+                                 work: String, tap: DataFrame => DataFrame,
+                                 afterBatch: Long => Unit): DataFrame = {
+    val srcDir = s"$work/incoming"
+    val sinkDir = s"$work/matches"
+    if (!new java.io.File(srcDir).exists) {
       val d = graft.Tables.load(spark, dir, "documents")
       d.filter(pmod(col("doc_id"), lit(Dedup.IngestModulus)) === 0)
         .select("doc_id", "text")
@@ -72,30 +88,31 @@ object DedupIngest {
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           matchSchema)
         .write.parquet(s"$sinkDir/batch=-1")
-      val index = Dedup.cappedCorpusIndex(spark, dir)
-        .localCheckpoint() // computed once; micro-batches only re-join
-      val q = spark.readStream.schema(incomingSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir)
-        .writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", s"$work/_checkpoint")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val b = tap(batch)
-          if (!b.isEmpty) {
-            val batchSh = Dedup.shingleTable(b)
-              .select(col("doc_id").as("new_id"), col("sh"))
-            Dedup.ingestMatches(index, batchSh)
-              .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
-          }
+    }
+    val index = Dedup.cappedCorpusIndex(spark, dir)
+      .localCheckpoint() // computed once; micro-batches only re-join
+    val q = spark.readStream.schema(incomingSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = tap(batch)
+        if (!b.isEmpty) {
+          val batchSh = Dedup.shingleTable(b)
+            .select(col("doc_id").as("new_id"), col("sh"))
+          Dedup.ingestMatches(index, batchSh)
+            .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
         }
-        .start()
-      q.awaitTermination()
-      spark.read.parquet(sinkDir)
-        .drop("batch") // partition-discovery column from the sink layout
-        .orderBy(col("new_id"), col("corpus_id"))
-        .localCheckpoint()
-    } finally graft.util.Fs.deleteRecursively(new java.io.File(work))
+        afterBatch(batchId)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+      .drop("batch") // partition-discovery column from the sink layout
+      .orderBy(col("new_id"), col("corpus_id"))
+      .localCheckpoint()
   }
 
 }

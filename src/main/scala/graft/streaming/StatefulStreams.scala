@@ -160,6 +160,85 @@ object StatefulStreams {
     q.awaitTermination()
   }
 
+  /** q123 — STREAMING incremental MV maintenance: the literal
+    * streaming spelling of q71's state⊕delta merge (SURVEY §2.4's
+    * SummingMergeTree semantics; reference
+    * clickhouse_init/04_materialized_views.sql keeps its MVs current
+    * on INSERT exactly this way). Orders arrive as a file stream
+    * (maxFilesPerTrigger=1 forces ≥2 real micro-batches); the
+    * monthly-revenue aggregate runs under `outputMode(Update)`, so
+    * each trigger emits ONLY the months that batch touched, carrying
+    * the RUNNING totals from the streaming state store — count and
+    * exact-decimal sum are the same commutative monoids q71's batch
+    * merge relies on. The sink keeps every emission under a
+    * `batch=<id>` subdir (overwrite — replay-idempotent like q101)
+    * and the MV read is latest-emission-per-month: the
+    * ReplacingMergeTree read over an update-mode log.
+    *
+    * The gate's oracle is q71's own SQL — the FULL recompute — so the
+    * gate proves stream-maintained ≡ recomputed, the same
+    * merge≡recompute contract, now through the state store and
+    * micro-batch boundaries. Scale: state is one row per open month
+    * (bounded; a production stream adds a watermark on the order
+    * timestamp to age out closed months), each emission is a few
+    * rows, and no trigger ever re-scans history.
+    *
+    * Always cold (fresh staging + checkpoint per call, the q84/q101
+    * class; Bench keeps its first measurement). */
+  def streamingMvMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_q123").toString
+    try streamingMvMonthlyIn(spark, dir, work)
+    finally graft.util.Fs.deleteRecursively(new java.io.File(work))
+  }
+
+  /** [[streamingMvMonthly]] over a CALLER-OWNED work dir, so the spec
+    * can inspect the per-batch emission log (which months each
+    * trigger re-emitted, with which running totals) after the run. */
+  private[graft] def streamingMvMonthlyIn(spark: SparkSession, dir: String,
+                                          work: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    {
+      val srcDir = s"$work/orders_in"
+      val sinkDir = s"$work/mv"
+      graft.Tables.load(spark, dir, "orders")
+        .select(col("o_orderdate"), col("o_totalprice"))
+        .repartition(2)
+        .write.parquet(srcDir)
+      def monthlyAgg(df: DataFrame): DataFrame =
+        df.withColumn("order_month",
+            date_format(col("o_orderdate"), "yyyy-MM"))
+          .groupBy(col("order_month"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+      // seed with the emission schema so an all-empty source still
+      // reads back as an empty MV, not a missing-path error
+      monthlyAgg(spark.read.parquet(srcDir)).limit(0)
+        .write.parquet(s"$sinkDir/batch=-1")
+      val q = monthlyAgg(
+          spark.readStream.schema(spark.read.parquet(srcDir).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$work/_checkpoint")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        }
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy(col("order_month"))
+        .orderBy(col("batch").desc)
+      spark.read.parquet(sinkDir)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("order_month"), col("n_orders"),
+          col("rev_dec").cast("double").as("revenue"))
+        .orderBy(col("order_month"))
+        .localCheckpoint() // pin before the temp sink is deleted
+    }
+  }
+
   /** Stream-stream interval self-join: the q67 click→purchase
     * attribution join under two WATERMARKED streams over the same
     * staged source. Emits raw (user, click_us, buy_us) match rows in

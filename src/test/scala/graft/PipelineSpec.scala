@@ -81,6 +81,22 @@ class PipelineSpec extends SparkSuite {
       direct.exceptAll(viaBronze).isEmpty,
       "bronze-sourced silver diverges from direct compaction")
 
+    // the fact's l_orderkey bloom serves point lookups the month-major
+    // layout cannot: a single order's lines read from a strict subset
+    // of files, with exact parity against the full-table filter
+    val someOrder = sources.Snapshots.read(spark, factDir)
+      .select("l_orderkey").head().getLong(0)
+    val (bloomKept, bloomTotal) = sources.Snapshots.pruneFilesPoint(
+      spark, factDir, factV, "l_orderkey", Seq(someOrder))
+    assert(bloomKept.size < bloomTotal,
+      s"order-key bloom pruned nothing: ${bloomKept.size}/$bloomTotal")
+    val viaBloom = sources.Snapshots.readPrunedPoint(
+        spark, factDir, factV, "l_orderkey", Seq(someOrder))
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") === someOrder)
+    val viaFull = sources.Snapshots.read(spark, factDir)
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") === someOrder)
+    assert(viaBloom.count() == viaFull.count() && viaFull.count() > 0)
+
     // referential sanity: every fact row's order exists in gold
     val fact = sources.Snapshots.read(spark, factDir)
     val gold = sources.Snapshots.read(spark, s"$out/gold/orders_enriched")

@@ -234,6 +234,79 @@ class ScaleSpec extends SparkSuite {
       s"each single dim must prune: cust ${cOnly.size}, day ${dOnly.size}")
   }
 
+  test("per-file blooms prune point lookups the min/max manifest cannot") {
+    // a high-cardinality key over a layout NOT sorted by it: every
+    // file's (min,max) span covers nearly the whole key domain, so
+    // range stats keep everything — the bloom is what prunes. 16
+    // hash-scattered files of o_orderkey, then point probes.
+    val base = java.nio.file.Files.createTempDirectory("bloomprune").toString
+    val table = s"$base/orders_b"
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .repartition(16, col("o_custkey")) // scatters orderkeys everywhere
+    val v = graft.sources.Snapshots.commitWithStats(
+      o, table, Seq("o_orderkey"), Seq("o_orderkey"))
+
+    // writer/reader hash agreement: the driver-side probe positions
+    // must replicate the engine's xxhash64 fold bit-for-bit
+    import spark.implicits._
+    val keys = Seq(1L, 77L, 424242L, Long.MaxValue, -5L)
+    val engine = keys.toDF("k").select(
+      (0 until graft.sources.Snapshots.BloomHashes).map(i =>
+        pmod(xxhash64(col("k"), lit(i.toLong)),
+          lit(graft.sources.Snapshots.BloomBits.toLong)).as(s"p$i")): _*)
+      .collect().map(r => (0 until graft.sources.Snapshots.BloomHashes)
+        .map(r.getLong(_).toInt))
+    keys.zip(engine).foreach { case (k, want) =>
+      assert(graft.sources.Snapshots.bloomPositions(k) == want,
+        s"driver bloom positions diverge from xxhash64 for key $k")
+    }
+
+    // present keys CHOSEN FAR APART (first/middle/last of the domain):
+    // their min..max range spans ~everything, so the min/max manifest
+    // keeps ~all files while the bloom still skips most
+    val allKeys = o.select("o_orderkey").distinct()
+      .orderBy("o_orderkey").collect().map(_.getLong(0))
+    val probe = Seq(allKeys.head, allKeys(allKeys.length / 2), allKeys.last)
+    val (kept, total) = graft.sources.Snapshots.pruneFilesPoint(
+      spark, table, v, "o_orderkey", probe)
+    info(s"bloom point probe kept ${kept.size} of $total files")
+    assert(total == 16)
+    assert(kept.size < total / 2,
+      s"bloom should skip most hash-scattered files: ${kept.size}/$total")
+    val lo = probe.min; val hi = probe.max
+    val (rangeKept, _) = graft.sources.Snapshots.pruneFiles(
+      spark, table, v, Seq(("o_orderkey", lo, hi)))
+    assert(rangeKept.size > kept.size,
+      s"min/max (${rangeKept.size}) should be useless next to the " +
+        s"bloom (${kept.size}) on this layout")
+    val pruned = graft.sources.Snapshots.readPrunedPoint(
+        spark, table, v, "o_orderkey", probe)
+      .filter(col("o_orderkey").isin(probe: _*))
+    val full = graft.sources.Snapshots.read(spark, table)
+      .filter(col("o_orderkey").isin(probe: _*))
+    assert(pruned.count() == full.count() && full.count() > 0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+
+    // absent key: nothing (or almost nothing — FPR) survives, and the
+    // read returns empty rows, not an error
+    val (ghost, _) = graft.sources.Snapshots.pruneFilesPoint(
+      spark, table, v, "o_orderkey", Seq(-987654321L))
+    assert(ghost.size <= 1, s"ghost key kept ${ghost.size} files")
+    assert(graft.sources.Snapshots.readPrunedPoint(
+        spark, table, v, "o_orderkey", Seq(-987654321L))
+      .filter(col("o_orderkey") === -987654321L).count() == 0)
+
+    // a version committed WITHOUT blooms refuses point pruning loudly
+    val v2 = graft.sources.Snapshots.commitWithStats(
+      o, table, Seq("o_orderkey"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Snapshots.pruneFilesPoint(
+        spark, table, v2, "o_orderkey", probe)
+    }
+    assert(e.getMessage.contains("bloom"))
+  }
+
   test("q104's snapshot builder is session-cached and mtime-evicted") {
     // the compaction write is paid once per session (the q111→q112
     // discipline): a second call returns the SAME committed snapshot,

@@ -84,6 +84,42 @@ class StatefulStreamsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("update-mode streaming MV equals the batch recompute (q123)") {
+    // the q71 merge≡recompute contract through the REAL state store:
+    // the stream must re-emit running totals per touched month, and
+    // the latest-per-month collapse must equal both the batch
+    // incremental merge and the plain full recompute
+    val work = Files.createTempDirectory("q123spec").toString
+    try {
+      val viaStream = StatefulStreams.streamingMvMonthlyIn(spark, sfDir, work)
+      val viaMerge = warehouse.Views.incrementalMvMonthly(spark, sfDir)
+      assert(viaStream.count() > 0)
+      assert(viaStream.exceptAll(viaMerge).isEmpty &&
+        viaMerge.exceptAll(viaStream).isEmpty,
+        "stream-maintained MV diverges from the batch merge/recompute")
+      // the run was genuinely incremental: >1 micro-batches fired...
+      val batches = new java.io.File(s"$work/mv").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toInt).filter(_ >= 0).sorted
+      assert(batches.length > 1,
+        s"expected ≥2 micro-batches, saw ${batches.toSeq}")
+      // ...and update-mode emissions carried RUNNING totals: any month
+      // re-emitted in a later batch must grow (never shrink) its count
+      val log = spark.read.parquet(s"$work/mv")
+        .filter(col("batch") >= 0)
+        .select("order_month", "batch", "n_orders").collect()
+        .groupBy(_.getString(0))
+      val reEmitted = log.filter(_._2.length > 1)
+      assert(reEmitted.nonEmpty,
+        "no month crossed micro-batches — the staging split is broken")
+      reEmitted.foreach { case (m, rows) =>
+        val byBatch = rows.sortBy(_.getInt(1)).map(_.getLong(2))
+        assert(byBatch.zip(byBatch.tail).forall { case (a, b) => a < b },
+          s"month $m re-emitted non-growing totals: ${byBatch.toSeq}")
+      }
+    } finally graft.util.Fs.deleteRecursively(new java.io.File(work))
+  }
+
   test("snapshot-log bronze sink is exactly-once across checkpoint loss") {
     val base = Files.createTempDirectory("snapbronze").toString
     val raw = rawLongEvents().limit(600)

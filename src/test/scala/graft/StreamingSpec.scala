@@ -73,6 +73,37 @@ class StreamingSpec extends SparkSuite {
       s"failed stream left staging/checkpoint dirs behind: $leaked")
   }
 
+  test("q101 replays a batch killed between sink write and checkpoint commit " +
+      "without duplicating it") {
+    // the exactly-once claim, exercised through THE REAL SINK: crash
+    // after batch 1's output landed but before Spark recorded the
+    // commit, restart over the same checkpoint — Spark re-delivers
+    // batch 1, the batchId-keyed overwrite replaces its own output,
+    // and the final result equals an uninterrupted run's
+    val work = java.nio.file.Files.createTempDirectory("q101replay").toString
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        streaming.DedupIngest.runIngestIn(spark, sfDir, work, identity,
+          afterBatch = id => if (id == 1)
+            throw new RuntimeException("planted crash before commit"))
+      }
+      assert(e.getMessage.contains("planted crash") ||
+        e.getCause.getMessage.contains("planted crash"))
+      // batch 1's sink output exists even though its commit never landed
+      assert(new java.io.File(s"$work/matches/batch=1").isDirectory,
+        "crash was supposed to land AFTER the sink write")
+      // restart: re-delivered batch replaces, then the stream finishes
+      val replayed = streaming.DedupIngest.runIngestIn(
+        spark, sfDir, work, identity, _ => ())
+      val clean = streaming.DedupIngest.streamNearDupIngest(spark, sfDir)
+      assert(replayed.count() == replayed.dropDuplicates().count(),
+        "replay duplicated rows")
+      assert(replayed.exceptAll(clean).isEmpty &&
+        clean.exceptAll(replayed).isEmpty,
+        "replayed result diverges from an uninterrupted run")
+    } finally graft.util.Fs.deleteRecursively(new java.io.File(work))
+  }
+
   test("q101 with an all-empty stream still reads back as zero matches") {
     // every micro-batch emptied by the tap → foreachBatch writes
     // nothing → only the seeded batch=-1 sink exists; the read must
