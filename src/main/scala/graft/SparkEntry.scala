@@ -251,7 +251,17 @@ object SparkEntry {
     // q71's incremental MV maintained by a REAL update-mode streaming
     // aggregation (state store + micro-batches); oracle = the full
     // recompute, so the gate proves stream-maintained ≡ recomputed
-    "q123_streaming_mv"      -> (streaming.StatefulStreams.streamingMvMonthly _)
+    "q123_streaming_mv"      -> (streaming.StatefulStreams.streamingMvMonthly _),
+    // bloom point lookup over the q104 snapshot: per-file blooms rule
+    // out files for keys the z-layout does NOT cluster on (min/max
+    // spans are useless by design); gate = plain IN-filter
+    "q124_point_lookup"      -> (ops.Scale.pointLookup _),
+    // TPC-H Q17 shape: correlated aggregate scalar subquery over the
+    // same table, decorrelated into one per-part aggregate + join
+    "q125_small_qty_revenue" -> (ops.Olap.smallQtyRevenue _),
+    // TPC-H Q19 shape: disjunction of conjunctive range predicates
+    // over both join sides, equi-join preserved
+    "q126_brand_ranges"      -> (ops.Olap.brandRangeRevenue _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -385,6 +395,9 @@ object SparkEntry {
     "q120_waiting_supplier"  -> ops.Olap.waitingSupplierSql,
     "q121_dormant_customers" -> ops.Olap.dormantCustomersSql,
     "q122_order_distribution" -> ops.Olap.orderCountDistributionSql,
-    "q123_streaming_mv"      -> warehouse.Views.incrementalMvMonthlySql
+    "q123_streaming_mv"      -> warehouse.Views.incrementalMvMonthlySql,
+    "q124_point_lookup"      -> ops.Scale.pointLookupSql,
+    "q125_small_qty_revenue" -> ops.Olap.smallQtyRevenueSql,
+    "q126_brand_ranges"      -> ops.Olap.brandRangeRevenueSql
   )
 }

@@ -382,4 +382,57 @@ object Olap {
       |FROM c_orders
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q125 — TPC-H Q17 shape: a correlated AGGREGATE scalar subquery
+    * over the SAME table the outer row comes from (revenue lost to
+    * small-quantity lines: quantity below 20% of the part's own
+    * average). Catalyst must rewrite the per-part average into one
+    * aggregate of lineitem grouped by partkey joined back — a per-row
+    * re-aggregation would scan lineitem once per line. The average is
+    * an exact-decimal sum divided by a count (bit-stable on both
+    * engines) and the 0.2× threshold compare is the same IEEE op, so
+    * the boundary rows agree exactly. */
+  val SmallQtyBrand = "Brand#23"
+
+  val smallQtyRevenueSql: String =
+    s"""SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    / 7.0e0 AS avg_yearly
+       |FROM lineitem l
+       |JOIN part p ON p.p_partkey = l.l_partkey
+       |WHERE p.p_brand = '$SmallQtyBrand'
+       |  AND l.l_quantity < (
+       |    SELECT 2e-1 *
+       |      (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       |        / count(*))
+       |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(smallQtyRevenueSql)
+  }
+
+  /** q126 — TPC-H Q19 shape: a DISJUNCTION of conjunctive range
+    * predicates mixing both join sides (brand × size band × quantity
+    * band), the classic filter-complexity benchmark. The join itself
+    * stays a plain equi-join on p_partkey (the OR lives in the filter,
+    * never in the join condition — PlansSpec pins that no nested-loop
+    * or cartesian fallback appears), part broadcasts, and the revenue
+    * sum is exact-decimal. */
+  val brandRangeRevenueSql: String =
+    """SELECT CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+      |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  def brandRangeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(brandRangeRevenueSql)
+  }
 }

@@ -176,8 +176,12 @@ object Scale {
       val work = java.nio.file.Files.createTempDirectory("graft_q104")
         .toString
       val table = s"$work/orders_z"
+      // min/max stats feed q104's 2-D range box; the o_orderkey BLOOM
+      // feeds q124's point lookups — the key the z-layout does NOT
+      // cluster on, so min/max spans are useless for it by design
       val v = graft.sources.Snapshots.commitWithStats(
-        zOrderedOrders(spark, dir), table, Seq("o_custkey", "day_no"))
+        zOrderedOrders(spark, dir), table,
+        Seq("o_custkey", "day_no"), Seq("o_orderkey"))
       (table, v)
     })
   }
@@ -307,5 +311,40 @@ object Scale {
        |SELECT o_orderkey, o_custkey, day_no, z_value FROM z
        |WHERE o_custkey BETWEEN $PruneCustLo AND $PruneCustHi
        |  AND day_no BETWEEN $PruneDayLo AND $PruneDayHi
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** q124's probe keys — present at every SF (orderkeys are dense
+    * from 0), chosen far apart so their min..max range would keep
+    * every z-ordered file if only min/max stats existed. */
+  val PointKeys: Seq[Long] = Seq(42L, 777L, 1401L)
+
+  /** q124 — BLOOM POINT LOOKUP over the q104 snapshot: fetch three
+    * orders BY KEY from the Z-ordered layout. The layout clusters on
+    * (customer, day), so every file's o_orderkey min/max span covers
+    * ~the whole domain and range stats prune NOTHING — the per-file
+    * bloom is what rules files out ("could file F hold key k?"), the
+    * Delta bloom-filter / ClickHouse bloom skip-index shape. The gate
+    * is the plain IN-filter over the full derivation, so a bloom that
+    * ever produced a false negative (the one failure mode a bloom
+    * must never have) hash-mismatches.
+    *
+    * Scale: the pruning decision reads bloom manifest rows (metadata,
+    * a few KB per 1000 files); the scan touches only surviving files
+    * with the key predicate pushed to parquet. Shares q104's
+    * session-cached builder — warm after the first q104/q124 call. */
+  def pointLookup(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    val (table, v) = zorderStatsSnapshot(spark, dir)
+    graft.sources.Snapshots.readPrunedPoint(
+        spark, table, v, "o_orderkey", PointKeys)
+      .filter(col("o_orderkey").isin(PointKeys: _*))
+      .select("o_orderkey", "o_custkey", "day_no", "z_value")
+      .orderBy("o_orderkey")
+  }
+
+  val pointLookupSql: String =
+    s"""WITH z AS ($zOrderedOrdersSql)
+       |SELECT o_orderkey, o_custkey, day_no, z_value FROM z
+       |WHERE o_orderkey IN (${PointKeys.mkString(", ")})
        |ORDER BY o_orderkey""".stripMargin
 }

@@ -312,6 +312,25 @@ class PlansSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q125/q126 Q17-correlated-aggregate and Q19-disjunction shapes") {
+    // Q17: the per-part average must decorrelate into ONE aggregate of
+    // lineitem joined back — no scalar-subquery node, no re-scan per row
+    val p25 = plan("q125_small_qty_revenue")
+    assert(!p25.toLowerCase.contains("scalarsubquery"),
+      s"Q17 correlated aggregate not decorrelated:\n$p25")
+    assert(p25.contains("partial_"), s"Q17 must map-side combine:\n$p25")
+    assert(!p25.contains("CartesianProduct") &&
+      !p25.contains("BroadcastNestedLoopJoin"), p25)
+    // Q19: the OR-of-conjunctions stays a FILTER over one equi-join —
+    // the classic failure is planning it as a nested-loop join
+    val p26 = plan("q126_brand_ranges")
+    assert(p26.contains("BroadcastHashJoin") ||
+      p26.contains("SortMergeJoin") || p26.contains("ShuffledHashJoin"),
+      s"Q19 lost the equi-join:\n$p26")
+    assert(!p26.contains("CartesianProduct") &&
+      !p26.contains("BroadcastNestedLoopJoin"), p26)
+  }
+
   test("q105 retention shuffles the event stream exactly once") {
     // the per-user aggregation is the only exchange keyed on user_id;
     // everything downstream works on user- or day-sized tables
