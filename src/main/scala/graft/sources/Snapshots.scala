@@ -207,7 +207,7 @@ object Snapshots {
   /** The probe positions for `value` — REPLICATES Spark's
     * `xxhash64(key_as_long, i_as_long)` bit-for-bit on the driver
     * (seed 42, left-fold over children with seed chaining), so the
-    * reader agrees with the writer about every bit. BloomSpec holds
+    * reader agrees with the writer about every bit. ScaleSpec holds
     * this equality against the engine's own xxhash64 column. */
   private[graft] def bloomPositions(value: Long): Seq[Int] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
