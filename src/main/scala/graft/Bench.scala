@@ -289,7 +289,7 @@ object Bench {
          |  "cal_min_sec":${r3(calMin)},"cal_med_sec":${r3(calMed)},"cal_max_sec":${r3(calMax)},
          |  "parallelism":"single-thread spin ${r3(preSingle)}/${r3(postSingle)} s vs $cpus-thread spin ${r3(prePar)}/${r3(postPar)} s (pre/post) -> effective_cores = cpus x min(pre_single/pre_par, post_single/post_par): per-window ratios, so the estimate never pairs probes from different windows; min over consistent pairs is the conservative reading. A boot whose vCPUs are time-sliced onto fewer physical cores shows here, not in the single-thread cal",
          |  "effective_cores":${r3(effCores)},
-         |  "io_probe":"seconds to write 32 MiB + fsync + read back, pre/post suite — the write-bound always-cold queries (q84/q101/q104/q106/q110/q117) track THIS, not the CPU cal",
+         |  "io_probe":"seconds to write 32 MiB + fsync + read back, pre/post suite — the write-bound always-cold queries (q84/q101/q106/q110/q117/q123) track THIS, not the CPU cal; q104's builder is session-cached since round 7, so only its FIRST run is io-bound",
          |  "io_probe_sec":[${r3(preIo)},${r3(postIo)}],
          |  "total_best_sec":${r3(total)},
          |  "total_is_complete":${nFailed == 0},

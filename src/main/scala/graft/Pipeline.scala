@@ -95,6 +95,18 @@ object Pipeline {
   /** Months of fact history the recent-revenue branch reads. */
   val RecentMonths = 4
 
+  /** The yyyymm key `n` months before `yyyymm` — IN MONTHS, not key
+    * units: plain subtraction on yyyymm keys jumps ~89 at every year
+    * boundary (199902 − 3 = 199899, a key no month has), silently
+    * shrinking any "last N months" window that crosses a year.
+    * Round-trip through linear months instead; yyyymm ordering is
+    * monotonic with real months, so a BETWEEN over the converted
+    * bounds is exact. */
+  private[graft] def monthsBack(yyyymm: Long, n: Int): Long = {
+    val linear = (yyyymm / 100) * 12 + (yyyymm % 100 - 1) - n
+    (linear / 12) * 100 + (linear % 12 + 1)
+  }
+
   /** Warehouse: star schema; the fact publishes as a stats-committed
     * snapshot CLUSTERED on (month_key, l_orderkey) — the liquid-
     * clustering spelling of the reference's monthly partitioning
@@ -142,7 +154,7 @@ object Pipeline {
           val maxMonth = sources.Snapshots
             .statsManifest(spark, factDir, v)
             .agg(max(col("max_month_key"))).head().getLong(0)
-          val loMonth = maxMonth - (RecentMonths - 1)
+          val loMonth = monthsBack(maxMonth, RecentMonths - 1)
           val range = Seq(("month_key", loMonth, maxMonth))
           val (kept, total) = sources.Snapshots.pruneFiles(
             spark, factDir, v, range)

@@ -152,8 +152,15 @@ object Scale {
     * [[graft.ext.Dedup.cachedOn]]: identity session key, canonical
     * path, source-table mtime; superseded or dead-session entries
     * delete their temp dirs before a replacement builds. */
-  private val zSnapshotCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Long), (String, Int)]
+  private val zSnapshotCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Long), (String, Int)]()
+
+  // the cache intentionally outlives calls (materialize-once), so the
+  // JVM exit hook is what reclaims /tmp for every cached snapshot a
+  // session never evicted — bench/Verify JVMs would otherwise strand
+  // a full Z-ordered copy of orders per run
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    zSnapshotCache.values.forEach(dropZEntry(_))))
 
   private def dropZEntry(e: (String, Int)): Unit =
     graft.util.Fs.deleteRecursively(
@@ -161,18 +168,22 @@ object Scale {
 
   private[graft] def zorderStatsSnapshot(
       spark: org.apache.spark.sql.SparkSession, dir: String): (String, Int) = {
-    zSnapshotCache.keys.foreach { k =>
+    import scala.jdk.CollectionConverters._
+    zSnapshotCache.keySet.asScala.toSeq.foreach { k =>
       if (k._1.sparkContext.isStopped)
-        zSnapshotCache.remove(k).foreach(dropZEntry)
+        Option(zSnapshotCache.remove(k)).foreach(dropZEntry)
     }
     val canon = new java.io.File(dir).getCanonicalPath
     val mtime = new java.io.File(graft.Tables.path(canon, "orders"))
       .lastModified
-    zSnapshotCache.keys.foreach { k =>
+    zSnapshotCache.keySet.asScala.toSeq.foreach { k =>
       if ((k._1 eq spark) && k._2 == canon && k._3 != mtime)
-        zSnapshotCache.remove(k).foreach(dropZEntry)
+        Option(zSnapshotCache.remove(k)).foreach(dropZEntry)
     }
-    zSnapshotCache.getOrElseUpdate((spark, canon, mtime), {
+    // computeIfAbsent: ATOMIC single build (TrieMap.getOrElseUpdate
+    // could run the builder in two racing threads and leak the
+    // losing thread's committed snapshot dir)
+    zSnapshotCache.computeIfAbsent((spark, canon, mtime), _ => {
       val work = java.nio.file.Files.createTempDirectory("graft_q104")
         .toString
       val table = s"$work/orders_z"
@@ -207,7 +218,15 @@ object Scale {
     * (files, not data) to choose files, then scans the few survivors
     * with the predicate pushed to parquet. Bench run 1 carries the
     * builder, run 2 is the honest warm cost — min-of-2 reports the
-    * pruned read. */
+    * pruned read.
+    *
+    * READER-PINNING CONTRACT (the Delta/vacuum semantics
+    * [[graft.sources.Snapshots.vacuum]] documents): the returned
+    * frame reads the cached snapshot's files lazily, so it stays
+    * valid while the snapshot is cached; REWRITING the source orders
+    * table evicts and deletes that snapshot, and a frame pinned to it
+    * fails on its next re-execution — re-invoke the query to resolve
+    * the fresh snapshot. */
   def zorderPrunedScan(spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame = {
     val (table, v) = zorderStatsSnapshot(spark, dir)
@@ -331,7 +350,9 @@ object Scale {
     * Scale: the pruning decision reads bloom manifest rows (metadata,
     * a few KB per 1000 files); the scan touches only surviving files
     * with the key predicate pushed to parquet. Shares q104's
-    * session-cached builder — warm after the first q104/q124 call. */
+    * session-cached builder — warm after the first q104/q124 call —
+    * and its reader-pinning contract: a source-table rewrite evicts
+    * the snapshot and invalidates previously returned frames. */
   def pointLookup(spark: org.apache.spark.sql.SparkSession,
                   dir: String): DataFrame = {
     val (table, v) = zorderStatsSnapshot(spark, dir)

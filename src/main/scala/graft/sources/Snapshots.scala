@@ -131,8 +131,8 @@ object Snapshots {
     * `delta.bloomFilter` column option, ClickHouse's `bloom_filter`
     * skip index): min/max spans prune RANGE predicates but are
     * useless for a selective key equality over a layout not sorted by
-    * that key; the bloom answers "could file F hold key k?" from
-    * [[BloomBits]] bits per file.
+    * that key; the bloom answers "could file F hold key k?" from a
+    * per-file bit array sized to the data.
     *
     * Build: each row's key hashes to [[BloomHashes]] positions via
     * `xxhash64(key, i)` (codegen'd, distributed, one explode +
@@ -142,10 +142,11 @@ object Snapshots {
     * same positions with catalyst's own XXH64 and keeps files whose
     * bits are all set — a superset by construction (false positives
     * read harmlessly; false negatives are impossible, and a file
-    * absent from the bloom manifest is never pruned). Size
-    * [[BloomBits]] to expected rows/file: at ~128 MB parquet files
-    * raise it with the row count, exactly Delta's `numItems` knob —
-    * the manifest grows linearly in files either way, metadata not
+    * absent from the bloom manifest is never pruned). The filter is
+    * SIZED FROM THE DATA at ~8 bits per row of the largest file
+    * (Delta's `numItems` knob, [[bloomSizeFor]]), recorded in the
+    * manifest so readers probe with the writer's geometry — the
+    * manifest grows linearly in files either way, metadata not
     * data. */
   def commitWithStats(df: DataFrame, tableDir: String,
                       statsCols: Seq[String], bloomCols: Seq[String]): Int = {
@@ -168,18 +169,30 @@ object Snapshots {
     val spark = df.sparkSession
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"min_$c"),
-      max(col(c).cast("long")).as(s"max_$c")))
+      max(col(c).cast("long")).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
     spark.read.parquet(dir)
       .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$StatsDir")
     if (bloomCols.nonEmpty) {
+      // SIZE the filter from the data (Delta's numItems knob): a fixed
+      // m saturates on big files — at 47k rows/file a 16k-bit bloom is
+      // ~100% full and prunes nothing while looking committed. ~8 bits
+      // per row keeps FPR ≈ 2-3% at every file size; the row counts
+      // come from the stats manifest just written (driver-side, one
+      // row per file). m rides along in the manifest so readers probe
+      // with the writer's exact geometry.
+      val maxRowsRow = spark.read.parquet(s"$dir/$StatsDir")
+        .agg(max(col("n_rows"))).head()
+      val maxRows = if (maxRowsRow.isNullAt(0)) 0L else maxRowsRow.getLong(0)
+      val mBits = bloomSizeFor(maxRows)
       val reread = spark.read.parquet(dir)
       bloomCols.map { c =>
         val positions = (0 until BloomHashes).map(i =>
           pmod(xxhash64(col(c).cast("long"), lit(i.toLong)),
-            lit(BloomBits.toLong)))
+            lit(mBits.toLong)))
         reread.filter(col(c).isNotNull)
           .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"),
             explode(array(positions: _*)).as("pos"))
@@ -189,6 +202,7 @@ object Snapshots {
             "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
             .as("bits"))
           .withColumn("colname", lit(c))
+          .withColumn("m_bits", lit(mBits))
       }.reduce(_.unionByName(_))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/$BloomDir")
@@ -198,22 +212,34 @@ object Snapshots {
     v
   }
 
-  /** Bits per per-file bloom filter (2 KiB); [[BloomHashes]] probe
-    * positions per key. FPR ≈ (1−e^(−kn/m))^k: ~2% at 2k rows/file. */
-  val BloomBits = 16384
+  /** Bloom geometry: [[BloomHashes]] probe positions per key; filter
+    * size scales with the largest file's row count at ~8 bits/row
+    * (FPR ≈ (1−e^(−kn/m))^k ≈ 2-3% for any n), clamped to
+    * [[BloomMinBits]]..[[BloomMaxBits]] (2 KiB..2 MiB per file —
+    * manifest metadata, linear in file count). */
+  val BloomMinBits = 16384
+  val BloomMaxBits = 1 << 24
   val BloomHashes = 3
   val BloomDir = "_bloom"
 
-  /** The probe positions for `value` — REPLICATES Spark's
-    * `xxhash64(key_as_long, i_as_long)` bit-for-bit on the driver
-    * (seed 42, left-fold over children with seed chaining), so the
-    * reader agrees with the writer about every bit. ScaleSpec holds
-    * this equality against the engine's own xxhash64 column. */
-  private[graft] def bloomPositions(value: Long): Seq[Int] = {
+  private[graft] def bloomSizeFor(maxRowsPerFile: Long): Int = {
+    val target = math.max(BloomMinBits.toLong, 8L * maxRowsPerFile)
+    var m = BloomMinBits
+    while (m < target && m < BloomMaxBits) m <<= 1
+    m
+  }
+
+  /** The probe positions for `value` in an `mBits`-bit filter —
+    * REPLICATES Spark's `xxhash64(key_as_long, i_as_long)` bit-for-bit
+    * on the driver (seed 42, left-fold over children with seed
+    * chaining), so the reader agrees with the writer about every bit.
+    * ScaleSpec holds this equality against the engine's own xxhash64
+    * column. */
+  private[graft] def bloomPositions(value: Long, mBits: Int): Seq[Int] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     (0 until BloomHashes).map { i =>
       val h = XXH64.hashLong(i.toLong, XXH64.hashLong(value, 42L))
-      (((h % BloomBits) + BloomBits) % BloomBits).toInt
+      (((h % mBits) + mBits) % mBits).toInt
     }
   }
 
@@ -233,15 +259,19 @@ object Snapshots {
       .map(_.getPath).sorted
     require(parts.nonEmpty, s"version $v has no bloom manifest")
     import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(parts.toIndexedSeq: _*)
+      .filter(col("colname") === keyCol)
+      .select("file", "word", "bits", "m_bits").collect()
     val words: Map[String, Map[Int, Long]] =
-      spark.read.parquet(parts.toIndexedSeq: _*)
-        .filter(col("colname") === keyCol)
-        .select("file", "word", "bits").collect()
-        .groupBy(_.getString(0))
-        .map { case (f, rows) =>
-          f -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      rows.groupBy(_.getString(0))
+        .map { case (f, rs) =>
+          f -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
         }
-    val probes = values.map(bloomPositions)
+    // probe with the WRITER's filter geometry, recorded in the manifest
+    val probes = rows.headOption.map(_.getAs[Int]("m_bits")) match {
+      case None => Seq.empty // no bloom rows for this column at all
+      case Some(m) => values.map(bloomPositions(_, m))
+    }
     val kept = allFiles.filter { f =>
       words.get(f) match {
         case None => true // no bloom for this file: cannot prune

@@ -60,9 +60,14 @@ class PipelineSpec extends SparkSuite {
     val fullFact = sources.Snapshots.read(spark, factDir)
     val maxMonth = fullFact
       .agg(org.apache.spark.sql.functions.max("month_key")).head().getInt(0)
+    // the window lower bound re-derived INDEPENDENTLY (java.time), so
+    // a year-boundary arithmetic bug in the product code cannot hide
+    // behind an identical bug here
+    val loYm = java.time.YearMonth.of(maxMonth / 100, maxMonth % 100)
+      .minusMonths(Pipeline.RecentMonths - 1)
     val recompute = fullFact
       .filter(org.apache.spark.sql.functions.col("month_key")
-        .between(maxMonth - (Pipeline.RecentMonths - 1), maxMonth))
+        .between(loYm.getYear * 100 + loYm.getMonthValue, maxMonth))
       .groupBy("month_key")
       .agg(util.Cols.dsum(org.apache.spark.sql.functions.col("net_amount"), 4)
         .as("net_revenue"),
@@ -72,6 +77,11 @@ class PipelineSpec extends SparkSuite {
     assert(recent.exceptAll(recompute).isEmpty &&
       recompute.exceptAll(recent).isEmpty,
       "pruned recent-revenue branch diverges from the full-fact rollup")
+    // year-boundary month arithmetic: 4 months back from 1999-02 is
+    // 1998-11, never the nonexistent key 199899
+    assert(Pipeline.monthsBack(199902L, Pipeline.RecentMonths - 1) == 199811L)
+    assert(Pipeline.monthsBack(200101L, 1) == 200012L)
+    assert(Pipeline.monthsBack(200108L, 3) == 200105L)
 
     // lineage: the bronze-sourced silver state must equal compacting
     // the raw log directly (stream→bronze→silver ≡ batch path)

@@ -248,19 +248,30 @@ class ScaleSpec extends SparkSuite {
       o, table, Seq("o_orderkey"), Seq("o_orderkey"))
 
     // writer/reader hash agreement: the driver-side probe positions
-    // must replicate the engine's xxhash64 fold bit-for-bit
+    // must replicate the engine's xxhash64 fold bit-for-bit, at BOTH
+    // the floor geometry and a data-scaled one
     import spark.implicits._
     val keys = Seq(1L, 77L, 424242L, Long.MaxValue, -5L)
-    val engine = keys.toDF("k").select(
-      (0 until graft.sources.Snapshots.BloomHashes).map(i =>
-        pmod(xxhash64(col("k"), lit(i.toLong)),
-          lit(graft.sources.Snapshots.BloomBits.toLong)).as(s"p$i")): _*)
-      .collect().map(r => (0 until graft.sources.Snapshots.BloomHashes)
-        .map(r.getLong(_).toInt))
-    keys.zip(engine).foreach { case (k, want) =>
-      assert(graft.sources.Snapshots.bloomPositions(k) == want,
-        s"driver bloom positions diverge from xxhash64 for key $k")
+    for (m <- Seq(graft.sources.Snapshots.BloomMinBits, 1 << 19)) {
+      val engine = keys.toDF("k").select(
+        (0 until graft.sources.Snapshots.BloomHashes).map(i =>
+          pmod(xxhash64(col("k"), lit(i.toLong)),
+            lit(m.toLong)).as(s"p$i")): _*)
+        .collect().map(r => (0 until graft.sources.Snapshots.BloomHashes)
+          .map(r.getLong(_).toInt))
+      keys.zip(engine).foreach { case (k, want) =>
+        assert(graft.sources.Snapshots.bloomPositions(k, m) == want,
+          s"driver bloom positions diverge from xxhash64 for key $k, m=$m")
+      }
     }
+    // the size rule: floor for small files, ~8 bits/row beyond it,
+    // clamped at the 2 MiB ceiling — 47k-row files (the 10x bench
+    // shape that saturated a fixed 16k-bit filter) get 2^19 bits
+    assert(graft.sources.Snapshots.bloomSizeFor(100) ==
+      graft.sources.Snapshots.BloomMinBits)
+    assert(graft.sources.Snapshots.bloomSizeFor(47000) == (1 << 19))
+    assert(graft.sources.Snapshots.bloomSizeFor(Long.MaxValue / 16) ==
+      graft.sources.Snapshots.BloomMaxBits)
 
     // present keys CHOSEN FAR APART (first/middle/last of the domain):
     // their min..max range spans ~everything, so the min/max manifest

@@ -138,7 +138,10 @@ class SourcesSpec extends SparkSuite {
     val striped = spark.read
       .option("partitionColumn", "date_key")
       .option("lowerBound", b.getInt(0).toString)
-      .option("upperBound", b.getInt(1).toString)
+      // same lo < hi guard as the product code: a single-date summary
+      // must degrade the test's read, not crash it
+      .option("upperBound",
+        math.max(b.getInt(1).toLong, b.getInt(0).toLong + 1).toString)
       .option("numPartitions", sources.Jdbc.ScanPartitions.toString)
       .jdbc(sources.Jdbc.Url, "daily_sales", sources.Jdbc.props)
     val perStripe = striped.rdd
