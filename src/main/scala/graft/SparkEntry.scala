@@ -261,7 +261,10 @@ object SparkEntry {
     "q125_small_qty_revenue" -> (ops.Olap.smallQtyRevenue _),
     // TPC-H Q19 shape: disjunction of conjunctive range predicates
     // over both join sides, equi-join preserved
-    "q126_brand_ranges"      -> (ops.Olap.brandRangeRevenue _)
+    "q126_brand_ranges"      -> (ops.Olap.brandRangeRevenue _),
+    // TPC-H Q14: conditional-aggregate ratio (promo revenue share),
+    // exact-decimal sums surfaced once as doubles
+    "q127_promo_revenue"     -> (ops.Olap.promoRevenue _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -398,6 +401,7 @@ object SparkEntry {
     "q123_streaming_mv"      -> warehouse.Views.incrementalMvMonthlySql,
     "q124_point_lookup"      -> ops.Scale.pointLookupSql,
     "q125_small_qty_revenue" -> ops.Olap.smallQtyRevenueSql,
-    "q126_brand_ranges"      -> ops.Olap.brandRangeRevenueSql
+    "q126_brand_ranges"      -> ops.Olap.brandRangeRevenueSql,
+    "q127_promo_revenue"     -> ops.Olap.promoRevenueSql
   )
 }

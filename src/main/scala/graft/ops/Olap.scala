@@ -435,4 +435,29 @@ object Olap {
     Tables.registerViews(spark, dir)
     spark.sql(brandRangeRevenueSql)
   }
+
+  /** q127 — TPC-H Q14: promotion revenue share, the conditional-
+    * aggregate RATIO shape (two sums over one scan, one gated by a
+    * dim attribute, divided). Float discipline: both sums stay exact
+    * decimal (the CASE's else-branch is a decimal zero so the sum
+    * never mixes types), each surfaces as a double once, and the
+    * ×100/÷ run in the same parse-tree order on both engines — one
+    * SQL text, so association cannot drift. One month of lineitem,
+    * filter pushed to the scan, part broadcast. */
+  val promoRevenueSql: String =
+    """SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |    THEN CAST(l.l_extendedprice * (1.0 - l.l_discount)
+      |      AS DECIMAL(18,4))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0e0
+      |  / CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+      |      AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(promoRevenueSql)
+  }
 }

@@ -329,6 +329,12 @@ class PlansSpec extends SparkSuite {
       s"Q19 lost the equi-join:\n$p26")
     assert(!p26.contains("CartesianProduct") &&
       !p26.contains("BroadcastNestedLoopJoin"), p26)
+    // Q14: one lineitem scan with the ship-date window pushed to
+    // parquet; both conditional sums ride the same partial aggregate
+    val p27 = plan("q127_promo_revenue")
+    assert(p27.contains("PushedFilters: [") && p27.contains("l_shipdate"),
+      s"Q14 date window not pushed:\n$p27")
+    assert(p27.contains("partial_"), s"Q14 must map-side combine:\n$p27")
   }
 
   test("q105 retention shuffles the event stream exactly once") {
