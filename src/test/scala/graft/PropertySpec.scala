@@ -167,6 +167,46 @@ class PropertySpec extends SparkSuite {
     assert(expect.values.exists(_._2 > 1), "fixture has no overlapping spans")
   }
 
+  test("monthsBack equals java.time over the full yyyymm domain") {
+    // the round-7 year-boundary fix, held against an independent
+    // implementation on 2000 generated (month, n) pairs
+    val gen = for {
+      y <- Gen.chooseNum(1990, 2030)
+      m <- Gen.chooseNum(1, 12)
+      n <- Gen.chooseNum(0, 60)
+    } yield (y, m, n)
+    (1 to 2000).foreach { i =>
+      val (y, m, n) = gen.apply(Gen.Parameters.default, Seed(7L + i)).get
+      val want = java.time.YearMonth.of(y, m).minusMonths(n)
+      assert(Pipeline.monthsBack(y * 100L + m, n) ==
+        want.getYear * 100L + want.getMonthValue,
+        s"monthsBack($y$m%02d, $n)")
+    }
+  }
+
+  test("bloom geometry: sizes are pow2-in-range, positions in [0, m)") {
+    val sizes = Seq(0L, 1L, 2047L, 2048L, 2049L, 47000L, 1000000L,
+      Long.MaxValue / 16)
+    sizes.foreach { n =>
+      val m = graft.sources.Snapshots.bloomSizeFor(n)
+      assert(m >= graft.sources.Snapshots.BloomMinBits &&
+        m <= graft.sources.Snapshots.BloomMaxBits)
+      assert(Integer.bitCount(m) == 1, s"m=$m not a power of two (n=$n)")
+      assert(m >= graft.sources.Snapshots.BloomMaxBits ||
+        m >= math.min(8L * n, graft.sources.Snapshots.BloomMaxBits.toLong),
+        s"m=$m undersized for n=$n")
+    }
+    val keyGen = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    (1 to 500).foreach { i =>
+      val k = keyGen.apply(Gen.Parameters.default, Seed(99L + i)).get
+      Seq(graft.sources.Snapshots.BloomMinBits, 1 << 19).foreach { m =>
+        val ps = graft.sources.Snapshots.bloomPositions(k, m)
+        assert(ps.size == graft.sources.Snapshots.BloomHashes)
+        assert(ps.forall(p => p >= 0 && p < m), s"position out of range: $ps")
+      }
+    }
+  }
+
   test("top_k_min equals sort-take(k) under any partitioning") {
     // the partial/merge path of the bounded aggregate must be
     // invisible: same result at 1, 7 and 32 partitions, equal to the
