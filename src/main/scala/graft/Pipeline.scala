@@ -135,9 +135,26 @@ object Pipeline {
         () => write(warehouse.DateDim.dimTime(spark, sfDir), s"$outDir/warehouse/dim_time"),
         () => {
           val factDir = s"$outDir/warehouse/fact_order_lines"
-          val fact = warehouse.Star.factOrderLines(spark, sfDir)
+          val factSrc = warehouse.Star.factOrderLines(spark, sfDir)
             .withColumn("month_key",
               col("date_key").cast("int").divide(100).cast("int"))
+          def recentRollup(df: DataFrame): DataFrame = df
+            .groupBy(col("month_key"))
+            .agg(util.Cols.dsum(col("net_amount"), 4).as("net_revenue"),
+              count(lit(1)).as("n_lines"))
+            .orderBy(col("month_key"))
+          // empty-in/empty-out (the JDBC round trip's contract): an
+          // empty fact would fail the stats commit (zero part files →
+          // no schema to re-read) and NPE the manifest max() below, so
+          // land an empty MV with the rollup's own schema and skip the
+          // snapshot. limit-1 existence probe, not a full scan.
+          if (factSrc.isEmpty) {
+            lastRunMetrics.put("fact_files_scanned", 0L)
+            lastRunMetrics.put("fact_files_total", 0L)
+            write(recentRollup(factSrc.limit(0)),
+              s"$outDir/warehouse/mv_recent_revenue")
+          } else {
+          val fact = factSrc
             .repartitionByRange(FactRangeFiles,
               col("month_key"), col("l_orderkey"))
             .sortWithinPartitions("month_key", "l_orderkey")
@@ -160,13 +177,11 @@ object Pipeline {
             spark, factDir, v, range)
           lastRunMetrics.put("fact_files_scanned", kept.size.toLong)
           lastRunMetrics.put("fact_files_total", total.toLong)
-          write(sources.Snapshots.readPruned(spark, factDir, v, range)
-            .filter(col("month_key").between(loMonth, maxMonth))
-            .groupBy(col("month_key"))
-            .agg(util.Cols.dsum(col("net_amount"), 4).as("net_revenue"),
-              count(lit(1)).as("n_lines"))
-            .orderBy(col("month_key")),
+          write(recentRollup(
+            sources.Snapshots.readPruned(spark, factDir, v, range)
+              .filter(col("month_key").between(loMonth, maxMonth))),
             s"$outDir/warehouse/mv_recent_revenue")
+          }
         })
     }
   }

@@ -36,12 +36,31 @@ object Tables {
     // rejects; read the raw int64 (legacy conf set in sessions()) and
     // normalize to TimestampType (microsecond) here so every downstream
     // operator sees an ordinary timestamp column.
-    if (name == "events" && df.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalize the events table's `ts` to the instant type
+    * (TimestampType) whatever physical spelling the generated parquet
+    * carries this round:
+    *  - TIMESTAMP(NANOS) → raw int64 under the legacy conf → truncate
+    *    to micros (Spark has no nanos type);
+    *  - tz-less TIMESTAMP(MICROS) → TIMESTAMP_NTZ under Spark 4's NTZ
+    *    inference → cast; session tz is pinned UTC, so the micros are
+    *    unchanged — the same values DuckDB's naive-timestamp oracle
+    *    computes;
+    *  - already an instant → untouched.
+    * Every downstream operator (unix_micros, watermarks, windows) then
+    * sees one ordinary timestamp column. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every testdata table as a session temp view, so the

@@ -166,6 +166,24 @@ object Scale {
     graft.util.Fs.deleteRecursively(
       new java.io.File(e._1).getParentFile)
 
+  /** Eviction fingerprint of a source table: hash of the sorted
+    * (path, size, mtime) triple of EVERY file under it. Keying the
+    * cache on the directory's own lastModified (the round-7 choice)
+    * missed rewrites that don't touch the dir's direct entries and
+    * collided inside coarse mtime resolution (1 s on some
+    * filesystems); any part-file added, removed, resized or re-stamped
+    * changes this value. */
+  private def sourceFingerprint(path: String): Long = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(path))
+      .map(f => (f.getPath, f.length, f.lastModified))
+      .hashCode().toLong
+  }
+
   private[graft] def zorderStatsSnapshot(
       spark: org.apache.spark.sql.SparkSession, dir: String): (String, Int) = {
     import scala.jdk.CollectionConverters._
@@ -174,16 +192,15 @@ object Scale {
         Option(zSnapshotCache.remove(k)).foreach(dropZEntry)
     }
     val canon = new java.io.File(dir).getCanonicalPath
-    val mtime = new java.io.File(graft.Tables.path(canon, "orders"))
-      .lastModified
+    val fp = sourceFingerprint(graft.Tables.path(canon, "orders"))
     zSnapshotCache.keySet.asScala.toSeq.foreach { k =>
-      if ((k._1 eq spark) && k._2 == canon && k._3 != mtime)
+      if ((k._1 eq spark) && k._2 == canon && k._3 != fp)
         Option(zSnapshotCache.remove(k)).foreach(dropZEntry)
     }
     // computeIfAbsent: ATOMIC single build (TrieMap.getOrElseUpdate
     // could run the builder in two racing threads and leak the
     // losing thread's committed snapshot dir)
-    zSnapshotCache.computeIfAbsent((spark, canon, mtime), _ => {
+    zSnapshotCache.computeIfAbsent((spark, canon, fp), _ => {
       val work = java.nio.file.Files.createTempDirectory("graft_q104")
         .toString
       val table = s"$work/orders_z"

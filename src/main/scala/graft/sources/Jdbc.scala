@@ -39,34 +39,40 @@ object Jdbc {
     * type-mapping or stripe-boundary defect (lost rows, doubled rows,
     * mangled doubles through Derby's DOUBLE) hash-mismatches.
     *
-    * The stripe column is a `yyyymmdd` int derived from the summary's
-    * own date — unique per row and uniformly spread over the date
-    * range, so all [[ScanPartitions]] stripes carry real rows at every
-    * scale factor (SourcesSpec asserts it). The previous choice,
-    * `total_orders`, clustered tightly around the daily mean and could
-    * leave stripes empty or skewed. Bounds derive from the data
-    * (constants would silently degenerate to one unbounded stripe at a
-    * scale factor where every value clears them); the first/last
-    * stripes stay unbounded by Spark's JDBC contract, so no row is
-    * ever lost to a bounds bug. An empty source skips the partitioned
-    * read entirely — min/max of nothing is null, and the contract is
+    * The stripe column is the row's day OFFSET from the summary's own
+    * min date — GAP-FREE over its integer range wherever the dates are
+    * dense, so all [[ScanPartitions]] stripes carry real rows at every
+    * scale factor (SourcesSpec asserts it). Two rejected keys: raw
+    * `total_orders` clustered tightly around the daily mean and could
+    * leave stripes empty or skewed; a `yyyymmdd` int has dead integer
+    * ranges (days 32-99, months 13-99 — ~70% of the space), so a
+    * summary spanning a narrow window could still produce an empty
+    * arithmetic stripe. Bounds derive from the data (constants would
+    * silently degenerate to one unbounded stripe at a scale factor
+    * where every value clears them); the first/last stripes stay
+    * unbounded by Spark's JDBC contract, so no row is ever lost to a
+    * bounds bug. An empty source skips the partitioned read entirely —
+    * min/max of nothing is null, and the contract is
     * empty-in/empty-out, not an NPE. */
   def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val src = graft.gold.Summaries.dailySalesSummary(spark, dir)
-      .withColumn("date_key",
-        org.apache.spark.sql.functions.regexp_replace(
-          col("order_date"), "-", "").cast("int"))
+    import org.apache.spark.sql.functions.{datediff, lit, max, min}
+    val base = graft.gold.Summaries.dailySalesSummary(spark, dir)
+    val b = base.agg(min("order_date"), max("order_date")).head()
+    val src =
+      if (b.isNullAt(0)) base.withColumn("date_key", lit(0))
+      else base.withColumn("date_key", datediff(
+        col("order_date").cast("date"),
+        lit(b.getString(0)).cast("date")))
     src.write.mode(SaveMode.Overwrite).jdbc(Url, "daily_sales", props)
-    val b = src.agg(org.apache.spark.sql.functions.min("date_key"),
-      org.apache.spark.sql.functions.max("date_key")).head()
     val reader =
       if (b.isNullAt(0)) spark.read // empty table: nothing to stripe
       else {
-        val lo = b.getInt(0).toLong
-        val hi = math.max(b.getInt(1).toLong, lo + 1) // Spark requires lo < hi
+        val hi = math.max(java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(b.getString(0)),
+          java.time.LocalDate.parse(b.getString(1))), 1L) // lo < hi
         spark.read
           .option("partitionColumn", "date_key")
-          .option("lowerBound", lo.toString)
+          .option("lowerBound", "0")
           .option("upperBound", hi.toString)
           .option("numPartitions", ScanPartitions.toString)
       }

@@ -243,10 +243,32 @@ object Snapshots {
     }
   }
 
+  /** Test seam: (file, word, bits) rows the last [[pruneFilesPoint]]
+    * call collected to the driver — ScaleSpec asserts the count is
+    * bounded by files × probe positions, never by bloom SIZE (the
+    * round-7 flag: collecting full per-file blooms is ~2 MiB/file,
+    * a multi-GB driver materialization at 10k files). */
+  @volatile private[graft] var lastBloomRowsCollected: Long = 0L
+
   /** Files of version `v` that might contain ANY of `values` in
     * `keyCol` per the per-file blooms, plus the total file count. A
     * file with no bloom rows (older commit, all-null column) is never
-    * pruned — the same superset contract as [[pruneFiles]]. */
+    * pruned — the same superset contract as [[pruneFiles]].
+    *
+    * DISTRIBUTED probe: the driver never sees full blooms. The probe
+    * touches at most |values| × [[BloomHashes]] word indices, so the
+    * word filter is PUSHED INTO the manifest scan and the collect is
+    * bounded by files × needed-words tiny rows (the same O(files)
+    * metadata class as [[statsManifest]]) — at 10k files that is a
+    * few hundred KB where collecting whole blooms would be ~20 GB.
+    * Two driver round trips: (a) one (file, m_bits) row per bloomed
+    * file — the existence set a word-filtered scan cannot carry
+    * (a file whose needed words are ABSENT rows means those bits are
+    * zero → prunable, which is indistinguishable from a never-bloomed
+    * file without the existence set) — doubling as the geometry check
+    * (mixed m_bits in one version would silently probe with the wrong
+    * modulus and mis-prune: required uniform, loudly); (b) the
+    * needed-word bits themselves. */
   private[graft] def pruneFilesPoint(spark: SparkSession, tableDir: String,
       v: Int, keyCol: String, values: Seq[Long]): (Seq[String], Int) = {
     val dir = versionDir(tableDir, v)
@@ -259,28 +281,45 @@ object Snapshots {
       .map(_.getPath).sorted
     require(parts.nonEmpty, s"version $v has no bloom manifest")
     import org.apache.spark.sql.functions.col
-    val rows = spark.read.parquet(parts.toIndexedSeq: _*)
+    val manifest = spark.read.parquet(parts.toIndexedSeq: _*)
       .filter(col("colname") === keyCol)
-      .select("file", "word", "bits", "m_bits").collect()
-    val words: Map[String, Map[Int, Long]] =
-      rows.groupBy(_.getString(0))
-        .map { case (f, rs) =>
-          f -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
-        }
-    // probe with the WRITER's filter geometry, recorded in the manifest
-    val probes = rows.headOption.map(_.getAs[Int]("m_bits")) match {
-      case None => Seq.empty // no bloom rows for this column at all
-      case Some(m) => values.map(bloomPositions(_, m))
+    // (a) existence set + writer geometry — one tiny row per file
+    val fileGeoms = manifest.select("file", "m_bits").distinct().collect()
+    val geoms = fileGeoms.map(_.getInt(1)).distinct
+    require(geoms.length <= 1,
+      s"bloom manifest for '$keyCol' in version $v carries mixed " +
+        s"geometries ${geoms.toSeq} — probing with one modulus would " +
+        "mis-prune; recommit with a single m_bits")
+    val bloomFiles = fileGeoms.map(_.getString(0)).toSet
+    geoms.headOption match {
+      case None => // no bloom rows for this column at all: cannot prune
+        lastBloomRowsCollected = 0L
+        (allFiles.map(f => s"$dir/$f"), allFiles.size)
+      case Some(m) =>
+        val probes = values.map(bloomPositions(_, m))
+        val neededWords = probes.flatten.map(_ / 64).distinct
+        // (b) only the probed words come back — the filter pushes to
+        // the manifest's parquet scan
+        val rows = manifest
+          .filter(col("word").isin(neededWords.map(Int.box): _*))
+          .select("file", "word", "bits").collect()
+        lastBloomRowsCollected = rows.length.toLong
+        val words: Map[String, Map[Int, Long]] =
+          rows.groupBy(_.getString(0))
+            .map { case (f, rs) =>
+              f -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+            }
+        val kept = allFiles.filter { f =>
+          if (!bloomFiles.contains(f)) true // never bloomed: keep
+          else {
+            val bits = words.getOrElse(f, Map.empty[Int, Long])
+            probes.exists(_.forall { p =>
+              (bits.getOrElse(p / 64, 0L) & (1L << (p % 64))) != 0L
+            })
+          }
+        }.map(f => s"$dir/$f")
+        (kept, allFiles.size)
     }
-    val kept = allFiles.filter { f =>
-      words.get(f) match {
-        case None => true // no bloom for this file: cannot prune
-        case Some(bits) => probes.exists(_.forall { p =>
-          (bits.getOrElse(p / 64, 0L) & (1L << (p % 64))) != 0L
-        })
-      }
-    }.map(f => s"$dir/$f")
-    (kept, allFiles.size)
   }
 
   /** Point-lookup pruned scan: reads only the files whose bloom says

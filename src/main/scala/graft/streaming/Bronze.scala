@@ -43,9 +43,9 @@ object Bronze {
   /** The P1 envelope projection — shared verbatim between the stream
     * and the batch-equivalence check. */
   def envelope(df: DataFrame, sourceTable: String): DataFrame = {
-    val ts = if (df.schema("ts").dataType == LongType)
-      timestamp_micros(expr("ts div 1000")) else col("ts")
-    df.select(
+    val ts = col("ts") // normalized by Tables.normalizeEventTs below
+    val norm = graft.Tables.normalizeEventTs(df)
+    norm.select(
       col("event_id").cast("string").as("_key"),
       to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("_raw_value"),
       ts.as("_event_ts"),

@@ -25,8 +25,8 @@ object StatefulStreams {
   private def rawEvents(spark: SparkSession, srcDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir).schema
-    spark.readStream.schema(schema).parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(srcDir))
   }
 
   /** q44's aggregation under readStream + watermark, complete mode:

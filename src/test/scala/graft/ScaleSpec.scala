@@ -283,6 +283,20 @@ class ScaleSpec extends SparkSuite {
       spark, table, v, "o_orderkey", probe)
     info(s"bloom point probe kept ${kept.size} of $total files")
     assert(total == 16)
+    // the round-7 scale flag: the probe must collect O(files × probe
+    // positions) tiny rows, never full per-file blooms. Upper bound =
+    // one row per (file, needed word); needed words ≤ |values| ×
+    // BloomHashes. A full-bloom collect would be ≥ BloomMinBits/64
+    // words per file — orders of magnitude over this bound.
+    val probeBound =
+      total.toLong * probe.size * graft.sources.Snapshots.BloomHashes
+    assert(graft.sources.Snapshots.lastBloomRowsCollected <= probeBound,
+      s"driver collected ${graft.sources.Snapshots.lastBloomRowsCollected} " +
+        s"bloom rows; bound is $probeBound (files × probes) — the " +
+        "collect is scaling with bloom size, not probe count")
+    assert(probeBound <
+      total.toLong * graft.sources.Snapshots.BloomMinBits / 64,
+      "bound sanity: probe bound must sit far under a full-bloom collect")
     assert(kept.size < total / 2,
       s"bloom should skip most hash-scattered files: ${kept.size}/$total")
     val lo = probe.min; val hi = probe.max
@@ -332,10 +346,14 @@ class ScaleSpec extends SparkSuite {
     // q104's measured body reproduces the full filter from the cache
     val q = Scale.zorderPrunedScan(spark, src)
     assert(q.count() > 0)
-    // a table rewrite (mtime bump) must evict: new snapshot dir, old
-    // one reclaimed — the round-5 sketch-cache eviction contract
-    val tdir = new java.io.File(s"$src/orders.parquet")
-    assert(tdir.setLastModified(tdir.lastModified + 10000))
+    // a table rewrite must evict: new snapshot dir, old one reclaimed
+    // — the round-5 sketch-cache eviction contract. The cache key is a
+    // fingerprint over every part FILE's (path, size, mtime) (a
+    // directory-mtime key misses rewrites that replace file contents
+    // in place), so bump a part file's stamp, not the directory's.
+    val part = new java.io.File(s"$src/orders.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part.setLastModified(part.lastModified + 10000))
     val c = Scale.zorderStatsSnapshot(spark, src)
     assert(c._1 != a._1, "superseded snapshot must not be served")
     assert(!new java.io.File(a._1).exists,

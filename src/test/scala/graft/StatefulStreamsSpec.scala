@@ -21,10 +21,19 @@ class StatefulStreamsSpec extends SparkSuite {
     Files.move(part.toPath, java.nio.file.Paths.get(dest))
   }
 
-  // events with ts kept as raw long (the on-disk shape the stream reads)
+  // events with ts coerced to raw long nanos — the on-disk shape these
+  // tests stage for the stream, whatever physical type the generated
+  // parquet carries (TIMESTAMP(NANOS)→long under the legacy conf, or
+  // tz-less micros→NTZ under Spark 4 inference; session tz is UTC so
+  // the instants are identical either way)
   private def rawLongEvents() = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
   }
 
   test("watermarked windowed aggregation equals the batch window query") {
