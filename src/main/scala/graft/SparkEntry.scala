@@ -264,7 +264,11 @@ object SparkEntry {
     "q126_brand_ranges"      -> (ops.Olap.brandRangeRevenue _),
     // TPC-H Q14: conditional-aggregate ratio (promo revenue share),
     // exact-decimal sums surfaced once as doubles
-    "q127_promo_revenue"     -> (ops.Olap.promoRevenue _)
+    "q127_promo_revenue"     -> (ops.Olap.promoRevenue _),
+    // open Delta-log format: replay the JSON commit log (adds/removes)
+    // of a two-commit overwrite table — latest snapshot + time travel
+    "q128_delta_read"        -> (sources.DeltaLog.deltaRead _),
+    "q129_delta_time_travel" -> (sources.DeltaLog.deltaTimeTravel _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -402,6 +406,8 @@ object SparkEntry {
     "q124_point_lookup"      -> ops.Scale.pointLookupSql,
     "q125_small_qty_revenue" -> ops.Olap.smallQtyRevenueSql,
     "q126_brand_ranges"      -> ops.Olap.brandRangeRevenueSql,
-    "q127_promo_revenue"     -> ops.Olap.promoRevenueSql
+    "q127_promo_revenue"     -> ops.Olap.promoRevenueSql,
+    "q128_delta_read"        -> sources.DeltaLog.deltaReadSql,
+    "q129_delta_time_travel" -> sources.DeltaLog.deltaTimeTravelSql
   )
 }

@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+
+/** The open Delta-log protocol reader/writer: logs written BY HAND
+  * (raw JSON strings, not our own writer) must replay correctly —
+  * that's what makes this a format test, not a round-trip tautology. */
+class DeltaLogSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeLog(dir: String, v: Long, lines: String*): Unit = {
+    Files.createDirectories(Paths.get(s"$dir/_delta_log"))
+    Files.write(Paths.get(f"$dir/_delta_log/$v%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  private val schemaJson =
+    """{"type":"struct","fields":[
+      |{"name":"k","type":"long","nullable":true,"metadata":{}},
+      |{"name":"s","type":"string","nullable":true,"metadata":{}}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def protocol =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def metaData(partCols: String = "[]") =
+    s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},
+       |"schemaString":"${schemaJson.replace("\"", "\\\"")}",
+       |"partitionColumns":$partCols,"configuration":{}}}"""
+      .stripMargin.replace("\n", "")
+
+  private def stagePart(dir: String, sub: String,
+                        rows: Seq[(Long, String)]): String = {
+    val tmp = Files.createTempDirectory("dlpart").toString + "/w"
+    rows.toDF("k", "s").coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.createDirectories(Paths.get(dir, sub).getParent)
+    Files.move(part.toPath, Paths.get(dir, sub))
+    sub
+  }
+
+  test("hand-written log: adds, removes, version replay, time travel") {
+    val dir = Files.createTempDirectory("dlog").toString
+    val a = stagePart(dir, "a.parquet", Seq((1L, "one"), (2L, "two")))
+    val b = stagePart(dir, "b.parquet", Seq((3L, "three")))
+    val c = stagePart(dir, "c.parquet", Seq((4L, "four")))
+    writeLog(dir, 0, protocol, metaData(),
+      s"""{"add":{"path":"$a","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      s"""{"add":{"path":"$b","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    // commit 1 removes file a, adds file c (and carries a commitInfo
+    // the reader must ignore)
+    writeLog(dir, 1,
+      """{"commitInfo":{"operation":"WRITE"}}""",
+      s"""{"remove":{"path":"$a","dataChange":true}}""",
+      s"""{"add":{"path":"$c","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+
+    assert(sources.DeltaLog.versions(dir) == Seq(0L, 1L))
+    val v0 = sources.DeltaLog.readVersion(spark, dir, 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v0 == Set((1L, "one"), (2L, "two"), (3L, "three")))
+    val v1 = sources.DeltaLog.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v1 == Set((3L, "three"), (4L, "four")),
+      "remove action not honored or add missed")
+    // schema comes from metaData, not footers
+    assert(sources.DeltaLog.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("k", "s"))
+  }
+
+  test("partition columns reconstruct from the log's partitionValues") {
+    val dir = Files.createTempDirectory("dlogp").toString
+    // data files carry ONLY k — s is a partition column whose value
+    // exists nowhere but the log
+    val tmp = Files.createTempDirectory("dlpart").toString + "/w"
+    Seq(Tuple1(10L), Tuple1(11L)).toDF("k").coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(dir, "p0.parquet"))
+    val tmp2 = Files.createTempDirectory("dlpart").toString + "/w"
+    Seq(Tuple1(20L)).toDF("k").coalesce(1).write.parquet(tmp2)
+    val part2 = new java.io.File(tmp2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part2.toPath, Paths.get(dir, "p1.parquet"))
+
+    writeLog(dir, 0, protocol, metaData("""["s"]"""),
+      """{"add":{"path":"p0.parquet","partitionValues":{"s":"red"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"p1.parquet","partitionValues":{"s":"blue"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((10L, "red"), (11L, "red"), (20L, "blue")))
+    // declared column order: schema order, partition col restored last
+    assert(sources.DeltaLog.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("k", "s"))
+  }
+
+  test("unsupported protocol version fails loudly, not silently wrong") {
+    val dir = Files.createTempDirectory("dlogv").toString
+    val a = stagePart(dir, "a.parquet", Seq((1L, "x")))
+    writeLog(dir, 0,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      metaData(),
+      s"""{"add":{"path":"$a","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.read(spark, dir)
+    }
+    assert(e.getMessage.contains("minReaderVersion"))
+  }
+
+  test("commitOverwrite + Snapshots export replay as full table states") {
+    // engine-written log: two overwrite commits
+    val dir = Files.createTempDirectory("dlogw").toString + "/t"
+    val v0 = sources.DeltaLog.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    val v1 = sources.DeltaLog.commitOverwrite(
+      Seq((3L, "c")).toDF("k", "s"), dir)
+    assert((v0, v1) == (0L, 1L))
+    assert(sources.DeltaLog.readVersion(spark, dir, 0).count() == 2)
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+
+    // Snapshots → Delta layout: version k of the log equals version
+    // k of the snapshots table
+    val snapDir = Files.createTempDirectory("dlogs").toString + "/s"
+    sources.Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), snapDir)
+    sources.Snapshots.commit(Seq((9L, "z")).toDF("k", "s"), snapDir)
+    val deltaDir = Files.createTempDirectory("dlogd").toString + "/d"
+    val vs = sources.DeltaLog.exportSnapshots(spark, snapDir, deltaDir)
+    assert(vs == Seq(0L, 1L))
+    sources.Snapshots.versions(snapDir).zip(vs).foreach { case (sv, dv) =>
+      val want = sources.Snapshots.readVersion(spark, snapDir, sv)
+      val got = sources.DeltaLog.readVersion(spark, deltaDir, dv)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"snapshot v$sv != delta v$dv")
+    }
+  }
+
+  test("empty table state (all files removed) reads as zero rows") {
+    val dir = Files.createTempDirectory("dloge").toString
+    val a = stagePart(dir, "a.parquet", Seq((1L, "x")))
+    writeLog(dir, 0, protocol, metaData(),
+      s"""{"add":{"path":"$a","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    writeLog(dir, 1, s"""{"remove":{"path":"$a","dataChange":true}}""")
+    val df = sources.DeltaLog.read(spark, dir)
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "s"))
+  }
+
+  test("q128/q129 gate shape: overwrite honored, time travel pinned") {
+    val latest = sources.DeltaLog.deltaRead(spark, sfDir)
+    val pinned = sources.DeltaLog.deltaTimeTravel(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(latest.count() ==
+      orders.filter(col("o_orderkey") % 2 === 1).count())
+    assert(pinned.count() ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    assert(latest.count() + pinned.count() == orders.count())
+    // second call reuses the session cache (no rebuild)
+    val t1 = sources.DeltaLog.ordersDeltaTable(spark, sfDir)
+    val t2 = sources.DeltaLog.ordersDeltaTable(spark, sfDir)
+    assert(t1 == t2)
+  }
+}
