@@ -268,7 +268,13 @@ object SparkEntry {
     // open Delta-log format: replay the JSON commit log (adds/removes)
     // of a two-commit overwrite table — latest snapshot + time travel
     "q128_delta_read"        -> (sources.DeltaLog.deltaRead _),
-    "q129_delta_time_travel" -> (sources.DeltaLog.deltaTimeTravel _)
+    "q129_delta_time_travel" -> (sources.DeltaLog.deltaTimeTravel _),
+    // TPC-H Q2 shape: correlated min-cost scalar subquery whose inner
+    // is itself a region join, shared partsupp-emulation CTE
+    "q130_min_cost_supplier" -> (ops.Olap.minCostSupplier _),
+    // TPC-H Q20 shape: IN-chain of nested subqueries with a
+    // correlated aggregate at the bottom
+    "q131_excess_stock"      -> (ops.Olap.excessStock _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -408,6 +414,8 @@ object SparkEntry {
     "q126_brand_ranges"      -> ops.Olap.brandRangeRevenueSql,
     "q127_promo_revenue"     -> ops.Olap.promoRevenueSql,
     "q128_delta_read"        -> sources.DeltaLog.deltaReadSql,
-    "q129_delta_time_travel" -> sources.DeltaLog.deltaTimeTravelSql
+    "q129_delta_time_travel" -> sources.DeltaLog.deltaTimeTravelSql,
+    "q130_min_cost_supplier" -> ops.Olap.minCostSupplierSql,
+    "q131_excess_stock"      -> ops.Olap.excessStockSql
   )
 }

@@ -460,4 +460,83 @@ object Olap {
     Tables.registerViews(spark, dir)
     spark.sql(promoRevenueSql)
   }
+
+  /** q130 — TPC-H Q2 shape: a correlated MIN-cost scalar subquery
+    * whose inner is itself a multi-way JOIN (the hardest decorrelation
+    * tier after Q21). The testdata has no partsupp table, so the
+    * part-supplier relation is derived once as a CTE from lineitem
+    * (`ps_supplycost` = min unit price ever charged by that supplier
+    * for that part — both engines evaluate the identical IEEE divide,
+    * so min and the outer equality are bit-stable); the CTE is shared
+    * by the outer join tree and the correlated subquery, exactly as
+    * Q2 uses partsupp twice. Catalyst must rewrite the per-part min
+    * over the region-filtered join into ONE aggregate joined back on
+    * p_partkey — never a per-row re-scan (PlansSpec pins a single
+    * region-side aggregate + join, no loops). */
+  val minCostSupplierSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(l_extendedprice / l_quantity) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+      |FROM part p
+      |JOIN ps ON p.p_partkey = ps.ps_partkey
+      |JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE p.p_size <= 10 AND p.p_type = 'PROMO'
+      |  AND r.r_name = 'EUROPE'
+      |  AND ps.ps_supplycost = (
+      |    SELECT min(ps2.ps_supplycost)
+      |    FROM ps ps2
+      |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey""".stripMargin
+
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(minCostSupplierSql)
+  }
+
+  /** q131 — TPC-H Q20 shape: an IN-chain of two nested subqueries
+    * where the innermost is a CORRELATED aggregate (suppliers holding
+    * "excess stock" of a part family in a region). availqty is derived
+    * as the pair's all-time shipped quantity (the partsupp emulation,
+    * same CTE discipline as q130); the correlated sum is over one YEAR
+    * of lineitem, so the predicate compares the pair's total against
+    * 0.5× its 1998 volume. The
+    * quantity sums are integral doubles (exact at any scale), 5e-1 is
+    * the same IEEE constant on both engines. Catalyst must turn the
+    * IN chain into left-semi joins and the correlated sum into one
+    * (partkey, suppkey) aggregate — no per-supplier re-scans. */
+  val excessStockSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         sum(l_quantity) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s.s_name, s.s_acctbal
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |    SELECT ps.ps_suppkey FROM ps
+      |    WHERE ps.ps_partkey IN (
+      |        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND ps.ps_availqty > (
+      |        SELECT 5e-1 * sum(l.l_quantity)
+      |        FROM lineitem l
+      |        WHERE l.l_partkey = ps.ps_partkey
+      |          AND l.l_suppkey = ps.ps_suppkey
+      |          AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |          AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'))
+      |  AND s.s_nationkey IN (
+      |    SELECT n.n_nationkey FROM nation n
+      |    JOIN region r ON n.n_regionkey = r.r_regionkey
+      |    WHERE r.r_name IN ('EUROPE', 'ASIA'))
+      |ORDER BY s.s_name""".stripMargin
+
+  def excessStock(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(excessStockSql)
+  }
 }

@@ -337,6 +337,27 @@ class PlansSpec extends SparkSuite {
     assert(p27.contains("partial_"), s"Q14 must map-side combine:\n$p27")
   }
 
+  test("q130/q131 Q2-min-cost and Q20-IN-chain decorrelate to joins") {
+    // Q2: the correlated min over the region-joined ps CTE must become
+    // an aggregate joined back on ps_partkey — no per-row subquery, no
+    // nested-loop fallback, and the min itself partial-aggregates
+    val p30 = plan("q130_min_cost_supplier")
+    assert(!p30.toLowerCase.contains("scalarsubquery"),
+      s"Q2 correlated min not decorrelated:\n$p30")
+    assert(p30.contains("partial_min"), s"Q2 min must map-side combine:\n$p30")
+    assert(!p30.contains("CartesianProduct") &&
+      !p30.contains("BroadcastNestedLoopJoin"), p30)
+    // Q20: both IN levels become left-semi joins and the correlated
+    // availqty sum becomes one (partkey, suppkey) aggregate — nothing
+    // re-scans lineitem per supplier
+    val p31 = plan("q131_excess_stock")
+    assert(p31.contains("LeftSemi"), s"Q20 IN-chain not semi joins:\n$p31")
+    assert(!p31.toLowerCase.contains("scalarsubquery"),
+      s"Q20 correlated sum not decorrelated:\n$p31")
+    assert(!p31.contains("CartesianProduct") &&
+      !p31.contains("BroadcastNestedLoopJoin"), p31)
+  }
+
   test("q105 retention shuffles the event stream exactly once") {
     // the per-user aggregation is the only exchange keyed on user_id;
     // everything downstream works on user- or day-sized tables
