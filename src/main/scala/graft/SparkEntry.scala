@@ -274,7 +274,10 @@ object SparkEntry {
     "q130_min_cost_supplier" -> (ops.Olap.minCostSupplier _),
     // TPC-H Q20 shape: IN-chain of nested subqueries with a
     // correlated aggregate at the bottom
-    "q131_excess_stock"      -> (ops.Olap.excessStock _)
+    "q131_excess_stock"      -> (ops.Olap.excessStock _),
+    // explicit GROUPING SETS: a mixed set list neither ROLLUP nor
+    // CUBE can spell, grouping_id discriminator
+    "q132_grouping_sets"     -> (ops.Analytics.groupingSetsRevenue _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -416,6 +419,7 @@ object SparkEntry {
     "q128_delta_read"        -> sources.DeltaLog.deltaReadSql,
     "q129_delta_time_travel" -> sources.DeltaLog.deltaTimeTravelSql,
     "q130_min_cost_supplier" -> ops.Olap.minCostSupplierSql,
-    "q131_excess_stock"      -> ops.Olap.excessStockSql
+    "q131_excess_stock"      -> ops.Olap.excessStockSql,
+    "q132_grouping_sets"     -> ops.Analytics.groupingSetsRevenueSql
   )
 }

@@ -142,6 +142,45 @@ object Analytics {
        |GROUP BY CUBE (year(o_orderdate), o_orderstatus)
        |ORDER BY lvl, order_year, status""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+
+  /** q132 — explicit GROUPING SETS with a MIXED set list that neither
+    * ROLLUP (q46) nor CUBE (q78) can spell: ((year, status),
+    * (status, priority), (year), ()) — two 2-D slices sharing no
+    * hierarchy plus one 1-D slice and the grand total. grouping_id
+    * over (year, status, priority) is the discriminator (bit order =
+    * the grouping-column list, mirrored in the oracle as
+    * GROUPING(a)*4 + GROUPING(b)*2 + GROUPING(c)); labels coalesce to
+    * 'ALL' so subtotal rows carry no NULL ambiguity.
+    *
+    * Scale: identical cost model to CUBE — one Expand multiplying
+    * input by the set count (4×, vs CUBE's 2^n) feeding one partial +
+    * final hash aggregate; the set list bounds the expansion exactly,
+    * which is the point of spelling the sets explicitly at 100 TB. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    // ONE SQL text for both engines (the q119+ OLAP-tier discipline):
+    // Spark parses GROUPING SETS + GROUPING() natively, and the shared
+    // spelling sidesteps the Dataset-groupingSets quirk where
+    // grouping()/grouping_id() number bits over the internal expanded
+    // attribute list instead of the declared grouping columns.
+    Tables.registerViews(spark, dir)
+    spark.sql(groupingSetsRevenueSql)
+  }
+
+  val groupingSetsRevenueSql: String =
+    s"""SELECT
+       |  coalesce(CAST(year(o_orderdate) AS STRING), 'ALL') AS order_year,
+       |  coalesce(o_orderstatus, 'ALL') AS status,
+       |  coalesce(o_orderpriority, 'ALL') AS priority,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  ${Cols.dsumSql("o_totalprice")} AS revenue,
+       |  CAST(GROUPING(year(o_orderdate)) * 4 + GROUPING(o_orderstatus) * 2
+       |    + GROUPING(o_orderpriority) AS BIGINT) AS lvl
+       |FROM orders
+       |GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+       |  (o_orderstatus, o_orderpriority), (year(o_orderdate)), ())
+       |ORDER BY lvl, order_year, status, priority""".stripMargin
+
   // ---------------------------------------------------------------- q70
 
   /** q70 — ranking/distribution window suite per customer order
