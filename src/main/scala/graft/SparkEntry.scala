@@ -277,7 +277,10 @@ object SparkEntry {
     "q131_excess_stock"      -> (ops.Olap.excessStock _),
     // explicit GROUPING SETS: a mixed set list neither ROLLUP nor
     // CUBE can spell, grouping_id discriminator
-    "q132_grouping_sets"     -> (ops.Analytics.groupingSetsRevenue _)
+    "q132_grouping_sets"     -> (ops.Analytics.groupingSetsRevenue _),
+    // OPTIMIZE: bin-pack a fragmented snapshot into size-targeted
+    // re-clustered files with fresh stats+blooms; gate = read-back
+    "q133_optimize_compact"  -> (ops.Scale.optimizeReadback _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -420,6 +423,7 @@ object SparkEntry {
     "q129_delta_time_travel" -> sources.DeltaLog.deltaTimeTravelSql,
     "q130_min_cost_supplier" -> ops.Olap.minCostSupplierSql,
     "q131_excess_stock"      -> ops.Olap.excessStockSql,
-    "q132_grouping_sets"     -> ops.Analytics.groupingSetsRevenueSql
+    "q132_grouping_sets"     -> ops.Analytics.groupingSetsRevenueSql,
+    "q133_optimize_compact"  -> ops.Scale.optimizeReadbackSql
   )
 }

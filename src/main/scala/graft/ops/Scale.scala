@@ -385,4 +385,97 @@ object Scale {
        |SELECT o_orderkey, o_custkey, day_no, z_value FROM z
        |WHERE o_orderkey IN (${PointKeys.mkString(", ")})
        |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+
+  /** Session cache for the q133 OPTIMIZE demonstration: a
+    * deliberately fragmented snapshot of orders (64 streaming-sink-
+    * sized files) compacted by
+    * [[graft.sources.Snapshots.optimizeCompact]] into size-targeted,
+    * re-clustered files with fresh stats+blooms. Same keying/eviction
+    * discipline as [[zSnapshotCache]]. Holds (table, fragmented
+    * version, optimized version, fragmented file count, optimized
+    * file count) so ScaleSpec can assert the file-count collapse
+    * without rebuilding. */
+  private val optimizeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Long),
+    (String, Int, Int, Int, Int)]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    optimizeCache.values.forEach(e =>
+      graft.util.Fs.deleteRecursively(
+        new java.io.File(e._1).getParentFile))))
+
+  private[graft] def optimizedSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Int, Int, Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    def drop(e: (String, Int, Int, Int, Int)): Unit =
+      graft.util.Fs.deleteRecursively(new java.io.File(e._1).getParentFile)
+    optimizeCache.keySet.asScala.toSeq.foreach { k =>
+      if (k._1.sparkContext.isStopped)
+        Option(optimizeCache.remove(k)).foreach(drop)
+    }
+    val canon = new java.io.File(dir).getCanonicalPath
+    val fp = sourceFingerprint(graft.Tables.path(canon, "orders"))
+    optimizeCache.keySet.asScala.toSeq.foreach { k =>
+      if ((k._1 eq spark) && k._2 == canon && k._3 != fp)
+        Option(optimizeCache.remove(k)).foreach(drop)
+    }
+    optimizeCache.computeIfAbsent((spark, canon, fp), _ => {
+      val work = java.nio.file.Files.createTempDirectory("graft_q133")
+        .toString
+      val table = s"$work/orders_frag"
+      def parquetFiles(v: Int): Int =
+        Option(new java.io.File(s"$table/v=$v").listFiles())
+          .getOrElse(Array.empty)
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      // the fragmented state a micro-batching sink leaves behind:
+      // hash-scattered, 64 tiny files, but stats-committed (real
+      // tables carry their manifests even when fragmented)
+      val o = graft.Tables.load(spark, canon, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val vFrag = graft.sources.Snapshots.commitWithStats(
+        o.repartition(64), table, Seq("o_orderkey"))
+      val fragBytes = Option(new java.io.File(s"$table/v=$vFrag").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+      // target = 1/4 of the data: ~4 packed files from 64 fragments
+      // at every scale factor, preserving a multi-file layout so the
+      // fresh manifest still has spans to assert on
+      val vOpt = graft.sources.Snapshots.optimizeCompact(
+        spark, table, vFrag, math.max(1L, fragBytes / 4),
+        Seq("o_orderkey"), Seq("o_orderkey"), Seq("o_orderkey"))
+      val (nFrag, nOpt) = (parquetFiles(vFrag), parquetFiles(vOpt))
+      require(nOpt < nFrag,
+        s"OPTIMIZE did not shrink the file count ($nFrag -> $nOpt)")
+      (table, vFrag, vOpt, nFrag, nOpt)
+    })
+  }
+
+  /** q133 — OPTIMIZE/compaction gate: read back the bin-packed,
+    * re-clustered, freshly stats+bloom-committed version and return
+    * every row — byte-identical to the source table or the rewrite
+    * lost/duplicated data (the oracle is the plain projection). The
+    * builder `require`s the file-count collapse at run time; ScaleSpec
+    * additionally asserts the fresh manifest's per-file key spans are
+    * narrow (clustering restored, not just rows preserved) and that
+    * the fragmented version stays readable (reader pinning).
+    *
+    * Scale: OPTIMIZE is the periodic maintenance op that keeps a
+    * streaming-ingested 100 TB table scannable — file count bounds
+    * driver listing cost, size-targeted files bound task skew, and
+    * re-clustering keeps data skipping alive; this gate pins all
+    * three behaviors behind one hash. */
+  def optimizeReadback(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val (table, _, vOpt, _, _) = optimizedSnapshot(spark, dir)
+    graft.sources.Snapshots.readVersion(spark, table, vOpt)
+      .orderBy("o_orderkey")
+  }
+
+  val optimizeReadbackSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 }

@@ -334,6 +334,45 @@ object Snapshots {
     else spark.read.parquet(files: _*)
   }
 
+  /** OPTIMIZE — file-level compaction (Delta's `OPTIMIZE`, the
+    * bin-packing half of ClickHouse's background merges): rewrite
+    * version `v`'s many small files into `ceil(bytes / targetBytes)`
+    * size-targeted files and commit the result as a NEW version with
+    * FRESH stats (+blooms) over the same columns. Readers of `v` are
+    * untouched (immutable version dirs — the reader-pinning contract);
+    * [[vacuum]] reclaims the fragmented version later.
+    *
+    * The rewrite re-clusters on `sortCols` (range partition + in-file
+    * sort) rather than hash-scattering: compaction is exactly when the
+    * layout gets to be restored for free, and the fresh manifest's
+    * per-file spans stay narrow so data skipping keeps working after
+    * the rewrite — an OPTIMIZE that destroyed clustering would pass a
+    * row-equality gate while silently un-pruning every later scan
+    * (ScaleSpec asserts the spans, not just the data).
+    *
+    * Scale: one distributed read + range-shuffle + write of the
+    * version's data — the same cost Delta's OPTIMIZE pays; file sizing
+    * derives from actual on-disk bytes, no sampling. Returns the new
+    * version number. */
+  def optimizeCompact(spark: SparkSession, tableDir: String, v: Int,
+      targetBytes: Long, statsCols: Seq[String],
+      bloomCols: Seq[String] = Seq.empty,
+      sortCols: Seq[String] = Seq.empty): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes = Option(new File(versionDir(tableDir, v)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = readVersion(spark, tableDir, v)
+    val keys = if (sortCols.nonEmpty) sortCols else statsCols
+    import org.apache.spark.sql.functions.col
+    val packed = df
+      .repartitionByRange(nOut, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    commitWithStats(packed, tableDir, statsCols, bloomCols)
+  }
+
   /** Test seam: runs after data + stats are staged, before `_SUCCESS`
     * publishes the version — lets a spec pin that a writer crashing
     * here leaves NO reader-visible version (the stage-then-publish

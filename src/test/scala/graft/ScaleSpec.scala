@@ -474,6 +474,44 @@ class ScaleSpec extends SparkSuite {
       .readPruned(spark, table, v, Seq(("k", 3L, 5L))).count() > 0)
   }
 
+  test("q133 OPTIMIZE: packs files, restores clustering, refreshes stats") {
+    val (table, vFrag, vOpt, nFrag, nOpt) =
+      Scale.optimizedSnapshot(spark, sfDir)
+    // file-count collapse: 64 fragments -> a handful of packed files
+    assert(nFrag == 64 && nOpt < nFrag / 4,
+      s"OPTIMIZE left $nOpt of $nFrag files")
+    // fresh stats: the optimized manifest exists, covers every packed
+    // file, and its per-file key spans are NARROW — the re-clustering
+    // payoff. The fragmented version's hash-scattered files each span
+    // ~the whole key domain; the packed files must not.
+    val mOpt = graft.sources.Snapshots.statsManifest(spark, table, vOpt)
+      .collect()
+    assert(mOpt.length == nOpt, "stats manifest must cover every file")
+    val mFrag = graft.sources.Snapshots.statsManifest(spark, table, vFrag)
+      .collect()
+    def span(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("max_o_orderkey") - r.getAs[Long]("min_o_orderkey")
+    val globalSpan = mFrag.map(_.getAs[Long]("max_o_orderkey")).max -
+      mFrag.map(_.getAs[Long]("min_o_orderkey")).min
+    assert(mOpt.map(span).max <= globalSpan / 2,
+      "packed files must carry narrow key spans (clustering restored)")
+    assert(mFrag.map(span).min > globalSpan / 2,
+      "precondition: fragmented files were hash-scattered (wide spans)")
+    // bloom refreshed: a point probe against the OPTIMIZED version
+    // prunes to ~one file
+    val keys = Seq(graft.sources.Snapshots.read(spark, table)
+      .agg(org.apache.spark.sql.functions.min("o_orderkey")).head.getLong(0))
+    val (kept, total) = graft.sources.Snapshots.pruneFilesPoint(
+      spark, table, vOpt, "o_orderkey", keys)
+    assert(total == nOpt && kept.size <= 2,
+      s"fresh bloom should prune the point probe: kept ${kept.size}/$total")
+    // reader pinning: the fragmented version is untouched and equal
+    val a = graft.sources.Snapshots.readVersion(spark, table, vFrag)
+    val b = graft.sources.Snapshots.readVersion(spark, table, vOpt)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("small-file compaction: size-targeted rewrite preserves data") {
     // the OPTIMIZE/bin-packing pattern: a streaming sink leaves many
     // tiny files; the compactor rewrites each partition's data into
