@@ -417,9 +417,17 @@ object Snapshots {
       ranges: Seq[(String, Long, Long)]): (Seq[String], Int) = {
     val dir = versionDir(tableDir, v)
     val m = statsManifest(spark, tableDir, v).collect().toSeq
+    // Superset contract, extended to SCHEMA EVOLUTION: a version
+    // committed before a column existed has no min_/max_ fields for it
+    // in its manifest — "no stats" can never prove "no match", so an
+    // absent stats column prunes nothing, exactly like an all-null
+    // file's null stats.
     def stat(r: Row, name: String): Option[Long] = {
-      val i = r.fieldIndex(name)
-      if (r.isNullAt(i)) None else Some(r.getLong(i))
+      if (!r.schema.fieldNames.contains(name)) None
+      else {
+        val i = r.fieldIndex(name)
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      }
     }
     val kept = m.filter { r =>
       ranges.forall { case (c, lo, hi) =>
@@ -583,8 +591,16 @@ object Snapshots {
     val pre = readVersion(spark, tableDir, fromV)
     val post = readVersion(spark, tableDir, toV)
     val nonKey = post.columns.toSeq.filterNot(keys.contains)
+    // SCHEMA EVOLUTION: the change feed is served in the TO version's
+    // schema (Delta CDF's contract); a column added between the two
+    // versions reads as a typed null on the pre side, so "value
+    // appeared" surfaces as update_postimage, and delete pre-images
+    // carry null for columns the deleted row never had.
+    def padded(df: DataFrame, c: String) =
+      if (df.columns.contains(c)) col(c)
+      else lit(null).cast(post.schema(c).dataType).as(c)
     val a = pre.select(
-      keys.map(col) :+ struct(nonKey.map(col): _*).as("_pre"): _*)
+      keys.map(col) :+ struct(nonKey.map(padded(pre, _)): _*).as("_pre"): _*)
     val b = post.select(
       keys.map(col) :+ struct(nonKey.map(col): _*).as("_post"): _*)
     a.join(b, keys, "full_outer")

@@ -199,6 +199,53 @@ class SnapshotsSpec extends SparkSuite {
       3 -> (("c", 11, "insert"))))         // unchanged key 4 absent
   }
 
+  test("schema evolution: CDF serves the TO schema, padding pre with nulls") {
+    val t = table()
+    // v0: (k, s); v1 ADDS column x
+    Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("k", "s"), t)
+    Snapshots.commit(
+      Seq((2, "b", 20), (3, "c", 30)).toDF("k", "s", "x"), t)
+    val ch = Snapshots.changesBetween(spark, t, 0, 1, Seq("k"))
+    assert(ch.schema.fieldNames.toSeq == Seq("k", "s", "x", "_change_type"))
+    val m = ch.collect().map(r => r.getInt(0) ->
+      (r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getString(3))).toMap
+    assert(m == Map(
+      1 -> (("a", None, "delete")),            // never had x: null pre-image
+      2 -> (("b", Some(20), "update_postimage")), // null -> 20 IS a change
+      3 -> (("c", Some(30), "insert"))))
+  }
+
+  test("schema evolution: absent stats columns never prune (superset)") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    // v0 committed with stats on k only — column x does not exist yet
+    val v0 = Snapshots.commitWithStats(
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "s")
+        .repartitionByRange(4, col("k")), t, Seq("k"))
+    // a range over the FUTURE column x must keep every file of v0:
+    // no stats can never prove no match (and must not throw)
+    val (keptX, totalX) = Snapshots.pruneFiles(
+      spark, t, v0, Seq(("x", 0L, 10L)))
+    assert(totalX == 4 && keptX.size == 4,
+      s"absent-column range pruned ${totalX - keptX.size} files")
+    // mixed box: the k half still prunes, the x half is ignored
+    val (keptMix, _) = Snapshots.pruneFiles(
+      spark, t, v0, Seq(("k", 1L, 10L), ("x", 0L, 10L)))
+    assert(keptMix.size < 4 && keptMix.nonEmpty)
+    // v1 adds x WITH stats: pruning on x works from this version on
+    val v1 = Snapshots.commitWithStats(
+      (1L to 100L).map(k => (k, s"v$k", k * 10))
+        .toDF("k", "s", "x").repartitionByRange(4, col("x")),
+      t, Seq("k", "x"))
+    val (keptV1, totalV1) = Snapshots.pruneFiles(
+      spark, t, v1, Seq(("x", 10L, 100L)))
+    assert(totalV1 == 4 && keptV1.size < 4)
+    // and the evolved read-back is complete under the merged contract
+    assert(Snapshots.readPruned(spark, t, v0, Seq(("x", 0L, 10L)))
+      .count() == 100)
+  }
+
   test("a reader pinned to a version is isolated from later commits") {
     val t = table()
     Snapshots.commit(Seq((1, "old")).toDF("k", "s"), t)
