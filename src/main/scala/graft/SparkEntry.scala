@@ -280,7 +280,10 @@ object SparkEntry {
     "q132_grouping_sets"     -> (ops.Analytics.groupingSetsRevenue _),
     // OPTIMIZE: bin-pack a fragmented snapshot into size-targeted
     // re-clustered files with fresh stats+blooms; gate = read-back
-    "q133_optimize_compact"  -> (ops.Scale.optimizeReadback _)
+    "q133_optimize_compact"  -> (ops.Scale.optimizeReadback _),
+    // planted-skew join: requires the AQE skew split in the executed
+    // plan AND salted-path parity before the oracle hash
+    "q134_skew_join"         -> (ops.Scale.skewJoinGate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -424,6 +427,7 @@ object SparkEntry {
     "q130_min_cost_supplier" -> ops.Olap.minCostSupplierSql,
     "q131_excess_stock"      -> ops.Olap.excessStockSql,
     "q132_grouping_sets"     -> ops.Analytics.groupingSetsRevenueSql,
-    "q133_optimize_compact"  -> ops.Scale.optimizeReadbackSql
+    "q133_optimize_compact"  -> ops.Scale.optimizeReadbackSql,
+    "q134_skew_join"         -> ops.Scale.skewJoinGateSql
   )
 }

@@ -386,6 +386,114 @@ object Scale {
        |WHERE o_orderkey IN (${PointKeys.mkString(", ")})
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+
+  /** q134 — PLANTED-SKEW JOIN GATE: the AQE skew-split demonstration
+    * promoted from ScaleSpec to an oracle-gated query. The big side
+    * plants a hot key carrying 80% of lineitem (the worst-case shape a
+    * power-law key column produces at 100 TB); the dim side is a
+    * 1000-key rollup of part. The function REQUIRES, at run time:
+    * (a) the executed plan split the skewed partition (`skew=true` on
+    * the sort-merge join — the no-code-change answer to skew), and
+    * (b) the manual salted path ([[saltedJoin]], the answer for skew
+    * beyond AQE's reach) produces the identical aggregate. The gate
+    * hash then proves both against DuckDB.
+    *
+    * Conf discipline: broadcast is disabled (a broadcast join would
+    * dissolve the skewed shuffle instead of exercising it),
+    * `forceOptimizeSkewedJoin` is on (the groupBy(k) after the join
+    * would otherwise let AQE skip the split to preserve
+    * co-partitioning), and the skew thresholds are SIZED FROM THE
+    * DATA (~80% of rows × row width / 8) so the split fires with
+    * ~8-16 sub-partitions at every scale factor — fixed byte
+    * thresholds would either miss at small SF or shatter the hot key
+    * into thousands of tasks at 10×. All four confs restore in
+    * finally. */
+  def skewJoinGate(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    // the payload column rides the shuffle: a key-only big side
+    // compresses to ~nothing (48k copies of literal 0L) and the
+    // byte-based skew detector never sees the hot partition
+    val big = li.select(
+      when(col("l_linenumber") % 5 =!= 0, lit(0L))
+        .otherwise(pmod(col("l_partkey"), lit(1000))).as("k"),
+      col("l_extendedprice").as("v"))
+    // localCheckpoint: OptimizeSkewedJoin pattern-matches
+    // SMJ(shuffle, shuffle) only — with the dim AGGREGATE between the
+    // join and its shuffle stage the rule skips silently; a real
+    // pre-built dim table is a plain scan, which the 1000-row
+    // checkpoint reproduces
+    val dim = graft.Tables.load(spark, dir, "part")
+      .groupBy(pmod(col("p_partkey"), lit(1000)).as("k"))
+      .agg(max(col("p_size")).cast("long").as("attr"))
+      .localCheckpoint()
+    def agg(joined: DataFrame): DataFrame = joined
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("attr")).as("attr_sum"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("revenue"))
+    val rows = li.count() // parquet metadata count, no scan
+    // ~80% of rows × ~16 B/row raw; thresholds at 1/4 and 1/16 of the
+    // estimate absorb shuffle compression and split the hot key into
+    // ~10 sub-partitions at EVERY scale factor — fixed bytes would
+    // miss at small SF or shatter the key into thousands of tasks at 10×
+    val hotBytes = math.max(1L, rows * 8 * 16 / 10)
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevF = conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      math.max(16384L, hotBytes / 4).toString)
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      math.max(4096L, hotBytes / 16).toString)
+    try {
+      // repartition(32) restores the MAPPER parallelism a real table
+      // has (skew splits at mapper granularity; the driver-generated
+      // single-row-group parquet scans as ONE task, which would make
+      // the hot partition structurally unsplittable — a 100 TB table
+      // has thousands of mappers and needs no such step)
+      val adaptive = agg(big.repartition(32).join(dim, Seq("k")))
+      // collect() finalizes THIS Dataset's adaptive plan (a count()
+      // would compile a separate query; the inspected plan would
+      // never finalize) — 1000 aggregate rows, driver-safe
+      val got = adaptive.collect()
+      val plan = adaptive.queryExecution.executedPlan.toString
+      require(plan.contains("skew=true"),
+        s"AQE did not split the planted skewed partition:\n$plan")
+      val salted = agg(saltedJoin(big, dim, "k", 16)).collect()
+      // counts and the decimal-backed sums are exact, so parity is
+      // bit-equality even across the differing shuffle orders
+      def keyed(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      require(keyed(salted) == keyed(got),
+        "salted join diverged from the AQE skew-split result")
+      adaptive.orderBy(col("k"))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", prevF)
+      conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
+  val skewJoinGateSql: String =
+    """WITH big AS (
+      |  SELECT CASE WHEN l_linenumber % 5 <> 0 THEN CAST(0 AS BIGINT)
+      |    ELSE l_partkey % 1000 END AS k,
+      |    l_extendedprice AS v
+      |  FROM lineitem),
+      |dim AS (
+      |  SELECT p_partkey % 1000 AS k, CAST(max(p_size) AS BIGINT) AS attr
+      |  FROM part GROUP BY 1)
+      |SELECT b.k, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(d.attr) AS BIGINT) AS attr_sum,
+      |  CAST(sum(CAST(b.v AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM big b JOIN dim d ON b.k = d.k
+      |GROUP BY b.k ORDER BY b.k""".stripMargin
+
   // ---------------------------------------------------------------- q133
 
   /** Session cache for the q133 OPTIMIZE demonstration: a

@@ -94,6 +94,18 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("q134 gate fires its internal requires at the smallest SF") {
+    // the gate self-checks (skew=true in the executed plan + salted
+    // parity) before returning; surviving at sf0.001 proves the
+    // data-derived thresholds scale DOWN as well as up
+    val rows = Scale.skewJoinGate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the planted hot key dominates: key 0 carries ~80% of lineitem
+    val hot = rows.find(_.getLong(0) == 0L).get.getLong(1)
+    assert(hot > rows.map(_.getLong(1)).sum / 2,
+      s"hot key carries $hot of ${rows.map(_.getLong(1)).sum} joined rows")
+  }
+
   test("salted join equals plain inner join") {
     val events = Tables.load(spark, sfDir, "events")
       .select("event_id", "user_id", "value")
