@@ -173,7 +173,7 @@ object Scale {
     * collided inside coarse mtime resolution (1 s on some
     * filesystems); any part-file added, removed, resized or re-stamped
     * changes this value. */
-  private def sourceFingerprint(path: String): Long = {
+  private[graft] def sourceFingerprint(path: String): Long = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty)

@@ -41,11 +41,17 @@ object DedupIngest {
     * accumulated matches. Multi-batch by construction: the staging
     * write splits the new docs over two files and the stream caps
     * files-per-trigger at one, so at least two real micro-batches
-    * execute (StreamingSpec additionally pins stream ≡ batch). Fresh
-    * temp dirs per call (always cold, like q84); the output is pinned
-    * via localCheckpoint and the work dir deleted before returning —
-    * on the failure path too (try/finally), so a crashed stream can't
-    * strand staging parquet + checkpoint under /tmp. */
+    * execute (StreamingSpec additionally pins stream ≡ batch).
+    *
+    * Staging discipline (round-7 verdict #4, the q104 split): the
+    * incoming landing zone and the sink seed are SESSION-CACHED via
+    * [[Staging]] — a production stream finds both on disk, so the
+    * measured body is stream execution (checkpointed micro-batches +
+    * the per-batch broadcast joins), not temp-dir parquet writes. The
+    * checkpoint and sink stay fresh per call so every micro-batch
+    * re-executes; the work dir is deleted before returning — on the
+    * failure path too (try/finally), so a crashed stream can't strand
+    * checkpoint state under /tmp. */
   def streamNearDupIngest(spark: SparkSession, dir: String): DataFrame =
     runIngest(spark, dir, identity)
 
@@ -53,9 +59,32 @@ object DedupIngest {
     * inject a mid-stream failure and assert cleanup. */
   private[graft] def runIngest(spark: SparkSession, dir: String,
                                tap: DataFrame => DataFrame): DataFrame = {
+    val stage = Staging.staged(spark, "q101",
+        graft.Tables.path(new java.io.File(dir).getCanonicalPath,
+          "documents")) { d =>
+      stageInto(spark, dir, s"$d/incoming", s"$d/seed")
+    }
     val work = java.nio.file.Files.createTempDirectory("graft_q101").toString
-    try runIngestIn(spark, dir, work, tap, _ => ())
+    try runIngestFrom(spark, dir, work, s"$stage/incoming",
+      s"$stage/seed", tap, _ => ())
     finally graft.util.Fs.deleteRecursively(new java.io.File(work))
+  }
+
+  /** Write the incoming batch (two files → two micro-batches) and the
+    * empty-matches sink seed. */
+  private def stageInto(spark: SparkSession, dir: String,
+                        srcDir: String, seedDir: String): Unit = {
+    graft.Tables.load(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(Dedup.IngestModulus)) === 0)
+      .select("doc_id", "text")
+      .repartition(2)
+      .write.parquet(srcDir)
+    // seed: an all-empty stream (foreachBatch never fires) must still
+    // read back as zero matches, not a missing-path error
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        matchSchema)
+      .write.parquet(seedDir)
   }
 
   /** The ingest stream over a CALLER-OWNED work dir, so a spec can
@@ -74,21 +103,22 @@ object DedupIngest {
   private[graft] def runIngestIn(spark: SparkSession, dir: String,
                                  work: String, tap: DataFrame => DataFrame,
                                  afterBatch: Long => Unit): DataFrame = {
-    val srcDir = s"$work/incoming"
+    if (!new java.io.File(s"$work/incoming").exists)
+      stageInto(spark, dir, s"$work/incoming", s"$work/matches/batch=-1")
+    runIngestFrom(spark, dir, work, s"$work/incoming",
+      s"$work/matches/batch=-1", tap, afterBatch)
+  }
+
+  /** The stream core over explicit staging: `srcDir` is the landing
+    * zone, `seedDir` holds the empty-matches seed part files (linked
+    * into the fresh sink — no Spark job); checkpoint and sink live
+    * under `work`. */
+  private def runIngestFrom(spark: SparkSession, dir: String, work: String,
+                            srcDir: String, seedDir: String,
+                            tap: DataFrame => DataFrame,
+                            afterBatch: Long => Unit): DataFrame = {
     val sinkDir = s"$work/matches"
-    if (!new java.io.File(srcDir).exists) {
-      val d = graft.Tables.load(spark, dir, "documents")
-      d.filter(pmod(col("doc_id"), lit(Dedup.IngestModulus)) === 0)
-        .select("doc_id", "text")
-        .repartition(2)
-        .write.parquet(srcDir)
-      // seed the sink: an all-empty stream (foreachBatch never fires)
-      // must still read back as zero matches, not a missing-path error
-      spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          matchSchema)
-        .write.parquet(s"$sinkDir/batch=-1")
-    }
+    Staging.linkInto(seedDir, s"$sinkDir/batch=-1")
     val index = Dedup.cappedCorpusIndex(spark, dir)
       .localCheckpoint() // computed once; micro-batches only re-join
     val q = spark.readStream.schema(incomingSchema)

@@ -186,34 +186,55 @@ object StatefulStreams {
     * Always cold (fresh staging + checkpoint per call, the q84/q101
     * class; Bench keeps its first measurement). */
   def streamingMvMonthly(spark: SparkSession, dir: String): DataFrame = {
+    // staging split (round-7 verdict #4, the q104 discipline): the
+    // landing zone + sink seed are session-cached; the measured body
+    // is the state-store stream itself (fresh checkpoint per call)
+    val stage = Staging.staged(spark, "q123",
+        graft.Tables.path(new java.io.File(dir).getCanonicalPath,
+          "orders")) { d =>
+      stageMvInto(spark, dir, s"$d/orders_in", s"$d/seed")
+    }
     val work = java.nio.file.Files.createTempDirectory("graft_q123").toString
-    try streamingMvMonthlyIn(spark, dir, work)
+    try runMvStream(spark, s"$stage/orders_in", s"$stage/seed", work)
     finally graft.util.Fs.deleteRecursively(new java.io.File(work))
   }
+
+  private def stageMvInto(spark: SparkSession, dir: String,
+                          srcDir: String, seedDir: String): Unit = {
+    graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderdate"), col("o_totalprice"))
+      .repartition(2)
+      .write.parquet(srcDir)
+    // seed with the emission schema so an all-empty source still
+    // reads back as an empty MV, not a missing-path error
+    monthlyAgg(spark.read.parquet(srcDir)).limit(0)
+      .write.parquet(seedDir)
+  }
+
+  private def monthlyAgg(df: DataFrame): DataFrame =
+    df.withColumn("order_month",
+        date_format(col("o_orderdate"), "yyyy-MM"))
+      .groupBy(col("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
 
   /** [[streamingMvMonthly]] over a CALLER-OWNED work dir, so the spec
     * can inspect the per-batch emission log (which months each
     * trigger re-emitted, with which running totals) after the run. */
   private[graft] def streamingMvMonthlyIn(spark: SparkSession, dir: String,
                                           work: String): DataFrame = {
+    stageMvInto(spark, dir, s"$work/orders_in", s"$work/mv/batch=-1")
+    runMvStream(spark, s"$work/orders_in", s"$work/mv/batch=-1", work)
+  }
+
+  /** The stream core over explicit staging (seed linked into the
+    * fresh sink — no Spark job; checkpoint + sink under `work`). */
+  private def runMvStream(spark: SparkSession, srcDir: String,
+                          seedDir: String, work: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     {
-      val srcDir = s"$work/orders_in"
       val sinkDir = s"$work/mv"
-      graft.Tables.load(spark, dir, "orders")
-        .select(col("o_orderdate"), col("o_totalprice"))
-        .repartition(2)
-        .write.parquet(srcDir)
-      def monthlyAgg(df: DataFrame): DataFrame =
-        df.withColumn("order_month",
-            date_format(col("o_orderdate"), "yyyy-MM"))
-          .groupBy(col("order_month"))
-          .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
-      // seed with the emission schema so an all-empty source still
-      // reads back as an empty MV, not a missing-path error
-      monthlyAgg(spark.read.parquet(srcDir)).limit(0)
-        .write.parquet(s"$sinkDir/batch=-1")
+      Staging.linkInto(seedDir, s"$sinkDir/batch=-1")
       val q = monthlyAgg(
           spark.readStream.schema(spark.read.parquet(srcDir).schema)
             .option("maxFilesPerTrigger", "1")
