@@ -283,7 +283,16 @@ object SparkEntry {
     "q133_optimize_compact"  -> (ops.Scale.optimizeReadback _),
     // planted-skew join: requires the AQE skew split in the executed
     // plan AND salted-path parity before the oracle hash
-    "q134_skew_join"         -> (ops.Scale.skewJoinGate _)
+    "q134_skew_join"         -> (ops.Scale.skewJoinGate _),
+    // classic decision-support tier, second tranche: TPC-H Q6, Q7,
+    // Q8, Q9, Q10, Q15, Q16 adapted to the testdata schema
+    "q135_forecast_revenue"  -> (ops.Olap.forecastRevenue _),
+    "q136_volume_shipping"   -> (ops.Olap.volumeShipping _),
+    "q137_market_share"      -> (ops.Olap.marketShare _),
+    "q138_product_profit"    -> (ops.Olap.productProfit _),
+    "q139_returned_items"    -> (ops.Olap.returnedItems _),
+    "q140_top_supplier"      -> (ops.Olap.topSupplier _),
+    "q141_part_supplier_counts" -> (ops.Olap.partSupplierCounts _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -428,6 +437,13 @@ object SparkEntry {
     "q131_excess_stock"      -> ops.Olap.excessStockSql,
     "q132_grouping_sets"     -> ops.Analytics.groupingSetsRevenueSql,
     "q133_optimize_compact"  -> ops.Scale.optimizeReadbackSql,
-    "q134_skew_join"         -> ops.Scale.skewJoinGateSql
+    "q134_skew_join"         -> ops.Scale.skewJoinGateSql,
+    "q135_forecast_revenue"  -> ops.Olap.forecastRevenueSql,
+    "q136_volume_shipping"   -> ops.Olap.volumeShippingSql,
+    "q137_market_share"      -> ops.Olap.marketShareSql,
+    "q138_product_profit"    -> ops.Olap.productProfitSql,
+    "q139_returned_items"    -> ops.Olap.returnedItemsSql,
+    "q140_top_supplier"      -> ops.Olap.topSupplierSql,
+    "q141_part_supplier_counts" -> ops.Olap.partSupplierCountsSql
   )
 }

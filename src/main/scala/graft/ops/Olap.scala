@@ -539,4 +539,214 @@ object Olap {
     Tables.registerViews(spark, dir)
     spark.sql(excessStockSql)
   }
+
+  /** q135 — TPC-H Q6: the single-scan forecasting filter-aggregate.
+    * Three pushed range predicates, one exact-decimal sum of per-row
+    * IEEE products, one output row — the simplest shape in the suite
+    * and the purest pushdown test (the scan must read 4 columns and
+    * the filters must reach parquet). */
+  val forecastRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(forecastRevenueSql)
+  }
+
+  /** q136 — TPC-H Q7 shape: volume shipping between two REGIONS (the
+    * original's nation pair is empty at the smallest SF; the
+    * disjunction-of-cross-pairs structure — the part that stresses the
+    * planner — is identical). Six-way join with nation/region on BOTH
+    * ends of the lineitem, symmetric OR condition, per-direction
+    * yearly rollup in exact decimal. */
+  val volumeShippingSql: String =
+    """SELECT supp_region, cust_region, l_year,
+      |  CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+      |    year(l.l_shipdate) AS l_year,
+      |    l.l_extendedprice * (1.0 - l.l_discount) AS volume
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer cu ON cu.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      |  JOIN nation n2 ON cu.c_nationkey = n2.n_nationkey
+      |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |  WHERE ((r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+      |      OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'))
+      |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_region, cust_region, l_year
+      |ORDER BY supp_region, cust_region, l_year""".stripMargin
+
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(volumeShippingSql)
+  }
+
+  /** q137 — TPC-H Q8: national market share — the ratio of two
+    * conditional sums over an eight-way join (part type filter, the
+    * consumer region on the customer path, the SHARE nation on the
+    * supplier path). Both sums exact decimal, surfaced as doubles
+    * once, divided in identical parse-tree order (one SQL text). */
+  val marketShareSql: String =
+    """SELECT o_year,
+      |  CAST(CAST(sum(CASE WHEN nation = 'NATION_7'
+      |      THEN CAST(volume AS DECIMAL(18,4))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT year(o.o_orderdate) AS o_year,
+      |    l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+      |    n2.n_name AS nation
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer cu ON cu.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON cu.c_nationkey = n1.n_nationkey
+      |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+      |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(marketShareSql)
+  }
+
+  /** q138 — TPC-H Q9: product-type profit by nation and year. The
+    * supply cost comes from the q130 partsupp-emulation CTE (min unit
+    * price per pair), joined back on BOTH keys; amount = revenue −
+    * cost×quantity per line, summed per (nation, year). The LIKE
+    * filter on part name is the Q9 signature predicate.
+    *
+    * Float discipline, one level stricter than the q125-q127 class:
+    * the whole profit expression runs in EXACT DECIMAL, and the cost
+    * model avoids division entirely. Two rejected spellings, recorded
+    * because both fail subtly: casting the double difference rounds
+    * through the shortest-representation boundary differently per
+    * engine (5 rows off by 1e-4 at sf0.01), and casting a unit-price
+    * DIVISION to decimal disagrees on ~20% of groups (unbounded
+    * expansions tie-break differently at any scale). Here cost =
+    * 5% of the pair's min line revenue per unit — min over the
+    * dsum-proven decimal cast of the raw column, then only decimal
+    * multiplications (scales 2+2+2→6) and subtraction, all exact. */
+  val productProfitSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |           AS ps_mincost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT nation, o_year,
+      |  CAST(sum(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+      |    CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))
+      |      - ps.ps_mincost * CAST(0.05 AS DECIMAL(4,2))
+      |        * CAST(l.l_quantity AS DECIMAL(9,2))
+      |      AS amount
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN ps ON ps.ps_partkey = l.l_partkey
+      |         AND ps.ps_suppkey = l.l_suppkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE p.p_name LIKE '%gear%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(productProfitSql)
+  }
+
+  /** q139 — TPC-H Q10: returned-item reporting — top-20 customers by
+    * revenue lost to returns in one quarter. Wide GROUP BY carrying
+    * customer payload columns through the aggregate, ordered top-k
+    * (TakeOrderedAndProject) with the unique custkey tie-break so the
+    * limit is deterministic. */
+  val returnedItemsSql: String =
+    """SELECT c.c_custkey, c.c_name,
+      |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  c.c_acctbal, n.n_name, c.c_mktsegment
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(returnedItemsSql)
+  }
+
+  /** q140 — TPC-H Q15: top supplier — a revenue CTE consumed TWICE,
+    * once as the join input and once under an uncorrelated scalar
+    * max() subquery; the equality compares doubles both engines
+    * compute from the same exact-decimal sum, so it's bit-stable.
+    * Catalyst evaluates the scalar once (not per row). */
+  val topSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, r.total_revenue
+      |FROM supplier s
+      |JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(topSupplierSql)
+  }
+
+  /** q141 — TPC-H Q16: parts/supplier relationship count — DISTINCT
+    * pair derivation (the partsupp emulation's set form), a NOT-IN
+    * exclusion subquery over supplier (negative balances standing in
+    * for Q16's complaint suppliers), negated predicates on the part
+    * side, and count(DISTINCT supplier) per (brand, type, size). */
+  val partSupplierCountsSql: String =
+    """WITH ps AS (
+      |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |  FROM lineitem)
+      |SELECT p.p_brand, p.p_type, p.p_size,
+      |  CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ps
+      |JOIN part p ON p.p_partkey = ps.ps_partkey
+      |WHERE p.p_brand <> 'Brand#45'
+      |  AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+      |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND ps.ps_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin
+
+  def partSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(partSupplierCountsSql)
+  }
 }

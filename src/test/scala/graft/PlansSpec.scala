@@ -358,6 +358,46 @@ class PlansSpec extends SparkSuite {
       !p31.contains("BroadcastNestedLoopJoin"), p31)
   }
 
+  test("q135-q141 second decision-support tranche plans clean") {
+    // Q6: pure pushdown — all three filters reach the parquet scan,
+    // 4-column read schema, map-side partial aggregate
+    val p35 = plan("q135_forecast_revenue")
+    assert(p35.contains("PushedFilters: [") && p35.contains("l_shipdate") &&
+      p35.contains("l_discount") && p35.contains("l_quantity"),
+      s"Q6 filters not pushed:\n$p35")
+    assert(p35.contains("partial_"), s"Q6 must map-side combine:\n$p35")
+    // Q7/Q8: the deep snowflake joins keep every dim broadcast and
+    // never degenerate
+    Seq("q136_volume_shipping", "q137_market_share").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost broadcast dims:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+    // Q9: the two-key cost join is an equi-join over ONE aggregate of
+    // lineitem — no per-row anything
+    val p38 = plan("q138_product_profit")
+    assert(!p38.toLowerCase.contains("scalarsubquery"), p38)
+    assert(!p38.contains("CartesianProduct") &&
+      !p38.contains("BroadcastNestedLoopJoin"), p38)
+    // Q10: ordered top-20 must plan as TakeOrderedAndProject, not a
+    // global sort
+    val p39 = plan("q139_returned_items")
+    assert(p39.contains("TakeOrderedAndProject"),
+      s"Q10 top-k lost TakeOrderedAndProject:\n$p39")
+    // Q15: the uncorrelated max() evaluates once as a scalar (that IS
+    // the efficient plan); what must not appear is a join-shaped
+    // per-row fallback
+    val p40 = plan("q140_top_supplier")
+    assert(!p40.contains("CartesianProduct") &&
+      !p40.contains("BroadcastNestedLoopJoin"), p40)
+    // Q16: the NOT IN exclusion becomes an anti join
+    val p41 = plan("q141_part_supplier_counts")
+    assert(p41.contains("LeftAnti"), s"Q16 NOT IN not an anti join:\n$p41")
+    assert(!p41.contains("CartesianProduct") &&
+      !p41.contains("BroadcastNestedLoopJoin"), p41)
+  }
+
   test("q105 retention shuffles the event stream exactly once") {
     // the per-user aggregation is the only exchange keyed on user_id;
     // everything downstream works on user- or day-sized tables
