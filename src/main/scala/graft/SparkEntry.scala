@@ -292,7 +292,11 @@ object SparkEntry {
     "q138_product_profit"    -> (ops.Olap.productProfit _),
     "q139_returned_items"    -> (ops.Olap.returnedItems _),
     "q140_top_supplier"      -> (ops.Olap.topSupplier _),
-    "q141_part_supplier_counts" -> (ops.Olap.partSupplierCounts _)
+    "q141_part_supplier_counts" -> (ops.Olap.partSupplierCounts _),
+    // Q11: HAVING against an uncorrelated scalar subquery, CTE x2
+    "q142_important_stock"   -> (ops.Olap.importantStock _),
+    // Q12: join-then-conditional-count cross-tab
+    "q143_priority_crosstab" -> (ops.Olap.urgencyCrosstab _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -444,6 +448,8 @@ object SparkEntry {
     "q138_product_profit"    -> ops.Olap.productProfitSql,
     "q139_returned_items"    -> ops.Olap.returnedItemsSql,
     "q140_top_supplier"      -> ops.Olap.topSupplierSql,
-    "q141_part_supplier_counts" -> ops.Olap.partSupplierCountsSql
+    "q141_part_supplier_counts" -> ops.Olap.partSupplierCountsSql,
+    "q142_important_stock"   -> ops.Olap.importantStockSql,
+    "q143_priority_crosstab" -> ops.Olap.urgencyCrosstabSql
   )
 }

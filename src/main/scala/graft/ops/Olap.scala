@@ -749,4 +749,61 @@ object Olap {
     Tables.registerViews(spark, dir)
     spark.sql(partSupplierCountsSql)
   }
+
+  /** q142 — TPC-H Q11: important stock — per-part value inside a
+    * nation set, kept only where it exceeds a FRACTION OF THE TOTAL:
+    * the HAVING-against-uncorrelated-scalar-subquery shape, with the
+    * scoped CTE consumed twice (the grouped aggregate and the global
+    * total). Value = exact-decimal sum of line revenue per pair (the
+    * partsupp emulation, no division anywhere); the HAVING compare is
+    * between doubles both engines derive from identical decimal sums.
+    * The scalar evaluates ONCE — PlansSpec pins no join-shaped
+    * per-row fallback. */
+  val importantStockSql: String =
+    """WITH ps AS (
+      |  SELECT l.l_partkey AS ps_partkey, l.l_suppkey AS ps_suppkey,
+      |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+      |      AS DECIMAL(18,2)) AS ps_value
+      |  FROM lineitem l GROUP BY 1, 2),
+      |scoped AS (
+      |  SELECT ps.ps_partkey, ps.ps_value
+      |  FROM ps
+      |  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE n.n_name IN ('NATION_3', 'NATION_9', 'NATION_14'))
+      |SELECT ps_partkey, CAST(sum(ps_value) AS DOUBLE) AS value
+      |FROM scoped
+      |GROUP BY ps_partkey
+      |HAVING CAST(sum(ps_value) AS DOUBLE) > (
+      |  SELECT CAST(sum(ps_value) AS DOUBLE) * 1e-3 FROM scoped)
+      |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(importantStockSql)
+  }
+
+  /** q143 — TPC-H Q12: shipping-priority cross-tab — per line class
+    * (returnflag standing in for the absent shipmode column), the
+    * two-way CASE counts of urgent vs non-urgent ORDER priority over
+    * a one-year window: the join-then-conditional-count shape whose
+    * classic failure is computing the CASEs before the join drops
+    * unmatched rows. Integer sums, no float surface at all. */
+  val urgencyCrosstabSql: String =
+    """SELECT l.l_returnflag,
+      |  CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l.l_returnflag IN ('A', 'R')
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
+  def urgencyCrosstab(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(urgencyCrosstabSql)
+  }
 }

@@ -292,6 +292,36 @@ object DeltaLog {
   val deltaTimeTravelSql: String =
     """SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"""
 
+  /** VACUUM: delete data files no longer referenced by any of the
+    * last `keepVersions` snapshots (Delta's VACUUM with a
+    * version-count retention horizon instead of a wall-clock one —
+    * deterministic in tests, same reader contract: time travel to a
+    * retained version keeps working; travel past the horizon fails on
+    * missing files rather than reading wrong data). Only files under
+    * the table root are candidates; the log itself is never touched
+    * (history stays auditable, as Delta's VACUUM leaves it). Returns
+    * the deleted relative paths. */
+  def vacuum(tableDir: String, keepVersions: Int): Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val vs = versions(tableDir)
+    if (vs.isEmpty) return Seq.empty
+    val keep = vs.takeRight(keepVersions)
+    val live: Set[String] = keep.flatMap(v => replay(tableDir, v).files).toSet
+    // every file any version EVER added (relative paths only — the
+    // log is the complete registry, no directory walk needed)
+    val everAdded: Seq[String] = vs.flatMap { v =>
+      Files.readAllLines(commitFile(tableDir, v).toPath).asScala
+        .filter(_.nonEmpty)
+        .map(mapper.readTree)
+        .filter(_.has("add"))
+        .map(_.get("add").get("path").asText)
+    }.distinct.filterNot(p => p.startsWith("/") || p.contains("://"))
+    // return only what THIS call removed (already-gone files make a
+    // second vacuum a no-op, not a repeat report)
+    everAdded.filterNot(live.contains)
+      .filter(p => Files.deleteIfExists(Paths.get(tableDir, p)))
+  }
+
   /** Export every committed version of a [[Snapshots]] table as a
     * Delta-layout table — version k of the log reproduces version
     * `versions(k)` of the snapshots (each Snapshots version is a full

@@ -148,6 +148,29 @@ class DeltaLogSpec extends SparkSuite {
     assert(df.schema.fieldNames.toSeq == Seq("k", "s"))
   }
 
+  test("vacuum drops files outside the retention horizon, keeps the frontier") {
+    val dir = Files.createTempDirectory("dlogvac").toString + "/t"
+    sources.DeltaLog.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitOverwrite(Seq((2L, "b")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitOverwrite(Seq((3L, "c")).toDF("k", "s"), dir)
+    // keep 2: version 0's files die, versions 1 and 2 stay readable
+    val dead = sources.DeltaLog.vacuum(dir, 2)
+    assert(dead.nonEmpty && dead.forall(_.startsWith("part-v0/")))
+    dead.foreach(p => assert(!new java.io.File(dir, p).exists))
+    assert(sources.DeltaLog.readVersion(spark, dir, 1)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // the log itself survives (history auditable); a read past the
+    // horizon fails on missing files, never silently returns wrong data
+    assert(sources.DeltaLog.versions(dir) == Seq(0L, 1L, 2L))
+    intercept[Exception] {
+      sources.DeltaLog.readVersion(spark, dir, 0).collect()
+    }
+    // idempotent: nothing else to delete
+    assert(sources.DeltaLog.vacuum(dir, 2).isEmpty)
+  }
+
   test("q128/q129 gate shape: overwrite honored, time travel pinned") {
     val latest = sources.DeltaLog.deltaRead(spark, sfDir)
     val pinned = sources.DeltaLog.deltaTimeTravel(spark, sfDir)

@@ -396,6 +396,16 @@ class PlansSpec extends SparkSuite {
     assert(p41.contains("LeftAnti"), s"Q16 NOT IN not an anti join:\n$p41")
     assert(!p41.contains("CartesianProduct") &&
       !p41.contains("BroadcastNestedLoopJoin"), p41)
+    // Q11: the HAVING's uncorrelated total evaluates once as a scalar;
+    // no join-shaped per-row fallback
+    val p42 = plan("q142_important_stock")
+    assert(!p42.contains("CartesianProduct") &&
+      !p42.contains("BroadcastNestedLoopJoin"), p42)
+    // Q12: the conditional counts ride ONE join + one partial-agg pass
+    val p43 = plan("q143_priority_crosstab")
+    assert(p43.contains("partial_"), s"Q12 must map-side combine:\n$p43")
+    assert(!p43.contains("CartesianProduct") &&
+      !p43.contains("BroadcastNestedLoopJoin"), p43)
   }
 
   test("q105 retention shuffles the event stream exactly once") {
