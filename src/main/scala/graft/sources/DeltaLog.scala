@@ -25,13 +25,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * is spelled exactly as the open spec spells it — readable by any
   * Delta client and produced/consumed here with no Delta jars.
   *
-  * Scope (documented, deliberate): JSON commits only — no parquet
-  * checkpoint files (a synthetic log of tens of commits replays in
-  * microseconds; checkpoints are a replay shortcut, not a correctness
-  * feature), no deletion vectors, no column mapping. Those are
-  * `protocol`-gated features: [[replay]] `require`s
-  * minReaderVersion == 1, so a log that needs them fails loudly
-  * instead of reading wrong data.
+  * Scope (documented, deliberate): JSON commits plus parquet
+  * CHECKPOINTS ([[checkpoint]] writes the spec's one-row-per-action
+  * shape + `_last_checkpoint`; session-backed replays seed from it
+  * and read only the JSON tail — O(commits since checkpoint), the
+  * reason the format has checkpoints at all). No deletion vectors, no
+  * column mapping: those are `protocol`-gated features, and [[replay]]
+  * `require`s minReaderVersion == 1 so a log that needs them fails
+  * loudly instead of reading wrong data.
   *
   * Scale: log replay is DRIVER-SIDE over commit files — metadata
   * proportional to file count, never data size; this is exactly what
@@ -69,48 +70,78 @@ object DeltaLog {
     def files: Seq[String] = addPartitionValues.keys.toSeq.sorted
   }
 
-  private[graft] def replay(tableDir: String, version: Long): State = {
-    val vs = versions(tableDir)
-    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
-    require(vs.contains(version),
-      s"version $version not in log (have ${vs.mkString(",")})")
+  /** Test seam: JSON commit files the last replay actually read —
+    * a checkpoint-seeded replay reads only the tail. */
+  @volatile private[graft] var lastJsonCommitsRead: Int = 0
+
+  private class Replayer {
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
     // insertion-ordered so `files` ties break deterministically
     val adds = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, String]]
-    vs.takeWhile(_ <= version).foreach { v =>
-      Files.readAllLines(commitFile(tableDir, v).toPath).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
-          if (node.has("protocol")) {
-            val r = node.get("protocol").get("minReaderVersion").asInt
-            require(r == 1,
-              s"unsupported Delta minReaderVersion $r (reader supports 1: " +
-                "no checkpoints / deletion vectors / column mapping)")
-          }
-          if (node.has("metaData")) {
-            val md = node.get("metaData")
-            schema = DataType.fromJson(md.get("schemaString").asText)
-              .asInstanceOf[StructType]
-            partCols = md.get("partitionColumns").elements().asScala
-              .map(_.asText).toSeq
-          }
-          if (node.has("add")) {
-            val a = node.get("add")
-            val pv =
-              if (a.has("partitionValues"))
-                a.get("partitionValues").properties().asScala
-                  .map(e => e.getKey -> e.getValue.asText).toMap
-              else Map.empty[String, String]
-            adds.put(a.get("path").asText, pv)
-          }
-          if (node.has("remove"))
-            adds.remove(node.get("remove").get("path").asText)
-        }
+    def applyLine(line: String): Unit = {
+      val node = mapper.readTree(line)
+      if (node.has("protocol")) {
+        val r = node.get("protocol").get("minReaderVersion").asInt
+        require(r == 1,
+          s"unsupported Delta minReaderVersion $r (reader supports 1: " +
+            "no deletion vectors / column mapping)")
+      }
+      if (node.has("metaData")) {
+        val md = node.get("metaData")
+        schema = DataType.fromJson(md.get("schemaString").asText)
+          .asInstanceOf[StructType]
+        partCols = md.get("partitionColumns").elements().asScala
+          .map(_.asText).toSeq
+      }
+      if (node.has("add")) {
+        val a = node.get("add")
+        val pv =
+          if (a.has("partitionValues"))
+            a.get("partitionValues").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText).toMap
+          else Map.empty[String, String]
+        adds.put(a.get("path").asText, pv)
+      }
+      if (node.has("remove"))
+        adds.remove(node.get("remove").get("path").asText)
     }
-    require(schema != null, s"log through $version carries no metaData")
-    State(schema, partCols, adds.toMap)
+    def state(version: Long): State = {
+      require(schema != null, s"log through $version carries no metaData")
+      State(schema, partCols, adds.toMap)
+    }
+  }
+
+  private[graft] def replay(tableDir: String, version: Long): State =
+    replayMaybeCheckpointed(None, tableDir, version)
+
+  /** Replay to `version`. With a session available, a `_last_checkpoint`
+    * at version c ≤ `version` seeds the state from the checkpoint
+    * parquet and only the JSON commits in (c, version] are read —
+    * O(tail), the reason the format has checkpoints at all. Without a
+    * session (or for time travel BEFORE the checkpoint) the pure-JSON
+    * path replays from 0: same answer, linear cost, still
+    * metadata-sized. */
+  private def replayMaybeCheckpointed(spark: Option[SparkSession],
+      tableDir: String, version: Long): State = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    require(vs.contains(version),
+      s"version $version not in log (have ${vs.mkString(",")})")
+    val r = new Replayer
+    val from: Long = (spark, lastCheckpointVersion(tableDir)) match {
+      case (Some(s), Some(c)) if c <= version =>
+        seedFromCheckpoint(s, tableDir, c, r); c + 1
+      case _ => Long.MinValue
+    }
+    val tail = vs.filter(v => v >= from && v <= version)
+    lastJsonCommitsRead = tail.size
+    tail.foreach { v =>
+      Files.readAllLines(commitFile(tableDir, v).toPath).asScala
+        .filter(_.nonEmpty).foreach(r.applyLine)
+    }
+    r.state(version)
   }
 
   /** Latest snapshot. */
@@ -122,7 +153,7 @@ object DeltaLog {
     * columns come from the log's per-file `partitionValues`. */
   def readVersion(spark: SparkSession, tableDir: String,
                   version: Long): DataFrame = {
-    val st = replay(tableDir, version)
+    val st = replayMaybeCheckpointed(Some(spark), tableDir, version)
     val dataSchema = StructType(
       st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
     def resolve(p: String) =
@@ -153,6 +184,101 @@ object DeltaLog {
       }.reduce(_ unionByName _)
         .select(st.schema.map(f => col(f.name)): _*)
     }
+  }
+
+  // ---------------------------------------------------------------
+  // Checkpoints (the open spec's replay shortcut)
+  // ---------------------------------------------------------------
+
+  private def checkpointFile(tableDir: String, v: Long) =
+    new File(logDir(tableDir), f"$v%020d.checkpoint.parquet")
+
+  private def lastCheckpointVersion(tableDir: String): Option[Long] = {
+    val f = new File(logDir(tableDir), "_last_checkpoint")
+    if (!f.isFile) None
+    else Some(mapper.readTree(
+      new String(Files.readAllBytes(f.toPath), "UTF-8"))
+      .get("version").asLong)
+  }
+
+  /** Write a checkpoint of the CURRENT latest version: one parquet
+    * file in the spec's checkpoint shape — one row per live action,
+    * top-level nullable `protocol` / `metaData` / `add` structs —
+    * plus the `_last_checkpoint` pointer. Replay cost for later reads
+    * drops from O(commits) to O(commits since checkpoint); JSON
+    * commits stay on disk (history auditable, pre-checkpoint time
+    * travel still replays them). Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, tableDir: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val v = versions(tableDir).last
+    val st = replay(tableDir, v)
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val metaDataT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val ckptT = StructType(Seq(
+      StructField("protocol", protocolT, nullable = true),
+      StructField("metaData", metaDataT, nullable = true),
+      StructField("add", addT, nullable = true)))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Row(1, 2), null, null))
+    rows.add(Row(null,
+      Row("ckpt", st.schema.json, st.partitionColumns), null))
+    st.files.foreach { f =>
+      rows.add(Row(null, null,
+        Row(f, st.addPartitionValues(f), 0L, 0L, true)))
+    }
+    // stage through a temp dir: Spark writes a directory, the spec
+    // wants a single file at <v>.checkpoint.parquet
+    val tmp = Files.createTempDirectory("dl_ckpt").toString + "/w"
+    spark.createDataFrame(rows, ckptT).coalesce(1).write.parquet(tmp)
+    val part = new File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, checkpointFile(tableDir, v).toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    graft.util.Fs.deleteRecursively(new File(tmp).getParentFile)
+    val lc = mapper.createObjectNode()
+    lc.put("version", v).put("size", rows.size.toLong)
+    val tmpLc = Files.createTempFile(
+      Paths.get(logDir(tableDir)), "._last_checkpoint-", ".tmp")
+    Files.write(tmpLc, mapper.writeValueAsString(lc).getBytes("UTF-8"))
+    Files.move(tmpLc, Paths.get(logDir(tableDir), "_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  private def seedFromCheckpoint(spark: SparkSession, tableDir: String,
+                                 v: Long, r: Replayer): Unit = {
+    spark.read.parquet(checkpointFile(tableDir, v).getPath)
+      .collect().foreach { row =>
+        if (!row.isNullAt(row.fieldIndex("protocol"))) {
+          val p = row.getStruct(row.fieldIndex("protocol"))
+          require(p.getInt(0) == 1,
+            s"unsupported Delta minReaderVersion ${p.getInt(0)}")
+        }
+        if (!row.isNullAt(row.fieldIndex("metaData"))) {
+          val m = row.getStruct(row.fieldIndex("metaData"))
+          r.schema = DataType.fromJson(m.getString(1))
+            .asInstanceOf[StructType]
+          r.partCols = m.getSeq[String](2)
+        }
+        if (!row.isNullAt(row.fieldIndex("add"))) {
+          val a = row.getStruct(row.fieldIndex("add"))
+          r.adds.put(a.getString(0),
+            Option(a.getMap[String, String](1)).map(_.toMap)
+              .getOrElse(Map.empty))
+        }
+      }
   }
 
   // ---------------------------------------------------------------

@@ -171,6 +171,42 @@ class DeltaLogSpec extends SparkSuite {
     assert(sources.DeltaLog.vacuum(dir, 2).isEmpty)
   }
 
+  test("checkpoint seeds replay: only the JSON tail is read, answers equal") {
+    val dir = Files.createTempDirectory("dlogc").toString + "/t"
+    (1 to 8).foreach { i =>
+      sources.DeltaLog.commitOverwrite(
+        Seq((i.toLong, s"v$i")).toDF("k", "s"), dir)
+    }
+    // pure-JSON baseline: reading v7 replays all 8 commits
+    val before = sources.DeltaLog.read(spark, dir).collect()
+    assert(sources.DeltaLog.lastJsonCommitsRead == 8)
+    val cv = sources.DeltaLog.checkpoint(spark, dir)
+    assert(cv == 7L)
+    // two more commits after the checkpoint
+    sources.DeltaLog.commitOverwrite(Seq((9L, "v9")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitOverwrite(Seq((10L, "v10")).toDF("k", "s"), dir)
+    val got = sources.DeltaLog.read(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(sources.DeltaLog.lastJsonCommitsRead == 2,
+      s"checkpoint-seeded replay read ${sources.DeltaLog.lastJsonCommitsRead}" +
+        " JSON commits; expected only the post-checkpoint tail")
+    // state AT the checkpoint version equals the pure-JSON answer
+    val atCkpt = sources.DeltaLog.readVersion(spark, dir, 7).collect()
+    assert(atCkpt.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      before.map(r => (r.getLong(0), r.getString(1))).toSeq)
+    assert(sources.DeltaLog.lastJsonCommitsRead == 0,
+      "reading the checkpointed version itself needs no JSON commits")
+    // time travel BEFORE the checkpoint falls back to full JSON replay
+    assert(sources.DeltaLog.readVersion(spark, dir, 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(sources.DeltaLog.lastJsonCommitsRead == 3)
+    // the checkpoint parquet carries the spec's column shape
+    val ckpt = spark.read.parquet(
+      s"$dir/_delta_log/${"%020d".format(7)}.checkpoint.parquet")
+    assert(ckpt.schema.fieldNames.toSet == Set("protocol", "metaData", "add"))
+    assert(ckpt.select("add.path").na.drop().count() == 1)
+  }
+
   test("q128/q129 gate shape: overwrite honored, time travel pinned") {
     val latest = sources.DeltaLog.deltaRead(spark, sfDir)
     val pinned = sources.DeltaLog.deltaTimeTravel(spark, sfDir)
