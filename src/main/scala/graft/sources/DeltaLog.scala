@@ -166,23 +166,41 @@ object DeltaLog {
       spark.read.schema(dataSchema)
         .parquet(st.files.map(resolve): _*)
     else {
-      // one scan per distinct partition tuple, partition columns
-      // restored as typed literals FROM THE LOG (the spec's source of
-      // truth — file paths are opaque)
-      val groups = st.addPartitionValues.toSeq
-        .groupBy(_._2).toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
-      groups.map { case (pv, files) =>
-        val base = spark.read.schema(dataSchema)
-          .parquet(files.map(f => resolve(f._1)): _*)
-        st.partitionColumns.foldLeft(base) { (df, c) =>
-          val t = st.schema(c).dataType
-          // Delta spells a null partition value as JSON null
-          val v = pv.get(c).filter(_ != null)
-          df.withColumn(c,
-            v.map(s => lit(s).cast(t)).getOrElse(lit(null).cast(t)))
-        }
-      }.reduce(_ unionByName _)
-        .select(st.schema.map(f => col(f.name)): _*)
+      // ONE scan of every live file + a broadcast join against the
+      // log's per-file partitionValues, keyed on the file basename
+      // (unique by construction in any real Delta table — UUID part
+      // names; required loudly here). Partition columns are restored
+      // as typed casts FROM THE LOG, the spec's source of truth —
+      // file paths are opaque. A per-partition-tuple scan would build
+      // a union of thousands of plans at real partition counts; this
+      // stays one scan + one broadcast hash join at any count.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.functions.{broadcast, input_file_name,
+        regexp_extract}
+      import org.apache.spark.sql.types.{StringType, StructField}
+      def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+      val names = st.files.map(base)
+      require(names.distinct.size == names.size,
+        "duplicate data-file basenames in one snapshot — cannot key " +
+          "partitionValues by file identity")
+      val pvRows: java.util.List[Row] = st.addPartitionValues.toSeq
+        .map { case (p, pv) =>
+          Row.fromSeq(base(p) +:
+            st.partitionColumns.map(c => pv.get(c).filter(_ != null).orNull))
+        }.asJava
+      val pvT = StructType(StructField("_file", StringType) +:
+        st.partitionColumns.map(c =>
+          StructField(s"_pv_$c", StringType, nullable = true)))
+      val pvDf = spark.createDataFrame(pvRows, pvT)
+      spark.read.schema(dataSchema).parquet(st.files.map(resolve): _*)
+        .withColumn("_file",
+          regexp_extract(input_file_name(), "[^/]+$", 0))
+        .join(broadcast(pvDf), Seq("_file"))
+        .select(st.schema.map { f =>
+          if (st.partitionColumns.contains(f.name))
+            col(s"_pv_${f.name}").cast(f.dataType).as(f.name)
+          else col(f.name)
+        }: _*)
     }
   }
 
