@@ -296,7 +296,10 @@ object SparkEntry {
     // Q11: HAVING against an uncorrelated scalar subquery, CTE x2
     "q142_important_stock"   -> (ops.Olap.importantStock _),
     // Q12: join-then-conditional-count cross-tab
-    "q143_priority_crosstab" -> (ops.Olap.urgencyCrosstab _)
+    "q143_priority_crosstab" -> (ops.Olap.urgencyCrosstab _),
+    // LEFT OUTER interval join (the null-padding corner q67's inner
+    // join never hits); streaming twin spec-held to this batch form
+    "q144_unattributed_funnel" -> (streaming.Sessions.unattributedFunnel _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -450,6 +453,7 @@ object SparkEntry {
     "q140_top_supplier"      -> ops.Olap.topSupplierSql,
     "q141_part_supplier_counts" -> ops.Olap.partSupplierCountsSql,
     "q142_important_stock"   -> ops.Olap.importantStockSql,
-    "q143_priority_crosstab" -> ops.Olap.urgencyCrosstabSql
+    "q143_priority_crosstab" -> ops.Olap.urgencyCrosstabSql,
+    "q144_unattributed_funnel" -> streaming.Sessions.unattributedFunnelSql
   )
 }

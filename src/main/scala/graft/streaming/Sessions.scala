@@ -198,4 +198,60 @@ object Sessions {
        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
        |  AND p.us >= c.us AND p.us <= c.us + $AttributionWindowUs
        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q144
+
+  /** q144 — UNATTRIBUTED funnel: the LEFT OUTER spelling of q67's
+    * interval join — every click keeps a row, matched or not, and the
+    * per-user rollup separates converted from abandoned clicks. The
+    * outer interval join is the semantics corner the inner q67 never
+    * exercises (null-padding on no match within the window); in
+    * streaming it is exactly the case where the watermark decides a
+    * click will never match and EMITS the null row —
+    * [[StatefulStreams.clickAttributionOuterStream]] runs this same
+    * join under two watermarked streams and StatefulStreamsSpec holds
+    * it to this batch definition.
+    *
+    * Scale: same single user_id exchange as q67; abandoned clicks add
+    * no state beyond the watermark horizon either way. */
+  def unattributedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("click_us"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("buy_us"))
+    clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("buy_us") >= col("click_us") &&
+          col("buy_us") <= col("click_us") + AttributionWindowUs,
+        "left_outer")
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("click_us")).as("n_clicks"),
+        count(col("buy_us")).as("n_pairs"),
+        countDistinct(when(col("buy_us").isNull, col("click_us")))
+          .as("n_abandoned"))
+      .orderBy(col("user_id"))
+  }
+
+  val unattributedFunnelSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us
+       |  FROM events),
+       |c AS (SELECT user_id, us AS click_us FROM e
+       |      WHERE event_type = 'click'),
+       |p AS (SELECT user_id AS p_user, us AS buy_us FROM e
+       |      WHERE event_type = 'purchase')
+       |SELECT c.user_id,
+       |  CAST(count(DISTINCT c.click_us) AS BIGINT) AS n_clicks,
+       |  CAST(count(p.buy_us) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT CASE WHEN p.buy_us IS NULL
+       |    THEN c.click_us END) AS BIGINT) AS n_abandoned
+       |FROM c LEFT OUTER JOIN p ON c.user_id = p.p_user
+       |  AND p.buy_us >= c.click_us
+       |  AND p.buy_us <= c.click_us + $AttributionWindowUs
+       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 }

@@ -294,4 +294,37 @@ object StatefulStreams {
       .start()
     q.awaitTermination()
   }
+
+  /** The LEFT OUTER spelling of [[clickAttributionStream]] — q144's
+    * streaming twin. The semantics corner the inner join never hits:
+    * a click's NULL row is emitted only once BOTH watermarks prove no
+    * purchase can still arrive inside its window (click older than
+    * watermark − window). State stays bounded exactly as in the inner
+    * case; the spec advances the clock with a sentinel event so the
+    * final horizon flushes the abandoned clicks, then holds the
+    * rollup to the batch q144. */
+  def clickAttributionOuterStream(spark: SparkSession, srcDir: String,
+                                  ckptDir: String)
+                                 (sink: DataFrame => Unit): Unit = {
+    val ev = rawEvents(spark, srcDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(buys,
+      expr("c_user = p_user AND p_ts >= c_ts AND " +
+        "p_ts <= c_ts + interval 1 hour"), "left_outer")
+      .select(col("c_user").as("user_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("buy_us")) // null on abandoned
+    val q = joined.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (df: DataFrame, _: Long) => sink(df) }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -172,6 +172,49 @@ class StatefulStreamsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join equals the batch q144") {
+    val base = Files.createTempDirectory("ssouter").toString
+    val raw = rawLongEvents()
+    stage(raw, s"$base/src/all.parquet")
+    val pairs = collection.mutable.ArrayBuffer.empty[Row]
+    val sink = (df: org.apache.spark.sql.DataFrame) =>
+      { pairs ++= df.collect(); () }
+    StatefulStreams.clickAttributionOuterStream(
+      spark, s"$base/src", s"$base/ckpt")(sink)
+    // a null row for an abandoned click emits only once the watermark
+    // proves no purchase can still arrive. The GLOBAL watermark is the
+    // MIN over both sides' watermark operators, so the far-future
+    // sentinel (fake user) must carry BOTH event types — a
+    // purchase-only sentinel leaves the click-side watermark at the
+    // real click maximum and the final hour of clicks never flushes
+    // (caught by exactly one abandoned click in this data)
+    val maxTs = raw.agg(max(expr("ts"))).head.getLong(0)
+    val far = maxTs + 365L * 86400 * 1000000000L
+    stage(raw.limit(2)
+        .withColumn("ts", lit(far))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type",
+          when(monotonically_increasing_id() % 2 === 0, "purchase")
+            .otherwise("click")),
+      s"$base/src/sentinel.parquet")
+    StatefulStreams.clickAttributionOuterStream(
+      spark, s"$base/src", s"$base/ckpt")(sink)
+    // roll the emitted (user, click_us, buy_us|null) rows up like q144
+    val got = pairs.filter(_.getLong(0) != -1L)
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        (u,
+          rs.map(_.getLong(1)).distinct.size.toLong,
+          rs.count(!_.isNullAt(2)).toLong,
+          rs.filter(_.isNullAt(2)).map(_.getLong(1)).distinct.size.toLong)
+      }.toSet
+    val want = Sessions.unattributedFunnel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // the corner this test exists for: abandoned clicks DID emit
+    assert(got.exists(_._4 > 0), "no null-padded rows surfaced")
+  }
+
   test("flatMapGroupsWithState sessionization equals batch, across restarts") {
     val base = Files.createTempDirectory("sessstream").toString
     val raw = rawLongEvents()
