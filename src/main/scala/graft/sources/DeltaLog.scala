@@ -303,19 +303,27 @@ object DeltaLog {
   // Writer: overwrite-semantics commits + Snapshots export
   // ---------------------------------------------------------------
 
+  /** Publish commit `v`. Returns false if another writer claimed `v`
+    * first — the open protocol's put-if-absent commit CAS (what Delta
+    * does on an object store with conditional PUT). The claim is
+    * `Files.createLink` FROM the fully-written tmp: atomic
+    * create-if-absent AND the published file carries complete content
+    * in the same instant — a rename (ATOMIC_MOVE) would silently
+    * REPLACE an existing commit on POSIX, letting two racers clobber
+    * each other; a claim-then-fill would expose an empty commit to
+    * readers. A crashed writer leaves only a dot-tmp the version
+    * listing never sees. */
   private def writeActions(tableDir: String, v: Long,
-                           actions: Seq[ObjectNode]): Unit = {
+                           actions: Seq[ObjectNode]): Boolean = {
     Files.createDirectories(Paths.get(logDir(tableDir)))
     val tmp = Files.createTempFile(
       Paths.get(logDir(tableDir)), s".$v-", ".json.tmp")
     Files.write(tmp,
       actions.map(mapper.writeValueAsString).mkString("", "\n", "\n")
         .getBytes("UTF-8"))
-    // atomic publish — the same visibility discipline Snapshots gets
-    // from _SUCCESS; a crashed writer leaves only a dot-tmp that the
-    // version listing never sees
-    Files.move(tmp, commitFile(tableDir, v).toPath,
-      StandardCopyOption.ATOMIC_MOVE)
+    try { Files.createLink(commitFile(tableDir, v).toPath, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
   }
 
   private def protocolAction: ObjectNode = {
@@ -365,20 +373,30 @@ object DeltaLog {
     * Data files land under `part-v<version>/`; the first commit also
     * carries protocol + metaData. Returns the committed version. */
   def commitOverwrite(df: DataFrame, tableDir: String): Long = {
-    val vs = versions(tableDir)
-    val v = if (vs.isEmpty) 0L else vs.last + 1
-    val sub = s"part-v$v"
+    // data dir named by UUID, not by version: two racing writers must
+    // not collide at the DATA write — only the log CAS decides order
+    val sub = s"part-${java.util.UUID.randomUUID}"
     df.write.parquet(s"$tableDir/$sub")
     val files = Option(new File(tableDir, sub).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-    val head: Seq[ObjectNode] =
-      if (vs.isEmpty)
-        Seq(protocolAction, metaDataAction(df.schema, Seq.empty))
-      else replay(tableDir, vs.last).files.map(removeAction)
-    writeActions(tableDir, v,
-      head ++ files.map(f => addAction(s"$sub/${f.getName}", f.length)))
+    val adds = files.map(f => addAction(s"$sub/${f.getName}", f.length))
+    // lost CAS ⇒ another writer advanced the log; recompute the
+    // version AND the removes from the new latest state and retry —
+    // the loop makes progress by construction (each failure means a
+    // new committed version exists)
+    var v = -1L
+    var done = false
+    while (!done) {
+      val vs = versions(tableDir)
+      v = if (vs.isEmpty) 0L else vs.last + 1
+      val head: Seq[ObjectNode] =
+        if (vs.isEmpty)
+          Seq(protocolAction, metaDataAction(df.schema, Seq.empty))
+        else replay(tableDir, vs.last).files.map(removeAction)
+      done = writeActions(tableDir, v, head ++ adds)
+    }
     v
   }
 
@@ -494,9 +512,11 @@ object DeltaLog {
       val head: Seq[ObjectNode] =
         if (i == 0) Seq(protocolAction, metaDataAction(schema, Seq.empty))
         else prev.map(removeAction)
-      writeActions(deltaDir, i.toLong,
+      require(writeActions(deltaDir, i.toLong,
         head ++ rels.zip(parts.map(_.length))
-          .map { case (p, s) => addAction(p, s) })
+          .map { case (p, s) => addAction(p, s) }),
+        s"export target $deltaDir already carries commit $i — " +
+          "export into a fresh directory")
       prev = rels
       i.toLong
     }

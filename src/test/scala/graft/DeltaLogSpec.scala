@@ -154,8 +154,9 @@ class DeltaLogSpec extends SparkSuite {
     sources.DeltaLog.commitOverwrite(Seq((2L, "b")).toDF("k", "s"), dir)
     sources.DeltaLog.commitOverwrite(Seq((3L, "c")).toDF("k", "s"), dir)
     // keep 2: version 0's files die, versions 1 and 2 stay readable
+    val v0Files = sources.DeltaLog.replay(dir, 0).files.toSet
     val dead = sources.DeltaLog.vacuum(dir, 2)
-    assert(dead.nonEmpty && dead.forall(_.startsWith("part-v0/")))
+    assert(dead.nonEmpty && dead.toSet == v0Files)
     dead.foreach(p => assert(!new java.io.File(dir, p).exists))
     assert(sources.DeltaLog.readVersion(spark, dir, 1)
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
@@ -169,6 +170,34 @@ class DeltaLogSpec extends SparkSuite {
     }
     // idempotent: nothing else to delete
     assert(sources.DeltaLog.vacuum(dir, 2).isEmpty)
+  }
+
+  test("racing commitOverwrites claim distinct versions, log replays clean") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("dlograce").toString + "/t"
+    sources.DeltaLog.commitOverwrite(Seq((0L, "base")).toDF("k", "s"), dir)
+    // two writers race for version 1: the commit-file CAS must give
+    // them DISTINCT versions (a rename-based publish would let one
+    // silently clobber the other's commit file)
+    val fa = Future(sources.DeltaLog.commitOverwrite(
+      Seq((1L, "a")).toDF("k", "s"), dir))
+    val fb = Future(sources.DeltaLog.commitOverwrite(
+      Seq((2L, "b")).toDF("k", "s"), dir))
+    val (va, vb) = (Await.result(fa, 120.seconds),
+      Await.result(fb, 120.seconds))
+    assert(Set(va, vb) == Set(1L, 2L), s"versions collided: $va, $vb")
+    assert(sources.DeltaLog.versions(dir) == Seq(0L, 1L, 2L))
+    // overwrite chain holds: the final state is exactly the LAST
+    // committer's rows (the loser recomputed its removes against the
+    // winner's state), and every version stays readable
+    val last = sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(last == Seq(if (va == 2L) 1L else 2L))
+    (0L to 2L).foreach { v =>
+      assert(sources.DeltaLog.readVersion(spark, dir, v).count() == 1)
+    }
   }
 
   test("checkpoint seeds replay: only the JSON tail is read, answers equal") {
