@@ -299,7 +299,15 @@ object SparkEntry {
     "q143_priority_crosstab" -> (ops.Olap.urgencyCrosstab _),
     // LEFT OUTER interval join (the null-padding corner q67's inner
     // join never hits); streaming twin spec-held to this batch form
-    "q144_unattributed_funnel" -> (streaming.Sessions.unattributedFunnel _)
+    "q144_unattributed_funnel" -> (streaming.Sessions.unattributedFunnel _),
+    // Delta-log PARTITION PRUNING: a partition-column predicate drops
+    // non-matching files from the replayed state before the scan
+    // exists; spec separately bounds files-scanned
+    "q145_delta_pruned_read" -> (sources.DeltaLog.deltaPrunedRead _),
+    // Delta-log append + OPTIMIZE lifecycle: three blind appends, a
+    // checkpoint, then a dataChange=false compaction — read through
+    // the mixed add/remove history must equal the union of appends
+    "q146_delta_append_compact" -> (sources.DeltaLog.deltaAppendCompactRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -454,6 +462,8 @@ object SparkEntry {
     "q141_part_supplier_counts" -> ops.Olap.partSupplierCountsSql,
     "q142_important_stock"   -> ops.Olap.importantStockSql,
     "q143_priority_crosstab" -> ops.Olap.urgencyCrosstabSql,
-    "q144_unattributed_funnel" -> streaming.Sessions.unattributedFunnelSql
+    "q144_unattributed_funnel" -> streaming.Sessions.unattributedFunnelSql,
+    "q145_delta_pruned_read" -> sources.DeltaLog.deltaPrunedReadSql,
+    "q146_delta_append_compact" -> sources.DeltaLog.deltaAppendCompactReadSql
   )
 }

@@ -4,10 +4,11 @@ import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -29,10 +30,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * CHECKPOINTS ([[checkpoint]] writes the spec's one-row-per-action
   * shape + `_last_checkpoint`; session-backed replays seed from it
   * and read only the JSON tail — O(commits since checkpoint), the
-  * reason the format has checkpoints at all). No deletion vectors, no
-  * column mapping: those are `protocol`-gated features, and [[replay]]
-  * `require`s minReaderVersion == 1 so a log that needs them fails
-  * loudly instead of reading wrong data.
+  * reason the format has checkpoints at all). Multi-part checkpoints
+  * written by external clients are honored via `_last_checkpoint`'s
+  * `parts` field; a checkpoint whose shape this reader does not
+  * recognize is IGNORED and replay falls back to the pure-JSON path —
+  * slower, never wrong. No deletion vectors, no column mapping: those
+  * are `protocol`-gated features, and [[replay]] `require`s
+  * minReaderVersion == 1 so a log that needs them fails loudly
+  * instead of reading wrong data. Checkpoints written HERE carry
+  * protocol/metaData/add only — no remove tombstones or txn actions
+  * (they matter for concurrent-writer reconciliation windows, which
+  * the version-count [[vacuum]] horizon replaces in this engine).
   *
   * Scale: log replay is DRIVER-SIDE over commit files — metadata
   * proportional to file count, never data size; this is exactly what
@@ -40,10 +48,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * from the log/checkpoint). The data read itself is a plain parquet
   * scan of the active files, so Catalyst pushdown/pruning apply
   * unchanged. Partitioned tables reconstruct partition columns from
-  * `add.partitionValues` as per-group literal columns — one read per
-  * distinct partition tuple, unioned; at real partition counts a
-  * production reader would hand Spark a partitioned FileIndex, but
-  * the semantics (values from the LOG, not from paths) are the spec's.
+  * the log's per-file `add.partitionValues` — ONE scan of the live
+  * files plus one broadcast join against the (file → values) map,
+  * keyed on the file basename; values come from the LOG, the spec's
+  * source of truth, never from paths. Partition PRUNING rides the
+  * same driver-side state: [[readWhere]] filters the replayed file
+  * list against a partition predicate before the scan is ever built,
+  * so a predicate on a partition column reads only matching files —
+  * the reason the reference Hive-partitions its bronze
+  * (spark/streaming_bronze.py:102).
   */
 object DeltaLog {
 
@@ -62,24 +75,38 @@ object DeltaLog {
       .map(_.getName.stripSuffix(".json").toLong)
       .sorted.toSeq
 
+  /** One live file in a replayed state: its partition values (from
+    * the log, possibly genuinely null) and its size in bytes (0 when
+    * a hand-written log omits it — size is advisory for this reader,
+    * but [[checkpoint]] re-emits whatever the log carried). */
+  private[graft] case class AddFile(
+      partitionValues: Map[String, String], size: Long)
+
   /** Replayed state of the table at `version`: the latest metaData
     * and the active (added, never since removed) files. */
   private[graft] case class State(
       schema: StructType, partitionColumns: Seq[String],
-      addPartitionValues: Map[String, Map[String, String]]) {
-    def files: Seq[String] = addPartitionValues.keys.toSeq.sorted
+      adds: Map[String, AddFile]) {
+    def files: Seq[String] = adds.keys.toSeq.sorted
+    def addPartitionValues: Map[String, Map[String, String]] =
+      adds.map { case (p, a) => p -> a.partitionValues }
   }
 
   /** Test seam: JSON commit files the last replay actually read —
     * a checkpoint-seeded replay reads only the tail. */
   @volatile private[graft] var lastJsonCommitsRead: Int = 0
 
+  /** Test seam: data files the last [[readVersion]]/[[readWhere]]
+    * handed to the scan — partition pruning is judged by this, the
+    * way ScaleSpec bounds the bloom probe by rows collected. */
+  @volatile private[graft] var lastFilesScanned: Int = 0
+
   private class Replayer {
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
     // insertion-ordered so `files` ties break deterministically
     val adds = scala.collection.mutable.LinkedHashMap
-      .empty[String, Map[String, String]]
+      .empty[String, AddFile]
     def applyLine(line: String): Unit = {
       val node = mapper.readTree(line)
       if (node.has("protocol")) {
@@ -100,9 +127,14 @@ object DeltaLog {
         val pv =
           if (a.has("partitionValues"))
             a.get("partitionValues").properties().asScala
-              .map(e => e.getKey -> e.getValue.asText).toMap
+              // JSON null is the spec's encoding of a NULL partition
+              // value — asText would stringify it to "null"
+              .map(e => e.getKey ->
+                (if (e.getValue.isNull) null else e.getValue.asText))
+              .toMap
           else Map.empty[String, String]
-        adds.put(a.get("path").asText, pv)
+        val size = if (a.has("size")) a.get("size").asLong else 0L
+        adds.put(a.get("path").asText, AddFile(pv, size))
       }
       if (node.has("remove"))
         adds.remove(node.get("remove").get("path").asText)
@@ -120,21 +152,25 @@ object DeltaLog {
     * at version c ≤ `version` seeds the state from the checkpoint
     * parquet and only the JSON commits in (c, version] are read —
     * O(tail), the reason the format has checkpoints at all. Without a
-    * session (or for time travel BEFORE the checkpoint) the pure-JSON
-    * path replays from 0: same answer, linear cost, still
-    * metadata-sized. */
+    * session, for time travel BEFORE the checkpoint, or when the
+    * checkpoint's shape is unrecognized, the pure-JSON path replays
+    * from 0: same answer, linear cost, still metadata-sized. */
   private def replayMaybeCheckpointed(spark: Option[SparkSession],
       tableDir: String, version: Long): State = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     require(vs.contains(version),
       s"version $version not in log (have ${vs.mkString(",")})")
-    val r = new Replayer
-    val from: Long = (spark, lastCheckpointVersion(tableDir)) match {
-      case (Some(s), Some(c)) if c <= version =>
-        seedFromCheckpoint(s, tableDir, c, r); c + 1
-      case _ => Long.MinValue
-    }
+    val seeded: Option[(Replayer, Long)] =
+      (spark, lastCheckpoint(tableDir)) match {
+        case (Some(s), Some(lc)) if lc.version <= version =>
+          val r = new Replayer
+          if (seedFromCheckpoint(s, tableDir, lc, r))
+            Some((r, lc.version + 1))
+          else None // unrecognized checkpoint → pure-JSON fallback
+        case _ => None
+      }
+    val (r, from) = seeded.getOrElse((new Replayer, Long.MinValue))
     val tail = vs.filter(v => v >= from && v <= version)
     lastJsonCommitsRead = tail.size
     tail.foreach { v =>
@@ -154,27 +190,58 @@ object DeltaLog {
   def readVersion(spark: SparkSession, tableDir: String,
                   version: Long): DataFrame = {
     val st = replayMaybeCheckpointed(Some(spark), tableDir, version)
+    lastFilesScanned = st.adds.size
+    scanState(spark, tableDir, st)
+  }
+
+  /** PARTITION-PRUNED read of the latest snapshot: `keep` sees each
+    * live file's partition values AS THE LOG SPELLS THEM (strings,
+    * possibly null) and files it rejects are never handed to the
+    * scan. The pruning decision is driver-side over the replayed
+    * state — already in memory, O(files) metadata — which is exactly
+    * where Delta's own client prunes; at 100 TB this is the
+    * difference between scanning one month and scanning the lake.
+    * Fails loudly on an unpartitioned table: there is nothing to
+    * prune on, and silently scanning everything would let a caller
+    * believe a predicate was applied. */
+  def readWhere(spark: SparkSession, tableDir: String)(
+      keep: Map[String, String] => Boolean): DataFrame =
+    readVersionWhere(spark, tableDir, versions(tableDir).last)(keep)
+
+  /** [[readWhere]] pinned to `version` (pruned time travel). */
+  def readVersionWhere(spark: SparkSession, tableDir: String,
+      version: Long)(keep: Map[String, String] => Boolean): DataFrame = {
+    val st = replayMaybeCheckpointed(Some(spark), tableDir, version)
+    require(st.partitionColumns.nonEmpty,
+      s"readWhere on unpartitioned table $tableDir: no partition " +
+        "values to prune on")
+    val kept = st.adds.filter { case (_, a) => keep(a.partitionValues) }
+    lastFilesScanned = kept.size
+    scanState(spark, tableDir, st.copy(adds = kept))
+  }
+
+  /** Build the data scan for a replayed (possibly pruned) state. */
+  private def scanState(spark: SparkSession, tableDir: String,
+                        st: State): DataFrame = {
     val dataSchema = StructType(
       st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
     def resolve(p: String) =
       if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
-    if (st.addPartitionValues.isEmpty)
+    if (st.adds.isEmpty)
       spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        st.schema)
+        java.util.Collections.emptyList[Row](), st.schema)
     else if (st.partitionColumns.isEmpty)
       spark.read.schema(dataSchema)
         .parquet(st.files.map(resolve): _*)
     else {
-      // ONE scan of every live file + a broadcast join against the
-      // log's per-file partitionValues, keyed on the file basename
+      // ONE scan of every surviving file + a broadcast join against
+      // the log's per-file partitionValues, keyed on the file basename
       // (unique by construction in any real Delta table — UUID part
       // names; required loudly here). Partition columns are restored
       // as typed casts FROM THE LOG, the spec's source of truth —
       // file paths are opaque. A per-partition-tuple scan would build
       // a union of thousands of plans at real partition counts; this
       // stays one scan + one broadcast hash join at any count.
-      import org.apache.spark.sql.Row
       import org.apache.spark.sql.functions.{broadcast, input_file_name,
         regexp_extract}
       import org.apache.spark.sql.types.{StringType, StructField}
@@ -183,10 +250,11 @@ object DeltaLog {
       require(names.distinct.size == names.size,
         "duplicate data-file basenames in one snapshot — cannot key " +
           "partitionValues by file identity")
-      val pvRows: java.util.List[Row] = st.addPartitionValues.toSeq
-        .map { case (p, pv) =>
+      val pvRows: java.util.List[Row] = st.adds.toSeq.sortBy(_._1)
+        .map { case (p, a) =>
           Row.fromSeq(base(p) +:
-            st.partitionColumns.map(c => pv.get(c).filter(_ != null).orNull))
+            st.partitionColumns.map(c =>
+              a.partitionValues.get(c).filter(_ != null).orNull))
         }.asJava
       val pvT = StructType(StructField("_file", StringType) +:
         st.partitionColumns.map(c =>
@@ -208,26 +276,41 @@ object DeltaLog {
   // Checkpoints (the open spec's replay shortcut)
   // ---------------------------------------------------------------
 
-  private def checkpointFile(tableDir: String, v: Long) =
-    new File(logDir(tableDir), f"$v%020d.checkpoint.parquet")
+  private case class LastCheckpoint(version: Long, parts: Option[Int])
 
-  private def lastCheckpointVersion(tableDir: String): Option[Long] = {
+  /** Checkpoint part files for version `v`: single-file
+    * `<v>.checkpoint.parquet`, or the spec's multi-part
+    * `<v>.checkpoint.<i>.<n>.parquet` (i 1-based) when
+    * `_last_checkpoint` declares `parts`. */
+  private def checkpointPartFiles(tableDir: String,
+                                  lc: LastCheckpoint): Seq[File] =
+    lc.parts match {
+      case None => Seq(new File(logDir(tableDir),
+        f"${lc.version}%020d.checkpoint.parquet"))
+      case Some(n) => (1 to n).map(i => new File(logDir(tableDir),
+        f"${lc.version}%020d.checkpoint.$i%010d.$n%010d.parquet"))
+    }
+
+  private def lastCheckpoint(tableDir: String): Option[LastCheckpoint] = {
     val f = new File(logDir(tableDir), "_last_checkpoint")
     if (!f.isFile) None
-    else Some(mapper.readTree(
-      new String(Files.readAllBytes(f.toPath), "UTF-8"))
-      .get("version").asLong)
+    else {
+      val node = mapper.readTree(
+        new String(Files.readAllBytes(f.toPath), "UTF-8"))
+      Some(LastCheckpoint(node.get("version").asLong,
+        if (node.has("parts")) Some(node.get("parts").asInt) else None))
+    }
   }
 
   /** Write a checkpoint of the CURRENT latest version: one parquet
     * file in the spec's checkpoint shape — one row per live action,
-    * top-level nullable `protocol` / `metaData` / `add` structs —
-    * plus the `_last_checkpoint` pointer. Replay cost for later reads
-    * drops from O(commits) to O(commits since checkpoint); JSON
-    * commits stay on disk (history auditable, pre-checkpoint time
-    * travel still replays them). Returns the checkpointed version. */
+    * top-level nullable `protocol` / `metaData` / `add` structs, the
+    * add rows carrying the log's real file sizes — plus the
+    * `_last_checkpoint` pointer. Replay cost for later reads drops
+    * from O(commits) to O(commits since checkpoint); JSON commits
+    * stay on disk (history auditable, pre-checkpoint time travel
+    * still replays them). Returns the checkpointed version. */
   def checkpoint(spark: SparkSession, tableDir: String): Long = {
-    import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val v = versions(tableDir).last
     val st = replay(tableDir, v)
@@ -240,7 +323,8 @@ object DeltaLog {
       StructField("partitionColumns", ArrayType(StringType))))
     val addT = StructType(Seq(
       StructField("path", StringType),
-      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("partitionValues",
+        MapType(StringType, StringType, valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType)))
@@ -253,8 +337,9 @@ object DeltaLog {
     rows.add(Row(null,
       Row("ckpt", st.schema.json, st.partitionColumns), null))
     st.files.foreach { f =>
+      val a = st.adds(f)
       rows.add(Row(null, null,
-        Row(f, st.addPartitionValues(f), 0L, 0L, true)))
+        Row(f, a.partitionValues, a.size, 0L, true)))
     }
     // stage through a temp dir: Spark writes a directory, the spec
     // wants a single file at <v>.checkpoint.parquet
@@ -262,7 +347,8 @@ object DeltaLog {
     spark.createDataFrame(rows, ckptT).coalesce(1).write.parquet(tmp)
     val part = new File(tmp).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
-    Files.move(part.toPath, checkpointFile(tableDir, v).toPath,
+    Files.move(part.toPath,
+      checkpointPartFiles(tableDir, LastCheckpoint(v, None)).head.toPath,
       StandardCopyOption.REPLACE_EXISTING)
     graft.util.Fs.deleteRecursively(new File(tmp).getParentFile)
     val lc = mapper.createObjectNode()
@@ -275,32 +361,66 @@ object DeltaLog {
     v
   }
 
+  /** Seed `r` from the checkpoint parquet. Fields are resolved BY
+    * NAME, never by ordinal — real Delta clients write metaData/add
+    * structs with more fields (name, description, stats, tags) and in
+    * their own order, so ordinal reads would grab the wrong column.
+    * Returns false — caller falls back to pure-JSON replay — when the
+    * part files are missing or the shape is unrecognizable; a
+    * checkpoint must only ever ACCELERATE a read, never change it. */
   private def seedFromCheckpoint(spark: SparkSession, tableDir: String,
-                                 v: Long, r: Replayer): Unit = {
-    spark.read.parquet(checkpointFile(tableDir, v).getPath)
-      .collect().foreach { row =>
-        if (!row.isNullAt(row.fieldIndex("protocol"))) {
-          val p = row.getStruct(row.fieldIndex("protocol"))
-          require(p.getInt(0) == 1,
-            s"unsupported Delta minReaderVersion ${p.getInt(0)}")
-        }
-        if (!row.isNullAt(row.fieldIndex("metaData"))) {
-          val m = row.getStruct(row.fieldIndex("metaData"))
-          r.schema = DataType.fromJson(m.getString(1))
-            .asInstanceOf[StructType]
-          r.partCols = m.getSeq[String](2)
-        }
-        if (!row.isNullAt(row.fieldIndex("add"))) {
-          val a = row.getStruct(row.fieldIndex("add"))
-          r.adds.put(a.getString(0),
-            Option(a.getMap[String, String](1)).map(_.toMap)
-              .getOrElse(Map.empty))
+                                 lc: LastCheckpoint, r: Replayer): Boolean =
+    try {
+      val parts = checkpointPartFiles(tableDir, lc)
+      if (!parts.forall(_.isFile)) return false
+      val df = spark.read.parquet(parts.map(_.getPath): _*)
+      val cols = df.schema.fieldNames.toSet
+      if (!cols.contains("add") || !cols.contains("metaData")) return false
+      def structOpt(row: Row, name: String): Option[Row] = {
+        if (!cols.contains(name)) None
+        else {
+          val i = row.fieldIndex(name)
+          if (row.isNullAt(i)) None else Some(row.getStruct(i))
         }
       }
-  }
+      df.collect().foreach { row =>
+        structOpt(row, "protocol").foreach { p =>
+          val mr = p.getAs[Int]("minReaderVersion")
+          require(mr == 1, s"unsupported Delta minReaderVersion $mr")
+        }
+        structOpt(row, "metaData").foreach { m =>
+          r.schema = DataType.fromJson(m.getAs[String]("schemaString"))
+            .asInstanceOf[StructType]
+          r.partCols =
+            Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+              .map(_.toSeq).getOrElse(Seq.empty)
+        }
+        structOpt(row, "add").foreach { a =>
+          val pv =
+            Option(a.getAs[scala.collection.Map[String, String]](
+              "partitionValues")).map(_.toMap).getOrElse(Map.empty)
+          val size =
+            if (a.schema.fieldNames.contains("size") &&
+              !a.isNullAt(a.fieldIndex("size"))) a.getAs[Long]("size")
+            else 0L
+          r.adds.put(a.getAs[String]("path"), AddFile(pv, size))
+        }
+      }
+      r.schema != null
+    } catch {
+      // an unsupported PROTOCOL is a table property, not a checkpoint
+      // malformation — falling back to JSON would just re-discover it
+      // slower (the protocol action replays too), so fail now
+      case e: IllegalArgumentException
+        if e.getMessage != null && e.getMessage.contains("minReaderVersion") =>
+        throw e
+      case NonFatal(_) =>
+        r.schema = null; r.partCols = Seq.empty; r.adds.clear()
+        false
+    }
 
   // ---------------------------------------------------------------
-  // Writer: overwrite-semantics commits + Snapshots export
+  // Writer: overwrite/append/compaction commits + Snapshots export
   // ---------------------------------------------------------------
 
   /** Publish commit `v`. Returns false if another writer claimed `v`
@@ -312,7 +432,15 @@ object DeltaLog {
     * REPLACE an existing commit on POSIX, letting two racers clobber
     * each other; a claim-then-fill would expose an empty commit to
     * readers. A crashed writer leaves only a dot-tmp the version
-    * listing never sees. */
+    * listing never sees.
+    *
+    * REQUIRES hard-link support on `_delta_log`'s filesystem (every
+    * POSIX local/NFS filesystem; not FAT/exFAT or some fuse mounts).
+    * There is deliberately NO copy fallback — sibling paths
+    * (Staging.linkInto, exportSnapshots) copy because a lost link
+    * only costs bytes there; here a non-atomic publish would break
+    * the CAS that the whole commit protocol rests on. An unsupported
+    * filesystem fails loudly with the limitation named. */
   private def writeActions(tableDir: String, v: Long,
                            actions: Seq[ObjectNode]): Boolean = {
     Files.createDirectories(Paths.get(logDir(tableDir)))
@@ -322,7 +450,15 @@ object DeltaLog {
       actions.map(mapper.writeValueAsString).mkString("", "\n", "\n")
         .getBytes("UTF-8"))
     try { Files.createLink(commitFile(tableDir, v).toPath, tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e @ (_: UnsupportedOperationException | _: java.io.IOException) =>
+        throw new java.io.IOException(
+          s"cannot publish Delta commit $v under ${logDir(tableDir)}: " +
+            "the filesystem does not support hard links, which this " +
+            "writer requires for its atomic put-if-absent commit CAS " +
+            "(no copy fallback — a copy could not be atomic)", e)
+    }
     finally Files.deleteIfExists(tmp)
   }
 
@@ -349,22 +485,41 @@ object DeltaLog {
     m
   }
 
-  private def addAction(path: String, size: Long): ObjectNode = {
+  private def addAction(path: String, size: Long,
+                        partitionValues: Map[String, String] = Map.empty,
+                        dataChange: Boolean = true): ObjectNode = {
     val a = mapper.createObjectNode()
     val add = a.putObject("add")
     add.put("path", path)
-    add.putObject("partitionValues")
+    val pv = add.putObject("partitionValues")
+    partitionValues.foreach { case (k, v) =>
+      if (v == null) pv.putNull(k) else pv.put(k, v)
+    }
     add.put("size", size)
     add.put("modificationTime", 0L)
-    add.put("dataChange", true)
+    add.put("dataChange", dataChange)
     a
   }
 
-  private def removeAction(path: String): ObjectNode = {
+  private def removeAction(path: String,
+                           dataChange: Boolean = true): ObjectNode = {
     val r = mapper.createObjectNode()
     r.putObject("remove").put("path", path)
-      .put("dataChange", true)
+      .put("dataChange", dataChange)
     r
+  }
+
+  /** Parquet part files under `tableDir/sub`, recursively (a
+    * partitioned write nests hive-style value directories), in
+    * path order. */
+  private def partFiles(tableDir: String, sub: String): Seq[File] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new File(tableDir, sub))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
   }
 
   /** Commit `df` as the table's next version with OVERWRITE semantics
@@ -377,11 +532,8 @@ object DeltaLog {
     // not collide at the DATA write — only the log CAS decides order
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.write.parquet(s"$tableDir/$sub")
-    val files = Option(new File(tableDir, sub).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val adds = files.map(f => addAction(s"$sub/${f.getName}", f.length))
+    val adds = partFiles(tableDir, sub)
+      .map(f => addAction(s"$sub/${f.getName}", f.length))
     // lost CAS ⇒ another writer advanced the log; recompute the
     // version AND the removes from the new latest state and retry —
     // the loop makes progress by construction (each failure means a
@@ -394,46 +546,181 @@ object DeltaLog {
       val head: Seq[ObjectNode] =
         if (vs.isEmpty)
           Seq(protocolAction, metaDataAction(df.schema, Seq.empty))
-        else replay(tableDir, vs.last).files.map(removeAction)
+        else replay(tableDir, vs.last).files.map(p => removeAction(p))
       done = writeActions(tableDir, v, head ++ adds)
     }
     v
   }
 
+  /** Commit `df` as the table's next version with APPEND semantics:
+    * add actions only, prior files untouched — the protocol's blind
+    * append (`.mode("append")`), which never conflicts with another
+    * append and so retries only the cheap version claim, never the
+    * data write. First commit on an empty table also carries
+    * protocol + metaData. Returns the committed version. */
+  def commitAppend(df: DataFrame, tableDir: String): Long = {
+    val sub = s"part-${java.util.UUID.randomUUID}"
+    df.write.parquet(s"$tableDir/$sub")
+    val adds = partFiles(tableDir, sub)
+      .map(f => addAction(s"$sub/${f.getName}", f.length))
+    var v = -1L
+    var done = false
+    while (!done) {
+      val vs = versions(tableDir)
+      v = if (vs.isEmpty) 0L else vs.last + 1
+      val head: Seq[ObjectNode] =
+        if (vs.isEmpty)
+          Seq(protocolAction, metaDataAction(df.schema, Seq.empty))
+        else Seq.empty
+      done = writeActions(tableDir, v, head ++ adds)
+    }
+    v
+  }
+
+  /** Decode one hive-style path segment value (Spark escapes
+    * filesystem-hostile chars as %XX; '+' is literal, so a URL
+    * decoder would corrupt it). */
+  private def hiveUnescape(s: String): String =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** [[commitOverwrite]] for a PARTITIONED table: `df` is written
+    * `partitionBy(partCols)` (data files do NOT contain the partition
+    * columns — the spec's layout), and each add action carries the
+    * file's `partitionValues` so readers reconstruct the columns from
+    * the LOG. The hive-style value directories the write produces are
+    * decoded once, here, at write time; after that the paths are
+    * opaque, as the spec intends. Returns the committed version. */
+  def commitOverwritePartitioned(df: DataFrame, tableDir: String,
+                                 partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "partitioned commit needs partition columns")
+    val sub = s"part-${java.util.UUID.randomUUID}"
+    df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
+    val adds = partFiles(tableDir, sub).map { f =>
+      val rel = Paths.get(tableDir).toAbsolutePath
+        .relativize(f.toPath.toAbsolutePath).toString
+      val pv = rel.split('/').drop(1).dropRight(1).map { seg =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"non-hive segment '$seg' in partitioned write $rel")
+        seg.substring(0, eq) -> hiveUnescape(seg.substring(eq + 1))
+      }.toMap
+      require(pv.keySet == partCols.toSet,
+        s"partition dirs $pv of $rel do not match declared $partCols")
+      addAction(rel, f.length, pv)
+    }
+    var v = -1L
+    var done = false
+    while (!done) {
+      val vs = versions(tableDir)
+      v = if (vs.isEmpty) 0L else vs.last + 1
+      val head: Seq[ObjectNode] =
+        if (vs.isEmpty)
+          Seq(protocolAction, metaDataAction(df.schema, partCols))
+        else replay(tableDir, vs.last).files.map(p => removeAction(p))
+      done = writeActions(tableDir, v, head ++ adds)
+    }
+    v
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the current snapshot's rows
+    * into `targetFiles` files and commit proper `remove`(old) +
+    * `add`(new) actions with dataChange=false — Delta's OPTIMIZE
+    * contract (same rows, new layout; a streaming reader may skip the
+    * commit entirely because no data changed). The old files stay on
+    * disk for time travel until [[vacuum]] reclaims them. Returns the
+    * committed version.
+    *
+    * Scope: unpartitioned tables (a partitioned OPTIMIZE compacts
+    * within each partition; [[Snapshots.optimizeCompact]] carries
+    * that pattern — out of scope here, loudly).
+    *
+    * Scale: compaction is the small-files cure — a streaming table
+    * that appended thousands of per-trigger files becomes a handful
+    * of full-size files, and every later scan pays file-open cost
+    * proportional to the compacted count. */
+  def compact(spark: SparkSession, tableDir: String,
+              targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val base = vs.last
+    val st = replayMaybeCheckpointed(Some(spark), tableDir, base)
+    require(st.partitionColumns.isEmpty,
+      "compact supports unpartitioned tables (partitioned OPTIMIZE " +
+        "compacts per-partition — see Snapshots.optimizeCompact)")
+    val sub = s"part-${java.util.UUID.randomUUID}"
+    scanState(spark, tableDir, st).repartition(targetFiles)
+      .write.parquet(s"$tableDir/$sub")
+    val adds = partFiles(tableDir, sub).map(f =>
+      addAction(s"$sub/${f.getName}", f.length, Map.empty,
+        dataChange = false))
+    val removes = st.files.map(p => removeAction(p, dataChange = false))
+    require(writeActions(tableDir, base + 1, removes ++ adds),
+      s"concurrent writer claimed version ${base + 1} during compaction " +
+        "— rows may have changed; re-run compact against the new state")
+    base + 1
+  }
+
   // ---------------------------------------------------------------
-  // Gated queries (q128/q129)
+  // Gated queries (q128/q129/q145/q146)
   // ---------------------------------------------------------------
 
-  private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  /** Session-cached built tables, keyed by (session, sf dir, source
+    * fingerprint, kind): the fingerprint term evicts entries when the
+    * orders testdata is rewritten in-session (driver regenerates
+    * testdata between rounds) — the Staging/optimizeCache discipline;
+    * without it q128/q129 would serve stale halves against a fresh
+    * oracle and hash-mismatch confusingly. */
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, String), String]()
 
-  /** Session-cached two-commit Delta table over the orders testdata:
-    * commit 0 = even order keys, commit 1 = OVERWRITE with odd keys.
-    * The halves are disjoint, so a reader that ignored commit 1's
-    * remove actions would return both and row-count-mismatch — replay
-    * correctness is the gate, not just file listing. Built once per
-    * (session, sfDir) like the q104 snapshot (testdata is read-only,
-    * so no rewrite eviction is needed); temp dirs of stopped sessions
-    * are reclaimed on the next call. */
-  private[graft] def ordersDeltaTable(spark: SparkSession,
-                                      dir: String): String = {
+  private def cachedTable(spark: SparkSession, dir: String, kind: String)(
+      build: (DataFrame, String) => Unit): String = {
     tableCache.keySet.asScala.toSeq.foreach { k =>
       if (k._1.sparkContext.isStopped)
         Option(tableCache.remove(k)).foreach(p =>
           graft.util.Fs.deleteRecursively(new File(p).getParentFile))
     }
     val canon = new File(dir).getCanonicalPath
-    tableCache.computeIfAbsent((spark, canon), _ => {
+    val fp = graft.ops.Scale.sourceFingerprint(
+      graft.Tables.path(canon, "orders"))
+    tableCache.keySet.asScala.toSeq.foreach { k =>
+      if ((k._1 eq spark) && k._2 == canon && k._4 == kind && k._3 != fp)
+        Option(tableCache.remove(k)).foreach(p =>
+          graft.util.Fs.deleteRecursively(new File(p).getParentFile))
+    }
+    tableCache.computeIfAbsent((spark, canon, fp, kind), _ => {
       val work = Files.createTempDirectory("graft_delta").toString
-      val t = s"$work/orders_delta"
-      val o = graft.Tables.load(spark, canon, "orders")
+      val t = s"$work/orders_$kind"
+      build(graft.Tables.load(spark, canon, "orders"), t)
+      t
+    })
+  }
+
+  /** Session-cached two-commit Delta table over the orders testdata:
+    * commit 0 = even order keys, commit 1 = OVERWRITE with odd keys.
+    * The halves are disjoint, so a reader that ignored commit 1's
+    * remove actions would return both and row-count-mismatch — replay
+    * correctness is the gate, not just file listing. */
+  private[graft] def ordersDeltaTable(spark: SparkSession,
+                                      dir: String): String =
+    cachedTable(spark, dir, "delta") { (o, t) =>
       commitOverwrite(o.filter(
         org.apache.spark.sql.functions.pmod(col("o_orderkey"), lit(2)) === 0), t)
       commitOverwrite(o.filter(
         org.apache.spark.sql.functions.pmod(col("o_orderkey"), lit(2)) === 1), t)
-      t
-    })
-  }
+    }
 
   /** q128 — DELTA LOG READ (latest): replays the open-format
     * transaction log and returns the current snapshot. Equals the odd
@@ -453,6 +740,61 @@ object DeltaLog {
 
   val deltaTimeTravelSql: String =
     """SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"""
+
+  /** Session-cached PARTITIONED Delta table: orders written
+    * `partitionBy(o_orderstatus)` through the log, one commit. The
+    * status column's values exist only in `add.partitionValues`. */
+  private[graft] def ordersPartitionedTable(spark: SparkSession,
+                                            dir: String): String =
+    cachedTable(spark, dir, "deltap") { (o, t) =>
+      commitOverwritePartitioned(o, t, Seq("o_orderstatus"))
+    }
+
+  /** q145 — DELTA PARTITION-PRUNED READ: a predicate on the partition
+    * column is answered by [[readWhere]], which drops non-matching
+    * files from the replayed state BEFORE the scan exists — the open
+    * format's partition pruning, driver-side over log metadata. The
+    * oracle is the full-table filter, so pruning that ever dropped a
+    * matching file (or kept a wrong one whose reconstructed status
+    * leaked through) hash-mismatches; DeltaLogSpec separately asserts
+    * files-scanned == files in the matching partition. */
+  def deltaPrunedRead(spark: SparkSession, dir: String): DataFrame =
+    readWhere(spark, ordersPartitionedTable(spark, dir))(
+        pv => pv.get("o_orderstatus").contains("O"))
+      .filter(col("o_orderstatus") === "O")
+      .orderBy(col("o_orderkey"))
+
+  val deltaPrunedReadSql: String =
+    """SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey"""
+
+  /** Session-cached append/compaction lifecycle table: three APPEND
+    * commits (order keys mod 3), a checkpoint, then an OPTIMIZE
+    * [[compact]] — the log ends with a realistic mixed history
+    * (protocol/metaData, pure adds, remove+add with
+    * dataChange=false). */
+  private[graft] def ordersAppendCompactTable(spark: SparkSession,
+                                              dir: String): String =
+    cachedTable(spark, dir, "deltaac") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      (0 to 2).foreach { m =>
+        commitAppend(o.filter(pmod(col("o_orderkey"), lit(3)) === m), t)
+      }
+      checkpoint(spark, t)
+      compact(spark, t, targetFiles = 2)
+    }
+
+  /** q146 — DELTA APPEND + OPTIMIZE READBACK: the table was built by
+    * three disjoint appends then compacted; reading through the log
+    * must return exactly the union of the appends — an append reader
+    * that dropped prior files, or a compaction that lost/duplicated
+    * rows or mis-ordered its remove+add actions, all hash-mismatch
+    * against the plain full-orders oracle. */
+  def deltaAppendCompactRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersAppendCompactTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaAppendCompactReadSql: String =
+    """SELECT * FROM orders ORDER BY o_orderkey"""
 
   /** VACUUM: delete data files no longer referenced by any of the
     * last `keepVersions` snapshots (Delta's VACUUM with a
@@ -511,7 +853,7 @@ object DeltaLog {
       }.toSeq
       val head: Seq[ObjectNode] =
         if (i == 0) Seq(protocolAction, metaDataAction(schema, Seq.empty))
-        else prev.map(removeAction)
+        else prev.map(p => removeAction(p))
       require(writeActions(deltaDir, i.toLong,
         head ++ rels.zip(parts.map(_.length))
           .map { case (p, s) => addAction(p, s) }),

@@ -236,6 +236,204 @@ class DeltaLogSpec extends SparkSuite {
     assert(ckpt.select("add.path").na.drop().count() == 1)
   }
 
+  test("readWhere prunes files before the scan; unpartitioned fails loudly") {
+    val dir = Files.createTempDirectory("dlogrw").toString
+    val tmp = Files.createTempDirectory("dlpart").toString + "/w"
+    Seq(Tuple1(10L), Tuple1(11L)).toDF("k").coalesce(1).write.parquet(tmp)
+    Files.move(new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath,
+      Paths.get(dir, "p0.parquet"))
+    val tmp2 = Files.createTempDirectory("dlpart").toString + "/w"
+    Seq(Tuple1(20L)).toDF("k").coalesce(1).write.parquet(tmp2)
+    Files.move(new java.io.File(tmp2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath,
+      Paths.get(dir, "p1.parquet"))
+    writeLog(dir, 0, protocol, metaData("""["s"]"""),
+      """{"add":{"path":"p0.parquet","partitionValues":{"s":"red"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"p1.parquet","partitionValues":{"s":"blue"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val got = sources.DeltaLog.readWhere(spark, dir)(
+      pv => pv.get("s").contains("red"))
+    assert(sources.DeltaLog.lastFilesScanned == 1,
+      "pruning must drop the blue file before the scan is built")
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((10L, "red"), (11L, "red")))
+
+    // unpartitioned: nothing to prune on — loud, never a silent full scan
+    val dir2 = Files.createTempDirectory("dlogrw2").toString
+    val a = stagePart(dir2, "a.parquet", Seq((1L, "x")))
+    writeLog(dir2, 0, protocol, metaData(),
+      s"""{"add":{"path":"$a","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.readWhere(spark, dir2)(_ => true)
+    }
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
+  test("JSON-null partition value reconstructs as NULL, not the string 'null'") {
+    val dir = Files.createTempDirectory("dlognull").toString
+    val tmp = Files.createTempDirectory("dlpart").toString + "/w"
+    Seq(Tuple1(7L)).toDF("k").coalesce(1).write.parquet(tmp)
+    Files.move(new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath,
+      Paths.get(dir, "pn.parquet"))
+    writeLog(dir, 0, protocol, metaData("""["s"]"""),
+      """{"add":{"path":"pn.parquet","partitionValues":{"s":null},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val row = sources.DeltaLog.read(spark, dir).collect().head
+    assert(row.getLong(0) == 7L)
+    assert(row.isNullAt(1), "the spec encodes a NULL partition value " +
+      "as JSON null; it must not round-trip to the string \"null\"")
+  }
+
+  test("append commits accumulate; compact rewrites layout, not rows") {
+    val dir = Files.createTempDirectory("dlogac").toString + "/t"
+    sources.DeltaLog.commitAppend(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    val preFiles = sources.DeltaLog.replay(dir, 2L).files
+    assert(preFiles.size >= 3)
+    val cv = sources.DeltaLog.compact(spark, dir, targetFiles = 1)
+    assert(cv == 3L)
+    // same rows, fewer files
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(sources.DeltaLog.replay(dir, cv).files.size == 1)
+    // the compaction commit is remove+add with dataChange=false
+    val lines = Files.readAllLines(
+      Paths.get(f"$dir/_delta_log/$cv%020d.json")).toArray.mkString("\n")
+    assert(lines.contains("\"remove\"") && lines.contains("\"add\""))
+    assert(!lines.contains("\"dataChange\":true"),
+      "OPTIMIZE must mark every action dataChange=false")
+    // pre-compaction version still time-travels; vacuum(1) reclaims it
+    assert(sources.DeltaLog.readVersion(spark, dir, cv - 1)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    val dead = sources.DeltaLog.vacuum(dir, 1)
+    assert(dead.toSet == preFiles.toSet)
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("external-client checkpoint: by-name fields, multi-part, real tail") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("dlogx").toString
+    val a = stagePart(dir, "a.parquet", Seq((1L, "one")))
+    val b = stagePart(dir, "b.parquet", Seq((2L, "two")))
+    val c = stagePart(dir, "c.parquet", Seq((3L, "three")))
+    writeLog(dir, 0, protocol, metaData(),
+      s"""{"add":{"path":"$a","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    writeLog(dir, 1,
+      s"""{"add":{"path":"$b","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    // checkpoint at v1 in a REAL client's shape: metaData carries
+    // name/description BEFORE schemaString (the ordinal trap), add
+    // carries a stats field; split across TWO parts as _last_checkpoint
+    // declares. An ordinal reader would parse "WRONG" as the schema.
+    val metaT = StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val protoT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val ckptT = StructType(Seq(
+      StructField("protocol", protoT, nullable = true),
+      StructField("metaData", metaT, nullable = true),
+      StructField("add", addT, nullable = true)))
+    val schemaJsonPlain = schemaJson
+    def writePart(rows: Seq[Row], name: String): Unit = {
+      val tmp = Files.createTempDirectory("ckpt").toString + "/w"
+      spark.createDataFrame(rows.asJava, ckptT).coalesce(1)
+        .write.parquet(tmp)
+      Files.move(new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath,
+        Paths.get(s"$dir/_delta_log/$name"))
+    }
+    writePart(Seq(
+      Row(Row(1, 2), null, null),
+      Row(null, Row("id0", "WRONG", "ALSO WRONG", schemaJsonPlain,
+        Seq.empty[String]), null)),
+      f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    writePart(Seq(
+      Row(null, null, Row(a, Map.empty[String, String], 9L, 0L, true,
+        """{"numRecords":1}""")),
+      Row(null, null, Row(b, Map.empty[String, String], 9L, 0L, true,
+        """{"numRecords":1}"""))),
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    Files.write(Paths.get(s"$dir/_delta_log/_last_checkpoint"),
+      """{"version":1,"size":4,"parts":2}""".getBytes("UTF-8"))
+    // one post-checkpoint commit — the only JSON the read may touch
+    writeLog(dir, 2,
+      s"""{"add":{"path":"$c","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+    assert(sources.DeltaLog.lastJsonCommitsRead == 1,
+      "multi-part checkpoint must seed the replay; only v2 JSON read")
+  }
+
+  test("unrecognized checkpoint shape falls back to pure-JSON replay") {
+    val dir = Files.createTempDirectory("dlogbad").toString
+    val a = stagePart(dir, "a.parquet", Seq((1L, "x")))
+    writeLog(dir, 0, protocol, metaData(),
+      s"""{"add":{"path":"$a","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    writeLog(dir, 1, """{"commitInfo":{"operation":"NOOP"}}""")
+    // a checkpoint parquet with none of the spec's columns
+    val tmp = Files.createTempDirectory("ckptbad").toString + "/w"
+    Seq(Tuple1("garbage")).toDF("foo").coalesce(1).write.parquet(tmp)
+    Files.move(new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath,
+      Paths.get(s"$dir/_delta_log/${"%020d".format(1)}.checkpoint.parquet"))
+    Files.write(Paths.get(s"$dir/_delta_log/_last_checkpoint"),
+      """{"version":1,"size":1}""".getBytes("UTF-8"))
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), "bad checkpoint must not change the answer")
+    assert(sources.DeltaLog.lastJsonCommitsRead == 2,
+      "fallback replays the full JSON log")
+  }
+
+  test("engine checkpoints carry the log's real file sizes") {
+    val dir = Files.createTempDirectory("dlogsz").toString + "/t"
+    sources.DeltaLog.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    val cv = sources.DeltaLog.checkpoint(spark, dir)
+    val sizes = spark.read.parquet(
+        s"$dir/_delta_log/${"%020d".format(cv)}.checkpoint.parquet")
+      .select("add.size").na.drop().collect().map(_.getLong(0))
+    assert(sizes.nonEmpty && sizes.forall(_ > 0),
+      "checkpoint add rows must carry the real sizes from the log, " +
+        "not placeholder zeros")
+  }
+
+  test("q145/q146 gate shape: pruned scan bounded, lifecycle readback") {
+    // q145: files handed to the scan == files of the 'O' partition
+    val got = sources.DeltaLog.deltaPrunedRead(spark, sfDir)
+    val n = got.count()
+    val scanned = sources.DeltaLog.lastFilesScanned
+    val t = sources.DeltaLog.ordersPartitionedTable(spark, sfDir)
+    val st = sources.DeltaLog.replay(t, sources.DeltaLog.versions(t).last)
+    val oFiles = st.addPartitionValues
+      .count(_._2.get("o_orderstatus").contains("O"))
+    assert(scanned == oFiles,
+      s"pruned read scanned $scanned files; 'O' partition holds $oFiles")
+    assert(oFiles < st.adds.size,
+      "test is vacuous unless other partitions exist to prune away")
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(n == orders.filter(col("o_orderstatus") === "O").count())
+    // q146: three appends + compaction read back as the full table
+    assert(sources.DeltaLog.deltaAppendCompactRead(spark, sfDir).count()
+      == orders.count())
+  }
+
   test("q128/q129 gate shape: overwrite honored, time travel pinned") {
     val latest = sources.DeltaLog.deltaRead(spark, sfDir)
     val pinned = sources.DeltaLog.deltaTimeTravel(spark, sfDir)
