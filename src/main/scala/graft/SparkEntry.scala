@@ -307,7 +307,12 @@ object SparkEntry {
     // Delta-log append + OPTIMIZE lifecycle: three blind appends, a
     // checkpoint, then a dataChange=false compaction — read through
     // the mixed add/remove history must equal the union of appends
-    "q146_delta_append_compact" -> (sources.DeltaLog.deltaAppendCompactRead _)
+    "q146_delta_append_compact" -> (sources.DeltaLog.deltaAppendCompactRead _),
+    // open Iceberg layout: metadata.json chain → manifest-list avro →
+    // manifest avro → live parquet files; latest read + snapshot-id
+    // time travel, the q128/q129 twin on the second open format
+    "q147_iceberg_read"        -> (sources.Iceberg.icebergRead _),
+    "q148_iceberg_time_travel" -> (sources.Iceberg.icebergTimeTravel _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -464,6 +469,8 @@ object SparkEntry {
     "q143_priority_crosstab" -> ops.Olap.urgencyCrosstabSql,
     "q144_unattributed_funnel" -> streaming.Sessions.unattributedFunnelSql,
     "q145_delta_pruned_read" -> sources.DeltaLog.deltaPrunedReadSql,
-    "q146_delta_append_compact" -> sources.DeltaLog.deltaAppendCompactReadSql
+    "q146_delta_append_compact" -> sources.DeltaLog.deltaAppendCompactReadSql,
+    "q147_iceberg_read"        -> sources.Iceberg.icebergReadSql,
+    "q148_iceberg_time_travel" -> sources.Iceberg.icebergTimeTravelSql
   )
 }

@@ -685,8 +685,8 @@ object DeltaLog {
   private val tableCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Long, String), String]()
 
-  private def cachedTable(spark: SparkSession, dir: String, kind: String)(
-      build: (DataFrame, String) => Unit): String = {
+  private[sources] def cachedTable(spark: SparkSession, dir: String,
+      kind: String)(build: (DataFrame, String) => Unit): String = {
     tableCache.keySet.asScala.toSeq.foreach { k =>
       if (k._1.sparkContext.isStopped)
         Option(tableCache.remove(k)).foreach(p =>

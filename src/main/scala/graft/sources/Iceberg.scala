@@ -1,0 +1,456 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader,
+  GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Minimal reader/writer for the OPEN Apache Iceberg table layout —
+  * the Delta twin of [[DeltaLog]] (the north star names both formats;
+  * reference: the lakehouse's open-table-format tier).
+  *
+  * The public layout this module speaks (Iceberg spec, Hadoop-catalog
+  * convention):
+  *
+  *   table/metadata/v<N>.metadata.json   table metadata: schema,
+  *       snapshot list, current-snapshot-id; one IMMUTABLE file per
+  *       commit — the log is the metadata.json chain, not a delta log
+  *   table/metadata/version-hint.text    current N (Hadoop catalog's
+  *       pointer; absent → highest vN wins)
+  *   snapshot.manifest-list              an AVRO file enumerating the
+  *       snapshot's manifests (manifest_path, length, spec id, ...)
+  *   manifest files                      AVRO files enumerating data
+  *       files: status (1=ADDED/0=EXISTING live, 2=DELETED),
+  *       data_file{file_path, file_format, record_count, size}
+  *
+  * Both metadata hops are avro + JSON read DRIVER-SIDE with the plain
+  * avro library (on Spark's classpath) — exactly what an Iceberg
+  * client's planning phase does: metadata cost scales with manifest
+  * count, never data size. The data read is a plain parquet scan of
+  * the live files, so pushdown/pruning apply unchanged.
+  *
+  * Scope (documented, deliberate): format-version 1, unpartitioned
+  * tables (partition pruning through an open log is proven on the
+  * Delta side — [[DeltaLog.readWhere]]), parquet data files, the
+  * required manifest fields only (no column stats/bounds, no delete
+  * files — those are v2 row-level features; [[read]] `require`s
+  * format-version 1 so a table needing them fails loudly). Snapshot
+  * ids are sequential, not random: deterministic for the oracle gate,
+  * legal per the spec (any unique long).
+  *
+  * Cited reference behavior: spark/batch_silver.py:152-164 (open-
+  * format table writes), spark/load_warehouse.py:73-87 (warehouse
+  * loads that a format-agnostic reader would replace). */
+object Iceberg {
+
+  private val mapper = new ObjectMapper()
+
+  private def metaDir(tableDir: String) = s"$tableDir/metadata"
+
+  // ---------------------------------------------------------------
+  // Avro shapes (required fields of the spec's manifest-list and
+  // manifest entry records)
+  // ---------------------------------------------------------------
+
+  private val manifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+      |]}""".stripMargin)
+
+  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}
+      |]}}]}""".stripMargin)
+
+  private def writeAvro(path: String, schema: Schema,
+                        records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(path))
+    try records.foreach(w.append) finally w.close()
+  }
+
+  /** Read every record of an avro file, BY NAME field access (a real
+    * client's files carry more fields and their own order). */
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](
+      new File(stripFileUri(path)),
+      new GenericDatumReader[GenericRecord]())
+    try { val b = Seq.newBuilder[GenericRecord]
+      while (r.hasNext) b += r.next(); b.result() }
+    finally r.close()
+  }
+
+  private def stripFileUri(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+
+  // ---------------------------------------------------------------
+  // Schema conversion (Iceberg JSON schema <-> Spark StructType)
+  // ---------------------------------------------------------------
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  private def icebergTypeToSpark(t: String): DataType = t match {
+    case "boolean"                  => BooleanType
+    case "int"                      => IntegerType
+    case "long"                     => LongType
+    case "float"                    => FloatType
+    case "double"                   => DoubleType
+    case "date"                     => DateType
+    case "timestamp"                => TimestampNTZType // no zone
+    case "timestamptz"              => TimestampType
+    case "string"                   => StringType
+    case "binary"                   => BinaryType
+    case DecimalRe(p, s)            => DecimalType(p.toInt, s.toInt)
+    case other => throw new IllegalArgumentException(
+      s"unsupported Iceberg type '$other' (reader speaks the v1 " +
+        "primitives; nested/uuid/fixed types out of scope)")
+  }
+
+  private def sparkTypeToIceberg(t: DataType): String = t match {
+    case BooleanType        => "boolean"
+    case IntegerType        => "int"
+    case ShortType | ByteType => "int"
+    case LongType           => "long"
+    case FloatType          => "float"
+    case DoubleType         => "double"
+    case DateType           => "date"
+    case TimestampNTZType   => "timestamp"
+    case TimestampType      => "timestamptz"
+    case StringType         => "string"
+    case BinaryType         => "binary"
+    case d: DecimalType     => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"unsupported Spark type $other for Iceberg v1 export")
+  }
+
+  private def schemaFromMetadata(meta: ObjectNode): StructType = {
+    // v1 writes "schema"; v2 moved to "schemas" + current-schema-id —
+    // accept both spellings (v1 tables written by newer clients carry
+    // both)
+    val schemaNode =
+      if (meta.has("schema")) meta.get("schema")
+      else {
+        val id = meta.get("current-schema-id").asInt
+        meta.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt == id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $id not in schemas list"))
+      }
+    StructType(schemaNode.get("fields").elements().asScala.map { f =>
+      StructField(f.get("name").asText,
+        icebergTypeToSpark(f.get("type").asText),
+        nullable = !f.get("required").asBoolean)
+    }.toSeq)
+  }
+
+  private def schemaToJson(schema: StructType): ObjectNode = {
+    val s = mapper.createObjectNode()
+    s.put("type", "struct").put("schema-id", 0)
+    val fields = s.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fields.addObject()
+      fn.put("id", i + 1).put("name", f.name)
+        .put("required", !f.nullable)
+        .put("type", sparkTypeToIceberg(f.dataType))
+    }
+    s
+  }
+
+  // ---------------------------------------------------------------
+  // Metadata chain
+  // ---------------------------------------------------------------
+
+  /** Committed metadata versions, ascending (the vN of
+    * `metadata/v<N>.metadata.json`). */
+  def versions(tableDir: String): Seq[Int] =
+    Option(new File(metaDir(tableDir)).listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".metadata.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json") }
+      .collect { case n if n.forall(_.isDigit) => n.toInt }
+      .sorted.toSeq
+
+  /** Current metadata version: `version-hint.text` if present (the
+    * Hadoop catalog's pointer), else the highest vN on disk. */
+  private def currentVersion(tableDir: String): Int = {
+    val hint = new File(metaDir(tableDir), "version-hint.text")
+    if (hint.isFile)
+      new String(Files.readAllBytes(hint.toPath), "UTF-8").trim.toInt
+    else {
+      val vs = versions(tableDir)
+      require(vs.nonEmpty, s"no metadata/v*.metadata.json under $tableDir")
+      vs.last
+    }
+  }
+
+  private def loadMetadata(tableDir: String, v: Int): ObjectNode = {
+    val f = new File(metaDir(tableDir), s"v$v.metadata.json")
+    require(f.isFile, s"missing metadata file ${f.getPath}")
+    val meta = mapper.readTree(
+      new String(Files.readAllBytes(f.toPath), "UTF-8"))
+      .asInstanceOf[ObjectNode]
+    val fv = meta.get("format-version").asInt
+    require(fv == 1,
+      s"unsupported Iceberg format-version $fv (reader supports 1: " +
+        "no delete files / row-level v2 features)")
+    meta
+  }
+
+  /** Snapshot ids recorded in the current metadata, ascending. */
+  def snapshotIds(tableDir: String): Seq[Long] = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong).toSeq.sorted
+  }
+
+  /** Test seam: manifest avro files the last read planned over. */
+  @volatile private[graft] var lastManifestsRead: Int = 0
+
+  /** Live data files of snapshot `snapshotId`: manifest-list hop,
+    * then each manifest's entries with status != 2 (DELETED). Both
+    * hops are driver-side metadata reads. */
+  private def planFiles(tableDir: String, meta: ObjectNode,
+                        snapshotId: Long): Seq[String] = {
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId not in metadata (have " +
+          s"${snapshotIds(tableDir).mkString(",")})"))
+    val manifests = readAvro(snap.get("manifest-list").asText)
+      .map(_.get("manifest_path").toString)
+    lastManifestsRead = manifests.size
+    manifests.flatMap { m =>
+      readAvro(m).flatMap { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        if (status == 2) None // DELETED — not part of this snapshot
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val fmt = df.get("file_format").toString
+          require(fmt.equalsIgnoreCase("PARQUET"),
+            s"unsupported data file format $fmt")
+          Some(df.get("file_path").toString)
+        }
+      }
+    }
+  }
+
+  /** Latest snapshot (current-snapshot-id of the current metadata). */
+  def read(spark: SparkSession, tableDir: String): DataFrame = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    readSnapshotFrom(spark, tableDir, meta,
+      meta.get("current-snapshot-id").asLong)
+  }
+
+  /** Time travel: the table exactly as of `snapshotId` — every
+    * snapshot in the metadata's list stays addressable, the spec's
+    * time-travel contract. */
+  def readSnapshot(spark: SparkSession, tableDir: String,
+                   snapshotId: Long): DataFrame = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    readSnapshotFrom(spark, tableDir, meta, snapshotId)
+  }
+
+  private def readSnapshotFrom(spark: SparkSession, tableDir: String,
+      meta: ObjectNode, snapshotId: Long): DataFrame = {
+    val schema = schemaFromMetadata(meta)
+    val files = planFiles(tableDir, meta, snapshotId)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+    else
+      spark.read.schema(schema).parquet(
+        files.map(stripFileUri).sorted: _*)
+  }
+
+  // ---------------------------------------------------------------
+  // Writer (overwrite/append snapshots through the metadata chain)
+  // ---------------------------------------------------------------
+
+  /** Driver-side record count from the parquet footer — metadata, not
+    * a scan (the spec requires record_count per data file). */
+  private def parquetRowCount(path: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  private def manifestEntry(path: String, status: Int): GenericRecord = {
+    val df = new GenericData.Record(
+      manifestEntrySchema.getField("data_file").schema())
+    df.put("file_path", path)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", parquetRowCount(path))
+    df.put("file_size_in_bytes", new File(path).length())
+    val e = new GenericData.Record(manifestEntrySchema)
+    e.put("status", status)
+    e.put("snapshot_id", null)
+    e.put("data_file", df)
+    e
+  }
+
+  private def commit(df: DataFrame, tableDir: String,
+                     overwrite: Boolean): Long = {
+    Files.createDirectories(Paths.get(metaDir(tableDir)))
+    val vs = versions(tableDir)
+    val v = if (vs.isEmpty) 1 else vs.last + 1
+    val prevMeta = if (vs.isEmpty) None else Some(loadMetadata(tableDir, vs.last))
+    prevMeta.foreach { m =>
+      val prevSchema = schemaFromMetadata(m)
+      require(prevSchema == StructType(df.schema.fields.map(f =>
+          StructField(f.name, f.dataType, f.nullable))),
+        s"schema mismatch: table has $prevSchema, commit has ${df.schema}")
+    }
+    val snapshotId: Long = prevMeta.map(
+      _.get("snapshots").elements().asScala
+        .map(_.get("snapshot-id").asLong).maxOption.getOrElse(0L))
+      .getOrElse(0L) + 1L
+    // data files
+    val sub = s"data/part-${java.util.UUID.randomUUID}"
+    df.write.parquet(s"$tableDir/$sub")
+    val parts = Option(new File(tableDir, sub).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    // one new manifest for the added files
+    val manifestPath =
+      s"${metaDir(tableDir)}/snap-$snapshotId-m0.avro"
+    writeAvro(manifestPath, manifestEntrySchema,
+      parts.map(f => manifestEntry(f.getPath, 1)).toSeq)
+    // manifest list: append keeps the prior snapshot's manifests (its
+    // files stay EXISTING); overwrite references only the new one
+    val prevManifests: Seq[(String, Long)] =
+      if (overwrite || prevMeta.isEmpty) Seq.empty
+      else {
+        val curId = prevMeta.get.get("current-snapshot-id").asLong
+        val curSnap = prevMeta.get.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong == curId).get
+        readAvro(curSnap.get("manifest-list").asText)
+          .map(r => (r.get("manifest_path").toString,
+            r.get("manifest_length").asInstanceOf[Long]))
+      }
+    val listPath =
+      s"${metaDir(tableDir)}/snap-$snapshotId-manifest-list.avro"
+    val listRecords = (prevManifests :+
+      (manifestPath, new File(manifestPath).length())).map {
+        case (p, len) =>
+          val r = new GenericData.Record(manifestFileSchema)
+          r.put("manifest_path", p)
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", 0)
+          r.put("added_snapshot_id", snapshotId)
+          r
+      }
+    writeAvro(listPath, manifestFileSchema, listRecords)
+    // new metadata json: full snapshot history + the new snapshot
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 1)
+    meta.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+      tableDir.getBytes("UTF-8")).toString)
+    meta.put("location", tableDir)
+    meta.put("last-updated-ms", 0L)
+    meta.put("last-column-id", df.schema.fields.length)
+    meta.set[ObjectNode]("schema", schemaToJson(df.schema))
+    val specs = meta.putArray("partition-specs")
+    specs.addObject().put("spec-id", 0).putArray("fields")
+    meta.put("default-spec-id", 0)
+    meta.putObject("properties")
+    meta.put("current-snapshot-id", snapshotId)
+    val snaps: ArrayNode = meta.putArray("snapshots")
+    prevMeta.foreach(_.get("snapshots").elements().asScala
+      .foreach(s => snaps.add(s)))
+    val sn = snaps.addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("timestamp-ms", 0L)
+    sn.putObject("summary").put("operation",
+      if (overwrite) "overwrite" else "append")
+    sn.put("manifest-list", listPath)
+    // publish: tmp + hard-link CAS like the Delta commit (metadata
+    // files are immutable; losing the race means another writer owns
+    // vN — no retry here, callers of the gated builders never race)
+    val tmp = Files.createTempFile(
+      Paths.get(metaDir(tableDir)), s".v$v-", ".json.tmp")
+    Files.write(tmp,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)
+        .getBytes("UTF-8"))
+    try Files.createLink(
+      Paths.get(metaDir(tableDir), s"v$v.metadata.json"), tmp)
+    finally Files.deleteIfExists(tmp)
+    // version-hint is advisory (reader falls back to max vN)
+    val hint = Files.createTempFile(
+      Paths.get(metaDir(tableDir)), ".hint-", ".tmp")
+    Files.write(hint, v.toString.getBytes("UTF-8"))
+    Files.move(hint, Paths.get(metaDir(tableDir), "version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE)
+    snapshotId
+  }
+
+  /** Commit `df` as a new snapshot REPLACING the table contents
+    * (overwrite: the new manifest list references only the new
+    * manifest). Returns the snapshot id. */
+  def commitOverwrite(df: DataFrame, tableDir: String): Long =
+    commit(df, tableDir, overwrite = true)
+
+  /** Commit `df` as a new snapshot APPENDING to the table (the new
+    * manifest list carries the previous snapshot's manifests plus one
+    * new manifest). Returns the snapshot id. */
+  def commitAppend(df: DataFrame, tableDir: String): Long =
+    commit(df, tableDir, overwrite = false)
+
+  // ---------------------------------------------------------------
+  // Gated queries (q147/q148)
+  // ---------------------------------------------------------------
+
+  /** Session-cached two-snapshot Iceberg table over the orders
+    * testdata: snapshot 1 = even order keys, snapshot 2 = OVERWRITE
+    * with odd keys — the q128/q129 twin, so the two open formats are
+    * gated by the same semantics. */
+  private[graft] def ordersIcebergTable(spark: SparkSession,
+                                        dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "iceberg") { (o, t) =>
+      import org.apache.spark.sql.functions.{lit, pmod}
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t)
+    }
+
+  /** q147 — ICEBERG READ (latest): plan through
+    * metadata.json → manifest-list avro → manifest avro and scan the
+    * live files. Equals the odd half of orders iff the second
+    * overwrite snapshot's manifest list replaced the first. */
+  def icebergRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersIcebergTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val icebergReadSql: String =
+    """SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey"""
+
+  /** q148 — ICEBERG TIME TRAVEL: pins snapshot 1 (the even half),
+    * proving every snapshot in the metadata stays addressable. */
+  def icebergTimeTravel(spark: SparkSession, dir: String): DataFrame =
+    readSnapshot(spark, ordersIcebergTable(spark, dir), 1L)
+      .orderBy(col("o_orderkey"))
+
+  val icebergTimeTravelSql: String =
+    """SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"""
+}

@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+  GenericRecord}
+import org.apache.spark.sql.functions.col
+
+/** The open Iceberg layout reader: metadata JSON + manifest avro
+  * written BY HAND — with extra fields and client-specific field
+  * order the reader must not depend on — must plan and read
+  * correctly; that's what makes this a format test, not a round-trip
+  * tautology. */
+class IcebergSpec extends SparkSuite {
+  import spark.implicits._
+
+  // hand-authored avro shapes: SUPERSET of the fields our reader
+  // needs, in a different order than our writer emits (an external
+  // client's files look like this — by-name access is the contract)
+  private val extManifestFile = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"added_data_files_count","type":"int"},
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"partition_spec_id","type":"int"}
+      |]}""".stripMargin)
+
+  private val extManifestEntry = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"sort_order_id","type":["null","int"],"default":null}
+      |]}},
+      |{"name":"status","type":"int"}
+      |]}""".stripMargin)
+
+  private def writeAvro(path: String, schema: Schema,
+                        rs: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(path))
+    try rs.foreach(w.append) finally w.close()
+  }
+
+  private def entry(path: String, status: Int): GenericRecord = {
+    val df = new GenericData.Record(
+      extManifestEntry.getField("data_file").schema())
+    df.put("file_size_in_bytes", new java.io.File(path).length())
+    df.put("file_path", path)
+    df.put("record_count", 1L)
+    df.put("file_format", "PARQUET")
+    df.put("sort_order_id", null)
+    val e = new GenericData.Record(extManifestEntry)
+    e.put("snapshot_id", null)
+    e.put("data_file", df)
+    e.put("status", status)
+    e
+  }
+
+  private def manifestRef(path: String, snapId: Long): GenericRecord = {
+    val r = new GenericData.Record(extManifestFile)
+    r.put("added_snapshot_id", snapId)
+    r.put("manifest_length", new java.io.File(path).length())
+    r.put("added_data_files_count", 1)
+    r.put("manifest_path", path)
+    r.put("partition_spec_id", 0)
+    r
+  }
+
+  private def stagePart(dir: String, name: String,
+                        rows: Seq[(Long, String)]): String = {
+    val tmp = Files.createTempDirectory("icepart").toString + "/w"
+    rows.toDF("k", "s").coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = Paths.get(dir, name)
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest)
+    dest.toString
+  }
+
+  private val schemaJson =
+    """{"type":"struct","schema-id":0,"fields":[
+      |{"id":1,"name":"k","required":false,"type":"long"},
+      |{"id":2,"name":"s","required":false,"type":"string"}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def metadataJson(tableDir: String, currentSnap: Long,
+                           snaps: Seq[(Long, String)]): String = {
+    val list = snaps.map { case (id, ml) =>
+      s"""{"snapshot-id":$id,"timestamp-ms":0,
+         |"summary":{"operation":"append"},"manifest-list":"$ml"}"""
+        .stripMargin.replace("\n", "")
+    }.mkString(",")
+    s"""{"format-version":1,"table-uuid":"t","location":"$tableDir",
+       |"last-updated-ms":0,"last-column-id":2,
+       |"schema":$schemaJson,
+       |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+       |"properties":{},
+       |"current-snapshot-id":$currentSnap,
+       |"snapshots":[$list]}""".stripMargin.replace("\n", "")
+  }
+
+  test("hand-written layout: snapshot planning, time travel, by-name avro") {
+    val dir = Files.createTempDirectory("ice").toString
+    Files.createDirectories(Paths.get(s"$dir/metadata"))
+    val a = stagePart(dir, "data/a.parquet", Seq((1L, "one")))
+    val b = stagePart(dir, "data/b.parquet", Seq((2L, "two")))
+    // snapshot 10: manifest m1 holds a; snapshot 11: m1 (a EXISTING)
+    // + m2 (b ADDED) — an append's manifest-list shape
+    val m1 = s"$dir/metadata/m1.avro"
+    writeAvro(m1, extManifestEntry, Seq(entry(a, 1)))
+    val m2 = s"$dir/metadata/m2.avro"
+    writeAvro(m2, extManifestEntry, Seq(entry(b, 1)))
+    val l10 = s"$dir/metadata/l10.avro"
+    writeAvro(l10, extManifestFile, Seq(manifestRef(m1, 10L)))
+    val l11 = s"$dir/metadata/l11.avro"
+    writeAvro(l11, extManifestFile,
+      Seq(manifestRef(m1, 10L), manifestRef(m2, 11L)))
+    Files.write(Paths.get(s"$dir/metadata/v1.metadata.json"),
+      metadataJson(dir, 11L, Seq((10L, l10), (11L, l11))).getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+
+    val latest = sources.Iceberg.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(latest == Set((1L, "one"), (2L, "two")))
+    assert(sources.Iceberg.lastManifestsRead == 2)
+    val pinned = sources.Iceberg.readSnapshot(spark, dir, 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pinned == Set((1L, "one")), "snapshot 10 must not see b")
+    assert(sources.Iceberg.lastManifestsRead == 1)
+    // schema comes from the metadata JSON, not parquet footers
+    assert(sources.Iceberg.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("k", "s"))
+  }
+
+  test("DELETED manifest entries are excluded from the scan") {
+    val dir = Files.createTempDirectory("iced").toString
+    Files.createDirectories(Paths.get(s"$dir/metadata"))
+    val a = stagePart(dir, "data/a.parquet", Seq((1L, "live")))
+    val b = stagePart(dir, "data/b.parquet", Seq((2L, "dead")))
+    val m = s"$dir/metadata/m.avro"
+    writeAvro(m, extManifestEntry, Seq(entry(a, 0), entry(b, 2)))
+    val l = s"$dir/metadata/l.avro"
+    writeAvro(l, extManifestFile, Seq(manifestRef(m, 5L)))
+    Files.write(Paths.get(s"$dir/metadata/v1.metadata.json"),
+      metadataJson(dir, 5L, Seq((5L, l))).getBytes("UTF-8"))
+    val got = sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), "status=2 (DELETED) entry leaked into the scan")
+  }
+
+  test("missing version-hint falls back to the highest metadata version") {
+    val dir = Files.createTempDirectory("iceh").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.Iceberg.commitOverwrite(Seq((2L, "b")).toDF("k", "s"), dir)
+    Files.delete(Paths.get(s"$dir/metadata/version-hint.text"))
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("writer round-trip: overwrite replaces, append accumulates") {
+    val dir = Files.createTempDirectory("icew").toString + "/t"
+    val s1 = sources.Iceberg.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    val s2 = sources.Iceberg.commitAppend(
+      Seq((3L, "c")).toDF("k", "s"), dir)
+    val s3 = sources.Iceberg.commitOverwrite(
+      Seq((9L, "z")).toDF("k", "s"), dir)
+    assert(Seq(s1, s2, s3) == Seq(1L, 2L, 3L))
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(sources.Iceberg.readSnapshot(spark, dir, s2)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "append snapshot must keep the prior snapshot's files")
+    assert(sources.Iceberg.readSnapshot(spark, dir, s1)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // metadata chain is immutable history: one file per commit
+    assert(sources.Iceberg.versions(dir) == Seq(1, 2, 3))
+  }
+
+  test("format-version 2 fails loudly, not silently wrong") {
+    val dir = Files.createTempDirectory("icev2").toString
+    Files.createDirectories(Paths.get(s"$dir/metadata"))
+    Files.write(Paths.get(s"$dir/metadata/v1.metadata.json"),
+      metadataJson(dir, 1L, Seq((1L, "nope.avro")))
+        .replace("\"format-version\":1", "\"format-version\":2")
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.read(spark, dir)
+    }
+    assert(e.getMessage.contains("format-version"))
+  }
+
+  test("q147/q148 gate shape: overwrite honored, time travel pinned") {
+    val latest = sources.Iceberg.icebergRead(spark, sfDir)
+    val pinned = sources.Iceberg.icebergTimeTravel(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(latest.count() ==
+      orders.filter(col("o_orderkey") % 2 === 1).count())
+    assert(pinned.count() ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    assert(latest.count() + pinned.count() == orders.count())
+    // planning is metadata-bounded: manifests read, never data rows
+    assert(sources.Iceberg.lastManifestsRead <= 2)
+    // second call reuses the session cache (no rebuild)
+    val t1 = sources.Iceberg.ordersIcebergTable(spark, sfDir)
+    val t2 = sources.Iceberg.ordersIcebergTable(spark, sfDir)
+    assert(t1 == t2)
+  }
+}
