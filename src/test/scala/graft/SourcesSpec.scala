@@ -45,6 +45,16 @@ class SourcesSpec extends SparkSuite {
     assert(m == Map(1L -> "a", 2L -> "b", 3L -> "c")) // 2 kept, not changed
   }
 
+  test("q150 gate shape: CSV insert-if-absent keeps markers, adds only absent keys") {
+    val got = sources.Csv.csvInsertIfAbsent(spark, sfDir)
+    val cust = Tables.load(spark, sfDir, "customer")
+    assert(got.count() == cust.count(),
+      "every key exactly once: no duplicates (naive append), no drops")
+    val markers = got.filter(col("c_mktsegment") === "EXISTING").count()
+    assert(markers == cust.filter(col("c_custkey") % 2 === 0).count(),
+      "existing rows must keep their marker — insert, never update")
+  }
+
   test("JSON-lines source: explicit schema, typed reads, corrupt-line capture") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("jsonl").toString
