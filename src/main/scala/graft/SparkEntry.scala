@@ -320,7 +320,11 @@ object SparkEntry {
     // S8 promoted from spec to gate: headered CSV under external
     // names → explicit schema + rename map → left-anti
     // insert-if-absent (ON CONFLICT DO NOTHING, marker-proven)
-    "q150_csv_insert_absent"   -> (sources.Csv.csvInsertIfAbsent _)
+    "q150_csv_insert_absent"   -> (sources.Csv.csvInsertIfAbsent _),
+    // Iceberg data skipping: footer stats → manifest value bounds →
+    // planner range pruning over a range-clustered layout; spec
+    // bounds files-planned via the seam
+    "q151_iceberg_pruned_read" -> (sources.Iceberg.icebergPrunedRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -481,6 +485,7 @@ object SparkEntry {
     "q147_iceberg_read"        -> sources.Iceberg.icebergReadSql,
     "q148_iceberg_time_travel" -> sources.Iceberg.icebergTimeTravelSql,
     "q149_aqe_coalesce"        -> ops.Scale.coalesceGateSql,
-    "q150_csv_insert_absent"   -> sources.Csv.csvInsertIfAbsentSql
+    "q150_csv_insert_absent"   -> sources.Csv.csvInsertIfAbsentSql,
+    "q151_iceberg_pruned_read" -> sources.Iceberg.icebergPrunedReadSql
   )
 }

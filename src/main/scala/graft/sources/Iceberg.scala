@@ -70,6 +70,9 @@ object Iceberg {
       |{"name":"added_snapshot_id","type":["null","long"],"default":null}
       |]}""".stripMargin)
 
+  // lower/upper bounds ride as the spec's field-id → single-value-
+  // serialized bytes pairs (avro spells non-string-key maps as arrays
+  // of key/value records)
   private val manifestEntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
@@ -78,7 +81,13 @@ object Iceberg {
       |{"name":"file_path","type":"string"},
       |{"name":"file_format","type":"string"},
       |{"name":"record_count","type":"long"},
-      |{"name":"file_size_in_bytes","type":"long"}
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"lower_bounds","type":["null",{"type":"array","items":
+      |{"type":"record","name":"k_v","fields":[
+      |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+      |"default":null},
+      |{"name":"upper_bounds","type":["null",{"type":"array","items":"k_v"}],
+      |"default":null}
       |]}}]}""".stripMargin)
 
   private def writeAvro(path: String, schema: Schema,
@@ -226,11 +235,39 @@ object Iceberg {
   /** Test seam: manifest avro files the last read planned over. */
   @volatile private[graft] var lastManifestsRead: Int = 0
 
+  /** Test seam: data files the last read handed to the scan (after
+    * any bounds pruning) — the q145/q104 files-scanned discipline. */
+  @volatile private[graft] var lastFilesPlanned: Int = 0
+
+  /** One planned data file: path + the manifest's per-field-id value
+    * bounds (absent for files/columns without stats — which then
+    * never prune, the superset contract). */
+  private case class PlannedFile(path: String,
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
+  private def boundsMap(df: GenericRecord,
+                        field: String): Map[Int, Array[Byte]] =
+    df.getSchema.getField(field) match {
+      case null => Map.empty
+      case _ => Option(df.get(field)) match {
+        case None => Map.empty
+        case Some(arr: java.util.Collection[_]) =>
+          arr.asScala.map { kv =>
+            val r = kv.asInstanceOf[GenericRecord]
+            val buf = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+            val bytes = new Array[Byte](buf.remaining())
+            buf.duplicate().get(bytes)
+            r.get("key").asInstanceOf[Int] -> bytes
+          }.toMap
+        case _ => Map.empty
+      }
+    }
+
   /** Live data files of snapshot `snapshotId`: manifest-list hop,
     * then each manifest's entries with status != 2 (DELETED). Both
     * hops are driver-side metadata reads. */
   private def planFiles(tableDir: String, meta: ObjectNode,
-                        snapshotId: Long): Seq[String] = {
+                        snapshotId: Long): Seq[PlannedFile] = {
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
@@ -248,7 +285,8 @@ object Iceberg {
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
             s"unsupported data file format $fmt")
-          Some(df.get("file_path").toString)
+          Some(PlannedFile(df.get("file_path").toString,
+            boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds")))
         }
       }
     }
@@ -271,38 +309,139 @@ object Iceberg {
   }
 
   private def readSnapshotFrom(spark: SparkSession, tableDir: String,
-      meta: ObjectNode, snapshotId: Long): DataFrame = {
-    val schema = schemaFromMetadata(meta)
-    val files = planFiles(tableDir, meta, snapshotId)
+      meta: ObjectNode, snapshotId: Long): DataFrame =
+    scanPlanned(spark, schemaFromMetadata(meta),
+      planFiles(tableDir, meta, snapshotId))
+
+  private def scanPlanned(spark: SparkSession, schema: StructType,
+                          files: Seq[PlannedFile]): DataFrame = {
+    lastFilesPlanned = files.size
     if (files.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
     else
       spark.read.schema(schema).parquet(
-        files.map(stripFileUri).sorted: _*)
+        files.map(f => stripFileUri(f.path)).sorted: _*)
+  }
+
+  /** Iceberg's single-value serialization for `long`: 8 bytes
+    * little-endian. The only bound type this engine writes/prunes on
+    * (documented scope — long key/measure columns are where range
+    * skipping pays). */
+  private def longBound(bytes: Array[Byte]): Option[Long] =
+    if (bytes.length != 8) None
+    else Some(java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+
+  /** Column name → field id from the metadata schema (external
+    * tables carry their own ids — never assume position). */
+  private def fieldIds(meta: ObjectNode): Map[String, Int] = {
+    val schemaNode =
+      if (meta.has("schema")) meta.get("schema")
+      else meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt == meta.get("current-schema-id").asInt)
+        .get
+    schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+  }
+
+  /** RANGE-PRUNED read of the latest snapshot: keep only files whose
+    * manifest [lower, upper] bounds can intersect every `(col, lo,
+    * hi)` range — Iceberg data skipping, decided driver-side over
+    * manifest rows exactly as an Iceberg client's planner does.
+    * Superset contract (the Snapshots.pruneFiles / DeltaLog.readWhere
+    * discipline): a file or column WITHOUT bounds never prunes, false
+    * positives cost a file read, false negatives cannot happen —
+    * callers re-apply the exact predicate. [[lastFilesPlanned]]
+    * records the surviving file count for spec ceilings. */
+  def readPrunedRange(spark: SparkSession, tableDir: String,
+                      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    val ids = fieldIds(meta)
+    ranges.foreach { case (c, _, _) =>
+      require(ids.contains(c), s"no column '$c' in table schema") }
+    val files = planFiles(tableDir, meta,
+      meta.get("current-snapshot-id").asLong)
+    val kept = files.filter { f =>
+      ranges.forall { case (c, lo, hi) =>
+        val id = ids(c)
+        (f.lower.get(id).flatMap(longBound),
+          f.upper.get(id).flatMap(longBound)) match {
+          case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
+          case _ => true // no stats can never prove no match
+        }
+      }
+    }
+    scanPlanned(spark, schemaFromMetadata(meta), kept)
   }
 
   // ---------------------------------------------------------------
   // Writer (overwrite/append snapshots through the metadata chain)
   // ---------------------------------------------------------------
 
-  /** Driver-side record count from the parquet footer — metadata, not
-    * a scan (the spec requires record_count per data file). */
-  private def parquetRowCount(path: String): Long = {
+  /** Driver-side parquet footer read — metadata, never a scan: the
+    * record count the spec requires per data file, plus min/max of
+    * every top-level INT64 column (merged across row groups) for the
+    * manifest's value bounds. One footer open serves both. */
+  private def parquetFooter(path: String): (Long, Map[String, (Long, Long)]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val isLong = c.getPrimitiveType.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+          val st = c.getStatistics
+          if (isLong && c.getPath.size == 1 && st != null &&
+            !st.isEmpty && st.hasNonNullValue) {
+            val name = c.getPath.toDotString
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+            val merged = bounds.get(name)
+              .map { case (a, b2) => (math.min(a, mn), math.max(b2, mx)) }
+              .getOrElse((mn, mx))
+            bounds(name) = merged
+          }
+        }
+      }
+      (r.getRecordCount, bounds.toMap)
+    } finally r.close()
   }
 
-  private def manifestEntry(path: String, status: Int): GenericRecord = {
-    val df = new GenericData.Record(
-      manifestEntrySchema.getField("data_file").schema())
+  private def longBoundBytes(v: Long): java.nio.ByteBuffer = {
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putLong(v); b.flip(); b
+  }
+
+  private def manifestEntry(path: String, status: Int,
+                            ids: Map[String, Int]): GenericRecord = {
+    val dfSchema = manifestEntrySchema.getField("data_file").schema()
+    val kvSchema = dfSchema.getField("lower_bounds").schema()
+      .getTypes.get(1).getElementType
+    val df = new GenericData.Record(dfSchema)
     df.put("file_path", path)
     df.put("file_format", "PARQUET")
-    df.put("record_count", parquetRowCount(path))
+    val (rows, bounds) = parquetFooter(path)
+    df.put("record_count", rows)
     df.put("file_size_in_bytes", new File(path).length())
+    val known = bounds.toSeq
+      .flatMap { case (name, b) => ids.get(name).map(id => (id, b)) }
+      .sortBy(_._1)
+    def kvs(pick: ((Long, Long)) => Long): java.util.List[GenericRecord] =
+      known.map { case (id, b) =>
+        val r = new GenericData.Record(kvSchema)
+        r.put("key", id)
+        r.put("value", longBoundBytes(pick(b)))
+        r: GenericRecord
+      }.asJava
+    if (known.nonEmpty) {
+      df.put("lower_bounds", kvs(_._1))
+      df.put("upper_bounds", kvs(_._2))
+    }
     val e = new GenericData.Record(manifestEntrySchema)
     e.put("status", status)
     e.put("snapshot_id", null)
@@ -336,8 +475,10 @@ object Iceberg {
     // one new manifest for the added files
     val manifestPath =
       s"${metaDir(tableDir)}/snap-$snapshotId-m0.avro"
+    val colIds = df.schema.fields.zipWithIndex
+      .map { case (f, i) => f.name -> (i + 1) }.toMap
     writeAvro(manifestPath, manifestEntrySchema,
-      parts.map(f => manifestEntry(f.getPath, 1)).toSeq)
+      parts.map(f => manifestEntry(f.getPath, 1, colIds)).toSeq)
     // manifest list: append keeps the prior snapshot's manifests (its
     // files stay EXISTING); overwrite references only the new one
     val prevManifests: Seq[(String, Long)] =
@@ -453,4 +594,40 @@ object Iceberg {
 
   val icebergTimeTravelSql: String =
     """SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"""
+
+  /** q151's probe range: keys are dense from 0 at every SF, so the
+    * range covers the low tail of a range-clustered layout — most
+    * files' bounds exclude it entirely. */
+  private[graft] val PruneKeyLo = 100L
+  private[graft] val PruneKeyHi = 999L
+
+  /** Session-cached RANGE-CLUSTERED Iceberg table: orders
+    * `repartitionByRange(8)` on the key before the snapshot commit,
+    * so each data file's manifest bounds span a disjoint key slice —
+    * the layout that makes bounds pruning pay (the q100→q104
+    * cluster-then-skip shape, here through the open format's own
+    * stats). */
+  private[graft] def ordersIcebergRangeTable(spark: SparkSession,
+                                             dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergr") { (o, t) =>
+      commitOverwrite(o.repartitionByRange(8, col("o_orderkey")), t)
+    }
+
+  /** q151 — ICEBERG BOUNDS-PRUNED READ: a key-range predicate is
+    * answered by [[readPrunedRange]], which drops files whose
+    * manifest lower/upper bounds exclude the range before the scan
+    * exists — Iceberg data skipping end-to-end (footer stats →
+    * manifest bounds → planner pruning). The oracle is the plain
+    * full-table filter, so pruning that dropped a matching file
+    * hash-mismatches; IcebergSpec bounds files-planned via the seam. */
+  def icebergPrunedRead(spark: SparkSession, dir: String): DataFrame =
+    readPrunedRange(spark, ordersIcebergRangeTable(spark, dir),
+        Seq(("o_orderkey", PruneKeyLo, PruneKeyHi)))
+      .filter(col("o_orderkey").between(PruneKeyLo, PruneKeyHi))
+      .orderBy(col("o_orderkey"))
+
+  val icebergPrunedReadSql: String =
+    s"""SELECT * FROM orders
+       |WHERE o_orderkey BETWEEN $PruneKeyLo AND $PruneKeyHi
+       |ORDER BY o_orderkey""".stripMargin
 }

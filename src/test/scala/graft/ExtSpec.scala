@@ -389,7 +389,12 @@ class ExtSpec extends SparkSuite {
     val f = new java.io.File(s"$tmp/embeddings.parquet")
     assert(f.setLastModified(f.lastModified() + 5000))
     graft.ext.Similarity.ivfDiversitySample(spark, tmp).count()
-    assert(persisted == afterFirst,
+    // <= not ==: the claim is "no accumulation"; the absolute count is
+    // session-global and concurrent suites' localCheckpoint frames get
+    // async-unpersisted by the ContextCleaner, so it can legitimately
+    // DROP while this test runs (observed under the full parallel
+    // suite) — only growth would indicate the leak this test guards
+    assert(persisted <= afterFirst,
       "superseded cell assignment must be unpersisted, not accumulated")
   }
 

@@ -200,6 +200,88 @@ class IcebergSpec extends SparkSuite {
     assert(e.getMessage.contains("format-version"))
   }
 
+  test("manifest value bounds prune range reads; boundless files never prune") {
+    // hand-authored manifest with bounds in a FOREIGN shape: extra
+    // fields, its own field order, bounds as the spec's field-id →
+    // little-endian-long bytes pairs
+    val boundedEntry = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry_b","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file_b","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"upper_bounds","type":["null",{"type":"array","items":
+        |{"type":"record","name":"kvb","fields":[
+        |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |"default":null},
+        |{"name":"lower_bounds","type":["null",{"type":"array","items":"kvb"}],
+        |"default":null}
+        |]}}]}""".stripMargin)
+    def le(v: Long): java.nio.ByteBuffer = {
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(v); b.flip(); b
+    }
+    def boundedE(path: String, bounds: Option[(Long, Long)]): GenericRecord = {
+      val dfT = boundedEntry.getField("data_file").schema()
+      val kvT = dfT.getField("lower_bounds").schema()
+        .getTypes.get(1).getElementType
+      val df = new GenericData.Record(dfT)
+      df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", new java.io.File(path).length())
+      bounds.foreach { case (lo, hi) =>
+        def kv(v: Long) = {
+          val r = new GenericData.Record(kvT)
+          r.put("key", 1); r.put("value", le(v)); r
+        }
+        df.put("lower_bounds", java.util.List.of(kv(lo)))
+        df.put("upper_bounds", java.util.List.of(kv(hi)))
+      }
+      val e = new GenericData.Record(boundedEntry)
+      e.put("status", 1)
+      e.put("data_file", df)
+      e
+    }
+    val dir = Files.createTempDirectory("iceb").toString
+    Files.createDirectories(Paths.get(s"$dir/metadata"))
+    val a = stagePart(dir, "data/a.parquet", Seq((5L, "in")))
+    val b = stagePart(dir, "data/b.parquet", Seq((150L, "out")))
+    val c = stagePart(dir, "data/c.parquet", Seq((7L, "nostats")))
+    val m = s"$dir/metadata/m.avro"
+    writeAvro(m, boundedEntry, Seq(
+      boundedE(a, Some((1L, 10L))),    // intersects [1,50] — kept
+      boundedE(b, Some((100L, 200L))), // excluded — pruned
+      boundedE(c, None)))              // no bounds — must be kept
+    val l = s"$dir/metadata/l.avro"
+    writeAvro(l, extManifestFile, Seq(manifestRef(m, 3L)))
+    Files.write(Paths.get(s"$dir/metadata/v1.metadata.json"),
+      metadataJson(dir, 3L, Seq((3L, l))).getBytes("UTF-8"))
+    val got = sources.Iceberg.readPrunedRange(spark, dir,
+        Seq(("k", 1L, 50L)))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(5L, 7L),
+      "kept set must be the intersecting file PLUS the boundless file")
+    assert(sources.Iceberg.lastFilesPlanned == 2,
+      s"planned ${sources.Iceberg.lastFilesPlanned} files; bounds " +
+        "should prune b and keep boundless c (superset contract)")
+  }
+
+  test("q151 gate shape: range-clustered layout prunes most files") {
+    val got = sources.Iceberg.icebergPrunedRead(spark, sfDir)
+    val planned = sources.Iceberg.lastFilesPlanned
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() == orders.filter(
+      col("o_orderkey").between(sources.Iceberg.PruneKeyLo,
+        sources.Iceberg.PruneKeyHi)).count())
+    assert(planned < 8,
+      s"planned $planned of 8 range-clustered files — the low-tail " +
+        "range must prune, or the bounds chain is inert")
+  }
+
   test("q147/q148 gate shape: overwrite honored, time travel pinned") {
     val latest = sources.Iceberg.icebergRead(spark, sfDir)
     val pinned = sources.Iceberg.icebergTimeTravel(spark, sfDir)
