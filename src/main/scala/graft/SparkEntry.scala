@@ -324,7 +324,25 @@ object SparkEntry {
     // Iceberg data skipping: footer stats → manifest value bounds →
     // planner range pruning over a range-clustered layout; spec
     // bounds files-planned via the seam
-    "q151_iceberg_pruned_read" -> (sources.Iceberg.icebergPrunedRead _)
+    "q151_iceberg_pruned_read" -> (sources.Iceberg.icebergPrunedRead _),
+    // Delta CHANGE DATA FEED: inserts/deletes between versions from
+    // the log's own add/remove actions; dataChange=false OPTIMIZE
+    // commits contribute nothing — leaking them hash-mismatches
+    "q152_delta_changes"       -> (sources.DeltaLog.deltaChanges _),
+    // Iceberg append lifecycle: the third snapshot's manifest-list
+    // must still carry the first two appends' manifests
+    "q153_iceberg_append"      -> (sources.Iceberg.icebergAppendRead _),
+    // partitioned OPTIMIZE: per-partition compaction (remove+add,
+    // dataChange=false, values preserved) read back through pruning
+    "q154_delta_partitioned_optimize"
+      -> (sources.DeltaLog.deltaPartitionedOptimize _),
+    // MERGE INTO through the open log: update-all/insert-all algebra
+    // spelled by the oracle, committed as a real Delta version
+    "q155_delta_merge"         -> (sources.DeltaLog.deltaMergeRead _),
+    // Iceberg incremental append scan: snapshot-diff planned from
+    // added_snapshot_id over manifest rows — rows of snapshots 2..3
+    // only, tagged with the appending snapshot
+    "q156_iceberg_incremental" -> (sources.Iceberg.icebergIncrementalRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -486,6 +504,12 @@ object SparkEntry {
     "q148_iceberg_time_travel" -> sources.Iceberg.icebergTimeTravelSql,
     "q149_aqe_coalesce"        -> ops.Scale.coalesceGateSql,
     "q150_csv_insert_absent"   -> sources.Csv.csvInsertIfAbsentSql,
-    "q151_iceberg_pruned_read" -> sources.Iceberg.icebergPrunedReadSql
+    "q151_iceberg_pruned_read" -> sources.Iceberg.icebergPrunedReadSql,
+    "q152_delta_changes"       -> sources.DeltaLog.deltaChangesSql,
+    "q153_iceberg_append"      -> sources.Iceberg.icebergAppendReadSql,
+    "q154_delta_partitioned_optimize"
+      -> sources.DeltaLog.deltaPartitionedOptimizeSql,
+    "q155_delta_merge"         -> sources.DeltaLog.deltaMergeReadSql,
+    "q156_iceberg_incremental" -> sources.Iceberg.icebergIncrementalReadSql
   )
 }

@@ -242,8 +242,11 @@ object DeltaLog {
     else {
       // ONE scan of every surviving file + a broadcast join against
       // the log's per-file partitionValues, keyed on the file basename
-      // (unique by construction in any real Delta table — UUID part
-      // names; required loudly here). Partition columns are restored
+      // (THIS writer renames partitioned part files to per-file UUIDs
+      // at commit time precisely to guarantee it; an external table
+      // whose same-job hive write reused a task basename across value
+      // dirs is rejected loudly, never mis-joined). Partition columns
+      // are restored
       // as typed casts FROM THE LOG, the spec's source of truth —
       // file paths are opaque. A per-partition-tuple scan would build
       // a union of thousands of plans at real partition counts; this
@@ -610,12 +613,22 @@ object DeltaLog {
     * the LOG. The hive-style value directories the write produces are
     * decoded once, here, at write time; after that the paths are
     * opaque, as the spec intends. Returns the committed version. */
-  def commitOverwritePartitioned(df: DataFrame, tableDir: String,
-                                 partCols: Seq[String]): Long = {
-    require(partCols.nonEmpty, "partitioned commit needs partition columns")
-    val sub = s"part-${java.util.UUID.randomUUID}"
-    df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
-    val adds = partFiles(tableDir, sub).map { f =>
+  /** Decode the hive-style value directories of a `partitionBy` write
+    * under `tableDir/sub` into add actions carrying each file's
+    * `partitionValues` — decoded once, here, at write time; after
+    * that the paths are opaque, as the spec intends. */
+  private def partitionedAdds(tableDir: String, sub: String,
+      partCols: Seq[String], dataChange: Boolean): Seq[ObjectNode] =
+    partFiles(tableDir, sub).map { f0 =>
+      // a single job writing several hive partitions reuses one task
+      // basename across the value dirs (part-00003-<jobUUID> lands
+      // under every status=X it touched) — rename to a per-FILE UUID
+      // so basenames stay globally unique, the invariant the
+      // partitionValues broadcast join keys on; the log records the
+      // new path, so the rename is free driver metadata
+      val f = new File(f0.getParentFile,
+        s"part-${java.util.UUID.randomUUID}.parquet")
+      Files.move(f0.toPath, f.toPath)
       val rel = Paths.get(tableDir).toAbsolutePath
         .relativize(f.toPath.toAbsolutePath).toString
       val pv = rel.split('/').drop(1).dropRight(1).map { seg =>
@@ -625,8 +638,15 @@ object DeltaLog {
       }.toMap
       require(pv.keySet == partCols.toSet,
         s"partition dirs $pv of $rel do not match declared $partCols")
-      addAction(rel, f.length, pv)
+      addAction(rel, f.length, pv, dataChange)
     }
+
+  def commitOverwritePartitioned(df: DataFrame, tableDir: String,
+                                 partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "partitioned commit needs partition columns")
+    val sub = s"part-${java.util.UUID.randomUUID}"
+    df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
+    val adds = partitionedAdds(tableDir, sub, partCols, dataChange = true)
     var v = -1L
     var done = false
     while (!done) {
@@ -649,9 +669,8 @@ object DeltaLog {
     * disk for time travel until [[vacuum]] reclaims them. Returns the
     * committed version.
     *
-    * Scope: unpartitioned tables (a partitioned OPTIMIZE compacts
-    * within each partition; [[Snapshots.optimizeCompact]] carries
-    * that pattern — out of scope here, loudly).
+    * Scope: unpartitioned tables — a partitioned table compacts
+    * within each partition via [[compactPartitioned]].
     *
     * Scale: compaction is the small-files cure — a streaming table
     * that appended thousands of per-trigger files becomes a handful
@@ -673,6 +692,36 @@ object DeltaLog {
     val adds = partFiles(tableDir, sub).map(f =>
       addAction(s"$sub/${f.getName}", f.length, Map.empty,
         dataChange = false))
+    val removes = st.files.map(p => removeAction(p, dataChange = false))
+    require(writeActions(tableDir, base + 1, removes ++ adds),
+      s"concurrent writer claimed version ${base + 1} during compaction " +
+        "— rows may have changed; re-run compact against the new state")
+    base + 1
+  }
+
+  /** [[compact]] for a PARTITIONED table: OPTIMIZE compacts WITHIN
+    * each partition (the Delta contract — partition boundaries are
+    * never merged). One distributed job, not one job per partition:
+    * the snapshot is read once, hash-shuffled ON the partition
+    * columns so each partition's rows land in a single task, and
+    * written `partitionBy` — exactly one file per live partition, at
+    * 10k partitions the same single shuffle. Commits proper
+    * remove(old)+add(new) actions, all dataChange=false, each add
+    * carrying its partition values. Returns the committed version. */
+  def compactPartitioned(spark: SparkSession, tableDir: String): Long = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val base = vs.last
+    val st = replayMaybeCheckpointed(Some(spark), tableDir, base)
+    require(st.partitionColumns.nonEmpty,
+      "compactPartitioned needs a partitioned table (use compact)")
+    val sub = s"part-${java.util.UUID.randomUUID}"
+    scanState(spark, tableDir, st)
+      .repartition(st.partitionColumns.map(col): _*)
+      .write.partitionBy(st.partitionColumns: _*)
+      .parquet(s"$tableDir/$sub")
+    val adds = partitionedAdds(tableDir, sub, st.partitionColumns,
+      dataChange = false)
     val removes = st.files.map(p => removeAction(p, dataChange = false))
     require(writeActions(tableDir, base + 1, removes ++ adds),
       s"concurrent writer claimed version ${base + 1} during compaction " +
@@ -804,6 +853,111 @@ object DeltaLog {
   val deltaAppendCompactReadSql: String =
     """SELECT * FROM orders ORDER BY o_orderkey"""
 
+  /** Incremental consumption — the Delta STREAMING-SOURCE offset
+    * contract (versions are the offsets): all changes strictly AFTER
+    * `sinceVersion`, plus the latest version for the consumer to
+    * checkpoint. A consumer that persists the returned version and
+    * calls back gets each commit's rows exactly once across calls —
+    * the batch skeleton of `readStream.format("delta")`, and the
+    * O(delta)-per-trigger path an incremental MV rides at 100 TB.
+    * `sinceVersion = -1` consumes from the beginning. */
+  def changesSince(spark: SparkSession, tableDir: String,
+                   sinceVersion: Long): (DataFrame, Long) = {
+    val latest = versions(tableDir).last
+    require(sinceVersion <= latest,
+      s"offset $sinceVersion is ahead of the log (latest $latest)")
+    if (sinceVersion == latest) {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField}
+      val st = replayMaybeCheckpointed(Some(spark), tableDir, latest)
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType(st.schema.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_version", LongType, nullable = false))))
+      (empty, latest)
+    } else {
+      val from = versions(tableDir).find(_ > sinceVersion).get
+      (readChanges(spark, tableDir, from, latest), latest)
+    }
+  }
+
+  /** q152 — DELTA CHANGE DATA FEED: the full change history of the
+    * append/compaction lifecycle table. Three appends contribute
+    * their rows as inserts tagged with their commit version (keys
+    * ≡ v mod 3 by construction); the OPTIMIZE commit contributes
+    * NOTHING — its remove+add actions carry dataChange=false, and a
+    * CDF that leaked them would show every row deleted and
+    * re-inserted, hash-mismatching the oracle. */
+  def deltaChanges(spark: SparkSession, dir: String): DataFrame = {
+    val t = ordersAppendCompactTable(spark, dir)
+    readChanges(spark, t, 0L, versions(t).last)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val deltaChangesSql: String =
+    """SELECT o.*, 'insert' AS _change_type,
+      |  o_orderkey % 3 AS _commit_version
+      |FROM orders o ORDER BY o_orderkey""".stripMargin
+
+  /** Session-cached partitioned table AFTER a partitioned OPTIMIZE:
+    * orders written `partitionBy(o_orderstatus)` (many files per
+    * partition), then [[compactPartitioned]] — one file per status. */
+  private[graft] def ordersPartitionedCompactTable(spark: SparkSession,
+                                                   dir: String): String =
+    cachedTable(spark, dir, "deltapc") { (o, t) =>
+      commitOverwritePartitioned(o, t, Seq("o_orderstatus"))
+      compactPartitioned(spark, t)
+    }
+
+  /** q154 — PARTITIONED OPTIMIZE READBACK THROUGH PRUNING: the table
+    * was compacted per-partition (dataChange=false remove+add, values
+    * preserved on the new adds); a partition predicate then prunes to
+    * the compacted 'F' file. Lost/duplicated rows, a compaction that
+    * merged partition boundaries, or post-compaction adds whose
+    * partitionValues went missing all hash-mismatch; DeltaLogSpec
+    * separately asserts one-file-per-partition and files-scanned==1. */
+  def deltaPartitionedOptimize(spark: SparkSession, dir: String): DataFrame =
+    readWhere(spark, ordersPartitionedCompactTable(spark, dir))(
+        pv => pv.get("o_orderstatus").contains("F"))
+      .filter(col("o_orderstatus") === "F")
+      .orderBy(col("o_orderkey"))
+
+  val deltaPartitionedOptimizeSql: String =
+    """SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey"""
+
+  /** Session-cached MERGE lifecycle table: base commit = even order
+    * keys; then [[mergeInto]] with source = keys divisible by 3,
+    * their priority rewritten to 'MERGED'. Matched keys (even, %3=0)
+    * must take the source's values; odd %3=0 keys must insert; even
+    * non-matched keys must survive untouched. */
+  private[graft] def ordersMergeTable(spark: SparkSession,
+                                      dir: String): String =
+    cachedTable(spark, dir, "deltam") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      mergeInto(spark, t,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .withColumn("o_orderpriority", lit("MERGED")),
+        Seq("o_orderkey"))
+    }
+
+  /** q155 — MERGE INTO through the open log: read back the merged
+    * snapshot. The oracle spells the MERGE algebra directly (source
+    * wins on matched keys, inserts on new keys, untouched otherwise),
+    * so update-all/insert-all semantics are the hash gate. */
+  def deltaMergeRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersMergeTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaMergeReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'MERGED'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** VACUUM: delete data files no longer referenced by any of the
     * last `keepVersions` snapshots (Delta's VACUUM with a
     * version-count retention horizon instead of a wall-clock one —
@@ -832,6 +986,123 @@ object DeltaLog {
     // second vacuum a no-op, not a repeat report)
     everAdded.filterNot(live.contains)
       .filter(p => Files.deleteIfExists(Paths.get(tableDir, p)))
+  }
+
+  /** MERGE INTO the open Delta table: `whenMatchedUpdateAll` +
+    * `whenNotMatchedInsertAll`, the reference's core Delta operation
+    * (spark/batch_silver.py:146-159), executed through the real
+    * format — result = source rows (matched keys take the source's
+    * values, new keys insert) ∪ target rows with no source match,
+    * committed as the next version with overwrite semantics.
+    *
+    * Scale: one hash shuffle of each side on the merge keys (the anti
+    * join), then a shuffle-free union — the same cost class as Delta
+    * MERGE's matched-file rewrite. This full-table rewrite is the
+    * spec-honest emulation given file-granular commits; a real
+    * file-pruned MERGE rewrites only files holding matched keys,
+    * which [[readWhere]]'s pruning would enable for partition-keyed
+    * merges.
+    *
+    * CONCURRENCY: single writer per table — the read-modify-write
+    * races like [[Snapshots.mergeCommit]] documents; the commit CAS
+    * protects version numbers, not merge lineage. Returns the
+    * committed version. */
+  def mergeInto(spark: SparkSession, tableDir: String,
+                source: DataFrame, keys: Seq[String]): Long = {
+    val target = read(spark, tableDir)
+    require(keys.nonEmpty && keys.forall(target.columns.contains),
+      s"merge keys $keys must exist in the target schema")
+    commitOverwrite(
+      target.join(source, keys, "left_anti").unionByName(source), tableDir)
+  }
+
+  // ---------------------------------------------------------------
+  // Change Data Feed (incremental between-version reads)
+  // ---------------------------------------------------------------
+
+  /** CHANGE DATA FEED: every row inserted or deleted in commits
+    * `fromVersion..toVersion` (inclusive), tagged `_change_type`
+    * ('insert' | 'delete') and `_commit_version` — Delta CDF's
+    * contract, derived here from the log's own add/remove actions
+    * (valid because this writer's commits are file-granular: an
+    * overwrite is remove-all+add, an append is pure adds). Actions
+    * with `dataChange=false` are SKIPPED — an OPTIMIZE rewrites
+    * layout, not data, so a downstream incremental consumer must see
+    * nothing from it; that is the entire point of the flag.
+    *
+    * A delete's rows come from scanning the REMOVED file, so CDF over
+    * a range whose removed files were [[vacuum]]ed fails on the
+    * missing file — loudly, never silently dropping deletes. The
+    * removed file's partition values come from the replayed state at
+    * the commit that removed it (a remove action does not carry
+    * them).
+    *
+    * Scale: the plan is one parquet scan per (commit, change-type)
+    * group — O(commits in range) scans each reading only that
+    * commit's changed files, never the whole table; this is how
+    * incremental consumers (streaming MV maintenance, downstream
+    * sync) ride a 100 TB table for the cost of the day's delta. */
+  def readChanges(spark: SparkSession, tableDir: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    require(vs.contains(fromVersion) && vs.contains(toVersion),
+      s"range [$fromVersion,$toVersion] not in log (have ${vs.mkString(",")})")
+    val r = new Replayer
+    // (version, changeType) -> files, insertion-ordered for stable output
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[(Long, String), scala.collection.mutable.LinkedHashMap[String, AddFile]]
+    def record(v: Long, ct: String, path: String, a: AddFile): Unit =
+      groups.getOrElseUpdate((v, ct),
+        scala.collection.mutable.LinkedHashMap.empty).put(path, a)
+    vs.filter(_ <= toVersion).foreach { v =>
+      val inRange = v >= fromVersion
+      Files.readAllLines(commitFile(tableDir, v).toPath).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          def dataChange(action: JsonNode): Boolean =
+            !action.has("dataChange") || action.get("dataChange").asBoolean
+          if (inRange && node.has("add") && dataChange(node.get("add"))) {
+            // partitionValues parse rides the replayer's own path —
+            // apply first, then read the parsed AddFile back
+            r.applyLine(line)
+            val p = node.get("add").get("path").asText
+            record(v, "insert", p, r.adds(p))
+          } else if (inRange && node.has("remove") &&
+              dataChange(node.get("remove"))) {
+            val p = node.get("remove").get("path").asText
+            val a = r.adds.getOrElse(p,
+              throw new IllegalArgumentException(
+                s"commit $v removes unknown file $p — cannot attribute " +
+                  "partition values for its delete rows"))
+            record(v, "delete", p, a)
+            r.applyLine(line)
+          } else r.applyLine(line)
+        }
+    }
+    val st = r.state(toVersion)
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val changeSchema = StructType(st.schema.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+    val parts = groups.toSeq.map { case ((v, ct), files) =>
+      files.keys.foreach { p =>
+        val abs = if (p.startsWith("/") || p.contains("://")) p
+          else s"$tableDir/$p"
+        require(new File(abs).isFile || p.contains("://"),
+          s"changed file $p of commit $v is gone (vacuumed?) — CDF " +
+            "needs the range's data files on disk")
+      }
+      scanState(spark, tableDir,
+          State(st.schema, st.partitionColumns, files.toMap))
+        .withColumn("_change_type", lit(ct))
+        .withColumn("_commit_version", lit(v))
+    }
+    parts.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), changeSchema))
   }
 
   /** Export every committed version of a [[Snapshots]] table as a

@@ -481,7 +481,9 @@ object Iceberg {
       parts.map(f => manifestEntry(f.getPath, 1, colIds)).toSeq)
     // manifest list: append keeps the prior snapshot's manifests (its
     // files stay EXISTING); overwrite references only the new one
-    val prevManifests: Seq[(String, Long)] =
+    // carried-forward manifests KEEP their original added_snapshot_id
+    // — incremental readers diff snapshots by exactly that field
+    val prevManifests: Seq[(String, Long, Any)] =
       if (overwrite || prevMeta.isEmpty) Seq.empty
       else {
         val curId = prevMeta.get.get("current-snapshot-id").asLong
@@ -489,18 +491,20 @@ object Iceberg {
           .find(_.get("snapshot-id").asLong == curId).get
         readAvro(curSnap.get("manifest-list").asText)
           .map(r => (r.get("manifest_path").toString,
-            r.get("manifest_length").asInstanceOf[Long]))
+            r.get("manifest_length").asInstanceOf[Long],
+            r.get("added_snapshot_id")))
       }
     val listPath =
       s"${metaDir(tableDir)}/snap-$snapshotId-manifest-list.avro"
     val listRecords = (prevManifests :+
-      (manifestPath, new File(manifestPath).length())).map {
-        case (p, len) =>
+      (manifestPath, new File(manifestPath).length(),
+        snapshotId: Any)).map {
+        case (p, len, addedBy) =>
           val r = new GenericData.Record(manifestFileSchema)
           r.put("manifest_path", p)
           r.put("manifest_length", len)
           r.put("partition_spec_id", 0)
-          r.put("added_snapshot_id", snapshotId)
+          r.put("added_snapshot_id", addedBy)
           r
       }
     writeAvro(listPath, manifestFileSchema, listRecords)
@@ -559,6 +563,127 @@ object Iceberg {
   def commitAppend(df: DataFrame, tableDir: String): Long =
     commit(df, tableDir, overwrite = false)
 
+  /** INCREMENTAL APPEND SCAN — Iceberg's snapshot-diff read (the
+    * [[DeltaLog.changesSince]] twin): rows of data files ADDED by
+    * snapshots in (`fromSnapshotExclusive`, `toSnapshot`], each
+    * tagged `_snapshot_id`. Planning is pure metadata: the `to`
+    * snapshot's manifest-list names each manifest's
+    * `added_snapshot_id`, so the diff is a filter over manifest rows
+    * — never a data diff. Every snapshot in the range must be an
+    * `append` (the spec's contract for incremental reads: an
+    * overwrite in the range means removed rows the diff cannot
+    * express — refused loudly, exactly as Iceberg's own incremental
+    * scan refuses). Within a selected manifest only status=ADDED
+    * entries count; EXISTING entries were carried forward from an
+    * earlier snapshot and would double-read. */
+  def readIncremental(spark: SparkSession, tableDir: String,
+      fromSnapshotExclusive: Long, toSnapshot: Long): DataFrame = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    val inRange = snaps.filter { s =>
+      val id = s.get("snapshot-id").asLong
+      id > fromSnapshotExclusive && id <= toSnapshot
+    }
+    require(inRange.exists(_.get("snapshot-id").asLong == toSnapshot),
+      s"snapshot $toSnapshot not in metadata after $fromSnapshotExclusive")
+    inRange.foreach { s =>
+      val op = Option(s.get("summary"))
+        .flatMap(su => Option(su.get("operation"))).map(_.asText)
+      require(op.contains("append"),
+        s"snapshot ${s.get("snapshot-id").asLong} is ${op.getOrElse("?")} " +
+          "— incremental read is defined only over appends")
+    }
+    val ids = inRange.map(_.get("snapshot-id").asLong).toSet
+    val toSnap = snaps.find(_.get("snapshot-id").asLong == toSnapshot).get
+    val manifests = readAvro(toSnap.get("manifest-list").asText)
+      .flatMap { r =>
+        Option(r.get("added_snapshot_id"))
+          .map(_.asInstanceOf[Long])
+          .filter(ids.contains)
+          .map(sid => (r.get("manifest_path").toString, sid))
+      }
+    lastManifestsRead = manifests.size
+    val schema = schemaFromMetadata(meta)
+    val parts = manifests.map { case (m, sid) =>
+      val files = readAvro(m).flatMap { e =>
+        if (e.get("status").asInstanceOf[Int] != 1) None // ADDED only
+        else Some(e.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+      }
+      scanPlanned(spark, schema, files.map(p =>
+          PlannedFile(p, Map.empty, Map.empty)))
+        .withColumn("_snapshot_id", org.apache.spark.sql.functions.lit(sid))
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      import org.apache.spark.sql.types.{LongType, StructField}
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(schema.fields :+
+          StructField("_snapshot_id", LongType, nullable = false)))
+    }
+  }
+
+  /** Every path a snapshot's plan touches: its manifest-list, its
+    * manifests, and every data file its manifest entries name —
+    * INCLUDING status=DELETED entries (they reference the path even
+    * though the snapshot does not read it; treating them as live is
+    * the superset that can only under-delete, never break a read). */
+  private def snapshotRefs(snap: com.fasterxml.jackson.databind.JsonNode)
+      : Set[String] = {
+    val ml = snap.get("manifest-list").asText
+    val manifests = readAvro(ml).map(_.get("manifest_path").toString)
+    (Set(ml) ++ manifests ++ manifests.flatMap { m =>
+      readAvro(m).map(_.get("data_file").asInstanceOf[GenericRecord]
+        .get("file_path").toString)
+    }).map(stripFileUri)
+  }
+
+  /** EXPIRE SNAPSHOTS — Iceberg's retention maintenance (the
+    * [[DeltaLog.vacuum]] twin): drop all but the newest `keepLast`
+    * snapshots from the metadata and delete every manifest-list,
+    * manifest, and data file referenced ONLY by expired snapshots.
+    * Publishes a new metadata version (the normal commit path — the
+    * metadata chain stays append-only and auditable); older
+    * vN.metadata.json files survive, but time travel to an expired
+    * snapshot fails on its missing manifests rather than reading
+    * wrong data — Iceberg's own contract. The current snapshot is
+    * always retained. Returns the deleted paths.
+    *
+    * Scale: pure driver-side metadata work — reference counting over
+    * manifest rows, proportional to manifests+files, never data. */
+  def expireSnapshots(tableDir: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    if (snaps.size <= keepLast) return Seq.empty
+    val (expired, kept) = snaps.splitAt(snaps.size - keepLast)
+    val curId = meta.get("current-snapshot-id").asLong
+    require(kept.exists(_.get("snapshot-id").asLong == curId),
+      s"retention $keepLast would expire the CURRENT snapshot $curId")
+    val keepRefs = kept.flatMap(snapshotRefs).toSet
+    val dead = expired.flatMap(snapshotRefs).toSet -- keepRefs
+    // publish the trimmed metadata BEFORE deleting files: a reader
+    // racing the expire sees either the old metadata with files
+    // intact or the new one that never names them
+    val next = meta.deepCopy[ObjectNode]()
+    val arr = next.putArray("snapshots")
+    kept.foreach(arr.add)
+    val tmp = Files.createTempFile(
+      Paths.get(metaDir(tableDir)), s".v${v + 1}-", ".json.tmp")
+    Files.write(tmp,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(next)
+        .getBytes("UTF-8"))
+    try Files.createLink(
+      Paths.get(metaDir(tableDir), s"v${v + 1}.metadata.json"), tmp)
+    finally Files.deleteIfExists(tmp)
+    val hint = Files.createTempFile(
+      Paths.get(metaDir(tableDir)), ".hint-", ".tmp")
+    Files.write(hint, (v + 1).toString.getBytes("UTF-8"))
+    Files.move(hint, Paths.get(metaDir(tableDir), "version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE)
+    dead.toSeq.sorted.filter(p => Files.deleteIfExists(Paths.get(p)))
+  }
+
   // ---------------------------------------------------------------
   // Gated queries (q147/q148)
   // ---------------------------------------------------------------
@@ -594,6 +719,48 @@ object Iceberg {
 
   val icebergTimeTravelSql: String =
     """SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"""
+
+  /** Session-cached APPEND-lifecycle Iceberg table: three appends
+    * (order keys mod 3) — the [[DeltaLog.commitAppend]] twin. Each
+    * append's manifest-list carries the prior snapshot's manifests
+    * plus one new manifest, so the read plans over all three. */
+  private[graft] def ordersIcebergAppendTable(spark: SparkSession,
+                                              dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergapp") { (o, t) =>
+      import org.apache.spark.sql.functions.{lit, pmod}
+      (0 to 2).foreach { m =>
+        commitAppend(o.filter(pmod(col("o_orderkey"), lit(3)) === m), t)
+      }
+    }
+
+  /** q153 — ICEBERG APPEND READBACK: reading the third append
+    * snapshot must return the union of all three appends — an append
+    * whose manifest-list dropped a prior manifest, or a planner that
+    * read only the newest manifest, loses a third of the rows and
+    * hash-mismatches. IcebergSpec separately asserts the latest plan
+    * touches exactly 3 manifests and expiration keeps it readable. */
+  def icebergAppendRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersIcebergAppendTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val icebergAppendReadSql: String =
+    """SELECT * FROM orders ORDER BY o_orderkey"""
+
+  /** q156 — ICEBERG INCREMENTAL READ: the snapshot-diff over the
+    * append lifecycle's last two snapshots. Each consumed row is
+    * tagged with the snapshot that appended it (keys ≡ id−1 mod 3 by
+    * construction); snapshot 1's rows must NOT appear even though its
+    * manifest rides in snapshot 3's manifest-list — the
+    * added_snapshot_id filter is the gate. */
+  def icebergIncrementalRead(spark: SparkSession, dir: String): DataFrame =
+    readIncremental(spark, ordersIcebergAppendTable(spark, dir),
+        fromSnapshotExclusive = 1L, toSnapshot = 3L)
+      .orderBy(col("o_orderkey"))
+
+  val icebergIncrementalReadSql: String =
+    """SELECT o.*, o_orderkey % 3 + 1 AS _snapshot_id
+      |FROM orders o WHERE o_orderkey % 3 <> 0
+      |ORDER BY o_orderkey""".stripMargin
 
   /** q151's probe range: keys are dense from 0 at every SF, so the
     * range covers the low tail of a range-clustered layout — most

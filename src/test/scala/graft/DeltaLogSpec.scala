@@ -421,6 +421,157 @@ class DeltaLogSpec extends SparkSuite {
         "not placeholder zeros")
   }
 
+  test("CDF: inserts/deletes per commit, OPTIMIZE invisible, vacuum loud") {
+    val dir = Files.createTempDirectory("dlogcdf").toString + "/t"
+    sources.DeltaLog.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitOverwrite(Seq((4L, "d")).toDF("k", "s"), dir)
+    sources.DeltaLog.compact(spark, dir, targetFiles = 1)
+    def changes(from: Long, to: Long) =
+      sources.DeltaLog.readChanges(spark, dir, from, to)
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+        .toSet
+    // full history: every append/overwrite row, NOTHING from the
+    // dataChange=false compaction at v3
+    assert(changes(0, 3) == Set(
+      (1L, "insert", 0L), (2L, "insert", 0L), (3L, "insert", 1L),
+      (4L, "insert", 2L),
+      (1L, "delete", 2L), (2L, "delete", 2L), (3L, "delete", 2L)))
+    // a sub-range sees only its commits
+    assert(changes(1, 1) == Set((3L, "insert", 1L)))
+    assert(changes(3, 3) == Set.empty, "OPTIMIZE must contribute no changes")
+    // change columns ride behind the table schema
+    assert(sources.DeltaLog.readChanges(spark, dir, 0, 0)
+      .schema.fieldNames.toSeq == Seq("k", "s", "_change_type", "_commit_version"))
+    // vacuumed range: the delete's source file is gone — loud failure
+    sources.DeltaLog.vacuum(dir, 1)
+    val e = intercept[Exception] {
+      sources.DeltaLog.readChanges(spark, dir, 0, 3).collect()
+    }
+    assert(e.getMessage.contains("vacuumed") ||
+      e.getMessage.contains("gone"))
+  }
+
+  test("CDF attributes a removed file's partition values from the log") {
+    val dir = Files.createTempDirectory("dlogcdfp").toString
+    val tmp = Files.createTempDirectory("dlpart").toString + "/w"
+    Seq(Tuple1(10L), Tuple1(11L)).toDF("k").coalesce(1).write.parquet(tmp)
+    Files.move(new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath,
+      Paths.get(dir, "p0.parquet"))
+    val tmp2 = Files.createTempDirectory("dlpart").toString + "/w"
+    Seq(Tuple1(20L)).toDF("k").coalesce(1).write.parquet(tmp2)
+    Files.move(new java.io.File(tmp2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath,
+      Paths.get(dir, "p1.parquet"))
+    writeLog(dir, 0, protocol, metaData("""["s"]"""),
+      """{"add":{"path":"p0.parquet","partitionValues":{"s":"red"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    // the remove action carries NO partitionValues — they must come
+    // from the replayed state at the removing commit
+    writeLog(dir, 1,
+      """{"remove":{"path":"p0.parquet","dataChange":true}}""",
+      """{"add":{"path":"p1.parquet","partitionValues":{"s":"blue"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val got = sources.DeltaLog.readChanges(spark, dir, 1, 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (10L, "red", "delete", 1L), (11L, "red", "delete", 1L),
+      (20L, "blue", "insert", 1L)))
+  }
+
+  test("changesSince: versions are offsets, each commit consumed exactly once") {
+    val dir = Files.createTempDirectory("dlogcs").toString + "/t"
+    sources.DeltaLog.commitAppend(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    // first poll from the beginning
+    val (c1, off1) = sources.DeltaLog.changesSince(spark, dir, -1L)
+    assert(off1 == 1L)
+    assert(c1.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // nothing new: empty frame, offset unchanged, schema intact
+    val (c2, off2) = sources.DeltaLog.changesSince(spark, dir, off1)
+    assert(off2 == 1L && c2.count() == 0)
+    assert(c2.schema.fieldNames.toSeq ==
+      Seq("k", "s", "_change_type", "_commit_version"))
+    // two more commits land; the next poll sees exactly those
+    sources.DeltaLog.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitAppend(Seq((4L, "d")).toDF("k", "s"), dir)
+    val (c3, off3) = sources.DeltaLog.changesSince(spark, dir, off2)
+    assert(off3 == 3L)
+    assert(c3.collect().map(r => (r.getLong(0), r.getLong(3))).toSet ==
+      Set((3L, 2L), (4L, 3L)))
+    // an offset ahead of the log is a consumer bug — loud
+    intercept[IllegalArgumentException] {
+      sources.DeltaLog.changesSince(spark, dir, 99L)
+    }
+  }
+
+  test("compactPartitioned: one file per partition, rows and values kept") {
+    val dir = Files.createTempDirectory("dlogcp").toString + "/t"
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("k", "s").repartition(4)
+    sources.DeltaLog.commitOverwritePartitioned(df, dir, Seq("s"))
+    val pre = sources.DeltaLog.replay(dir, 0L)
+    assert(pre.adds.size > 2, "need multiple files per partition to compact")
+    val cv = sources.DeltaLog.compactPartitioned(spark, dir)
+    val post = sources.DeltaLog.replay(dir, cv)
+    // exactly one file per live partition, values preserved on the adds
+    val byPart = post.addPartitionValues.groupBy(_._2("s"))
+    assert(byPart.keySet == Set("even", "odd"))
+    assert(byPart.values.forall(_.size == 1),
+      s"per-partition file counts: ${byPart.view.mapValues(_.size).toMap}")
+    // same rows, and a partition predicate prunes to the single file
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 40L))
+    val odd = sources.DeltaLog.readWhere(spark, dir)(
+      pv => pv.get("s").contains("odd"))
+    assert(sources.DeltaLog.lastFilesScanned == 1)
+    assert(odd.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 40L).filter(_ % 2 == 1))
+    // the commit is remove+add, all dataChange=false
+    val lines = Files.readAllLines(
+      Paths.get(f"$dir/_delta_log/$cv%020d.json")).toArray.mkString("\n")
+    assert(lines.contains("\"remove\"") && !lines.contains("\"dataChange\":true"))
+  }
+
+  test("mergeInto: matched keys update, new keys insert, rest untouched") {
+    val dir = Files.createTempDirectory("dlogm").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), dir)
+    val mv = sources.DeltaLog.mergeInto(spark, dir,
+      Seq((2L, "B2"), (9L, "new")).toDF("k", "s"), Seq("k"))
+    assert(mv == 1L)
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    // pre-merge state still time-travels
+    assert(sources.DeltaLog.readVersion(spark, dir, 0).count() == 3)
+  }
+
+  test("q152/q154/q155 gate shape") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    // q152: every order row appears exactly once as an insert at the
+    // commit its key's mod-3 class was appended in
+    val ch = sources.DeltaLog.deltaChanges(spark, sfDir)
+    assert(ch.count() == orders.count())
+    assert(ch.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(ch.filter(col("_commit_version") =!=
+      org.apache.spark.sql.functions.pmod(col("o_orderkey"), org.apache.spark.sql.functions.lit(3L))).count() == 0)
+    // q154: compacted partitioned read prunes to exactly one file
+    val f = sources.DeltaLog.deltaPartitionedOptimize(spark, sfDir)
+    val n = f.count()
+    assert(sources.DeltaLog.lastFilesScanned == 1,
+      s"compacted 'F' partition must be one file, scanned " +
+        s"${sources.DeltaLog.lastFilesScanned}")
+    assert(n == orders.filter(col("o_orderstatus") === "F").count())
+    // q155: merged row count = evens ∪ mod-3 keys
+    val m = sources.DeltaLog.deltaMergeRead(spark, sfDir)
+    assert(m.count() == orders.filter(
+      col("o_orderkey") % 2 === 0 || col("o_orderkey") % 3 === 0).count())
+    assert(m.filter(col("o_orderkey") % 3 === 0)
+      .filter(col("o_orderpriority") =!= "MERGED").count() == 0)
+  }
+
   test("q145/q146 gate shape: pruned scan bounded, lifecycle readback") {
     // q145: files handed to the scan == files of the 'O' partition
     val got = sources.DeltaLog.deltaPrunedRead(spark, sfDir)

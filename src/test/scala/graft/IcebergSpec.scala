@@ -282,6 +282,83 @@ class IcebergSpec extends SparkSuite {
         "range must prune, or the bounds chain is inert")
   }
 
+  test("expireSnapshots deletes only expired-snapshot files, keeps current") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceexp").toString + "/t"
+    val s1 = sources.Iceberg.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    val s2 = sources.Iceberg.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    val s3 = sources.Iceberg.commitOverwrite(Seq((9L, "z")).toDF("k", "s"), dir)
+    assert(Seq(s1, s2, s3) == Seq(1L, 2L, 3L))
+    // keep 1: snapshots 1 and 2 expire; snapshot 2's manifest-list
+    // references snapshot 1's manifest (append), but BOTH die because
+    // the retained overwrite references neither
+    val dead = sources.Iceberg.expireSnapshots(dir, keepLast = 1)
+    assert(dead.nonEmpty)
+    dead.foreach(p => assert(!new java.io.File(p).exists, s"$p survived"))
+    assert(sources.Iceberg.snapshotIds(dir) == Seq(3L))
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // time travel to an expired snapshot fails loudly (not in metadata)
+    intercept[Exception] {
+      sources.Iceberg.readSnapshot(spark, dir, 1L).collect()
+    }
+    // idempotent
+    assert(sources.Iceberg.expireSnapshots(dir, 1).isEmpty)
+  }
+
+  test("expireSnapshots keeps files shared with a retained snapshot") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceexp2").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.Iceberg.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    // keep the APPEND snapshot: it references snapshot 1's manifest,
+    // so expiring snapshot 1 must delete only its manifest-LIST
+    val dead = sources.Iceberg.expireSnapshots(dir, keepLast = 1)
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "shared manifest/data of the retained append must survive")
+    assert(dead.forall(_.contains("manifest-list")),
+      s"only the expired snapshot's manifest-list may die, got $dead")
+  }
+
+  test("readIncremental: appended rows only, tagged; overwrite in range refused") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceinc").toString + "/t"
+    sources.Iceberg.commitAppend(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.Iceberg.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    sources.Iceberg.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    // (1, 3]: snapshots 2 and 3 — snapshot 1's manifest rides in 3's
+    // manifest-list but its rows must not appear
+    val got = sources.Iceberg.readIncremental(spark, dir, 1L, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == Set((2L, 2L), (3L, 3L)))
+    // empty range at the frontier
+    assert(sources.Iceberg.readIncremental(spark, dir, 2L, 3L)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // an overwrite inside the range cannot be expressed as appends
+    sources.Iceberg.commitOverwrite(Seq((9L, "z")).toDF("k", "s"), dir)
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.readIncremental(spark, dir, 2L, 4L)
+    }
+    assert(e.getMessage.contains("append"))
+  }
+
+  test("q153 gate shape: append readback plans over all three manifests") {
+    val got = sources.Iceberg.icebergAppendRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() == orders.count())
+    assert(sources.Iceberg.lastManifestsRead == 3,
+      s"third append's plan must see 3 manifests, saw " +
+        s"${sources.Iceberg.lastManifestsRead}")
+    // q156: the incremental diff plans over only the 2 in-range
+    // manifests and returns exactly the non-mod-0 two-thirds
+    val inc = sources.Iceberg.icebergIncrementalRead(spark, sfDir)
+    assert(inc.count() ==
+      orders.filter(col("o_orderkey") % 3 =!= 0).count())
+    assert(sources.Iceberg.lastManifestsRead == 2,
+      "snapshot-diff must plan only the manifests added in-range")
+  }
+
   test("q147/q148 gate shape: overwrite honored, time travel pinned") {
     val latest = sources.Iceberg.icebergRead(spark, sfDir)
     val pinned = sources.Iceberg.icebergTimeTravel(spark, sfDir)
