@@ -342,7 +342,11 @@ object SparkEntry {
     // Iceberg incremental append scan: snapshot-diff planned from
     // added_snapshot_id over manifest rows — rows of snapshots 2..3
     // only, tagged with the appending snapshot
-    "q156_iceberg_incremental" -> (sources.Iceberg.icebergIncrementalRead _)
+    "q156_iceberg_incremental" -> (sources.Iceberg.icebergIncrementalRead _),
+    // Iceberg identity partitions: manifest partition tuples prune
+    // files driver-side before the scan — the q145 twin
+    "q157_iceberg_partition_pruned"
+      -> (sources.Iceberg.icebergPartitionPrunedRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -510,6 +514,8 @@ object SparkEntry {
     "q154_delta_partitioned_optimize"
       -> sources.DeltaLog.deltaPartitionedOptimizeSql,
     "q155_delta_merge"         -> sources.DeltaLog.deltaMergeReadSql,
-    "q156_iceberg_incremental" -> sources.Iceberg.icebergIncrementalReadSql
+    "q156_iceberg_incremental" -> sources.Iceberg.icebergIncrementalReadSql,
+    "q157_iceberg_partition_pruned"
+      -> sources.Iceberg.icebergPartitionPrunedReadSql
   )
 }

@@ -239,46 +239,13 @@ object DeltaLog {
     else if (st.partitionColumns.isEmpty)
       spark.read.schema(dataSchema)
         .parquet(st.files.map(resolve): _*)
-    else {
-      // ONE scan of every surviving file + a broadcast join against
-      // the log's per-file partitionValues, keyed on the file basename
-      // (THIS writer renames partitioned part files to per-file UUIDs
-      // at commit time precisely to guarantee it; an external table
-      // whose same-job hive write reused a task basename across value
-      // dirs is rejected loudly, never mis-joined). Partition columns
-      // are restored
-      // as typed casts FROM THE LOG, the spec's source of truth —
-      // file paths are opaque. A per-partition-tuple scan would build
-      // a union of thousands of plans at real partition counts; this
-      // stays one scan + one broadcast hash join at any count.
-      import org.apache.spark.sql.functions.{broadcast, input_file_name,
-        regexp_extract}
-      import org.apache.spark.sql.types.{StringType, StructField}
-      def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
-      val names = st.files.map(base)
-      require(names.distinct.size == names.size,
-        "duplicate data-file basenames in one snapshot — cannot key " +
-          "partitionValues by file identity")
-      val pvRows: java.util.List[Row] = st.adds.toSeq.sortBy(_._1)
-        .map { case (p, a) =>
-          Row.fromSeq(base(p) +:
-            st.partitionColumns.map(c =>
-              a.partitionValues.get(c).filter(_ != null).orNull))
-        }.asJava
-      val pvT = StructType(StructField("_file", StringType) +:
-        st.partitionColumns.map(c =>
-          StructField(s"_pv_$c", StringType, nullable = true)))
-      val pvDf = spark.createDataFrame(pvRows, pvT)
-      spark.read.schema(dataSchema).parquet(st.files.map(resolve): _*)
-        .withColumn("_file",
-          regexp_extract(input_file_name(), "[^/]+$", 0))
-        .join(broadcast(pvDf), Seq("_file"))
-        .select(st.schema.map { f =>
-          if (st.partitionColumns.contains(f.name))
-            col(s"_pv_${f.name}").cast(f.dataType).as(f.name)
-          else col(f.name)
-        }: _*)
-    }
+    else
+      // partition columns restored from the LOG's partitionValues —
+      // the shared open-format scan (one scan + one broadcast join;
+      // see [[PartitionedScan]] for the basename-uniqueness contract)
+      PartitionedScan.scan(spark, st.schema, st.partitionColumns,
+        st.adds.toSeq.map { case (p, a) =>
+          (resolve(p), a.partitionValues) })
   }
 
   // ---------------------------------------------------------------
@@ -588,24 +555,6 @@ object DeltaLog {
     v
   }
 
-  /** Decode one hive-style path segment value (Spark escapes
-    * filesystem-hostile chars as %XX; '+' is literal, so a URL
-    * decoder would corrupt it). */
-  private def hiveUnescape(s: String): String =
-    if (s == "__HIVE_DEFAULT_PARTITION__") null
-    else {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
-
   /** [[commitOverwrite]] for a PARTITIONED table: `df` is written
     * `partitionBy(partCols)` (data files do NOT contain the partition
     * columns — the spec's layout), and each add action carries the
@@ -631,14 +580,8 @@ object DeltaLog {
       Files.move(f0.toPath, f.toPath)
       val rel = Paths.get(tableDir).toAbsolutePath
         .relativize(f.toPath.toAbsolutePath).toString
-      val pv = rel.split('/').drop(1).dropRight(1).map { seg =>
-        val eq = seg.indexOf('=')
-        require(eq > 0, s"non-hive segment '$seg' in partitioned write $rel")
-        seg.substring(0, eq) -> hiveUnescape(seg.substring(eq + 1))
-      }.toMap
-      require(pv.keySet == partCols.toSet,
-        s"partition dirs $pv of $rel do not match declared $partCols")
-      addAction(rel, f.length, pv, dataChange)
+      addAction(rel, f.length,
+        PartitionedScan.hivePartitionValues(rel, partCols), dataChange)
     }
 
   def commitOverwritePartitioned(df: DataFrame, tableDir: String,

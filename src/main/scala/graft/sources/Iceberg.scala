@@ -90,6 +90,62 @@ object Iceberg {
       |"default":null}
       |]}}]}""".stripMargin)
 
+  /** Manifest-entry schema whose `data_file` carries a `partition`
+    * record with one nullable field per identity partition column —
+    * the spec's per-file partition tuple (record name `r102` is the
+    * spec's field-id-derived convention). Empty spec → the plain
+    * schema. */
+  private def manifestEntrySchemaFor(
+      part: Seq[(String, DataType)]): Schema =
+    if (part.isEmpty) manifestEntrySchema
+    else {
+      val fields = part.map { case (n, t) =>
+        s"""{"name":"$n","type":["null","${avroPrimitive(t)}"],"default":null}"""
+      }.mkString(",")
+      new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+           |{"name":"status","type":"int"},
+           |{"name":"snapshot_id","type":["null","long"],"default":null},
+           |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+           |{"name":"file_path","type":"string"},
+           |{"name":"file_format","type":"string"},
+           |{"name":"partition","type":{"type":"record","name":"r102","fields":[$fields]}},
+           |{"name":"record_count","type":"long"},
+           |{"name":"file_size_in_bytes","type":"long"},
+           |{"name":"lower_bounds","type":["null",{"type":"array","items":
+           |{"type":"record","name":"k_v","fields":[
+           |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+           |"default":null},
+           |{"name":"upper_bounds","type":["null",{"type":"array","items":"k_v"}],
+           |"default":null}
+           |]}}]}""".stripMargin)
+    }
+
+  private def avroPrimitive(t: DataType): String = t match {
+    case StringType  => "string"
+    case LongType    => "long"
+    case IntegerType => "int"
+    case BooleanType => "boolean"
+    case DoubleType  => "double"
+    case FloatType   => "float"
+    case other => throw new IllegalArgumentException(
+      s"identity partition over $other not supported (primitives only)")
+  }
+
+  /** Hive directory value → the avro-typed partition value the
+    * manifest tuple carries. */
+  private def typedPartitionValue(v: String, t: DataType): Any =
+    if (v == null) null else t match {
+      case StringType  => v
+      case LongType    => java.lang.Long.valueOf(v)
+      case IntegerType => java.lang.Integer.valueOf(v)
+      case BooleanType => java.lang.Boolean.valueOf(v)
+      case DoubleType  => java.lang.Double.valueOf(v)
+      case FloatType   => java.lang.Float.valueOf(v)
+      case other => throw new IllegalArgumentException(
+        s"identity partition over $other not supported")
+    }
+
   private def writeAvro(path: String, schema: Schema,
                         records: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter[GenericRecord](
@@ -239,11 +295,13 @@ object Iceberg {
     * any bounds pruning) — the q145/q104 files-scanned discipline. */
   @volatile private[graft] var lastFilesPlanned: Int = 0
 
-  /** One planned data file: path + the manifest's per-field-id value
+  /** One planned data file: path, the manifest's per-field-id value
     * bounds (absent for files/columns without stats — which then
-    * never prune, the superset contract). */
+    * never prune, the superset contract), and the file's partition
+    * tuple (stringified; empty for unpartitioned tables). */
   private case class PlannedFile(path: String,
-      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      partition: Map[String, String] = Map.empty)
 
   private def boundsMap(df: GenericRecord,
                         field: String): Map[Int, Array[Byte]] =
@@ -285,11 +343,72 @@ object Iceberg {
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
             s"unsupported data file format $fmt")
+          val pv: Map[String, String] =
+            (df.getSchema.getField("partition") match {
+              case null => None
+              case _ => Option(df.get("partition"))
+            }) match {
+              case Some(rec: GenericRecord) =>
+                rec.getSchema.getFields.asScala.map { f =>
+                  f.name -> (rec.get(f.name) match {
+                    case null => null
+                    case v => v.toString
+                  })
+                }.toMap
+              case _ => Map.empty
+            }
           Some(PlannedFile(df.get("file_path").toString,
-            boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds")))
+            boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds"),
+            pv))
         }
       }
     }
+  }
+
+  /** Identity-partition column names of the default partition spec
+    * (empty for unpartitioned tables or metadata without specs).
+    * Non-identity transforms (bucket/truncate/day/...) fail loudly:
+    * their tuples cannot substitute for column values. Names resolve
+    * through `source-id` against the schema — never through the
+    * spec's display name. */
+  private def partitionColsOf(meta: ObjectNode): Seq[String] = {
+    if (!meta.has("partition-specs")) return Seq.empty
+    val specId =
+      if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt
+      else 0
+    val spec = meta.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt == specId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"default-spec-id $specId not in partition-specs"))
+    val byId = fieldIds(meta).map(_.swap)
+    spec.get("fields").elements().asScala.map { f =>
+      val tr = f.get("transform").asText
+      require(tr == "identity",
+        s"unsupported partition transform '$tr' (identity only: other " +
+          "transforms' tuples cannot substitute for column values)")
+      val sid = f.get("source-id").asInt
+      byId.getOrElse(sid, throw new IllegalArgumentException(
+        s"partition source-id $sid not in schema"))
+    }.toSeq
+  }
+
+  /** Do the snapshot's data files carry the partition columns
+    * themselves (standard Iceberg: partition columns are ordinary
+    * data columns, the tuple is derived metadata), or were they
+    * stripped hive-style (migrated-table shape, where the spec's
+    * identity tuple substitutes for the missing column)? One footer
+    * open of one file decides — the layouts never mix in a snapshot. */
+  private def dataFilesCarryPartitionCols(path: String,
+                                          partCols: Seq[String]): Boolean = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(stripFileUri(path)),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val names = r.getFooter.getFileMetaData.getSchema.getFields
+        .asScala.map(_.getName).toSet
+      partCols.forall(names.contains)
+    } finally r.close()
   }
 
   /** Latest snapshot (current-snapshot-id of the current metadata). */
@@ -311,17 +430,24 @@ object Iceberg {
   private def readSnapshotFrom(spark: SparkSession, tableDir: String,
       meta: ObjectNode, snapshotId: Long): DataFrame =
     scanPlanned(spark, schemaFromMetadata(meta),
-      planFiles(tableDir, meta, snapshotId))
+      planFiles(tableDir, meta, snapshotId), partitionColsOf(meta))
 
   private def scanPlanned(spark: SparkSession, schema: StructType,
-                          files: Seq[PlannedFile]): DataFrame = {
+                          files: Seq[PlannedFile],
+                          partCols: Seq[String] = Seq.empty): DataFrame = {
     lastFilesPlanned = files.size
     if (files.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
-    else
+    else if (partCols.isEmpty ||
+        dataFilesCarryPartitionCols(files.head.path, partCols))
       spark.read.schema(schema).parquet(
         files.map(f => stripFileUri(f.path)).sorted: _*)
+    else
+      // hive-migrated shape: the identity tuple substitutes for the
+      // stripped columns (the shared open-format reconstruction)
+      PartitionedScan.scan(spark, schema, partCols,
+        files.map(f => (stripFileUri(f.path), f.partition)))
   }
 
   /** Iceberg's single-value serialization for `long`: 8 bytes
@@ -372,7 +498,26 @@ object Iceberg {
         }
       }
     }
-    scanPlanned(spark, schemaFromMetadata(meta), kept)
+    scanPlanned(spark, schemaFromMetadata(meta), kept, partitionColsOf(meta))
+  }
+
+  /** PARTITION-PRUNED read of the latest snapshot (the
+    * [[DeltaLog.readWhere]] twin): `keep` sees each live file's
+    * identity-partition tuple AS THE MANIFEST SPELLS IT (stringified,
+    * null allowed) and files it rejects never reach the scan — the
+    * decision is driver-side over manifest rows, exactly where an
+    * Iceberg planner prunes. Fails loudly on an unpartitioned table. */
+  def readWhere(spark: SparkSession, tableDir: String)(
+      keep: Map[String, String] => Boolean): DataFrame = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    val partCols = partitionColsOf(meta)
+    require(partCols.nonEmpty,
+      s"readWhere on unpartitioned Iceberg table $tableDir: no " +
+        "partition tuple to prune on")
+    val files = planFiles(tableDir, meta,
+      meta.get("current-snapshot-id").asLong)
+    val kept = files.filter(f => keep(f.partition))
+    scanPlanned(spark, schemaFromMetadata(meta), kept, partCols)
   }
 
   // ---------------------------------------------------------------
@@ -418,13 +563,22 @@ object Iceberg {
   }
 
   private def manifestEntry(path: String, status: Int,
-                            ids: Map[String, Int]): GenericRecord = {
-    val dfSchema = manifestEntrySchema.getField("data_file").schema()
+                            ids: Map[String, Int],
+                            entrySchema: Schema = manifestEntrySchema,
+                            partition: Seq[(String, Any)] = Seq.empty)
+      : GenericRecord = {
+    val dfSchema = entrySchema.getField("data_file").schema()
     val kvSchema = dfSchema.getField("lower_bounds").schema()
       .getTypes.get(1).getElementType
     val df = new GenericData.Record(dfSchema)
     df.put("file_path", path)
     df.put("file_format", "PARQUET")
+    if (partition.nonEmpty) {
+      val pSchema = dfSchema.getField("partition").schema()
+      val p = new GenericData.Record(pSchema)
+      partition.foreach { case (n, v) => p.put(n, v) }
+      df.put("partition", p)
+    }
     val (rows, bounds) = parquetFooter(path)
     df.put("record_count", rows)
     df.put("file_size_in_bytes", new File(path).length())
@@ -442,7 +596,7 @@ object Iceberg {
       df.put("lower_bounds", kvs(_._1))
       df.put("upper_bounds", kvs(_._2))
     }
-    val e = new GenericData.Record(manifestEntrySchema)
+    val e = new GenericData.Record(entrySchema)
     e.put("status", status)
     e.put("snapshot_id", null)
     e.put("data_file", df)
@@ -450,7 +604,10 @@ object Iceberg {
   }
 
   private def commit(df: DataFrame, tableDir: String,
-                     overwrite: Boolean): Long = {
+                     overwrite: Boolean,
+                     partCols: Seq[String] = Seq.empty): Long = {
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in commit schema"))
     Files.createDirectories(Paths.get(metaDir(tableDir)))
     val vs = versions(tableDir)
     val v = if (vs.isEmpty) 1 else vs.last + 1
@@ -460,25 +617,58 @@ object Iceberg {
       require(prevSchema == StructType(df.schema.fields.map(f =>
           StructField(f.name, f.dataType, f.nullable))),
         s"schema mismatch: table has $prevSchema, commit has ${df.schema}")
+      require(partitionColsOf(m) == partCols,
+        s"partition spec mismatch: table has ${partitionColsOf(m)}, " +
+          s"commit declares $partCols")
     }
     val snapshotId: Long = prevMeta.map(
       _.get("snapshots").elements().asScala
         .map(_.get("snapshot-id").asLong).maxOption.getOrElse(0L))
       .getOrElse(0L) + 1L
-    // data files
+    // data files: plain write, or hive-layout write whose value dirs
+    // are decoded ONCE here into typed manifest tuples (files renamed
+    // to per-file UUIDs — the PartitionedScan basename contract)
     val sub = s"data/part-${java.util.UUID.randomUUID}"
-    df.write.parquet(s"$tableDir/$sub")
-    val parts = Option(new File(tableDir, sub).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+    val parts: Seq[(File, Seq[(String, Any)])] =
+      if (partCols.isEmpty) {
+        df.write.parquet(s"$tableDir/$sub")
+        Option(new File(tableDir, sub).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).toSeq.map(f => (f, Seq.empty[(String, Any)]))
+      } else {
+        df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
+        def walk(f: File): Seq[File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty)
+              .sortBy(_.getName).toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new File(tableDir, sub))
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map { f0 =>
+            val f = new File(f0.getParentFile,
+              s"part-${java.util.UUID.randomUUID}.parquet")
+            Files.move(f0.toPath, f.toPath)
+            val rel = Paths.get(tableDir, sub).toAbsolutePath
+              .relativize(f.toPath.toAbsolutePath).toString
+            // prepend one dummy segment: hivePartitionValues expects
+            // <stage>/<k=v dirs...>/<file>
+            val pv = PartitionedScan.hivePartitionValues(
+              s"stage/$rel", partCols)
+            (f, partCols.map(c => c ->
+              typedPartitionValue(pv(c), df.schema(c).dataType)))
+          }
+      }
     // one new manifest for the added files
     val manifestPath =
       s"${metaDir(tableDir)}/snap-$snapshotId-m0.avro"
     val colIds = df.schema.fields.zipWithIndex
       .map { case (f, i) => f.name -> (i + 1) }.toMap
-    writeAvro(manifestPath, manifestEntrySchema,
-      parts.map(f => manifestEntry(f.getPath, 1, colIds)).toSeq)
+    val entrySchema = manifestEntrySchemaFor(
+      partCols.map(c => c -> df.schema(c).dataType))
+    writeAvro(manifestPath, entrySchema,
+      parts.map { case (f, pv) =>
+        manifestEntry(f.getPath, 1, colIds, entrySchema, pv) })
     // manifest list: append keeps the prior snapshot's manifests (its
     // files stay EXISTING); overwrite references only the new one
     // carried-forward manifests KEEP their original added_snapshot_id
@@ -518,7 +708,12 @@ object Iceberg {
     meta.put("last-column-id", df.schema.fields.length)
     meta.set[ObjectNode]("schema", schemaToJson(df.schema))
     val specs = meta.putArray("partition-specs")
-    specs.addObject().put("spec-id", 0).putArray("fields")
+    val specFields = specs.addObject().put("spec-id", 0).putArray("fields")
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      specFields.addObject()
+        .put("name", c).put("transform", "identity")
+        .put("source-id", colIds(c)).put("field-id", 1000 + i)
+    }
     meta.put("default-spec-id", 0)
     meta.putObject("properties")
     meta.put("current-snapshot-id", snapshotId)
@@ -562,6 +757,20 @@ object Iceberg {
     * new manifest). Returns the snapshot id. */
   def commitAppend(df: DataFrame, tableDir: String): Long =
     commit(df, tableDir, overwrite = false)
+
+  /** [[commitOverwrite]] for an IDENTITY-PARTITIONED table: the
+    * metadata carries a partition spec (`transform: identity`,
+    * source-id-resolved), each data file's manifest entry carries its
+    * typed partition tuple, and readers prune on the tuple via
+    * [[readWhere]]. Data files land hive-style with the partition
+    * columns stripped (the migrated-table shape the spec supports —
+    * the identity tuple substitutes on read); appends to the table
+    * must declare the same spec. */
+  def commitOverwritePartitioned(df: DataFrame, tableDir: String,
+                                 partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "partitioned commit needs partition columns")
+    commit(df, tableDir, overwrite = true, partCols)
+  }
 
   /** INCREMENTAL APPEND SCAN — Iceberg's snapshot-diff read (the
     * [[DeltaLog.changesSince]] twin): rows of data files ADDED by
@@ -761,6 +970,32 @@ object Iceberg {
     """SELECT o.*, o_orderkey % 3 + 1 AS _snapshot_id
       |FROM orders o WHERE o_orderkey % 3 <> 0
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Session-cached IDENTITY-PARTITIONED Iceberg table: orders
+    * partitioned by `o_orderstatus` through the metadata chain — the
+    * [[DeltaLog.ordersPartitionedTable]] twin. The status column's
+    * values exist only in the manifest partition tuples. */
+  private[graft] def ordersIcebergPartitionedTable(spark: SparkSession,
+                                                   dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergpart") { (o, t) =>
+      commitOverwritePartitioned(o, t, Seq("o_orderstatus"))
+    }
+
+  /** q157 — ICEBERG PARTITION-PRUNED READ: a predicate on the
+    * identity-partition column is answered by [[readWhere]] over
+    * manifest partition tuples, dropping non-matching files before
+    * the scan exists — the q145 twin on the second open format. The
+    * oracle is the plain full-table filter; IcebergSpec bounds
+    * files-planned to the 'P' partition's files via the seam. */
+  def icebergPartitionPrunedRead(spark: SparkSession,
+                                 dir: String): DataFrame =
+    readWhere(spark, ordersIcebergPartitionedTable(spark, dir))(
+        pv => pv.get("o_orderstatus").contains("P"))
+      .filter(col("o_orderstatus") === "P")
+      .orderBy(col("o_orderkey"))
+
+  val icebergPartitionPrunedReadSql: String =
+    """SELECT * FROM orders WHERE o_orderstatus = 'P' ORDER BY o_orderkey"""
 
   /** q151's probe range: keys are dense from 0 at every SF, so the
     * range covers the low tail of a range-clustered layout — most

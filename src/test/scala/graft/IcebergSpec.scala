@@ -282,6 +282,120 @@ class IcebergSpec extends SparkSuite {
         "range must prune, or the bounds chain is inert")
   }
 
+  test("identity partitions: round-trip, pruning, spec mismatch loud") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icepartw").toString + "/t"
+    val df = Seq((1L, "red"), (2L, "red"), (3L, "blue")).toDF("k", "s")
+    sources.Iceberg.commitOverwritePartitioned(df, dir, Seq("s"))
+    // full read reconstructs the stripped column from manifest tuples
+    val got = sources.Iceberg.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "red"), (2L, "red"), (3L, "blue")))
+    assert(sources.Iceberg.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("k", "s"))
+    val total = sources.Iceberg.lastFilesPlanned
+    // pruned read: only red files reach the scan
+    val red = sources.Iceberg.readWhere(spark, dir)(
+      pv => pv.get("s").contains("red"))
+    assert(sources.Iceberg.lastFilesPlanned < total,
+      "pruning must drop the blue file before the scan")
+    assert(red.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // an append must declare the same spec
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.commitAppend(Seq((9L, "z")).toDF("k", "s"), dir)
+    }
+    assert(e.getMessage.contains("partition spec"))
+    // unpartitioned table: nothing to prune on — loud
+    val dir2 = Files.createTempDirectory("icepartw2").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((1L, "x")).toDF("k", "s"), dir2)
+    val e2 = intercept[IllegalArgumentException] {
+      sources.Iceberg.readWhere(spark, dir2)(_ => true)
+    }
+    assert(e2.getMessage.contains("unpartitioned"))
+  }
+
+  test("external partitioned table whose data files carry the columns") {
+    // standard Iceberg shape: partition columns are ordinary data
+    // columns, the manifest tuple is derived metadata used for
+    // pruning — the reader must NOT try to reconstruct
+    val dir = Files.createTempDirectory("icepartx").toString
+    Files.createDirectories(Paths.get(s"$dir/metadata"))
+    val a = stagePart(dir, "data/a.parquet", Seq((1L, "red"), (2L, "red")))
+    val b = stagePart(dir, "data/b.parquet", Seq((3L, "blue")))
+    val entryT = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |{"name":"s","type":["null","string"],"default":null}]}},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin)
+    def pentry(path: String, s: String): GenericRecord = {
+      val df = new GenericData.Record(entryT.getField("data_file").schema())
+      df.put("file_path", path)
+      val p = new GenericData.Record(
+        df.getSchema.getField("partition").schema())
+      p.put("s", s)
+      df.put("partition", p)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", new java.io.File(path).length())
+      val e = new GenericData.Record(entryT)
+      e.put("status", 1)
+      e.put("data_file", df)
+      e
+    }
+    val m1 = s"$dir/metadata/m1.avro"
+    writeAvro(m1, entryT, Seq(pentry(a, "red"), pentry(b, "blue")))
+    val l1 = s"$dir/metadata/l1.avro"
+    writeAvro(l1, extManifestFile, Seq(manifestRef(m1, 1L)))
+    Files.write(Paths.get(s"$dir/metadata/v1.metadata.json"),
+      s"""{"format-version":1,"table-uuid":"t","location":"$dir",
+         |"last-updated-ms":0,"last-column-id":2,
+         |"schema":$schemaJson,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |{"name":"s","transform":"identity","source-id":2,"field-id":1000}]}],
+         |"default-spec-id":0,"properties":{},
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"timestamp-ms":0,
+         |"summary":{"operation":"append"},"manifest-list":"$l1"}]}"""
+        .stripMargin.replace("\n", "").getBytes("UTF-8"))
+    val all = sources.Iceberg.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all == Set((1L, "red"), (2L, "red"), (3L, "blue")))
+    val red = sources.Iceberg.readWhere(spark, dir)(
+      pv => pv.get("s").contains("red"))
+    assert(sources.Iceberg.lastFilesPlanned == 1)
+    assert(red.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // a non-identity transform cannot substitute for column values
+    val v1 = new String(Files.readAllBytes(
+      Paths.get(s"$dir/metadata/v1.metadata.json")), "UTF-8")
+    Files.write(Paths.get(s"$dir/metadata/v2.metadata.json"),
+      v1.replace("\"transform\":\"identity\"", "\"transform\":\"bucket[16]\"")
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.read(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("transform"))
+  }
+
+  test("q157 gate shape: manifest-tuple pruning bounded") {
+    val got = sources.Iceberg.icebergPartitionPrunedRead(spark, sfDir)
+    val n = got.count()
+    val planned = sources.Iceberg.lastFilesPlanned
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(n == orders.filter(col("o_orderstatus") === "P").count())
+    // full read plans strictly more files than the one pruned partition
+    sources.Iceberg.read(spark,
+      sources.Iceberg.ordersIcebergPartitionedTable(spark, sfDir)).count()
+    assert(planned < sources.Iceberg.lastFilesPlanned,
+      s"pruned $planned of ${sources.Iceberg.lastFilesPlanned} — other " +
+        "partitions must exist to prune away")
+  }
+
   test("expireSnapshots deletes only expired-snapshot files, keeps current") {
     import spark.implicits._
     val dir = Files.createTempDirectory("iceexp").toString + "/t"
