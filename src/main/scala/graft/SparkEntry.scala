@@ -346,7 +346,11 @@ object SparkEntry {
     // Iceberg identity partitions: manifest partition tuples prune
     // files driver-side before the scan — the q145 twin
     "q157_iceberg_partition_pruned"
-      -> (sources.Iceberg.icebergPartitionPrunedRead _)
+      -> (sources.Iceberg.icebergPartitionPrunedRead _),
+    // Iceberg v2 merge-on-read: position-delete files anti-joined on
+    // (_metadata.file_path, _metadata.row_index) — deletes cost O(k)
+    // + a metadata commit, never a data rewrite
+    "q158_iceberg_pos_delete"  -> (sources.Iceberg.icebergDeleteRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -516,6 +520,7 @@ object SparkEntry {
     "q155_delta_merge"         -> sources.DeltaLog.deltaMergeReadSql,
     "q156_iceberg_incremental" -> sources.Iceberg.icebergIncrementalReadSql,
     "q157_iceberg_partition_pruned"
-      -> sources.Iceberg.icebergPartitionPrunedReadSql
+      -> sources.Iceberg.icebergPartitionPrunedReadSql,
+    "q158_iceberg_pos_delete"  -> sources.Iceberg.icebergDeleteReadSql
   )
 }

@@ -70,6 +70,32 @@ object Iceberg {
       |{"name":"added_snapshot_id","type":["null","long"],"default":null}
       |]}""".stripMargin)
 
+  // v2 manifest-list entries carry `content`: 0 = data manifests,
+  // 1 = delete manifests (the row-level v2 feature)
+  private val manifestFileSchemaV2: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int","default":0},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+      |]}""".stripMargin)
+
+  // v2 delete-manifest entries: data_file.content = 1 (position
+  // deletes); the referenced parquet carries the spec's two columns
+  // (file_path string, pos long)
+  private val deleteEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |{"name":"content","type":"int","default":0},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}
+      |]}}]}""".stripMargin)
+
   // lower/upper bounds ride as the spec's field-id → single-value-
   // serialized bytes pairs (avro spells non-string-key maps as arrays
   // of key/value records)
@@ -167,6 +193,11 @@ object Iceberg {
 
   private def stripFileUri(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file:") else p
+
+  /** Safe by-name avro access: None when the writer's schema lacks
+    * the field (GenericData.Record.get THROWS on unknown names). */
+  private def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
+    Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
 
   // ---------------------------------------------------------------
   // Schema conversion (Iceberg JSON schema <-> Spark StructType)
@@ -275,9 +306,10 @@ object Iceberg {
       new String(Files.readAllBytes(f.toPath), "UTF-8"))
       .asInstanceOf[ObjectNode]
     val fv = meta.get("format-version").asInt
-    require(fv == 1,
-      s"unsupported Iceberg format-version $fv (reader supports 1: " +
-        "no delete files / row-level v2 features)")
+    require(fv == 1 || fv == 2,
+      s"unsupported Iceberg format-version $fv (reader supports 1 and " +
+        "2; v2 coverage = position deletes — equality deletes refuse " +
+        "at the manifest)")
     meta
   }
 
@@ -321,20 +353,54 @@ object Iceberg {
       }
     }
 
-  /** Live data files of snapshot `snapshotId`: manifest-list hop,
-    * then each manifest's entries with status != 2 (DELETED). Both
-    * hops are driver-side metadata reads. */
-  private def planFiles(tableDir: String, meta: ObjectNode,
-                        snapshotId: Long): Seq[PlannedFile] = {
+  /** A snapshot's planned inputs: live data files plus the position-
+    * delete files that apply to them (empty on v1 tables). */
+  private case class Planned(data: Seq[PlannedFile],
+                             deleteFiles: Seq[String])
+
+  /** Live files of snapshot `snapshotId`: manifest-list hop, then
+    * each manifest's entries with status != 2 (DELETED). A v2
+    * manifest-list row with `content`=1 is a DELETE manifest, whose
+    * entries name position-delete parquet files (data_file.content
+    * must be 1 — equality deletes, content 2, refuse loudly: applying
+    * them needs value comparison semantics this reader does not
+    * speak). Both hops are driver-side metadata reads.
+    *
+    * Sequence-number scope (documented): position deletes name their
+    * target by explicit `file_path`, and every writer here names data
+    * files by per-file UUID (paths never reused), so applying all of
+    * a snapshot's deletes to all of its data files is exact without
+    * the spec's sequence-number dance — which exists to protect
+    * REUSED paths across rewrites. */
+  private def planFilesAll(tableDir: String, meta: ObjectNode,
+                           snapshotId: Long): Planned = {
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapshotId not in metadata (have " +
           s"${snapshotIds(tableDir).mkString(",")})"))
     val manifests = readAvro(snap.get("manifest-list").asText)
-      .map(_.get("manifest_path").toString)
+      .map(r => (r.get("manifest_path").toString,
+        fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0)))
     lastManifestsRead = manifests.size
-    manifests.flatMap { m =>
+    val deleteFiles = manifests.filter(_._2 == 1).flatMap { case (m, _) =>
+      readAvro(m).flatMap { e =>
+        if (e.get("status").asInstanceOf[Int] == 2) None
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val c = fieldOpt(df, "content")
+            .map(_.asInstanceOf[Int]).getOrElse(0)
+          require(c == 1,
+            s"unsupported delete-file content $c (position deletes " +
+              "only; equality deletes need value semantics)")
+          val fmt = df.get("file_format").toString
+          require(fmt.equalsIgnoreCase("PARQUET"),
+            s"unsupported delete file format $fmt")
+          Some(df.get("file_path").toString)
+        }
+      }
+    }
+    val data = manifests.filter(_._2 == 0).map(_._1).flatMap { m =>
       readAvro(m).flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED — not part of this snapshot
@@ -363,6 +429,17 @@ object Iceberg {
         }
       }
     }
+    Planned(data, deleteFiles)
+  }
+
+  /** Live data files only; refuses a snapshot that carries deletes —
+    * callers on this path would silently resurrect deleted rows. */
+  private def planFiles(tableDir: String, meta: ObjectNode,
+                        snapshotId: Long): Seq[PlannedFile] = {
+    val p = planFilesAll(tableDir, meta, snapshotId)
+    require(p.deleteFiles.isEmpty,
+      "snapshot carries position deletes — use the delete-aware read")
+    p.data
   }
 
   /** Identity-partition column names of the default partition spec
@@ -428,26 +505,63 @@ object Iceberg {
   }
 
   private def readSnapshotFrom(spark: SparkSession, tableDir: String,
-      meta: ObjectNode, snapshotId: Long): DataFrame =
-    scanPlanned(spark, schemaFromMetadata(meta),
-      planFiles(tableDir, meta, snapshotId), partitionColsOf(meta))
+      meta: ObjectNode, snapshotId: Long): DataFrame = {
+    val p = planFilesAll(tableDir, meta, snapshotId)
+    scanPlanned(spark, schemaFromMetadata(meta), p.data,
+      partitionColsOf(meta), p.deleteFiles)
+  }
+
+  /** MERGE-ON-READ: anti-join the raw data scan against the
+    * position-delete rows on (file, position) — `_metadata.file_path`
+    * / `_metadata.row_index` are Spark's native per-row file identity,
+    * so the whole merge stays one broadcast hash anti-join inside
+    * codegen, no row-by-row bookkeeping. Paths normalize on BOTH
+    * sides (scheme-prefixed URIs vs plain paths) before comparing.
+    * Must run on the scan output BEFORE any projection — projections
+    * drop the hidden `_metadata` column. */
+  private def deleteAntiJoin(spark: SparkSession,
+      deleteFiles: Seq[String]): DataFrame => DataFrame =
+    if (deleteFiles.isEmpty) identity
+    else { data =>
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.functions.{broadcast, regexp_replace}
+      def norm(c: Column): Column =
+        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+      val delT = StructType(Seq(
+        StructField("file_path", StringType),
+        StructField("pos", LongType)))
+      val del = spark.read.schema(delT)
+        .parquet(deleteFiles.map(stripFileUri).sorted: _*)
+        .select(norm(col("file_path")).as("_del_path"),
+          col("pos").as("_del_pos"))
+      data
+        .withColumn("_ice_path", norm(col("_metadata.file_path")))
+        .withColumn("_ice_pos", col("_metadata.row_index"))
+        .join(broadcast(del),
+          col("_ice_path") === col("_del_path") &&
+            col("_ice_pos") === col("_del_pos"), "left_anti")
+        .drop("_ice_path", "_ice_pos")
+    }
 
   private def scanPlanned(spark: SparkSession, schema: StructType,
                           files: Seq[PlannedFile],
-                          partCols: Seq[String] = Seq.empty): DataFrame = {
+                          partCols: Seq[String] = Seq.empty,
+                          deleteFiles: Seq[String] = Seq.empty)
+      : DataFrame = {
     lastFilesPlanned = files.size
+    val mor = deleteAntiJoin(spark, deleteFiles)
     if (files.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
     else if (partCols.isEmpty ||
         dataFilesCarryPartitionCols(files.head.path, partCols))
-      spark.read.schema(schema).parquet(
-        files.map(f => stripFileUri(f.path)).sorted: _*)
+      mor(spark.read.schema(schema).parquet(
+        files.map(f => stripFileUri(f.path)).sorted: _*))
     else
       // hive-migrated shape: the identity tuple substitutes for the
       // stripped columns (the shared open-format reconstruction)
       PartitionedScan.scan(spark, schema, partCols,
-        files.map(f => (stripFileUri(f.path), f.partition)))
+        files.map(f => (stripFileUri(f.path), f.partition)), mor)
   }
 
   /** Iceberg's single-value serialization for `long`: 8 bytes
@@ -486,9 +600,9 @@ object Iceberg {
     val ids = fieldIds(meta)
     ranges.foreach { case (c, _, _) =>
       require(ids.contains(c), s"no column '$c' in table schema") }
-    val files = planFiles(tableDir, meta,
+    val planned = planFilesAll(tableDir, meta,
       meta.get("current-snapshot-id").asLong)
-    val kept = files.filter { f =>
+    val kept = planned.data.filter { f =>
       ranges.forall { case (c, lo, hi) =>
         val id = ids(c)
         (f.lower.get(id).flatMap(longBound),
@@ -498,7 +612,8 @@ object Iceberg {
         }
       }
     }
-    scanPlanned(spark, schemaFromMetadata(meta), kept, partitionColsOf(meta))
+    scanPlanned(spark, schemaFromMetadata(meta), kept,
+      partitionColsOf(meta), planned.deleteFiles)
   }
 
   /** PARTITION-PRUNED read of the latest snapshot (the
@@ -514,10 +629,11 @@ object Iceberg {
     require(partCols.nonEmpty,
       s"readWhere on unpartitioned Iceberg table $tableDir: no " +
         "partition tuple to prune on")
-    val files = planFiles(tableDir, meta,
+    val planned = planFilesAll(tableDir, meta,
       meta.get("current-snapshot-id").asLong)
-    val kept = files.filter(f => keep(f.partition))
-    scanPlanned(spark, schemaFromMetadata(meta), kept, partCols)
+    val kept = planned.data.filter(f => keep(f.partition))
+    scanPlanned(spark, schemaFromMetadata(meta), kept, partCols,
+      planned.deleteFiles)
   }
 
   // ---------------------------------------------------------------
@@ -672,8 +788,10 @@ object Iceberg {
     // manifest list: append keeps the prior snapshot's manifests (its
     // files stay EXISTING); overwrite references only the new one
     // carried-forward manifests KEEP their original added_snapshot_id
-    // — incremental readers diff snapshots by exactly that field
-    val prevManifests: Seq[(String, Long, Any)] =
+    // (incremental readers diff snapshots by exactly that field) and
+    // their content (an append after a v2 delete keeps the delete
+    // manifests in force)
+    val prevManifests: Seq[(String, Long, Int, Any)] =
       if (overwrite || prevMeta.isEmpty) Seq.empty
       else {
         val curId = prevMeta.get.get("current-snapshot-id").asLong
@@ -682,25 +800,34 @@ object Iceberg {
         readAvro(curSnap.get("manifest-list").asText)
           .map(r => (r.get("manifest_path").toString,
             r.get("manifest_length").asInstanceOf[Long],
+            fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
             r.get("added_snapshot_id")))
       }
+    val fv = prevMeta.map(_.get("format-version").asInt).getOrElse(1)
     val listPath =
       s"${metaDir(tableDir)}/snap-$snapshotId-manifest-list.avro"
     val listRecords = (prevManifests :+
-      (manifestPath, new File(manifestPath).length(),
+      (manifestPath, new File(manifestPath).length(), 0,
         snapshotId: Any)).map {
-        case (p, len, addedBy) =>
-          val r = new GenericData.Record(manifestFileSchema)
+        case (p, len, content, addedBy) =>
+          val listSchema =
+            if (fv == 2) manifestFileSchemaV2 else manifestFileSchema
+          val r = new GenericData.Record(listSchema)
           r.put("manifest_path", p)
           r.put("manifest_length", len)
           r.put("partition_spec_id", 0)
+          if (fv == 2) r.put("content", content)
+          else require(content == 0,
+            "delete manifest carried into a v1 list — table corrupt")
           r.put("added_snapshot_id", addedBy)
           r
       }
-    writeAvro(listPath, manifestFileSchema, listRecords)
+    writeAvro(listPath,
+      if (fv == 2) manifestFileSchemaV2 else manifestFileSchema,
+      listRecords)
     // new metadata json: full snapshot history + the new snapshot
     val meta = mapper.createObjectNode()
-    meta.put("format-version", 1)
+    meta.put("format-version", fv)
     meta.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
       tableDir.getBytes("UTF-8")).toString)
     meta.put("location", tableDir)
@@ -726,9 +853,17 @@ object Iceberg {
     sn.putObject("summary").put("operation",
       if (overwrite) "overwrite" else "append")
     sn.put("manifest-list", listPath)
-    // publish: tmp + hard-link CAS like the Delta commit (metadata
-    // files are immutable; losing the race means another writer owns
-    // vN — no retry here, callers of the gated builders never race)
+    publishMetadataVersion(tableDir, v, meta)
+    snapshotId
+  }
+
+  /** Publish metadata version `v`: tmp + hard-link CAS like the Delta
+    * commit (metadata files are immutable; losing the race means
+    * another writer owns vN — no retry here, callers of the gated
+    * builders never race), then the advisory version-hint (reader
+    * falls back to max vN). */
+  private def publishMetadataVersion(tableDir: String, v: Int,
+                                     meta: ObjectNode): Unit = {
     val tmp = Files.createTempFile(
       Paths.get(metaDir(tableDir)), s".v$v-", ".json.tmp")
     Files.write(tmp,
@@ -737,13 +872,11 @@ object Iceberg {
     try Files.createLink(
       Paths.get(metaDir(tableDir), s"v$v.metadata.json"), tmp)
     finally Files.deleteIfExists(tmp)
-    // version-hint is advisory (reader falls back to max vN)
     val hint = Files.createTempFile(
       Paths.get(metaDir(tableDir)), ".hint-", ".tmp")
     Files.write(hint, v.toString.getBytes("UTF-8"))
     Files.move(hint, Paths.get(metaDir(tableDir), "version-hint.text"),
       StandardCopyOption.ATOMIC_MOVE)
-    snapshotId
   }
 
   /** Commit `df` as a new snapshot REPLACING the table contents
@@ -831,6 +964,126 @@ object Iceberg {
     }
   }
 
+  /** ROW-LEVEL DELETE, merge-on-read (Iceberg v2 position deletes):
+    * find the (file, position) of every still-live row matching
+    * `predicate`, write them as a position-delete parquet (the spec's
+    * `file_path`/`pos` columns, sorted), and commit a DELETE snapshot
+    * whose manifest-list carries the previous manifests plus one
+    * delete manifest (`content`=1). No data file is rewritten — the
+    * point of merge-on-read: a delete of k rows costs O(k) + one
+    * metadata commit, not a table rewrite; readers pay one broadcast
+    * anti-join until a compaction folds the deletes in. The table's
+    * format-version becomes 2 (the spec's requirement for row-level
+    * deletes). Upgrading is one-way, as in Iceberg.
+    *
+    * `predicate` sees the DATA columns (partition columns are not in
+    * the data files on the hive-migrated layout; express partition
+    * predicates as [[readWhere]]-style pruning instead). Rows already
+    * deleted by prior delete snapshots are skipped, so re-running the
+    * same predicate is a no-op (returns the current snapshot id,
+    * commits nothing). Returns the new snapshot id. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{broadcast, regexp_replace}
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    val curId = meta.get("current-snapshot-id").asLong
+    val planned = planFilesAll(tableDir, meta, curId)
+    require(planned.data.nonEmpty, "nothing to delete from an empty table")
+    val schema = schemaFromMetadata(meta)
+    val partCols = partitionColsOf(meta)
+    val dataSchema = StructType(
+      schema.filterNot(f => partCols.contains(f.name)))
+    def norm(c: Column): Column =
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    var hits = spark.read.schema(dataSchema)
+      .parquet(planned.data.map(f => stripFileUri(f.path)).sorted: _*)
+      .withColumn("_ice_path", norm(col("_metadata.file_path")))
+      .withColumn("_ice_pos", col("_metadata.row_index"))
+    if (planned.deleteFiles.nonEmpty) {
+      val delT = StructType(Seq(
+        StructField("file_path", StringType),
+        StructField("pos", LongType)))
+      val prior = spark.read.schema(delT)
+        .parquet(planned.deleteFiles.map(stripFileUri).sorted: _*)
+        .select(norm(col("file_path")).as("_del_path"),
+          col("pos").as("_del_pos"))
+      hits = hits.join(broadcast(prior),
+        col("_ice_path") === col("_del_path") &&
+          col("_ice_pos") === col("_del_pos"), "left_anti")
+    }
+    val sub = s"data/delete-${java.util.UUID.randomUUID}"
+    hits.filter(predicate)
+      .select(col("_ice_path").as("file_path"), col("_ice_pos").as("pos"))
+      .repartition(1)
+      .sortWithinPartitions(col("file_path"), col("pos")) // spec's sort
+      .write.parquet(s"$tableDir/$sub")
+    val part = Option(new File(tableDir, sub).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val (nRows, _) = parquetFooter(part.getPath)
+    if (nRows == 0) { // no live row matched: commit nothing
+      graft.util.Fs.deleteRecursively(new File(tableDir, sub))
+      return curId
+    }
+    val snapshotId: Long = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong).max + 1L
+    // one delete manifest
+    val dm = s"${metaDir(tableDir)}/snap-$snapshotId-d0.avro"
+    val dfr = new GenericData.Record(
+      deleteEntrySchema.getField("data_file").schema())
+    dfr.put("content", 1)
+    dfr.put("file_path", part.getPath)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count", nRows)
+    dfr.put("file_size_in_bytes", part.length())
+    val de = new GenericData.Record(deleteEntrySchema)
+    de.put("status", 1)
+    de.put("snapshot_id", snapshotId)
+    de.put("data_file", dfr)
+    writeAvro(dm, deleteEntrySchema, Seq(de))
+    // v2 manifest-list: previous manifests (content preserved) + the
+    // delete manifest
+    val curSnap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId).get
+    val prev = readAvro(curSnap.get("manifest-list").asText)
+    val listPath =
+      s"${metaDir(tableDir)}/snap-$snapshotId-manifest-list.avro"
+    val listRecords = prev.map { r =>
+      val n = new GenericData.Record(manifestFileSchemaV2)
+      n.put("manifest_path", r.get("manifest_path").toString)
+      n.put("manifest_length", r.get("manifest_length"))
+      n.put("partition_spec_id", 0)
+      n.put("content",
+        fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0))
+      n.put("added_snapshot_id", r.get("added_snapshot_id"))
+      n
+    } :+ {
+      val n = new GenericData.Record(manifestFileSchemaV2)
+      n.put("manifest_path", dm)
+      n.put("manifest_length", new File(dm).length())
+      n.put("partition_spec_id", 0)
+      n.put("content", 1)
+      n.put("added_snapshot_id", snapshotId)
+      n
+    }
+    writeAvro(listPath, manifestFileSchemaV2, listRecords)
+    // v2 metadata: schema/spec/history unchanged, format upgraded
+    val next = meta.deepCopy[ObjectNode]()
+    next.put("format-version", 2)
+    next.put("last-sequence-number", snapshotId)
+    next.put("current-snapshot-id", snapshotId)
+    val sn = next.withArray[ArrayNode]("snapshots").addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("sequence-number", snapshotId)
+    sn.put("timestamp-ms", 0L)
+    sn.putObject("summary").put("operation", "delete")
+    sn.put("manifest-list", listPath)
+    publishMetadataVersion(tableDir, v + 1, next)
+    snapshotId
+  }
+
   /** Every path a snapshot's plan touches: its manifest-list, its
     * manifests, and every data file its manifest entries name —
     * INCLUDING status=DELETED entries (they reference the path even
@@ -877,19 +1130,7 @@ object Iceberg {
     val next = meta.deepCopy[ObjectNode]()
     val arr = next.putArray("snapshots")
     kept.foreach(arr.add)
-    val tmp = Files.createTempFile(
-      Paths.get(metaDir(tableDir)), s".v${v + 1}-", ".json.tmp")
-    Files.write(tmp,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(next)
-        .getBytes("UTF-8"))
-    try Files.createLink(
-      Paths.get(metaDir(tableDir), s"v${v + 1}.metadata.json"), tmp)
-    finally Files.deleteIfExists(tmp)
-    val hint = Files.createTempFile(
-      Paths.get(metaDir(tableDir)), ".hint-", ".tmp")
-    Files.write(hint, (v + 1).toString.getBytes("UTF-8"))
-    Files.move(hint, Paths.get(metaDir(tableDir), "version-hint.text"),
-      StandardCopyOption.ATOMIC_MOVE)
+    publishMetadataVersion(tableDir, v + 1, next)
     dead.toSeq.sorted.filter(p => Files.deleteIfExists(Paths.get(p)))
   }
 
@@ -996,6 +1237,33 @@ object Iceberg {
 
   val icebergPartitionPrunedReadSql: String =
     """SELECT * FROM orders WHERE o_orderstatus = 'P' ORDER BY o_orderkey"""
+
+  /** Session-cached v2 MERGE-ON-READ table: one overwrite snapshot
+    * of orders, then a [[deleteWhere]] of every tenth key — the data
+    * files are untouched; the deleted rows exist only as (file, pos)
+    * pairs in a position-delete file. */
+  private[graft] def ordersIcebergDeleteTable(spark: SparkSession,
+                                              dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergdel") { (o, t) =>
+      import org.apache.spark.sql.functions.{lit, pmod}
+      commitOverwrite(o, t)
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(10)) === 0)
+    }
+
+  /** q158 — ICEBERG V2 POSITION DELETES: reading the delete snapshot
+    * must anti-join the untouched data files against the delete
+    * file's (file, pos) pairs — a reader that ignored the delete
+    * manifest returns the deleted tenth and hash-mismatches; one that
+    * mis-applied positions deletes the wrong rows and also
+    * mismatches. Time travel to snapshot 1 (pre-delete) stays whole,
+    * IcebergSpec-held. */
+  def icebergDeleteRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersIcebergDeleteTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val icebergDeleteReadSql: String =
+    """SELECT * FROM orders WHERE o_orderkey % 10 <> 0
+      |ORDER BY o_orderkey""".stripMargin
 
   /** q151's probe range: keys are dense from 0 at every SF, so the
     * range covers the low tail of a range-clustered layout — most

@@ -30,8 +30,12 @@ private[sources] object PartitionedScan {
     * with the partition columns (`partCols`, all members of `schema`)
     * reconstructed from the metadata values. Data files must carry
     * exactly the non-partition columns. */
+  /** `preProject` runs on the raw scan BEFORE any projection — the
+    * hook delete-aware callers use to anti-join on the hidden
+    * `_metadata` columns while they are still referable. */
   def scan(spark: SparkSession, schema: StructType, partCols: Seq[String],
-           files: Seq[(String, Map[String, String])]): DataFrame = {
+           files: Seq[(String, Map[String, String])],
+           preProject: DataFrame => DataFrame = identity): DataFrame = {
     require(partCols.nonEmpty, "PartitionedScan needs partition columns")
     val dataSchema = StructType(
       schema.filterNot(f => partCols.contains(f.name)))
@@ -51,7 +55,8 @@ private[sources] object PartitionedScan {
     val pvT = StructType(StructField("_file", StringType) +:
       partCols.map(c => StructField(s"_pv_$c", StringType, nullable = true)))
     val pvDf = spark.createDataFrame(pvRows, pvT)
-    spark.read.schema(dataSchema).parquet(files.map(_._1).sorted: _*)
+    preProject(
+      spark.read.schema(dataSchema).parquet(files.map(_._1).sorted: _*))
       .withColumn("_file",
         regexp_extract(input_file_name(), "[^/]+$", 0))
       .join(broadcast(pvDf), Seq("_file"))

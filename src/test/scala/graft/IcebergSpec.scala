@@ -187,12 +187,14 @@ class IcebergSpec extends SparkSuite {
     assert(sources.Iceberg.versions(dir) == Seq(1, 2, 3))
   }
 
-  test("format-version 2 fails loudly, not silently wrong") {
-    val dir = Files.createTempDirectory("icev2").toString
+  test("format-version 3 fails loudly, not silently wrong") {
+    // v1 and v2 are spoken (v2 = position deletes); anything newer
+    // could carry features whose absence silently corrupts a read
+    val dir = Files.createTempDirectory("icev3").toString
     Files.createDirectories(Paths.get(s"$dir/metadata"))
     Files.write(Paths.get(s"$dir/metadata/v1.metadata.json"),
       metadataJson(dir, 1L, Seq((1L, "nope.avro")))
-        .replace("\"format-version\":1", "\"format-version\":2")
+        .replace("\"format-version\":1", "\"format-version\":3")
         .getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       sources.Iceberg.read(spark, dir)
@@ -394,6 +396,89 @@ class IcebergSpec extends SparkSuite {
     assert(planned < sources.Iceberg.lastFilesPlanned,
       s"pruned $planned of ${sources.Iceberg.lastFilesPlanned} — other " +
         "partitions must exist to prune away")
+  }
+
+  test("v2 position deletes: merge-on-read, stacking, time travel, no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icedel").toString + "/t"
+    sources.Iceberg.commitOverwrite(
+      (1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    // delete evens: data files untouched, one delete snapshot
+    val s2 = sources.Iceberg.deleteWhere(spark, dir, col("k") % 2 === 0)
+    assert(s2 == 2L)
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 5L, 7L, 9L))
+    // pre-delete snapshot stays whole (merge-on-read, not rewrite)
+    assert(sources.Iceberg.readSnapshot(spark, dir, 1L).count() == 10)
+    // stacking: a second delete composes with the first
+    val s3 = sources.Iceberg.deleteWhere(spark, dir, col("k") % 3 === 0)
+    assert(s3 == 3L)
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 7L))
+    // re-running a covered predicate matches no LIVE row: no commit
+    assert(sources.Iceberg.deleteWhere(spark, dir, col("k") % 2 === 0) == 3L)
+    assert(sources.Iceberg.snapshotIds(dir) == Seq(1L, 2L, 3L))
+    // an append after deletes keeps them in force
+    sources.Iceberg.commitAppend(Seq((100L, "new")).toDF("k", "s"), dir)
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 5L, 7L, 100L))
+    // the delete parquet carries the spec's two columns
+    val delFiles = new java.io.File(dir, "data").listFiles()
+      .filter(_.getName.startsWith("delete-"))
+    assert(delFiles.nonEmpty)
+    val del = spark.read.parquet(delFiles.head.getPath)
+    assert(del.schema.fieldNames.toSeq == Seq("file_path", "pos"))
+  }
+
+  test("external v2 layout with equality deletes refuses loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icedeq").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.Iceberg.deleteWhere(spark, dir, col("k") === 99L) // no-op
+    // hand-edit: flip the upgraded table's next delete to content=2
+    val s = sources.Iceberg.deleteWhere(spark, dir, col("k") === 1L)
+    assert(s == 2L)
+    // rewrite the delete manifest claiming equality deletes
+    val dm = new java.io.File(s"$dir/metadata")
+      .listFiles().filter(_.getName.contains("-d0.avro")).head
+    val entryT = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin)
+    val df2 = new GenericData.Record(entryT.getField("data_file").schema())
+    df2.put("content", 2) // equality deletes
+    df2.put("file_path", "whatever.parquet")
+    df2.put("file_format", "PARQUET")
+    df2.put("record_count", 1L)
+    df2.put("file_size_in_bytes", 1L)
+    val e2 = new GenericData.Record(entryT)
+    e2.put("status", 1)
+    e2.put("data_file", df2)
+    dm.delete()
+    writeAvro(dm.getPath, entryT, Seq(e2))
+    val err = intercept[IllegalArgumentException] {
+      sources.Iceberg.read(spark, dir).collect()
+    }
+    assert(err.getMessage.contains("content"))
+  }
+
+  test("q158 gate shape: deleted tenth absent, data files unrewritten") {
+    val got = sources.Iceberg.icebergDeleteRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() ==
+      orders.filter(col("o_orderkey") % 10 =!= 0).count())
+    // merge-on-read: the table still plans ALL original data files
+    val t = sources.Iceberg.ordersIcebergDeleteTable(spark, sfDir)
+    sources.Iceberg.read(spark, t).count()
+    assert(sources.Iceberg.lastFilesPlanned >= 1)
   }
 
   test("expireSnapshots deletes only expired-snapshot files, keeps current") {
