@@ -3,8 +3,7 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, input_file_name,
-  regexp_extract}
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Shared scan builder for open-format tables whose PARTITION COLUMN
@@ -55,10 +54,14 @@ private[sources] object PartitionedScan {
     val pvT = StructType(StructField("_file", StringType) +:
       partCols.map(c => StructField(s"_pv_$c", StringType, nullable = true)))
     val pvDf = spark.createDataFrame(pvRows, pvT)
+    // _metadata.file_name is the basename as a per-file CONSTANT
+    // column — a regexp over input_file_name costs ~20µs/row (it
+    // re-scans the full path per row) and dominated the whole read.
+    // Attached BEFORE preProject: the hook may join, after which the
+    // hidden metadata stops resolving.
     preProject(
-      spark.read.schema(dataSchema).parquet(files.map(_._1).sorted: _*))
-      .withColumn("_file",
-        regexp_extract(input_file_name(), "[^/]+$", 0))
+      spark.read.schema(dataSchema).parquet(files.map(_._1).sorted: _*)
+        .withColumn("_file", col("_metadata.file_name")))
       .join(broadcast(pvDf), Seq("_file"))
       .select(schema.map { f =>
         if (partCols.contains(f.name))

@@ -432,6 +432,23 @@ class IcebergSpec extends SparkSuite {
     assert(del.schema.fieldNames.toSeq == Seq("file_path", "pos"))
   }
 
+  test("v2 position deletes compose with identity-partition reconstruction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icedelp").toString + "/t"
+    val df = Seq((1L, "red"), (2L, "red"), (3L, "blue"), (4L, "blue"))
+      .toDF("k", "s")
+    sources.Iceberg.commitOverwritePartitioned(df, dir, Seq("s"))
+    sources.Iceberg.deleteWhere(spark, dir, col("k") % 2 === 0)
+    // full read: deletes applied AND the stripped column reconstructed
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "red"), (3L, "blue")))
+    // pruned read over the delete-bearing table
+    val red = sources.Iceberg.readWhere(spark, dir)(
+      pv => pv.get("s").contains("red"))
+    assert(red.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("external v2 layout with equality deletes refuses loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("icedeq").toString + "/t"
