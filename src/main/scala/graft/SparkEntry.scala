@@ -350,7 +350,10 @@ object SparkEntry {
     // Iceberg v2 merge-on-read: position-delete files anti-joined on
     // (_metadata.file_path, _metadata.row_index) — deletes cost O(k)
     // + a metadata commit, never a data rewrite
-    "q158_iceberg_pos_delete"  -> (sources.Iceberg.icebergDeleteRead _)
+    "q158_iceberg_pos_delete"  -> (sources.Iceberg.icebergDeleteRead _),
+    // rewrite_data_files: the MoR compaction — same rows back from a
+    // delete-manifest-free snapshot
+    "q159_iceberg_rewrite"     -> (sources.Iceberg.icebergRewriteRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -521,6 +524,7 @@ object SparkEntry {
     "q156_iceberg_incremental" -> sources.Iceberg.icebergIncrementalReadSql,
     "q157_iceberg_partition_pruned"
       -> sources.Iceberg.icebergPartitionPrunedReadSql,
-    "q158_iceberg_pos_delete"  -> sources.Iceberg.icebergDeleteReadSql
+    "q158_iceberg_pos_delete"  -> sources.Iceberg.icebergDeleteReadSql,
+    "q159_iceberg_rewrite"     -> sources.Iceberg.icebergRewriteReadSql
   )
 }

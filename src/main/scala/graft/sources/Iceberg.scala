@@ -728,15 +728,21 @@ object Iceberg {
     val vs = versions(tableDir)
     val v = if (vs.isEmpty) 1 else vs.last + 1
     val prevMeta = if (vs.isEmpty) None else Some(loadMetadata(tableDir, vs.last))
+    // the TABLE's schema (prev metadata) is authoritative once it
+    // exists: commits must match names+types, but nullability is not
+    // compared — Spark's parquet scans surface everything nullable,
+    // so a rewrite of a required column would otherwise self-reject
+    def erased(s: StructType) = StructType(s.fields.map(f =>
+      StructField(f.name, f.dataType, nullable = true)))
     prevMeta.foreach { m =>
       val prevSchema = schemaFromMetadata(m)
-      require(prevSchema == StructType(df.schema.fields.map(f =>
-          StructField(f.name, f.dataType, f.nullable))),
+      require(erased(prevSchema) == erased(df.schema),
         s"schema mismatch: table has $prevSchema, commit has ${df.schema}")
       require(partitionColsOf(m) == partCols,
         s"partition spec mismatch: table has ${partitionColsOf(m)}, " +
           s"commit declares $partCols")
     }
+    val tableSchema = prevMeta.map(schemaFromMetadata).getOrElse(df.schema)
     val snapshotId: Long = prevMeta.map(
       _.get("snapshots").elements().asScala
         .map(_.get("snapshot-id").asLong).maxOption.getOrElse(0L))
@@ -833,7 +839,7 @@ object Iceberg {
     meta.put("location", tableDir)
     meta.put("last-updated-ms", 0L)
     meta.put("last-column-id", df.schema.fields.length)
-    meta.set[ObjectNode]("schema", schemaToJson(df.schema))
+    meta.set[ObjectNode]("schema", schemaToJson(tableSchema))
     val specs = meta.putArray("partition-specs")
     val specFields = specs.addObject().put("spec-id", 0).putArray("fields")
     partCols.zipWithIndex.foreach { case (c, i) =>
@@ -1084,6 +1090,24 @@ object Iceberg {
     snapshotId
   }
 
+  /** MAINTENANCE: fold the accumulated position deletes into
+    * rewritten data files (Iceberg's `rewrite_data_files` — the
+    * compaction that ends the merge-on-read debt). The merged current
+    * snapshot is committed as a new overwrite snapshot whose
+    * manifest-list carries NO delete manifests; every later read is a
+    * plain scan again. Prior snapshots (and their delete files) stay
+    * addressable until [[expireSnapshots]]. Returns the snapshot id.
+    *
+    * Scale: this trades one full rewrite for removing a per-read
+    * anti-join — the classic MoR amortization; run it when deleted
+    * fraction or delete-file count crosses a threshold, exactly as
+    * Iceberg's maintenance procedure does. */
+  def rewriteDataFiles(spark: SparkSession, tableDir: String): Long = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    commit(read(spark, tableDir), tableDir,
+      overwrite = true, partitionColsOf(meta))
+  }
+
   /** Every path a snapshot's plan touches: its manifest-list, its
     * manifests, and every data file its manifest entries name —
     * INCLUDING status=DELETED entries (they reference the path even
@@ -1262,6 +1286,32 @@ object Iceberg {
       .orderBy(col("o_orderkey"))
 
   val icebergDeleteReadSql: String =
+    """SELECT * FROM orders WHERE o_orderkey % 10 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Session-cached MoR table AFTER [[rewriteDataFiles]]: the q158
+    * shape (overwrite + tenth-key delete), then the compaction that
+    * folds the deletes in. */
+  private[graft] def ordersIcebergRewriteTable(spark: SparkSession,
+                                               dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergrw") { (o, t) =>
+      import org.apache.spark.sql.functions.{lit, pmod}
+      commitOverwrite(o, t)
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(10)) === 0)
+      rewriteDataFiles(spark, t)
+    }
+
+  /** q159 — ICEBERG REWRITE (MoR compaction readback): after
+    * `rewrite_data_files` the same rows must come back from a
+    * delete-manifest-free snapshot — a rewrite that resurrected
+    * deleted rows, dropped live ones, or kept serving the old delete
+    * files hash-mismatches; IcebergSpec separately asserts the new
+    * snapshot plans zero delete files. */
+  def icebergRewriteRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersIcebergRewriteTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val icebergRewriteReadSql: String =
     """SELECT * FROM orders WHERE o_orderkey % 10 <> 0
       |ORDER BY o_orderkey""".stripMargin
 

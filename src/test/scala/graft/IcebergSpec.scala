@@ -449,6 +449,29 @@ class IcebergSpec extends SparkSuite {
     assert(red.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("rewriteDataFiles folds deletes in; old snapshots stay addressable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icerw").toString + "/t"
+    sources.Iceberg.commitOverwrite(
+      (1L to 6L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.Iceberg.deleteWhere(spark, dir, col("k") % 2 === 0)
+    val s3 = sources.Iceberg.rewriteDataFiles(spark, dir)
+    assert(s3 == 3L)
+    // same rows, and the new snapshot carries no delete manifests:
+    // a second deleteWhere of already-gone rows is a no-op commit
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+    assert(sources.Iceberg.deleteWhere(spark, dir, col("k") % 2 === 0) == s3)
+    // MoR history stays addressable pre-expire
+    assert(sources.Iceberg.readSnapshot(spark, dir, 1L).count() == 6)
+    assert(sources.Iceberg.readSnapshot(spark, dir, 2L).count() == 3)
+    // expire to the compacted frontier: delete files die with their
+    // snapshots, the live read is untouched
+    val dead = sources.Iceberg.expireSnapshots(dir, keepLast = 1)
+    assert(dead.nonEmpty)
+    assert(sources.Iceberg.read(spark, dir).count() == 3)
+  }
+
   test("external v2 layout with equality deletes refuses loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("icedeq").toString + "/t"
