@@ -353,7 +353,15 @@ object SparkEntry {
     "q158_iceberg_pos_delete"  -> (sources.Iceberg.icebergDeleteRead _),
     // rewrite_data_files: the MoR compaction — same rows back from a
     // delete-manifest-free snapshot
-    "q159_iceberg_rewrite"     -> (sources.Iceberg.icebergRewriteRead _)
+    "q159_iceberg_rewrite"     -> (sources.Iceberg.icebergRewriteRead _),
+    // schema evolution through both open formats: metaData-only
+    // commit adds a column; pre-evolution files surface NULL, the
+    // post-evolution append carries values — one scan, both
+    // generations
+    "q160_delta_schema_evolution"
+      -> (sources.DeltaLog.deltaEvolvedRead _),
+    "q161_iceberg_schema_evolution"
+      -> (sources.Iceberg.icebergEvolvedRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -525,6 +533,10 @@ object SparkEntry {
     "q157_iceberg_partition_pruned"
       -> sources.Iceberg.icebergPartitionPrunedReadSql,
     "q158_iceberg_pos_delete"  -> sources.Iceberg.icebergDeleteReadSql,
-    "q159_iceberg_rewrite"     -> sources.Iceberg.icebergRewriteReadSql
+    "q159_iceberg_rewrite"     -> sources.Iceberg.icebergRewriteReadSql,
+    "q160_delta_schema_evolution"
+      -> sources.DeltaLog.deltaEvolvedReadSql,
+    "q161_iceberg_schema_evolution"
+      -> sources.Iceberg.icebergEvolvedReadSql
   )
 }

@@ -901,6 +901,40 @@ object DeltaLog {
       |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Session-cached SCHEMA-EVOLUTION table: commit 0 = even order
+    * keys WITHOUT `o_orderpriority` (the original 5-column schema),
+    * commit 1 = the metaData-only evolution adding the column,
+    * commit 2 = append of the odd keys with all 6 columns. */
+  private[graft] def ordersEvolvedTable(spark: SparkSession,
+                                        dir: String): String =
+    cachedTable(spark, dir, "deltaev") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .drop("o_orderpriority"), t)
+      evolveSchema(t, org.apache.spark.sql.types.StructType(
+        o.schema.fields.map(f =>
+          if (f.name == "o_orderpriority") f.copy(nullable = true) else f)))
+      commitAppend(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t)
+    }
+
+  /** q160 — DELTA SCHEMA EVOLUTION READBACK: pre-evolution files
+    * surface NULL for the added column (parquet schema-on-read
+    * against the log's LATEST metaData), post-evolution appends carry
+    * real values — one scan serves both file generations. A reader
+    * stuck on the old schema drops a column (schema mismatch); one
+    * that refused old files drops half the rows — either way the
+    * oracle hash catches it. */
+  def deltaEvolvedRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersEvolvedTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaEvolvedReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+      |       ELSE NULL END AS o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** VACUUM: delete data files no longer referenced by any of the
     * last `keepVersions` snapshots (Delta's VACUUM with a
     * version-count retention horizon instead of a wall-clock one —
@@ -929,6 +963,40 @@ object DeltaLog {
     // second vacuum a no-op, not a repeat report)
     everAdded.filterNot(live.contains)
       .filter(p => Files.deleteIfExists(Paths.get(tableDir, p)))
+  }
+
+  /** SCHEMA EVOLUTION: commit a metaData-only action carrying
+    * `newSchema` — Delta's ALTER TABLE ADD COLUMNS (the format
+    * evolves schema by writing a new metaData into the log; data
+    * files are untouched). ADDITIVE ONLY, `require`d: every existing
+    * column must survive with its type, new columns must be nullable
+    * — old files lack them, and parquet schema-on-read fills NULL,
+    * which a non-nullable column could not honor. Drops/renames are
+    * column-mapping territory (protocol ≥2, declared out of scope).
+    * Returns the committed version. */
+  def evolveSchema(tableDir: String, newSchema: StructType): Long = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val st = replay(tableDir, vs.last)
+    st.schema.fields.foreach { f =>
+      val nf = newSchema.fields.find(_.name == f.name)
+      require(nf.exists(_.dataType == f.dataType),
+        s"evolution must keep column ${f.name}: ${f.dataType} " +
+          "(drops/renames/retypes need column mapping — out of scope)")
+    }
+    newSchema.fields
+      .filterNot(f => st.schema.fieldNames.contains(f.name))
+      .foreach(f => require(f.nullable,
+        s"new column ${f.name} must be nullable: files written before " +
+          "the evolution have no values for it"))
+    var v = -1L
+    var done = false
+    while (!done) {
+      v = versions(tableDir).last + 1
+      done = writeActions(tableDir, v,
+        Seq(metaDataAction(newSchema, st.partitionColumns)))
+    }
+    v
   }
 
   /** MERGE INTO the open Delta table: `whenMatchedUpdateAll` +

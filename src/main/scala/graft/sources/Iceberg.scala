@@ -839,7 +839,21 @@ object Iceberg {
     meta.put("location", tableDir)
     meta.put("last-updated-ms", 0L)
     meta.put("last-column-id", df.schema.fields.length)
-    meta.set[ObjectNode]("schema", schemaToJson(tableSchema))
+    // carry the table's schema NODES verbatim once they exist — a
+    // regenerated node would reset schema-id and drop the `schemas`
+    // history an evolution recorded
+    prevMeta match {
+      case Some(m) =>
+        meta.set[com.fasterxml.jackson.databind.JsonNode](
+          "schema", m.get("schema"))
+        if (m.has("schemas"))
+          meta.set[com.fasterxml.jackson.databind.JsonNode](
+            "schemas", m.get("schemas"))
+        if (m.has("current-schema-id"))
+          meta.put("current-schema-id", m.get("current-schema-id").asInt)
+      case None =>
+        meta.set[ObjectNode]("schema", schemaToJson(tableSchema))
+    }
     val specs = meta.putArray("partition-specs")
     val specFields = specs.addObject().put("spec-id", 0).putArray("fields")
     partCols.zipWithIndex.foreach { case (c, i) =>
@@ -1090,6 +1104,48 @@ object Iceberg {
     snapshotId
   }
 
+  /** SCHEMA EVOLUTION: publish a new metadata version whose schema
+    * adds columns — Iceberg's ALTER TABLE ADD COLUMNS (pure metadata;
+    * data files untouched, old files surface NULL for the new
+    * columns on read). ADDITIVE AND APPEND-ONLY, `require`d: existing
+    * columns keep their position+type so their field ids stay stable
+    * (bounds maps and partition source-ids resolve by id), and new
+    * columns are nullable tail columns. The old schema rides along in
+    * the `schemas` list, as the spec keeps history. Returns the new
+    * metadata version. */
+  def evolveSchema(tableDir: String, newSchema: StructType): Int = {
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    val old = schemaFromMetadata(meta)
+    old.fields.zipWithIndex.foreach { case (f, i) =>
+      require(i < newSchema.fields.length &&
+          newSchema.fields(i).name == f.name &&
+          newSchema.fields(i).dataType == f.dataType,
+        s"evolution must keep column ${f.name}: ${f.dataType} at " +
+          s"position $i — field ids are positional in this writer")
+    }
+    newSchema.fields.drop(old.fields.length).foreach(f =>
+      require(f.nullable,
+        s"new column ${f.name} must be nullable: files written before " +
+          "the evolution have no values for it"))
+    val newId =
+      (if (meta.has("current-schema-id")) meta.get("current-schema-id").asInt
+       else 0) + 1
+    val sj = schemaToJson(newSchema)
+    sj.put("schema-id", newId)
+    val next = meta.deepCopy[ObjectNode]()
+    next.set[ObjectNode]("schema", sj)
+    val schemas = next.putArray("schemas")
+    if (meta.has("schemas"))
+      meta.get("schemas").elements().asScala.foreach(schemas.add)
+    else schemas.add(meta.get("schema"))
+    schemas.add(sj)
+    next.put("current-schema-id", newId)
+    next.put("last-column-id", newSchema.fields.length)
+    publishMetadataVersion(tableDir, v + 1, next)
+    v + 1
+  }
+
   /** MAINTENANCE: fold the accumulated position deletes into
     * rewritten data files (Iceberg's `rewrite_data_files` — the
     * compaction that ends the merge-on-read debt). The merged current
@@ -1314,6 +1370,30 @@ object Iceberg {
   val icebergRewriteReadSql: String =
     """SELECT * FROM orders WHERE o_orderkey % 10 <> 0
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Session-cached SCHEMA-EVOLUTION Iceberg table — the
+    * [[DeltaLog.ordersEvolvedTable]] twin: snapshot 1 = even keys
+    * without `o_orderpriority`, a metadata-only evolution adding it,
+    * snapshot 2 = append of the odd keys with all 6 columns. */
+  private[graft] def ordersIcebergEvolvedTable(spark: SparkSession,
+                                               dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergev") { (o, t) =>
+      import org.apache.spark.sql.functions.{lit, pmod}
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .drop("o_orderpriority"), t)
+      evolveSchema(t, StructType(o.schema.fields.map(f =>
+        if (f.name == "o_orderpriority") f.copy(nullable = true) else f)))
+      commitAppend(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t)
+    }
+
+  /** q161 — ICEBERG SCHEMA EVOLUTION READBACK: one scan serves both
+    * file generations — pre-evolution files surface NULL for the
+    * added column, the post-evolution append carries real values. */
+  def icebergEvolvedRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersIcebergEvolvedTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val icebergEvolvedReadSql: String = DeltaLog.deltaEvolvedReadSql
 
   /** q151's probe range: keys are dense from 0 at every SF, so the
     * range covers the low tail of a range-clustered layout — most

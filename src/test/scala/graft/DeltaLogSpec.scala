@@ -548,6 +548,38 @@ class DeltaLogSpec extends SparkSuite {
     assert(sources.DeltaLog.readVersion(spark, dir, 0).count() == 3)
   }
 
+  test("evolveSchema: metaData-only commit, old files read as NULL, guards") {
+    val dir = Files.createTempDirectory("dlogev").toString + "/t"
+    sources.DeltaLog.commitOverwrite(Seq(Tuple1(1L)).toDF("k"), dir)
+    import org.apache.spark.sql.types._
+    val wide = StructType(Seq(
+      StructField("k", LongType),
+      StructField("s", StringType, nullable = true)))
+    val ev = sources.DeltaLog.evolveSchema(dir, wide)
+    assert(ev == 1L)
+    sources.DeltaLog.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(got == Set((1L, null), (2L, "b")))
+    // the evolution commit carries ONLY metaData (no add/remove)
+    val lines = Files.readAllLines(
+      Paths.get(f"$dir/_delta_log/${1L}%020d.json")).toArray.mkString
+    assert(lines.contains("metaData") && !lines.contains("\"add\""))
+    // time travel BEFORE the evolution keeps the narrow schema
+    assert(sources.DeltaLog.readVersion(spark, dir, 0)
+      .schema.fieldNames.toSeq == Seq("k"))
+    // guards: dropping a column / non-nullable addition refuse
+    intercept[IllegalArgumentException] {
+      sources.DeltaLog.evolveSchema(dir, StructType(Seq(
+        StructField("s", StringType))))
+    }
+    intercept[IllegalArgumentException] {
+      sources.DeltaLog.evolveSchema(dir, StructType(wide.fields :+
+        StructField("n", LongType, nullable = false)))
+    }
+  }
+
   test("q152/q154/q155 gate shape") {
     val orders = Tables.load(spark, sfDir, "orders")
     // q152: every order row appears exactly once as an insert at the

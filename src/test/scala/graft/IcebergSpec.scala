@@ -472,6 +472,40 @@ class IcebergSpec extends SparkSuite {
     assert(sources.Iceberg.read(spark, dir).count() == 3)
   }
 
+  test("evolveSchema: schemas history kept, old files NULL, ids stable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceev").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq(Tuple1(1L)).toDF("k"), dir)
+    import org.apache.spark.sql.types._
+    val wide = StructType(Seq(
+      StructField("k", LongType),
+      StructField("s", StringType, nullable = true)))
+    sources.Iceberg.evolveSchema(dir, wide)
+    sources.Iceberg.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    val got = sources.Iceberg.read(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(got == Set((1L, null), (2L, "b")))
+    // the post-evolution metadata keeps BOTH schema versions and the
+    // append did not reset them
+    val metaFiles = new java.io.File(s"$dir/metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).sortBy(_.getName)
+    val lastMeta = new String(Files.readAllBytes(
+      metaFiles.last.toPath), "UTF-8")
+    assert(lastMeta.contains("\"schemas\""))
+    assert(lastMeta.contains("\"current-schema-id\" : 1"))
+    // guards: reorder/retype and non-nullable additions refuse
+    intercept[IllegalArgumentException] {
+      sources.Iceberg.evolveSchema(dir, StructType(Seq(
+        StructField("s", StringType, nullable = true),
+        StructField("k", LongType))))
+    }
+    intercept[IllegalArgumentException] {
+      sources.Iceberg.evolveSchema(dir, StructType(wide.fields :+
+        StructField("n", LongType, nullable = false)))
+    }
+  }
+
   test("external v2 layout with equality deletes refuses loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("icedeq").toString + "/t"
