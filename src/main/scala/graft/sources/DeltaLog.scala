@@ -824,6 +824,43 @@ object DeltaLog {
     }
   }
 
+  /** Checkpointed incremental CONSUMER over the log — the streaming-
+    * source lifecycle on top of [[changesSince]]: poll the changes
+    * past the persisted offset, land each commit's rows in its own
+    * `commit=<version>` sink partition (OVERWRITE — a commit
+    * re-delivered after a crash REPLACES its own output, never
+    * appends a duplicate), then persist the new offset atomically.
+    * The crash window is exactly between sink write and offset
+    * persist — `afterSink` runs there so a spec can plant the crash;
+    * on restart the consumer re-reads from the stale offset and the
+    * idempotent sink makes the re-delivery invisible. Exactly-once
+    * end to end with O(new commits) work per poll. Returns the new
+    * offset (the latest consumed version). */
+  def consumeChanges(spark: SparkSession, tableDir: String,
+                     workDir: String,
+                     afterSink: Long => Unit = _ => ()): Long = {
+    val offsetFile = Paths.get(workDir, "offset")
+    val offset =
+      if (Files.isRegularFile(offsetFile))
+        new String(Files.readAllBytes(offsetFile), "UTF-8").trim.toLong
+      else -1L
+    val (changes, latest) = changesSince(spark, tableDir, offset)
+    if (latest > offset) {
+      versions(tableDir).filter(_ > offset).foreach { v =>
+        changes.filter(col("_commit_version") === v)
+          .write.mode("overwrite").parquet(s"$workDir/sink/commit=$v")
+      }
+      afterSink(latest)
+      Files.createDirectories(Paths.get(workDir))
+      val tmp = Files.createTempFile(Paths.get(workDir), ".offset-", ".tmp")
+      Files.write(tmp, latest.toString.getBytes("UTF-8"))
+      Files.move(tmp, offsetFile,
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    latest
+  }
+
   /** q152 — DELTA CHANGE DATA FEED: the full change history of the
     * append/compaction lifecycle table. Three appends contribute
     * their rows as inserts tagged with their commit version (keys

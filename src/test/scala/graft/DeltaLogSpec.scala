@@ -506,6 +506,35 @@ class DeltaLogSpec extends SparkSuite {
     }
   }
 
+  test("consumeChanges: exactly-once across a planted crash at the offset window") {
+    val dir = Files.createTempDirectory("dlogcc").toString + "/t"
+    val work = Files.createTempDirectory("dlogccw").toString
+    sources.DeltaLog.commitAppend(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    def sinkKeys: Seq[Long] = spark.read.parquet(s"$work/sink")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // first poll lands both commits, offset persists
+    assert(sources.DeltaLog.consumeChanges(spark, dir, work) == 1L)
+    assert(sinkKeys == Seq(1L, 2L))
+    // two more commits; CRASH after the sink write, before the offset
+    sources.DeltaLog.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    intercept[RuntimeException] {
+      sources.DeltaLog.consumeChanges(spark, dir, work,
+        _ => throw new RuntimeException("planted crash before offset"))
+    }
+    // the sink already holds commit 2's rows, but the offset is stale
+    assert(sinkKeys == Seq(1L, 2L, 3L))
+    // restart: commit 2 re-delivers and REPLACES its own partition —
+    // no duplicates, offset advances
+    assert(sources.DeltaLog.consumeChanges(spark, dir, work) == 2L)
+    assert(sinkKeys == Seq(1L, 2L, 3L))
+    // quiet poll is a no-op; a later commit flows incrementally
+    assert(sources.DeltaLog.consumeChanges(spark, dir, work) == 2L)
+    sources.DeltaLog.commitAppend(Seq((4L, "d")).toDF("k", "s"), dir)
+    assert(sources.DeltaLog.consumeChanges(spark, dir, work) == 3L)
+    assert(sinkKeys == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("compactPartitioned: one file per partition, rows and values kept") {
     val dir = Files.createTempDirectory("dlogcp").toString + "/t"
     val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
