@@ -505,7 +505,19 @@ object DeltaLog {
     * `.mode("overwrite")` Delta writes, spark/batch_gold.py:156).
     * Data files land under `part-v<version>/`; the first commit also
     * carries protocol + metaData. Returns the committed version. */
+  /** An unpartitioned commit against a PARTITIONED table would write
+    * adds with no `partitionValues` — readers would reconstruct NULL
+    * partition columns, silently wrong. Loud, here and in append. */
+  private def requireUnpartitioned(tableDir: String, op: String): Unit = {
+    val vs = versions(tableDir)
+    if (vs.nonEmpty)
+      require(replay(tableDir, vs.last).partitionColumns.isEmpty,
+        s"$op on PARTITIONED table $tableDir — use " +
+          "commitOverwritePartitioned so adds carry partitionValues")
+  }
+
   def commitOverwrite(df: DataFrame, tableDir: String): Long = {
+    requireUnpartitioned(tableDir, "commitOverwrite")
     // data dir named by UUID, not by version: two racing writers must
     // not collide at the DATA write — only the log CAS decides order
     val sub = s"part-${java.util.UUID.randomUUID}"
@@ -537,6 +549,7 @@ object DeltaLog {
     * data write. First commit on an empty table also carries
     * protocol + metaData. Returns the committed version. */
   def commitAppend(df: DataFrame, tableDir: String): Long = {
+    requireUnpartitioned(tableDir, "commitAppend")
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.write.parquet(s"$tableDir/$sub")
     val adds = partFiles(tableDir, sub)
@@ -846,7 +859,9 @@ object DeltaLog {
       else -1L
     val (changes, latest) = changesSince(spark, tableDir, offset)
     if (latest > offset) {
-      versions(tableDir).filter(_ > offset).foreach { v =>
+      // bound to `latest`: a commit landing between the changesSince
+      // read and this listing belongs to the NEXT poll
+      versions(tableDir).filter(v => v > offset && v <= latest).foreach { v =>
         changes.filter(col("_commit_version") === v)
           .write.mode("overwrite").parquet(s"$workDir/sink/commit=$v")
       }

@@ -959,7 +959,7 @@ object Iceberg {
     val toSnap = snaps.find(_.get("snapshot-id").asLong == toSnapshot).get
     val manifests = readAvro(toSnap.get("manifest-list").asText)
       .flatMap { r =>
-        Option(r.get("added_snapshot_id"))
+        fieldOpt(r, "added_snapshot_id")
           .map(_.asInstanceOf[Long])
           .filter(ids.contains)
           .map(sid => (r.get("manifest_path").toString, sid))
@@ -1001,7 +1001,10 @@ object Iceberg {
     * predicates as [[readWhere]]-style pruning instead). Rows already
     * deleted by prior delete snapshots are skipped, so re-running the
     * same predicate is a no-op (returns the current snapshot id,
-    * commits nothing). Returns the new snapshot id. */
+    * commits nothing). One sorted delete file per commit (the
+    * single-writer shape); a delete large enough to strain one file
+    * is the signal to [[rewriteDataFiles]] instead. Returns the new
+    * snapshot id. */
   def deleteWhere(spark: SparkSession, tableDir: String,
                   predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.Column

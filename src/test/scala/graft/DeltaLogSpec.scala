@@ -561,6 +561,13 @@ class DeltaLogSpec extends SparkSuite {
     val lines = Files.readAllLines(
       Paths.get(f"$dir/_delta_log/$cv%020d.json")).toArray.mkString("\n")
     assert(lines.contains("\"remove\"") && !lines.contains("\"dataChange\":true"))
+    // an unpartitioned commit on the partitioned table would write
+    // adds without partitionValues — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.commitOverwrite(
+        (1L to 3L).map(i => (i, "x")).toDF("k", "s"), dir)
+    }
+    assert(e.getMessage.contains("PARTITIONED"))
   }
 
   test("mergeInto: matched keys update, new keys insert, rest untouched") {
