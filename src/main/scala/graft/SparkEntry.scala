@@ -361,7 +361,10 @@ object SparkEntry {
     "q160_delta_schema_evolution"
       -> (sources.DeltaLog.deltaEvolvedRead _),
     "q161_iceberg_schema_evolution"
-      -> (sources.Iceberg.icebergEvolvedRead _)
+      -> (sources.Iceberg.icebergEvolvedRead _),
+    // Delta data skipping through add.stats min/max — the q151 twin
+    // in the Delta spelling of per-file stats
+    "q162_delta_stats_pruned"  -> (sources.DeltaLog.deltaStatsPrunedRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -537,6 +540,7 @@ object SparkEntry {
     "q160_delta_schema_evolution"
       -> sources.DeltaLog.deltaEvolvedReadSql,
     "q161_iceberg_schema_evolution"
-      -> sources.Iceberg.icebergEvolvedReadSql
+      -> sources.Iceberg.icebergEvolvedReadSql,
+    "q162_delta_stats_pruned"  -> sources.DeltaLog.deltaStatsPrunedReadSql
   )
 }

@@ -76,11 +76,29 @@ object DeltaLog {
       .sorted.toSeq
 
   /** One live file in a replayed state: its partition values (from
-    * the log, possibly genuinely null) and its size in bytes (0 when
+    * the log, possibly genuinely null), its size in bytes (0 when
     * a hand-written log omits it — size is advisory for this reader,
-    * but [[checkpoint]] re-emits whatever the log carried). */
+    * but [[checkpoint]] re-emits whatever the log carried), and the
+    * add's raw `stats` JSON string (Delta's per-file data-skipping
+    * stats; None when the writer recorded none — such files never
+    * prune, the superset contract). */
   private[graft] case class AddFile(
-      partitionValues: Map[String, String], size: Long)
+      partitionValues: Map[String, String], size: Long,
+      stats: Option[String] = None) {
+    /** minValues/maxValues of integer-valued stats columns — the
+      * bounds [[readWhereStats]] prunes on. Non-numeric entries are
+      * ignored (they never prune). */
+    def longBounds: Map[String, (Long, Long)] = stats.toSeq.flatMap { s =>
+      val node = mapper.readTree(s)
+      def side(name: String): Map[String, Long] =
+        if (!node.has(name)) Map.empty
+        else node.get(name).properties().asScala
+          .filter(_.getValue.canConvertToLong)
+          .map(e => e.getKey -> e.getValue.asLong).toMap
+      val (lo, hi) = (side("minValues"), side("maxValues"))
+      lo.keySet.intersect(hi.keySet).map(k => k -> (lo(k), hi(k)))
+    }.toMap
+  }
 
   /** Replayed state of the table at `version`: the latest metaData
     * and the active (added, never since removed) files. */
@@ -140,7 +158,11 @@ object DeltaLog {
               .toMap
           else Map.empty[String, String]
         val size = if (a.has("size")) a.get("size").asLong else 0L
-        adds.put(a.get("path").asText, AddFile(pv, size))
+        val stats =
+          if (a.has("stats") && !a.get("stats").isNull)
+            Some(a.get("stats").asText)
+          else None
+        adds.put(a.get("path").asText, AddFile(pv, size, stats))
       }
       if (node.has("remove"))
         adds.remove(node.get("remove").get("path").asText)
@@ -213,6 +235,32 @@ object DeltaLog {
   def readWhere(spark: SparkSession, tableDir: String)(
       keep: Map[String, String] => Boolean): DataFrame =
     readVersionWhere(spark, tableDir, versions(tableDir).last)(keep)
+
+  /** STATS-PRUNED read of the latest snapshot — Delta data skipping
+    * (the [[Iceberg.readPrunedRange]] twin, through `add.stats`):
+    * keep only files whose recorded [min, max] can intersect every
+    * `(col, lo, hi)` range, decided driver-side over the replayed
+    * adds. Superset contract: a file or column without stats never
+    * prunes, false positives cost a file read, false negatives
+    * cannot happen — callers re-apply the exact predicate.
+    * [[lastFilesScanned]] records the surviving count. */
+  def readWhereStats(spark: SparkSession, tableDir: String,
+                     ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "readWhereStats needs at least one range")
+    val st = replayMaybeCheckpointed(Some(spark), tableDir,
+      versions(tableDir).last)
+    val kept = st.adds.filter { case (_, a) =>
+      val b = a.longBounds
+      ranges.forall { case (c, lo, hi) =>
+        b.get(c) match {
+          case Some((mn, mx)) => mn <= hi && mx >= lo
+          case None => true // no stats can never prove no match
+        }
+      }
+    }
+    lastFilesScanned = kept.size
+    scanState(spark, tableDir, st.copy(adds = kept))
+  }
 
   /** [[readWhere]] pinned to `version` (pruned time travel). */
   def readVersionWhere(spark: SparkSession, tableDir: String,
@@ -303,7 +351,8 @@ object DeltaLog {
         MapType(StringType, StringType, valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType, nullable = true)))
     val ckptT = StructType(Seq(
       StructField("protocol", protocolT, nullable = true),
       StructField("metaData", metaDataT, nullable = true),
@@ -315,7 +364,7 @@ object DeltaLog {
     st.files.foreach { f =>
       val a = st.adds(f)
       rows.add(Row(null, null,
-        Row(f, a.partitionValues, a.size, 0L, true)))
+        Row(f, a.partitionValues, a.size, 0L, true, a.stats.orNull)))
     }
     // stage through a temp dir: Spark writes a directory, the spec
     // wants a single file at <v>.checkpoint.parquet
@@ -381,7 +430,11 @@ object DeltaLog {
             if (a.schema.fieldNames.contains("size") &&
               !a.isNullAt(a.fieldIndex("size"))) a.getAs[Long]("size")
             else 0L
-          r.adds.put(a.getAs[String]("path"), AddFile(pv, size))
+          val stats =
+            if (a.schema.fieldNames.contains("stats"))
+              Option(a.getAs[String]("stats"))
+            else None
+          r.adds.put(a.getAs[String]("path"), AddFile(pv, size, stats))
         }
       }
       r.schema != null
@@ -465,7 +518,8 @@ object DeltaLog {
 
   private def addAction(path: String, size: Long,
                         partitionValues: Map[String, String] = Map.empty,
-                        dataChange: Boolean = true): ObjectNode = {
+                        dataChange: Boolean = true,
+                        stats: Option[String] = None): ObjectNode = {
     val a = mapper.createObjectNode()
     val add = a.putObject("add")
     add.put("path", path)
@@ -476,7 +530,24 @@ object DeltaLog {
     add.put("size", size)
     add.put("modificationTime", 0L)
     add.put("dataChange", dataChange)
+    stats.foreach(add.put("stats", _))
     a
+  }
+
+  /** Delta's per-file data-skipping stats from ONE driver-side footer
+    * open: numRecords + min/max of top-level INT64 columns — the
+    * format spells them as a JSON STRING inside the add action
+    * (same numbers [[Iceberg]] writes as manifest value bounds). */
+  private def statsJson(absPath: String): String = {
+    val (n, bounds) = Iceberg.parquetFooter(absPath)
+    val s = mapper.createObjectNode()
+    s.put("numRecords", n)
+    val mins = s.putObject("minValues")
+    val maxs = s.putObject("maxValues")
+    bounds.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+      mins.put(c, lo); maxs.put(c, hi)
+    }
+    mapper.writeValueAsString(s)
   }
 
   private def removeAction(path: String,
@@ -523,7 +594,8 @@ object DeltaLog {
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.write.parquet(s"$tableDir/$sub")
     val adds = partFiles(tableDir, sub)
-      .map(f => addAction(s"$sub/${f.getName}", f.length))
+      .map(f => addAction(s"$sub/${f.getName}", f.length,
+        stats = Some(statsJson(f.getPath))))
     // lost CAS ⇒ another writer advanced the log; recompute the
     // version AND the removes from the new latest state and retry —
     // the loop makes progress by construction (each failure means a
@@ -553,7 +625,8 @@ object DeltaLog {
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.write.parquet(s"$tableDir/$sub")
     val adds = partFiles(tableDir, sub)
-      .map(f => addAction(s"$sub/${f.getName}", f.length))
+      .map(f => addAction(s"$sub/${f.getName}", f.length,
+        stats = Some(statsJson(f.getPath))))
     var v = -1L
     var done = false
     while (!done) {
@@ -594,7 +667,8 @@ object DeltaLog {
       val rel = Paths.get(tableDir).toAbsolutePath
         .relativize(f.toPath.toAbsolutePath).toString
       addAction(rel, f.length,
-        PartitionedScan.hivePartitionValues(rel, partCols), dataChange)
+        PartitionedScan.hivePartitionValues(rel, partCols), dataChange,
+        stats = Some(statsJson(f.getPath)))
     }
 
   def commitOverwritePartitioned(df: DataFrame, tableDir: String,
@@ -647,7 +721,7 @@ object DeltaLog {
       .write.parquet(s"$tableDir/$sub")
     val adds = partFiles(tableDir, sub).map(f =>
       addAction(s"$sub/${f.getName}", f.length, Map.empty,
-        dataChange = false))
+        dataChange = false, stats = Some(statsJson(f.getPath))))
     val removes = st.files.map(p => removeAction(p, dataChange = false))
     require(writeActions(tableDir, base + 1, removes ++ adds),
       s"concurrent writer claimed version ${base + 1} during compaction " +
@@ -986,6 +1060,33 @@ object DeltaLog {
       |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
       |       ELSE NULL END AS o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Session-cached RANGE-CLUSTERED Delta table: orders
+    * `repartitionByRange(8)` on the key before the commit, so each
+    * data file's `add.stats` bounds span a disjoint key slice — the
+    * [[Iceberg.ordersIcebergRangeTable]] twin through the Delta
+    * spelling of file stats. */
+  private[graft] def ordersRangeTable(spark: SparkSession,
+                                      dir: String): String =
+    cachedTable(spark, dir, "deltaz") { (o, t) =>
+      commitOverwrite(o.repartitionByRange(8, col("o_orderkey")), t)
+    }
+
+  /** q162 — DELTA STATS-PRUNED READ: the q151 probe range answered by
+    * [[readWhereStats]] over the log's own `add.stats` min/max —
+    * Delta data skipping end-to-end (footer stats → stats JSON →
+    * driver pruning). Oracle = the plain full-table filter;
+    * DeltaLogSpec bounds files-scanned via the seam. */
+  def deltaStatsPrunedRead(spark: SparkSession, dir: String): DataFrame =
+    readWhereStats(spark, ordersRangeTable(spark, dir),
+        Seq(("o_orderkey", Iceberg.PruneKeyLo, Iceberg.PruneKeyHi)))
+      .filter(col("o_orderkey").between(
+        Iceberg.PruneKeyLo, Iceberg.PruneKeyHi))
+      .orderBy(col("o_orderkey"))
+
+  // def, not val: DeltaLog and Iceberg alias each other's oracle
+  // texts — a val would capture null during circular object init
+  def deltaStatsPrunedReadSql: String = Iceberg.icebergPrunedReadSql
 
   /** VACUUM: delete data files no longer referenced by any of the
     * last `keepVersions` snapshots (Delta's VACUUM with a

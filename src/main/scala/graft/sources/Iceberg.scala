@@ -643,8 +643,10 @@ object Iceberg {
   /** Driver-side parquet footer read — metadata, never a scan: the
     * record count the spec requires per data file, plus min/max of
     * every top-level INT64 column (merged across row groups) for the
-    * manifest's value bounds. One footer open serves both. */
-  private def parquetFooter(path: String): (Long, Map[String, (Long, Long)]) = {
+    * manifest's value bounds. One footer open serves both. Shared
+    * with [[DeltaLog]]'s `add.stats` writer — same numbers, two
+    * format spellings. */
+  private[sources] def parquetFooter(path: String): (Long, Map[String, (Long, Long)]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.conf.Configuration())
@@ -1396,7 +1398,8 @@ object Iceberg {
     read(spark, ordersIcebergEvolvedTable(spark, dir))
       .orderBy(col("o_orderkey"))
 
-  val icebergEvolvedReadSql: String = DeltaLog.deltaEvolvedReadSql
+  // def, not val: aliases DeltaLog's text — see deltaStatsPrunedReadSql
+  def icebergEvolvedReadSql: String = DeltaLog.deltaEvolvedReadSql
 
   /** q151's probe range: keys are dense from 0 at every SF, so the
     * range covers the low tail of a range-clustered layout — most

@@ -584,6 +584,52 @@ class DeltaLogSpec extends SparkSuite {
     assert(sources.DeltaLog.readVersion(spark, dir, 0).count() == 3)
   }
 
+  test("add.stats data skipping: hand-written stats prune, statless never do") {
+    val dir = Files.createTempDirectory("dlogst").toString
+    val a = stagePart(dir, "a.parquet", Seq((1L, "x"), (5L, "y")))
+    val b = stagePart(dir, "b.parquet", Seq((100L, "z")))
+    val c = stagePart(dir, "c.parquet", Seq((7L, "w")))
+    writeLog(dir, 0, protocol, metaData(),
+      s"""{"add":{"path":"$a","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"k\\":1},\\"maxValues\\":{\\"k\\":5}}"}}""",
+      s"""{"add":{"path":"$b","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":1,\\"minValues\\":{\\"k\\":100},\\"maxValues\\":{\\"k\\":100}}"}}""",
+      // file c carries NO stats — it must never prune
+      s"""{"add":{"path":"$c","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val got = sources.DeltaLog.readWhereStats(spark, dir,
+      Seq(("k", 1L, 10L)))
+    assert(sources.DeltaLog.lastFilesScanned == 2,
+      "file b [100,100] must prune; statless c must survive")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 7L))
+
+    // engine round trip: commits record stats, pruning works, and a
+    // checkpoint-seeded replay keeps them
+    val dir2 = Files.createTempDirectory("dlogst2").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      (1L to 80L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartitionByRange(8, col("k")), dir2)
+    sources.DeltaLog.readWhereStats(spark, dir2, Seq(("k", 1L, 10L)))
+      .count()
+    val scanned = sources.DeltaLog.lastFilesScanned
+    assert(scanned < 8, s"range-clustered layout must prune, scanned $scanned")
+    sources.DeltaLog.checkpoint(spark, dir2)
+    sources.DeltaLog.commitAppend(Seq((1000L, "t")).toDF("k", "s"), dir2)
+    val post = sources.DeltaLog.readWhereStats(spark, dir2,
+      Seq(("k", 1L, 10L)))
+    assert(sources.DeltaLog.lastFilesScanned == scanned,
+      "stats must survive the checkpoint seed (new high-key file prunes)")
+    assert(post.collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L))
+  }
+
+  test("q162 gate shape: stats pruning bounded") {
+    val got = sources.DeltaLog.deltaStatsPrunedRead(spark, sfDir)
+    val n = got.count()
+    assert(sources.DeltaLog.lastFilesScanned < 8,
+      s"low-tail range must prune the range-clustered layout, " +
+        s"scanned ${sources.DeltaLog.lastFilesScanned} of 8")
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(n == orders.filter(
+      col("o_orderkey").between(100L, 999L)).count())
+  }
+
   test("evolveSchema: metaData-only commit, old files read as NULL, guards") {
     val dir = Files.createTempDirectory("dlogev").toString + "/t"
     sources.DeltaLog.commitOverwrite(Seq(Tuple1(1L)).toDF("k"), dir)
