@@ -364,7 +364,11 @@ object SparkEntry {
       -> (sources.Iceberg.icebergEvolvedRead _),
     // Delta data skipping through add.stats min/max — the q151 twin
     // in the Delta spelling of per-file stats
-    "q162_delta_stats_pruned"  -> (sources.DeltaLog.deltaStatsPrunedRead _)
+    "q162_delta_stats_pruned"  -> (sources.DeltaLog.deltaStatsPrunedRead _),
+    // cross-format migration, metadata only: register the other
+    // format's live files — partition values and stats carry across
+    "q163_delta_to_iceberg"    -> (sources.Interop.deltaToIcebergRead _),
+    "q164_iceberg_to_delta"    -> (sources.Interop.icebergToDeltaRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -541,6 +545,8 @@ object SparkEntry {
       -> sources.DeltaLog.deltaEvolvedReadSql,
     "q161_iceberg_schema_evolution"
       -> sources.Iceberg.icebergEvolvedReadSql,
-    "q162_delta_stats_pruned"  -> sources.DeltaLog.deltaStatsPrunedReadSql
+    "q162_delta_stats_pruned"  -> sources.DeltaLog.deltaStatsPrunedReadSql,
+    "q163_delta_to_iceberg"    -> sources.Interop.deltaToIcebergReadSql,
+    "q164_iceberg_to_delta"    -> sources.Interop.icebergToDeltaReadSql
   )
 }

@@ -1269,6 +1269,39 @@ object DeltaLog {
         java.util.Collections.emptyList[Row](), changeSchema))
   }
 
+  /** MIGRATION TARGET: create a new Delta table whose commit 0
+    * registers EXISTING parquet files by absolute path — pure
+    * metadata; `add.stats` are derived with one footer open per file
+    * so data skipping works from the first read. The target must be
+    * fresh. Returns the committed version (0). */
+  def registerFiles(tableDir: String, schema: StructType,
+                    partCols: Seq[String],
+                    files: Seq[(String, Map[String, String])]): Long = {
+    require(versions(tableDir).isEmpty,
+      s"registerFiles target $tableDir already has a log — " +
+        "migrations land in a fresh location")
+    require(files.nonEmpty, "nothing to register")
+    val adds = files.sortBy(_._1).map { case (p, pv) =>
+      addAction(p, new File(p).length, pv, stats = Some(statsJson(p)))
+    }
+    require(writeActions(tableDir, 0L,
+      protocolAction +: metaDataAction(schema, partCols) +: adds),
+      s"racing writer claimed version 0 of fresh target $tableDir")
+    0L
+  }
+
+  /** Current state's live files for a cross-format export: absolute
+    * path → partition values. */
+  private[sources] def currentFilesForExport(tableDir: String)
+      : (StructType, Seq[String], Seq[(String, Map[String, String])]) = {
+    val st = replay(tableDir, versions(tableDir).last)
+    def resolve(p: String) =
+      if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
+    (st.schema, st.partitionColumns,
+      st.adds.toSeq.sortBy(_._1).map { case (p, a) =>
+        (resolve(p), a.partitionValues) })
+  }
+
   /** Export every committed version of a [[Snapshots]] table as a
     * Delta-layout table — version k of the log reproduces version
     * `versions(k)` of the snapshots (each Snapshots version is a full

@@ -901,6 +901,86 @@ object Iceberg {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Current snapshot's live files for a cross-format export:
+    * (schema, partition columns, file → stringified partition
+    * tuple). Refuses a MoR state — position deletes have no
+    * target-format spelling; [[rewriteDataFiles]] first. */
+  private[sources] def currentFilesForExport(tableDir: String)
+      : (StructType, Seq[String], Seq[(String, Map[String, String])]) = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    val p = planFilesAll(tableDir, meta,
+      meta.get("current-snapshot-id").asLong)
+    require(p.deleteFiles.isEmpty,
+      "table carries position deletes — rewriteDataFiles before export")
+    (schemaFromMetadata(meta), partitionColsOf(meta),
+      p.data.map(f => (stripFileUri(f.path), f.partition)))
+  }
+
+  /** MIGRATION (Iceberg's `add_files` / in-place import): create a
+    * NEW Iceberg table whose first snapshot registers EXISTING
+    * parquet files by absolute path — pure metadata, no data copied
+    * or moved; manifest bounds and record counts come from one
+    * driver-side footer open per file. Partitioned sources pass each
+    * file's partition values (typed into the identity tuple from the
+    * schema's column types). The target must be fresh: a migration
+    * lands in a new table location. Returns the snapshot id (1). */
+  def registerFiles(tableDir: String, schema: StructType,
+                    partCols: Seq[String],
+                    files: Seq[(String, Map[String, String])]): Long = {
+    require(versions(tableDir).isEmpty,
+      s"registerFiles target $tableDir already has metadata — " +
+        "migrations land in a fresh location")
+    require(files.nonEmpty, "nothing to register")
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
+    Files.createDirectories(Paths.get(metaDir(tableDir)))
+    val snapshotId = 1L
+    val colIds = schema.fields.zipWithIndex
+      .map { case (f, i) => f.name -> (i + 1) }.toMap
+    val partFields = partCols.map(c => c -> schema(c).dataType)
+    val entrySchema = manifestEntrySchemaFor(partFields)
+    val manifestPath = s"${metaDir(tableDir)}/snap-$snapshotId-m0.avro"
+    writeAvro(manifestPath, entrySchema, files.sortBy(_._1).map {
+      case (p, pv) =>
+        manifestEntry(p, 1, colIds, entrySchema,
+          partCols.map(c => c ->
+            typedPartitionValue(pv.getOrElse(c, null), schema(c).dataType)))
+    })
+    val listPath =
+      s"${metaDir(tableDir)}/snap-$snapshotId-manifest-list.avro"
+    val lr = new GenericData.Record(manifestFileSchema)
+    lr.put("manifest_path", manifestPath)
+    lr.put("manifest_length", new File(manifestPath).length())
+    lr.put("partition_spec_id", 0)
+    lr.put("added_snapshot_id", snapshotId)
+    writeAvro(listPath, manifestFileSchema, Seq(lr))
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 1)
+    meta.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+      tableDir.getBytes("UTF-8")).toString)
+    meta.put("location", tableDir)
+    meta.put("last-updated-ms", 0L)
+    meta.put("last-column-id", schema.fields.length)
+    meta.set[ObjectNode]("schema", schemaToJson(schema))
+    val specs = meta.putArray("partition-specs")
+    val specFields = specs.addObject().put("spec-id", 0).putArray("fields")
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      specFields.addObject()
+        .put("name", c).put("transform", "identity")
+        .put("source-id", colIds(c)).put("field-id", 1000 + i)
+    }
+    meta.put("default-spec-id", 0)
+    meta.putObject("properties")
+    meta.put("current-snapshot-id", snapshotId)
+    val sn = meta.putArray("snapshots").addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("timestamp-ms", 0L)
+    sn.putObject("summary").put("operation", "append")
+    sn.put("manifest-list", listPath)
+    publishMetadataVersion(tableDir, 1, meta)
+    snapshotId
+  }
+
   /** Commit `df` as a new snapshot REPLACING the table contents
     * (overwrite: the new manifest list references only the new
     * manifest). Returns the snapshot id. */
