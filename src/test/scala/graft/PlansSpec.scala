@@ -9,6 +9,24 @@ class PlansSpec extends SparkSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("q158 MoR delete merges as one broadcast hash ANTI join, no extra exchange") {
+    val p = plan("q158_iceberg_pos_delete")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"position deletes must apply as a broadcast anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the delete side is broadcast — a sort-merge join would shuffle " +
+        "the whole data scan")
+  }
+
+  test("q145 partitioned reconstruction is one scan + one broadcast join") {
+    val p = plan("q145_delta_pruned_read")
+    assert(p.contains("BroadcastHashJoin"),
+      s"partitionValues reconstruction must broadcast the file map:\n$p")
+    // one parquet scan of the kept files — not a per-partition union
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one data scan:\n$p")
+  }
+
   test("q03 daily summary prunes the orders scan to the 3 needed columns") {
     val p = plan("q03_daily_sales_summary")
     assert(p.contains("ReadSchema: struct<o_custkey"))
