@@ -368,7 +368,14 @@ object SparkEntry {
     // cross-format migration, metadata only: register the other
     // format's live files — partition values and stats carry across
     "q163_delta_to_iceberg"    -> (sources.Interop.deltaToIcebergRead _),
-    "q164_iceberg_to_delta"    -> (sources.Interop.icebergToDeltaRead _)
+    "q164_iceberg_to_delta"    -> (sources.Interop.icebergToDeltaRead _),
+    // hidden partitioning: raw-column predicates answered by applying
+    // the spec's transform (bucket = vector-pinned murmur3; month =
+    // epoch ordinal) to the predicate and pruning manifest tuples
+    "q165_iceberg_bucket_pruned"
+      -> (sources.Iceberg.icebergBucketPrunedRead _),
+    "q166_iceberg_month_pruned"
+      -> (sources.Iceberg.icebergMonthPrunedRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -547,6 +554,10 @@ object SparkEntry {
       -> sources.Iceberg.icebergEvolvedReadSql,
     "q162_delta_stats_pruned"  -> sources.DeltaLog.deltaStatsPrunedReadSql,
     "q163_delta_to_iceberg"    -> sources.Interop.deltaToIcebergReadSql,
-    "q164_iceberg_to_delta"    -> sources.Interop.icebergToDeltaReadSql
+    "q164_iceberg_to_delta"    -> sources.Interop.icebergToDeltaReadSql,
+    "q165_iceberg_bucket_pruned"
+      -> sources.Iceberg.icebergBucketPrunedReadSql,
+    "q166_iceberg_month_pruned"
+      -> sources.Iceberg.icebergMonthPrunedReadSql
   )
 }

@@ -12,7 +12,7 @@ import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader,
   GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 /** Minimal reader/writer for the OPEN Apache Iceberg table layout —
@@ -442,13 +442,19 @@ object Iceberg {
     p.data
   }
 
-  /** Identity-partition column names of the default partition spec
-    * (empty for unpartitioned tables or metadata without specs).
-    * Non-identity transforms (bucket/truncate/day/...) fail loudly:
-    * their tuples cannot substitute for column values. Names resolve
-    * through `source-id` against the schema — never through the
-    * spec's display name. */
-  private def partitionColsOf(meta: ObjectNode): Seq[String] = {
+  /** One field of the default partition spec: the tuple field's
+    * display name, its transform string, and the SOURCE column it
+    * derives from (resolved through `source-id` against the schema —
+    * never through the display name). */
+  private[graft] case class SpecField(name: String, transform: String,
+                                      sourceCol: String)
+
+  /** The default partition spec's fields (empty for unpartitioned
+    * tables). Transforms outside this engine's set (identity, bucket,
+    * truncate, day/month/year) fail loudly — a tuple under an unknown
+    * transform cannot be pruned against, and ignoring it would turn
+    * pruned reads into silent full scans. */
+  private def partitionSpecOf(meta: ObjectNode): Seq[SpecField] = {
     if (!meta.has("partition-specs")) return Seq.empty
     val specId =
       if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt
@@ -460,14 +466,24 @@ object Iceberg {
     val byId = fieldIds(meta).map(_.swap)
     spec.get("fields").elements().asScala.map { f =>
       val tr = f.get("transform").asText
-      require(tr == "identity",
-        s"unsupported partition transform '$tr' (identity only: other " +
-          "transforms' tuples cannot substitute for column values)")
+      require(graft.functions.IcebergTransforms.supported(tr),
+        s"unsupported partition transform '$tr' (this engine speaks " +
+          "identity, bucket[n], truncate[w], day, month, year)")
       val sid = f.get("source-id").asInt
-      byId.getOrElse(sid, throw new IllegalArgumentException(
-        s"partition source-id $sid not in schema"))
+      SpecField(f.get("name").asText, tr,
+        byId.getOrElse(sid, throw new IllegalArgumentException(
+          s"partition source-id $sid not in schema")))
     }.toSeq
   }
+
+  /** IDENTITY-partition column names — the only spec fields whose
+    * tuple values can substitute for a column the data files dropped
+    * (the hive-migrated shape). Hidden-transform fields (bucket/
+    * month/...) never appear here: their source columns stay in the
+    * data files, the tuple is pruning metadata only. */
+  private def partitionColsOf(meta: ObjectNode): Seq[String] =
+    partitionSpecOf(meta)
+      .filter(_.transform == "identity").map(_.sourceCol)
 
   /** Do the snapshot's data files carry the partition columns
     * themselves (standard Iceberg: partition columns are ordinary
@@ -625,15 +641,14 @@ object Iceberg {
   def readWhere(spark: SparkSession, tableDir: String)(
       keep: Map[String, String] => Boolean): DataFrame = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
-    val partCols = partitionColsOf(meta)
-    require(partCols.nonEmpty,
+    require(partitionSpecOf(meta).nonEmpty,
       s"readWhere on unpartitioned Iceberg table $tableDir: no " +
         "partition tuple to prune on")
     val planned = planFilesAll(tableDir, meta,
       meta.get("current-snapshot-id").asLong)
     val kept = planned.data.filter(f => keep(f.partition))
-    scanPlanned(spark, schemaFromMetadata(meta), kept, partCols,
-      planned.deleteFiles)
+    scanPlanned(spark, schemaFromMetadata(meta), kept,
+      partitionColsOf(meta), planned.deleteFiles)
   }
 
   // ---------------------------------------------------------------
@@ -723,9 +738,35 @@ object Iceberg {
 
   private def commit(df: DataFrame, tableDir: String,
                      overwrite: Boolean,
-                     partCols: Seq[String] = Seq.empty): Long = {
+                     partCols: Seq[String] = Seq.empty,
+                     hiddenSpec: Seq[(String, String)] = Seq.empty): Long = {
+    import graft.functions.IcebergTransforms
+    require(partCols.isEmpty || hiddenSpec.isEmpty,
+      "a commit declares either identity partCols (hive-shape) or a " +
+        "hidden transform spec, not both")
     partCols.foreach(c => require(df.columns.contains(c),
       s"partition column $c not in commit schema"))
+    hiddenSpec.foreach { case (src, tr) =>
+      require(df.columns.contains(src),
+        s"hidden-partition source column $src not in commit schema")
+      require(tr != "identity",
+        "identity goes through partCols (hive-shape); hidden specs " +
+          "are for derived transforms")
+    }
+    // the declared tuple fields: (tuple field name, transform, source
+    // column, tuple type) — identity hive-shape fields keep the
+    // column's own name/type, hidden fields derive theirs
+    val tupleFields: Seq[(String, String, String, DataType)] =
+      partCols.map(c => (c, "identity", c, df.schema(c).dataType)) ++
+        hiddenSpec.map { case (src, tr) =>
+          val name = IcebergTransforms.tupleName(tr, src)
+          require(!df.columns.contains(name),
+            s"derived tuple name $name collides with a data column")
+          (name, tr, src,
+            IcebergTransforms.tupleType(tr, df.schema(src).dataType))
+        }
+    val declaredSpec = tupleFields.map {
+      case (name, tr, src, _) => SpecField(name, tr, src) }
     Files.createDirectories(Paths.get(metaDir(tableDir)))
     val vs = versions(tableDir)
     val v = if (vs.isEmpty) 1 else vs.last + 1
@@ -740,28 +781,40 @@ object Iceberg {
       val prevSchema = schemaFromMetadata(m)
       require(erased(prevSchema) == erased(df.schema),
         s"schema mismatch: table has $prevSchema, commit has ${df.schema}")
-      require(partitionColsOf(m) == partCols,
-        s"partition spec mismatch: table has ${partitionColsOf(m)}, " +
-          s"commit declares $partCols")
+      require(partitionSpecOf(m) == declaredSpec,
+        s"partition spec mismatch: table has ${partitionSpecOf(m)}, " +
+          s"commit declares $declaredSpec")
     }
     val tableSchema = prevMeta.map(schemaFromMetadata).getOrElse(df.schema)
     val snapshotId: Long = prevMeta.map(
       _.get("snapshots").elements().asScala
         .map(_.get("snapshot-id").asLong).maxOption.getOrElse(0L))
       .getOrElse(0L) + 1L
-    // data files: plain write, or hive-layout write whose value dirs
-    // are decoded ONCE here into typed manifest tuples (files renamed
-    // to per-file UUIDs — the PartitionedScan basename contract)
+    // data files: plain write; hive-layout write (identity partCols —
+    // partition columns stripped, tuple substitutes on read); or
+    // HIDDEN-partition write — derived tuple columns computed per row
+    // inside codegen, partitionBy strips exactly those derived
+    // columns, so the data files keep the FULL table schema and the
+    // transform values exist only in the value dirs, decoded ONCE
+    // here into typed manifest tuples (files renamed to per-file
+    // UUIDs — the PartitionedScan basename contract)
     val sub = s"data/part-${java.util.UUID.randomUUID}"
+    val tupleNames = tupleFields.map(_._1)
     val parts: Seq[(File, Seq[(String, Any)])] =
-      if (partCols.isEmpty) {
+      if (tupleFields.isEmpty) {
         df.write.parquet(s"$tableDir/$sub")
         Option(new File(tableDir, sub).listFiles())
           .getOrElse(Array.empty)
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
           .sortBy(_.getName).toSeq.map(f => (f, Seq.empty[(String, Any)]))
       } else {
-        df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
+        val staged =
+          if (hiddenSpec.isEmpty) df
+          else hiddenSpec.foldLeft(df) { case (d, (src, tr)) =>
+            d.withColumn(IcebergTransforms.tupleName(tr, src),
+              IcebergTransforms.transformCol(tr, src))
+          }
+        staged.write.partitionBy(tupleNames: _*).parquet(s"$tableDir/$sub")
         def walk(f: File): Seq[File] =
           if (f.isDirectory)
             Option(f.listFiles()).getOrElse(Array.empty)
@@ -778,9 +831,9 @@ object Iceberg {
             // prepend one dummy segment: hivePartitionValues expects
             // <stage>/<k=v dirs...>/<file>
             val pv = PartitionedScan.hivePartitionValues(
-              s"stage/$rel", partCols)
-            (f, partCols.map(c => c ->
-              typedPartitionValue(pv(c), df.schema(c).dataType)))
+              s"stage/$rel", tupleNames)
+            (f, tupleFields.map { case (name, _, _, t) =>
+              name -> typedPartitionValue(pv(name), t) })
           }
       }
     // one new manifest for the added files
@@ -789,7 +842,7 @@ object Iceberg {
     val colIds = df.schema.fields.zipWithIndex
       .map { case (f, i) => f.name -> (i + 1) }.toMap
     val entrySchema = manifestEntrySchemaFor(
-      partCols.map(c => c -> df.schema(c).dataType))
+      tupleFields.map { case (name, _, _, t) => name -> t })
     writeAvro(manifestPath, entrySchema,
       parts.map { case (f, pv) =>
         manifestEntry(f.getPath, 1, colIds, entrySchema, pv) })
@@ -858,10 +911,10 @@ object Iceberg {
     }
     val specs = meta.putArray("partition-specs")
     val specFields = specs.addObject().put("spec-id", 0).putArray("fields")
-    partCols.zipWithIndex.foreach { case (c, i) =>
+    tupleFields.zipWithIndex.foreach { case ((name, tr, src, _), i) =>
       specFields.addObject()
-        .put("name", c).put("transform", "identity")
-        .put("source-id", colIds(c)).put("field-id", 1000 + i)
+        .put("name", name).put("transform", tr)
+        .put("source-id", colIds(src)).put("field-id", 1000 + i)
     }
     meta.put("default-spec-id", 0)
     meta.putObject("properties")
@@ -1005,6 +1058,32 @@ object Iceberg {
                                  partCols: Seq[String]): Long = {
     require(partCols.nonEmpty, "partitioned commit needs partition columns")
     commit(df, tableDir, overwrite = true, partCols)
+  }
+
+  /** [[commitOverwrite]] with HIDDEN partitioning — Iceberg's defining
+    * layout feature: `spec` maps source columns to derived transforms
+    * (`bucket[n]`, `truncate[w]`, `day`/`month`/`year`), the rows are
+    * physically clustered by the DERIVED values, and the data files
+    * keep the FULL table schema — the transform value exists only in
+    * the manifest partition tuple, named by Iceberg's convention
+    * (`<col>_bucket`, `<col>_month`, ...). Readers keep filtering on
+    * the raw column; [[readWhere]] prunes by applying the same
+    * transform ([[graft.functions.IcebergTransforms]] — one shared
+    * implementation, write and prune can never disagree) to the
+    * predicate value. At 100 TB this is bucket-join/point-lookup
+    * pruning without any derived column leaking into queries. */
+  def commitOverwriteHidden(df: DataFrame, tableDir: String,
+                            spec: Seq[(String, String)]): Long = {
+    require(spec.nonEmpty, "hidden commit needs a transform spec")
+    commit(df, tableDir, overwrite = true, hiddenSpec = spec)
+  }
+
+  /** [[commitAppend]] onto a hidden-partitioned table (same declared
+    * spec required — the append inherits the table's clustering). */
+  def commitAppendHidden(df: DataFrame, tableDir: String,
+                         spec: Seq[(String, String)]): Long = {
+    require(spec.nonEmpty, "hidden commit needs a transform spec")
+    commit(df, tableDir, overwrite = false, hiddenSpec = spec)
   }
 
   /** INCREMENTAL APPEND SCAN — Iceberg's snapshot-diff read (the
@@ -1516,4 +1595,76 @@ object Iceberg {
     s"""SELECT * FROM orders
        |WHERE o_orderkey BETWEEN $PruneKeyLo AND $PruneKeyHi
        |ORDER BY o_orderkey""".stripMargin
+
+  /** q165's probe customer — any key with orders at every SF works
+    * (custkeys are dense from 0); the gate is that its bucket is
+    * computed identically at write and prune time. */
+  private[graft] val BucketProbeCustkey = 42L
+  private[graft] val BucketCount = 8
+
+  /** Session-cached HIDDEN-partitioned Iceberg table: orders clustered
+    * by `bucket[8](o_custkey)` — the derived bucket exists only in
+    * manifest tuples (`o_custkey_bucket`); the data files keep the
+    * full 6-column schema. */
+  private[graft] def ordersIcebergBucketTable(spark: SparkSession,
+                                              dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergbkt") { (o, t) =>
+      commitOverwriteHidden(o, t, Seq("o_custkey" -> s"bucket[$BucketCount]"))
+    }
+
+  /** q165 — ICEBERG HIDDEN BUCKET PRUNING: a point predicate on the
+    * RAW customer key is answered by applying the spec's bucket
+    * transform (murmur3 seed 0 over the 8-byte LE form — the
+    * published Iceberg definition, vector-pinned in IcebergSpec) to
+    * the predicate value and keeping only files whose manifest tuple
+    * carries that bucket — hidden partitioning end to end. A bucket
+    * function that disagreed between write and prune drops the
+    * customer's rows and hash-mismatches against the full-table
+    * oracle; IcebergSpec bounds files-planned to one bucket's files. */
+  def icebergBucketPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val b = graft.functions.IcebergTransforms
+      .bucketLong(BucketProbeCustkey, BucketCount)
+    readWhere(spark, ordersIcebergBucketTable(spark, dir))(
+        pv => pv.get("o_custkey_bucket").contains(b.toString))
+      .filter(col("o_custkey") === BucketProbeCustkey)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val icebergBucketPrunedReadSql: String =
+    s"""SELECT * FROM orders WHERE o_custkey = $BucketProbeCustkey
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** Session-cached HIDDEN month-partitioned Iceberg table: orders
+    * clustered by `month(o_orderdate)` — ~80 month partitions over
+    * the 1992–1998 date range, tuple field `o_orderdate_month` =
+    * months from 1970-01. */
+  private[graft] def ordersIcebergMonthTable(spark: SparkSession,
+                                             dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergmon") { (o, t) =>
+      commitOverwriteHidden(o, t, Seq("o_orderdate" -> "month"))
+    }
+
+  /** q166 — ICEBERG HIDDEN MONTH PRUNING: a raw date-range predicate
+    * (1995-03 through 1995-05) is answered by mapping the range to
+    * month ordinals and pruning manifest tuples — the time-partition
+    * pattern every 100 TB event lake rides (scan three months, not
+    * seven years). The oracle is the plain full-table range filter;
+    * IcebergSpec asserts files-planned counts only the three months. */
+  def icebergMonthPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IcebergTransforms.monthOrdinal
+    val lo = monthOrdinal(1995, 3)
+    val hi = monthOrdinal(1995, 5)
+    readWhere(spark, ordersIcebergMonthTable(spark, dir))(
+        pv => pv.get("o_orderdate_month")
+          .exists { m => val v = m.toInt; v >= lo && v <= hi })
+      .filter(col("o_orderdate") >= lit("1995-03-01") &&
+        col("o_orderdate") < lit("1995-06-01"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val icebergMonthPrunedReadSql: String =
+    """SELECT * FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1995-06-01 00:00:00'
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter,
@@ -372,11 +374,23 @@ class IcebergSpec extends SparkSuite {
       pv => pv.get("s").contains("red"))
     assert(sources.Iceberg.lastFilesPlanned == 1)
     assert(red.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
-    // a non-identity transform cannot substitute for column values
+    // a non-identity transform is HIDDEN metadata: it never
+    // substitutes for column values, so the read must come from the
+    // data files alone — whole, with the tuple available to
+    // readWhere but absent from the schema
     val v1 = new String(Files.readAllBytes(
       Paths.get(s"$dir/metadata/v1.metadata.json")), "UTF-8")
     Files.write(Paths.get(s"$dir/metadata/v2.metadata.json"),
       v1.replace("\"transform\":\"identity\"", "\"transform\":\"bucket[16]\"")
+        .getBytes("UTF-8"))
+    val hidden = sources.Iceberg.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(hidden == Set((1L, "red"), (2L, "red"), (3L, "blue")),
+      "hidden-transform tuples must not be reconstructed into columns")
+    // a transform OUTSIDE the supported set still refuses loudly —
+    // pruning against an unknown tuple would silently full-scan
+    Files.write(Paths.get(s"$dir/metadata/v3.metadata.json"),
+      v1.replace("\"transform\":\"identity\"", "\"transform\":\"zorder\"")
         .getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       sources.Iceberg.read(spark, dir).collect()
@@ -647,5 +661,125 @@ class IcebergSpec extends SparkSuite {
     val t1 = sources.Iceberg.ordersIcebergTable(spark, sfDir)
     val t2 = sources.Iceberg.ordersIcebergTable(spark, sfDir)
     assert(t1 == t2)
+  }
+
+  test("bucket transform is pinned to the Iceberg spec vectors") {
+    import graft.functions.IcebergTransforms
+    // Iceberg spec, Appendix B (32-bit hash requirements): the
+    // published murmur3_x86_32 vector for the 8-byte little-endian
+    // form of 34 — int and long must agree
+    assert(IcebergTransforms.murmur3Long(34L) == 2017239379,
+      s"murmur3(34L) = ${IcebergTransforms.murmur3Long(34L)}, spec " +
+        "says 2017239379 — bucket tables would not interop")
+    assert(IcebergTransforms.bucketLong(34L, 16) == 2017239379 % 16)
+    // negative values flow through the same LE-bytes path
+    assert(IcebergTransforms.bucketLong(-34L, 16) ==
+      (IcebergTransforms.murmur3Long(-34L) & Int.MaxValue) % 16)
+    // the Column twin (write path, codegen) agrees with the scalar
+    // (prune path) on a value sweep — the invariant hidden
+    // partitioning rests on
+    import spark.implicits._
+    val vals = (-1000L to 1000L by 7).toSeq
+    val viaCol = vals.toDF("v")
+      .select(IcebergTransforms.bucketCol(32, col("v")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaCol == vals.map(v => IcebergTransforms.bucketLong(v, 32)))
+    // truncate floors toward negative infinity, per spec
+    assert(IcebergTransforms.truncateLong(17L, 10L) == 10L)
+    assert(IcebergTransforms.truncateLong(-3L, 10L) == -10L)
+    assert(IcebergTransforms.monthOrdinal(1970, 1) == 0)
+    assert(IcebergTransforms.monthOrdinal(1995, 3) == 302)
+  }
+
+  test("hidden bucket partitioning: full schema kept, pruning bounded") {
+    val t = sources.Iceberg.ordersIcebergBucketTable(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    // the derived bucket never leaks into the table schema, and the
+    // unpruned read is whole — data files carry every source column
+    val full = sources.Iceberg.read(spark, t)
+    assert(full.schema.fieldNames.toSeq == orders.schema.fieldNames.toSeq)
+    assert(full.count() == orders.count())
+    val total = sources.Iceberg.lastFilesPlanned
+    // prune with an sf-appropriate probe key (custkeys are dense from
+    // 0 at every SF, so 42 has orders at sf0.001 too)
+    val key = 42L
+    val b = graft.functions.IcebergTransforms.bucketLong(
+      key, sources.Iceberg.BucketCount)
+    val pruned = sources.Iceberg.readWhere(spark, t)(
+        pv => pv.get("o_custkey_bucket").contains(b.toString))
+      .filter(col("o_custkey") === key)
+    assert(pruned.count() ==
+      orders.filter(col("o_custkey") === key).count())
+    assert(pruned.count() > 0, "probe key must have orders at this SF")
+    assert(sources.Iceberg.lastFilesPlanned < total,
+      s"bucket pruning planned ${sources.Iceberg.lastFilesPlanned} of " +
+        s"$total files — other buckets must be pruned away")
+  }
+
+  test("hidden month partitioning: q166 gate shape, range pruning bounded") {
+    import graft.functions.IcebergTransforms.monthOrdinal
+    val got = sources.Iceberg.icebergMonthPrunedRead(spark, sfDir)
+    val planned = sources.Iceberg.lastFilesPlanned
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() == orders.filter(
+      col("o_orderdate") >= "1995-03-01" &&
+        col("o_orderdate") < "1995-06-01").count())
+    // three months of a multi-year table: pruning must drop most files
+    sources.Iceberg.read(spark,
+      sources.Iceberg.ordersIcebergMonthTable(spark, sfDir)).count()
+    val total = sources.Iceberg.lastFilesPlanned
+    assert(planned * 4 < total,
+      s"month pruning planned $planned of $total files — a 3-month " +
+        "window of ~80 months should plan a small fraction")
+    // the tuple ordinals the prune used are the spec's month ordinals
+    assert(monthOrdinal(1995, 3) == 302 && monthOrdinal(1995, 5) == 304)
+  }
+
+  test("hidden-spec appends inherit clustering; spec mismatch is loud") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icehid").toString + "/t"
+    val df = (1L to 100L).map(k => (k, s"c$k")).toDF("k", "s")
+    sources.Iceberg.commitOverwriteHidden(df, dir,
+      Seq("k" -> "bucket[4]"))
+    sources.Iceberg.commitAppendHidden(
+      (101L to 120L).map(k => (k, s"c$k")).toDF("k", "s"), dir,
+      Seq("k" -> "bucket[4]"))
+    assert(sources.Iceberg.read(spark, dir).count() == 120)
+    // a plain append cannot silently drop the clustering contract
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.commitAppend(Seq((9L, "z")).toDF("k", "s"), dir)
+    }
+    assert(e.getMessage.contains("partition spec"))
+    // nor can an append declare a different transform
+    val e2 = intercept[IllegalArgumentException] {
+      sources.Iceberg.commitAppendHidden(
+        Seq((9L, "z")).toDF("k", "s"), dir, Seq("k" -> "bucket[8]"))
+    }
+    assert(e2.getMessage.contains("partition spec"))
+    // a point lookup after the append prunes across BOTH snapshots
+    val b = graft.functions.IcebergTransforms.bucketLong(115L, 4)
+    val hit = sources.Iceberg.readWhere(spark, dir)(
+        pv => pv.get("k_bucket").contains(b.toString))
+      .filter(col("k") === 115L)
+    assert(hit.count() == 1)
+  }
+
+  test("unknown partition transform in external metadata refuses loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icehidx").toString + "/t"
+    sources.Iceberg.commitOverwriteHidden(
+      Seq((1L, "a")).toDF("k", "s"), dir, Seq("k" -> "bucket[4]"))
+    // rewrite the metadata's transform to one we do not speak
+    val meta = Paths.get(s"$dir/metadata")
+    val f = Files.list(meta).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".metadata.json"))
+      .toSeq.maxBy(_.getFileName.toString)
+    val txt = new String(Files.readAllBytes(f), "UTF-8")
+      .replace("\"bucket[4]\"", "\"hour\"")
+    Files.write(f, txt.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.readWhere(spark, dir)(_ => true).count()
+    }
+    assert(e.getMessage.contains("transform"))
   }
 }
