@@ -375,7 +375,12 @@ object SparkEntry {
     "q165_iceberg_bucket_pruned"
       -> (sources.Iceberg.icebergBucketPrunedRead _),
     "q166_iceberg_month_pruned"
-      -> (sources.Iceberg.icebergMonthPrunedRead _)
+      -> (sources.Iceberg.icebergMonthPrunedRead _),
+    // Delta column mapping (reader protocol v2): physical col-<uuid>
+    // file columns resolved through schemaString annotations, plus a
+    // metadata-only logical rename
+    "q167_delta_column_mapping"
+      -> (sources.DeltaLog.deltaMappedRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -558,6 +563,8 @@ object SparkEntry {
     "q165_iceberg_bucket_pruned"
       -> sources.Iceberg.icebergBucketPrunedReadSql,
     "q166_iceberg_month_pruned"
-      -> sources.Iceberg.icebergMonthPrunedReadSql
+      -> sources.Iceberg.icebergMonthPrunedReadSql,
+    "q167_delta_column_mapping"
+      -> sources.DeltaLog.deltaMappedReadSql
   )
 }

@@ -101,10 +101,14 @@ object DeltaLog {
   }
 
   /** Replayed state of the table at `version`: the latest metaData
-    * and the active (added, never since removed) files. */
+    * and the active (added, never since removed) files.
+    * `columnMapping` (logical → physical, nonempty only under
+    * columnMapping mode=name) says what the data files call each
+    * schema column. */
   private[graft] case class State(
       schema: StructType, partitionColumns: Seq[String],
-      adds: Map[String, AddFile]) {
+      adds: Map[String, AddFile],
+      columnMapping: Map[String, String] = Map.empty) {
     def files: Seq[String] = adds.keys.toSeq.sorted
     def addPartitionValues: Map[String, Map[String, String]] =
       adds.map { case (p, a) => p -> a.partitionValues }
@@ -128,6 +132,8 @@ object DeltaLog {
   private class Replayer {
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
+    var minReader: Int = 1
+    var mappingMode: String = "none"
     // insertion-ordered so `files` ties break deterministically
     val adds = scala.collection.mutable.LinkedHashMap
       .empty[String, AddFile]
@@ -135,9 +141,11 @@ object DeltaLog {
       val node = mapper.readTree(line)
       if (node.has("protocol")) {
         val r = node.get("protocol").get("minReaderVersion").asInt
-        require(r == 1,
-          s"unsupported Delta minReaderVersion $r (reader supports 1: " +
-            "no deletion vectors / column mapping)")
+        require(r == 1 || r == 2,
+          s"unsupported Delta minReaderVersion $r (reader supports 1, " +
+            "and 2 when explained by columnMapping mode=name: no " +
+            "deletion vectors)")
+        minReader = r
       }
       if (node.has("metaData")) {
         val md = node.get("metaData")
@@ -145,6 +153,11 @@ object DeltaLog {
           .asInstanceOf[StructType]
         partCols = md.get("partitionColumns").elements().asScala
           .map(_.asText).toSeq
+        mappingMode =
+          if (md.has("configuration") &&
+            md.get("configuration").has("delta.columnMapping.mode"))
+            md.get("configuration").get("delta.columnMapping.mode").asText
+          else "none"
       }
       if (node.has("add")) {
         val a = node.get("add")
@@ -169,7 +182,30 @@ object DeltaLog {
     }
     def state(version: Long): State = {
       require(schema != null, s"log through $version carries no metaData")
-      State(schema, partCols, adds.toMap)
+      // a reader-v2 table must be EXPLAINED by a feature this reader
+      // speaks — accepting v2 blindly would read wrong data the
+      // moment the table also uses a feature we don't know
+      require(minReader == 1 || mappingMode == "name",
+        s"Delta minReaderVersion $minReader with columnMapping mode " +
+          s"'$mappingMode' — this reader speaks v2 only through " +
+          "mode=name (id mode needs parquet field-id resolution)")
+      val mapping: Map[String, String] =
+        if (mappingMode == "none") Map.empty
+        else {
+          require(mappingMode == "name",
+            s"unsupported columnMapping mode '$mappingMode' (name only)")
+          require(partCols.isEmpty,
+            "column mapping on a PARTITIONED table is out of scope " +
+              "(partitionValues would key by physical names)")
+          schema.fields.map { f =>
+            require(
+              f.metadata.contains("delta.columnMapping.physicalName"),
+              s"column ${f.name} lacks delta.columnMapping." +
+                "physicalName under mode=name")
+            f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+          }.toMap
+        }
+      State(schema, partCols, adds.toMap, mapping)
     }
   }
 
@@ -284,7 +320,21 @@ object DeltaLog {
     if (st.adds.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), st.schema)
-    else if (st.partitionColumns.isEmpty)
+    else if (st.columnMapping.nonEmpty) {
+      // column mapping (mode=name): the data files spell every column
+      // by its PHYSICAL name — read physically, surface logically.
+      // The rename is a projection, free under codegen; the mapping
+      // metadata is stripped from the surfaced schema (it describes
+      // the files, not the rows).
+      val physSchema = StructType(st.schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(
+          st.columnMapping(f.name), f.dataType, nullable = true)))
+      spark.read.schema(physSchema)
+        .parquet(st.files.map(resolve): _*)
+        .select(st.schema.fields.map(f =>
+          col(st.columnMapping(f.name)).as(f.name,
+            org.apache.spark.sql.types.Metadata.empty)): _*)
+    } else if (st.partitionColumns.isEmpty)
       spark.read.schema(dataSchema)
         .parquet(st.files.map(resolve): _*)
     else
@@ -344,7 +394,9 @@ object DeltaLog {
     val metaDataT = StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType))))
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration",
+        MapType(StringType, StringType), nullable = true)))
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues",
@@ -358,9 +410,15 @@ object DeltaLog {
       StructField("metaData", metaDataT, nullable = true),
       StructField("add", addT, nullable = true)))
     val rows = new java.util.ArrayList[Row]()
-    rows.add(Row(Row(1, 2), null, null))
+    // the checkpoint must preserve the table's protocol + mapping
+    // config: a seeded replay that lost mode=name would read the
+    // physical parquet names as the table's columns
+    val mapped = st.columnMapping.nonEmpty
+    rows.add(Row(if (mapped) Row(2, 5) else Row(1, 2), null, null))
     rows.add(Row(null,
-      Row("ckpt", st.schema.json, st.partitionColumns), null))
+      Row("ckpt", st.schema.json, st.partitionColumns,
+        if (mapped) Map("delta.columnMapping.mode" -> "name") else null),
+      null))
     st.files.foreach { f =>
       val a = st.adds(f)
       rows.add(Row(null, null,
@@ -413,7 +471,9 @@ object DeltaLog {
       collected.foreach { row =>
         structOpt(row, "protocol").foreach { p =>
           val mr = p.getAs[Int]("minReaderVersion")
-          require(mr == 1, s"unsupported Delta minReaderVersion $mr")
+          require(mr == 1 || mr == 2,
+            s"unsupported Delta minReaderVersion $mr")
+          r.minReader = mr
         }
         structOpt(row, "metaData").foreach { m =>
           r.schema = DataType.fromJson(m.getAs[String]("schemaString"))
@@ -421,6 +481,12 @@ object DeltaLog {
           r.partCols =
             Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
               .map(_.toSeq).getOrElse(Seq.empty)
+          r.mappingMode =
+            (if (m.schema.fieldNames.contains("configuration"))
+               Option(m.getAs[scala.collection.Map[String, String]](
+                 "configuration"))
+             else None)
+              .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
         }
         structOpt(row, "add").foreach { a =>
           val pv =
@@ -493,15 +559,16 @@ object DeltaLog {
     finally Files.deleteIfExists(tmp)
   }
 
-  private def protocolAction: ObjectNode = {
+  private def protocolAction(minReader: Int = 1,
+                             minWriter: Int = 2): ObjectNode = {
     val p = mapper.createObjectNode()
-    p.putObject("protocol").put("minReaderVersion", 1)
-      .put("minWriterVersion", 2)
+    p.putObject("protocol").put("minReaderVersion", minReader)
+      .put("minWriterVersion", minWriter)
     p
   }
 
-  private def metaDataAction(schema: StructType,
-                             partCols: Seq[String]): ObjectNode = {
+  private def metaDataAction(schema: StructType, partCols: Seq[String],
+      configuration: Map[String, String] = Map.empty): ObjectNode = {
     val m = mapper.createObjectNode()
     val md = m.putObject("metaData")
     md.put("id", java.util.UUID.nameUUIDFromBytes(
@@ -511,7 +578,9 @@ object DeltaLog {
     md.put("schemaString", schema.json)
     val pc = md.putArray("partitionColumns")
     partCols.foreach(pc.add)
-    md.putObject("configuration")
+    val cfg = md.putObject("configuration")
+    configuration.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      cfg.put(k, v) }
     md.put("createdTime", 0L)
     m
   }
@@ -581,10 +650,15 @@ object DeltaLog {
     * partition columns, silently wrong. Loud, here and in append. */
   private def requireUnpartitioned(tableDir: String, op: String): Unit = {
     val vs = versions(tableDir)
-    if (vs.nonEmpty)
-      require(replay(tableDir, vs.last).partitionColumns.isEmpty,
+    if (vs.nonEmpty) {
+      val st = replay(tableDir, vs.last)
+      require(st.partitionColumns.isEmpty,
         s"$op on PARTITIONED table $tableDir — use " +
           "commitOverwritePartitioned so adds carry partitionValues")
+      require(st.columnMapping.isEmpty,
+        s"$op on COLUMN-MAPPED table $tableDir would write " +
+          "logical-name data files that mapped readers cannot resolve")
+    }
   }
 
   def commitOverwrite(df: DataFrame, tableDir: String): Long = {
@@ -607,7 +681,7 @@ object DeltaLog {
       v = if (vs.isEmpty) 0L else vs.last + 1
       val head: Seq[ObjectNode] =
         if (vs.isEmpty)
-          Seq(protocolAction, metaDataAction(df.schema, Seq.empty))
+          Seq(protocolAction(), metaDataAction(df.schema, Seq.empty))
         else replay(tableDir, vs.last).files.map(p => removeAction(p))
       done = writeActions(tableDir, v, head ++ adds)
     }
@@ -634,7 +708,7 @@ object DeltaLog {
       v = if (vs.isEmpty) 0L else vs.last + 1
       val head: Seq[ObjectNode] =
         if (vs.isEmpty)
-          Seq(protocolAction, metaDataAction(df.schema, Seq.empty))
+          Seq(protocolAction(), metaDataAction(df.schema, Seq.empty))
         else Seq.empty
       done = writeActions(tableDir, v, head ++ adds)
     }
@@ -684,11 +758,79 @@ object DeltaLog {
       v = if (vs.isEmpty) 0L else vs.last + 1
       val head: Seq[ObjectNode] =
         if (vs.isEmpty)
-          Seq(protocolAction, metaDataAction(df.schema, partCols))
+          Seq(protocolAction(), metaDataAction(df.schema, partCols))
         else replay(tableDir, vs.last).files.map(p => removeAction(p))
       done = writeActions(tableDir, v, head ++ adds)
     }
     v
+  }
+
+  /** COLUMN MAPPING (mode=name) table creation — the Delta protocol's
+    * reader-version-2 feature: every data file spells its columns by
+    * stable PHYSICAL names (`col-<uuid>`), the logical names live only
+    * in the metaData's schemaString (each field annotated
+    * `delta.columnMapping.id` / `.physicalName`), and renaming a
+    * logical column becomes a pure metadata commit — no data rewrite,
+    * the reason the feature exists. The mode is fixed at table
+    * creation, as Delta fixes it; readers here honor it end to end
+    * (replay validates the mode explains minReaderVersion 2, the scan
+    * reads physically and surfaces logically, checkpoints preserve
+    * protocol + configuration). Returns the committed version (0). */
+  def commitOverwriteMapped(df: DataFrame, tableDir: String): Long = {
+    require(versions(tableDir).isEmpty,
+      "mapped writer creates a fresh table (the mapping mode is fixed " +
+        "at creation, as Delta fixes it)")
+    import org.apache.spark.sql.types.MetadataBuilder
+    val phys: Map[String, String] = df.schema.fieldNames.map(n =>
+      n -> s"col-${java.util.UUID.nameUUIDFromBytes(
+        n.getBytes("UTF-8"))}").toMap
+    val mappedSchema = StructType(df.schema.fields.zipWithIndex.map {
+      case (f, i) => f.copy(metadata = new MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName", phys(f.name))
+        .build())
+    })
+    val sub = s"part-${java.util.UUID.randomUUID}"
+    df.select(df.schema.fieldNames.map(n => col(n).as(phys(n))): _*)
+      .write.parquet(s"$tableDir/$sub")
+    val adds = partFiles(tableDir, sub)
+      .map(f => addAction(s"$sub/${f.getName}", f.length,
+        stats = Some(statsJson(f.getPath))))
+    require(writeActions(tableDir, 0L,
+      Seq(protocolAction(minReader = 2, minWriter = 5),
+        metaDataAction(mappedSchema, Seq.empty,
+          Map("delta.columnMapping.mode" -> "name",
+            "delta.columnMapping.maxColumnId" ->
+              df.schema.length.toString))) ++ adds),
+      s"table $tableDir already has commit 0")
+    0L
+  }
+
+  /** RENAME a logical column of a mapped table — the metadata-only
+    * commit column mapping buys: same physical files, new
+    * schemaString where `from`'s field keeps its id and physicalName
+    * but carries the new logical name. Returns the committed
+    * version. */
+  def renameColumnMapped(tableDir: String, from: String,
+                         to: String): Long = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val st = replay(tableDir, vs.last)
+    require(st.columnMapping.nonEmpty,
+      "renameColumnMapped needs a column-mapped table — without " +
+        "mapping a rename means rewriting every data file")
+    require(st.schema.fieldNames.contains(from), s"no column $from")
+    require(!st.schema.fieldNames.contains(to), s"column $to exists")
+    val renamed = StructType(st.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    require(writeActions(tableDir, vs.last + 1,
+      Seq(metaDataAction(renamed, st.partitionColumns,
+        Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" ->
+            st.schema.length.toString)))),
+      s"concurrent writer claimed version ${vs.last + 1}")
+    vs.last + 1
   }
 
   /** OPTIMIZE-style compaction: rewrite the current snapshot's rows
@@ -716,6 +858,9 @@ object DeltaLog {
     require(st.partitionColumns.isEmpty,
       "compact supports unpartitioned tables (partitioned OPTIMIZE " +
         "compacts per-partition — see Snapshots.optimizeCompact)")
+    require(st.columnMapping.isEmpty,
+      "compact on a column-mapped table would rewrite files under " +
+        "logical names — out of scope")
     val sub = s"part-${java.util.UUID.randomUUID}"
     scanState(spark, tableDir, st).repartition(targetFiles)
       .write.parquet(s"$tableDir/$sub")
@@ -1088,6 +1233,34 @@ object DeltaLog {
   // texts — a val would capture null during circular object init
   def deltaStatsPrunedReadSql: String = Iceberg.icebergPrunedReadSql
 
+  /** Session-cached COLUMN-MAPPED Delta table: orders created under
+    * columnMapping mode=name (physical `col-<uuid>` names in the data
+    * files), then `o_orderpriority` logically renamed to `priority` —
+    * a metadata-only commit touching zero data files. */
+  private[graft] def ordersMappedTable(spark: SparkSession,
+                                       dir: String): String =
+    cachedTable(spark, dir, "deltacm") { (o, t) =>
+      commitOverwriteMapped(o, t)
+      renameColumnMapped(t, "o_orderpriority", "priority")
+    }
+
+  /** q167 — DELTA COLUMN MAPPING READBACK: the table's data files
+    * carry only physical `col-<uuid>` names; the read must resolve
+    * them through the schemaString's mapping annotations AND surface
+    * the post-rename logical name — a reader that ignored the mapping
+    * surfaces uuid column names (schema mismatch), one that missed
+    * the rename commit surfaces the old name, one that re-read the
+    * files for the rename would still pass but DeltaLogSpec pins the
+    * rename commit to zero add/remove actions. */
+  def deltaMappedRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersMappedTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaMappedReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority AS priority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** VACUUM: delete data files no longer referenced by any of the
     * last `keepVersions` snapshots (Delta's VACUUM with a
     * version-count retention horizon instead of a wall-clock one —
@@ -1285,7 +1458,7 @@ object DeltaLog {
       addAction(p, new File(p).length, pv, stats = Some(statsJson(p)))
     }
     require(writeActions(tableDir, 0L,
-      protocolAction +: metaDataAction(schema, partCols) +: adds),
+      protocolAction() +: metaDataAction(schema, partCols) +: adds),
       s"racing writer claimed version 0 of fresh target $tableDir")
     0L
   }
@@ -1328,7 +1501,7 @@ object DeltaLog {
         s"$sub/${f.getName}"
       }.toSeq
       val head: Seq[ObjectNode] =
-        if (i == 0) Seq(protocolAction, metaDataAction(schema, Seq.empty))
+        if (i == 0) Seq(protocolAction(), metaDataAction(schema, Seq.empty))
         else prev.map(p => removeAction(p))
       require(writeActions(deltaDir, i.toLong,
         head ++ rels.zip(parts.map(_.length))

@@ -720,4 +720,110 @@ class DeltaLogSpec extends SparkSuite {
     val t2 = sources.DeltaLog.ordersDeltaTable(spark, sfDir)
     assert(t1 == t2)
   }
+
+  test("column mapping: physical files, logical read, metadata-only rename") {
+    val dir = Files.createTempDirectory("dlcm").toString + "/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    sources.DeltaLog.commitOverwriteMapped(df, dir)
+    // the data files must spell PHYSICAL names only
+    val raw = spark.read.parquet(
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .filterNot(_.getName == "_delta_log").head.getPath)
+    assert(raw.schema.fieldNames.forall(_.startsWith("col-")),
+      s"data files carry ${raw.schema.fieldNames.mkString(",")} — " +
+        "column mapping means physical names on disk")
+    // the logical read resolves the mapping
+    val got = sources.DeltaLog.read(spark, dir)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (2L, "b")))
+    // rename: metadata-only — the commit carries NO add/remove
+    val v = sources.DeltaLog.renameColumnMapped(dir, "s", "label")
+    val commitTxt = new String(Files.readAllBytes(
+      Paths.get(f"$dir/_delta_log/$v%020d.json")), "UTF-8")
+    assert(!commitTxt.contains("\"add\"") &&
+      !commitTxt.contains("\"remove\""),
+      "a mapped rename must not touch data files")
+    val renamed = sources.DeltaLog.read(spark, dir)
+    assert(renamed.schema.fieldNames.toSeq == Seq("k", "label"))
+    assert(renamed.filter(col("label") === "b").count() == 1)
+    // checkpoint preserves protocol + mapping config: seeded replay
+    // still resolves physical names
+    sources.DeltaLog.checkpoint(spark, dir)
+    val seeded = sources.DeltaLog.read(spark, dir)
+    assert(sources.DeltaLog.lastJsonCommitsRead == 0,
+      "read after checkpoint must seed from it")
+    assert(seeded.schema.fieldNames.toSeq == Seq("k", "label"))
+    assert(seeded.count() == 2)
+  }
+
+  test("hand-written mapped log reads; id mode and bare v2 refuse") {
+    val dir = Files.createTempDirectory("dlcmx").toString
+    // stage a data file under arbitrary external physical names
+    val tmp = Files.createTempDirectory("dlcmw").toString + "/w"
+    Seq((7L, "x")).toDF("p_1", "p_2").coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(dir, "d.parquet"))
+    val mappedSchema =
+      """{\"type\":\"struct\",\"fields\":[
+        |{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":
+        |{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"p_1\"}},
+        |{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":
+        |{\"delta.columnMapping.id\":2,\"delta.columnMapping.physicalName\":\"p_2\"}}]}"""
+        .stripMargin.replace("\n", "")
+    writeLog(dir, 0,
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},
+         |"schemaString":"$mappedSchema","partitionColumns":[],
+         |"configuration":{"delta.columnMapping.mode":"name"}}}"""
+        .stripMargin.replace("\n", ""),
+      """{"add":{"path":"d.parquet","size":1,"dataChange":true,
+        |"partitionValues":{}}}""".stripMargin.replace("\n", ""))
+    val got = sources.DeltaLog.read(spark, dir).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((7L, "x")))
+    // id mode: refuse loudly (needs parquet field-id resolution)
+    val dir2 = Files.createTempDirectory("dlcmid").toString
+    writeLog(dir2, 0,
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},
+         |"schemaString":"$mappedSchema","partitionColumns":[],
+         |"configuration":{"delta.columnMapping.mode":"id"}}}"""
+        .stripMargin.replace("\n", ""))
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.read(spark, dir2)
+    }
+    assert(e.getMessage.contains("columnMapping"))
+    // reader v2 with NO mapping mode: some unknown feature — refuse
+    val dir3 = Files.createTempDirectory("dlcmv2").toString
+    writeLog(dir3, 0,
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaData())
+    val e3 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.read(spark, dir3)
+    }
+    assert(e3.getMessage.contains("minReaderVersion 2"))
+    // reader v3: never accepted
+    val dir4 = Files.createTempDirectory("dlcmv3").toString
+    writeLog(dir4, 0,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      metaData())
+    val e4 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.read(spark, dir4)
+    }
+    assert(e4.getMessage.contains("minReaderVersion 3"))
+  }
+
+  test("q167 gate shape: mapped readback post-rename") {
+    val got = sources.DeltaLog.deltaMappedRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() == orders.count())
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "priority"))
+    // mapping metadata is stripped from the surfaced schema
+    assert(got.schema.fields.forall(
+      !_.metadata.contains("delta.columnMapping.physicalName")))
+  }
 }
