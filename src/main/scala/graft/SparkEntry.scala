@@ -380,7 +380,15 @@ object SparkEntry {
     // file columns resolved through schemaString annotations, plus a
     // metadata-only logical rename
     "q167_delta_column_mapping"
-      -> (sources.DeltaLog.deltaMappedRead _)
+      -> (sources.DeltaLog.deltaMappedRead _),
+    // timestamp-resolved time travel (monotonic-adjusted commit/
+    // snapshot timestamps) and history rewind as a new commit
+    "q168_delta_time_travel_ts"
+      -> (sources.DeltaLog.deltaAsOfRead _),
+    "q169_iceberg_time_travel_ts"
+      -> (sources.Iceberg.icebergAsOfRead _),
+    "q170_delta_restore"       -> (sources.DeltaLog.deltaRestoreRead _),
+    "q171_iceberg_rollback"    -> (sources.Iceberg.icebergRollbackRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -565,6 +573,12 @@ object SparkEntry {
     "q166_iceberg_month_pruned"
       -> sources.Iceberg.icebergMonthPrunedReadSql,
     "q167_delta_column_mapping"
-      -> sources.DeltaLog.deltaMappedReadSql
+      -> sources.DeltaLog.deltaMappedReadSql,
+    "q168_delta_time_travel_ts"
+      -> sources.DeltaLog.deltaAsOfReadSql,
+    "q169_iceberg_time_travel_ts"
+      -> sources.Iceberg.icebergAsOfReadSql,
+    "q170_delta_restore"       -> sources.DeltaLog.deltaRestoreReadSql,
+    "q171_iceberg_rollback"    -> sources.Iceberg.icebergRollbackReadSql
   )
 }

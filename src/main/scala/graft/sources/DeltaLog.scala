@@ -248,6 +248,70 @@ object DeltaLog {
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir, versions(tableDir).last)
 
+  /** Commit timestamps, ADJUSTED to be strictly monotonic — exactly
+    * Delta's own commit-timestamp rule: the raw reading is the commit
+    * file's modification time (the protocol's source of truth for
+    * `timestampAsOf`), and a commit whose mtime does not exceed its
+    * predecessor's (same-millisecond commits, clock skew) is read as
+    * predecessor + 1 ms, so the (version, timestamp) sequence is
+    * always a valid search key. Returns (version, adjustedMillis)
+    * ascending. */
+  def commitTimestamps(tableDir: String): Seq[(Long, Long)] = {
+    var prev = Long.MinValue
+    versions(tableDir).map { v =>
+      val m = commitFile(tableDir, v).lastModified()
+      val t = if (m <= prev) prev + 1 else m
+      prev = t
+      (v, t)
+    }
+  }
+
+  /** The version `timestampAsOf` resolves to: the LATEST commit whose
+    * adjusted timestamp is <= `tsMillis` (Delta's contract — you get
+    * the table as it stood at that instant). A timestamp before the
+    * first commit fails loudly, as Delta fails. */
+  def versionAsOf(tableDir: String, tsMillis: Long): Long = {
+    val cts = commitTimestamps(tableDir)
+    require(cts.nonEmpty, s"no _delta_log commits under $tableDir")
+    require(tsMillis >= cts.head._2,
+      s"timestamp $tsMillis precedes the first commit (${cts.head._2})")
+    cts.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** Timestamp time travel: [[readVersion]] at [[versionAsOf]]. */
+  def readAsOfTimestamp(spark: SparkSession, tableDir: String,
+                        tsMillis: Long): DataFrame =
+    readVersion(spark, tableDir, versionAsOf(tableDir, tsMillis))
+
+  /** RESTORE to `version` as a NEW commit (Delta's RESTORE command):
+    * files added since `version` get remove actions, files of
+    * `version` that are no longer live get re-added (with their
+    * original partitionValues + stats, carried from the replayed
+    * target state), files live in both stay untouched — history is
+    * preserved, the restore is itself a commit that time travel can
+    * step past. dataChange=true on both sides: a restore genuinely
+    * changes the table for downstream consumers. Returns the new
+    * version. */
+  def restore(tableDir: String, version: Long): Long = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val cur = replay(tableDir, vs.last)
+    val tgt = replay(tableDir, version)
+    require(cur.schema == tgt.schema && cur.columnMapping == tgt.columnMapping,
+      "RESTORE across a schema/mapping change is out of scope — " +
+        "restore the metadata evolution first")
+    val removes = cur.files.filterNot(tgt.adds.contains)
+      .map(p => removeAction(p))
+    val adds = tgt.files.filterNot(cur.adds.contains).map { p =>
+      val a = tgt.adds(p)
+      addAction(p, a.size, a.partitionValues, dataChange = true, a.stats)
+    }
+    require(writeActions(tableDir, vs.last + 1, removes ++ adds),
+      s"concurrent writer claimed version ${vs.last + 1} during restore " +
+        "— re-run against the new state")
+    vs.last + 1
+  }
+
   /** Time travel: the table exactly as of commit `version`. Schema
     * comes from the log's metaData (not parquet footers); partition
     * columns come from the log's per-file `partitionValues`. */
@@ -972,6 +1036,44 @@ object DeltaLog {
 
   val deltaTimeTravelSql: String =
     """SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"""
+
+  /** q168 — DELTA TIMESTAMP TIME TRAVEL: `timestampAsOf` the adjusted
+    * timestamp of commit 0 must resolve to version 0 (the even half)
+    * even when both commits landed in the same millisecond — the
+    * monotonic adjustment is what makes the timestamp a valid search
+    * key; a resolver using raw mtimes would nondeterministically
+    * return the overwrite and hash-mismatch. */
+  def deltaAsOfRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = ordersDeltaTable(spark, dir)
+    readAsOfTimestamp(spark, t, commitTimestamps(t).head._2)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val deltaAsOfReadSql: String = deltaTimeTravelSql
+
+  /** Session-cached RESTORE lifecycle table: even-keys commit, odd
+    * overwrite, then RESTORE to version 0 — three commits on disk,
+    * the latest re-adding the evens and removing the odds. */
+  private[graft] def ordersRestoreTable(spark: SparkSession,
+                                        dir: String): String =
+    cachedTable(spark, dir, "deltars") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t)
+      restore(t, 0L)
+    }
+
+  /** q170 — DELTA RESTORE READBACK: after RESTORE-to-v0 the latest
+    * snapshot must equal version 0 again, reached through a THIRD
+    * commit whose adds re-reference v0's files — a restore that
+    * rewrote data files, dropped the overwrite's removes, or
+    * truncated history (time travel to v1 must still see the odds,
+    * DeltaLogSpec-held) all fail. */
+  def deltaRestoreRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersRestoreTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaRestoreReadSql: String = deltaTimeTravelSql
 
   /** Session-cached PARTITIONED Delta table: orders written
     * `partitionBy(o_orderstatus)` through the log, one commit. The

@@ -520,6 +520,59 @@ object Iceberg {
     readSnapshotFrom(spark, tableDir, meta, snapshotId)
   }
 
+  /** Snapshot timestamps in COMMIT order (the metadata list's order),
+    * adjusted to be strictly monotonic — the Delta-side
+    * [[DeltaLog.commitTimestamps]] rule applied to `timestamp-ms`:
+    * an external table whose clock skewed still yields a valid
+    * search key, and the answer for our own tables (whose writer
+    * already enforces monotonicity) is the recorded value
+    * unchanged. */
+  def snapshotTimestamps(tableDir: String): Seq[(Long, Long)] = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    var prev = Long.MinValue
+    meta.get("snapshots").elements().asScala.map { s =>
+      val raw = s.get("timestamp-ms").asLong
+      val t = if (raw <= prev) prev + 1 else raw
+      prev = t
+      (s.get("snapshot-id").asLong, t)
+    }.toSeq
+  }
+
+  /** The snapshot a timestamp resolves to: the LATEST snapshot whose
+    * adjusted timestamp is <= `tsMillis` (Iceberg's `FOR TIMESTAMP AS
+    * OF`). Before the first snapshot fails loudly. */
+  def snapshotAsOf(tableDir: String, tsMillis: Long): Long = {
+    val sts = snapshotTimestamps(tableDir)
+    require(sts.nonEmpty, s"no snapshots under $tableDir")
+    require(tsMillis >= sts.head._2,
+      s"timestamp $tsMillis precedes the first snapshot (${sts.head._2})")
+    sts.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** Timestamp time travel: [[readSnapshot]] at [[snapshotAsOf]]. */
+  def readAsOfTimestamp(spark: SparkSession, tableDir: String,
+                        tsMillis: Long): DataFrame =
+    readSnapshot(spark, tableDir, snapshotAsOf(tableDir, tsMillis))
+
+  /** ROLLBACK to `snapshotId` (Iceberg's `rollback_to_snapshot`
+    * procedure): publish a new metadata version whose
+    * current-snapshot-id points at the older snapshot — PURE METADATA,
+    * no manifest or data file touched, every later snapshot still in
+    * the list and addressable (the rollback itself can be rolled
+    * back). Returns the new metadata version. */
+  def rollbackTo(tableDir: String, snapshotId: Long): Int = {
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    require(meta.get("snapshots").elements().asScala
+        .exists(_.get("snapshot-id").asLong == snapshotId),
+      s"snapshot $snapshotId not in metadata (have " +
+        s"${snapshotIds(tableDir).mkString(",")})")
+    val next = meta.deepCopy[ObjectNode]()
+    next.put("current-snapshot-id", snapshotId)
+    publishMetadataVersion(tableDir, v + 1, next)
+    v + 1
+  }
+
   private def readSnapshotFrom(spark: SparkSession, tableDir: String,
       meta: ObjectNode, snapshotId: Long): DataFrame = {
     val p = planFilesAll(tableDir, meta, snapshotId)
@@ -924,12 +977,24 @@ object Iceberg {
       .foreach(s => snaps.add(s)))
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
-    sn.put("timestamp-ms", 0L)
+    sn.put("timestamp-ms", nextSnapshotTs(prevMeta))
     sn.putObject("summary").put("operation",
       if (overwrite) "overwrite" else "append")
     sn.put("manifest-list", listPath)
     publishMetadataVersion(tableDir, v, meta)
     snapshotId
+  }
+
+  /** Wall-clock timestamp for a new snapshot, forced past every
+    * recorded one — same-millisecond commits (and clock skew) would
+    * otherwise make `timestamp-ms` useless as the time-travel search
+    * key. */
+  private def nextSnapshotTs(prevMeta: Option[ObjectNode]): Long = {
+    val prevMax = prevMeta.map(
+      _.get("snapshots").elements().asScala
+        .map(_.get("timestamp-ms").asLong).maxOption.getOrElse(0L))
+      .getOrElse(0L)
+    math.max(prevMax + 1, System.currentTimeMillis())
   }
 
   /** Publish metadata version `v`: tmp + hard-link CAS like the Delta
@@ -1027,7 +1092,7 @@ object Iceberg {
     meta.put("current-snapshot-id", snapshotId)
     val sn = meta.putArray("snapshots").addObject()
     sn.put("snapshot-id", snapshotId)
-    sn.put("timestamp-ms", 0L)
+    sn.put("timestamp-ms", System.currentTimeMillis())
     sn.putObject("summary").put("operation", "append")
     sn.put("manifest-list", listPath)
     publishMetadataVersion(tableDir, 1, meta)
@@ -1261,7 +1326,7 @@ object Iceberg {
     val sn = next.withArray[ArrayNode]("snapshots").addObject()
     sn.put("snapshot-id", snapshotId)
     sn.put("sequence-number", snapshotId)
-    sn.put("timestamp-ms", 0L)
+    sn.put("timestamp-ms", nextSnapshotTs(Some(meta)))
     sn.putObject("summary").put("operation", "delete")
     sn.put("manifest-list", listPath)
     publishMetadataVersion(tableDir, v + 1, next)
@@ -1667,4 +1732,42 @@ object Iceberg {
       |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
       |  AND o_orderdate <  TIMESTAMP '1995-06-01 00:00:00'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q169 — ICEBERG TIMESTAMP TIME TRAVEL: `FOR TIMESTAMP AS OF` the
+    * first snapshot's recorded timestamp-ms must resolve to snapshot
+    * 1 (the even half) even though snapshot 2 overwrote it — the
+    * writer's monotonic timestamps plus the resolver's
+    * latest-≤-timestamp rule are the gate; a resolver off by one
+    * snapshot returns the odd half and hash-mismatches. */
+  def icebergAsOfRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = ordersIcebergTable(spark, dir)
+    readAsOfTimestamp(spark, t, snapshotTimestamps(t).head._2)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val icebergAsOfReadSql: String = icebergTimeTravelSql
+
+  /** Session-cached ROLLBACK lifecycle table: even-keys snapshot, odd
+    * overwrite, then `rollback_to_snapshot(1)` — three metadata
+    * versions, the last re-pointing current-snapshot-id at 1. */
+  private[graft] def ordersIcebergRollbackTable(spark: SparkSession,
+                                                dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergrb") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t)
+      rollbackTo(t, 1L)
+    }
+
+  /** q171 — ICEBERG ROLLBACK READBACK: after the metadata-only
+    * rollback the current read must serve snapshot 1 again while
+    * snapshot 2 stays addressable (IcebergSpec-held) — a rollback
+    * that dropped snapshots from the list, or a reader that kept
+    * serving the highest snapshot id instead of
+    * current-snapshot-id, both fail. */
+  def icebergRollbackRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersIcebergRollbackTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val icebergRollbackReadSql: String = icebergTimeTravelSql
 }

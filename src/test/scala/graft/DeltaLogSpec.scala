@@ -815,6 +815,75 @@ class DeltaLogSpec extends SparkSuite {
     assert(e4.getMessage.contains("minReaderVersion 3"))
   }
 
+  test("timestampAsOf: monotonic adjustment, resolution, bounds") {
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("dlts").toString
+    val a = stagePart(dir, "a.parquet", Seq((1L, "a")))
+    val b = stagePart(dir, "b.parquet", Seq((2L, "b")))
+    val c = stagePart(dir, "c.parquet", Seq((3L, "c")))
+    writeLog(dir, 0, protocol, metaData(),
+      s"""{"add":{"path":"$a","size":1,"dataChange":true,"partitionValues":{}}}""")
+    writeLog(dir, 1,
+      s"""{"add":{"path":"$b","size":1,"dataChange":true,"partitionValues":{}}}""")
+    writeLog(dir, 2,
+      s"""{"add":{"path":"$c","size":1,"dataChange":true,"partitionValues":{}}}""")
+    // plant mtimes: commit 1 TIES commit 0, commit 2 REGRESSES — the
+    // shapes same-millisecond commits and clock skew produce
+    def mtime(v: Long, ms: Long) = Files.setLastModifiedTime(
+      Paths.get(f"$dir/_delta_log/$v%020d.json"), FileTime.fromMillis(ms))
+    mtime(0, 5000); mtime(1, 5000); mtime(2, 4000)
+    assert(sources.DeltaLog.commitTimestamps(dir) ==
+      Seq((0L, 5000L), (1L, 5001L), (2L, 5002L)))
+    assert(sources.DeltaLog.versionAsOf(dir, 5000) == 0)
+    assert(sources.DeltaLog.versionAsOf(dir, 5001) == 1)
+    assert(sources.DeltaLog.versionAsOf(dir, 999999) == 2)
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.versionAsOf(dir, 4999)
+    }
+    assert(e.getMessage.contains("precedes"))
+    assert(sources.DeltaLog.readAsOfTimestamp(spark, dir, 5001)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("restore: new commit re-adds old files, history intact, no data written") {
+    val dir = Files.createTempDirectory("dlrs").toString + "/t"
+    val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    sources.DeltaLog.commitOverwrite(o.filter(col("k") <= 2), dir)
+    sources.DeltaLog.commitOverwrite(o.filter(col("k") === 3), dir)
+    def parquetCount = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetCount
+    val v = sources.DeltaLog.restore(dir, 0L)
+    assert(v == 2L)
+    // a restore is metadata: zero new data files
+    assert(parquetCount == before, "restore must not write data files")
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // history preserved: the overwritten middle version still reads
+    assert(sources.DeltaLog.readVersion(spark, dir, 1L)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // and the restore itself can be rolled forward again
+    sources.DeltaLog.restore(dir, 1L)
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("q168/q170 gate shape: ts travel and restore equal version 0") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0).count()
+    assert(sources.DeltaLog.deltaAsOfRead(spark, sfDir).count() == evens)
+    assert(sources.DeltaLog.deltaRestoreRead(spark, sfDir).count() == evens)
+    // restore table: three commits, latest == v0, v1 still odd
+    val t = sources.DeltaLog.ordersRestoreTable(spark, sfDir)
+    assert(sources.DeltaLog.versions(t) == Seq(0L, 1L, 2L))
+    assert(sources.DeltaLog.readVersion(spark, t, 1L).count() ==
+      orders.count() - evens)
+  }
+
   test("q167 gate shape: mapped readback post-rename") {
     val got = sources.DeltaLog.deltaMappedRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")

@@ -764,6 +764,73 @@ class IcebergSpec extends SparkSuite {
     assert(hit.count() == 1)
   }
 
+  test("snapshot timestamps: writer monotonic, resolver adjusts external ties") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icets").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.Iceberg.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    sources.Iceberg.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    val sts = sources.Iceberg.snapshotTimestamps(dir)
+    assert(sts.map(_._1) == Seq(1L, 2L, 3L))
+    assert(sts.map(_._2) == sts.map(_._2).sorted &&
+      sts.map(_._2).distinct.size == 3,
+      s"writer timestamps must be strictly increasing: $sts")
+    // resolution: first snapshot's instant sees only snapshot 1
+    assert(sources.Iceberg.snapshotAsOf(dir, sts.head._2) == 1L)
+    assert(sources.Iceberg.readAsOfTimestamp(spark, dir, sts(1)._2)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.snapshotAsOf(dir, sts.head._2 - 1)
+    }
+    assert(e.getMessage.contains("precedes"))
+    // external metadata with TIED timestamps still resolves in commit
+    // order (the monotonic adjustment)
+    val meta = Paths.get(s"$dir/metadata")
+    val f = Files.list(meta).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".metadata.json"))
+      .toSeq.maxBy(_.getFileName.toString.stripPrefix("v")
+        .stripSuffix(".metadata.json").toInt)
+    val txt = new String(Files.readAllBytes(f), "UTF-8")
+      .replaceAll("\"timestamp-ms\" : \\d+", "\"timestamp-ms\" : 7000")
+    Files.write(f, txt.getBytes("UTF-8"))
+    assert(sources.Iceberg.snapshotTimestamps(dir).map(_._2) ==
+      Seq(7000L, 7001L, 7002L))
+    assert(sources.Iceberg.snapshotAsOf(dir, 7001) == 2L)
+  }
+
+  test("rollback: metadata-only rewind, later snapshots stay addressable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icerb").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.Iceberg.commitOverwrite(Seq((2L, "b")).toDF("k", "s"), dir)
+    val dataBefore = sources.Iceberg.snapshotIds(dir)
+    sources.Iceberg.rollbackTo(dir, 1L)
+    // current read serves the rolled-back-to snapshot
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // nothing dropped: both snapshots still listed and addressable
+    assert(sources.Iceberg.snapshotIds(dir) == dataBefore)
+    assert(sources.Iceberg.readSnapshot(spark, dir, 2L)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the rollback can itself be rolled back
+    sources.Iceberg.rollbackTo(dir, 2L)
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // unknown snapshot refuses
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.rollbackTo(dir, 99L)
+    }
+    assert(e.getMessage.contains("not in metadata"))
+  }
+
+  test("q169/q171 gate shape: ts travel and rollback equal snapshot 1") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0).count()
+    assert(sources.Iceberg.icebergAsOfRead(spark, sfDir).count() == evens)
+    assert(sources.Iceberg.icebergRollbackRead(spark, sfDir).count()
+      == evens)
+  }
+
   test("unknown partition transform in external metadata refuses loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("icehidx").toString + "/t"
