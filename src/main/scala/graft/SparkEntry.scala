@@ -388,7 +388,11 @@ object SparkEntry {
     "q169_iceberg_time_travel_ts"
       -> (sources.Iceberg.icebergAsOfRead _),
     "q170_delta_restore"       -> (sources.DeltaLog.deltaRestoreRead _),
-    "q171_iceberg_rollback"    -> (sources.Iceberg.icebergRollbackRead _)
+    "q171_iceberg_rollback"    -> (sources.Iceberg.icebergRollbackRead _),
+    // Delta deletion vectors (reader v3 table feature): stacked
+    // merge-on-read deletes as roaring bitmaps, applied by anti-join
+    "q172_delta_deletion_vectors"
+      -> (sources.DeltaLog.deltaDvRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -579,6 +583,8 @@ object SparkEntry {
     "q169_iceberg_time_travel_ts"
       -> sources.Iceberg.icebergAsOfReadSql,
     "q170_delta_restore"       -> sources.DeltaLog.deltaRestoreReadSql,
-    "q171_iceberg_rollback"    -> sources.Iceberg.icebergRollbackReadSql
+    "q171_iceberg_rollback"    -> sources.Iceberg.icebergRollbackReadSql,
+    "q172_delta_deletion_vectors"
+      -> sources.DeltaLog.deltaDvReadSql
   )
 }

@@ -10,7 +10,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType,
+  StructField, StructType}
 
 /** Minimal reader/writer for the OPEN Delta Lake transaction-log
   * format (the public protocol: a `_delta_log/` directory of
@@ -62,6 +63,10 @@ object DeltaLog {
 
   private val mapper = new ObjectMapper()
 
+  /** Reader-version-3 table features this reader implements. */
+  private val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping")
+
   private def logDir(tableDir: String) = s"$tableDir/_delta_log"
 
   private def commitFile(tableDir: String, v: Long) =
@@ -84,7 +89,8 @@ object DeltaLog {
     * prune, the superset contract). */
   private[graft] case class AddFile(
       partitionValues: Map[String, String], size: Long,
-      stats: Option[String] = None) {
+      stats: Option[String] = None,
+      dv: Option[DeletionVectors.Descriptor] = None) {
     /** minValues/maxValues of integer-valued stats columns — the
       * bounds [[readWhereStats]] prunes on. Non-numeric entries are
       * ignored (they never prune). */
@@ -114,6 +120,18 @@ object DeltaLog {
       adds.map { case (p, a) => p -> a.partitionValues }
   }
 
+  /** `add.deletionVector` JSON → descriptor (shared by replay and
+    * vacuum's registry walk). */
+  private def parseDvNode(d: JsonNode): DeletionVectors.Descriptor =
+    DeletionVectors.Descriptor(
+      d.get("storageType").asText,
+      d.get("pathOrInlineDv").asText,
+      if (d.has("offset") && !d.get("offset").isNull)
+        Some(d.get("offset").asInt)
+      else None,
+      d.get("sizeInBytes").asInt,
+      d.get("cardinality").asLong)
+
   /** Test seam: JSON commit files the last replay actually read —
     * a checkpoint-seeded replay reads only the tail. */
   @volatile private[graft] var lastJsonCommitsRead: Int = 0
@@ -134,18 +152,35 @@ object DeltaLog {
     var partCols: Seq[String] = Seq.empty
     var minReader: Int = 1
     var mappingMode: String = "none"
+    var readerFeatures: Set[String] = Set.empty
     // insertion-ordered so `files` ties break deterministically
     val adds = scala.collection.mutable.LinkedHashMap
       .empty[String, AddFile]
     def applyLine(line: String): Unit = {
       val node = mapper.readTree(line)
       if (node.has("protocol")) {
-        val r = node.get("protocol").get("minReaderVersion").asInt
-        require(r == 1 || r == 2,
-          s"unsupported Delta minReaderVersion $r (reader supports 1, " +
-            "and 2 when explained by columnMapping mode=name: no " +
-            "deletion vectors)")
+        val p = node.get("protocol")
+        val r = p.get("minReaderVersion").asInt
+        require(r >= 1 && r <= 3,
+          s"unsupported Delta minReaderVersion $r (reader supports 1; " +
+            "2 when explained by columnMapping mode=name; 3 when every " +
+            "readerFeature is one this reader speaks)")
         minReader = r
+        readerFeatures =
+          if (p.has("readerFeatures"))
+            p.get("readerFeatures").elements().asScala
+              .map(_.asText).toSet
+          else Set.empty
+        if (r == 3) {
+          require(p.has("readerFeatures"),
+            "minReaderVersion 3 without readerFeatures — the spec " +
+              "requires the feature list at reader 3; refusing a " +
+              "malformed protocol")
+          val unknown = readerFeatures -- SupportedReaderFeatures
+          require(unknown.isEmpty,
+            s"unsupported Delta readerFeatures ${unknown.mkString(",")} " +
+              s"(this reader speaks ${SupportedReaderFeatures.mkString(",")})")
+        }
       }
       if (node.has("metaData")) {
         val md = node.get("metaData")
@@ -175,7 +210,11 @@ object DeltaLog {
           if (a.has("stats") && !a.get("stats").isNull)
             Some(a.get("stats").asText)
           else None
-        adds.put(a.get("path").asText, AddFile(pv, size, stats))
+        val dv =
+          if (a.has("deletionVector") && !a.get("deletionVector").isNull)
+            Some(parseDvNode(a.get("deletionVector")))
+          else None
+        adds.put(a.get("path").asText, AddFile(pv, size, stats, dv))
       }
       if (node.has("remove"))
         adds.remove(node.get("remove").get("path").asText)
@@ -184,11 +223,17 @@ object DeltaLog {
       require(schema != null, s"log through $version carries no metaData")
       // a reader-v2 table must be EXPLAINED by a feature this reader
       // speaks — accepting v2 blindly would read wrong data the
-      // moment the table also uses a feature we don't know
-      require(minReader == 1 || mappingMode == "name",
+      // moment the table also uses a feature we don't know; v3 tables
+      // were already validated at the protocol line (every
+      // readerFeature ∈ SupportedReaderFeatures)
+      require(minReader != 2 || mappingMode == "name",
         s"Delta minReaderVersion $minReader with columnMapping mode " +
           s"'$mappingMode' — this reader speaks v2 only through " +
           "mode=name (id mode needs parquet field-id resolution)")
+      require(minReader == 3 || adds.values.forall(_.dv.isEmpty),
+        "deletion vectors present under minReaderVersion " +
+          s"$minReader — a spec table needs reader 3 + the " +
+          "deletionVectors feature; refusing an inconsistent log")
       val mapping: Map[String, String] =
         if (mappingMode == "none") Map.empty
         else {
@@ -300,12 +345,20 @@ object DeltaLog {
     require(cur.schema == tgt.schema && cur.columnMapping == tgt.columnMapping,
       "RESTORE across a schema/mapping change is out of scope — " +
         "restore the metadata evolution first")
-    val removes = cur.files.filterNot(tgt.adds.contains)
+    // act on every path whose ADD ENTRY differs — not just presence:
+    // a deletion-vector delete is remove+add of the SAME path, so a
+    // presence-only diff would restore the files but keep the newer
+    // DV and lose rows silently
+    val removes = cur.files
+      .filter(p => !tgt.adds.get(p).contains(cur.adds(p)))
       .map(p => removeAction(p))
-    val adds = tgt.files.filterNot(cur.adds.contains).map { p =>
-      val a = tgt.adds(p)
-      addAction(p, a.size, a.partitionValues, dataChange = true, a.stats)
-    }
+    val adds = tgt.files
+      .filter(p => !cur.adds.get(p).contains(tgt.adds(p)))
+      .map { p =>
+        val a = tgt.adds(p)
+        addAction(p, a.size, a.partitionValues, dataChange = true,
+          a.stats, a.dv)
+      }
     require(writeActions(tableDir, vs.last + 1, removes ++ adds),
       s"concurrent writer claimed version ${vs.last + 1} during restore " +
         "— re-run against the new state")
@@ -381,6 +434,41 @@ object DeltaLog {
       st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
     def resolve(p: String) =
       if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
+    // deletion vectors: merge-on-read — decode each live file's DV
+    // driver-side (O(DV bytes), the same metadata class as the log
+    // replay) and anti-join the scan on (file_name, row_index), the
+    // exact shape of the Iceberg position-delete path. Scope: plain
+    // unpartitioned, unmapped tables (Delta composes DVs with both;
+    // this reader refuses the combination rather than guessing).
+    val dvAdds = st.adds.filter(_._2.dv.isDefined)
+    val mor: DataFrame => DataFrame =
+      if (dvAdds.isEmpty) identity
+      else {
+        require(st.partitionColumns.isEmpty && st.columnMapping.isEmpty,
+          "deletion vectors on a partitioned or column-mapped table " +
+            "are out of scope for this reader")
+        val basenames = st.files.map(p => p.substring(p.lastIndexOf('/') + 1))
+        require(basenames.distinct.size == basenames.size,
+          "duplicate data-file basenames — cannot key deletion vectors")
+        val pairs = dvAdds.toSeq.sortBy(_._1).flatMap { case (p, a) =>
+          val base = p.substring(p.lastIndexOf('/') + 1)
+          DeletionVectors.readPositions(tableDir, a.dv.get)
+            .map(pos => Row(base, pos))
+        }
+        data => {
+          import org.apache.spark.sql.functions.broadcast
+          val delDf = spark.createDataFrame(
+            new java.util.ArrayList[Row](pairs.asJava),
+            StructType(Seq(StructField("_dv_file", StringType),
+              StructField("_dv_pos", LongType))))
+          data.withColumn("_dv_f", col("_metadata.file_name"))
+            .withColumn("_dv_p", col("_metadata.row_index"))
+            .join(broadcast(delDf),
+              col("_dv_f") === col("_dv_file") &&
+                col("_dv_p") === col("_dv_pos"), "left_anti")
+            .drop("_dv_f", "_dv_p")
+        }
+      }
     if (st.adds.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), st.schema)
@@ -399,8 +487,8 @@ object DeltaLog {
           col(st.columnMapping(f.name)).as(f.name,
             org.apache.spark.sql.types.Metadata.empty)): _*)
     } else if (st.partitionColumns.isEmpty)
-      spark.read.schema(dataSchema)
-        .parquet(st.files.map(resolve): _*)
+      mor(spark.read.schema(dataSchema)
+        .parquet(st.files.map(resolve): _*))
     else
       // partition columns restored from the LOG's partitionValues —
       // the shared open-format scan (one scan + one broadcast join;
@@ -454,13 +542,21 @@ object DeltaLog {
     val st = replay(tableDir, v)
     val protocolT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType),
+        nullable = true)))
     val metaDataT = StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration",
         MapType(StringType, StringType), nullable = true)))
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType, nullable = true),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues",
@@ -468,25 +564,35 @@ object DeltaLog {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType, nullable = true)))
+      StructField("stats", StringType, nullable = true),
+      StructField("deletionVector", dvT, nullable = true)))
     val ckptT = StructType(Seq(
       StructField("protocol", protocolT, nullable = true),
       StructField("metaData", metaDataT, nullable = true),
       StructField("add", addT, nullable = true)))
     val rows = new java.util.ArrayList[Row]()
-    // the checkpoint must preserve the table's protocol + mapping
+    // the checkpoint must preserve the table's protocol + feature
     // config: a seeded replay that lost mode=name would read the
-    // physical parquet names as the table's columns
+    // physical parquet names as the table's columns; one that lost a
+    // deletionVector descriptor would resurrect deleted rows
     val mapped = st.columnMapping.nonEmpty
-    rows.add(Row(if (mapped) Row(2, 5) else Row(1, 2), null, null))
+    val hasDv = st.adds.values.exists(_.dv.isDefined)
+    val protoRow =
+      if (hasDv) Row(3, 7, Seq("deletionVectors"))
+      else if (mapped) Row(2, 5, null)
+      else Row(1, 2, null)
+    rows.add(Row(protoRow, null, null))
     rows.add(Row(null,
       Row("ckpt", st.schema.json, st.partitionColumns,
         if (mapped) Map("delta.columnMapping.mode" -> "name") else null),
       null))
     st.files.foreach { f =>
       val a = st.adds(f)
+      val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
       rows.add(Row(null, null,
-        Row(f, a.partitionValues, a.size, 0L, true, a.stats.orNull)))
+        Row(f, a.partitionValues, a.size, 0L, true, a.stats.orNull,
+          dvRow)))
     }
     // stage through a temp dir: Spark writes a directory, the spec
     // wants a single file at <v>.checkpoint.parquet
@@ -535,9 +641,19 @@ object DeltaLog {
       collected.foreach { row =>
         structOpt(row, "protocol").foreach { p =>
           val mr = p.getAs[Int]("minReaderVersion")
-          require(mr == 1 || mr == 2,
+          require(mr >= 1 && mr <= 3,
             s"unsupported Delta minReaderVersion $mr")
           r.minReader = mr
+          r.readerFeatures =
+            (if (p.schema.fieldNames.contains("readerFeatures"))
+               Option(p.getAs[scala.collection.Seq[String]](
+                 "readerFeatures"))
+             else None).map(_.toSet).getOrElse(Set.empty)
+          if (mr == 3) {
+            val unknown = r.readerFeatures -- SupportedReaderFeatures
+            require(unknown.isEmpty,
+              s"unsupported Delta readerFeatures ${unknown.mkString(",")}")
+          }
         }
         structOpt(row, "metaData").foreach { m =>
           r.schema = DataType.fromJson(m.getAs[String]("schemaString"))
@@ -564,7 +680,20 @@ object DeltaLog {
             if (a.schema.fieldNames.contains("stats"))
               Option(a.getAs[String]("stats"))
             else None
-          r.adds.put(a.getAs[String]("path"), AddFile(pv, size, stats))
+          val dv =
+            (if (a.schema.fieldNames.contains("deletionVector"))
+               Option(a.getAs[Row]("deletionVector"))
+             else None).map { d =>
+              DeletionVectors.Descriptor(
+                d.getAs[String]("storageType"),
+                d.getAs[String]("pathOrInlineDv"),
+                Option(d.getAs[Any]("offset"))
+                  .map(_.asInstanceOf[Int]),
+                d.getAs[Int]("sizeInBytes"),
+                d.getAs[Long]("cardinality"))
+            }
+          r.adds.put(a.getAs[String]("path"),
+            AddFile(pv, size, stats, dv))
         }
       }
       r.schema != null
@@ -652,7 +781,9 @@ object DeltaLog {
   private def addAction(path: String, size: Long,
                         partitionValues: Map[String, String] = Map.empty,
                         dataChange: Boolean = true,
-                        stats: Option[String] = None): ObjectNode = {
+                        stats: Option[String] = None,
+                        dv: Option[DeletionVectors.Descriptor] = None)
+      : ObjectNode = {
     val a = mapper.createObjectNode()
     val add = a.putObject("add")
     add.put("path", path)
@@ -664,7 +795,26 @@ object DeltaLog {
     add.put("modificationTime", 0L)
     add.put("dataChange", dataChange)
     stats.foreach(add.put("stats", _))
+    dv.foreach { d =>
+      val dn = add.putObject("deletionVector")
+      dn.put("storageType", d.storageType)
+      dn.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o => dn.put("offset", o))
+      dn.put("sizeInBytes", d.sizeInBytes)
+      dn.put("cardinality", d.cardinality)
+    }
     a
+  }
+
+  /** Protocol upgrade to reader 3 / writer 7 with explicit table
+    * features — the spec's spelling for deletion-vector tables. */
+  private def protocolActionV3(features: Seq[String]): ObjectNode = {
+    val p = mapper.createObjectNode()
+    val pr = p.putObject("protocol")
+    pr.put("minReaderVersion", 3).put("minWriterVersion", 7)
+    val rf = pr.putArray("readerFeatures"); features.foreach(rf.add)
+    val wf = pr.putArray("writerFeatures"); features.foreach(wf.add)
+    p
   }
 
   /** Delta's per-file data-skipping stats from ONE driver-side footer
@@ -897,6 +1047,79 @@ object DeltaLog {
     vs.last + 1
   }
 
+  /** MERGE-ON-READ DELETE through DELETION VECTORS (protocol reader 3
+    * / writer 7, feature `deletionVectors`): rows matching `predicate`
+    * are recorded as row indexes in a per-file roaring bitmap — the
+    * data files are NOT rewritten; each affected file gets
+    * remove+add of the SAME path where the new add carries the DV
+    * descriptor. Stacked deletes union into a replacement DV (the
+    * spec's contract: an add's DV covers ALL of that file's deleted
+    * rows). At 100 TB this is the difference between a DELETE costing
+    * kilobytes of bitmap and rewriting every touched gigabyte.
+    *
+    * Driver memory is O(newly deleted row indexes) — the same class
+    * as Delta's own writer, which materializes each file's bitmap
+    * before flushing. Scope: plain (unpartitioned, unmapped) tables.
+    * Returns the committed version (unchanged if nothing matched). */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val st = replay(tableDir, vs.last)
+    require(st.partitionColumns.isEmpty && st.columnMapping.isEmpty,
+      "deleteWhere supports plain tables (partitioned/mapped DV " +
+        "composition out of scope)")
+    def resolve(p: String) =
+      if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val byBase = st.files.map(p => base(p) -> p).toMap
+    require(byBase.size == st.files.size,
+      "duplicate data-file basenames — cannot key deletion vectors")
+    val existing: Map[String, Seq[Long]] = st.adds.collect {
+      case (p, a) if a.dv.isDefined =>
+        p -> DeletionVectors.readPositions(tableDir, a.dv.get)
+    }.toMap
+    val raw = spark.read.schema(st.schema)
+      .parquet(st.files.map(resolve): _*)
+      .withColumn("_dw_f", col("_metadata.file_name"))
+      .withColumn("_dw_p", col("_metadata.row_index"))
+    val live =
+      if (existing.isEmpty) raw
+      else {
+        import org.apache.spark.sql.functions.broadcast
+        val pairs = existing.toSeq.sortBy(_._1).flatMap { case (p, ps) =>
+          ps.map(pos => Row(base(p), pos)) }
+        val delDf = spark.createDataFrame(
+          new java.util.ArrayList[Row](pairs.asJava),
+          StructType(Seq(StructField("_dv_file", StringType),
+            StructField("_dv_pos", LongType))))
+        raw.join(broadcast(delDf),
+          col("_dw_f") === col("_dv_file") &&
+            col("_dw_p") === col("_dv_pos"), "left_anti")
+      }
+    val matched: Seq[(String, Long)] = live.filter(predicate)
+      .select(col("_dw_f"), col("_dw_p")).collect()
+      .map(r => (byBase(r.getString(0)), r.getLong(1))).toSeq
+    if (matched.isEmpty) return vs.last
+    val newDvs: Seq[(String, Seq[Long])] = matched.groupBy(_._1)
+      .toSeq.sortBy(_._1).map { case (p, ps) =>
+        p -> (existing.getOrElse(p, Seq.empty) ++ ps.map(_._2))
+          .distinct.sorted
+      }
+    val descs = DeletionVectors.writeDvFile(tableDir, newDvs)
+    val actions = protocolActionV3(Seq("deletionVectors")) +:
+      newDvs.flatMap { case (p, _) =>
+        val a = st.adds(p)
+        Seq(removeAction(p),
+          addAction(p, a.size, a.partitionValues, dataChange = true,
+            a.stats, Some(descs(p))))
+      }
+    require(writeActions(tableDir, vs.last + 1, actions),
+      s"concurrent writer claimed version ${vs.last + 1} during delete " +
+        "— re-run against the new state")
+    vs.last + 1
+  }
+
   /** OPTIMIZE-style compaction: rewrite the current snapshot's rows
     * into `targetFiles` files and commit proper `remove`(old) +
     * `add`(new) actions with dataChange=false — Delta's OPTIMIZE
@@ -1074,6 +1297,38 @@ object DeltaLog {
       .orderBy(col("o_orderkey"))
 
   val deltaRestoreReadSql: String = deltaTimeTravelSql
+
+  /** Session-cached DELETION-VECTOR table: one overwrite of orders,
+    * then two stacked [[deleteWhere]] passes (every tenth key, every
+    * seventh key) — the data files are untouched; the deletions exist
+    * only as roaring bitmaps in `deletion_vector_*.bin`, and the
+    * second delete's DVs must UNION the first's. */
+  private[graft] def ordersDvTable(spark: SparkSession,
+                                   dir: String): String =
+    cachedTable(spark, dir, "deltadv") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o, t)
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(10)) === 0)
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(7)) === 0)
+    }
+
+  /** q172 — DELTA DELETION VECTORS (merge-on-read readback): the
+    * stacked deletes must both apply through the bitmap anti-join —
+    * a reader that ignored DVs returns the deleted tenths, one whose
+    * second delete REPLACED instead of UNIONED the first's bitmap
+    * resurrects the tenths, one that misdecoded the roaring framing
+    * deletes wrong rows — every failure hash-mismatches the plain
+    * two-predicate oracle. DeltaLogSpec separately pins the wire
+    * format (Z85 vector, portable magic, CRC) and that data files
+    * are byte-untouched. */
+  def deltaDvRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersDvTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaDvReadSql: String =
+    """SELECT * FROM orders
+      |WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Session-cached PARTITIONED Delta table: orders written
     * `partitionBy(o_orderstatus)` through the log, one commit. The
@@ -1377,19 +1632,35 @@ object DeltaLog {
     val vs = versions(tableDir)
     if (vs.isEmpty) return Seq.empty
     val keep = vs.takeRight(keepVersions)
-    val live: Set[String] = keep.flatMap(v => replay(tableDir, v).files).toSet
+    val keptStates = keep.map(v => replay(tableDir, v))
+    val live: Set[String] = keptStates.flatMap(_.files).toSet
+    // deletion-vector files referenced by any RETAINED version stay;
+    // DVs only reachable through expired versions are reclaimed with
+    // the data files (losing a live DV would resurrect deleted rows)
+    val liveDv: Set[String] = keptStates
+      .flatMap(_.adds.values.flatMap(_.dv))
+      .flatMap(DeletionVectors.relativePath(tableDir, _)).toSet
     // every file any version EVER added (relative paths only — the
     // log is the complete registry, no directory walk needed)
-    val everAdded: Seq[String] = vs.flatMap { v =>
+    val everActions = vs.flatMap { v =>
       Files.readAllLines(commitFile(tableDir, v).toPath).asScala
         .filter(_.nonEmpty)
         .map(mapper.readTree)
         .filter(_.has("add"))
-        .map(_.get("add").get("path").asText)
-    }.distinct.filterNot(p => p.startsWith("/") || p.contains("://"))
+        .map(_.get("add"))
+    }
+    val everAdded: Seq[String] = everActions
+      .map(_.get("path").asText).distinct
+      .filterNot(p => p.startsWith("/") || p.contains("://"))
+    val everDv: Seq[String] = everActions
+      .filter(a => a.has("deletionVector") &&
+        !a.get("deletionVector").isNull)
+      .map(a => parseDvNode(a.get("deletionVector")))
+      .flatMap(DeletionVectors.relativePath(tableDir, _)).distinct
     // return only what THIS call removed (already-gone files make a
     // second vacuum a no-op, not a repeat report)
-    everAdded.filterNot(live.contains)
+    (everAdded.filterNot(live.contains) ++
+      everDv.filterNot(liveDv.contains))
       .filter(p => Files.deleteIfExists(Paths.get(tableDir, p)))
   }
 
@@ -1504,6 +1775,10 @@ object DeltaLog {
           def dataChange(action: JsonNode): Boolean =
             !action.has("dataChange") || action.get("dataChange").asBoolean
           if (inRange && node.has("add") && dataChange(node.get("add"))) {
+            require(!node.get("add").has("deletionVector"),
+              s"commit $v adds a file with a deletion vector — CDF " +
+                "over DV commits is out of scope (a DV add updates " +
+                "prior rows; emitting it as an insert would be wrong)")
             // partitionValues parse rides the replayer's own path —
             // apply first, then read the parsed AddFile back
             r.applyLine(line)

@@ -884,6 +884,151 @@ class DeltaLogSpec extends SparkSuite {
       orders.count() - evens)
   }
 
+  test("deletion vectors: wire format pinned (Z85 vector, magic, CRC)") {
+    import sources.DeletionVectors
+    // the Z85 reference vector (ZeroMQ RFC 32): "HelloWorld" encodes
+    // 86 4F D2 6F B5 59 F7 5B
+    val hello = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b)
+      .map(_.toByte)
+    assert(DeletionVectors.z85Encode(hello) == "HelloWorld")
+    assert(DeletionVectors.z85Decode("HelloWorld").toSeq == hello.toSeq)
+    // bitmap round-trip incl. a >32-bit row index (bucket split)
+    val ps = Seq(0L, 1L, 63L, 4096L, (1L << 32) + 7L)
+    val data = DeletionVectors.serializeBitmap(ps)
+    // portable magic, little-endian, then 2 buckets
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt == 1681511377, "portable RoaringBitmapArray magic")
+    assert(bb.getLong == 2L, "row indexes above 2^32 need a second bucket")
+    assert(DeletionVectors.deserializeBitmap(data) == ps)
+    // file framing: version byte, BE size, data, BE CRC-32
+    val dir = Files.createTempDirectory("dvfmt").toString
+    val descs = DeletionVectors.writeDvFile(dir, Seq("f1" -> Seq(2L, 5L)))
+    val d = descs("f1")
+    assert(d.storageType == "u" && d.cardinality == 2L)
+    val path = d.resolvePath(dir)
+    val all = Files.readAllBytes(Paths.get(path))
+    assert(all(0) == 1, "DV file format version byte")
+    assert(DeletionVectors.readPositions(dir, d) == Seq(2L, 5L))
+    // corruption fails loudly, never resurrects rows
+    all(12) = (all(12) ^ 0xff).toByte
+    Files.write(Paths.get(path), all)
+    intercept[IllegalArgumentException] {
+      DeletionVectors.readPositions(dir, d)
+    }
+  }
+
+  test("deletion vectors: MoR read, stacking union, files untouched") {
+    val dir = Files.createTempDirectory("dldv").toString + "/t"
+    val df = (1L to 100L).map(k => (k, s"s$k")).toDF("k", "s")
+    sources.DeltaLog.commitOverwrite(df.repartition(4), dir)
+    def dataFileBytes = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val before = dataFileBytes
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 10 === 0)
+    assert(sources.DeltaLog.read(spark, dir).count() == 90)
+    // stacked delete: union with the first
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 7 === 0)
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 100L).filter(k => k % 10 != 0 && k % 7 != 0))
+    // the parquet files were never rewritten — that IS the feature
+    assert(dataFileBytes == before,
+      "deleteWhere must not touch data files")
+    // time travel: pre-delete and first-delete states both addressable
+    assert(sources.DeltaLog.readVersion(spark, dir, 0L).count() == 100)
+    assert(sources.DeltaLog.readVersion(spark, dir, 1L).count() == 90)
+    // a no-match delete commits nothing
+    val vBefore = sources.DeltaLog.versions(dir).last
+    assert(sources.DeltaLog.deleteWhere(spark, dir, col("k") > 999)
+      == vBefore)
+    // checkpoint carries protocol v3 + descriptors: seeded replay
+    // still applies the bitmaps
+    sources.DeltaLog.checkpoint(spark, dir)
+    val seeded = sources.DeltaLog.read(spark, dir)
+    assert(sources.DeltaLog.lastJsonCommitsRead == 0)
+    assert(seeded.count() == got.size)
+    // restore to the first-delete state: DV-aware (path presence
+    // alone would keep the newer bitmap and lose the sevenths)
+    sources.DeltaLog.restore(dir, 1L)
+    assert(sources.DeltaLog.read(spark, dir).count() == 90)
+    // vacuum keeps live DV files, reclaims expired ones
+    val dvsBefore = sources.DeletionVectors.dvFiles(dir).size
+    assert(dvsBefore >= 2)
+    sources.DeltaLog.vacuum(dir, 1)
+    assert(sources.DeletionVectors.dvFiles(dir).nonEmpty,
+      "live DVs must survive vacuum")
+    assert(sources.DeltaLog.read(spark, dir).count() == 90)
+    // CDF over a DV commit refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.readChanges(spark, dir, 0L,
+        sources.DeltaLog.versions(dir).last).count()
+    }
+    assert(e.getMessage.contains("deletion vector"))
+  }
+
+  test("hand-written DV log reads; unknown reader feature refuses") {
+    import sources.DeletionVectors
+    val dir = Files.createTempDirectory("dldvx").toString
+    val a = stagePart(dir, "a.parquet",
+      Seq((1L, "one"), (2L, "two"), (3L, "three")))
+    // hand-build the DV for row index 1 ("two") and spell the log raw
+    val descs = DeletionVectors.writeDvFile(dir, Seq(a -> Seq(1L)))
+    val d = descs(a)
+    writeLog(dir, 0,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,
+        |"readerFeatures":["deletionVectors"],
+        |"writerFeatures":["deletionVectors"]}}"""
+        .stripMargin.replace("\n", ""),
+      metaData(),
+      s"""{"add":{"path":"$a","size":1,"dataChange":true,
+         |"partitionValues":{},"deletionVector":{
+         |"storageType":"u","pathOrInlineDv":"${d.pathOrInlineDv}",
+         |"offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},
+         |"cardinality":1}}}""".stripMargin.replace("\n", ""))
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L), "row index 1 must be deleted")
+    // v3 with a feature we do not speak: loud refusal
+    val dir2 = Files.createTempDirectory("dldvy").toString
+    writeLog(dir2, 0,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,
+        |"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+        .stripMargin.replace("\n", ""),
+      metaData())
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.read(spark, dir2)
+    }
+    assert(e.getMessage.contains("readerFeatures"))
+    // DVs under reader 1: an inconsistent log — refuse
+    val dir3 = Files.createTempDirectory("dldvz").toString
+    val b = stagePart(dir3, "b.parquet", Seq((1L, "x")))
+    val descs3 = DeletionVectors.writeDvFile(dir3, Seq(b -> Seq(0L)))
+    val d3 = descs3(b)
+    writeLog(dir3, 0, protocol, metaData(),
+      s"""{"add":{"path":"$b","size":1,"dataChange":true,
+         |"partitionValues":{},"deletionVector":{
+         |"storageType":"u","pathOrInlineDv":"${d3.pathOrInlineDv}",
+         |"offset":${d3.offset.get},"sizeInBytes":${d3.sizeInBytes},
+         |"cardinality":1}}}""".stripMargin.replace("\n", ""))
+    val e3 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.read(spark, dir3)
+    }
+    assert(e3.getMessage.contains("minReaderVersion"))
+  }
+
+  test("q172 gate shape: stacked DV deletes, data files unrewritten") {
+    val got = sources.DeltaLog.deltaDvRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() == orders.filter(
+      col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 =!= 0).count())
+  }
+
   test("q167 gate shape: mapped readback post-rename") {
     val got = sources.DeltaLog.deltaMappedRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")
