@@ -392,7 +392,11 @@ object SparkEntry {
     // Delta deletion vectors (reader v3 table feature): stacked
     // merge-on-read deletes as roaring bitmaps, applied by anti-join
     "q172_delta_deletion_vectors"
-      -> (sources.DeltaLog.deltaDvRead _)
+      -> (sources.DeltaLog.deltaDvRead _),
+    // Iceberg v2 equality deletes: value-matched, sequence-scoped —
+    // rows appended after the delete survive matching keys
+    "q173_iceberg_equality_delete"
+      -> (sources.Iceberg.icebergEqDeleteRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -585,6 +589,8 @@ object SparkEntry {
     "q170_delta_restore"       -> sources.DeltaLog.deltaRestoreReadSql,
     "q171_iceberg_rollback"    -> sources.Iceberg.icebergRollbackReadSql,
     "q172_delta_deletion_vectors"
-      -> sources.DeltaLog.deltaDvReadSql
+      -> sources.DeltaLog.deltaDvReadSql,
+    "q173_iceberg_equality_delete"
+      -> sources.Iceberg.icebergEqDeleteReadSql
   )
 }

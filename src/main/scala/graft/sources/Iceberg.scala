@@ -96,6 +96,23 @@ object Iceberg {
       |{"name":"file_size_in_bytes","type":"long"}
       |]}}]}""".stripMargin)
 
+  // v2 equality-delete entries: data_file.content = 2 plus the
+  // `equality_ids` field-id list naming the match columns; the
+  // referenced parquet carries one row per deleted key tuple
+  private val eqDeleteEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |{"name":"content","type":"int","default":0},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |"default":null}
+      |]}}]}""".stripMargin)
+
   // lower/upper bounds ride as the spec's field-id → single-value-
   // serialized bytes pairs (avro spells non-string-key maps as arrays
   // of key/value records)
@@ -329,11 +346,21 @@ object Iceberg {
 
   /** One planned data file: path, the manifest's per-field-id value
     * bounds (absent for files/columns without stats — which then
-    * never prune, the superset contract), and the file's partition
-    * tuple (stringified; empty for unpartitioned tables). */
+    * never prune, the superset contract), the file's partition
+    * tuple (stringified; empty for unpartitioned tables), and the
+    * snapshot that ADDED its manifest (the sequence surrogate
+    * equality-delete scoping needs). */
   private case class PlannedFile(path: String,
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
-      partition: Map[String, String] = Map.empty)
+      partition: Map[String, String] = Map.empty,
+      addedBy: Long = 0L)
+
+  /** One equality-delete file: its path, the field ids its rows
+    * match on, and the snapshot that added it — it applies only to
+    * data files added by EARLIER snapshots (the spec's sequence
+    * rule: rows written after the delete survive). */
+  private case class EqDelete(path: String, fieldIds: Seq[Int],
+                              addedBy: Long)
 
   private def boundsMap(df: GenericRecord,
                         field: String): Map[Int, Array[Byte]] =
@@ -354,24 +381,30 @@ object Iceberg {
     }
 
   /** A snapshot's planned inputs: live data files plus the position-
-    * delete files that apply to them (empty on v1 tables). */
+    * and equality-delete files that apply to them (both empty on v1
+    * tables). */
   private case class Planned(data: Seq[PlannedFile],
-                             deleteFiles: Seq[String])
+                             deleteFiles: Seq[String],
+                             eqDeletes: Seq[EqDelete] = Seq.empty)
 
   /** Live files of snapshot `snapshotId`: manifest-list hop, then
     * each manifest's entries with status != 2 (DELETED). A v2
-    * manifest-list row with `content`=1 is a DELETE manifest, whose
-    * entries name position-delete parquet files (data_file.content
-    * must be 1 — equality deletes, content 2, refuse loudly: applying
-    * them needs value comparison semantics this reader does not
-    * speak). Both hops are driver-side metadata reads.
+    * manifest-list row with `content`=1 is a DELETE manifest whose
+    * entries name position-delete parquet (data_file.content 1:
+    * explicit (file, pos) targets) or equality-delete parquet
+    * (content 2: value-matching rows, scoped by sequence). Both hops
+    * are driver-side metadata reads.
     *
-    * Sequence-number scope (documented): position deletes name their
-    * target by explicit `file_path`, and every writer here names data
-    * files by per-file UUID (paths never reused), so applying all of
-    * a snapshot's deletes to all of its data files is exact without
-    * the spec's sequence-number dance — which exists to protect
-    * REUSED paths across rewrites. */
+    * Sequence scoping (documented): this engine writes one manifest
+    * per commit, so a manifest's `added_snapshot_id` is the sequence
+    * surrogate — an equality delete applies exactly to data files
+    * whose manifest was added by an EARLIER snapshot (rows appended
+    * after the delete survive, the spec's rule). Position deletes
+    * name their target by explicit `file_path` and every writer here
+    * names data files by per-file UUID (paths never reused), so
+    * applying all of a snapshot's position deletes to all of its
+    * data files is exact without per-file sequence tracking — which
+    * exists to protect REUSED paths across rewrites. */
   private def planFilesAll(tableDir: String, meta: ObjectNode,
                            snapshotId: Long): Planned = {
     val snap = meta.get("snapshots").elements().asScala
@@ -381,26 +414,39 @@ object Iceberg {
           s"${snapshotIds(tableDir).mkString(",")})"))
     val manifests = readAvro(snap.get("manifest-list").asText)
       .map(r => (r.get("manifest_path").toString,
-        fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0)))
+        fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+        fieldOpt(r, "added_snapshot_id")
+          .map(_.asInstanceOf[Long]).getOrElse(0L)))
     lastManifestsRead = manifests.size
-    val deleteFiles = manifests.filter(_._2 == 1).flatMap { case (m, _) =>
-      readAvro(m).flatMap { e =>
-        if (e.get("status").asInstanceOf[Int] == 2) None
-        else {
+    val posB = Seq.newBuilder[String]
+    val eqB = Seq.newBuilder[EqDelete]
+    manifests.filter(_._2 == 1).foreach { case (m, _, addedBy) =>
+      readAvro(m).foreach { e =>
+        if (e.get("status").asInstanceOf[Int] != 2) {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val c = fieldOpt(df, "content")
             .map(_.asInstanceOf[Int]).getOrElse(0)
-          require(c == 1,
-            s"unsupported delete-file content $c (position deletes " +
-              "only; equality deletes need value semantics)")
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
             s"unsupported delete file format $fmt")
-          Some(df.get("file_path").toString)
+          c match {
+            case 1 => posB += df.get("file_path").toString
+            case 2 =>
+              val ids = fieldOpt(df, "equality_ids") match {
+                case Some(arr: java.util.Collection[_]) =>
+                  arr.asScala.map(_.asInstanceOf[Int]).toSeq
+                case _ => throw new IllegalArgumentException(
+                  "equality-delete entry without equality_ids — " +
+                    "cannot know which columns match")
+              }
+              eqB += EqDelete(df.get("file_path").toString, ids, addedBy)
+            case other => throw new IllegalArgumentException(
+              s"unsupported delete-file content $other")
+          }
         }
       }
     }
-    val data = manifests.filter(_._2 == 0).map(_._1).flatMap { m =>
+    val data = manifests.filter(_._2 == 0).flatMap { case (m, _, addedBy) =>
       readAvro(m).flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED — not part of this snapshot
@@ -425,11 +471,11 @@ object Iceberg {
             }
           Some(PlannedFile(df.get("file_path").toString,
             boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds"),
-            pv))
+            pv, addedBy))
         }
       }
     }
-    Planned(data, deleteFiles)
+    Planned(data, posB.result(), eqB.result())
   }
 
   /** Live data files only; refuses a snapshot that carries deletes —
@@ -437,8 +483,8 @@ object Iceberg {
   private def planFiles(tableDir: String, meta: ObjectNode,
                         snapshotId: Long): Seq[PlannedFile] = {
     val p = planFilesAll(tableDir, meta, snapshotId)
-    require(p.deleteFiles.isEmpty,
-      "snapshot carries position deletes — use the delete-aware read")
+    require(p.deleteFiles.isEmpty && p.eqDeletes.isEmpty,
+      "snapshot carries deletes — use the delete-aware read")
     p.data
   }
 
@@ -577,7 +623,8 @@ object Iceberg {
       meta: ObjectNode, snapshotId: Long): DataFrame = {
     val p = planFilesAll(tableDir, meta, snapshotId)
     scanPlanned(spark, schemaFromMetadata(meta), p.data,
-      partitionColsOf(meta), p.deleteFiles)
+      partitionColsOf(meta), p.deleteFiles, p.eqDeletes,
+      fieldIds(meta).map(_.swap))
   }
 
   /** MERGE-ON-READ: anti-join the raw data scan against the
@@ -615,22 +662,57 @@ object Iceberg {
   private def scanPlanned(spark: SparkSession, schema: StructType,
                           files: Seq[PlannedFile],
                           partCols: Seq[String] = Seq.empty,
-                          deleteFiles: Seq[String] = Seq.empty)
+                          deleteFiles: Seq[String] = Seq.empty,
+                          eqDeletes: Seq[EqDelete] = Seq.empty,
+                          idToName: Map[Int, String] = Map.empty)
       : DataFrame = {
     lastFilesPlanned = files.size
-    val mor = deleteAntiJoin(spark, deleteFiles)
-    if (files.isEmpty)
-      spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), schema)
-    else if (partCols.isEmpty ||
-        dataFilesCarryPartitionCols(files.head.path, partCols))
-      mor(spark.read.schema(schema).parquet(
-        files.map(f => stripFileUri(f.path)).sorted: _*))
-    else
-      // hive-migrated shape: the identity tuple substitutes for the
-      // stripped columns (the shared open-format reconstruction)
-      PartitionedScan.scan(spark, schema, partCols,
-        files.map(f => (stripFileUri(f.path), f.partition)), mor)
+    def scanSubset(subset: Seq[PlannedFile]): DataFrame = {
+      val mor = deleteAntiJoin(spark, deleteFiles)
+      if (subset.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), schema)
+      else if (partCols.isEmpty ||
+          dataFilesCarryPartitionCols(subset.head.path, partCols))
+        mor(spark.read.schema(schema).parquet(
+          subset.map(f => stripFileUri(f.path)).sorted: _*))
+      else
+        // hive-migrated shape: the identity tuple substitutes for the
+        // stripped columns (the shared open-format reconstruction)
+        PartitionedScan.scan(spark, schema, partCols,
+          subset.map(f => (stripFileUri(f.path), f.partition)), mor)
+    }
+    if (eqDeletes.isEmpty || files.isEmpty) scanSubset(files)
+    else {
+      // EQUALITY deletes are sequence-scoped: a delete applies only
+      // to data files added by EARLIER snapshots. Group the live
+      // files by their APPLICABLE delete-set (distinct sets only —
+      // at most one per append generation, typically 2: pre- and
+      // post-delete) and anti-join each group on the delete's key
+      // columns with null-safe equality, then union. The delete rows
+      // are broadcast — an equality-delete file is O(deleted keys),
+      // the small side by construction.
+      import org.apache.spark.sql.functions.broadcast
+      val groups = files
+        .groupBy(f => eqDeletes.filter(_.addedBy > f.addedBy)
+          .map(_.path).toSet)
+        .toSeq.sortBy(_._1.size)
+      groups.map { case (delPaths, subset) =>
+        val dels = eqDeletes.filter(d => delPaths.contains(d.path))
+        dels.foldLeft(scanSubset(subset)) { (df, ed) =>
+          val names = ed.fieldIds.map(id =>
+            idToName.getOrElse(id, throw new IllegalArgumentException(
+              s"equality_ids field $id not in table schema")))
+          val del = spark.read
+            .parquet(stripFileUri(ed.path))
+            .select(names.map(n => col(n).as(s"_eq_$n")): _*)
+            .dropDuplicates()
+          df.join(broadcast(del),
+            names.map(n => col(n) <=> col(s"_eq_$n"))
+              .reduce(_ && _), "left_anti")
+        }
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Iceberg's single-value serialization for `long`: 8 bytes
@@ -682,7 +764,8 @@ object Iceberg {
       }
     }
     scanPlanned(spark, schemaFromMetadata(meta), kept,
-      partitionColsOf(meta), planned.deleteFiles)
+      partitionColsOf(meta), planned.deleteFiles, planned.eqDeletes,
+      fieldIds(meta).map(_.swap))
   }
 
   /** PARTITION-PRUNED read of the latest snapshot (the
@@ -701,7 +784,8 @@ object Iceberg {
       meta.get("current-snapshot-id").asLong)
     val kept = planned.data.filter(f => keep(f.partition))
     scanPlanned(spark, schemaFromMetadata(meta), kept,
-      partitionColsOf(meta), planned.deleteFiles)
+      partitionColsOf(meta), planned.deleteFiles, planned.eqDeletes,
+      fieldIds(meta).map(_.swap))
   }
 
   // ---------------------------------------------------------------
@@ -1028,8 +1112,8 @@ object Iceberg {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     val p = planFilesAll(tableDir, meta,
       meta.get("current-snapshot-id").asLong)
-    require(p.deleteFiles.isEmpty,
-      "table carries position deletes — rewriteDataFiles before export")
+    require(p.deleteFiles.isEmpty && p.eqDeletes.isEmpty,
+      "table carries deletes — rewriteDataFiles before export")
     (schemaFromMetadata(meta), partitionColsOf(meta),
       p.data.map(f => (stripFileUri(f.path), f.partition)))
   }
@@ -1292,8 +1376,15 @@ object Iceberg {
     de.put("snapshot_id", snapshotId)
     de.put("data_file", dfr)
     writeAvro(dm, deleteEntrySchema, Seq(de))
-    // v2 manifest-list: previous manifests (content preserved) + the
-    // delete manifest
+    commitDeleteSnapshot(tableDir, meta, v, curId, snapshotId, dm)
+  }
+
+  /** Shared tail of the v2 delete writers: publish a new snapshot
+    * whose manifest-list = the current snapshot's manifests (content
+    * preserved) + one new DELETE manifest `dm`; metadata upgraded to
+    * format-version 2, history untouched. Returns the snapshot id. */
+  private def commitDeleteSnapshot(tableDir: String, meta: ObjectNode,
+      v: Int, curId: Long, snapshotId: Long, dm: String): Long = {
     val curSnap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == curId).get
     val prev = readAvro(curSnap.get("manifest-list").asText)
@@ -1331,6 +1422,62 @@ object Iceberg {
     sn.put("manifest-list", listPath)
     publishMetadataVersion(tableDir, v + 1, next)
     snapshotId
+  }
+
+  /** EQUALITY DELETE (v2, delete-file content=2): record the DISTINCT
+    * rows of `keys` — a subset of table columns — as an
+    * equality-delete file whose manifest entry carries their field
+    * ids (`equality_ids`). Matching is value-based with null-safe
+    * equality, and SEQUENCE-SCOPED: the delete applies only to data
+    * files added by EARLIER snapshots, so rows appended after it
+    * survive even when their keys match (the spec's rule, and the
+    * CDC upsert pattern Flink writes through this feature — delete
+    * old key, append new row, one snapshot each). Cost: O(distinct
+    * keys) bytes, no data file touched. Returns the snapshot id. */
+  def deleteWhereEquality(spark: SparkSession, tableDir: String,
+                          keys: DataFrame): Long = {
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    val curId = meta.get("current-snapshot-id").asLong
+    val schema = schemaFromMetadata(meta)
+    val ids = fieldIds(meta)
+    require(keys.columns.nonEmpty, "equality delete needs key columns")
+    keys.schema.fields.foreach { f =>
+      require(ids.contains(f.name),
+        s"equality column ${f.name} not in table schema")
+      require(schema(f.name).dataType == f.dataType,
+        s"equality column ${f.name}: ${f.dataType} != table's " +
+          s"${schema(f.name).dataType}")
+    }
+    val sub = s"data/eqdelete-${java.util.UUID.randomUUID}"
+    keys.dropDuplicates().repartition(1)
+      .write.parquet(s"$tableDir/$sub")
+    val part = Option(new File(tableDir, sub).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val (nRows, _) = parquetFooter(part.getPath)
+    if (nRows == 0) { // nothing to delete: commit nothing
+      graft.util.Fs.deleteRecursively(new File(tableDir, sub))
+      return curId
+    }
+    val snapshotId: Long = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong).max + 1L
+    val dm = s"${metaDir(tableDir)}/snap-$snapshotId-d0.avro"
+    val dfr = new GenericData.Record(
+      eqDeleteEntrySchema.getField("data_file").schema())
+    dfr.put("content", 2)
+    dfr.put("file_path", part.getPath)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count", nRows)
+    dfr.put("file_size_in_bytes", part.length())
+    dfr.put("equality_ids",
+      keys.columns.map(c => Int.box(ids(c))).toSeq.asJava)
+    val de = new GenericData.Record(eqDeleteEntrySchema)
+    de.put("status", 1)
+    de.put("snapshot_id", snapshotId)
+    de.put("data_file", dfr)
+    writeAvro(dm, eqDeleteEntrySchema, Seq(de))
+    commitDeleteSnapshot(tableDir, meta, v, curId, snapshotId, dm)
   }
 
   /** SCHEMA EVOLUTION: publish a new metadata version whose schema
@@ -1770,4 +1917,37 @@ object Iceberg {
       .orderBy(col("o_orderkey"))
 
   val icebergRollbackReadSql: String = icebergTimeTravelSql
+
+  /** Session-cached EQUALITY-DELETE lifecycle table: snapshot 1 = odd
+    * order keys; snapshot 2 = equality delete of key
+    * `o_orderstatus='P'`; snapshot 3 = APPEND of the even keys —
+    * whose 'P' rows must SURVIVE, because the delete's sequence
+    * precedes theirs. */
+  private[graft] def ordersIcebergEqDeleteTable(spark: SparkSession,
+                                                dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergeqd") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t)
+      deleteWhereEquality(spark, t,
+        o.select(col("o_orderstatus"))
+          .filter(col("o_orderstatus") === "P").distinct())
+      commitAppend(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+    }
+
+  /** q173 — ICEBERG V2 EQUALITY DELETES: the delete must remove the
+    * odd 'P' rows by VALUE (no file/position named anywhere) while
+    * the even 'P' rows appended AFTER it survive — the sequence
+    * scoping that makes equality deletes the CDC-upsert primitive.
+    * A reader that applied the delete globally kills the appended
+    * 'P's; one that ignored content=2 returns the odd 'P's; both
+    * hash-mismatch the two-arm oracle. */
+  def icebergEqDeleteRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersIcebergEqDeleteTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val icebergEqDeleteReadSql: String =
+    """SELECT * FROM orders
+      |WHERE (o_orderkey % 2 = 1 AND o_orderstatus <> 'P')
+      |   OR o_orderkey % 2 = 0
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -520,7 +520,7 @@ class IcebergSpec extends SparkSuite {
     }
   }
 
-  test("external v2 layout with equality deletes refuses loudly") {
+  test("external equality-delete manifest without equality_ids refuses") {
     import spark.implicits._
     val dir = Files.createTempDirectory("icedeq").toString + "/t"
     sources.Iceberg.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
@@ -555,7 +555,17 @@ class IcebergSpec extends SparkSuite {
     val err = intercept[IllegalArgumentException] {
       sources.Iceberg.read(spark, dir).collect()
     }
-    assert(err.getMessage.contains("content"))
+    assert(err.getMessage.contains("equality_ids"),
+      "an equality delete whose match columns are unknown cannot be " +
+        s"applied; got: ${err.getMessage}")
+    // and a content value outside the spec's {1, 2} still refuses
+    df2.put("content", 3)
+    dm.delete()
+    writeAvro(dm.getPath, entryT, Seq(e2))
+    val err3 = intercept[IllegalArgumentException] {
+      sources.Iceberg.read(spark, dir).collect()
+    }
+    assert(err3.getMessage.contains("content"))
   }
 
   test("q158 gate shape: deleted tenth absent, data files unrewritten") {
@@ -848,5 +858,67 @@ class IcebergSpec extends SparkSuite {
       sources.Iceberg.readWhere(spark, dir)(_ => true).count()
     }
     assert(e.getMessage.contains("transform"))
+  }
+
+  test("equality deletes: value match, sequence scoping, null keys") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceeq").toString + "/t"
+    val base = Seq((1L, "red"), (2L, "blue"), (3L, "red"),
+      (4L, null.asInstanceOf[String])).toDF("k", "s")
+    sources.Iceberg.commitOverwrite(base, dir)
+    // delete by value: every 'red' row, no file or position named
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq("red").toDF("s"))
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    // sequence scoping: a 'red' row appended AFTER the delete survives
+    sources.Iceberg.commitAppend(Seq((9L, "red")).toDF("k", "s"), dir)
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L, 9L),
+      "rows appended after an equality delete must survive matching keys")
+    // null-safe equality: deleting key NULL removes the null-keyed row
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq(null.asInstanceOf[String]).toDF("s"))
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 9L),
+      "a null key must match null values (spec's null-safe equality)")
+    // time travel to the pre-delete snapshot stays whole
+    assert(sources.Iceberg.readSnapshot(spark, dir, 1L).count() == 4)
+    // rewriteDataFiles folds equality deletes into plain files
+    sources.Iceberg.rewriteDataFiles(spark, dir)
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 9L))
+    // a key column not in the schema refuses
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.deleteWhereEquality(spark, dir,
+        Seq("x").toDF("nope"))
+    }
+    assert(e.getMessage.contains("not in table schema"))
+  }
+
+  test("equality + position deletes compose on one table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceeqp").toString + "/t"
+    sources.Iceberg.commitOverwrite(
+      (1L to 10L).map(k => (k, if (k % 2 == 0) "even" else "odd"))
+        .toDF("k", "s"), dir)
+    sources.Iceberg.deleteWhere(spark, dir, col("k") === 1L) // position
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq("even").toDF("s")) // value
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 7L, 9L))
+  }
+
+  test("q173 gate shape: appended matches survive the equality delete") {
+    val got = sources.Iceberg.icebergEqDeleteRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    val expect = orders.filter(
+      (col("o_orderkey") % 2 === 1 && col("o_orderstatus") =!= "P") ||
+        col("o_orderkey") % 2 === 0).count()
+    assert(got.count() == expect)
+    assert(got.filter(col("o_orderstatus") === "P").count() ==
+      orders.filter(col("o_orderkey") % 2 === 0 &&
+        col("o_orderstatus") === "P").count(),
+      "every surviving 'P' row must be an even (post-delete) key")
   }
 }
