@@ -396,7 +396,14 @@ object SparkEntry {
     // Iceberg v2 equality deletes: value-matched, sequence-scoped —
     // rows appended after the delete survive matching keys
     "q173_iceberg_equality_delete"
-      -> (sources.Iceberg.icebergEqDeleteRead _)
+      -> (sources.Iceberg.icebergEqDeleteRead _),
+    // CDC upsert as one equality delete + one append (the Flink
+    // pattern); MERGE semantics emerge from sequence scoping
+    "q174_iceberg_upsert"      -> (sources.Iceberg.icebergUpsertRead _),
+    // Spark 4 arbitrary-state API: transformWithState processor over
+    // RocksDB state, converged across micro-batches
+    "q175_stateful_processor"
+      -> (streaming.ProcessorStreams.statefulUserAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -591,6 +598,9 @@ object SparkEntry {
     "q172_delta_deletion_vectors"
       -> sources.DeltaLog.deltaDvReadSql,
     "q173_iceberg_equality_delete"
-      -> sources.Iceberg.icebergEqDeleteReadSql
+      -> sources.Iceberg.icebergEqDeleteReadSql,
+    "q174_iceberg_upsert"      -> sources.Iceberg.icebergUpsertReadSql,
+    "q175_stateful_processor"
+      -> streaming.ProcessorStreams.statefulUserAggSql
   )
 }

@@ -1950,4 +1950,52 @@ object Iceberg {
       |WHERE (o_orderkey % 2 = 1 AND o_orderstatus <> 'P')
       |   OR o_orderkey % 2 = 0
       |ORDER BY o_orderkey""".stripMargin
+
+  /** UPSERT through the v2 delete+append pattern — exactly what a
+    * Flink CDC writer emits per checkpoint: ONE equality delete of
+    * the updates' keys (retires any prior row version, costs
+    * O(distinct keys) bytes), then ONE append of the updates. MERGE
+    * semantics emerge at read time from sequence scoping — the
+    * appended rows outlive the delete because they are newer. No
+    * data file is ever rewritten; the MoR debt is reclaimed by
+    * [[rewriteDataFiles]] on the maintenance cadence. Returns the
+    * append's snapshot id. */
+  def upsert(spark: SparkSession, tableDir: String,
+             updates: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    deleteWhereEquality(spark, tableDir,
+      updates.select(keyCols.map(col): _*))
+    commitAppend(updates, tableDir)
+  }
+
+  /** Session-cached UPSERT lifecycle table: full orders, then one
+    * [[upsert]] batch rewriting every third key's priority to
+    * 'MERGED' — two metadata snapshots, zero data files rewritten. */
+  private[graft] def ordersIcebergUpsertTable(spark: SparkSession,
+                                              dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergups") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o, t)
+      upsert(spark, t,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .withColumn("o_orderpriority", lit("MERGED")),
+        Seq("o_orderkey"))
+    }
+
+  /** q174 — ICEBERG CDC UPSERT READBACK: every third key must carry
+    * the updated priority and appear EXACTLY ONCE — an upsert whose
+    * delete missed (duplicated keys), whose append was scoped under
+    * the delete (lost updates), or whose key matching leaked to
+    * other keys, all hash-mismatch the MERGE-algebra oracle (the
+    * q155 twin, here through the open v2 delete+append pattern). */
+  def icebergUpsertRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersIcebergUpsertTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val icebergUpsertReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'MERGED'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 }

@@ -909,6 +909,30 @@ class IcebergSpec extends SparkSuite {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 7L, 9L))
   }
 
+  test("upsert: delete+append per batch, repeated batches converge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceups").toString + "/t"
+    sources.Iceberg.commitOverwrite(
+      Seq((1L, "v1"), (2L, "v1"), (3L, "v1")).toDF("k", "s"), dir)
+    // batch 1: update k=2, insert k=9
+    sources.Iceberg.upsert(spark, dir,
+      Seq((2L, "v2"), (9L, "v2")).toDF("k", "s"), Seq("k"))
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "v1"), (2L, "v2"), (3L, "v1"), (9L, "v2")))
+    // batch 2 re-updates k=2: the v2 row (itself an append) must be
+    // retired by the NEWER delete — stacked upserts converge
+    sources.Iceberg.upsert(spark, dir, Seq((2L, "v3")).toDF("k", "s"),
+      Seq("k"))
+    val got = sources.Iceberg.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "v1"), (2L, "v3"), (3L, "v1"), (9L, "v2")),
+      s"second upsert must retire the first's row: $got")
+    assert(sources.Iceberg.read(spark, dir)
+      .groupBy(col("k")).count().filter(col("count") > 1).count() == 0,
+      "no key may appear twice after upserts")
+  }
+
   test("q173 gate shape: appended matches survive the equality delete") {
     val got = sources.Iceberg.icebergEqDeleteRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")

@@ -244,4 +244,33 @@ class StatefulStreamsSpec extends SparkSuite {
         r.getLong(3), r.getLong(4))).toSet
     assert(got == want)
   }
+
+  test("transformWithState processor: converged across batches == batch groupBy") {
+    import org.apache.spark.sql.functions.{col, count, max, min, unix_micros}
+    val work = java.nio.file.Files
+      .createTempDirectory("tws").toString
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    events.repartition(3).write.parquet(s"$work/src")
+    val got = streaming.ProcessorStreams.statefulUserAggFrom(
+      spark, s"$work/src", work)
+    // the run genuinely crossed micro-batches (3 files → 3 triggers)
+    val batches = Option(new java.io.File(s"$work/sink").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("batch="))
+    assert(batches >= 2,
+      s"state must cross batches to prove anything; got $batches")
+    val want = events.groupBy(col("user_id"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSet == want)
+    // the default state store provider is restored after the run
+    assert(!spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
 }
