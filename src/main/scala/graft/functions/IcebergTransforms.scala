@@ -112,6 +112,13 @@ object IcebergTransforms {
       org.apache.spark.sql.functions.to_date(c),
       org.apache.spark.sql.functions.to_date(lit("1970-01-01")))
 
+  /** `hour` as a Column: hours from epoch (UTC sessions — see
+    * [[monthCol]]). */
+  def hourCol(c: Column): Column =
+    org.apache.spark.sql.functions.floor(
+      org.apache.spark.sql.functions.unix_micros(c.cast("timestamp"))
+        / lit(3600L * 1000000L)).cast("int")
+
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncateRe = """truncate\[(\d+)\]""".r
 
@@ -124,6 +131,7 @@ object IcebergTransforms {
     case "month"        => monthCol(col(src))
     case "year"         => yearCol(col(src))
     case "day"          => dayCol(col(src))
+    case "hour"         => hourCol(col(src))
     case other => throw new IllegalArgumentException(
       s"unsupported Iceberg partition transform '$other'")
   }
@@ -133,7 +141,7 @@ object IcebergTransforms {
   def tupleType(transform: String, srcType: DataType): DataType =
     transform match {
       case "identity"    => srcType
-      case BucketRe(_) | "month" | "year" | "day" => IntegerType
+      case BucketRe(_) | "month" | "year" | "day" | "hour" => IntegerType
       case TruncateRe(_) =>
         require(srcType == LongType || srcType == IntegerType,
           s"truncate over $srcType not supported (long/int only)")
@@ -152,13 +160,14 @@ object IcebergTransforms {
     case "month"       => s"${src}_month"
     case "year"        => s"${src}_year"
     case "day"         => s"${src}_day"
+    case "hour"        => s"${src}_hour"
     case other => throw new IllegalArgumentException(
       s"unsupported Iceberg partition transform '$other'")
   }
 
   /** Is `transform` one this engine speaks? */
   def supported(transform: String): Boolean = transform match {
-    case "identity" | "month" | "year" | "day" => true
+    case "identity" | "month" | "year" | "day" | "hour" => true
     case BucketRe(_) | TruncateRe(_) => true
     case _ => false
   }

@@ -1059,12 +1059,30 @@ object Iceberg {
     val snaps: ArrayNode = meta.putArray("snapshots")
     prevMeta.foreach(_.get("snapshots").elements().asScala
       .foreach(s => snaps.add(s)))
+    val snapTs = nextSnapshotTs(prevMeta)
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
-    sn.put("timestamp-ms", nextSnapshotTs(prevMeta))
+    sn.put("timestamp-ms", snapTs)
     sn.putObject("summary").put("operation",
       if (overwrite) "overwrite" else "append")
     sn.put("manifest-list", listPath)
+    // the spec's history logs — real clients resolve FOR TIMESTAMP AS
+    // OF through snapshot-log and locate prior metadata through
+    // metadata-log; carrying them keeps tables fully interop-readable
+    val snapLog = meta.putArray("snapshot-log")
+    prevMeta.filter(_.has("snapshot-log")).foreach(
+      _.get("snapshot-log").elements().asScala.foreach(snapLog.add))
+    snapLog.addObject()
+      .put("timestamp-ms", snapTs).put("snapshot-id", snapshotId)
+    val metaLog = meta.putArray("metadata-log")
+    prevMeta.filter(_.has("metadata-log")).foreach(
+      _.get("metadata-log").elements().asScala.foreach(metaLog.add))
+    prevMeta.foreach { _ =>
+      metaLog.addObject()
+        .put("timestamp-ms", snapTs)
+        .put("metadata-file",
+          s"${metaDir(tableDir)}/v${v - 1}.metadata.json")
+    }
     publishMetadataVersion(tableDir, v, meta)
     snapshotId
   }

@@ -699,6 +699,11 @@ class IcebergSpec extends SparkSuite {
     assert(IcebergTransforms.truncateLong(-3L, 10L) == -10L)
     assert(IcebergTransforms.monthOrdinal(1970, 1) == 0)
     assert(IcebergTransforms.monthOrdinal(1995, 3) == 302)
+    // the full transform vocabulary resolves names and tuple types
+    for (tr <- Seq("hour", "day", "month", "year"))
+      assert(IcebergTransforms.supported(tr) &&
+        IcebergTransforms.tupleName(tr, "ts") == s"ts_$tr")
+    assert(!IcebergTransforms.supported("void"))
   }
 
   test("hidden bucket partitioning: full schema kept, pruning bounded") {
@@ -785,6 +790,16 @@ class IcebergSpec extends SparkSuite {
     assert(sts.map(_._2) == sts.map(_._2).sorted &&
       sts.map(_._2).distinct.size == 3,
       s"writer timestamps must be strictly increasing: $sts")
+    // the spec's history logs ride the metadata: snapshot-log carries
+    // one (timestamp, id) per snapshot, metadata-log the prior files
+    val metaTxt = new String(Files.readAllBytes(
+      Files.list(Paths.get(s"$dir/metadata")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".metadata.json"))
+        .toSeq.maxBy(_.getFileName.toString.stripPrefix("v")
+          .stripSuffix(".metadata.json").toInt)), "UTF-8")
+    assert(metaTxt.contains("\"snapshot-log\""))
+    assert(metaTxt.contains("\"metadata-log\""))
+    assert("\"snapshot-id\"".r.findAllIn(metaTxt).size >= 3)
     // resolution: first snapshot's instant sees only snapshot 1
     assert(sources.Iceberg.snapshotAsOf(dir, sts.head._2) == 1L)
     assert(sources.Iceberg.readAsOfTimestamp(spark, dir, sts(1)._2)
@@ -852,7 +867,7 @@ class IcebergSpec extends SparkSuite {
       .filter(_.getFileName.toString.endsWith(".metadata.json"))
       .toSeq.maxBy(_.getFileName.toString)
     val txt = new String(Files.readAllBytes(f), "UTF-8")
-      .replace("\"bucket[4]\"", "\"hour\"")
+      .replace("\"bucket[4]\"", "\"void\"")
     Files.write(f, txt.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       sources.Iceberg.readWhere(spark, dir)(_ => true).count()
