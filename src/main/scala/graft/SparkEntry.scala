@@ -403,7 +403,12 @@ object SparkEntry {
     // Spark 4 arbitrary-state API: transformWithState processor over
     // RocksDB state, converged across micro-batches
     "q175_stateful_processor"
-      -> (streaming.ProcessorStreams.statefulUserAgg _)
+      -> (streaming.ProcessorStreams.statefulUserAgg _),
+    // predicate pushdown inside the library (the DSv2 shape): one
+    // raw-column predicate drives partition/stats/hidden-transform
+    // pruning automatically
+    "q176_delta_pushdown"      -> (sources.DeltaLog.deltaPushdownRead _),
+    "q177_iceberg_pushdown"    -> (sources.Iceberg.icebergPushdownRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -601,6 +606,8 @@ object SparkEntry {
       -> sources.Iceberg.icebergEqDeleteReadSql,
     "q174_iceberg_upsert"      -> sources.Iceberg.icebergUpsertReadSql,
     "q175_stateful_processor"
-      -> streaming.ProcessorStreams.statefulUserAggSql
+      -> streaming.ProcessorStreams.statefulUserAggSql,
+    "q176_delta_pushdown"      -> sources.DeltaLog.deltaPushdownReadSql,
+    "q177_iceberg_pushdown"    -> sources.Iceberg.icebergPushdownReadSql
   )
 }

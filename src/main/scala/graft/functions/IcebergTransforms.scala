@@ -84,6 +84,34 @@ object IcebergTransforms {
   /** Iceberg `year` ordinal: years from 1970. */
   def yearOrdinal(year: Int): Int = year - 1970
 
+  // ordinal-of-instant twins (UTC), for mapping PREDICATE literals
+  // (epoch micros, the way Catalyst spells timestamp literals) onto
+  // partition tuple ordinals when pruning
+  private def utc(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), 0, java.time.ZoneOffset.UTC)
+
+  def monthOrdinalOfMicros(us: Long): Int = {
+    val t = utc(us); monthOrdinal(t.getYear, t.getMonthValue)
+  }
+  def yearOrdinalOfMicros(us: Long): Int = utc(us).getYear - 1970
+  def dayOrdinalOfMicros(us: Long): Int =
+    Math.floorDiv(us, 86400L * 1000000L).toInt
+  def hourOrdinalOfMicros(us: Long): Int =
+    Math.floorDiv(us, 3600L * 1000000L).toInt
+
+  /** Ordinal of an instant under a time transform — the prune-side
+    * twin of [[transformCol]] for day/month/year/hour. */
+  def timeOrdinalOfMicros(transform: String, us: Long): Int =
+    transform match {
+      case "month" => monthOrdinalOfMicros(us)
+      case "year"  => yearOrdinalOfMicros(us)
+      case "day"   => dayOrdinalOfMicros(us)
+      case "hour"  => hourOrdinalOfMicros(us)
+      case other => throw new IllegalArgumentException(
+        s"'$other' is not a time transform")
+    }
+
   // ---------------------------------------------------------------
   // Column twins (write-path derivation, inside codegen)
   // ---------------------------------------------------------------

@@ -415,6 +415,43 @@ object DeltaLog {
     scanState(spark, tableDir, st.copy(adds = kept))
   }
 
+  /** PREDICATE-PUSHDOWN read — the DSv2 `SupportsPushDownFilters`
+    * shape applied inside the library: decompose `pred` into
+    * prune-safe conjuncts ([[PruningPredicates]]), drop files whose
+    * partition values miss an equality conjunct or whose `add.stats`
+    * bounds exclude a long-range conjunct, scan the survivors, and
+    * re-apply the FULL predicate — so the caller writes one
+    * raw-column predicate and gets partition pruning + data skipping
+    * automatically, exactly as against Delta's own connector.
+    * Unrecognized conjuncts prune nothing (superset contract). */
+  def readFiltered(spark: SparkSession, tableDir: String,
+                   pred: org.apache.spark.sql.Column): DataFrame = {
+    val st = replayMaybeCheckpointed(Some(spark), tableDir,
+      versions(tableDir).last)
+    val ex = PruningPredicates.extract(pred)
+    val partEq: Map[String, String] = ex.eqs.collect {
+      case (c, v) if st.partitionColumns.contains(c) => c -> v.toString
+    }
+    val ranges = ex.longRanges
+    val kept = st.adds.filter { case (_, a) =>
+      partEq.forall { case (c, v) =>
+        // absent key (external log oddity) → cannot prove a miss;
+        // a null or different recorded value proves one
+        a.partitionValues.get(c).forall(_ == v)
+      } && {
+        val b = a.longBounds
+        ranges.forall { case (c, lo, hi) =>
+          b.get(c) match {
+            case Some((mn, mx)) => mn <= hi && mx >= lo
+            case None => true
+          }
+        }
+      }
+    }
+    lastFilesScanned = kept.size
+    scanState(spark, tableDir, st.copy(adds = kept)).filter(pred)
+  }
+
   /** [[readWhere]] pinned to `version` (pruned time travel). */
   def readVersionWhere(spark: SparkSession, tableDir: String,
       version: Long)(keep: Map[String, String] => Boolean): DataFrame = {
@@ -1355,6 +1392,22 @@ object DeltaLog {
 
   val deltaPrunedReadSql: String =
     """SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey"""
+
+  /** q176 — DELTA PREDICATE PUSHDOWN: ONE raw-column predicate
+    * (status equality AND a custkey bound) drives partition pruning
+    * and stats skipping automatically through [[readFiltered]]'s
+    * conjunct extraction — no explicit readWhere/readWhereStats
+    * call. The oracle is the identical SQL filter; DeltaLogSpec pins
+    * files-scanned == the pruned partition's files. */
+  def deltaPushdownRead(spark: SparkSession, dir: String): DataFrame =
+    readFiltered(spark, ordersPartitionedTable(spark, dir),
+        col("o_orderstatus") === "O" && col("o_custkey") <= lit(750L))
+      .orderBy(col("o_orderkey"))
+
+  val deltaPushdownReadSql: String =
+    """SELECT * FROM orders
+      |WHERE o_orderstatus = 'O' AND o_custkey <= 750
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Session-cached append/compaction lifecycle table: three APPEND
     * commits (order keys mod 3), a checkpoint, then an OPTIMIZE

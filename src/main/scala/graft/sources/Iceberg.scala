@@ -788,6 +788,90 @@ object Iceberg {
       fieldIds(meta).map(_.swap))
   }
 
+  /** PREDICATE-PUSHDOWN read — the [[DeltaLog.readFiltered]] twin,
+    * with the extra dimension only Iceberg has: HIDDEN transforms.
+    * `pred`'s prune-safe conjuncts ([[PruningPredicates]]) are mapped
+    * through the partition spec — an equality on a bucket source
+    * column prunes to ONE bucket via the spec's murmur3, a timestamp
+    * range on a time-transformed column prunes to the ordinal window
+    * (month/day/year/hour), identity columns prune on the tuple
+    * directly, truncate sources prune through the order-preserving
+    * floor — plus manifest value-bounds skipping for long ranges.
+    * The FULL predicate is re-applied on the scan; unrecognized
+    * conjuncts prune nothing (superset contract). */
+  def readFiltered(spark: SparkSession, tableDir: String,
+                   pred: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.IcebergTransforms
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val TruncateRe = """truncate\[(\d+)\]""".r
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    val ex = PruningPredicates.extract(pred)
+    val ids = fieldIds(meta)
+    val planned = planFilesAll(tableDir, meta,
+      meta.get("current-snapshot-id").asLong)
+    // one tuple predicate per spec field the extraction can speak to;
+    // an absent tuple field keeps the file (external superset rule)
+    def onTuple(name: String)(keep: String => Boolean)
+        : Map[String, String] => Boolean =
+      pv => pv.get(name) match {
+        case None => true
+        case Some(s) => s != null && keep(s)
+      }
+    val tuplePreds: Seq[Map[String, String] => Boolean] =
+      partitionSpecOf(meta).flatMap { f =>
+        f.transform match {
+          case "identity" =>
+            ex.eqs.get(f.sourceCol).map(v =>
+              onTuple(f.name)(_ == v.toString))
+          case BucketRe(n) =>
+            ex.eqs.get(f.sourceCol).collect {
+              case v: Long => v
+              case v: Int => v.toLong
+            }.map { v =>
+              val b = IcebergTransforms.bucketLong(v, n.toInt)
+              onTuple(f.name)(_ == b.toString)
+            }
+          case TruncateRe(w) =>
+            // truncate preserves order: value ∈ [lo,hi] ⇒ tuple ∈
+            // [trunc(lo), trunc(hi)]
+            ex.longRanges.find(_._1 == f.sourceCol).map {
+              case (_, lo, hi) =>
+                val tLo = IcebergTransforms.truncateLong(lo, w.toLong)
+                val tHi = IcebergTransforms.truncateLong(hi, w.toLong)
+                onTuple(f.name) { s =>
+                  val t = s.toLong; t >= tLo && t <= tHi }
+            }
+          case t @ ("month" | "year" | "day" | "hour") =>
+            val lo = ex.tsLo.get(f.sourceCol)
+              .map(IcebergTransforms.timeOrdinalOfMicros(t, _))
+            val hi = ex.tsHi.get(f.sourceCol)
+              .map(IcebergTransforms.timeOrdinalOfMicros(t, _))
+            if (lo.isEmpty && hi.isEmpty) None
+            else Some(onTuple(f.name) { s =>
+              val o = s.toInt
+              lo.forall(o >= _) && hi.forall(o <= _)
+            })
+          case _ => None
+        }
+      }
+    val ranges = ex.longRanges
+    val kept = planned.data
+      .filter(f => tuplePreds.forall(_(f.partition)))
+      .filter { f =>
+        ranges.forall { case (c, lo, hi) =>
+          ids.get(c).flatMap(id =>
+            (f.lower.get(id).flatMap(longBound),
+              f.upper.get(id).flatMap(longBound)) match {
+              case (Some(mn), Some(mx)) => Some(mn <= hi && mx >= lo)
+              case _ => None
+            }).getOrElse(true)
+        }
+      }
+    scanPlanned(spark, schemaFromMetadata(meta), kept,
+      partitionColsOf(meta), planned.deleteFiles, planned.eqDeletes,
+      ids.map(_.swap)).filter(pred)
+  }
+
   // ---------------------------------------------------------------
   // Writer (overwrite/append snapshots through the metadata chain)
   // ---------------------------------------------------------------
@@ -1861,6 +1945,22 @@ object Iceberg {
   }
 
   val icebergBucketPrunedReadSql: String =
+    s"""SELECT * FROM orders WHERE o_custkey = $BucketProbeCustkey
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** q177 — ICEBERG PREDICATE PUSHDOWN THROUGH A HIDDEN TRANSFORM:
+    * the same point predicate as q165, but [[readFiltered]] derives
+    * the bucket pruning from the predicate itself — the caller never
+    * names the transform. A mapping that missed the spec field, or a
+    * bucket function diverging from the write side, either returns
+    * extra files (caught by the files-planned spec bound) or loses
+    * the customer's rows (hash mismatch). */
+  def icebergPushdownRead(spark: SparkSession, dir: String): DataFrame =
+    readFiltered(spark, ordersIcebergBucketTable(spark, dir),
+        col("o_custkey") === lit(BucketProbeCustkey))
+      .orderBy(col("o_orderkey"))
+
+  val icebergPushdownReadSql: String =
     s"""SELECT * FROM orders WHERE o_custkey = $BucketProbeCustkey
        |ORDER BY o_orderkey""".stripMargin
 

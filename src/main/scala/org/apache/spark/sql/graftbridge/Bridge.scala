@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER ColumnNode → Catalyst conversion ([[expression]] returns a
+    * lazy `ColumnNodeExpression` wrapper in Spark 4, opaque to tree
+    * matching). Function applications come back as UNRESOLVED
+    * functions (`=`, `<=`, `and`, ...) — resolution normally happens
+    * in the analyzer — so structural consumers match on
+    * `UnresolvedFunction(name, args)` rather than the resolved
+    * operator classes. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -1029,6 +1029,36 @@ class DeltaLogSpec extends SparkSuite {
       col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 =!= 0).count())
   }
 
+  test("readFiltered: predicate conjuncts drive partition + stats pruning") {
+    // partition pruning from an equality conjunct (q176 gate shape)
+    val t = sources.DeltaLog.ordersPartitionedTable(spark, sfDir)
+    val got = sources.DeltaLog.readFiltered(spark, t,
+      col("o_orderstatus") === "O" && col("o_custkey") <= 750L)
+    val scanned = sources.DeltaLog.lastFilesScanned
+    sources.DeltaLog.readWhere(spark, t)(
+      pv => pv.get("o_orderstatus").contains("O"))
+    assert(scanned <= sources.DeltaLog.lastFilesScanned,
+      "pushdown must prune at least as hard as the explicit readWhere")
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() == orders.filter(
+      col("o_orderstatus") === "O" && col("o_custkey") <= 750L).count())
+    // stats skipping from a range conjunct, no explicit API call
+    val rt = sources.DeltaLog.ordersRangeTable(spark, sfDir)
+    val pruned = sources.DeltaLog.readFiltered(spark, rt,
+      col("o_orderkey") >= 100L && col("o_orderkey") <= 999L)
+    val prunedFiles = sources.DeltaLog.lastFilesScanned
+    sources.DeltaLog.read(spark, rt)
+    assert(prunedFiles < sources.DeltaLog.lastFilesScanned,
+      s"range conjunct must data-skip ($prunedFiles files)")
+    assert(pruned.count() == orders.filter(
+      col("o_orderkey").between(100, 999)).count())
+    // an unprunable conjunct costs nothing and loses nothing
+    val all = sources.DeltaLog.readFiltered(spark, rt,
+      col("o_orderpriority").isNotNull)
+    assert(all.count() == orders.filter(
+      col("o_orderpriority").isNotNull).count())
+  }
+
   test("q167 gate shape: mapped readback post-rename") {
     val got = sources.DeltaLog.deltaMappedRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")

@@ -8,7 +8,7 @@ import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter,
   GenericRecord}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The open Iceberg layout reader: metadata JSON + manifest avro
   * written BY HAND — with extra fields and client-specific field
@@ -946,6 +946,46 @@ class IcebergSpec extends SparkSuite {
     assert(sources.Iceberg.read(spark, dir)
       .groupBy(col("k")).count().filter(col("count") > 1).count() == 0,
       "no key may appear twice after upserts")
+  }
+
+  test("readFiltered: hidden transforms prune from raw predicates") {
+    // bucket: equality on the raw key prunes to one bucket (q177)
+    val bt = sources.Iceberg.ordersIcebergBucketTable(spark, sfDir)
+    val key = 42L
+    val viaPush = sources.Iceberg.readFiltered(spark, bt,
+      col("o_custkey") === key)
+    val pushPlanned = sources.Iceberg.lastFilesPlanned
+    val b = graft.functions.IcebergTransforms.bucketLong(
+      key, sources.Iceberg.BucketCount)
+    sources.Iceberg.readWhere(spark, bt)(
+      pv => pv.get("o_custkey_bucket").contains(b.toString))
+    assert(pushPlanned == sources.Iceberg.lastFilesPlanned,
+      "pushdown must reach the same bucket pruning as the explicit call")
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(viaPush.count() ==
+      orders.filter(col("o_custkey") === key).count())
+    // month: a raw timestamp range prunes to the ordinal window
+    val mt = sources.Iceberg.ordersIcebergMonthTable(spark, sfDir)
+    val lo = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1995-05-31 23:59:59")
+    val months = sources.Iceberg.readFiltered(spark, mt,
+      col("o_orderdate") >= lit(lo) && col("o_orderdate") <= lit(hi))
+    val monthsPlanned = sources.Iceberg.lastFilesPlanned
+    sources.Iceberg.read(spark, mt)
+    assert(monthsPlanned * 4 < sources.Iceberg.lastFilesPlanned,
+      s"a 3-month raw range must prune most of ~80 months " +
+        s"($monthsPlanned planned)")
+    assert(months.count() == orders.filter(
+      col("o_orderdate").between(lit(lo), lit(hi))).count())
+    // manifest bounds: a raw key range data-skips the range table
+    val rt = sources.Iceberg.ordersIcebergRangeTable(spark, sfDir)
+    val ranged = sources.Iceberg.readFiltered(spark, rt,
+      col("o_orderkey") >= 100L && col("o_orderkey") <= 999L)
+    val rangedPlanned = sources.Iceberg.lastFilesPlanned
+    sources.Iceberg.read(spark, rt)
+    assert(rangedPlanned < sources.Iceberg.lastFilesPlanned)
+    assert(ranged.count() ==
+      orders.filter(col("o_orderkey").between(100, 999)).count())
   }
 
   test("q173 gate shape: appended matches survive the equality delete") {
