@@ -408,7 +408,11 @@ object SparkEntry {
     // raw-column predicate drives partition/stats/hidden-transform
     // pruning automatically
     "q176_delta_pushdown"      -> (sources.DeltaLog.deltaPushdownRead _),
-    "q177_iceberg_pushdown"    -> (sources.Iceberg.icebergPushdownRead _)
+    "q177_iceberg_pushdown"    -> (sources.Iceberg.icebergPushdownRead _),
+    // the open-format scans as SQL TABLE FUNCTIONS (delta_scan /
+    // iceberg_scan with time travel) — the DuckDB-parity spelling
+    "q178_sql_delta_scan"      -> (sources.DeltaLog.sqlDeltaScan _),
+    "q179_sql_iceberg_scan"    -> (sources.Iceberg.sqlIcebergScan _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -608,6 +612,8 @@ object SparkEntry {
     "q175_stateful_processor"
       -> streaming.ProcessorStreams.statefulUserAggSql,
     "q176_delta_pushdown"      -> sources.DeltaLog.deltaPushdownReadSql,
-    "q177_iceberg_pushdown"    -> sources.Iceberg.icebergPushdownReadSql
+    "q177_iceberg_pushdown"    -> sources.Iceberg.icebergPushdownReadSql,
+    "q178_sql_delta_scan"      -> sources.DeltaLog.sqlDeltaScanSql,
+    "q179_sql_iceberg_scan"    -> sources.Iceberg.sqlIcebergScanSql
   )
 }

@@ -28,8 +28,10 @@ import graft.functions.{BoundedTopK, PairCombinations, Shingles, VecDot}
   * with a clear error, matching how Spark's own `approx_percentile`
   * treats its accuracy argument. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -74,4 +76,84 @@ object GraftExtensions {
         case args => throw new IllegalArgumentException(
           s"top_k_min expects 3 arguments, got ${args.size}")
       })
+
+  // ---------------------------------------------------------------
+  // Table-valued functions: the open-format scans as plain SQL — the
+  // DuckDB-parity spelling (`delta_scan`, `iceberg_scan`), so a SQL
+  // user reads a lakehouse table (optionally time-traveled) with no
+  // Scala at all. The builder runs at ANALYSIS time on the active
+  // session: it replays the log/metadata and splices the resulting
+  // scan's logical plan into the query — the same driver-side
+  // planning cost as the programmatic read.
+  // ---------------------------------------------------------------
+
+  private def litString(e: Expression, fn: String, arg: String): String =
+    e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal, got $other")
+    }
+
+  private def litLong(e: Expression, fn: String, arg: String): Long =
+    e match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+
+  private def plan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.logical
+
+  private def active = org.apache.spark.sql.SparkSession.active
+
+  private def tfn(name: String, usage: String)(
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : (FunctionIdentifier, ExpressionInfo,
+         Seq[Expression] =>
+           org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier(name), info(name, usage), builder)
+
+  /** The injected table functions — `delta_scan(path[, version])`,
+    * `iceberg_scan(path[, snapshot_id])`. */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq(
+      tfn("delta_scan",
+        "delta_scan(path[, version]) - read an open Delta table") {
+        case Seq(p) =>
+          plan(graft.sources.DeltaLog.read(active,
+            litString(p, "delta_scan", "path")))
+        case Seq(p, v) =>
+          plan(graft.sources.DeltaLog.readVersion(active,
+            litString(p, "delta_scan", "path"),
+            litLong(v, "delta_scan", "version")))
+        case args => throw new IllegalArgumentException(
+          s"delta_scan expects (path[, version]), got ${args.size} args")
+      },
+      tfn("iceberg_scan",
+        "iceberg_scan(path[, snapshot_id]) - read an Iceberg table") {
+        case Seq(p) =>
+          plan(graft.sources.Iceberg.read(active,
+            litString(p, "iceberg_scan", "path")))
+        case Seq(p, s) =>
+          plan(graft.sources.Iceberg.readSnapshot(active,
+            litString(p, "iceberg_scan", "path"),
+            litLong(s, "iceberg_scan", "snapshot_id")))
+        case args => throw new IllegalArgumentException(
+          s"iceberg_scan expects (path[, snapshot_id]), got ${args.size}")
+      })
+
+  /** Runtime registration on a pre-built session (the driver contract
+    * hands us sessions — same pattern as VectorExprs.register). */
+  def registerTableFunctions(spark: org.apache.spark.sql.SparkSession)
+      : Unit =
+    tableFunctions.foreach { case (id, inf, b) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(id, inf, b)
+    }
 }

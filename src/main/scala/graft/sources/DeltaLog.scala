@@ -1438,6 +1438,20 @@ object DeltaLog {
   val deltaAppendCompactReadSql: String =
     """SELECT * FROM orders ORDER BY o_orderkey"""
 
+  /** q178 — DELTA SCAN AS A SQL TABLE FUNCTION: `delta_scan(path)`
+    * in plain SQL (the DuckDB-parity spelling, injected via
+    * SparkSessionExtensions / runtime-registered on given sessions).
+    * The TVF's analysis-time builder must replay the same log the
+    * programmatic read replays — the odd-half oracle catches a
+    * builder that read the wrong version or dropped removes. */
+  def sqlDeltaScan(spark: SparkSession, dir: String): DataFrame = {
+    graft.extensions.GraftExtensions.registerTableFunctions(spark)
+    val t = ordersDeltaTable(spark, dir)
+    spark.sql(s"SELECT * FROM delta_scan('$t') ORDER BY o_orderkey")
+  }
+
+  val sqlDeltaScanSql: String = deltaReadSql
+
   /** Incremental consumption — the Delta STREAMING-SOURCE offset
     * contract (versions are the offsets): all changes strictly AFTER
     * `sinceVersion`, plus the latest version for the consumer to

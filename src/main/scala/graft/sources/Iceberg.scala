@@ -2069,6 +2069,18 @@ object Iceberg {
       |   OR o_orderkey % 2 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q179 — ICEBERG TIME TRAVEL AS A SQL TABLE FUNCTION:
+    * `iceberg_scan(path, snapshot_id)` in plain SQL — the q178 twin
+    * with the time-travel argument, pinning snapshot 1 (the even
+    * half) through the SQL surface. */
+  def sqlIcebergScan(spark: SparkSession, dir: String): DataFrame = {
+    graft.extensions.GraftExtensions.registerTableFunctions(spark)
+    val t = ordersIcebergTable(spark, dir)
+    spark.sql(s"SELECT * FROM iceberg_scan('$t', 1) ORDER BY o_orderkey")
+  }
+
+  val sqlIcebergScanSql: String = icebergTimeTravelSql
+
   /** UPSERT through the v2 delete+append pattern — exactly what a
     * Flink CDC writer emits per checkpoint: ONE equality delete of
     * the updates' keys (retires any prior row version, costs

@@ -75,4 +75,36 @@ class ExtensionsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("delta_scan / iceberg_scan table functions in plain SQL") {
+    import spark.implicits._
+    graft.extensions.GraftExtensions.registerTableFunctions(spark)
+    val dd = java.nio.file.Files.createTempDirectory("tvfd").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dd)
+    sources.DeltaLog.commitOverwrite(Seq((3L, "c")).toDF("k", "s"), dd)
+    assert(spark.sql(s"SELECT k FROM delta_scan('$dd') ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // time travel through the SQL argument
+    assert(spark.sql(s"SELECT k FROM delta_scan('$dd', 0) ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val di = java.nio.file.Files.createTempDirectory("tvfi").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((7L, "x")).toDF("k", "s"), di)
+    sources.Iceberg.commitAppend(Seq((8L, "y")).toDF("k", "s"), di)
+    assert(spark.sql(s"SELECT k FROM iceberg_scan('$di') ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L, 8L))
+    assert(spark.sql(s"SELECT k FROM iceberg_scan('$di', 1) ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // the TVF composes with ordinary SQL (joins, predicates)
+    val joined = spark.sql(
+      s"""SELECT d.k FROM delta_scan('$dd', 0) d
+         |JOIN iceberg_scan('$di') i ON d.k + 6 = i.k
+         |ORDER BY d.k""".stripMargin)
+    assert(joined.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a non-literal path refuses with a clear message
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM delta_scan(concat('$dd', ''))").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
 }
