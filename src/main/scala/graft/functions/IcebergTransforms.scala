@@ -147,8 +147,10 @@ object IcebergTransforms {
       org.apache.spark.sql.functions.unix_micros(c.cast("timestamp"))
         / lit(3600L * 1000000L)).cast("int")
 
-  private val BucketRe = """bucket\[(\d+)\]""".r
-  private val TruncateRe = """truncate\[(\d+)\]""".r
+  /** The transform-string vocabulary, single source of truth —
+    * consumers pattern-match these instead of re-declaring. */
+  private[graft] val BucketRe = """bucket\[(\d+)\]""".r
+  private[graft] val TruncateRe = """truncate\[(\d+)\]""".r
 
   /** The derived Column for a spec transform string over source
     * column `src` — the write path's single dispatch point. */

@@ -106,6 +106,9 @@ private[graft] object DeletionVectors {
         require(d >= 0, s"invalid Z85 character '$c'")
         v = v * 85 + d; j += 1
       }
+      require(v <= 0xffffffffL,
+        s"invalid Z85 group '${s.substring(i, i + 5)}': value exceeds " +
+          "32 bits — refusing to truncate malformed input")
       var k = 3
       while (k >= 0) {
         out(i / 5 * 4 + (3 - k)) = ((v >>> (k * 8)) & 0xff).toByte

@@ -114,7 +114,9 @@ object DeltaLog {
   private[graft] case class State(
       schema: StructType, partitionColumns: Seq[String],
       adds: Map[String, AddFile],
-      columnMapping: Map[String, String] = Map.empty) {
+      columnMapping: Map[String, String] = Map.empty,
+      minReader: Int = 1,
+      readerFeatures: Set[String] = Set.empty) {
     def files: Seq[String] = adds.keys.toSeq.sorted
     def addPartitionValues: Map[String, Map[String, String]] =
       adds.map { case (p, a) => p -> a.partitionValues }
@@ -247,10 +249,27 @@ object DeltaLog {
               f.metadata.contains("delta.columnMapping.physicalName"),
               s"column ${f.name} lacks delta.columnMapping." +
                 "physicalName under mode=name")
+            // the spec annotates NESTED fields with their own
+            // physical names too; this reader renames top level only,
+            // so a nested mapped column would silently read NULL for
+            // every inner field — refuse instead
+            def hasStruct(dt: DataType): Boolean = dt match {
+              case _: StructType => true
+              case a: org.apache.spark.sql.types.ArrayType =>
+                hasStruct(a.elementType)
+              case m: org.apache.spark.sql.types.MapType =>
+                hasStruct(m.keyType) || hasStruct(m.valueType)
+              case _ => false
+            }
+            require(!hasStruct(f.dataType),
+              s"column ${f.name}: nested types under column mapping " +
+                "are out of scope (inner fields carry their own " +
+                "physical names this reader does not resolve)")
             f.name -> f.metadata.getString("delta.columnMapping.physicalName")
           }.toMap
         }
-      State(schema, partCols, adds.toMap, mapping)
+      State(schema, partCols, adds.toMap, mapping, minReader,
+        readerFeatures)
     }
   }
 
@@ -429,15 +448,19 @@ object DeltaLog {
     val st = replayMaybeCheckpointed(Some(spark), tableDir,
       versions(tableDir).last)
     val ex = PruningPredicates.extract(pred)
-    val partEq: Map[String, String] = ex.eqs.collect {
-      case (c, v) if st.partitionColumns.contains(c) => c -> v.toString
+    val partEq: Map[String, Any] = ex.eqs.filter {
+      case (c, _) => st.partitionColumns.contains(c)
     }
     val ranges = ex.longRanges
     val kept = st.adds.filter { case (_, a) =>
       partEq.forall { case (c, v) =>
-        // absent key (external log oddity) → cannot prove a miss;
-        // a null or different recorded value proves one
-        a.partitionValues.get(c).forall(_ == v)
+        // absent key (external log oddity) or an undecidable
+        // comparison → cannot prove a miss, keep; comparison is
+        // TYPE-AWARE through the declared column type (Spark's
+        // re-applied predicate casts, so '05' = 5 holds)
+        a.partitionValues.get(c).forall(s =>
+          PruningPredicates.eqMatches(st.schema(c).dataType, s, v)
+            .getOrElse(true))
       } && {
         val b = a.longBounds
         ranges.forall { case (c, lo, hi) =>
@@ -608,15 +631,16 @@ object DeltaLog {
       StructField("metaData", metaDataT, nullable = true),
       StructField("add", addT, nullable = true)))
     val rows = new java.util.ArrayList[Row]()
-    // the checkpoint must preserve the table's protocol + feature
-    // config: a seeded replay that lost mode=name would read the
-    // physical parquet names as the table's columns; one that lost a
-    // deletionVector descriptor would resurrect deleted rows
+    // the checkpoint must preserve the table's REPLAYED protocol, not
+    // an inference from the current state's features: a table whose
+    // DVs were compacted away still carries protocol 3, and a later
+    // RESTORE may re-add DV files without writing a protocol action —
+    // a checkpoint that downgraded to (1,2) would make that valid
+    // tail unreadable. Feature configs ride for the same reason.
     val mapped = st.columnMapping.nonEmpty
-    val hasDv = st.adds.values.exists(_.dv.isDefined)
     val protoRow =
-      if (hasDv) Row(3, 7, Seq("deletionVectors"))
-      else if (mapped) Row(2, 5, null)
+      if (st.minReader == 3) Row(3, 7, st.readerFeatures.toSeq.sorted)
+      else if (st.minReader == 2 || mapped) Row(2, 5, null)
       else Row(1, 2, null)
     rows.add(Row(protoRow, null, null))
     rows.add(Row(null,

@@ -395,11 +395,15 @@ object Iceberg {
     * (content 2: value-matching rows, scoped by sequence). Both hops
     * are driver-side metadata reads.
     *
-    * Sequence scoping (documented): this engine writes one manifest
-    * per commit, so a manifest's `added_snapshot_id` is the sequence
-    * surrogate — an equality delete applies exactly to data files
-    * whose manifest was added by an EARLIER snapshot (rows appended
-    * after the delete survive, the spec's rule). Position deletes
+    * Sequence scoping: equality deletes apply only to data files with
+    * a SMALLER sequence. The sequence used is, in order of
+    * preference: the entry's own `data_sequence_number` /
+    * `sequence_number` (what real v2 clients write — sound even when
+    * maintenance merges manifests, because re-written entries keep
+    * their original data sequence), the manifest-list row's
+    * `sequence_number`, and finally `added_snapshot_id` — the
+    * surrogate that is exact for THIS engine's layouts (one manifest
+    * per commit, snapshot ids are the sequence). Position deletes
     * name their target by explicit `file_path` and every writer here
     * names data files by per-file UUID (paths never reused), so
     * applying all of a snapshot's position deletes to all of its
@@ -415,12 +419,21 @@ object Iceberg {
     val manifests = readAvro(snap.get("manifest-list").asText)
       .map(r => (r.get("manifest_path").toString,
         fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
-        fieldOpt(r, "added_snapshot_id")
-          .map(_.asInstanceOf[Long]).getOrElse(0L)))
+        fieldOpt(r, "sequence_number").map(_.asInstanceOf[Long])
+          .orElse(fieldOpt(r, "added_snapshot_id")
+            .map(_.asInstanceOf[Long]))
+          .getOrElse(0L)))
     lastManifestsRead = manifests.size
+    // an entry's own data sequence wins over its manifest's (v2
+    // inheritance: null means inherit)
+    def entrySeq(e: GenericRecord, manifestSeq: Long): Long =
+      fieldOpt(e, "data_sequence_number").map(_.asInstanceOf[Long])
+        .orElse(fieldOpt(e, "sequence_number")
+          .map(_.asInstanceOf[Long]))
+        .getOrElse(manifestSeq)
     val posB = Seq.newBuilder[String]
     val eqB = Seq.newBuilder[EqDelete]
-    manifests.filter(_._2 == 1).foreach { case (m, _, addedBy) =>
+    manifests.filter(_._2 == 1).foreach { case (m, _, mSeq) =>
       readAvro(m).foreach { e =>
         if (e.get("status").asInstanceOf[Int] != 2) {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -439,14 +452,15 @@ object Iceberg {
                   "equality-delete entry without equality_ids — " +
                     "cannot know which columns match")
               }
-              eqB += EqDelete(df.get("file_path").toString, ids, addedBy)
+              eqB += EqDelete(df.get("file_path").toString, ids,
+                entrySeq(e, mSeq))
             case other => throw new IllegalArgumentException(
               s"unsupported delete-file content $other")
           }
         }
       }
     }
-    val data = manifests.filter(_._2 == 0).flatMap { case (m, _, addedBy) =>
+    val data = manifests.filter(_._2 == 0).flatMap { case (m, _, mSeq) =>
       readAvro(m).flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED — not part of this snapshot
@@ -471,7 +485,7 @@ object Iceberg {
             }
           Some(PlannedFile(df.get("file_path").toString,
             boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds"),
-            pv, addedBy))
+            pv, entrySeq(e, mSeq)))
         }
       }
     }
@@ -802,8 +816,7 @@ object Iceberg {
   def readFiltered(spark: SparkSession, tableDir: String,
                    pred: org.apache.spark.sql.Column): DataFrame = {
     import graft.functions.IcebergTransforms
-    val BucketRe = """bucket\[(\d+)\]""".r
-    val TruncateRe = """truncate\[(\d+)\]""".r
+    import IcebergTransforms.{BucketRe, TruncateRe}
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     val ex = PruningPredicates.extract(pred)
     val ids = fieldIds(meta)
@@ -817,19 +830,33 @@ object Iceberg {
         case None => true
         case Some(s) => s != null && keep(s)
       }
+    val schema = schemaFromMetadata(meta)
+    // a tuple value that fails to PARSE as the expected type cannot
+    // prove a miss — keep the file (external superset rule)
+    def parsedLong(s: String): Option[Long] =
+      scala.util.Try(s.trim.toLong).toOption
     val tuplePreds: Seq[Map[String, String] => Boolean] =
       partitionSpecOf(meta).flatMap { f =>
         f.transform match {
           case "identity" =>
-            ex.eqs.get(f.sourceCol).map(v =>
-              onTuple(f.name)(_ == v.toString))
+            // type-aware through the source column's declared type —
+            // the DeltaLog.readFiltered discipline ('05' = 5 holds
+            // after Spark's cast)
+            ex.eqs.get(f.sourceCol).map { v =>
+              val dt = schema(f.sourceCol).dataType
+              (pv: Map[String, String]) => pv.get(f.name) match {
+                case None => true
+                case Some(s) =>
+                  PruningPredicates.eqMatches(dt, s, v).getOrElse(true)
+              }
+            }
           case BucketRe(n) =>
             ex.eqs.get(f.sourceCol).collect {
               case v: Long => v
               case v: Int => v.toLong
             }.map { v =>
-              val b = IcebergTransforms.bucketLong(v, n.toInt)
-              onTuple(f.name)(_ == b.toString)
+              val b = IcebergTransforms.bucketLong(v, n.toInt).toLong
+              onTuple(f.name)(s => parsedLong(s).forall(_ == b))
             }
           case TruncateRe(w) =>
             // truncate preserves order: value ∈ [lo,hi] ⇒ tuple ∈
@@ -838,8 +865,8 @@ object Iceberg {
               case (_, lo, hi) =>
                 val tLo = IcebergTransforms.truncateLong(lo, w.toLong)
                 val tHi = IcebergTransforms.truncateLong(hi, w.toLong)
-                onTuple(f.name) { s =>
-                  val t = s.toLong; t >= tLo && t <= tHi }
+                onTuple(f.name)(s => parsedLong(s)
+                  .forall(t => t >= tLo && t <= tHi))
             }
           case t @ ("month" | "year" | "day" | "hour") =>
             val lo = ex.tsLo.get(f.sourceCol)
@@ -847,10 +874,9 @@ object Iceberg {
             val hi = ex.tsHi.get(f.sourceCol)
               .map(IcebergTransforms.timeOrdinalOfMicros(t, _))
             if (lo.isEmpty && hi.isEmpty) None
-            else Some(onTuple(f.name) { s =>
-              val o = s.toInt
+            else Some(onTuple(f.name)(s => parsedLong(s).forall { o =>
               lo.forall(o >= _) && hi.forall(o <= _)
-            })
+            }))
           case _ => None
         }
       }
@@ -1638,8 +1664,18 @@ object Iceberg {
     * Iceberg's maintenance procedure does. */
   def rewriteDataFiles(spark: SparkSession, tableDir: String): Long = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
-    commit(read(spark, tableDir), tableDir,
-      overwrite = true, partitionColsOf(meta))
+    val spec = partitionSpecOf(meta)
+    val (identity, hidden) = spec.partition(_.transform == "identity")
+    require(identity.isEmpty || hidden.isEmpty,
+      "mixed identity+hidden partition specs are out of scope")
+    if (hidden.nonEmpty)
+      // hidden tables re-declare their transform spec, so the
+      // compaction that reclaims their MoR debt keeps the clustering
+      commit(read(spark, tableDir), tableDir, overwrite = true,
+        hiddenSpec = hidden.map(f => f.sourceCol -> f.transform))
+    else
+      commit(read(spark, tableDir), tableDir, overwrite = true,
+        identity.map(_.sourceCol))
   }
 
   /** Every path a snapshot's plan touches: its manifest-list, its

@@ -57,6 +57,30 @@ private[graft] object PruningPredicates {
     }
   }
 
+  /** Type-aware equality between a STORED partition string and an
+    * extracted literal, through the column's DECLARED type — Spark's
+    * re-applied predicate compares after casts (`'05' = 5` is TRUE),
+    * so a raw string compare would wrongly prune externally written
+    * values with non-canonical spellings. None = cannot decide →
+    * caller keeps the file (superset contract). A stored NULL can
+    * never satisfy an equality predicate → Some(false). */
+  def eqMatches(declared: org.apache.spark.sql.types.DataType,
+                stored: String, literal: Any): Option[Boolean] = {
+    if (stored == null) return Some(false)
+    (declared, literal) match {
+      case (StringType, s: String) => Some(stored == s)
+      case (LongType | IntegerType | ShortType | ByteType, v) =>
+        val lit: Option[Long] = v match {
+          case l: Long => Some(l)
+          case i: Int => Some(i.toLong)
+          case _ => None
+        }
+        lit.flatMap(l =>
+          scala.util.Try(stored.trim.toLong).toOption.map(_ == l))
+      case _ => None // dates/doubles/cross-type: skip pruning
+    }
+  }
+
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttribute => Some(u.name)

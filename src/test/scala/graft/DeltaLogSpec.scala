@@ -1022,6 +1022,61 @@ class DeltaLogSpec extends SparkSuite {
     assert(e3.getMessage.contains("minReaderVersion"))
   }
 
+  test("checkpoint keeps the REPLAYED protocol across DV fold + restore") {
+    // the review-found trap: deleteWhere upgrades to reader 3 (v1),
+    // compact folds the DVs away (v2), a checkpoint at v2 that
+    // INFERRED protocol from current features would write (1,2) —
+    // then restore(1) re-adds DV files with no protocol action and
+    // the seeded replay would refuse a perfectly valid log
+    val dir = Files.createTempDirectory("dlproto").toString + "/t"
+    val df = (1L to 20L).map(k => (k, s"s$k")).toDF("k", "s")
+    sources.DeltaLog.commitOverwrite(df, dir)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 5 === 0)
+    sources.DeltaLog.compact(spark, dir, targetFiles = 1)
+    assert(sources.DeltaLog.read(spark, dir).count() == 16)
+    sources.DeltaLog.checkpoint(spark, dir)
+    sources.DeltaLog.restore(dir, 1L)
+    val got = sources.DeltaLog.read(spark, dir)
+    assert(sources.DeltaLog.lastJsonCommitsRead == 1,
+      "read must seed from the checkpoint and replay only the restore")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 20L).filter(_ % 5 != 0))
+  }
+
+  test("readFiltered equality pruning is type-aware, never drops rows") {
+    // externally written logs may spell partition values
+    // non-canonically; Spark's re-applied predicate casts ('05' = 5
+    // holds), so pruning must compare through the declared type
+    val dir = Files.createTempDirectory("dlteq").toString
+    val a = stagePart(dir, "a.parquet", Seq((1L, "x")))
+    val partSchema =
+      """{\"type\":\"struct\",\"fields\":[
+        |{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},
+        |{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},
+        |{\"name\":\"p\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+        .stripMargin.replace("\n", "")
+    writeLog(dir, 0, protocol,
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},
+         |"schemaString":"$partSchema",
+         |"partitionColumns":["p"],"configuration":{}}}"""
+        .stripMargin.replace("\n", ""),
+      s"""{"add":{"path":"$a","size":1,"dataChange":true,
+         |"partitionValues":{"p":"05"}}}""".stripMargin.replace("\n", ""))
+    // "05" must match the literal 5 through the long type
+    val got = sources.DeltaLog.readFiltered(spark, dir,
+      col("p") === 5L)
+    assert(sources.DeltaLog.lastFilesScanned == 1,
+      "'05' = 5 holds after the cast — the file must be kept")
+    assert(got.count() == 1)
+    // and a genuinely different value still prunes
+    sources.DeltaLog.readFiltered(spark, dir, col("p") === 6L)
+    assert(sources.DeltaLog.lastFilesScanned == 0)
+    // a string literal against the long column is undecidable for the
+    // pruner (kept) but still correct through the scan filter
+    assert(sources.DeltaLog.readFiltered(spark, dir,
+      col("p") === "5").count() == 1)
+  }
+
   test("q172 gate shape: stacked DV deletes, data files unrewritten") {
     val got = sources.DeltaLog.deltaDvRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")

@@ -988,6 +988,97 @@ class IcebergSpec extends SparkSuite {
       orders.filter(col("o_orderkey").between(100, 999)).count())
   }
 
+  test("external merged manifest: per-entry data_sequence_number wins") {
+    // the unsound-surrogate trap: maintenance on a REAL table merges
+    // manifests, so a data file originally added at sequence 1 rides
+    // a manifest whose added_snapshot_id is 5 — scoping by the
+    // manifest's adding snapshot would skip an equality delete at
+    // sequence 3 and resurrect deleted rows; the entry's own
+    // data_sequence_number must win
+    val dir = Files.createTempDirectory("iceseq").toString
+    Files.createDirectories(Paths.get(s"$dir/metadata"))
+    val d = stagePart(dir, "data/d.parquet",
+      Seq((1L, "red"), (2L, "blue")))
+    val tmp = Files.createTempDirectory("iceseqw").toString + "/w"
+    Seq("red").toDF("s").coalesce(1).write.parquet(tmp)
+    val delFile = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val seqEntryT = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |{"name":"content","type":"int","default":0},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+        |"default":null}
+        |]}}]}""".stripMargin)
+    def seqEntry(path: String, content: Int, dataSeq: Long,
+                 eqIds: Seq[Int]): GenericRecord = {
+      val df = new GenericData.Record(
+        seqEntryT.getField("data_file").schema())
+      df.put("content", content)
+      df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 2L)
+      df.put("file_size_in_bytes", new java.io.File(path).length())
+      if (eqIds.nonEmpty)
+        df.put("equality_ids", eqIds.map(Int.box).asJava)
+      val e = new GenericData.Record(seqEntryT)
+      e.put("status", 1)
+      e.put("data_sequence_number", dataSeq)
+      e.put("data_file", df)
+      e
+    }
+    val seqListT = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int","default":0},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin)
+    def listRef(m: String, content: Int, seq: Long,
+                addedBy: Long): GenericRecord = {
+      val r = new GenericData.Record(seqListT)
+      r.put("manifest_path", m)
+      r.put("manifest_length", new java.io.File(m).length())
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("added_snapshot_id", addedBy)
+      r
+    }
+    // MERGED data manifest: added by snapshot 5 (seq 5), but the
+    // entry's data sequence is 1 (its original add)
+    val dm = s"$dir/metadata/m-data.avro"
+    writeAvro(dm, seqEntryT, Seq(seqEntry(d, 0, 1L, Seq.empty)))
+    // equality-delete manifest at sequence 3, matching s (field id 2)
+    val em = s"$dir/metadata/m-del.avro"
+    writeAvro(em, seqEntryT, Seq(seqEntry(delFile, 2, 3L, Seq(2))))
+    val l = s"$dir/metadata/l5.avro"
+    writeAvro(l, seqListT,
+      Seq(listRef(dm, 0, 5L, 5L), listRef(em, 1, 3L, 3L)))
+    Files.write(Paths.get(s"$dir/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"t","location":"$dir",
+         |"last-updated-ms":0,"last-column-id":2,"last-sequence-number":5,
+         |"schema":$schemaJson,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"properties":{},"current-snapshot-id":5,
+         |"snapshots":[{"snapshot-id":5,"sequence-number":5,"timestamp-ms":1,
+         |"summary":{"operation":"append"},"manifest-list":"$l"}]}"""
+        .stripMargin.replace("\n", "").getBytes("UTF-8"))
+    val got = sources.Iceberg.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "blue")),
+      s"delete at seq 3 must apply to data whose ENTRY seq is 1 even " +
+        s"though its merged manifest was added at seq 5; got $got")
+  }
+
   test("q173 gate shape: appended matches survive the equality delete") {
     val got = sources.Iceberg.icebergEqDeleteRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")
