@@ -412,7 +412,10 @@ object SparkEntry {
     // the open-format scans as SQL TABLE FUNCTIONS (delta_scan /
     // iceberg_scan with time travel) — the DuckDB-parity spelling
     "q178_sql_delta_scan"      -> (sources.DeltaLog.sqlDeltaScan _),
-    "q179_sql_iceberg_scan"    -> (sources.Iceberg.sqlIcebergScan _)
+    "q179_sql_iceberg_scan"    -> (sources.Iceberg.sqlIcebergScan _),
+    // named refs: a tag holds its snapshot (and its files, through
+    // expireSnapshots) until dropped
+    "q180_iceberg_tag"         -> (sources.Iceberg.icebergTagRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -614,6 +617,7 @@ object SparkEntry {
     "q176_delta_pushdown"      -> sources.DeltaLog.deltaPushdownReadSql,
     "q177_iceberg_pushdown"    -> sources.Iceberg.icebergPushdownReadSql,
     "q178_sql_delta_scan"      -> sources.DeltaLog.sqlDeltaScanSql,
-    "q179_sql_iceberg_scan"    -> sources.Iceberg.sqlIcebergScanSql
+    "q179_sql_iceberg_scan"    -> sources.Iceberg.sqlIcebergScanSql,
+    "q180_iceberg_tag"         -> sources.Iceberg.icebergTagReadSql
   )
 }

@@ -633,6 +633,58 @@ object Iceberg {
     v + 1
   }
 
+  /** NAMED REFS (Iceberg spec `refs`): tag or branch a snapshot —
+    * pure metadata, and [[expireSnapshots]] retains ref'd snapshots
+    * past the count horizon (the spec's contract: a ref holds its
+    * snapshot until dropped). `type` is "tag" (immutable audit
+    * pointer) or "branch". Returns the new metadata version. */
+  def setRef(tableDir: String, name: String, snapshotId: Long,
+             refType: String = "tag"): Int = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be tag|branch, got $refType")
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    require(meta.get("snapshots").elements().asScala
+        .exists(_.get("snapshot-id").asLong == snapshotId),
+      s"snapshot $snapshotId not in metadata")
+    val next = meta.deepCopy[ObjectNode]()
+    val refs =
+      if (next.has("refs")) next.get("refs").asInstanceOf[ObjectNode]
+      else next.putObject("refs")
+    refs.putObject(name)
+      .put("snapshot-id", snapshotId).put("type", refType)
+    publishMetadataVersion(tableDir, v + 1, next)
+    v + 1
+  }
+
+  /** Drop a ref; its snapshot becomes expirable again. */
+  def dropRef(tableDir: String, name: String): Int = {
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    require(meta.has("refs") && meta.get("refs").has(name),
+      s"no ref '$name'")
+    val next = meta.deepCopy[ObjectNode]()
+    next.get("refs").asInstanceOf[ObjectNode].remove(name)
+    publishMetadataVersion(tableDir, v + 1, next)
+    v + 1
+  }
+
+  /** The snapshot a ref names. */
+  def refSnapshot(tableDir: String, name: String): Long = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    require(meta.has("refs") && meta.get("refs").has(name),
+      s"no ref '$name' (have ${
+        if (meta.has("refs"))
+          meta.get("refs").properties().asScala.map(_.getKey).mkString(",")
+        else ""})")
+    meta.get("refs").get(name).get("snapshot-id").asLong
+  }
+
+  /** Read the table AS OF a named ref — `VERSION AS OF 'tag'`. */
+  def readRef(spark: SparkSession, tableDir: String,
+              name: String): DataFrame =
+    readSnapshot(spark, tableDir, refSnapshot(tableDir, name))
+
   private def readSnapshotFrom(spark: SparkSession, tableDir: String,
       meta: ObjectNode, snapshotId: Long): DataFrame = {
     val p = planFilesAll(tableDir, meta, snapshotId)
@@ -1712,7 +1764,17 @@ object Iceberg {
     val meta = loadMetadata(tableDir, v)
     val snaps = meta.get("snapshots").elements().asScala.toSeq
     if (snaps.size <= keepLast) return Seq.empty
-    val (expired, kept) = snaps.splitAt(snaps.size - keepLast)
+    // a snapshot NAMED by a ref (tag/branch) is retained past the
+    // count horizon — the spec's contract: refs hold their snapshots
+    // until the ref is dropped
+    val reffed: Set[Long] =
+      if (!meta.has("refs")) Set.empty
+      else meta.get("refs").properties().asScala
+        .map(_.getValue.get("snapshot-id").asLong).toSet
+    val (tail, recent) = snaps.splitAt(snaps.size - keepLast)
+    val (pinned, expired) =
+      tail.partition(s => reffed.contains(s.get("snapshot-id").asLong))
+    val kept = pinned ++ recent
     val curId = meta.get("current-snapshot-id").asLong
     require(kept.exists(_.get("snapshot-id").asLong == curId),
       s"retention $keepLast would expire the CURRENT snapshot $curId")
@@ -2071,6 +2133,30 @@ object Iceberg {
       .orderBy(col("o_orderkey"))
 
   val icebergRollbackReadSql: String = icebergTimeTravelSql
+
+  /** Session-cached TAGGED table: even snapshot, odd overwrite, then
+    * `setRef("audit-even", 1, tag)` — the pre-overwrite state held by
+    * name. IcebergSpec separately proves expireSnapshots retains the
+    * tagged snapshot past the horizon and releases it on dropRef. */
+  private[graft] def ordersIcebergTagTable(spark: SparkSession,
+                                           dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergtag") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t)
+      setRef(t, "audit-even", 1L)
+    }
+
+  /** q180 — ICEBERG NAMED REF READBACK: `VERSION AS OF 'audit-even'`
+    * resolves the tag through the metadata's `refs` map to snapshot 1
+    * (the even half) while the current read serves the overwrite — a
+    * resolver that read current, or a ref write that lost the
+    * snapshot id, hash-mismatches. */
+  def icebergTagRead(spark: SparkSession, dir: String): DataFrame =
+    readRef(spark, ordersIcebergTagTable(spark, dir), "audit-even")
+      .orderBy(col("o_orderkey"))
+
+  val icebergTagReadSql: String = icebergTimeTravelSql
 
   /** Session-cached EQUALITY-DELETE lifecycle table: snapshot 1 = odd
     * order keys; snapshot 2 = equality delete of key

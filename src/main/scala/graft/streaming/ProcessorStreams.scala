@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig,
+  ValueState}
 
 /** Spark 4's ARBITRARY-STATE API: `transformWithState` with a
   * [[StatefulProcessor]] over the RocksDB state store — the successor
@@ -124,6 +125,119 @@ object ProcessorStreams {
           col("first_us"), col("last_us"))
         .orderBy(col("user_id"))
         .localCheckpoint() // pin before the temp sink is deleted
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  case class TsEvent(user_id: Long, ts_ms: Long, ts: java.sql.Timestamp)
+  case class OpenSess(startMs: Long, endMs: Long, n: Long)
+  case class SessClose(user_id: Long, start_ms: Long, end_ms: Long,
+                       n_events: Long, via_timer: Boolean)
+
+  /** Gap sessionization with EVENT-TIME TIMERS — the API surface the
+    * classic `flatMapGroupsWithState` sessionizer cannot express
+    * directly: an idle session is closed by [[handleExpiredTimer]]
+    * when the WATERMARK passes its end + gap, not by the arrival of
+    * the user's next event. In-batch closures (a new session starting
+    * within one batch) still emit inline; the timer catches the tail
+    * — sessions whose users simply went quiet, which at 100 TB/day is
+    * most of them. Stale timers (superseded by later events extending
+    * the session) are detected against state and ignored rather than
+    * chased with deleteTimer — re-registration is cheap, correctness
+    * sits in the expiry check. */
+  class GapSessionTimers(gapMs: Long)
+      extends StatefulProcessor[Long, TsEvent, SessClose] {
+    @transient private var open: ValueState[OpenSess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSess]("open",
+        Encoders.product[OpenSess], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TsEvent],
+        timers: TimerValues): Iterator[SessClose] = {
+      val out = Seq.newBuilder[SessClose]
+      // event-time order within the batch: the state fold is
+      // order-sensitive (cross-batch order is the source's contract —
+      // the staging writes time-split files)
+      val sorted = rows.toSeq.sortBy(_.ts_ms)
+      var cur = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_ms - s.endMs <= gapMs =>
+            cur = Some(OpenSess(s.startMs, math.max(s.endMs, e.ts_ms),
+              s.n + 1))
+          case Some(s) =>
+            out += SessClose(key, s.startMs, s.endMs, s.n,
+              via_timer = false)
+            cur = Some(OpenSess(e.ts_ms, e.ts_ms, 1))
+          case None =>
+            cur = Some(OpenSess(e.ts_ms, e.ts_ms, 1))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // close when the watermark proves no extension can arrive
+        getHandle.registerTimer(s.endMs + gapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessClose] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        // a stale timer (session extended past it) fires early: the
+        // real close is still registered, ignore this one
+        if (expired.getExpiryTimeInMs < s.endMs + gapMs) Iterator.empty
+        else {
+          open.clear()
+          Iterator.single(
+            SessClose(key, s.startMs, s.endMs, s.n, via_timer = true))
+        }
+      }
+    }
+  }
+
+  /** Spec seam: run the timer sessionizer over a staged time-split
+    * source (file A = early half, file B = late half, one file per
+    * trigger so the watermark genuinely advances BETWEEN batches and
+    * timers fire on the event-time clock). Returns every emitted
+    * closure with its emission source. */
+  private[graft] def gapSessionsWithTimers(spark: SparkSession,
+      srcDir: String, work: String, gapMs: Long,
+      delay: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val sinkDir = s"$work/sink"
+      val out = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .withWatermark("ts", delay)
+        .as[TsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new GapSessionTimers(gapMs),
+          TimeMode.EventTime(), OutputMode.Append(),
+          Encoders.product[SessClose])
+      val q = out.writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$work/_checkpoint")
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[SessClose], batchId: Long) =>
+            ds.write.mode("overwrite")
+              .parquet(s"$sinkDir/batch=$batchId")
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(sinkDir).drop("batch").localCheckpoint()
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

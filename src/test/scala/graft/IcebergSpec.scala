@@ -1079,6 +1079,41 @@ class IcebergSpec extends SparkSuite {
         s"though its merged manifest was added at seq 5; got $got")
   }
 
+  test("refs: tags hold snapshots through expiry, released on drop") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceref").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.Iceberg.commitOverwrite(Seq((2L, "b")).toDF("k", "s"), dir)
+    sources.Iceberg.commitOverwrite(Seq((3L, "c")).toDF("k", "s"), dir)
+    sources.Iceberg.setRef(dir, "v1-audit", 1L)
+    // the tag resolves and reads
+    assert(sources.Iceberg.refSnapshot(dir, "v1-audit") == 1L)
+    assert(sources.Iceberg.readRef(spark, dir, "v1-audit")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // expiry retains the tagged snapshot past the count horizon
+    sources.Iceberg.expireSnapshots(dir, keepLast = 1)
+    assert(sources.Iceberg.snapshotIds(dir).toSet == Set(1L, 3L),
+      "tagged snapshot 1 must survive keepLast=1; untagged 2 expires")
+    assert(sources.Iceberg.readRef(spark, dir, "v1-audit")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the tagged snapshot's files must still read after expiry")
+    // dropping the tag releases it to the next expiry
+    sources.Iceberg.dropRef(dir, "v1-audit")
+    sources.Iceberg.expireSnapshots(dir, keepLast = 1)
+    assert(sources.Iceberg.snapshotIds(dir) == Seq(3L))
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.refSnapshot(dir, "v1-audit")
+    }
+    assert(e.getMessage.contains("no ref"))
+    // unknown snapshot refuses; bad type refuses
+    intercept[IllegalArgumentException] {
+      sources.Iceberg.setRef(dir, "x", 99L)
+    }
+    intercept[IllegalArgumentException] {
+      sources.Iceberg.setRef(dir, "x", 3L, "fork")
+    }
+  }
+
   test("q173 gate shape: appended matches survive the equality delete") {
     val got = sources.Iceberg.icebergEqDeleteRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")

@@ -273,4 +273,52 @@ class StatefulStreamsSpec extends SparkSuite {
         "spark.sql.streaming.stateStore.providerClass")
       .exists(_.contains("RocksDB")))
   }
+
+  test("event-time timers close idle sessions when the watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val work = java.nio.file.Files.createTempDirectory("twstimer").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$work/src"))
+    def stage(name: String, rows: Seq[(Long, Long)]): Unit = {
+      // deterministic file NAMES (trigger order is (mtime, path)) and
+      // one file per stage call
+      val tmp =
+        java.nio.file.Files.createTempDirectory("twsst").toString + "/w"
+      rows.toDF("user_id", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$work/src/$name.parquet"))
+    }
+    // all timestamps sit past the initial watermark (0), which drops
+    // rows at-or-before it. file A (early): user 100's two-event
+    // session; user 200's single event. file B (late): only user 200
+    // returns, far past the gap — user 100 goes quiet forever.
+    val t0 = 10000000L
+    stage("a", Seq((100L, t0), (100L, t0 + 60000L), (200L, t0)))
+    stage("b", Seq((200L, t0 + 3600000L)))
+    val gapMs = 600000L
+    val got = streaming.ProcessorStreams.gapSessionsWithTimers(
+        spark, s"$work/src", work, gapMs, "0 seconds")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+        r.getAs[Long]("end_ms"), r.getAs[Long]("n_events"),
+        r.getAs[Boolean]("via_timer")))
+    // user 100's session must be closed BY THE TIMER: no later event
+    // of theirs ever arrives — only the watermark (advanced by user
+    // 200's late event) can prove the session over
+    val u100 = got.filter(_._1 == 100L).toSeq
+    assert(u100 == Seq((100L, t0, t0 + 60000L, 2L, true)),
+      s"idle session must close via timer: ${got.toSeq}")
+    // user 200's first session closes too (inline or timer — order
+    // of timer-vs-input within the batch is the engine's choice)
+    assert(got.filter(_._1 == 200L)
+      .map(t => (t._2, t._3, t._4)).toSeq == Seq((t0, t0, 1L)))
+    // the session still OPEN at end-of-stream (user 200's return,
+    // whose close-timer sits past the final watermark) must NOT leak
+    assert(got.length == 2, s"open tail session leaked: ${got.toSeq}")
+  }
 }
