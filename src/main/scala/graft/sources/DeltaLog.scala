@@ -323,7 +323,19 @@ object DeltaLog {
   def commitTimestamps(tableDir: String): Seq[(Long, Long)] = {
     var prev = Long.MinValue
     versions(tableDir).map { v =>
-      val m = commitFile(tableDir, v).lastModified()
+      // in-commit timestamp preferred (survives copied logs whose
+      // mtimes were reset); mtime is the protocol's fallback for
+      // commits without commitInfo
+      val f = commitFile(tableDir, v)
+      val inCommit: Option[Long] =
+        Files.readAllLines(f.toPath).asScala.filter(_.nonEmpty)
+          .map(mapper.readTree)
+          .collectFirst {
+            case n if n.has("commitInfo") &&
+              n.get("commitInfo").has("timestamp") =>
+              n.get("commitInfo").get("timestamp").asLong
+          }
+      val m = inCommit.getOrElse(f.lastModified())
       val t = if (m <= prev) prev + 1 else m
       prev = t
       (v, t)
@@ -795,10 +807,22 @@ object DeltaLog {
   private def writeActions(tableDir: String, v: Long,
                            actions: Seq[ObjectNode]): Boolean = {
     Files.createDirectories(Paths.get(logDir(tableDir)))
+    // every commit carries commitInfo with an IN-COMMIT timestamp:
+    // [[commitTimestamps]] prefers it over file mtimes, so
+    // `timestampAsOf` survives a log that was copied/rsynced
+    // (mtimes reset) — the operational failure mtime-based
+    // resolution cannot
+    val ci = mapper.createObjectNode()
+    ci.putObject("commitInfo")
+      .put("timestamp", System.currentTimeMillis())
+      .put("engineInfo", "graft-spark")
+    val stamped =
+      if (actions.exists(_.has("commitInfo"))) actions
+      else ci +: actions
     val tmp = Files.createTempFile(
       Paths.get(logDir(tableDir)), s".$v-", ".json.tmp")
     Files.write(tmp,
-      actions.map(mapper.writeValueAsString).mkString("", "\n", "\n")
+      stamped.map(mapper.writeValueAsString).mkString("", "\n", "\n")
         .getBytes("UTF-8"))
     try { Files.createLink(commitFile(tableDir, v).toPath, tmp); true }
     catch {

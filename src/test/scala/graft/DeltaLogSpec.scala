@@ -845,6 +845,25 @@ class DeltaLogSpec extends SparkSuite {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("in-commit timestamps survive a copied log (mtimes reset)") {
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("dlict").toString + "/t"
+    sources.DeltaLog.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitOverwrite(Seq((2L, "b")).toDF("k", "s"), dir)
+    val before = sources.DeltaLog.commitTimestamps(dir)
+    // simulate an rsync/copy: every commit file's mtime collapses
+    sources.DeltaLog.versions(dir).foreach(v =>
+      Files.setLastModifiedTime(
+        Paths.get(f"$dir/_delta_log/$v%020d.json"),
+        FileTime.fromMillis(1000)))
+    assert(sources.DeltaLog.commitTimestamps(dir) == before,
+      "commitInfo timestamps must win over (destroyed) mtimes")
+    assert(sources.DeltaLog.versionAsOf(dir, before.head._2) == 0L)
+    assert(sources.DeltaLog
+      .readAsOfTimestamp(spark, dir, before.head._2)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("restore: new commit re-adds old files, history intact, no data written") {
     val dir = Files.createTempDirectory("dlrs").toString + "/t"
     val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
