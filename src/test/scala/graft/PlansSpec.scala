@@ -27,6 +27,28 @@ class PlansSpec extends SparkSuite {
       s"expected exactly one data scan:\n$p")
   }
 
+  test("q176 pushdown re-applies the predicate INTO the parquet scan") {
+    // file pruning happens driver-side; the exact predicate must then
+    // still reach the surviving files' scan as parquet PushedFilters
+    // — both layers, not either
+    val p = plan("q176_delta_pushdown")
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("LessThanOrEqual(o_custkey,750)"),
+      s"the custkey bound must reach the parquet reader:\n$p")
+  }
+
+  test("q177 hidden-bucket pushdown stays a single plain scan") {
+    // bucket pruning is metadata; the data files carry the full
+    // schema, so the plan is one parquet scan with the key predicate
+    // pushed — no join, no reconstruction
+    val p = plan("q177_iceberg_pushdown")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"one scan:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"hidden-partition reads need no reconstruction join:\n$p")
+    assert(p.contains("EqualTo(o_custkey,42)"),
+      s"the key predicate must reach the parquet reader:\n$p")
+  }
+
   test("q03 daily summary prunes the orders scan to the 3 needed columns") {
     val p = plan("q03_daily_sales_summary")
     assert(p.contains("ReadSchema: struct<o_custkey"))
