@@ -415,7 +415,10 @@ object SparkEntry {
     "q179_sql_iceberg_scan"    -> (sources.Iceberg.sqlIcebergScan _),
     // named refs: a tag holds its snapshot (and its files, through
     // expireSnapshots) until dropped
-    "q180_iceberg_tag"         -> (sources.Iceberg.icebergTagRead _)
+    "q180_iceberg_tag"         -> (sources.Iceberg.icebergTagRead _),
+    // CDF over deletion vectors: bitmap diffs surface as row-level
+    // deletes, never whole-file churn
+    "q181_delta_dv_changes"    -> (sources.DeltaLog.deltaDvChanges _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -618,6 +621,7 @@ object SparkEntry {
     "q177_iceberg_pushdown"    -> sources.Iceberg.icebergPushdownReadSql,
     "q178_sql_delta_scan"      -> sources.DeltaLog.sqlDeltaScanSql,
     "q179_sql_iceberg_scan"    -> sources.Iceberg.sqlIcebergScanSql,
-    "q180_iceberg_tag"         -> sources.Iceberg.icebergTagReadSql
+    "q180_iceberg_tag"         -> sources.Iceberg.icebergTagReadSql,
+    "q181_delta_dv_changes"    -> sources.DeltaLog.deltaDvChangesSql
   )
 }

@@ -158,8 +158,9 @@ object DeltaLog {
     // insertion-ordered so `files` ties break deterministically
     val adds = scala.collection.mutable.LinkedHashMap
       .empty[String, AddFile]
-    def applyLine(line: String): Unit = {
-      val node = mapper.readTree(line)
+    def applyLine(line: String): Unit = applyNode(mapper.readTree(line))
+
+    def applyNode(node: JsonNode): Unit = {
       if (node.has("protocol")) {
         val p = node.get("protocol")
         val r = p.get("minReaderVersion").asInt
@@ -1415,6 +1416,31 @@ object DeltaLog {
       |WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q181 — CDF OVER DELETION VECTORS: a DV update (remove+re-add of
+    * the same path with a grown bitmap) must surface as ROW-LEVEL
+    * deletes — exactly the newly-set positions, scanned from the one
+    * touched file. A CDF that emitted the re-add as insert+delete of
+    * the whole file floods downstream with false churn; one that
+    * diffed against the wrong prior bitmap re-emits v1's tenths
+    * under v2 — the three-arm oracle catches both. */
+  def deltaDvChanges(spark: SparkSession, dir: String): DataFrame = {
+    val t = ordersDvTable(spark, dir)
+    readChanges(spark, t, 0L, versions(t).last)
+      .orderBy(col("o_orderkey"), col("_commit_version"))
+  }
+
+  val deltaDvChangesSql: String =
+    """SELECT * FROM (
+      |  SELECT o.*, 'insert' AS _change_type,
+      |         CAST(0 AS BIGINT) AS _commit_version FROM orders o
+      |  UNION ALL
+      |  SELECT o.*, 'delete', CAST(1 AS BIGINT) FROM orders o
+      |  WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o.*, 'delete', CAST(2 AS BIGINT) FROM orders o
+      |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+      |) ORDER BY o_orderkey, _commit_version""".stripMargin
+
   /** Session-cached PARTITIONED Delta table: orders written
     * `partitionBy(o_orderstatus)` through the log, one commit. The
     * status column's values exist only in `add.partitionValues`. */
@@ -1882,34 +1908,63 @@ object DeltaLog {
     def record(v: Long, ct: String, path: String, a: AddFile): Unit =
       groups.getOrElseUpdate((v, ct),
         scala.collection.mutable.LinkedHashMap.empty).put(path, a)
+    // (version, path) -> newly-deleted row positions: a DV update
+    // (remove+re-add of the SAME path with a grown bitmap) is a
+    // ROW-level delete, not a file churn
+    val dvDeletes = Seq.newBuilder[(Long, String, Seq[Long])]
     vs.filter(_ <= toVersion).foreach { v =>
       val inRange = v >= fromVersion
-      Files.readAllLines(commitFile(tableDir, v).toPath).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
-          def dataChange(action: JsonNode): Boolean =
-            !action.has("dataChange") || action.get("dataChange").asBoolean
-          if (inRange && node.has("add") && dataChange(node.get("add"))) {
-            require(!node.get("add").has("deletionVector"),
-              s"commit $v adds a file with a deletion vector — CDF " +
-                "over DV commits is out of scope (a DV add updates " +
-                "prior rows; emitting it as an insert would be wrong)")
-            // partitionValues parse rides the replayer's own path —
-            // apply first, then read the parsed AddFile back
-            r.applyLine(line)
-            val p = node.get("add").get("path").asText
-            record(v, "insert", p, r.adds(p))
-          } else if (inRange && node.has("remove") &&
-              dataChange(node.get("remove"))) {
-            val p = node.get("remove").get("path").asText
+      val nodes = Files.readAllLines(commitFile(tableDir, v).toPath)
+        .asScala.filter(_.nonEmpty).map(mapper.readTree).toSeq
+      def dataChange(action: JsonNode): Boolean =
+        !action.has("dataChange") || action.get("dataChange").asBoolean
+      // the pre-commit adds: a DV re-add needs the file's PRIOR
+      // bitmap, which the paired remove has destroyed by the time
+      // the add line is reached
+      val preAdds: Map[String, AddFile] = r.adds.toMap
+      // paths this commit re-adds WITH a DV (their paired removes are
+      // the other half of the same row-delete, not whole-file deletes)
+      val dvReadds: Set[String] = nodes.collect {
+        case n if n.has("add") && dataChange(n.get("add")) &&
+          n.get("add").has("deletionVector") =>
+          n.get("add").get("path").asText
+      }.toSet
+      nodes.foreach { node =>
+        if (inRange && node.has("add") && dataChange(node.get("add"))) {
+          val p = node.get("add").get("path").asText
+          // partitionValues/DV parse ride the replayer's own path —
+          // apply first, then read the parsed AddFile back
+          r.applyNode(node)
+          val parsed = r.adds(p)
+          if (parsed.dv.isDefined) {
+            val prior = preAdds.getOrElse(p,
+              throw new IllegalArgumentException(
+                s"commit $v adds a deletion vector for unknown file " +
+                  s"$p — cannot diff its deleted rows"))
+            val before = prior.dv
+              .map(DeletionVectors.readPositions(tableDir, _).toSet)
+              .getOrElse(Set.empty)
+            val after =
+              DeletionVectors.readPositions(tableDir, parsed.dv.get)
+            require(before.subsetOf(after.toSet),
+              s"commit $v SHRANK file $p's deletion vector — an " +
+                "undelete has no CDF spelling here")
+            dvDeletes += ((v, p, after.filterNot(before)))
+          } else record(v, "insert", p, parsed)
+        } else if (inRange && node.has("remove") &&
+            dataChange(node.get("remove"))) {
+          val p = node.get("remove").get("path").asText
+          if (dvReadds.contains(p)) r.applyNode(node) // DV update half
+          else {
             val a = r.adds.getOrElse(p,
               throw new IllegalArgumentException(
                 s"commit $v removes unknown file $p — cannot attribute " +
                   "partition values for its delete rows"))
             record(v, "delete", p, a)
-            r.applyLine(line)
-          } else r.applyLine(line)
-        }
+            r.applyNode(node)
+          }
+        } else r.applyNode(node)
+      }
     }
     val st = r.state(toVersion)
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
@@ -1929,7 +1984,25 @@ object DeltaLog {
         .withColumn("_change_type", lit(ct))
         .withColumn("_commit_version", lit(v))
     }
-    parts.reduceOption(_ unionByName _).getOrElse(
+    // DV updates: the newly-set bitmap positions ARE the deleted
+    // rows — scan just that file, semi-join the positions (broadcast:
+    // a DV delta is O(deleted keys) by construction)
+    val dvParts = dvDeletes.result().map { case (v, p, fresh) =>
+      import org.apache.spark.sql.functions.broadcast
+      val abs = if (p.startsWith("/") || p.contains("://")) p
+        else s"$tableDir/$p"
+      val posDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](fresh.map(Row(_)).asJava),
+        StructType(Seq(StructField("_dv_pos", LongType))))
+      spark.read.schema(st.schema).parquet(abs)
+        .withColumn("_cdf_pos", col("_metadata.row_index"))
+        .join(broadcast(posDf),
+          col("_cdf_pos") === col("_dv_pos"), "left_semi")
+        .drop("_cdf_pos")
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_commit_version", lit(v))
+    }
+    (parts ++ dvParts).reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), changeSchema))
   }

@@ -983,12 +983,27 @@ class DeltaLogSpec extends SparkSuite {
     assert(sources.DeletionVectors.dvFiles(dir).nonEmpty,
       "live DVs must survive vacuum")
     assert(sources.DeltaLog.read(spark, dir).count() == 90)
-    // CDF over a DV commit refuses loudly
-    val e = intercept[IllegalArgumentException] {
-      sources.DeltaLog.readChanges(spark, dir, 0L,
-        sources.DeltaLog.versions(dir).last).count()
-    }
-    assert(e.getMessage.contains("deletion vector"))
+  }
+
+  test("CDF over DV commits emits row-level deletes from bitmap diffs") {
+    val dir = Files.createTempDirectory("dldvcdf").toString + "/t"
+    val df = (1L to 100L).map(k => (k, s"s$k")).toDF("k", "s")
+    sources.DeltaLog.commitOverwrite(df.repartition(3), dir)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 10 === 0)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 7 === 0)
+    val cdf = sources.DeltaLog.readChanges(spark, dir, 0L, 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version")))
+    assert(cdf.count(_._2 == "insert") == 100)
+    assert(cdf.filter(c => c._2 == "delete" && c._3 == 1L)
+      .map(_._1).sorted.toSeq == (1L to 100L).filter(_ % 10 == 0),
+      "v1's CDF must be exactly the tenth keys, row-level")
+    // v2's deletes are the DIFF against v1's bitmap: sevenths that
+    // were not already deleted as tenths (70 must NOT re-emit)
+    assert(cdf.filter(c => c._2 == "delete" && c._3 == 2L)
+      .map(_._1).sorted.toSeq ==
+      (1L to 100L).filter(k => k % 7 == 0 && k % 10 != 0))
   }
 
   test("hand-written DV log reads; unknown reader feature refuses") {
