@@ -418,7 +418,10 @@ object SparkEntry {
     "q180_iceberg_tag"         -> (sources.Iceberg.icebergTagRead _),
     // CDF over deletion vectors: bitmap diffs surface as row-level
     // deletes, never whole-file churn
-    "q181_delta_dv_changes"    -> (sources.DeltaLog.deltaDvChanges _)
+    "q181_delta_dv_changes"    -> (sources.DeltaLog.deltaDvChanges _),
+    // write-audit-publish: stage on a branch, main unmoved until the
+    // atomic fast_forward publish
+    "q182_iceberg_wap"         -> (sources.Iceberg.icebergWapRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -622,6 +625,7 @@ object SparkEntry {
     "q178_sql_delta_scan"      -> sources.DeltaLog.sqlDeltaScanSql,
     "q179_sql_iceberg_scan"    -> sources.Iceberg.sqlIcebergScanSql,
     "q180_iceberg_tag"         -> sources.Iceberg.icebergTagReadSql,
-    "q181_delta_dv_changes"    -> sources.DeltaLog.deltaDvChangesSql
+    "q181_delta_dv_changes"    -> sources.DeltaLog.deltaDvChangesSql,
+    "q182_iceberg_wap"         -> sources.Iceberg.icebergWapReadSql
   )
 }

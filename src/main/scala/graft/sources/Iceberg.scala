@@ -685,6 +685,33 @@ object Iceberg {
               name: String): DataFrame =
     readSnapshot(spark, tableDir, refSnapshot(tableDir, name))
 
+  /** WRITE-AUDIT-PUBLISH staging: append `df` as a new snapshot on
+    * `branch` — the branch ref advances (created from main's head if
+    * absent), MAIN's current-snapshot-id does not move, so readers
+    * keep serving the audited state while the stage accumulates.
+    * Returns the staged snapshot id. */
+  def commitAppendToBranch(df: DataFrame, tableDir: String,
+                           branch: String): Long =
+    commit(df, tableDir, overwrite = false, toBranch = Some(branch))
+
+  /** PUBLISH a branch (Iceberg's `fast_forward`): point main's
+    * current-snapshot-id at the branch head — metadata only, the
+    * audited snapshots become the table in one atomic metadata
+    * version. Returns the new metadata version. */
+  def fastForward(tableDir: String, branch: String): Int = {
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    require(meta.has("refs") && meta.get("refs").has(branch),
+      s"no branch '$branch' to publish")
+    val ref = meta.get("refs").get(branch)
+    require(ref.get("type").asText == "branch",
+      s"'$branch' is a ${ref.get("type").asText}, not a branch")
+    val next = meta.deepCopy[ObjectNode]()
+    next.put("current-snapshot-id", ref.get("snapshot-id").asLong)
+    publishMetadataVersion(tableDir, v + 1, next)
+    v + 1
+  }
+
   private def readSnapshotFrom(spark: SparkSession, tableDir: String,
       meta: ObjectNode, snapshotId: Long): DataFrame = {
     val p = planFilesAll(tableDir, meta, snapshotId)
@@ -1038,7 +1065,8 @@ object Iceberg {
   private def commit(df: DataFrame, tableDir: String,
                      overwrite: Boolean,
                      partCols: Seq[String] = Seq.empty,
-                     hiddenSpec: Seq[(String, String)] = Seq.empty): Long = {
+                     hiddenSpec: Seq[(String, String)] = Seq.empty,
+                     toBranch: Option[String] = None): Long = {
     import graft.functions.IcebergTransforms
     require(partCols.isEmpty || hiddenSpec.isEmpty,
       "a commit declares either identity partCols (hive-shape) or a " +
@@ -1154,9 +1182,17 @@ object Iceberg {
     val prevManifests: Seq[(String, Long, Int, Any)] =
       if (overwrite || prevMeta.isEmpty) Seq.empty
       else {
-        val curId = prevMeta.get.get("current-snapshot-id").asLong
+        // an append's PARENT is the branch head when committing to a
+        // branch (WAP staging), otherwise the main current snapshot
+        val baseId = toBranch match {
+          case Some(b)
+              if prevMeta.get.has("refs") &&
+                prevMeta.get.get("refs").has(b) =>
+            prevMeta.get.get("refs").get(b).get("snapshot-id").asLong
+          case _ => prevMeta.get.get("current-snapshot-id").asLong
+        }
         val curSnap = prevMeta.get.get("snapshots").elements().asScala
-          .find(_.get("snapshot-id").asLong == curId).get
+          .find(_.get("snapshot-id").asLong == baseId).get
         readAvro(curSnap.get("manifest-list").asText)
           .map(r => (r.get("manifest_path").toString,
             r.get("manifest_length").asInstanceOf[Long],
@@ -1217,7 +1253,24 @@ object Iceberg {
     }
     meta.put("default-spec-id", 0)
     meta.putObject("properties")
-    meta.put("current-snapshot-id", snapshotId)
+    // refs carry across commits (they are table state, not snapshot
+    // state); a BRANCH commit advances its ref and leaves main's
+    // current-snapshot-id untouched — the write-audit-publish shape
+    val refs = meta.putObject("refs")
+    prevMeta.filter(_.has("refs")).foreach(
+      _.get("refs").properties().asScala.foreach(e =>
+        refs.set[com.fasterxml.jackson.databind.JsonNode](
+          e.getKey, e.getValue)))
+    toBranch match {
+      case Some(b) =>
+        refs.putObject(b)
+          .put("snapshot-id", snapshotId).put("type", "branch")
+        meta.put("current-snapshot-id",
+          prevMeta.map(_.get("current-snapshot-id").asLong)
+            .getOrElse(snapshotId))
+      case None =>
+        meta.put("current-snapshot-id", snapshotId)
+    }
     val snaps: ArrayNode = meta.putArray("snapshots")
     prevMeta.foreach(_.get("snapshots").elements().asScala
       .foreach(s => snaps.add(s)))
@@ -2157,6 +2210,32 @@ object Iceberg {
       .orderBy(col("o_orderkey"))
 
   val icebergTagReadSql: String = icebergTimeTravelSql
+
+  /** Session-cached WRITE-AUDIT-PUBLISH table: evens on main, odds
+    * staged onto the `audit` branch (main still serves evens — the
+    * audit window, IcebergSpec-held), then `fastForward` publishes. */
+  private[graft] def ordersIcebergWapTable(spark: SparkSession,
+                                           dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergwap") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      commitAppendToBranch(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t, "audit")
+      fastForward(t, "audit")
+    }
+
+  /** q182 — WRITE-AUDIT-PUBLISH READBACK: after the publish, main
+    * must serve the staged union (evens + odds) through ONE atomic
+    * metadata step — a branch commit that moved main early breaks
+    * the audit window (spec-held mid-state), one whose staged
+    * snapshot lost main's manifests drops the evens and
+    * hash-mismatches here. */
+  def icebergWapRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersIcebergWapTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val icebergWapReadSql: String =
+    """SELECT * FROM orders ORDER BY o_orderkey"""
 
   /** Session-cached EQUALITY-DELETE lifecycle table: snapshot 1 = odd
     * order keys; snapshot 2 = equality delete of key

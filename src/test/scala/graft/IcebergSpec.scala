@@ -1114,6 +1114,41 @@ class IcebergSpec extends SparkSuite {
     }
   }
 
+  test("write-audit-publish: branch stages, main frozen, publish atomic") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icewap").toString + "/t"
+    sources.Iceberg.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    // stage two appends on the audit branch
+    sources.Iceberg.commitAppendToBranch(
+      Seq((3L, "c")).toDF("k", "s"), dir, "audit")
+    sources.Iceberg.commitAppendToBranch(
+      Seq((4L, "d")).toDF("k", "s"), dir, "audit")
+    // the AUDIT WINDOW: main still serves the published state while
+    // the branch accumulates — the whole point of WAP
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "main must not move while the branch stages")
+    assert(sources.Iceberg.readRef(spark, dir, "audit")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "the branch head must see base + both staged appends")
+    // refs survive unrelated main commits (the carry-forward bug
+    // class: a rebuilt metadata that dropped refs would lose the
+    // staged branch silently) — note this commit also moves main
+    sources.Iceberg.commitAppend(Seq((9L, "z")).toDF("k", "s"), dir)
+    assert(sources.Iceberg.refSnapshot(dir, "audit") > 0)
+    // publish: one atomic metadata step
+    sources.Iceberg.fastForward(dir, "audit")
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // a tag cannot be fast-forwarded
+    sources.Iceberg.setRef(dir, "pin", 1L)
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.fastForward(dir, "pin")
+    }
+    assert(e.getMessage.contains("not a branch"))
+  }
+
   test("q173 gate shape: appended matches survive the equality delete") {
     val got = sources.Iceberg.icebergEqDeleteRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")
