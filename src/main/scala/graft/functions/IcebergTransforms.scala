@@ -175,7 +175,12 @@ object IcebergTransforms {
       case TruncateRe(_) =>
         require(srcType == LongType || srcType == IntegerType,
           s"truncate over $srcType not supported (long/int only)")
-        LongType
+        // the spec defines truncate as TYPE-PRESERVING (int source →
+        // int tuple); the scalar math in [[truncateCol]] may widen to
+        // long internally, but the manifest's avro partition field
+        // must carry the source type or external clients deriving the
+        // tuple type from spec+schema mis-read the value
+        srcType
       case other => throw new IllegalArgumentException(
         s"unsupported Iceberg partition transform '$other'")
     }

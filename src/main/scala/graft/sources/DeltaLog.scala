@@ -158,8 +158,6 @@ object DeltaLog {
     // insertion-ordered so `files` ties break deterministically
     val adds = scala.collection.mutable.LinkedHashMap
       .empty[String, AddFile]
-    def applyLine(line: String): Unit = applyNode(mapper.readTree(line))
-
     def applyNode(node: JsonNode): Unit = {
       if (node.has("protocol")) {
         val p = node.get("protocol")
@@ -221,6 +219,36 @@ object DeltaLog {
       }
       if (node.has("remove"))
         adds.remove(node.get("remove").get("path").asText)
+    }
+
+    /** Apply ONE commit's actions, order-insensitively for the DV
+      * re-add pattern: the spec keys file actions by (path, dvId), so
+      * a remove of the OLD (path, oldDv) must not tombstone the NEW
+      * (path, newDv) add even when the commit file lists the add
+      * first (action order within a commit is not pinned). This
+      * path-keyed replayer approximates that keying with a
+      * commit-scoped guard: a remove whose path was re-added WITH a
+      * deletion vector earlier in the same commit is the paired
+      * tombstone of the old file version — skipping it is exactly
+      * what (path, dvId) keying would do. */
+    def applyCommit(nodes: Seq[JsonNode]): Unit = {
+      val dvReadds: Set[String] = nodes.collect {
+        case n if n.has("add") && n.get("add").has("deletionVector") =>
+          n.get("add").get("path").asText
+      }.toSet
+      val appliedDvAdd = scala.collection.mutable.Set.empty[String]
+      nodes.foreach { node =>
+        if (node.has("remove") && {
+            val p = node.get("remove").get("path").asText
+            dvReadds.contains(p) && appliedDvAdd.contains(p)
+          }) ()
+        else {
+          if (node.has("add") &&
+            dvReadds.contains(node.get("add").get("path").asText))
+            appliedDvAdd += node.get("add").get("path").asText
+          applyNode(node)
+        }
+      }
     }
     def state(version: Long): State = {
       require(schema != null, s"log through $version carries no metaData")
@@ -303,8 +331,8 @@ object DeltaLog {
     val tail = vs.filter(v => v >= from && v <= version)
     lastJsonCommitsRead = tail.size
     tail.foreach { v =>
-      Files.readAllLines(commitFile(tableDir, v).toPath).asScala
-        .filter(_.nonEmpty).foreach(r.applyLine)
+      r.applyCommit(Files.readAllLines(commitFile(tableDir, v).toPath)
+        .asScala.filter(_.nonEmpty).map(mapper.readTree).toSeq)
     }
     r.state(version)
   }
@@ -617,6 +645,8 @@ object DeltaLog {
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType),
       StructField("readerFeatures", ArrayType(StringType),
+        nullable = true),
+      StructField("writerFeatures", ArrayType(StringType),
         nullable = true)))
     val metaDataT = StructType(Seq(
       StructField("id", StringType),
@@ -651,10 +681,17 @@ object DeltaLog {
     // a checkpoint that downgraded to (1,2) would make that valid
     // tail unreadable. Feature configs ride for the same reason.
     val mapped = st.columnMapping.nonEmpty
+    // minWriterVersion 7 REQUIRES a writerFeatures list (the spec's
+    // table-features contract) — a checkpoint carrying only
+    // readerFeatures is rejected by real Delta clients replaying from
+    // it, even though the JSON commits were fine; mirror the reader
+    // list (every feature this writer emits is reader-writer paired)
     val protoRow =
-      if (st.minReader == 3) Row(3, 7, st.readerFeatures.toSeq.sorted)
-      else if (st.minReader == 2 || mapped) Row(2, 5, null)
-      else Row(1, 2, null)
+      if (st.minReader == 3)
+        Row(3, 7, st.readerFeatures.toSeq.sorted,
+          st.readerFeatures.toSeq.sorted)
+      else if (st.minReader == 2 || mapped) Row(2, 5, null, null)
+      else Row(1, 2, null, null)
     rows.add(Row(protoRow, null, null))
     rows.add(Row(null,
       Row("ckpt", st.schema.json, st.partitionColumns,
@@ -1929,9 +1966,22 @@ object DeltaLog {
           n.get("add").has("deletionVector") =>
           n.get("add").get("path").asText
       }.toSet
+      // action order WITHIN a commit is not pinned by the spec: if a
+      // DV re-add lists its add BEFORE the paired remove, applying
+      // the remove afterwards would delete the just-updated AddFile
+      // from state — track which re-add paths have applied and skip
+      // their trailing remove (its only effect would be that delete)
+      val appliedDvAdd = scala.collection.mutable.Set.empty[String]
       nodes.foreach { node =>
-        if (inRange && node.has("add") && dataChange(node.get("add"))) {
+        if (node.has("remove") && {
+            val p = node.get("remove").get("path").asText
+            dvReadds.contains(p) && appliedDvAdd.contains(p)
+          }) {
+          // trailing half of an already-applied DV update: no-op
+        } else if (inRange && node.has("add") &&
+            dataChange(node.get("add"))) {
           val p = node.get("add").get("path").asText
+          if (dvReadds.contains(p)) appliedDvAdd += p
           // partitionValues/DV parse ride the replayer's own path —
           // apply first, then read the parsed AddFile back
           r.applyNode(node)
@@ -1963,7 +2013,14 @@ object DeltaLog {
             record(v, "delete", p, a)
             r.applyNode(node)
           }
-        } else r.applyNode(node)
+        } else {
+          // pre-range commits replay through here too — a DV re-add
+          // whose add precedes its remove needs the same guard
+          if (node.has("add") &&
+            dvReadds.contains(node.get("add").get("path").asText))
+            appliedDvAdd += node.get("add").get("path").asText
+          r.applyNode(node)
+        }
       }
     }
     val st = r.state(toVersion)

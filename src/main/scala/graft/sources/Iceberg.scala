@@ -629,8 +629,28 @@ object Iceberg {
         s"${snapshotIds(tableDir).mkString(",")})")
     val next = meta.deepCopy[ObjectNode]()
     next.put("current-snapshot-id", snapshotId)
+    appendSnapshotLog(next, snapshotId)
     publishMetadataVersion(tableDir, v + 1, next)
     v + 1
+  }
+
+  /** Record a CURRENT-snapshot-id transition in `snapshot-log` — the
+    * list external clients binary-search for FOR TIMESTAMP AS OF.
+    * The entry's timestamp is forced past every recorded one so the
+    * log stays chronologically ordered (a rollback would otherwise
+    * land "before" the snapshot it reinstates). */
+  private def appendSnapshotLog(meta: ObjectNode, snapshotId: Long): Unit = {
+    val log: ArrayNode =
+      if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").asInstanceOf[ArrayNode]
+      else meta.putArray("snapshot-log")
+    val prevMax = log.elements().asScala
+      .map(_.get("timestamp-ms").asLong).maxOption.getOrElse(0L)
+    log.addObject()
+      .put("timestamp-ms",
+        math.max(prevMax + 1, System.currentTimeMillis()))
+      .put("snapshot-id", snapshotId)
+    ()
   }
 
   /** NAMED REFS (Iceberg spec `refs`): tag or branch a snapshot —
@@ -708,6 +728,7 @@ object Iceberg {
       s"'$branch' is a ${ref.get("type").asText}, not a branch")
     val next = meta.deepCopy[ObjectNode]()
     next.put("current-snapshot-id", ref.get("snapshot-id").asLong)
+    appendSnapshotLog(next, ref.get("snapshot-id").asLong)
     publishMetadataVersion(tableDir, v + 1, next)
     v + 1
   }
@@ -1261,16 +1282,16 @@ object Iceberg {
       _.get("refs").properties().asScala.foreach(e =>
         refs.set[com.fasterxml.jackson.databind.JsonNode](
           e.getKey, e.getValue)))
-    toBranch match {
+    val prevCurrent: Option[Long] =
+      prevMeta.map(_.get("current-snapshot-id").asLong)
+    val newCurrent: Long = toBranch match {
       case Some(b) =>
         refs.putObject(b)
           .put("snapshot-id", snapshotId).put("type", "branch")
-        meta.put("current-snapshot-id",
-          prevMeta.map(_.get("current-snapshot-id").asLong)
-            .getOrElse(snapshotId))
-      case None =>
-        meta.put("current-snapshot-id", snapshotId)
+        prevCurrent.getOrElse(snapshotId)
+      case None => snapshotId
     }
+    meta.put("current-snapshot-id", newCurrent)
     val snaps: ArrayNode = meta.putArray("snapshots")
     prevMeta.foreach(_.get("snapshots").elements().asScala
       .foreach(s => snaps.add(s)))
@@ -1287,8 +1308,15 @@ object Iceberg {
     val snapLog = meta.putArray("snapshot-log")
     prevMeta.filter(_.has("snapshot-log")).foreach(
       _.get("snapshot-log").elements().asScala.foreach(snapLog.add))
-    snapLog.addObject()
-      .put("timestamp-ms", snapTs).put("snapshot-id", snapshotId)
+    // snapshot-log records CURRENT-snapshot-id transitions, not
+    // snapshot creation: external clients resolve FOR TIMESTAMP AS OF
+    // through it, so a branch commit (current unchanged) must NOT
+    // append — an entry here would let a reader resolve to an
+    // unpublished WAP-staged snapshot inside the audit window;
+    // [[rollbackTo]]/[[fastForward]] append their transitions instead
+    if (!prevCurrent.contains(newCurrent))
+      snapLog.addObject()
+        .put("timestamp-ms", snapTs).put("snapshot-id", newCurrent)
     val metaLog = meta.putArray("metadata-log")
     prevMeta.filter(_.has("metadata-log")).foreach(
       _.get("metadata-log").elements().asScala.foreach(metaLog.add))

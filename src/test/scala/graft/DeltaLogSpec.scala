@@ -1148,6 +1148,64 @@ class DeltaLogSpec extends SparkSuite {
       col("o_orderpriority").isNotNull).count())
   }
 
+  test("checkpoint protocol row carries writerFeatures at reader v3") {
+    val dir = Files.createTempDirectory("dlwf").toString + "/t"
+    val df = (1L to 50L).map(k => (k, s"s$k")).toDF("k", "s")
+    sources.DeltaLog.commitOverwrite(df.repartition(2), dir)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 5 === 0)
+    sources.DeltaLog.checkpoint(spark, dir)
+    val ckpt = new java.io.File(s"$dir/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".checkpoint.parquet")).head
+    val proto = spark.read.parquet(ckpt.getPath)
+      .select("protocol.*")
+      .where(col("minReaderVersion").isNotNull)
+      .collect().toSeq
+    assert(proto.size == 1)
+    assert(proto.head.getAs[Int]("minReaderVersion") == 3)
+    assert(proto.head.getAs[Int]("minWriterVersion") == 7)
+    assert(proto.head.getAs[scala.collection.Seq[String]](
+      "readerFeatures").toSeq == Seq("deletionVectors"))
+    // minWriterVersion 7 REQUIRES a writerFeatures list — a real
+    // Delta client replaying from a checkpoint without it rejects
+    // the table even though the JSON commits carried both lists
+    assert(proto.head.getAs[scala.collection.Seq[String]](
+      "writerFeatures").toSeq == Seq("deletionVectors"))
+    // and the checkpoint still seeds a correct read
+    assert(sources.DeltaLog.read(spark, dir).count() == 40)
+    assert(sources.DeltaLog.lastJsonCommitsRead == 0)
+  }
+
+  test("DV commit listing its add BEFORE the paired remove replays same") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("dlreord").toString + "/t"
+    val df = (1L to 60L).map(k => (k, s"s$k")).toDF("k", "s")
+    sources.DeltaLog.commitOverwrite(df.repartition(2), dir)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 6 === 0)
+    // rewrite commit 1 with add actions FIRST — action order within
+    // a commit is not pinned by the spec (file actions key on
+    // (path, dvId) there), so an external writer may list the DV
+    // re-add before its paired remove; a sequential path-keyed
+    // replay would let the remove delete the just-updated add
+    val cf = Paths.get(f"$dir/_delta_log/${1L}%020d.json")
+    val lines = Files.readAllLines(cf).asScala.filter(_.nonEmpty).toSeq
+    val adds = lines.filter(_.startsWith("""{"add""""))
+    val removes = lines.filter(_.startsWith("""{"remove""""))
+    val other = lines.filterNot(l => adds.contains(l) || removes.contains(l))
+    assert(adds.nonEmpty && removes.nonEmpty)
+    Files.delete(cf)
+    Files.write(cf, (other ++ adds ++ removes)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val expect = (1L to 60L).filterNot(_ % 6 == 0)
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // CDF diffs the same bitmaps regardless of intra-commit order
+    val cdf = sources.DeltaLog.readChanges(spark, dir, 0L, 1L).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_change_type")))
+    assert(cdf.count(_._2 == "insert") == 60)
+    assert(cdf.filter(_._2 == "delete").map(_._1).sorted.toSeq ==
+      (1L to 60L).filter(_ % 6 == 0))
+  }
+
   test("q167 gate shape: mapped readback post-rename") {
     val got = sources.DeltaLog.deltaMappedRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")

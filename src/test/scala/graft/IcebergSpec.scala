@@ -1149,6 +1149,80 @@ class IcebergSpec extends SparkSuite {
     assert(e.getMessage.contains("not a branch"))
   }
 
+  test("snapshot-log records only CURRENT-snapshot transitions") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = Files.createTempDirectory("icbsl").toString + "/t"
+    def meta = {
+      val vs = new java.io.File(s"$dir/metadata").listFiles()
+        .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+        .map(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+      mapper.readTree(new java.io.File(
+        s"$dir/metadata/v${vs.max}.metadata.json"))
+    }
+    def logEntries = meta.get("snapshot-log").elements().asScala
+      .map(e => (e.get("timestamp-ms").asLong,
+        e.get("snapshot-id").asLong)).toSeq
+    sources.Iceberg.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    assert(logEntries.map(_._2) == Seq(1L))
+    // a BRANCH commit does not move current-snapshot-id: external
+    // clients resolve FOR TIMESTAMP AS OF through snapshot-log, so an
+    // entry here would leak the unpublished WAP stage into the audit
+    // window
+    sources.Iceberg.commitAppendToBranch(
+      Seq((2L, "b")).toDF("k", "s"), dir, "audit")
+    assert(logEntries.map(_._2) == Seq(1L),
+      "branch commit must not append to snapshot-log")
+    // publish IS a transition — and must be recorded, or a timestamp
+    // reader misses the published state
+    sources.Iceberg.fastForward(dir, "audit")
+    assert(logEntries.map(_._2) == Seq(1L, 2L))
+    // rollback is a transition too
+    sources.Iceberg.rollbackTo(dir, 1L)
+    assert(logEntries.map(_._2) == Seq(1L, 2L, 1L))
+    // chronologically ordered — the binary-search contract
+    assert(logEntries.map(_._1) == logEntries.map(_._1).sorted)
+    assert(logEntries.map(_._1).distinct.size == logEntries.size)
+  }
+
+  test("truncate over an int source keeps an int partition tuple") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import graft.functions.IcebergTransforms
+    // the spec defines truncate as type-preserving
+    assert(IcebergTransforms.tupleType("truncate[10]", IntegerType)
+      == IntegerType)
+    assert(IcebergTransforms.tupleType("truncate[10]", LongType)
+      == LongType)
+    val dir = Files.createTempDirectory("icbtrunc").toString + "/t"
+    val df = (1 to 40).map(i => (i, s"v$i")).toDF("i", "s")
+    sources.Iceberg.commitOverwriteHidden(df, dir,
+      Seq("i" -> "truncate[10]"))
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getInt(0)).sorted.toSeq == (1 to 40))
+    // the manifest's avro partition field must be typed int — an
+    // external client derives the tuple type from spec+schema and
+    // would mis-read a long-typed value
+    val manifest = new java.io.File(s"$dir/metadata").listFiles()
+      .filter(f => f.getName.startsWith("snap-") &&
+        f.getName.endsWith("-m0.avro")).head
+    val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+      manifest, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try {
+      val pSchema = r.getSchema.getField("data_file").schema()
+        .getField("partition").schema()
+      val union = pSchema.getField("i_trunc").schema()
+      assert(union.getTypes.asScala.map(_.getType).toSet ==
+        Set(Schema.Type.NULL, Schema.Type.INT))
+      // and the tuple VALUES survived the long-widened scalar math
+      val tuples = Iterator.continually(
+        if (r.hasNext) Some(r.next()) else None)
+        .takeWhile(_.isDefined).flatten
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("partition").asInstanceOf[GenericRecord].get("i_trunc"))
+        .toSet
+      assert(tuples == Set(0, 10, 20, 30, 40).map(Int.box))
+    } finally r.close()
+  }
+
   test("q173 gate shape: appended matches survive the equality delete") {
     val got = sources.Iceberg.icebergEqDeleteRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")
