@@ -143,6 +143,69 @@ object BoundedTopK {
   }
 }
 
+/** Per-group ROARING BITMAP of long row positions as ONE aggregate —
+  * the executor-side construction step of a Delta deletion vector
+  * (graft.sources.DeltaLog.deleteWhere groups matched rows by file
+  * and aggregates their `_metadata.row_index` through this).
+  *
+  * The alternative — `collect()` the matched (file, position) rows
+  * and group them on the driver — is O(deleted rows) driver memory:
+  * a DELETE matching 1% of a 100 TB table collects billions of rows
+  * and OOMs the driver. Here each task folds its rows into a
+  * compressed bitmap (the partial aggregate), partials merge with
+  * bitmap OR, and the driver receives ONE row per file whose payload
+  * is the kilobytes-sized portable serialization — O(files), the
+  * same metadata class as the log itself. This is where Delta's own
+  * writer builds the bitmap too: inside the task that scanned the
+  * file. */
+case class RowPosBitmap(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[graft.sources.DeletionVectors.Bitmap64] {
+
+  private type Bm = graft.sources.DeletionVectors.Bitmap64
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint argument, got " +
+        child.dataType.simpleString)
+
+  /** The spec's portable RoaringBitmapArray bytes. */
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "row_pos_bitmap"
+
+  override def createAggregationBuffer(): Bm =
+    new graft.sources.DeletionVectors.Bitmap64
+
+  override def update(buf: Bm, input: InternalRow): Bm = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Bm, other: Bm): Bm = { buf.or(other); buf }
+
+  override def eval(buf: Bm): Any = buf.serializePortable
+
+  override def serialize(buf: Bm): Array[Byte] = buf.serializePortable
+
+  override def deserialize(bytes: Array[Byte]): Bm =
+    graft.sources.DeletionVectors.Bitmap64.fromPortable(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RowPosBitmap =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RowPosBitmap =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** Column-level API for the aggregate expressions. */
 object AggExprs {
 
@@ -153,4 +216,10 @@ object AggExprs {
     Bridge.column(
       BoundedTopK(Bridge.expression(score), Bridge.expression(id), k)
         .toAggregateExpression())
+
+  /** The group's long values as portable roaring-bitmap bytes —
+    * [[RowPosBitmap]]. */
+  def rowPosBitmap(pos: Column): Column =
+    Bridge.column(
+      RowPosBitmap(Bridge.expression(pos)).toAggregateExpression())
 }

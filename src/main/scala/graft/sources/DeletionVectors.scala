@@ -5,6 +5,8 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
 import java.util.zip.CRC32
 
+import scala.jdk.CollectionConverters._
+
 import org.roaringbitmap.RoaringBitmap
 
 /** The Delta protocol's DELETION VECTOR storage format (protocol
@@ -32,11 +34,14 @@ import org.roaringbitmap.RoaringBitmap
   *    32) and member (low 32).
   *  - Z85 (the base85 variant the spec names) for UUIDs/inline data.
   *
-  * Scale: a DV is O(deleted rows in one file) — the same driver
-  * memory class as Delta's own writer, which materializes each
-  * file's bitmap before flushing. Application at read time is one
-  * broadcast anti-join on (file, row_index), identical to the
-  * Iceberg MoR path.
+  * Scale: deleted rows live as COMPRESSED BITMAPS ([[Bitmap64]])
+  * everywhere — built executor-side by the
+  * [[graft.functions.RowPosBitmap]] aggregate during a DELETE
+  * (driver sees one bitmap row per file, never a position list),
+  * unioned/diffed in bitmap space for stacked deletes and CDF, and
+  * applied at read time as a broadcast-bitmap `contains` filter on
+  * (file, row_index) inside the scan stage
+  * ([[graft.functions.DvRowDeleted]]).
   */
 private[graft] object DeletionVectors {
 
@@ -125,72 +130,154 @@ private[graft] object DeletionVectors {
 
   private val PortableMagic = 1681511377
 
+  /** A 64-bit roaring bitmap in the spec's bucketed shape: row index
+    * = (bucket key: high 32 bits, member: low 32 bits). This is the
+    * working representation EVERYWHERE deleted rows move — building a
+    * DV in an executor task, merging partial aggregates, unioning a
+    * stacked delete, probing at read time — so memory stays
+    * O(compressed bitmap), kilobytes per file, never O(positions) as
+    * a materialized `Seq[Long]` would be. Java-serializable
+    * (RoaringBitmap is Externalizable), so it rides aggregation
+    * buffers and broadcast variables directly. */
+  final class Bitmap64 extends Serializable {
+    private val buckets =
+      new java.util.TreeMap[Integer, RoaringBitmap]()
+
+    def add(pos: Long): Unit = {
+      require(pos >= 0, s"negative row index $pos")
+      val key = (pos >>> 32).toInt
+      var rb = buckets.get(key)
+      if (rb == null) { rb = new RoaringBitmap(); buckets.put(key, rb) }
+      rb.add((pos & 0xffffffffL).toInt)
+    }
+
+    /** In-place union — O(compressed bitmap), the merge step of both
+      * the partial aggregate and a stacked DELETE. */
+    def or(other: Bitmap64): Unit =
+      other.buckets.forEach { (key, rb) =>
+        val mine = buckets.get(key)
+        if (mine == null) buckets.put(key, rb.clone())
+        else mine.or(rb)
+      }
+
+    /** New bitmap = this \ other — the row-level CDF delta of a
+      * grown DV, computed in bitmap space. */
+    def andNot(other: Bitmap64): Bitmap64 = {
+      val out = new Bitmap64
+      buckets.forEach { (key, rb) =>
+        val o = other.buckets.get(key)
+        val diff =
+          if (o == null) rb.clone() else RoaringBitmap.andNot(rb, o)
+        if (!diff.isEmpty) out.buckets.put(key, diff)
+      }
+      out
+    }
+
+    def contains(pos: Long): Boolean = {
+      if (pos < 0) return false
+      val rb = buckets.get((pos >>> 32).toInt)
+      rb != null && rb.contains((pos & 0xffffffffL).toInt)
+    }
+
+    def cardinality: Long =
+      buckets.values.asScala.map(_.getLongCardinality).sum
+
+    def isEmpty: Boolean = cardinality == 0L
+
+    /** Sorted 64-bit row indexes — tests and the per-file CDF delta
+      * path (O(delta) by construction) only; the scan/delete paths
+      * never materialize this. */
+    def toPositions: Seq[Long] = {
+      val out = Seq.newBuilder[Long]
+      buckets.forEach { (key, rb) =>
+        rb.forEach(new org.roaringbitmap.IntConsumer {
+          override def accept(v: Int): Unit =
+            out += (key.toLong << 32) | (v.toLong & 0xffffffffL)
+        })
+      }
+      out.result()
+    }
+
+    /** The spec's portable RoaringBitmapArray bytes. */
+    def serializePortable: Array[Byte] = {
+      val maps = buckets.entrySet().asScala.toSeq.map { e =>
+        val rb = e.getValue.clone(); rb.runOptimize()
+        (e.getKey.intValue(), rb)
+      }
+      val size = 4 + 8 + maps.map(4 + _._2.serializedSizeInBytes()).sum
+      val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(PortableMagic)
+      bb.putLong(maps.size.toLong)
+      maps.foreach { case (key, rb) =>
+        bb.putInt(key)
+        val p0 = bb.position()
+        rb.serialize(bb)
+        // serialize(ByteBuffer) implementations differ on whether the
+        // position advances — normalize so the next bucket lands right
+        if (bb.position() == p0)
+          bb.position(p0 + rb.serializedSizeInBytes())
+      }
+      require(bb.remaining() == 0, "bitmap size accounting broke")
+      bb.array()
+    }
+  }
+
+  object Bitmap64 {
+    def fromPositions(positions: Seq[Long]): Bitmap64 = {
+      val bm = new Bitmap64
+      positions.foreach(bm.add)
+      bm
+    }
+
+    /** Decode portable RoaringBitmapArray bytes. */
+    def fromPortable(data: Array[Byte]): Bitmap64 = {
+      val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = bb.getInt
+      require(magic == PortableMagic,
+        s"deletion-vector bitmap magic $magic is not the portable " +
+          s"format ($PortableMagic) — refusing to guess")
+      val n = bb.getLong
+      require(n >= 0 && n <= Int.MaxValue,
+        s"bitmap count $n out of range")
+      val bm = new Bitmap64
+      var i = 0L
+      while (i < n) {
+        val key = bb.getInt
+        val rb = new RoaringBitmap()
+        rb.deserialize(bb)
+        // deserialize(ByteBuffer) does not advance the buffer — step
+        // past the bitmap's serialized form explicitly
+        bb.position(bb.position() + rb.serializedSizeInBytes())
+        bm.buckets.put(key, rb)
+        i += 1
+      }
+      bm
+    }
+  }
+
   /** Serialize sorted 64-bit row indexes into the spec's portable
     * RoaringBitmapArray bytes. */
   def serializeBitmap(positions: Seq[Long]): Array[Byte] = {
     require(positions.nonEmpty, "a deletion vector must delete rows")
-    positions.foreach(p => require(p >= 0, s"negative row index $p"))
-    val buckets = positions.sorted
-      .groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
-    val maps = buckets.map { case (key, ps) =>
-      val rb = new RoaringBitmap()
-      ps.foreach(p => rb.add((p & 0xffffffffL).toInt))
-      rb.runOptimize()
-      (key, rb)
-    }
-    val size = 4 + 8 + maps.map(4 + _._2.serializedSizeInBytes()).sum
-    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
-    bb.putInt(PortableMagic)
-    bb.putLong(maps.size.toLong)
-    maps.foreach { case (key, rb) =>
-      bb.putInt(key)
-      val p0 = bb.position()
-      rb.serialize(bb)
-      // serialize(ByteBuffer) implementations differ on whether the
-      // position advances — normalize so the next bucket lands right
-      if (bb.position() == p0) bb.position(p0 + rb.serializedSizeInBytes())
-    }
-    require(bb.remaining() == 0, "bitmap size accounting broke")
-    bb.array()
+    Bitmap64.fromPositions(positions).serializePortable
   }
 
   /** Decode portable RoaringBitmapArray bytes into sorted row
     * indexes. */
-  def deserializeBitmap(data: Array[Byte]): Seq[Long] = {
-    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
-    val magic = bb.getInt
-    require(magic == PortableMagic,
-      s"deletion-vector bitmap magic $magic is not the portable " +
-        s"format ($PortableMagic) — refusing to guess")
-    val n = bb.getLong
-    require(n >= 0 && n <= Int.MaxValue, s"bitmap count $n out of range")
-    val out = Seq.newBuilder[Long]
-    var i = 0L
-    while (i < n) {
-      val key = bb.getInt.toLong
-      val rb = new RoaringBitmap()
-      rb.deserialize(bb)
-      // deserialize(ByteBuffer) does not advance the buffer — step
-      // past the bitmap's serialized form explicitly
-      bb.position(bb.position() + rb.serializedSizeInBytes())
-      rb.forEach(new org.roaringbitmap.IntConsumer {
-        override def accept(v: Int): Unit =
-          out += (key << 32) | (v.toLong & 0xffffffffL)
-      })
-      i += 1
-    }
-    out.result()
-  }
+  def deserializeBitmap(data: Array[Byte]): Seq[Long] =
+    Bitmap64.fromPortable(data).toPositions
 
   // ---------------------------------------------------------------
   // DV file write/read (the shared-file framing)
   // ---------------------------------------------------------------
 
   /** Write ONE DV file holding one bitmap per entry of `dvs`
-    * (data-file path → its deleted row indexes) and return the
-    * descriptors, keyed back by data-file path. */
+    * (data-file path → its deleted-row bitmap) and return the
+    * descriptors, keyed back by data-file path. Bitmap-level all the
+    * way: the caller hands over [[Bitmap64]]s built executor-side, so
+    * no position list is ever materialized on the driver. */
   def writeDvFile(tableDir: String,
-                  dvs: Seq[(String, Seq[Long])]): Map[String, Descriptor] = {
+                  dvs: Seq[(String, Bitmap64)]): Map[String, Descriptor] = {
     val uuid = java.util.UUID.randomUUID()
     val ub = ByteBuffer.allocate(16)
     ub.putLong(uuid.getMostSignificantBits)
@@ -199,9 +286,11 @@ private[graft] object DeletionVectors {
     val path = Paths.get(tableDir, s"deletion_vector_$uuid.bin")
     val out = new java.io.ByteArrayOutputStream()
     out.write(1) // format version
-    val descs = dvs.map { case (dataFile, positions) =>
+    val descs = dvs.map { case (dataFile, bm) =>
+      require(!bm.isEmpty, s"a deletion vector must delete rows " +
+        s"(empty bitmap for $dataFile)")
       val offset = out.size()
-      val data = serializeBitmap(positions)
+      val data = bm.serializePortable
       val frame = ByteBuffer.allocate(4 + data.length + 4)
         .order(ByteOrder.BIG_ENDIAN)
       frame.putInt(data.length)
@@ -210,18 +299,18 @@ private[graft] object DeletionVectors {
       frame.putInt(crc.getValue.toInt)
       out.write(frame.array())
       dataFile -> Descriptor("u", enc, Some(offset), data.length,
-        positions.size.toLong)
+        bm.cardinality)
     }.toMap
     Files.write(path, out.toByteArray)
     descs
   }
 
-  /** Read one DV's row indexes through its descriptor, verifying the
-    * frame's size and CRC — a truncated or corrupted bitmap must
-    * fail, not silently resurrect rows. */
-  def readPositions(tableDir: String, d: Descriptor): Seq[Long] =
-    d.storageType match {
-      case "i" => deserializeBitmap(z85Decode(d.pathOrInlineDv))
+  /** Read one DV as a [[Bitmap64]] through its descriptor, verifying
+    * the frame's size, CRC, and cardinality — a truncated or
+    * corrupted bitmap must fail, not silently resurrect rows. */
+  def readBitmap(tableDir: String, d: Descriptor): Bitmap64 = {
+    val bm = d.storageType match {
+      case "i" => Bitmap64.fromPortable(z85Decode(d.pathOrInlineDv))
       case "u" | "p" =>
         val path = d.resolvePath(tableDir)
         val all = Files.readAllBytes(Paths.get(path))
@@ -242,13 +331,19 @@ private[graft] object DeletionVectors {
         val crc = new CRC32(); crc.update(data)
         require(stored == crc.getValue.toInt,
           s"DV checksum mismatch in $path at offset $off")
-        val ps = deserializeBitmap(data)
-        require(ps.size.toLong == d.cardinality,
-          s"DV cardinality ${ps.size} != descriptor ${d.cardinality}")
-        ps
+        Bitmap64.fromPortable(data)
       case other => throw new IllegalArgumentException(
         s"unsupported deletion vector storageType '$other'")
     }
+    require(bm.cardinality == d.cardinality,
+      s"DV cardinality ${bm.cardinality} != descriptor ${d.cardinality}")
+    bm
+  }
+
+  /** [[readBitmap]], materialized as sorted row indexes — tests and
+    * small per-file deltas only. */
+  def readPositions(tableDir: String, d: Descriptor): Seq[Long] =
+    readBitmap(tableDir, d).toPositions
 
   /** Relative path (under the table root) of a "u"-typed DV file —
     * what [[DeltaLog.vacuum]] needs to treat live DVs as

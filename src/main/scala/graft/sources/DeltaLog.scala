@@ -35,10 +35,17 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType,
   * written by external clients are honored via `_last_checkpoint`'s
   * `parts` field; a checkpoint whose shape this reader does not
   * recognize is IGNORED and replay falls back to the pure-JSON path —
-  * slower, never wrong. No deletion vectors, no column mapping: those
-  * are `protocol`-gated features, and [[replay]] `require`s
-  * minReaderVersion == 1 so a log that needs them fails loudly
-  * instead of reading wrong data. Checkpoints written HERE carry
+  * slower, never wrong. Protocol support: reader v1 (plain), v2 when
+  * explained by columnMapping mode=name (physical-name reads,
+  * metadata-only rename), v3 when every listed readerFeature is one
+  * this reader speaks — today `deletionVectors` (merge-on-read
+  * DELETE: per-file roaring bitmaps built executor-side, applied as
+  * a broadcast-bitmap filter inside the scan) and `columnMapping`.
+  * A log needing anything else (mode=id, nested mapped columns,
+  * unknown features) fails loudly instead of reading wrong data, and
+  * feature COMBINATIONS not implemented (DVs on partitioned or
+  * mapped tables) are refused at the operation that would mis-read,
+  * never guessed at. Checkpoints written HERE carry
   * protocol/metaData/add only — no remove tombstones or txn actions
   * (they matter for concurrent-writer reconciliation windows, which
   * the version-count [[vacuum]] horizon replaces in this engine).
@@ -148,6 +155,15 @@ object DeltaLog {
     * the O(files) driver-metadata bound DeltaLogSpec pins with an
     * explicit ceiling. */
   @volatile private[graft] var lastCheckpointRowsCollected: Long = 0L
+
+  /** Test seam: rows the last [[deleteWhere]] collected onto the
+    * driver — ONE per file with newly deleted rows, each carrying a
+    * compressed bitmap, never one per deleted row. DeltaLogSpec pins
+    * `lastDeleteRowsCollected <= live file count` under a planted
+    * large delete; this is the O(files) contract that keeps a 1%
+    * DELETE of a 100 TB table from collecting billions of
+    * positions. */
+  @volatile private[graft] var lastDeleteRowsCollected: Long = 0L
 
   private class Replayer {
     var schema: StructType = null
@@ -536,11 +552,15 @@ object DeltaLog {
     def resolve(p: String) =
       if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
     // deletion vectors: merge-on-read — decode each live file's DV
-    // driver-side (O(DV bytes), the same metadata class as the log
-    // replay) and anti-join the scan on (file_name, row_index), the
-    // exact shape of the Iceberg position-delete path. Scope: plain
-    // unpartitioned, unmapped tables (Delta composes DVs with both;
-    // this reader refuses the combination rather than guessing).
+    // driver-side into a compressed bitmap (O(DV bytes), the same
+    // metadata class as the log replay), BROADCAST the bitmap map,
+    // and apply it as a per-row `contains` FILTER on
+    // (file_name, row_index) inside the scan stage — no anti-join, no
+    // build side materializing every deleted position; executor
+    // memory is O(files × compressed bitmap), exactly the shape
+    // Delta's own reader uses. Scope: plain unpartitioned, unmapped
+    // tables (Delta composes DVs with both; this reader refuses the
+    // combination rather than guessing).
     val dvAdds = st.adds.filter(_._2.dv.isDefined)
     val mor: DataFrame => DataFrame =
       if (dvAdds.isEmpty) identity
@@ -551,24 +571,14 @@ object DeltaLog {
         val basenames = st.files.map(p => p.substring(p.lastIndexOf('/') + 1))
         require(basenames.distinct.size == basenames.size,
           "duplicate data-file basenames — cannot key deletion vectors")
-        val pairs = dvAdds.toSeq.sortBy(_._1).flatMap { case (p, a) =>
-          val base = p.substring(p.lastIndexOf('/') + 1)
-          DeletionVectors.readPositions(tableDir, a.dv.get)
-            .map(pos => Row(base, pos))
-        }
-        data => {
-          import org.apache.spark.sql.functions.broadcast
-          val delDf = spark.createDataFrame(
-            new java.util.ArrayList[Row](pairs.asJava),
-            StructType(Seq(StructField("_dv_file", StringType),
-              StructField("_dv_pos", LongType))))
-          data.withColumn("_dv_f", col("_metadata.file_name"))
-            .withColumn("_dv_p", col("_metadata.row_index"))
-            .join(broadcast(delDf),
-              col("_dv_f") === col("_dv_file") &&
-                col("_dv_p") === col("_dv_pos"), "left_anti")
-            .drop("_dv_f", "_dv_p")
-        }
+        val bitmaps: Map[String, DeletionVectors.Bitmap64] =
+          dvAdds.map { case (p, a) =>
+            p.substring(p.lastIndexOf('/') + 1) ->
+              DeletionVectors.readBitmap(tableDir, a.dv.get)
+          }.toMap
+        val bc = spark.sparkContext.broadcast(bitmaps)
+        data => data.filter(!graft.functions.DvExprs.deleted(
+          col("_metadata.file_name"), col("_metadata.row_index"), bc))
       }
     if (st.adds.isEmpty)
       spark.createDataFrame(
@@ -1180,9 +1190,17 @@ object DeltaLog {
     * rows). At 100 TB this is the difference between a DELETE costing
     * kilobytes of bitmap and rewriting every touched gigabyte.
     *
-    * Driver memory is O(newly deleted row indexes) — the same class
-    * as Delta's own writer, which materializes each file's bitmap
-    * before flushing. Scope: plain (unpartitioned, unmapped) tables.
+    * The bitmaps are built EXECUTOR-SIDE: matched rows group by file
+    * and fold their row indexes into a
+    * [[graft.functions.RowPosBitmap]] aggregate (map-side partial →
+    * bitmap-OR merge), so the driver collects ONE row per affected
+    * file whose payload is the compressed bitmap — O(files), never
+    * O(deleted rows); a DELETE matching 1% of a 100 TB table collects
+    * file-count rows, not billions of positions
+    * ([[lastDeleteRowsCollected]] pins the bound). Existing DVs are
+    * probed through the same broadcast-bitmap filter the read path
+    * uses and union into replacement DVs in bitmap space. Scope:
+    * plain (unpartitioned, unmapped) tables.
     * Returns the committed version (unchanged if nothing matched). */
   def deleteWhere(spark: SparkSession, tableDir: String,
                   predicate: org.apache.spark.sql.Column): Long = {
@@ -1198,10 +1216,11 @@ object DeltaLog {
     val byBase = st.files.map(p => base(p) -> p).toMap
     require(byBase.size == st.files.size,
       "duplicate data-file basenames — cannot key deletion vectors")
-    val existing: Map[String, Seq[Long]] = st.adds.collect {
-      case (p, a) if a.dv.isDefined =>
-        p -> DeletionVectors.readPositions(tableDir, a.dv.get)
-    }.toMap
+    val existing: Map[String, DeletionVectors.Bitmap64] =
+      st.adds.collect {
+        case (p, a) if a.dv.isDefined =>
+          base(p) -> DeletionVectors.readBitmap(tableDir, a.dv.get)
+      }.toMap
     val raw = spark.read.schema(st.schema)
       .parquet(st.files.map(resolve): _*)
       .withColumn("_dw_f", col("_metadata.file_name"))
@@ -1209,26 +1228,27 @@ object DeltaLog {
     val live =
       if (existing.isEmpty) raw
       else {
-        import org.apache.spark.sql.functions.broadcast
-        val pairs = existing.toSeq.sortBy(_._1).flatMap { case (p, ps) =>
-          ps.map(pos => Row(base(p), pos)) }
-        val delDf = spark.createDataFrame(
-          new java.util.ArrayList[Row](pairs.asJava),
-          StructType(Seq(StructField("_dv_file", StringType),
-            StructField("_dv_pos", LongType))))
-        raw.join(broadcast(delDf),
-          col("_dw_f") === col("_dv_file") &&
-            col("_dw_p") === col("_dv_pos"), "left_anti")
+        val bc = spark.sparkContext.broadcast(existing)
+        raw.filter(!graft.functions.DvExprs.deleted(
+          col("_dw_f"), col("_dw_p"), bc))
       }
-    val matched: Seq[(String, Long)] = live.filter(predicate)
-      .select(col("_dw_f"), col("_dw_p")).collect()
-      .map(r => (byBase(r.getString(0)), r.getLong(1))).toSeq
-    if (matched.isEmpty) return vs.last
-    val newDvs: Seq[(String, Seq[Long])] = matched.groupBy(_._1)
-      .toSeq.sortBy(_._1).map { case (p, ps) =>
-        p -> (existing.getOrElse(p, Seq.empty) ++ ps.map(_._2))
-          .distinct.sorted
-      }
+    val collected: Seq[(String, DeletionVectors.Bitmap64)] =
+      live.filter(predicate)
+        .groupBy(col("_dw_f"))
+        .agg(graft.functions.AggExprs.rowPosBitmap(col("_dw_p"))
+          .as("_dw_bm"))
+        .collect().toSeq
+        .map(r => (r.getString(0), DeletionVectors.Bitmap64
+          .fromPortable(r.getAs[Array[Byte]](1))))
+        .filter(!_._2.isEmpty)
+    lastDeleteRowsCollected = collected.size.toLong
+    if (collected.isEmpty) return vs.last
+    val newDvs: Seq[(String, DeletionVectors.Bitmap64)] =
+      collected.map { case (b, bm) => (byBase(b), bm) }
+        .sortBy(_._1).map { case (p, bm) =>
+          existing.get(base(p)).foreach(bm.or)
+          p -> bm
+        }
     val descs = DeletionVectors.writeDvFile(tableDir, newDvs)
     val actions = protocolActionV3(Seq("deletionVectors")) +:
       newDvs.flatMap { case (p, _) =>
@@ -1991,15 +2011,18 @@ object DeltaLog {
               throw new IllegalArgumentException(
                 s"commit $v adds a deletion vector for unknown file " +
                   s"$p — cannot diff its deleted rows"))
+            // bitmap-space diff: O(compressed bitmap), and the
+            // materialized positions are only this commit's delta —
+            // the same size as the CDF rows it produces
             val before = prior.dv
-              .map(DeletionVectors.readPositions(tableDir, _).toSet)
-              .getOrElse(Set.empty)
+              .map(DeletionVectors.readBitmap(tableDir, _))
+              .getOrElse(new DeletionVectors.Bitmap64)
             val after =
-              DeletionVectors.readPositions(tableDir, parsed.dv.get)
-            require(before.subsetOf(after.toSet),
+              DeletionVectors.readBitmap(tableDir, parsed.dv.get)
+            require(before.andNot(after).isEmpty,
               s"commit $v SHRANK file $p's deletion vector — an " +
                 "undelete has no CDF spelling here")
-            dvDeletes += ((v, p, after.filterNot(before)))
+            dvDeletes += ((v, p, after.andNot(before).toPositions))
           } else record(v, "insert", p, parsed)
         } else if (inRange && node.has("remove") &&
             dataChange(node.get("remove"))) {

@@ -922,7 +922,8 @@ class DeltaLogSpec extends SparkSuite {
     assert(DeletionVectors.deserializeBitmap(data) == ps)
     // file framing: version byte, BE size, data, BE CRC-32
     val dir = Files.createTempDirectory("dvfmt").toString
-    val descs = DeletionVectors.writeDvFile(dir, Seq("f1" -> Seq(2L, 5L)))
+    val descs = DeletionVectors.writeDvFile(dir,
+      Seq("f1" -> DeletionVectors.Bitmap64.fromPositions(Seq(2L, 5L))))
     val d = descs("f1")
     assert(d.storageType == "u" && d.cardinality == 2L)
     val path = d.resolvePath(dir)
@@ -985,6 +986,33 @@ class DeltaLogSpec extends SparkSuite {
     assert(sources.DeltaLog.read(spark, dir).count() == 90)
   }
 
+  test("deleteWhere collects O(files) bitmap rows, not O(deleted rows)") {
+    val dir = Files.createTempDirectory("dldvscale").toString + "/t"
+    val df = (1L to 20000L).map(k => (k, s"s$k")).toDF("k", "s")
+    sources.DeltaLog.commitOverwrite(df.repartition(8), dir)
+    // planted LARGE delete — half the table, spread over every file;
+    // the driver must receive one compressed-bitmap row per affected
+    // file, never ten thousand (file, position) rows
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 2 === 0)
+    assert(sources.DeltaLog.lastDeleteRowsCollected <= 8,
+      s"driver collected ${sources.DeltaLog.lastDeleteRowsCollected} " +
+        "rows for an 8-file table — bitmap construction must stay " +
+        "executor-side")
+    assert(sources.DeltaLog.read(spark, dir).count() == 10000)
+    // stacked delete unions in bitmap space, still O(files)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 3 === 0)
+    assert(sources.DeltaLog.lastDeleteRowsCollected <= 8)
+    val expect = (1L to 20000L).filter(k => k % 2 != 0 && k % 3 != 0)
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // the read path applies DVs as a scan-stage FILTER (broadcast
+    // bitmaps), not an anti-join materializing every deleted pair
+    val plan = sources.DeltaLog.read(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"DV application must be a filter, not a join:\n$plan")
+  }
+
   test("CDF over DV commits emits row-level deletes from bitmap diffs") {
     val dir = Files.createTempDirectory("dldvcdf").toString + "/t"
     val df = (1L to 100L).map(k => (k, s"s$k")).toDF("k", "s")
@@ -1012,7 +1040,8 @@ class DeltaLogSpec extends SparkSuite {
     val a = stagePart(dir, "a.parquet",
       Seq((1L, "one"), (2L, "two"), (3L, "three")))
     // hand-build the DV for row index 1 ("two") and spell the log raw
-    val descs = DeletionVectors.writeDvFile(dir, Seq(a -> Seq(1L)))
+    val descs = DeletionVectors.writeDvFile(dir,
+      Seq(a -> DeletionVectors.Bitmap64.fromPositions(Seq(1L))))
     val d = descs(a)
     writeLog(dir, 0,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,
@@ -1042,7 +1071,8 @@ class DeltaLogSpec extends SparkSuite {
     // DVs under reader 1: an inconsistent log — refuse
     val dir3 = Files.createTempDirectory("dldvz").toString
     val b = stagePart(dir3, "b.parquet", Seq((1L, "x")))
-    val descs3 = DeletionVectors.writeDvFile(dir3, Seq(b -> Seq(0L)))
+    val descs3 = DeletionVectors.writeDvFile(dir3,
+      Seq(b -> DeletionVectors.Bitmap64.fromPositions(Seq(0L))))
     val d3 = descs3(b)
     writeLog(dir3, 0, protocol, metaData(),
       s"""{"add":{"path":"$b","size":1,"dataChange":true,
