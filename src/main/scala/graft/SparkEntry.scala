@@ -421,7 +421,11 @@ object SparkEntry {
     "q181_delta_dv_changes"    -> (sources.DeltaLog.deltaDvChanges _),
     // write-audit-publish: stage on a branch, main unmoved until the
     // atomic fast_forward publish
-    "q182_iceberg_wap"         -> (sources.Iceberg.icebergWapRead _)
+    "q182_iceberg_wap"         -> (sources.Iceberg.icebergWapRead _),
+    // DV x partitioned composition: partition pruning and the
+    // broadcast-bitmap MoR filter on one table
+    "q183_delta_partitioned_dv"
+      -> (sources.DeltaLog.deltaPartitionedDvRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -626,6 +630,8 @@ object SparkEntry {
     "q179_sql_iceberg_scan"    -> sources.Iceberg.sqlIcebergScanSql,
     "q180_iceberg_tag"         -> sources.Iceberg.icebergTagReadSql,
     "q181_delta_dv_changes"    -> sources.DeltaLog.deltaDvChangesSql,
-    "q182_iceberg_wap"         -> sources.Iceberg.icebergWapReadSql
+    "q182_iceberg_wap"         -> sources.Iceberg.icebergWapReadSql,
+    "q183_delta_partitioned_dv"
+      -> sources.DeltaLog.deltaPartitionedDvReadSql
   )
 }

@@ -558,16 +558,18 @@ object DeltaLog {
     // (file_name, row_index) inside the scan stage — no anti-join, no
     // build side materializing every deleted position; executor
     // memory is O(files × compressed bitmap), exactly the shape
-    // Delta's own reader uses. Scope: plain unpartitioned, unmapped
-    // tables (Delta composes DVs with both; this reader refuses the
-    // combination rather than guessing).
+    // Delta's own reader uses. Composes with PARTITIONED tables (the
+    // filter rides [[PartitionedScan]]'s preProject hook, before the
+    // partition-value join); column mapping + DVs stays refused
+    // (physical-name resolution under a bitmap filter is untested
+    // territory — loud beats wrong).
     val dvAdds = st.adds.filter(_._2.dv.isDefined)
     val mor: DataFrame => DataFrame =
       if (dvAdds.isEmpty) identity
       else {
-        require(st.partitionColumns.isEmpty && st.columnMapping.isEmpty,
-          "deletion vectors on a partitioned or column-mapped table " +
-            "are out of scope for this reader")
+        require(st.columnMapping.isEmpty,
+          "deletion vectors on a column-mapped table are out of " +
+            "scope for this reader")
         val basenames = st.files.map(p => p.substring(p.lastIndexOf('/') + 1))
         require(basenames.distinct.size == basenames.size,
           "duplicate data-file basenames — cannot key deletion vectors")
@@ -584,6 +586,11 @@ object DeltaLog {
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), st.schema)
     else if (st.columnMapping.nonEmpty) {
+      // this branch never applies `mor` — refuse DVs here rather
+      // than silently resurrect their deleted rows
+      require(dvAdds.isEmpty,
+        "deletion vectors on a column-mapped table are out of scope " +
+          "for this reader")
       // column mapping (mode=name): the data files spell every column
       // by its PHYSICAL name — read physically, surface logically.
       // The rename is a projection, free under codegen; the mapping
@@ -603,10 +610,13 @@ object DeltaLog {
     else
       // partition columns restored from the LOG's partitionValues —
       // the shared open-format scan (one scan + one broadcast join;
-      // see [[PartitionedScan]] for the basename-uniqueness contract)
+      // see [[PartitionedScan]] for the basename-uniqueness
+      // contract); DVs apply inside the scan via preProject, before
+      // the partition-value join
       PartitionedScan.scan(spark, st.schema, st.partitionColumns,
         st.adds.toSeq.map { case (p, a) =>
-          (resolve(p), a.partitionValues) })
+          (resolve(p), a.partitionValues) },
+        preProject = mor)
   }
 
   // ---------------------------------------------------------------
@@ -1199,17 +1209,20 @@ object DeltaLog {
     * file-count rows, not billions of positions
     * ([[lastDeleteRowsCollected]] pins the bound). Existing DVs are
     * probed through the same broadcast-bitmap filter the read path
-    * uses and union into replacement DVs in bitmap space. Scope:
-    * plain (unpartitioned, unmapped) tables.
+    * uses and union into replacement DVs in bitmap space. Composes
+    * with PARTITIONED tables — partition columns are restored from
+    * the log before the predicate runs (so it may reference them,
+    * and a partition-only DELETE is still answered with bitmaps, as
+    * Delta spells it), and each re-add keeps its `partitionValues`;
+    * column-mapped tables stay refused.
     * Returns the committed version (unchanged if nothing matched). */
   def deleteWhere(spark: SparkSession, tableDir: String,
                   predicate: org.apache.spark.sql.Column): Long = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val st = replay(tableDir, vs.last)
-    require(st.partitionColumns.isEmpty && st.columnMapping.isEmpty,
-      "deleteWhere supports plain tables (partitioned/mapped DV " +
-        "composition out of scope)")
+    require(st.columnMapping.isEmpty,
+      "deleteWhere on a column-mapped table is out of scope")
     def resolve(p: String) =
       if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
     def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
@@ -1221,17 +1234,29 @@ object DeltaLog {
         case (p, a) if a.dv.isDefined =>
           base(p) -> DeletionVectors.readBitmap(tableDir, a.dv.get)
       }.toMap
-    val raw = spark.read.schema(st.schema)
-      .parquet(st.files.map(resolve): _*)
-      .withColumn("_dw_f", col("_metadata.file_name"))
-      .withColumn("_dw_p", col("_metadata.row_index"))
-    val live =
-      if (existing.isEmpty) raw
+    val morFilter: DataFrame => DataFrame =
+      if (existing.isEmpty) identity
       else {
         val bc = spark.sparkContext.broadcast(existing)
-        raw.filter(!graft.functions.DvExprs.deleted(
+        d => d.filter(!graft.functions.DvExprs.deleted(
           col("_dw_f"), col("_dw_p"), bc))
       }
+    val live: DataFrame =
+      if (st.partitionColumns.isEmpty)
+        morFilter(spark.read.schema(st.schema)
+          .parquet(st.files.map(resolve): _*)
+          .withColumn("_dw_f", col("_metadata.file_name"))
+          .withColumn("_dw_p", col("_metadata.row_index")))
+      else
+        // partition columns restored BEFORE the predicate runs; the
+        // row-identity columns ride carryCols through the projection
+        PartitionedScan.scan(spark, st.schema, st.partitionColumns,
+          st.adds.toSeq.map { case (p, a) =>
+            (resolve(p), a.partitionValues) },
+          preProject = d => morFilter(
+            d.withColumn("_dw_f", col("_metadata.file_name"))
+              .withColumn("_dw_p", col("_metadata.row_index"))),
+          carryCols = Seq("_dw_f", "_dw_p"))
     val collected: Seq[(String, DeletionVectors.Bitmap64)] =
       live.filter(predicate)
         .groupBy(col("_dw_f"))
@@ -1497,6 +1522,42 @@ object DeltaLog {
       |  SELECT o.*, 'delete', CAST(2 AS BIGINT) FROM orders o
       |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
       |) ORDER BY o_orderkey, _commit_version""".stripMargin
+
+  /** Session-cached PARTITIONED + DELETION-VECTOR table: orders
+    * written `partitionBy(o_orderstatus)` through the log, then ONE
+    * [[deleteWhere]] of every tenth key — the feature combination a
+    * real migrated Delta table carries most often (partitioned AND
+    * MoR-deleted). The deletions exist only as bitmaps; every re-add
+    * keeps its `partitionValues`, so pruning still works on the
+    * re-added files. */
+  private[graft] def ordersPartitionedDvTable(spark: SparkSession,
+                                              dir: String): String =
+    cachedTable(spark, dir, "deltapdv") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwritePartitioned(o, t, Seq("o_orderstatus"))
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(10)) === 0)
+    }
+
+  /** q183 — DELETION VECTORS × PARTITIONED TABLE: the partition-
+    * pruned read (only status-'O' files reach the scan, decided
+    * driver-side over log metadata) must COMPOSE with the
+    * broadcast-bitmap merge-on-read filter. A reader that pruned but
+    * skipped the DVs returns the deleted tenths; one that applied
+    * DVs but scanned every partition leaks other statuses; one whose
+    * re-adds lost their partitionValues reconstructs NULL statuses —
+    * each hash-mismatches the two-predicate oracle. DeltaLogSpec
+    * additionally pins files-scanned == the 'O' partition's file
+    * count and the O(files) delete collect on this exact shape. */
+  def deltaPartitionedDvRead(spark: SparkSession,
+                             dir: String): DataFrame =
+    readFiltered(spark, ordersPartitionedDvTable(spark, dir),
+        col("o_orderstatus") === "O")
+      .orderBy(col("o_orderkey"))
+
+  val deltaPartitionedDvReadSql: String =
+    """SELECT * FROM orders
+      |WHERE o_orderstatus = 'O' AND o_orderkey % 10 <> 0
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Session-cached PARTITIONED Delta table: orders written
     * `partitionBy(o_orderstatus)` through the log, one commit. The
@@ -1968,7 +2029,7 @@ object DeltaLog {
     // (version, path) -> newly-deleted row positions: a DV update
     // (remove+re-add of the SAME path with a grown bitmap) is a
     // ROW-level delete, not a file churn
-    val dvDeletes = Seq.newBuilder[(Long, String, Seq[Long])]
+    val dvDeletes = Seq.newBuilder[(Long, String, AddFile, Seq[Long])]
     vs.filter(_ <= toVersion).foreach { v =>
       val inRange = v >= fromVersion
       val nodes = Files.readAllLines(commitFile(tableDir, v).toPath)
@@ -2022,7 +2083,8 @@ object DeltaLog {
             require(before.andNot(after).isEmpty,
               s"commit $v SHRANK file $p's deletion vector — an " +
                 "undelete has no CDF spelling here")
-            dvDeletes += ((v, p, after.andNot(before).toPositions))
+            dvDeletes += ((v, p, parsed,
+              after.andNot(before).toPositions))
           } else record(v, "insert", p, parsed)
         } else if (inRange && node.has("remove") &&
             dataChange(node.get("remove"))) {
@@ -2067,18 +2129,27 @@ object DeltaLog {
     // DV updates: the newly-set bitmap positions ARE the deleted
     // rows — scan just that file, semi-join the positions (broadcast:
     // a DV delta is O(deleted keys) by construction)
-    val dvParts = dvDeletes.result().map { case (v, p, fresh) =>
+    val dvParts = dvDeletes.result().map { case (v, p, a, fresh) =>
       import org.apache.spark.sql.functions.broadcast
       val abs = if (p.startsWith("/") || p.contains("://")) p
         else s"$tableDir/$p"
       val posDf = spark.createDataFrame(
         new java.util.ArrayList[Row](fresh.map(Row(_)).asJava),
         StructType(Seq(StructField("_dv_pos", LongType))))
-      spark.read.schema(st.schema).parquet(abs)
-        .withColumn("_cdf_pos", col("_metadata.row_index"))
-        .join(broadcast(posDf),
-          col("_cdf_pos") === col("_dv_pos"), "left_semi")
-        .drop("_cdf_pos")
+      val semi: DataFrame => DataFrame = d =>
+        d.withColumn("_cdf_pos", col("_metadata.row_index"))
+          .join(broadcast(posDf),
+            col("_cdf_pos") === col("_dv_pos"), "left_semi")
+          .drop("_cdf_pos")
+      // partitioned tables: the data file lacks the partition
+      // columns — restore them from the re-add's partitionValues
+      val scanned =
+        if (st.partitionColumns.isEmpty)
+          semi(spark.read.schema(st.schema).parquet(abs))
+        else PartitionedScan.scan(spark, st.schema,
+          st.partitionColumns, Seq((abs, a.partitionValues)),
+          preProject = semi)
+      scanned
         .withColumn("_change_type", lit("delete"))
         .withColumn("_commit_version", lit(v))
     }

@@ -30,11 +30,15 @@ private[sources] object PartitionedScan {
     * reconstructed from the metadata values. Data files must carry
     * exactly the non-partition columns. */
   /** `preProject` runs on the raw scan BEFORE any projection — the
-    * hook delete-aware callers use to anti-join on the hidden
-    * `_metadata` columns while they are still referable. */
+    * hook delete-aware callers use to filter/anti-join on the hidden
+    * `_metadata` columns while they are still referable. `carryCols`
+    * names columns `preProject` added that must SURVIVE the final
+    * schema projection (row-identity columns a DELETE needs after
+    * partition columns are restored). */
   def scan(spark: SparkSession, schema: StructType, partCols: Seq[String],
            files: Seq[(String, Map[String, String])],
-           preProject: DataFrame => DataFrame = identity): DataFrame = {
+           preProject: DataFrame => DataFrame = identity,
+           carryCols: Seq[String] = Seq.empty): DataFrame = {
     require(partCols.nonEmpty, "PartitionedScan needs partition columns")
     val dataSchema = StructType(
       schema.filterNot(f => partCols.contains(f.name)))
@@ -67,7 +71,7 @@ private[sources] object PartitionedScan {
         if (partCols.contains(f.name))
           col(s"_pv_${f.name}").cast(f.dataType).as(f.name)
         else col(f.name)
-      }: _*)
+      } ++ carryCols.map(col): _*)
   }
 
   /** Decode one hive-style path segment value (Spark escapes

@@ -1013,6 +1013,68 @@ class DeltaLogSpec extends SparkSuite {
       s"DV application must be a filter, not a join:\n$plan")
   }
 
+  test("DVs compose with partitioned tables: prune, delete, CDF, restore") {
+    val dir = Files.createTempDirectory("dldvpart").toString + "/t"
+    val df = (1L to 300L).map(k =>
+      (k, if (k % 3 == 0) "A" else if (k % 3 == 1) "B" else "C"))
+      .toDF("k", "st")
+    // one writer task → exactly one file per partition value
+    sources.DeltaLog.commitOverwritePartitioned(
+      df.repartition(1), dir, Seq("st"))
+    val filesBefore = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    // predicate mixes a data column and a PARTITION column — both
+    // must resolve in the delete scan
+    sources.DeltaLog.deleteWhere(spark, dir,
+      col("k") % 10 === 0 && col("st") === "B")
+    assert(sources.DeltaLog.lastDeleteRowsCollected <= 3,
+      "one bitmap row per affected file")
+    val expect = (1L to 300L).filterNot(k => k % 10 == 0 && k % 3 == 1)
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // data files untouched — the deletions are bitmaps only
+    val filesAfter = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    assert(filesAfter == filesBefore)
+    // partition pruning composes with the bitmap filter: only the
+    // B-partition file reaches the scan, deleted tenths stay gone
+    val pruned = sources.DeltaLog.readFiltered(spark, dir,
+      col("st") === "B")
+    assert(sources.DeltaLog.lastFilesScanned == 1)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 300L).filter(k => k % 3 == 1 && k % 10 != 0))
+    // CDF: the DV update surfaces as row-level deletes WITH the
+    // partition column restored from the re-add's partitionValues
+    val cdf = sources.DeltaLog.readChanges(spark, dir, 0L, 1L)
+      .filter(col("_change_type") === "delete").collect()
+    assert(cdf.map(_.getLong(0)).sorted.toSeq ==
+      (1L to 300L).filter(k => k % 10 == 0 && k % 3 == 1))
+    assert(cdf.forall(_.getAs[String]("st") == "B"),
+      "CDF delete rows must carry the restored partition value")
+    // restore to v0 resurrects the tenths
+    sources.DeltaLog.restore(dir, 0L)
+    assert(sources.DeltaLog.read(spark, dir).count() == 300)
+    // q183 gate shape on the real table
+    val got = sources.DeltaLog.deltaPartitionedDvRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() == orders.filter(
+      col("o_orderstatus") === "O" && col("o_orderkey") % 10 =!= 0)
+      .count())
+    val oFiles = sources.DeltaLog.lastFilesScanned
+    sources.DeltaLog.read(spark,
+      sources.DeltaLog.ordersPartitionedDvTable(spark, sfDir))
+    assert(oFiles < sources.DeltaLog.lastFilesScanned,
+      "q183 must prune to the 'O' partition's files")
+  }
+
   test("CDF over DV commits emits row-level deletes from bitmap diffs") {
     val dir = Files.createTempDirectory("dldvcdf").toString + "/t"
     val df = (1L to 100L).map(k => (k, s"s$k")).toDF("k", "s")
