@@ -425,7 +425,10 @@ object SparkEntry {
     // DV x partitioned composition: partition pruning and the
     // broadcast-bitmap MoR filter on one table
     "q183_delta_partitioned_dv"
-      -> (sources.DeltaLog.deltaPartitionedDvRead _)
+      -> (sources.DeltaLog.deltaPartitionedDvRead _),
+    // WAP audit step: the staged branch queried BY NAME through SQL
+    // (iceberg_scan(path, 'audit')) while main is unmoved
+    "q184_iceberg_branch_read" -> (sources.Iceberg.icebergBranchRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -632,6 +635,7 @@ object SparkEntry {
     "q181_delta_dv_changes"    -> sources.DeltaLog.deltaDvChangesSql,
     "q182_iceberg_wap"         -> sources.Iceberg.icebergWapReadSql,
     "q183_delta_partitioned_dv"
-      -> sources.DeltaLog.deltaPartitionedDvReadSql
+      -> sources.DeltaLog.deltaPartitionedDvReadSql,
+    "q184_iceberg_branch_read" -> sources.Iceberg.icebergBranchReadSql
   )
 }

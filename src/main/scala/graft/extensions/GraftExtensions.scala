@@ -136,16 +136,26 @@ object GraftExtensions {
           s"delta_scan expects (path[, version]), got ${args.size} args")
       },
       tfn("iceberg_scan",
-        "iceberg_scan(path[, snapshot_id]) - read an Iceberg table") {
+        "iceberg_scan(path[, snapshot_id | ref_name]) - read an " +
+          "Iceberg table, optionally AS OF a snapshot id or a named " +
+          "tag/branch") {
         case Seq(p) =>
           plan(graft.sources.Iceberg.read(active,
             litString(p, "iceberg_scan", "path")))
+        // a STRING second argument is a named ref — `VERSION AS OF
+        // '<tag|branch>'`: the audit step of write-audit-publish
+        // queries its staged branch by name through exactly this arm
+        case Seq(p, Literal(s: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType)) =>
+          plan(graft.sources.Iceberg.readRef(active,
+            litString(p, "iceberg_scan", "path"), s.toString))
         case Seq(p, s) =>
           plan(graft.sources.Iceberg.readSnapshot(active,
             litString(p, "iceberg_scan", "path"),
             litLong(s, "iceberg_scan", "snapshot_id")))
         case args => throw new IllegalArgumentException(
-          s"iceberg_scan expects (path[, snapshot_id]), got ${args.size}")
+          s"iceberg_scan expects (path[, snapshot_id | ref_name]), " +
+            s"got ${args.size}")
       })
 
   /** Runtime registration on a pre-built session (the driver contract

@@ -42,10 +42,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType,
   * DELETE: per-file roaring bitmaps built executor-side, applied as
   * a broadcast-bitmap filter inside the scan) and `columnMapping`.
   * A log needing anything else (mode=id, nested mapped columns,
-  * unknown features) fails loudly instead of reading wrong data, and
-  * feature COMBINATIONS not implemented (DVs on partitioned or
-  * mapped tables) are refused at the operation that would mis-read,
-  * never guessed at. Checkpoints written HERE carry
+  * unknown features) fails loudly instead of reading wrong data.
+  * DVs COMPOSE with partitioned tables (pruning keeps each file's
+  * descriptor); the one refused combination is DVs on COLUMN-MAPPED
+  * tables, rejected at the operation that would mis-read, never
+  * guessed at. Checkpoints written HERE carry
   * protocol/metaData/add only — no remove tombstones or txn actions
   * (they matter for concurrent-writer reconciliation windows, which
   * the version-count [[vacuum]] horizon replaces in this engine).

@@ -2265,6 +2265,38 @@ object Iceberg {
   val icebergWapReadSql: String =
     """SELECT * FROM orders ORDER BY o_orderkey"""
 
+  /** Session-cached WAP table held in its PRE-publish state: evens
+    * committed on main, odds staged onto the `audit` branch, NO
+    * fast-forward — the audit window stays open so the validation
+    * query can interrogate the stage by name. */
+  private[graft] def ordersIcebergWapStageTable(spark: SparkSession,
+                                                dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergwapstage") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      commitAppendToBranch(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t, "audit")
+    }
+
+  /** q184 — BRANCH READ PRE-PUBLISH (`VERSION AS OF 'audit'`): the
+    * write-audit-publish VALIDATION query — real WAP auditors query
+    * the staged branch BY NAME before deciding to publish, so the
+    * branch must be readable through plain SQL
+    * (`iceberg_scan(path, 'audit')`) while main still serves only
+    * the evens (IcebergSpec holds the mid-state). The branch head
+    * carries main's manifests plus the staged odds = the full
+    * table; a ref resolver that read main instead, or a branch
+    * commit that dropped the parent's manifests, hash-mismatches. */
+  def icebergBranchRead(spark: SparkSession, dir: String): DataFrame = {
+    graft.extensions.GraftExtensions.registerTableFunctions(spark)
+    val t = ordersIcebergWapStageTable(spark, dir)
+    spark.sql(
+      s"SELECT * FROM iceberg_scan('$t', 'audit') ORDER BY o_orderkey")
+  }
+
+  val icebergBranchReadSql: String =
+    """SELECT * FROM orders ORDER BY o_orderkey"""
+
   /** Session-cached EQUALITY-DELETE lifecycle table: snapshot 1 = odd
     * order keys; snapshot 2 = equality delete of key
     * `o_orderstatus='P'`; snapshot 3 = APPEND of the even keys —

@@ -1149,6 +1149,34 @@ class IcebergSpec extends SparkSuite {
     assert(e.getMessage.contains("not a branch"))
   }
 
+  test("iceberg_scan reads a ref by name: the WAP audit query is SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icewapsql").toString + "/t"
+    sources.Iceberg.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    sources.Iceberg.commitAppendToBranch(
+      Seq((3L, "c")).toDF("k", "s"), dir, "audit")
+    graft.extensions.GraftExtensions.registerTableFunctions(spark)
+    // the audit window, interrogated by NAME through plain SQL:
+    // branch = base + stage, main unmoved
+    assert(spark.sql(s"SELECT k FROM iceberg_scan('$dir', 'audit')")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(spark.sql(s"SELECT k FROM iceberg_scan('$dir')")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // tags resolve through the same arm; a long literal still means
+    // snapshot id (the existing spelling is unchanged)
+    sources.Iceberg.setRef(dir, "v1-pin", 1L)
+    assert(spark.sql(s"SELECT k FROM iceberg_scan('$dir', 'v1-pin')")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(spark.sql(s"SELECT k FROM iceberg_scan('$dir', 1)")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // an unknown ref is loud, naming what exists
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT k FROM iceberg_scan('$dir', 'nope')").collect()
+    }
+    assert(e.getMessage.contains("no ref"))
+  }
+
   test("snapshot-log records only CURRENT-snapshot transitions") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val dir = Files.createTempDirectory("icbsl").toString + "/t"
