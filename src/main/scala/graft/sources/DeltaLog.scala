@@ -961,12 +961,12 @@ object DeltaLog {
     p
   }
 
-  /** Delta's per-file data-skipping stats from ONE driver-side footer
-    * open: numRecords + min/max of top-level INT64 columns — the
-    * format spells them as a JSON STRING inside the add action
-    * (same numbers [[Iceberg]] writes as manifest value bounds). */
-  private def statsJson(absPath: String): String = {
-    val (n, bounds) = Iceberg.parquetFooter(absPath)
+  /** Delta's per-file data-skipping stats: numRecords + min/max of
+    * top-level INT64 columns — the format spells them as a JSON
+    * STRING inside the add action (same numbers [[Iceberg]] writes
+    * as manifest value bounds). */
+  private def statsJsonOf(n: Long,
+                          bounds: Map[String, (Long, Long)]): String = {
     val s = mapper.createObjectNode()
     s.put("numRecords", n)
     val mins = s.putObject("minValues")
@@ -976,6 +976,24 @@ object DeltaLog {
     }
     mapper.writeValueAsString(s)
   }
+
+  /** [[statsJsonOf]] from ONE driver-side footer open — kept for
+    * [[registerFiles]] (external files, one-time migration metadata);
+    * every commit of a just-written batch rides [[statsJsonBatch]]'s
+    * distributed job instead. */
+  private def statsJson(absPath: String): String = {
+    val (n, bounds) = Iceberg.parquetFooter(absPath)
+    statsJsonOf(n, bounds)
+  }
+
+  /** Per-file `add.stats` for a just-written batch through
+    * [[Iceberg.footerStatsBatch]]'s distributed footer job — the
+    * driver collects O(files) stats rows instead of serializing
+    * O(files) footer opens. Keyed by absolute file path. */
+  private def statsJsonBatch(spark: SparkSession,
+                             files: Seq[File]): Map[String, String] =
+    Iceberg.footerStatsBatch(spark, files.map(_.getPath))
+      .map { case (p, (n, b)) => p -> statsJsonOf(n, b) }
 
   private def removeAction(path: String,
                            dataChange: Boolean = true): ObjectNode = {
@@ -1025,9 +1043,10 @@ object DeltaLog {
     // not collide at the DATA write — only the log CAS decides order
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.write.parquet(s"$tableDir/$sub")
-    val adds = partFiles(tableDir, sub)
-      .map(f => addAction(s"$sub/${f.getName}", f.length,
-        stats = Some(statsJson(f.getPath))))
+    val fs = partFiles(tableDir, sub)
+    val stats = statsJsonBatch(df.sparkSession, fs)
+    val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
+      stats = Some(stats(f.getPath))))
     // lost CAS ⇒ another writer advanced the log; recompute the
     // version AND the removes from the new latest state and retry —
     // the loop makes progress by construction (each failure means a
@@ -1056,9 +1075,10 @@ object DeltaLog {
     requireUnpartitioned(tableDir, "commitAppend")
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.write.parquet(s"$tableDir/$sub")
-    val adds = partFiles(tableDir, sub)
-      .map(f => addAction(s"$sub/${f.getName}", f.length,
-        stats = Some(statsJson(f.getPath))))
+    val fs = partFiles(tableDir, sub)
+    val stats = statsJsonBatch(df.sparkSession, fs)
+    val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
+      stats = Some(stats(f.getPath))))
     var v = -1L
     var done = false
     while (!done) {
@@ -1084,9 +1104,10 @@ object DeltaLog {
     * under `tableDir/sub` into add actions carrying each file's
     * `partitionValues` — decoded once, here, at write time; after
     * that the paths are opaque, as the spec intends. */
-  private def partitionedAdds(tableDir: String, sub: String,
-      partCols: Seq[String], dataChange: Boolean): Seq[ObjectNode] =
-    partFiles(tableDir, sub).map { f0 =>
+  private def partitionedAdds(spark: SparkSession, tableDir: String,
+      sub: String, partCols: Seq[String],
+      dataChange: Boolean): Seq[ObjectNode] = {
+    val moved = partFiles(tableDir, sub).map { f0 =>
       // a single job writing several hive partitions reuses one task
       // basename across the value dirs (part-00003-<jobUUID> lands
       // under every status=X it touched) — rename to a per-FILE UUID
@@ -1096,19 +1117,25 @@ object DeltaLog {
       val f = new File(f0.getParentFile,
         s"part-${java.util.UUID.randomUUID}.parquet")
       Files.move(f0.toPath, f.toPath)
+      f
+    }
+    val stats = statsJsonBatch(spark, moved)
+    moved.map { f =>
       val rel = Paths.get(tableDir).toAbsolutePath
         .relativize(f.toPath.toAbsolutePath).toString
       addAction(rel, f.length,
         PartitionedScan.hivePartitionValues(rel, partCols), dataChange,
-        stats = Some(statsJson(f.getPath)))
+        stats = Some(stats(f.getPath)))
     }
+  }
 
   def commitOverwritePartitioned(df: DataFrame, tableDir: String,
                                  partCols: Seq[String]): Long = {
     require(partCols.nonEmpty, "partitioned commit needs partition columns")
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
-    val adds = partitionedAdds(tableDir, sub, partCols, dataChange = true)
+    val adds = partitionedAdds(df.sparkSession, tableDir, sub, partCols,
+      dataChange = true)
     var v = -1L
     var done = false
     while (!done) {
@@ -1152,9 +1179,10 @@ object DeltaLog {
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.select(df.schema.fieldNames.map(n => col(n).as(phys(n))): _*)
       .write.parquet(s"$tableDir/$sub")
-    val adds = partFiles(tableDir, sub)
-      .map(f => addAction(s"$sub/${f.getName}", f.length,
-        stats = Some(statsJson(f.getPath))))
+    val fs = partFiles(tableDir, sub)
+    val stats = statsJsonBatch(df.sparkSession, fs)
+    val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
+      stats = Some(stats(f.getPath))))
     require(writeActions(tableDir, 0L,
       Seq(protocolAction(minReader = 2, minWriter = 5),
         metaDataAction(mappedSchema, Seq.empty,
@@ -1320,9 +1348,11 @@ object DeltaLog {
     val sub = s"part-${java.util.UUID.randomUUID}"
     scanState(spark, tableDir, st).repartition(targetFiles)
       .write.parquet(s"$tableDir/$sub")
-    val adds = partFiles(tableDir, sub).map(f =>
+    val fs = partFiles(tableDir, sub)
+    val stats = statsJsonBatch(spark, fs)
+    val adds = fs.map(f =>
       addAction(s"$sub/${f.getName}", f.length, Map.empty,
-        dataChange = false, stats = Some(statsJson(f.getPath))))
+        dataChange = false, stats = Some(stats(f.getPath))))
     val removes = st.files.map(p => removeAction(p, dataChange = false))
     require(writeActions(tableDir, base + 1, removes ++ adds),
       s"concurrent writer claimed version ${base + 1} during compaction " +
@@ -1351,7 +1381,7 @@ object DeltaLog {
       .repartition(st.partitionColumns.map(col): _*)
       .write.partitionBy(st.partitionColumns: _*)
       .parquet(s"$tableDir/$sub")
-    val adds = partitionedAdds(tableDir, sub, st.partitionColumns,
+    val adds = partitionedAdds(spark, tableDir, sub, st.partitionColumns,
       dataChange = false)
     val removes = st.files.map(p => removeAction(p, dataChange = false))
     require(writeActions(tableDir, base + 1, removes ++ adds),

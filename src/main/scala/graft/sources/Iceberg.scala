@@ -1007,8 +1007,42 @@ object Iceberg {
     * every top-level INT64 column (merged across row groups) for the
     * manifest's value bounds. One footer open serves both. Shared
     * with [[DeltaLog]]'s `add.stats` writer — same numbers, two
-    * format spellings. */
+    * format spellings. Kept for the O(1)-per-call sites (single
+    * delete files, external-file migration); a just-written BATCH
+    * goes through [[footerStatsBatch]] so the driver never
+    * serializes O(files) IO round-trips. */
   private[sources] def parquetFooter(path: String): (Long, Map[String, (Long, Long)]) = {
+    driverFooterOpens += 1
+    footerStatsOf(path)
+  }
+
+  /** Driver-side footer opens since session start — the spec seam
+    * proving commit paths collect stats through the DISTRIBUTED job:
+    * executor tasks call [[footerStatsOf]] directly, so local-mode
+    * tasks never inflate the count, and a multi-file commit must
+    * leave it unchanged. */
+  @volatile private[graft] var driverFooterOpens: Long = 0L
+
+  /** Per-file footer stats for a just-written batch via ONE
+    * distributed job: executors open the footers in parallel
+    * (footer IO is O(metadata), never a data scan) and the driver
+    * collects exactly O(files) stats rows — at 100 TB a commit of a
+    * thousand part files pays one job instead of a thousand
+    * sequential driver round-trips. A single file skips the job
+    * (task-launch overhead exceeds one local footer open, and a
+    * 1-file commit's latency never grows with table size). */
+  private[sources] def footerStatsBatch(spark: SparkSession,
+      paths: Seq[String]): Map[String, (Long, Map[String, (Long, Long)])] =
+    paths match {
+      case Seq() => Map.empty
+      case Seq(one) => Map(one -> parquetFooter(one))
+      case many => spark.sparkContext
+        .parallelize(many, math.min(many.size, 32))
+        .map(p => (p, footerStatsOf(p)))
+        .collect().toMap
+    }
+
+  private def footerStatsOf(path: String): (Long, Map[String, (Long, Long)]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.conf.Configuration())
@@ -1045,7 +1079,9 @@ object Iceberg {
   private def manifestEntry(path: String, status: Int,
                             ids: Map[String, Int],
                             entrySchema: Schema = manifestEntrySchema,
-                            partition: Seq[(String, Any)] = Seq.empty)
+                            partition: Seq[(String, Any)] = Seq.empty,
+                            stats: Option[(Long, Map[String, (Long, Long)])]
+                              = None)
       : GenericRecord = {
     val dfSchema = entrySchema.getField("data_file").schema()
     val kvSchema = dfSchema.getField("lower_bounds").schema()
@@ -1059,7 +1095,7 @@ object Iceberg {
       partition.foreach { case (n, v) => p.put(n, v) }
       df.put("partition", p)
     }
-    val (rows, bounds) = parquetFooter(path)
+    val (rows, bounds) = stats.getOrElse(parquetFooter(path))
     df.put("record_count", rows)
     df.put("file_size_in_bytes", new File(path).length())
     val known = bounds.toSeq
@@ -1191,9 +1227,14 @@ object Iceberg {
       .map { case (f, i) => f.name -> (i + 1) }.toMap
     val entrySchema = manifestEntrySchemaFor(
       tupleFields.map { case (name, _, _, t) => name -> t })
+    // stats for every part file in ONE distributed footer job —
+    // the driver collects O(files) rows, never opens footers itself
+    val statsByPath = footerStatsBatch(df.sparkSession,
+      parts.map(_._1.getPath))
     writeAvro(manifestPath, entrySchema,
       parts.map { case (f, pv) =>
-        manifestEntry(f.getPath, 1, colIds, entrySchema, pv) })
+        manifestEntry(f.getPath, 1, colIds, entrySchema, pv,
+          statsByPath.get(f.getPath)) })
     // manifest list: append keeps the prior snapshot's manifests (its
     // files stay EXISTING); overwrite references only the new one
     // carried-forward manifests KEEP their original added_snapshot_id

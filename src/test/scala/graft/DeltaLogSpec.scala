@@ -619,6 +619,36 @@ class DeltaLogSpec extends SparkSuite {
     assert(post.collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L))
   }
 
+  test("commit stats ride the distributed footer job, driver opens none") {
+    val dir = Files.createTempDirectory("dlogsj").toString + "/t"
+    val df = (1L to 64L).map(i => (i, s"s$i")).toDF("k", "s")
+      .repartitionByRange(8, col("k"))
+    val before = sources.Iceberg.driverFooterOpens
+    sources.DeltaLog.commitOverwrite(df, dir)
+    assert(sources.Iceberg.driverFooterOpens == before,
+      "a multi-file Delta commit must not open parquet footers on " +
+        "the driver — stats come from ONE distributed job")
+    // the distributed stats are REAL: per-file numRecords sum to the
+    // table's rows, per-file bounds are tight enough to prune
+    val st = sources.DeltaLog.replay(dir, 0L)
+    val n = st.adds.values.flatMap(_.stats).map(s =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s).get("numRecords").asLong).sum
+    assert(n == 64L, s"numRecords must sum to the row count, got $n")
+    sources.DeltaLog.readWhereStats(spark, dir, Seq(("k", 1L, 8L))).count()
+    assert(sources.DeltaLog.lastFilesScanned < 8,
+      "distributed bounds must prune a range read")
+    // partitioned commits and OPTIMIZE ride the same job
+    val dir2 = Files.createTempDirectory("dlogsj2").toString + "/t"
+    val before2 = sources.Iceberg.driverFooterOpens
+    sources.DeltaLog.commitOverwritePartitioned(
+      (1L to 40L).map(i => (i, if (i % 2 == 0) "e" else "o"))
+        .toDF("k", "s").repartition(4), dir2, Seq("s"))
+    sources.DeltaLog.compactPartitioned(spark, dir2)
+    assert(sources.Iceberg.driverFooterOpens == before2,
+      "partitioned commit + OPTIMIZE must not open footers driver-side")
+  }
+
   test("q162 gate shape: stats pruning bounded") {
     val got = sources.DeltaLog.deltaStatsPrunedRead(spark, sfDir)
     val n = got.count()

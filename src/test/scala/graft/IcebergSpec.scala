@@ -274,6 +274,25 @@ class IcebergSpec extends SparkSuite {
         "should prune b and keep boundless c (superset contract)")
   }
 
+  test("manifest stats ride the distributed footer job, driver opens none") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icesj").toString + "/t"
+    val df = (1L to 64L).map(i => (i, s"s$i")).toDF("k", "s")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("k"))
+    val before = sources.Iceberg.driverFooterOpens
+    sources.Iceberg.commitOverwrite(df, dir)
+    assert(sources.Iceberg.driverFooterOpens == before,
+      "a multi-file Iceberg commit must not open parquet footers on " +
+        "the driver — manifest bounds come from ONE distributed job")
+    // the distributed bounds are REAL: a low range prunes most files
+    val got = sources.Iceberg.readPrunedRange(spark, dir,
+      Seq(("k", 1L, 8L)))
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == (1L to 8L))
+    assert(sources.Iceberg.lastFilesPlanned < 8,
+      s"planned ${sources.Iceberg.lastFilesPlanned} of 8 — the " +
+        "distributed bounds must prune")
+  }
+
   test("q151 gate shape: range-clustered layout prunes most files") {
     val got = sources.Iceberg.icebergPrunedRead(spark, sfDir)
     val planned = sources.Iceberg.lastFilesPlanned
