@@ -428,7 +428,13 @@ object SparkEntry {
       -> (sources.DeltaLog.deltaPartitionedDvRead _),
     // WAP audit step: the staged branch queried BY NAME through SQL
     // (iceberg_scan(path, 'audit')) while main is unmoved
-    "q184_iceberg_branch_read" -> (sources.Iceberg.icebergBranchRead _)
+    "q184_iceberg_branch_read" -> (sources.Iceberg.icebergBranchRead _),
+    // full storage lifecycle: append -> MoR delete (DV) -> OPTIMIZE
+    // -> VACUUM; reads from compacted files alone, DV reclaimed
+    "q185_delta_retention"     -> (sources.DeltaLog.deltaRetentionRead _),
+    // retention x refs: expire reclaims the MoR delete file but a
+    // tag pins its snapshot past the horizon; both read in one query
+    "q186_iceberg_retention"   -> (sources.Iceberg.icebergRetentionRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -636,6 +642,8 @@ object SparkEntry {
     "q182_iceberg_wap"         -> sources.Iceberg.icebergWapReadSql,
     "q183_delta_partitioned_dv"
       -> sources.DeltaLog.deltaPartitionedDvReadSql,
-    "q184_iceberg_branch_read" -> sources.Iceberg.icebergBranchReadSql
+    "q184_iceberg_branch_read" -> sources.Iceberg.icebergBranchReadSql,
+    "q185_delta_retention"     -> sources.DeltaLog.deltaRetentionReadSql,
+    "q186_iceberg_retention"   -> sources.Iceberg.icebergRetentionReadSql
   )
 }

@@ -166,6 +166,22 @@ object DeltaLog {
     * positions. */
   @volatile private[graft] var lastDeleteRowsCollected: Long = 0L
 
+  /** CAS losses retried by the commit loops since session start —
+    * the race-spec seam proving a losing writer actually lost the
+    * version claim and recovered. Atomic: the race specs bump it
+    * from N concurrent committer threads. */
+  private[graft] val commitCasRetries =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Test seam: invoked with (tableDir, claimedVersion) between a
+    * commit loop's version computation and its CAS attempt — the
+    * exact window a racing writer exploits. The race specs install a
+    * hook that plants a competing commit here, making loser-recovery
+    * DETERMINISTIC (thread-timing races leave the window unexercised
+    * more often than not). No-op in production. */
+  @volatile private[graft] var commitClaimHook: (String, Long) => Unit =
+    (_, _) => ()
+
   private class Replayer {
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
@@ -1060,7 +1076,9 @@ object DeltaLog {
         if (vs.isEmpty)
           Seq(protocolAction(), metaDataAction(df.schema, Seq.empty))
         else replay(tableDir, vs.last).files.map(p => removeAction(p))
+      commitClaimHook(tableDir, v)
       done = writeActions(tableDir, v, head ++ adds)
+      if (!done) commitCasRetries.incrementAndGet()
     }
     v
   }
@@ -1088,7 +1106,9 @@ object DeltaLog {
         if (vs.isEmpty)
           Seq(protocolAction(), metaDataAction(df.schema, Seq.empty))
         else Seq.empty
+      commitClaimHook(tableDir, v)
       done = writeActions(tableDir, v, head ++ adds)
+      if (!done) commitCasRetries.incrementAndGet()
     }
     v
   }
@@ -1145,7 +1165,9 @@ object DeltaLog {
         if (vs.isEmpty)
           Seq(protocolAction(), metaDataAction(df.schema, partCols))
         else replay(tableDir, vs.last).files.map(p => removeAction(p))
+      commitClaimHook(tableDir, v)
       done = writeActions(tableDir, v, head ++ adds)
+      if (!done) commitCasRetries.incrementAndGet()
     }
     v
   }
@@ -1660,6 +1682,55 @@ object DeltaLog {
 
   val deltaAppendCompactReadSql: String =
     """SELECT * FROM orders ORDER BY o_orderkey"""
+
+  /** Session-cached STORAGE-LIFECYCLE table — the full retention
+    * story in one history: two disjoint appends (v0/v1), a MoR
+    * DELETE of every tenth key that exists only as a deletion-vector
+    * bitmap (v2), an OPTIMIZE that folds the DV into rewritten files
+    * (v3, dataChange=false), then VACUUM to the latest version —
+    * reclaiming the compacted-away originals AND the DV file (only
+    * v2 referenced it; a vacuum that missed DV reference counting
+    * would either leak it forever or, worse, reclaim one a retained
+    * version still needs). Builder-`require`d: the vacuum reclaimed
+    * the original data files and exactly the one DV file, and kept
+    * every live compacted file. */
+  private[graft] def ordersRetentionTable(spark: SparkSession,
+                                          dir: String): String =
+    cachedTable(spark, dir, "deltaret") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitAppend(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      commitAppend(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t)
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(10)) === 0)
+      compact(spark, t, targetFiles = 2)
+      val live = replay(t, versions(t).last).files.toSet
+      val reclaimed = vacuum(t, keepVersions = 1)
+      require(reclaimed.count(_.startsWith("deletion_vector_")) == 1,
+        s"vacuum must reclaim exactly the expired DV file, got " +
+          reclaimed.mkString(", "))
+      require(reclaimed.exists(_.endsWith(".parquet")),
+        "vacuum must reclaim the compacted-away original data files")
+      require(reclaimed.forall(p => !live.contains(p)),
+        "vacuum reclaimed a file the retained version still reads")
+    }
+
+  /** q185 — RETENTION LIFECYCLE READBACK: after append → MoR delete
+    * (DV) → OPTIMIZE → VACUUM(keep latest), the table must read as
+    * orders minus the deleted tenths FROM THE COMPACTED FILES ALONE
+    * — every pre-compaction file and the DV are gone from disk. A
+    * compaction that failed to fold the bitmap resurrects the
+    * tenths; a vacuum that reclaimed a live file breaks the scan; a
+    * DV reference-count bug upstream deletes rows twice or zero
+    * times — all hash-mismatch (or throw) against the one-predicate
+    * oracle. DeltaLogSpec additionally pins that time travel PAST
+    * the horizon now fails loudly on the missing files. */
+  def deltaRetentionRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersRetentionTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaRetentionReadSql: String =
+    """SELECT * FROM orders
+      |WHERE o_orderkey % 10 <> 0
+      |ORDER BY o_orderkey""".stripMargin
 
   /** q178 — DELTA SCAN AS A SQL TABLE FUNCTION: `delta_scan(path)`
     * in plain SQL (the DuckDB-parity spelling, injected via

@@ -303,17 +303,24 @@ object Iceberg {
       .collect { case n if n.forall(_.isDigit) => n.toInt }
       .sorted.toSeq
 
-  /** Current metadata version: `version-hint.text` if present (the
-    * Hadoop catalog's pointer), else the highest vN on disk. */
+  /** Current metadata version: max of `version-hint.text` (the
+    * Hadoop catalog's pointer) and the highest vN on disk. The hint
+    * is ADVISORY — the hard link on vN.metadata.json is the commit
+    * point, and a writer crashing between the link and the hint
+    * move leaves the hint one behind; trusting it alone would hide
+    * a fully committed version. Every vN on disk is immutable and
+    * complete (the tmp+link publish), so max() is always safe. */
   private def currentVersion(tableDir: String): Int = {
-    val hint = new File(metaDir(tableDir), "version-hint.text")
-    if (hint.isFile)
-      new String(Files.readAllBytes(hint.toPath), "UTF-8").trim.toInt
-    else {
-      val vs = versions(tableDir)
-      require(vs.nonEmpty, s"no metadata/v*.metadata.json under $tableDir")
-      vs.last
-    }
+    val hintFile = new File(metaDir(tableDir), "version-hint.text")
+    val hint: Option[Int] =
+      if (hintFile.isFile)
+        Some(new String(Files.readAllBytes(hintFile.toPath), "UTF-8")
+          .trim.toInt)
+      else None
+    val vs = versions(tableDir)
+    require(hint.nonEmpty || vs.nonEmpty,
+      s"no metadata/v*.metadata.json under $tableDir")
+    math.max(hint.getOrElse(Int.MinValue), vs.lastOption.getOrElse(Int.MinValue))
   }
 
   private def loadMetadata(tableDir: String, v: Int): ObjectNode = {
@@ -630,7 +637,7 @@ object Iceberg {
     val next = meta.deepCopy[ObjectNode]()
     next.put("current-snapshot-id", snapshotId)
     appendSnapshotLog(next, snapshotId)
-    publishMetadataVersion(tableDir, v + 1, next)
+    publishPinned(tableDir, v + 1, next, "rollback")
     v + 1
   }
 
@@ -673,7 +680,7 @@ object Iceberg {
       else next.putObject("refs")
     refs.putObject(name)
       .put("snapshot-id", snapshotId).put("type", refType)
-    publishMetadataVersion(tableDir, v + 1, next)
+    publishPinned(tableDir, v + 1, next, "setRef")
     v + 1
   }
 
@@ -685,7 +692,7 @@ object Iceberg {
       s"no ref '$name'")
     val next = meta.deepCopy[ObjectNode]()
     next.get("refs").asInstanceOf[ObjectNode].remove(name)
-    publishMetadataVersion(tableDir, v + 1, next)
+    publishPinned(tableDir, v + 1, next, "dropRef")
     v + 1
   }
 
@@ -729,7 +736,7 @@ object Iceberg {
     val next = meta.deepCopy[ObjectNode]()
     next.put("current-snapshot-id", ref.get("snapshot-id").asLong)
     appendSnapshotLog(next, ref.get("snapshot-id").asLong)
-    publishMetadataVersion(tableDir, v + 1, next)
+    publishPinned(tableDir, v + 1, next, "fastForward")
     v + 1
   }
 
@@ -1220,9 +1227,14 @@ object Iceberg {
               name -> typedPartitionValue(pv(name), t) })
           }
       }
-    // one new manifest for the added files
+    // one new manifest for the added files — UUID-named so two RACING
+    // committers never collide at a file write; only the metadata
+    // hard-link CAS decides commit order (the same rule as Delta's
+    // UUID data dirs). The manifest is version-independent (entries
+    // carry no snapshot id), so a CAS retry reuses it as-is.
+    val commitUuid = java.util.UUID.randomUUID
     val manifestPath =
-      s"${metaDir(tableDir)}/snap-$snapshotId-m0.avro"
+      s"${metaDir(tableDir)}/snap-$commitUuid-m0.avro"
     val colIds = df.schema.fields.zipWithIndex
       .map { case (f, i) => f.name -> (i + 1) }.toMap
     val entrySchema = manifestEntrySchemaFor(
@@ -1235,141 +1247,195 @@ object Iceberg {
       parts.map { case (f, pv) =>
         manifestEntry(f.getPath, 1, colIds, entrySchema, pv,
           statsByPath.get(f.getPath)) })
-    // manifest list: append keeps the prior snapshot's manifests (its
-    // files stay EXISTING); overwrite references only the new one
-    // carried-forward manifests KEEP their original added_snapshot_id
-    // (incremental readers diff snapshots by exactly that field) and
-    // their content (an append after a v2 delete keeps the delete
-    // manifests in force)
-    val prevManifests: Seq[(String, Long, Int, Any)] =
-      if (overwrite || prevMeta.isEmpty) Seq.empty
-      else {
-        // an append's PARENT is the branch head when committing to a
-        // branch (WAP staging), otherwise the main current snapshot
-        val baseId = toBranch match {
-          case Some(b)
-              if prevMeta.get.has("refs") &&
-                prevMeta.get.get("refs").has(b) =>
-            prevMeta.get.get("refs").get(b).get("snapshot-id").asLong
-          case _ => prevMeta.get.get("current-snapshot-id").asLong
+    // Everything VERSION-DEPENDENT lives inside one publish attempt:
+    // losing the metadata CAS means a racing writer owns vN, so the
+    // loser re-derives base metadata / version / snapshot id against
+    // the NEW head and retries onto v(N+1) — an append is a blind add
+    // (no semantic conflict possible), an overwrite recomputes what
+    // it replaces. Each attempt writes its own manifest-list
+    // (immutable once referenced); a loser's list file is an orphan,
+    // exactly as Iceberg's own retries leave one.
+    def publishAttempt(v: Int, prevMeta: Option[ObjectNode],
+                       snapshotId: Long): Boolean = {
+      // manifest list: append keeps the prior snapshot's manifests (its
+      // files stay EXISTING); overwrite references only the new one
+      // carried-forward manifests KEEP their original added_snapshot_id
+      // (incremental readers diff snapshots by exactly that field) and
+      // their content (an append after a v2 delete keeps the delete
+      // manifests in force)
+      val prevManifests: Seq[(String, Long, Int, Any)] =
+        if (overwrite || prevMeta.isEmpty) Seq.empty
+        else {
+          // an append's PARENT is the branch head when committing to a
+          // branch (WAP staging), otherwise the main current snapshot
+          val baseId = toBranch match {
+            case Some(b)
+                if prevMeta.get.has("refs") &&
+                  prevMeta.get.get("refs").has(b) =>
+              prevMeta.get.get("refs").get(b).get("snapshot-id").asLong
+            case _ => prevMeta.get.get("current-snapshot-id").asLong
+          }
+          val curSnap = prevMeta.get.get("snapshots").elements().asScala
+            .find(_.get("snapshot-id").asLong == baseId).get
+          readAvro(curSnap.get("manifest-list").asText)
+            .map(r => (r.get("manifest_path").toString,
+              r.get("manifest_length").asInstanceOf[Long],
+              fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+              r.get("added_snapshot_id")))
         }
-        val curSnap = prevMeta.get.get("snapshots").elements().asScala
-          .find(_.get("snapshot-id").asLong == baseId).get
-        readAvro(curSnap.get("manifest-list").asText)
-          .map(r => (r.get("manifest_path").toString,
-            r.get("manifest_length").asInstanceOf[Long],
-            fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
-            r.get("added_snapshot_id")))
-      }
-    val fv = prevMeta.map(_.get("format-version").asInt).getOrElse(1)
-    val listPath =
-      s"${metaDir(tableDir)}/snap-$snapshotId-manifest-list.avro"
-    val listRecords = (prevManifests :+
-      (manifestPath, new File(manifestPath).length(), 0,
-        snapshotId: Any)).map {
-        case (p, len, content, addedBy) =>
-          val listSchema =
-            if (fv == 2) manifestFileSchemaV2 else manifestFileSchema
-          val r = new GenericData.Record(listSchema)
-          r.put("manifest_path", p)
-          r.put("manifest_length", len)
-          r.put("partition_spec_id", 0)
-          if (fv == 2) r.put("content", content)
-          else require(content == 0,
-            "delete manifest carried into a v1 list — table corrupt")
-          r.put("added_snapshot_id", addedBy)
-          r
-      }
-    writeAvro(listPath,
-      if (fv == 2) manifestFileSchemaV2 else manifestFileSchema,
-      listRecords)
-    // new metadata json: full snapshot history + the new snapshot
-    val meta = mapper.createObjectNode()
-    meta.put("format-version", fv)
-    meta.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
-      tableDir.getBytes("UTF-8")).toString)
-    meta.put("location", tableDir)
-    meta.put("last-updated-ms", 0L)
-    meta.put("last-column-id", df.schema.fields.length)
-    // carry the table's schema NODES verbatim once they exist — a
-    // regenerated node would reset schema-id and drop the `schemas`
-    // history an evolution recorded
-    prevMeta match {
-      case Some(m) =>
-        meta.set[com.fasterxml.jackson.databind.JsonNode](
-          "schema", m.get("schema"))
-        if (m.has("schemas"))
+      val fv = prevMeta.map(_.get("format-version").asInt).getOrElse(1)
+      val listPath =
+        s"${metaDir(tableDir)}/snap-$snapshotId-$commitUuid-v$v-manifest-list.avro"
+      val listRecords = (prevManifests :+
+        (manifestPath, new File(manifestPath).length(), 0,
+          snapshotId: Any)).map {
+          case (p, len, content, addedBy) =>
+            val listSchema =
+              if (fv == 2) manifestFileSchemaV2 else manifestFileSchema
+            val r = new GenericData.Record(listSchema)
+            r.put("manifest_path", p)
+            r.put("manifest_length", len)
+            r.put("partition_spec_id", 0)
+            if (fv == 2) r.put("content", content)
+            else require(content == 0,
+              "delete manifest carried into a v1 list — table corrupt")
+            r.put("added_snapshot_id", addedBy)
+            r
+        }
+      writeAvro(listPath,
+        if (fv == 2) manifestFileSchemaV2 else manifestFileSchema,
+        listRecords)
+      // new metadata json: full snapshot history + the new snapshot
+      val meta = mapper.createObjectNode()
+      meta.put("format-version", fv)
+      meta.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+        tableDir.getBytes("UTF-8")).toString)
+      meta.put("location", tableDir)
+      meta.put("last-updated-ms", 0L)
+      meta.put("last-column-id", df.schema.fields.length)
+      // carry the table's schema NODES verbatim once they exist — a
+      // regenerated node would reset schema-id and drop the `schemas`
+      // history an evolution recorded
+      prevMeta match {
+        case Some(m) =>
           meta.set[com.fasterxml.jackson.databind.JsonNode](
-            "schemas", m.get("schemas"))
-        if (m.has("current-schema-id"))
-          meta.put("current-schema-id", m.get("current-schema-id").asInt)
-      case None =>
-        meta.set[ObjectNode]("schema", schemaToJson(tableSchema))
+            "schema", m.get("schema"))
+          if (m.has("schemas"))
+            meta.set[com.fasterxml.jackson.databind.JsonNode](
+              "schemas", m.get("schemas"))
+          if (m.has("current-schema-id"))
+            meta.put("current-schema-id", m.get("current-schema-id").asInt)
+        case None =>
+          meta.set[ObjectNode]("schema", schemaToJson(tableSchema))
+      }
+      val specs = meta.putArray("partition-specs")
+      val specFields = specs.addObject().put("spec-id", 0).putArray("fields")
+      tupleFields.zipWithIndex.foreach { case ((name, tr, src, _), i) =>
+        specFields.addObject()
+          .put("name", name).put("transform", tr)
+          .put("source-id", colIds(src)).put("field-id", 1000 + i)
+      }
+      meta.put("default-spec-id", 0)
+      meta.putObject("properties")
+      // refs carry across commits (they are table state, not snapshot
+      // state); a BRANCH commit advances its ref and leaves main's
+      // current-snapshot-id untouched — the write-audit-publish shape
+      val refs = meta.putObject("refs")
+      prevMeta.filter(_.has("refs")).foreach(
+        _.get("refs").properties().asScala.foreach(e =>
+          refs.set[com.fasterxml.jackson.databind.JsonNode](
+            e.getKey, e.getValue)))
+      val prevCurrent: Option[Long] =
+        prevMeta.map(_.get("current-snapshot-id").asLong)
+      val newCurrent: Long = toBranch match {
+        case Some(b) =>
+          refs.putObject(b)
+            .put("snapshot-id", snapshotId).put("type", "branch")
+          prevCurrent.getOrElse(snapshotId)
+        case None => snapshotId
+      }
+      meta.put("current-snapshot-id", newCurrent)
+      val snaps: ArrayNode = meta.putArray("snapshots")
+      prevMeta.foreach(_.get("snapshots").elements().asScala
+        .foreach(s => snaps.add(s)))
+      val snapTs = nextSnapshotTs(prevMeta)
+      val sn = snaps.addObject()
+      sn.put("snapshot-id", snapshotId)
+      sn.put("timestamp-ms", snapTs)
+      sn.putObject("summary").put("operation",
+        if (overwrite) "overwrite" else "append")
+      sn.put("manifest-list", listPath)
+      // the spec's history logs — real clients resolve FOR TIMESTAMP AS
+      // OF through snapshot-log and locate prior metadata through
+      // metadata-log; carrying them keeps tables fully interop-readable
+      val snapLog = meta.putArray("snapshot-log")
+      prevMeta.filter(_.has("snapshot-log")).foreach(
+        _.get("snapshot-log").elements().asScala.foreach(snapLog.add))
+      // snapshot-log records CURRENT-snapshot-id transitions, not
+      // snapshot creation: external clients resolve FOR TIMESTAMP AS OF
+      // through it, so a branch commit (current unchanged) must NOT
+      // append — an entry here would let a reader resolve to an
+      // unpublished WAP-staged snapshot inside the audit window;
+      // [[rollbackTo]]/[[fastForward]] append their transitions instead
+      if (!prevCurrent.contains(newCurrent))
+        snapLog.addObject()
+          .put("timestamp-ms", snapTs).put("snapshot-id", newCurrent)
+      val metaLog = meta.putArray("metadata-log")
+      prevMeta.filter(_.has("metadata-log")).foreach(
+        _.get("metadata-log").elements().asScala.foreach(metaLog.add))
+      prevMeta.foreach { _ =>
+        metaLog.addObject()
+          .put("timestamp-ms", snapTs)
+          .put("metadata-file",
+            s"${metaDir(tableDir)}/v${v - 1}.metadata.json")
+      }
+      commitClaimHook(tableDir, v)
+      publishMetadataVersion(tableDir, v, meta)
     }
-    val specs = meta.putArray("partition-specs")
-    val specFields = specs.addObject().put("spec-id", 0).putArray("fields")
-    tupleFields.zipWithIndex.foreach { case ((name, tr, src, _), i) =>
-      specFields.addObject()
-        .put("name", name).put("transform", tr)
-        .put("source-id", colIds(src)).put("field-id", 1000 + i)
+    var curV = v
+    var curPrev = prevMeta
+    var curSnapshot = snapshotId
+    var retries = 0
+    while (!publishAttempt(curV, curPrev, curSnapshot)) {
+      retries += 1
+      // lost the CAS: a racing writer committed vN first. The loop
+      // makes progress by construction — every loss means a new
+      // committed version exists — and the winner must not have
+      // changed what this commit assumed (same schema, same spec:
+      // the contract a first attempt validates up front).
+      val vs2 = versions(tableDir)
+      curV = vs2.last + 1
+      val p = loadMetadata(tableDir, vs2.last)
+      val prevSchema = schemaFromMetadata(p)
+      require(erased(prevSchema) == erased(df.schema),
+        s"schema changed under a racing commit: table has " +
+          s"$prevSchema, commit has ${df.schema}")
+      require(partitionSpecOf(p) == declaredSpec,
+        "partition spec changed under a racing commit: table has " +
+          s"${partitionSpecOf(p)}, commit declares $declaredSpec")
+      curPrev = Some(p)
+      curSnapshot = p.get("snapshots").elements().asScala
+        .map(_.get("snapshot-id").asLong).maxOption.getOrElse(0L) + 1L
     }
-    meta.put("default-spec-id", 0)
-    meta.putObject("properties")
-    // refs carry across commits (they are table state, not snapshot
-    // state); a BRANCH commit advances its ref and leaves main's
-    // current-snapshot-id untouched — the write-audit-publish shape
-    val refs = meta.putObject("refs")
-    prevMeta.filter(_.has("refs")).foreach(
-      _.get("refs").properties().asScala.foreach(e =>
-        refs.set[com.fasterxml.jackson.databind.JsonNode](
-          e.getKey, e.getValue)))
-    val prevCurrent: Option[Long] =
-      prevMeta.map(_.get("current-snapshot-id").asLong)
-    val newCurrent: Long = toBranch match {
-      case Some(b) =>
-        refs.putObject(b)
-          .put("snapshot-id", snapshotId).put("type", "branch")
-        prevCurrent.getOrElse(snapshotId)
-      case None => snapshotId
-    }
-    meta.put("current-snapshot-id", newCurrent)
-    val snaps: ArrayNode = meta.putArray("snapshots")
-    prevMeta.foreach(_.get("snapshots").elements().asScala
-      .foreach(s => snaps.add(s)))
-    val snapTs = nextSnapshotTs(prevMeta)
-    val sn = snaps.addObject()
-    sn.put("snapshot-id", snapshotId)
-    sn.put("timestamp-ms", snapTs)
-    sn.putObject("summary").put("operation",
-      if (overwrite) "overwrite" else "append")
-    sn.put("manifest-list", listPath)
-    // the spec's history logs — real clients resolve FOR TIMESTAMP AS
-    // OF through snapshot-log and locate prior metadata through
-    // metadata-log; carrying them keeps tables fully interop-readable
-    val snapLog = meta.putArray("snapshot-log")
-    prevMeta.filter(_.has("snapshot-log")).foreach(
-      _.get("snapshot-log").elements().asScala.foreach(snapLog.add))
-    // snapshot-log records CURRENT-snapshot-id transitions, not
-    // snapshot creation: external clients resolve FOR TIMESTAMP AS OF
-    // through it, so a branch commit (current unchanged) must NOT
-    // append — an entry here would let a reader resolve to an
-    // unpublished WAP-staged snapshot inside the audit window;
-    // [[rollbackTo]]/[[fastForward]] append their transitions instead
-    if (!prevCurrent.contains(newCurrent))
-      snapLog.addObject()
-        .put("timestamp-ms", snapTs).put("snapshot-id", newCurrent)
-    val metaLog = meta.putArray("metadata-log")
-    prevMeta.filter(_.has("metadata-log")).foreach(
-      _.get("metadata-log").elements().asScala.foreach(metaLog.add))
-    prevMeta.foreach { _ =>
-      metaLog.addObject()
-        .put("timestamp-ms", snapTs)
-        .put("metadata-file",
-          s"${metaDir(tableDir)}/v${v - 1}.metadata.json")
-    }
-    publishMetadataVersion(tableDir, v, meta)
-    snapshotId
+    if (retries > 0) commitCasRetries.addAndGet(retries)
+    curSnapshot
   }
+
+  /** CAS losses retried by [[commit]] since session start — the
+    * race-spec seam proving the loser actually lost and recovered
+    * (N racing appenders ⇒ at least N-1 retries). Atomic because the
+    * race specs bump it from N concurrent committer threads. */
+  private[graft] val commitCasRetries =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Test seam: invoked with (tableDir, claimedVersion) between a
+    * commit attempt's metadata assembly and its hard-link CAS — the
+    * exact window a racing writer exploits. The race specs install a
+    * hook that plants a competing commit here, making loser-recovery
+    * DETERMINISTIC (thread-timing races leave the window unexercised
+    * more often than not). No-op in production. */
+  @volatile private[graft] var commitClaimHook: (String, Int) => Unit =
+    (_, _) => ()
 
   /** Wall-clock timestamp for a new snapshot, forced past every
     * recorded one — same-millisecond commits (and clock skew) would
@@ -1384,26 +1450,50 @@ object Iceberg {
   }
 
   /** Publish metadata version `v`: tmp + hard-link CAS like the Delta
-    * commit (metadata files are immutable; losing the race means
-    * another writer owns vN — no retry here, callers of the gated
-    * builders never race), then the advisory version-hint (reader
-    * falls back to max vN). */
+    * commit (metadata files are immutable — the LINK is the commit
+    * point; losing it means another writer owns vN and this attempt
+    * changed nothing). Returns whether the CAS won; only a WIN moves
+    * the advisory version-hint, and [[currentVersion]] takes
+    * max(hint, disk) so a crash inside the hint window (or a loser's
+    * stale hint) can never hide a committed version. */
   private def publishMetadataVersion(tableDir: String, v: Int,
-                                     meta: ObjectNode): Unit = {
+                                     meta: ObjectNode): Boolean = {
     val tmp = Files.createTempFile(
       Paths.get(metaDir(tableDir)), s".v$v-", ".json.tmp")
     Files.write(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)
         .getBytes("UTF-8"))
-    try Files.createLink(
-      Paths.get(metaDir(tableDir), s"v$v.metadata.json"), tmp)
-    finally Files.deleteIfExists(tmp)
-    val hint = Files.createTempFile(
-      Paths.get(metaDir(tableDir)), ".hint-", ".tmp")
-    Files.write(hint, v.toString.getBytes("UTF-8"))
-    Files.move(hint, Paths.get(metaDir(tableDir), "version-hint.text"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val won =
+      try {
+        Files.createLink(
+          Paths.get(metaDir(tableDir), s"v$v.metadata.json"), tmp)
+        true
+      }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+      finally Files.deleteIfExists(tmp)
+    if (won) {
+      val hint = Files.createTempFile(
+        Paths.get(metaDir(tableDir)), ".hint-", ".tmp")
+      Files.write(hint, v.toString.getBytes("UTF-8"))
+      Files.move(hint, Paths.get(metaDir(tableDir), "version-hint.text"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    won
   }
+
+  /** [[publishMetadataVersion]] for VERSION-PINNED metadata ops
+    * (rollback, refs, schema evolution, row-level deletes): these
+    * computed their next state against a specific base, so a lost
+    * CAS cannot be blindly retried — fail loudly and let the caller
+    * recompute against the new head. Only [[commit]] retries,
+    * because an append/overwrite re-derives cleanly. */
+  private def publishPinned(tableDir: String, v: Int,
+                            meta: ObjectNode, op: String): Unit =
+    require(publishMetadataVersion(tableDir, v, meta),
+      s"concurrent writer claimed metadata v$v during $op — " +
+        "recompute against the new table state and retry")
 
   /** Current snapshot's live files for a cross-format export:
     * (schema, partition columns, file → stringified partition
@@ -1481,7 +1571,7 @@ object Iceberg {
     sn.put("timestamp-ms", System.currentTimeMillis())
     sn.putObject("summary").put("operation", "append")
     sn.put("manifest-list", listPath)
-    publishMetadataVersion(tableDir, 1, meta)
+    publishPinned(tableDir, 1, meta, "registerFiles")
     snapshotId
   }
 
@@ -1596,6 +1686,51 @@ object Iceberg {
     }
   }
 
+  /** Checkpointed incremental CONSUMER over the snapshot history —
+    * the [[DeltaLog.consumeChanges]] twin (snapshot ids are the
+    * offsets): poll the appends past the persisted offset via
+    * [[readIncremental]], land each snapshot's rows in its own
+    * `snapshot=<id>` sink partition (OVERWRITE — a snapshot
+    * re-delivered after a crash REPLACES its own output, never
+    * appends a duplicate), then persist the new offset atomically.
+    * The crash window is exactly between sink write and offset
+    * persist — `afterSink` runs there so a spec can plant the crash;
+    * on restart the consumer re-reads from the stale offset and the
+    * idempotent sink makes the re-delivery invisible. Exactly-once
+    * end to end, O(new snapshots) metadata + O(their files) data per
+    * poll. Inherits [[readIncremental]]'s append-only contract: an
+    * overwrite past the offset refuses loudly rather than silently
+    * missing its removed rows. Returns the new offset (the latest
+    * consumed snapshot id; 0 = nothing consumed yet). */
+  def consumeIncremental(spark: SparkSession, tableDir: String,
+                         workDir: String,
+                         afterSink: Long => Unit = _ => ()): Long = {
+    val offsetFile = Paths.get(workDir, "offset")
+    val offset =
+      if (Files.isRegularFile(offsetFile))
+        new String(Files.readAllBytes(offsetFile), "UTF-8").trim.toLong
+      else 0L
+    // bound to the ids listed NOW: a snapshot committing between this
+    // listing and the read belongs to the NEXT poll
+    val snaps = snapshotIds(tableDir)
+    val latest = snaps.lastOption.getOrElse(0L)
+    if (latest > offset) {
+      val changes = readIncremental(spark, tableDir, offset, latest)
+      snaps.filter(id => id > offset && id <= latest).foreach { id =>
+        changes.filter(col("_snapshot_id") === id)
+          .write.mode("overwrite").parquet(s"$workDir/sink/snapshot=$id")
+      }
+      afterSink(latest)
+      Files.createDirectories(Paths.get(workDir))
+      val tmp = Files.createTempFile(Paths.get(workDir), ".offset-", ".tmp")
+      Files.write(tmp, latest.toString.getBytes("UTF-8"))
+      Files.move(tmp, offsetFile,
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      latest
+    } else offset
+  }
+
   /** ROW-LEVEL DELETE, merge-on-read (Iceberg v2 position deletes):
     * find the (file, position) of every still-live row matching
     * `predicate`, write them as a position-delete parquet (the spec's
@@ -1665,7 +1800,8 @@ object Iceberg {
     val snapshotId: Long = meta.get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong).max + 1L
     // one delete manifest
-    val dm = s"${metaDir(tableDir)}/snap-$snapshotId-d0.avro"
+    val dm = s"${metaDir(tableDir)}/snap-$snapshotId-${
+      java.util.UUID.randomUUID}-d0.avro"
     val dfr = new GenericData.Record(
       deleteEntrySchema.getField("data_file").schema())
     dfr.put("content", 1)
@@ -1691,7 +1827,8 @@ object Iceberg {
       .find(_.get("snapshot-id").asLong == curId).get
     val prev = readAvro(curSnap.get("manifest-list").asText)
     val listPath =
-      s"${metaDir(tableDir)}/snap-$snapshotId-manifest-list.avro"
+      s"${metaDir(tableDir)}/snap-$snapshotId-${
+        java.util.UUID.randomUUID}-manifest-list.avro"
     val listRecords = prev.map { r =>
       val n = new GenericData.Record(manifestFileSchemaV2)
       n.put("manifest_path", r.get("manifest_path").toString)
@@ -1722,7 +1859,7 @@ object Iceberg {
     sn.put("timestamp-ms", nextSnapshotTs(Some(meta)))
     sn.putObject("summary").put("operation", "delete")
     sn.put("manifest-list", listPath)
-    publishMetadataVersion(tableDir, v + 1, next)
+    publishPinned(tableDir, v + 1, next, "row-level delete")
     snapshotId
   }
 
@@ -1764,7 +1901,8 @@ object Iceberg {
     }
     val snapshotId: Long = meta.get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong).max + 1L
-    val dm = s"${metaDir(tableDir)}/snap-$snapshotId-d0.avro"
+    val dm = s"${metaDir(tableDir)}/snap-$snapshotId-${
+      java.util.UUID.randomUUID}-d0.avro"
     val dfr = new GenericData.Record(
       eqDeleteEntrySchema.getField("data_file").schema())
     dfr.put("content", 2)
@@ -1820,7 +1958,7 @@ object Iceberg {
     schemas.add(sj)
     next.put("current-schema-id", newId)
     next.put("last-column-id", newSchema.fields.length)
-    publishMetadataVersion(tableDir, v + 1, next)
+    publishPinned(tableDir, v + 1, next, "evolveSchema")
     v + 1
   }
 
@@ -1908,7 +2046,7 @@ object Iceberg {
     val next = meta.deepCopy[ObjectNode]()
     val arr = next.putArray("snapshots")
     kept.foreach(arr.add)
-    publishMetadataVersion(tableDir, v + 1, next)
+    publishPinned(tableDir, v + 1, next, "expireSnapshots")
     dead.toSeq.sorted.filter(p => Files.deleteIfExists(Paths.get(p)))
   }
 
@@ -2337,6 +2475,63 @@ object Iceberg {
 
   val icebergBranchReadSql: String =
     """SELECT * FROM orders ORDER BY o_orderkey"""
+
+  /** Session-cached STORAGE-LIFECYCLE table — the
+    * [[DeltaLog.ordersRetentionTable]] twin with Iceberg's
+    * machinery: two disjoint appends (snapshots 1/2), a TAG on the
+    * pre-delete state, a v2 POSITION DELETE of every tenth key that
+    * exists only as a delete file (snapshot 3), a rewrite that folds
+    * the MoR debt into compacted files (snapshot 4), then
+    * expireSnapshots(keepLast=1) — which must expire snapshots 1 and
+    * 3 (reclaiming the position-delete parquet and the orphaned
+    * manifest-lists) while RETAINING tag-pinned snapshot 2 past the
+    * count horizon and every file it references. Builder-`require`d:
+    * the expire reclaimed the delete file, and kept the tagged
+    * snapshot readable. */
+  private[graft] def ordersIcebergRetentionTable(spark: SparkSession,
+                                                 dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergret") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitAppend(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      commitAppend(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t)
+      setRef(t, "pre-delete", 2L)
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(10)) === 0)
+      rewriteDataFiles(spark, t)
+      val reclaimed = expireSnapshots(t, keepLast = 1)
+      require(reclaimed.exists(_.contains("/data/delete-")),
+        s"expire must reclaim snapshot 3's position-delete file, " +
+          s"got ${reclaimed.mkString(", ")}")
+      require(snapshotIds(t).toSet == Set(2L, 4L),
+        "expire keeps the tag-pinned snapshot 2 and the current 4, " +
+          s"got ${snapshotIds(t)}")
+    }
+
+  /** q186 — RETENTION × REFS READBACK: after append → tag → MoR
+    * delete → rewrite → EXPIRE(keep current), one query interrogates
+    * both survivors — `src='main'` rows come from the compacted
+    * current snapshot (orders minus the deleted tenths, served with
+    * ZERO delete files left on disk), `src='tag'` rows come from
+    * tag-pinned snapshot 2 held past the count horizon (the full
+    * pre-delete orders). An expire that reference-counted wrong
+    * either breaks the tag read (reclaimed a pinned manifest) or
+    * leaks deleted rows into main; a rewrite that dropped the MoR
+    * debt resurrects the tenths — each hash-mismatches the two-arm
+    * oracle. */
+  def icebergRetentionRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = ordersIcebergRetentionTable(spark, dir)
+    read(spark, t).withColumn("src", lit("main"))
+      .unionByName(
+        readRef(spark, t, "pre-delete").withColumn("src", lit("tag")))
+      .orderBy(col("o_orderkey"), col("src"))
+  }
+
+  val icebergRetentionReadSql: String =
+    """SELECT * FROM (
+      |  SELECT o.*, 'main' AS src FROM orders o
+      |  WHERE o_orderkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT o.*, 'tag' AS src FROM orders o
+      |) ORDER BY o_orderkey, src""".stripMargin
 
   /** Session-cached EQUALITY-DELETE lifecycle table: snapshot 1 = odd
     * order keys; snapshot 2 = equality delete of key

@@ -619,6 +619,70 @@ class DeltaLogSpec extends SparkSuite {
     assert(post.collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L))
   }
 
+  test("racing appenders: the log CAS decides order, every commit lands") {
+    val dir = Files.createTempDirectory("dlograce").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      Seq((0L, "base")).toDF("k", "s"), dir)
+    val n = 4
+    // all N appenders compute the same next version behind a barrier;
+    // the hard-link CAS lets exactly one win each round and the
+    // losers' retry loop re-claims until everyone lands
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            barrier.await()
+            sources.DeltaLog.commitAppend(
+              Seq((i.toLong, s"w$i")).toDF("k", "s"), dir)
+          }
+        })
+      }
+      val versions = futures.map(
+        _.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet.size == n,
+        s"each appender owns a distinct version, got $versions")
+    } finally pool.shutdown()
+    assert(sources.DeltaLog.versions(dir) == (0L to n.toLong),
+      "versions must be contiguous — no torn or skipped commit")
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L to n.toLong),
+      "every append lands exactly once")
+    // no torn metadata: every version replays clean
+    (0L to n.toLong).foreach(v => sources.DeltaLog.replay(dir, v))
+  }
+
+  test("losing the version CAS retries cleanly onto N+1 (deterministic planted race)") {
+    val dir = Files.createTempDirectory("dlogplant").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      Seq((0L, "base")).toDF("k", "s"), dir)
+    val before = sources.DeltaLog.commitCasRetries.get
+    // plant a competing commit in the exact window between the
+    // loser's version computation and its CAS attempt — the hook is
+    // reentrancy-guarded so the planted commit itself runs unraced
+    val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var plantedVersion = -1L
+    sources.DeltaLog.commitClaimHook = (d, _) =>
+      if (planted.compareAndSet(false, true))
+        plantedVersion = sources.DeltaLog.commitAppend(
+          Seq((100L, "racer")).toDF("k", "s"), d)
+    try {
+      val v = sources.DeltaLog.commitAppend(
+        Seq((200L, "loser")).toDF("k", "s"), dir)
+      assert(plantedVersion == 1L, "the planted racer claimed v1 first")
+      assert(v == plantedVersion + 1,
+        "the loser must recover onto exactly the next version")
+    } finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+    assert(sources.DeltaLog.commitCasRetries.get >= before + 1,
+      "the loser's lost CAS must be visible through the retry seam")
+    assert(sources.DeltaLog.versions(dir) == (0L to 2L),
+      "contiguous versions — no torn or skipped commit")
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 100L, 200L),
+      "both the racer's and the loser's rows land exactly once")
+  }
+
   test("commit stats ride the distributed footer job, driver opens none") {
     val dir = Files.createTempDirectory("dlogsj").toString + "/t"
     val df = (1L to 64L).map(i => (i, s"s$i")).toDF("k", "s")
@@ -1231,6 +1295,31 @@ class DeltaLogSpec extends SparkSuite {
     // pruner (kept) but still correct through the scan filter
     assert(sources.DeltaLog.readFiltered(spark, dir,
       col("p") === "5").count() == 1)
+  }
+
+  test("q185 gate shape: vacuum reclaims DV + originals, horizon enforced") {
+    val got = sources.DeltaLog.deltaRetentionRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() == orders.filter(col("o_orderkey") % 10 =!= 0).count())
+    val t = sources.DeltaLog.ordersRetentionTable(spark, sfDir)
+    // the current snapshot reads from the two compacted files alone
+    val st = sources.DeltaLog.replay(t, sources.DeltaLog.versions(t).last)
+    assert(st.files.size == 2, s"post-OPTIMIZE files: ${st.files}")
+    assert(st.adds.values.forall(_.dv.isEmpty),
+      "the compaction folded every DV — none may survive on the adds")
+    // no DV file remains on disk anywhere under the table
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(!walk(new java.io.File(t)).exists(
+        _.getName.startsWith("deletion_vector_")),
+      "vacuum must have reclaimed the expired DV file")
+    // time travel PAST the horizon fails loudly on missing files,
+    // never reads wrong data
+    intercept[Exception] {
+      sources.DeltaLog.readVersion(spark, t, 0L).collect()
+    }
+    // a second vacuum is a no-op, not a repeat report
+    assert(sources.DeltaLog.vacuum(t, keepVersions = 1).isEmpty)
   }
 
   test("q172 gate shape: stacked DV deletes, data files unrewritten") {

@@ -1168,6 +1168,159 @@ class IcebergSpec extends SparkSuite {
     assert(e.getMessage.contains("not a branch"))
   }
 
+  test("racing committers: one wins the metadata CAS, losers retry onto the next version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icerace").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((0L, "base")).toDF("k", "s"), dir)
+    val n = 4
+    // all N appenders snapshot the SAME base version behind a barrier,
+    // so N-1 of them are guaranteed to lose the CAS and must recover
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            barrier.await()
+            sources.Iceberg.commitAppend(
+              Seq((i.toLong, s"w$i")).toDF("k", "s"), dir)
+          }
+        })
+      }
+      val snaps = futures.map(
+        _.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(snaps.toSet.size == n,
+        s"each committer owns a distinct snapshot id, got $snaps")
+    } finally pool.shutdown()
+    // every append landed exactly once; versions are contiguous (no
+    // torn or skipped metadata); every snapshot stays addressable
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L to n.toLong))
+    assert(sources.Iceberg.versions(dir) == (1 to (n + 1)))
+    sources.Iceberg.snapshotIds(dir).foreach { id =>
+      sources.Iceberg.readSnapshot(spark, dir, id).count()
+    }
+  }
+
+  test("losing the metadata CAS retries cleanly onto N+1 (deterministic planted race)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceplant").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((0L, "base")).toDF("k", "s"), dir)
+    val before = sources.Iceberg.commitCasRetries.get
+    // plant a competing commit in the exact window between the
+    // loser's metadata assembly and its hard-link CAS — the hook is
+    // reentrancy-guarded so the planted commit itself runs unraced
+    val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.Iceberg.commitClaimHook = (d, _) =>
+      if (planted.compareAndSet(false, true))
+        sources.Iceberg.commitAppend(
+          Seq((100L, "racer")).toDF("k", "s"), d)
+    try {
+      sources.Iceberg.commitAppend(
+        Seq((200L, "loser")).toDF("k", "s"), dir)
+    } finally sources.Iceberg.commitClaimHook = (_, _) => ()
+    assert(sources.Iceberg.commitCasRetries.get >= before + 1,
+      "the loser's lost CAS must be visible through the retry seam")
+    assert(sources.Iceberg.versions(dir) == (1 to 3),
+      "contiguous metadata versions — no torn or skipped commit")
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 100L, 200L),
+      "both the racer's and the loser's rows land exactly once")
+    // the loser's recovered snapshot parents onto the racer's: the
+    // final snapshot's manifest list must carry all three data files
+    sources.Iceberg.snapshotIds(dir).foreach { id =>
+      sources.Iceberg.readSnapshot(spark, dir, id).count()
+    }
+  }
+
+  test("q186 gate shape: expire reclaims the delete file, the tag pins its snapshot") {
+    val got = sources.Iceberg.icebergRetentionRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    val nOrders = orders.count()
+    val nTenths = orders.filter(col("o_orderkey") % 10 === 0).count()
+    // main arm = orders minus tenths, tag arm = full pre-delete orders
+    assert(got.filter(col("src") === "main").count() == nOrders - nTenths)
+    assert(got.filter(col("src") === "tag").count() == nOrders)
+    val t = sources.Iceberg.ordersIcebergRetentionTable(spark, sfDir)
+    // only the tag-pinned snapshot and the current survive the expire
+    assert(sources.Iceberg.snapshotIds(t) == Seq(2L, 4L))
+    // no position-delete file remains on disk — main serves the
+    // compacted copy-on-write state with zero MoR debt
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(!walk(new java.io.File(s"$t/data")).exists(f =>
+        f.getPath.contains("/delete-") && f.getName.endsWith(".parquet")),
+      "expire must have reclaimed snapshot 3's position-delete file " +
+        "(the write job's _SUCCESS/crc sidecars are unreferenced and stay)")
+    // time travel to an EXPIRED snapshot fails loudly on its missing
+    // manifest-list, never reads wrong data
+    intercept[Exception] {
+      sources.Iceberg.readSnapshot(spark, t, 3L).collect()
+    }
+    // (tag-drop releasing the pin is held by the expireSnapshots
+    // retention spec — not repeated here on the session-cached table)
+  }
+
+  test("consumeIncremental: exactly-once across a planted crash at the offset window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icecc").toString + "/t"
+    val work = Files.createTempDirectory("iceccw").toString
+    sources.Iceberg.commitAppend(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.Iceberg.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    def sinkKeys: Seq[Long] = spark.read.parquet(s"$work/sink")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // first poll lands both snapshots, offset persists
+    assert(sources.Iceberg.consumeIncremental(spark, dir, work) == 2L)
+    assert(sinkKeys == Seq(1L, 2L))
+    // another append; CRASH after the sink write, before the offset
+    sources.Iceberg.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    intercept[RuntimeException] {
+      sources.Iceberg.consumeIncremental(spark, dir, work,
+        _ => throw new RuntimeException("planted crash before offset"))
+    }
+    // the sink already holds snapshot 3's rows, but the offset is stale
+    assert(sinkKeys == Seq(1L, 2L, 3L))
+    // restart: snapshot 3 re-delivers and REPLACES its own partition —
+    // no duplicates, offset advances
+    assert(sources.Iceberg.consumeIncremental(spark, dir, work) == 3L)
+    assert(sinkKeys == Seq(1L, 2L, 3L))
+    // quiet poll is a no-op; a later append flows incrementally
+    assert(sources.Iceberg.consumeIncremental(spark, dir, work) == 3L)
+    sources.Iceberg.commitAppend(Seq((4L, "d")).toDF("k", "s"), dir)
+    assert(sources.Iceberg.consumeIncremental(spark, dir, work) == 4L)
+    assert(sinkKeys == Seq(1L, 2L, 3L, 4L))
+    // an overwrite past the offset refuses loudly — the append-only
+    // contract: silently missing the overwrite's removed rows would
+    // corrupt every downstream consumer
+    sources.Iceberg.commitOverwrite(Seq((9L, "z")).toDF("k", "s"), dir)
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.consumeIncremental(spark, dir, work)
+    }
+    assert(e.getMessage.contains("incremental read is defined only over appends"))
+    // and the refusal left the offset untouched — no partial consume
+    assert(sinkKeys == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("crash between metadata link and hint move hides nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icecrash").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.Iceberg.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    // a writer crashed after hard-linking v2.metadata.json but before
+    // moving version-hint.text: rewind the hint to simulate
+    Files.write(Paths.get(s"$dir/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    // the LINK is the commit point — the reader must serve v2
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "a stale hint must not hide the committed v2")
+    // and the next commit claims v3, never re-claims v2
+    sources.Iceberg.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    assert(sources.Iceberg.versions(dir) == Seq(1, 2, 3))
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("iceberg_scan reads a ref by name: the WAP audit query is SQL") {
     import spark.implicits._
     val dir = Files.createTempDirectory("icewapsql").toString + "/t"
