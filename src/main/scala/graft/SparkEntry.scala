@@ -434,7 +434,16 @@ object SparkEntry {
     "q185_delta_retention"     -> (sources.DeltaLog.deltaRetentionRead _),
     // retention x refs: expire reclaims the MoR delete file but a
     // tag pins its snapshot past the horizon; both read in one query
-    "q186_iceberg_retention"   -> (sources.Iceberg.icebergRetentionRead _)
+    "q186_iceberg_retention"   -> (sources.Iceberg.icebergRetentionRead _),
+    // columnMapping mode=id: reads resolve through parquet field
+    // ids (Spark's native matcher), so renames survive name drift
+    "q187_delta_mapping_id"    -> (sources.DeltaLog.deltaMappedIdRead _),
+    // deletion vectors x column mapping: the bitmap filter keys on
+    // _metadata before the logical-name projection
+    "q188_delta_mapped_dv"     -> (sources.DeltaLog.deltaMappedDvRead _),
+    // iceberg rename: files spell TWO names for one field id; only
+    // the spec's field-id resolution reconciles them
+    "q189_iceberg_rename"      -> (sources.Iceberg.icebergRenameRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -644,6 +653,9 @@ object SparkEntry {
       -> sources.DeltaLog.deltaPartitionedDvReadSql,
     "q184_iceberg_branch_read" -> sources.Iceberg.icebergBranchReadSql,
     "q185_delta_retention"     -> sources.DeltaLog.deltaRetentionReadSql,
-    "q186_iceberg_retention"   -> sources.Iceberg.icebergRetentionReadSql
+    "q186_iceberg_retention"   -> sources.Iceberg.icebergRetentionReadSql,
+    "q187_delta_mapping_id"    -> sources.DeltaLog.deltaMappedIdReadSql,
+    "q188_delta_mapped_dv"     -> sources.DeltaLog.deltaMappedDvReadSql,
+    "q189_iceberg_rename"      -> sources.Iceberg.icebergRenameReadSql
   )
 }

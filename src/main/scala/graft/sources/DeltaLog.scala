@@ -116,15 +116,20 @@ object DeltaLog {
 
   /** Replayed state of the table at `version`: the latest metaData
     * and the active (added, never since removed) files.
-    * `columnMapping` (logical → physical, nonempty only under
-    * columnMapping mode=name) says what the data files call each
-    * schema column. */
+    * `columnMapping` (logical → physical, nonempty when mapping is
+    * enabled in either mode — the spec annotates physicalName under
+    * both) says what the data files call each schema column;
+    * `columnMappingIds` (logical → parquet field id) is how a
+    * mode=id read actually resolves; `mappingMode` is "none", "name"
+    * or "id". */
   private[graft] case class State(
       schema: StructType, partitionColumns: Seq[String],
       adds: Map[String, AddFile],
       columnMapping: Map[String, String] = Map.empty,
       minReader: Int = 1,
-      readerFeatures: Set[String] = Set.empty) {
+      readerFeatures: Set[String] = Set.empty,
+      mappingMode: String = "none",
+      columnMappingIds: Map[String, Long] = Map.empty) {
     def files: Seq[String] = adds.keys.toSeq.sorted
     def addPartitionValues: Map[String, Map[String, String]] =
       adds.map { case (p, a) => p -> a.partitionValues }
@@ -290,10 +295,10 @@ object DeltaLog {
       // moment the table also uses a feature we don't know; v3 tables
       // were already validated at the protocol line (every
       // readerFeature ∈ SupportedReaderFeatures)
-      require(minReader != 2 || mappingMode == "name",
+      require(minReader != 2 || mappingMode == "name" ||
+          mappingMode == "id",
         s"Delta minReaderVersion $minReader with columnMapping mode " +
-          s"'$mappingMode' — this reader speaks v2 only through " +
-          "mode=name (id mode needs parquet field-id resolution)")
+          s"'$mappingMode' — v2 must be explained by a mapping mode")
       require(minReader == 3 || adds.values.forall(_.dv.isEmpty),
         "deletion vectors present under minReaderVersion " +
           s"$minReader — a spec table needs reader 3 + the " +
@@ -301,16 +306,18 @@ object DeltaLog {
       val mapping: Map[String, String] =
         if (mappingMode == "none") Map.empty
         else {
-          require(mappingMode == "name",
-            s"unsupported columnMapping mode '$mappingMode' (name only)")
+          require(mappingMode == "name" || mappingMode == "id",
+            s"unsupported columnMapping mode '$mappingMode'")
           require(partCols.isEmpty,
             "column mapping on a PARTITIONED table is out of scope " +
               "(partitionValues would key by physical names)")
           schema.fields.map { f =>
+            // the spec annotates physicalName under BOTH modes —
+            // mode decides how reads RESOLVE, not what is recorded
             require(
               f.metadata.contains("delta.columnMapping.physicalName"),
               s"column ${f.name} lacks delta.columnMapping." +
-                "physicalName under mode=name")
+                s"physicalName under mode=$mappingMode")
             // the spec annotates NESTED fields with their own
             // physical names too; this reader renames top level only,
             // so a nested mapped column would silently read NULL for
@@ -330,8 +337,16 @@ object DeltaLog {
             f.name -> f.metadata.getString("delta.columnMapping.physicalName")
           }.toMap
         }
+      val mappingIds: Map[String, Long] =
+        if (mappingMode != "id") Map.empty
+        else schema.fields.map { f =>
+          require(f.metadata.contains("delta.columnMapping.id"),
+            s"column ${f.name} lacks delta.columnMapping.id under " +
+              "mode=id — field-id resolution has nothing to match")
+          f.name -> f.metadata.getLong("delta.columnMapping.id")
+        }.toMap
       State(schema, partCols, adds.toMap, mapping, minReader,
-        readerFeatures)
+        readerFeatures, mappingMode, mappingIds)
     }
   }
 
@@ -577,16 +592,14 @@ object DeltaLog {
     // memory is O(files × compressed bitmap), exactly the shape
     // Delta's own reader uses. Composes with PARTITIONED tables (the
     // filter rides [[PartitionedScan]]'s preProject hook, before the
-    // partition-value join); column mapping + DVs stays refused
-    // (physical-name resolution under a bitmap filter is untested
-    // territory — loud beats wrong).
+    // partition-value join) and with COLUMN-MAPPED tables (the
+    // filter keys on `_metadata` (file_name, row_index), independent
+    // of how data columns resolve — it runs before the logical-name
+    // projection).
     val dvAdds = st.adds.filter(_._2.dv.isDefined)
     val mor: DataFrame => DataFrame =
       if (dvAdds.isEmpty) identity
       else {
-        require(st.columnMapping.isEmpty,
-          "deletion vectors on a column-mapped table are out of " +
-            "scope for this reader")
         val basenames = st.files.map(p => p.substring(p.lastIndexOf('/') + 1))
         require(basenames.distinct.size == basenames.size,
           "duplicate data-file basenames — cannot key deletion vectors")
@@ -603,24 +616,16 @@ object DeltaLog {
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), st.schema)
     else if (st.columnMapping.nonEmpty) {
-      // this branch never applies `mor` — refuse DVs here rather
-      // than silently resurrect their deleted rows
-      require(dvAdds.isEmpty,
-        "deletion vectors on a column-mapped table are out of scope " +
-          "for this reader")
-      // column mapping (mode=name): the data files spell every column
-      // by its PHYSICAL name — read physically, surface logically.
-      // The rename is a projection, free under codegen; the mapping
+      // column mapping: the data files spell every column by its
+      // PHYSICAL name — read physically, surface logically. The
+      // rename is a projection, free under codegen; the mapping
       // metadata is stripped from the surfaced schema (it describes
-      // the files, not the rows).
-      val physSchema = StructType(st.schema.fields.map(f =>
-        org.apache.spark.sql.types.StructField(
-          st.columnMapping(f.name), f.dataType, nullable = true)))
-      spark.read.schema(physSchema)
-        .parquet(st.files.map(resolve): _*)
-        .select(st.schema.fields.map(f =>
-          col(st.columnMapping(f.name)).as(f.name,
-            org.apache.spark.sql.types.Metadata.empty)): _*)
+      // the files, not the rows). mode=name resolves through the
+      // physicalName annotations; mode=id resolves through PARQUET
+      // FIELD IDS. DVs compose in both modes: `mor` filters on
+      // `_metadata` before the projection.
+      mor(mappedScanRaw(spark, tableDir, st))
+        .select(mappedCols(st): _*)
     } else if (st.partitionColumns.isEmpty)
       mor(spark.read.schema(dataSchema)
         .parquet(st.files.map(resolve): _*))
@@ -635,6 +640,47 @@ object DeltaLog {
           (resolve(p), a.partitionValues) },
         preProject = mor)
   }
+
+  /** Physical scan of a COLUMN-MAPPED table's live files, before the
+    * logical-name projection ([[mappedCols]]). mode=name requests
+    * the files' physical `col-<uuid>` names; mode=id requests
+    * LOGICAL names annotated with `parquet.field.id` and lets
+    * Spark's native field-id matcher resolve them — resolution
+    * survives any physical-name drift, which is the point of id
+    * mode. Shared by the read path and [[deleteWhere]] (which needs
+    * `_metadata` row identity BEFORE the projection). */
+  private def mappedScanRaw(spark: SparkSession, tableDir: String,
+                            st: State): DataFrame = {
+    def resolve(p: String) =
+      if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
+    if (st.mappingMode == "id") {
+      // session-level switch for Spark's field-id matcher; safe to
+      // leave on — schemas WITHOUT id metadata still resolve by
+      // name, so unmapped reads are unaffected
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      val idSchema = StructType(st.schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(
+          f.name, f.dataType, nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", st.columnMappingIds(f.name))
+            .build())))
+      spark.read.schema(idSchema).parquet(st.files.map(resolve): _*)
+    } else {
+      val physSchema = StructType(st.schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(
+          st.columnMapping(f.name), f.dataType, nullable = true)))
+      spark.read.schema(physSchema).parquet(st.files.map(resolve): _*)
+    }
+  }
+
+  /** The logical-name projection over [[mappedScanRaw]]'s columns —
+    * strips the mapping metadata (it describes the files, not the
+    * rows). */
+  private def mappedCols(st: State): Seq[org.apache.spark.sql.Column] =
+    st.schema.fields.toSeq.map(f =>
+      (if (st.mappingMode == "id") col(f.name)
+       else col(st.columnMapping(f.name))).as(f.name,
+        org.apache.spark.sql.types.Metadata.empty))
 
   // ---------------------------------------------------------------
   // Checkpoints (the open spec's replay shortcut)
@@ -879,7 +925,7 @@ object DeltaLog {
     * only costs bytes there; here a non-atomic publish would break
     * the CAS that the whole commit protocol rests on. An unsupported
     * filesystem fails loudly with the limitation named. */
-  private def writeActions(tableDir: String, v: Long,
+  private[graft] def writeActions(tableDir: String, v: Long,
                            actions: Seq[ObjectNode]): Boolean = {
     Files.createDirectories(Paths.get(logDir(tableDir)))
     // every commit carries commitInfo with an IN-COMMIT timestamp:
@@ -920,7 +966,7 @@ object DeltaLog {
     p
   }
 
-  private def metaDataAction(schema: StructType, partCols: Seq[String],
+  private[graft] def metaDataAction(schema: StructType, partCols: Seq[String],
       configuration: Map[String, String] = Map.empty): ObjectNode = {
     val m = mapper.createObjectNode()
     val md = m.putObject("metaData")
@@ -1215,11 +1261,64 @@ object DeltaLog {
     0L
   }
 
+  /** [[commitOverwriteMapped]] with columnMapping mode=id — the
+    * protocol's OTHER mapping mode, the one Delta migrations of
+    * Iceberg/parquet tables produce: data files carry PARQUET FIELD
+    * IDS (and arbitrary physical names readers must NOT rely on);
+    * resolution goes id → column. The schemaString annotates every
+    * field with `delta.columnMapping.id` AND `.physicalName` (the
+    * spec records both under either mode), the data write attaches
+    * each physical column's `parquet.field.id`, and the read path
+    * resolves through Spark's native field-id matcher — so a rename
+    * stays a pure metadata commit even if physical names drift.
+    * Returns the committed version (0). */
+  def commitOverwriteMappedId(df: DataFrame, tableDir: String): Long = {
+    require(versions(tableDir).isEmpty,
+      "mapped writer creates a fresh table (the mapping mode is fixed " +
+        "at creation, as Delta fixes it)")
+    import org.apache.spark.sql.types.MetadataBuilder
+    val phys: Map[String, String] = df.schema.fieldNames.map(n =>
+      n -> s"col-${java.util.UUID.nameUUIDFromBytes(
+        n.getBytes("UTF-8"))}").toMap
+    val ids: Map[String, Long] = df.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1L) }.toMap
+    val mappedSchema = StructType(df.schema.fields.map { f =>
+      f.copy(metadata = new MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", ids(f.name))
+        .putString("delta.columnMapping.physicalName", phys(f.name))
+        .build())
+    })
+    val sub = s"part-${java.util.UUID.randomUUID}"
+    // physical names + field ids in the files: Spark writes a
+    // column's `parquet.field.id` metadata into the parquet schema
+    // when the write-side flag is on
+    df.sparkSession.conf.set(
+      "spark.sql.parquet.fieldId.write.enabled", "true")
+    df.select(df.schema.fieldNames.map(n =>
+        col(n).as(phys(n), new MetadataBuilder()
+          .putLong("parquet.field.id", ids(n)).build())): _*)
+      .write.parquet(s"$tableDir/$sub")
+    val fs = partFiles(tableDir, sub)
+    val stats = statsJsonBatch(df.sparkSession, fs)
+    val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
+      stats = Some(stats(f.getPath))))
+    require(writeActions(tableDir, 0L,
+      Seq(protocolAction(minReader = 2, minWriter = 5),
+        metaDataAction(mappedSchema, Seq.empty,
+          Map("delta.columnMapping.mode" -> "id",
+            "delta.columnMapping.maxColumnId" ->
+              df.schema.length.toString))) ++ adds),
+      s"table $tableDir already has commit 0")
+    0L
+  }
+
   /** RENAME a logical column of a mapped table — the metadata-only
     * commit column mapping buys: same physical files, new
     * schemaString where `from`'s field keeps its id and physicalName
-    * but carries the new logical name. Returns the committed
-    * version. */
+    * but carries the new logical name. Works under either mapping
+    * mode (the mode rides the table's existing configuration).
+    * Returns the committed version. */
   def renameColumnMapped(tableDir: String, from: String,
                          to: String): Long = {
     val vs = versions(tableDir)
@@ -1234,7 +1333,7 @@ object DeltaLog {
       if (f.name == from) f.copy(name = to) else f))
     require(writeActions(tableDir, vs.last + 1,
       Seq(metaDataAction(renamed, st.partitionColumns,
-        Map("delta.columnMapping.mode" -> "name",
+        Map("delta.columnMapping.mode" -> st.mappingMode,
           "delta.columnMapping.maxColumnId" ->
             st.schema.length.toString)))),
       s"concurrent writer claimed version ${vs.last + 1}")
@@ -1272,8 +1371,6 @@ object DeltaLog {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val st = replay(tableDir, vs.last)
-    require(st.columnMapping.isEmpty,
-      "deleteWhere on a column-mapped table is out of scope")
     def resolve(p: String) =
       if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
     def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
@@ -1293,7 +1390,16 @@ object DeltaLog {
           col("_dw_f"), col("_dw_p"), bc))
       }
     val live: DataFrame =
-      if (st.partitionColumns.isEmpty)
+      if (st.columnMapping.nonEmpty)
+        // mapped table (always unpartitioned, replay-enforced): read
+        // physically / by field id, take row identity BEFORE the
+        // logical-name projection so `predicate` sees logical names
+        // while the bitmap keys stay physical
+        morFilter(mappedScanRaw(spark, tableDir, st)
+          .withColumn("_dw_f", col("_metadata.file_name"))
+          .withColumn("_dw_p", col("_metadata.row_index")))
+          .select(mappedCols(st) ++ Seq(col("_dw_f"), col("_dw_p")): _*)
+      else if (st.partitionColumns.isEmpty)
         morFilter(spark.read.schema(st.schema)
           .parquet(st.files.map(resolve): _*)
           .withColumn("_dw_f", col("_metadata.file_name"))
@@ -1326,7 +1432,13 @@ object DeltaLog {
           p -> bm
         }
     val descs = DeletionVectors.writeDvFile(tableDir, newDvs)
-    val actions = protocolActionV3(Seq("deletionVectors")) +:
+    // the v3 upgrade must carry EVERY reader feature the table uses:
+    // a mapped table that listed only deletionVectors would make
+    // real clients read physical col-<uuid> names as data columns
+    val features =
+      if (st.columnMapping.nonEmpty) Seq("deletionVectors", "columnMapping")
+      else Seq("deletionVectors")
+    val actions = protocolActionV3(features) +:
       newDvs.flatMap { case (p, _) =>
         val a = st.adds(p)
         Seq(removeAction(p),
@@ -1979,6 +2091,66 @@ object DeltaLog {
       |  o_orderdate, o_orderpriority AS priority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Session-cached columnMapping mode=ID table: orders written
+    * with parquet field ids through [[commitOverwriteMappedId]],
+    * then a metadata-only rename — resolution must go THROUGH the
+    * ids. */
+  private[graft] def ordersMappedIdTable(spark: SparkSession,
+                                         dir: String): String =
+    cachedTable(spark, dir, "deltacmid") { (o, t) =>
+      commitOverwriteMappedId(o, t)
+      renameColumnMapped(t, "o_orderpriority", "priority")
+    }
+
+  /** q187 — COLUMN MAPPING MODE=ID READBACK: the q167 twin through
+    * the protocol's other mapping mode. The read requests LOGICAL
+    * names annotated with `parquet.field.id` and lets Spark's
+    * field-id matcher resolve them against the files — a reader
+    * that fell back to name matching surfaces nothing (the files
+    * spell physical `col-<uuid>` names), one that ignored the
+    * rename commit surfaces the old name; both fail the q167-shaped
+    * oracle. DeltaLogSpec additionally pins that resolution
+    * survives a physicalName annotation the files never heard of —
+    * the drift id mode exists to absorb. */
+  def deltaMappedIdRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersMappedIdTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaMappedIdReadSql: String = deltaMappedReadSql
+
+  /** Session-cached MAPPED + DELETION-VECTOR table: mode=name
+    * mapping, a metadata-only rename, then a MoR delete of every
+    * tenth key — the bitmaps key on `_metadata` while the data
+    * columns resolve through physical names. */
+  private[graft] def ordersMappedDvTable(spark: SparkSession,
+                                         dir: String): String =
+    cachedTable(spark, dir, "deltacmdv") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwriteMapped(o, t)
+      renameColumnMapped(t, "o_orderpriority", "priority")
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(10)) === 0)
+    }
+
+  /** q188 — DELETION VECTORS × COLUMN MAPPING: the round-9 refusal
+    * turned feature. The DV bitmap filter keys on `_metadata`
+    * (file_name, row_index) BEFORE the logical-name projection, so
+    * merge-on-read composes with physical-name resolution; the
+    * protocol upgrade lists BOTH reader features (a v3 protocol
+    * naming only deletionVectors would make real clients read
+    * `col-<uuid>` as data columns). A read that projected before
+    * filtering loses the bitmap keys and throws; one that skipped
+    * the DVs resurrects the tenths; one that dropped the mapping
+    * surfaces uuid names — each fails the two-feature oracle. */
+  def deltaMappedDvRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersMappedDvTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaMappedDvReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority AS priority
+      |FROM orders WHERE o_orderkey % 10 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** VACUUM: delete data files no longer referenced by any of the
     * last `keepVersions` snapshots (Delta's VACUUM with a
     * version-count retention horizon instead of a wall-clock one —
@@ -2037,24 +2209,36 @@ object DeltaLog {
   def evolveSchema(tableDir: String, newSchema: StructType): Long = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
-    val st = replay(tableDir, vs.last)
-    st.schema.fields.foreach { f =>
-      val nf = newSchema.fields.find(_.name == f.name)
-      require(nf.exists(_.dataType == f.dataType),
-        s"evolution must keep column ${f.name}: ${f.dataType} " +
-          "(drops/renames/retypes need column mapping — out of scope)")
+    // validated against the CURRENT head on every claim attempt: a
+    // lost CAS means a racing commit landed, and if THAT commit also
+    // changed the schema, blindly rewriting our metaData would
+    // silently clobber its evolution — re-validate (and refuse on a
+    // genuine conflict) instead, the metadata-conflict discipline
+    // Delta's own transaction protocol applies
+    def validate(): State = {
+      val st = replay(tableDir, versions(tableDir).last)
+      st.schema.fields.foreach { f =>
+        val nf = newSchema.fields.find(_.name == f.name)
+        require(nf.exists(_.dataType == f.dataType),
+          s"evolution must keep column ${f.name}: ${f.dataType} " +
+            "(drops/renames/retypes need column mapping — out of scope)")
+      }
+      newSchema.fields
+        .filterNot(f => st.schema.fieldNames.contains(f.name))
+        .foreach(f => require(f.nullable,
+          s"new column ${f.name} must be nullable: files written " +
+            "before the evolution have no values for it"))
+      st
     }
-    newSchema.fields
-      .filterNot(f => st.schema.fieldNames.contains(f.name))
-      .foreach(f => require(f.nullable,
-        s"new column ${f.name} must be nullable: files written before " +
-          "the evolution have no values for it"))
     var v = -1L
     var done = false
     while (!done) {
+      val st = validate()
       v = versions(tableDir).last + 1
+      commitClaimHook(tableDir, v)
       done = writeActions(tableDir, v,
         Seq(metaDataAction(newSchema, st.partitionColumns)))
+      if (!done) commitCasRetries.incrementAndGet()
     }
     v
   }

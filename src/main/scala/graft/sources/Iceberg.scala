@@ -743,7 +743,7 @@ object Iceberg {
   private def readSnapshotFrom(spark: SparkSession, tableDir: String,
       meta: ObjectNode, snapshotId: Long): DataFrame = {
     val p = planFilesAll(tableDir, meta, snapshotId)
-    scanPlanned(spark, schemaFromMetadata(meta), p.data,
+    scanPlanned(spark, readSchemaFor(meta), p.data,
       partitionColsOf(meta), p.deleteFiles, p.eqDeletes,
       fieldIds(meta).map(_.swap))
   }
@@ -788,6 +788,18 @@ object Iceberg {
                           idToName: Map[Int, String] = Map.empty)
       : DataFrame = {
     lastFilesPlanned = files.size
+    // schemas from [[readSchemaFor]] carry `parquet.field.id` —
+    // switch on Spark's field-id matcher (safe session-wide: schemas
+    // without id metadata still resolve by name) and strip the
+    // annotation from the SURFACED schema at the end (it describes
+    // the files, not the rows)
+    val hasIds = schema.fields.exists(_.metadata.contains("parquet.field.id"))
+    if (hasIds)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    def strip(df: DataFrame): DataFrame =
+      if (!hasIds) df
+      else df.select(df.columns.toSeq.map(n => col(n).as(n,
+        org.apache.spark.sql.types.Metadata.empty)): _*)
     def scanSubset(subset: Seq[PlannedFile]): DataFrame = {
       val mor = deleteAntiJoin(spark, deleteFiles)
       if (subset.isEmpty)
@@ -803,7 +815,7 @@ object Iceberg {
         PartitionedScan.scan(spark, schema, partCols,
           subset.map(f => (stripFileUri(f.path), f.partition)), mor)
     }
-    if (eqDeletes.isEmpty || files.isEmpty) scanSubset(files)
+    strip(if (eqDeletes.isEmpty || files.isEmpty) scanSubset(files)
     else {
       // EQUALITY deletes are sequence-scoped: a delete applies only
       // to data files added by EARLIER snapshots. Group the live
@@ -833,7 +845,7 @@ object Iceberg {
               .reduce(_ && _), "left_anti")
         }
       }.reduce(_ unionByName _)
-    }
+    })
   }
 
   /** Iceberg's single-value serialization for `long`: 8 bytes
@@ -855,6 +867,32 @@ object Iceberg {
         .get
     schemaNode.get("fields").elements().asScala
       .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+  }
+
+  /** The spec's `schema.name-mapping.default` property marks a table
+    * whose data files have NO parquet field ids (registered external
+    * parquet) — those resolve by NAME through the mapping; files our
+    * writer produces carry ids and resolve by id. */
+  private def hasNameMapping(meta: ObjectNode): Boolean =
+    meta.has("properties") &&
+      meta.get("properties").has("schema.name-mapping.default")
+
+  /** Table schema for a SCAN: each field annotated with its
+    * `parquet.field.id` so Spark's native matcher resolves data-file
+    * columns by FIELD ID — the Iceberg spec's resolution rule, and
+    * the thing that makes [[renameColumn]] a pure metadata op (a
+    * pre-rename file spells the OLD name; its id still matches).
+    * Name-mapped tables (external files without ids) keep plain
+    * name resolution. */
+  private def readSchemaFor(meta: ObjectNode): StructType = {
+    val base = schemaFromMetadata(meta)
+    if (hasNameMapping(meta)) base
+    else {
+      val ids = fieldIds(meta)
+      StructType(base.fields.map(f => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", ids(f.name).toLong).build())))
+    }
   }
 
   /** RANGE-PRUNED read of the latest snapshot: keep only files whose
@@ -884,7 +922,7 @@ object Iceberg {
         }
       }
     }
-    scanPlanned(spark, schemaFromMetadata(meta), kept,
+    scanPlanned(spark, readSchemaFor(meta), kept,
       partitionColsOf(meta), planned.deleteFiles, planned.eqDeletes,
       fieldIds(meta).map(_.swap))
   }
@@ -904,7 +942,7 @@ object Iceberg {
     val planned = planFilesAll(tableDir, meta,
       meta.get("current-snapshot-id").asLong)
     val kept = planned.data.filter(f => keep(f.partition))
-    scanPlanned(spark, schemaFromMetadata(meta), kept,
+    scanPlanned(spark, readSchemaFor(meta), kept,
       partitionColsOf(meta), planned.deleteFiles, planned.eqDeletes,
       fieldIds(meta).map(_.swap))
   }
@@ -1000,7 +1038,7 @@ object Iceberg {
             }).getOrElse(true)
         }
       }
-    scanPlanned(spark, schemaFromMetadata(meta), kept,
+    scanPlanned(spark, readSchemaFor(meta), kept,
       partitionColsOf(meta), planned.deleteFiles, planned.eqDeletes,
       ids.map(_.swap)).filter(pred)
   }
@@ -1191,17 +1229,27 @@ object Iceberg {
     // UUIDs — the PartitionedScan basename contract)
     val sub = s"data/part-${java.util.UUID.randomUUID}"
     val tupleNames = tupleFields.map(_._1)
+    // the spec REQUIRES parquet field ids in data files — attach each
+    // column's id (the metadata schema's, stable across renames) so
+    // readers resolve by id, and any Iceberg client reads the files
+    df.sparkSession.conf.set(
+      "spark.sql.parquet.fieldId.write.enabled", "true")
+    val writeIds: Map[String, Long] = df.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1L) }.toMap
+    val dfIds = df.select(df.schema.fieldNames.toSeq.map(n =>
+      col(n).as(n, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", writeIds(n)).build())): _*)
     val parts: Seq[(File, Seq[(String, Any)])] =
       if (tupleFields.isEmpty) {
-        df.write.parquet(s"$tableDir/$sub")
+        dfIds.write.parquet(s"$tableDir/$sub")
         Option(new File(tableDir, sub).listFiles())
           .getOrElse(Array.empty)
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
           .sortBy(_.getName).toSeq.map(f => (f, Seq.empty[(String, Any)]))
       } else {
         val staged =
-          if (hiddenSpec.isEmpty) df
-          else hiddenSpec.foldLeft(df) { case (d, (src, tr)) =>
+          if (hiddenSpec.isEmpty) dfIds
+          else hiddenSpec.foldLeft(dfIds) { case (d, (src, tr)) =>
             d.withColumn(IcebergTransforms.tupleName(tr, src),
               IcebergTransforms.transformCol(tr, src))
           }
@@ -1336,7 +1384,14 @@ object Iceberg {
           .put("source-id", colIds(src)).put("field-id", 1000 + i)
       }
       meta.put("default-spec-id", 0)
-      meta.putObject("properties")
+      // properties carry across commits (table state, not snapshot
+      // state) — dropping them would e.g. lose a migrated table's
+      // name-mapping and break every later read of its id-less files
+      val props = meta.putObject("properties")
+      prevMeta.filter(_.has("properties")).foreach(
+        _.get("properties").properties().asScala.foreach(e =>
+          props.set[com.fasterxml.jackson.databind.JsonNode](
+            e.getKey, e.getValue)))
       // refs carry across commits (they are table state, not snapshot
       // state); a BRANCH commit advances its ref and leaves main's
       // current-snapshot-id untouched — the write-audit-publish shape
@@ -1564,7 +1619,17 @@ object Iceberg {
         .put("source-id", colIds(c)).put("field-id", 1000 + i)
     }
     meta.put("default-spec-id", 0)
-    meta.putObject("properties")
+    // the registered files carry NO parquet field ids — record the
+    // spec's name mapping so readers (ours and real clients) resolve
+    // them by name; this also pins [[renameColumn]] to refuse here
+    val nm = mapper.createArrayNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val e = nm.addObject()
+      e.put("field-id", i + 1)
+      e.putArray("names").add(f.name)
+    }
+    meta.putObject("properties").put("schema.name-mapping.default",
+      mapper.writeValueAsString(nm))
     meta.put("current-snapshot-id", snapshotId)
     val sn = meta.putArray("snapshots").addObject()
     sn.put("snapshot-id", snapshotId)
@@ -1667,7 +1732,7 @@ object Iceberg {
           .map(sid => (r.get("manifest_path").toString, sid))
       }
     lastManifestsRead = manifests.size
-    val schema = schemaFromMetadata(meta)
+    val schema = readSchemaFor(meta)
     val parts = manifests.map { case (m, sid) =>
       val files = readAvro(m).flatMap { e =>
         if (e.get("status").asInstanceOf[Int] != 1) None // ADDED only
@@ -1761,7 +1826,10 @@ object Iceberg {
     val curId = meta.get("current-snapshot-id").asLong
     val planned = planFilesAll(tableDir, meta, curId)
     require(planned.data.nonEmpty, "nothing to delete from an empty table")
-    val schema = schemaFromMetadata(meta)
+    // id-annotated so the position scan resolves post-rename files
+    val schema = readSchemaFor(meta)
+    if (schema.fields.exists(_.metadata.contains("parquet.field.id")))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val partCols = partitionColsOf(meta)
     val dataSchema = StructType(
       schema.filterNot(f => partCols.contains(f.name)))
@@ -1784,8 +1852,18 @@ object Iceberg {
           col("_ice_pos") === col("_del_pos"), "left_anti")
     }
     val sub = s"data/delete-${java.util.UUID.randomUUID}"
+    // the spec RESERVES field ids for position-delete columns:
+    // file_path = 2147483546, pos = 2147483545 — real clients
+    // resolve delete files through exactly these ids
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     hits.filter(predicate)
-      .select(col("_ice_path").as("file_path"), col("_ice_pos").as("pos"))
+      .select(
+        col("_ice_path").as("file_path",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", 2147483546L).build()),
+        col("_ice_pos").as("pos",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", 2147483545L).build()))
       .repartition(1)
       .sortWithinPartitions(col("file_path"), col("pos")) // spec's sort
       .write.parquet(s"$tableDir/$sub")
@@ -1959,6 +2037,49 @@ object Iceberg {
     next.put("current-schema-id", newId)
     next.put("last-column-id", newSchema.fields.length)
     publishPinned(tableDir, v + 1, next, "evolveSchema")
+    v + 1
+  }
+
+  /** RENAME a column — the metadata-only evolution Iceberg's
+    * field-id resolution exists for: the new schema keeps every
+    * field's ID, TYPE and POSITION and changes only the name, so
+    * pre-rename data files (which spell the OLD name) keep resolving
+    * through their ids and no data is touched. Refused on
+    * NAME-MAPPED tables (their registered files have no ids — a
+    * rename would orphan every one of them) and on PARTITIONED
+    * tables (partition tuples key by source column name in this
+    * writer's manifests). Returns the new metadata version. */
+  def renameColumn(tableDir: String, from: String, to: String): Int = {
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    require(!hasNameMapping(meta),
+      s"rename on name-mapped table $tableDir: its registered files " +
+        "have no field ids and resolve by NAME — renaming would " +
+        "orphan them")
+    require(partitionSpecOf(meta).isEmpty,
+      "rename on a partitioned table is out of scope (partition " +
+        "tuples key by source column name in this writer)")
+    val old = schemaFromMetadata(meta)
+    require(old.fieldNames.contains(from), s"no column $from")
+    require(!old.fieldNames.contains(to), s"column $to exists")
+    val renamed = StructType(old.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newId =
+      (if (meta.has("current-schema-id")) meta.get("current-schema-id").asInt
+       else 0) + 1
+    // schemaToJson assigns ids positionally and the rename keeps
+    // positions — the renamed field keeps its id, the spec's contract
+    val sj = schemaToJson(renamed)
+    sj.put("schema-id", newId)
+    val next = meta.deepCopy[ObjectNode]()
+    next.set[ObjectNode]("schema", sj)
+    val schemas = next.putArray("schemas")
+    if (meta.has("schemas"))
+      meta.get("schemas").elements().asScala.foreach(schemas.add)
+    else schemas.add(meta.get("schema"))
+    schemas.add(sj)
+    next.put("current-schema-id", newId)
+    publishPinned(tableDir, v + 1, next, "renameColumn")
     v + 1
   }
 
@@ -2532,6 +2653,38 @@ object Iceberg {
       |  UNION ALL
       |  SELECT o.*, 'tag' AS src FROM orders o
       |) ORDER BY o_orderkey, src""".stripMargin
+
+  /** Session-cached RENAMED table: even keys appended, the
+    * o_orderpriority column renamed (metadata-only), then the odd
+    * keys appended UNDER THE NEW NAME — the table's files spell the
+    * same field id with two different parquet column names, which
+    * only field-id resolution can reconcile. */
+  private[graft] def ordersIcebergRenameTable(spark: SparkSession,
+                                              dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergren") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitAppend(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      renameColumn(t, "o_orderpriority", "priority")
+      commitAppend(o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .withColumnRenamed("o_orderpriority", "priority"), t)
+    }
+
+  /** q189 — ICEBERG COLUMN RENAME READBACK (the q167/q187 twin on
+    * this format): pre-rename files spell `o_orderpriority`,
+    * post-rename files spell `priority`, and BOTH carry parquet
+    * field id 6 — the read must resolve every file by ID (the
+    * Iceberg spec's resolution rule) and surface one `priority`
+    * column over the full union. A name-resolving reader NULLs the
+    * column for half the table; one that missed the schema-history
+    * carry reads the wrong schema-id — both hash-mismatch. */
+  def icebergRenameRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersIcebergRenameTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val icebergRenameReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority AS priority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Session-cached EQUALITY-DELETE lifecycle table: snapshot 1 = odd
     * order keys; snapshot 2 = equality delete of key

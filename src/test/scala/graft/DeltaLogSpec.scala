@@ -653,6 +653,42 @@ class DeltaLogSpec extends SparkSuite {
     (0L to n.toLong).foreach(v => sources.DeltaLog.replay(dir, v))
   }
 
+  test("racing schema evolutions: the loser re-validates and refuses to clobber") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("dlogevorace").toString + "/t"
+    sources.DeltaLog.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    val base = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    // plant a competing evolution (adds column x) in the loser's
+    // claim window; the loser (adds column y) must NOT blindly
+    // rewrite the metaData — its schema lacks x, so committing it
+    // would silently drop the racer's column
+    val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.DeltaLog.commitClaimHook = (d, _) =>
+      if (planted.compareAndSet(false, true))
+        sources.DeltaLog.evolveSchema(d, StructType(base.fields :+
+          StructField("x", LongType, nullable = true)))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        sources.DeltaLog.evolveSchema(dir, StructType(base.fields :+
+          StructField("y", LongType, nullable = true)))
+      }
+      assert(e.getMessage.contains("must keep column x"),
+        s"the loser must refuse on the conflict, got: ${e.getMessage}")
+    } finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+    // the racer's evolution survived untouched
+    val st = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last)
+    assert(st.schema.fieldNames.toSeq == Seq("k", "s", "x"))
+    // a COMPATIBLE retry (keeping x, adding y) then lands cleanly
+    sources.DeltaLog.evolveSchema(dir, StructType(base.fields ++ Seq(
+      StructField("x", LongType, nullable = true),
+      StructField("y", LongType, nullable = true))))
+    assert(sources.DeltaLog.replay(dir,
+        sources.DeltaLog.versions(dir).last)
+      .schema.fieldNames.toSeq == Seq("k", "s", "x", "y"))
+  }
+
   test("losing the version CAS retries cleanly onto N+1 (deterministic planted race)") {
     val dir = Files.createTempDirectory("dlogplant").toString + "/t"
     sources.DeltaLog.commitOverwrite(
@@ -877,18 +913,23 @@ class DeltaLogSpec extends SparkSuite {
     val got = sources.DeltaLog.read(spark, dir).collect()
     assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq
       == Seq((7L, "x")))
-    // id mode: refuse loudly (needs parquet field-id resolution)
+    // id mode over a data file WITHOUT parquet field ids: the
+    // replay accepts the mode (q187 implements it), but the scan
+    // must fail LOUDLY — Spark's field-id matcher refuses a file
+    // with no ids rather than guessing a column by position/name
     val dir2 = Files.createTempDirectory("dlcmid").toString
+    Files.copy(Paths.get(dir, "d.parquet"), Paths.get(dir2, "d.parquet"))
     writeLog(dir2, 0,
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},
          |"schemaString":"$mappedSchema","partitionColumns":[],
          |"configuration":{"delta.columnMapping.mode":"id"}}}"""
-        .stripMargin.replace("\n", ""))
-    val e = intercept[IllegalArgumentException] {
-      sources.DeltaLog.read(spark, dir2)
+        .stripMargin.replace("\n", ""),
+      """{"add":{"path":"d.parquet","size":1,"dataChange":true,
+        |"partitionValues":{}}}""".stripMargin.replace("\n", ""))
+    intercept[Exception] {
+      sources.DeltaLog.read(spark, dir2).collect()
     }
-    assert(e.getMessage.contains("columnMapping"))
     // reader v2 with NO mapping mode: some unknown feature — refuse
     val dir3 = Files.createTempDirectory("dlcmv2").toString
     writeLog(dir3, 0,
@@ -1427,5 +1468,81 @@ class DeltaLogSpec extends SparkSuite {
     // mapping metadata is stripped from the surfaced schema
     assert(got.schema.fields.forall(
       !_.metadata.contains("delta.columnMapping.physicalName")))
+  }
+
+  test("q187 gate shape: mode=id resolves by field id, survives physicalName drift") {
+    val got = sources.DeltaLog.deltaMappedIdRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() == orders.count())
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "priority"))
+    val t = sources.DeltaLog.ordersMappedIdTable(spark, sfDir)
+    // the data files genuinely spell physical names — a bare read
+    // surfaces col-<uuid> columns, so logical-name matching CANNOT
+    // be what resolved the table read
+    val st = sources.DeltaLog.replay(t, sources.DeltaLog.versions(t).last)
+    val bare = spark.read.parquet(s"$t/${st.files.head}")
+    assert(bare.schema.fieldNames.forall(_.startsWith("col-")))
+    // drift: commit a metaData whose physicalName annotations are
+    // GARBAGE but whose ids are intact — id resolution must not
+    // notice (this is the migration scenario id mode exists for);
+    // name-mode resolution would read nothing but NULLs
+    import org.apache.spark.sql.types.MetadataBuilder
+    val drifted = org.apache.spark.sql.types.StructType(
+      st.schema.fields.map { f =>
+        f.copy(metadata = new MetadataBuilder()
+          .putLong("delta.columnMapping.id",
+            f.metadata.getLong("delta.columnMapping.id"))
+          .putString("delta.columnMapping.physicalName",
+            s"drifted-${f.name}")
+          .build())
+      })
+    val v = sources.DeltaLog.versions(t).last + 1
+    assert(sources.DeltaLog.writeActions(t, v, Seq(
+      sources.DeltaLog.metaDataAction(drifted, Seq.empty,
+        Map("delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" ->
+            st.schema.length.toString)))))
+    try {
+      val post = sources.DeltaLog.read(spark, t)
+      assert(post.count() == orders.count())
+      assert(post.select("o_orderkey").collect().map(_.getLong(0)).sorted
+        .toSeq == orders.select("o_orderkey").collect()
+        .map(_.getLong(0)).sorted.toSeq)
+    } finally {
+      // roll the drift commit back off the log so the session-cached
+      // table serves q187 unchanged afterwards
+      Files.delete(Paths.get(f"$t/_delta_log/$v%020d.json"))
+    }
+  }
+
+  test("q188 gate shape: DV x mapping composes, files unrewritten; id mode too") {
+    val got = sources.DeltaLog.deltaMappedDvRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() ==
+      orders.filter(col("o_orderkey") % 10 =!= 0).count())
+    assert(got.schema.fieldNames.last == "priority")
+    val t = sources.DeltaLog.ordersMappedDvTable(spark, sfDir)
+    // merge-on-read: the delete touched no data file — same paths
+    // before and after, deletions live only in the bitmaps
+    val pre = sources.DeltaLog.replay(t, 0L)
+    val post = sources.DeltaLog.replay(t, sources.DeltaLog.versions(t).last)
+    assert(post.files == pre.files)
+    assert(post.adds.values.exists(_.dv.isDefined))
+    // the protocol upgrade lists BOTH reader features
+    val lines = Files.readAllLines(Paths.get(
+      f"$t/_delta_log/${sources.DeltaLog.versions(t).last}%020d.json"))
+      .toArray.mkString("\n")
+    assert(lines.contains("deletionVectors") &&
+      lines.contains("columnMapping"))
+    // and the composition holds under mode=id as well
+    val dir2 = Files.createTempDirectory("dlogiddv").toString + "/t"
+    sources.DeltaLog.commitOverwriteMappedId(
+      (1L to 20L).map(i => (i, s"s$i")).toDF("k", "s"), dir2)
+    sources.DeltaLog.deleteWhere(spark, dir2, col("k") % 5 === 0)
+    assert(sources.DeltaLog.read(spark, dir2)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 20L).filterNot(_ % 5 == 0))
   }
 }

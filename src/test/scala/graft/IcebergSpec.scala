@@ -79,7 +79,19 @@ class IcebergSpec extends SparkSuite {
   private def stagePart(dir: String, name: String,
                         rows: Seq[(Long, String)]): String = {
     val tmp = Files.createTempDirectory("icepart").toString + "/w"
-    rows.toDF("k", "s").coalesce(1).write.parquet(tmp)
+    // spec-compliant external data files carry parquet FIELD IDS
+    // (matching schemaJson's ids: k=1, s=2) — the reader resolves by
+    // id, as Iceberg requires of tables without a name mapping
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    rows.toDF("k", "s")
+      .select(
+        col("k").as("k", new MetadataBuilder()
+          .putLong("parquet.field.id", 1L).build()),
+        col("s").as("s", new MetadataBuilder()
+          .putLong("parquet.field.id", 2L).build()))
+      .coalesce(1).write.parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
     val dest = Paths.get(dir, name)
@@ -1231,6 +1243,66 @@ class IcebergSpec extends SparkSuite {
     sources.Iceberg.snapshotIds(dir).foreach { id =>
       sources.Iceberg.readSnapshot(spark, dir, id).count()
     }
+  }
+
+  test("q189 gate shape: two parquet names, one field id — resolution by id") {
+    val got = sources.Iceberg.icebergRenameRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() == orders.count())
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "priority"))
+    // the decisive check: a name-resolving reader would NULL the
+    // renamed column for every PRE-rename file (half the table)
+    assert(got.filter(col("priority").isNull).count() == 0)
+    // the data files genuinely disagree on the column's parquet name
+    val t = sources.Iceberg.ordersIcebergRenameTable(spark, sfDir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val names = walk(new java.io.File(s"$t/data"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => spark.read.parquet(f.getPath).schema.fieldNames.last)
+      .toSet
+    assert(names == Set("o_orderpriority", "priority"),
+      s"expected both spellings on disk, got $names")
+    // the rename was metadata-only and recorded the schema history
+    assert(sources.Iceberg.snapshotIds(t).size == 2)
+  }
+
+  test("rename refuses on a name-mapped table; mapping survives later commits") {
+    import spark.implicits._
+    // a migrated table: external parquet WITHOUT field ids
+    val ext = Files.createTempDirectory("icenm").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$ext/files")
+    val parts = new java.io.File(s"$ext/files").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    val dir = s"$ext/t"
+    sources.Iceberg.registerFiles(dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))),
+      Seq.empty, parts.map(_ -> Map.empty[String, String]))
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // a rename would orphan the id-less files — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.renameColumn(dir, "k", "key")
+    }
+    assert(e.getMessage.contains("name-mapped"))
+    // the mapping property survives a later commit (properties are
+    // table state) and the MIXED table still reads: id-less old
+    // files by name, id-carrying new files alongside
+    sources.Iceberg.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    val e2 = intercept[IllegalArgumentException] {
+      sources.Iceberg.renameColumn(dir, "k", "key")
+    }
+    assert(e2.getMessage.contains("name-mapped"),
+      "the refusal must survive commits — mapping is table state")
   }
 
   test("q186 gate shape: expire reclaims the delete file, the tag pins its snapshot") {
