@@ -43,13 +43,15 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType,
   * a broadcast-bitmap filter inside the scan) and `columnMapping`.
   * A log needing anything else (mode=id, nested mapped columns,
   * unknown features) fails loudly instead of reading wrong data.
-  * DVs COMPOSE with partitioned tables (pruning keeps each file's
-  * descriptor); the one refused combination is DVs on COLUMN-MAPPED
-  * tables, rejected at the operation that would mis-read, never
-  * guessed at. Checkpoints written HERE carry
-  * protocol/metaData/add only — no remove tombstones or txn actions
-  * (they matter for concurrent-writer reconciliation windows, which
-  * the version-count [[vacuum]] horizon replaces in this engine).
+  * DVs COMPOSE with partitioned AND column-mapped tables (the
+  * bitmap filter keys on `_metadata`, independent of partition
+  * reconstruction and column resolution). Checkpoints written HERE
+  * carry protocol/metaData/add/txn — txn watermarks ride so a real
+  * streaming client replaying only from the checkpoint keeps its
+  * exactly-once guarantee ([[commitAppendIdempotent]]); remove
+  * tombstones are omitted (they matter for concurrent-writer
+  * reconciliation windows, which the version-count [[vacuum]]
+  * horizon replaces in this engine).
   *
   * Scale: log replay is DRIVER-SIDE over commit files — metadata
   * proportional to file count, never data size; this is exactly what
@@ -752,10 +754,15 @@ object DeltaLog {
       StructField("dataChange", BooleanType),
       StructField("stats", StringType, nullable = true),
       StructField("deletionVector", dvT, nullable = true)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType),
+      StructField("lastUpdated", LongType, nullable = true)))
     val ckptT = StructType(Seq(
       StructField("protocol", protocolT, nullable = true),
       StructField("metaData", metaDataT, nullable = true),
-      StructField("add", addT, nullable = true)))
+      StructField("add", addT, nullable = true),
+      StructField("txn", txnT, nullable = true)))
     val rows = new java.util.ArrayList[Row]()
     // the checkpoint must preserve the table's REPLAYED protocol, not
     // an inference from the current state's features: a table whose
@@ -775,18 +782,26 @@ object DeltaLog {
           st.readerFeatures.toSeq.sorted)
       else if (st.minReader == 2 || mapped) Row(2, 5, null, null)
       else Row(1, 2, null, null)
-    rows.add(Row(protoRow, null, null))
+    rows.add(Row(protoRow, null, null, null))
     rows.add(Row(null,
       Row("ckpt", st.schema.json, st.partitionColumns,
-        if (mapped) Map("delta.columnMapping.mode" -> "name") else null),
-      null))
+        if (mapped) Map("delta.columnMapping.mode" -> st.mappingMode)
+        else null),
+      null, null))
     st.files.foreach { f =>
       val a = st.adds(f)
       val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
         d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
       rows.add(Row(null, null,
         Row(f, a.partitionValues, a.size, 0L, true, a.stats.orNull,
-          dvRow)))
+          dvRow), null))
+    }
+    // the spec REQUIRES txn watermarks in checkpoints: a real
+    // streaming client replaying only from the checkpoint must see
+    // its appId's latest version or it double-commits its batch
+    txnWatermarks(tableDir).toSeq.sortBy(_._1).foreach {
+      case (appId, tv) =>
+        rows.add(Row(null, null, null, Row(appId, tv, 0L)))
     }
     // stage through a temp dir: Spark writes a directory, the spec
     // wants a single file at <v>.checkpoint.parquet
@@ -1157,6 +1172,72 @@ object DeltaLog {
       if (!done) commitCasRetries.incrementAndGet()
     }
     v
+  }
+
+  /** Latest `txn` version recorded for `appId` — the protocol's
+    * application-transaction watermark. O(commits) driver-side
+    * metadata scan straight off the JSON log (txn actions are rare
+    * and the scan is checkpoint-independent, so the answer is always
+    * the full history's). None = appId never committed. */
+  def latestTxnVersion(tableDir: String, appId: String): Option[Long] =
+    txnWatermarks(tableDir).get(appId)
+
+  /** Every appId's latest recorded txn version, from the raw JSON
+    * log (checkpoint-independent — commits are never deleted, so
+    * this is always the full history's answer). */
+  private def txnWatermarks(tableDir: String): Map[String, Long] =
+    versions(tableDir).flatMap { v =>
+      Files.readAllLines(commitFile(tableDir, v).toPath).asScala
+        .filter(_.nonEmpty).map(mapper.readTree)
+        .filter(_.has("txn")).map(_.get("txn"))
+        .map(t => t.get("appId").asText -> t.get("version").asLong)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+
+  /** IDEMPOTENT APPEND through the protocol's `txn` action — the
+    * exactly-once contract Delta streaming sinks ride: the commit
+    * carries `{"txn": {appId, version}}`, and a writer REDELIVERING
+    * the same (appId, version) — a restarted micro-batch, a retried
+    * job — is detected and SKIPPED, both up front and again inside
+    * the claim loop (a racing instance of the same app that wins the
+    * CAS first is seen on the loser's retry; the loser deletes its
+    * orphan data files and walks away). Returns Some(version) when
+    * this call committed, None when the transaction was already
+    * recorded. */
+  def commitAppendIdempotent(df: DataFrame, tableDir: String,
+                             appId: String,
+                             txnVersion: Long): Option[Long] = {
+    requireUnpartitioned(tableDir, "commitAppendIdempotent")
+    if (latestTxnVersion(tableDir, appId).exists(_ >= txnVersion))
+      return None
+    val sub = s"part-${java.util.UUID.randomUUID}"
+    df.write.parquet(s"$tableDir/$sub")
+    val fs = partFiles(tableDir, sub)
+    val stats = statsJsonBatch(df.sparkSession, fs)
+    val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
+      stats = Some(stats(f.getPath))))
+    val txn = mapper.createObjectNode()
+    txn.putObject("txn").put("appId", appId)
+      .put("version", txnVersion).put("lastUpdated", 0L)
+    var v = -1L
+    var done = false
+    while (!done) {
+      // re-check INSIDE the loop: losing the CAS may mean the same
+      // app's racing instance just recorded this very transaction
+      if (latestTxnVersion(tableDir, appId).exists(_ >= txnVersion)) {
+        graft.util.Fs.deleteRecursively(new File(tableDir, sub))
+        return None
+      }
+      val vs = versions(tableDir)
+      v = if (vs.isEmpty) 0L else vs.last + 1
+      val head: Seq[ObjectNode] =
+        if (vs.isEmpty)
+          Seq(protocolAction(), metaDataAction(df.schema, Seq.empty))
+        else Seq.empty
+      commitClaimHook(tableDir, v)
+      done = writeActions(tableDir, v, head ++ (txn +: adds))
+      if (!done) commitCasRetries.incrementAndGet()
+    }
+    Some(v)
   }
 
   /** [[commitOverwrite]] for a PARTITIONED table: `df` is written

@@ -239,7 +239,8 @@ class DeltaLogSpec extends SparkSuite {
     // the checkpoint parquet carries the spec's column shape
     val ckpt = spark.read.parquet(
       s"$dir/_delta_log/${"%020d".format(7)}.checkpoint.parquet")
-    assert(ckpt.schema.fieldNames.toSet == Set("protocol", "metaData", "add"))
+    assert(ckpt.schema.fieldNames.toSet ==
+      Set("protocol", "metaData", "add", "txn"))
     assert(ckpt.select("add.path").na.drop().count() == 1)
   }
 
@@ -651,6 +652,67 @@ class DeltaLogSpec extends SparkSuite {
       "every append lands exactly once")
     // no torn metadata: every version replays clean
     (0L to n.toLong).foreach(v => sources.DeltaLog.replay(dir, v))
+  }
+
+  test("idempotent appends: the txn action makes redelivery invisible") {
+    val dir = Files.createTempDirectory("dlogtxn").toString + "/t"
+    def rows: Seq[Long] = sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // first delivery of (app, 1) commits
+    assert(sources.DeltaLog.commitAppendIdempotent(
+      Seq((1L, "a")).toDF("k", "s"), dir, "app", 1L).contains(0L))
+    // REDELIVERY of (app, 1) — a restarted micro-batch — is skipped:
+    // no new version, no duplicate rows, no orphan data dirs
+    assert(sources.DeltaLog.commitAppendIdempotent(
+      Seq((1L, "a")).toDF("k", "s"), dir, "app", 1L).isEmpty)
+    assert(sources.DeltaLog.versions(dir) == Seq(0L))
+    assert(rows == Seq(1L))
+    // the next batch and an unrelated app both land
+    assert(sources.DeltaLog.commitAppendIdempotent(
+      Seq((2L, "b")).toDF("k", "s"), dir, "app", 2L).contains(1L))
+    assert(sources.DeltaLog.commitAppendIdempotent(
+      Seq((3L, "c")).toDF("k", "s"), dir, "other", 1L).contains(2L))
+    assert(rows == Seq(1L, 2L, 3L))
+    assert(sources.DeltaLog.latestTxnVersion(dir, "app").contains(2L))
+    assert(sources.DeltaLog.latestTxnVersion(dir, "other").contains(1L))
+    assert(sources.DeltaLog.latestTxnVersion(dir, "nobody").isEmpty)
+    // a STALE redelivery (version < watermark) is also skipped
+    assert(sources.DeltaLog.commitAppendIdempotent(
+      Seq((9L, "z")).toDF("k", "s"), dir, "app", 1L).isEmpty)
+    assert(rows == Seq(1L, 2L, 3L))
+    // RACING redelivery: the same transaction planted in the loser's
+    // claim window — the loser must detect it on retry, clean its
+    // orphan data files, and walk away with None
+    val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.DeltaLog.commitClaimHook = (d, _) =>
+      if (planted.compareAndSet(false, true)) {
+        val r = sources.DeltaLog.commitAppendIdempotent(
+          Seq((4L, "d")).toDF("k", "s"), d, "app", 3L)
+        assert(r.contains(3L))
+      }
+    try {
+      assert(sources.DeltaLog.commitAppendIdempotent(
+        Seq((4L, "d")).toDF("k", "s"), dir, "app", 3L).isEmpty)
+    } finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+    assert(rows == Seq(1L, 2L, 3L, 4L), "exactly one copy of batch 3")
+    // every data dir on disk is referenced by the log — the loser's
+    // orphan was cleaned up
+    val live = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last).files
+      .map(_.split('/').head).toSet
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part-"))
+      .map(_.getName).toSet
+    assert(onDisk == live, s"orphan data dirs: ${onDisk -- live}")
+    // the txn watermark survives a checkpoint for EXTERNAL clients:
+    // the checkpoint parquet carries one txn row per appId
+    sources.DeltaLog.checkpoint(spark, dir)
+    val ckpt = spark.read.parquet(
+      f"$dir/_delta_log/${sources.DeltaLog.versions(dir).last}%020d.checkpoint.parquet")
+    val txns = ckpt.filter(col("txn").isNotNull)
+      .select(col("txn.appId"), col("txn.version"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(txns == Seq(("app", 3L), ("other", 1L)))
   }
 
   test("racing schema evolutions: the loser re-validates and refuses to clobber") {
