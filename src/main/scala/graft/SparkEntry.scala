@@ -443,7 +443,11 @@ object SparkEntry {
     "q188_delta_mapped_dv"     -> (sources.DeltaLog.deltaMappedDvRead _),
     // iceberg rename: files spell TWO names for one field id; only
     // the spec's field-id resolution reconciles them
-    "q189_iceberg_rename"      -> (sources.Iceberg.icebergRenameRead _)
+    "q189_iceberg_rename"      -> (sources.Iceberg.icebergRenameRead _),
+    // metadata tables as SQL: DESCRIBE HISTORY / table$snapshots,
+    // classified from action shapes / summary ops, no data scanned
+    "q190_delta_history"       -> (sources.DeltaLog.sqlDeltaHistory _),
+    "q191_iceberg_snapshots"   -> (sources.Iceberg.sqlIcebergSnapshots _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -656,6 +660,8 @@ object SparkEntry {
     "q186_iceberg_retention"   -> sources.Iceberg.icebergRetentionReadSql,
     "q187_delta_mapping_id"    -> sources.DeltaLog.deltaMappedIdReadSql,
     "q188_delta_mapped_dv"     -> sources.DeltaLog.deltaMappedDvReadSql,
-    "q189_iceberg_rename"      -> sources.Iceberg.icebergRenameReadSql
+    "q189_iceberg_rename"      -> sources.Iceberg.icebergRenameReadSql,
+    "q190_delta_history"       -> sources.DeltaLog.sqlDeltaHistorySql,
+    "q191_iceberg_snapshots"   -> sources.Iceberg.sqlIcebergSnapshotsSql
   )
 }

@@ -156,6 +156,25 @@ object GraftExtensions {
         case args => throw new IllegalArgumentException(
           s"iceberg_scan expects (path[, snapshot_id | ref_name]), " +
             s"got ${args.size}")
+      },
+      // metadata tables — the `DESCRIBE HISTORY` / `table$snapshots`
+      // surface real lakehouse clients query for auditing; pure
+      // driver-side metadata walks, no data scanned
+      tfn("delta_history",
+        "delta_history(path) - one row per commit: version, operation") {
+        case Seq(p) =>
+          plan(graft.sources.DeltaLog.history(active,
+            litString(p, "delta_history", "path")))
+        case args => throw new IllegalArgumentException(
+          s"delta_history expects (path), got ${args.size} args")
+      },
+      tfn("iceberg_snapshots",
+        "iceberg_snapshots(path) - one row per snapshot: id, operation") {
+        case Seq(p) =>
+          plan(graft.sources.Iceberg.snapshotsTable(active,
+            litString(p, "iceberg_snapshots", "path")))
+        case args => throw new IllegalArgumentException(
+          s"iceberg_snapshots expects (path), got ${args.size} args")
       })
 
   /** Runtime registration on a pre-built session (the driver contract

@@ -1174,6 +1174,40 @@ object DeltaLog {
     v
   }
 
+  /** DESCRIBE HISTORY as a DataFrame — one row per commit with the
+    * operation CLASSIFIED from the commit's action shape (this
+    * writer records no operation string, so the classification is
+    * the deterministic inverse of what each writer emits): CREATE =
+    * protocol+metaData+adds; SET SCHEMA = metaData only; DELETE =
+    * DV re-adds; OPTIMIZE = remove+add all dataChange=false;
+    * OVERWRITE = remove+add with dataChange; WRITE = adds only.
+    * Driver-side O(commits) metadata, like every log walk here. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    versions(tableDir).map { v =>
+      val nodes = Files.readAllLines(commitFile(tableDir, v).toPath)
+        .asScala.filter(_.nonEmpty).map(mapper.readTree).toSeq
+      val hasProto = nodes.exists(_.has("protocol"))
+      val hasMeta = nodes.exists(_.has("metaData"))
+      val adds = nodes.filter(_.has("add")).map(_.get("add"))
+      val removes = nodes.filter(_.has("remove")).map(_.get("remove"))
+      val dvAdds = adds.exists(a =>
+        a.has("deletionVector") && !a.get("deletionVector").isNull)
+      val dataChange = (adds ++ removes).exists(n =>
+        !n.has("dataChange") || n.get("dataChange").asBoolean)
+      val op =
+        if (hasProto && hasMeta && adds.nonEmpty) "CREATE"
+        else if (hasMeta && adds.isEmpty && removes.isEmpty) "SET SCHEMA"
+        else if (dvAdds && removes.nonEmpty) "DELETE"
+        else if (adds.nonEmpty && removes.nonEmpty && !dataChange)
+          "OPTIMIZE"
+        else if (adds.nonEmpty && removes.nonEmpty) "OVERWRITE"
+        else if (adds.nonEmpty) "WRITE"
+        else "UNKNOWN"
+      (v, op)
+    }.toDF("version", "operation")
+  }
+
   /** Latest `txn` version recorded for `appId` — the protocol's
     * application-transaction watermark. O(commits) driver-side
     * metadata scan straight off the JSON log (txn actions are rare
@@ -1938,6 +1972,26 @@ object DeltaLog {
   }
 
   val sqlDeltaScanSql: String = deltaReadSql
+
+  /** q190 — DESCRIBE HISTORY AS SQL: `delta_history(path)` over the
+    * append/OPTIMIZE lifecycle table must classify each commit from
+    * its action shape — CREATE, WRITE, WRITE, OPTIMIZE. A classifier
+    * that missed dataChange=false calls the compaction an OVERWRITE;
+    * one that missed the first commit's metaData calls it a WRITE —
+    * both hash-mismatch the literal oracle. Pure driver-side
+    * metadata (no data scanned), like the DESCRIBE HISTORY every
+    * lakehouse audit runs. */
+  def sqlDeltaHistory(spark: SparkSession, dir: String): DataFrame = {
+    graft.extensions.GraftExtensions.registerTableFunctions(spark)
+    val t = ordersAppendCompactTable(spark, dir)
+    spark.sql(s"SELECT * FROM delta_history('$t') ORDER BY version")
+  }
+
+  val sqlDeltaHistorySql: String =
+    """SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'CREATE'),
+      |  (1, 'WRITE'), (2, 'WRITE'), (3, 'OPTIMIZE'))
+      |  AS t(version, operation)
+      |ORDER BY version""".stripMargin
 
   /** Incremental consumption — the Delta STREAMING-SOURCE offset
     * contract (versions are the offsets): all changes strictly AFTER

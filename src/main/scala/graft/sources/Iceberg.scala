@@ -337,6 +337,20 @@ object Iceberg {
     meta
   }
 
+  /** The `$snapshots` metadata table as a DataFrame — one row per
+    * recorded snapshot with its summary operation (the deterministic
+    * subset of Iceberg's snapshots table; timestamps are wall-clock
+    * and excluded). Driver-side O(snapshots) metadata. */
+  def snapshotsTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    meta.get("snapshots").elements().asScala.map { s =>
+      (s.get("snapshot-id").asLong,
+        Option(s.get("summary")).flatMap(su => Option(su.get("operation")))
+          .map(_.asText).getOrElse("unknown"))
+    }.toSeq.sortBy(_._1).toDF("snapshot_id", "operation")
+  }
+
   /** Snapshot ids recorded in the current metadata, ascending. */
   def snapshotIds(tableDir: String): Seq[Long] = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
@@ -2685,6 +2699,24 @@ object Iceberg {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |  o_orderdate, o_orderpriority AS priority
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q191 — `table$snapshots` AS SQL: `iceberg_snapshots(path)` over
+    * the equality-delete lifecycle table must list the snapshot
+    * history with each summary operation — overwrite, delete, append
+    * — straight from the metadata chain, no data scanned. A walker
+    * that read only the current snapshot, or lost the delete
+    * snapshot's summary, hash-mismatches the literal oracle. */
+  def sqlIcebergSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    graft.extensions.GraftExtensions.registerTableFunctions(spark)
+    val t = ordersIcebergEqDeleteTable(spark, dir)
+    spark.sql(
+      s"SELECT * FROM iceberg_snapshots('$t') ORDER BY snapshot_id")
+  }
+
+  val sqlIcebergSnapshotsSql: String =
+    """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'overwrite'),
+      |  (2, 'delete'), (3, 'append')) AS t(snapshot_id, operation)
+      |ORDER BY snapshot_id""".stripMargin
 
   /** Session-cached EQUALITY-DELETE lifecycle table: snapshot 1 = odd
     * order keys; snapshot 2 = equality delete of key

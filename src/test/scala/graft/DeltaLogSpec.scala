@@ -654,6 +654,26 @@ class DeltaLogSpec extends SparkSuite {
     (0L to n.toLong).foreach(v => sources.DeltaLog.replay(dir, v))
   }
 
+  test("q190 gate shape: history classification covers the writer surface") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("dloghist").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)          // v0 CREATE
+    sources.DeltaLog.commitAppend(
+      Seq((3L, "c")).toDF("k", "s"), dir)                     // v1 WRITE
+    sources.DeltaLog.commitOverwrite(
+      (1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), dir)  // v2 OVERWRITE
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 2 === 0) // v3 DELETE
+    sources.DeltaLog.compact(spark, dir, targetFiles = 1)     // v4 OPTIMIZE
+    sources.DeltaLog.evolveSchema(dir, StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("extra", LongType, nullable = true))))      // v5 SET SCHEMA
+    val got = sources.DeltaLog.history(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(0L -> "CREATE", 1L -> "WRITE", 2L -> "OVERWRITE",
+      3L -> "DELETE", 4L -> "OPTIMIZE", 5L -> "SET SCHEMA"))
+  }
+
   test("idempotent appends: the txn action makes redelivery invisible") {
     val dir = Files.createTempDirectory("dlogtxn").toString + "/t"
     def rows: Seq[Long] = sources.DeltaLog.read(spark, dir)
