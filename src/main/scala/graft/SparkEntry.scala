@@ -447,7 +447,11 @@ object SparkEntry {
     // metadata tables as SQL: DESCRIBE HISTORY / table$snapshots,
     // classified from action shapes / summary ops, no data scanned
     "q190_delta_history"       -> (sources.DeltaLog.sqlDeltaHistory _),
-    "q191_iceberg_snapshots"   -> (sources.Iceberg.sqlIcebergSnapshots _)
+    "q191_iceberg_snapshots"   -> (sources.Iceberg.sqlIcebergSnapshots _),
+    // DSv2 MicroBatchStream over the open log: readStream.format(
+    // "graft-delta"), offsets = versions, OPTIMIZE commits silent
+    "q192_delta_stream_read"
+      -> (streaming.DeltaStreamQueries.deltaStreamRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -662,6 +666,8 @@ object SparkEntry {
     "q188_delta_mapped_dv"     -> sources.DeltaLog.deltaMappedDvReadSql,
     "q189_iceberg_rename"      -> sources.Iceberg.icebergRenameReadSql,
     "q190_delta_history"       -> sources.DeltaLog.sqlDeltaHistorySql,
-    "q191_iceberg_snapshots"   -> sources.Iceberg.sqlIcebergSnapshotsSql
+    "q191_iceberg_snapshots"   -> sources.Iceberg.sqlIcebergSnapshotsSql,
+    "q192_delta_stream_read"
+      -> streaming.DeltaStreamQueries.deltaStreamReadSql
   )
 }

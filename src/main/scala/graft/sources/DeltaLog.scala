@@ -1174,6 +1174,41 @@ object DeltaLog {
     v
   }
 
+  /** Files ADDED with dataChange=true by versions in
+    * (`fromExclusive`, `to`] — the streaming-source batch planner's
+    * contract ([[graft.streaming.DeltaStreamSource]]): OPTIMIZE
+    * commits (dataChange=false) contribute nothing; a remove with
+    * dataChange=true in the range means rows DISAPPEARED, which an
+    * append stream cannot express — refused loudly unless
+    * `skipChangeCommits` (Delta's own option of that name) skips the
+    * whole commit. Returns absolute paths, commit-ordered. */
+  private[graft] def addedFilesIn(tableDir: String, fromExclusive: Long,
+      to: Long, skipChangeCommits: Boolean): Seq[String] =
+    versions(tableDir).filter(v => v > fromExclusive && v <= to)
+      .flatMap { v =>
+        val nodes = Files.readAllLines(commitFile(tableDir, v).toPath)
+          .asScala.filter(_.nonEmpty).map(mapper.readTree).toSeq
+        val changeRemove = nodes.exists(n => n.has("remove") && {
+          val r = n.get("remove")
+          !r.has("dataChange") || r.get("dataChange").asBoolean
+        })
+        if (changeRemove && skipChangeCommits) Seq.empty
+        else {
+          require(!changeRemove,
+            s"version $v of $tableDir removes data — an append stream " +
+              "cannot express it; pass skipChangeCommits=true to skip " +
+              "such commits (Delta's own escape hatch)")
+          nodes.filter(_.has("add")).map(_.get("add"))
+            .filter(a => !a.has("dataChange") ||
+              a.get("dataChange").asBoolean)
+            .map { a =>
+              val p = a.get("path").asText
+              if (p.startsWith("/") || p.contains("://")) p
+              else s"$tableDir/$p"
+            }
+        }
+      }
+
   /** DESCRIBE HISTORY as a DataFrame — one row per commit with the
     * operation CLASSIFIED from the commit's action shape (this
     * writer records no operation string, so the classification is
