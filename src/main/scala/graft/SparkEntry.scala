@@ -451,7 +451,11 @@ object SparkEntry {
     // DSv2 MicroBatchStream over the open log: readStream.format(
     // "graft-delta"), offsets = versions, OPTIMIZE commits silent
     "q192_delta_stream_read"
-      -> (streaming.DeltaStreamQueries.deltaStreamRead _)
+      -> (streaming.DeltaStreamQueries.deltaStreamRead _),
+    // the iceberg twin, over a RENAMED table: the snapshot-diff
+    // planner + field-id reader must resolve pre-rename files
+    "q193_iceberg_stream_read"
+      -> (streaming.IcebergStreamQueries.icebergStreamRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -668,6 +672,8 @@ object SparkEntry {
     "q190_delta_history"       -> sources.DeltaLog.sqlDeltaHistorySql,
     "q191_iceberg_snapshots"   -> sources.Iceberg.sqlIcebergSnapshotsSql,
     "q192_delta_stream_read"
-      -> streaming.DeltaStreamQueries.deltaStreamReadSql
+      -> streaming.DeltaStreamQueries.deltaStreamReadSql,
+    "q193_iceberg_stream_read"
+      -> streaming.IcebergStreamQueries.icebergStreamReadSql
   )
 }

@@ -1765,6 +1765,69 @@ object Iceberg {
     }
   }
 
+  /** Files ADDED by append snapshots in (`fromExclusive`, `to`] —
+    * the streaming-source batch planner
+    * ([[graft.streaming.IcebergStreamSource]]): each append
+    * snapshot's own manifest-list names its new manifest by
+    * `added_snapshot_id`, and only status=ADDED entries count
+    * (EXISTING are carried forward). A non-append snapshot in the
+    * range cannot be expressed by an append stream — refused loudly
+    * unless `skipOverwriteSnapshots` (Iceberg's own
+    * streaming-skip-overwrite-snapshots) skips it whole. Pure
+    * metadata; returns absolute paths, snapshot-ordered. */
+  private[graft] def addedFilesIn(tableDir: String, fromExclusive: Long,
+      to: Long, skipOverwriteSnapshots: Boolean): Seq[String] = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    meta.get("snapshots").elements().asScala.toSeq
+      .filter { s =>
+        val id = s.get("snapshot-id").asLong
+        id > fromExclusive && id <= to
+      }
+      .sortBy(_.get("snapshot-id").asLong)
+      .flatMap { s =>
+        val id = s.get("snapshot-id").asLong
+        val op = Option(s.get("summary"))
+          .flatMap(su => Option(su.get("operation"))).map(_.asText)
+        if (!op.contains("append")) {
+          require(skipOverwriteSnapshots,
+            s"snapshot $id of $tableDir is ${op.getOrElse("?")} — an " +
+              "append stream cannot express it; pass " +
+              "skipOverwriteSnapshots=true to skip such snapshots " +
+              "(Iceberg's own escape hatch)")
+          Seq.empty
+        } else
+          readAvro(s.get("manifest-list").asText)
+            .filter(r => fieldOpt(r, "added_snapshot_id")
+              .map(_.asInstanceOf[Long]).contains(id))
+            .map(_.get("manifest_path").toString)
+            .flatMap { m =>
+              readAvro(m).flatMap { e =>
+                if (e.get("status").asInstanceOf[Int] != 1) None
+                else Some(stripFileUri(
+                  e.get("data_file").asInstanceOf[GenericRecord]
+                    .get("file_path").toString))
+              }
+            }
+      }
+  }
+
+  /** Streaming-scope schema + field ids for
+    * [[graft.streaming.IcebergStreamSource]]: unpartitioned tables
+    * with primitive columns; the (logical name → field id) map lets
+    * the executor-side reader resolve pre-rename files by ID. */
+  private[graft] def streamSchema(tableDir: String)
+      : (StructType, Map[String, Int]) = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    require(partitionSpecOf(meta).isEmpty,
+      "graft-iceberg streams unpartitioned tables")
+    (schemaFromMetadata(meta),
+      if (hasNameMapping(meta)) Map.empty else fieldIds(meta))
+  }
+
+  /** Latest snapshot id (0 = empty history) — the streaming offset. */
+  private[graft] def latestSnapshotId(tableDir: String): Long =
+    snapshotIds(tableDir).lastOption.getOrElse(0L)
+
   /** Checkpointed incremental CONSUMER over the snapshot history —
     * the [[DeltaLog.consumeChanges]] twin (snapshot ids are the
     * offsets): poll the appends past the persisted offset via

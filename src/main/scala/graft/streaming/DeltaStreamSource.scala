@@ -211,11 +211,13 @@ object DeltaStreamQueries {
 }
 
 /** Executor-side reader: parquet Group API → [[InternalRow]].
-  * Column lookup is BY NAME against the file's own schema (an
-  * unmapped Delta file spells logical names; a column added by
-  * schema evolution is absent from older files and reads NULL —
-  * the same schema-on-read rule the batch scan applies). */
-private class DeltaFileReaderFactory(schemaJson: String)
+  * Column lookup resolves BY FIELD ID first (when `fieldIds` maps
+  * the table's ids and the file carries parquet ids — the Iceberg
+  * rule, which survives renames) and falls back BY NAME (the
+  * unmapped-Delta rule). A column absent from an older file reads
+  * NULL — the same schema-on-read rule the batch scan applies. */
+private class DeltaFileReaderFactory(schemaJson: String,
+    fieldIds: Map[String, Int] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -225,16 +227,33 @@ private class DeltaFileReaderFactory(schemaJson: String)
       private val reader = ParquetReader
         .builder(new GroupReadSupport(), new Path(file)).build()
       private var current: org.apache.parquet.example.data.Group = _
+      // table-field → file-field index, computed ONCE per file
+      // (-1 = absent); id match wins over name match
+      private var idx: Array[Int] = _
+      private def fieldIdx(
+          ft: org.apache.parquet.schema.GroupType): Array[Int] =
+        schema.fields.map { f =>
+          val byId = fieldIds.get(f.name).flatMap { id =>
+            ft.getFields.asScala.zipWithIndex.collectFirst {
+              case (t, i) if t.getId != null &&
+                t.getId.intValue == id => i
+            }
+          }
+          byId.getOrElse(
+            if (ft.containsField(f.name)) ft.getFieldIndex(f.name)
+            else -1)
+        }
       override def next(): Boolean = {
         current = reader.read()
         current != null
       }
       override def get(): InternalRow = {
         val fileType = current.getType
-        val vals = schema.fields.map { f =>
-          if (!fileType.containsField(f.name)) null
+        if (idx == null) idx = fieldIdx(fileType)
+        val vals = schema.fields.zipWithIndex.map { case (f, j) =>
+          val i = idx(j)
+          if (i < 0) null
           else {
-            val i = fileType.getFieldIndex(f.name)
             if (current.getFieldRepetitionCount(i) == 0) null
             else f.dataType match {
               case LongType => current.getLong(i, 0)

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.Iceberg
+
+/** `spark.readStream.format("graft-iceberg")` — the
+  * [[DeltaStreamProvider]] twin over the Iceberg metadata chain:
+  * SNAPSHOT IDS are the offsets, batch planning is the snapshot-diff
+  * manifest walk ([[Iceberg.addedFilesIn]] — each append snapshot's
+  * own manifest-list names its new manifest, only status=ADDED
+  * entries count), and the shared executor-side Group reader
+  * resolves columns BY PARQUET FIELD ID — so a stream over a RENAMED
+  * table reads pre-rename files correctly, something a by-name
+  * reader cannot do. Non-append snapshots refuse loudly unless
+  * `skipOverwriteSnapshots` (Iceberg's own
+  * streaming-skip-overwrite-snapshots escape hatch).
+  *
+  * Options: `path` (required), `skipOverwriteSnapshots` (default
+  * false), `startingSnapshotId` (exclusive; default 0 = full
+  * history). Scope: unpartitioned tables, primitive columns. */
+class IcebergStreamProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-iceberg"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IcebergStreamSource.checkedSchema(
+      IcebergStreamSource.pathOf(options))._1
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new IcebergStreamTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+private[streaming] object IcebergStreamSource {
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft-iceberg needs .option(\"path\", <tableDir>)")
+    p
+  }
+
+  def checkedSchema(tableDir: String): (StructType, Map[String, Int]) = {
+    val (schema, ids) = Iceberg.streamSchema(tableDir)
+    schema.fields.foreach(f => require(f.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType |
+           BooleanType | StringType | TimestampType |
+           TimestampNTZType | DateType => true
+      case _ => false
+    }, s"graft-iceberg: unsupported streaming column type " +
+      s"${f.dataType} for ${f.name}"))
+    (schema, ids)
+  }
+}
+
+private class IcebergStreamTable(schema: StructType,
+                                 options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-iceberg:${IcebergStreamSource.pathOf(options)}"
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    schema.fields.map(f =>
+      org.apache.spark.sql.connector.catalog.Column.create(
+        f.name, f.dataType, f.nullable))
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new IcebergStreamScan(schema, options)
+    }
+}
+
+private class IcebergStreamScan(schema: StructType,
+                                options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = schema
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new IcebergMicroBatchStream(schema,
+      IcebergStreamSource.pathOf(options),
+      options.getBoolean("skipOverwriteSnapshots", false),
+      options.getLong("startingSnapshotId", 0L))
+}
+
+/** The offset IS the snapshot id (monotonic in this writer; the
+  * snapshot-diff planner keys on it exactly as
+  * [[Iceberg.consumeIncremental]] does). */
+private case class SnapshotOffset(snapshotId: Long) extends Offset {
+  override def json(): String = snapshotId.toString
+}
+
+private class IcebergMicroBatchStream(schema: StructType,
+                                      tableDir: String,
+                                      skipOverwriteSnapshots: Boolean,
+                                      startingSnapshotId: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Iceberg.latestSnapshotId(tableDir))
+
+  override def initialOffset(): Offset =
+    SnapshotOffset(startingSnapshotId)
+
+  override def latestOffset(): Offset =
+    SnapshotOffset(availableNowCap
+      .getOrElse(Iceberg.latestSnapshotId(tableDir)))
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[SnapshotOffset].snapshotId
+    val to = end.asInstanceOf[SnapshotOffset].snapshotId
+    Iceberg.addedFilesIn(tableDir, from, to, skipOverwriteSnapshots)
+      .map(p => DeltaFilePartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (_, ids) = IcebergStreamSource.checkedSchema(tableDir)
+    new DeltaFileReaderFactory(schema.json, ids)
+  }
+}
+
+object IcebergStreamQueries {
+  /** q193 — STREAMING READ OF THE METADATA CHAIN, POST-RENAME: drain
+    * the renamed lifecycle table (even keys appended, column renamed
+    * metadata-only, odd keys appended under the new name) through
+    * `readStream.format("graft-iceberg")`. The landed rows equal
+    * full orders with the `priority` column IFF the snapshot-diff
+    * planner delivered both appends exactly once AND the
+    * executor-side reader resolved the PRE-rename files by parquet
+    * field id — a by-name reader NULLs the renamed column for half
+    * the table and hash-mismatches. */
+  def icebergStreamRead(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Iceberg.ordersIcebergRenameTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_istream").toString
+    spark.readStream.format("graft-iceberg").option("path", t).load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/data")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    spark.read.parquet(s"$work/data")
+      .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))
+  }
+
+  val icebergStreamReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority AS priority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+}
