@@ -120,7 +120,8 @@ private class DeltaStreamScan(schema: StructType,
     new DeltaMicroBatchStream(schema,
       DeltaStreamSource.pathOf(options),
       options.getBoolean("skipChangeCommits", false),
-      Option(options.get("startingVersion")).map(_.toLong))
+      Option(options.get("startingVersion")).map(_.toLong),
+      options.getLong("maxVersionsPerTrigger", Long.MaxValue))
 }
 
 /** The offset IS the log version — Delta's own streaming-source
@@ -133,7 +134,8 @@ private case class VersionOffset(version: Long) extends Offset {
 
 private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
                                     skipChangeCommits: Boolean,
-                                    startingVersion: Option[Long])
+                                    startingVersion: Option[Long],
+                                    maxVersionsPerTrigger: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow: the engine asks the source to PIN the end
@@ -150,12 +152,23 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
     VersionOffset(availableNowCap
       .getOrElse(DeltaLog.versions(tableDir).last))
 
-  // SupportsAdmissionControl spelling (the engine calls this one
-  // when the source advertises AvailableNow): same answer — batches
-  // here are whole commits, the ReadLimit cadence is the engine's
+  // SupportsAdmissionControl spelling: ADMISSION CONTROL — a stream
+  // catching up on a deep backlog must not plan its whole history as
+  // one batch (at 100 TB that is thousands of commits of files in a
+  // single task set, one sink transaction, no progress checkpoints).
+  // maxVersionsPerTrigger caps each batch; AvailableNow still drains
+  // to the pinned cap, just in bounded batches.
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset = latestOffset()
+      : Offset = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val cap = latestOffset().asInstanceOf[VersionOffset].version
+    // addition-overflow guard: the default limit is Long.MaxValue
+    val bounded =
+      if (maxVersionsPerTrigger >= cap - from) cap
+      else from + maxVersionsPerTrigger
+    VersionOffset(bounded)
+  }
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toLong)

@@ -89,7 +89,8 @@ private class IcebergStreamScan(schema: StructType,
     new IcebergMicroBatchStream(schema,
       IcebergStreamSource.pathOf(options),
       options.getBoolean("skipOverwriteSnapshots", false),
-      options.getLong("startingSnapshotId", 0L))
+      options.getLong("startingSnapshotId", 0L),
+      options.getLong("maxSnapshotsPerTrigger", Long.MaxValue))
 }
 
 /** The offset IS the snapshot id (monotonic in this writer; the
@@ -102,7 +103,8 @@ private case class SnapshotOffset(snapshotId: Long) extends Offset {
 private class IcebergMicroBatchStream(schema: StructType,
                                       tableDir: String,
                                       skipOverwriteSnapshots: Boolean,
-                                      startingSnapshotId: Long)
+                                      startingSnapshotId: Long,
+                                      maxSnapshotsPerTrigger: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   @volatile private var availableNowCap: Option[Long] = None
@@ -116,9 +118,18 @@ private class IcebergMicroBatchStream(schema: StructType,
     SnapshotOffset(availableNowCap
       .getOrElse(Iceberg.latestSnapshotId(tableDir)))
 
+  // admission control — the [[DeltaMicroBatchStream]] rationale: a
+  // deep backlog drains in bounded batches, not one giant task set
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset = latestOffset()
+      : Offset = {
+    val from = start.asInstanceOf[SnapshotOffset].snapshotId
+    val cap = latestOffset().asInstanceOf[SnapshotOffset].snapshotId
+    val bounded =
+      if (maxSnapshotsPerTrigger >= cap - from) cap
+      else from + maxSnapshotsPerTrigger
+    SnapshotOffset(bounded)
+  }
 
   override def deserializeOffset(json: String): Offset =
     SnapshotOffset(json.trim.toLong)

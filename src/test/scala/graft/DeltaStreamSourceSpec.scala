@@ -78,6 +78,23 @@ class DeltaStreamSourceSpec extends SparkSuite {
       "the overwrite commit is skipped whole; appends around it land")
   }
 
+  test("maxVersionsPerTrigger drains a backlog in bounded batches") {
+    val work = Files.createTempDirectory("dstream4").toString
+    val dir = s"$work/t"
+    (1 to 6).foreach(i => sources.DeltaLog.commitAppend(
+      Seq((i.toLong, s"s$i")).toDF("k", "s"), dir))
+    // 6 commits, 2 per trigger: AvailableNow must still drain ALL of
+    // them (in 3 bounded batches), exactly once
+    drain(dir, s"$work/out", s"$work/ckpt",
+      Map("maxVersionsPerTrigger" -> "2"))
+    assert(spark.read.parquet(s"$work/out")
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 6L))
+    // the progress log shows >1 committed batch — the cap was real
+    val batches = new java.io.File(s"$work/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 3, s"expected >=3 bounded batches, got $batches")
+  }
+
   test("typed columns survive the executor-side Group reader") {
     val work = Files.createTempDirectory("dstream3").toString
     val dir = s"$work/t"
