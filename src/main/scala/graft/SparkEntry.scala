@@ -455,7 +455,11 @@ object SparkEntry {
     // the iceberg twin, over a RENAMED table: the snapshot-diff
     // planner + field-id reader must resolve pre-rename files
     "q193_iceberg_stream_read"
-      -> (streaming.IcebergStreamQueries.icebergStreamRead _)
+      -> (streaming.IcebergStreamQueries.icebergStreamRead _),
+    // nested structs x column mapping: physical names at every
+    // nesting level, nested renames metadata-only
+    "q194_delta_nested_mapping"
+      -> (sources.DeltaLog.deltaNestedMappedRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -674,6 +678,8 @@ object SparkEntry {
     "q192_delta_stream_read"
       -> streaming.DeltaStreamQueries.deltaStreamReadSql,
     "q193_iceberg_stream_read"
-      -> streaming.IcebergStreamQueries.icebergStreamReadSql
+      -> streaming.IcebergStreamQueries.icebergStreamReadSql,
+    "q194_delta_nested_mapping"
+      -> sources.DeltaLog.deltaNestedMappedReadSql
   )
 }

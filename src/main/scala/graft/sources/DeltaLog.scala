@@ -320,22 +320,47 @@ object DeltaLog {
               f.metadata.contains("delta.columnMapping.physicalName"),
               s"column ${f.name} lacks delta.columnMapping." +
                 s"physicalName under mode=$mappingMode")
-            // the spec annotates NESTED fields with their own
-            // physical names too; this reader renames top level only,
-            // so a nested mapped column would silently read NULL for
-            // every inner field — refuse instead
-            def hasStruct(dt: DataType): Boolean = dt match {
-              case _: StructType => true
+            // NESTED structs: every inner field carries its own
+            // physicalName and the reader resolves them recursively
+            // (mode=name). Structs inside arrays/maps, and nesting
+            // under mode=id, stay refused — loud beats a NULLed
+            // inner field.
+            def containerStruct(dt: DataType): Boolean = dt match {
               case a: org.apache.spark.sql.types.ArrayType =>
-                hasStruct(a.elementType)
+                hasAnyStruct(a.elementType)
               case m: org.apache.spark.sql.types.MapType =>
-                hasStruct(m.keyType) || hasStruct(m.valueType)
+                hasAnyStruct(m.keyType) || hasAnyStruct(m.valueType)
+              case s: StructType =>
+                s.fields.exists(nf => containerStruct(nf.dataType))
               case _ => false
             }
-            require(!hasStruct(f.dataType),
-              s"column ${f.name}: nested types under column mapping " +
-                "are out of scope (inner fields carry their own " +
-                "physical names this reader does not resolve)")
+            def hasAnyStruct(dt: DataType): Boolean = dt match {
+              case _: StructType => true
+              case a: org.apache.spark.sql.types.ArrayType =>
+                hasAnyStruct(a.elementType)
+              case m: org.apache.spark.sql.types.MapType =>
+                hasAnyStruct(m.keyType) || hasAnyStruct(m.valueType)
+              case _ => false
+            }
+            require(!containerStruct(f.dataType),
+              s"column ${f.name}: structs inside arrays/maps under " +
+                "column mapping are out of scope")
+            def validateNested(dt: DataType, path: String): Unit =
+              dt match {
+                case s: StructType => s.fields.foreach { nf =>
+                  require(mappingMode == "name",
+                    s"nested column $path.${nf.name}: nesting under " +
+                      "mode=id is out of scope (name mode resolves " +
+                      "nested physicalNames)")
+                  require(nf.metadata.contains(
+                      "delta.columnMapping.physicalName"),
+                    s"nested column $path.${nf.name} lacks " +
+                      "delta.columnMapping.physicalName")
+                  validateNested(nf.dataType, s"$path.${nf.name}")
+                }
+                case _ => ()
+              }
+            validateNested(f.dataType, f.name)
             f.name -> f.metadata.getString("delta.columnMapping.physicalName")
           }.toMap
         }
@@ -670,19 +695,59 @@ object DeltaLog {
     } else {
       val physSchema = StructType(st.schema.fields.map(f =>
         org.apache.spark.sql.types.StructField(
-          st.columnMapping(f.name), f.dataType, nullable = true)))
+          st.columnMapping(f.name), physDataType(f.dataType),
+          nullable = true)))
       spark.read.schema(physSchema).parquet(st.files.map(resolve): _*)
     }
   }
+
+  private def physFieldName(f: org.apache.spark.sql.types.StructField)
+      : String =
+    f.metadata.getString("delta.columnMapping.physicalName")
+
+  /** Physical spelling of a mapped column's TYPE (recursive): every
+    * struct level renamed to its physicalName annotations —
+    * mode=name data files spell nested columns physically too. */
+  private def physDataType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physFieldName(f), physDataType(f.dataType), nullable = true)))
+    case other => other
+  }
+
+  /** Logical type with ALL mapping metadata stripped, recursively. */
+  private def strippedType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        f.name, strippedType(f.dataType), f.nullable)))
+    case other => other
+  }
+
+  /** Rebuild a physically-read column under its LOGICAL names,
+    * recursively — a nested struct is reconstructed field by field
+    * (free under codegen), with a null-guard so a NULL struct stays
+    * NULL instead of becoming a struct of NULLs. */
+  private def logicalize(c: org.apache.spark.sql.Column,
+                         dt: DataType): org.apache.spark.sql.Column =
+    dt match {
+      case s: StructType =>
+        import org.apache.spark.sql.functions.{lit, struct, when}
+        val rebuilt = struct(s.fields.toSeq.map(f =>
+          logicalize(c.getField(physFieldName(f)), f.dataType)
+            .as(f.name)): _*)
+        when(c.isNull, lit(null).cast(strippedType(s))).otherwise(rebuilt)
+      case _ => c
+    }
 
   /** The logical-name projection over [[mappedScanRaw]]'s columns —
     * strips the mapping metadata (it describes the files, not the
     * rows). */
   private def mappedCols(st: State): Seq[org.apache.spark.sql.Column] =
-    st.schema.fields.toSeq.map(f =>
+    st.schema.fields.toSeq.map { f =>
       (if (st.mappingMode == "id") col(f.name)
-       else col(st.columnMapping(f.name))).as(f.name,
-        org.apache.spark.sql.types.Metadata.empty))
+       else logicalize(col(st.columnMapping(f.name)), f.dataType))
+        .as(f.name, org.apache.spark.sql.types.Metadata.empty)
+    }
 
   // ---------------------------------------------------------------
   // Checkpoints (the open spec's replay shortcut)
@@ -1384,18 +1449,42 @@ object DeltaLog {
       "mapped writer creates a fresh table (the mapping mode is fixed " +
         "at creation, as Delta fixes it)")
     import org.apache.spark.sql.types.MetadataBuilder
-    val phys: Map[String, String] = df.schema.fieldNames.map(n =>
-      n -> s"col-${java.util.UUID.nameUUIDFromBytes(
-        n.getBytes("UTF-8"))}").toMap
-    val mappedSchema = StructType(df.schema.fields.zipWithIndex.map {
-      case (f, i) => f.copy(metadata = new MetadataBuilder()
-        .withMetadata(f.metadata)
-        .putLong("delta.columnMapping.id", i + 1L)
-        .putString("delta.columnMapping.physicalName", phys(f.name))
-        .build())
-    })
+    def physOf(path: String): String =
+      s"col-${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}"
+    // annotate RECURSIVELY: every nested struct field gets its own
+    // id and physicalName (the spec's shape; ids number depth-first)
+    var nextId = 0L
+    def annotate(dt: DataType, path: String): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        nextId += 1
+        val id = nextId
+        val inner = annotate(f.dataType, s"$path.${f.name}")
+        f.copy(dataType = inner, metadata = new MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName",
+            physOf(s"$path.${f.name}"))
+          .build())
+      })
+      case other => other
+    }
+    val mappedSchema =
+      annotate(df.schema, "").asInstanceOf[StructType]
+    // write physically at every nesting level (the inverse of
+    // [[logicalize]]), with the same NULL-struct guard
+    def physicalize(c: org.apache.spark.sql.Column,
+                    f: org.apache.spark.sql.types.StructField)
+        : org.apache.spark.sql.Column = f.dataType match {
+      case s: StructType =>
+        import org.apache.spark.sql.functions.{lit, struct, when}
+        val rebuilt = struct(s.fields.toSeq.map(nf =>
+          physicalize(c.getField(nf.name), nf).as(physFieldName(nf))): _*)
+        when(c.isNull, lit(null).cast(physDataType(s))).otherwise(rebuilt)
+      case _ => c
+    }
     val sub = s"part-${java.util.UUID.randomUUID}"
-    df.select(df.schema.fieldNames.map(n => col(n).as(phys(n))): _*)
+    df.select(mappedSchema.fields.toSeq.map(f =>
+        physicalize(col(f.name), f).as(physFieldName(f))): _*)
       .write.parquet(s"$tableDir/$sub")
     val fs = partFiles(tableDir, sub)
     val stats = statsJsonBatch(df.sparkSession, fs)
@@ -1406,10 +1495,53 @@ object DeltaLog {
         metaDataAction(mappedSchema, Seq.empty,
           Map("delta.columnMapping.mode" -> "name",
             "delta.columnMapping.maxColumnId" ->
-              df.schema.length.toString))) ++ adds),
+              nextId.toString))) ++ adds),
       s"table $tableDir already has commit 0")
     0L
   }
+
+  /** Session-cached NESTED column-mapped table: orders reshaped into
+    * two struct columns, committed under mode=name (every nesting
+    * level spelled physically in the files), then TWO metadata-only
+    * renames — one nested (`meta.prio` → `priority`), one top-level
+    * (`cust` → `customer`). */
+  private[graft] def ordersNestedMappedTable(spark: SparkSession,
+                                             dir: String): String =
+    cachedTable(spark, dir, "deltacmn") { (o, t) =>
+      import org.apache.spark.sql.functions.struct
+      val nested = o.select(col("o_orderkey"),
+        struct(col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status")).as("cust"),
+        struct(col("o_totalprice").as("price"),
+          col("o_orderpriority").as("prio")).as("meta"))
+      commitOverwriteMapped(nested, t)
+      renameColumnMapped(t, "meta.prio", "priority")
+      renameColumnMapped(t, "cust", "customer")
+    }
+
+  /** q194 — NESTED STRUCTS × COLUMN MAPPING (the round-9 refusal
+    * turned feature): the data files spell `col-<uuid>` names at
+    * EVERY nesting level; the read resolves outer and inner names
+    * through the schemaString's recursive annotations and surfaces
+    * the post-rename logical names — then flattens for the oracle.
+    * A reader that renamed only the top level NULLs every inner
+    * field; one that lost a nested rename surfaces the old name
+    * (schema mismatch); one whose null-guard built structs of NULLs
+    * from NULL parents would corrupt rows — all fail the flat
+    * five-column oracle. */
+  def deltaNestedMappedRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersNestedMappedTable(spark, dir))
+      .select(col("o_orderkey"),
+        col("customer.custkey").as("o_custkey"),
+        col("customer.status").as("o_orderstatus"),
+        col("meta.price").as("o_totalprice"),
+        col("meta.priority").as("priority"))
+      .orderBy(col("o_orderkey"))
+
+  val deltaNestedMappedReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderpriority AS priority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** [[commitOverwriteMapped]] with columnMapping mode=id — the
     * protocol's OTHER mapping mode, the one Delta migrations of
@@ -1466,9 +1598,12 @@ object DeltaLog {
   /** RENAME a logical column of a mapped table — the metadata-only
     * commit column mapping buys: same physical files, new
     * schemaString where `from`'s field keeps its id and physicalName
-    * but carries the new logical name. Works under either mapping
-    * mode (the mode rides the table's existing configuration).
-    * Returns the committed version. */
+    * but carries the new logical name. `from` may be a DOTTED PATH
+    * into a nested struct (`meta.prio`) — nested fields have their
+    * own mapping annotations, so renaming one is the same pure
+    * metadata op. Works under either mapping mode (the mode rides
+    * the table's existing configuration). Returns the committed
+    * version. */
   def renameColumnMapped(tableDir: String, from: String,
                          to: String): Long = {
     val vs = versions(tableDir)
@@ -1477,10 +1612,29 @@ object DeltaLog {
     require(st.columnMapping.nonEmpty,
       "renameColumnMapped needs a column-mapped table — without " +
         "mapping a rename means rewriting every data file")
-    require(st.schema.fieldNames.contains(from), s"no column $from")
-    require(!st.schema.fieldNames.contains(to), s"column $to exists")
-    val renamed = StructType(st.schema.fields.map(f =>
-      if (f.name == from) f.copy(name = to) else f))
+    require(!to.contains("."), s"new name $to must be unqualified")
+    def renameAt(s: StructType, path: List[String]): StructType =
+      path match {
+        case name :: Nil =>
+          require(s.fieldNames.contains(name), s"no column $name")
+          require(!s.fieldNames.contains(to),
+            s"column $to exists at this level")
+          StructType(s.fields.map(f =>
+            if (f.name == name) f.copy(name = to) else f))
+        case name :: rest =>
+          require(s.fieldNames.contains(name), s"no column $name")
+          StructType(s.fields.map { f =>
+            if (f.name != name) f
+            else f.dataType match {
+              case inner: StructType =>
+                f.copy(dataType = renameAt(inner, rest))
+              case other => throw new IllegalArgumentException(
+                s"$name is $other, not a struct — cannot descend")
+            }
+          })
+        case Nil => throw new IllegalArgumentException("empty path")
+      }
+    val renamed = renameAt(st.schema, from.split('.').toList)
     require(writeActions(tableDir, vs.last + 1,
       Seq(metaDataAction(renamed, st.partitionColumns,
         Map("delta.columnMapping.mode" -> st.mappingMode,

@@ -1599,6 +1599,51 @@ class DeltaLogSpec extends SparkSuite {
     }
   }
 
+  test("q194 gate shape: nested mapping resolves every level, null structs stay null") {
+    val got = sources.DeltaLog.deltaNestedMappedRead(spark, sfDir)
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(got.count() == orders.count())
+    assert(got.schema.fieldNames.toSeq == Seq("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "priority"))
+    // the data files spell physical names at EVERY nesting level
+    val t = sources.DeltaLog.ordersNestedMappedTable(spark, sfDir)
+    val st = sources.DeltaLog.replay(t, sources.DeltaLog.versions(t).last)
+    val bare = spark.read.parquet(s"$t/${st.files.head}")
+    assert(bare.schema.fieldNames.forall(_.startsWith("col-")))
+    val inner = bare.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.StructType] =>
+        f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSeq
+    }.flatten
+    assert(inner.nonEmpty && inner.forall(_.startsWith("col-")),
+      s"inner fields must be physical too, got $inner")
+    // NULL parents stay NULL through the logical reconstruction
+    val dir2 = Files.createTempDirectory("dlognull").toString + "/t"
+    import org.apache.spark.sql.functions.{struct, when}
+    val df = (1L to 4L).map(i => (i, s"s$i")).toDF("k", "s")
+      .select(col("k"),
+        when(col("k") % 2 === 0,
+          struct(col("s").as("a"), (col("k") * 10).as("b")))
+          .as("nest"))
+    sources.DeltaLog.commitOverwriteMapped(df, dir2)
+    val back = sources.DeltaLog.read(spark, dir2)
+    assert(back.filter(col("nest").isNull).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      "a NULL struct must read back NULL, not a struct of NULLs")
+    assert(back.filter(col("nest").isNotNull)
+      .select(col("k"), col("nest.a"), col("nest.b")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq == Seq((2L, "s2", 20L), (4L, "s4", 40L)))
+    // a nested rename on dir2 is metadata-only: zero add/remove
+    val rv = sources.DeltaLog.renameColumnMapped(dir2, "nest.a", "alpha")
+    val lines = Files.readAllLines(
+      Paths.get(f"$dir2/_delta_log/$rv%020d.json")).toArray.mkString
+    assert(!lines.contains("\"add\"") && !lines.contains("\"remove\""))
+    assert(sources.DeltaLog.read(spark, dir2)
+      .select("nest.alpha").na.drop().count() == 2)
+  }
+
   test("q188 gate shape: DV x mapping composes, files unrewritten; id mode too") {
     val got = sources.DeltaLog.deltaMappedDvRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")
