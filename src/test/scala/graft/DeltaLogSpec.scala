@@ -1599,6 +1599,56 @@ class DeltaLogSpec extends SparkSuite {
     }
   }
 
+  test("filters push through the mapped projection into the physical scan") {
+    val t = sources.DeltaLog.ordersMappedTable(spark, sfDir)
+    val st = sources.DeltaLog.replay(t, sources.DeltaLog.versions(t).last)
+    val physKey = st.columnMapping("o_orderkey")
+    // a LOGICAL-name filter over the mapped read must reach the
+    // parquet scan as a PHYSICAL-name pushed filter — the rename is
+    // an alias projection Catalyst pushes straight through; a
+    // mapping built as an opaque UDF barrier would scan everything
+    val df = sources.DeltaLog.read(spark, t)
+      .filter(col("o_orderkey") === 42L)
+    val pushed = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata("PushedFilters")
+      }.get
+    assert(pushed.contains(s"EqualTo(`$physKey`, 42)") ||
+        pushed.contains(s"EqualTo(`$physKey`,42)") ||
+        pushed.contains(s"EqualTo($physKey,42)"),
+      s"expected a pushed physical-name equality in: $pushed")
+  }
+
+  test("checkpoint-seeded replay composes with mapping and DVs, both modes") {
+    // mode=name + DV + checkpoint: the checkpoint must carry the
+    // mapping config, both reader features, and the DV descriptors —
+    // a replay seeded from it answers identically
+    val dir = Files.createTempDirectory("dlogckm").toString + "/t"
+    sources.DeltaLog.commitOverwriteMapped(
+      (1L to 30L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 3 === 0)
+    sources.DeltaLog.checkpoint(spark, dir)
+    // a post-checkpoint stacked delete rides the JSON tail
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 5 === 0)
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 30L).filter(i => i % 3 != 0 && i % 5 != 0))
+    assert(sources.DeltaLog.lastJsonCommitsRead == 1,
+      "replay must seed from the checkpoint and read only the tail")
+    // mode=id twin
+    val dir2 = Files.createTempDirectory("dlogcki").toString + "/t"
+    sources.DeltaLog.commitOverwriteMappedId(
+      (1L to 20L).map(i => (i, s"s$i")).toDF("k", "s"), dir2)
+    sources.DeltaLog.renameColumnMapped(dir2, "s", "label")
+    sources.DeltaLog.checkpoint(spark, dir2)
+    val post = sources.DeltaLog.read(spark, dir2)
+    assert(post.schema.fieldNames.toSeq == Seq("k", "label"))
+    assert(post.count() == 20)
+    assert(sources.DeltaLog.lastJsonCommitsRead == 0,
+      "the id-mode table replays entirely from its checkpoint")
+  }
+
   test("q194 gate shape: nested mapping resolves every level, null structs stay null") {
     val got = sources.DeltaLog.deltaNestedMappedRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")
