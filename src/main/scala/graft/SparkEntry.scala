@@ -459,7 +459,11 @@ object SparkEntry {
     // nested structs x column mapping: physical names at every
     // nesting level, nested renames metadata-only
     "q194_delta_nested_mapping"
-      -> (sources.DeltaLog.deltaNestedMappedRead _)
+      -> (sources.DeltaLog.deltaNestedMappedRead _),
+    // streaming lakehouse ETL: graft-delta stream -> transform ->
+    // idempotent txn sink; exactly-once both ends
+    "q195_delta_stream_etl"
+      -> (streaming.DeltaStreamQueries.deltaStreamEtl _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -680,6 +684,8 @@ object SparkEntry {
     "q193_iceberg_stream_read"
       -> streaming.IcebergStreamQueries.icebergStreamReadSql,
     "q194_delta_nested_mapping"
-      -> sources.DeltaLog.deltaNestedMappedReadSql
+      -> sources.DeltaLog.deltaNestedMappedReadSql,
+    "q195_delta_stream_etl"
+      -> streaming.DeltaStreamQueries.deltaStreamEtlSql
   )
 }

@@ -221,6 +221,49 @@ object DeltaStreamQueries {
 
   val deltaStreamReadSql: String =
     """SELECT * FROM orders ORDER BY o_orderkey"""
+
+  /** q195 — STREAMING LAKEHOUSE ETL, EXACTLY-ONCE BOTH ENDS: the
+    * medallion bronze→silver hop entirely over the open format
+    * (reference: spark/batch_silver.py filters/projects bronze into
+    * silver; here the hop is STREAMING). Source = the DSv2
+    * graft-delta stream (offsets in Spark's checkpoint); transform =
+    * filter + projection; sink = [[DeltaLog.commitAppendIdempotent]]
+    * keyed by the micro-batch id, so a batch REDELIVERED after a
+    * crash between sink commit and engine checkpoint is skipped by
+    * the txn watermark — end-to-end exactly-once with both formats'
+    * own machinery, no external coordinator
+    * (DeltaStreamSourceSpec holds the planted-crash proof). The
+    * result must hash-equal the batch-transformed oracle: a source
+    * that duplicated a commit, a sink that re-applied a batch, or a
+    * transform that drifted from batch semantics all mismatch. */
+  def deltaStreamEtl(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val src = DeltaLog.ordersAppendCompactTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_detl").toString
+    val silver = s"$work/silver"
+    spark.readStream.format("graft-delta").option("path", src).load()
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                       id: Long) =>
+        if (!batch.isEmpty)
+          DeltaLog.commitAppendIdempotent(
+            batch, silver, "silver-etl", id): Unit
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    DeltaLog.read(spark, silver)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val deltaStreamEtlSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderstatus = 'O'
+      |ORDER BY o_orderkey""".stripMargin
 }
 
 /** Executor-side reader: parquet Group API → [[InternalRow]].

@@ -95,6 +95,49 @@ class DeltaStreamSourceSpec extends SparkSuite {
     assert(batches >= 3, s"expected >=3 bounded batches, got $batches")
   }
 
+  test("q195 shape: stream->txn-sink hop is exactly-once across a sink-side crash") {
+    val work = Files.createTempDirectory("dstream5").toString
+    val dir = s"$work/bronze"
+    val silver = s"$work/silver"
+    sources.DeltaLog.commitAppend(
+      (1L to 4L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitAppend(
+      (5L to 8L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    def silverKeys: Seq[Long] = sources.DeltaLog.read(spark, silver)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // CRASH planted AFTER the sink commit, BEFORE the engine records
+    // the batch — the tightest window; on restart the engine
+    // redelivers the batch under the SAME id and the txn watermark
+    // must make the redelivery invisible
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(crashOnce: Boolean): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("path", dir).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                         id: Long) =>
+          if (!batch.isEmpty) {
+            sources.DeltaLog.commitAppendIdempotent(
+              batch, silver, "etl", id): Unit
+            if (crashOnce && crashed.compareAndSet(false, true))
+              throw new RuntimeException("planted crash after sink commit")
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    intercept[Exception] { run(crashOnce = true) }
+    val afterCrash = silverKeys // the sink commit happened
+    assert(afterCrash.nonEmpty)
+    run(crashOnce = false)
+    assert(silverKeys == (1L to 8L),
+      "the redelivered batch must be skipped by its txn watermark — " +
+        "every row exactly once")
+    // and the silver table's txn history shows each batch ONCE
+    assert(sources.DeltaLog.latestTxnVersion(silver, "etl").nonEmpty)
+  }
+
   test("typed columns survive the executor-side Group reader") {
     val work = Files.createTempDirectory("dstream3").toString
     val dir = s"$work/t"
