@@ -1458,7 +1458,6 @@ object Iceberg {
           .put("metadata-file",
             s"${metaDir(tableDir)}/v${v - 1}.metadata.json")
       }
-      commitClaimHook(tableDir, v)
       publishMetadataVersion(tableDir, v, meta)
     }
     var curV = v
@@ -1497,12 +1496,14 @@ object Iceberg {
   private[graft] val commitCasRetries =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Test seam: invoked with (tableDir, claimedVersion) between a
-    * commit attempt's metadata assembly and its hard-link CAS — the
-    * exact window a racing writer exploits. The race specs install a
-    * hook that plants a competing commit here, making loser-recovery
-    * DETERMINISTIC (thread-timing races leave the window unexercised
-    * more often than not). No-op in production. */
+  /** Test seam: invoked with (tableDir, claimedVersion) at the top
+    * of [[publishMetadataVersion]] — between EVERY metadata
+    * publisher's assembly and its hard-link CAS, the exact window a
+    * racing writer exploits. The race specs install a hook that
+    * plants a competing commit here, making loser behavior
+    * DETERMINISTIC: [[commit]] retries onto the next version,
+    * version-PINNED ops ([[publishPinned]] callers) refuse loudly.
+    * No-op in production. */
   @volatile private[graft] var commitClaimHook: (String, Int) => Unit =
     (_, _) => ()
 
@@ -1527,6 +1528,7 @@ object Iceberg {
     * stale hint) can never hide a committed version. */
   private def publishMetadataVersion(tableDir: String, v: Int,
                                      meta: ObjectNode): Boolean = {
+    commitClaimHook(tableDir, v)
     val tmp = Files.createTempFile(
       Paths.get(metaDir(tableDir)), s".v$v-", ".json.tmp")
     Files.write(tmp,

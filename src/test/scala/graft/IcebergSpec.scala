@@ -1373,6 +1373,33 @@ class IcebergSpec extends SparkSuite {
     assert(sinkKeys == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("version-pinned ops refuse on a lost CAS instead of blind-retrying") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icepin").toString + "/t"
+    sources.Iceberg.commitOverwrite(Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.Iceberg.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    // plant a racing append in setRef's claim window: the pinned op
+    // computed its next state against the OLD head, so a blind retry
+    // would publish stale refs over the racer's commit — it must
+    // refuse loudly and tell the caller to recompute
+    val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.Iceberg.commitClaimHook = (d, _) =>
+      if (planted.compareAndSet(false, true))
+        sources.Iceberg.commitAppend(Seq((3L, "c")).toDF("k", "s"), d)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        sources.Iceberg.setRef(dir, "audit", 2L)
+      }
+      assert(e.getMessage.contains("concurrent writer claimed"))
+    } finally sources.Iceberg.commitClaimHook = (_, _) => ()
+    // the racer's commit survived; a recomputed setRef then lands
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    sources.Iceberg.setRef(dir, "audit", 2L)
+    assert(sources.Iceberg.readRef(spark, dir, "audit")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("crash between metadata link and hint move hides nothing") {
     import spark.implicits._
     val dir = Files.createTempDirectory("icecrash").toString + "/t"
