@@ -463,7 +463,13 @@ object SparkEntry {
     // streaming lakehouse ETL: graft-delta stream -> transform ->
     // idempotent txn sink; exactly-once both ends
     "q195_delta_stream_etl"
-      -> (streaming.DeltaStreamQueries.deltaStreamEtl _)
+      -> (streaming.DeltaStreamQueries.deltaStreamEtl _),
+    // partitioned tables stream: partition columns reconstructed
+    // from the log's partitionValues / the manifest tuple
+    "q196_delta_stream_partitioned"
+      -> (streaming.DeltaStreamQueries.deltaStreamPartitioned _),
+    "q197_iceberg_stream_partitioned"
+      -> (streaming.IcebergStreamQueries.icebergStreamPartitioned _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -686,6 +692,10 @@ object SparkEntry {
     "q194_delta_nested_mapping"
       -> sources.DeltaLog.deltaNestedMappedReadSql,
     "q195_delta_stream_etl"
-      -> streaming.DeltaStreamQueries.deltaStreamEtlSql
+      -> streaming.DeltaStreamQueries.deltaStreamEtlSql,
+    "q196_delta_stream_partitioned"
+      -> streaming.DeltaStreamQueries.deltaStreamPartitionedSql,
+    "q197_iceberg_stream_partitioned"
+      -> streaming.IcebergStreamQueries.icebergStreamPartitionedSql
   )
 }

@@ -1246,9 +1246,12 @@ object DeltaLog {
     * dataChange=true in the range means rows DISAPPEARED, which an
     * append stream cannot express — refused loudly unless
     * `skipChangeCommits` (Delta's own option of that name) skips the
-    * whole commit. Returns absolute paths, commit-ordered. */
+    * whole commit. Returns (absolute path, partitionValues) pairs,
+    * commit-ordered — partition columns live only in the LOG, so the
+    * stream reader reconstructs them from each file's values. */
   private[graft] def addedFilesIn(tableDir: String, fromExclusive: Long,
-      to: Long, skipChangeCommits: Boolean): Seq[String] =
+      to: Long, skipChangeCommits: Boolean)
+      : Seq[(String, Map[String, String])] =
     versions(tableDir).filter(v => v > fromExclusive && v <= to)
       .flatMap { v =>
         val nodes = Files.readAllLines(commitFile(tableDir, v).toPath)
@@ -1268,8 +1271,16 @@ object DeltaLog {
               a.get("dataChange").asBoolean)
             .map { a =>
               val p = a.get("path").asText
-              if (p.startsWith("/") || p.contains("://")) p
-              else s"$tableDir/$p"
+              val abs =
+                if (p.startsWith("/") || p.contains("://")) p
+                else s"$tableDir/$p"
+              val pv: Map[String, String] =
+                if (!a.has("partitionValues")) Map.empty
+                else a.get("partitionValues").properties().asScala
+                  .map(e => e.getKey ->
+                    (if (e.getValue.isNull) null
+                     else e.getValue.asText)).toMap
+              (abs, pv)
             }
         }
       }

@@ -1682,6 +1682,32 @@ object Iceberg {
     commit(df, tableDir, overwrite = true, partCols)
   }
 
+  /** [[commitAppend]] for an IDENTITY-PARTITIONED table — appends
+    * must declare the table's exact spec (validated against the
+    * metadata), and each new file's manifest entry carries its
+    * partition tuple. */
+  def commitAppendPartitioned(df: DataFrame, tableDir: String,
+                              partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "partitioned commit needs partition columns")
+    commit(df, tableDir, overwrite = false, partCols)
+  }
+
+  /** Session-cached identity-partitioned APPEND table (q197): two
+    * partitioned appends (even/odd keys), so the stream has a real
+    * multi-snapshot history AND stripped partition columns to
+    * reconstruct. */
+  private[graft] def ordersIcebergPartAppendTable(
+      spark: SparkSession, dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergpartapp") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitAppendPartitioned(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t,
+        Seq("o_orderstatus"))
+      commitAppendPartitioned(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t,
+        Seq("o_orderstatus"))
+    }
+
   /** [[commitOverwrite]] with HIDDEN partitioning — Iceberg's defining
     * layout feature: `spec` maps source columns to derived transforms
     * (`bucket[n]`, `truncate[w]`, `day`/`month`/`year`), the rows are
@@ -1778,7 +1804,8 @@ object Iceberg {
     * streaming-skip-overwrite-snapshots) skips it whole. Pure
     * metadata; returns absolute paths, snapshot-ordered. */
   private[graft] def addedFilesIn(tableDir: String, fromExclusive: Long,
-      to: Long, skipOverwriteSnapshots: Boolean): Seq[String] = {
+      to: Long, skipOverwriteSnapshots: Boolean)
+      : Seq[(String, Map[String, String])] = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     meta.get("snapshots").elements().asScala.toSeq
       .filter { s =>
@@ -1805,9 +1832,24 @@ object Iceberg {
             .flatMap { m =>
               readAvro(m).flatMap { e =>
                 if (e.get("status").asInstanceOf[Int] != 1) None
-                else Some(stripFileUri(
-                  e.get("data_file").asInstanceOf[GenericRecord]
-                    .get("file_path").toString))
+                else {
+                  val df = e.get("data_file").asInstanceOf[GenericRecord]
+                  // identity tuples reconstruct stripped partition
+                  // columns in the stream reader (same stringified
+                  // shape the batch planner hands PartitionedScan)
+                  val pv: Map[String, String] =
+                    fieldOpt(df, "partition") match {
+                      case Some(rec: GenericRecord) =>
+                        rec.getSchema.getFields.asScala.map { f =>
+                          f.name -> (rec.get(f.name) match {
+                            case null => null
+                            case v => v.toString
+                          })
+                        }.toMap
+                      case _ => Map.empty
+                    }
+                  Some((stripFileUri(df.get("file_path").toString), pv))
+                }
               }
             }
       }
@@ -1820,8 +1862,12 @@ object Iceberg {
   private[graft] def streamSchema(tableDir: String)
       : (StructType, Map[String, Int]) = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
-    require(partitionSpecOf(meta).isEmpty,
-      "graft-iceberg streams unpartitioned tables")
+    // identity-partitioned tables strip their partition columns from
+    // data files; the stream reader reconstructs them from each
+    // file's manifest tuple (the tuple field name IS the column
+    // name). Hidden-transform tables keep full columns in the files
+    // and their derived tuple names match no schema field — nothing
+    // to reconstruct.
     (schemaFromMetadata(meta),
       if (hasNameMapping(meta)) Map.empty else fieldIds(meta))
   }

@@ -47,10 +47,13 @@ import graft.sources.DeltaLog
   * Spark's checkpoint machinery doing the bookkeeping (spec-held
   * restart proof in DeltaStreamSourceSpec).
   *
-  * Scope (loud, not guessed): unpartitioned, unmapped tables with
-  * primitive columns — the shape streaming appends produce. Options:
-  * `path` (required), `skipChangeCommits` (default false),
-  * `startingVersion` (default: all history).
+  * Scope (loud, not guessed): unmapped tables with primitive
+  * columns; PARTITIONED tables stream too — each file's
+  * log-recorded partitionValues ride its InputPartition and the
+  * reader emits them as per-row constants. Options: `path`
+  * (required), `skipChangeCommits` (default false),
+  * `startingVersion` (default: all history), `maxVersionsPerTrigger`
+  * (admission control).
   */
 class DeltaStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-delta"
@@ -77,9 +80,6 @@ private[streaming] object DeltaStreamSource {
   def tableSchema(tableDir: String): StructType = {
     val st = DeltaLog.replay(tableDir,
       DeltaLog.versions(tableDir).last)
-    require(st.partitionColumns.isEmpty,
-      "graft-delta streams unpartitioned tables (partition columns " +
-        "live only in the log; file rows would be incomplete)")
     require(st.columnMapping.isEmpty,
       "graft-delta streams unmapped tables")
     st.schema.fields.foreach(f => require(f.dataType match {
@@ -182,16 +182,21 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
     val from = start.asInstanceOf[VersionOffset].version
     val to = end.asInstanceOf[VersionOffset].version
     // one partition PER FILE: a commit that added 1000 files fans
-    // out as 1000 tasks — the driver never touches row data
+    // out as 1000 tasks — the driver never touches row data. Each
+    // partition carries the file's log-recorded partitionValues so
+    // the reader reconstructs partition columns as constants
     DeltaLog.addedFilesIn(tableDir, from, to, skipChangeCommits)
-      .map(p => DeltaFilePartition(p): InputPartition).toArray
+      .map { case (p, pv) =>
+        DeltaFilePartition(p, pv): InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DeltaFileReaderFactory(schema.json)
 }
 
-private case class DeltaFilePartition(path: String) extends InputPartition
+private case class DeltaFilePartition(path: String,
+    partitionValues: Map[String, String] = Map.empty)
+  extends InputPartition
 
 object DeltaStreamQueries {
   /** q192 — STREAMING READ OF THE OPEN LOG: drain the append/OPTIMIZE
@@ -264,6 +269,30 @@ object DeltaStreamQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |WHERE o_orderstatus = 'O'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q196 — STREAMING A PARTITIONED TABLE: the partition column
+    * exists only in the LOG's per-file partitionValues (the data
+    * files are written without it), so the stream reader must emit
+    * it as a per-file CONSTANT reconstructed from the add action —
+    * a reader that ignored partitionValues NULLs the status column
+    * for every row and hash-mismatches the full-orders oracle. */
+  def deltaStreamPartitioned(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val t = DeltaLog.ordersPartitionedTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_dpart").toString
+    spark.readStream.format("graft-delta").option("path", t).load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/data")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    spark.read.parquet(s"$work/data")
+      .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))
+  }
+
+  val deltaStreamPartitionedSql: String =
+    """SELECT * FROM orders ORDER BY o_orderkey"""
 }
 
 /** Executor-side reader: parquet Group API → [[InternalRow]].
@@ -279,6 +308,29 @@ private class DeltaFileReaderFactory(schemaJson: String,
       : PartitionReader[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val file = partition.asInstanceOf[DeltaFilePartition].path
+    // partition columns live only in the table's metadata — their
+    // per-file value arrives with the partition and is emitted as a
+    // CONSTANT for every row of the file (string-decoded once here,
+    // exactly what Spark's own PartitioningAwareFileIndex does)
+    val constants: Map[String, Any] = {
+      val pv = partition.asInstanceOf[DeltaFilePartition].partitionValues
+      schema.fields.flatMap { f =>
+        pv.get(f.name).map { s =>
+          f.name -> (if (s == null) null else f.dataType match {
+            case LongType => s.toLong
+            case IntegerType => s.toInt
+            case DoubleType => s.toDouble
+            case FloatType => s.toFloat
+            case BooleanType => s.toBoolean
+            case StringType => UTF8String.fromString(s)
+            case DateType =>
+              java.time.LocalDate.parse(s).toEpochDay.toInt
+            case other => throw new IllegalArgumentException(
+              s"unsupported partition column type $other for ${f.name}")
+          })
+        }
+      }.toMap
+    }
     new PartitionReader[InternalRow] {
       private val reader = ParquetReader
         .builder(new GroupReadSupport(), new Path(file)).build()
@@ -308,7 +360,8 @@ private class DeltaFileReaderFactory(schemaJson: String,
         if (idx == null) idx = fieldIdx(fileType)
         val vals = schema.fields.zipWithIndex.map { case (f, j) =>
           val i = idx(j)
-          if (i < 0) null
+          if (constants.contains(f.name)) constants(f.name)
+          else if (i < 0) null
           else {
             if (current.getFieldRepetitionCount(i) == 0) null
             else f.dataType match {

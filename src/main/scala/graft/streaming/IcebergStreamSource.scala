@@ -142,7 +142,8 @@ private class IcebergMicroBatchStream(schema: StructType,
     val from = start.asInstanceOf[SnapshotOffset].snapshotId
     val to = end.asInstanceOf[SnapshotOffset].snapshotId
     Iceberg.addedFilesIn(tableDir, from, to, skipOverwriteSnapshots)
-      .map(p => DeltaFilePartition(p): InputPartition).toArray
+      .map { case (p, pv) =>
+        DeltaFilePartition(p, pv): InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -180,4 +181,30 @@ object IcebergStreamQueries {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |  o_orderdate, o_orderpriority AS priority
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q197 — STREAMING AN IDENTITY-PARTITIONED ICEBERG TABLE: the
+    * partition column exists only in each file's manifest tuple
+    * (data files land hive-style without it), so the snapshot-diff
+    * planner must hand the tuple to the reader and the reader must
+    * emit it as a per-row constant — a planner that dropped the
+    * tuple NULLs the status column for every row and
+    * hash-mismatches the full-orders oracle. */
+  def icebergStreamPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Iceberg.ordersIcebergPartAppendTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_ipart").toString
+    spark.readStream.format("graft-iceberg").option("path", t).load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/data")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    spark.read.parquet(s"$work/data")
+      .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))
+  }
+
+  val icebergStreamPartitionedSql: String =
+    """SELECT * FROM orders ORDER BY o_orderkey"""
 }

@@ -53,6 +53,32 @@ class IcebergStreamSourceSpec extends SparkSuite {
       .sorted.toSeq == (1L to 8L).map(i => (i, s"s$i")))
   }
 
+  test("partitioned appends stream with reconstructed partition columns") {
+    val work = Files.createTempDirectory("istream3").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppendPartitioned(
+      Seq((1L, "red"), (2L, "blue")).toDF("k", "color"), dir, Seq("color"))
+    drain(dir, s"$work/out", s"$work/ckpt")
+    def rows: Seq[(Long, String)] = spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq((1L, "red"), (2L, "blue")),
+      "partition values reconstructed from the manifest tuple")
+    // the data files genuinely lack the partition column
+    val dataFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/data"))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    assert(dataFiles.nonEmpty && dataFiles.forall(f =>
+      !spark.read.parquet(f.getPath).columns.contains("color")))
+    // an incremental append flows with its own tuple
+    sources.Iceberg.commitAppendPartitioned(
+      Seq((3L, "red")).toDF("k", "color"), dir, Seq("color"))
+    drain(dir, s"$work/out", s"$work/ckpt")
+    assert(rows == Seq((1L, "red"), (2L, "blue"), (3L, "red")))
+  }
+
   test("non-append snapshots refuse loudly; skipOverwriteSnapshots skips them") {
     val work = Files.createTempDirectory("istream2").toString
     val dir = s"$work/t"
