@@ -78,6 +78,20 @@ class DeltaStreamSourceSpec extends SparkSuite {
       "the overwrite commit is skipped whole; appends around it land")
   }
 
+  test("startingVersion skips history before the given version") {
+    val work = Files.createTempDirectory("dstream6").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitAppend(
+      Seq((3L, "c")).toDF("k", "s"), dir)
+    drain(dir, s"$work/out", s"$work/ckpt",
+      Map("startingVersion" -> "1"))
+    assert(spark.read.parquet(s"$work/out")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L),
+      "only version 1's rows — version 0 is before the start")
+  }
+
   test("maxVersionsPerTrigger drains a backlog in bounded batches") {
     val work = Files.createTempDirectory("dstream4").toString
     val dir = s"$work/t"

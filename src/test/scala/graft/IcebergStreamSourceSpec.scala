@@ -53,6 +53,20 @@ class IcebergStreamSourceSpec extends SparkSuite {
       .sorted.toSeq == (1L to 8L).map(i => (i, s"s$i")))
   }
 
+  test("startingSnapshotId skips history at or before the given id") {
+    val work = Files.createTempDirectory("istream4").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    sources.Iceberg.commitAppend(
+      Seq((3L, "c")).toDF("k", "s"), dir)
+    drain(dir, s"$work/out", s"$work/ckpt",
+      Map("startingSnapshotId" -> "1"))
+    assert(spark.read.parquet(s"$work/out")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L),
+      "only snapshot 2's rows — snapshot 1 is at the start (exclusive)")
+  }
+
   test("partitioned appends stream with reconstructed partition columns") {
     val work = Files.createTempDirectory("istream3").toString
     val dir = s"$work/t"
