@@ -131,7 +131,8 @@ object DeltaLog {
       minReader: Int = 1,
       readerFeatures: Set[String] = Set.empty,
       mappingMode: String = "none",
-      columnMappingIds: Map[String, Long] = Map.empty) {
+      columnMappingIds: Map[String, Long] = Map.empty,
+      configuration: Map[String, String] = Map.empty) {
     def files: Seq[String] = adds.keys.toSeq.sorted
     def addPartitionValues: Map[String, Map[String, String]] =
       adds.map { case (p, a) => p -> a.partitionValues }
@@ -195,6 +196,10 @@ object DeltaLog {
     var minReader: Int = 1
     var mappingMode: String = "none"
     var readerFeatures: Set[String] = Set.empty
+    // the latest metaData's full configuration map — carried forward
+    // by metadata-only commits (rename, evolveSchema) so a rewrite
+    // never silently drops a table property another key depends on
+    var configuration: Map[String, String] = Map.empty
     // insertion-ordered so `files` ties break deterministically
     val adds = scala.collection.mutable.LinkedHashMap
       .empty[String, AddFile]
@@ -229,11 +234,13 @@ object DeltaLog {
           .asInstanceOf[StructType]
         partCols = md.get("partitionColumns").elements().asScala
           .map(_.asText).toSeq
+        configuration =
+          if (md.has("configuration"))
+            md.get("configuration").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText).toMap
+          else Map.empty
         mappingMode =
-          if (md.has("configuration") &&
-            md.get("configuration").has("delta.columnMapping.mode"))
-            md.get("configuration").get("delta.columnMapping.mode").asText
-          else "none"
+          configuration.getOrElse("delta.columnMapping.mode", "none")
       }
       if (node.has("add")) {
         val a = node.get("add")
@@ -373,7 +380,7 @@ object DeltaLog {
           f.name -> f.metadata.getLong("delta.columnMapping.id")
         }.toMap
       State(schema, partCols, adds.toMap, mapping, minReader,
-        readerFeatures, mappingMode, mappingIds)
+        readerFeatures, mappingMode, mappingIds, configuration)
     }
   }
 
@@ -412,7 +419,15 @@ object DeltaLog {
     r.state(version)
   }
 
-  /** Latest snapshot. */
+  /** Latest snapshot.
+    *
+    * Session note: reading a mode=id column-mapped table enables
+    * `spark.sql.parquet.fieldId.read.enabled` SESSION-WIDE (the
+    * field-id matcher is a SQL conf, not a per-read option, and the
+    * lazy scan reads it at execution time so it cannot be restored
+    * eagerly). Safe to leave on — schemas without id metadata still
+    * resolve by name — but callers sharing the session should know
+    * the flag may flip here. */
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir, versions(tableDir).last)
 
@@ -935,12 +950,13 @@ object DeltaLog {
           r.partCols =
             Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
               .map(_.toSeq).getOrElse(Seq.empty)
-          r.mappingMode =
+          r.configuration =
             (if (m.schema.fieldNames.contains("configuration"))
                Option(m.getAs[scala.collection.Map[String, String]](
                  "configuration"))
-             else None)
-              .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+             else None).map(_.toMap).getOrElse(Map.empty)
+          r.mappingMode = r.configuration
+            .getOrElse("delta.columnMapping.mode", "none")
         }
         structOpt(row, "add").foreach { a =>
           val pv =
@@ -1646,13 +1662,38 @@ object DeltaLog {
         case Nil => throw new IllegalArgumentException("empty path")
       }
     val renamed = renameAt(st.schema, from.split('.').toList)
+    // maxColumnId must stay >= EVERY assigned id (the spec invariant
+    // an external writer relies on when allocating new ids): ids are
+    // assigned depth-first across NESTED fields, so top-level field
+    // count undercounts — take the max id actually present in the
+    // replayed schema, never regressing below the prior recorded value
+    val maxId = math.max(maxMappedId(st.schema),
+      st.configuration.get("delta.columnMapping.maxColumnId")
+        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L))
     require(writeActions(tableDir, vs.last + 1,
       Seq(metaDataAction(renamed, st.partitionColumns,
-        Map("delta.columnMapping.mode" -> st.mappingMode,
-          "delta.columnMapping.maxColumnId" ->
-            st.schema.length.toString)))),
+        st.configuration ++
+          Map("delta.columnMapping.mode" -> st.mappingMode,
+            "delta.columnMapping.maxColumnId" -> maxId.toString)))),
       s"concurrent writer claimed version ${vs.last + 1}")
     vs.last + 1
+  }
+
+  /** Largest `delta.columnMapping.id` assigned anywhere in `schema`
+    * (recursive — nested fields carry their own ids). 0 when no field
+    * is annotated. */
+  private[graft] def maxMappedId(schema: StructType): Long = {
+    def walk(dt: DataType): Long = dt match {
+      case s: StructType => s.fields.foldLeft(0L) { (m, f) =>
+        val own =
+          if (f.metadata.contains("delta.columnMapping.id"))
+            f.metadata.getLong("delta.columnMapping.id")
+          else 0L
+        math.max(m, math.max(own, walk(f.dataType)))
+      }
+      case _ => 0L
+    }
+    walk(schema)
   }
 
   /** MERGE-ON-READ DELETE through DELETION VECTORS (protocol reader 3
@@ -2552,6 +2593,14 @@ object DeltaLog {
     // Delta's own transaction protocol applies
     def validate(): State = {
       val st = replay(tableDir, versions(tableDir).last)
+      // a column-mapped table's schemaString carries id/physicalName
+      // annotations this caller cannot supply — rewriting its metaData
+      // from a bare schema would drop the mapping mode and make the
+      // next replay read physical col-<uuid> names as data columns
+      require(st.columnMapping.isEmpty,
+        s"evolveSchema on a column-mapped table (mode=${st.mappingMode}) " +
+          "is out of scope — adding a column needs a fresh mapping id; " +
+          "use the mapped writer / renameColumnMapped for metadata ops")
       st.schema.fields.foreach { f =>
         val nf = newSchema.fields.find(_.name == f.name)
         require(nf.exists(_.dataType == f.dataType),
@@ -2571,8 +2620,11 @@ object DeltaLog {
       val st = validate()
       v = versions(tableDir).last + 1
       commitClaimHook(tableDir, v)
+      // the replayed configuration rides the new metaData — a schema
+      // evolution must not silently clear unrelated table properties
       done = writeActions(tableDir, v,
-        Seq(metaDataAction(newSchema, st.partitionColumns)))
+        Seq(metaDataAction(newSchema, st.partitionColumns,
+          st.configuration)))
       if (!done) commitCasRetries.incrementAndGet()
     }
     v

@@ -585,7 +585,15 @@ object Iceberg {
     } finally r.close()
   }
 
-  /** Latest snapshot (current-snapshot-id of the current metadata). */
+  /** Latest snapshot (current-snapshot-id of the current metadata).
+    *
+    * Session note: Iceberg reads resolve columns by parquet field id,
+    * which enables `spark.sql.parquet.fieldId.read.enabled`
+    * SESSION-WIDE (a SQL conf, not a per-read option; the lazy scan
+    * reads it at execution time so it cannot be restored eagerly).
+    * Safe to leave on — schemas without id metadata still resolve by
+    * name — but callers sharing the session should know the flag may
+    * flip here. */
   def read(spark: SparkSession, tableDir: String): DataFrame = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     readSnapshotFrom(spark, tableDir, meta,
@@ -1416,6 +1424,19 @@ object Iceberg {
             e.getKey, e.getValue)))
       val prevCurrent: Option[Long] =
         prevMeta.map(_.get("current-snapshot-id").asLong)
+      // the spec's parent-snapshot-id — a branch commit's parent is
+      // the branch head BEFORE this commit (WAP lineage), a main
+      // commit's the prior current snapshot; ancestry walks (the
+      // streaming planner, real clients' incremental scans) depend on
+      // this chain to tell published history from staged branches
+      val parentId: Option[Long] = toBranch match {
+        case Some(b)
+            if prevMeta.exists(m => m.has("refs") &&
+              m.get("refs").has(b)) =>
+          Some(prevMeta.get.get("refs").get(b)
+            .get("snapshot-id").asLong)
+        case _ => prevCurrent
+      }
       val newCurrent: Long = toBranch match {
         case Some(b) =>
           refs.putObject(b)
@@ -1430,6 +1451,7 @@ object Iceberg {
       val snapTs = nextSnapshotTs(prevMeta)
       val sn = snaps.addObject()
       sn.put("snapshot-id", snapshotId)
+      parentId.foreach(sn.put("parent-snapshot-id", _))
       sn.put("timestamp-ms", snapTs)
       sn.putObject("summary").put("operation",
         if (overwrite) "overwrite" else "append")
@@ -1807,10 +1829,33 @@ object Iceberg {
       to: Long, skipOverwriteSnapshots: Boolean)
       : Seq[(String, Map[String, String])] = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
-    meta.get("snapshots").elements().asScala.toSeq
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    // PUBLISHED history only: a WAP-staged branch snapshot or a
+    // rolled-back snapshot falls inside the id range but is NOT
+    // reachable from the main head — streaming it would leak
+    // unpublished audit-window rows. Walk parent-snapshot-id
+    // ancestry from current-snapshot-id, exactly Iceberg's own
+    // incremental-scan rule. (A snapshot staged behind the committed
+    // offset high-water mark and published LATER is not replayed —
+    // restart the query to pick it up; ids, the offsets, are
+    // allocated at staging time.)
+    val byId = snaps.map(s => s.get("snapshot-id").asLong -> s).toMap
+    val ancestry: Set[Long] = {
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var cur = byId.get(meta.get("current-snapshot-id").asLong)
+      while (cur.isDefined) {
+        val s = cur.get
+        val id = s.get("snapshot-id").asLong
+        if (!seen.add(id)) cur = None
+        else cur = Option(s.get("parent-snapshot-id"))
+          .filterNot(_.isNull).map(_.asLong).flatMap(byId.get)
+      }
+      seen.toSet
+    }
+    snaps
       .filter { s =>
         val id = s.get("snapshot-id").asLong
-        id > fromExclusive && id <= to
+        id > fromExclusive && id <= to && ancestry.contains(id)
       }
       .sortBy(_.get("snapshot-id").asLong)
       .flatMap { s =>
@@ -2058,6 +2103,7 @@ object Iceberg {
     next.put("current-snapshot-id", snapshotId)
     val sn = next.withArray[ArrayNode]("snapshots").addObject()
     sn.put("snapshot-id", snapshotId)
+    sn.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
     sn.put("sequence-number", snapshotId)
     sn.put("timestamp-ms", nextSnapshotTs(Some(meta)))
     sn.putObject("summary").put("operation", "delete")

@@ -324,7 +324,11 @@ private class DeltaFileReaderFactory(schemaJson: String,
             case BooleanType => s.toBoolean
             case StringType => UTF8String.fromString(s)
             case DateType =>
-              java.time.LocalDate.parse(s).toEpochDay.toInt
+              // Delta partitionValues stringify dates as yyyy-MM-dd;
+              // Iceberg identity manifest tuples stringify the avro
+              // date logical type as its epoch-day INT — accept both
+              if (s.matches("-?\\d+")) s.toInt
+              else java.time.LocalDate.parse(s).toEpochDay.toInt
             case other => throw new IllegalArgumentException(
               s"unsupported partition column type $other for ${f.name}")
           })

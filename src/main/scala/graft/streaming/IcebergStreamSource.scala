@@ -27,7 +27,12 @@ import graft.sources.Iceberg
   *
   * Options: `path` (required), `skipOverwriteSnapshots` (default
   * false), `startingSnapshotId` (exclusive; default 0 = full
-  * history). Scope: unpartitioned tables, primitive columns. */
+  * history). Scope: primitive columns; identity-PARTITIONED tables
+  * stream too — each file's manifest tuple rides its InputPartition
+  * and the reader emits the stripped partition columns as per-row
+  * constants (q197). Only snapshots reachable from the MAIN branch
+  * head stream (WAP-staged branches and rolled-back snapshots are
+  * unpublished history). */
 class IcebergStreamProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-iceberg"

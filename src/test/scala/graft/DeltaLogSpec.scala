@@ -1692,6 +1692,30 @@ class DeltaLogSpec extends SparkSuite {
     assert(!lines.contains("\"add\"") && !lines.contains("\"remove\""))
     assert(sources.DeltaLog.read(spark, dir2)
       .select("nest.alpha").na.drop().count() == 2)
+    // SPEC INVARIANT: maxColumnId >= every assigned mapping id. Ids
+    // are assigned depth-first across NESTED fields (k, nest, nest.a,
+    // nest.b = 4 ids here), so a rename that recorded the top-level
+    // field count (2) would regress below assigned ids and an
+    // external writer adding a column would REUSE them
+    val st2 = sources.DeltaLog.replay(dir2,
+      sources.DeltaLog.versions(dir2).last)
+    val recorded = st2.configuration("delta.columnMapping.maxColumnId")
+      .toLong
+    val assigned = sources.DeltaLog.maxMappedId(st2.schema)
+    assert(assigned >= 4,
+      s"nested ids should be depth-first (got max $assigned)")
+    assert(recorded >= assigned,
+      s"maxColumnId $recorded regressed below assigned id $assigned")
+    // evolveSchema on a mapped table must refuse — a bare-schema
+    // metaData rewrite would drop the mapping mode and the next
+    // replay would read physical col-<uuid> names as data columns
+    val ev = intercept[IllegalArgumentException] {
+      sources.DeltaLog.evolveSchema(dir2,
+        org.apache.spark.sql.types.StructType(st2.schema.fields :+
+          org.apache.spark.sql.types.StructField("extra",
+            org.apache.spark.sql.types.LongType)))
+    }
+    assert(ev.getMessage.contains("column-mapped"))
   }
 
   test("q188 gate shape: DV x mapping composes, files unrewritten; id mode too") {

@@ -115,4 +115,34 @@ class IcebergStreamSourceSpec extends SparkSuite {
       Seq(1L, 2L, 3L, 100L),
       "the overwrite snapshot is skipped whole; appends around it land")
   }
+
+  test("WAP-staged branch snapshots and rolled-back snapshots never stream") {
+    val work = Files.createTempDirectory("istream5").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      (1L to 3L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    // stage an append on a branch — write-audit-publish's audit
+    // window: the snapshot EXISTS in the metadata (its id falls in
+    // any naive id range) but main's head never moved
+    sources.Iceberg.commitAppendToBranch(
+      Seq((98L, "staged")).toDF("k", "s"), dir, "audit")
+    // a published append AFTER the staged one — the stream must
+    // deliver this and NOT the staged rows
+    val published = sources.Iceberg.commitAppend(
+      Seq((4L, "s4")).toDF("k", "s"), dir)
+    drain(dir, s"$work/out", s"$work/ckpt")
+    assert(spark.read.parquet(s"$work/out")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "the audit-branch snapshot is unpublished history — streaming " +
+        "it would leak rows main never saw")
+    // rollback: appends 5 then rolls back to the pre-5 head — the
+    // rolled-back snapshot is in the list but off the main ancestry
+    sources.Iceberg.commitAppend(
+      Seq((5L, "s5")).toDF("k", "s"), dir)
+    sources.Iceberg.rollbackTo(dir, published)
+    drain(dir, s"$work/out2", s"$work/ckpt2")
+    assert(spark.read.parquet(s"$work/out2")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "a rolled-back snapshot must not stream")
+  }
 }
