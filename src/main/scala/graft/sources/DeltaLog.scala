@@ -1255,27 +1255,76 @@ object DeltaLog {
     v
   }
 
+  /** One file a streaming batch reads: absolute path, the add's
+    * log-recorded partitionValues, and the add's byte size (the
+    * admission-control currency for maxBytesPerTrigger). */
+  private[graft] case class StreamFile(path: String,
+      partitionValues: Map[String, String], size: Long)
+
+  /** `dataType` with every field-metadata annotation stripped and
+    * nullability normalized — the SHAPE two schemas are compared by
+    * when deciding whether a metaData commit CHANGED the table
+    * mid-stream (mapping ids, comments and nullable drift are not
+    * schema changes; a new/removed/retyped column is). */
+  private[graft] def schemaShape(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, schemaShape(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = schemaShape(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = schemaShape(m.keyType),
+        valueType = schemaShape(m.valueType))
+    case other => other
+  }
+
   /** Files ADDED with dataChange=true by versions in
-    * (`fromExclusive`, `to`] — the streaming-source batch planner's
-    * contract ([[graft.streaming.DeltaStreamSource]]): OPTIMIZE
-    * commits (dataChange=false) contribute nothing; a remove with
-    * dataChange=true in the range means rows DISAPPEARED, which an
-    * append stream cannot express — refused loudly unless
+    * (`fromExclusive`, `to`], GROUPED by version in commit order —
+    * the streaming-source batch planner's contract
+    * ([[graft.streaming.DeltaStreamSource]]): OPTIMIZE commits
+    * (dataChange=false) contribute nothing (an empty group); a
+    * remove with dataChange=true in the range means rows DISAPPEARED,
+    * which an append stream cannot express — refused loudly unless
     * `skipChangeCommits` (Delta's own option of that name) skips the
-    * whole commit. Returns (absolute path, partitionValues) pairs,
-    * commit-ordered — partition columns live only in the LOG, so the
-    * stream reader reconstructs them from each file's values. */
-  private[graft] def addedFilesIn(tableDir: String, fromExclusive: Long,
-      to: Long, skipChangeCommits: Boolean)
-      : Seq[(String, Map[String, String])] =
-    versions(tableDir).filter(v => v > fromExclusive && v <= to)
-      .flatMap { v =>
-        val nodes = Files.readAllLines(commitFile(tableDir, v).toPath)
-          .asScala.filter(_.nonEmpty).map(mapper.readTree).toSeq
-        val changeRemove = nodes.exists(n => n.has("remove") && {
-          val r = n.get("remove")
-          !r.has("dataChange") || r.get("dataChange").asBoolean
-        })
+    * whole commit. Partition columns live only in the LOG, so the
+    * stream reader reconstructs them from each file's values.
+    *
+    * SCHEMA CHANGES FAIL LOUDLY (Delta's own streaming contract):
+    * when `startSchema` (the stream's query-start schema) is given
+    * and a NON-CREATION commit in the range carries a metaData
+    * action whose schema shape differs, the stream must NOT silently
+    * drop the new columns under the stale schema — it throws with a
+    * restart message. On restart the source re-infers the evolved
+    * schema and the new column flows (older files read NULL for it,
+    * the same schema-on-read rule as the batch scan). The creation
+    * commit is exempt: a stream starting over a table whose FIRST
+    * schema predates one later evolution is the ordinary
+    * null-filling backfill, not a mid-stream change. */
+  private[graft] def addedFilesByVersion(tableDir: String,
+      fromExclusive: Long, to: Long, skipChangeCommits: Boolean,
+      startSchema: Option[StructType] = None)
+      : Seq[(Long, Seq[StreamFile])] = {
+    val vs = versions(tableDir)
+    vs.filter(v => v > fromExclusive && v <= to).map { v =>
+      val nodes = Files.readAllLines(commitFile(tableDir, v).toPath)
+        .asScala.filter(_.nonEmpty).map(mapper.readTree).toSeq
+      startSchema.filter(_ => v != vs.head).foreach { ss =>
+        nodes.find(_.has("metaData")).foreach { n =>
+          val sch = DataType
+            .fromJson(n.get("metaData").get("schemaString").asText)
+            .asInstanceOf[StructType]
+          require(schemaShape(sch) == schemaShape(ss),
+            s"version $v of $tableDir CHANGES THE TABLE SCHEMA " +
+              "mid-stream — streaming on would silently drop the " +
+              "new columns under the query-start schema. Restart " +
+              "the query to pick up the evolved schema (files " +
+              "written before the change read NULL for new columns).")
+        }
+      }
+      val changeRemove = nodes.exists(n => n.has("remove") && {
+        val r = n.get("remove")
+        !r.has("dataChange") || r.get("dataChange").asBoolean
+      })
+      val files: Seq[StreamFile] =
         if (changeRemove && skipChangeCommits) Seq.empty
         else {
           require(!changeRemove,
@@ -1296,10 +1345,13 @@ object DeltaLog {
                   .map(e => e.getKey ->
                     (if (e.getValue.isNull) null
                      else e.getValue.asText)).toMap
-              (abs, pv)
+              StreamFile(abs, pv,
+                if (a.has("size")) a.get("size").asLong else 0L)
             }
         }
-      }
+      (v, files)
+    }
+  }
 
   /** DESCRIBE HISTORY as a DataFrame — one row per commit with the
     * operation CLASSIFIED from the commit's action shape (this

@@ -121,21 +121,41 @@ private class DeltaStreamScan(schema: StructType,
       DeltaStreamSource.pathOf(options),
       options.getBoolean("skipChangeCommits", false),
       Option(options.get("startingVersion")).map(_.toLong),
-      options.getLong("maxVersionsPerTrigger", Long.MaxValue))
+      options.getLong("maxVersionsPerTrigger", Long.MaxValue),
+      options.getLong("maxFilesPerTrigger", Long.MaxValue),
+      options.getLong("maxBytesPerTrigger", Long.MaxValue))
 }
 
-/** The offset IS the log version — Delta's own streaming-source
-  * offset design, minus the in-version file index (batches here are
-  * whole commits; the engine's cadence decides how many commits per
-  * micro-batch). */
-private case class VersionOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
+/** The offset is (log version, files consumed WITHIN it) — Delta's
+  * own streaming-source offset design: `index` counts how many of
+  * `version`'s added files are already landed, so admission control
+  * can SPLIT one huge backfill commit across micro-batches
+  * (exactly-once is preserved because a committed version's file
+  * list is immutable). A fully-consumed version is (v, nFiles(v)).
+  * Legacy checkpoints wrote the bare version long (whole-commit
+  * batches) — deserialized as (v, MaxValue) = fully consumed. */
+private case class VersionOffset(version: Long,
+                                 index: Long = Long.MaxValue)
+    extends Offset {
+  override def json(): String =
+    s"""{"version":$version,"index":$index}"""
+}
+
+private object VersionOffset {
+  private val Json =
+    """\{"version":(-?\d+),"index":(-?\d+)\}""".r
+  def parse(json: String): VersionOffset = json.trim match {
+    case Json(v, i) => VersionOffset(v.toLong, i.toLong)
+    case bare => VersionOffset(bare.toLong) // legacy: whole version
+  }
 }
 
 private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
                                     skipChangeCommits: Boolean,
                                     startingVersion: Option[Long],
-                                    maxVersionsPerTrigger: Long)
+                                    maxVersionsPerTrigger: Long,
+                                    maxFilesPerTrigger: Long,
+                                    maxBytesPerTrigger: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow: the engine asks the source to PIN the end
@@ -156,22 +176,64 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
   // catching up on a deep backlog must not plan its whole history as
   // one batch (at 100 TB that is thousands of commits of files in a
   // single task set, one sink transaction, no progress checkpoints).
-  // maxVersionsPerTrigger caps each batch; AvailableNow still drains
-  // to the pinned cap, just in bounded batches.
+  // maxVersionsPerTrigger caps versions per batch;
+  // maxFilesPerTrigger / maxBytesPerTrigger go FINER and split
+  // WITHIN a version (the Kafka maxOffsetsPerTrigger analog — one
+  // 10k-file backfill commit drains in bounded batches, not one
+  // giant task set). At least one file is always admitted so the
+  // stream makes progress. AvailableNow still drains to the pinned
+  // cap, just in bounded batches.
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : Offset = {
-    val from = start.asInstanceOf[VersionOffset].version
+    val from = start.asInstanceOf[VersionOffset]
     val cap = latestOffset().asInstanceOf[VersionOffset].version
+    // cap == from.version is NOT terminal: a file-capped batch can
+    // leave the cap version partially consumed (index < nFiles) —
+    // only a cap strictly behind the start version has nothing left
+    if (cap < from.version) return from
     // addition-overflow guard: the default limit is Long.MaxValue
     val bounded =
-      if (maxVersionsPerTrigger >= cap - from) cap
-      else from + maxVersionsPerTrigger
-    VersionOffset(bounded)
+      if (maxVersionsPerTrigger >= cap - from.version) cap
+      else from.version + maxVersionsPerTrigger
+    if (maxFilesPerTrigger == Long.MaxValue &&
+        maxBytesPerTrigger == Long.MaxValue)
+      return VersionOffset(bounded)
+    // file/byte admission: walk the range's per-version file lists
+    // (O(new commits) driver metadata) and stop at the first file
+    // that would cross either cap — but never before admitting one
+    val byV = DeltaLog.addedFilesByVersion(tableDir,
+      from.version - 1, bounded, skipChangeCommits, Some(schema))
+    var endV = from.version
+    var endI = from.index
+    var nFiles = 0L
+    var nBytes = 0L
+    var stop = false
+    byV.foreach { case (v, fs) =>
+      if (!stop) {
+        var i =
+          if (v == from.version)
+            math.min(from.index, fs.size.toLong).toInt
+          else 0
+        endV = v
+        endI = i.toLong
+        while (i < fs.size && !stop) {
+          if (nFiles > 0 && (nFiles + 1 > maxFilesPerTrigger ||
+              nBytes + fs(i).size > maxBytesPerTrigger)) stop = true
+          else {
+            nFiles += 1
+            nBytes += fs(i).size
+            i += 1
+            endI = i.toLong
+          }
+        }
+      }
+    }
+    if (nFiles == 0) from else VersionOffset(endV, endI)
   }
 
   override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.trim.toLong)
+    VersionOffset.parse(json)
 
   override def commit(end: Offset): Unit = ()
 
@@ -179,15 +241,28 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[VersionOffset].version
-    val to = end.asInstanceOf[VersionOffset].version
+    val s = start.asInstanceOf[VersionOffset]
+    val e = end.asInstanceOf[VersionOffset]
     // one partition PER FILE: a commit that added 1000 files fans
     // out as 1000 tasks — the driver never touches row data. Each
     // partition carries the file's log-recorded partitionValues so
-    // the reader reconstructs partition columns as constants
-    DeltaLog.addedFilesIn(tableDir, from, to, skipChangeCommits)
-      .map { case (p, pv) =>
-        DeltaFilePartition(p, pv): InputPartition }.toArray
+    // the reader reconstructs partition columns as constants. The
+    // boundary versions honor the offsets' in-version file indexes
+    // (a split backfill commit reads each file exactly once).
+    DeltaLog.addedFilesByVersion(tableDir, s.version - 1, e.version,
+        skipChangeCommits, Some(schema))
+      .flatMap { case (v, fs) =>
+        val lo =
+          if (v == s.version) math.min(s.index, fs.size.toLong).toInt
+          else 0
+        val hi =
+          if (v == e.version) math.min(e.index, fs.size.toLong).toInt
+          else fs.size
+        fs.slice(lo, hi)
+      }
+      .map(f =>
+        DeltaFilePartition(f.path, f.partitionValues): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

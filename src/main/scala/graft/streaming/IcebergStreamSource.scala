@@ -112,6 +112,36 @@ private class IcebergMicroBatchStream(schema: StructType,
                                       maxSnapshotsPerTrigger: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  // SCHEMA CHANGES FAIL LOUDLY: Iceberg schema evolution is a
+  // metadata-version bump, not a snapshot, so it never appears
+  // "inside" an offset range — instead each trigger compares the
+  // table's CURRENT schema signature with the query-start one. The
+  // signature is (field id → type shape) when the table resolves by
+  // field id — so a RENAME (same ids, same types, the q193 lifecycle)
+  // streams straight through, while an ADD COLUMN fails the stream
+  // with a restart message rather than silently dropping the new
+  // column under the stale schema. Name-mapped tables fall back to
+  // (name → type shape).
+  private def schemaSig(): Map[String, String] = {
+    val (sch, ids) = Iceberg.streamSchema(tableDir)
+    if (ids.nonEmpty)
+      ids.map { case (n, id) =>
+        id.toString ->
+          graft.sources.DeltaLog.schemaShape(sch(n).dataType).json }
+    else
+      sch.fields.map(f =>
+        f.name -> graft.sources.DeltaLog.schemaShape(f.dataType).json)
+        .toMap
+  }
+  private val startSig: Map[String, String] = schemaSig()
+  private def requireUnchangedSchema(): Unit =
+    require(schemaSig() == startSig,
+      s"the schema of $tableDir CHANGED mid-stream (a field id was " +
+        "added, dropped or retyped) — streaming on would silently " +
+        "drop the new columns under the query-start schema. Restart " +
+        "the query to pick up the evolved schema (files written " +
+        "before the change read NULL for new columns).")
+
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(Iceberg.latestSnapshotId(tableDir))
@@ -144,6 +174,7 @@ private class IcebergMicroBatchStream(schema: StructType,
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
+    requireUnchangedSchema()
     val from = start.asInstanceOf[SnapshotOffset].snapshotId
     val to = end.asInstanceOf[SnapshotOffset].snapshotId
     Iceberg.addedFilesIn(tableDir, from, to, skipOverwriteSnapshots)

@@ -109,6 +109,91 @@ class DeltaStreamSourceSpec extends SparkSuite {
     assert(batches >= 3, s"expected >=3 bounded batches, got $batches")
   }
 
+  test("a schema change mid-stream fails loudly; restart flows the new column") {
+    val work = Files.createTempDirectory("dstream7").toString
+    val dir = s"$work/t"
+    val out = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    sources.DeltaLog.commitAppend(
+      (1L to 3L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    // a RUNNING query (micro-batch cadence, not AvailableNow — the
+    // evolution must land while the query is live)
+    val q = spark.readStream.format("graft-delta").option("path", dir)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50)).start()
+    q.processAllAvailable()
+    assert(spark.read.parquet(out).count() == 3)
+    // ADD COLUMN lands mid-stream: the next planned range contains
+    // the metaData commit — the source must FAIL the stream, not
+    // silently drop `x` under the query-start schema
+    val st = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last)
+    sources.DeltaLog.evolveSchema(dir,
+      org.apache.spark.sql.types.StructType(st.schema.fields :+
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))
+    sources.DeltaLog.commitAppend(
+      Seq((4L, "s4", 40L)).toDF("k", "s", "x"), dir)
+    val e = intercept[Exception] {
+      q.processAllAvailable()
+      q.awaitTermination(30000): Unit
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("CHANGES THE TABLE SCHEMA")),
+      s"expected the loud schema-change failure, got: ${messages(e)}")
+    // RESTART: the source re-infers the evolved schema; the new
+    // column flows for the new append (older sink files lack it —
+    // mergeSchema unions the parquet sink's two shapes)
+    drain(dir, out, ckpt)
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(got.schema.fieldNames.contains("x"))
+    assert(got.count() == 4)
+    assert(got.filter(col("k") === 4L).select("x")
+      .collect().head.getLong(0) == 40L,
+      "post-restart the evolved column flows with its values")
+  }
+
+  test("maxFilesPerTrigger splits one backfill commit across batches") {
+    val work = Files.createTempDirectory("dstream8").toString
+    val dir = s"$work/t"
+    // 3 versions x 4 files = 12 files; cap 3 files/trigger => >=4
+    // batches, and version boundaries don't align with batch
+    // boundaries — the (version, fileIndex) offsets must split
+    // WITHIN commits without losing or duplicating a file (12 rows
+    // per commit so every one of the 4 round-robin partitions is
+    // non-empty and the file count is deterministic)
+    (0 until 3).foreach { c =>
+      sources.DeltaLog.commitAppend(
+        (1L to 12L).map(i => (c * 12 + i, s"s${c * 12 + i}"))
+          .toDF("k", "s").repartition(4), dir)
+    }
+    val totalFiles = sources.DeltaLog
+      .replay(dir, sources.DeltaLog.versions(dir).last).adds.size
+    assert(totalFiles == 12, s"fixture expects 12 files, got $totalFiles")
+    drain(dir, s"$work/out", s"$work/ckpt",
+      Map("maxFilesPerTrigger" -> "3"))
+    assert(spark.read.parquet(s"$work/out")
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 36L),
+      "every file exactly once across the split batches")
+    val batches = new java.io.File(s"$work/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 4, s"expected >=4 bounded batches, got $batches")
+    // byte-based admission: a 1-byte cap still admits one file per
+    // trigger (progress guarantee) => 12 batches
+    drain(dir, s"$work/out2", s"$work/ckpt2",
+      Map("maxBytesPerTrigger" -> "1"))
+    assert(spark.read.parquet(s"$work/out2")
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 36L))
+    val byteBatches = new java.io.File(s"$work/ckpt2/commits")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+    assert(byteBatches >= 12,
+      s"one file per byte-capped batch, got $byteBatches")
+  }
+
   test("q195 shape: stream->txn-sink hop is exactly-once across a sink-side crash") {
     val work = Files.createTempDirectory("dstream5").toString
     val dir = s"$work/bronze"

@@ -116,6 +116,58 @@ class IcebergStreamSourceSpec extends SparkSuite {
       "the overwrite snapshot is skipped whole; appends around it land")
   }
 
+  test("add-column mid-stream fails loudly; rename streams on; restart flows it") {
+    val work = Files.createTempDirectory("istream6").toString
+    val dir = s"$work/t"
+    val out = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    sources.Iceberg.commitAppend(
+      (1L to 3L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    val q = spark.readStream.format("graft-iceberg").option("path", dir)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50)).start()
+    q.processAllAvailable()
+    assert(spark.read.parquet(out).count() == 3)
+    // a RENAME mid-stream keeps every field id and type — the
+    // signature is unchanged and the stream keeps going (files
+    // written post-rename resolve by id into the query-start names)
+    sources.Iceberg.renameColumn(dir, "s", "label")
+    sources.Iceberg.commitAppend(
+      Seq((4L, "s4")).toDF("k", "label"), dir)
+    q.processAllAvailable()
+    assert(spark.read.parquet(out).count() == 4,
+      "a rename is not a schema change — the stream rides through it")
+    // ADD COLUMN mid-stream: a new field id appears — the stream
+    // must FAIL loudly, not silently drop `x` under the stale schema
+    val old = sources.Iceberg.read(spark, dir).schema
+    sources.Iceberg.evolveSchema(dir,
+      org.apache.spark.sql.types.StructType(old.fields :+
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))
+    sources.Iceberg.commitAppend(
+      Seq((5L, "s5", 50L)).toDF("k", "label", "x"), dir)
+    val e = intercept[Exception] {
+      q.processAllAvailable()
+      q.awaitTermination(30000): Unit
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("CHANGED mid-stream")),
+      s"expected the loud schema-change failure, got: ${messages(e)}")
+    // RESTART: the evolved schema flows; the pre-evolution files
+    // read NULL for x, the new snapshot carries its values
+    drain(dir, out, ckpt)
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(got.schema.fieldNames.contains("x"))
+    assert(got.count() == 5)
+    assert(got.filter(org.apache.spark.sql.functions.col("k") === 5L)
+      .select("x").collect().head.getLong(0) == 50L,
+      "post-restart the evolved column flows with its values")
+  }
+
   test("WAP-staged branch snapshots and rolled-back snapshots never stream") {
     val work = Files.createTempDirectory("istream5").toString
     val dir = s"$work/t"
