@@ -469,7 +469,18 @@ object SparkEntry {
     "q196_delta_stream_partitioned"
       -> (streaming.DeltaStreamQueries.deltaStreamPartitioned _),
     "q197_iceberg_stream_partitioned"
-      -> (streaming.IcebergStreamQueries.icebergStreamPartitioned _)
+      -> (streaming.IcebergStreamQueries.icebergStreamPartitioned _),
+    // nested structs x mapping THROUGH the stream: recursive
+    // physicalName resolution on the executor; rename commits ride
+    // through the physical-shape schema-change guard
+    "q198_delta_stream_nested_mapped"
+      -> (streaming.DeltaStreamQueries.deltaStreamNestedMapped _),
+    // the CDC loop native in streaming: graft-delta-cdf emits
+    // row-level inserts AND deletes (DV bitmap diffs on the
+    // executor) into a MERGE+deleteWhere silver — final state
+    // equals the two-predicate oracle
+    "q199_delta_cdf_stream_merge"
+      -> (streaming.DeltaCdfStreamQueries.deltaCdfStreamMerge _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -696,6 +707,10 @@ object SparkEntry {
     "q196_delta_stream_partitioned"
       -> streaming.DeltaStreamQueries.deltaStreamPartitionedSql,
     "q197_iceberg_stream_partitioned"
-      -> streaming.IcebergStreamQueries.icebergStreamPartitionedSql
+      -> streaming.IcebergStreamQueries.icebergStreamPartitionedSql,
+    "q198_delta_stream_nested_mapped"
+      -> streaming.DeltaStreamQueries.deltaStreamNestedMappedSql,
+    "q199_delta_cdf_stream_merge"
+      -> streaming.DeltaCdfStreamQueries.deltaCdfStreamMergeSql
   )
 }

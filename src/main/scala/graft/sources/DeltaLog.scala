@@ -1265,16 +1265,68 @@ object DeltaLog {
     * nullability normalized — the SHAPE two schemas are compared by
     * when deciding whether a metaData commit CHANGED the table
     * mid-stream (mapping ids, comments and nullable drift are not
-    * schema changes; a new/removed/retyped column is). */
+    * schema changes; a new/removed/retyped column is). On MAPPED
+    * schemas each field is keyed by its PHYSICAL name instead of the
+    * logical one, so a pure RENAME (same physical columns, new
+    * logical spelling — the metadata-only commit mapping exists for)
+    * compares EQUAL and streams straight through, while an added or
+    * retyped physical column still differs. */
   private[graft] def schemaShape(dt: DataType): DataType = dt match {
-    case s: StructType => StructType(s.fields.map(f =>
-      StructField(f.name, schemaShape(f.dataType), nullable = true)))
+    case s: StructType => StructType(s.fields.map { f =>
+      val key =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      StructField(key, schemaShape(f.dataType), nullable = true)
+    })
     case a: org.apache.spark.sql.types.ArrayType =>
       a.copy(elementType = schemaShape(a.elementType))
     case m: org.apache.spark.sql.types.MapType =>
       m.copy(keyType = schemaShape(m.keyType),
         valueType = schemaShape(m.valueType))
     case other => other
+  }
+
+  /** `dataType` with field metadata stripped recursively but names
+    * and nullability kept — the PUBLIC face of a mapped table's
+    * streaming schema (the annotations describe the files, not the
+    * rows). */
+  private[graft] def stripFieldMetadata(dt: DataType): DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, stripFieldMetadata(f.dataType),
+          f.nullable)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = stripFieldMetadata(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = stripFieldMetadata(m.keyType),
+          valueType = stripFieldMetadata(m.valueType))
+      case other => other
+    }
+
+  /** The streaming sources' schema-change guard, standalone: throws
+    * when a NON-CREATION commit in (`fromExclusive`, `to`] carries a
+    * metaData whose [[schemaShape]] differs from `startSchema` (the
+    * query-start schema). Restart picks up the evolved schema. */
+  private[graft] def requireNoSchemaChange(tableDir: String,
+      fromExclusive: Long, to: Long, startSchema: StructType): Unit = {
+    val vs = versions(tableDir)
+    vs.filter(v => v > fromExclusive && v <= to && v != vs.head)
+      .foreach { v =>
+        Files.readAllLines(commitFile(tableDir, v).toPath).asScala
+          .filter(_.nonEmpty).map(mapper.readTree)
+          .find(_.has("metaData")).foreach { n =>
+            val sch = DataType
+              .fromJson(n.get("metaData").get("schemaString").asText)
+              .asInstanceOf[StructType]
+            require(schemaShape(sch) == schemaShape(startSchema),
+              s"version $v of $tableDir CHANGES THE TABLE SCHEMA " +
+                "mid-stream — streaming on would silently drop the " +
+                "new columns under the query-start schema. Restart " +
+                "the query to pick up the evolved schema (files " +
+                "written before the change read NULL for new columns).")
+          }
+      }
   }
 
   /** Files ADDED with dataChange=true by versions in
@@ -2714,30 +2766,26 @@ object DeltaLog {
   // Change Data Feed (incremental between-version reads)
   // ---------------------------------------------------------------
 
-  /** CHANGE DATA FEED: every row inserted or deleted in commits
-    * `fromVersion..toVersion` (inclusive), tagged `_change_type`
-    * ('insert' | 'delete') and `_commit_version` — Delta CDF's
-    * contract, derived here from the log's own add/remove actions
-    * (valid because this writer's commits are file-granular: an
-    * overwrite is remove-all+add, an append is pure adds). Actions
-    * with `dataChange=false` are SKIPPED — an OPTIMIZE rewrites
-    * layout, not data, so a downstream incremental consumer must see
-    * nothing from it; that is the entire point of the flag.
-    *
-    * A delete's rows come from scanning the REMOVED file, so CDF over
-    * a range whose removed files were [[vacuum]]ed fails on the
-    * missing file — loudly, never silently dropping deletes. The
-    * removed file's partition values come from the replayed state at
-    * the commit that removed it (a remove action does not carry
-    * them).
-    *
-    * Scale: the plan is one parquet scan per (commit, change-type)
-    * group — O(commits in range) scans each reading only that
-    * commit's changed files, never the whole table; this is how
-    * incremental consumers (streaming MV maintenance, downstream
-    * sync) ride a 100 TB table for the cost of the day's delta. */
-  def readChanges(spark: SparkSession, tableDir: String,
-                  fromVersion: Long, toVersion: Long): DataFrame = {
+  /** One changed file of one commit, as the CDF planners see it:
+    * `changeType` insert|delete; for a DV UPDATE (remove+re-add of
+    * the same path with a grown bitmap — a ROW-level delete)
+    * `dvKeepDiff` carries (prior DV, new DV) and the delete rows are
+    * exactly the positions set in new∖prior; for a whole-file delete
+    * `add.dv` (when set) masks the rows that were ALREADY deleted.
+    * Shared by the batch [[readChanges]] and the
+    * `graft-delta-cdf` streaming source's batch planner. */
+  private[graft] case class ChangeFile(version: Long,
+      changeType: String, path: String, add: AddFile,
+      dvKeepDiff: Option[(Option[DeletionVectors.Descriptor],
+        DeletionVectors.Descriptor)])
+
+  /** The commit-walk behind CDF: replays history to `toVersion`,
+    * recording each in-range data-changing action as a [[ChangeFile]]
+    * in commit order. Pure driver-side metadata — O(actions) plus
+    * O(compressed bitmap) for DV descriptors; row data is never
+    * touched here. */
+  private[graft] def changePlan(tableDir: String, fromVersion: Long,
+      toVersion: Long): (State, Seq[ChangeFile]) = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     require(fromVersion <= toVersion,
@@ -2745,16 +2793,12 @@ object DeltaLog {
     require(vs.contains(fromVersion) && vs.contains(toVersion),
       s"range [$fromVersion,$toVersion] not in log (have ${vs.mkString(",")})")
     val r = new Replayer
-    // (version, changeType) -> files, insertion-ordered for stable output
-    val groups = scala.collection.mutable.LinkedHashMap
-      .empty[(Long, String), scala.collection.mutable.LinkedHashMap[String, AddFile]]
+    val out = Seq.newBuilder[ChangeFile]
     def record(v: Long, ct: String, path: String, a: AddFile): Unit =
-      groups.getOrElseUpdate((v, ct),
-        scala.collection.mutable.LinkedHashMap.empty).put(path, a)
-    // (version, path) -> newly-deleted row positions: a DV update
-    // (remove+re-add of the SAME path with a grown bitmap) is a
-    // ROW-level delete, not a file churn
-    val dvDeletes = Seq.newBuilder[(Long, String, AddFile, Seq[Long])]
+      out += ChangeFile(v, ct, path, a, None)
+    // a DV update (remove+re-add of the SAME path with a grown
+    // bitmap) is a ROW-level delete, not a file churn
+    val dvDeletes = Seq.newBuilder[ChangeFile]
     vs.filter(_ <= toVersion).foreach { v =>
       val inRange = v >= fromVersion
       val nodes = Files.readAllLines(commitFile(tableDir, v).toPath)
@@ -2797,19 +2841,11 @@ object DeltaLog {
               throw new IllegalArgumentException(
                 s"commit $v adds a deletion vector for unknown file " +
                   s"$p — cannot diff its deleted rows"))
-            // bitmap-space diff: O(compressed bitmap), and the
-            // materialized positions are only this commit's delta —
-            // the same size as the CDF rows it produces
-            val before = prior.dv
-              .map(DeletionVectors.readBitmap(tableDir, _))
-              .getOrElse(new DeletionVectors.Bitmap64)
-            val after =
-              DeletionVectors.readBitmap(tableDir, parsed.dv.get)
-            require(before.andNot(after).isEmpty,
-              s"commit $v SHRANK file $p's deletion vector — an " +
-                "undelete has no CDF spelling here")
-            dvDeletes += ((v, p, parsed,
-              after.andNot(before).toPositions))
+            // the diff itself happens in bitmap space at READ time
+            // (driver for the batch path, executor for the stream) —
+            // the plan carries only the two descriptors
+            dvDeletes += ChangeFile(v, "delete", p, parsed,
+              Some((prior.dv, parsed.dv.get)))
           } else record(v, "insert", p, parsed)
         } else if (inRange && node.has("remove") &&
             dataChange(node.get("remove"))) {
@@ -2833,11 +2869,47 @@ object DeltaLog {
         }
       }
     }
-    val st = r.state(toVersion)
+    (r.state(toVersion), out.result() ++ dvDeletes.result())
+  }
+
+  /** CHANGE DATA FEED: every row inserted or deleted in commits
+    * `fromVersion..toVersion` (inclusive), tagged `_change_type`
+    * ('insert' | 'delete') and `_commit_version` — Delta CDF's
+    * contract, derived here from the log's own add/remove actions
+    * (valid because this writer's commits are file-granular: an
+    * overwrite is remove-all+add, an append is pure adds). Actions
+    * with `dataChange=false` are SKIPPED — an OPTIMIZE rewrites
+    * layout, not data, so a downstream incremental consumer must see
+    * nothing from it; that is the entire point of the flag.
+    *
+    * A delete's rows come from scanning the REMOVED file, so CDF over
+    * a range whose removed files were [[vacuum]]ed fails on the
+    * missing file — loudly, never silently dropping deletes. The
+    * removed file's partition values come from the replayed state at
+    * the commit that removed it (a remove action does not carry
+    * them).
+    *
+    * Scale: the plan is one parquet scan per (commit, change-type)
+    * group — O(commits in range) scans each reading only that
+    * commit's changed files, never the whole table; this is how
+    * incremental consumers (streaming MV maintenance, downstream
+    * sync) ride a 100 TB table for the cost of the day's delta. */
+  def readChanges(spark: SparkSession, tableDir: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    val (st, plan) = changePlan(tableDir, fromVersion, toVersion)
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
     val changeSchema = StructType(st.schema.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),
       StructField("_commit_version", LongType, nullable = false)))
+    // (version, changeType) -> files, insertion-ordered for stable
+    // output; one scan per group, not per file
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[(Long, String),
+        scala.collection.mutable.LinkedHashMap[String, AddFile]]
+    plan.filter(_.dvKeepDiff.isEmpty).foreach(cf =>
+      groups.getOrElseUpdate((cf.version, cf.changeType),
+        scala.collection.mutable.LinkedHashMap.empty)
+        .put(cf.path, cf.add))
     val parts = groups.toSeq.map { case ((v, ct), files) =>
       files.keys.foreach { p =>
         val abs = if (p.startsWith("/") || p.contains("://")) p
@@ -2852,10 +2924,23 @@ object DeltaLog {
         .withColumn("_commit_version", lit(v))
     }
     // DV updates: the newly-set bitmap positions ARE the deleted
-    // rows — scan just that file, semi-join the positions (broadcast:
-    // a DV delta is O(deleted keys) by construction)
-    val dvParts = dvDeletes.result().map { case (v, p, a, fresh) =>
+    // rows — bitmap-space diff (O(compressed bitmap); the
+    // materialized positions are only this commit's delta, the same
+    // size as the CDF rows it produces), then scan just that file
+    // and semi-join the positions (broadcast: a DV delta is
+    // O(deleted keys) by construction)
+    val dvParts = plan.filter(_.dvKeepDiff.isDefined).map { cf =>
       import org.apache.spark.sql.functions.broadcast
+      val (v, p, a) = (cf.version, cf.path, cf.add)
+      val (beforeD, afterD) = cf.dvKeepDiff.get
+      val before = beforeD
+        .map(DeletionVectors.readBitmap(tableDir, _))
+        .getOrElse(new DeletionVectors.Bitmap64)
+      val after = DeletionVectors.readBitmap(tableDir, afterD)
+      require(before.andNot(after).isEmpty,
+        s"commit $v SHRANK file $p's deletion vector — an " +
+          "undelete has no CDF spelling here")
+      val fresh = after.andNot(before).toPositions
       val abs = if (p.startsWith("/") || p.contains("://")) p
         else s"$tableDir/$p"
       val posDf = spark.createDataFrame(

@@ -1,0 +1,255 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.DeltaLog
+
+/** `spark.readStream.format("graft-delta-cdf")` — the CHANGE DATA
+  * FEED as a streaming source: where [[DeltaStreamProvider]] refuses
+  * data-removing commits (an append stream cannot express them),
+  * this source emits them as `_change_type`-tagged rows — inserts
+  * AND row-level deletes — so a downstream silver can consume the
+  * full CDC loop natively in streaming (the reference's
+  * batch_silver.py consumes op=d rows in batch;
+  * spark/batch_silver.py:65-69). Offsets are log versions; batch
+  * planning is [[DeltaLog.changePlan]], the same commit walk the
+  * batch [[DeltaLog.readChanges]] rides (q152/q181), so the two
+  * agree row-for-row:
+  *
+  *  - an append commit streams its rows as `insert`;
+  *  - a whole-file remove streams the file's LIVE rows as `delete`
+  *    (rows already masked by the file's deletion vector stay
+  *    silent);
+  *  - a DV UPDATE (remove+re-add of the same path with a grown
+  *    bitmap) streams exactly the newly-set positions as `delete` —
+  *    the bitmap diff happens on the EXECUTOR reading that one
+  *    file, never materialized on the driver;
+  *  - OPTIMIZE (dataChange=false) contributes nothing.
+  *
+  * Exactly-once rides Spark's offset checkpoint exactly as the
+  * append source does; a batch redelivered after a crash re-emits
+  * the same change rows, so an idempotent-apply sink (MERGE +
+  * deleteWhere — both state-idempotent) converges
+  * (DeltaCdfStreamSourceSpec holds the planted-crash proof).
+  *
+  * Scope: unmapped tables (primitive or struct columns); partitioned
+  * tables stream with partition columns reconstructed from each
+  * add's partitionValues. Options: `path` (required),
+  * `startingVersion` (default: all history — the initial snapshot
+  * streams as inserts), `maxVersionsPerTrigger`. */
+class DeltaCdfStreamProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-delta-cdf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DeltaCdfStreamSource.publicSchema(
+      DeltaStreamSource.pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new DeltaCdfStreamTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+private[streaming] object DeltaCdfStreamSource {
+  /** Table schema + the two CDF columns. Mapped tables refuse (the
+    * batch [[DeltaLog.readChanges]] covers them; the stream reader
+    * resolves partition values by LOGICAL name, which mapping
+    * breaks). */
+  def annotatedSchema(tableDir: String): StructType = {
+    val st = DeltaLog.replay(tableDir,
+      DeltaLog.versions(tableDir).last)
+    require(st.columnMapping.isEmpty,
+      "graft-delta-cdf streams unmapped tables — use the batch " +
+        "readChanges for column-mapped CDC")
+    val base = DeltaStreamSource.annotatedSchema(tableDir)
+    StructType(base.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+  }
+
+  def publicSchema(tableDir: String): StructType =
+    DeltaLog.stripFieldMetadata(annotatedSchema(tableDir))
+      .asInstanceOf[StructType]
+}
+
+private class DeltaCdfStreamTable(schema: StructType,
+                                  options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-delta-cdf:${DeltaStreamSource.pathOf(options)}"
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    schema.fields.map(f =>
+      org.apache.spark.sql.connector.catalog.Column.create(
+        f.name, f.dataType, f.nullable))
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new DeltaCdfStreamScan(schema, options)
+    }
+}
+
+private class DeltaCdfStreamScan(schema: StructType,
+                                 options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = schema
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream = {
+    val path = DeltaStreamSource.pathOf(options)
+    new DeltaCdfMicroBatchStream(
+      DeltaCdfStreamSource.annotatedSchema(path), path,
+      Option(options.get("startingVersion")).map(_.toLong),
+      options.getLong("maxVersionsPerTrigger", Long.MaxValue))
+  }
+}
+
+private class DeltaCdfMicroBatchStream(schema: StructType,
+                                       tableDir: String,
+                                       startingVersion: Option[Long],
+                                       maxVersionsPerTrigger: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(DeltaLog.versions(tableDir).last)
+
+  override def initialOffset(): Offset =
+    VersionOffset(startingVersion.map(_ - 1).getOrElse(-1L))
+
+  override def latestOffset(): Offset =
+    VersionOffset(availableNowCap
+      .getOrElse(DeltaLog.versions(tableDir).last))
+
+  // version-granular admission: CDF rows of one commit form one
+  // transactionally-meaningful unit (a MERGE sink applies per-key
+  // net effects), so the finer file-splitting of the append source
+  // is deliberately not offered here
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val cap = latestOffset().asInstanceOf[VersionOffset].version
+    if (cap <= from) return start
+    val bounded =
+      if (maxVersionsPerTrigger >= cap - from) cap
+      else from + maxVersionsPerTrigger
+    VersionOffset(bounded)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset.parse(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val to = end.asInstanceOf[VersionOffset].version
+    val vs = DeltaLog.versions(tableDir)
+    val fromV = vs.find(_ > from)
+    if (fromV.isEmpty || fromV.get > to) return Array.empty
+    // the append source's schema-change guard, CDF spelling: a
+    // metaData commit inside the range fails the stream loudly
+    // (changePlan itself replays metaData silently)
+    DeltaLog.requireNoSchemaChange(tableDir, from, to,
+      StructType(schema.fields.dropRight(2)))
+    val (_, plan) = DeltaLog.changePlan(tableDir, fromV.get, to)
+    // one partition PER CHANGED FILE, each tagged with its commit's
+    // constants; DV descriptors ride the partition and the bitmap
+    // work happens where the file is read — on the executor
+    plan.map { cf =>
+      val consts = cf.add.partitionValues ++ Map(
+        "_change_type" -> cf.changeType,
+        "_commit_version" -> cf.version.toString)
+      DeltaFilePartition(
+        if (cf.path.startsWith("/") || cf.path.contains("://")) cf.path
+        else s"$tableDir/${cf.path}",
+        consts, tableDir,
+        dvSkip = if (cf.dvKeepDiff.isEmpty) cf.add.dv else None,
+        dvKeepDiff = cf.dvKeepDiff): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DeltaFileReaderFactory(schema.json)
+}
+
+object DeltaCdfStreamQueries {
+  /** q199 — THE CDC LOOP, NATIVE STREAMING END TO END: the DV
+    * lifecycle table (q172/q181's fixture — full overwrite, then two
+    * stacked deletion-vector deletes) streams through
+    * `graft-delta-cdf` one commit per trigger into a foreachBatch
+    * sink that APPLIES each batch's net per-key effect to a silver
+    * Delta table: inserts MERGE in, deletes land as silver's own
+    * deletion vectors (stacking across batches). The final silver
+    * state equals the two-predicate oracle IFF (a) the source
+    * delivered every insert and exactly the newly-deleted positions
+    * of each DV update — a source that emitted a DV re-add as
+    * whole-file churn floods silver with false deletes; (b) the
+    * executor-side bitmap diff used the right prior bitmap — v1's
+    * tenths re-emitted under v2 double-delete; (c) the sink applied
+    * batches in offset order. Restart/replay convergence is
+    * spec-held with a planted crash (DeltaCdfStreamSourceSpec). */
+  def deltaCdfStreamMerge(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val t = DeltaLog.ordersDvTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_dcdf").toString
+    val silver = s"$work/silver"
+    spark.readStream.format("graft-delta-cdf").option("path", t)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                       _: Long) =>
+        if (!batch.isEmpty) {
+          // net per-key effect of the batch: the latest
+          // _commit_version wins (an insert then delete of the same
+          // key within one batch nets to delete)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("o_orderkey")
+            .orderBy(col("_commit_version").desc)
+          val latest = batch.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          val inserts = latest
+            .filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          // O(this batch's deletes) on the driver — bounded by the
+          // per-trigger admission cap, the rows the batch itself
+          // materializes
+          val deleteKeys = latest
+            .filter(col("_change_type") === "delete")
+            .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+          if (DeltaLog.versions(silver).isEmpty)
+            DeltaLog.commitOverwrite(inserts, silver): Unit
+          else if (!inserts.isEmpty)
+            DeltaLog.mergeInto(spark, silver, inserts,
+              Seq("o_orderkey")): Unit
+          if (deleteKeys.nonEmpty)
+            DeltaLog.deleteWhere(spark, silver,
+              col("o_orderkey").isInCollection(deleteKeys)): Unit
+        }
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    DeltaLog.read(spark, silver).orderBy(col("o_orderkey"))
+  }
+
+  val deltaCdfStreamMergeSql: String =
+    """SELECT * FROM orders
+      |WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+}

@@ -74,23 +74,34 @@ private[streaming] object DeltaStreamSource {
     p
   }
 
-  /** Schema from the log, restricted to the streaming scope: the
-    * reader converts primitive leaves only, and refusing here beats
-    * a task-side crash after the query started. */
-  def tableSchema(tableDir: String): StructType = {
+  /** The log's schema WITH its column-mapping annotations (the
+    * reader resolves physical names/field ids from them, recursively
+    * for nested structs), checked against the streaming scope:
+    * primitive leaves, structs allowed at any depth. Refusing here
+    * beats a task-side crash after the query started. */
+  def annotatedSchema(tableDir: String): StructType = {
     val st = DeltaLog.replay(tableDir,
       DeltaLog.versions(tableDir).last)
-    require(st.columnMapping.isEmpty,
-      "graft-delta streams unmapped tables")
-    st.schema.fields.foreach(f => require(f.dataType match {
+    def check(dt: DataType, path: String): Unit = dt match {
+      case s: StructType =>
+        s.fields.foreach(f => check(f.dataType, s"$path${f.name}."))
       case LongType | IntegerType | DoubleType | FloatType |
            BooleanType | StringType | TimestampType |
-           TimestampNTZType | DateType => true
-      case _ => false
-    }, s"graft-delta: unsupported streaming column type " +
-      s"${f.dataType} for ${f.name}"))
+           TimestampNTZType | DateType => ()
+      case other => throw new IllegalArgumentException(
+        s"graft-delta: unsupported streaming column type $other " +
+          s"at ${path.stripSuffix(".")}")
+    }
+    check(st.schema, "")
     st.schema
   }
+
+  /** The PUBLIC streaming schema: [[annotatedSchema]] with the
+    * mapping annotations stripped (they describe the files, not the
+    * rows the stream surfaces). */
+  def tableSchema(tableDir: String): StructType =
+    DeltaLog.stripFieldMetadata(annotatedSchema(tableDir))
+      .asInstanceOf[StructType]
 }
 
 private class DeltaStreamTable(schema: StructType,
@@ -116,14 +127,20 @@ private class DeltaStreamScan(schema: StructType,
     extends Scan {
   override def readSchema(): StructType = schema
   override def toMicroBatchStream(checkpointLocation: String)
-      : MicroBatchStream =
-    new DeltaMicroBatchStream(schema,
-      DeltaStreamSource.pathOf(options),
+      : MicroBatchStream = {
+    val path = DeltaStreamSource.pathOf(options)
+    // the ANNOTATED query-start schema: the executor reader resolves
+    // mapped tables' physical names / field ids from its metadata,
+    // and the schema-change guard compares physical shapes so a
+    // historic rename doesn't read as a change
+    new DeltaMicroBatchStream(
+      DeltaStreamSource.annotatedSchema(path), path,
       options.getBoolean("skipChangeCommits", false),
       Option(options.get("startingVersion")).map(_.toLong),
       options.getLong("maxVersionsPerTrigger", Long.MaxValue),
       options.getLong("maxFilesPerTrigger", Long.MaxValue),
       options.getLong("maxBytesPerTrigger", Long.MaxValue))
+  }
 }
 
 /** The offset is (log version, files consumed WITHIN it) — Delta's
@@ -269,8 +286,19 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
     new DeltaFileReaderFactory(schema.json)
 }
 
+/** One file for one streaming task. `partitionValues` become per-row
+  * constants (partition columns and, for the CDF source, the
+  * `_change_type`/`_commit_version` tags). The optional deletion-
+  * vector fields drive ROW FILTERING on the executor: `dvSkip` masks
+  * positions already deleted (a whole-file delete emits live rows
+  * only); `dvKeepDiff` = (prior DV, new DV) keeps exactly the
+  * newly-set positions (a DV update emits just its delta). */
 private case class DeltaFilePartition(path: String,
-    partitionValues: Map[String, String] = Map.empty)
+    partitionValues: Map[String, String] = Map.empty,
+    tableDir: String = "",
+    dvSkip: Option[graft.sources.DeletionVectors.Descriptor] = None,
+    dvKeepDiff: Option[(Option[graft.sources.DeletionVectors.Descriptor],
+      graft.sources.DeletionVectors.Descriptor)] = None)
   extends InputPartition
 
 object DeltaStreamQueries {
@@ -368,17 +396,140 @@ object DeltaStreamQueries {
 
   val deltaStreamPartitionedSql: String =
     """SELECT * FROM orders ORDER BY o_orderkey"""
+
+  /** q198 — STREAMING NESTED STRUCTS × COLUMN MAPPING (q194's table
+    * through the DSv2 source): the data files spell `col-<uuid>`
+    * names at EVERY nesting level and the table's history holds two
+    * metadata-only RENAME commits. The stream must (a) ride through
+    * the rename commits — the schema-change guard compares PHYSICAL
+    * shapes, so a rename is not a change — and (b) resolve outer and
+    * inner columns through the schemaString's recursive physicalName
+    * annotations on the EXECUTOR. A reader that resolved only the
+    * top level NULLs every inner field; one that compared logical
+    * shapes would refuse the history outright; both fail the flat
+    * five-column oracle. */
+  def deltaStreamNestedMapped(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = DeltaLog.ordersNestedMappedTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_dnest").toString
+    spark.readStream.format("graft-delta").option("path", t).load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/data")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    spark.read.parquet(s"$work/data")
+      .select(col("o_orderkey"),
+        col("customer.custkey").as("o_custkey"),
+        col("customer.status").as("o_orderstatus"),
+        col("meta.price").as("o_totalprice"),
+        col("meta.priority").as("priority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val deltaStreamNestedMappedSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderpriority AS priority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 }
 
-/** Executor-side reader: parquet Group API → [[InternalRow]].
-  * Column lookup resolves BY FIELD ID first (when `fieldIds` maps
-  * the table's ids and the file carries parquet ids — the Iceberg
-  * rule, which survives renames) and falls back BY NAME (the
-  * unmapped-Delta rule). A column absent from an older file reads
-  * NULL — the same schema-on-read rule the batch scan applies. */
+/** Executor-side reader: parquet Group API → [[InternalRow]],
+  * recursive over NESTED STRUCTS. Column lookup at every nesting
+  * level resolves in preference order: (1) the field's
+  * `delta.columnMapping.id` annotation against the file's parquet
+  * field ids (mapping mode=id; survives renames AND physical-name
+  * drift), (2) the explicit `fieldIds` map (the Iceberg rule, top
+  * level), (3) the field's `delta.columnMapping.physicalName`
+  * annotation against the file's column names (mapping mode=name —
+  * the data files spell `col-<uuid>` at every level), (4) the
+  * logical name (unmapped tables). A column absent from an older
+  * file reads NULL — the same schema-on-read rule the batch scan
+  * applies. */
 private class DeltaFileReaderFactory(schemaJson: String,
     fieldIds: Map[String, Int] = Map.empty)
     extends PartitionReaderFactory {
+
+  /** Per-file resolution node: the table field, its index in the
+    * file's group type (-1 = absent) and, for structs, the resolved
+    * children against the file's nested group. */
+  private class FieldRes(val f: StructField, val idx: Int,
+                         val children: Array[FieldRes])
+
+  private def resolve(fields: Array[StructField],
+      ft: org.apache.parquet.schema.GroupType,
+      ids: Map[String, Int]): Array[FieldRes] =
+    fields.map { f =>
+      val mappedId: Option[Int] =
+        if (f.metadata.contains("delta.columnMapping.id"))
+          Some(f.metadata.getLong("delta.columnMapping.id").toInt)
+        else ids.get(f.name)
+      val byId = mappedId.flatMap { id =>
+        ft.getFields.asScala.zipWithIndex.collectFirst {
+          case (t, i) if t.getId != null &&
+            t.getId.intValue == id => i
+        }
+      }
+      val physName =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      val idx = byId.getOrElse(
+        if (ft.containsField(physName)) ft.getFieldIndex(physName)
+        else if (ft.containsField(f.name)) ft.getFieldIndex(f.name)
+        else -1)
+      val children = f.dataType match {
+        case st: StructType if idx >= 0 =>
+          // the explicit id map is top-level only (Iceberg streams
+          // primitives); nested levels resolve via their own
+          // annotations
+          resolve(st.fields, ft.getType(idx).asGroupType(), Map.empty)
+        case _ => Array.empty[FieldRes]
+      }
+      new FieldRes(f, idx, children)
+    }
+
+  private def value(g: org.apache.parquet.example.data.Group,
+      gt: org.apache.parquet.schema.GroupType, r: FieldRes): Any = {
+    val i = r.idx
+    if (i < 0) null
+    else if (g.getFieldRepetitionCount(i) == 0) null
+    else r.f.dataType match {
+      case _: StructType =>
+        val cg = g.getGroup(i, 0)
+        val ct = gt.getType(i).asGroupType()
+        new GenericInternalRow(
+          r.children.map(c => value(cg, ct, c)): Array[Any])
+      case LongType => g.getLong(i, 0)
+      case IntegerType => g.getInteger(i, 0)
+      case DoubleType => g.getDouble(i, 0)
+      case FloatType => g.getFloat(i, 0)
+      case BooleanType => g.getBoolean(i, 0)
+      case StringType =>
+        UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+      // Spark's default parquet timestamp is INT96 (julian
+      // day + nanos-of-day, little-endian); newer writers
+      // use INT64 micros — decode either to internal micros
+      case TimestampType | TimestampNTZType =>
+        val prim = gt.getType(i).asPrimitiveType()
+          .getPrimitiveTypeName
+        if (prim == org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.INT96) {
+          val buf = java.nio.ByteBuffer
+            .wrap(g.getInt96(i, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = buf.getLong
+          val julianDay = buf.getInt
+          (julianDay - 2440588).toLong * 86400000000L +
+            nanosOfDay / 1000L
+        } else g.getLong(i, 0)
+      case DateType => g.getInteger(i, 0)
+      case other => throw new IllegalArgumentException(
+        s"graft-delta reader: unsupported type $other")
+    }
+  }
+
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -410,70 +561,56 @@ private class DeltaFileReaderFactory(schemaJson: String,
         }
       }.toMap
     }
+    // deletion-vector row predicate, decoded ONCE per task from the
+    // descriptors riding the partition — O(compressed bitmap) on the
+    // executor that reads the file, O(1) per row after
+    val keep: Long => Boolean = {
+      val part = partition.asInstanceOf[DeltaFilePartition]
+      (part.dvSkip, part.dvKeepDiff) match {
+        case (Some(d), None) =>
+          val bm = graft.sources.DeletionVectors
+            .readBitmap(part.tableDir, d)
+          pos => !bm.contains(pos)
+        case (None, Some((beforeD, afterD))) =>
+          val before = beforeD
+            .map(graft.sources.DeletionVectors
+              .readBitmap(part.tableDir, _))
+            .getOrElse(new graft.sources.DeletionVectors.Bitmap64)
+          val after = graft.sources.DeletionVectors
+            .readBitmap(part.tableDir, afterD)
+          require(before.andNot(after).isEmpty,
+            s"file ${part.path}'s deletion vector SHRANK — an " +
+              "undelete has no CDF spelling here")
+          pos => after.contains(pos) && !before.contains(pos)
+        case (None, None) => _ => true
+        case other => throw new IllegalArgumentException(
+          s"a partition cannot carry both DV modes: $other")
+      }
+    }
     new PartitionReader[InternalRow] {
       private val reader = ParquetReader
         .builder(new GroupReadSupport(), new Path(file)).build()
       private var current: org.apache.parquet.example.data.Group = _
-      // table-field → file-field index, computed ONCE per file
-      // (-1 = absent); id match wins over name match
-      private var idx: Array[Int] = _
-      private def fieldIdx(
-          ft: org.apache.parquet.schema.GroupType): Array[Int] =
-        schema.fields.map { f =>
-          val byId = fieldIds.get(f.name).flatMap { id =>
-            ft.getFields.asScala.zipWithIndex.collectFirst {
-              case (t, i) if t.getId != null &&
-                t.getId.intValue == id => i
-            }
-          }
-          byId.getOrElse(
-            if (ft.containsField(f.name)) ft.getFieldIndex(f.name)
-            else -1)
-        }
+      private var rowPos = -1L
+      // table-field resolution tree, computed ONCE per file
+      private var res: Array[FieldRes] = _
       override def next(): Boolean = {
         current = reader.read()
+        rowPos += 1
+        while (current != null && !keep(rowPos)) {
+          current = reader.read()
+          rowPos += 1
+        }
         current != null
       }
       override def get(): InternalRow = {
         val fileType = current.getType
-        if (idx == null) idx = fieldIdx(fileType)
-        val vals = schema.fields.zipWithIndex.map { case (f, j) =>
-          val i = idx(j)
-          if (constants.contains(f.name)) constants(f.name)
-          else if (i < 0) null
-          else {
-            if (current.getFieldRepetitionCount(i) == 0) null
-            else f.dataType match {
-              case LongType => current.getLong(i, 0)
-              case IntegerType => current.getInteger(i, 0)
-              case DoubleType => current.getDouble(i, 0)
-              case FloatType => current.getFloat(i, 0)
-              case BooleanType => current.getBoolean(i, 0)
-              case StringType =>
-                UTF8String.fromBytes(current.getBinary(i, 0).getBytes)
-              // Spark's default parquet timestamp is INT96 (julian
-              // day + nanos-of-day, little-endian); newer writers
-              // use INT64 micros — decode either to internal micros
-              case TimestampType | TimestampNTZType =>
-                val prim = fileType.getType(i).asPrimitiveType()
-                  .getPrimitiveTypeName
-                if (prim == org.apache.parquet.schema.PrimitiveType
-                      .PrimitiveTypeName.INT96) {
-                  val buf = java.nio.ByteBuffer
-                    .wrap(current.getInt96(i, 0).getBytes)
-                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-                  val nanosOfDay = buf.getLong
-                  val julianDay = buf.getInt
-                  (julianDay - 2440588).toLong * 86400000000L +
-                    nanosOfDay / 1000L
-                } else current.getLong(i, 0)
-              case DateType => current.getInteger(i, 0)
-              case other => throw new IllegalArgumentException(
-                s"graft-delta reader: unsupported type $other")
-            }
-          }
+        if (res == null) res = resolve(schema.fields, fileType, fieldIds)
+        val vals = res.map { r =>
+          if (constants.contains(r.f.name)) constants(r.f.name)
+          else value(current, fileType, r)
         }
-        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+        new GenericInternalRow(vals: Array[Any])
       }
       override def close(): Unit = reader.close()
     }

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+/** `readStream.format("graft-delta-cdf")` — the CHANGE DATA FEED as
+  * a streaming source: row-level inserts AND deletes (DV bitmap
+  * diffs executed on the executor), exactly-once across restarts,
+  * convergent under batch replay into an idempotent-apply sink. */
+class DeltaCdfStreamSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def drainTo(dir: String, out: String, ckpt: String,
+                      extra: Map[String, String] = Map.empty): Unit = {
+    var r = spark.readStream.format("graft-delta-cdf")
+      .option("path", dir)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("streamed CDF rows equal the batch readChanges row-for-row") {
+    val work = Files.createTempDirectory("cdfstream").toString
+    val dir = s"$work/t"
+    // overwrite, DV delete, append, DV delete — all four change
+    // shapes in one history
+    sources.DeltaLog.commitOverwrite(
+      (1L to 20L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.pmod(col("k"),
+        org.apache.spark.sql.functions.lit(5L)) === 0)
+    sources.DeltaLog.commitAppend(
+      (21L to 25L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") === 7L)
+    drainTo(dir, s"$work/out", s"$work/ckpt")
+    val streamed = spark.read.parquet(s"$work/out")
+      .orderBy(col("k"), col("_commit_version"), col("_change_type"))
+      .collect().toSeq
+    val batch = sources.DeltaLog.readChanges(spark, dir, 0L,
+        sources.DeltaLog.versions(dir).last)
+      .select("k", "s", "_change_type", "_commit_version")
+      .orderBy(col("k"), col("_commit_version"), col("_change_type"))
+      .collect().toSeq
+    assert(streamed == batch,
+      "the stream and the batch CDF must agree row-for-row")
+    // shape sanity: the v1 delete is EXACTLY the multiples of 5 (a
+    // whole-file emission would flood all 20 rows)
+    val v1 = streamed.filter(r => r.getLong(3) == 1L)
+    assert(v1.map(_.getLong(0)).sorted == Seq(5L, 10L, 15L, 20L))
+    assert(v1.forall(_.getString(2) == "delete"))
+    // the v3 delete diffs against v1's bitmap: only key 7, not a
+    // re-emission of the earlier tenths
+    val v3 = streamed.filter(r => r.getLong(3) == 3L)
+    assert(v3.map(_.getLong(0)) == Seq(7L))
+  }
+
+  test("a whole-file remove after a DV delete emits live rows only") {
+    val work = Files.createTempDirectory("cdfstream2").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitOverwrite(
+      (1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") <= 3L)
+    // overwrite removes the (DV-masked) file wholesale: the delete
+    // rows are the 7 LIVE keys — 1..3 died at v1 and must not die
+    // again at v2
+    sources.DeltaLog.commitOverwrite(
+      Seq((100L, "z")).toDF("k", "s"), dir)
+    drainTo(dir, s"$work/out", s"$work/ckpt")
+    val byVersion = spark.read.parquet(s"$work/out")
+      .filter(col("_change_type") === "delete")
+      .collect().groupBy(_.getLong(3)).view
+      .mapValues(_.map(_.getLong(0)).sorted.toSeq).toMap
+    assert(byVersion(1L) == Seq(1L, 2L, 3L))
+    assert(byVersion(2L) == (4L to 10L),
+      "rows already masked by the file's DV stay silent in its removal")
+  }
+
+  test("q199 shape: sink replay after a planted crash converges") {
+    val work = Files.createTempDirectory("cdfstream3").toString
+    val dir = s"$work/t"
+    val silver = s"$work/silver"
+    sources.DeltaLog.commitOverwrite(
+      (1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.pmod(col("k"),
+        org.apache.spark.sql.functions.lit(2L)) === 0)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(crashOnce: Boolean): Unit = {
+      val q = spark.readStream.format("graft-delta-cdf")
+        .option("path", dir)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                         _: Long) =>
+          if (!batch.isEmpty) {
+            val inserts = batch
+              .filter(col("_change_type") === "insert")
+              .drop("_change_type", "_commit_version")
+            val deleteKeys = batch
+              .filter(col("_change_type") === "delete")
+              .select("k").collect().map(_.getLong(0)).toSeq
+            if (sources.DeltaLog.versions(silver).isEmpty)
+              sources.DeltaLog.commitOverwrite(inserts, silver): Unit
+            else if (!inserts.isEmpty)
+              sources.DeltaLog.mergeInto(spark, silver, inserts,
+                Seq("k")): Unit
+            if (deleteKeys.nonEmpty)
+              sources.DeltaLog.deleteWhere(spark, silver,
+                col("k").isInCollection(deleteKeys)): Unit
+            // crash AFTER the apply, BEFORE the engine records the
+            // batch — the tightest window; the replayed apply must
+            // be state-idempotent
+            if (crashOnce && crashed.compareAndSet(false, true))
+              throw new RuntimeException("planted crash after apply")
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    intercept[Exception] { run(crashOnce = true) }
+    run(crashOnce = false)
+    assert(sources.DeltaLog.read(spark, silver)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 5L, 7L, 9L),
+      "replayed batch applies idempotently — odd keys survive, once")
+  }
+
+  test("a schema change mid-history fails the CDF stream loudly") {
+    val work = Files.createTempDirectory("cdfstream4").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      Seq((1L, "a")).toDF("k", "s"), dir)
+    val st = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last)
+    sources.DeltaLog.evolveSchema(dir,
+      org.apache.spark.sql.types.StructType(st.schema.fields :+
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))
+    sources.DeltaLog.commitAppend(
+      Seq((2L, "b", 9L)).toDF("k", "s", "x"), dir)
+    // a fresh stream sees the post-evolution schema; its range
+    // includes the metaData commit whose schema EQUALS it -> fine
+    drainTo(dir, s"$work/out", s"$work/ckpt")
+    assert(spark.read.option("mergeSchema", "true")
+      .parquet(s"$work/out").count() == 2)
+    // but a stream whose query-start schema predates the change
+    // must refuse: start it pinned BEFORE the evolution by reusing
+    // a checkpoint... simplest deterministic arm: the guard itself
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.requireNoSchemaChange(dir, 0L,
+        sources.DeltaLog.versions(dir).last, st.schema)
+    }
+    assert(e.getMessage.contains("CHANGES THE TABLE SCHEMA"))
+  }
+}

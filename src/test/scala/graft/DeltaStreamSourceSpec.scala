@@ -237,6 +237,18 @@ class DeltaStreamSourceSpec extends SparkSuite {
     assert(sources.DeltaLog.latestTxnVersion(silver, "etl").nonEmpty)
   }
 
+  test("q198 gate shape: nested mapped table streams; values equal batch read") {
+    // the q194 fixture: physical col-<uuid> names at every nesting
+    // level, two metadata-only renames in the history — the stream
+    // must ride the renames and resolve nested physical names
+    val streamed = streaming.DeltaStreamQueries
+      .deltaStreamNestedMapped(spark, sfDir)
+    val batch = sources.DeltaLog.deltaNestedMappedRead(spark, sfDir)
+    assert(streamed.schema == batch.schema)
+    assert(streamed.collect().toSeq == batch.collect().toSeq,
+      "streamed nested-mapped rows must equal the batch read bit-exact")
+  }
+
   test("typed columns survive the executor-side Group reader") {
     val work = Files.createTempDirectory("dstream3").toString
     val dir = s"$work/t"
