@@ -1190,7 +1190,9 @@ object Iceberg {
                      overwrite: Boolean,
                      partCols: Seq[String] = Seq.empty,
                      hiddenSpec: Seq[(String, String)] = Seq.empty,
-                     toBranch: Option[String] = None): Long = {
+                     toBranch: Option[String] = None,
+                     summaryExtra: Map[String, String] = Map.empty,
+                     abortIf: () => Boolean = () => false): Long = {
     import graft.functions.IcebergTransforms
     require(partCols.isEmpty || hiddenSpec.isEmpty,
       "a commit declares either identity partCols (hive-shape) or a " +
@@ -1453,8 +1455,9 @@ object Iceberg {
       sn.put("snapshot-id", snapshotId)
       parentId.foreach(sn.put("parent-snapshot-id", _))
       sn.put("timestamp-ms", snapTs)
-      sn.putObject("summary").put("operation",
-        if (overwrite) "overwrite" else "append")
+      val summary = sn.putObject("summary")
+      summary.put("operation", if (overwrite) "overwrite" else "append")
+      summaryExtra.foreach { case (k, value) => summary.put(k, value) }
       sn.put("manifest-list", listPath)
       // the spec's history logs — real clients resolve FOR TIMESTAMP AS
       // OF through snapshot-log and locate prior metadata through
@@ -1488,6 +1491,16 @@ object Iceberg {
     var retries = 0
     while (!publishAttempt(curV, curPrev, curSnapshot)) {
       retries += 1
+      // an idempotent streaming append re-checks its epoch here:
+      // losing the CAS may mean a racing instance of the SAME app
+      // just recorded this very epoch — the loser removes its orphan
+      // data files and manifest and walks away
+      if (abortIf()) {
+        commitCasRetries.addAndGet(retries)
+        graft.util.Fs.deleteRecursively(new File(tableDir, sub))
+        new File(manifestPath).delete(): Unit
+        return -1L
+      }
       // lost the CAS: a racing writer committed vN first. The loop
       // makes progress by construction — every loss means a new
       // committed version exists — and the winner must not have
@@ -1690,6 +1703,50 @@ object Iceberg {
   def commitAppend(df: DataFrame, tableDir: String): Long =
     commit(df, tableDir, overwrite = false)
 
+  /** Latest streaming epoch recorded for `appId` in the MAIN-branch
+    * snapshot summaries — Iceberg's own streaming-sink exactly-once
+    * rule: the sink stamps its app id + epoch id into each commit's
+    * snapshot summary and skips epochs already recorded. O(snapshots)
+    * driver-side metadata. None = appId never committed. */
+  def latestStreamingEpoch(tableDir: String,
+                           appId: String): Option[Long] =
+    if (versions(tableDir).isEmpty) None
+    else loadMetadata(tableDir, currentVersion(tableDir))
+      .get("snapshots").elements().asScala
+      .flatMap { s =>
+        val su = s.get("summary")
+        if (su != null && !su.isNull &&
+            su.has("streaming-app-id") &&
+            su.get("streaming-app-id").asText == appId &&
+            su.has("streaming-epoch-id"))
+          Some(su.get("streaming-epoch-id").asText.toLong)
+        else None
+      }.maxOption
+
+  /** IDEMPOTENT STREAMING APPEND — the [[DeltaLog
+    * .commitAppendIdempotent]] twin on this format's machinery: the
+    * snapshot summary carries (streaming-app-id, streaming-epoch-id),
+    * a redelivered (appId, epoch) — a restarted micro-batch, a
+    * retried job — is detected and SKIPPED both up front and again
+    * inside the publish CAS loop (a racing instance of the same app
+    * that wins first is seen on the loser's retry; the loser deletes
+    * its orphan data files and manifest and walks away). Returns
+    * Some(snapshotId) when this call committed, None when the epoch
+    * was already recorded. */
+  def commitAppendIdempotent(df: DataFrame, tableDir: String,
+                             appId: String,
+                             epochId: Long): Option[Long] = {
+    def recorded: Boolean =
+      latestStreamingEpoch(tableDir, appId).exists(_ >= epochId)
+    if (recorded) return None
+    val sid = commit(df, tableDir, overwrite = false,
+      summaryExtra = Map(
+        "streaming-app-id" -> appId,
+        "streaming-epoch-id" -> epochId.toString),
+      abortIf = () => recorded)
+    if (sid < 0) None else Some(sid)
+  }
+
   /** [[commitOverwrite]] for an IDENTITY-PARTITIONED table: the
     * metadata carries a partition spec (`transform: identity`,
     * source-id-resolved), each data file's manifest entry carries its
@@ -1865,7 +1922,10 @@ object Iceberg {
         if (!op.contains("append")) {
           require(skipOverwriteSnapshots,
             s"snapshot $id of $tableDir is ${op.getOrElse("?")} — an " +
-              "append stream cannot express it; pass " +
+              "append stream cannot express it (an equality-delete " +
+              "upsert or overwrite REMOVES rows by value; consume " +
+              "row-level changes with the batch readIncremental / " +
+              "consumeIncremental CDC path instead); pass " +
               "skipOverwriteSnapshots=true to skip such snapshots " +
               "(Iceberg's own escape hatch)")
           Seq.empty

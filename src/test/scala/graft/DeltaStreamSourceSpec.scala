@@ -237,6 +237,58 @@ class DeltaStreamSourceSpec extends SparkSuite {
     assert(sources.DeltaLog.latestTxnVersion(silver, "etl").nonEmpty)
   }
 
+  test("two racing streaming writers, txn-scoped: exactly-once per appId") {
+    val work = Files.createTempDirectory("dstream9").toString
+    val srcA = s"$work/a"
+    val srcB = s"$work/b"
+    val target = s"$work/target"
+    (0 until 3).foreach(c => sources.DeltaLog.commitAppend(
+      (1L to 4L).map(i => (c * 4 + i, s"a${c * 4 + i}"))
+        .toDF("k", "s"), srcA))
+    (0 until 3).foreach(c => sources.DeltaLog.commitAppend(
+      (1L to 4L).map(i => (100 + c * 4 + i, s"b${c * 4 + i}"))
+        .toDF("k", "s"), srcB))
+    // TWO CONCURRENT streaming queries, distinct appIds, appending
+    // to ONE Delta table through the CAS — interleaved versions,
+    // each writer exactly-once by its own txn watermark
+    def writer(src: String, appId: String) =
+      spark.readStream.format("graft-delta").option("path", src)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                         id: Long) =>
+          if (!batch.isEmpty)
+            sources.DeltaLog.commitAppendIdempotent(
+              batch, target, appId, id): Unit
+        }
+        .option("checkpointLocation", s"$work/ckpt-$appId")
+        .trigger(Trigger.AvailableNow()).start()
+    val q1 = writer(srcA, "w1")
+    val q2 = writer(srcB, "w2")
+    q1.awaitTermination()
+    q2.awaitTermination()
+    def targetKeys: Seq[Long] = sources.DeltaLog.read(spark, target)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(targetKeys == ((1L to 12L) ++ (101L to 112L)),
+      "both writers' rows land exactly once through the CAS")
+    assert(sources.DeltaLog.latestTxnVersion(target, "w1").nonEmpty &&
+      sources.DeltaLog.latestTxnVersion(target, "w2").nonEmpty)
+    // RESTART both from their checkpoints: redelivered batches are
+    // invisible behind the txn watermarks — no new target versions
+    val vBefore = sources.DeltaLog.versions(target).last
+    val q3 = writer(srcA, "w1")
+    val q4 = writer(srcB, "w2")
+    q3.awaitTermination()
+    q4.awaitTermination()
+    assert(sources.DeltaLog.versions(target).last == vBefore,
+      "a quiet restart must append nothing")
+    // and the DSv2 source drains the interleaved history cleanly
+    drain(target, s"$work/out", s"$work/ckpt-read")
+    assert(spark.read.parquet(s"$work/out")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((1L to 12L) ++ (101L to 112L)))
+  }
+
   test("q198 gate shape: nested mapped table streams; values equal batch read") {
     // the q194 fixture: physical col-<uuid> names at every nesting
     // level, two metadata-only renames in the history — the stream

@@ -116,6 +116,58 @@ class IcebergStreamSourceSpec extends SparkSuite {
       "the overwrite snapshot is skipped whole; appends around it land")
   }
 
+  test("racing streaming writers, epoch-stamped summaries: exactly-once per appId") {
+    val work = Files.createTempDirectory("istream7").toString
+    val srcA = s"$work/a"
+    val srcB = s"$work/b"
+    val target = s"$work/target"
+    (0 until 3).foreach(c => sources.Iceberg.commitAppend(
+      (1L to 4L).map(i => (c * 4 + i, s"a${c * 4 + i}"))
+        .toDF("k", "s"), srcA))
+    (0 until 3).foreach(c => sources.Iceberg.commitAppend(
+      (1L to 4L).map(i => (100 + c * 4 + i, s"b${c * 4 + i}"))
+        .toDF("k", "s"), srcB))
+    // the Delta racing-writers arm on THIS format's machinery:
+    // exactly-once rides (streaming-app-id, streaming-epoch-id)
+    // stamped into each snapshot summary — Iceberg's own streaming
+    // sink rule — with the hard-link metadata CAS deciding order
+    def writer(src: String, appId: String) =
+      spark.readStream.format("graft-iceberg").option("path", src)
+        .option("maxSnapshotsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                         id: Long) =>
+          if (!batch.isEmpty)
+            sources.Iceberg.commitAppendIdempotent(
+              batch, target, appId, id): Unit
+        }
+        .option("checkpointLocation", s"$work/ckpt-$appId")
+        .trigger(Trigger.AvailableNow()).start()
+    val q1 = writer(srcA, "w1")
+    val q2 = writer(srcB, "w2")
+    q1.awaitTermination()
+    q2.awaitTermination()
+    assert(sources.Iceberg.read(spark, target)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((1L to 12L) ++ (101L to 112L)),
+      "both writers' rows land exactly once through the CAS")
+    assert(sources.Iceberg.latestStreamingEpoch(target, "w1").nonEmpty &&
+      sources.Iceberg.latestStreamingEpoch(target, "w2").nonEmpty)
+    // restart both: epochs already recorded — no new snapshots
+    val before = sources.Iceberg.latestSnapshotId(target)
+    val q3 = writer(srcA, "w1")
+    val q4 = writer(srcB, "w2")
+    q3.awaitTermination()
+    q4.awaitTermination()
+    assert(sources.Iceberg.latestSnapshotId(target) == before,
+      "a quiet restart must append nothing")
+    // and the DSv2 source drains the interleaved history cleanly
+    drain(target, s"$work/out3", s"$work/ckpt-read")
+    assert(spark.read.parquet(s"$work/out3")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((1L to 12L) ++ (101L to 112L)))
+  }
+
   test("add-column mid-stream fails loudly; rename streams on; restart flows it") {
     val work = Files.createTempDirectory("istream6").toString
     val dir = s"$work/t"
@@ -166,6 +218,38 @@ class IcebergStreamSourceSpec extends SparkSuite {
     assert(got.filter(org.apache.spark.sql.functions.col("k") === 5L)
       .select("x").collect().head.getLong(0) == 50L,
       "post-restart the evolved column flows with its values")
+  }
+
+  test("equality-delete snapshots refuse with a pointer at the batch CDC path") {
+    val work = Files.createTempDirectory("istream8").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      Seq((1L, "P"), (2L, "O"), (3L, "P")).toDF("k", "st"), dir)
+    // the q174 upsert primitive: a DELETE snapshot removing rows BY
+    // VALUE — inexpressible as an append stream, and (unlike a
+    // position delete) not even attributable to files the stream
+    // already delivered; the refusal names the batch CDC escape
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq("P").toDF("st"))
+    val e = intercept[Exception] {
+      drain(dir, s"$work/out", s"$work/ckpt")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("append stream cannot express") &&
+        m.contains("readIncremental")),
+      s"the refusal must point at the batch CDC path, got ${messages(e)}")
+    // skipOverwriteSnapshots skips the delete snapshot WHOLE (its
+    // delete manifest must never leak as data); later appends flow
+    sources.Iceberg.commitAppend(Seq((9L, "O")).toDF("k", "st"), dir)
+    drain(dir, s"$work/out2", s"$work/ckpt2",
+      Map("skipOverwriteSnapshots" -> "true"))
+    assert(spark.read.parquet(s"$work/out2")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 9L),
+      "the eq-delete snapshot skips whole; appends around it land")
   }
 
   test("WAP-staged branch snapshots and rolled-back snapshots never stream") {
