@@ -182,8 +182,11 @@ private class DeltaCdfMicroBatchStream(schema: StructType,
     }.toArray
   }
 
+  // row path: a CDF batch mixes plain-file partitions with
+  // DV-filtered ones, and a DSv2 scan must be uniformly row-based
+  // or columnar — the DV predicate keeps this source on rows
   override def createReaderFactory(): PartitionReaderFactory =
-    new DeltaFileReaderFactory(schema.json)
+    new DeltaFileReaderFactory(schema.json, columnar = false)
 }
 
 object DeltaCdfStreamQueries {

@@ -102,6 +102,13 @@ private[streaming] object DeltaStreamSource {
   def tableSchema(tableDir: String): StructType =
     DeltaLog.stripFieldMetadata(annotatedSchema(tableDir))
       .asInstanceOf[StructType]
+
+  /** mapping mode=id tables carry parquet FIELD IDS in their data
+    * files (mode=name files carry only physical names) — decides
+    * whether the vectorized reader resolves by id or by name. */
+  def mappingModeOf(tableDir: String): String =
+    DeltaLog.replay(tableDir, DeltaLog.versions(tableDir).last)
+      .mappingMode
 }
 
 private class DeltaStreamTable(schema: StructType,
@@ -139,7 +146,8 @@ private class DeltaStreamScan(schema: StructType,
       Option(options.get("startingVersion")).map(_.toLong),
       options.getLong("maxVersionsPerTrigger", Long.MaxValue),
       options.getLong("maxFilesPerTrigger", Long.MaxValue),
-      options.getLong("maxBytesPerTrigger", Long.MaxValue))
+      options.getLong("maxBytesPerTrigger", Long.MaxValue),
+      options.getBoolean("vectorizedRead", true))
   }
 }
 
@@ -172,7 +180,8 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
                                     startingVersion: Option[Long],
                                     maxVersionsPerTrigger: Long,
                                     maxFilesPerTrigger: Long,
-                                    maxBytesPerTrigger: Long)
+                                    maxBytesPerTrigger: Long,
+                                    vectorizedRead: Boolean = true)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow: the engine asks the source to PIN the end
@@ -283,7 +292,10 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DeltaFileReaderFactory(schema.json)
+    new DeltaFileReaderFactory(schema.json,
+      columnar = vectorizedRead,
+      metadataIdsInFiles =
+        DeltaStreamSource.mappingModeOf(tableDir) == "id")
 }
 
 /** One file for one streaming task. `partitionValues` become per-row
@@ -435,21 +447,166 @@ object DeltaStreamQueries {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 }
 
-/** Executor-side reader: parquet Group API → [[InternalRow]],
-  * recursive over NESTED STRUCTS. Column lookup at every nesting
-  * level resolves in preference order: (1) the field's
-  * `delta.columnMapping.id` annotation against the file's parquet
-  * field ids (mapping mode=id; survives renames AND physical-name
-  * drift), (2) the explicit `fieldIds` map (the Iceberg rule, top
-  * level), (3) the field's `delta.columnMapping.physicalName`
-  * annotation against the file's column names (mapping mode=name —
-  * the data files spell `col-<uuid>` at every level), (4) the
-  * logical name (unmapped tables). A column absent from an older
-  * file reads NULL — the same schema-on-read rule the batch scan
-  * applies. */
+/** Executor-side reader. DEFAULT PATH: COLUMNAR — Spark's own
+  * [[org.apache.spark.sql.execution.datasources.parquet
+  * .VectorizedParquetRecordReader]] emits [[org.apache.spark.sql
+  * .vectorized.ColumnarBatch]]es straight into whole-stage codegen
+  * (no per-row boxing, no Group materialization), with partition/CDF
+  * constants as constant vectors via `initBatch` and column
+  * resolution by parquet FIELD ID or physical name through the
+  * translated requested schema. Partitions carrying deletion-vector
+  * row filters (the CDF source) ride the ROW PATH: parquet Group API
+  * → [[InternalRow]], recursive over NESTED STRUCTS, with lookup at
+  * every nesting level resolving (1) `delta.columnMapping.id`
+  * against the file's parquet field ids, (2) the explicit `fieldIds`
+  * map (the Iceberg rule, top level), (3)
+  * `delta.columnMapping.physicalName` (mode=name `col-<uuid>`
+  * files), (4) the logical name. Either path: a column absent from
+  * an older file reads NULL — the same schema-on-read rule the
+  * batch scan applies. */
 private class DeltaFileReaderFactory(schemaJson: String,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    columnar: Boolean = true,
+    metadataIdsInFiles: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** Decode one log-stringified partition value into the internal
+    * representation of `dataType` (shared by both read paths). */
+  private def decodeConstant(s: String, dataType: DataType,
+                             name: String): Any =
+    if (s == null) null else dataType match {
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case BooleanType => s.toBoolean
+      case StringType => UTF8String.fromString(s)
+      case DateType =>
+        // Delta partitionValues stringify dates as yyyy-MM-dd;
+        // Iceberg identity manifest tuples stringify the avro
+        // date logical type as its epoch-day INT — accept both
+        if (s.matches("-?\\d+")) s.toInt
+        else java.time.LocalDate.parse(s).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other for $name")
+    }
+
+  /** The schema the PARQUET reader is asked for: logical names
+    * replaced by `delta.columnMapping.physicalName` where annotated
+    * (mode=name files spell `col-<uuid>`), and field ids
+    * re-expressed as `parquet.field.id` metadata so Spark's native
+    * field-id matcher resolves them — but ONLY when the files
+    * actually carry parquet ids (`metadataIdsInFiles` = Delta
+    * mapping mode=id; the Iceberg `ids` map unconditionally — its
+    * spec requires ids in data files). Everything surfaces NULLABLE:
+    * a column absent from an older file must null-fill (the
+    * schema-on-read rule), not fail a required-column check.
+    * Recursive over nested structs. */
+  private def translate(fields: Array[StructField],
+      ids: Map[String, Int]): Array[StructField] =
+    fields.map { f =>
+      val name =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      val id: Option[Long] =
+        if (metadataIdsInFiles &&
+            f.metadata.contains("delta.columnMapping.id"))
+          Some(f.metadata.getLong("delta.columnMapping.id"))
+        else ids.get(f.name).map(_.toLong)
+      val meta = id match {
+        case Some(i) => new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", i).build()
+        case None => org.apache.spark.sql.types.Metadata.empty
+      }
+      val dt = f.dataType match {
+        case st: StructType =>
+          StructType(translate(st.fields, Map.empty))
+        case other => other
+      }
+      StructField(name, dt, nullable = true, meta)
+    }
+
+  override def supportColumnarReads(partition: InputPartition)
+      : Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val part = partition.asInstanceOf[DeltaFilePartition]
+    require(part.dvSkip.isEmpty && part.dvKeepDiff.isEmpty,
+      "DV-filtered partitions ride the row path")
+    val pv = part.partitionValues
+    // constants (partition columns / CDF tags) become CONSTANT
+    // VECTORS via initBatch; everything else is read from the file
+    val (constFields, fileFields) =
+      schema.fields.partition(f => pv.contains(f.name))
+    val requested = StructType(translate(fileFields, fieldIds))
+    val partitionSchema = StructType(constFields.map(f =>
+      StructField(f.name, f.dataType, f.nullable)))
+    val constRow = new GenericInternalRow(constFields.map(f =>
+      decodeConstant(pv(f.name), f.dataType, f.name)): Array[Any])
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet." +
+        "ParquetReadSupport")
+    conf.set(org.apache.spark.sql.execution.datasources.parquet
+      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+    conf.set("spark.sql.parquet.binaryAsString", "false")
+    conf.set("spark.sql.parquet.int96AsTimestamp", "true")
+    conf.set("spark.sql.caseSensitive", "false")
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val hasIds = {
+      def any(fs: Array[StructField]): Boolean = fs.exists(f =>
+        f.metadata.contains("parquet.field.id") || (f.dataType match {
+          case st: StructType => any(st.fields)
+          case _ => false
+        }))
+      any(requested.fields)
+    }
+    conf.set("spark.sql.parquet.fieldId.read.enabled", hasIds.toString)
+    conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    val path = new Path(part.path)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      path, 0, new java.io.File(part.path).length,
+      Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task
+      .TaskAttemptContextImpl(conf,
+        new org.apache.hadoop.mapreduce.TaskAttemptID())
+    // rebase CORRECTED both calendars: every file here is written by
+    // a modern Spark (proleptic Gregorian); session tz is the file tz
+    val reader = new org.apache.spark.sql.execution.datasources
+      .parquet.VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    reader.initialize(split, ctx)
+    reader.initBatch(partitionSchema, constRow)
+    reader.enableReturningBatches()
+    // the reader's batch lays out fileFields THEN constFields —
+    // re-order vectors once into the public schema's order
+    val innerOrder: Map[String, Int] =
+      (fileFields.map(_.name) ++ constFields.map(_.name))
+        .zipWithIndex.toMap
+    val order: Array[Int] = schema.fields.map(f => innerOrder(f.name))
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = {
+        val has = reader.nextKeyValue()
+        if (has) {
+          val inner = reader.getCurrentValue
+            .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+          if (batch == null)
+            batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+              order.map(inner.column(_)))
+          batch.setNumRows(inner.numRows())
+        }
+        has
+      }
+      override def get()
+          : org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = reader.close()
+    }
+  }
 
   /** Per-file resolution node: the table field, its index in the
     * file's group type (-1 = absent) and, for structs, the resolved
@@ -541,24 +698,8 @@ private class DeltaFileReaderFactory(schemaJson: String,
     val constants: Map[String, Any] = {
       val pv = partition.asInstanceOf[DeltaFilePartition].partitionValues
       schema.fields.flatMap { f =>
-        pv.get(f.name).map { s =>
-          f.name -> (if (s == null) null else f.dataType match {
-            case LongType => s.toLong
-            case IntegerType => s.toInt
-            case DoubleType => s.toDouble
-            case FloatType => s.toFloat
-            case BooleanType => s.toBoolean
-            case StringType => UTF8String.fromString(s)
-            case DateType =>
-              // Delta partitionValues stringify dates as yyyy-MM-dd;
-              // Iceberg identity manifest tuples stringify the avro
-              // date logical type as its epoch-day INT — accept both
-              if (s.matches("-?\\d+")) s.toInt
-              else java.time.LocalDate.parse(s).toEpochDay.toInt
-            case other => throw new IllegalArgumentException(
-              s"unsupported partition column type $other for ${f.name}")
-          })
-        }
+        pv.get(f.name).map(s =>
+          f.name -> decodeConstant(s, f.dataType, f.name))
       }.toMap
     }
     // deletion-vector row predicate, decoded ONCE per task from the

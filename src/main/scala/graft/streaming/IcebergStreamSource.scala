@@ -95,7 +95,8 @@ private class IcebergStreamScan(schema: StructType,
       IcebergStreamSource.pathOf(options),
       options.getBoolean("skipOverwriteSnapshots", false),
       options.getLong("startingSnapshotId", 0L),
-      options.getLong("maxSnapshotsPerTrigger", Long.MaxValue))
+      options.getLong("maxSnapshotsPerTrigger", Long.MaxValue),
+      options.getBoolean("vectorizedRead", true))
 }
 
 /** The offset IS the snapshot id (monotonic in this writer; the
@@ -109,7 +110,8 @@ private class IcebergMicroBatchStream(schema: StructType,
                                       tableDir: String,
                                       skipOverwriteSnapshots: Boolean,
                                       startingSnapshotId: Long,
-                                      maxSnapshotsPerTrigger: Long)
+                                      maxSnapshotsPerTrigger: Long,
+                                      vectorizedRead: Boolean = true)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // SCHEMA CHANGES FAIL LOUDLY: Iceberg schema evolution is a
@@ -184,7 +186,8 @@ private class IcebergMicroBatchStream(schema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (_, ids) = IcebergStreamSource.checkedSchema(tableDir)
-    new DeltaFileReaderFactory(schema.json, ids)
+    new DeltaFileReaderFactory(schema.json, ids,
+      columnar = vectorizedRead)
   }
 }
 

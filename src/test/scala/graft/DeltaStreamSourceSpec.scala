@@ -301,6 +301,43 @@ class DeltaStreamSourceSpec extends SparkSuite {
       "streamed nested-mapped rows must equal the batch read bit-exact")
   }
 
+  test("vectorized read path: >=2x throughput over the row path, same rows") {
+    val work = Files.createTempDirectory("dstreamv").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(spark.sql(
+      """SELECT id AS k, CAST(id AS DOUBLE) / 3 AS d,
+        |  CONCAT('customer-', id % 100000) AS s,
+        |  CAST(id % 7 AS INT) AS i
+        |FROM range(10000000)""".stripMargin).repartition(4), dir)
+    def drainTime(vectorized: Boolean, tag: String): Double = {
+      val start = System.nanoTime()
+      spark.readStream.format("graft-delta").option("path", dir)
+        .option("vectorizedRead", vectorized.toString).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$work/ckpt-$tag")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      (System.nanoTime() - start) / 1e9
+    }
+    // correctness first: both paths land identical rows
+    drain(dir, s"$work/outv", s"$work/ckptv")
+    drain(dir, s"$work/outr", s"$work/ckptr",
+      Map("vectorizedRead" -> "false"))
+    val cv = spark.read.parquet(s"$work/outv")
+    val cr = spark.read.parquet(s"$work/outr")
+    assert(cv.count() == 10000000L && cr.count() == 10000000L)
+    assert(cv.exceptAll(cr).isEmpty && cr.exceptAll(cv).isEmpty,
+      "row and columnar paths must read identical rows")
+    // throughput: ColumnarBatch straight into codegen vs per-row
+    // Group materialization (warm both paths above, then measure)
+    val rowSec = drainTime(vectorized = false, "brow")
+    val colSec = drainTime(vectorized = true, "bcol")
+    info(f"row=$rowSec%.2fs columnar=$colSec%.2fs " +
+      f"speedup=${rowSec / colSec}%.1fx")
+    assert(colSec * 2 <= rowSec,
+      f"expected >=2x vectorized speedup, got ${rowSec / colSec}%.2fx " +
+        f"(row $rowSec%.2fs, columnar $colSec%.2fs)")
+  }
+
   test("typed columns survive the executor-side Group reader") {
     val work = Files.createTempDirectory("dstream3").toString
     val dir = s"$work/t"
