@@ -863,9 +863,15 @@ object DeltaLog {
       else if (st.minReader == 2 || mapped) Row(2, 5, null, null)
       else Row(1, 2, null, null)
     rows.add(Row(protoRow, null, null, null))
+    // the FULL replayed configuration rides the checkpoint metaData:
+    // an external writer replaying only from the checkpoint allocates
+    // mapping ids against delta.columnMapping.maxColumnId — a
+    // checkpoint that kept just the mode would hand it a colliding id
+    // space (caught by InteropRoundTripSpec's foreign replay)
     rows.add(Row(null,
       Row("ckpt", st.schema.json, st.partitionColumns,
-        if (mapped) Map("delta.columnMapping.mode" -> st.mappingMode)
+        if (st.configuration.nonEmpty) st.configuration
+        else if (mapped) Map("delta.columnMapping.mode" -> st.mappingMode)
         else null),
       null, null))
     st.files.foreach { f =>
