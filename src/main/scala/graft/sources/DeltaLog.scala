@@ -2785,27 +2785,48 @@ object DeltaLog {
       dvKeepDiff: Option[(Option[DeletionVectors.Descriptor],
         DeletionVectors.Descriptor)])
 
+  /** JSON commits the last [[changePlan]] walked — the seam a spec
+    * holds to prove checkpoint-seeded CDF planning is O(delta) per
+    * trigger, not O(full history). */
+  @volatile private[graft] var lastChangePlanCommitsRead: Int = -1
+
   /** The commit-walk behind CDF: replays history to `toVersion`,
     * recording each in-range data-changing action as a [[ChangeFile]]
     * in commit order. Pure driver-side metadata — O(actions) plus
     * O(compressed bitmap) for DV descriptors; row data is never
-    * touched here. */
+    * touched here. With `spark` given, the PRE-RANGE replay seeds
+    * from the newest checkpoint strictly below `fromVersion` (its
+    * adds carry DV descriptors, so the first in-range DV diff still
+    * sees its prior bitmap) — a long-running CDF stream plans each
+    * trigger in O(commits since checkpoint), not O(table history). */
   private[graft] def changePlan(tableDir: String, fromVersion: Long,
-      toVersion: Long): (State, Seq[ChangeFile]) = {
+      toVersion: Long, spark: Option[SparkSession] = None)
+      : (State, Seq[ChangeFile]) = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     require(vs.contains(fromVersion) && vs.contains(toVersion),
       s"range [$fromVersion,$toVersion] not in log (have ${vs.mkString(",")})")
-    val r = new Replayer
+    val seeded: Option[(Replayer, Long)] =
+      (spark, lastCheckpoint(tableDir)) match {
+        case (Some(s), Some(lc)) if lc.version < fromVersion =>
+          val r0 = new Replayer
+          if (seedFromCheckpoint(s, tableDir, lc, r0))
+            Some((r0, lc.version + 1))
+          else None // unrecognized checkpoint → pure-JSON fallback
+        case _ => None
+      }
+    val (r, walkFrom) = seeded.getOrElse((new Replayer, Long.MinValue))
     val out = Seq.newBuilder[ChangeFile]
     def record(v: Long, ct: String, path: String, a: AddFile): Unit =
       out += ChangeFile(v, ct, path, a, None)
     // a DV update (remove+re-add of the SAME path with a grown
     // bitmap) is a ROW-level delete, not a file churn
     val dvDeletes = Seq.newBuilder[ChangeFile]
-    vs.filter(_ <= toVersion).foreach { v =>
+    val walked = vs.filter(v => v >= walkFrom && v <= toVersion)
+    lastChangePlanCommitsRead = walked.size
+    walked.foreach { v =>
       val inRange = v >= fromVersion
       val nodes = Files.readAllLines(commitFile(tableDir, v).toPath)
         .asScala.filter(_.nonEmpty).map(mapper.readTree).toSeq
@@ -2902,7 +2923,8 @@ object DeltaLog {
     * sync) ride a 100 TB table for the cost of the day's delta. */
   def readChanges(spark: SparkSession, tableDir: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
-    val (st, plan) = changePlan(tableDir, fromVersion, toVersion)
+    val (st, plan) =
+      changePlan(tableDir, fromVersion, toVersion, Some(spark))
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
     val changeSchema = StructType(st.schema.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),

@@ -1884,7 +1884,18 @@ object Iceberg {
     * metadata; returns absolute paths, snapshot-ordered. */
   private[graft] def addedFilesIn(tableDir: String, fromExclusive: Long,
       to: Long, skipOverwriteSnapshots: Boolean)
-      : Seq[(String, Map[String, String])] = {
+      : Seq[(String, Map[String, String])] =
+    addedFilesBySnapshot(tableDir, fromExclusive, to,
+      skipOverwriteSnapshots)
+      .flatMap(_._2).map(f => (f.path, f.partitionValues))
+
+  /** [[addedFilesIn]] GROUPED by snapshot with per-file byte sizes
+    * (from each manifest entry's `file_size_in_bytes`) — the
+    * admission-control planner's shape, mirroring
+    * [[DeltaLog.addedFilesByVersion]]. */
+  private[graft] def addedFilesBySnapshot(tableDir: String,
+      fromExclusive: Long, to: Long, skipOverwriteSnapshots: Boolean)
+      : Seq[(Long, Seq[DeltaLog.StreamFile])] = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     val snaps = meta.get("snapshots").elements().asScala.toSeq
     // PUBLISHED history only: a WAP-staged branch snapshot or a
@@ -1915,48 +1926,53 @@ object Iceberg {
         id > fromExclusive && id <= to && ancestry.contains(id)
       }
       .sortBy(_.get("snapshot-id").asLong)
-      .flatMap { s =>
+      .map { s =>
         val id = s.get("snapshot-id").asLong
         val op = Option(s.get("summary"))
           .flatMap(su => Option(su.get("operation"))).map(_.asText)
-        if (!op.contains("append")) {
-          require(skipOverwriteSnapshots,
-            s"snapshot $id of $tableDir is ${op.getOrElse("?")} — an " +
-              "append stream cannot express it (an equality-delete " +
-              "upsert or overwrite REMOVES rows by value; consume " +
-              "row-level changes with the batch readIncremental / " +
-              "consumeIncremental CDC path instead); pass " +
-              "skipOverwriteSnapshots=true to skip such snapshots " +
-              "(Iceberg's own escape hatch)")
-          Seq.empty
-        } else
-          readAvro(s.get("manifest-list").asText)
-            .filter(r => fieldOpt(r, "added_snapshot_id")
-              .map(_.asInstanceOf[Long]).contains(id))
-            .map(_.get("manifest_path").toString)
-            .flatMap { m =>
-              readAvro(m).flatMap { e =>
-                if (e.get("status").asInstanceOf[Int] != 1) None
-                else {
-                  val df = e.get("data_file").asInstanceOf[GenericRecord]
-                  // identity tuples reconstruct stripped partition
-                  // columns in the stream reader (same stringified
-                  // shape the batch planner hands PartitionedScan)
-                  val pv: Map[String, String] =
-                    fieldOpt(df, "partition") match {
-                      case Some(rec: GenericRecord) =>
-                        rec.getSchema.getFields.asScala.map { f =>
-                          f.name -> (rec.get(f.name) match {
-                            case null => null
-                            case v => v.toString
-                          })
-                        }.toMap
-                      case _ => Map.empty
-                    }
-                  Some((stripFileUri(df.get("file_path").toString), pv))
+        val files: Seq[DeltaLog.StreamFile] =
+          if (!op.contains("append")) {
+            require(skipOverwriteSnapshots,
+              s"snapshot $id of $tableDir is ${op.getOrElse("?")} — an " +
+                "append stream cannot express it (an equality-delete " +
+                "upsert or overwrite REMOVES rows by value; consume " +
+                "row-level changes with the batch readIncremental / " +
+                "consumeIncremental CDC path instead); pass " +
+                "skipOverwriteSnapshots=true to skip such snapshots " +
+                "(Iceberg's own escape hatch)")
+            Seq.empty
+          } else
+            readAvro(s.get("manifest-list").asText)
+              .filter(r => fieldOpt(r, "added_snapshot_id")
+                .map(_.asInstanceOf[Long]).contains(id))
+              .map(_.get("manifest_path").toString)
+              .flatMap { m =>
+                readAvro(m).flatMap { e =>
+                  if (e.get("status").asInstanceOf[Int] != 1) None
+                  else {
+                    val df = e.get("data_file").asInstanceOf[GenericRecord]
+                    // identity tuples reconstruct stripped partition
+                    // columns in the stream reader (same stringified
+                    // shape the batch planner hands PartitionedScan)
+                    val pv: Map[String, String] =
+                      fieldOpt(df, "partition") match {
+                        case Some(rec: GenericRecord) =>
+                          rec.getSchema.getFields.asScala.map { f =>
+                            f.name -> (rec.get(f.name) match {
+                              case null => null
+                              case v => v.toString
+                            })
+                          }.toMap
+                        case _ => Map.empty
+                      }
+                    Some(DeltaLog.StreamFile(
+                      stripFileUri(df.get("file_path").toString), pv,
+                      fieldOpt(df, "file_size_in_bytes")
+                        .map(_.asInstanceOf[Long]).getOrElse(0L)))
+                  }
                 }
               }
-            }
+        (id, files)
       }
   }
 

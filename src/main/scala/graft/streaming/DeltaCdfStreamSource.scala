@@ -165,7 +165,11 @@ private class DeltaCdfMicroBatchStream(schema: StructType,
     // (changePlan itself replays metaData silently)
     DeltaLog.requireNoSchemaChange(tableDir, from, to,
       StructType(schema.fields.dropRight(2)))
-    val (_, plan) = DeltaLog.changePlan(tableDir, fromV.get, to)
+    // checkpoint-seeded pre-range replay: a long-running stream
+    // plans each trigger in O(commits since checkpoint), not
+    // O(table history)
+    val (_, plan) = DeltaLog.changePlan(tableDir, fromV.get, to,
+      scala.util.Try(org.apache.spark.sql.SparkSession.active).toOption)
     // one partition PER CHANGED FILE, each tagged with its commit's
     // constants; DV descriptors ride the partition and the bitmap
     // work happens where the file is read — on the executor
@@ -194,9 +198,11 @@ object DeltaCdfStreamQueries {
     * lifecycle table (q172/q181's fixture — full overwrite, then two
     * stacked deletion-vector deletes) streams through
     * `graft-delta-cdf` one commit per trigger into a foreachBatch
-    * sink that APPLIES each batch's net per-key effect to a silver
-    * Delta table: inserts MERGE in, deletes land as silver's own
-    * deletion vectors (stacking across batches). The final silver
+    * sink that APPLIES each batch to a silver Delta table: inserts
+    * MERGE in, deletes land as silver's own deletion vectors
+    * (stacking across batches); version-granular admission makes a
+    * batch one commit, so no intra-batch ordering is needed. The
+    * final silver
     * state equals the two-predicate oracle IFF (a) the source
     * delivered every insert and exactly the newly-deleted positions
     * of each DV update — a source that emitted a DV re-add as
@@ -207,7 +213,7 @@ object DeltaCdfStreamQueries {
     * spec-held with a planted crash (DeltaCdfStreamSourceSpec). */
   def deltaCdfStreamMerge(spark: org.apache.spark.sql.SparkSession,
                           dir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.col
     val t = DeltaLog.ordersDvTable(spark, dir)
     val work = java.nio.file.Files
       .createTempDirectory("graft_dcdf").toString
@@ -217,22 +223,20 @@ object DeltaCdfStreamQueries {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
                        _: Long) =>
-        if (!batch.isEmpty) {
-          // net per-key effect of the batch: the latest
-          // _commit_version wins (an insert then delete of the same
-          // key within one batch nets to delete)
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("o_orderkey")
-            .orderBy(col("_commit_version").desc)
-          val latest = batch.withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1).drop("_rn")
-          val inserts = latest
+        // version-granular admission (maxVersionsPerTrigger=1) means
+        // one batch == ONE commit: a commit is all-inserts or
+        // all-deletes here, so no intra-batch net-effect resolution
+        // is needed. Cache so the insert/delete splits scan the
+        // source files once, not per action.
+        val b = batch.persist()
+        try if (!b.isEmpty) {
+          val inserts = b
             .filter(col("_change_type") === "insert")
             .drop("_change_type", "_commit_version")
           // O(this batch's deletes) on the driver — bounded by the
           // per-trigger admission cap, the rows the batch itself
           // materializes
-          val deleteKeys = latest
+          val deleteKeys = b
             .filter(col("_change_type") === "delete")
             .select("o_orderkey").collect().map(_.getLong(0)).toSeq
           if (DeltaLog.versions(silver).isEmpty)
@@ -243,7 +247,7 @@ object DeltaCdfStreamQueries {
           if (deleteKeys.nonEmpty)
             DeltaLog.deleteWhere(spark, silver,
               col("o_orderkey").isInCollection(deleteKeys)): Unit
-        }
+        } finally b.unpersist(): Unit
       }
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

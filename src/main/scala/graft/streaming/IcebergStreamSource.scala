@@ -96,14 +96,33 @@ private class IcebergStreamScan(schema: StructType,
       options.getBoolean("skipOverwriteSnapshots", false),
       options.getLong("startingSnapshotId", 0L),
       options.getLong("maxSnapshotsPerTrigger", Long.MaxValue),
+      options.getLong("maxFilesPerTrigger", Long.MaxValue),
+      options.getLong("maxBytesPerTrigger", Long.MaxValue),
       options.getBoolean("vectorizedRead", true))
 }
 
-/** The offset IS the snapshot id (monotonic in this writer; the
-  * snapshot-diff planner keys on it exactly as
-  * [[Iceberg.consumeIncremental]] does). */
-private case class SnapshotOffset(snapshotId: Long) extends Offset {
-  override def json(): String = snapshotId.toString
+/** The offset is (snapshot id, files consumed WITHIN it) — the
+  * [[VersionOffset]] twin (ids are monotonic in this writer; the
+  * snapshot-diff planner keys on them exactly as
+  * [[Iceberg.consumeIncremental]] does). `index` lets admission
+  * control SPLIT one huge append snapshot across micro-batches (a
+  * committed snapshot's manifest is immutable, so exactly-once
+  * holds). Legacy checkpoints wrote the bare id — deserialized as
+  * fully consumed. */
+private case class SnapshotOffset(snapshotId: Long,
+                                  index: Long = Long.MaxValue)
+    extends Offset {
+  override def json(): String =
+    s"""{"snapshotId":$snapshotId,"index":$index}"""
+}
+
+private object SnapshotOffset {
+  private val Json =
+    """\{"snapshotId":(-?\d+),"index":(-?\d+)\}""".r
+  def parse(json: String): SnapshotOffset = json.trim match {
+    case Json(s, i) => SnapshotOffset(s.toLong, i.toLong)
+    case bare => SnapshotOffset(bare.toLong) // legacy: whole snapshot
+  }
 }
 
 private class IcebergMicroBatchStream(schema: StructType,
@@ -111,6 +130,8 @@ private class IcebergMicroBatchStream(schema: StructType,
                                       skipOverwriteSnapshots: Boolean,
                                       startingSnapshotId: Long,
                                       maxSnapshotsPerTrigger: Long,
+                                      maxFilesPerTrigger: Long,
+                                      maxBytesPerTrigger: Long,
                                       vectorizedRead: Boolean = true)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -156,20 +177,54 @@ private class IcebergMicroBatchStream(schema: StructType,
       .getOrElse(Iceberg.latestSnapshotId(tableDir)))
 
   // admission control — the [[DeltaMicroBatchStream]] rationale: a
-  // deep backlog drains in bounded batches, not one giant task set
+  // deep backlog drains in bounded batches, not one giant task set;
+  // maxFilesPerTrigger / maxBytesPerTrigger split WITHIN a snapshot
+  // (manifest byte sizes are the currency), at least one file always
+  // admitted so the stream makes progress
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : Offset = {
-    val from = start.asInstanceOf[SnapshotOffset].snapshotId
+    val from = start.asInstanceOf[SnapshotOffset]
     val cap = latestOffset().asInstanceOf[SnapshotOffset].snapshotId
+    if (cap < from.snapshotId) return from
     val bounded =
-      if (maxSnapshotsPerTrigger >= cap - from) cap
-      else from + maxSnapshotsPerTrigger
-    SnapshotOffset(bounded)
+      if (maxSnapshotsPerTrigger >= cap - from.snapshotId) cap
+      else from.snapshotId + maxSnapshotsPerTrigger
+    if (maxFilesPerTrigger == Long.MaxValue &&
+        maxBytesPerTrigger == Long.MaxValue)
+      return SnapshotOffset(bounded)
+    val byS = Iceberg.addedFilesBySnapshot(tableDir,
+      from.snapshotId - 1, bounded, skipOverwriteSnapshots)
+    var endS = from.snapshotId
+    var endI = from.index
+    var nFiles = 0L
+    var nBytes = 0L
+    var stop = false
+    byS.foreach { case (s, fs) =>
+      if (!stop) {
+        var i =
+          if (s == from.snapshotId)
+            math.min(from.index, fs.size.toLong).toInt
+          else 0
+        endS = s
+        endI = i.toLong
+        while (i < fs.size && !stop) {
+          if (nFiles > 0 && (nFiles + 1 > maxFilesPerTrigger ||
+              nBytes + fs(i).size > maxBytesPerTrigger)) stop = true
+          else {
+            nFiles += 1
+            nBytes += fs(i).size
+            i += 1
+            endI = i.toLong
+          }
+        }
+      }
+    }
+    if (nFiles == 0) from else SnapshotOffset(endS, endI)
   }
 
   override def deserializeOffset(json: String): Offset =
-    SnapshotOffset(json.trim.toLong)
+    SnapshotOffset.parse(json)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -177,11 +232,24 @@ private class IcebergMicroBatchStream(schema: StructType,
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
     requireUnchangedSchema()
-    val from = start.asInstanceOf[SnapshotOffset].snapshotId
-    val to = end.asInstanceOf[SnapshotOffset].snapshotId
-    Iceberg.addedFilesIn(tableDir, from, to, skipOverwriteSnapshots)
-      .map { case (p, pv) =>
-        DeltaFilePartition(p, pv): InputPartition }.toArray
+    val s = start.asInstanceOf[SnapshotOffset]
+    val e = end.asInstanceOf[SnapshotOffset]
+    Iceberg.addedFilesBySnapshot(tableDir, s.snapshotId - 1,
+        e.snapshotId, skipOverwriteSnapshots)
+      .flatMap { case (sid, fs) =>
+        val lo =
+          if (sid == s.snapshotId)
+            math.min(s.index, fs.size.toLong).toInt
+          else 0
+        val hi =
+          if (sid == e.snapshotId)
+            math.min(e.index, fs.size.toLong).toInt
+          else fs.size
+        fs.slice(lo, hi)
+      }
+      .map(f =>
+        DeltaFilePartition(f.path, f.partitionValues): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

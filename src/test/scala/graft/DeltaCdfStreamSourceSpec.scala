@@ -131,6 +131,30 @@ class DeltaCdfStreamSourceSpec extends SparkSuite {
       "replayed batch applies idempotently — odd keys survive, once")
   }
 
+  test("checkpoint-seeded planning: a trigger walks O(delta) commits") {
+    val work = Files.createTempDirectory("cdfstream5").toString
+    val dir = s"$work/t"
+    (1 to 12).foreach(i => sources.DeltaLog.commitAppend(
+      Seq((i.toLong, s"s$i")).toDF("k", "s"), dir))
+    sources.DeltaLog.checkpoint(spark, dir)
+    (13 to 15).foreach(i => sources.DeltaLog.commitAppend(
+      Seq((i.toLong, s"s$i")).toDF("k", "s"), dir))
+    // plan only the post-checkpoint range: the pre-range replay must
+    // SEED from the checkpoint, walking the 4 tail commits (ckpt at
+    // v11, range [12..14]), never the 15-commit history
+    val (_, plan) = sources.DeltaLog.changePlan(dir, 12L, 14L,
+      Some(spark))
+    assert(plan.map(_.version).distinct.sorted == Seq(12L, 13L, 14L))
+    assert(sources.DeltaLog.lastChangePlanCommitsRead <= 4,
+      s"expected <=4 walked commits (checkpoint-seeded), got " +
+        s"${sources.DeltaLog.lastChangePlanCommitsRead}")
+    // and the seeded plan agrees with the unseeded one
+    val (_, cold) = sources.DeltaLog.changePlan(dir, 12L, 14L, None)
+    assert(sources.DeltaLog.lastChangePlanCommitsRead == 15)
+    assert(plan.map(cf => (cf.version, cf.changeType, cf.path)) ==
+      cold.map(cf => (cf.version, cf.changeType, cf.path)))
+  }
+
   test("a schema change mid-history fails the CDF stream loudly") {
     val work = Files.createTempDirectory("cdfstream4").toString
     val dir = s"$work/t"

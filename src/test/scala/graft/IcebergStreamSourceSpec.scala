@@ -116,6 +116,36 @@ class IcebergStreamSourceSpec extends SparkSuite {
       "the overwrite snapshot is skipped whole; appends around it land")
   }
 
+  test("maxFilesPerTrigger splits one backfill snapshot across batches") {
+    val work = Files.createTempDirectory("istream9").toString
+    val dir = s"$work/t"
+    // 3 snapshots x 4 files = 12; cap 3/trigger => >=4 batches, with
+    // (snapshotId, fileIndex) offsets splitting WITHIN snapshots
+    (0 until 3).foreach { c =>
+      sources.Iceberg.commitAppend(
+        (1L to 12L).map(i => (c * 12 + i, s"s${c * 12 + i}"))
+          .toDF("k", "s").repartition(4), dir)
+    }
+    drain(dir, s"$work/out", s"$work/ckpt",
+      Map("maxFilesPerTrigger" -> "3"))
+    assert(spark.read.parquet(s"$work/out")
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 36L),
+      "every file exactly once across the split batches")
+    val batches = new java.io.File(s"$work/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 4, s"expected >=4 bounded batches, got $batches")
+    // byte-capped: one file per batch (progress guarantee), sizes
+    // come from each manifest entry's file_size_in_bytes
+    drain(dir, s"$work/out2", s"$work/ckpt2",
+      Map("maxBytesPerTrigger" -> "1"))
+    assert(spark.read.parquet(s"$work/out2")
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 36L))
+    val byteBatches = new java.io.File(s"$work/ckpt2/commits")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+    assert(byteBatches >= 12,
+      s"one file per byte-capped batch, got $byteBatches")
+  }
+
   test("racing streaming writers, epoch-stamped summaries: exactly-once per appId") {
     val work = Files.createTempDirectory("istream7").toString
     val srcA = s"$work/a"
