@@ -480,7 +480,12 @@ object SparkEntry {
     // executor) into a MERGE+deleteWhere silver — final state
     // equals the two-predicate oracle
     "q199_delta_cdf_stream_merge"
-      -> (streaming.DeltaCdfStreamQueries.deltaCdfStreamMerge _)
+      -> (streaming.DeltaCdfStreamQueries.deltaCdfStreamMerge _),
+    // the Iceberg CDF twin: append snapshots as inserts, v2
+    // position-delete snapshots as EXACTLY their newly-deleted rows
+    // (executor reads the (file, pos) pairs out of untouched files)
+    "q200_iceberg_cdf_stream"
+      -> (streaming.IcebergCdfStreamQueries.icebergCdfStream _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -711,6 +716,8 @@ object SparkEntry {
     "q198_delta_stream_nested_mapped"
       -> streaming.DeltaStreamQueries.deltaStreamNestedMappedSql,
     "q199_delta_cdf_stream_merge"
-      -> streaming.DeltaCdfStreamQueries.deltaCdfStreamMergeSql
+      -> streaming.DeltaCdfStreamQueries.deltaCdfStreamMergeSql,
+    "q200_iceberg_cdf_stream"
+      -> streaming.IcebergCdfStreamQueries.icebergCdfStreamSql
   )
 }

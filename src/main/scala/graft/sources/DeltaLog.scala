@@ -1833,7 +1833,30 @@ object DeltaLog {
     * column-mapped tables stay refused.
     * Returns the committed version (unchanged if nothing matched). */
   def deleteWhere(spark: SparkSession, tableDir: String,
-                  predicate: org.apache.spark.sql.Column): Long = {
+                  predicate: org.apache.spark.sql.Column): Long =
+    deleteWhereFiltered(spark, tableDir, _.filter(predicate))
+
+  /** [[deleteWhere]] with the doomed rows named by a KEY-SET
+    * DataFrame instead of a Column predicate — the CDC-sink shape: a
+    * replicated batch of deleted keys is often far too large for an
+    * IN-list literal (planning/codegen cost explodes with list
+    * length), so the match is a BROADCAST left-semi join against the
+    * live rows; everything downstream is the same executor-side
+    * bitmap build. `keys` must have exactly one column, compared to
+    * the table's `keyCol`. */
+  def deleteWhereKeys(spark: SparkSession, tableDir: String,
+                      keyCol: String, keys: DataFrame): Long = {
+    require(keys.schema.fields.length == 1,
+      "deleteWhereKeys takes a single-column key set")
+    import org.apache.spark.sql.functions.broadcast
+    val k = keys.distinct().withColumnRenamed(
+      keys.schema.fields.head.name, "_dw_key")
+    deleteWhereFiltered(spark, tableDir, d =>
+      d.join(broadcast(k), d(keyCol) === k("_dw_key"), "left_semi"))
+  }
+
+  private def deleteWhereFiltered(spark: SparkSession, tableDir: String,
+      matchRows: DataFrame => DataFrame): Long = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val st = replay(tableDir, vs.last)
@@ -1881,7 +1904,7 @@ object DeltaLog {
               .withColumn("_dw_p", col("_metadata.row_index"))),
           carryCols = Seq("_dw_f", "_dw_p"))
     val collected: Seq[(String, DeletionVectors.Bitmap64)] =
-      live.filter(predicate)
+      matchRows(live)
         .groupBy(col("_dw_f"))
         .agg(graft.functions.AggExprs.rowPosBitmap(col("_dw_p"))
           .as("_dw_bm"))

@@ -1882,6 +1882,128 @@ object Iceberg {
     * unless `skipOverwriteSnapshots` (Iceberg's own
     * streaming-skip-overwrite-snapshots) skips it whole. Pure
     * metadata; returns absolute paths, snapshot-ordered. */
+  /** PUBLISHED history only: a WAP-staged branch snapshot or a
+    * rolled-back snapshot is NOT reachable from the main head —
+    * streaming it would leak unpublished audit-window rows. Walks
+    * parent-snapshot-id ancestry from current-snapshot-id, exactly
+    * Iceberg's own incremental-scan rule. (A snapshot staged behind
+    * the committed offset high-water mark and published LATER is not
+    * replayed — restart the query to pick it up; ids, the offsets,
+    * are allocated at staging time.) */
+  private def mainAncestry(meta: ObjectNode): Set[Long] = {
+    val byId = meta.get("snapshots").elements().asScala
+      .map(s => s.get("snapshot-id").asLong -> s).toMap
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var cur = byId.get(meta.get("current-snapshot-id").asLong)
+    while (cur.isDefined) {
+      val s = cur.get
+      val id = s.get("snapshot-id").asLong
+      if (!seen.add(id)) cur = None
+      else cur = Option(s.get("parent-snapshot-id"))
+        .filterNot(_.isNull).map(_.asLong).flatMap(byId.get)
+    }
+    seen.toSet
+  }
+
+  /** The CDF streaming planner's view of the published snapshots in
+    * (`fromExclusive`, `to`]: (snapshot id, operation, added data
+    * files, NEW position-delete parquet files). An `append`
+    * contributes its data files (inserts); a `delete` snapshot
+    * contributes the position-delete files its OWN delete manifests
+    * added — each holds exactly that snapshot's newly-deleted
+    * (file, pos) pairs, because [[deleteWhere]] anti-joins prior
+    * deletes at write time. Equality deletes (content=2 entries) and
+    * `overwrite` snapshots refuse loudly — they remove rows by VALUE
+    * / wholesale, which this planner cannot attribute; the batch
+    * [[readIncremental]] / table-diff reads cover them. */
+  private[graft] def cdfPlanBySnapshot(tableDir: String,
+      fromExclusive: Long, to: Long)
+      : Seq[(Long, String, Seq[DeltaLog.StreamFile], Seq[String])] = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    val ancestry = mainAncestry(meta)
+    snaps
+      .filter { s =>
+        val id = s.get("snapshot-id").asLong
+        id > fromExclusive && id <= to && ancestry.contains(id)
+      }
+      .sortBy(_.get("snapshot-id").asLong)
+      .map { s =>
+        val id = s.get("snapshot-id").asLong
+        val rawOp = Option(s.get("summary"))
+          .flatMap(su => Option(su.get("operation"))).map(_.asText)
+          .getOrElse("?")
+        // a CREATION overwrite (no parent snapshot) replaced nothing
+        // — its files are pure inserts, exactly Delta's v0 rule
+        val isCreation = Option(s.get("parent-snapshot-id"))
+          .forall(_.isNull)
+        val op =
+          if (rawOp == "overwrite" && isCreation) "append" else rawOp
+        op match {
+          case "append" =>
+            (id, op, addedDataFiles(s, id), Seq.empty[String])
+          case "delete" =>
+            val dels = readAvro(s.get("manifest-list").asText)
+              .filter(r => fieldOpt(r, "added_snapshot_id")
+                .map(_.asInstanceOf[Long]).contains(id) &&
+                fieldOpt(r, "content")
+                  .map(_.asInstanceOf[Int]).contains(1))
+              .map(_.get("manifest_path").toString)
+              .flatMap { m =>
+                readAvro(m).map { e =>
+                  val df = e.get("data_file").asInstanceOf[GenericRecord]
+                  require(fieldOpt(df, "content")
+                      .map(_.asInstanceOf[Int]).contains(1),
+                    s"snapshot $id of $tableDir carries an " +
+                      "EQUALITY delete (content=2) — it removes rows " +
+                      "by VALUE, which a position-based CDF stream " +
+                      "cannot attribute; consume it with the batch " +
+                      "readIncremental / table-diff reads instead")
+                  stripFileUri(df.get("file_path").toString)
+                }
+              }
+            (id, op, Seq.empty[DeltaLog.StreamFile], dels)
+          case other => throw new IllegalArgumentException(
+            s"snapshot $id of $tableDir is $other — the CDF stream " +
+              "expresses appends and position deletes; an overwrite " +
+              "replaces files wholesale and has no row-level " +
+              "attribution here (use the batch table-diff reads)")
+        }
+      }
+  }
+
+  /** One append snapshot's ADDED data files (status=1 entries of its
+    * own manifests), with identity partition tuples and byte sizes. */
+  private def addedDataFiles(s: com.fasterxml.jackson.databind.JsonNode,
+      id: Long): Seq[DeltaLog.StreamFile] =
+    readAvro(s.get("manifest-list").asText)
+      .filter(r => fieldOpt(r, "added_snapshot_id")
+        .map(_.asInstanceOf[Long]).contains(id))
+      .map(_.get("manifest_path").toString)
+      .flatMap { m =>
+        readAvro(m).flatMap { e =>
+          if (e.get("status").asInstanceOf[Int] != 1) None
+          else {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val pv: Map[String, String] =
+              fieldOpt(df, "partition") match {
+                case Some(rec: GenericRecord) =>
+                  rec.getSchema.getFields.asScala.map { f =>
+                    f.name -> (rec.get(f.name) match {
+                      case null => null
+                      case v => v.toString
+                    })
+                  }.toMap
+                case _ => Map.empty
+              }
+            Some(DeltaLog.StreamFile(
+              stripFileUri(df.get("file_path").toString), pv,
+              fieldOpt(df, "file_size_in_bytes")
+                .map(_.asInstanceOf[Long]).getOrElse(0L)))
+          }
+        }
+      }
+
   private[graft] def addedFilesIn(tableDir: String, fromExclusive: Long,
       to: Long, skipOverwriteSnapshots: Boolean)
       : Seq[(String, Map[String, String])] =
@@ -1898,28 +2020,7 @@ object Iceberg {
       : Seq[(Long, Seq[DeltaLog.StreamFile])] = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     val snaps = meta.get("snapshots").elements().asScala.toSeq
-    // PUBLISHED history only: a WAP-staged branch snapshot or a
-    // rolled-back snapshot falls inside the id range but is NOT
-    // reachable from the main head — streaming it would leak
-    // unpublished audit-window rows. Walk parent-snapshot-id
-    // ancestry from current-snapshot-id, exactly Iceberg's own
-    // incremental-scan rule. (A snapshot staged behind the committed
-    // offset high-water mark and published LATER is not replayed —
-    // restart the query to pick it up; ids, the offsets, are
-    // allocated at staging time.)
-    val byId = snaps.map(s => s.get("snapshot-id").asLong -> s).toMap
-    val ancestry: Set[Long] = {
-      val seen = scala.collection.mutable.Set.empty[Long]
-      var cur = byId.get(meta.get("current-snapshot-id").asLong)
-      while (cur.isDefined) {
-        val s = cur.get
-        val id = s.get("snapshot-id").asLong
-        if (!seen.add(id)) cur = None
-        else cur = Option(s.get("parent-snapshot-id"))
-          .filterNot(_.isNull).map(_.asLong).flatMap(byId.get)
-      }
-      seen.toSet
-    }
+    val ancestry = mainAncestry(meta)
     snaps
       .filter { s =>
         val id = s.get("snapshot-id").asLong
@@ -1942,36 +2043,10 @@ object Iceberg {
                 "(Iceberg's own escape hatch)")
             Seq.empty
           } else
-            readAvro(s.get("manifest-list").asText)
-              .filter(r => fieldOpt(r, "added_snapshot_id")
-                .map(_.asInstanceOf[Long]).contains(id))
-              .map(_.get("manifest_path").toString)
-              .flatMap { m =>
-                readAvro(m).flatMap { e =>
-                  if (e.get("status").asInstanceOf[Int] != 1) None
-                  else {
-                    val df = e.get("data_file").asInstanceOf[GenericRecord]
-                    // identity tuples reconstruct stripped partition
-                    // columns in the stream reader (same stringified
-                    // shape the batch planner hands PartitionedScan)
-                    val pv: Map[String, String] =
-                      fieldOpt(df, "partition") match {
-                        case Some(rec: GenericRecord) =>
-                          rec.getSchema.getFields.asScala.map { f =>
-                            f.name -> (rec.get(f.name) match {
-                              case null => null
-                              case v => v.toString
-                            })
-                          }.toMap
-                        case _ => Map.empty
-                      }
-                    Some(DeltaLog.StreamFile(
-                      stripFileUri(df.get("file_path").toString), pv,
-                      fieldOpt(df, "file_size_in_bytes")
-                        .map(_.asInstanceOf[Long]).getOrElse(0L)))
-                  }
-                }
-              }
+            // identity tuples reconstruct stripped partition columns
+            // in the stream reader (same stringified shape the batch
+            // planner hands PartitionedScan)
+            addedDataFiles(s, id)
         (id, files)
       }
   }

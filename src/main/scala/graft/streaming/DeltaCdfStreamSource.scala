@@ -233,20 +233,21 @@ object DeltaCdfStreamQueries {
           val inserts = b
             .filter(col("_change_type") === "insert")
             .drop("_change_type", "_commit_version")
-          // O(this batch's deletes) on the driver — bounded by the
-          // per-trigger admission cap, the rows the batch itself
-          // materializes
-          val deleteKeys = b
+          // the delete keys stay DISTRIBUTED: deleteWhereKeys
+          // broadcast-semi-joins them against silver's live rows —
+          // no IN-list literal (codegen explodes past a few thousand
+          // keys), no driver materialization
+          val deletes = b
             .filter(col("_change_type") === "delete")
-            .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+            .select("o_orderkey")
           if (DeltaLog.versions(silver).isEmpty)
             DeltaLog.commitOverwrite(inserts, silver): Unit
           else if (!inserts.isEmpty)
             DeltaLog.mergeInto(spark, silver, inserts,
               Seq("o_orderkey")): Unit
-          if (deleteKeys.nonEmpty)
-            DeltaLog.deleteWhere(spark, silver,
-              col("o_orderkey").isInCollection(deleteKeys)): Unit
+          if (!deletes.isEmpty)
+            DeltaLog.deleteWhereKeys(spark, silver,
+              "o_orderkey", deletes): Unit
         } finally b.unpersist(): Unit
       }
       .option("checkpointLocation", s"$work/ckpt")

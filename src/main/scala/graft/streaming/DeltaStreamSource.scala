@@ -464,16 +464,99 @@ object DeltaStreamQueries {
   * files), (4) the logical name. Either path: a column absent from
   * an older file reads NULL — the same schema-on-read rule the
   * batch scan applies. */
-private class DeltaFileReaderFactory(schemaJson: String,
-    fieldIds: Map[String, Int] = Map.empty,
-    columnar: Boolean = true,
-    metadataIdsInFiles: Boolean = false)
-    extends PartitionReaderFactory {
+/** The row path's shared machinery — parquet Group → [[InternalRow]]
+  * conversion with per-level column resolution — used by
+  * [[DeltaFileReaderFactory]] and the Iceberg CDF reader. */
+private[streaming] object RowReadSupport {
+
+  /** Per-file resolution node: the table field, its index in the
+    * file's group type (-1 = absent) and, for structs, the resolved
+    * children against the file's nested group. */
+  class FieldRes(val f: StructField, val idx: Int,
+                 val children: Array[FieldRes])
+
+  /** Column lookup at every nesting level: (1)
+    * `delta.columnMapping.id` against the file's parquet field ids,
+    * (2) the explicit `ids` map (Iceberg, top level), (3)
+    * `delta.columnMapping.physicalName`, (4) the logical name. */
+  def resolve(fields: Array[StructField],
+      ft: org.apache.parquet.schema.GroupType,
+      ids: Map[String, Int]): Array[FieldRes] =
+    fields.map { f =>
+      val mappedId: Option[Int] =
+        if (f.metadata.contains("delta.columnMapping.id"))
+          Some(f.metadata.getLong("delta.columnMapping.id").toInt)
+        else ids.get(f.name)
+      val byId = mappedId.flatMap { id =>
+        ft.getFields.asScala.zipWithIndex.collectFirst {
+          case (t, i) if t.getId != null &&
+            t.getId.intValue == id => i
+        }
+      }
+      val physName =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      val idx = byId.getOrElse(
+        if (ft.containsField(physName)) ft.getFieldIndex(physName)
+        else if (ft.containsField(f.name)) ft.getFieldIndex(f.name)
+        else -1)
+      val children = f.dataType match {
+        case st: StructType if idx >= 0 =>
+          // the explicit id map is top-level only; nested levels
+          // resolve via their own annotations
+          resolve(st.fields, ft.getType(idx).asGroupType(), Map.empty)
+        case _ => Array.empty[FieldRes]
+      }
+      new FieldRes(f, idx, children)
+    }
+
+  /** One field's internal value from the current Group (recursive
+    * over nested structs; INT96 and INT64 timestamps both decode). */
+  def value(g: org.apache.parquet.example.data.Group,
+      gt: org.apache.parquet.schema.GroupType, r: FieldRes): Any = {
+    val i = r.idx
+    if (i < 0) null
+    else if (g.getFieldRepetitionCount(i) == 0) null
+    else r.f.dataType match {
+      case _: StructType =>
+        val cg = g.getGroup(i, 0)
+        val ct = gt.getType(i).asGroupType()
+        new GenericInternalRow(
+          r.children.map(c => value(cg, ct, c)): Array[Any])
+      case LongType => g.getLong(i, 0)
+      case IntegerType => g.getInteger(i, 0)
+      case DoubleType => g.getDouble(i, 0)
+      case FloatType => g.getFloat(i, 0)
+      case BooleanType => g.getBoolean(i, 0)
+      case StringType =>
+        UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+      // Spark's default parquet timestamp is INT96 (julian day +
+      // nanos-of-day, little-endian); newer writers use INT64
+      // micros — decode either to internal micros
+      case TimestampType | TimestampNTZType =>
+        val prim = gt.getType(i).asPrimitiveType()
+          .getPrimitiveTypeName
+        if (prim == org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.INT96) {
+          val buf = java.nio.ByteBuffer
+            .wrap(g.getInt96(i, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = buf.getLong
+          val julianDay = buf.getInt
+          (julianDay - 2440588).toLong * 86400000000L +
+            nanosOfDay / 1000L
+        } else g.getLong(i, 0)
+      case DateType => g.getInteger(i, 0)
+      case other => throw new IllegalArgumentException(
+        s"graft stream reader: unsupported type $other")
+    }
+  }
 
   /** Decode one log-stringified partition value into the internal
     * representation of `dataType` (shared by both read paths). */
-  private def decodeConstant(s: String, dataType: DataType,
-                             name: String): Any =
+  def decodeConstant(s: String, dataType: DataType,
+                     name: String): Any =
     if (s == null) null else dataType match {
       case LongType => s.toLong
       case IntegerType => s.toInt
@@ -490,6 +573,14 @@ private class DeltaFileReaderFactory(schemaJson: String,
       case other => throw new IllegalArgumentException(
         s"unsupported partition column type $other for $name")
     }
+}
+
+private class DeltaFileReaderFactory(schemaJson: String,
+    fieldIds: Map[String, Int] = Map.empty,
+    columnar: Boolean = true,
+    metadataIdsInFiles: Boolean = false)
+    extends PartitionReaderFactory {
+  import RowReadSupport.{decodeConstant, resolve, value, FieldRes}
 
   /** The schema the PARQUET reader is asked for: logical names
     * replaced by `delta.columnMapping.physicalName` where annotated
@@ -608,84 +699,6 @@ private class DeltaFileReaderFactory(schemaJson: String,
     }
   }
 
-  /** Per-file resolution node: the table field, its index in the
-    * file's group type (-1 = absent) and, for structs, the resolved
-    * children against the file's nested group. */
-  private class FieldRes(val f: StructField, val idx: Int,
-                         val children: Array[FieldRes])
-
-  private def resolve(fields: Array[StructField],
-      ft: org.apache.parquet.schema.GroupType,
-      ids: Map[String, Int]): Array[FieldRes] =
-    fields.map { f =>
-      val mappedId: Option[Int] =
-        if (f.metadata.contains("delta.columnMapping.id"))
-          Some(f.metadata.getLong("delta.columnMapping.id").toInt)
-        else ids.get(f.name)
-      val byId = mappedId.flatMap { id =>
-        ft.getFields.asScala.zipWithIndex.collectFirst {
-          case (t, i) if t.getId != null &&
-            t.getId.intValue == id => i
-        }
-      }
-      val physName =
-        if (f.metadata.contains("delta.columnMapping.physicalName"))
-          f.metadata.getString("delta.columnMapping.physicalName")
-        else f.name
-      val idx = byId.getOrElse(
-        if (ft.containsField(physName)) ft.getFieldIndex(physName)
-        else if (ft.containsField(f.name)) ft.getFieldIndex(f.name)
-        else -1)
-      val children = f.dataType match {
-        case st: StructType if idx >= 0 =>
-          // the explicit id map is top-level only (Iceberg streams
-          // primitives); nested levels resolve via their own
-          // annotations
-          resolve(st.fields, ft.getType(idx).asGroupType(), Map.empty)
-        case _ => Array.empty[FieldRes]
-      }
-      new FieldRes(f, idx, children)
-    }
-
-  private def value(g: org.apache.parquet.example.data.Group,
-      gt: org.apache.parquet.schema.GroupType, r: FieldRes): Any = {
-    val i = r.idx
-    if (i < 0) null
-    else if (g.getFieldRepetitionCount(i) == 0) null
-    else r.f.dataType match {
-      case _: StructType =>
-        val cg = g.getGroup(i, 0)
-        val ct = gt.getType(i).asGroupType()
-        new GenericInternalRow(
-          r.children.map(c => value(cg, ct, c)): Array[Any])
-      case LongType => g.getLong(i, 0)
-      case IntegerType => g.getInteger(i, 0)
-      case DoubleType => g.getDouble(i, 0)
-      case FloatType => g.getFloat(i, 0)
-      case BooleanType => g.getBoolean(i, 0)
-      case StringType =>
-        UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-      // Spark's default parquet timestamp is INT96 (julian
-      // day + nanos-of-day, little-endian); newer writers
-      // use INT64 micros — decode either to internal micros
-      case TimestampType | TimestampNTZType =>
-        val prim = gt.getType(i).asPrimitiveType()
-          .getPrimitiveTypeName
-        if (prim == org.apache.parquet.schema.PrimitiveType
-              .PrimitiveTypeName.INT96) {
-          val buf = java.nio.ByteBuffer
-            .wrap(g.getInt96(i, 0).getBytes)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val nanosOfDay = buf.getLong
-          val julianDay = buf.getInt
-          (julianDay - 2440588).toLong * 86400000000L +
-            nanosOfDay / 1000L
-        } else g.getLong(i, 0)
-      case DateType => g.getInteger(i, 0)
-      case other => throw new IllegalArgumentException(
-        s"graft-delta reader: unsupported type $other")
-    }
-  }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {

@@ -1,0 +1,322 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Iceberg
+
+/** `spark.readStream.format("graft-iceberg-cdf")` — the
+  * [[DeltaCdfStreamProvider]] twin over the Iceberg metadata chain:
+  * where the append source refuses delete snapshots, this source
+  * emits them as `_change_type`-tagged row-level changes:
+  *
+  *  - an `append` snapshot streams its added data files as `insert`;
+  *  - a `delete` snapshot (v2 MERGE-ON-READ position deletes)
+  *    streams EXACTLY its newly-deleted rows as `delete` — each
+  *    delete snapshot's own position-delete file holds only that
+  *    snapshot's (file, pos) pairs ([[Iceberg.deleteWhere]]
+  *    anti-joins prior deletes at write time), so the planner ships
+  *    the delete file to ONE executor task which reads the named
+  *    positions out of the untouched data files;
+  *  - equality deletes (content=2) and `overwrite` snapshots refuse
+  *    loudly with a pointer at the batch table-diff reads — they
+  *    remove rows by VALUE / wholesale, with no position-level
+  *    attribution.
+  *
+  * Offsets are snapshot ids (the append source's rule); WAP-staged
+  * branch and rolled-back snapshots never stream (main-ancestry
+  * walk); exactly-once rides Spark's offset checkpoint; the
+  * schema-signature guard fails the stream loudly on mid-stream
+  * evolution. Scope: unpartitioned tables, primitive columns.
+  * Options: `path` (required), `startingSnapshotId` (exclusive),
+  * `maxSnapshotsPerTrigger`. */
+class IcebergCdfStreamProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-iceberg-cdf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IcebergCdfStreamSource.cdfSchema(
+      IcebergStreamSource.pathOf(options))._1
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new IcebergCdfStreamTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+private[streaming] object IcebergCdfStreamSource {
+  def cdfSchema(tableDir: String): (StructType, Map[String, Int]) = {
+    val (schema, ids) = IcebergStreamSource.checkedSchema(tableDir)
+    (StructType(schema.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false))),
+      ids)
+  }
+}
+
+private class IcebergCdfStreamTable(schema: StructType,
+                                    options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-iceberg-cdf:${IcebergStreamSource.pathOf(options)}"
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    schema.fields.map(f =>
+      org.apache.spark.sql.connector.catalog.Column.create(
+        f.name, f.dataType, f.nullable))
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new IcebergCdfStreamScan(schema, options)
+    }
+}
+
+private class IcebergCdfStreamScan(schema: StructType,
+                                   options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = schema
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new IcebergCdfMicroBatchStream(schema,
+      IcebergStreamSource.pathOf(options),
+      options.getLong("startingSnapshotId", 0L),
+      options.getLong("maxSnapshotsPerTrigger", Long.MaxValue))
+}
+
+/** One delete snapshot's worth of row-level deletes: the executor
+  * reads the position-delete parquet (file_path, pos — sorted by
+  * construction), then walks each named data file emitting exactly
+  * the listed positions. O(delta) output for O(touched files) read —
+  * the same cost shape as the batch MoR scan of those files. */
+private case class IcebergPosDeletePartition(deleteFile: String,
+    constants: Map[String, String]) extends InputPartition
+
+private class IcebergCdfMicroBatchStream(schema: StructType,
+                                         tableDir: String,
+                                         startingSnapshotId: Long,
+                                         maxSnapshotsPerTrigger: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val startSig = IcebergStreamSource.schemaSig(tableDir)
+
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Iceberg.latestSnapshotId(tableDir))
+
+  override def initialOffset(): Offset =
+    SnapshotOffset(startingSnapshotId)
+
+  override def latestOffset(): Offset =
+    SnapshotOffset(availableNowCap
+      .getOrElse(Iceberg.latestSnapshotId(tableDir)))
+
+  // snapshot-granular admission: one snapshot's changes form one
+  // transactionally-meaningful unit for a CDC-applying sink
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val from = start.asInstanceOf[SnapshotOffset].snapshotId
+    val cap = latestOffset().asInstanceOf[SnapshotOffset].snapshotId
+    if (cap <= from) return start
+    val bounded =
+      if (maxSnapshotsPerTrigger >= cap - from) cap
+      else from + maxSnapshotsPerTrigger
+    SnapshotOffset(bounded)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset.parse(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    IcebergStreamSource.requireUnchangedSchema(tableDir, startSig)
+    val from = start.asInstanceOf[SnapshotOffset].snapshotId
+    val to = end.asInstanceOf[SnapshotOffset].snapshotId
+    Iceberg.cdfPlanBySnapshot(tableDir, from, to).flatMap {
+      case (id, _, dataFiles, deleteFiles) =>
+        val insertConsts = Map(
+          "_change_type" -> "insert",
+          "_commit_version" -> id.toString)
+        val deleteConsts = Map(
+          "_change_type" -> "delete",
+          "_commit_version" -> id.toString)
+        dataFiles.map(f => DeltaFilePartition(
+          f.path, f.partitionValues ++ insertConsts): InputPartition) ++
+          deleteFiles.map(d =>
+            IcebergPosDeletePartition(d, deleteConsts): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (_, ids) = IcebergStreamSource.checkedSchema(tableDir)
+    new IcebergCdfReaderFactory(schema.json, ids)
+  }
+}
+
+/** Row-based factory for both CDF partition shapes: plain data files
+  * ride the shared [[DeltaFileReaderFactory]] row path (as a
+  * delegate); position-delete partitions get the two-phase reader. */
+private class IcebergCdfReaderFactory(schemaJson: String,
+    fieldIds: Map[String, Int])
+    extends PartitionReaderFactory {
+  import RowReadSupport.{decodeConstant, resolve, value, FieldRes}
+
+  private val delegate =
+    new DeltaFileReaderFactory(schemaJson, fieldIds, columnar = false)
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+    case _: DeltaFilePartition => delegate.createReader(partition)
+    case p: IcebergPosDeletePartition => posDeleteReader(p)
+    case other => throw new IllegalArgumentException(
+      s"unexpected partition $other")
+  }
+
+  private def posDeleteReader(p: IcebergPosDeletePartition)
+      : PartitionReader[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val consts: Map[String, Any] = schema.fields.flatMap { f =>
+      p.constants.get(f.name)
+        .map(s => f.name -> decodeConstant(s, f.dataType, f.name))
+    }.toMap
+    // phase 1 (small): the delete file — (file_path, pos), grouped
+    // in order; a delete file is O(that snapshot's deleted rows)
+    val byFile = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    val dr = ParquetReader.builder(new GroupReadSupport(),
+      new Path(p.deleteFile)).build()
+    try {
+      var g = dr.read()
+      while (g != null) {
+        val ft = g.getType
+        val path = new String(g.getBinary(
+          ft.getFieldIndex("file_path"), 0).getBytes, "UTF-8")
+        val pos = g.getLong(ft.getFieldIndex("pos"), 0)
+        byFile.getOrElseUpdate(path,
+          scala.collection.mutable.ArrayBuffer.empty) += pos
+        g = dr.read()
+      }
+    } finally dr.close()
+    val files = byFile.toSeq.map { case (f, ps) => (f, ps.sorted.toSeq) }
+    // phase 2: walk each named data file, emitting the listed
+    // positions (sorted — one forward pass, early-stop at the last)
+    new PartitionReader[InternalRow] {
+      private var fileIdx = -1
+      private var reader: ParquetReader[
+        org.apache.parquet.example.data.Group] = _
+      private var res: Array[FieldRes] = _
+      private var positions: Seq[Long] = Seq.empty
+      private var posIdx = 0
+      private var rowPos = -1L
+      private var current: org.apache.parquet.example.data.Group = _
+
+      private def nextFile(): Boolean = {
+        if (reader != null) { reader.close(); reader = null }
+        fileIdx += 1
+        if (fileIdx >= files.size) false
+        else {
+          val (f, ps) = files(fileIdx)
+          reader = ParquetReader.builder(new GroupReadSupport(),
+            new Path(f)).build()
+          res = null
+          positions = ps
+          posIdx = 0
+          rowPos = -1L
+          true
+        }
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null || posIdx >= positions.size) {
+            if (!nextFile()) return false
+          }
+          current = reader.read()
+          if (current == null) {
+            // data file ended before its listed positions — corrupt
+            require(posIdx >= positions.size,
+              s"delete file ${p.deleteFile} names position " +
+                s"${positions(posIdx)} beyond the end of " +
+                files(fileIdx)._1)
+          } else {
+            rowPos += 1
+            if (rowPos == positions(posIdx)) {
+              posIdx += 1
+              return true
+            }
+          }
+        }
+        false
+      }
+
+      override def get(): InternalRow = {
+        val ft = current.getType
+        if (res == null) res = resolve(schema.fields, ft, fieldIds)
+        new GenericInternalRow(res.map { r =>
+          if (consts.contains(r.f.name)) consts(r.f.name)
+          else value(current, ft, r)
+        }: Array[Any])
+      }
+
+      override def close(): Unit =
+        if (reader != null) reader.close()
+    }
+  }
+}
+
+object IcebergCdfStreamQueries {
+  /** q200 — ICEBERG CDF STREAMING (the q181/q199 family on this
+    * format): the v2 merge-on-read lifecycle table (overwrite
+    * snapshot 1, position-delete of every tenth key at snapshot 2)
+    * drains through `graft-iceberg-cdf`. The result equals the
+    * two-arm oracle IFF the planner delivered snapshot 1's files as
+    * inserts AND snapshot 2's deletes as EXACTLY the tenth keys —
+    * read on the executor from the untouched data files at the
+    * delete file's (file, pos) pairs. A source that emitted the
+    * delete snapshot as file churn floods every row; one that
+    * misapplied positions deletes wrong rows; both hash-mismatch. */
+  def icebergCdfStream(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = Iceberg.ordersIcebergDeleteTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_icdf").toString
+    spark.readStream.format("graft-iceberg-cdf").option("path", t)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/data")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    spark.read.parquet(s"$work/data")
+      .orderBy(col("o_orderkey"), col("_commit_version"))
+  }
+
+  val icebergCdfStreamSql: String =
+    """SELECT * FROM (
+      |  SELECT o.*, 'insert' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version FROM orders o
+      |  UNION ALL
+      |  SELECT o.*, 'delete', CAST(2 AS BIGINT) FROM orders o
+      |  WHERE o_orderkey % 10 = 0
+      |) ORDER BY o_orderkey, _commit_version""".stripMargin
+}

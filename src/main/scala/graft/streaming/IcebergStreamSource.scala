@@ -65,6 +65,31 @@ private[streaming] object IcebergStreamSource {
       s"${f.dataType} for ${f.name}"))
     (schema, ids)
   }
+
+  /** The schema-change signature (see [[IcebergMicroBatchStream]]'s
+    * guard): (field id → type shape) when the table resolves by
+    * field id — renames keep it stable — falling back to
+    * (name → type shape) on name-mapped tables. */
+  def schemaSig(tableDir: String): Map[String, String] = {
+    val (sch, ids) = Iceberg.streamSchema(tableDir)
+    if (ids.nonEmpty)
+      ids.map { case (n, id) =>
+        id.toString ->
+          graft.sources.DeltaLog.schemaShape(sch(n).dataType).json }
+    else
+      sch.fields.map(f =>
+        f.name -> graft.sources.DeltaLog.schemaShape(f.dataType).json)
+        .toMap
+  }
+
+  def requireUnchangedSchema(tableDir: String,
+                             startSig: Map[String, String]): Unit =
+    require(schemaSig(tableDir) == startSig,
+      s"the schema of $tableDir CHANGED mid-stream (a field id was " +
+        "added, dropped or retyped) — streaming on would silently " +
+        "drop the new columns under the query-start schema. Restart " +
+        "the query to pick up the evolved schema (files written " +
+        "before the change read NULL for new columns).")
 }
 
 private class IcebergStreamTable(schema: StructType,
@@ -145,25 +170,10 @@ private class IcebergMicroBatchStream(schema: StructType,
   // with a restart message rather than silently dropping the new
   // column under the stale schema. Name-mapped tables fall back to
   // (name → type shape).
-  private def schemaSig(): Map[String, String] = {
-    val (sch, ids) = Iceberg.streamSchema(tableDir)
-    if (ids.nonEmpty)
-      ids.map { case (n, id) =>
-        id.toString ->
-          graft.sources.DeltaLog.schemaShape(sch(n).dataType).json }
-    else
-      sch.fields.map(f =>
-        f.name -> graft.sources.DeltaLog.schemaShape(f.dataType).json)
-        .toMap
-  }
-  private val startSig: Map[String, String] = schemaSig()
+  private val startSig: Map[String, String] =
+    IcebergStreamSource.schemaSig(tableDir)
   private def requireUnchangedSchema(): Unit =
-    require(schemaSig() == startSig,
-      s"the schema of $tableDir CHANGED mid-stream (a field id was " +
-        "added, dropped or retyped) — streaming on would silently " +
-        "drop the new columns under the query-start schema. Restart " +
-        "the query to pick up the evolved schema (files written " +
-        "before the change read NULL for new columns).")
+    IcebergStreamSource.requireUnchangedSchema(tableDir, startSig)
 
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =

@@ -101,17 +101,16 @@ class DeltaCdfStreamSourceSpec extends SparkSuite {
             val inserts = batch
               .filter(col("_change_type") === "insert")
               .drop("_change_type", "_commit_version")
-            val deleteKeys = batch
-              .filter(col("_change_type") === "delete")
-              .select("k").collect().map(_.getLong(0)).toSeq
+            val deletes = batch
+              .filter(col("_change_type") === "delete").select("k")
             if (sources.DeltaLog.versions(silver).isEmpty)
               sources.DeltaLog.commitOverwrite(inserts, silver): Unit
             else if (!inserts.isEmpty)
               sources.DeltaLog.mergeInto(spark, silver, inserts,
                 Seq("k")): Unit
-            if (deleteKeys.nonEmpty)
-              sources.DeltaLog.deleteWhere(spark, silver,
-                col("k").isInCollection(deleteKeys)): Unit
+            if (!deletes.isEmpty)
+              sources.DeltaLog.deleteWhereKeys(spark, silver,
+                "k", deletes): Unit
             // crash AFTER the apply, BEFORE the engine records the
             // batch — the tightest window; the replayed apply must
             // be state-idempotent

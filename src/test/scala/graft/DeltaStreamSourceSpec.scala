@@ -307,6 +307,7 @@ class DeltaStreamSourceSpec extends SparkSuite {
     sources.DeltaLog.commitAppend(spark.sql(
       """SELECT id AS k, CAST(id AS DOUBLE) / 3 AS d,
         |  CONCAT('customer-', id % 100000) AS s,
+        |  CONCAT('comment-string-padding-', id % 977, '-', id % 83) AS c,
         |  CAST(id % 7 AS INT) AS i
         |FROM range(10000000)""".stripMargin).repartition(4), dir)
     def drainTime(vectorized: Boolean, tag: String): Double = {
@@ -329,11 +330,11 @@ class DeltaStreamSourceSpec extends SparkSuite {
       "row and columnar paths must read identical rows")
     // throughput: ColumnarBatch straight into codegen vs per-row
     // Group materialization (warm both paths above, then measure;
-    // min-of-2 so a GC pause or noisy neighbor can't fail the gate)
-    val rowSec = Seq(drainTime(vectorized = false, "brow1"),
-      drainTime(vectorized = false, "brow2")).min
-    val colSec = Seq(drainTime(vectorized = true, "bcol1"),
-      drainTime(vectorized = true, "bcol2")).min
+    // min-of-3 so a GC pause or noisy neighbor can't fail the gate)
+    val rowSec = (1 to 3)
+      .map(i => drainTime(vectorized = false, s"brow$i")).min
+    val colSec = (1 to 3)
+      .map(i => drainTime(vectorized = true, s"bcol$i")).min
     info(f"row=$rowSec%.2fs columnar=$colSec%.2fs " +
       f"speedup=${rowSec / colSec}%.1fx")
     assert(colSec * 2 <= rowSec,
