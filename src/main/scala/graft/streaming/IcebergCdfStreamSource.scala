@@ -216,7 +216,11 @@ private class IcebergCdfReaderFactory(schemaJson: String,
         g = dr.read()
       }
     } finally dr.close()
-    val files = byFile.toSeq.map { case (f, ps) => (f, ps.sorted.toSeq) }
+    // Array positions: the per-row `positions(posIdx)` probe in the
+    // phase-2 walk must be O(1) — a linked Seq here turns a 150k-row
+    // file walk into O(rows x positions) pointer chasing
+    val files: Seq[(String, Array[Long])] =
+      byFile.toSeq.map { case (f, ps) => (f, ps.toArray.sorted) }
     // phase 2: walk each named data file, emitting the listed
     // positions (sorted — one forward pass, early-stop at the last)
     new PartitionReader[InternalRow] {
@@ -224,7 +228,7 @@ private class IcebergCdfReaderFactory(schemaJson: String,
       private var reader: ParquetReader[
         org.apache.parquet.example.data.Group] = _
       private var res: Array[FieldRes] = _
-      private var positions: Seq[Long] = Seq.empty
+      private var positions: Array[Long] = Array.empty
       private var posIdx = 0
       private var rowPos = -1L
       private var current: org.apache.parquet.example.data.Group = _
