@@ -34,12 +34,12 @@ import graft.sources.DeltaLog
   * planning, task scheduling, recovery), and this class only answers
   * the three questions a source must: what is the latest offset
   * (the log's newest version), what files does a version range add
-  * ([[DeltaLog.addedFilesIn]] — dataChange=false OPTIMIZE commits
-  * contribute NOTHING, data-removing commits refuse loudly unless
-  * `skipChangeCommits`), and how to read one file's rows on an
-  * EXECUTOR (a parquet Group reader; one [[InputPartition]] per
-  * file, so a 1000-file commit fans out across the cluster — the
-  * driver only ever lists paths).
+  * ([[DeltaLog.addedFilesByVersion]] — dataChange=false OPTIMIZE
+  * commits contribute NOTHING, data-removing commits refuse loudly
+  * unless `skipChangeCommits`), and how to read one file's rows on
+  * an EXECUTOR (vectorized ColumnarBatch by default; one
+  * [[InputPartition]] per file, so a 1000-file commit fans out
+  * across the cluster — the driver only ever lists paths).
   *
   * Exactly-once: offsets are committed by the engine AFTER the sink,
   * so a crash replays the last batch into an idempotent sink —
@@ -47,13 +47,21 @@ import graft.sources.DeltaLog
   * Spark's checkpoint machinery doing the bookkeeping (spec-held
   * restart proof in DeltaStreamSourceSpec).
   *
-  * Scope (loud, not guessed): unmapped tables with primitive
-  * columns; PARTITIONED tables stream too — each file's
-  * log-recorded partitionValues ride its InputPartition and the
-  * reader emits them as per-row constants. Options: `path`
-  * (required), `skipChangeCommits` (default false),
-  * `startingVersion` (default: all history), `maxVersionsPerTrigger`
-  * (admission control).
+  * Scope: primitive and STRUCT columns; PARTITIONED tables stream
+  * (each file's log-recorded partitionValues ride its InputPartition
+  * and surface as per-row constants); COLUMN-MAPPED tables stream
+  * (both modes — the annotated schema resolves physical names /
+  * field ids on the executor, and metadata-only renames pass the
+  * physical-shape schema-change guard, q198). A schema CHANGE inside
+  * a planned range fails the stream loudly with a restart message.
+  * The default read path is COLUMNAR (Spark's vectorized parquet
+  * reader emitting ColumnarBatch, 2.4× the row path — spec-gated).
+  *
+  * Options: `path` (required), `skipChangeCommits` (default false),
+  * `startingVersion` (default: all history), `maxVersionsPerTrigger`,
+  * `maxFilesPerTrigger` / `maxBytesPerTrigger` (admission control
+  * that SPLITS within a commit — offsets are (version, fileIndex)),
+  * `vectorizedRead` (default true).
   */
 class DeltaStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-delta"

@@ -27,12 +27,18 @@ import graft.sources.Iceberg
   *
   * Options: `path` (required), `skipOverwriteSnapshots` (default
   * false), `startingSnapshotId` (exclusive; default 0 = full
-  * history). Scope: primitive columns; identity-PARTITIONED tables
-  * stream too — each file's manifest tuple rides its InputPartition
-  * and the reader emits the stripped partition columns as per-row
-  * constants (q197). Only snapshots reachable from the MAIN branch
-  * head stream (WAP-staged branches and rolled-back snapshots are
-  * unpublished history). */
+  * history), `maxSnapshotsPerTrigger`, `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger` (admission control that SPLITS within a
+  * snapshot — offsets are (snapshotId, fileIndex); manifest byte
+  * sizes are the byte currency), `vectorizedRead` (default true —
+  * ColumnarBatch emission). Scope: primitive columns;
+  * identity-PARTITIONED tables stream too — each file's manifest
+  * tuple rides its InputPartition and the reader emits the stripped
+  * partition columns as per-row constants (q197). Only snapshots
+  * reachable from the MAIN branch head stream (WAP-staged branches
+  * and rolled-back snapshots are unpublished history); a mid-stream
+  * schema change (new/retyped field id) fails the stream loudly,
+  * while metadata-only renames stream through. */
 class IcebergStreamProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-iceberg"
