@@ -58,7 +58,9 @@ import graft.sources.DeltaLog
   * reader emitting ColumnarBatch, 2.4× the row path — spec-gated).
   *
   * Options: `path` (required), `skipChangeCommits` (default false),
-  * `startingVersion` (default: all history), `maxVersionsPerTrigger`,
+  * `startingVersion` (a version, or `latest` = backfill via one batch
+  * read and stream only post-start commits; default: all history),
+  * `maxVersionsPerTrigger`,
   * `maxFilesPerTrigger` / `maxBytesPerTrigger` (admission control
   * that SPLITS within a commit — offsets are (version, fileIndex)),
   * `vectorizedRead` (default true).
@@ -151,7 +153,7 @@ private class DeltaStreamScan(schema: StructType,
     new DeltaMicroBatchStream(
       DeltaStreamSource.annotatedSchema(path), path,
       options.getBoolean("skipChangeCommits", false),
-      Option(options.get("startingVersion")).map(_.toLong),
+      Option(options.get("startingVersion")),
       options.getLong("maxVersionsPerTrigger", Long.MaxValue),
       options.getLong("maxFilesPerTrigger", Long.MaxValue),
       options.getLong("maxBytesPerTrigger", Long.MaxValue),
@@ -185,7 +187,7 @@ private object VersionOffset {
 
 private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
                                     skipChangeCommits: Boolean,
-                                    startingVersion: Option[Long],
+                                    startingVersion: Option[String],
                                     maxVersionsPerTrigger: Long,
                                     maxFilesPerTrigger: Long,
                                     maxBytesPerTrigger: Long,
@@ -199,8 +201,15 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(DeltaLog.versions(tableDir).last)
 
-  override def initialOffset(): Offset =
-    VersionOffset(startingVersion.map(_ - 1).getOrElse(-1L))
+  // "latest" is the intended BIG-HISTORY path: backfill the existing
+  // table with one batch read, then stream only commits after query
+  // start — Delta's own startingVersion=latest contract
+  override def initialOffset(): Offset = startingVersion match {
+    case Some("latest") =>
+      VersionOffset(DeltaLog.versions(tableDir).last)
+    case Some(v) => VersionOffset(v.toLong - 1)
+    case None => VersionOffset(-1L)
+  }
 
   override def latestOffset(): Offset =
     VersionOffset(availableNowCap

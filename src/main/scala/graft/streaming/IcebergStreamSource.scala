@@ -26,8 +26,8 @@ import graft.sources.Iceberg
   * streaming-skip-overwrite-snapshots escape hatch).
   *
   * Options: `path` (required), `skipOverwriteSnapshots` (default
-  * false), `startingSnapshotId` (exclusive; default 0 = full
-  * history), `maxSnapshotsPerTrigger`, `maxFilesPerTrigger` /
+  * false), `startingSnapshotId` (exclusive; a snapshot id or `latest`;
+  * default 0 = full history), `maxSnapshotsPerTrigger`, `maxFilesPerTrigger` /
   * `maxBytesPerTrigger` (admission control that SPLITS within a
   * snapshot — offsets are (snapshotId, fileIndex); manifest byte
   * sizes are the byte currency), `vectorizedRead` (default true —
@@ -125,7 +125,7 @@ private class IcebergStreamScan(schema: StructType,
     new IcebergMicroBatchStream(schema,
       IcebergStreamSource.pathOf(options),
       options.getBoolean("skipOverwriteSnapshots", false),
-      options.getLong("startingSnapshotId", 0L),
+      Option(options.get("startingSnapshotId")),
       options.getLong("maxSnapshotsPerTrigger", Long.MaxValue),
       options.getLong("maxFilesPerTrigger", Long.MaxValue),
       options.getLong("maxBytesPerTrigger", Long.MaxValue),
@@ -159,7 +159,7 @@ private object SnapshotOffset {
 private class IcebergMicroBatchStream(schema: StructType,
                                       tableDir: String,
                                       skipOverwriteSnapshots: Boolean,
-                                      startingSnapshotId: Long,
+                                      startingSnapshotId: Option[String],
                                       maxSnapshotsPerTrigger: Long,
                                       maxFilesPerTrigger: Long,
                                       maxBytesPerTrigger: Long,
@@ -185,8 +185,14 @@ private class IcebergMicroBatchStream(schema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(Iceberg.latestSnapshotId(tableDir))
 
-  override def initialOffset(): Offset =
-    SnapshotOffset(startingSnapshotId)
+  // "latest" = backfill the existing table with one batch read and
+  // stream only snapshots committed after query start
+  override def initialOffset(): Offset = startingSnapshotId match {
+    case Some("latest") =>
+      SnapshotOffset(Iceberg.latestSnapshotId(tableDir))
+    case Some(s) => SnapshotOffset(s.toLong)
+    case None => SnapshotOffset(0L)
+  }
 
   override def latestOffset(): Offset =
     SnapshotOffset(availableNowCap

@@ -92,6 +92,29 @@ class DeltaStreamSourceSpec extends SparkSuite {
       "only version 1's rows — version 0 is before the start")
   }
 
+  test("startingVersion=latest skips history; only post-start commits stream") {
+    val work = Files.createTempDirectory("dstreaml").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      (1L to 5L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitAppend(
+      (6L to 8L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    // the big-history path: backfill rides a BATCH read; the stream
+    // starts at the current head and delivers only what lands after
+    drain(dir, s"$work/out", s"$work/ckpt",
+      Map("startingVersion" -> "latest"))
+    assert(!new java.io.File(s"$work/out").exists() ||
+      spark.read.parquet(s"$work/out").count() == 0,
+      "nothing before query start streams under latest")
+    sources.DeltaLog.commitAppend(
+      Seq((9L, "s9")).toDF("k", "s"), dir)
+    drain(dir, s"$work/out", s"$work/ckpt",
+      Map("startingVersion" -> "latest"))
+    assert(spark.read.parquet(s"$work/out")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L),
+      "exactly the post-start append")
+  }
+
   test("maxVersionsPerTrigger drains a backlog in bounded batches") {
     val work = Files.createTempDirectory("dstream4").toString
     val dir = s"$work/t"

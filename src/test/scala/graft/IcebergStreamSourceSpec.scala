@@ -116,6 +116,23 @@ class IcebergStreamSourceSpec extends SparkSuite {
       "the overwrite snapshot is skipped whole; appends around it land")
   }
 
+  test("startingSnapshotId=latest skips history; only post-start snapshots stream") {
+    val work = Files.createTempDirectory("istreaml").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      (1L to 5L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    drain(dir, s"$work/out", s"$work/ckpt",
+      Map("startingSnapshotId" -> "latest"))
+    assert(!new java.io.File(s"$work/out").exists() ||
+      spark.read.parquet(s"$work/out").count() == 0)
+    sources.Iceberg.commitAppend(Seq((9L, "s9")).toDF("k", "s"), dir)
+    drain(dir, s"$work/out", s"$work/ckpt",
+      Map("startingSnapshotId" -> "latest"))
+    assert(spark.read.parquet(s"$work/out")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L),
+      "exactly the post-start append")
+  }
+
   test("maxFilesPerTrigger splits one backfill snapshot across batches") {
     val work = Files.createTempDirectory("istream9").toString
     val dir = s"$work/t"
