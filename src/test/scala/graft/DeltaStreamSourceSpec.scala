@@ -324,6 +324,34 @@ class DeltaStreamSourceSpec extends SparkSuite {
       "streamed nested-mapped rows must equal the batch read bit-exact")
   }
 
+  test("columnar path null-fills evolved columns on pre-evolution files") {
+    val work = Files.createTempDirectory("dstreamn").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      (1L to 3L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    val st = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last)
+    sources.DeltaLog.evolveSchema(dir,
+      org.apache.spark.sql.types.StructType(st.schema.fields :+
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))
+    sources.DeltaLog.commitAppend(
+      Seq((4L, "s4", 40L)).toDF("k", "s", "x"), dir)
+    // a FRESH stream reads the full history under the evolved
+    // schema: the v0 file lacks `x` — the VECTORIZED reader must
+    // surface constant-null vectors for it (and the row path agrees)
+    for ((mode, tag) <- Seq(("true", "v"), ("false", "r"))) {
+      drain(dir, s"$work/out$tag", s"$work/ckpt$tag",
+        Map("vectorizedRead" -> mode))
+      val got = spark.read.parquet(s"$work/out$tag")
+        .orderBy(col("k"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      assert(got == Seq((1L, None), (2L, None), (3L, None),
+        (4L, Some(40L))), s"mode=$mode must null-fill old files")
+    }
+  }
+
   test("vectorized read path: >=2x throughput over the row path, same rows") {
     val work = Files.createTempDirectory("dstreamv").toString
     val dir = s"$work/t"
