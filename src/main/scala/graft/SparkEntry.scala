@@ -485,7 +485,19 @@ object SparkEntry {
     // position-delete snapshots as EXACTLY their newly-deleted rows
     // (executor reads the (file, pos) pairs out of untouched files)
     "q200_iceberg_cdf_stream"
-      -> (streaming.IcebergCdfStreamQueries.icebergCdfStream _)
+      -> (streaming.IcebergCdfStreamQueries.icebergCdfStream _),
+    // the protocol's cdc actions honored over derivation: a MERGE /
+    // DV-delete on a delta.enableChangeDataFeed=true table writes
+    // _change_data files the reader must prefer (update_preimage/
+    // update_postimage rows — derivation would report the overwrite's
+    // whole-file churn)
+    "q201_delta_cdc_actions"
+      -> (sources.DeltaLog.deltaCdcFeed _),
+    // the Flink-CDC upsert wire streamed: equality-delete snapshots
+    // emit one delete row per doomed key (O(keys), no data file
+    // read) into a MERGE + delete-by-key silver
+    "q202_iceberg_cdf_upsert_stream"
+      -> (streaming.IcebergCdfStreamQueries.icebergCdfUpsertStream _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -718,6 +730,10 @@ object SparkEntry {
     "q199_delta_cdf_stream_merge"
       -> streaming.DeltaCdfStreamQueries.deltaCdfStreamMergeSql,
     "q200_iceberg_cdf_stream"
-      -> streaming.IcebergCdfStreamQueries.icebergCdfStreamSql
+      -> streaming.IcebergCdfStreamQueries.icebergCdfStreamSql,
+    "q201_delta_cdc_actions"
+      -> sources.DeltaLog.deltaCdcFeedSql,
+    "q202_iceberg_cdf_upsert_stream"
+      -> streaming.IcebergCdfStreamQueries.icebergCdfUpsertStreamSql
   )
 }

@@ -1167,6 +1167,68 @@ object DeltaLog {
     r
   }
 
+  /** The spec's `cdc` action: names a CHANGE DATA file (the rows this
+    * commit inserted/updated/deleted, `_change_type`-tagged inside
+    * the file) that CDF readers must use INSTEAD of deriving changes
+    * from the commit's add/remove churn. `dataChange=false` — change
+    * files are never part of table state
+    * (reference CDC loop: /root/reference/spark/batch_silver.py:58-82). */
+  private def cdcAction(path: String, size: Long,
+      partitionValues: Map[String, String] = Map.empty): ObjectNode = {
+    val c = mapper.createObjectNode()
+    val cdc = c.putObject("cdc")
+    cdc.put("path", path)
+    val pv = cdc.putObject("partitionValues")
+    partitionValues.foreach { case (k, v) =>
+      if (v == null) pv.putNull(k) else pv.put(k, v)
+    }
+    cdc.put("size", size)
+    cdc.put("dataChange", false)
+    c
+  }
+
+  /** Is the Change Data Feed WRITE path on for this table?
+    * `delta.enableChangeDataFeed=true` — the property real Delta
+    * writers honor; when set, [[mergeInto]] and [[deleteWhere]]
+    * persist their row-level changes under `_change_data/` and stamp
+    * `cdc` actions so ANY Delta CDF reader (this engine's or a
+    * foreign client's) reads exact row-level changes instead of
+    * whole-file derivation. */
+  private def cdfWriteEnabled(st: State): Boolean =
+    st.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Write `changes` (table columns + `_change_type`; partition
+    * columns included for partitioned tables — stripped into the
+    * hive layout by `partitionBy`) as `_change_data/` files, returning
+    * their `cdc` actions. Empty `changes` yields no files and no
+    * actions — callers treat that as "nothing changed". */
+  private def writeChangeData(changes: DataFrame, tableDir: String,
+      partCols: Seq[String]): Seq[ObjectNode] = {
+    val sub = s"_change_data/cdc-${java.util.UUID.randomUUID}"
+    if (partCols.isEmpty) {
+      changes.write.parquet(s"$tableDir/$sub")
+      partFiles(tableDir, sub).map(f =>
+        cdcAction(s"$sub/${f.getName}", f.length))
+    } else {
+      changes.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
+      val root = new File(tableDir).getPath
+      partFiles(tableDir, sub).map { f =>
+        val rel = f.getPath.stripPrefix(root + "/")
+        // hive value dirs between the cdc subdir and the file name
+        val pv = rel.split('/').filter(_.contains('=')).map { seg =>
+          val eq = seg.indexOf('=')
+          seg.substring(0, eq) ->
+            PartitionedScan.hiveUnescape(seg.substring(eq + 1))
+        }.toMap
+        require(pv.keySet == partCols.toSet,
+          s"change-data file $rel: hive dirs $pv do not match " +
+            s"declared partition columns $partCols")
+        cdcAction(rel, f.length, pv)
+      }
+    }
+  }
+
   /** Parquet part files under `tableDir/sub`, recursively (a
     * partitioned write nests hive-style value directories), in
     * path order. */
@@ -1201,7 +1263,14 @@ object DeltaLog {
     }
   }
 
-  def commitOverwrite(df: DataFrame, tableDir: String): Long = {
+  def commitOverwrite(df: DataFrame, tableDir: String): Long =
+    commitOverwriteExtra(df, tableDir, Seq.empty)
+
+  /** [[commitOverwrite]] with extra actions (cdc change-data stamps)
+    * riding the SAME commit — change files and the file churn they
+    * describe must be atomic or a CDF reader sees a torn version. */
+  private def commitOverwriteExtra(df: DataFrame, tableDir: String,
+      extra: Seq[ObjectNode]): Long = {
     requireUnpartitioned(tableDir, "commitOverwrite")
     // data dir named by UUID, not by version: two racing writers must
     // not collide at the DATA write — only the log CAS decides order
@@ -1225,7 +1294,7 @@ object DeltaLog {
           Seq(protocolAction(), metaDataAction(df.schema, Seq.empty))
         else replay(tableDir, vs.last).files.map(p => removeAction(p))
       commitClaimHook(tableDir, v)
-      done = writeActions(tableDir, v, head ++ adds)
+      done = writeActions(tableDir, v, head ++ adds ++ extra)
       if (!done) commitCasRetries.incrementAndGet()
     }
     v
@@ -1360,9 +1429,23 @@ object DeltaLog {
   private[graft] def addedFilesByVersion(tableDir: String,
       fromExclusive: Long, to: Long, skipChangeCommits: Boolean,
       startSchema: Option[StructType] = None)
-      : Seq[(Long, Seq[StreamFile])] = {
+      : Seq[(Long, Seq[StreamFile])] =
+    addedFilesIterator(tableDir, fromExclusive, to, skipChangeCommits,
+      startSchema).toSeq
+
+  /** [[addedFilesByVersion]] as a LAZY iterator — each commit file is
+    * read and JSON-parsed only when the iterator advances to it, so
+    * the admission-control walk ([[graft.streaming
+    * .DeltaStreamSource]] file/byte caps) stops paying driver-side
+    * parse cost at the first version past its cap: draining an
+    * N-commit backlog is O(N) total commit reads across all
+    * triggers, not O(N²). */
+  private[graft] def addedFilesIterator(tableDir: String,
+      fromExclusive: Long, to: Long, skipChangeCommits: Boolean,
+      startSchema: Option[StructType] = None)
+      : Iterator[(Long, Seq[StreamFile])] = {
     val vs = versions(tableDir)
-    vs.filter(v => v > fromExclusive && v <= to).map { v =>
+    vs.filter(v => v > fromExclusive && v <= to).iterator.map { v =>
       val nodes = Files.readAllLines(commitFile(tableDir, v).toPath)
         .asScala.filter(_.nonEmpty).map(mapper.readTree).toSeq
       startSchema.filter(_ => v != vs.head).foreach { ss =>
@@ -1903,8 +1986,14 @@ object DeltaLog {
             d.withColumn("_dw_f", col("_metadata.file_name"))
               .withColumn("_dw_p", col("_metadata.row_index"))),
           carryCols = Seq("_dw_f", "_dw_p"))
+    val cdfOn = cdfWriteEnabled(st)
+    // CDF write needs the matched ROWS a second time (the change
+    // file); persist so the bitmap build and the change write share
+    // one scan instead of re-running the match
+    val matched = if (cdfOn) matchRows(live).persist()
+      else matchRows(live)
     val collected: Seq[(String, DeletionVectors.Bitmap64)] =
-      matchRows(live)
+      matched
         .groupBy(col("_dw_f"))
         .agg(graft.functions.AggExprs.rowPosBitmap(col("_dw_p"))
           .as("_dw_bm"))
@@ -1913,7 +2002,28 @@ object DeltaLog {
           .fromPortable(r.getAs[Array[Byte]](1))))
         .filter(!_._2.isEmpty)
     lastDeleteRowsCollected = collected.size.toLong
-    if (collected.isEmpty) return vs.last
+    if (collected.isEmpty) {
+      if (cdfOn) matched.unpersist(): Unit
+      return vs.last
+    }
+    // delta.enableChangeDataFeed=true: the deleted rows ride a
+    // _change_data file + cdc action, so CDF readers (this engine's
+    // and foreign clients') take exact delete rows from the change
+    // file instead of diffing deletion-vector bitmaps
+    val cdcActs: Seq[ObjectNode] =
+      if (!cdfOn) Seq.empty
+      else {
+        require(st.columnMapping.isEmpty,
+          "CDF write on a column-mapped table is out of scope — " +
+            "change files would carry logical names foreign readers " +
+            "cannot resolve")
+        val acts = writeChangeData(
+          matched.drop("_dw_f", "_dw_p")
+            .withColumn("_change_type", lit("delete")),
+          tableDir, st.partitionColumns)
+        matched.unpersist(): Unit
+        acts
+      }
     val newDvs: Seq[(String, DeletionVectors.Bitmap64)] =
       collected.map { case (b, bm) => (byBase(b), bm) }
         .sortBy(_._1).map { case (p, bm) =>
@@ -1927,13 +2037,13 @@ object DeltaLog {
     val features =
       if (st.columnMapping.nonEmpty) Seq("deletionVectors", "columnMapping")
       else Seq("deletionVectors")
-    val actions = protocolActionV3(features) +:
+    val actions = (protocolActionV3(features) +:
       newDvs.flatMap { case (p, _) =>
         val a = st.adds(p)
         Seq(removeAction(p),
           addAction(p, a.size, a.partitionValues, dataChange = true,
             a.stats, Some(descs(p))))
-      }
+      }) ++ cdcActs
     require(writeActions(tableDir, vs.last + 1, actions),
       s"concurrent writer claimed version ${vs.last + 1} during delete " +
         "— re-run against the new state")
@@ -2511,6 +2621,79 @@ object DeltaLog {
       |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Session-cached CDC-ENABLED lifecycle table: v0 = even keys
+    * (plain create — CDF derives it as inserts), v1 = ALTER TABLE SET
+    * `delta.enableChangeDataFeed=true` (metaData only, contributes no
+    * changes), v2 = [[mergeInto]] keys %3=0 with priority 'MERGED'
+    * (writes a `_change_data` file: update_preimage/update_postimage
+    * pairs for matched keys + inserts for new keys, stamped by a
+    * `cdc` action), v3 = [[deleteWhere]] keys %5=0 (deletion-vector
+    * delete whose deleted ROWS also ride a change file + cdc
+    * action). */
+  private[graft] def ordersCdcTable(spark: SparkSession,
+                                    dir: String): String =
+    cachedTable(spark, dir, "deltacdcfeed") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      setTableProperties(t, Map("delta.enableChangeDataFeed" -> "true"))
+      mergeInto(spark, t,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .withColumn("o_orderpriority", lit("MERGED")),
+        Seq("o_orderkey"))
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(5)) === 0): Unit
+    }
+
+  /** q201 — CDC ACTIONS HONORED OVER DERIVATION: the full change feed
+    * of [[ordersCdcTable]]. The protocol requires a reader to take a
+    * commit's changes from its `cdc` change files when present and
+    * derive from add/remove only for bare commits — so v0 derives as
+    * inserts, v2 (a MERGE, physically an overwrite: remove-all +
+    * add-all) must read its change file's update_preimage/
+    * update_postimage/insert rows (deriving would report the whole
+    * table deleted and re-inserted — hash mismatch), and v3 (a DV
+    * delete) must read its change file's delete rows rather than diff
+    * bitmaps. The property commit v1 contributes nothing. This is the
+    * read path a user migrating from the reference's CDC-first
+    * pipeline (spark/batch_silver.py:58-82) hits on day one against a
+    * foreign-written Delta change feed. */
+  def deltaCdcFeed(spark: SparkSession, dir: String): DataFrame = {
+    val t = ordersCdcTable(spark, dir)
+    readChanges(spark, t, 0L, versions(t).last)
+      .orderBy(col("_commit_version"), col("_change_type"),
+        col("o_orderkey"))
+  }
+
+  val deltaCdcFeedSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority,
+      |  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority,
+      |  'update_preimage', CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, 'MERGED',
+      |  'update_postimage', CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, 'MERGED',
+      |  'insert', CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'MERGED'
+      |       ELSE o_orderpriority END,
+      |  'delete', CAST(3 AS BIGINT)
+      |FROM orders
+      |WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+      |  AND o_orderkey % 5 = 0
+      |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin
+
   /** Session-cached SCHEMA-EVOLUTION table: commit 0 = even order
     * keys WITHOUT `o_orderpriority` (the original 5-column schema),
     * commit 1 = the metaData-only evolution adding the column,
@@ -2763,6 +2946,31 @@ object DeltaLog {
     v
   }
 
+  /** ALTER TABLE SET TBLPROPERTIES: commit a metaData-only action
+    * carrying the existing schema/partitioning with `props` merged
+    * into the configuration — how `delta.enableChangeDataFeed` is
+    * switched on for [[mergeInto]]/[[deleteWhere]]'s cdc-action
+    * writes. Schema SHAPE is unchanged, so streaming sources pass the
+    * commit through their schema-change guard. Returns the committed
+    * version. */
+  def setTableProperties(tableDir: String,
+                         props: Map[String, String]): Long = {
+    var v = -1L
+    var done = false
+    while (!done) {
+      val vs = versions(tableDir)
+      require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+      val st = replay(tableDir, vs.last)
+      v = vs.last + 1
+      commitClaimHook(tableDir, v)
+      done = writeActions(tableDir, v,
+        Seq(metaDataAction(st.schema, st.partitionColumns,
+          st.configuration ++ props)))
+      if (!done) commitCasRetries.incrementAndGet()
+    }
+    v
+  }
+
   /** MERGE INTO the open Delta table: `whenMatchedUpdateAll` +
     * `whenNotMatchedInsertAll`, the reference's core Delta operation
     * (spark/batch_silver.py:146-159), executed through the real
@@ -2787,8 +2995,32 @@ object DeltaLog {
     val target = read(spark, tableDir)
     require(keys.nonEmpty && keys.forall(target.columns.contains),
       s"merge keys $keys must exist in the target schema")
-    commitOverwrite(
-      target.join(source, keys, "left_anti").unionByName(source), tableDir)
+    val merged = target.join(source, keys, "left_anti").unionByName(source)
+    val st = replay(tableDir, versions(tableDir).last)
+    if (!cdfWriteEnabled(st)) return commitOverwrite(merged, tableDir)
+    // delta.enableChangeDataFeed=true: this commit's ROW-LEVEL changes
+    // ride a _change_data file + cdc action (matched keys as
+    // update_preimage/update_postimage pairs, new keys as insert) —
+    // without it a CDF reader would derive the overwrite's remove+add
+    // churn as a whole-table delete+insert, which is not what a MERGE
+    // did. Foreign Delta CDF readers consume this directly.
+    require(st.columnMapping.isEmpty,
+      "CDF write on a column-mapped table is out of scope — change " +
+        "files would carry logical names foreign readers cannot resolve")
+    import org.apache.spark.sql.functions.lit
+    val tgtKeys = target.select(keys.map(col): _*)
+    val srcKeys = source.select(keys.map(col): _*)
+    val changes = target.join(srcKeys, keys, "left_semi")
+      .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(source.join(tgtKeys, keys, "left_semi")
+        .withColumn("_change_type", lit("update_postimage")))
+      .unionByName(source.join(tgtKeys, keys, "left_anti")
+        .withColumn("_change_type", lit("insert")))
+    // no change rows ⇒ the merge is a semantic no-op; skip the commit
+    // rather than stamp a churn-only version with an empty change file
+    if (changes.isEmpty) versions(tableDir).last
+    else commitOverwriteExtra(merged, tableDir,
+      writeChangeData(changes, tableDir, Seq.empty))
   }
 
   // ---------------------------------------------------------------
@@ -2866,6 +3098,30 @@ object DeltaLog {
           n.get("add").has("deletionVector") =>
           n.get("add").get("path").asText
       }.toSet
+      // a commit CARRYING cdc actions: the protocol requires readers
+      // to take that commit's change data from the named change files
+      // INSTEAD of deriving from its add/remove churn — a foreign
+      // MERGE's rewrite would otherwise mis-report as whole-file
+      // delete+insert. Record the change files (with their partition
+      // values); the file actions replay into STATE only.
+      val cdcNodes = nodes.filter(_.has("cdc"))
+      if (cdcNodes.nonEmpty) {
+        if (inRange) cdcNodes.foreach { n =>
+          val c = n.get("cdc")
+          val pv =
+            if (c.has("partitionValues"))
+              c.get("partitionValues").properties().asScala
+                .map(e => e.getKey ->
+                  (if (e.getValue.isNull) null else e.getValue.asText))
+                .toMap
+            else Map.empty[String, String]
+          out += ChangeFile(v, "cdc", c.get("path").asText,
+            AddFile(pv,
+              if (c.has("size")) c.get("size").asLong else 0L,
+              None, None), None)
+        }
+        r.applyCommit(nodes)
+      } else {
       // action order WITHIN a commit is not pinned by the spec: if a
       // DV re-add lists its add BEFORE the paired remove, applying
       // the remove afterwards would delete the just-updated AddFile
@@ -2918,6 +3174,7 @@ object DeltaLog {
           r.applyNode(node)
         }
       }
+      }
     }
     (r.state(toVersion), out.result() ++ dvDeletes.result())
   }
@@ -2962,17 +3219,35 @@ object DeltaLog {
         scala.collection.mutable.LinkedHashMap.empty)
         .put(cf.path, cf.add))
     val parts = groups.toSeq.map { case ((v, ct), files) =>
+      def abs(p: String) =
+        if (p.startsWith("/") || p.contains("://")) p
+        else s"$tableDir/$p"
       files.keys.foreach { p =>
-        val abs = if (p.startsWith("/") || p.contains("://")) p
-          else s"$tableDir/$p"
-        require(new File(abs).isFile || p.contains("://"),
+        require(new File(abs(p)).isFile || p.contains("://"),
           s"changed file $p of commit $v is gone (vacuumed?) — CDF " +
             "needs the range's data files on disk")
       }
-      scanState(spark, tableDir,
-          State(st.schema, st.partitionColumns, files.toMap))
-        .withColumn("_change_type", lit(ct))
-        .withColumn("_commit_version", lit(v))
+      if (ct == "cdc") {
+        // a cdc-action commit: `_change_type` comes from INSIDE the
+        // change file (insert | delete | update_preimage |
+        // update_postimage — the writer's row-level truth), never
+        // synthesized; partition columns restore from the cdc
+        // action's partitionValues like any metadata-partitioned scan
+        import org.apache.spark.sql.types.{StringType, StructField}
+        val withCt = StructType(st.schema.fields :+
+          StructField("_change_type", StringType, nullable = false))
+        val scanned =
+          if (st.partitionColumns.isEmpty)
+            spark.read.schema(withCt)
+              .parquet(files.keys.toSeq.map(abs): _*)
+          else PartitionedScan.scan(spark, withCt, st.partitionColumns,
+            files.toSeq.map { case (p, a) => (abs(p), a.partitionValues) })
+        scanned.withColumn("_commit_version", lit(v))
+      } else
+        scanState(spark, tableDir,
+            State(st.schema, st.partitionColumns, files.toMap))
+          .withColumn("_change_type", lit(ct))
+          .withColumn("_commit_version", lit(v))
     }
     // DV updates: the newly-set bitmap positions ARE the deleted
     // rows — bitmap-space diff (O(compressed bitmap); the

@@ -557,6 +557,24 @@ object Iceberg {
     }.toSeq
   }
 
+  /** The [[graft.streaming.IcebergCdfStreamSource]] scope guard:
+    * refuse PARTITIONED tables loudly at schema-inference time. The
+    * CDF stream's position-delete partitions carry only the
+    * `_change_type`/`_commit_version` constants — on an
+    * identity-partitioned table (whose data files may have dropped
+    * the partition columns) delete rows would silently null-fill
+    * their partition columns instead of refusing. */
+  private[graft] def requireUnpartitionedForCdfStream(
+      tableDir: String): Unit = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    require(partitionSpecOf(meta).isEmpty,
+      s"graft-iceberg-cdf streams UNPARTITIONED tables only — a " +
+        "partitioned table's delete rows cannot reconstruct their " +
+        "partition columns from the position-delete file; use the " +
+        "batch readIncremental / table-diff reads (the graft-iceberg " +
+        "APPEND stream does handle identity partitioning)")
+  }
+
   /** IDENTITY-partition column names — the only spec fields whose
     * tuple values can substitute for a column the data files dropped
     * (the hive-migrated shape). Hidden-transform fields (bucket/
@@ -1891,34 +1909,71 @@ object Iceberg {
     * replayed — restart the query to pick it up; ids, the offsets,
     * are allocated at staging time.) */
   private def mainAncestry(meta: ObjectNode): Set[Long] = {
-    val byId = meta.get("snapshots").elements().asScala
-      .map(s => s.get("snapshot-id").asLong -> s).toMap
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    val byId = snaps.map(s => s.get("snapshot-id").asLong -> s).toMap
     val seen = scala.collection.mutable.Set.empty[Long]
+    var terminal: Option[com.fasterxml.jackson.databind.JsonNode] = None
     var cur = byId.get(meta.get("current-snapshot-id").asLong)
     while (cur.isDefined) {
       val s = cur.get
       val id = s.get("snapshot-id").asLong
       if (!seen.add(id)) cur = None
-      else cur = Option(s.get("parent-snapshot-id"))
-        .filterNot(_.isNull).map(_.asLong).flatMap(byId.get)
+      else {
+        terminal = Some(s)
+        cur = Option(s.get("parent-snapshot-id"))
+          .filterNot(_.isNull).map(_.asLong).flatMap(byId.get)
+      }
     }
+    // LEGACY HISTORY: snapshots written before this writer recorded
+    // parent-snapshot-id cannot be ancestry-walked. When the walk
+    // terminates at a parent-LESS snapshot, every OLDER parent-less
+    // snapshot is pre-upgrade linear main history (staged/rolled-back
+    // snapshots always carry parent ids) — include them rather than
+    // silently truncating the streaming backfill at the upgrade
+    // boundary. A genuine creation snapshot is the oldest, so this
+    // adds nothing on tables written entirely by the current code.
+    terminal
+      .filter(t => Option(t.get("parent-snapshot-id")).forall(_.isNull))
+      .foreach { t =>
+        val tid = t.get("snapshot-id").asLong
+        snaps.foreach { s =>
+          val id = s.get("snapshot-id").asLong
+          if (id < tid &&
+              Option(s.get("parent-snapshot-id")).forall(_.isNull))
+            seen.add(id): Unit
+        }
+      }
     seen.toSet
   }
 
   /** The CDF streaming planner's view of the published snapshots in
     * (`fromExclusive`, `to`]: (snapshot id, operation, added data
-    * files, NEW position-delete parquet files). An `append`
-    * contributes its data files (inserts); a `delete` snapshot
-    * contributes the position-delete files its OWN delete manifests
-    * added — each holds exactly that snapshot's newly-deleted
-    * (file, pos) pairs, because [[deleteWhere]] anti-joins prior
-    * deletes at write time. Equality deletes (content=2 entries) and
-    * `overwrite` snapshots refuse loudly — they remove rows by VALUE
-    * / wholesale, which this planner cannot attribute; the batch
-    * [[readIncremental]] / table-diff reads cover them. */
+    * files, NEW position-delete parquet files, NEW equality-delete
+    * parquet files). An `append` contributes its data files
+    * (inserts); a `delete` snapshot contributes the delete files its
+    * OWN delete manifests added:
+    *
+    *  - position deletes (content=1) hold exactly that snapshot's
+    *    newly-deleted (file, pos) pairs ([[deleteWhere]] anti-joins
+    *    prior deletes at write time) — the stream reads the named
+    *    positions out of the data files, full delete rows;
+    *  - EQUALITY deletes (content=2 — the Flink-CDC upsert wire, one
+    *    per [[upsert]] checkpoint) hold the DISTINCT doomed KEY
+    *    VALUES. The stream emits one `delete` row per key with the
+    *    non-key columns NULL — value-matched CDC deletes, O(distinct
+    *    keys) read AND output per snapshot, no data file touched
+    *    (materializing the full pre-delete rows would re-scan every
+    *    earlier-sequence data file per snapshot — O(table), the
+    *    opposite of a CDC stream's cost shape). A MERGE /
+    *    delete-by-key sink converges on exactly these rows.
+    *
+    * `overwrite` snapshots still refuse loudly — they replace files
+    * wholesale with no row-level attribution; the batch table-diff
+    * reads cover them. */
   private[graft] def cdfPlanBySnapshot(tableDir: String,
       fromExclusive: Long, to: Long)
-      : Seq[(Long, String, Seq[DeltaLog.StreamFile], Seq[String])] = {
+      : Seq[(Long, String, Seq[DeltaLog.StreamFile], Seq[String],
+          Seq[String])] = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     val snaps = meta.get("snapshots").elements().asScala.toSeq
     val ancestry = mainAncestry(meta)
@@ -1941,9 +1996,10 @@ object Iceberg {
           if (rawOp == "overwrite" && isCreation) "append" else rawOp
         op match {
           case "append" =>
-            (id, op, addedDataFiles(s, id), Seq.empty[String])
+            (id, op, addedDataFiles(s, id), Seq.empty[String],
+              Seq.empty[String])
           case "delete" =>
-            val dels = readAvro(s.get("manifest-list").asText)
+            val entries = readAvro(s.get("manifest-list").asText)
               .filter(r => fieldOpt(r, "added_snapshot_id")
                 .map(_.asInstanceOf[Long]).contains(id) &&
                 fieldOpt(r, "content")
@@ -1952,20 +2008,21 @@ object Iceberg {
               .flatMap { m =>
                 readAvro(m).map { e =>
                   val df = e.get("data_file").asInstanceOf[GenericRecord]
-                  require(fieldOpt(df, "content")
-                      .map(_.asInstanceOf[Int]).contains(1),
-                    s"snapshot $id of $tableDir carries an " +
-                      "EQUALITY delete (content=2) — it removes rows " +
-                      "by VALUE, which a position-based CDF stream " +
-                      "cannot attribute; consume it with the batch " +
-                      "readIncremental / table-diff reads instead")
-                  stripFileUri(df.get("file_path").toString)
+                  val content = fieldOpt(df, "content")
+                    .map(_.asInstanceOf[Int]).getOrElse(0)
+                  require(content == 1 || content == 2,
+                    s"snapshot $id of $tableDir: delete manifest " +
+                      s"entry with content=$content is not a delete " +
+                      "file — refusing an inconsistent manifest")
+                  (content, stripFileUri(df.get("file_path").toString))
                 }
               }
-            (id, op, Seq.empty[DeltaLog.StreamFile], dels)
+            (id, op, Seq.empty[DeltaLog.StreamFile],
+              entries.collect { case (1, p) => p },
+              entries.collect { case (2, p) => p })
           case other => throw new IllegalArgumentException(
             s"snapshot $id of $tableDir is $other — the CDF stream " +
-              "expresses appends and position deletes; an overwrite " +
+              "expresses appends and row-level deletes; an overwrite " +
               "replaces files wholesale and has no row-level " +
               "attribution here (use the batch table-diff reads)")
         }
@@ -2017,7 +2074,19 @@ object Iceberg {
     * [[DeltaLog.addedFilesByVersion]]. */
   private[graft] def addedFilesBySnapshot(tableDir: String,
       fromExclusive: Long, to: Long, skipOverwriteSnapshots: Boolean)
-      : Seq[(Long, Seq[DeltaLog.StreamFile])] = {
+      : Seq[(Long, Seq[DeltaLog.StreamFile])] =
+    addedFilesSnapshotIterator(tableDir, fromExclusive, to,
+      skipOverwriteSnapshots).toSeq
+
+  /** [[addedFilesBySnapshot]] as a LAZY iterator — manifests are read
+    * only when the iterator advances to their snapshot, so the
+    * admission-control walk ([[graft.streaming.IcebergStreamSource]]
+    * file/byte caps) stops paying manifest-read cost at the first
+    * snapshot past its cap: draining an N-snapshot backlog is O(N)
+    * total manifest reads across all triggers, not O(N²). */
+  private[graft] def addedFilesSnapshotIterator(tableDir: String,
+      fromExclusive: Long, to: Long, skipOverwriteSnapshots: Boolean)
+      : Iterator[(Long, Seq[DeltaLog.StreamFile])] = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     val snaps = meta.get("snapshots").elements().asScala.toSeq
     val ancestry = mainAncestry(meta)
@@ -2027,6 +2096,7 @@ object Iceberg {
         id > fromExclusive && id <= to && ancestry.contains(id)
       }
       .sortBy(_.get("snapshot-id").asLong)
+      .iterator
       .map { s =>
         val id = s.get("snapshot-id").asLong
         val op = Option(s.get("summary"))
@@ -3099,6 +3169,30 @@ object Iceberg {
       upsert(spark, t,
         o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
           .withColumn("o_orderpriority", lit("MERGED")),
+        Seq("o_orderkey"))
+    }
+
+  /** Session-cached STACKED-upsert lifecycle table (the q202
+    * fixture): full orders, [[upsert]] every third key to 'MERGED',
+    * then [[upsert]] every fifth key to 'MERGED2' — five snapshots
+    * (creation append, then per upsert: equality-delete + append),
+    * the exact per-checkpoint wire a Flink CDC writer emits. The
+    * second upsert's delete retires BOTH generations of its keys
+    * (the original rows and any 'MERGED' rewrite), which is what
+    * sequence scoping guarantees at read time and what a streaming
+    * consumer must replay as two delete+insert rounds. */
+  private[graft] def ordersIcebergUpsert2Table(spark: SparkSession,
+                                               dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergups2") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o, t)
+      upsert(spark, t,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .withColumn("o_orderpriority", lit("MERGED")),
+        Seq("o_orderkey"))
+      upsert(spark, t,
+        o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .withColumn("o_orderpriority", lit("MERGED2")),
         Seq("o_orderkey"))
     }
 

@@ -109,14 +109,14 @@ private class DeltaCdfStreamScan(schema: StructType,
     val path = DeltaStreamSource.pathOf(options)
     new DeltaCdfMicroBatchStream(
       DeltaCdfStreamSource.annotatedSchema(path), path,
-      Option(options.get("startingVersion")).map(_.toLong),
+      Option(options.get("startingVersion")),
       options.getLong("maxVersionsPerTrigger", Long.MaxValue))
   }
 }
 
 private class DeltaCdfMicroBatchStream(schema: StructType,
                                        tableDir: String,
-                                       startingVersion: Option[Long],
+                                       startingVersion: Option[String],
                                        maxVersionsPerTrigger: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -124,8 +124,18 @@ private class DeltaCdfMicroBatchStream(schema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(DeltaLog.versions(tableDir).last)
 
-  override def initialOffset(): Offset =
-    VersionOffset(startingVersion.map(_ - 1).getOrElse(-1L))
+  // same spellings as the sibling append source: a version number,
+  // or `latest` = stream only changes committed after query start
+  override def initialOffset(): Offset = startingVersion match {
+    case Some("latest") =>
+      VersionOffset(DeltaLog.versions(tableDir).last)
+    case Some(v) =>
+      require(v.forall(c => c.isDigit || c == '-'),
+        s"graft-delta-cdf: startingVersion must be a version number " +
+          s"or 'latest', got '$v'")
+      VersionOffset(v.toLong - 1)
+    case None => VersionOffset(-1L)
+  }
 
   override def latestOffset(): Offset =
     VersionOffset(availableNowCap
@@ -172,11 +182,18 @@ private class DeltaCdfMicroBatchStream(schema: StructType,
       scala.util.Try(org.apache.spark.sql.SparkSession.active).toOption)
     // one partition PER CHANGED FILE, each tagged with its commit's
     // constants; DV descriptors ride the partition and the bitmap
-    // work happens where the file is read — on the executor
+    // work happens where the file is read — on the executor. A
+    // cdc-action commit's change files carry `_change_type` INSIDE
+    // the file (update_preimage/update_postimage/insert/delete — the
+    // writer's row-level truth), so it is deliberately NOT a constant
+    // there: the reader resolves it from the parquet like any column.
     plan.map { cf =>
-      val consts = cf.add.partitionValues ++ Map(
-        "_change_type" -> cf.changeType,
-        "_commit_version" -> cf.version.toString)
+      val consts = cf.add.partitionValues ++ (
+        if (cf.changeType == "cdc")
+          Map("_commit_version" -> cf.version.toString)
+        else Map(
+          "_change_type" -> cf.changeType,
+          "_commit_version" -> cf.version.toString))
       DeltaFilePartition(
         if (cf.path.startsWith("/") || cf.path.contains("://")) cf.path
         else s"$tableDir/${cf.path}",

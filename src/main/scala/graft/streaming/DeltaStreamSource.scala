@@ -243,32 +243,34 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
         maxBytesPerTrigger == Long.MaxValue)
       return VersionOffset(bounded)
     // file/byte admission: walk the range's per-version file lists
-    // (O(new commits) driver metadata) and stop at the first file
-    // that would cross either cap — but never before admitting one
-    val byV = DeltaLog.addedFilesByVersion(tableDir,
+    // LAZILY (the iterator reads+parses one commit file per step) and
+    // stop at the first file that would cross either cap — but never
+    // before admitting one. Stopping the iterator stops the commit
+    // parsing too, so a deep backlog costs O(admitted commits) per
+    // trigger, O(backlog) across the whole drain — not O(backlog²).
+    val byV = DeltaLog.addedFilesIterator(tableDir,
       from.version - 1, bounded, skipChangeCommits, Some(schema))
     var endV = from.version
     var endI = from.index
     var nFiles = 0L
     var nBytes = 0L
     var stop = false
-    byV.foreach { case (v, fs) =>
-      if (!stop) {
-        var i =
-          if (v == from.version)
-            math.min(from.index, fs.size.toLong).toInt
-          else 0
-        endV = v
-        endI = i.toLong
-        while (i < fs.size && !stop) {
-          if (nFiles > 0 && (nFiles + 1 > maxFilesPerTrigger ||
-              nBytes + fs(i).size > maxBytesPerTrigger)) stop = true
-          else {
-            nFiles += 1
-            nBytes += fs(i).size
-            i += 1
-            endI = i.toLong
-          }
+    while (!stop && byV.hasNext) {
+      val (v, fs) = byV.next()
+      var i =
+        if (v == from.version)
+          math.min(from.index, fs.size.toLong).toInt
+        else 0
+      endV = v
+      endI = i.toLong
+      while (i < fs.size && !stop) {
+        if (nFiles > 0 && (nFiles + 1 > maxFilesPerTrigger ||
+            nBytes + fs(i).size > maxBytesPerTrigger)) stop = true
+        else {
+          nFiles += 1
+          nBytes += fs(i).size
+          i += 1
+          endI = i.toLong
         }
       }
     }
@@ -676,9 +678,16 @@ private class DeltaFileReaderFactory(schemaJson: String,
     conf.set("spark.sql.parquet.fieldId.read.enabled", hasIds.toString)
     conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     val path = new Path(part.path)
+    // length via the Hadoop filesystem, NOT java.io.File — add
+    // actions deliberately pass through URI-schemed absolute paths
+    // (file:/, s3a://), for which File.length() answers 0 and a
+    // [0,0) split would silently read zero rows from a real file
+    val fileLen = path.getFileSystem(conf).getFileStatus(path).getLen
+    require(fileLen > 0,
+      s"streamed parquet file ${part.path} resolves to 0 bytes — " +
+        "refusing a zero-length split that would silently emit no rows")
     val split = new org.apache.hadoop.mapred.FileSplit(
-      path, 0, new java.io.File(part.path).length,
-      Array.empty[String])
+      path, 0, fileLen, Array.empty[String])
     val ctx = new org.apache.hadoop.mapreduce.task
       .TaskAttemptContextImpl(conf,
         new org.apache.hadoop.mapreduce.TaskAttemptID())

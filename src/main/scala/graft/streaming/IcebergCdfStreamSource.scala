@@ -32,10 +32,16 @@ import graft.sources.Iceberg
   *    anti-joins prior deletes at write time), so the planner ships
   *    the delete file to ONE executor task which reads the named
   *    positions out of the untouched data files;
-  *  - equality deletes (content=2) and `overwrite` snapshots refuse
-  *    loudly with a pointer at the batch table-diff reads — they
-  *    remove rows by VALUE / wholesale, with no position-level
-  *    attribution.
+  *  - an EQUALITY-delete snapshot (content=2 — the Flink-CDC upsert
+  *    wire, what [[Iceberg.upsert]] writes per checkpoint) streams
+  *    one `delete` row per doomed KEY with the non-key columns NULL:
+  *    the delete file itself is a parquet of the distinct key values,
+  *    so the reader is the plain row path with name-resolution
+  *    null-fill — O(keys) read and output, no data file touched. A
+  *    MERGE / delete-by-key sink (q202) converges on exactly these;
+  *  - `overwrite` snapshots refuse loudly with a pointer at the
+  *    batch table-diff reads — they replace files wholesale, with no
+  *    row-level attribution.
   *
   * Offsets are snapshot ids (the append source's rule); WAP-staged
   * branch and rolled-back snapshots never stream (main-ancestry
@@ -60,8 +66,15 @@ class IcebergCdfStreamProvider extends TableProvider
 
 private[streaming] object IcebergCdfStreamSource {
   def cdfSchema(tableDir: String): (StructType, Map[String, Int]) = {
+    // scope ENFORCED, not just documented: a partitioned table's
+    // delete partitions cannot reconstruct partition columns
+    Iceberg.requireUnpartitionedForCdfStream(tableDir)
     val (schema, ids) = IcebergStreamSource.checkedSchema(tableDir)
-    (StructType(schema.fields ++ Seq(
+    // data columns surface NULLABLE regardless of the table schema:
+    // an equality-delete row carries only its key columns, and a
+    // null in a column DECLARED non-null silently reads as 0/"" —
+    // wrong values beat a wrong nullability flag in no world
+    (StructType(schema.fields.map(_.copy(nullable = true)) ++ Seq(
       StructField("_change_type", StringType, nullable = false),
       StructField("_commit_version", LongType, nullable = false))),
       ids)
@@ -95,7 +108,18 @@ private class IcebergCdfStreamScan(schema: StructType,
       : MicroBatchStream =
     new IcebergCdfMicroBatchStream(schema,
       IcebergStreamSource.pathOf(options),
-      options.getLong("startingSnapshotId", 0L),
+      // same spellings as the sibling append source: a snapshot id,
+      // or `latest` = only snapshots committed after query start
+      Option(options.get("startingSnapshotId")) match {
+        case Some("latest") =>
+          Iceberg.latestSnapshotId(IcebergStreamSource.pathOf(options))
+        case Some(v) =>
+          require(v.forall(_.isDigit),
+            "graft-iceberg-cdf: startingSnapshotId must be a " +
+              s"snapshot id or 'latest', got '$v'")
+          v.toLong
+        case None => 0L
+      },
       options.getLong("maxSnapshotsPerTrigger", Long.MaxValue))
 }
 
@@ -152,7 +176,7 @@ private class IcebergCdfMicroBatchStream(schema: StructType,
     val from = start.asInstanceOf[SnapshotOffset].snapshotId
     val to = end.asInstanceOf[SnapshotOffset].snapshotId
     Iceberg.cdfPlanBySnapshot(tableDir, from, to).flatMap {
-      case (id, _, dataFiles, deleteFiles) =>
+      case (id, _, dataFiles, posDeleteFiles, eqDeleteFiles) =>
         val insertConsts = Map(
           "_change_type" -> "insert",
           "_commit_version" -> id.toString)
@@ -161,8 +185,15 @@ private class IcebergCdfMicroBatchStream(schema: StructType,
           "_commit_version" -> id.toString)
         dataFiles.map(f => DeltaFilePartition(
           f.path, f.partitionValues ++ insertConsts): InputPartition) ++
-          deleteFiles.map(d =>
-            IcebergPosDeletePartition(d, deleteConsts): InputPartition)
+          posDeleteFiles.map(d =>
+            IcebergPosDeletePartition(d, deleteConsts): InputPartition) ++
+          // an EQUALITY-delete file is itself a parquet of the doomed
+          // KEY VALUES — it rides the plain row reader, whose
+          // name-resolution null-fills the non-key columns: one
+          // `delete` row per distinct key, O(keys) work, no data
+          // file touched (the Flink-CDC upsert wire shape)
+          eqDeleteFiles.map(d => DeltaFilePartition(
+            d, deleteConsts): InputPartition)
     }.toArray
   }
 
@@ -323,4 +354,72 @@ object IcebergCdfStreamQueries {
       |  SELECT o.*, 'delete', CAST(2 AS BIGINT) FROM orders o
       |  WHERE o_orderkey % 10 = 0
       |) ORDER BY o_orderkey, _commit_version""".stripMargin
+
+  /** q202 — THE FLINK-CDC UPSERT LOOP, STREAMED END TO END: the
+    * stacked-upsert table (creation append; upsert %3→'MERGED';
+    * upsert %5→'MERGED2' — each upsert = one equality-delete snapshot
+    * + one append snapshot, the per-checkpoint wire a CDC writer
+    * emits) drains through `graft-iceberg-cdf` one snapshot per
+    * trigger into a MERGE + delete-by-key Delta silver. Equality
+    * deletes stream as one `delete` row per doomed key (non-key
+    * columns NULL — O(keys), no data file read); the sink applies
+    * them with the distributed broadcast-semi-join
+    * [[graft.sources.DeltaLog.deleteWhereKeys]]. Final silver state
+    * equals the sequence-scoped batch oracle IFF (a) both deletes
+    * delivered exactly their key sets, (b) batches applied in
+    * snapshot order — the second upsert's delete must retire the
+    * FIRST upsert's 'MERGED' rewrites of %15 keys before 'MERGED2'
+    * lands, (c) appends after a delete survive it. The one
+    * previously-refused arc of the reference's CDC loop
+    * (/root/reference/spark/batch_silver.py:65-69) over the open
+    * format. */
+  def icebergCdfUpsertStream(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.DeltaLog
+    val t = Iceberg.ordersIcebergUpsert2Table(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_icdfu").toString
+    val silver = s"$work/silver"
+    spark.readStream.format("graft-iceberg-cdf").option("path", t)
+      .option("maxSnapshotsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                       _: Long) =>
+        // snapshot-granular admission: one batch == ONE snapshot
+        // (all-inserts or all-deletes), so no intra-batch net-effect
+        // resolution is needed
+        val b = batch.persist()
+        try if (!b.isEmpty) {
+          val inserts = b
+            .filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          val deletes = b
+            .filter(col("_change_type") === "delete")
+            .select("o_orderkey")
+          if (DeltaLog.versions(silver).isEmpty)
+            DeltaLog.commitOverwrite(inserts, silver): Unit
+          else {
+            if (!deletes.isEmpty)
+              DeltaLog.deleteWhereKeys(spark, silver,
+                "o_orderkey", deletes): Unit
+            if (!inserts.isEmpty)
+              DeltaLog.mergeInto(spark, silver, inserts,
+                Seq("o_orderkey")): Unit
+          }
+        } finally b.unpersist(): Unit
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    DeltaLog.read(spark, silver).orderBy(col("o_orderkey"))
+  }
+
+  val icebergCdfUpsertStreamSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN 'MERGED2'
+      |       WHEN o_orderkey % 3 = 0 THEN 'MERGED'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 }

@@ -215,30 +215,31 @@ private class IcebergMicroBatchStream(schema: StructType,
     if (maxFilesPerTrigger == Long.MaxValue &&
         maxBytesPerTrigger == Long.MaxValue)
       return SnapshotOffset(bounded)
-    val byS = Iceberg.addedFilesBySnapshot(tableDir,
+    // LAZY walk: stopping the iterator stops the manifest reads too,
+    // so a deep backlog costs O(admitted snapshots) per trigger
+    val byS = Iceberg.addedFilesSnapshotIterator(tableDir,
       from.snapshotId - 1, bounded, skipOverwriteSnapshots)
     var endS = from.snapshotId
     var endI = from.index
     var nFiles = 0L
     var nBytes = 0L
     var stop = false
-    byS.foreach { case (s, fs) =>
-      if (!stop) {
-        var i =
-          if (s == from.snapshotId)
-            math.min(from.index, fs.size.toLong).toInt
-          else 0
-        endS = s
-        endI = i.toLong
-        while (i < fs.size && !stop) {
-          if (nFiles > 0 && (nFiles + 1 > maxFilesPerTrigger ||
-              nBytes + fs(i).size > maxBytesPerTrigger)) stop = true
-          else {
-            nFiles += 1
-            nBytes += fs(i).size
-            i += 1
-            endI = i.toLong
-          }
+    while (!stop && byS.hasNext) {
+      val (s, fs) = byS.next()
+      var i =
+        if (s == from.snapshotId)
+          math.min(from.index, fs.size.toLong).toInt
+        else 0
+      endS = s
+      endI = i.toLong
+      while (i < fs.size && !stop) {
+        if (nFiles > 0 && (nFiles + 1 > maxFilesPerTrigger ||
+            nBytes + fs(i).size > maxBytesPerTrigger)) stop = true
+        else {
+          nFiles += 1
+          nBytes += fs(i).size
+          i += 1
+          endI = i.toLong
         }
       }
     }

@@ -1746,4 +1746,108 @@ class DeltaLogSpec extends SparkSuite {
       .collect().map(_.getLong(0)).sorted.toSeq ==
       (1L to 20L).filterNot(_ % 5 == 0))
   }
+
+  test("foreign cdc actions are honored over add/remove derivation") {
+    // a FOREIGN writer's MERGE commit (hand-spelled raw JSON): the
+    // file churn is remove(a)+add(b) — whole-file — but the commit
+    // carries a cdc action naming a _change_data file with the
+    // writer's ROW-LEVEL truth. The protocol requires readers to use
+    // the change file for that commit; deriving would report every
+    // row of a deleted and every row of b inserted.
+    val dir = Files.createTempDirectory("dlogcdc").toString
+    val a = stagePart(dir, "a.parquet", Seq((1L, "one"), (2L, "two")))
+    val b = stagePart(dir, "b.parquet",
+      Seq((1L, "one"), (2L, "TWO-NEW"), (3L, "three")))
+    // the change file carries the table columns + _change_type
+    val tmp = Files.createTempDirectory("dlcdc").toString + "/w"
+    Seq((2L, "two", "update_preimage"),
+        (2L, "TWO-NEW", "update_postimage"),
+        (3L, "three", "insert"))
+      .toDF("k", "s", "_change_type").coalesce(1).write.parquet(tmp)
+    val cdcPart = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.createDirectories(Paths.get(dir, "_change_data"))
+    Files.move(cdcPart.toPath,
+      Paths.get(dir, "_change_data/cdc-0.parquet"))
+    writeLog(dir, 0, protocol, metaData(),
+      s"""{"add":{"path":"$a","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    writeLog(dir, 1,
+      """{"commitInfo":{"operation":"MERGE"}}""",
+      """{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+      s"""{"remove":{"path":"$a","dataChange":true}}""",
+      s"""{"add":{"path":"$b","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    // table state is unaffected by the cdc action
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "one"), (2L, "TWO-NEW"), (3L, "three")))
+    val changes = sources.DeltaLog.readChanges(spark, dir, 0L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(changes == Set(
+      (1L, "one", "insert", 0L),
+      (2L, "two", "insert", 0L),
+      (2L, "two", "update_preimage", 1L),
+      (2L, "TWO-NEW", "update_postimage", 1L),
+      (3L, "three", "insert", 1L)),
+      s"cdc-action commit mis-derived: $changes")
+    // and the streaming source agrees row-for-row (the change file's
+    // own _change_type column, not a per-partition constant)
+    val out = Files.createTempDirectory("dlogcdcs").toString
+    val q = spark.readStream.format("graft-delta-cdf")
+      .option("path", dir).load()
+      .writeStream.format("parquet")
+      .option("path", s"$out/sink")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$out/sink")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(streamed == changes,
+      "graft-delta-cdf must agree with batch readChanges on cdc commits")
+  }
+
+  test("CDF-enabled writers stamp cdc actions; readers round-trip them") {
+    // this engine's own MERGE + DV delete under
+    // delta.enableChangeDataFeed=true must serve a real Delta CDF
+    // reader: change files on disk, cdc actions in the commits, and
+    // our reader takes THEM (the q201 oracle proves values; here we
+    // pin the protocol artifacts)
+    val dir = Files.createTempDirectory("dlogcdcw").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      (1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.setTableProperties(dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((2L, "m2"), (11L, "m11")).toDF("k", "s"), Seq("k"))
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") === 3L)
+    val vs = sources.DeltaLog.versions(dir)
+    assert(vs == Seq(0L, 1L, 2L, 3L))
+    // both row-level commits carry cdc actions naming _change_data/
+    Seq(2L, 3L).foreach { v =>
+      val lines = Files.readAllLines(Paths.get(
+        f"$dir/_delta_log/$v%020d.json")).toArray.mkString("\n")
+      assert(lines.contains("\"cdc\"") &&
+        lines.contains("_change_data/"),
+        s"commit $v lacks a cdc action")
+    }
+    val changes = sources.DeltaLog.readChanges(spark, dir, 2L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(changes == Set(
+      (2L, "s2", "update_preimage", 2L),
+      (2L, "m2", "update_postimage", 2L),
+      (11L, "m11", "insert", 2L),
+      (3L, "s3", "delete", 3L)),
+      s"CDF write round-trip mismatch: $changes")
+    // a no-op merge (empty source) must not stamp a churn-only commit
+    val v2 = sources.DeltaLog.mergeInto(spark, dir,
+      Seq.empty[(Long, String)].toDF("k", "s"), Seq("k"))
+    assert(v2 == 3L && sources.DeltaLog.versions(dir).last == 3L,
+      "an empty merge on a CDF table must skip the commit")
+  }
 }

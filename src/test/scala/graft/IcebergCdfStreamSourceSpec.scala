@@ -54,20 +54,26 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
       "exactly the new snapshot's delete — nothing redelivered")
   }
 
-  test("equality deletes and overwrites refuse with batch-path pointers") {
+  test("equality deletes stream as key rows; overwrites still refuse") {
     val work = Files.createTempDirectory("icdf2").toString
     val dir = s"$work/t"
     sources.Iceberg.commitAppend(
       Seq((1L, "P"), (2L, "O")).toDF("k", "st"), dir)
     sources.Iceberg.deleteWhereEquality(spark, dir, Seq("P").toDF("st"))
+    drainTo(dir, s"$work/out", s"$work/ckpt")
+    val got = spark.read.parquet(s"$work/out")
+      .filter(col("_change_type") === "delete")
+      .collect().toSeq
+    // one delete row per doomed KEY VALUE: the equality column
+    // populated, the rest NULL (value-matched CDC — no data file
+    // was read to materialize it)
+    assert(got.size == 1)
+    assert(got.head.getAs[String]("st") == "P")
+    assert(got.head.isNullAt(got.head.fieldIndex("k")),
+      "non-key columns of an equality delete must be NULL")
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    val e1 = intercept[Exception] {
-      drainTo(dir, s"$work/out", s"$work/ckpt")
-    }
-    assert(messages(e1).exists(m => m.contains("EQUALITY delete") &&
-      m.contains("readIncremental")), s"got ${messages(e1)}")
     val dir2 = s"$work/t2"
     sources.Iceberg.commitAppend(Seq((1L, "a")).toDF("k", "s"), dir2)
     sources.Iceberg.commitOverwrite(Seq((9L, "z")).toDF("k", "s"), dir2)
@@ -76,6 +82,64 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
     }
     assert(messages(e2).exists(m => m.contains("overwrite") &&
       m.contains("table-diff")), s"got ${messages(e2)}")
+  }
+
+  test("stacked upserts + restart: the q202 MERGE sink converges") {
+    // (creation, delete, append, delete, append) with a RESTART
+    // between the two upsert generations: offsets checkpoint at
+    // snapshot granularity, so the second drain must deliver only
+    // snapshots 4-5 and the silver must end at the stacked result
+    val work = Files.createTempDirectory("icdf3").toString
+    val dir = s"$work/t"
+    val silver = s"$work/silver"
+    def applyAll(): Unit = {
+      val q = spark.readStream.format("graft-iceberg-cdf")
+        .option("path", dir).option("maxSnapshotsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                         _: Long) =>
+          val b = batch.persist()
+          try if (!b.isEmpty) {
+            val inserts = b.filter(col("_change_type") === "insert")
+              .drop("_change_type", "_commit_version")
+            val deletes = b.filter(col("_change_type") === "delete")
+              .select("k")
+            if (sources.DeltaLog.versions(silver).isEmpty)
+              sources.DeltaLog.commitOverwrite(inserts, silver): Unit
+            else {
+              if (!deletes.isEmpty)
+                sources.DeltaLog.deleteWhereKeys(spark, silver,
+                  "k", deletes): Unit
+              if (!inserts.isEmpty)
+                sources.DeltaLog.mergeInto(spark, silver, inserts,
+                  Seq("k")): Unit
+            }
+          } finally b.unpersist(): Unit
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sources.Iceberg.commitAppend(
+      (1L to 10L).map(i => (i, s"v0-$i")).toDF("k", "s"), dir)
+    sources.Iceberg.upsert(spark, dir,
+      Seq((3L, "v1-3"), (6L, "v1-6")).toDF("k", "s"), Seq("k"))
+    applyAll()
+    // restart: second upsert lands after the first drain
+    sources.Iceberg.upsert(spark, dir,
+      Seq((6L, "v2-6"), (11L, "v2-11")).toDF("k", "s"), Seq("k"))
+    applyAll()
+    val got = sources.DeltaLog.read(spark, silver)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (1L to 10L).map(i => (i, s"v0-$i")).toMap ++
+      Map(3L -> "v1-3", 6L -> "v2-6", 11L -> "v2-11")
+    assert(got == want.toSet.map((kv: (Long, String)) => (kv._1, kv._2)),
+      s"stacked-upsert replay diverged: $got")
+    // and it matches the batch sequence-scoped read of the source
+    val batch = sources.Iceberg.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == batch, "stream-applied silver != batch MoR read")
   }
 
   test("q200 gate shape: streamed CDF equals the MoR lifecycle's two arms") {
