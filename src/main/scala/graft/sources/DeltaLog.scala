@@ -104,16 +104,22 @@ object DeltaLog {
     /** minValues/maxValues of integer-valued stats columns — the
       * bounds [[readWhereStats]] prunes on. Non-numeric entries are
       * ignored (they never prune). */
-    def longBounds: Map[String, (Long, Long)] = stats.toSeq.flatMap { s =>
-      val node = mapper.readTree(s)
-      def side(name: String): Map[String, Long] =
-        if (!node.has(name)) Map.empty
-        else node.get(name).properties().asScala
-          .filter(_.getValue.canConvertToLong)
-          .map(e => e.getKey -> e.getValue.asLong).toMap
-      val (lo, hi) = (side("minValues"), side("maxValues"))
-      lo.keySet.intersect(hi.keySet).map(k => k -> (lo(k), hi(k)))
-    }.toMap
+    def longBounds: Map[String, (Long, Long)] =
+      stats.map(statsLongBounds).getOrElse(Map.empty)
+  }
+
+  /** min/max of integer-valued columns out of an `add.stats` JSON
+    * string — shared by the batch skip path ([[AddFile.longBounds]])
+    * and the stream planner's per-file pruning. */
+  private[graft] def statsLongBounds(s: String): Map[String, (Long, Long)] = {
+    val node = mapper.readTree(s)
+    def side(name: String): Map[String, Long] =
+      if (!node.has(name)) Map.empty
+      else node.get(name).properties().asScala
+        .filter(_.getValue.canConvertToLong)
+        .map(e => e.getKey -> e.getValue.asLong).toMap
+    val (lo, hi) = (side("minValues"), side("maxValues"))
+    lo.keySet.intersect(hi.keySet).map(k => k -> (lo(k), hi(k))).toMap
   }
 
   /** Replayed state of the table at `version`: the latest metaData
@@ -794,15 +800,26 @@ object DeltaLog {
     }
   }
 
-  /** Write a checkpoint of the CURRENT latest version: one parquet
-    * file in the spec's checkpoint shape — one row per live action,
+  /** Write a checkpoint of the CURRENT latest version: parquet in
+    * the spec's checkpoint shape — one row per live action,
     * top-level nullable `protocol` / `metaData` / `add` structs, the
     * add rows carrying the log's real file sizes — plus the
     * `_last_checkpoint` pointer. Replay cost for later reads drops
     * from O(commits) to O(commits since checkpoint); JSON commits
     * stay on disk (history auditable, pre-checkpoint time travel
-    * still replays them). Returns the checkpointed version. */
-  def checkpoint(spark: SparkSession, tableDir: String): Long = {
+    * still replays them).
+    *
+    * MULTI-PART: when the action count exceeds `maxActionsPerPart`
+    * the checkpoint splits into the spec's
+    * `<v>.checkpoint.<i>.<n>.parquet` files (i 1-based) and
+    * `_last_checkpoint` records `parts` — the shape real clients
+    * write for large tables (a million-file table's checkpoint
+    * re-written as one parquet per snapshot would bottleneck on the
+    * single writer; parts parallelize both ends). This reader has
+    * always accepted parts ([[checkpointPartFiles]]); now it writes
+    * them. Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, tableDir: String,
+                 maxActionsPerPart: Long = Long.MaxValue): Long = {
     import org.apache.spark.sql.types._
     val v = versions(tableDir).last
     val st = replay(tableDir, v)
@@ -889,18 +906,31 @@ object DeltaLog {
       case (appId, tv) =>
         rows.add(Row(null, null, null, Row(appId, tv, 0L)))
     }
-    // stage through a temp dir: Spark writes a directory, the spec
-    // wants a single file at <v>.checkpoint.parquet
-    val tmp = Files.createTempDirectory("dl_ckpt").toString + "/w"
-    spark.createDataFrame(rows, ckptT).coalesce(1).write.parquet(tmp)
-    val part = new File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    Files.move(part.toPath,
-      checkpointPartFiles(tableDir, LastCheckpoint(v, None)).head.toPath,
-      StandardCopyOption.REPLACE_EXISTING)
-    graft.util.Fs.deleteRecursively(new File(tmp).getParentFile)
+    // stage through temp dirs: Spark writes directories, the spec
+    // wants exact file names (<v>.checkpoint.parquet, or the
+    // multi-part <v>.checkpoint.<i>.<n>.parquet split)
+    require(maxActionsPerPart >= 1, "maxActionsPerPart must be >= 1")
+    val nParts =
+      if (rows.size <= maxActionsPerPart) 1
+      else ((rows.size + maxActionsPerPart - 1) / maxActionsPerPart).toInt
+    val lcShape =
+      LastCheckpoint(v, if (nParts == 1) None else Some(nParts))
+    val targets = checkpointPartFiles(tableDir, lcShape)
+    val chunk = (rows.size + nParts - 1) / nParts
+    targets.zipWithIndex.foreach { case (target, i) =>
+      val tmp = Files.createTempDirectory("dl_ckpt").toString + "/w"
+      val slice = new java.util.ArrayList[Row](rows.subList(
+        i * chunk, math.min((i + 1) * chunk, rows.size)))
+      spark.createDataFrame(slice, ckptT).coalesce(1).write.parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, target.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      graft.util.Fs.deleteRecursively(new File(tmp).getParentFile)
+    }
     val lc = mapper.createObjectNode()
     lc.put("version", v).put("size", rows.size.toLong)
+    lcShape.parts.foreach(lc.put("parts", _))
     val tmpLc = Files.createTempFile(
       Paths.get(logDir(tableDir)), "._last_checkpoint-", ".tmp")
     Files.write(tmpLc, mapper.writeValueAsString(lc).getBytes("UTF-8"))
@@ -1331,10 +1361,13 @@ object DeltaLog {
   }
 
   /** One file a streaming batch reads: absolute path, the add's
-    * log-recorded partitionValues, and the add's byte size (the
-    * admission-control currency for maxBytesPerTrigger). */
+    * log-recorded partitionValues, the add's byte size (the
+    * admission-control currency for maxBytesPerTrigger), and the
+    * recorded min/max bounds of long-valued columns (the stream
+    * planner's data-skipping currency; empty = never prunes). */
   private[graft] case class StreamFile(path: String,
-      partitionValues: Map[String, String], size: Long)
+      partitionValues: Map[String, String], size: Long,
+      bounds: Map[String, (Long, Long)] = Map.empty)
 
   /** `dataType` with every field-metadata annotation stripped and
     * nullability normalized — the SHAPE two schemas are compared by
@@ -1487,7 +1520,10 @@ object DeltaLog {
                     (if (e.getValue.isNull) null
                      else e.getValue.asText)).toMap
               StreamFile(abs, pv,
-                if (a.has("size")) a.get("size").asLong else 0L)
+                if (a.has("size")) a.get("size").asLong else 0L,
+                if (a.has("stats") && !a.get("stats").isNull)
+                  statsLongBounds(a.get("stats").asText)
+                else Map.empty)
             }
         }
       (v, files)

@@ -1908,12 +1908,18 @@ object Iceberg {
     * the committed offset high-water mark and published LATER is not
     * replayed — restart the query to pick it up; ids, the offsets,
     * are allocated at staging time.) */
-  private def mainAncestry(meta: ObjectNode): Set[Long] = {
+  private def mainAncestry(meta: ObjectNode): Set[Long] =
+    ancestryOf(meta, meta.get("current-snapshot-id").asLong)
+
+  /** Snapshot ids reachable from `head` via parent-snapshot-id —
+    * [[mainAncestry]] generalized so a stream can walk a BRANCH ref's
+    * lineage (WAP auditors stream the staged branch pre-publish). */
+  private def ancestryOf(meta: ObjectNode, head: Long): Set[Long] = {
     val snaps = meta.get("snapshots").elements().asScala.toSeq
     val byId = snaps.map(s => s.get("snapshot-id").asLong -> s).toMap
     val seen = scala.collection.mutable.Set.empty[Long]
     var terminal: Option[com.fasterxml.jackson.databind.JsonNode] = None
-    var cur = byId.get(meta.get("current-snapshot-id").asLong)
+    var cur = byId.get(head)
     while (cur.isDefined) {
       val s = cur.get
       val id = s.get("snapshot-id").asLong
@@ -2030,9 +2036,13 @@ object Iceberg {
   }
 
   /** One append snapshot's ADDED data files (status=1 entries of its
-    * own manifests), with identity partition tuples and byte sizes. */
+    * own manifests), with identity partition tuples, byte sizes, and
+    * the manifest's long-typed value bounds keyed by COLUMN NAME
+    * (`idToName` resolves the bounds' field ids — the stream
+    * planner's data-skipping currency). */
   private def addedDataFiles(s: com.fasterxml.jackson.databind.JsonNode,
-      id: Long): Seq[DeltaLog.StreamFile] =
+      id: Long, idToName: Map[Int, String] = Map.empty)
+      : Seq[DeltaLog.StreamFile] =
     readAvro(s.get("manifest-list").asText)
       .filter(r => fieldOpt(r, "added_snapshot_id")
         .map(_.asInstanceOf[Long]).contains(id))
@@ -2053,10 +2063,21 @@ object Iceberg {
                   }.toMap
                 case _ => Map.empty
               }
+            val lower = boundsMap(df, "lower_bounds")
+            val upper = boundsMap(df, "upper_bounds")
+            val bounds: Map[String, (Long, Long)] =
+              lower.keySet.intersect(upper.keySet).flatMap { fid =>
+                for {
+                  name <- idToName.get(fid)
+                  lo <- longBound(lower(fid))
+                  hi <- longBound(upper(fid))
+                } yield name -> (lo, hi)
+              }.toMap
             Some(DeltaLog.StreamFile(
               stripFileUri(df.get("file_path").toString), pv,
               fieldOpt(df, "file_size_in_bytes")
-                .map(_.asInstanceOf[Long]).getOrElse(0L)))
+                .map(_.asInstanceOf[Long]).getOrElse(0L),
+              bounds))
           }
         }
       }
@@ -2073,10 +2094,36 @@ object Iceberg {
     * admission-control planner's shape, mirroring
     * [[DeltaLog.addedFilesByVersion]]. */
   private[graft] def addedFilesBySnapshot(tableDir: String,
-      fromExclusive: Long, to: Long, skipOverwriteSnapshots: Boolean)
+      fromExclusive: Long, to: Long, skipOverwriteSnapshots: Boolean,
+      branch: Option[String] = None)
       : Seq[(Long, Seq[DeltaLog.StreamFile])] =
     addedFilesSnapshotIterator(tableDir, fromExclusive, to,
-      skipOverwriteSnapshots).toSeq
+      skipOverwriteSnapshots, branch).toSeq
+
+  /** The streaming head: a branch ref's snapshot id, or the
+    * PUBLISHED main head (`current-snapshot-id`) — deliberately NOT
+    * the max snapshot id: WAP-staged branch snapshots carry ids
+    * above main's head, and an offset that advanced past them would
+    * silently skip their rows when `fastForward` later publishes
+    * them (offsets are snapshot ids; an id once passed never
+    * replays). Capping at the published head keeps the checkpoint
+    * exactly at consumed-published history, so publish-then-continue
+    * delivers the branch snapshots. */
+  private[graft] def streamHead(tableDir: String,
+                                branch: Option[String]): Long =
+    branch match {
+      case Some(b) =>
+        val meta = loadMetadata(tableDir, currentVersion(tableDir))
+        require(meta.has("refs") && meta.get("refs").has(b) &&
+            meta.get("refs").get(b).get("type").asText == "branch",
+          s"graft-iceberg: '$b' is not a branch of $tableDir (tags " +
+            "are frozen history — read them with the batch readRef)")
+        refSnapshot(tableDir, b)
+      case None =>
+        val meta = loadMetadata(tableDir, currentVersion(tableDir))
+        Option(meta.get("current-snapshot-id")).map(_.asLong)
+          .filter(_ > 0).getOrElse(0L)
+    }
 
   /** [[addedFilesBySnapshot]] as a LAZY iterator — manifests are read
     * only when the iterator advances to their snapshot, so the
@@ -2085,11 +2132,17 @@ object Iceberg {
     * snapshot past its cap: draining an N-snapshot backlog is O(N)
     * total manifest reads across all triggers, not O(N²). */
   private[graft] def addedFilesSnapshotIterator(tableDir: String,
-      fromExclusive: Long, to: Long, skipOverwriteSnapshots: Boolean)
+      fromExclusive: Long, to: Long, skipOverwriteSnapshots: Boolean,
+      branch: Option[String] = None)
       : Iterator[(Long, Seq[DeltaLog.StreamFile])] = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     val snaps = meta.get("snapshots").elements().asScala.toSeq
-    val ancestry = mainAncestry(meta)
+    // a named BRANCH streams its own lineage (WAP pre-publish audit);
+    // default = published main
+    val ancestry = branch match {
+      case Some(b) => ancestryOf(meta, refSnapshot(tableDir, b))
+      case None => mainAncestry(meta)
+    }
     snaps
       .filter { s =>
         val id = s.get("snapshot-id").asLong
@@ -2116,7 +2169,8 @@ object Iceberg {
             // identity tuples reconstruct stripped partition columns
             // in the stream reader (same stringified shape the batch
             // planner hands PartitionedScan)
-            addedDataFiles(s, id)
+            addedDataFiles(s, id,
+              fieldIds(meta).map { case (n, i) => i -> n })
         (id, files)
       }
   }
@@ -2359,7 +2413,14 @@ object Iceberg {
           s"${schema(f.name).dataType}")
     }
     val sub = s"data/eqdelete-${java.util.UUID.randomUUID}"
-    keys.dropDuplicates().repartition(1)
+    // the spec's delete files carry PARQUET FIELD IDS like any data
+    // file — id-resolving readers (Spark's vectorized reader with
+    // fieldId.read.enabled, this engine's columnar CDF stream) match
+    // the key columns by id and null-fill the rest
+    val annotated = keys.select(keys.columns.toSeq.map(c =>
+      col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", ids(c).toLong).build())): _*)
+    annotated.dropDuplicates().repartition(1)
       .write.parquet(s"$tableDir/$sub")
     val part = Option(new File(tableDir, sub).listFiles())
       .getOrElse(Array.empty)

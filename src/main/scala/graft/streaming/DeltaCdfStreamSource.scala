@@ -33,6 +33,12 @@ import graft.sources.DeltaLog
   *    bitmap) streams exactly the newly-set positions as `delete` —
   *    the bitmap diff happens on the EXECUTOR reading that one
   *    file, never materialized on the driver;
+  *  - a commit CARRYING `cdc` actions (a foreign writer's change
+  *    feed, or this engine's own writes under
+  *    `delta.enableChangeDataFeed=true`) streams the named
+  *    `_change_data` files with `_change_type` read from INSIDE the
+  *    file (update_preimage/update_postimage/insert/delete) — the
+  *    protocol requires preferring them over add/remove derivation;
   *  - OPTIMIZE (dataChange=false) contributes nothing.
   *
   * Exactly-once rides Spark's offset checkpoint exactly as the
@@ -44,8 +50,11 @@ import graft.sources.DeltaLog
   * Scope: unmapped tables (primitive or struct columns); partitioned
   * tables stream with partition columns reconstructed from each
   * add's partitionValues. Options: `path` (required),
-  * `startingVersion` (default: all history — the initial snapshot
-  * streams as inserts), `maxVersionsPerTrigger`. */
+  * `startingVersion` (a version, `latest`, or default: all history —
+  * the initial snapshot streams as inserts), `maxVersionsPerTrigger`,
+  * `vectorizedRead` (default true — struct-free schemas ride the
+  * columnar path, DV-filtered partitions through the filtered-copy
+  * wrapper). */
 class DeltaCdfStreamProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-delta-cdf"
@@ -110,14 +119,16 @@ private class DeltaCdfStreamScan(schema: StructType,
     new DeltaCdfMicroBatchStream(
       DeltaCdfStreamSource.annotatedSchema(path), path,
       Option(options.get("startingVersion")),
-      options.getLong("maxVersionsPerTrigger", Long.MaxValue))
+      options.getLong("maxVersionsPerTrigger", Long.MaxValue),
+      options.getBoolean("vectorizedRead", true))
   }
 }
 
 private class DeltaCdfMicroBatchStream(schema: StructType,
                                        tableDir: String,
                                        startingVersion: Option[String],
-                                       maxVersionsPerTrigger: Long)
+                                       maxVersionsPerTrigger: Long,
+                                       vectorizedRead: Boolean = true)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   @volatile private var availableNowCap: Option[Long] = None
@@ -203,11 +214,18 @@ private class DeltaCdfMicroBatchStream(schema: StructType,
     }.toArray
   }
 
-  // row path: a CDF batch mixes plain-file partitions with
-  // DV-filtered ones, and a DSv2 scan must be uniformly row-based
-  // or columnar — the DV predicate keeps this source on rows
+  // COLUMNAR by default: plain partitions ride the zero-copy
+  // vectorized path; DV-filtered partitions (where CDC backlogs
+  // concentrate) ride the filtered-copy wrapper — decode stays
+  // vectorized, survivors are copied by file position
+  // ([[RowReadSupport.filteredColumnarReader]]). A DSv2 scan must be
+  // UNIFORMLY columnar or row-based, so struct-bearing schemas (the
+  // filtered copy handles primitive leaves only) keep the row path.
   override def createReaderFactory(): PartitionReaderFactory =
-    new DeltaFileReaderFactory(schema.json, columnar = false)
+    new DeltaFileReaderFactory(schema.json,
+      columnar = vectorizedRead &&
+        schema.fields.forall(f =>
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]))
 }
 
 object DeltaCdfStreamQueries {

@@ -63,7 +63,11 @@ import graft.sources.DeltaLog
   * `maxVersionsPerTrigger`,
   * `maxFilesPerTrigger` / `maxBytesPerTrigger` (admission control
   * that SPLITS within a commit — offsets are (version, fileIndex)),
-  * `vectorizedRead` (default true).
+  * `vectorizedRead` (default true), `filter` (a SQL predicate the
+  * planner prunes files with — partition values + `add.stats` bounds,
+  * [[StreamFilter]]; the query must still `.filter(...)` the same
+  * predicate for exactness — Spark does not push filters into
+  * MicroBatchStream scans, so this option is the pushdown seam).
   */
 class DeltaStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-delta"
@@ -157,7 +161,8 @@ private class DeltaStreamScan(schema: StructType,
       options.getLong("maxVersionsPerTrigger", Long.MaxValue),
       options.getLong("maxFilesPerTrigger", Long.MaxValue),
       options.getLong("maxBytesPerTrigger", Long.MaxValue),
-      options.getBoolean("vectorizedRead", true))
+      options.getBoolean("vectorizedRead", true),
+      Option(options.get("filter")))
   }
 }
 
@@ -191,8 +196,13 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
                                     maxVersionsPerTrigger: Long,
                                     maxFilesPerTrigger: Long,
                                     maxBytesPerTrigger: Long,
-                                    vectorizedRead: Boolean = true)
+                                    vectorizedRead: Boolean = true,
+                                    filterSql: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // the `filter` option's prune-safe decomposition, built once at
+  // query start (fails loudly on unparseable SQL)
+  private val pruner = StreamFilter.pruner(filterSql, schema)
 
   // Trigger.AvailableNow: the engine asks the source to PIN the end
   // of the stream up front, then drains to exactly that point — a
@@ -294,8 +304,8 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
     // the reader reconstructs partition columns as constants. The
     // boundary versions honor the offsets' in-version file indexes
     // (a split backfill commit reads each file exactly once).
-    DeltaLog.addedFilesByVersion(tableDir, s.version - 1, e.version,
-        skipChangeCommits, Some(schema))
+    val planned = DeltaLog.addedFilesByVersion(tableDir,
+        s.version - 1, e.version, skipChangeCommits, Some(schema))
       .flatMap { case (v, fs) =>
         val lo =
           if (v == s.version) math.min(s.index, fs.size.toLong).toInt
@@ -305,6 +315,17 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
           else fs.size
         fs.slice(lo, hi)
       }
+    // the `filter` option's per-file pruning — partition values +
+    // stats bounds, AFTER the offsets are fixed (pruning changes what
+    // is read, never the (version, index) bookkeeping, so replay is
+    // identical with or without it)
+    val kept = pruner match {
+      case Some(p) => planned.filter(f => p.keep(f.partitionValues, f.bounds))
+      case None => planned
+    }
+    StreamFilter.lastPlanned = planned.size
+    StreamFilter.lastKept = kept.size
+    kept
       .map(f =>
         DeltaFilePartition(f.path, f.partitionValues): InputPartition)
       .toArray
@@ -486,13 +507,122 @@ object DeltaStreamQueries {
 /** The row path's shared machinery — parquet Group → [[InternalRow]]
   * conversion with per-level column resolution — used by
   * [[DeltaFileReaderFactory]] and the Iceberg CDF reader. */
-private[streaming] object RowReadSupport {
+private[graft] object RowReadSupport {
 
   /** Per-file resolution node: the table field, its index in the
     * file's group type (-1 = absent) and, for structs, the resolved
     * children against the file's nested group. */
   class FieldRes(val f: StructField, val idx: Int,
                  val children: Array[FieldRes])
+
+  /** Seam: which read path the last created reader took ("columnar" |
+    * "row") — local[*] runs readers in-process, so specs assert the
+    * CDF drains actually ride the vectorized path. */
+  @volatile private[graft] var lastReadPath: String = ""
+
+  /** The partition's deletion-vector row predicate over running file
+    * position, decoded ONCE per task from the descriptors riding the
+    * partition (O(compressed bitmap)); None = no filter. Shared by
+    * the row path and the filtered columnar path. */
+  def dvKeep(part: DeltaFilePartition): Option[Long => Boolean] =
+    (part.dvSkip, part.dvKeepDiff) match {
+      case (Some(d), None) =>
+        val bm = graft.sources.DeletionVectors
+          .readBitmap(part.tableDir, d)
+        Some(pos => !bm.contains(pos))
+      case (None, Some((beforeD, afterD))) =>
+        val before = beforeD
+          .map(graft.sources.DeletionVectors
+            .readBitmap(part.tableDir, _))
+          .getOrElse(new graft.sources.DeletionVectors.Bitmap64)
+        val after = graft.sources.DeletionVectors
+          .readBitmap(part.tableDir, afterD)
+        require(before.andNot(after).isEmpty,
+          s"file ${part.path}'s deletion vector SHRANK — an " +
+            "undelete has no CDF spelling here")
+        Some(pos => after.contains(pos) && !before.contains(pos))
+      case (None, None) => None
+      case other => throw new IllegalArgumentException(
+        s"a partition cannot carry both DV modes: $other")
+    }
+
+  /** Copy the surviving rows of each vectorized batch into fresh
+    * output vectors, in the PUBLIC schema order. `order` maps public
+    * field index → the inner batch's vector index; `keep` judges the
+    * running FILE position (parquet row index — exactly what the DV
+    * bitmaps key on because these readers scan whole files from
+    * offset 0). Primitive leaf types only — the CDF factory gates
+    * struct-bearing schemas onto the row path. */
+  def filteredColumnarReader(
+      reader: org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader,
+      schema: StructType, order: Array[Int], keep: Long => Boolean)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var out: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      private var filePos = 0L
+      override def next(): Boolean = {
+        while (reader.nextKeyValue()) {
+          val inner = reader.getCurrentValue
+            .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+          val n = inner.numRows()
+          val base = filePos
+          filePos += n
+          val sel = new Array[Int](n)
+          var m = 0
+          var i = 0
+          while (i < n) {
+            if (keep(base + i)) { sel(m) = i; m += 1 }
+            i += 1
+          }
+          if (m > 0) {
+            val vecs = new Array[
+              org.apache.spark.sql.vectorized.ColumnVector](
+                schema.fields.length)
+            var c = 0
+            while (c < schema.fields.length) {
+              val src = inner.column(order(c))
+              val dt = schema.fields(c).dataType
+              val dst = new OnHeapColumnVector(m, dt)
+              var j = 0
+              while (j < m) {
+                val r = sel(j)
+                if (src.isNullAt(r)) dst.putNull(j)
+                else dt match {
+                  case LongType | TimestampType | TimestampNTZType =>
+                    dst.putLong(j, src.getLong(r))
+                  case IntegerType | DateType =>
+                    dst.putInt(j, src.getInt(r))
+                  case DoubleType => dst.putDouble(j, src.getDouble(r))
+                  case FloatType => dst.putFloat(j, src.getFloat(r))
+                  case BooleanType =>
+                    dst.putBoolean(j, src.getBoolean(r))
+                  case StringType =>
+                    val s = src.getUTF8String(r)
+                    dst.putByteArray(j, s.getBytes): Unit
+                  case other => throw new IllegalArgumentException(
+                    s"filtered columnar copy: unsupported type $other")
+                }
+                j += 1
+              }
+              vecs(c) = dst
+              c += 1
+            }
+            out = new org.apache.spark.sql.vectorized.ColumnarBatch(
+              vecs, m)
+            return true
+          }
+        }
+        false
+      }
+      override def get()
+          : org.apache.spark.sql.vectorized.ColumnarBatch = out
+      override def close(): Unit = reader.close()
+    }
+  }
 
   /** Column lookup at every nesting level: (1)
     * `delta.columnMapping.id` against the file's parquet field ids,
@@ -640,15 +770,17 @@ private class DeltaFileReaderFactory(schemaJson: String,
   override def supportColumnarReads(partition: InputPartition)
       : Boolean = columnar
 
-  override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val part = partition.asInstanceOf[DeltaFilePartition]
-    require(part.dvSkip.isEmpty && part.dvKeepDiff.isEmpty,
-      "DV-filtered partitions ride the row path")
-    val pv = part.partitionValues
-    // constants (partition columns / CDF tags) become CONSTANT
-    // VECTORS via initBatch; everything else is read from the file
+  /** Open one parquet file with Spark's VECTORIZED reader: constants
+    * (partition columns / CDF tags) become CONSTANT VECTORS via
+    * initBatch, everything else reads from the file (missing columns
+    * null-fill). Returns the initialized reader plus the vector
+    * re-ordering from the reader's (fileFields, constFields) layout
+    * into the public schema's order. Shared by the plain columnar
+    * path and the Iceberg CDF position-delete columnar reader. */
+  private[streaming] def openVectorized(filePath: String,
+      pv: Map[String, String], schema: StructType)
+      : (org.apache.spark.sql.execution.datasources.parquet
+          .VectorizedParquetRecordReader, Array[Int]) = {
     val (constFields, fileFields) =
       schema.fields.partition(f => pv.contains(f.name))
     val requested = StructType(translate(fileFields, fieldIds))
@@ -677,14 +809,14 @@ private class DeltaFileReaderFactory(schemaJson: String,
     }
     conf.set("spark.sql.parquet.fieldId.read.enabled", hasIds.toString)
     conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-    val path = new Path(part.path)
+    val path = new Path(filePath)
     // length via the Hadoop filesystem, NOT java.io.File — add
     // actions deliberately pass through URI-schemed absolute paths
     // (file:/, s3a://), for which File.length() answers 0 and a
     // [0,0) split would silently read zero rows from a real file
     val fileLen = path.getFileSystem(conf).getFileStatus(path).getLen
     require(fileLen > 0,
-      s"streamed parquet file ${part.path} resolves to 0 bytes — " +
+      s"streamed parquet file $filePath resolves to 0 bytes — " +
         "refusing a zero-length split that would silently emit no rows")
     val split = new org.apache.hadoop.mapred.FileSplit(
       path, 0, fileLen, Array.empty[String])
@@ -704,30 +836,53 @@ private class DeltaFileReaderFactory(schemaJson: String,
     val innerOrder: Map[String, Int] =
       (fileFields.map(_.name) ++ constFields.map(_.name))
         .zipWithIndex.toMap
-    val order: Array[Int] = schema.fields.map(f => innerOrder(f.name))
-    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
-      override def next(): Boolean = {
-        val has = reader.nextKeyValue()
-        if (has) {
-          val inner = reader.getCurrentValue
-            .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
-          if (batch == null)
-            batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
-              order.map(inner.column(_)))
-          batch.setNumRows(inner.numRows())
+    (reader, schema.fields.map(f => innerOrder(f.name)))
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    RowReadSupport.lastReadPath = "columnar"
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val part = partition.asInstanceOf[DeltaFilePartition]
+    val (reader, order) =
+      openVectorized(part.path, part.partitionValues, schema)
+    val keep: Option[Long => Boolean] = RowReadSupport.dvKeep(part)
+    if (keep.isEmpty)
+      // no row filter: zero-copy vector re-ordering
+      new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+        override def next(): Boolean = {
+          val has = reader.nextKeyValue()
+          if (has) {
+            val inner = reader.getCurrentValue
+              .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+            if (batch == null)
+              batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+                order.map(inner.column(_)))
+            batch.setNumRows(inner.numRows())
+          }
+          has
         }
-        has
+        override def get()
+            : org.apache.spark.sql.vectorized.ColumnarBatch = batch
+        override def close(): Unit = reader.close()
       }
-      override def get()
-          : org.apache.spark.sql.vectorized.ColumnarBatch = batch
-      override def close(): Unit = reader.close()
-    }
+    else
+      // DELETION-VECTOR row filter, columnar: decode stays in the
+      // vectorized parquet reader (the 2.4x win); surviving rows are
+      // COPIED into fresh output vectors by running file position —
+      // the only extra cost over the unfiltered path, O(survivors),
+      // and still far below per-row Group materialization. This is
+      // where CDC backlogs concentrate (delete-heavy batches), so
+      // the copy buys throughput exactly where it matters.
+      RowReadSupport.filteredColumnarReader(reader, schema, order,
+        keep.get)
   }
 
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
+    RowReadSupport.lastReadPath = "row"
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val file = partition.asInstanceOf[DeltaFilePartition].path
     // partition columns live only in the table's metadata — their
@@ -744,29 +899,9 @@ private class DeltaFileReaderFactory(schemaJson: String,
     // deletion-vector row predicate, decoded ONCE per task from the
     // descriptors riding the partition — O(compressed bitmap) on the
     // executor that reads the file, O(1) per row after
-    val keep: Long => Boolean = {
-      val part = partition.asInstanceOf[DeltaFilePartition]
-      (part.dvSkip, part.dvKeepDiff) match {
-        case (Some(d), None) =>
-          val bm = graft.sources.DeletionVectors
-            .readBitmap(part.tableDir, d)
-          pos => !bm.contains(pos)
-        case (None, Some((beforeD, afterD))) =>
-          val before = beforeD
-            .map(graft.sources.DeletionVectors
-              .readBitmap(part.tableDir, _))
-            .getOrElse(new graft.sources.DeletionVectors.Bitmap64)
-          val after = graft.sources.DeletionVectors
-            .readBitmap(part.tableDir, afterD)
-          require(before.andNot(after).isEmpty,
-            s"file ${part.path}'s deletion vector SHRANK — an " +
-              "undelete has no CDF spelling here")
-          pos => after.contains(pos) && !before.contains(pos)
-        case (None, None) => _ => true
-        case other => throw new IllegalArgumentException(
-          s"a partition cannot carry both DV modes: $other")
-      }
-    }
+    val keep: Long => Boolean = RowReadSupport
+      .dvKeep(partition.asInstanceOf[DeltaFilePartition])
+      .getOrElse(_ => true)
     new PartitionReader[InternalRow] {
       private val reader = ParquetReader
         .builder(new GroupReadSupport(), new Path(file)).build()

@@ -112,7 +112,7 @@ private class IcebergCdfStreamScan(schema: StructType,
       // or `latest` = only snapshots committed after query start
       Option(options.get("startingSnapshotId")) match {
         case Some("latest") =>
-          Iceberg.latestSnapshotId(IcebergStreamSource.pathOf(options))
+          Iceberg.streamHead(IcebergStreamSource.pathOf(options), None)
         case Some(v) =>
           require(v.forall(_.isDigit),
             "graft-iceberg-cdf: startingSnapshotId must be a " +
@@ -120,7 +120,8 @@ private class IcebergCdfStreamScan(schema: StructType,
           v.toLong
         case None => 0L
       },
-      options.getLong("maxSnapshotsPerTrigger", Long.MaxValue))
+      options.getLong("maxSnapshotsPerTrigger", Long.MaxValue),
+      options.getBoolean("vectorizedRead", true))
 }
 
 /** One delete snapshot's worth of row-level deletes: the executor
@@ -134,21 +135,25 @@ private case class IcebergPosDeletePartition(deleteFile: String,
 private class IcebergCdfMicroBatchStream(schema: StructType,
                                          tableDir: String,
                                          startingSnapshotId: Long,
-                                         maxSnapshotsPerTrigger: Long)
+                                         maxSnapshotsPerTrigger: Long,
+                                         vectorizedRead: Boolean = true)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val startSig = IcebergStreamSource.schemaSig(tableDir)
 
+  // the PUBLISHED main head, never the max snapshot id — an offset
+  // that advanced past WAP-staged ids would skip their rows when a
+  // later fastForward publishes them
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(Iceberg.latestSnapshotId(tableDir))
+    availableNowCap = Some(Iceberg.streamHead(tableDir, None))
 
   override def initialOffset(): Offset =
     SnapshotOffset(startingSnapshotId)
 
   override def latestOffset(): Offset =
     SnapshotOffset(availableNowCap
-      .getOrElse(Iceberg.latestSnapshotId(tableDir)))
+      .getOrElse(Iceberg.streamHead(tableDir, None)))
 
   // snapshot-granular admission: one snapshot's changes form one
   // transactionally-meaningful unit for a CDC-applying sink
@@ -199,20 +204,79 @@ private class IcebergCdfMicroBatchStream(schema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (_, ids) = IcebergStreamSource.checkedSchema(tableDir)
-    new IcebergCdfReaderFactory(schema.json, ids)
+    new IcebergCdfReaderFactory(schema.json, ids,
+      columnar = vectorizedRead)
   }
 }
 
-/** Row-based factory for both CDF partition shapes: plain data files
-  * ride the shared [[DeltaFileReaderFactory]] row path (as a
-  * delegate); position-delete partitions get the two-phase reader. */
+/** Factory for both CDF partition shapes, COLUMNAR by default (the
+  * schema is primitive by scope): plain data files and equality-
+  * delete key files ride the shared [[DeltaFileReaderFactory]]
+  * vectorized path; position-delete partitions get a two-phase
+  * columnar reader — the (file, pos) pairs are read row-wise (a
+  * delete file is O(that snapshot's deletes)), then each named data
+  * file is read VECTORIZED with the listed positions as the
+  * keep-filter ([[RowReadSupport.filteredColumnarReader]]). The row
+  * path is kept behind `vectorizedRead=false`. */
 private class IcebergCdfReaderFactory(schemaJson: String,
-    fieldIds: Map[String, Int])
+    fieldIds: Map[String, Int], columnar: Boolean = true)
     extends PartitionReaderFactory {
   import RowReadSupport.{decodeConstant, resolve, value, FieldRes}
 
   private val delegate =
-    new DeltaFileReaderFactory(schemaJson, fieldIds, columnar = false)
+    new DeltaFileReaderFactory(schemaJson, fieldIds,
+      columnar = columnar)
+
+  override def supportColumnarReads(partition: InputPartition)
+      : Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case _: DeltaFilePartition =>
+        delegate.createColumnarReader(partition)
+      case p: IcebergPosDeletePartition =>
+        RowReadSupport.lastReadPath = "columnar"
+        val schema =
+          DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val files = posDeleteTargets(p)
+        // one filtered VECTORIZED reader per named data file, chained
+        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+          private var fileIdx = -1
+          private var cur: PartitionReader[
+            org.apache.spark.sql.vectorized.ColumnarBatch] = _
+          private def nextFile(): Boolean = {
+            if (cur != null) { cur.close(); cur = null }
+            fileIdx += 1
+            if (fileIdx >= files.size) false
+            else {
+              val (f, positions) = files(fileIdx)
+              val (reader, order) =
+                delegate.openVectorized(f, p.constants, schema)
+              // sorted positions -> binary-search membership
+              cur = RowReadSupport.filteredColumnarReader(
+                reader, schema, order,
+                pos => java.util.Arrays.binarySearch(positions, pos) >= 0)
+              true
+            }
+          }
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) { if (!nextFile()) return false }
+              if (cur.next()) return true
+              cur.close(); cur = null
+            }
+            false
+          }
+          override def get()
+              : org.apache.spark.sql.vectorized.ColumnarBatch =
+            cur.get()
+          override def close(): Unit =
+            if (cur != null) cur.close()
+        }
+      case other => throw new IllegalArgumentException(
+        s"unexpected partition $other")
+    }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = partition match {
@@ -222,15 +286,11 @@ private class IcebergCdfReaderFactory(schemaJson: String,
       s"unexpected partition $other")
   }
 
-  private def posDeleteReader(p: IcebergPosDeletePartition)
-      : PartitionReader[InternalRow] = {
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val consts: Map[String, Any] = schema.fields.flatMap { f =>
-      p.constants.get(f.name)
-        .map(s => f.name -> decodeConstant(s, f.dataType, f.name))
-    }.toMap
-    // phase 1 (small): the delete file — (file_path, pos), grouped
-    // in order; a delete file is O(that snapshot's deleted rows)
+  /** Phase 1 (small): the delete file's (file_path, pos) pairs,
+    * grouped per data file in order, positions sorted — shared by the
+    * row and columnar pos-delete readers. */
+  private def posDeleteTargets(p: IcebergPosDeletePartition)
+      : Seq[(String, Array[Long])] = {
     val byFile = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
     val dr = ParquetReader.builder(new GroupReadSupport(),
@@ -247,11 +307,21 @@ private class IcebergCdfReaderFactory(schemaJson: String,
         g = dr.read()
       }
     } finally dr.close()
+    byFile.toSeq.map { case (f, ps) => (f, ps.toArray.sorted) }
+  }
+
+  private def posDeleteReader(p: IcebergPosDeletePartition)
+      : PartitionReader[InternalRow] = {
+    RowReadSupport.lastReadPath = "row"
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val consts: Map[String, Any] = schema.fields.flatMap { f =>
+      p.constants.get(f.name)
+        .map(s => f.name -> decodeConstant(s, f.dataType, f.name))
+    }.toMap
     // Array positions: the per-row `positions(posIdx)` probe in the
     // phase-2 walk must be O(1) — a linked Seq here turns a 150k-row
     // file walk into O(rows x positions) pointer chasing
-    val files: Seq[(String, Array[Long])] =
-      byFile.toSeq.map { case (f, ps) => (f, ps.toArray.sorted) }
+    val files: Seq[(String, Array[Long])] = posDeleteTargets(p)
     // phase 2: walk each named data file, emitting the listed
     // positions (sorted — one forward pass, early-stop at the last)
     new PartitionReader[InternalRow] {

@@ -31,7 +31,13 @@ import graft.sources.Iceberg
   * `maxBytesPerTrigger` (admission control that SPLITS within a
   * snapshot — offsets are (snapshotId, fileIndex); manifest byte
   * sizes are the byte currency), `vectorizedRead` (default true —
-  * ColumnarBatch emission). Scope: primitive columns;
+  * ColumnarBatch emission), `filter` (a SQL predicate the planner
+  * prunes files with — identity partition tuples + manifest value
+  * bounds, [[StreamFilter]]; the query must still `.filter(...)` the
+  * same predicate for exactness), `branch` (stream a named BRANCH's
+  * lineage instead of published main — the WAP auditor's view;
+  * after `fastForward` the same checkpoint continues on main with no
+  * re-delivery, offsets being snapshot ids). Scope: primitive columns;
   * identity-PARTITIONED tables stream too — each file's manifest
   * tuple rides its InputPartition and the reader emits the stripped
   * partition columns as per-row constants (q197). Only snapshots
@@ -129,7 +135,9 @@ private class IcebergStreamScan(schema: StructType,
       options.getLong("maxSnapshotsPerTrigger", Long.MaxValue),
       options.getLong("maxFilesPerTrigger", Long.MaxValue),
       options.getLong("maxBytesPerTrigger", Long.MaxValue),
-      options.getBoolean("vectorizedRead", true))
+      options.getBoolean("vectorizedRead", true),
+      Option(options.get("filter")),
+      Option(options.get("branch")))
 }
 
 /** The offset is (snapshot id, files consumed WITHIN it) — the
@@ -163,8 +171,14 @@ private class IcebergMicroBatchStream(schema: StructType,
                                       maxSnapshotsPerTrigger: Long,
                                       maxFilesPerTrigger: Long,
                                       maxBytesPerTrigger: Long,
-                                      vectorizedRead: Boolean = true)
+                                      vectorizedRead: Boolean = true,
+                                      filterSql: Option[String] = None,
+                                      branch: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // the `filter` option's prune-safe decomposition, built once at
+  // query start (fails loudly on unparseable SQL)
+  private val pruner = StreamFilter.pruner(filterSql, schema)
 
   // SCHEMA CHANGES FAIL LOUDLY: Iceberg schema evolution is a
   // metadata-version bump, not a snapshot, so it never appears
@@ -183,20 +197,20 @@ private class IcebergMicroBatchStream(schema: StructType,
 
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(Iceberg.latestSnapshotId(tableDir))
+    availableNowCap = Some(Iceberg.streamHead(tableDir, branch))
 
   // "latest" = backfill the existing table with one batch read and
   // stream only snapshots committed after query start
   override def initialOffset(): Offset = startingSnapshotId match {
     case Some("latest") =>
-      SnapshotOffset(Iceberg.latestSnapshotId(tableDir))
+      SnapshotOffset(Iceberg.streamHead(tableDir, branch))
     case Some(s) => SnapshotOffset(s.toLong)
     case None => SnapshotOffset(0L)
   }
 
   override def latestOffset(): Offset =
     SnapshotOffset(availableNowCap
-      .getOrElse(Iceberg.latestSnapshotId(tableDir)))
+      .getOrElse(Iceberg.streamHead(tableDir, branch)))
 
   // admission control — the [[DeltaMicroBatchStream]] rationale: a
   // deep backlog drains in bounded batches, not one giant task set;
@@ -218,7 +232,7 @@ private class IcebergMicroBatchStream(schema: StructType,
     // LAZY walk: stopping the iterator stops the manifest reads too,
     // so a deep backlog costs O(admitted snapshots) per trigger
     val byS = Iceberg.addedFilesSnapshotIterator(tableDir,
-      from.snapshotId - 1, bounded, skipOverwriteSnapshots)
+      from.snapshotId - 1, bounded, skipOverwriteSnapshots, branch)
     var endS = from.snapshotId
     var endI = from.index
     var nFiles = 0L
@@ -257,8 +271,8 @@ private class IcebergMicroBatchStream(schema: StructType,
     requireUnchangedSchema()
     val s = start.asInstanceOf[SnapshotOffset]
     val e = end.asInstanceOf[SnapshotOffset]
-    Iceberg.addedFilesBySnapshot(tableDir, s.snapshotId - 1,
-        e.snapshotId, skipOverwriteSnapshots)
+    val planned = Iceberg.addedFilesBySnapshot(tableDir, s.snapshotId - 1,
+        e.snapshotId, skipOverwriteSnapshots, branch)
       .flatMap { case (sid, fs) =>
         val lo =
           if (sid == s.snapshotId)
@@ -270,6 +284,17 @@ private class IcebergMicroBatchStream(schema: StructType,
           else fs.size
         fs.slice(lo, hi)
       }
+    // the `filter` option's per-file pruning — identity partition
+    // tuples + manifest value bounds, AFTER the offsets are fixed
+    // (pruning changes what is read, never the (snapshot, index)
+    // bookkeeping, so replay is identical with or without it)
+    val kept = pruner match {
+      case Some(p) => planned.filter(f => p.keep(f.partitionValues, f.bounds))
+      case None => planned
+    }
+    StreamFilter.lastPlanned = planned.size
+    StreamFilter.lastKept = kept.size
+    kept
       .map(f =>
         DeltaFilePartition(f.path, f.partitionValues): InputPartition)
       .toArray

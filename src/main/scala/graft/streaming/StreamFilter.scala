@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.PruningPredicates
+
+/** Driver-side FILE PRUNING for the DSv2 stream planners — the
+  * predicate-pushdown seam of `graft-delta` / `graft-iceberg`.
+  *
+  * Spark 4 does not route `SupportsPushDownFilters` into
+  * [[org.apache.spark.sql.connector.read.streaming.MicroBatchStream]]
+  * scans (verified empirically: the V2 pushdown rule rewrites batch
+  * `DataSourceV2Relation`s only), so a `.filter(...)` on a streaming
+  * DataFrame is applied AFTER every planned file is read — a 100 TB
+  * backfill stream with a partition predicate scans the whole
+  * history. The `filter` OPTION is the explicit seam: the same SQL
+  * predicate the query re-applies, decomposed by
+  * [[graft.sources.PruningPredicates]] into prune-safe conjuncts and
+  * checked per planned file against (a) the file's log/manifest
+  * partition values (type-aware equality) and (b) its recorded
+  * min/max long bounds (Delta `add.stats`, Iceberg manifest value
+  * bounds).
+  *
+  * Superset contract (same as the batch `readFiltered`): pruning only
+  * ever DROPS files provably disjoint from the predicate; the caller
+  * still applies the exact `.filter(...)` on the stream output, so a
+  * conservative miss costs a file read, never a wrong row. Offsets
+  * are untouched — admission control and (version, index) bookkeeping
+  * run over the UNPRUNED file lists, so exactly-once replay is
+  * byte-identical with or without the option. */
+private[graft] object StreamFilter {
+
+  /** Per-query pruning state + the planned/pruned seam counters a
+    * spec asserts on (reassigned per planInputPartitions call). */
+  final class Pruner(schema: StructType,
+                     eqs: Map[String, Any],
+                     ranges: Seq[(String, Long, Long)]) {
+    def keep(partitionValues: Map[String, String],
+             bounds: Map[String, (Long, Long)]): Boolean =
+      eqs.forall { case (c, v) =>
+        // absent column / undecidable compare → cannot prove a miss
+        partitionValues.get(c).forall(s =>
+          schema.fields.find(_.name == c).flatMap(f =>
+            PruningPredicates.eqMatches(f.dataType, s, v))
+            .getOrElse(true))
+      } && ranges.forall { case (c, lo, hi) =>
+        bounds.get(c) match {
+          case Some((mn, mx)) => mn <= hi && mx >= lo
+          case None => true // no stats can never prove no match
+        }
+      }
+  }
+
+  /** Build the pruner from a `filter` option value (a SQL boolean
+    * expression over the stream's columns). None (no option) prunes
+    * nothing. Unparseable SQL fails loudly at query start — a typo'd
+    * predicate silently pruning nothing would masquerade as a slow
+    * stream. */
+  def pruner(filterSql: Option[String],
+             schema: StructType): Option[Pruner] =
+    filterSql.map { sql =>
+      val ex = PruningPredicates.extract(
+        org.apache.spark.sql.functions.expr(sql))
+      new Pruner(schema, ex.eqs, ex.longRanges)
+    }
+
+  /** Seam: files the last planInputPartitions call considered and
+    * kept, across all graft stream sources (specs reset + assert). */
+  @volatile private[graft] var lastPlanned: Int = -1
+  @volatile private[graft] var lastKept: Int = -1
+}

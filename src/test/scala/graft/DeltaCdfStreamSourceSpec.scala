@@ -48,6 +48,11 @@ class DeltaCdfStreamSourceSpec extends SparkSuite {
       .collect().toSeq
     assert(streamed == batch,
       "the stream and the batch CDF must agree row-for-row")
+    // the drain — DV-filtered partitions included — rode the
+    // VECTORIZED path (decode stays columnar; survivors are copied
+    // by file position)
+    assert(streaming.RowReadSupport.lastReadPath == "columnar",
+      "the CDF drain must ride the vectorized read path")
     // shape sanity: the v1 delete is EXACTLY the multiples of 5 (a
     // whole-file emission would flood all 20 rows)
     val v1 = streamed.filter(r => r.getLong(3) == 1L)

@@ -1747,6 +1747,42 @@ class DeltaLogSpec extends SparkSuite {
       (1L to 20L).filterNot(_ % 5 == 0))
   }
 
+  test("multi-part checkpoint WRITING: spec names, parts pointer, seeded tail replay") {
+    val dir = Files.createTempDirectory("dlogmp").toString + "/t"
+    // 5 commits x 2 files; checkpoint at version 4 with a 4-action
+    // cap -> protocol + metaData + 10 adds = 12 rows -> 3 parts
+    (0 until 5).foreach(i =>
+      sources.DeltaLog.commitAppend(
+        Seq((i * 2L, s"a$i"), (i * 2 + 1L, s"b$i"))
+          .toDF("k", "s").coalesce(2), dir))
+    val v = sources.DeltaLog.checkpoint(spark, dir,
+      maxActionsPerPart = 4L)
+    assert(v == 4L)
+    val log = new java.io.File(s"$dir/_delta_log")
+    val parts = log.listFiles()
+      .filter(_.getName.contains(".checkpoint."))
+      .map(_.getName).sorted.toSeq
+    assert(parts == Seq(
+      f"$v%020d.checkpoint.${1}%010d.${3}%010d.parquet",
+      f"$v%020d.checkpoint.${2}%010d.${3}%010d.parquet",
+      f"$v%020d.checkpoint.${3}%010d.${3}%010d.parquet"),
+      s"spec part names expected, got $parts")
+    val lc = new String(Files.readAllBytes(
+      Paths.get(s"$dir/_delta_log/_last_checkpoint")), "UTF-8")
+    assert(lc.contains("\"parts\":3"), s"_last_checkpoint: $lc")
+    // two commits after the checkpoint: a seeded read replays ONLY
+    // the tail and the answer equals the full history's
+    sources.DeltaLog.commitAppend(
+      Seq((100L, "x")).toDF("k", "s").coalesce(1), dir)
+    sources.DeltaLog.commitAppend(
+      Seq((101L, "y")).toDF("k", "s").coalesce(1), dir)
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L to 9L) ++ Seq(100L, 101L)))
+    assert(sources.DeltaLog.lastJsonCommitsRead == 2,
+      "a parts-seeded replay must read only the post-checkpoint tail")
+  }
+
   test("foreign cdc actions are honored over add/remove derivation") {
     // a FOREIGN writer's MERGE commit (hand-spelled raw JSON): the
     // file churn is remove(a)+add(b) — whole-file — but the commit

@@ -43,6 +43,10 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
         Seq(1L, 3L).map(k => (k, "delete", 4L))
     assert(got == want,
       "each delete snapshot emits EXACTLY its newly-deleted rows")
+    // position-delete partitions included, the drain rode the
+    // VECTORIZED path (filtered-copy over the listed positions)
+    assert(streaming.RowReadSupport.lastReadPath == "columnar",
+      "the CDF drain must ride the vectorized read path")
     // incremental: a later delete flows alone from the checkpoint
     sources.Iceberg.deleteWhere(spark, dir, col("k") === 11L)
     drainTo(dir, s"$work/out", s"$work/ckpt")

@@ -21,6 +21,90 @@ class IcebergStreamSourceSpec extends SparkSuite {
     q.awaitTermination()
   }
 
+  test("filter option prunes planned files like the batch pushdown read") {
+    import org.apache.spark.sql.functions.col
+    val work = Files.createTempDirectory("istreamf").toString
+    // IDENTITY-PARTITION pruning: three partitions, one file each
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppendPartitioned(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "p")
+        .repartition(col("p")), dir, Seq("p"))
+    streaming.StreamFilter.lastPlanned = -1
+    drain(dir, s"$work/out", s"$work/ckpt",
+      Map("filter" -> "p = 'b'"))
+    assert(streaming.StreamFilter.lastPlanned == 3 &&
+      streaming.StreamFilter.lastKept == 1,
+      s"partition pruning: planned ${streaming.StreamFilter.lastPlanned}" +
+        s", kept ${streaming.StreamFilter.lastKept}")
+    assert(spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b")))
+    // the batch pushdown prunes to the same file count
+    sources.Iceberg.readFiltered(spark, dir, col("p") === "b")
+      .collect(): Unit
+    assert(sources.Iceberg.lastFilesPlanned == 1)
+    // MANIFEST-BOUNDS pruning: three appends with disjoint key
+    // ranges — a range predicate plans one file, the batch twin agrees
+    val dir2 = s"$work/t2"
+    Seq(1L to 10L, 11L to 20L, 21L to 30L).foreach(r =>
+      sources.Iceberg.commitAppend(
+        r.map(i => (i, s"s$i")).toDF("k", "s").coalesce(1), dir2))
+    streaming.StreamFilter.lastPlanned = -1
+    drain(dir2, s"$work/out2", s"$work/ckpt2",
+      Map("filter" -> "k >= 25"))
+    assert(streaming.StreamFilter.lastPlanned == 3 &&
+      streaming.StreamFilter.lastKept == 1,
+      s"bounds pruning: planned ${streaming.StreamFilter.lastPlanned}" +
+        s", kept ${streaming.StreamFilter.lastKept}")
+    assert(spark.read.parquet(s"$work/out2")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (21L to 30L))
+    sources.Iceberg.readFiltered(spark, dir2, col("k") >= 25)
+      .collect(): Unit
+    assert(sources.Iceberg.lastFilesPlanned == 1)
+  }
+
+  test("branch option streams a WAP stage; fast-forward continues main, no re-delivery") {
+    import org.apache.spark.sql.functions.col
+    val work = Files.createTempDirectory("istreamb").toString
+    val dir = s"$work/t"
+    def keys(out: String): Seq[Long] = spark.read.parquet(out)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    sources.Iceberg.commitAppend(
+      (1L to 4L).map(i => (i, s"s$i")).toDF("k", "s"), dir) // main: snap 1
+    sources.Iceberg.commitAppendToBranch(
+      (5L to 6L).map(i => (i, s"s$i")).toDF("k", "s"), dir, "audit")
+    sources.Iceberg.commitAppendToBranch(
+      (7L to 8L).map(i => (i, s"s$i")).toDF("k", "s"), dir, "audit")
+    // main is FROZEN: a main stream must not see the staged snapshots
+    drain(dir, s"$work/mout", s"$work/mckpt")
+    assert(keys(s"$work/mout") == (1L to 4L),
+      "staged WAP snapshots must not stream from main")
+    // the auditor streams the BRANCH lineage: base + both stages
+    drain(dir, s"$work/aout", s"$work/ackpt", Map("branch" -> "audit"))
+    assert(keys(s"$work/aout") == (1L to 8L))
+    // publish; the MAIN stream's checkpoint continues — exactly the
+    // published snapshots it has not seen, nothing re-delivered
+    sources.Iceberg.fastForward(dir, "audit")
+    drain(dir, s"$work/mout", s"$work/mckpt")
+    assert(keys(s"$work/mout") == (1L to 8L),
+      "after fast-forward main must deliver ONLY the new snapshots")
+    // the audit stream, resumed, has nothing new either
+    drain(dir, s"$work/aout", s"$work/ackpt", Map("branch" -> "audit"))
+    assert(keys(s"$work/aout") == (1L to 8L))
+    // a TAG refuses loudly (frozen history — batch readRef territory)
+    sources.Iceberg.setRef(dir,
+      "v1", sources.Iceberg.snapshotIds(dir).head, "tag"): Unit
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Exception] {
+      drain(dir, s"$work/tout", s"$work/tckpt", Map("branch" -> "v1"))
+    }
+    assert(messages(e).exists(m => m.contains("not a branch") &&
+      m.contains("readRef")), s"got ${messages(e)}")
+  }
+
   test("appends stream exactly once across restarts; renamed columns resolve by id") {
     val work = Files.createTempDirectory("istream").toString
     val dir = s"$work/t"

@@ -150,6 +150,79 @@ class InteropRoundTripSpec extends SparkSuite {
     cp.unpersist(): Unit
   }
 
+  test("Delta foreign replay: multi-part checkpoint + cdc change feed") {
+    val dir = Files.createTempDirectory("interop2").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      (1L to 12L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.setTableProperties(dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((2L, "m2"), (13L, "m13")).toDF("k", "s"), Seq("k"))
+    val v = sources.DeltaLog.checkpoint(spark, dir,
+      maxActionsPerPart = 3L)
+    val logDir = s"$dir/_delta_log"
+
+    // ---- foreign client, public formats only ----
+    // (1) _last_checkpoint declares parts; every spec-named part
+    // file exists; their union replays to our row count
+    val last = mapper.readTree(new String(Files.readAllBytes(
+      Paths.get(logDir, "_last_checkpoint")), "UTF-8"))
+    assert(last.has("parts"), "multi-part checkpoint must declare parts")
+    val n = last.get("parts").asInt
+    assert(n > 1)
+    val partPaths = (1 to n).map(i =>
+      f"$logDir/$v%020d.checkpoint.$i%010d.$n%010d.parquet")
+    partPaths.foreach(p =>
+      assert(new java.io.File(p).isFile, s"missing checkpoint part $p"))
+    val cp = spark.read.parquet(partPaths: _*)
+    assert(cp.select("protocol.minReaderVersion")
+      .where(col("`protocol`.`minReaderVersion`").isNotNull)
+      .count() == 1, "exactly one protocol row across all parts")
+    assert(cp.select("metaData.schemaString")
+      .where(col("`metaData`.`schemaString`").isNotNull)
+      .count() == 1, "exactly one metaData row across all parts")
+    val adds = cp.select("add.path")
+      .where(col("`add`.`path`").isNotNull)
+      .collect().map(_.getString(0)).toSeq
+    val foreignRows = adds
+      .map(p => spark.read.parquet(s"$dir/$p").count()).sum
+    assert(foreignRows == sources.DeltaLog.read(spark, dir).count(),
+      "parts-reconstructed state must equal our read")
+    // the checkpoint metaData (wherever its part landed) carries the
+    // FULL configuration, CDF flag included
+    val conf = cp.select("metaData.configuration")
+      .where(col("`metaData`.`schemaString`").isNotNull)
+      .collect().head
+      .getAs[scala.collection.Map[String, String]](0)
+    assert(conf("delta.enableChangeDataFeed") == "true")
+
+    // (2) CHANGE FEED, foreign spelling: the MERGE commit carries a
+    // cdc action; a real CDF reader takes the named _change_data
+    // file's rows (with their in-file _change_type) — they must
+    // equal our readChanges for that commit row-for-row
+    val mergeV = 2L
+    val nodes = Files.readAllLines(
+      Paths.get(f"$logDir/$mergeV%020d.json")).asScala
+      .filter(_.nonEmpty).map(mapper.readTree).toSeq
+    val cdcPaths = nodes.filter(_.has("cdc"))
+      .map(_.get("cdc").get("path").asText)
+    assert(cdcPaths.nonEmpty, "a CDF-enabled MERGE must stamp cdc actions")
+    assert(cdcPaths.forall(_.startsWith("_change_data/")))
+    val foreignChanges = spark.read
+      .parquet(cdcPaths.map(p => s"$dir/$p"): _*)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+        r.getAs[String]("_change_type"))).toSet
+    val ourChanges = sources.DeltaLog
+      .readChanges(spark, dir, mergeV, mergeV)
+      .select("k", "s", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2))).toSet
+    assert(foreignChanges == ourChanges,
+      s"foreign CDF read $foreignChanges != ours $ourChanges")
+    assert(foreignChanges.map(_._3) ==
+      Set("update_preimage", "update_postimage", "insert"))
+  }
+
   test("Iceberg foreign replay: snapshot-log publishes only, ids survive rename") {
     val work = Files.createTempDirectory("interop2").toString
     val dir = s"$work/t"
