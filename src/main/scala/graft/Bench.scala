@@ -286,6 +286,11 @@ object Bench {
       s""""$name":{"runs":[${raw.map(r3).mkString(",")}],""" +
         s""""cal":[${cal.map(r3).mkString(",")}],"best":${r3(best(raw))}}"""
     }.mkString(",\n  ")
+    // q84's per-stage wall times from its (single, cold) run — the
+    // always-cold full-DAG write tracks host io, and this attribution
+    // makes that adjudicable from the sidecar without a rerun
+    val q84Stages = Pipeline.lastRunMetrics.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val sidecar =
       s"""{
          |  "sf":"$sfDir","cpus":$cpus,"n_queries":${runs.size},"n_failed":$nFailed,
@@ -297,6 +302,8 @@ object Bench {
          |  "effective_cores":${r3(effCores)},
          |  "io_probe":"seconds to write 32 MiB + fsync + read back, pre/post suite — the write-bound always-cold queries (q84/q106/q110/q117) track THIS, not the CPU cal; the q104/q128/q133 builders and the q101/q123 staging are session-cached (rounds 7-8), so only their FIRST runs are io-bound",
          |  "io_probe_sec":[${r3(preIo)},${r3(postIo)}],
+         |  "q84_stage_attribution":"per-stage wall ms of q84's single cold run (wall = max over its four concurrent branches), plus its fact-scan pruning counters — io attribution without a rerun",
+         |  "q84_stages":$q84Stages,
          |  "total_best_sec":${r3(total)},
          |  "total_is_complete":${nFailed == 0},
          |  "queries":{

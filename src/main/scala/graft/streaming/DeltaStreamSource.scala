@@ -587,25 +587,31 @@ private[graft] object RowReadSupport {
               val src = inner.column(order(c))
               val dt = schema.fields(c).dataType
               val dst = new OnHeapColumnVector(m, dt)
+              // type dispatch hoisted OUT of the per-row loop — a
+              // per-value match costs more than the copy itself
+              val copy: (Int, Int) => Unit = dt match {
+                case LongType | TimestampType | TimestampNTZType =>
+                  (j, r) => dst.putLong(j, src.getLong(r))
+                case IntegerType | DateType =>
+                  (j, r) => dst.putInt(j, src.getInt(r))
+                case DoubleType =>
+                  (j, r) => dst.putDouble(j, src.getDouble(r))
+                case FloatType =>
+                  (j, r) => dst.putFloat(j, src.getFloat(r))
+                case BooleanType =>
+                  (j, r) => dst.putBoolean(j, src.getBoolean(r))
+                case StringType =>
+                  (j, r) => {
+                    val s = src.getUTF8String(r)
+                    dst.putByteArray(j, s.getBytes): Unit
+                  }
+                case other => throw new IllegalArgumentException(
+                  s"filtered columnar copy: unsupported type $other")
+              }
               var j = 0
               while (j < m) {
                 val r = sel(j)
-                if (src.isNullAt(r)) dst.putNull(j)
-                else dt match {
-                  case LongType | TimestampType | TimestampNTZType =>
-                    dst.putLong(j, src.getLong(r))
-                  case IntegerType | DateType =>
-                    dst.putInt(j, src.getInt(r))
-                  case DoubleType => dst.putDouble(j, src.getDouble(r))
-                  case FloatType => dst.putFloat(j, src.getFloat(r))
-                  case BooleanType =>
-                    dst.putBoolean(j, src.getBoolean(r))
-                  case StringType =>
-                    val s = src.getUTF8String(r)
-                    dst.putByteArray(j, s.getBytes): Unit
-                  case other => throw new IllegalArgumentException(
-                    s"filtered columnar copy: unsupported type $other")
-                }
+                if (src.isNullAt(r)) dst.putNull(j) else copy(j, r)
                 j += 1
               }
               vecs(c) = dst
