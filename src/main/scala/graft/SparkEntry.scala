@@ -497,7 +497,17 @@ object SparkEntry {
     // emit one delete row per doomed key (O(keys), no data file
     // read) into a MERGE + delete-by-key silver
     "q202_iceberg_cdf_upsert_stream"
-      -> (streaming.IcebergCdfStreamQueries.icebergCdfUpsertStream _)
+      -> (streaming.IcebergCdfStreamQueries.icebergCdfUpsertStream _),
+    // WAP auditors stream the staged branch: the ancestry walk
+    // follows the branch ref's lineage, offsets cap at the branch
+    // head (a later fastForward re-delivers nothing, loses nothing)
+    "q203_iceberg_branch_stream"
+      -> (streaming.IcebergStreamQueries.icebergBranchStream _),
+    // stream-planner predicate pushdown: the filter option prunes
+    // whole files by partition values / stats bounds before any task
+    // launches; in-query seam require makes silent no-pruning fail
+    "q204_delta_stream_filtered"
+      -> (streaming.DeltaStreamQueries.deltaStreamFiltered _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -734,6 +744,10 @@ object SparkEntry {
     "q201_delta_cdc_actions"
       -> sources.DeltaLog.deltaCdcFeedSql,
     "q202_iceberg_cdf_upsert_stream"
-      -> streaming.IcebergCdfStreamQueries.icebergCdfUpsertStreamSql
+      -> streaming.IcebergCdfStreamQueries.icebergCdfUpsertStreamSql,
+    "q203_iceberg_branch_stream"
+      -> streaming.IcebergStreamQueries.icebergBranchStreamSql,
+    "q204_delta_stream_filtered"
+      -> streaming.DeltaStreamQueries.deltaStreamFilteredSql
   )
 }

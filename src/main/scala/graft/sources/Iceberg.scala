@@ -2152,8 +2152,15 @@ object Iceberg {
       .iterator
       .map { s =>
         val id = s.get("snapshot-id").asLong
-        val op = Option(s.get("summary"))
+        val rawOp = Option(s.get("summary"))
           .flatMap(su => Option(su.get("operation"))).map(_.asText)
+        // a CREATION overwrite (no parent snapshot) replaced nothing
+        // — pure inserts, the same rule the CDF planner applies
+        val op =
+          if (rawOp.contains("overwrite") &&
+              Option(s.get("parent-snapshot-id")).forall(_.isNull))
+            Some("append")
+          else rawOp
         val files: Seq[DeltaLog.StreamFile] =
           if (!op.contains("append")) {
             require(skipOverwriteSnapshots,

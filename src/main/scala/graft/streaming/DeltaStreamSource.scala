@@ -485,6 +485,43 @@ object DeltaStreamQueries {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |  o_orderpriority AS priority
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q204 — STREAM-PLANNER PREDICATE PUSHDOWN: q196's partitioned
+    * table drains with `filter = o_orderstatus = 'F'` — the planner
+    * prunes whole files by their log-recorded partitionValues before
+    * any task launches (the [[StreamFilter]] seam), and the query
+    * re-applies the same predicate for row exactness (the superset
+    * contract — exactly how batch pushdown composes). The oracle is
+    * the filtered table; the in-query `require` turns "the option
+    * silently pruned nothing" into a loud gate failure, so this
+    * query holds BOTH row correctness and the pruning behavior. At
+    * 100 TB this is a backfill stream reading one partition instead
+    * of the lake. */
+  def deltaStreamFiltered(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = DeltaLog.ordersPartitionedTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_dfilt").toString
+    StreamFilter.lastPlanned = -1
+    spark.readStream.format("graft-delta").option("path", t)
+      .option("filter", "o_orderstatus = 'F'").load()
+      .filter(col("o_orderstatus") === "F")
+      .writeStream.format("parquet")
+      .option("path", s"$work/data")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    require(StreamFilter.lastKept < StreamFilter.lastPlanned,
+      s"the filter option pruned nothing (planned " +
+        s"${StreamFilter.lastPlanned}, kept ${StreamFilter.lastKept})")
+    spark.read.parquet(s"$work/data")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val deltaStreamFilteredSql: String =
+    """SELECT * FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin
 }
 
 /** Executor-side reader. DEFAULT PATH: COLUMNAR — Spark's own

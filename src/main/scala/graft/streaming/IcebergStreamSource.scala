@@ -362,4 +362,34 @@ object IcebergStreamQueries {
 
   val icebergStreamPartitionedSql: String =
     """SELECT * FROM orders ORDER BY o_orderkey"""
+
+  /** q203 — STREAMING THE WAP AUDIT BRANCH: the pre-publish staged
+    * table (evens committed on main, odds staged onto `audit`, NO
+    * fast-forward) drains with `branch=audit` — the auditor's view.
+    * The result equals FULL orders IFF the ancestry walk followed
+    * the branch ref's lineage (branch head → staged snapshot → main
+    * base): a walk from main's head misses the odds; one that
+    * ignored ancestry and took every snapshot would also pull
+    * unrelated staged/rolled-back ids on richer histories
+    * (spec-held); and the offset cap at the BRANCH head (not max id)
+    * is what lets a later fastForward hand the main stream these
+    * same snapshots without loss (IcebergStreamSourceSpec). */
+  def icebergBranchStream(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Iceberg.ordersIcebergWapStageTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_ibranch").toString
+    spark.readStream.format("graft-iceberg").option("path", t)
+      .option("branch", "audit").load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/data")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    spark.read.parquet(s"$work/data")
+      .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))
+  }
+
+  val icebergBranchStreamSql: String =
+    """SELECT * FROM orders ORDER BY o_orderkey"""
 }
