@@ -3269,6 +3269,10 @@ object DeltaLog {
         // update_postimage — the writer's row-level truth), never
         // synthesized; partition columns restore from the cdc
         // action's partitionValues like any metadata-partitioned scan
+        require(st.columnMapping.isEmpty,
+          "cdc change files on a COLUMN-MAPPED table are out of " +
+            "scope — the files spell physical names this logical-" +
+            "schema scan would silently null; refusing loudly")
         import org.apache.spark.sql.types.{StringType, StructField}
         val withCt = StructType(st.schema.fields :+
           StructField("_change_type", StringType, nullable = false))

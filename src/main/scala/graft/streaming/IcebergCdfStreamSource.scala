@@ -455,10 +455,16 @@ object IcebergCdfStreamQueries {
       .option("maxSnapshotsPerTrigger", "1").load()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
-                       _: Long) =>
+                       id: Long) =>
         // snapshot-granular admission: one batch == ONE snapshot
-        // (all-inserts or all-deletes), so no intra-batch net-effect
-        // resolution is needed
+        // (all-inserts or all-deletes). The CDC wire orders each
+        // upsert's DELETE snapshot before its APPEND snapshot, so
+        // the sink needs NO MERGE: deletes retire the old key
+        // versions (replay-idempotent — absent keys are a no-op),
+        // and inserts land as a BLIND APPEND made exactly-once by
+        // the txn watermark keyed on the micro-batch id. At scale
+        // this is O(batch) per trigger, never the O(table) rewrite a
+        // MERGE emulation pays.
         val b = batch.persist()
         try if (!b.isEmpty) {
           val inserts = b
@@ -467,16 +473,12 @@ object IcebergCdfStreamQueries {
           val deletes = b
             .filter(col("_change_type") === "delete")
             .select("o_orderkey")
-          if (DeltaLog.versions(silver).isEmpty)
-            DeltaLog.commitOverwrite(inserts, silver): Unit
-          else {
-            if (!deletes.isEmpty)
-              DeltaLog.deleteWhereKeys(spark, silver,
-                "o_orderkey", deletes): Unit
-            if (!inserts.isEmpty)
-              DeltaLog.mergeInto(spark, silver, inserts,
-                Seq("o_orderkey")): Unit
-          }
+          if (!deletes.isEmpty)
+            DeltaLog.deleteWhereKeys(spark, silver,
+              "o_orderkey", deletes): Unit
+          if (!inserts.isEmpty)
+            DeltaLog.commitAppendIdempotent(inserts, silver,
+              "q202-silver", id): Unit
         } finally b.unpersist(): Unit
       }
       .option("checkpointLocation", s"$work/ckpt")

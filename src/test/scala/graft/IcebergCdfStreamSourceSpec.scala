@@ -102,23 +102,21 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
         .load()
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
-                         _: Long) =>
+                         id: Long) =>
+          // the q202 sink shape: delete-then-blind-append (the CDC
+          // wire orders them), exactly-once via the txn watermark
           val b = batch.persist()
           try if (!b.isEmpty) {
             val inserts = b.filter(col("_change_type") === "insert")
               .drop("_change_type", "_commit_version")
             val deletes = b.filter(col("_change_type") === "delete")
               .select("k")
-            if (sources.DeltaLog.versions(silver).isEmpty)
-              sources.DeltaLog.commitOverwrite(inserts, silver): Unit
-            else {
-              if (!deletes.isEmpty)
-                sources.DeltaLog.deleteWhereKeys(spark, silver,
-                  "k", deletes): Unit
-              if (!inserts.isEmpty)
-                sources.DeltaLog.mergeInto(spark, silver, inserts,
-                  Seq("k")): Unit
-            }
+            if (!deletes.isEmpty)
+              sources.DeltaLog.deleteWhereKeys(spark, silver,
+                "k", deletes): Unit
+            if (!inserts.isEmpty)
+              sources.DeltaLog.commitAppendIdempotent(inserts, silver,
+                "spec-silver", id): Unit
           } finally b.unpersist(): Unit
         }
         .option("checkpointLocation", s"$work/ckpt")
