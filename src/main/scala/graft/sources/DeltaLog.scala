@@ -3007,56 +3007,134 @@ object DeltaLog {
     v
   }
 
+  /** Test seam: data files the last [[mergeInto]] rewrote vs the
+    * snapshot's total — file pruning is judged by this. */
+  @volatile private[graft] var lastMergeFilesRewritten: Int = -1
+  @volatile private[graft] var lastMergeFilesTotal: Int = -1
+
   /** MERGE INTO the open Delta table: `whenMatchedUpdateAll` +
     * `whenNotMatchedInsertAll`, the reference's core Delta operation
     * (spark/batch_silver.py:146-159), executed through the real
     * format — result = source rows (matched keys take the source's
-    * values, new keys insert) ∪ target rows with no source match,
-    * committed as the next version with overwrite semantics.
+    * values, new keys insert) ∪ target rows with no source match.
     *
-    * Scale: one hash shuffle of each side on the merge keys (the anti
-    * join), then a shuffle-free union — the same cost class as Delta
-    * MERGE's matched-file rewrite. This full-table rewrite is the
-    * spec-honest emulation given file-granular commits; a real
-    * file-pruned MERGE rewrites only files holding matched keys,
-    * which [[readWhere]]'s pruning would enable for partition-keyed
-    * merges.
+    * FILE-PRUNED, the way real Delta MERGE executes: one broadcast
+    * left-semi join of the live rows against the distinct source
+    * keys names the files that HOLD a matched key (O(files) driver
+    * metadata collected — file names, never rows); only those files
+    * are rewritten (their survivors + every source row land in fresh
+    * files, removes+adds for exactly the touched set), every other
+    * file carries over with NO action. At 100 TB a MERGE matching 1%
+    * of keys rewrites ~1% of files instead of the lake — this is the
+    * difference between a CDC upsert cadence that holds and one that
+    * rewrites the table per batch. [[lastMergeFilesRewritten]] /
+    * [[lastMergeFilesTotal]] pin the bound. Deletion-vector masks on
+    * touched files fold into the rewrite (their dead rows stay
+    * dead); untouched files keep their DVs.
     *
-    * CONCURRENCY: single writer per table — the read-modify-write
-    * races like [[Snapshots.mergeCommit]] documents; the commit CAS
-    * protects version numbers, not merge lineage. Returns the
+    * Under `delta.enableChangeDataFeed=true` the commit also carries
+    * the row-level change file (update_preimage/update_postimage/
+    * insert) + cdc action, so CDF readers never mis-derive the file
+    * churn.
+    *
+    * CONCURRENCY: single writer per table — a lost CAS means the
+    * snapshot changed under the pruning decision, so this fails
+    * loudly for a re-run rather than silently merging into a stale
+    * file set (the [[deleteWhere]] discipline). Returns the
     * committed version. */
   def mergeInto(spark: SparkSession, tableDir: String,
                 source: DataFrame, keys: Seq[String]): Long = {
-    val target = read(spark, tableDir)
-    require(keys.nonEmpty && keys.forall(target.columns.contains),
+    requireUnpartitioned(tableDir, "mergeInto")
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val st = replayMaybeCheckpointed(Some(spark), tableDir, vs.last)
+    require(keys.nonEmpty && keys.forall(st.schema.fieldNames.contains),
       s"merge keys $keys must exist in the target schema")
-    val merged = target.join(source, keys, "left_anti").unionByName(source)
-    val st = replay(tableDir, versions(tableDir).last)
-    if (!cdfWriteEnabled(st)) return commitOverwrite(merged, tableDir)
-    // delta.enableChangeDataFeed=true: this commit's ROW-LEVEL changes
-    // ride a _change_data file + cdc action (matched keys as
-    // update_preimage/update_postimage pairs, new keys as insert) —
-    // without it a CDF reader would derive the overwrite's remove+add
-    // churn as a whole-table delete+insert, which is not what a MERGE
-    // did. Foreign Delta CDF readers consume this directly.
-    require(st.columnMapping.isEmpty,
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    // an empty source merges nothing — skip before paying the probe
+    if (source.isEmpty) return vs.last
+    val keyDf = broadcast(source.select(keys.map(col): _*)
+      .dropDuplicates())
+    def resolve(p: String) =
+      if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val byBase = st.files.map(p => base(p) -> p).toMap
+    require(byBase.size == st.files.size,
+      "duplicate data-file basenames — cannot key the merge's file " +
+        "pruning")
+    // merge-on-read mask shared by the probe and the rewrite scans
+    val existing: Map[String, DeletionVectors.Bitmap64] =
+      st.adds.collect {
+        case (p, a) if a.dv.isDefined =>
+          base(p) -> DeletionVectors.readBitmap(tableDir, a.dv.get)
+      }.toMap
+    val morFilter: DataFrame => DataFrame =
+      if (existing.isEmpty) identity
+      else {
+        val bc = spark.sparkContext.broadcast(existing)
+        d => d.filter(!graft.functions.DvExprs.deleted(
+          col("_m_f"), col("_m_p"), bc))
+      }
+    def scanWithId(paths: Seq[String]): DataFrame =
+      morFilter(spark.read.schema(st.schema)
+        .parquet(paths.map(resolve): _*)
+        .withColumn("_m_f", col("_metadata.file_name"))
+        .withColumn("_m_p", col("_metadata.row_index")))
+    // the pruning probe: which files hold a matched key? Collects
+    // O(touched files) file names, never rows.
+    val touched: Seq[String] =
+      if (st.files.isEmpty) Seq.empty
+      else scanWithId(st.files)
+        .join(keyDf, keys, "left_semi")
+        .select(col("_m_f")).distinct()
+        .collect().map(r => byBase(r.getString(0))).toSeq.sorted
+    lastMergeFilesRewritten = touched.size
+    lastMergeFilesTotal = st.files.size
+    val target = read(spark, tableDir)
+    val cdfOn = cdfWriteEnabled(st)
+    if (cdfOn) require(st.columnMapping.isEmpty,
       "CDF write on a column-mapped table is out of scope — change " +
         "files would carry logical names foreign readers cannot resolve")
-    import org.apache.spark.sql.functions.lit
-    val tgtKeys = target.select(keys.map(col): _*)
-    val srcKeys = source.select(keys.map(col): _*)
-    val changes = target.join(srcKeys, keys, "left_semi")
-      .withColumn("_change_type", lit("update_preimage"))
-      .unionByName(source.join(tgtKeys, keys, "left_semi")
-        .withColumn("_change_type", lit("update_postimage")))
-      .unionByName(source.join(tgtKeys, keys, "left_anti")
-        .withColumn("_change_type", lit("insert")))
-    // no change rows ⇒ the merge is a semantic no-op; skip the commit
-    // rather than stamp a churn-only version with an empty change file
-    if (changes.isEmpty) versions(tableDir).last
-    else commitOverwriteExtra(merged, tableDir,
-      writeChangeData(changes, tableDir, Seq.empty))
+    // rewrite set = touched survivors (matched keys removed, DV masks
+    // folded) + every source row
+    val newRows =
+      (if (touched.isEmpty)
+         spark.createDataFrame(
+           java.util.Collections.emptyList[Row](), st.schema)
+       else scanWithId(touched).join(keyDf, keys, "left_anti")
+         .drop("_m_f", "_m_p"))
+        .unionByName(source.select(st.schema.fieldNames.map(col): _*))
+    val sub = s"part-${java.util.UUID.randomUUID}"
+    newRows.write.parquet(s"$tableDir/$sub")
+    val fs = partFiles(tableDir, sub)
+    val stats = statsJsonBatch(spark, fs)
+    val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
+      stats = Some(stats(f.getPath))))
+    // delta.enableChangeDataFeed=true: the row-level change file +
+    // cdc action ride the SAME commit (update_preimage/postimage for
+    // matched keys, insert for new keys)
+    val cdc: Seq[ObjectNode] =
+      if (!cdfOn) Seq.empty
+      else {
+        // the SOURCE key set broadcasts (a CDC batch is the small
+        // side by construction); the target side never does — a join
+        // keyed the other way would ship the table
+        val tgtKeys = target.select(keys.map(col): _*)
+        val srcKeys = broadcast(source.select(keys.map(col): _*))
+        writeChangeData(
+          target.join(srcKeys, keys, "left_semi")
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(source.join(tgtKeys, keys, "left_semi")
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(source.join(tgtKeys, keys, "left_anti")
+              .withColumn("_change_type", lit("insert"))),
+          tableDir, Seq.empty)
+      }
+    require(writeActions(tableDir, vs.last + 1,
+      touched.map(p => removeAction(p)) ++ adds ++ cdc),
+      s"concurrent writer claimed version ${vs.last + 1} during merge " +
+        "— the pruning decision is stale; re-run against the new state")
+    vs.last + 1
   }
 
   // ---------------------------------------------------------------

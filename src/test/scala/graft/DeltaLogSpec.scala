@@ -585,6 +585,44 @@ class DeltaLogSpec extends SparkSuite {
     assert(sources.DeltaLog.readVersion(spark, dir, 0).count() == 3)
   }
 
+  test("mergeInto is FILE-PRUNED: only files holding matched keys rewrite") {
+    val dir = Files.createTempDirectory("dlogmp2").toString + "/t"
+    // four appends = four disjoint-key files; the merge matches keys
+    // in exactly ONE of them
+    Seq(1L to 5L, 6L to 10L, 11L to 15L, 16L to 20L).foreach(r =>
+      sources.DeltaLog.commitAppend(
+        r.map(i => (i, s"s$i")).toDF("k", "s").coalesce(1), dir))
+    val pre = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last).files.toSet
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((7L, "M7"), (9L, "M9"), (21L, "M21")).toDF("k", "s"),
+      Seq("k"))
+    assert(sources.DeltaLog.lastMergeFilesRewritten == 1 &&
+      sources.DeltaLog.lastMergeFilesTotal == 4,
+      s"expected 1/4 files rewritten, got " +
+        s"${sources.DeltaLog.lastMergeFilesRewritten}/" +
+        s"${sources.DeltaLog.lastMergeFilesTotal}")
+    val post = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last).files.toSet
+    // the three untouched files carry over by IDENTITY — no rewrite
+    assert((pre intersect post).size == 3,
+      s"untouched files must survive: pre=$pre post=$post")
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (1L to 20L).map(i => (i, s"s$i")).toMap ++
+      Map(7L -> "M7", 9L -> "M9", 21L -> "M21")
+    assert(got == want.toSet.map((kv: (Long, String)) => (kv._1, kv._2)))
+    // and a merge into DV-masked files folds the mask: delete k=11,
+    // then merge k=12 — the rewritten third file must NOT resurrect 11
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") === 11L)
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((12L, "M12")).toDF("k", "s"), Seq("k"))
+    assert(sources.DeltaLog.lastMergeFilesRewritten == 1)
+    val got2 = sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(!got2.contains(11L) && got2.count(_ == 12L) == 1)
+  }
+
   test("add.stats data skipping: hand-written stats prune, statless never do") {
     val dir = Files.createTempDirectory("dlogst").toString
     val a = stagePart(dir, "a.parquet", Seq((1L, "x"), (5L, "y")))
