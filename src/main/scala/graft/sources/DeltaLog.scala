@@ -585,29 +585,11 @@ object DeltaLog {
     val st = replayMaybeCheckpointed(Some(spark), tableDir,
       versions(tableDir).last)
     val ex = PruningPredicates.extract(pred)
-    val partEq: Map[String, Any] = ex.eqs.filter {
-      case (c, _) => st.partitionColumns.contains(c)
-    }
-    val ranges = ex.longRanges
-    val kept = st.adds.filter { case (_, a) =>
-      partEq.forall { case (c, v) =>
-        // absent key (external log oddity) or an undecidable
-        // comparison → cannot prove a miss, keep; comparison is
-        // TYPE-AWARE through the declared column type (Spark's
-        // re-applied predicate casts, so '05' = 5 holds)
-        a.partitionValues.get(c).forall(s =>
-          PruningPredicates.eqMatches(st.schema(c).dataType, s, v)
-            .getOrElse(true))
-      } && {
-        val b = a.longBounds
-        ranges.forall { case (c, lo, hi) =>
-          b.get(c) match {
-            case Some((mn, mx)) => mn <= hi && mx >= lo
-            case None => true
-          }
-        }
-      }
-    }
+    // absent key (external log oddity) or an undecidable comparison
+    // → cannot prove a miss, keep; comparison is TYPE-AWARE through
+    // the declared column type (Spark's re-applied predicate casts,
+    // so '05' = 5 holds) — the shared extractedKeep contract
+    val kept = st.adds.filter { case (_, a) => extractedKeep(st, ex, a) }
     lastFilesScanned = kept.size
     scanState(spark, tableDir, st.copy(adds = kept)).filter(pred)
   }
@@ -1952,8 +1934,40 @@ object DeltaLog {
     * column-mapped tables stay refused.
     * Returns the committed version (unchanged if nothing matched). */
   def deleteWhere(spark: SparkSession, tableDir: String,
-                  predicate: org.apache.spark.sql.Column): Long =
-    deleteWhereFiltered(spark, tableDir, _.filter(predicate))
+                  predicate: org.apache.spark.sql.Column): Long = {
+    // the predicate's prune-safe conjuncts skip files that provably
+    // hold no match (partition values + add.stats bounds — the
+    // readFiltered decomposition): a one-day DELETE on a 100 TB
+    // table scans the day's files, not the lake. Superset contract:
+    // unprovable files scan and the exact predicate decides.
+    val ex = PruningPredicates.extract(predicate)
+    deleteWhereFiltered(spark, tableDir, _.filter(predicate),
+      prune = (st, a) => extractedKeep(st, ex, a))
+  }
+
+  /** Can file `a` hold a row matching the extracted conjuncts?
+    * (partition-value equality, type-aware; stats-bounds range
+    * intersection; absent evidence keeps the file — the superset
+    * contract shared by [[readFiltered]] and [[deleteWhere]]). */
+  private def extractedKeep(st: State,
+      ex: PruningPredicates.Extracted, a: AddFile): Boolean = {
+    val partEq = ex.eqs.filter {
+      case (c, _) => st.partitionColumns.contains(c)
+    }
+    partEq.forall { case (c, v) =>
+      a.partitionValues.get(c).forall(s =>
+        PruningPredicates.eqMatches(st.schema(c).dataType, s, v)
+          .getOrElse(true))
+    } && {
+      val b = a.longBounds
+      ex.longRanges.forall { case (c, lo, hi) =>
+        b.get(c) match {
+          case Some((mn, mx)) => mn <= hi && mx >= lo
+          case None => true
+        }
+      }
+    }
+  }
 
   /** [[deleteWhere]] with the doomed rows named by a KEY-SET
     * DataFrame instead of a Column predicate — the CDC-sink shape: a
@@ -1970,12 +1984,39 @@ object DeltaLog {
     import org.apache.spark.sql.functions.broadcast
     val k = keys.distinct().withColumnRenamed(
       keys.schema.fields.head.name, "_dw_key")
+    // key-RANGE pruning: one tiny agg over the key set bounds the
+    // scan to files whose stats can intersect [min,max] — a CDC
+    // delete batch of one id range scans its files, not the table
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val prune: (State, AddFile) => Boolean =
+      keys.schema.fields.head.dataType match {
+        case LongType | IntegerType =>
+          val mm = k.agg(org.apache.spark.sql.functions
+              .min(col("_dw_key")).cast("long"),
+            org.apache.spark.sql.functions
+              .max(col("_dw_key")).cast("long")).collect().head
+          if (mm.isNullAt(0)) (_, _) => true
+          else {
+            val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+            (_, a) => a.longBounds.get(keyCol) match {
+              case Some((mn, mx)) => mn <= hi && mx >= lo
+              case None => true
+            }
+          }
+        case _ => (_, _) => true
+      }
     deleteWhereFiltered(spark, tableDir, d =>
-      d.join(broadcast(k), d(keyCol) === k("_dw_key"), "left_semi"))
+      d.join(broadcast(k), d(keyCol) === k("_dw_key"), "left_semi"),
+      prune)
   }
 
+  /** Test seam: data files the last delete actually scanned — the
+    * pruning bound. */
+  @volatile private[graft] var lastDeleteFilesScanned: Int = -1
+
   private def deleteWhereFiltered(spark: SparkSession, tableDir: String,
-      matchRows: DataFrame => DataFrame): Long = {
+      matchRows: DataFrame => DataFrame,
+      prune: (State, AddFile) => Boolean = (_, _) => true): Long = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val st = replay(tableDir, vs.last)
@@ -1985,6 +2026,12 @@ object DeltaLog {
     val byBase = st.files.map(p => base(p) -> p).toMap
     require(byBase.size == st.files.size,
       "duplicate data-file basenames — cannot key deletion vectors")
+    // candidate files only — pruned files provably hold no match and
+    // neither scan nor grow a deletion vector
+    val candAdds: Map[String, AddFile] =
+      st.adds.filter { case (_, a) => prune(st, a) }
+    lastDeleteFilesScanned = candAdds.size
+    if (candAdds.isEmpty) return vs.last
     val existing: Map[String, DeletionVectors.Bitmap64] =
       st.adds.collect {
         case (p, a) if a.dv.isDefined =>
@@ -1997,26 +2044,28 @@ object DeltaLog {
         d => d.filter(!graft.functions.DvExprs.deleted(
           col("_dw_f"), col("_dw_p"), bc))
       }
+    val candFiles = candAdds.keys.toSeq.sorted
     val live: DataFrame =
       if (st.columnMapping.nonEmpty)
         // mapped table (always unpartitioned, replay-enforced): read
         // physically / by field id, take row identity BEFORE the
         // logical-name projection so `predicate` sees logical names
         // while the bitmap keys stay physical
-        morFilter(mappedScanRaw(spark, tableDir, st)
+        morFilter(mappedScanRaw(spark, tableDir,
+            st.copy(adds = candAdds))
           .withColumn("_dw_f", col("_metadata.file_name"))
           .withColumn("_dw_p", col("_metadata.row_index")))
           .select(mappedCols(st) ++ Seq(col("_dw_f"), col("_dw_p")): _*)
       else if (st.partitionColumns.isEmpty)
         morFilter(spark.read.schema(st.schema)
-          .parquet(st.files.map(resolve): _*)
+          .parquet(candFiles.map(resolve): _*)
           .withColumn("_dw_f", col("_metadata.file_name"))
           .withColumn("_dw_p", col("_metadata.row_index")))
       else
         // partition columns restored BEFORE the predicate runs; the
         // row-identity columns ride carryCols through the projection
         PartitionedScan.scan(spark, st.schema, st.partitionColumns,
-          st.adds.toSeq.map { case (p, a) =>
+          candAdds.toSeq.map { case (p, a) =>
             (resolve(p), a.partitionValues) },
           preProject = d => morFilter(
             d.withColumn("_dw_f", col("_metadata.file_name"))

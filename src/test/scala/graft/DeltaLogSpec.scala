@@ -585,6 +585,33 @@ class DeltaLogSpec extends SparkSuite {
     assert(sources.DeltaLog.readVersion(spark, dir, 0).count() == 3)
   }
 
+  test("deleteWhere/deleteWhereKeys prune the scan by stats bounds") {
+    val dir = Files.createTempDirectory("dlogdp").toString + "/t"
+    Seq(1L to 5L, 6L to 10L, 11L to 15L, 16L to 20L).foreach(r =>
+      sources.DeltaLog.commitAppend(
+        r.map(i => (i, s"s$i")).toDF("k", "s").coalesce(1), dir))
+    // a range predicate provably misses three files — only the
+    // intersecting one scans (and only it grows a deletion vector)
+    sources.DeltaLog.deleteWhere(spark, dir,
+      col("k") >= 7L && col("k") <= 8L)
+    assert(sources.DeltaLog.lastDeleteFilesScanned == 1,
+      s"expected 1 file scanned, got " +
+        s"${sources.DeltaLog.lastDeleteFilesScanned}")
+    // a key-set delete prunes by the keys' [min,max]
+    sources.DeltaLog.deleteWhereKeys(spark, dir, "k",
+      Seq(12L, 14L).toDF("k"))
+    assert(sources.DeltaLog.lastDeleteFilesScanned == 1)
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 20L).filterNot(Set(7L, 8L, 12L, 14L)),
+      s"pruned deletes must still delete exactly their rows: $got")
+    // an unprunable predicate scans everything (superset contract)
+    sources.DeltaLog.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.pmod(col("k"),
+        org.apache.spark.sql.functions.lit(19L)) === 0)
+    assert(sources.DeltaLog.lastDeleteFilesScanned == 4)
+  }
+
   test("mergeInto is FILE-PRUNED: only files holding matched keys rewrite") {
     val dir = Files.createTempDirectory("dlogmp2").toString + "/t"
     // four appends = four disjoint-key files; the merge matches keys
