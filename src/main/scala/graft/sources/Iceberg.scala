@@ -365,6 +365,10 @@ object Iceberg {
     * any bounds pruning) — the q145/q104 files-scanned discipline. */
   @volatile private[graft] var lastFilesPlanned: Int = 0
 
+  /** Test seam: data files the last [[deleteWhere]] actually scanned
+    * — the manifest-bounds pruning bound. */
+  @volatile private[graft] var lastDeleteFilesScanned: Int = -1
+
   /** One planned data file: path, the manifest's per-field-id value
     * bounds (absent for files/columns without stats — which then
     * never prune, the superset contract), the file's partition
@@ -2287,8 +2291,26 @@ object Iceberg {
       schema.filterNot(f => partCols.contains(f.name)))
     def norm(c: Column): Column =
       regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    // MANIFEST-BOUNDS pruning (the readPrunedRange decomposition):
+    // files whose value bounds provably miss every prune-safe
+    // conjunct of `predicate` neither scan nor enter the position
+    // job — a one-range DELETE on a large table reads its files, not
+    // the lake. Superset contract: boundless files always scan.
+    val ex = PruningPredicates.extract(predicate)
+    val ids = fieldIds(meta)
+    val candidates = planned.data.filter { f =>
+      ex.longRanges.forall { case (c, lo, hi) =>
+        (for {
+          fid <- ids.get(c)
+          lb <- f.lower.get(fid).flatMap(longBound)
+          ub <- f.upper.get(fid).flatMap(longBound)
+        } yield lb <= hi && ub >= lo).getOrElse(true)
+      }
+    }
+    lastDeleteFilesScanned = candidates.size
+    if (candidates.isEmpty) return curId
     var hits = spark.read.schema(dataSchema)
-      .parquet(planned.data.map(f => stripFileUri(f.path)).sorted: _*)
+      .parquet(candidates.map(f => stripFileUri(f.path)).sorted: _*)
       .withColumn("_ice_path", norm(col("_metadata.file_path")))
       .withColumn("_ice_pos", col("_metadata.row_index"))
     if (planned.deleteFiles.nonEmpty) {

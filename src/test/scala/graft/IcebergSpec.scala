@@ -477,6 +477,32 @@ class IcebergSpec extends SparkSuite {
     assert(del.schema.fieldNames.toSeq == Seq("file_path", "pos"))
   }
 
+  test("deleteWhere prunes the position scan by manifest bounds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("icedelpr").toString + "/t"
+    Seq(1L to 5L, 6L to 10L, 11L to 15L, 16L to 20L).foreach(r =>
+      sources.Iceberg.commitAppend(
+        r.map(i => (i, s"s$i")).toDF("k", "s").coalesce(1), dir))
+    // a range predicate provably misses three files
+    sources.Iceberg.deleteWhere(spark, dir,
+      col("k") >= 7L && col("k") <= 8L)
+    assert(sources.Iceberg.lastDeleteFilesScanned == 1,
+      s"expected 1 file scanned, got " +
+        s"${sources.Iceberg.lastDeleteFilesScanned}")
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 20L).filterNot(Set(7L, 8L)))
+    // an unprunable predicate scans everything (superset contract)
+    sources.Iceberg.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.pmod(col("k"),
+        org.apache.spark.sql.functions.lit(19L)) === 0)
+    assert(sources.Iceberg.lastDeleteFilesScanned == 4)
+    // a provably-empty range commits nothing
+    val before = sources.Iceberg.snapshotIds(dir).last
+    assert(sources.Iceberg.deleteWhere(spark, dir,
+      col("k") >= 500L) == before)
+  }
+
   test("v2 position deletes compose with identity-partition reconstruction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("icedelp").toString + "/t"
