@@ -2074,65 +2074,66 @@ object DeltaLog {
     val cdfOn = cdfWriteEnabled(st)
     // CDF write needs the matched ROWS a second time (the change
     // file); persist so the bitmap build and the change write share
-    // one scan instead of re-running the match
+    // one scan instead of re-running the match. try/finally: a
+    // failing bitmap collect or change write (the column-mapped-CDF
+    // require, a Spark job failure) must not leak the cached
+    // DataFrame's executor storage for the rest of the session.
     val matched = if (cdfOn) matchRows(live).persist()
       else matchRows(live)
-    val collected: Seq[(String, DeletionVectors.Bitmap64)] =
-      matched
-        .groupBy(col("_dw_f"))
-        .agg(graft.functions.AggExprs.rowPosBitmap(col("_dw_p"))
-          .as("_dw_bm"))
-        .collect().toSeq
-        .map(r => (r.getString(0), DeletionVectors.Bitmap64
-          .fromPortable(r.getAs[Array[Byte]](1))))
-        .filter(!_._2.isEmpty)
-    lastDeleteRowsCollected = collected.size.toLong
-    if (collected.isEmpty) {
-      if (cdfOn) matched.unpersist(): Unit
-      return vs.last
-    }
-    // delta.enableChangeDataFeed=true: the deleted rows ride a
-    // _change_data file + cdc action, so CDF readers (this engine's
-    // and foreign clients') take exact delete rows from the change
-    // file instead of diffing deletion-vector bitmaps
-    val cdcActs: Seq[ObjectNode] =
-      if (!cdfOn) Seq.empty
-      else {
-        require(st.columnMapping.isEmpty,
-          "CDF write on a column-mapped table is out of scope — " +
-            "change files would carry logical names foreign readers " +
-            "cannot resolve")
-        val acts = writeChangeData(
-          matched.drop("_dw_f", "_dw_p")
-            .withColumn("_change_type", lit("delete")),
-          tableDir, st.partitionColumns)
-        matched.unpersist(): Unit
-        acts
-      }
-    val newDvs: Seq[(String, DeletionVectors.Bitmap64)] =
-      collected.map { case (b, bm) => (byBase(b), bm) }
-        .sortBy(_._1).map { case (p, bm) =>
-          existing.get(base(p)).foreach(bm.or)
-          p -> bm
+    try {
+      val collected: Seq[(String, DeletionVectors.Bitmap64)] =
+        matched
+          .groupBy(col("_dw_f"))
+          .agg(graft.functions.AggExprs.rowPosBitmap(col("_dw_p"))
+            .as("_dw_bm"))
+          .collect().toSeq
+          .map(r => (r.getString(0), DeletionVectors.Bitmap64
+            .fromPortable(r.getAs[Array[Byte]](1))))
+          .filter(!_._2.isEmpty)
+      lastDeleteRowsCollected = collected.size.toLong
+      if (collected.isEmpty) return vs.last
+      // delta.enableChangeDataFeed=true: the deleted rows ride a
+      // _change_data file + cdc action, so CDF readers (this engine's
+      // and foreign clients') take exact delete rows from the change
+      // file instead of diffing deletion-vector bitmaps
+      val cdcActs: Seq[ObjectNode] =
+        if (!cdfOn) Seq.empty
+        else {
+          require(st.columnMapping.isEmpty,
+            "CDF write on a column-mapped table is out of scope — " +
+              "change files would carry logical names foreign readers " +
+              "cannot resolve")
+          writeChangeData(
+            matched.drop("_dw_f", "_dw_p")
+              .withColumn("_change_type", lit("delete")),
+            tableDir, st.partitionColumns)
         }
-    val descs = DeletionVectors.writeDvFile(tableDir, newDvs)
-    // the v3 upgrade must carry EVERY reader feature the table uses:
-    // a mapped table that listed only deletionVectors would make
-    // real clients read physical col-<uuid> names as data columns
-    val features =
-      if (st.columnMapping.nonEmpty) Seq("deletionVectors", "columnMapping")
-      else Seq("deletionVectors")
-    val actions = (protocolActionV3(features) +:
-      newDvs.flatMap { case (p, _) =>
-        val a = st.adds(p)
-        Seq(removeAction(p),
-          addAction(p, a.size, a.partitionValues, dataChange = true,
-            a.stats, Some(descs(p))))
-      }) ++ cdcActs
-    require(writeActions(tableDir, vs.last + 1, actions),
-      s"concurrent writer claimed version ${vs.last + 1} during delete " +
-        "— re-run against the new state")
-    vs.last + 1
+      val newDvs: Seq[(String, DeletionVectors.Bitmap64)] =
+        collected.map { case (b, bm) => (byBase(b), bm) }
+          .sortBy(_._1).map { case (p, bm) =>
+            existing.get(base(p)).foreach(bm.or)
+            p -> bm
+          }
+      val descs = DeletionVectors.writeDvFile(tableDir, newDvs)
+      // the v3 upgrade must carry EVERY reader feature the table uses:
+      // a mapped table that listed only deletionVectors would make
+      // real clients read physical col-<uuid> names as data columns
+      val features =
+        if (st.columnMapping.nonEmpty)
+          Seq("deletionVectors", "columnMapping")
+        else Seq("deletionVectors")
+      val actions = (protocolActionV3(features) +:
+        newDvs.flatMap { case (p, _) =>
+          val a = st.adds(p)
+          Seq(removeAction(p),
+            addAction(p, a.size, a.partitionValues, dataChange = true,
+              a.stats, Some(descs(p))))
+        }) ++ cdcActs
+      require(writeActions(tableDir, vs.last + 1, actions),
+        s"concurrent writer claimed version ${vs.last + 1} during " +
+          "delete — re-run against the new state")
+      vs.last + 1
+    } finally if (cdfOn) matched.unpersist(): Unit
   }
 
   /** OPTIMIZE-style compaction: rewrite the current snapshot's rows

@@ -1942,13 +1942,31 @@ object Iceberg {
     // silently truncating the streaming backfill at the upgrade
     // boundary. A genuine creation snapshot is the oldest, so this
     // adds nothing on tables written entirely by the current code.
+    //
+    // GATED to tables whose ids this "older = smaller id" inference
+    // is actually valid for: (a) every snapshot id must look
+    // SEQUENTIAL (this writer allocates max+1 from 1; foreign
+    // writers allocate random 64-bit ids, under which an unrelated
+    // parent-less snapshot — an orphaned replace-table creation —
+    // could draw a smaller id and be wrongly streamed as main
+    // history), and (b) the candidate's timestamp-ms must not be
+    // newer than the terminal's (a parent-less snapshot committed
+    // AFTER the walk's oldest point is not its pre-history under any
+    // id scheme).
+    val idsLookSequential =
+      snaps.forall(_.get("snapshot-id").asLong <= 1000000L)
     terminal
+      .filter(_ => idsLookSequential)
       .filter(t => Option(t.get("parent-snapshot-id")).forall(_.isNull))
       .foreach { t =>
         val tid = t.get("snapshot-id").asLong
+        val tts = Option(t.get("timestamp-ms")).filterNot(_.isNull)
+          .map(_.asLong).getOrElse(Long.MaxValue)
         snaps.foreach { s =>
           val id = s.get("snapshot-id").asLong
-          if (id < tid &&
+          val ts = Option(s.get("timestamp-ms")).filterNot(_.isNull)
+            .map(_.asLong).getOrElse(Long.MaxValue)
+          if (id < tid && ts <= tts &&
               Option(s.get("parent-snapshot-id")).forall(_.isNull))
             seen.add(id): Unit
         }

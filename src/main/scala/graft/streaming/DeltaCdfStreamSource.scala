@@ -141,7 +141,9 @@ private class DeltaCdfMicroBatchStream(schema: StructType,
     case Some("latest") =>
       VersionOffset(DeltaLog.versions(tableDir).last)
     case Some(v) =>
-      require(v.forall(c => c.isDigit || c == '-'),
+      // ^-?\d+$ — a lone leading minus only; '5-3' or '--' must hit
+      // the descriptive message, not a raw NumberFormatException
+      require(v.matches("-?\\d+"),
         s"graft-delta-cdf: startingVersion must be a version number " +
           s"or 'latest', got '$v'")
       VersionOffset(v.toLong - 1)

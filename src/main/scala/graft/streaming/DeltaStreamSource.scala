@@ -323,8 +323,7 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
       case Some(p) => planned.filter(f => p.keep(f.partitionValues, f.bounds))
       case None => planned
     }
-    StreamFilter.lastPlanned = planned.size
-    StreamFilter.lastKept = kept.size
+    StreamFilter.record(tableDir, s"$s..$e", planned.size, kept.size)
     kept
       .map(f =>
         DeltaFilePartition(f.path, f.partitionValues): InputPartition)
@@ -503,7 +502,7 @@ object DeltaStreamQueries {
     val t = DeltaLog.ordersPartitionedTable(spark, dir)
     val work = java.nio.file.Files
       .createTempDirectory("graft_dfilt").toString
-    StreamFilter.lastPlanned = -1
+    StreamFilter.reset(t)
     spark.readStream.format("graft-delta").option("path", t)
       .option("filter", "o_orderstatus = 'F'").load()
       .filter(col("o_orderstatus") === "F")
@@ -512,9 +511,12 @@ object DeltaStreamQueries {
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
-    require(StreamFilter.lastKept < StreamFilter.lastPlanned,
-      s"the filter option pruned nothing (planned " +
-        s"${StreamFilter.lastPlanned}, kept ${StreamFilter.lastKept})")
+    // table-scoped totals, accumulated across the drain's batches —
+    // immune to concurrent streams over OTHER tables
+    val (planned, kept) = StreamFilter.statsFor(t)
+    require(kept >= 0 && kept < planned,
+      s"the filter option pruned nothing (planned $planned, " +
+        s"kept $kept)")
     spark.read.parquet(s"$work/data")
       .orderBy(col("o_orderkey"))
   }

@@ -292,8 +292,7 @@ private class IcebergMicroBatchStream(schema: StructType,
       case Some(p) => planned.filter(f => p.keep(f.partitionValues, f.bounds))
       case None => planned
     }
-    StreamFilter.lastPlanned = planned.size
-    StreamFilter.lastKept = kept.size
+    StreamFilter.record(tableDir, s"$s..$e", planned.size, kept.size)
     kept
       .map(f =>
         DeltaFilePartition(f.path, f.partitionValues): InputPartition)

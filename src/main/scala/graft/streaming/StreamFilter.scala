@@ -64,8 +64,44 @@ private[graft] object StreamFilter {
       new Pruner(schema, ex.eqs, ex.longRanges)
     }
 
-  /** Seam: files the last planInputPartitions call considered and
-    * kept, across all graft stream sources (specs reset + assert). */
-  @volatile private[graft] var lastPlanned: Int = -1
-  @volatile private[graft] var lastKept: Int = -1
+  /** Seam: (planned, kept) file counts per TABLE DIRECTORY, keyed by
+    * the planned OFFSET RANGE — replanning the same batch (Spark
+    * plans a micro-batch more than once per execution) overwrites
+    * its entry instead of double-counting, while the batches of a
+    * multi-batch (admission-capped) drain occupy distinct ranges and
+    * SUM. Per-table keying means two concurrent streams over
+    * different tables never clobber each other (the round-12 flaw:
+    * process-global `lastPlanned`/`lastKept` were overwritten by
+    * every source's every call, so q204's in-query gate could assert
+    * another query's counters). Two concurrent streams over the SAME
+    * table still share an entry — callers that gate on it (q204) run
+    * one query per table, which the per-table reset makes
+    * explicit. */
+  private val planStats = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.concurrent.TrieMap[
+      String, (Long, Long)]]
+
+  /** Record one planInputPartitions call's counts for `table`'s
+    * batch over `range` (any stable spelling of [start, end)). */
+  private[graft] def record(table: String, range: String,
+                            planned: Int, kept: Int): Unit =
+    planStats.getOrElseUpdate(table,
+        scala.collection.concurrent.TrieMap.empty)
+      .put(range, (planned.toLong, kept.toLong)): Unit
+
+  /** Clear `table`'s counts (call before the drain being measured). */
+  private[graft] def reset(table: String): Unit =
+    planStats.remove(table): Unit
+
+  /** (planned, kept) totals for `table` since its last reset, summed
+    * over distinct batch ranges; (-1, -1) when the table never
+    * planned. */
+  private[graft] def statsFor(table: String): (Long, Long) =
+    planStats.get(table) match {
+      case None => (-1L, -1L)
+      case Some(m) =>
+        m.values.foldLeft((0L, 0L)) { case ((p, k), (p1, k1)) =>
+          (p + p1, k + k1)
+        }
+    }
 }

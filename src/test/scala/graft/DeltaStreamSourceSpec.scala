@@ -58,13 +58,11 @@ class DeltaStreamSourceSpec extends SparkSuite {
     sources.DeltaLog.commitOverwritePartitioned(
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "p")
         .repartition(col("p")), dir, Seq("p"))
-    streaming.StreamFilter.lastPlanned = -1
+    streaming.StreamFilter.reset(dir)
     drain(dir, s"$work/out", s"$work/ckpt",
       Map("filter" -> "p = 'b'"))
-    assert(streaming.StreamFilter.lastPlanned == 3 &&
-      streaming.StreamFilter.lastKept == 1,
-      s"partition pruning: planned ${streaming.StreamFilter.lastPlanned}" +
-        s", kept ${streaming.StreamFilter.lastKept}")
+    assert(streaming.StreamFilter.statsFor(dir) == ((3L, 1L)),
+      s"partition pruning: ${streaming.StreamFilter.statsFor(dir)}")
     assert(spark.read.parquet(s"$work/out")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((2L, "b")))
@@ -79,13 +77,11 @@ class DeltaStreamSourceSpec extends SparkSuite {
     Seq(1L to 10L, 11L to 20L, 21L to 30L).foreach(r =>
       sources.DeltaLog.commitAppend(
         r.map(i => (i, s"s$i")).toDF("k", "s").coalesce(1), dir2))
-    streaming.StreamFilter.lastPlanned = -1
+    streaming.StreamFilter.reset(dir2)
     drain(dir2, s"$work/out2", s"$work/ckpt2",
       Map("filter" -> "k >= 25"))
-    assert(streaming.StreamFilter.lastPlanned == 3 &&
-      streaming.StreamFilter.lastKept == 1,
-      s"stats pruning: planned ${streaming.StreamFilter.lastPlanned}" +
-        s", kept ${streaming.StreamFilter.lastKept}")
+    assert(streaming.StreamFilter.statsFor(dir2) == ((3L, 1L)),
+      s"stats pruning: ${streaming.StreamFilter.statsFor(dir2)}")
     // superset contract: the pruned stream emitted the kept FILE
     // (21..30); the query-side .filter provides row exactness
     assert(spark.read.parquet(s"$work/out2")

@@ -29,13 +29,11 @@ class IcebergStreamSourceSpec extends SparkSuite {
     sources.Iceberg.commitAppendPartitioned(
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "p")
         .repartition(col("p")), dir, Seq("p"))
-    streaming.StreamFilter.lastPlanned = -1
+    streaming.StreamFilter.reset(dir)
     drain(dir, s"$work/out", s"$work/ckpt",
       Map("filter" -> "p = 'b'"))
-    assert(streaming.StreamFilter.lastPlanned == 3 &&
-      streaming.StreamFilter.lastKept == 1,
-      s"partition pruning: planned ${streaming.StreamFilter.lastPlanned}" +
-        s", kept ${streaming.StreamFilter.lastKept}")
+    assert(streaming.StreamFilter.statsFor(dir) == ((3L, 1L)),
+      s"partition pruning: ${streaming.StreamFilter.statsFor(dir)}")
     assert(spark.read.parquet(s"$work/out")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((2L, "b")))
@@ -49,13 +47,11 @@ class IcebergStreamSourceSpec extends SparkSuite {
     Seq(1L to 10L, 11L to 20L, 21L to 30L).foreach(r =>
       sources.Iceberg.commitAppend(
         r.map(i => (i, s"s$i")).toDF("k", "s").coalesce(1), dir2))
-    streaming.StreamFilter.lastPlanned = -1
+    streaming.StreamFilter.reset(dir2)
     drain(dir2, s"$work/out2", s"$work/ckpt2",
       Map("filter" -> "k >= 25"))
-    assert(streaming.StreamFilter.lastPlanned == 3 &&
-      streaming.StreamFilter.lastKept == 1,
-      s"bounds pruning: planned ${streaming.StreamFilter.lastPlanned}" +
-        s", kept ${streaming.StreamFilter.lastKept}")
+    assert(streaming.StreamFilter.statsFor(dir2) == ((3L, 1L)),
+      s"bounds pruning: ${streaming.StreamFilter.statsFor(dir2)}")
     assert(spark.read.parquet(s"$work/out2")
       .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
       (21L to 30L))
