@@ -507,7 +507,17 @@ object SparkEntry {
     // whole files by partition values / stats bounds before any task
     // launches; in-query seam require makes silent no-pruning fail
     "q204_delta_stream_filtered"
-      -> (streaming.DeltaStreamQueries.deltaStreamFiltered _)
+      -> (streaming.DeltaStreamQueries.deltaStreamFiltered _),
+    // MERGE INTO a PARTITIONED target with the partition column in
+    // the keys: the probe composes with partition pruning
+    // (in-fixture require pins candidates < snapshot files)
+    "q205_delta_merge_partitioned"
+      -> (sources.DeltaLog.deltaPartitionedMergeRead _),
+    // the CDC loop landing in a status-PARTITIONED silver:
+    // overwrite/merge/DV-delete all partition-aware, merge probe
+    // pinned to the touched partition in-loop
+    "q206_delta_cdf_partitioned_silver"
+      -> (streaming.DeltaCdfStreamQueries.deltaCdfPartitionedSilver _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -748,6 +758,10 @@ object SparkEntry {
     "q203_iceberg_branch_stream"
       -> streaming.IcebergStreamQueries.icebergBranchStreamSql,
     "q204_delta_stream_filtered"
-      -> streaming.DeltaStreamQueries.deltaStreamFilteredSql
+      -> streaming.DeltaStreamQueries.deltaStreamFilteredSql,
+    "q205_delta_merge_partitioned"
+      -> sources.DeltaLog.deltaPartitionedMergeReadSql,
+    "q206_delta_cdf_partitioned_silver"
+      -> streaming.DeltaCdfStreamQueries.deltaCdfPartitionedSilverSql
   )
 }

@@ -1262,13 +1262,34 @@ object DeltaLog {
   /** An unpartitioned commit against a PARTITIONED table would write
     * adds with no `partitionValues` — readers would reconstruct NULL
     * partition columns, silently wrong. Loud, here and in append. */
-  private def requireUnpartitioned(tableDir: String, op: String): Unit = {
+  private def requireUnpartitioned(tableDir: String, op: String): Unit =
+    requirePartitionSpec(tableDir, Seq.empty, op)
+
+  /** The commit writers' partition-spec discipline: the caller's
+    * declared `partCols` must EQUAL the table's (ordered — the
+    * metaData's partitionColumns is an ordered list), so an
+    * unpartitioned write against a partitioned table (adds with no
+    * partitionValues — readers would reconstruct NULL partition
+    * columns, silently wrong) and a partitioned write against a
+    * table declaring different columns both fail loudly. Mapped
+    * tables refuse every writer that would spell logical names into
+    * data files. First commit (no log yet) passes — it DECLARES the
+    * spec. */
+  private def requirePartitionSpec(tableDir: String,
+      partCols: Seq[String], op: String): Unit = {
     val vs = versions(tableDir)
     if (vs.nonEmpty) {
       val st = replay(tableDir, vs.last)
-      require(st.partitionColumns.isEmpty,
-        s"$op on PARTITIONED table $tableDir — use " +
-          "commitOverwritePartitioned so adds carry partitionValues")
+      require(st.partitionColumns == partCols,
+        if (partCols.isEmpty)
+          s"$op on PARTITIONED table $tableDir (partitioned by " +
+            s"${st.partitionColumns}) — use the Partitioned variant " +
+            "so adds carry partitionValues"
+        else
+          s"$op declares partition columns $partCols but table " +
+            s"$tableDir is partitioned by ${st.partitionColumns} — " +
+            "adds must carry exactly the declared spec's " +
+            "partitionValues")
       require(st.columnMapping.isEmpty,
         s"$op on COLUMN-MAPPED table $tableDir would write " +
           "logical-name data files that mapped readers cannot resolve")
@@ -1318,14 +1339,39 @@ object DeltaLog {
     * append and so retries only the cheap version claim, never the
     * data write. First commit on an empty table also carries
     * protocol + metaData. Returns the committed version. */
-  def commitAppend(df: DataFrame, tableDir: String): Long = {
-    requireUnpartitioned(tableDir, "commitAppend")
+  def commitAppend(df: DataFrame, tableDir: String): Long =
+    commitAppendCore(df, tableDir, Seq.empty)
+
+  /** [[commitAppend]] for a PARTITIONED table — the CDC-sink append
+    * a 100 TB silver needs: `df` is written `partitionBy(partCols)`
+    * (data files do NOT contain the partition columns — the spec's
+    * layout) and every add carries its file's `partitionValues`, so
+    * partition pruning ([[readWhere]], the stream planners, the
+    * merge probe) composes with every append. The declared spec must
+    * equal the table's. */
+  def commitAppendPartitioned(df: DataFrame, tableDir: String,
+                              partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty,
+      "partitioned append needs partition columns")
+    commitAppendCore(df, tableDir, partCols)
+  }
+
+  private def commitAppendCore(df: DataFrame, tableDir: String,
+                               partCols: Seq[String]): Long = {
+    requirePartitionSpec(tableDir, partCols, "commitAppend")
     val sub = s"part-${java.util.UUID.randomUUID}"
-    df.write.parquet(s"$tableDir/$sub")
-    val fs = partFiles(tableDir, sub)
-    val stats = statsJsonBatch(df.sparkSession, fs)
-    val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
-      stats = Some(stats(f.getPath))))
+    val adds: Seq[ObjectNode] =
+      if (partCols.isEmpty) {
+        df.write.parquet(s"$tableDir/$sub")
+        val fs = partFiles(tableDir, sub)
+        val stats = statsJsonBatch(df.sparkSession, fs)
+        fs.map(f => addAction(s"$sub/${f.getName}", f.length,
+          stats = Some(stats(f.getPath))))
+      } else {
+        df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
+        partitionedAdds(df.sparkSession, tableDir, sub, partCols,
+          dataChange = true)
+      }
     var v = -1L
     var done = false
     while (!done) {
@@ -1333,7 +1379,7 @@ object DeltaLog {
       v = if (vs.isEmpty) 0L else vs.last + 1
       val head: Seq[ObjectNode] =
         if (vs.isEmpty)
-          Seq(protocolAction(), metaDataAction(df.schema, Seq.empty))
+          Seq(protocolAction(), metaDataAction(df.schema, partCols))
         else Seq.empty
       commitClaimHook(tableDir, v)
       done = writeActions(tableDir, v, head ++ adds)
@@ -1577,16 +1623,33 @@ object DeltaLog {
     * recorded. */
   def commitAppendIdempotent(df: DataFrame, tableDir: String,
                              appId: String,
-                             txnVersion: Long): Option[Long] = {
-    requireUnpartitioned(tableDir, "commitAppendIdempotent")
+                             txnVersion: Long): Option[Long] =
+    commitAppendIdempotent(df, tableDir, appId, txnVersion, Seq.empty)
+
+  /** [[commitAppendIdempotent]] with a PARTITION SPEC — the
+    * exactly-once streaming append into a partitioned 100 TB silver
+    * (each add carries its `partitionValues`; the txn watermark is
+    * partition-independent, one per appId). `partCols` empty =
+    * unpartitioned (the two-arg overload). */
+  def commitAppendIdempotent(df: DataFrame, tableDir: String,
+                             appId: String, txnVersion: Long,
+                             partCols: Seq[String]): Option[Long] = {
+    requirePartitionSpec(tableDir, partCols, "commitAppendIdempotent")
     if (latestTxnVersion(tableDir, appId).exists(_ >= txnVersion))
       return None
     val sub = s"part-${java.util.UUID.randomUUID}"
-    df.write.parquet(s"$tableDir/$sub")
-    val fs = partFiles(tableDir, sub)
-    val stats = statsJsonBatch(df.sparkSession, fs)
-    val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
-      stats = Some(stats(f.getPath))))
+    val adds: Seq[ObjectNode] =
+      if (partCols.isEmpty) {
+        df.write.parquet(s"$tableDir/$sub")
+        val fs = partFiles(tableDir, sub)
+        val stats = statsJsonBatch(df.sparkSession, fs)
+        fs.map(f => addAction(s"$sub/${f.getName}", f.length,
+          stats = Some(stats(f.getPath))))
+      } else {
+        df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
+        partitionedAdds(df.sparkSession, tableDir, sub, partCols,
+          dataChange = true)
+      }
     val txn = mapper.createObjectNode()
     txn.putObject("txn").put("appId", appId)
       .put("version", txnVersion).put("lastUpdated", 0L)
@@ -1603,7 +1666,7 @@ object DeltaLog {
       v = if (vs.isEmpty) 0L else vs.last + 1
       val head: Seq[ObjectNode] =
         if (vs.isEmpty)
-          Seq(protocolAction(), metaDataAction(df.schema, Seq.empty))
+          Seq(protocolAction(), metaDataAction(df.schema, partCols))
         else Seq.empty
       commitClaimHook(tableDir, v)
       done = writeActions(tableDir, v, head ++ (txn +: adds))
@@ -2707,6 +2770,84 @@ object DeltaLog {
       |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Session-cached PARTITIONED-MERGE fixture (q205): full orders
+    * committed status-partitioned with several files per partition,
+    * then one [[mergeInto]] keyed (o_orderkey, o_orderstatus) whose
+    * source touches ONLY status 'F' (%7 keys → priority 'MERGED').
+    * Because the partition columns are merge keys, the probe
+    * composes with partition pruning — the builder `require`s the
+    * ladder in-fixture, so a regression to whole-table probing fails
+    * the gated query loudly, not just a spec:
+    * candidates (= `lastMergeFilesTotal`) < snapshot files (only the
+    * F partition's files are candidates), scanned ≤ candidates,
+    * rewritten ≤ scanned. */
+  private[graft] def ordersPartitionedMergeTable(spark: SparkSession,
+                                                 dir: String): String =
+    cachedTable(spark, dir, "deltapm") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwritePartitioned(o.repartition(4), t,
+        Seq("o_orderstatus"))
+      val nAll = replay(t, versions(t).last).files.size
+      mergeInto(spark, t,
+        o.filter(col("o_orderstatus") === "F" &&
+            pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("o_orderpriority", lit("MERGED")),
+        Seq("o_orderkey", "o_orderstatus"))
+      require(lastMergeFilesTotal < nAll,
+        s"partitioned merge probed $lastMergeFilesTotal of $nAll " +
+          "files — partition pruning is off (source touches one of " +
+          "three status partitions)")
+      require(lastMergeFilesScanned <= lastMergeFilesTotal &&
+          lastMergeFilesRewritten <= lastMergeFilesScanned,
+        s"merge pruning ladder violated: rewritten " +
+          s"$lastMergeFilesRewritten / scanned $lastMergeFilesScanned" +
+          s" / candidates $lastMergeFilesTotal")
+    }
+
+  /** q205 — PARTITIONED MERGE INTO: the q155 algebra against a
+    * status-partitioned target with the partition column in the
+    * merge keys — the 100 TB CDC-silver shape (the reference's MERGE
+    * silver is partitioned, spark/batch_silver.py:146-159; a
+    * date-partitioned lake receiving a one-day batch must probe one
+    * day's files, not the lake). Hash gate: matched (key, status)
+    * rows take the source's priority, everything else unchanged, and
+    * partition columns reconstruct from the log's per-file
+    * partitionValues across BOTH the untouched files and the
+    * merge-rewritten ones. The in-fixture `require`s pin the
+    * pruning. */
+  def deltaPartitionedMergeRead(spark: SparkSession,
+                                dir: String): DataFrame =
+    read(spark, ordersPartitionedMergeTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaPartitionedMergeReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+      |       THEN 'MERGED' ELSE o_orderpriority END
+      |    AS o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Session-cached CDC-WIRE source table (the q206 feed): v0 = full
+    * orders (the initial snapshot), v1 = an APPEND of the update
+    * batch (status-'F' %3 keys re-emitted with priority 'MERGED' —
+    * the at-least-once shape a CDC topic delivers: updates arrive as
+    * new rows with old keys, the SINK's merge dedups), v2 = a
+    * deletion-vector [[deleteWhere]] of every tenth key. Three
+    * commits = three `graft-delta-cdf` micro-batches: inserts,
+    * upserts, deletes. */
+  private[graft] def ordersCdcWireTable(spark: SparkSession,
+                                        dir: String): String =
+    cachedTable(spark, dir, "deltacdcwire") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o, t)
+      commitAppend(
+        o.filter(col("o_orderstatus") === "F" &&
+            pmod(col("o_orderkey"), lit(3)) === 0)
+          .withColumn("o_orderpriority", lit("MERGED")), t)
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(10)) === 0): Unit
+    }
+
   /** Session-cached CDC-ENABLED lifecycle table: v0 = even keys
     * (plain create — CDF derives it as inserts), v1 = ALTER TABLE SET
     * `delta.enableChangeDataFeed=true` (metaData only, contributes no
@@ -3057,9 +3198,17 @@ object DeltaLog {
     v
   }
 
-  /** Test seam: data files the last [[mergeInto]] rewrote vs the
-    * snapshot's total — file pruning is judged by this. */
+  /** Test seams, set per [[mergeInto]] call:
+    * `lastMergeFilesTotal` — candidate files AFTER partition pruning
+    * (= the snapshot's total on unpartitioned tables / when the keys
+    * don't cover the partition columns);
+    * `lastMergeFilesScanned` — files the probe actually SCANNED
+    * after the source-key stats bound;
+    * `lastMergeFilesRewritten` — files the merge rewrote.
+    * rewritten ≤ scanned ≤ total ≤ snapshot files; each inequality
+    * is a pruning layer a spec pins. */
   @volatile private[graft] var lastMergeFilesRewritten: Int = -1
+  @volatile private[graft] var lastMergeFilesScanned: Int = -1
   @volatile private[graft] var lastMergeFilesTotal: Int = -1
 
   /** MERGE INTO the open Delta table: `whenMatchedUpdateAll` +
@@ -3093,13 +3242,49 @@ object DeltaLog {
     * file set (the [[deleteWhere]] discipline). Returns the
     * committed version. */
   def mergeInto(spark: SparkSession, tableDir: String,
-                source: DataFrame, keys: Seq[String]): Long = {
-    requireUnpartitioned(tableDir, "mergeInto")
+                source: DataFrame, keys: Seq[String]): Long =
+    mergeInto(spark, tableDir, source, keys, None)
+
+  /** [[mergeInto]] with an optional `whenMatchedDelete` arm: source
+    * rows satisfying the predicate are TOMBSTONES — their matched
+    * target rows are deleted and the tombstone itself is never
+    * inserted (Delta's `whenMatched(...).delete()`), so a CDC batch
+    * carrying upserts AND deletes rides ONE merge commit instead of
+    * a delete+append pair. The predicate is evaluated against the
+    * SOURCE row's columns.
+    *
+    * PARTITIONED targets: supported. When every partition column is
+    * a merge key, matching is partition-scoped by definition and the
+    * probe composes with PARTITION PRUNING — only files in the
+    * source's own partition tuples are candidates (the reason real
+    * Delta MERGEs put the partition conjunct in the ON clause: a
+    * date-partitioned 100 TB silver receiving a one-day CDC batch
+    * probes one day's files, not the lake). When the keys do NOT
+    * cover the partition columns, a matched key may legitimately
+    * live in any partition, so every file stays a candidate —
+    * correctness first, and the stats bound below still applies.
+    *
+    * STATS-BOUND probe: before any scan, the source key set's
+    * [min, max] (long-typed key columns, one tiny agg over the
+    * broadcast-small source) is intersected with each candidate's
+    * recorded `add.stats` bounds — a file whose key range provably
+    * misses every source key is not even SCANNED by the probe (the
+    * [[deleteWhereKeys]] discipline). A 1%-match MERGE on a
+    * range-clustered table now scans ~1% of key columns to rewrite
+    * ~1% of files, instead of scanning 100% to rewrite 1%. */
+  def mergeInto(spark: SparkSession, tableDir: String,
+                source: DataFrame, keys: Seq[String],
+                whenMatchedDelete: Option[org.apache.spark.sql.Column])
+      : Long = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val st = replayMaybeCheckpointed(Some(spark), tableDir, vs.last)
+    require(st.columnMapping.isEmpty,
+      s"mergeInto on COLUMN-MAPPED table $tableDir would write " +
+        "logical-name data files that mapped readers cannot resolve")
     require(keys.nonEmpty && keys.forall(st.schema.fieldNames.contains),
       s"merge keys $keys must exist in the target schema")
+    val partCols = st.partitionColumns
     import org.apache.spark.sql.functions.{broadcast, lit}
     // an empty source merges nothing — skip before paying the probe
     if (source.isEmpty) return vs.last
@@ -3112,6 +3297,66 @@ object DeltaLog {
     require(byBase.size == st.files.size,
       "duplicate data-file basenames — cannot key the merge's file " +
         "pruning")
+    // PARTITION PRUNING (sound only when partCols ⊆ keys — then the
+    // equi-join on the keys is partition-scoped by construction): a
+    // file whose log-recorded partitionValues match NO source tuple
+    // can hold no matched key and carries over untouched. The tuple
+    // set is one tiny distinct over the broadcast-small source; a
+    // source spanning >10k tuples skips the prune (it would match
+    // most of the table anyway).
+    val candidates0: Map[String, AddFile] =
+      if (partCols.isEmpty || !partCols.forall(keys.contains)) st.adds
+      else {
+        val tuples = source.select(partCols.map(col): _*)
+          .dropDuplicates().limit(10001).collect()
+        if (tuples.length > 10000) st.adds
+        else st.adds.filter { case (_, a) =>
+          tuples.exists { t =>
+            partCols.zipWithIndex.forall { case (c, i) =>
+              val stored = a.partitionValues.get(c).orNull
+              val v = t.get(i)
+              if (v == null) stored == null
+              else PruningPredicates
+                .eqMatches(st.schema(c).dataType, stored, v)
+                .getOrElse(true)
+            }
+          }
+        }
+      }
+    lastMergeFilesTotal = candidates0.size
+    // STATS BOUND: source-key [min,max] vs each add's recorded
+    // bounds — files that provably miss every source key are never
+    // scanned (superset contract: boundless files always scan)
+    val longKeys = keys.filter { c =>
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      st.schema(c).dataType match {
+        case LongType | IntegerType => true
+        case _ => false
+      }
+    }
+    val candidates: Map[String, AddFile] =
+      if (longKeys.isEmpty || candidates0.isEmpty) candidates0
+      else {
+        import org.apache.spark.sql.functions.{max, min}
+        val aggs = longKeys.flatMap(c => Seq(
+          min(col(c).cast("long")), max(col(c).cast("long"))))
+        val mm = keyDf.agg(aggs.head, aggs.tail: _*).collect().head
+        val ranges: Seq[(String, Long, Long)] =
+          longKeys.zipWithIndex.flatMap { case (c, i) =>
+            if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1)) None
+            else Some((c, mm.getLong(2 * i), mm.getLong(2 * i + 1)))
+          }
+        candidates0.filter { case (_, a) =>
+          val b = a.longBounds
+          ranges.forall { case (c, lo, hi) =>
+            b.get(c) match {
+              case Some((mn, mx)) => mn <= hi && mx >= lo
+              case None => true
+            }
+          }
+        }
+      }
+    lastMergeFilesScanned = candidates.size
     // merge-on-read mask shared by the probe and the rewrite scans
     val existing: Map[String, DeletionVectors.Bitmap64] =
       st.adds.collect {
@@ -3125,44 +3370,73 @@ object DeltaLog {
         d => d.filter(!graft.functions.DvExprs.deleted(
           col("_m_f"), col("_m_p"), bc))
       }
-    def scanWithId(paths: Seq[String]): DataFrame =
-      morFilter(spark.read.schema(st.schema)
-        .parquet(paths.map(resolve): _*)
-        .withColumn("_m_f", col("_metadata.file_name"))
-        .withColumn("_m_p", col("_metadata.row_index")))
+    // partition columns live only in the LOG — a partitioned scan
+    // reconstructs them (broadcast file→values join) so key columns
+    // that are partition columns resolve; row identity rides
+    // carryCols through the projection
+    def scanWithId(addsSel: Map[String, AddFile]): DataFrame =
+      if (partCols.isEmpty)
+        morFilter(spark.read.schema(st.schema)
+          .parquet(addsSel.keys.toSeq.sorted.map(resolve): _*)
+          .withColumn("_m_f", col("_metadata.file_name"))
+          .withColumn("_m_p", col("_metadata.row_index")))
+      else
+        PartitionedScan.scan(spark, st.schema, partCols,
+          addsSel.toSeq.sortBy(_._1).map { case (p, a) =>
+            (resolve(p), a.partitionValues) },
+          preProject = d => morFilter(
+            d.withColumn("_m_f", col("_metadata.file_name"))
+              .withColumn("_m_p", col("_metadata.row_index"))),
+          carryCols = Seq("_m_f", "_m_p"))
     // the pruning probe: which files hold a matched key? Collects
     // O(touched files) file names, never rows.
     val touched: Seq[String] =
-      if (st.files.isEmpty) Seq.empty
-      else scanWithId(st.files)
+      if (candidates.isEmpty) Seq.empty
+      else scanWithId(candidates)
         .join(keyDf, keys, "left_semi")
         .select(col("_m_f")).distinct()
         .collect().map(r => byBase(r.getString(0))).toSeq.sorted
     lastMergeFilesRewritten = touched.size
-    lastMergeFilesTotal = st.files.size
     val target = read(spark, tableDir)
     val cdfOn = cdfWriteEnabled(st)
     if (cdfOn) require(st.columnMapping.isEmpty,
       "CDF write on a column-mapped table is out of scope — change " +
         "files would carry logical names foreign readers cannot resolve")
-    // rewrite set = touched survivors (matched keys removed, DV masks
-    // folded) + every source row
+    // tombstone split: rows matching the delete arm retire their
+    // target match and are never inserted
+    val upserts = whenMatchedDelete match {
+      case Some(p) => source.filter(!p)
+      case None => source
+    }
+    // rewrite set = touched survivors (ALL source-matched keys
+    // removed — updates replaced, tombstones dropped; DV masks
+    // folded) + every upsert row
+    val touchedAdds = touched.map(p => p -> st.adds(p)).toMap
     val newRows =
       (if (touched.isEmpty)
          spark.createDataFrame(
            java.util.Collections.emptyList[Row](), st.schema)
-       else scanWithId(touched).join(keyDf, keys, "left_anti")
+       else scanWithId(touchedAdds).join(keyDf, keys, "left_anti")
          .drop("_m_f", "_m_p"))
-        .unionByName(source.select(st.schema.fieldNames.map(col): _*))
+        .unionByName(upserts.select(st.schema.fieldNames.map(col): _*))
     val sub = s"part-${java.util.UUID.randomUUID}"
-    newRows.write.parquet(s"$tableDir/$sub")
-    val fs = partFiles(tableDir, sub)
-    val stats = statsJsonBatch(spark, fs)
-    val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
-      stats = Some(stats(f.getPath))))
+    val adds: Seq[ObjectNode] =
+      if (partCols.isEmpty) {
+        newRows.write.parquet(s"$tableDir/$sub")
+        val fs = partFiles(tableDir, sub)
+        val stats = statsJsonBatch(spark, fs)
+        fs.map(f => addAction(s"$sub/${f.getName}", f.length,
+          stats = Some(stats(f.getPath))))
+      } else {
+        newRows.write.partitionBy(partCols: _*)
+          .parquet(s"$tableDir/$sub")
+        partitionedAdds(spark, tableDir, sub, partCols,
+          dataChange = true)
+      }
     // delta.enableChangeDataFeed=true: the row-level change file +
     // cdc action ride the SAME commit (update_preimage/postimage for
-    // matched keys, insert for new keys)
+    // matched upsert keys, delete for tombstone matches, insert for
+    // new keys)
     val cdc: Seq[ObjectNode] =
       if (!cdfOn) Seq.empty
       else {
@@ -3170,15 +3444,24 @@ object DeltaLog {
         // side by construction); the target side never does — a join
         // keyed the other way would ship the table
         val tgtKeys = target.select(keys.map(col): _*)
-        val srcKeys = broadcast(source.select(keys.map(col): _*))
-        writeChangeData(
-          target.join(srcKeys, keys, "left_semi")
+        val upsertKeys = broadcast(upserts.select(keys.map(col): _*))
+        val changes0 =
+          target.join(upsertKeys, keys, "left_semi")
             .withColumn("_change_type", lit("update_preimage"))
-            .unionByName(source.join(tgtKeys, keys, "left_semi")
+            .unionByName(upserts.join(tgtKeys, keys, "left_semi")
               .withColumn("_change_type", lit("update_postimage")))
-            .unionByName(source.join(tgtKeys, keys, "left_anti")
-              .withColumn("_change_type", lit("insert"))),
-          tableDir, Seq.empty)
+            .unionByName(upserts.join(tgtKeys, keys, "left_anti")
+              .withColumn("_change_type", lit("insert")))
+        val changes = whenMatchedDelete match {
+          case Some(p) =>
+            val tombKeys = broadcast(
+              source.filter(p).select(keys.map(col): _*))
+            changes0.unionByName(
+              target.join(tombKeys, keys, "left_semi")
+                .withColumn("_change_type", lit("delete")))
+          case None => changes0
+        }
+        writeChangeData(changes, tableDir, partCols)
       }
     require(writeActions(tableDir, vs.last + 1,
       touched.map(p => removeAction(p)) ++ adds ++ cdc),

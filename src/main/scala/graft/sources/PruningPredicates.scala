@@ -77,7 +77,15 @@ private[graft] object PruningPredicates {
         }
         lit.flatMap(l =>
           scala.util.Try(stored.trim.toLong).toOption.map(_ == l))
-      case _ => None // dates/doubles/cross-type: skip pruning
+      // date-partitioned tables (the 100 TB silver's usual layout):
+      // both formats store the tuple value as the ISO yyyy-MM-dd
+      // string both java.sql.Date and LocalDate print
+      case (org.apache.spark.sql.types.DateType, d: java.sql.Date) =>
+        Some(stored == d.toString)
+      case (org.apache.spark.sql.types.DateType,
+            d: java.time.LocalDate) =>
+        Some(stored == d.toString)
+      case _ => None // doubles/cross-type: skip pruning
     }
   }
 

@@ -297,4 +297,82 @@ object DeltaCdfStreamQueries {
     """SELECT * FROM orders
       |WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q206 — THE CDC LOOP INTO A PARTITIONED SILVER: the CDC-wire
+    * table (full orders; an append re-emitting status-'F' %3 keys
+    * with priority 'MERGED' — the at-least-once upsert shape a CDC
+    * topic delivers; a DV delete of every tenth key) drains through
+    * `graft-delta-cdf` one commit per trigger into a
+    * STATUS-PARTITIONED silver — the reference's MERGE silver and
+    * any 100 TB table is partitioned
+    * (/root/reference/spark/batch_silver.py:146-159); until this
+    * round the engine's own CDC sinks could only land unpartitioned.
+    * The sink: first batch `commitOverwritePartitioned`, upsert
+    * batches `mergeInto` keyed (o_orderkey, o_orderstatus) — the
+    * partition column IN the keys, so the merge probe composes with
+    * partition pruning (the in-loop `require` pins candidates <
+    * silver files: the upsert batch touches one of three status
+    * partitions) — and delete batches land as silver's own deletion
+    * vectors through the partition-aware [[graft.sources.DeltaLog
+    * .deleteWhereKeys]] scan. Hash gate: final silver state equals
+    * the oracle IFF partition columns reconstructed correctly
+    * through every arm (merge rewrite, DV delete, untouched
+    * files). */
+  def deltaCdfPartitionedSilver(spark: org.apache.spark.sql.SparkSession,
+                                dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = DeltaLog.ordersCdcWireTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_dcdfp").toString
+    val silver = s"$work/silver"
+    val partCols = Seq("o_orderstatus")
+    spark.readStream.format("graft-delta-cdf").option("path", t)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                       _: Long) =>
+        val b = batch.persist()
+        try if (!b.isEmpty) {
+          val inserts = b
+            .filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          val deletes = b
+            .filter(col("_change_type") === "delete")
+            .select("o_orderkey")
+          if (DeltaLog.versions(silver).isEmpty)
+            // several files per partition, so partial rewrites and
+            // partition pruning have real file sets to act on
+            DeltaLog.commitOverwritePartitioned(
+              inserts.repartition(4), silver, partCols): Unit
+          else if (!inserts.isEmpty) {
+            val nAll = DeltaLog.replay(silver,
+              DeltaLog.versions(silver).last).files.size
+            DeltaLog.mergeInto(spark, silver, inserts,
+              Seq("o_orderkey", "o_orderstatus")): Unit
+            require(DeltaLog.lastMergeFilesTotal < nAll,
+              s"partitioned CDC merge probed " +
+                s"${DeltaLog.lastMergeFilesTotal} of $nAll silver " +
+                "files — partition pruning is off (the upsert batch " +
+                "touches one of three status partitions)")
+          }
+          if (!deletes.isEmpty)
+            DeltaLog.deleteWhereKeys(spark, silver,
+              "o_orderkey", deletes): Unit
+        } finally b.unpersist(): Unit
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    DeltaLog.read(spark, silver).orderBy(col("o_orderkey"))
+  }
+
+  val deltaCdfPartitionedSilverSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderstatus = 'F' AND o_orderkey % 3 = 0
+      |       THEN 'MERGED' ELSE o_orderpriority END
+      |    AS o_orderpriority
+      |FROM orders WHERE o_orderkey % 10 <> 0
+      |ORDER BY o_orderkey""".stripMargin
 }

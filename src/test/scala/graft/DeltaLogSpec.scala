@@ -650,6 +650,135 @@ class DeltaLogSpec extends SparkSuite {
     assert(!got2.contains(11L) && got2.count(_ == 12L) == 1)
   }
 
+  test("mergeInto probe is STATS-BOUND: provably-missed files never scan") {
+    val dir = Files.createTempDirectory("dlogmsb").toString + "/t"
+    // four range-clustered files; the source's key [min,max] = [7,9]
+    // intersects exactly one file's bounds
+    Seq(1L to 5L, 6L to 10L, 11L to 15L, 16L to 20L).foreach(r =>
+      sources.DeltaLog.commitAppend(
+        r.map(i => (i, s"s$i")).toDF("k", "s").coalesce(1), dir))
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((7L, "M7"), (9L, "M9")).toDF("k", "s"), Seq("k"))
+    assert(sources.DeltaLog.lastMergeFilesTotal == 4 &&
+      sources.DeltaLog.lastMergeFilesScanned == 1 &&
+      sources.DeltaLog.lastMergeFilesRewritten == 1,
+      s"expected probe ladder 4/1/1, got " +
+        s"${sources.DeltaLog.lastMergeFilesTotal}/" +
+        s"${sources.DeltaLog.lastMergeFilesScanned}/" +
+        s"${sources.DeltaLog.lastMergeFilesRewritten}")
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == ((1L to 20L).map(i => (i, s"s$i")).toMap ++
+      Map(7L -> "M7", 9L -> "M9")).toSet,
+      "stats-bound pruning must not change the merge result")
+    // an out-of-range insert-only source scans NOTHING and appends
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((99L, "new")).toDF("k", "s"), Seq("k"))
+    assert(sources.DeltaLog.lastMergeFilesScanned == 0 &&
+      sources.DeltaLog.lastMergeFilesRewritten == 0)
+    assert(sources.DeltaLog.read(spark, dir).count() == 21)
+  }
+
+  test("partitioned append + idempotent append carry partitionValues") {
+    val dir = Files.createTempDirectory("dlogpa").toString + "/t"
+    sources.DeltaLog.commitAppendPartitioned(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), dir, Seq("p"))
+    sources.DeltaLog.commitAppendPartitioned(
+      Seq((3L, "a"), (4L, "c")).toDF("k", "p"), dir, Seq("p"))
+    // partition columns reconstruct from the LOG across both commits
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")))
+    // partition pruning composes with the appended files
+    sources.DeltaLog.readWhere(spark, dir)(
+      pv => pv.get("p").contains("a")).collect(): Unit
+    assert(sources.DeltaLog.lastFilesScanned == 2)
+    // the spec discipline: an UNPARTITIONED append (and a
+    // wrong-spec one) refuses loudly instead of writing NULL adds
+    intercept[IllegalArgumentException] {
+      sources.DeltaLog.commitAppend(
+        Seq((9L, "z")).toDF("k", "p"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      sources.DeltaLog.commitAppendPartitioned(
+        Seq((9L, "z")).toDF("k", "p"), dir, Seq("k"))
+    }
+    // idempotent partitioned append: first lands, redelivery skips
+    val v1 = sources.DeltaLog.commitAppendIdempotent(
+      Seq((5L, "b")).toDF("k", "p"), dir, "app", 1L, Seq("p"))
+    assert(v1.isDefined)
+    assert(sources.DeltaLog.commitAppendIdempotent(
+      Seq((5L, "b")).toDF("k", "p"), dir, "app", 1L, Seq("p")).isEmpty)
+    assert(sources.DeltaLog.read(spark, dir)
+      .filter(col("p") === "b").count() == 2)
+  }
+
+  test("partitioned mergeInto: prunes when keys cover partCols, never else") {
+    val dir = Files.createTempDirectory("dlogpm").toString + "/t"
+    // two partitions, two files each (disjoint key ranges per file)
+    Seq(1L to 5L, 6L to 10L).foreach(r =>
+      sources.DeltaLog.commitAppendPartitioned(
+        r.flatMap(i => Seq((i, "x", s"s$i"), (i + 100, "y", s"t$i")))
+          .toDF("k", "p", "s").repartition(1), dir, Seq("p")))
+    // keys COVER partCols → only partition x's files are candidates
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((3L, "x", "M3")).toDF("k", "p", "s"), Seq("k", "p"))
+    assert(sources.DeltaLog.lastMergeFilesTotal == 2 &&
+      sources.DeltaLog.lastMergeFilesScanned == 1 &&
+      sources.DeltaLog.lastMergeFilesRewritten == 1,
+      s"partition+stats pruning ladder: " +
+        s"${sources.DeltaLog.lastMergeFilesTotal}/" +
+        s"${sources.DeltaLog.lastMergeFilesScanned}/" +
+        s"${sources.DeltaLog.lastMergeFilesRewritten}")
+    val got = sources.DeltaLog.read(spark, dir)
+      .filter(col("k") === 3L).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("x", "M3")),
+      s"merged row must update in place with its partition: $got")
+    // keys DON'T cover partCols: a matched key may live in any
+    // partition — every file is a candidate, and a source row whose
+    // partition value DIFFERS from the target's must MOVE the row
+    // (update-all semantics), never duplicate the key
+    val nFiles = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last).files.size
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((104L, "z", "moved")).toDF("k", "p", "s"), Seq("k"))
+    assert(sources.DeltaLog.lastMergeFilesTotal == nFiles,
+      "all partitions are candidates when keys don't cover partCols")
+    val moved = sources.DeltaLog.read(spark, dir)
+      .filter(col("k") === 104L).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(moved == Seq(("z", "moved")),
+      s"key 104 must exist exactly once, in its new partition: $moved")
+  }
+
+  test("mergeInto whenMatchedDelete: tombstones retire, never insert") {
+    val dir = Files.createTempDirectory("dlogwmd").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      Seq((1L, "a", "live"), (2L, "b", "live"), (3L, "c", "live"))
+        .toDF("k", "s", "op"), dir)
+    sources.DeltaLog.setTableProperties(dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    // one CDC batch: update k=1, tombstone k=2, tombstone for an
+    // absent key (no-op), insert k=9
+    val batch = Seq((1L, "A1", "u"), (2L, "b", "d"), (7L, "x", "d"),
+      (9L, "n", "u")).toDF("k", "s", "op")
+    val v = sources.DeltaLog.mergeInto(spark, dir, batch, Seq("k"),
+      Some(col("op") === "d"))
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "A1"), (3L, "c"), (9L, "n")),
+      s"one merge must apply upserts AND deletes: $got")
+    // the change feed carries the delete pre-image alongside the
+    // update pair and the insert
+    val changes = sources.DeltaLog.readChanges(spark, dir, v, v)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes == Set((1L, "update_preimage"),
+      (1L, "update_postimage"), (9L, "insert"), (2L, "delete")),
+      s"CDF rows of the single-commit CDC batch: $changes")
+  }
+
   test("add.stats data skipping: hand-written stats prune, statless never do") {
     val dir = Files.createTempDirectory("dlogst").toString
     val a = stagePart(dir, "a.parquet", Seq((1L, "x"), (5L, "y")))
