@@ -517,7 +517,12 @@ object SparkEntry {
     // overwrite/merge/DV-delete all partition-aware, merge probe
     // pinned to the touched partition in-loop
     "q206_delta_cdf_partitioned_silver"
-      -> (streaming.DeltaCdfStreamQueries.deltaCdfPartitionedSilver _)
+      -> (streaming.DeltaCdfStreamQueries.deltaCdfPartitionedSilver _),
+    // per-file bloom sidecar: a scattered-key CDC delete scans ~1 of
+    // 8 interleaved files where min/max proves nothing (in-fixture
+    // require pins the scan bound)
+    "q207_delta_bloom_delete"
+      -> (sources.DeltaLog.deltaBloomDeleteRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -762,6 +767,8 @@ object SparkEntry {
     "q205_delta_merge_partitioned"
       -> sources.DeltaLog.deltaPartitionedMergeReadSql,
     "q206_delta_cdf_partitioned_silver"
-      -> streaming.DeltaCdfStreamQueries.deltaCdfPartitionedSilverSql
+      -> streaming.DeltaCdfStreamQueries.deltaCdfPartitionedSilverSql,
+    "q207_delta_bloom_delete"
+      -> sources.DeltaLog.deltaBloomDeleteReadSql
   )
 }

@@ -1313,6 +1313,7 @@ object DeltaLog {
     val stats = statsJsonBatch(df.sparkSession, fs)
     val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
       stats = Some(stats(f.getPath))))
+    maybeWriteBlooms(df.sparkSession, tableDir, fs)
     // lost CAS ⇒ another writer advanced the log; recompute the
     // version AND the removes from the new latest state and retry —
     // the loop makes progress by construction (each failure means a
@@ -1372,6 +1373,7 @@ object DeltaLog {
         partitionedAdds(df.sparkSession, tableDir, sub, partCols,
           dataChange = true)
       }
+    maybeWriteBlooms(df.sparkSession, tableDir, partFiles(tableDir, sub))
     var v = -1L
     var done = false
     while (!done) {
@@ -1650,6 +1652,7 @@ object DeltaLog {
         partitionedAdds(df.sparkSession, tableDir, sub, partCols,
           dataChange = true)
       }
+    maybeWriteBlooms(df.sparkSession, tableDir, partFiles(tableDir, sub))
     val txn = mapper.createObjectNode()
     txn.putObject("txn").put("appId", appId)
       .put("version", txnVersion).put("lastUpdated", 0L)
@@ -1718,6 +1721,7 @@ object DeltaLog {
     df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
     val adds = partitionedAdds(df.sparkSession, tableDir, sub, partCols,
       dataChange = true)
+    maybeWriteBlooms(df.sparkSession, tableDir, partFiles(tableDir, sub))
     var v = -1L
     var done = false
     while (!done) {
@@ -1996,6 +2000,208 @@ object DeltaLog {
     * Delta spells it), and each re-add keeps its `partitionValues`;
     * column-mapped tables stay refused.
     * Returns the committed version (unchanged if nothing matched). */
+  // ---------------------------------------------------------------
+  // Per-file BLOOM sidecar — point-lookup data skipping for
+  // scattered keys (Delta's delta.bloomFilter idea, the
+  // [[Snapshots.commitWithStats]] machinery on the open log)
+  // ---------------------------------------------------------------
+
+  /** Bloom sidecar directory. `add.stats` min/max prunes RANGE
+    * predicates but is defeated by a SCATTERED key set (a
+    * hash-distributed CDC delete batch spans [min,max] of every
+    * file); the per-file bloom answers "could file F hold key k?"
+    * regardless of layout. Rows: (file basename, colname, word,
+    * bits, m_bits), geometry = [[Snapshots.BloomHashes]] positions
+    * via xxhash64(key_as_long, i), sized ~8 bits/row from the batch
+    * ([[Snapshots.bloomSizeFor]]). Sidecar metadata beside the log —
+    * foreign Delta clients ignore it; this engine's deletes probe
+    * it. Superset contract everywhere: a file with no bloom rows is
+    * never pruned, false positives cost a file scan, false negatives
+    * cannot happen. */
+  private[graft] val BloomSidecarDir = "_bloom"
+
+  /** Table property naming the bloomed columns (comma-separated,
+    * long/int-typed). Writers bloom each new file when set;
+    * [[bloomBackfill]] covers files committed before it was set. */
+  private[graft] val BloomColsProp = "graft.bloomFilter.columns"
+
+  private def bloomColsOf(st: State): Seq[String] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    st.configuration.get(BloomColsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+      .filter(c => st.schema.fieldNames.contains(c) &&
+        !st.partitionColumns.contains(c) && (st.schema(c).dataType match {
+          case LongType | IntegerType => true
+          case _ => false
+        }))
+  }
+
+  /** Sidecar geometry: ~20 bits/row where [[Snapshots.bloomSizeFor]]
+    * uses ~8. The delete probe tests a BATCH of K keys per file and
+    * a file survives if ANY key false-positives — prune probability
+    * is (1−fpr)^K, so the per-key fpr must sit well under 1/K. At 20
+    * bits/row with 3 hashes fpr ≈ 0.05%, keeping a 100-key batch's
+    * per-file prune probability ≈ 95% where 8 bits/row (fpr ≈ 2.5%)
+    * would keep almost nothing. Cost: ~2.5 MB sidecar per 1M-row
+    * file — metadata, linear in file count. */
+  private[graft] def sidecarBloomBits(maxRows: Long): Int = {
+    val target = math.max(Snapshots.BloomMinBits.toLong, 20L * maxRows)
+    var m = Snapshots.BloomMinBits
+    while (m < target && m < (1 << 27)) m <<= 1
+    m
+  }
+
+  /** Write bloom rows for `absFiles` (one just-written batch, all
+    * one geometry sized from the batch's largest file). One
+    * distributed scan of the batch per call — the same cost class as
+    * the stats job every commit already pays. */
+  private def writeBloomRows(spark: SparkSession, tableDir: String,
+      absFiles: Seq[String], cols: Seq[String]): Unit = {
+    if (absFiles.isEmpty || cols.isEmpty) return
+    import org.apache.spark.sql.functions.{array, bit_or, expr,
+      explode, lit, pmod, shiftleft, xxhash64}
+    val maxRows = Iceberg.footerStatsBatch(spark, absFiles)
+      .values.map(_._1).maxOption.getOrElse(0L)
+    if (maxRows == 0L) return
+    val mBits = sidecarBloomBits(maxRows)
+    val reread = spark.read.parquet(absFiles: _*)
+    cols.map { c =>
+      val positions = (0 until Snapshots.BloomHashes).map(i =>
+        pmod(xxhash64(col(c).cast("long"), lit(i.toLong)),
+          lit(mBits.toLong)))
+      reread.filter(col(c).isNotNull)
+        .select(col("_metadata.file_name").as("file"),
+          explode(array(positions: _*)).as("pos"))
+        .groupBy(col("file"), (col("pos") / 64).cast("int").as("word"))
+        .agg(expr(
+          "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+          .as("bits"))
+        .withColumn("colname", lit(c))
+        .withColumn("m_bits", lit(mBits))
+    }.reduce(_.unionByName(_))
+      .coalesce(1)
+      .write.parquet(
+        s"$tableDir/$BloomSidecarDir/bloom-${java.util.UUID.randomUUID}")
+  }
+
+  /** Bloom the batch under `tableDir/sub` when the table property
+    * asks for it — the append/merge writers' hook. Runs AFTER the
+    * data write; a crash before the sidecar lands leaves the files
+    * unbloomed = never pruned (safe). */
+  private def maybeWriteBlooms(spark: SparkSession, tableDir: String,
+                               fs: Seq[File]): Unit = {
+    val vs = versions(tableDir)
+    if (vs.isEmpty || fs.isEmpty) return
+    val st = replay(tableDir, vs.last)
+    val cols = bloomColsOf(st)
+    if (cols.nonEmpty)
+      writeBloomRows(spark, tableDir, fs.map(_.getPath), cols)
+  }
+
+  /** Backfill bloom rows for LIVE files lacking them (files
+    * committed before the property was set). Returns how many files
+    * were bloomed. One distributed scan of exactly those files. */
+  def bloomBackfill(spark: SparkSession, tableDir: String): Int = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val st = replay(tableDir, vs.last)
+    val cols = bloomColsOf(st)
+    if (cols.isEmpty) return 0
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    def resolve(p: String) =
+      if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
+    val bloomed: Set[String] = bloomManifest(spark, tableDir) match {
+      case None => Set.empty
+      case Some(m) => m.select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    val missing = st.files.filterNot(p => bloomed.contains(base(p)))
+    // one sidecar write per geometry-uniform batch: all at once here
+    writeBloomRows(spark, tableDir, missing.map(resolve), cols)
+    missing.size
+  }
+
+  private def bloomManifest(spark: SparkSession,
+                            tableDir: String): Option[DataFrame] = {
+    val parts = partFiles(tableDir, BloomSidecarDir)
+    if (parts.isEmpty) None
+    else Some(spark.read.parquet(parts.map(_.getPath): _*))
+  }
+
+  /** Probe cap: a delete batch larger than this skips the bloom path
+    * (its keys are collected to build the probe rows; past ~100k the
+    * batch likely touches most files anyway and min/max or partition
+    * pruning is the right tool). */
+  private val BloomProbeMaxKeys = 100000
+
+  /** Test seam: candidate files the last bloom probe kept vs the
+    * files that HAD bloom rows (unbloomed files bypass the probe). */
+  @volatile private[graft] var lastBloomProbeKept: Int = -1
+  @volatile private[graft] var lastBloomProbeBloomed: Int = -1
+
+  /** Which live files may hold ANY of `keyVals` in `keyCol`, per the
+    * bloom sidecar. None = no sidecar / column never bloomed →
+    * cannot prune. Some((bloomed, hits)): a file IN `bloomed` but
+    * NOT in `hits` provably holds no key; files absent from
+    * `bloomed` must be kept by the caller.
+    *
+    * DISTRIBUTED probe: the driver never sees whole blooms. The
+    * probe rows — (m_bits, word, mask, key ordinal, words-per-key) —
+    * are O(keys × hashes) and BROADCAST into a join against the
+    * word-filtered sidecar scan; a key hits a file iff EVERY one of
+    * its probe words has all mask bits set there (a missing word row
+    * means those bits are zero → miss). The driver collects one row
+    * per surviving file — O(files), the same metadata class as the
+    * log replay. Per-file geometries may differ across batches
+    * (m_bits rides each row), so probe rows are built per distinct
+    * geometry. */
+  private def bloomProbe(spark: SparkSession, tableDir: String,
+      keyCol: String, keyVals: Seq[Long])
+      : Option[(Set[String], Set[String])] = {
+    import org.apache.spark.sql.functions.{broadcast, count, expr, lit,
+      sum, when}
+    bloomManifest(spark, tableDir).flatMap { m0 =>
+      val manifest = m0.filter(col("colname") === keyCol)
+      val fileGeoms = manifest.select("file", "m_bits").distinct()
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      if (fileGeoms.isEmpty) None
+      else {
+        val bloomed = fileGeoms.map(_._1).toSet
+        val geoms = fileGeoms.map(_._2).distinct.toSeq
+        // probe rows: per geometry × key → per-word bit masks
+        val probeRows: Seq[(Int, Int, Long, Int, Int)] =
+          geoms.flatMap { g =>
+            keyVals.zipWithIndex.flatMap { case (v, ki) =>
+              val byWord = Snapshots.bloomPositions(v, g)
+                .groupBy(_ / 64).view.mapValues(ps =>
+                  ps.foldLeft(0L)((acc, p) => acc | (1L << (p % 64))))
+                .toSeq
+              byWord.map { case (w, mask) =>
+                (g, w, mask, ki, byWord.size)
+              }
+            }
+          }
+        import spark.implicits._
+        val probe = probeRows
+          .toDF("m_bits", "word", "mask", "key_i", "n_words")
+        val hits = manifest
+          .join(broadcast(probe), Seq("m_bits", "word"))
+          .groupBy(col("file"), col("key_i"), col("n_words"))
+          .agg(sum(when(expr("(bits & mask) = mask"), 1)
+            .otherwise(0)).as("ok"),
+            count(lit(1)).as("present"))
+          .filter(col("ok") === col("n_words") &&
+            col("present") === col("n_words"))
+          .select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        lastBloomProbeBloomed = bloomed.size
+        lastBloomProbeKept = hits.size
+        Some((bloomed, hits))
+      }
+    }
+  }
+
   def deleteWhere(spark: SparkSession, tableDir: String,
                   predicate: org.apache.spark.sql.Column): Long = {
     // the predicate's prune-safe conjuncts skip files that provably
@@ -2004,8 +2210,35 @@ object DeltaLog {
     // table scans the day's files, not the lake. Superset contract:
     // unprovable files scan and the exact predicate decides.
     val ex = PruningPredicates.extract(predicate)
+    // point-equality conjuncts on a BLOOMED column probe the bloom
+    // sidecar too — a key-equality delete on an unsorted layout
+    // (where min/max cannot prune) scans only files whose bloom
+    // admits the key
+    val bloomKeep: (String, AddFile) => Boolean = {
+      val vs = versions(tableDir)
+      val probes =
+        if (vs.isEmpty) Seq.empty
+        else {
+          val st0 = replay(tableDir, vs.last)
+          bloomColsOf(st0).flatMap { c =>
+            ex.eqs.get(c).collect {
+              case v: Long => c -> v
+              case v: Int => c -> v.toLong
+            }
+          }
+        }
+      val verdicts = probes.flatMap { case (c, v) =>
+        bloomProbe(spark, tableDir, c, Seq(v))
+      }
+      (p, _) => {
+        val b = p.substring(p.lastIndexOf('/') + 1)
+        verdicts.forall { case (bloomed, hits) =>
+          !bloomed.contains(b) || hits.contains(b)
+        }
+      }
+    }
     deleteWhereFiltered(spark, tableDir, _.filter(predicate),
-      prune = (st, a) => extractedKeep(st, ex, a))
+      prune = (st, p, a) => extractedKeep(st, ex, a) && bloomKeep(p, a))
   }
 
   /** Can file `a` hold a row matching the extracted conjuncts?
@@ -2051,26 +2284,54 @@ object DeltaLog {
     // scan to files whose stats can intersect [min,max] — a CDC
     // delete batch of one id range scans its files, not the table
     import org.apache.spark.sql.types.{IntegerType, LongType}
-    val prune: (State, AddFile) => Boolean =
-      keys.schema.fields.head.dataType match {
-        case LongType | IntegerType =>
-          val mm = k.agg(org.apache.spark.sql.functions
-              .min(col("_dw_key")).cast("long"),
-            org.apache.spark.sql.functions
-              .max(col("_dw_key")).cast("long")).collect().head
-          if (mm.isNullAt(0)) (_, _) => true
-          else {
-            val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-            (_, a) => a.longBounds.get(keyCol) match {
-              case Some((mn, mx)) => mn <= hi && mx >= lo
-              case None => true
-            }
+    val isLongKey = keys.schema.fields.head.dataType match {
+      case LongType | IntegerType => true
+      case _ => false
+    }
+    val rangePrune: (State, AddFile) => Boolean =
+      if (!isLongKey) (_, _) => true
+      else {
+        val mm = k.agg(org.apache.spark.sql.functions
+            .min(col("_dw_key")).cast("long"),
+          org.apache.spark.sql.functions
+            .max(col("_dw_key")).cast("long")).collect().head
+        if (mm.isNullAt(0)) (_, _) => true
+        else {
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          (_, a) => a.longBounds.get(keyCol) match {
+            case Some((mn, mx)) => mn <= hi && mx >= lo
+            case None => true
           }
-        case _ => (_, _) => true
+        }
+      }
+    // BLOOM pruning — the scattered-key case [min,max] is defeated
+    // by (a hash-distributed CDC delete batch spans every file's
+    // range): collect the distinct keys (bounded — a CDC batch is
+    // the broadcast-small side by construction; past the cap, skip)
+    // and keep only files whose bloom admits at least one key
+    val bloomKeep: (String, AddFile) => Boolean =
+      if (!isLongKey ||
+          partFiles(tableDir, BloomSidecarDir).isEmpty)
+        (_, _) => true
+      else {
+        val capped = k.limit(BloomProbeMaxKeys + 1)
+          .collect().map(r => r.get(0) match {
+            case l: Long => l
+            case i: Int => i.toLong
+          })
+        if (capped.length > BloomProbeMaxKeys) (_, _) => true
+        else bloomProbe(spark, tableDir, keyCol,
+            capped.toSeq) match {
+          case None => (_, _) => true
+          case Some((bloomed, hits)) => (p, _) => {
+            val b = p.substring(p.lastIndexOf('/') + 1)
+            !bloomed.contains(b) || hits.contains(b)
+          }
+        }
       }
     deleteWhereFiltered(spark, tableDir, d =>
       d.join(broadcast(k), d(keyCol) === k("_dw_key"), "left_semi"),
-      prune)
+      (st, p, a) => rangePrune(st, a) && bloomKeep(p, a))
   }
 
   /** Test seam: data files the last delete actually scanned — the
@@ -2079,7 +2340,8 @@ object DeltaLog {
 
   private def deleteWhereFiltered(spark: SparkSession, tableDir: String,
       matchRows: DataFrame => DataFrame,
-      prune: (State, AddFile) => Boolean = (_, _) => true): Long = {
+      prune: (State, String, AddFile) => Boolean = (_, _, _) => true)
+      : Long = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val st = replay(tableDir, vs.last)
@@ -2092,7 +2354,7 @@ object DeltaLog {
     // candidate files only — pruned files provably hold no match and
     // neither scan nor grow a deletion vector
     val candAdds: Map[String, AddFile] =
-      st.adds.filter { case (_, a) => prune(st, a) }
+      st.adds.filter { case (p, a) => prune(st, p, a) }
     lastDeleteFilesScanned = candAdds.size
     if (candAdds.isEmpty) return vs.last
     val existing: Map[String, DeletionVectors.Bitmap64] =
@@ -2828,6 +3090,57 @@ object DeltaLog {
       |    AS o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Session-cached BLOOM-SIDECAR fixture (q207): orders committed
+    * as 8 interleaved files (file i = keys ≡ i mod 8 — every file's
+    * [min,max] spans the whole key domain, so range pruning can
+    * prove NOTHING), `graft.bloomFilter.columns=o_orderkey` set
+    * after the first append ([[bloomBackfill]] covers it), then one
+    * scattered-key CDC delete (keys ≡ 3 mod 1000, which all live in
+    * file 3 since 1000 ≡ 0 mod 8). The builder `require`s the scan
+    * stayed ≪ total — the exact seam a hash-distributed delete
+    * batch needs at 100 TB, where min/max is always defeated. */
+  private[graft] def ordersBloomTable(spark: SparkSession,
+                                      dir: String): String =
+    cachedTable(spark, dir, "deltabloom") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitAppend(
+        o.filter(pmod(col("o_orderkey"), lit(8)) === 0).coalesce(1), t)
+      setTableProperties(t, Map(BloomColsProp -> "o_orderkey"))
+      (1 to 7).foreach(i => commitAppend(
+        o.filter(pmod(col("o_orderkey"), lit(8)) === i).coalesce(1), t))
+      require(bloomBackfill(spark, t) == 1,
+        "exactly the pre-property file needed a bloom backfill")
+      // a FIXED-size key batch (the 8 smallest ≡3-mod-1000 keys):
+      // bloom prune probability per file is (1−fpr)^K, so the gate
+      // must not let K grow with scale factor
+      deleteWhereKeys(spark, t, "o_orderkey",
+        o.filter(pmod(col("o_orderkey"), lit(1000)) === 3)
+          .orderBy(col("o_orderkey")).limit(8)
+          .select("o_orderkey"))
+      require(lastDeleteFilesScanned <= 2,
+        s"bloom probe should scan ~1 of 8 interleaved files, " +
+          s"scanned $lastDeleteFilesScanned — scattered-key pruning " +
+          "is off")
+    }
+
+  /** q207 — BLOOM-PRUNED SCATTERED-KEY DELETE: read back
+    * [[ordersBloomTable]]. Hash gate: exactly the 8 smallest
+    * ≡3-mod-1000 keys are gone (the bloom is a SUPERSET filter — a
+    * false negative would leave rows undeleted and hash-mismatch;
+    * over-pruning would delete nothing from unbloomed files). The
+    * in-fixture `require` pins files-scanned ≪ total on a key batch
+    * whose [min,max] covers every file. */
+  def deltaBloomDeleteRead(spark: SparkSession,
+                           dir: String): DataFrame =
+    read(spark, ordersBloomTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaBloomDeleteReadSql: String =
+    """SELECT * FROM orders WHERE o_orderkey NOT IN (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 = 3
+      |  ORDER BY o_orderkey LIMIT 8)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Session-cached CDC-WIRE source table (the q206 feed): v0 = full
     * orders (the initial snapshot), v1 = an APPEND of the update
     * batch (status-'F' %3 keys re-emitted with priority 'MERGED' —
@@ -3433,6 +3746,7 @@ object DeltaLog {
         partitionedAdds(spark, tableDir, sub, partCols,
           dataChange = true)
       }
+    maybeWriteBlooms(spark, tableDir, partFiles(tableDir, sub))
     // delta.enableChangeDataFeed=true: the row-level change file +
     // cdc action ride the SAME commit (update_preimage/postimage for
     // matched upsert keys, delete for tombstone matches, insert for

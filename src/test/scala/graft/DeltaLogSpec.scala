@@ -650,6 +650,47 @@ class DeltaLogSpec extends SparkSuite {
     assert(!got2.contains(11L) && got2.count(_ == 12L) == 1)
   }
 
+  test("bloom sidecar prunes scattered-key deletes where min/max cannot") {
+    val dir = Files.createTempDirectory("dlogbl").toString + "/t"
+    // 8 interleaved files: file i holds keys ≡ i (mod 8), so every
+    // file's [min,max] spans ~the whole domain and range pruning can
+    // prove nothing — the exact shape a hash-distributed CDC key
+    // batch meets at 100 TB
+    def slice(i: Long) = (0L until 100L).map(j => i + 8 * j)
+      .map(kk => (kk, s"s$kk")).toDF("k", "s").coalesce(1)
+    sources.DeltaLog.commitAppend(slice(0), dir)
+    sources.DeltaLog.setTableProperties(dir,
+      Map(sources.DeltaLog.BloomColsProp -> "k"))
+    (1L to 7L).foreach(i =>
+      sources.DeltaLog.commitAppend(slice(i), dir))
+    // file 0 predates the property — backfill blooms exactly it
+    assert(sources.DeltaLog.bloomBackfill(spark, dir) == 1)
+    assert(sources.DeltaLog.bloomBackfill(spark, dir) == 0)
+    // scattered keys 3 and 11 live in ONE file (i=3); the bloom
+    // probe must scan ~1 of 8 where min/max keeps all 8
+    sources.DeltaLog.deleteWhereKeys(spark, dir, "k",
+      Seq(3L, 11L).toDF("k"))
+    assert(sources.DeltaLog.lastDeleteFilesScanned <= 2,
+      s"bloom should prune to ~1 of 8 files, scanned " +
+        s"${sources.DeltaLog.lastDeleteFilesScanned}")
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(3L) && !got.contains(11L) &&
+      got.size == 798,
+      "bloom pruning must not change which rows delete")
+    // point-equality deleteWhere on the bloomed column prunes too
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") === 19L)
+    assert(sources.DeltaLog.lastDeleteFilesScanned <= 2,
+      s"eq-conjunct bloom probe: scanned " +
+        s"${sources.DeltaLog.lastDeleteFilesScanned}")
+    assert(sources.DeltaLog.read(spark, dir).count() == 797)
+    // a key NO file holds scans zero files and deletes nothing
+    sources.DeltaLog.deleteWhereKeys(spark, dir, "k",
+      Seq(123456789L).toDF("k"))
+    assert(sources.DeltaLog.lastDeleteFilesScanned == 0)
+    assert(sources.DeltaLog.read(spark, dir).count() == 797)
+  }
+
   test("mergeInto probe is STATS-BOUND: provably-missed files never scan") {
     val dir = Files.createTempDirectory("dlogmsb").toString + "/t"
     // four range-clustered files; the source's key [min,max] = [7,9]
