@@ -522,7 +522,13 @@ object SparkEntry {
     // 8 interleaved files where min/max proves nothing (in-fixture
     // require pins the scan bound)
     "q207_delta_bloom_delete"
-      -> (sources.DeltaLog.deltaBloomDeleteRead _)
+      -> (sources.DeltaLog.deltaBloomDeleteRead _),
+    // partitioned Iceberg CDF stream: inserts + pos-delete rows
+    // reconstruct manifest tuples, eq-delete rows carry partition
+    // key columns read from the delete file (round 12's refusal,
+    // now a feature)
+    "q208_iceberg_cdf_partitioned"
+      -> (streaming.IcebergCdfStreamQueries.icebergCdfPartitionedStream _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -769,6 +775,8 @@ object SparkEntry {
     "q206_delta_cdf_partitioned_silver"
       -> streaming.DeltaCdfStreamQueries.deltaCdfPartitionedSilverSql,
     "q207_delta_bloom_delete"
-      -> sources.DeltaLog.deltaBloomDeleteReadSql
+      -> sources.DeltaLog.deltaBloomDeleteReadSql,
+    "q208_iceberg_cdf_partitioned"
+      -> streaming.IcebergCdfStreamQueries.icebergCdfPartitionedStreamSql
   )
 }

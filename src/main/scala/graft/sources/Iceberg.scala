@@ -561,23 +561,11 @@ object Iceberg {
     }.toSeq
   }
 
-  /** The [[graft.streaming.IcebergCdfStreamSource]] scope guard:
-    * refuse PARTITIONED tables loudly at schema-inference time. The
-    * CDF stream's position-delete partitions carry only the
-    * `_change_type`/`_commit_version` constants — on an
-    * identity-partitioned table (whose data files may have dropped
-    * the partition columns) delete rows would silently null-fill
-    * their partition columns instead of refusing. */
-  private[graft] def requireUnpartitionedForCdfStream(
-      tableDir: String): Unit = {
-    val meta = loadMetadata(tableDir, currentVersion(tableDir))
-    require(partitionSpecOf(meta).isEmpty,
-      s"graft-iceberg-cdf streams UNPARTITIONED tables only — a " +
-        "partitioned table's delete rows cannot reconstruct their " +
-        "partition columns from the position-delete file; use the " +
-        "batch readIncremental / table-diff reads (the graft-iceberg " +
-        "APPEND stream does handle identity partitioning)")
-  }
+  // (round 13: the CDF stream's former partitioned-table refusal is
+  // gone — position-delete partitions now carry each data file's
+  // manifest partition tuple, and equality-delete rows carry
+  // partition columns whenever they are equality key columns — see
+  // [[cdfPlanBySnapshot]] / IcebergCdfStreamSource.)
 
   /** IDENTITY-partition column names — the only spec fields whose
     * tuple values can substitute for a column the data files dropped
@@ -1998,13 +1986,23 @@ object Iceberg {
     * `overwrite` snapshots still refuse loudly — they replace files
     * wholesale with no row-level attribution; the batch table-diff
     * reads cover them. */
+  /** One CDF-planned snapshot: appends carry their added data files;
+    * delete snapshots carry their new position/equality delete files
+    * plus `dataTuples` — every LIVE data file's identity partition
+    * tuple at that snapshot (empty on unpartitioned tables), so the
+    * pos-delete reader reconstructs partition columns for rows read
+    * out of hive-stripped data files. */
+  private[graft] case class CdfSnapshot(id: Long, op: String,
+      dataFiles: Seq[DeltaLog.StreamFile],
+      posDeleteFiles: Seq[String], eqDeleteFiles: Seq[String],
+      dataTuples: Map[String, Map[String, String]] = Map.empty)
+
   private[graft] def cdfPlanBySnapshot(tableDir: String,
-      fromExclusive: Long, to: Long)
-      : Seq[(Long, String, Seq[DeltaLog.StreamFile], Seq[String],
-          Seq[String])] = {
+      fromExclusive: Long, to: Long): Seq[CdfSnapshot] = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     val snaps = meta.get("snapshots").elements().asScala.toSeq
     val ancestry = mainAncestry(meta)
+    val partitioned = partitionColsOf(meta).nonEmpty
     snaps
       .filter { s =>
         val id = s.get("snapshot-id").asLong
@@ -2024,8 +2022,8 @@ object Iceberg {
           if (rawOp == "overwrite" && isCreation) "append" else rawOp
         op match {
           case "append" =>
-            (id, op, addedDataFiles(s, id), Seq.empty[String],
-              Seq.empty[String])
+            CdfSnapshot(id, op, addedDataFiles(s, id), Seq.empty,
+              Seq.empty)
           case "delete" =>
             val entries = readAvro(s.get("manifest-list").asText)
               .filter(r => fieldOpt(r, "added_snapshot_id")
@@ -2045,9 +2043,40 @@ object Iceberg {
                   (content, stripFileUri(df.get("file_path").toString))
                 }
               }
-            (id, op, Seq.empty[DeltaLog.StreamFile],
+            // identity-partitioned tables: the delete rows read OUT
+            // of hive-stripped data files need each file's manifest
+            // partition tuple — one walk of the snapshot's DATA
+            // manifests (same metadata class as planning itself)
+            val tuples: Map[String, Map[String, String]] =
+              if (!partitioned) Map.empty
+              else readAvro(s.get("manifest-list").asText)
+                .filter(r => fieldOpt(r, "content")
+                  .map(_.asInstanceOf[Int]).getOrElse(0) == 0)
+                .map(_.get("manifest_path").toString)
+                .flatMap { m =>
+                  readAvro(m).flatMap { e =>
+                    if (e.get("status").asInstanceOf[Int] == 2) None
+                    else {
+                      val df =
+                        e.get("data_file").asInstanceOf[GenericRecord]
+                      val pv = fieldOpt(df, "partition") match {
+                        case Some(rec: GenericRecord) =>
+                          rec.getSchema.getFields.asScala.map { f =>
+                            f.name -> (rec.get(f.name) match {
+                              case null => null
+                              case v => v.toString
+                            })
+                          }.toMap
+                        case _ => Map.empty[String, String]
+                      }
+                      Some(stripFileUri(
+                        df.get("file_path").toString) -> pv)
+                    }
+                  }
+                }.toMap
+            CdfSnapshot(id, op, Seq.empty,
               entries.collect { case (1, p) => p },
-              entries.collect { case (2, p) => p })
+              entries.collect { case (2, p) => p }, tuples)
           case other => throw new IllegalArgumentException(
             s"snapshot $id of $tableDir is $other — the CDF stream " +
               "expresses appends and row-level deletes; an overwrite " +
@@ -3266,6 +3295,23 @@ object Iceberg {
     commitAppend(updates, tableDir)
   }
 
+  /** [[upsert]] against an IDENTITY-PARTITIONED table: the append
+    * half declares the table's spec (each new file's manifest entry
+    * carries its partition tuple); the equality-delete half is
+    * partition-independent (value-matched, sequence-scoped — the
+    * spec's global equality delete). When the partition columns are
+    * part of `keyCols` — the usual CDC-table shape (partition key ⊆
+    * primary key) — the delete file itself carries the partition
+    * values, so CDF consumers see partitioned delete rows. */
+  def upsertPartitioned(spark: SparkSession, tableDir: String,
+                        updates: DataFrame, keyCols: Seq[String],
+                        partCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    deleteWhereEquality(spark, tableDir,
+      updates.select(keyCols.map(col): _*))
+    commitAppendPartitioned(updates, tableDir, partCols)
+  }
+
   /** Session-cached UPSERT lifecycle table: full orders, then one
     * [[upsert]] batch rewriting every third key's priority to
     * 'MERGED' — two metadata snapshots, zero data files rewritten. */
@@ -3302,6 +3348,27 @@ object Iceberg {
         o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
           .withColumn("o_orderpriority", lit("MERGED2")),
         Seq("o_orderkey"))
+    }
+
+  /** Session-cached PARTITIONED upsert lifecycle table (the q208
+    * fixture): full orders committed IDENTITY-PARTITIONED by
+    * o_orderstatus (data files hive-stripped — the tuple substitutes
+    * on read), then one [[upsertPartitioned]] keyed (o_orderkey,
+    * o_orderstatus) rewriting status-'F' %3 keys' priority to
+    * 'MERGED' — partition key ⊆ primary key, the usual CDC-table
+    * shape, so the equality-delete file itself carries the partition
+    * values. Three snapshots: creation, equality delete, partitioned
+    * append. */
+  private[graft] def ordersIcebergPartUpsertTable(spark: SparkSession,
+                                                  dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergpups") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwritePartitioned(o, t, Seq("o_orderstatus"))
+      upsertPartitioned(spark, t,
+        o.filter(col("o_orderstatus") === "F" &&
+            pmod(col("o_orderkey"), lit(3)) === 0)
+          .withColumn("o_orderpriority", lit("MERGED")),
+        Seq("o_orderkey", "o_orderstatus"), Seq("o_orderstatus"))
     }
 
   /** q174 — ICEBERG CDC UPSERT READBACK: every third key must carry

@@ -58,6 +58,39 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
       "exactly the new snapshot's delete — nothing redelivered")
   }
 
+  test("partitioned tables stream deletes with partition values reconstructed") {
+    val work = Files.createTempDirectory("icdfpart").toString
+    val dir = s"$work/t"
+    // identity-partitioned, hive-stripped data files: 'p' exists
+    // ONLY in the manifest tuples
+    sources.Iceberg.commitAppendPartitioned(
+      Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("k", "p"),
+      dir, Seq("p")) // snap 1
+    // POS-delete across both partitions: the delete rows are read
+    // out of the stripped data files — partition values must come
+    // from the per-file manifest tuples threaded into the partition
+    sources.Iceberg.deleteWhere(spark, dir,
+      pmod(col("k"), lit(2L)) === 0) // snap 2: 2(a), 4(b) die
+    // EQUALITY-delete keyed (k, p) — partition key ⊆ primary key:
+    // the delete file itself carries p
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq((3L, "b")).toDF("k", "p")) // snap 3
+    drainTo(dir, s"$work/out", s"$work/ckpt")
+    val got = spark.read.parquet(s"$work/out")
+      .select("k", "p", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(t => (t._4, t._1)).toSeq
+    val want = Seq(
+      (1L, "a", "insert", 1L), (2L, "a", "insert", 1L),
+      (3L, "b", "insert", 1L), (4L, "b", "insert", 1L),
+      (2L, "a", "delete", 2L), (4L, "b", "delete", 2L),
+      (3L, "b", "delete", 3L))
+    assert(got == want,
+      s"every arm must carry its partition value: $got")
+  }
+
   test("equality deletes stream as key rows; overwrites still refuse") {
     val work = Files.createTempDirectory("icdf2").toString
     val dir = s"$work/t"
