@@ -528,7 +528,14 @@ object SparkEntry {
     // key columns read from the delete file (round 12's refusal,
     // now a feature)
     "q208_iceberg_cdf_partitioned"
-      -> (streaming.IcebergCdfStreamQueries.icebergCdfPartitionedStream _)
+      -> (streaming.IcebergCdfStreamQueries.icebergCdfPartitionedStream _),
+    // true-overwrite snapshots stream as their file-set semantics —
+    // a RESTORE / dataChange compaction no longer kills a CDF
+    // consumer (removed-side rows masked by prior deletes)
+    "q209_delta_cdf_overwrite"
+      -> (streaming.DeltaCdfStreamQueries.deltaCdfOverwriteStream _),
+    "q210_iceberg_cdf_overwrite"
+      -> (streaming.IcebergCdfStreamQueries.icebergCdfOverwriteStream _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -777,6 +784,10 @@ object SparkEntry {
     "q207_delta_bloom_delete"
       -> sources.DeltaLog.deltaBloomDeleteReadSql,
     "q208_iceberg_cdf_partitioned"
-      -> streaming.IcebergCdfStreamQueries.icebergCdfPartitionedStreamSql
+      -> streaming.IcebergCdfStreamQueries.icebergCdfPartitionedStreamSql,
+    "q209_delta_cdf_overwrite"
+      -> streaming.DeltaCdfStreamQueries.deltaCdfOverwriteStreamSql,
+    "q210_iceberg_cdf_overwrite"
+      -> streaming.IcebergCdfStreamQueries.icebergCdfOverwriteStreamSql
   )
 }

@@ -1991,14 +1991,24 @@ object Iceberg {
     * plus `dataTuples` — every LIVE data file's identity partition
     * tuple at that snapshot (empty on unpartitioned tables), so the
     * pos-delete reader reconstructs partition columns for rows read
-    * out of hive-stripped data files. */
+    * out of hive-stripped data files. A TRUE (non-creation)
+    * `overwrite` snapshot decomposes into file-set diffs against its
+    * parent: `removedFiles` stream their LIVE rows as deletes (rows
+    * already masked by the parent's position deletes —
+    * `removedMaskFiles` — stay silent) and `dataFiles` carries the
+    * added side as inserts — the batch table-diff read's algebra,
+    * now streamable, so a RESTORE or a dataChange compaction in the
+    * history no longer kills a long-running CDF consumer. */
   private[graft] case class CdfSnapshot(id: Long, op: String,
       dataFiles: Seq[DeltaLog.StreamFile],
       posDeleteFiles: Seq[String], eqDeleteFiles: Seq[String],
-      dataTuples: Map[String, Map[String, String]] = Map.empty)
+      dataTuples: Map[String, Map[String, String]] = Map.empty,
+      removedFiles: Seq[DeltaLog.StreamFile] = Seq.empty,
+      removedMaskFiles: Seq[String] = Seq.empty)
 
   private[graft] def cdfPlanBySnapshot(tableDir: String,
-      fromExclusive: Long, to: Long): Seq[CdfSnapshot] = {
+      fromExclusive: Long, to: Long,
+      skipOverwriteSnapshots: Boolean = false): Seq[CdfSnapshot] = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     val snaps = meta.get("snapshots").elements().asScala.toSeq
     val ancestry = mainAncestry(meta)
@@ -2077,10 +2087,45 @@ object Iceberg {
             CdfSnapshot(id, op, Seq.empty,
               entries.collect { case (1, p) => p },
               entries.collect { case (2, p) => p }, tuples)
+          case "overwrite" if skipOverwriteSnapshots =>
+            // Iceberg's own streaming-skip-overwrite-snapshots: the
+            // consumer opted out of file-replacement semantics
+            CdfSnapshot(id, "overwrite", Seq.empty, Seq.empty,
+              Seq.empty)
+          case "overwrite" =>
+            // TRUE overwrite: diff the live file sets against the
+            // parent (pure metadata — two manifest walks). Removed
+            // files stream their live rows as deletes, masked by the
+            // PARENT's position deletes so already-dead rows stay
+            // silent; added files stream as inserts. Equality
+            // deletes in the parent state have no per-file targeting
+            // to invert — that combination refuses to the batch
+            // table-diff reads.
+            val parentId = s.get("parent-snapshot-id").asLong
+            val parent = planFilesAll(tableDir, meta, parentId)
+            val cur = planFilesAll(tableDir, meta, id)
+            require(parent.eqDeletes.isEmpty,
+              s"snapshot $id of $tableDir overwrites a state with " +
+                "EQUALITY deletes — their value-matched masking " +
+                "cannot be inverted per removed file; use the batch " +
+                "table-diff reads (or skipOverwriteSnapshots)")
+            def strip(p: String) = stripFileUri(p)
+            val curPaths = cur.data.map(f => strip(f.path)).toSet
+            val parentPaths = parent.data.map(f => strip(f.path)).toSet
+            def asStream(f: PlannedFile) = DeltaLog.StreamFile(
+              strip(f.path), f.partition, 0L)
+            CdfSnapshot(id, "overwrite",
+              cur.data.filterNot(f => parentPaths.contains(strip(f.path)))
+                .map(asStream),
+              Seq.empty, Seq.empty, Map.empty,
+              removedFiles = parent.data
+                .filterNot(f => curPaths.contains(strip(f.path)))
+                .map(asStream),
+              removedMaskFiles = parent.deleteFiles.map(strip))
           case other => throw new IllegalArgumentException(
             s"snapshot $id of $tableDir is $other — the CDF stream " +
-              "expresses appends and row-level deletes; an overwrite " +
-              "replaces files wholesale and has no row-level " +
+              "expresses appends, row-level deletes, and overwrite " +
+              "file-set diffs; nothing else has row-level " +
               "attribution here (use the batch table-diff reads)")
         }
       }
@@ -3369,6 +3414,22 @@ object Iceberg {
             pmod(col("o_orderkey"), lit(3)) === 0)
           .withColumn("o_orderpriority", lit("MERGED")),
         Seq("o_orderkey", "o_orderstatus"), Seq("o_orderstatus"))
+    }
+
+  /** Session-cached OVERWRITE-lifecycle table (the q210 fixture):
+    * evens at snapshot 1, position-delete of every tenth key at
+    * snapshot 2, then a TRUE OVERWRITE with the odds at snapshot 3 —
+    * the history shape a RESTORE or dataChange compaction leaves
+    * behind, which the CDF stream must express as a masked file-set
+    * diff. */
+  private[graft] def ordersIcebergOverwriteCdfTable(
+      spark: SparkSession, dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergowcdf") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(10)) === 0)
+      commitOverwrite(o.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+        t): Unit
     }
 
   /** q174 — ICEBERG CDC UPSERT READBACK: every third key must carry

@@ -375,4 +375,45 @@ object DeltaCdfStreamQueries {
       |    AS o_orderpriority
       |FROM orders WHERE o_orderkey % 10 <> 0
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q209 — TRUE OVERWRITE THROUGH THE DELTA CDF STREAM: the
+    * two-commit lifecycle table (v0 = even keys; v1 = OVERWRITE with
+    * the odds) drains verbatim. The overwrite must stream as its
+    * file-set semantics — every v0 row deleted AND every odd row
+    * inserted, both at commit 1 — the reason a RESTORE or a
+    * dataChange compaction in the history cannot kill a long-running
+    * CDF consumer. A source that refused the overwrite dies; one
+    * that emitted only the adds misses the deletes; one that leaked
+    * v0's files again floods inserts — all hash-mismatch. */
+  def deltaCdfOverwriteStream(spark: org.apache.spark.sql.SparkSession,
+                              dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = DeltaLog.ordersDeltaTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_dcdfo").toString
+    spark.readStream.format("graft-delta-cdf").option("path", t)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/data")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    spark.read.parquet(s"$work/data")
+      .orderBy(col("o_orderkey"), col("_commit_version"),
+        col("_change_type"))
+  }
+
+  val deltaCdfOverwriteStreamSql: String =
+    """SELECT * FROM (
+      |  SELECT o.*, 'insert' AS _change_type,
+      |         CAST(0 AS BIGINT) AS _commit_version FROM orders o
+      |  WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o.*, 'delete', CAST(1 AS BIGINT) FROM orders o
+      |  WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o.*, 'insert', CAST(1 AS BIGINT) FROM orders o
+      |  WHERE o_orderkey % 2 = 1
+      |) ORDER BY o_orderkey, _commit_version, _change_type""".stripMargin
 }

@@ -39,9 +39,16 @@ import graft.sources.Iceberg
   *    so the reader is the plain row path with name-resolution
   *    null-fill — O(keys) read and output, no data file touched. A
   *    MERGE / delete-by-key sink (q202) converges on exactly these;
-  *  - `overwrite` snapshots refuse loudly with a pointer at the
-  *    batch table-diff reads — they replace files wholesale, with no
-  *    row-level attribution.
+  *  - a TRUE (non-creation) `overwrite` snapshot streams as its
+  *    FILE-SET DIFF against the parent: removed files' LIVE rows as
+  *    `delete` (rows the parent's position deletes had already
+  *    masked stay silent), added files as `insert` — the batch
+  *    table-diff algebra, so a RESTORE or dataChange compaction in
+  *    the history no longer kills a long-running consumer.
+  *    `skipOverwriteSnapshots=true` (Iceberg's own option name)
+  *    skips such snapshots whole; a parent state carrying EQUALITY
+  *    deletes refuses to the batch table-diff reads (their
+  *    value-matched masking cannot be inverted per removed file).
   *
   * Offsets are snapshot ids (the append source's rule); WAP-staged
   * branch and rolled-back snapshots never stream (main-ancestry
@@ -124,7 +131,8 @@ private class IcebergCdfStreamScan(schema: StructType,
         case None => 0L
       },
       options.getLong("maxSnapshotsPerTrigger", Long.MaxValue),
-      options.getBoolean("vectorizedRead", true))
+      options.getBoolean("vectorizedRead", true),
+      options.getBoolean("skipOverwriteSnapshots", false))
 }
 
 /** One delete snapshot's worth of row-level deletes: the executor
@@ -141,11 +149,23 @@ private case class IcebergPosDeletePartition(deleteFile: String,
     fileTuples: Map[String, Map[String, String]] = Map.empty)
     extends InputPartition
 
+/** One REMOVED data file of a true-overwrite snapshot: the executor
+  * streams its LIVE rows as deletes — every row EXCEPT the positions
+  * the parent snapshot's position-delete files (`maskFiles`) list
+  * for it (those rows were already dead; emitting them would
+  * double-delete downstream). The inverse keep-filter of
+  * [[IcebergPosDeletePartition]]. */
+private case class IcebergRemovedFilePartition(dataFile: String,
+    maskFiles: Seq[String], constants: Map[String, String])
+    extends InputPartition
+
 private class IcebergCdfMicroBatchStream(schema: StructType,
                                          tableDir: String,
                                          startingSnapshotId: Long,
                                          maxSnapshotsPerTrigger: Long,
-                                         vectorizedRead: Boolean = true)
+                                         vectorizedRead: Boolean = true,
+                                         skipOverwriteSnapshots:
+                                           Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val startSig = IcebergStreamSource.schemaSig(tableDir)
@@ -189,7 +209,8 @@ private class IcebergCdfMicroBatchStream(schema: StructType,
     IcebergStreamSource.requireUnchangedSchema(tableDir, startSig)
     val from = start.asInstanceOf[SnapshotOffset].snapshotId
     val to = end.asInstanceOf[SnapshotOffset].snapshotId
-    Iceberg.cdfPlanBySnapshot(tableDir, from, to).flatMap { snap =>
+    Iceberg.cdfPlanBySnapshot(tableDir, from, to,
+      skipOverwriteSnapshots).flatMap { snap =>
       val insertConsts = Map(
         "_change_type" -> "insert",
         "_commit_version" -> snap.id.toString)
@@ -213,7 +234,12 @@ private class IcebergCdfMicroBatchStream(schema: StructType,
         // (the identity-partitioned CDC-table shape); otherwise they
         // null-fill like any non-key column.
         snap.eqDeleteFiles.map(d => DeltaFilePartition(
-          d, deleteConsts): InputPartition)
+          d, deleteConsts): InputPartition) ++
+        // a true overwrite's REMOVED side: live rows stream as
+        // deletes, masked by the parent's position deletes
+        snap.removedFiles.map(f => IcebergRemovedFilePartition(
+          f.path, snap.removedMaskFiles,
+          f.partitionValues ++ deleteConsts): InputPartition)
     }.toArray
   }
 
@@ -254,7 +280,7 @@ private class IcebergCdfReaderFactory(schemaJson: String,
         RowReadSupport.lastReadPath = "columnar"
         val schema =
           DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        val files = posDeleteTargets(p)
+        val files = posDeleteTargets(p.deleteFile)
         // one filtered VECTORIZED reader per named data file, chained
         new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
           private var fileIdx = -1
@@ -291,6 +317,17 @@ private class IcebergCdfReaderFactory(schemaJson: String,
           override def close(): Unit =
             if (cur != null) cur.close()
         }
+      case p: IcebergRemovedFilePartition =>
+        RowReadSupport.lastReadPath = "columnar"
+        val schema =
+          DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val skip = maskPositions(p.dataFile, p.maskFiles)
+        val (reader, order) =
+          delegate.openVectorized(p.dataFile, p.constants, schema)
+        // the INVERSE keep-filter of the pos-delete reader: live
+        // rows only
+        RowReadSupport.filteredColumnarReader(reader, schema, order,
+          pos => java.util.Arrays.binarySearch(skip, pos) < 0)
       case other => throw new IllegalArgumentException(
         s"unexpected partition $other")
     }
@@ -299,19 +336,64 @@ private class IcebergCdfReaderFactory(schemaJson: String,
       : PartitionReader[InternalRow] = partition match {
     case _: DeltaFilePartition => delegate.createReader(partition)
     case p: IcebergPosDeletePartition => posDeleteReader(p)
+    case p: IcebergRemovedFilePartition => removedFileReader(p)
     case other => throw new IllegalArgumentException(
       s"unexpected partition $other")
   }
 
-  /** Phase 1 (small): the delete file's (file_path, pos) pairs,
+  /** Row-path removed-file reader: walk `dataFile` emitting every
+    * row whose position is NOT masked by the parent's position
+    * deletes. */
+  private def removedFileReader(p: IcebergRemovedFilePartition)
+      : PartitionReader[InternalRow] = {
+    RowReadSupport.lastReadPath = "row"
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val consts: Map[String, Any] = schema.fields.flatMap { f =>
+      p.constants.get(f.name)
+        .map(s => f.name -> decodeConstant(s, f.dataType, f.name))
+    }.toMap
+    val skip = maskPositions(p.dataFile, p.maskFiles)
+    new PartitionReader[InternalRow] {
+      private val reader = ParquetReader.builder(
+        new GroupReadSupport(), new Path(p.dataFile)).build()
+      private var res: Array[FieldRes] = _
+      private var rowPos = -1L
+      private var current: org.apache.parquet.example.data.Group = _
+
+      override def next(): Boolean = {
+        while (true) {
+          current = reader.read()
+          if (current == null) return false
+          rowPos += 1
+          if (java.util.Arrays.binarySearch(skip, rowPos) < 0)
+            return true
+        }
+        false
+      }
+
+      override def get(): InternalRow = {
+        val ft = current.getType
+        if (res == null) res = resolve(schema.fields, ft, fieldIds)
+        new GenericInternalRow(res.map { r =>
+          if (consts.contains(r.f.name)) consts(r.f.name)
+          else value(current, ft, r)
+        }: Array[Any])
+      }
+
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  /** Phase 1 (small): a delete file's (file_path, pos) pairs,
     * grouped per data file in order, positions sorted — shared by the
-    * row and columnar pos-delete readers. */
-  private def posDeleteTargets(p: IcebergPosDeletePartition)
+    * row and columnar pos-delete readers and by the removed-file
+    * readers' mask build. */
+  private def posDeleteTargets(deleteFile: String)
       : Seq[(String, Array[Long])] = {
     val byFile = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
     val dr = ParquetReader.builder(new GroupReadSupport(),
-      new Path(p.deleteFile)).build()
+      new Path(deleteFile)).build()
     try {
       var g = dr.read()
       while (g != null) {
@@ -326,6 +408,15 @@ private class IcebergCdfReaderFactory(schemaJson: String,
     } finally dr.close()
     byFile.toSeq.map { case (f, ps) => (f, ps.toArray.sorted) }
   }
+
+  /** The positions `maskFiles` list for `dataFile` — the rows a
+    * removed-file partition must NOT emit (already dead at the
+    * parent snapshot). */
+  private def maskPositions(dataFile: String,
+                            maskFiles: Seq[String]): Array[Long] =
+    maskFiles.flatMap(posDeleteTargets(_))
+      .filter(_._1 == dataFile)
+      .flatMap(_._2).distinct.sorted.toArray
 
   private def posDeleteReader(p: IcebergPosDeletePartition)
       : PartitionReader[InternalRow] = {
@@ -342,7 +433,7 @@ private class IcebergCdfReaderFactory(schemaJson: String,
     // Array positions: the per-row `positions(posIdx)` probe in the
     // phase-2 walk must be O(1) — a linked Seq here turns a 150k-row
     // file walk into O(rows x positions) pointer chasing
-    val files: Seq[(String, Array[Long])] = posDeleteTargets(p)
+    val files: Seq[(String, Array[Long])] = posDeleteTargets(p.deleteFile)
     // phase 2: walk each named data file, emitting the listed
     // positions (sorted — one forward pass, early-stop at the last)
     new PartitionReader[InternalRow] {
@@ -562,4 +653,48 @@ object IcebergCdfStreamQueries {
       |         o_orderdate, 'MERGED', 'insert', CAST(3 AS BIGINT)
       |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
       |) ORDER BY o_orderkey, _commit_version""".stripMargin
+
+  /** q210 — TRUE OVERWRITE THROUGH THE ICEBERG CDF STREAM (the
+    * formerly-refused arc): evens created at snapshot 1, every tenth
+    * key position-deleted at snapshot 2, then a TRUE OVERWRITE with
+    * the odds at snapshot 3. The overwrite must stream as its
+    * file-set diff against the parent — removed files' LIVE rows as
+    * deletes (the tenths died at snapshot 2 and must stay SILENT: an
+    * unmasked emission double-deletes them downstream) plus the odd
+    * rows as inserts. This is the RESTORE / dataChange-compaction
+    * survival path for a long-running CDF consumer. */
+  def icebergCdfOverwriteStream(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = Iceberg.ordersIcebergOverwriteCdfTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_icdfow").toString
+    spark.readStream.format("graft-iceberg-cdf").option("path", t)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/data")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    spark.read.parquet(s"$work/data")
+      .orderBy(col("o_orderkey"), col("_commit_version"),
+        col("_change_type"))
+  }
+
+  val icebergCdfOverwriteStreamSql: String =
+    """SELECT * FROM (
+      |  SELECT o.*, 'insert' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version FROM orders o
+      |  WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o.*, 'delete', CAST(2 AS BIGINT) FROM orders o
+      |  WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o.*, 'delete', CAST(3 AS BIGINT) FROM orders o
+      |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT o.*, 'insert', CAST(3 AS BIGINT) FROM orders o
+      |  WHERE o_orderkey % 2 = 1
+      |) ORDER BY o_orderkey, _commit_version, _change_type""".stripMargin
 }

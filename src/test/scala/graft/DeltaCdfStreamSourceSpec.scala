@@ -85,6 +85,24 @@ class DeltaCdfStreamSourceSpec extends SparkSuite {
       "rows already masked by the file's DV stay silent in its removal")
   }
 
+  test("RESTORE streams as deletes of current + re-inserts of old files") {
+    val work = Files.createTempDirectory("cdfstream2r").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitOverwrite(
+      (1L to 5L).map(i => (i, s"s$i")).toDF("k", "s"), dir) // v0
+    sources.DeltaLog.commitOverwrite(
+      (6L to 8L).map(i => (i, s"s$i")).toDF("k", "s"), dir) // v1
+    sources.DeltaLog.restore(dir, 0L) // v2: re-adds v0's files
+    drainTo(dir, s"$work/out", s"$work/ckpt")
+    val v2 = spark.read.parquet(s"$work/out")
+      .filter(col("_commit_version") === 2L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+      .sortBy(t => (t._2, t._1))
+    assert(v2 == Seq(6L, 7L, 8L).map(k => (k, "delete")) ++
+      (1L to 5L).map(k => (k, "insert")),
+      s"a RESTORE in the history must stream as its file-set diff: $v2")
+  }
+
   test("q199 shape: sink replay after a planted crash converges") {
     val work = Files.createTempDirectory("cdfstream3").toString
     val dir = s"$work/t"

@@ -91,7 +91,60 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
       s"every arm must carry its partition value: $got")
   }
 
-  test("equality deletes stream as key rows; overwrites still refuse") {
+  test("true overwrite streams as masked file-set diff; escape hatch skips") {
+    val work = Files.createTempDirectory("icdfow").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitOverwrite(
+      (1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), dir) // snap 1
+    sources.Iceberg.deleteWhere(spark, dir,
+      pmod(col("k"), lit(2L)) === 0) // snap 2: evens die (pos delete)
+    sources.Iceberg.commitOverwrite(
+      (21L to 22L).map(i => (i, s"s$i")).toDF("k", "s"), dir) // snap 3
+    drainTo(dir, s"$work/out", s"$work/ckpt")
+    val got = spark.read.parquet(s"$work/out")
+      .select("k", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._2, t._1)).toSeq
+    val want =
+      (1L to 10L).map(k => (k, "insert", 1L)) ++
+        Seq(2L, 4L, 6L, 8L, 10L).map(k => (k, "delete", 2L)) ++
+        // the overwrite's removed side: LIVE rows only — the evens
+        // died at snap 2 and must NOT re-emit (double delete)
+        Seq(1L, 3L, 5L, 7L, 9L).map(k => (k, "delete", 3L)) ++
+        Seq(21L, 22L).map(k => (k, "insert", 3L))
+    assert(got == want,
+      s"overwrite must stream as the masked file-set diff: $got")
+    // the escape hatch: skipOverwriteSnapshots drops snapshot 3 whole
+    val q = spark.readStream.format("graft-iceberg-cdf")
+      .option("path", dir).option("skipOverwriteSnapshots", "true")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/out2")
+      .option("checkpointLocation", s"$work/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$work/out2")
+      .filter(col("_commit_version") === 3L).count() == 0,
+      "skipOverwriteSnapshots must drop the overwrite snapshot whole")
+    // a parent state carrying EQUALITY deletes refuses (their
+    // value-matched masking cannot be inverted per removed file)
+    val dir2 = s"$work/t2"
+    sources.Iceberg.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir2)
+    sources.Iceberg.deleteWhereEquality(spark, dir2, Seq(1L).toDF("k"))
+    sources.Iceberg.commitOverwrite(
+      Seq((9L, "z")).toDF("k", "s"), dir2)
+    val ex = intercept[Exception] {
+      drainTo(dir2, s"$work/out3", s"$work/ckpt3")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("EQUALITY deletes")),
+      s"expected the equality-delete refusal, got: ${messages(ex)}")
+  }
+
+  test("equality deletes stream as key rows; overwrite diffs append-only history") {
     val work = Files.createTempDirectory("icdf2").toString
     val dir = s"$work/t"
     sources.Iceberg.commitAppend(
@@ -108,17 +161,18 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
     assert(got.head.getAs[String]("st") == "P")
     assert(got.head.isNullAt(got.head.fieldIndex("k")),
       "non-key columns of an equality delete must be NULL")
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // a true overwrite over a plain append history streams as its
+    // file-set diff (round 13 — formerly a refusal)
     val dir2 = s"$work/t2"
     sources.Iceberg.commitAppend(Seq((1L, "a")).toDF("k", "s"), dir2)
     sources.Iceberg.commitOverwrite(Seq((9L, "z")).toDF("k", "s"), dir2)
-    val e2 = intercept[Exception] {
-      drainTo(dir2, s"$work/out2", s"$work/ckpt2")
-    }
-    assert(messages(e2).exists(m => m.contains("overwrite") &&
-      m.contains("table-diff")), s"got ${messages(e2)}")
+    drainTo(dir2, s"$work/out2", s"$work/ckpt2")
+    val got2 = spark.read.parquet(s"$work/out2")
+      .select("k", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    assert(got2 == Seq((1L, "insert", 1L), (1L, "delete", 2L),
+      (9L, "insert", 2L)), s"got $got2")
   }
 
   test("stacked upserts + restart: the q202 MERGE sink converges") {
