@@ -221,6 +221,32 @@ class InteropRoundTripSpec extends SparkSuite {
       s"foreign CDF read $foreignChanges != ours $ourChanges")
     assert(foreignChanges.map(_._3) ==
       Set("update_preimage", "update_postimage", "insert"))
+
+    // (3) the STREAMING arc over the same log: graft-delta-cdf —
+    // planning across the multi-part checkpoint + property commit +
+    // cdc-action MERGE — must agree with the batch readChanges
+    // row-for-row over the full history
+    val out = Files.createTempDirectory("interop2s").toString
+    val q = spark.readStream.format("graft-delta-cdf")
+      .option("path", dir).load()
+      .writeStream.format("parquet")
+      .option("path", s"$out/sink")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$out/sink")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+        r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))).toSet
+    val batchAll = sources.DeltaLog.readChanges(spark, dir, 0L,
+        sources.DeltaLog.versions(dir).last)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+        r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(streamed == batchAll,
+      "the CDF stream must replay the checkpointed cdc history " +
+        "exactly as the batch reader")
   }
 
   test("Iceberg foreign replay: snapshot-log publishes only, ids survive rename") {
