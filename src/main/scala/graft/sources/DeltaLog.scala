@@ -2129,6 +2129,34 @@ object DeltaLog {
     else Some(spark.read.parquet(parts.map(_.getPath): _*))
   }
 
+  /** Sidecar maintenance, [[vacuum]]'s companion: rewrite the bloom
+    * manifest keeping only LIVE files' rows (every commit appends a
+    * sidecar part; rows for files later removed/compacted/merged are
+    * garbage that grows with table churn — harmless for correctness,
+    * metadata bloat at 100 TB lifetimes). Stage-then-swap: the new
+    * manifest lands first, the old parts are deleted after, so a
+    * concurrent probe sees a superset at worst. Returns rows
+    * dropped. */
+  def bloomCompact(spark: SparkSession, tableDir: String): Long = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val oldParts = partFiles(tableDir, BloomSidecarDir)
+    if (oldParts.isEmpty) return 0L
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val live = replay(tableDir, vs.last).files.map(base)
+    val m = spark.read.parquet(oldParts.map(_.getPath): _*)
+    val total = m.count()
+    val kept = m.filter(col("file")
+      .isin(live.map(x => x: Any): _*))
+    val keptN = kept.count()
+    if (keptN < total) {
+      kept.coalesce(1).write.parquet(s"$tableDir/$BloomSidecarDir/" +
+        s"bloom-${java.util.UUID.randomUUID}")
+      oldParts.foreach(f => Files.deleteIfExists(f.toPath): Unit)
+    }
+    total - keptN
+  }
+
   /** Probe cap: a delete batch larger than this skips the bloom path
     * (its keys are collected to build the probe rows; past ~100k the
     * batch likely touches most files anyway and min/max or partition
@@ -3669,7 +3697,35 @@ object DeltaLog {
           }
         }
       }
-    lastMergeFilesScanned = candidates.size
+    // BLOOM BOUND: when any merge key is a bloomed column, the
+    // sidecar probe drops candidates no source key can hit —
+    // probing ONE key column is sound for composite keys (a file
+    // must hold that key's value for any all-keys match), and it is
+    // what rescues a SCATTERED-key CDC upsert batch that min/max
+    // cannot bound (the deleteWhereKeys discipline, on the probe)
+    val candidatesB: Map[String, AddFile] = {
+      val bloomedKey = bloomColsOf(st).find(keys.contains)
+      if (candidates.isEmpty || bloomedKey.isEmpty ||
+          partFiles(tableDir, BloomSidecarDir).isEmpty) candidates
+      else {
+        val c = bloomedKey.get
+        val vals = keyDf.select(col(c)).distinct()
+          .limit(BloomProbeMaxKeys + 1).collect()
+          .flatMap(r => Option(r.get(0)).map {
+            case l: Long => l
+            case i: Int => i.toLong
+          })
+        if (vals.length > BloomProbeMaxKeys) candidates
+        else bloomProbe(spark, tableDir, c, vals.toSeq) match {
+          case None => candidates
+          case Some((bl, hits)) => candidates.filter { case (p, _) =>
+            val b = p.substring(p.lastIndexOf('/') + 1)
+            !bl.contains(b) || hits.contains(b)
+          }
+        }
+      }
+    }
+    lastMergeFilesScanned = candidatesB.size
     // merge-on-read mask shared by the probe and the rewrite scans
     val existing: Map[String, DeletionVectors.Bitmap64] =
       st.adds.collect {
@@ -3704,8 +3760,8 @@ object DeltaLog {
     // the pruning probe: which files hold a matched key? Collects
     // O(touched files) file names, never rows.
     val touched: Seq[String] =
-      if (candidates.isEmpty) Seq.empty
-      else scanWithId(candidates)
+      if (candidatesB.isEmpty) Seq.empty
+      else scanWithId(candidatesB)
         .join(keyDf, keys, "left_semi")
         .select(col("_m_f")).distinct()
         .collect().map(r => byBase(r.getString(0))).toSeq.sorted

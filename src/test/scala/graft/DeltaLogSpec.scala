@@ -689,6 +689,25 @@ class DeltaLogSpec extends SparkSuite {
       Seq(123456789L).toDF("k"))
     assert(sources.DeltaLog.lastDeleteFilesScanned == 0)
     assert(sources.DeltaLog.read(spark, dir).count() == 797)
+    // the MERGE probe rides the same bloom: a scattered upsert key
+    // (27 ≡ 3 mod 8, file 3) scans ~1 of 8 where min/max keeps all
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((27L, "M27")).toDF("k", "s"), Seq("k"))
+    assert(sources.DeltaLog.lastMergeFilesScanned <= 2,
+      s"merge bloom probe: scanned " +
+        s"${sources.DeltaLog.lastMergeFilesScanned} of " +
+        s"${sources.DeltaLog.lastMergeFilesTotal}")
+    assert(sources.DeltaLog.read(spark, dir)
+      .filter(col("k") === 27L).collect().map(_.getString(1)).toSeq ==
+      Seq("M27"))
+    // sidecar maintenance: the merge rewrote file 3, so its old
+    // bloom rows are garbage — compact drops them, probes stay exact
+    assert(sources.DeltaLog.bloomCompact(spark, dir) > 0L)
+    sources.DeltaLog.deleteWhereKeys(spark, dir, "k",
+      Seq(27L).toDF("k"))
+    assert(sources.DeltaLog.lastDeleteFilesScanned <= 2)
+    assert(sources.DeltaLog.read(spark, dir)
+      .filter(col("k") === 27L).count() == 0)
   }
 
   test("mergeInto probe is STATS-BOUND: provably-missed files never scan") {
