@@ -535,7 +535,12 @@ object SparkEntry {
     "q209_delta_cdf_overwrite"
       -> (streaming.DeltaCdfStreamQueries.deltaCdfOverwriteStream _),
     "q210_iceberg_cdf_overwrite"
-      -> (streaming.IcebergCdfStreamQueries.icebergCdfOverwriteStream _)
+      -> (streaming.IcebergCdfStreamQueries.icebergCdfOverwriteStream _),
+    // CDC x COLUMN MAPPING: mapped creation + physically-spelled
+    // MERGE/DV-delete change files + a mid-history RENAME — the
+    // feed surfaces every version under the latest logical names
+    "q211_delta_mapped_cdc"
+      -> (sources.DeltaLog.deltaMappedCdcFeed _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -788,6 +793,8 @@ object SparkEntry {
     "q209_delta_cdf_overwrite"
       -> streaming.DeltaCdfStreamQueries.deltaCdfOverwriteStreamSql,
     "q210_iceberg_cdf_overwrite"
-      -> streaming.IcebergCdfStreamQueries.icebergCdfOverwriteStreamSql
+      -> streaming.IcebergCdfStreamQueries.icebergCdfOverwriteStreamSql,
+    "q211_delta_mapped_cdc"
+      -> sources.DeltaLog.deltaMappedCdcFeedSql
   )
 }

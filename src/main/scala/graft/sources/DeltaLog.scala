@@ -752,6 +752,46 @@ object DeltaLog {
         .as(f.name, org.apache.spark.sql.types.Metadata.empty)
     }
 
+  /** [[logicalize]]'s inverse: rebuild a logical column under its
+    * PHYSICAL names at every nesting level, with the same NULL-struct
+    * guard (a NULL struct stays NULL instead of becoming a struct of
+    * NULLs). `f` must carry the mapping annotations (a replayed
+    * mapped state's schema always does). */
+  private def physicalize(c: org.apache.spark.sql.Column,
+                          f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.Column = f.dataType match {
+    case s: StructType =>
+      import org.apache.spark.sql.functions.{lit, struct, when}
+      val rebuilt = struct(s.fields.toSeq.map(nf =>
+        physicalize(c.getField(nf.name), nf).as(physFieldName(nf))): _*)
+      when(c.isNull, lit(null).cast(physDataType(s))).otherwise(rebuilt)
+    case _ => c
+  }
+
+  /** Spell a LOGICAL-rows DataFrame the way a mapped table's files
+    * must store it: mode=name renames every level to its
+    * physicalName; mode=id renames the top level and stamps each
+    * column's `parquet.field.id` (write-side flag enabled) so
+    * field-id readers resolve regardless of physical-name drift.
+    * Non-data columns absent from the table schema (`_change_type`
+    * on a CDF change file) pass through under their own names — the
+    * CDF columns are never mapped, matching Delta's spelling. */
+  private def physicalRows(df: DataFrame, st: State): DataFrame = {
+    val extras = df.columns.toSeq
+      .filterNot(st.schema.fieldNames.contains).map(col)
+    if (st.mappingMode == "id") {
+      df.sparkSession.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", "true")
+      df.select(st.schema.fields.toSeq.map(f =>
+        col(f.name).as(st.columnMapping(f.name),
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", st.columnMappingIds(f.name))
+            .build())) ++ extras: _*)
+    } else
+      df.select(st.schema.fields.toSeq.map(f =>
+        physicalize(col(f.name), f).as(physFieldName(f))) ++ extras: _*)
+  }
+
   // ---------------------------------------------------------------
   // Checkpoints (the open spec's replay shortcut)
   // ---------------------------------------------------------------
@@ -1290,9 +1330,27 @@ object DeltaLog {
             s"$tableDir is partitioned by ${st.partitionColumns} — " +
             "adds must carry exactly the declared spec's " +
             "partitionValues")
-      require(st.columnMapping.isEmpty,
-        s"$op on COLUMN-MAPPED table $tableDir would write " +
-          "logical-name data files that mapped readers cannot resolve")
+    }
+  }
+
+  /** Mapped-table write adapter: when `tableDir`'s current state is
+    * column-mapped, require the incoming LOGICAL columns cover the
+    * table schema and spell the rows physically ([[physicalRows]]),
+    * so appends/overwrites/merges land files a foreign mapped reader
+    * resolves. Unmapped (or fresh) tables pass through. Mapped
+    * tables are unpartitioned by replay contract, so every caller is
+    * a `partCols.isEmpty` write branch. */
+  private def writeRows(df: DataFrame, tableDir: String): DataFrame = {
+    val vs = versions(tableDir)
+    if (vs.isEmpty) return df
+    val st = replay(tableDir, vs.last)
+    if (st.columnMapping.isEmpty) df
+    else {
+      require(st.schema.fieldNames.forall(df.columns.contains),
+        s"mapped write to $tableDir: incoming columns " +
+          s"${df.columns.toSeq} must cover the table's logical " +
+          s"schema ${st.schema.fieldNames.toSeq}")
+      physicalRows(df, st)
     }
   }
 
@@ -1308,7 +1366,7 @@ object DeltaLog {
     // data dir named by UUID, not by version: two racing writers must
     // not collide at the DATA write — only the log CAS decides order
     val sub = s"part-${java.util.UUID.randomUUID}"
-    df.write.parquet(s"$tableDir/$sub")
+    writeRows(df, tableDir).write.parquet(s"$tableDir/$sub")
     val fs = partFiles(tableDir, sub)
     val stats = statsJsonBatch(df.sparkSession, fs)
     val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
@@ -1363,7 +1421,7 @@ object DeltaLog {
     val sub = s"part-${java.util.UUID.randomUUID}"
     val adds: Seq[ObjectNode] =
       if (partCols.isEmpty) {
-        df.write.parquet(s"$tableDir/$sub")
+        writeRows(df, tableDir).write.parquet(s"$tableDir/$sub")
         val fs = partFiles(tableDir, sub)
         val stats = statsJsonBatch(df.sparkSession, fs)
         fs.map(f => addAction(s"$sub/${f.getName}", f.length,
@@ -1642,7 +1700,7 @@ object DeltaLog {
     val sub = s"part-${java.util.UUID.randomUUID}"
     val adds: Seq[ObjectNode] =
       if (partCols.isEmpty) {
-        df.write.parquet(s"$tableDir/$sub")
+        writeRows(df, tableDir).write.parquet(s"$tableDir/$sub")
         val fs = partFiles(tableDir, sub)
         val stats = statsJsonBatch(df.sparkSession, fs)
         fs.map(f => addAction(s"$sub/${f.getName}", f.length,
@@ -1775,18 +1833,8 @@ object DeltaLog {
     }
     val mappedSchema =
       annotate(df.schema, "").asInstanceOf[StructType]
-    // write physically at every nesting level (the inverse of
-    // [[logicalize]]), with the same NULL-struct guard
-    def physicalize(c: org.apache.spark.sql.Column,
-                    f: org.apache.spark.sql.types.StructField)
-        : org.apache.spark.sql.Column = f.dataType match {
-      case s: StructType =>
-        import org.apache.spark.sql.functions.{lit, struct, when}
-        val rebuilt = struct(s.fields.toSeq.map(nf =>
-          physicalize(c.getField(nf.name), nf).as(physFieldName(nf))): _*)
-        when(c.isNull, lit(null).cast(physDataType(s))).otherwise(rebuilt)
-      case _ => c
-    }
+    // write physically at every nesting level: the hoisted
+    // [[physicalize]], shared with the mapped append/merge writers
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.select(mappedSchema.fields.toSeq.map(f =>
         physicalize(col(f.name), f).as(physFieldName(f))): _*)
@@ -2027,6 +2075,10 @@ object DeltaLog {
 
   private def bloomColsOf(st: State): Seq[String] = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
+    // mapped tables: the sidecar writer rereads data files by
+    // LOGICAL name, which physical files cannot resolve — declared
+    // out of scope (the property is simply inert there)
+    if (st.columnMapping.nonEmpty) return Seq.empty
     st.configuration.get(BloomColsProp)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
@@ -2452,13 +2504,14 @@ object DeltaLog {
       val cdcActs: Seq[ObjectNode] =
         if (!cdfOn) Seq.empty
         else {
-          require(st.columnMapping.isEmpty,
-            "CDF write on a column-mapped table is out of scope — " +
-              "change files would carry logical names foreign readers " +
-              "cannot resolve")
+          // mapped tables: change files spell the data columns
+          // PHYSICALLY like any data file (`_change_type` itself is
+          // never mapped) — a foreign mapped reader resolves them
+          val changes = matched.drop("_dw_f", "_dw_p")
+            .withColumn("_change_type", lit("delete"))
           writeChangeData(
-            matched.drop("_dw_f", "_dw_p")
-              .withColumn("_change_type", lit("delete")),
+            if (st.columnMapping.isEmpty) changes
+            else physicalRows(changes, st),
             tableDir, st.partitionColumns)
         }
       val newDvs: Seq[(String, DeletionVectors.Bitmap64)] =
@@ -3262,6 +3315,80 @@ object DeltaLog {
       |  AND o_orderkey % 5 = 0
       |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin
 
+  /** Session-cached COLUMN-MAPPED CDC fixture (q211): the round-12
+    * refusal ("CDF write on a column-mapped table is out of scope")
+    * turned feature. v0 = mapped creation (mode=name, physical
+    * col-<uuid> files) of keys %2=0; v1 = enableChangeDataFeed; v2 =
+    * [[mergeInto]] keys %3=0 priority 'MERGED' (physically-spelled
+    * rewrite files AND change file, cdc action stamped); v3 =
+    * RENAME `o_orderpriority` → `priority` (the metadata-only
+    * commit mapping exists for — the v2 change file is untouched);
+    * v4 = [[deleteWhere]] keys %5=0 (DV delete, physically-spelled
+    * change file). */
+  private[graft] def ordersMappedCdcTable(spark: SparkSession,
+                                          dir: String): String =
+    cachedTable(spark, dir, "deltamappedcdc") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      val proj = o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      commitOverwriteMapped(
+        proj.filter(pmod(col("o_orderkey"), lit(2)) === 0), t)
+      setTableProperties(t, Map("delta.enableChangeDataFeed" -> "true"))
+      mergeInto(spark, t,
+        proj.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .withColumn("o_orderpriority", lit("MERGED")),
+        Seq("o_orderkey"))
+      renameColumnMapped(t, "o_orderpriority", "priority")
+      deleteWhere(spark, t, pmod(col("o_orderkey"), lit(5)) === 0): Unit
+    }
+
+  /** q211 — CDC × COLUMN MAPPING, RENAME-SAFE: the full change feed
+    * of [[ordersMappedCdcTable]]. Every branch of the mapped CDF
+    * read is on the hash path: v0's inserts DERIVE from the creation
+    * add (a physical file the scan must surface logically — a bare
+    * state here nulls every column), v2's and v4's rows come from
+    * physically-spelled cdc change files, and ALL rows surface the
+    * POST-RENAME logical name `priority` (CDF reads with the latest
+    * schema; the physical name under it never changed — the reason a
+    * rename doesn't kill a CDC pipeline). */
+  def deltaMappedCdcFeed(spark: SparkSession, dir: String): DataFrame = {
+    val t = ordersMappedCdcTable(spark, dir)
+    readChanges(spark, t, 0L, versions(t).last)
+      .orderBy(col("_commit_version"), col("_change_type"),
+        col("o_orderkey"))
+  }
+
+  val deltaMappedCdcFeedSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderpriority AS priority,
+      |  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderpriority,
+      |  'update_preimage', CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'MERGED',
+      |  'update_postimage', CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'MERGED',
+      |  'insert', CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'MERGED'
+      |       ELSE o_orderpriority END,
+      |  'delete', CAST(4 AS BIGINT)
+      |FROM orders
+      |WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+      |  AND o_orderkey % 5 = 0
+      |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin
+
   /** Session-cached SCHEMA-EVOLUTION table: commit 0 = even order
     * keys WITHOUT `o_orderpriority` (the original 5-column schema),
     * commit 1 = the metaData-only evolution adding the column,
@@ -3620,9 +3747,6 @@ object DeltaLog {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val st = replayMaybeCheckpointed(Some(spark), tableDir, vs.last)
-    require(st.columnMapping.isEmpty,
-      s"mergeInto on COLUMN-MAPPED table $tableDir would write " +
-        "logical-name data files that mapped readers cannot resolve")
     require(keys.nonEmpty && keys.forall(st.schema.fieldNames.contains),
       s"merge keys $keys must exist in the target schema")
     val partCols = st.partitionColumns
@@ -3690,7 +3814,9 @@ object DeltaLog {
         candidates0.filter { case (_, a) =>
           val b = a.longBounds
           ranges.forall { case (c, lo, hi) =>
-            b.get(c) match {
+            // mapped tables key add.stats by PHYSICAL name (the
+            // stats job reads the files); resolve the logical key
+            b.get(st.columnMapping.getOrElse(c, c)) match {
               case Some((mn, mx)) => mn <= hi && mx >= lo
               case None => true
             }
@@ -3744,7 +3870,15 @@ object DeltaLog {
     // that are partition columns resolve; row identity rides
     // carryCols through the projection
     def scanWithId(addsSel: Map[String, AddFile]): DataFrame =
-      if (partCols.isEmpty)
+      if (st.columnMapping.nonEmpty)
+        // mapped (always unpartitioned): physical read, row identity
+        // BEFORE the logical projection — the deleteWhere discipline
+        morFilter(mappedScanRaw(spark, tableDir,
+            st.copy(adds = addsSel))
+          .withColumn("_m_f", col("_metadata.file_name"))
+          .withColumn("_m_p", col("_metadata.row_index")))
+          .select(mappedCols(st) ++ Seq(col("_m_f"), col("_m_p")): _*)
+      else if (partCols.isEmpty)
         morFilter(spark.read.schema(st.schema)
           .parquet(addsSel.keys.toSeq.sorted.map(resolve): _*)
           .withColumn("_m_f", col("_metadata.file_name"))
@@ -3768,9 +3902,6 @@ object DeltaLog {
     lastMergeFilesRewritten = touched.size
     val target = read(spark, tableDir)
     val cdfOn = cdfWriteEnabled(st)
-    if (cdfOn) require(st.columnMapping.isEmpty,
-      "CDF write on a column-mapped table is out of scope — change " +
-        "files would carry logical names foreign readers cannot resolve")
     // tombstone split: rows matching the delete arm retire their
     // target match and are never inserted
     val upserts = whenMatchedDelete match {
@@ -3791,7 +3922,11 @@ object DeltaLog {
     val sub = s"part-${java.util.UUID.randomUUID}"
     val adds: Seq[ObjectNode] =
       if (partCols.isEmpty) {
-        newRows.write.parquet(s"$tableDir/$sub")
+        // mapped targets (always unpartitioned): rewrite files spell
+        // the columns physically, like every other mapped write
+        (if (st.columnMapping.isEmpty) newRows
+         else physicalRows(newRows, st))
+          .write.parquet(s"$tableDir/$sub")
         val fs = partFiles(tableDir, sub)
         val stats = statsJsonBatch(spark, fs)
         fs.map(f => addAction(s"$sub/${f.getName}", f.length,
@@ -3831,7 +3966,10 @@ object DeltaLog {
                 .withColumn("_change_type", lit("delete")))
           case None => changes0
         }
-        writeChangeData(changes, tableDir, partCols)
+        writeChangeData(
+          if (st.columnMapping.isEmpty) changes
+          else physicalRows(changes, st),
+          tableDir, partCols)
       }
     require(writeActions(tableDir, vs.last + 1,
       touched.map(p => removeAction(p)) ++ adds ++ cdc),
@@ -4050,23 +4188,53 @@ object DeltaLog {
         // update_postimage — the writer's row-level truth), never
         // synthesized; partition columns restore from the cdc
         // action's partitionValues like any metadata-partitioned scan
-        require(st.columnMapping.isEmpty,
-          "cdc change files on a COLUMN-MAPPED table are out of " +
-            "scope — the files spell physical names this logical-" +
-            "schema scan would silently null; refusing loudly")
         import org.apache.spark.sql.types.{StringType, StructField}
-        val withCt = StructType(st.schema.fields :+
-          StructField("_change_type", StringType, nullable = false))
+        val ctField =
+          StructField("_change_type", StringType, nullable = false)
         val scanned =
-          if (st.partitionColumns.isEmpty)
+          if (st.columnMapping.nonEmpty) {
+            // mapped (always unpartitioned): the change file spells
+            // data columns PHYSICALLY, `_change_type` literally —
+            // read physically / by field id, surface logically
+            val raw =
+              if (st.mappingMode == "id") {
+                spark.conf.set(
+                  "spark.sql.parquet.fieldId.read.enabled", "true")
+                val idSchema = StructType(st.schema.fields.map(f =>
+                  StructField(f.name, f.dataType, nullable = true,
+                    metadata =
+                      new org.apache.spark.sql.types.MetadataBuilder()
+                        .putLong("parquet.field.id",
+                          st.columnMappingIds(f.name)).build())) :+
+                  ctField)
+                spark.read.schema(idSchema)
+                  .parquet(files.keys.toSeq.map(abs): _*)
+              } else {
+                val physWithCt = StructType(st.schema.fields.map(f =>
+                  StructField(st.columnMapping(f.name),
+                    physDataType(f.dataType), nullable = true)) :+
+                  ctField)
+                spark.read.schema(physWithCt)
+                  .parquet(files.keys.toSeq.map(abs): _*)
+              }
+            raw.select(mappedCols(st) :+ col("_change_type"): _*)
+          } else if (st.partitionColumns.isEmpty) {
+            val withCt = StructType(st.schema.fields :+ ctField)
             spark.read.schema(withCt)
               .parquet(files.keys.toSeq.map(abs): _*)
-          else PartitionedScan.scan(spark, withCt, st.partitionColumns,
-            files.toSeq.map { case (p, a) => (abs(p), a.partitionValues) })
+          } else {
+            val withCt = StructType(st.schema.fields :+ ctField)
+            PartitionedScan.scan(spark, withCt, st.partitionColumns,
+              files.toSeq.map { case (p, a) =>
+                (abs(p), a.partitionValues) })
+          }
         scanned.withColumn("_commit_version", lit(v))
       } else
-        scanState(spark, tableDir,
-            State(st.schema, st.partitionColumns, files.toMap))
+        // st.copy keeps the mapping/protocol fields: a mapped
+        // table's derived changes read physically and surface
+        // logically like any scan (a bare State would silently
+        // null every column of a mapped file)
+        scanState(spark, tableDir, st.copy(adds = files.toMap))
           .withColumn("_change_type", lit(ct))
           .withColumn("_commit_version", lit(v))
     }
@@ -4101,7 +4269,13 @@ object DeltaLog {
       // partitioned tables: the data file lacks the partition
       // columns — restore them from the re-add's partitionValues
       val scanned =
-        if (st.partitionColumns.isEmpty)
+        if (st.columnMapping.nonEmpty)
+          // mapped (always unpartitioned): position-filter the raw
+          // physical read, then surface logically
+          semi(mappedScanRaw(spark, tableDir,
+              st.copy(adds = Map(p -> a))))
+            .select(mappedCols(st): _*)
+        else if (st.partitionColumns.isEmpty)
           semi(spark.read.schema(st.schema).parquet(abs))
         else PartitionedScan.scan(spark, st.schema,
           st.partitionColumns, Seq((abs, a.partitionValues)),

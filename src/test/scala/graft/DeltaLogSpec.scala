@@ -1223,6 +1223,88 @@ class DeltaLogSpec extends SparkSuite {
     assert(seeded.count() == 2)
   }
 
+  test("q211 gate shape: mapped writes land physical files; CDC feed rename-safe") {
+    val dir = Files.createTempDirectory("dlcmw").toString + "/t"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    sources.DeltaLog.commitOverwriteMapped(df, dir)
+    sources.DeltaLog.setTableProperties(dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    // MERGE on the mapped table: update k=2, insert k=4
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((2L, "B"), (4L, "d")).toDF("k", "s"), Seq("k"))
+    // every data file under the table root must spell physical names
+    new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .filterNot(f => Seq("_delta_log", "_change_data")
+        .contains(f.getName))
+      .foreach { d =>
+        val raw = spark.read.parquet(d.getPath)
+        assert(raw.schema.fieldNames.forall(_.startsWith("col-")),
+          s"${d.getName} carries ${raw.schema.fieldNames.mkString(",")}")
+      }
+    // the change file too (physical data columns + literal ct)
+    val cdcRaw = spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/_change_data")
+    assert(cdcRaw.schema.fieldNames.count(_.startsWith("col-")) == 2 &&
+      cdcRaw.schema.fieldNames.contains("_change_type"))
+    // rename mid-history, then a DV delete with a mapped change file
+    sources.DeltaLog.renameColumnMapped(dir, "s", "label")
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") === 1L)
+    val st = sources.DeltaLog.read(spark, dir)
+    assert(st.schema.fieldNames.toSeq == Seq("k", "label"))
+    assert(st.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((2L, "B"), (3L, "c"), (4L, "d")))
+    // the feed surfaces every version under the LATEST logical names
+    val feed = sources.DeltaLog.readChanges(spark, dir, 0L,
+      sources.DeltaLog.versions(dir).last)
+    assert(feed.schema.fieldNames.toSeq ==
+      Seq("k", "label", "_change_type", "_commit_version"))
+    val got = feed.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (3L, "c", "insert", 0L),
+      (2L, "b", "update_preimage", 2L),
+      (2L, "B", "update_postimage", 2L),
+      (4L, "d", "insert", 2L),
+      (1L, "a", "delete", 4L)), s"got $got")
+  }
+
+  test("mapped CDC in id mode; DV-diff CDF branch reads mapped files") {
+    // mode=id: append + merge write field-id files; the feed resolves
+    val dir = Files.createTempDirectory("dlcmid").toString + "/t"
+    sources.DeltaLog.commitOverwriteMappedId(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    sources.DeltaLog.setTableProperties(dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    sources.DeltaLog.commitAppend(
+      Seq((3L, "c")).toDF("k", "s"), dir)
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((3L, "C")).toDF("k", "s"), Seq("k"))
+    val st = sources.DeltaLog.read(spark, dir)
+    assert(st.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "C")))
+    val feed = sources.DeltaLog.readChanges(spark, dir, 2L,
+      sources.DeltaLog.versions(dir).last)
+    val got = feed.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (3L, "c", "insert", 2L),
+      (3L, "c", "update_preimage", 3L),
+      (3L, "C", "update_postimage", 3L)), s"got $got")
+    // DV-diff branch (no CDF property -> no change file): a mapped
+    // table's bitmap-diff delete rows must read physically too
+    val dir2 = Files.createTempDirectory("dlcmdv").toString + "/t"
+    sources.DeltaLog.commitOverwriteMapped(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), dir2)
+    sources.DeltaLog.deleteWhere(spark, dir2, col("k") === 2L)
+    val dv = sources.DeltaLog.readChanges(spark, dir2, 1L,
+      sources.DeltaLog.versions(dir2).last)
+    val gotDv = dv.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(gotDv == Set((2L, "b", "delete")), s"got $gotDv")
+  }
+
   test("hand-written mapped log reads; id mode and bare v2 refuse") {
     val dir = Files.createTempDirectory("dlcmx").toString
     // stage a data file under arbitrary external physical names
