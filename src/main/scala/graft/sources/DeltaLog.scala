@@ -2567,11 +2567,13 @@ object DeltaLog {
     require(st.partitionColumns.isEmpty,
       "compact supports unpartitioned tables (partitioned OPTIMIZE " +
         "compacts per-partition — see Snapshots.optimizeCompact)")
-    require(st.columnMapping.isEmpty,
-      "compact on a column-mapped table would rewrite files under " +
-        "logical names — out of scope")
     val sub = s"part-${java.util.UUID.randomUUID}"
-    scanState(spark, tableDir, st).repartition(targetFiles)
+    // mapped tables compact like any other: the logical scan folds
+    // DVs, the physical spelling goes back on at the write
+    val snapshot = scanState(spark, tableDir, st)
+    (if (st.columnMapping.isEmpty) snapshot
+     else physicalRows(snapshot, st))
+      .repartition(targetFiles)
       .write.parquet(s"$tableDir/$sub")
     val fs = partFiles(tableDir, sub)
     val stats = statsJsonBatch(spark, fs)
@@ -3604,17 +3606,12 @@ object DeltaLog {
     // Delta's own transaction protocol applies
     def validate(): State = {
       val st = replay(tableDir, versions(tableDir).last)
-      // a column-mapped table's schemaString carries id/physicalName
-      // annotations this caller cannot supply — rewriting its metaData
-      // from a bare schema would drop the mapping mode and make the
-      // next replay read physical col-<uuid> names as data columns
-      require(st.columnMapping.isEmpty,
-        s"evolveSchema on a column-mapped table (mode=${st.mappingMode}) " +
-          "is out of scope — adding a column needs a fresh mapping id; " +
-          "use the mapped writer / renameColumnMapped for metadata ops")
       st.schema.fields.foreach { f =>
         val nf = newSchema.fields.find(_.name == f.name)
-        require(nf.exists(_.dataType == f.dataType),
+        // compare SHAPES: a mapped table's own fields carry mapping
+        // metadata the caller's bare schema cannot
+        require(nf.exists(x =>
+            strippedType(x.dataType) == strippedType(f.dataType)),
           s"evolution must keep column ${f.name}: ${f.dataType} " +
             "(drops/renames/retypes need column mapping — out of scope)")
       }
@@ -3625,17 +3622,56 @@ object DeltaLog {
             "before the evolution have no values for it"))
       st
     }
+    // MAPPED tables: kept fields keep their annotations (the
+    // schemaString's id/physicalName are the files' identity — a
+    // bare rewrite would make replay read col-<uuid> names as data
+    // columns); ADDED fields mint fresh ids past maxColumnId, the
+    // Delta evolution contract. Old physical files lack the new
+    // physical column and null-fill on read, both modes.
+    def mappedEvolution(st: State): (StructType, Map[String, String]) = {
+      import org.apache.spark.sql.types.MetadataBuilder
+      var nextId = st.configuration
+        .get("delta.columnMapping.maxColumnId")
+        .map(_.toLong).getOrElse(0L)
+      def annotate(dt: DataType, path: String): DataType = dt match {
+        case s: StructType => StructType(s.fields.map { f =>
+          nextId += 1
+          val id = nextId
+          val inner = annotate(f.dataType, s"$path.${f.name}")
+          f.copy(dataType = inner, metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", id)
+            .putString("delta.columnMapping.physicalName",
+              s"col-${java.util.UUID.nameUUIDFromBytes(
+                s"$path.${f.name}".getBytes("UTF-8"))}")
+            .build())
+        })
+        case other => other
+      }
+      val evolved = StructType(newSchema.fields.map { f =>
+        st.schema.fields.find(_.name == f.name).getOrElse {
+          val annotated = annotate(
+            StructType(Seq(f)), "").asInstanceOf[StructType]
+          annotated.fields.head
+        }
+      })
+      (evolved,
+        st.configuration +
+          ("delta.columnMapping.maxColumnId" -> nextId.toString))
+    }
     var v = -1L
     var done = false
     while (!done) {
       val st = validate()
+      val (schemaOut, confOut) =
+        if (st.columnMapping.isEmpty) (newSchema, st.configuration)
+        else mappedEvolution(st)
       v = versions(tableDir).last + 1
       commitClaimHook(tableDir, v)
       // the replayed configuration rides the new metaData — a schema
       // evolution must not silently clear unrelated table properties
       done = writeActions(tableDir, v,
-        Seq(metaDataAction(newSchema, st.partitionColumns,
-          st.configuration)))
+        Seq(metaDataAction(schemaOut, st.partitionColumns, confOut)))
       if (!done) commitCasRetries.incrementAndGet()
     }
     v

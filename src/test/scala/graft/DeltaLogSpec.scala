@@ -1270,6 +1270,50 @@ class DeltaLogSpec extends SparkSuite {
       (1L, "a", "delete", 4L)), s"got $got")
   }
 
+  test("mapped evolveSchema + compact: fresh id, null-fill, physical rewrite") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("dlcme").toString + "/t"
+    sources.DeltaLog.commitOverwriteMapped(
+      Seq((1L, "a")).toDF("k", "s"), dir)
+    sources.DeltaLog.evolveSchema(dir, StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("n", LongType, nullable = true))))
+    // pre-evolution file null-fills the new column
+    val r1 = sources.DeltaLog.read(spark, dir).collect()
+    assert(r1.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSet ==
+      Set((1L, "a", -1L)))
+    // the evolved column got a FRESH mapping id past the old max
+    val st = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last)
+    def idOf(n: String): Long =
+      st.schema(n).metadata.getLong("delta.columnMapping.id")
+    assert(idOf("n") > idOf("s"))
+    // writers pick the evolution up and spell it physically
+    sources.DeltaLog.commitAppend(
+      Seq((2L, "b", 5L)).toDF("k", "s", "n"), dir)
+    val r2 = sources.DeltaLog.read(spark, dir).collect()
+    assert(r2.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSet ==
+      Set((1L, "a", -1L), (2L, "b", 5L)))
+    // a rename composes on top of the evolution
+    sources.DeltaLog.renameColumnMapped(dir, "n", "m")
+    assert(sources.DeltaLog.read(spark, dir)
+      .filter(col("m") === 5L).count() == 1)
+    // compact rewrites physically: layout collapses, rows + logical
+    // read unchanged, every new file spells col-<uuid>
+    sources.DeltaLog.compact(spark, dir)
+    val stC = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last)
+    assert(stC.files.size == 1)
+    val rawC = spark.read.parquet(s"$dir/${stC.files.head}")
+    assert(rawC.schema.fieldNames.forall(_.startsWith("col-")))
+    val r3 = sources.DeltaLog.read(spark, dir).collect()
+    assert(r3.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSet ==
+      Set((1L, "a", -1L), (2L, "b", 5L)))
+  }
+
   test("mapped CDC in id mode; DV-diff CDF branch reads mapped files") {
     // mode=id: append + merge write field-id files; the feed resolves
     val dir = Files.createTempDirectory("dlcmid").toString + "/t"
@@ -2042,16 +2086,32 @@ class DeltaLogSpec extends SparkSuite {
       s"nested ids should be depth-first (got max $assigned)")
     assert(recorded >= assigned,
       s"maxColumnId $recorded regressed below assigned id $assigned")
-    // evolveSchema on a mapped table must refuse — a bare-schema
-    // metaData rewrite would drop the mapping mode and the next
-    // replay would read physical col-<uuid> names as data columns
-    val ev = intercept[IllegalArgumentException] {
-      sources.DeltaLog.evolveSchema(dir2,
-        org.apache.spark.sql.types.StructType(st2.schema.fields :+
-          org.apache.spark.sql.types.StructField("extra",
-            org.apache.spark.sql.types.LongType)))
-    }
-    assert(ev.getMessage.contains("column-mapped"))
+    // evolveSchema on a mapped table (round 13: refusal → feature)
+    // keeps every existing annotation and mints the new column a
+    // FRESH id PAST the recorded maxColumnId — id reuse would make
+    // an external writer's files resolve to the wrong column
+    sources.DeltaLog.evolveSchema(dir2,
+      org.apache.spark.sql.types.StructType(st2.schema.fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType)))
+    val st3 = sources.DeltaLog.replay(dir2,
+      sources.DeltaLog.versions(dir2).last)
+    val extraId = st3.schema("extra").metadata
+      .getLong("delta.columnMapping.id")
+    assert(extraId > recorded,
+      s"evolved id $extraId must mint past maxColumnId $recorded")
+    assert(st3.configuration("delta.columnMapping.maxColumnId")
+      .toLong >= extraId)
+    assert(st3.schema("nest").metadata
+      .getString("delta.columnMapping.physicalName") ==
+      st2.schema("nest").metadata
+        .getString("delta.columnMapping.physicalName"),
+      "kept fields keep their annotations")
+    // pre-evolution files null-fill the evolved column on read
+    val evolvedRead = sources.DeltaLog.read(spark, dir2)
+    assert(evolvedRead.schema.fieldNames.contains("extra"))
+    assert(evolvedRead.filter(col("extra").isNull).count() ==
+      evolvedRead.count())
   }
 
   test("q188 gate shape: DV x mapping composes, files unrewritten; id mode too") {
