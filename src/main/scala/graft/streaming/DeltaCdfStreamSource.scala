@@ -47,9 +47,11 @@ import graft.sources.DeltaLog
   * deleteWhere — both state-idempotent) converges
   * (DeltaCdfStreamSourceSpec holds the planted-crash proof).
   *
-  * Scope: unmapped tables (primitive or struct columns); partitioned
-  * tables stream with partition columns reconstructed from each
-  * add's partitionValues. Options: `path` (required),
+  * Scope: primitive or struct columns; partitioned tables stream
+  * with partition columns reconstructed from each add's
+  * partitionValues; COLUMN-MAPPED tables stream with data columns
+  * resolved by physical name / parquet field id (round 13 — a
+  * mid-history rename never breaks the feed). Options: `path` (required),
   * `startingVersion` (a version, `latest`, or default: all history —
   * the initial snapshot streams as inserts), `maxVersionsPerTrigger`,
   * `vectorizedRead` (default true — struct-free schemas ride the
@@ -70,16 +72,16 @@ class DeltaCdfStreamProvider extends TableProvider
 }
 
 private[streaming] object DeltaCdfStreamSource {
-  /** Table schema + the two CDF columns. Mapped tables refuse (the
-    * batch [[DeltaLog.readChanges]] covers them; the stream reader
-    * resolves partition values by LOGICAL name, which mapping
-    * breaks). */
+  /** Table schema + the two CDF columns. COLUMN-MAPPED tables stream
+    * too (round 13): mapped tables are unpartitioned by replay
+    * contract so there are no partition-value constants to resolve,
+    * the shared reader resolves data columns by physical name /
+    * parquet field id from the annotated schema, `_change_type` is
+    * unannotated and resolves by its literal name inside cdc change
+    * files (it is never mapped — the batch writer's spelling), and
+    * the schema-change guard compares PHYSICAL shapes so a historic
+    * rename streams straight through. */
   def annotatedSchema(tableDir: String): StructType = {
-    val st = DeltaLog.replay(tableDir,
-      DeltaLog.versions(tableDir).last)
-    require(st.columnMapping.isEmpty,
-      "graft-delta-cdf streams unmapped tables — use the batch " +
-        "readChanges for column-mapped CDC")
     val base = DeltaStreamSource.annotatedSchema(tableDir)
     StructType(base.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),

@@ -64,6 +64,38 @@ class DeltaCdfStreamSourceSpec extends SparkSuite {
     assert(v3.map(_.getLong(0)) == Seq(7L))
   }
 
+  test("a COLUMN-MAPPED cdc history streams; rename mid-history is invisible") {
+    val work = Files.createTempDirectory("cdfstreammapped").toString
+    val dir = s"$work/t"
+    // the q211 shape: mapped creation, CDF on, MERGE (physical
+    // change file + cdc action), RENAME, DV delete (change file)
+    sources.DeltaLog.commitOverwriteMapped(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), dir)
+    sources.DeltaLog.setTableProperties(dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((2L, "B"), (4L, "d")).toDF("k", "s"), Seq("k"))
+    sources.DeltaLog.renameColumnMapped(dir, "s", "label")
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") === 1L)
+    drainTo(dir, s"$work/out", s"$work/ckpt")
+    val streamed = spark.read.parquet(s"$work/out")
+    // the stream surfaces the query-start LOGICAL names (post-rename)
+    assert(streamed.schema.fieldNames.toSeq ==
+      Seq("k", "label", "_change_type", "_commit_version"))
+    val got = streamed.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val batch = sources.DeltaLog.readChanges(spark, dir, 0L,
+        sources.DeltaLog.versions(dir).last)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == batch,
+      s"stream $got must equal batch readChanges $batch")
+    assert(got.contains((2L, "b", "update_preimage", 2L)) &&
+      got.contains((2L, "B", "update_postimage", 2L)) &&
+      got.contains((1L, "a", "delete", 4L)), s"got $got")
+  }
+
   test("a whole-file remove after a DV delete emits live rows only") {
     val work = Files.createTempDirectory("cdfstream2").toString
     val dir = s"$work/t"
