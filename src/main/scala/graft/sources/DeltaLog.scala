@@ -335,18 +335,11 @@ object DeltaLog {
                 s"physicalName under mode=$mappingMode")
             // NESTED structs: every inner field carries its own
             // physicalName and the reader resolves them recursively
-            // (mode=name). Structs inside arrays/maps, and nesting
-            // under mode=id, stay refused — loud beats a NULLed
-            // inner field.
-            def containerStruct(dt: DataType): Boolean = dt match {
-              case a: org.apache.spark.sql.types.ArrayType =>
-                hasAnyStruct(a.elementType)
-              case m: org.apache.spark.sql.types.MapType =>
-                hasAnyStruct(m.keyType) || hasAnyStruct(m.valueType)
-              case s: StructType =>
-                s.fields.exists(nf => containerStruct(nf.dataType))
-              case _ => false
-            }
+            // (mode=name), including structs INSIDE arrays and map
+            // VALUES (round 13 — the lambda rebuild in
+            // logicalize/physicalize). Structs under map KEYS, and
+            // nesting under mode=id, stay refused — loud beats a
+            // NULLed inner field.
             def hasAnyStruct(dt: DataType): Boolean = dt match {
               case _: StructType => true
               case a: org.apache.spark.sql.types.ArrayType =>
@@ -355,9 +348,6 @@ object DeltaLog {
                 hasAnyStruct(m.keyType) || hasAnyStruct(m.valueType)
               case _ => false
             }
-            require(!containerStruct(f.dataType),
-              s"column ${f.name}: structs inside arrays/maps under " +
-                "column mapping are out of scope")
             def validateNested(dt: DataType, path: String): Unit =
               dt match {
                 case s: StructType => s.fields.foreach { nf =>
@@ -371,6 +361,13 @@ object DeltaLog {
                       "delta.columnMapping.physicalName")
                   validateNested(nf.dataType, s"$path.${nf.name}")
                 }
+                case a: org.apache.spark.sql.types.ArrayType =>
+                  validateNested(a.elementType, s"$path.element")
+                case m: org.apache.spark.sql.types.MapType =>
+                  require(!hasAnyStruct(m.keyType),
+                    s"column $path: structs under map KEYS with " +
+                      "column mapping are out of scope")
+                  validateNested(m.valueType, s"$path.value")
                 case _ => ()
               }
             validateNested(f.dataType, f.name)
@@ -710,11 +707,16 @@ object DeltaLog {
 
   /** Physical spelling of a mapped column's TYPE (recursive): every
     * struct level renamed to its physicalName annotations —
-    * mode=name data files spell nested columns physically too. */
+    * mode=name data files spell nested columns physically too,
+    * including structs INSIDE arrays and map values. */
   private def physDataType(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       org.apache.spark.sql.types.StructField(
         physFieldName(f), physDataType(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = physDataType(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = physDataType(m.valueType))
     case other => other
   }
 
@@ -723,7 +725,22 @@ object DeltaLog {
     case s: StructType => StructType(s.fields.map(f =>
       org.apache.spark.sql.types.StructField(
         f.name, strippedType(f.dataType), f.nullable)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = strippedType(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = strippedType(m.valueType))
     case other => other
+  }
+
+  /** Does the type hold a struct anywhere under containers? Decides
+    * whether a container column needs the lambda rebuild below. */
+  private def holdsStruct(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case a: org.apache.spark.sql.types.ArrayType =>
+      holdsStruct(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      holdsStruct(m.valueType)
+    case _ => false
   }
 
   /** Rebuild a physically-read column under its LOGICAL names,
@@ -739,6 +756,16 @@ object DeltaLog {
           logicalize(c.getField(physFieldName(f)), f.dataType)
             .as(f.name)): _*)
         when(c.isNull, lit(null).cast(strippedType(s))).otherwise(rebuilt)
+      case a: org.apache.spark.sql.types.ArrayType
+          if holdsStruct(a.elementType) =>
+        // structs INSIDE arrays rebuild per element (NULL array and
+        // NULL elements pass through transform untouched)
+        org.apache.spark.sql.functions.transform(c,
+          x => logicalize(x, a.elementType))
+      case m: org.apache.spark.sql.types.MapType
+          if holdsStruct(m.valueType) =>
+        org.apache.spark.sql.functions.transform_values(c,
+          (_, v) => logicalize(v, m.valueType))
       case _ => c
     }
 
@@ -759,12 +786,25 @@ object DeltaLog {
     * mapped state's schema always does). */
   private def physicalize(c: org.apache.spark.sql.Column,
                           f: org.apache.spark.sql.types.StructField)
-      : org.apache.spark.sql.Column = f.dataType match {
+      : org.apache.spark.sql.Column = physicalizeType(c, f.dataType)
+
+  private def physicalizeType(c: org.apache.spark.sql.Column,
+                              dt: DataType)
+      : org.apache.spark.sql.Column = dt match {
     case s: StructType =>
       import org.apache.spark.sql.functions.{lit, struct, when}
       val rebuilt = struct(s.fields.toSeq.map(nf =>
-        physicalize(c.getField(nf.name), nf).as(physFieldName(nf))): _*)
+        physicalizeType(c.getField(nf.name), nf.dataType)
+          .as(physFieldName(nf))): _*)
       when(c.isNull, lit(null).cast(physDataType(s))).otherwise(rebuilt)
+    case a: org.apache.spark.sql.types.ArrayType
+        if holdsStruct(a.elementType) =>
+      org.apache.spark.sql.functions.transform(c,
+        x => physicalizeType(x, a.elementType))
+    case m: org.apache.spark.sql.types.MapType
+        if holdsStruct(m.valueType) =>
+      org.apache.spark.sql.functions.transform_values(c,
+        (_, v) => physicalizeType(v, m.valueType))
     case _ => c
   }
 
@@ -1829,6 +1869,12 @@ object DeltaLog {
             physOf(s"$path.${f.name}"))
           .build())
       })
+      // structs INSIDE arrays / map values get their own ids and
+      // physicalNames too (replay validates them recursively)
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = annotate(a.elementType, s"$path.element"))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = annotate(m.valueType, s"$path.value"))
       case other => other
     }
     val mappedSchema =
@@ -1978,11 +2024,21 @@ object DeltaLog {
           require(s.fieldNames.contains(name), s"no column $name")
           StructType(s.fields.map { f =>
             if (f.name != name) f
-            else f.dataType match {
-              case inner: StructType =>
-                f.copy(dataType = renameAt(inner, rest))
-              case other => throw new IllegalArgumentException(
-                s"$name is $other, not a struct — cannot descend")
+            else {
+              // descend THROUGH containers: renaming a field of a
+              // struct inside an array / map value is the same pure
+              // metadata op (the files spell physical names at every
+              // level, containers included)
+              def into(dt: DataType): DataType = dt match {
+                case inner: StructType => renameAt(inner, rest)
+                case a: org.apache.spark.sql.types.ArrayType =>
+                  a.copy(elementType = into(a.elementType))
+                case m: org.apache.spark.sql.types.MapType =>
+                  m.copy(valueType = into(m.valueType))
+                case other => throw new IllegalArgumentException(
+                  s"$name is $other, not a struct — cannot descend")
+              }
+              f.copy(dataType = into(f.dataType))
             }
           })
         case Nil => throw new IllegalArgumentException("empty path")
@@ -3646,6 +3702,10 @@ object DeltaLog {
                 s"$path.${f.name}".getBytes("UTF-8"))}")
             .build())
         })
+        case a: org.apache.spark.sql.types.ArrayType =>
+          a.copy(elementType = annotate(a.elementType, s"$path.element"))
+        case m: org.apache.spark.sql.types.MapType =>
+          m.copy(valueType = annotate(m.valueType, s"$path.value"))
         case other => other
       }
       val evolved = StructType(newSchema.fields.map { f =>

@@ -1270,6 +1270,67 @@ class DeltaLogSpec extends SparkSuite {
       (1L, "a", "delete", 4L)), s"got $got")
   }
 
+  test("mapping x containers: structs in arrays/map values write+read+rename") {
+    import org.apache.spark.sql.functions.{map, struct}
+    val dir = Files.createTempDirectory("dlcmarr").toString + "/t"
+    val df = Seq((1L, Seq((10L, "a"), (11L, "b")), ("k1", 100L)),
+        (2L, Seq((20L, "c")), ("k2", 200L)))
+      .toDF("k", "arr0", "mv0")
+      .select(col("k"),
+        col("arr0").cast("array<struct<x:bigint,y:string>>").as("arr"),
+        map(col("mv0._1"),
+          struct(col("mv0._2").as("z"))).as("mv"))
+    sources.DeltaLog.commitOverwriteMapped(df, dir)
+    // inner struct fields INSIDE the array spell physical names in
+    // the files (the raw read proves the disk layout)
+    val rawDir = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).filterNot(_.getName == "_delta_log").head
+    val raw = spark.read.parquet(rawDir.getPath)
+    val arrPhys = raw.schema.fields.find(_.name.startsWith("col-")).get
+    def innerNames(dt: org.apache.spark.sql.types.DataType): Seq[String] =
+      dt match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fieldNames.toSeq
+        case a: org.apache.spark.sql.types.ArrayType =>
+          innerNames(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          innerNames(m.valueType)
+        case _ => Seq.empty
+      }
+    raw.schema.fields.foreach { f =>
+      assert(f.name.startsWith("col-"))
+      assert(innerNames(f.dataType).forall(_.startsWith("col-")),
+        s"inner fields of ${f.name}: ${innerNames(f.dataType)}")
+    }
+    assert(arrPhys != null)
+    // logical read rebuilds both containers
+    val got = sources.DeltaLog.read(spark, dir)
+      .selectExpr("k", "arr[0].x", "arr[0].y", "map_values(mv)[0].z")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == Set((1L, 10L, "a", 100L), (2L, 20L, "c", 200L)))
+    // rename an inner field THROUGH the array: pure metadata
+    val v = sources.DeltaLog.renameColumnMapped(dir, "arr.x", "xx")
+    val commitTxt = new String(Files.readAllBytes(
+      Paths.get(f"$dir/_delta_log/$v%020d.json")), "UTF-8")
+    assert(!commitTxt.contains("\"add\""), "rename rewrote data files")
+    assert(sources.DeltaLog.read(spark, dir)
+      .selectExpr("arr[0].xx").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 20L))
+    // appends keep spelling containers physically (transform rebuild)
+    sources.DeltaLog.commitAppend(
+      Seq((3L, Seq((30L, "e")), ("k3", 300L)))
+        .toDF("k", "arr0", "mv0")
+        .select(col("k"),
+          col("arr0").cast("array<struct<xx:bigint,y:string>>")
+            .as("arr"),
+          map(col("mv0._1"),
+            struct(col("mv0._2").as("z"))).as("mv")), dir)
+    assert(sources.DeltaLog.read(spark, dir)
+      .selectExpr("arr[0].xx").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 20L, 30L))
+  }
+
   test("mapped evolveSchema + compact: fresh id, null-fill, physical rewrite") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val dir = Files.createTempDirectory("dlcme").toString + "/t"
