@@ -1410,6 +1410,75 @@ class DeltaLogSpec extends SparkSuite {
     assert(gotDv == Set((2L, "b", "delete")), s"got $gotDv")
   }
 
+  test("foreign MAPPED cdc commit: external physical names resolve in the feed") {
+    // a foreign writer's mapped table (physical names it chose, not
+    // this engine's col-<uuid>) with a cdc-action commit whose
+    // change file spells those physical names — the feed must
+    // resolve BOTH the derived creation inserts and the change
+    // file's rows to the logical schema
+    val dir = Files.createTempDirectory("dlcmfcdc").toString
+    def stageAs(name: String, df: org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val tmp = Files.createTempDirectory("dlcmf").toString + "/w"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(dir, name).getParent)
+      Files.move(part.toPath, Paths.get(dir, name)): Unit
+    }
+    stageAs("d.parquet", Seq((7L, "x"), (8L, "y")).toDF("p_1", "p_2"))
+    stageAs("d2.parquet", Seq((7L, "x")).toDF("p_1", "p_2"))
+    stageAs("_change_data/cdc-0.parquet",
+      Seq((8L, "y", "delete")).toDF("p_1", "p_2", "_change_type"))
+    val mappedSchema =
+      """{\"type\":\"struct\",\"fields\":[
+        |{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":
+        |{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"p_1\"}},
+        |{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":
+        |{\"delta.columnMapping.id\":2,\"delta.columnMapping.physicalName\":\"p_2\"}}]}"""
+        .stripMargin.replace("\n", "")
+    writeLog(dir, 0,
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},
+         |"schemaString":"$mappedSchema","partitionColumns":[],
+         |"configuration":{"delta.columnMapping.mode":"name"}}}"""
+        .stripMargin.replace("\n", ""),
+      """{"add":{"path":"d.parquet","size":1,"dataChange":true,
+        |"partitionValues":{}}}""".stripMargin.replace("\n", ""))
+    writeLog(dir, 1,
+      """{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+      """{"remove":{"path":"d.parquet","dataChange":true}}""",
+      """{"add":{"path":"d2.parquet","size":1,"dataChange":true,
+        |"partitionValues":{}}}""".stripMargin.replace("\n", ""))
+    assert(sources.DeltaLog.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "x")))
+    val changes = sources.DeltaLog.readChanges(spark, dir, 0L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(changes == Set(
+      (7L, "x", "insert", 0L), (8L, "y", "insert", 0L),
+      (8L, "y", "delete", 1L)),
+      s"foreign mapped cdc mis-resolved: $changes")
+    // the streaming source agrees (shared reader, physical-name
+    // resolution on the executor)
+    val out = Files.createTempDirectory("dlcmfcdcs").toString
+    val q = spark.readStream.format("graft-delta-cdf")
+      .option("path", dir).load()
+      .writeStream.format("parquet")
+      .option("path", s"$out/sink")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$out/sink")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(streamed == changes,
+      s"stream $streamed != batch $changes")
+  }
+
   test("hand-written mapped log reads; id mode and bare v2 refuse") {
     val dir = Files.createTempDirectory("dlcmx").toString
     // stage a data file under arbitrary external physical names
