@@ -2254,11 +2254,18 @@ object DeltaLog {
     val live = replay(tableDir, vs.last).files.map(base)
     val m = spark.read.parquet(oldParts.map(_.getPath): _*)
     val total = m.count()
-    val kept = m.filter(col("file")
-      .isin(live.map(x => x: Any): _*))
+    // semi-join against the live file LIST, never an isin literal
+    // set — at 100 TB the live set is millions of names and a
+    // million-literal predicate is a driver-side plan explosion
+    import spark.implicits._
+    val kept = m.join(
+      org.apache.spark.sql.functions.broadcast(live.toDF("file")),
+      Seq("file"), "left_semi")
     val keptN = kept.count()
     if (keptN < total) {
-      kept.coalesce(1).write.parquet(s"$tableDir/$BloomSidecarDir/" +
+      // natural output partitioning: a big table's manifest is
+      // GB-scale (linear in file count) — never forced to one file
+      kept.write.parquet(s"$tableDir/$BloomSidecarDir/" +
         s"bloom-${java.util.UUID.randomUUID}")
       oldParts.foreach(f => Files.deleteIfExists(f.toPath): Unit)
     }
