@@ -351,10 +351,19 @@ object DeltaLog {
             def validateNested(dt: DataType, path: String): Unit =
               dt match {
                 case s: StructType => s.fields.foreach { nf =>
+                  // nested under mode=id stays refused, now for a
+                  // TESTED reason (round 13): Spark's nested schema
+                  // pruning rebuilds pruned struct fields WITHOUT
+                  // their parquet.field.id metadata, so a pruned
+                  // read of a renamed nested field silently NULLs —
+                  // loud refusal beats that. (mode=name is immune:
+                  // resolution is by physical NAME, which pruning
+                  // preserves.)
                   require(mappingMode == "name",
                     s"nested column $path.${nf.name}: nesting under " +
-                      "mode=id is out of scope (name mode resolves " +
-                      "nested physicalNames)")
+                      "mode=id is out of scope (Spark's nested schema " +
+                      "pruning drops field-id metadata — a pruned " +
+                      "read would silently NULL)")
                   require(nf.metadata.contains(
                       "delta.columnMapping.physicalName"),
                     s"nested column $path.${nf.name} lacks " +
@@ -683,14 +692,10 @@ object DeltaLog {
     if (st.mappingMode == "id") {
       // session-level switch for Spark's field-id matcher; safe to
       // leave on — schemas WITHOUT id metadata still resolve by
-      // name, so unmapped reads are unaffected
+      // name, so unmapped reads are unaffected. idReadType stamps
+      // LOGICAL names with ids at EVERY nesting level.
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      val idSchema = StructType(st.schema.fields.map(f =>
-        org.apache.spark.sql.types.StructField(
-          f.name, f.dataType, nullable = true,
-          metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id", st.columnMappingIds(f.name))
-            .build())))
+      val idSchema = idReadType(st.schema).asInstanceOf[StructType]
       spark.read.schema(idSchema).parquet(st.files.map(resolve): _*)
     } else {
       val physSchema = StructType(st.schema.fields.map(f =>
@@ -742,6 +747,25 @@ object DeltaLog {
       holdsStruct(m.valueType)
     case _ => false
   }
+
+  /** mode=id READ spelling: LOGICAL names at every level, each
+    * struct field stamped with its `parquet.field.id` from the
+    * mapping annotations — Spark's field-id matcher resolves nested
+    * levels regardless of the files' physical names. */
+  private def idReadType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        f.name, idReadType(f.dataType), nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id")).build())))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = idReadType(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = idReadType(m.valueType))
+    case other => other
+  }
+
 
   /** Rebuild a physically-read column under its LOGICAL names,
     * recursively — a nested struct is reconstructed field by field
@@ -818,18 +842,27 @@ object DeltaLog {
     * CDF columns are never mapped, matching Delta's spelling. */
   private def physicalRows(df: DataFrame, st: State): DataFrame = {
     val extras = df.columns.toSeq
-      .filterNot(st.schema.fieldNames.contains).map(col)
-    if (st.mappingMode == "id") {
+      .filterNot(st.schema.fieldNames.contains)
+    if (st.mappingMode != "id")
+      df.select(st.schema.fields.toSeq.map(f =>
+        physicalize(col(f.name), f).as(physFieldName(f))) ++
+        extras.map(col): _*)
+    else {
+      // top-level `.as(name, metadata)` is the ONLY alias spelling
+      // whose parquet.field.id reliably reaches the parquet writer:
+      // a `DataFrame.to(schema)` carries the metadata in its own
+      // schema but Project-collapsing re-derives alias metadata from
+      // the child and the write records NO ids (measured round 13).
+      // Nested-under-id is refused at replay, so top-level suffices.
       df.sparkSession.conf.set(
         "spark.sql.parquet.fieldId.write.enabled", "true")
       df.select(st.schema.fields.toSeq.map(f =>
-        col(f.name).as(st.columnMapping(f.name),
+        physicalize(col(f.name), f).as(physFieldName(f),
           new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id", st.columnMappingIds(f.name))
-            .build())) ++ extras: _*)
-    } else
-      df.select(st.schema.fields.toSeq.map(f =>
-        physicalize(col(f.name), f).as(physFieldName(f))) ++ extras: _*)
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id"))
+            .build())) ++ extras.map(col): _*)
+    }
   }
 
   // ---------------------------------------------------------------
@@ -1957,28 +1990,54 @@ object DeltaLog {
     require(versions(tableDir).isEmpty,
       "mapped writer creates a fresh table (the mapping mode is fixed " +
         "at creation, as Delta fixes it)")
+    // replay refuses nested-under-id (Spark's nested schema pruning
+    // drops field-id metadata — silent NULLs on pruned reads), so
+    // refuse at creation too rather than minting an unreadable table
+    require(!df.schema.fields.exists(f => holdsStruct(f.dataType)),
+      "mode=id with nested structs is out of scope — use mode=name " +
+        "(commitOverwriteMapped), whose physical-NAME resolution " +
+        "survives Spark's nested schema pruning")
     import org.apache.spark.sql.types.MetadataBuilder
-    val phys: Map[String, String] = df.schema.fieldNames.map(n =>
-      n -> s"col-${java.util.UUID.nameUUIDFromBytes(
-        n.getBytes("UTF-8"))}").toMap
-    val ids: Map[String, Long] = df.schema.fieldNames.zipWithIndex
-      .map { case (n, i) => n -> (i + 1L) }.toMap
-    val mappedSchema = StructType(df.schema.fields.map { f =>
-      f.copy(metadata = new MetadataBuilder()
-        .withMetadata(f.metadata)
-        .putLong("delta.columnMapping.id", ids(f.name))
-        .putString("delta.columnMapping.physicalName", phys(f.name))
-        .build())
-    })
+    def physOf(path: String): String =
+      s"col-${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}"
+    // annotate RECURSIVELY (round 13: nested structs under mode=id,
+    // incl. inside arrays/map values) — ids number depth-first, the
+    // same scheme as the name-mode creation writer
+    var nextId = 0L
+    def annotate(dt: DataType, path: String): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        nextId += 1
+        val id = nextId
+        val inner = annotate(f.dataType, s"$path.${f.name}")
+        f.copy(dataType = inner, metadata = new MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName",
+            physOf(s"$path.${f.name}"))
+          .build())
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = annotate(a.elementType, s"$path.element"))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = annotate(m.valueType, s"$path.value"))
+      case other => other
+    }
+    val mappedSchema =
+      annotate(df.schema, "").asInstanceOf[StructType]
     val sub = s"part-${java.util.UUID.randomUUID}"
-    // physical names + field ids in the files: Spark writes a
-    // column's `parquet.field.id` metadata into the parquet schema
-    // when the write-side flag is on
+    // physical names + parquet field ids: the `.as(name, metadata)`
+    // alias spelling is the one whose ids reliably reach the parquet
+    // writer (a DataFrame.to's metadata is lost to Project
+    // collapsing — measured round 13); flat-only by the require
+    // above, so top-level aliases cover the schema
     df.sparkSession.conf.set(
       "spark.sql.parquet.fieldId.write.enabled", "true")
-    df.select(df.schema.fieldNames.map(n =>
-        col(n).as(phys(n), new MetadataBuilder()
-          .putLong("parquet.field.id", ids(n)).build())): _*)
+    df.select(mappedSchema.fields.toSeq.map(f =>
+        physicalize(col(f.name), f).as(physFieldName(f),
+          new MetadataBuilder()
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id"))
+            .build())): _*)
       .write.parquet(s"$tableDir/$sub")
     val fs = partFiles(tableDir, sub)
     val stats = statsJsonBatch(df.sparkSession, fs)
@@ -1989,7 +2048,7 @@ object DeltaLog {
         metaDataAction(mappedSchema, Seq.empty,
           Map("delta.columnMapping.mode" -> "id",
             "delta.columnMapping.maxColumnId" ->
-              df.schema.length.toString))) ++ adds),
+              nextId.toString))) ++ adds),
       s"table $tableDir already has commit 0")
     0L
   }
@@ -4303,13 +4362,9 @@ object DeltaLog {
               if (st.mappingMode == "id") {
                 spark.conf.set(
                   "spark.sql.parquet.fieldId.read.enabled", "true")
-                val idSchema = StructType(st.schema.fields.map(f =>
-                  StructField(f.name, f.dataType, nullable = true,
-                    metadata =
-                      new org.apache.spark.sql.types.MetadataBuilder()
-                        .putLong("parquet.field.id",
-                          st.columnMappingIds(f.name)).build())) :+
-                  ctField)
+                val idSchema = StructType(
+                  idReadType(st.schema).asInstanceOf[StructType]
+                    .fields :+ ctField)
                 spark.read.schema(idSchema)
                   .parquet(files.keys.toSeq.map(abs): _*)
               } else {

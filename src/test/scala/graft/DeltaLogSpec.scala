@@ -1375,6 +1375,35 @@ class DeltaLogSpec extends SparkSuite {
       Set((1L, "a", -1L), (2L, "b", 5L)))
   }
 
+  test("mode=id NESTED refuses with the tested pruning rationale") {
+    // Round-13 investigation, pinned: a prototype id-nested reader
+    // (logical names + parquet.field.id at every level) read
+    // correctly UNPRUNED but returned silent NULLs the moment the
+    // query projected a single nested field, because Spark's nested
+    // schema pruning rebuilds pruned struct fields WITHOUT their
+    // field-id metadata (verified: same read succeeds with
+    // spark.sql.optimizer.nestedSchemaPruning.enabled=false). Loud
+    // refusal at CREATION and at REPLAY beats data-dependent NULLs.
+    import org.apache.spark.sql.functions.struct
+    val dir = Files.createTempDirectory("dlcmidn").toString + "/t"
+    val df = Seq((1L, (10L, "a")))
+      .toDF("k", "n0")
+      .select(col("k"),
+        struct(col("n0._1").as("x"), col("n0._2").as("y")).as("nest"))
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.commitOverwriteMappedId(df, dir)
+    }
+    assert(e.getMessage.contains("nested schema pruning"))
+    // flat id-mode keeps working through the unified write path
+    val dir2 = Files.createTempDirectory("dlcmidf").toString + "/t"
+    sources.DeltaLog.commitOverwriteMappedId(
+      Seq((1L, "a")).toDF("k", "s"), dir2)
+    sources.DeltaLog.renameColumnMapped(dir2, "s", "label")
+    assert(sources.DeltaLog.read(spark, dir2)
+      .select(col("label")).collect().map(_.getString(0)).toSeq ==
+      Seq("a"))
+  }
+
   test("mapped CDC in id mode; DV-diff CDF branch reads mapped files") {
     // mode=id: append + merge write field-id files; the feed resolves
     val dir = Files.createTempDirectory("dlcmid").toString + "/t"
