@@ -540,7 +540,11 @@ object SparkEntry {
     // MERGE/DV-delete change files + a mid-history RENAME — the
     // feed surfaces every version under the latest logical names
     "q211_delta_mapped_cdc"
-      -> (sources.DeltaLog.deltaMappedCdcFeed _)
+      -> (sources.DeltaLog.deltaMappedCdcFeed _),
+    // the SAME mapped cdc history through the STREAMING CDF source:
+    // stream ≡ batch ≡ oracle, rename included
+    "q212_delta_mapped_cdf_stream"
+      -> (sources.DeltaLog.deltaMappedCdcStream _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -795,6 +799,8 @@ object SparkEntry {
     "q210_iceberg_cdf_overwrite"
       -> streaming.IcebergCdfStreamQueries.icebergCdfOverwriteStreamSql,
     "q211_delta_mapped_cdc"
+      -> sources.DeltaLog.deltaMappedCdcFeedSql,
+    "q212_delta_mapped_cdf_stream"
       -> sources.DeltaLog.deltaMappedCdcFeedSql
   )
 }

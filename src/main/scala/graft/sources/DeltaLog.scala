@@ -3483,6 +3483,28 @@ object DeltaLog {
         col("o_orderkey"))
   }
 
+  /** q212 — the SAME mapped cdc history as q211, drained through the
+    * `graft-delta-cdf` STREAMING source (one version per trigger)
+    * and checked against the SAME oracle: the stream and the batch
+    * feed must agree row-for-row on a column-mapped table, rename
+    * included. */
+  def deltaMappedCdcStream(spark: SparkSession, dir: String): DataFrame = {
+    val t = ordersMappedCdcTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_dmcdfs").toString
+    val q = spark.readStream.format("graft-delta-cdf")
+      .option("path", t).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$work/out")
+      .orderBy(col("_commit_version"), col("_change_type"),
+        col("o_orderkey"))
+  }
+
   val deltaMappedCdcFeedSql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |  o_orderpriority AS priority,
