@@ -1404,6 +1404,30 @@ class DeltaLogSpec extends SparkSuite {
       Seq("a"))
   }
 
+  test("mapped guardrails: bloom property inert, schema-cover loud") {
+    val dir = Files.createTempDirectory("dlcmg").toString + "/t"
+    sources.DeltaLog.commitOverwriteMapped(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    // the bloom sidecar rereads files by LOGICAL name, which mapped
+    // files cannot resolve — the property must be INERT (no sidecar
+    // write attempt = no crash), and deletes fall back to full scan
+    sources.DeltaLog.setTableProperties(dir,
+      Map("graft.bloomFilter.columns" -> "k"))
+    sources.DeltaLog.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    assert(!new java.io.File(s"$dir/_bloom").exists,
+      "bloom sidecar must not be written for a mapped table")
+    assert(sources.DeltaLog.bloomBackfill(spark, dir) == 0)
+    sources.DeltaLog.deleteWhereKeys(spark, dir, "k",
+      Seq(3L).toDF("k"))
+    assert(sources.DeltaLog.read(spark, dir).count() == 2)
+    // an append missing a logical column refuses loudly instead of
+    // writing a file the mapped reader would null-fill silently
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.commitAppend(Seq(9L).toDF("k"), dir)
+    }
+    assert(e.getMessage.contains("cover"))
+  }
+
   test("mapped CDC in id mode; DV-diff CDF branch reads mapped files") {
     // mode=id: append + merge write field-id files; the feed resolves
     val dir = Files.createTempDirectory("dlcmid").toString + "/t"
