@@ -737,14 +737,41 @@ object DeltaLog {
     case other => other
   }
 
-  /** Does the type hold a struct anywhere under containers? Decides
-    * whether a container column needs the lambda rebuild below. */
+  /** Does the type hold a struct anywhere under containers (map
+    * KEYS excluded — the write/read rebuild never descends into
+    * keys)? Decides whether a container column needs the lambda
+    * rebuild below. */
   private def holdsStruct(dt: DataType): Boolean = dt match {
     case _: StructType => true
     case a: org.apache.spark.sql.types.ArrayType =>
       holdsStruct(a.elementType)
     case m: org.apache.spark.sql.types.MapType =>
       holdsStruct(m.valueType)
+    case _ => false
+  }
+
+  /** Struct ANYWHERE, map keys included — the creation writers'
+    * refusal currency: replay refuses shapes the rebuild cannot
+    * express, so minting a table with one would create a log every
+    * subsequent read refuses forever. */
+  private def anyStruct(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case a: org.apache.spark.sql.types.ArrayType =>
+      anyStruct(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      anyStruct(m.keyType) || anyStruct(m.valueType)
+    case _ => false
+  }
+
+  /** A struct under a map KEY anywhere in the type? Refused at
+    * creation AND replay under mapping (no lambda can rebuild map
+    * keys positionally). */
+  private def mapKeyStruct(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.exists(f => mapKeyStruct(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      mapKeyStruct(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      anyStruct(m.keyType) || mapKeyStruct(m.valueType)
     case _ => false
   }
 
@@ -1375,7 +1402,8 @@ object DeltaLog {
   /** An unpartitioned commit against a PARTITIONED table would write
     * adds with no `partitionValues` — readers would reconstruct NULL
     * partition columns, silently wrong. Loud, here and in append. */
-  private def requireUnpartitioned(tableDir: String, op: String): Unit =
+  private def requireUnpartitioned(tableDir: String,
+                                   op: String): Option[State] =
     requirePartitionSpec(tableDir, Seq.empty, op)
 
   /** The commit writers' partition-spec discipline: the caller's
@@ -1388,10 +1416,15 @@ object DeltaLog {
     * tables refuse every writer that would spell logical names into
     * data files. First commit (no log yet) passes — it DECLARES the
     * spec. */
+  /** Returns the replayed state (None on a fresh table) so callers
+    * thread ONE replay through the write path instead of each helper
+    * re-replaying — a hot CDC append must not pay O(history) three
+    * times per commit. */
   private def requirePartitionSpec(tableDir: String,
-      partCols: Seq[String], op: String): Unit = {
+      partCols: Seq[String], op: String): Option[State] = {
     val vs = versions(tableDir)
-    if (vs.nonEmpty) {
+    if (vs.isEmpty) None
+    else {
       val st = replay(tableDir, vs.last)
       require(st.partitionColumns == partCols,
         if (partCols.isEmpty)
@@ -1403,6 +1436,7 @@ object DeltaLog {
             s"$tableDir is partitioned by ${st.partitionColumns} — " +
             "adds must carry exactly the declared spec's " +
             "partitionValues")
+      Some(st)
     }
   }
 
@@ -1413,19 +1447,17 @@ object DeltaLog {
     * resolves. Unmapped (or fresh) tables pass through. Mapped
     * tables are unpartitioned by replay contract, so every caller is
     * a `partCols.isEmpty` write branch. */
-  private def writeRows(df: DataFrame, tableDir: String): DataFrame = {
-    val vs = versions(tableDir)
-    if (vs.isEmpty) return df
-    val st = replay(tableDir, vs.last)
-    if (st.columnMapping.isEmpty) df
-    else {
-      require(st.schema.fieldNames.forall(df.columns.contains),
-        s"mapped write to $tableDir: incoming columns " +
-          s"${df.columns.toSeq} must cover the table's logical " +
-          s"schema ${st.schema.fieldNames.toSeq}")
-      physicalRows(df, st)
+  private def writeRows(df: DataFrame, tableDir: String,
+                        state: Option[State]): DataFrame =
+    state match {
+      case Some(st) if st.columnMapping.nonEmpty =>
+        require(st.schema.fieldNames.forall(df.columns.contains),
+          s"mapped write to $tableDir: incoming columns " +
+            s"${df.columns.toSeq} must cover the table's logical " +
+            s"schema ${st.schema.fieldNames.toSeq}")
+        physicalRows(df, st)
+      case _ => df
     }
-  }
 
   def commitOverwrite(df: DataFrame, tableDir: String): Long =
     commitOverwriteExtra(df, tableDir, Seq.empty)
@@ -1435,16 +1467,16 @@ object DeltaLog {
     * describe must be atomic or a CDF reader sees a torn version. */
   private def commitOverwriteExtra(df: DataFrame, tableDir: String,
       extra: Seq[ObjectNode]): Long = {
-    requireUnpartitioned(tableDir, "commitOverwrite")
+    val st0 = requireUnpartitioned(tableDir, "commitOverwrite")
     // data dir named by UUID, not by version: two racing writers must
     // not collide at the DATA write — only the log CAS decides order
     val sub = s"part-${java.util.UUID.randomUUID}"
-    writeRows(df, tableDir).write.parquet(s"$tableDir/$sub")
+    writeRows(df, tableDir, st0).write.parquet(s"$tableDir/$sub")
     val fs = partFiles(tableDir, sub)
     val stats = statsJsonBatch(df.sparkSession, fs)
     val adds = fs.map(f => addAction(s"$sub/${f.getName}", f.length,
       stats = Some(stats(f.getPath))))
-    maybeWriteBlooms(df.sparkSession, tableDir, fs)
+    maybeWriteBlooms(df.sparkSession, tableDir, fs, st0)
     // lost CAS ⇒ another writer advanced the log; recompute the
     // version AND the removes from the new latest state and retry —
     // the loop makes progress by construction (each failure means a
@@ -1490,11 +1522,11 @@ object DeltaLog {
 
   private def commitAppendCore(df: DataFrame, tableDir: String,
                                partCols: Seq[String]): Long = {
-    requirePartitionSpec(tableDir, partCols, "commitAppend")
+    val st0 = requirePartitionSpec(tableDir, partCols, "commitAppend")
     val sub = s"part-${java.util.UUID.randomUUID}"
     val adds: Seq[ObjectNode] =
       if (partCols.isEmpty) {
-        writeRows(df, tableDir).write.parquet(s"$tableDir/$sub")
+        writeRows(df, tableDir, st0).write.parquet(s"$tableDir/$sub")
         val fs = partFiles(tableDir, sub)
         val stats = statsJsonBatch(df.sparkSession, fs)
         fs.map(f => addAction(s"$sub/${f.getName}", f.length,
@@ -1504,7 +1536,8 @@ object DeltaLog {
         partitionedAdds(df.sparkSession, tableDir, sub, partCols,
           dataChange = true)
       }
-    maybeWriteBlooms(df.sparkSession, tableDir, partFiles(tableDir, sub))
+    maybeWriteBlooms(df.sparkSession, tableDir, partFiles(tableDir, sub),
+      st0)
     var v = -1L
     var done = false
     while (!done) {
@@ -1767,13 +1800,14 @@ object DeltaLog {
   def commitAppendIdempotent(df: DataFrame, tableDir: String,
                              appId: String, txnVersion: Long,
                              partCols: Seq[String]): Option[Long] = {
-    requirePartitionSpec(tableDir, partCols, "commitAppendIdempotent")
+    val st0 =
+      requirePartitionSpec(tableDir, partCols, "commitAppendIdempotent")
     if (latestTxnVersion(tableDir, appId).exists(_ >= txnVersion))
       return None
     val sub = s"part-${java.util.UUID.randomUUID}"
     val adds: Seq[ObjectNode] =
       if (partCols.isEmpty) {
-        writeRows(df, tableDir).write.parquet(s"$tableDir/$sub")
+        writeRows(df, tableDir, st0).write.parquet(s"$tableDir/$sub")
         val fs = partFiles(tableDir, sub)
         val stats = statsJsonBatch(df.sparkSession, fs)
         fs.map(f => addAction(s"$sub/${f.getName}", f.length,
@@ -1783,7 +1817,8 @@ object DeltaLog {
         partitionedAdds(df.sparkSession, tableDir, sub, partCols,
           dataChange = true)
       }
-    maybeWriteBlooms(df.sparkSession, tableDir, partFiles(tableDir, sub))
+    maybeWriteBlooms(df.sparkSession, tableDir, partFiles(tableDir, sub),
+      st0)
     val txn = mapper.createObjectNode()
     txn.putObject("txn").put("appId", appId)
       .put("version", txnVersion).put("lastUpdated", 0L)
@@ -1848,11 +1883,16 @@ object DeltaLog {
   def commitOverwritePartitioned(df: DataFrame, tableDir: String,
                                  partCols: Seq[String]): Long = {
     require(partCols.nonEmpty, "partitioned commit needs partition columns")
+    val st0 = versions(tableDir) match {
+      case vs if vs.nonEmpty => Some(replay(tableDir, vs.last))
+      case _ => None
+    }
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
     val adds = partitionedAdds(df.sparkSession, tableDir, sub, partCols,
       dataChange = true)
-    maybeWriteBlooms(df.sparkSession, tableDir, partFiles(tableDir, sub))
+    maybeWriteBlooms(df.sparkSession, tableDir, partFiles(tableDir, sub),
+      st0)
     var v = -1L
     var done = false
     while (!done) {
@@ -1884,6 +1924,10 @@ object DeltaLog {
     require(versions(tableDir).isEmpty,
       "mapped writer creates a fresh table (the mapping mode is fixed " +
         "at creation, as Delta fixes it)")
+    // replay refuses map-key structs under mapping — refuse HERE too
+    // rather than minting a table every subsequent read refuses
+    require(!df.schema.fields.exists(f => mapKeyStruct(f.dataType)),
+      "structs under map KEYS with column mapping are out of scope")
     import org.apache.spark.sql.types.MetadataBuilder
     def physOf(path: String): String =
       s"col-${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}"
@@ -1992,8 +2036,9 @@ object DeltaLog {
         "at creation, as Delta fixes it)")
     // replay refuses nested-under-id (Spark's nested schema pruning
     // drops field-id metadata — silent NULLs on pruned reads), so
-    // refuse at creation too rather than minting an unreadable table
-    require(!df.schema.fields.exists(f => holdsStruct(f.dataType)),
+    // refuse at creation too rather than minting an unreadable
+    // table; anyStruct also covers structs under map KEYS
+    require(!df.schema.fields.exists(f => anyStruct(f.dataType)),
       "mode=id with nested structs is out of scope — use mode=name " +
         "(commitOverwriteMapped), whose physical-NAME resolution " +
         "survives Spark's nested schema pruning")
@@ -2257,11 +2302,10 @@ object DeltaLog {
     * data write; a crash before the sidecar lands leaves the files
     * unbloomed = never pruned (safe). */
   private def maybeWriteBlooms(spark: SparkSession, tableDir: String,
-                               fs: Seq[File]): Unit = {
-    val vs = versions(tableDir)
-    if (vs.isEmpty || fs.isEmpty) return
-    val st = replay(tableDir, vs.last)
-    val cols = bloomColsOf(st)
+                               fs: Seq[File],
+                               state: Option[State]): Unit = {
+    if (state.isEmpty || fs.isEmpty) return
+    val cols = bloomColsOf(state.get)
     if (cols.nonEmpty)
       writeBloomRows(spark, tableDir, fs.map(_.getPath), cols)
   }
@@ -2387,9 +2431,17 @@ object DeltaLog {
         import spark.implicits._
         val probe = probeRows
           .toDF("m_bits", "word", "mask", "key_i", "n_words")
-        val hits = manifest
+        // manifest.distinct(): bloomCompact's stage-then-swap (or a
+        // crash inside it) can leave a row duplicated across parts —
+        // the exact-count filter below would read a duplicate as
+        // present != n_words and turn a genuine hit into a FALSE
+        // NEGATIVE (a wrongly-pruned file = silently undeleted
+        // rows). Grouping also keys by m_bits so a file bloomed
+        // under two geometries never merges their counts.
+        val hits = manifest.distinct()
           .join(broadcast(probe), Seq("m_bits", "word"))
-          .groupBy(col("file"), col("key_i"), col("n_words"))
+          .groupBy(col("file"), col("m_bits"), col("key_i"),
+            col("n_words"))
           .agg(sum(when(expr("(bits & mask) = mask"), 1)
             .otherwise(0)).as("ok"),
             count(lit(1)).as("present"))
@@ -3782,12 +3834,17 @@ object DeltaLog {
           nextId += 1
           val id = nextId
           val inner = annotate(f.dataType, s"$path.${f.name}")
+          // RANDOM physical names, never path-derived: a rename
+          // frees the logical name but keeps its physical one, so a
+          // later evolve-add of the freed name would mint the SAME
+          // deterministic physical name and silently resolve to the
+          // renamed column's historical data (the reason Delta mints
+          // random names)
           f.copy(dataType = inner, metadata = new MetadataBuilder()
             .withMetadata(f.metadata)
             .putLong("delta.columnMapping.id", id)
             .putString("delta.columnMapping.physicalName",
-              s"col-${java.util.UUID.nameUUIDFromBytes(
-                s"$path.${f.name}".getBytes("UTF-8"))}")
+              s"col-${java.util.UUID.randomUUID}")
             .build())
         })
         case a: org.apache.spark.sql.types.ArrayType =>
@@ -4121,7 +4178,7 @@ object DeltaLog {
         partitionedAdds(spark, tableDir, sub, partCols,
           dataChange = true)
       }
-    maybeWriteBlooms(spark, tableDir, partFiles(tableDir, sub))
+    maybeWriteBlooms(spark, tableDir, partFiles(tableDir, sub), Some(st))
     // delta.enableChangeDataFeed=true: the row-level change file +
     // cdc action ride the SAME commit (update_preimage/postimage for
     // matched upsert keys, delete for tombstone matches, insert for

@@ -281,6 +281,10 @@ private class IcebergCdfReaderFactory(schemaJson: String,
         val schema =
           DataType.fromJson(schemaJson).asInstanceOf[StructType]
         val files = posDeleteTargets(p.deleteFile)
+        // tuple keys normalized like the delete-file paths they are
+        // looked up by (normPath contract)
+        val tuples = p.fileTuples.map { case (k, v) =>
+          normPath(k) -> v }
         // one filtered VECTORIZED reader per named data file, chained
         new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
           private var fileIdx = -1
@@ -294,7 +298,7 @@ private class IcebergCdfReaderFactory(schemaJson: String,
               val (f, positions) = files(fileIdx)
               val (reader, order) =
                 delegate.openVectorized(f,
-                  p.constants ++ p.fileTuples.getOrElse(f, Map.empty),
+                  p.constants ++ tuples.getOrElse(f, Map.empty),
                   schema)
               // sorted positions -> binary-search membership
               cur = RowReadSupport.filteredColumnarReader(
@@ -388,6 +392,16 @@ private class IcebergCdfReaderFactory(schemaJson: String,
     * grouped per data file in order, positions sorted — shared by the
     * row and columnar pos-delete readers and by the removed-file
     * readers' mask build. */
+  /** Scheme-normalize a path for CROSS-SOURCE comparison: a foreign
+    * writer records `file:///abs/...` URIs in delete files while our
+    * planner hands manifests' paths through `stripFileUri` — raw
+    * string equality would silently MISS (empty overwrite masks →
+    * double-deletes downstream; missed partition tuples → NULLed
+    * partition columns). The batch reader's `norm()` discipline
+    * (Iceberg.deleteAntiJoin), applied at every streaming lookup. */
+  private def normPath(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
   private def posDeleteTargets(deleteFile: String)
       : Seq[(String, Array[Long])] = {
     val byFile = scala.collection.mutable.LinkedHashMap
@@ -398,8 +412,8 @@ private class IcebergCdfReaderFactory(schemaJson: String,
       var g = dr.read()
       while (g != null) {
         val ft = g.getType
-        val path = new String(g.getBinary(
-          ft.getFieldIndex("file_path"), 0).getBytes, "UTF-8")
+        val path = normPath(new String(g.getBinary(
+          ft.getFieldIndex("file_path"), 0).getBytes, "UTF-8"))
         val pos = g.getLong(ft.getFieldIndex("pos"), 0)
         byFile.getOrElseUpdate(path,
           scala.collection.mutable.ArrayBuffer.empty) += pos
@@ -415,16 +429,17 @@ private class IcebergCdfReaderFactory(schemaJson: String,
   private def maskPositions(dataFile: String,
                             maskFiles: Seq[String]): Array[Long] =
     maskFiles.flatMap(posDeleteTargets(_))
-      .filter(_._1 == dataFile)
+      .filter(_._1 == normPath(dataFile))
       .flatMap(_._2).distinct.sorted.toArray
 
   private def posDeleteReader(p: IcebergPosDeletePartition)
       : PartitionReader[InternalRow] = {
     RowReadSupport.lastReadPath = "row"
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val tuples = p.fileTuples.map { case (k, v) => normPath(k) -> v }
     def constsFor(dataFile: String): Map[String, Any] = {
       val raw = p.constants ++
-        p.fileTuples.getOrElse(dataFile, Map.empty)
+        tuples.getOrElse(normPath(dataFile), Map.empty)
       schema.fields.flatMap { f =>
         raw.get(f.name)
           .map(s => f.name -> decodeConstant(s, f.dataType, f.name))

@@ -710,6 +710,43 @@ class DeltaLogSpec extends SparkSuite {
       .filter(col("k") === 27L).count() == 0)
   }
 
+  test("bloom probe tolerates duplicated sidecar rows (compact crash window)") {
+    // bloomCompact is stage-then-swap: a crash between the new part
+    // landing and the old parts' delete leaves every live row
+    // DUPLICATED. The probe's exact word-count filter must not read
+    // a duplicate as a miss — a false negative silently UNdeletes.
+    val dir = Files.createTempDirectory("dlbloomdup").toString + "/t"
+    sources.DeltaLog.commitAppend(
+      (0L until 100L by 2).map(i => (i, s"v$i")).toDF("k", "s")
+        .coalesce(1), dir)
+    sources.DeltaLog.setTableProperties(dir,
+      Map("graft.bloomFilter.columns" -> "k"))
+    sources.DeltaLog.commitAppend(
+      (1L until 100L by 2).map(i => (i, s"v$i")).toDF("k", "s")
+        .coalesce(1), dir)
+    assert(sources.DeltaLog.bloomBackfill(spark, dir) == 1)
+    // duplicate every sidecar part — the crash window's worst case
+    val bloomDir = Paths.get(dir, "_bloom")
+    Files.list(bloomDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .foreach { d =>
+        val cp = bloomDir.resolve(d.getFileName.toString + "-dup")
+        Files.createDirectories(cp)
+        Files.list(d).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => Files.copy(f, cp.resolve(f.getFileName)): Unit)
+      }
+    // key 3 lives in the odd file only: the probe must still HIT it
+    // (delete lands) and still PRUNE the even file
+    sources.DeltaLog.deleteWhereKeys(spark, dir, "k", Seq(3L).toDF("k"))
+    assert(sources.DeltaLog.read(spark, dir)
+      .filter(col("k") === 3L).count() == 0,
+      "duplicated sidecar rows caused a FALSE NEGATIVE — row undeleted")
+    assert(sources.DeltaLog.lastDeleteFilesScanned <= 1,
+      s"scanned ${sources.DeltaLog.lastDeleteFilesScanned} of 2 — " +
+        "pruning gone")
+    assert(sources.DeltaLog.read(spark, dir).count() == 99)
+  }
+
   test("mergeInto probe is STATS-BOUND: provably-missed files never scan") {
     val dir = Files.createTempDirectory("dlogmsb").toString + "/t"
     // four range-clustered files; the source's key [min,max] = [7,9]
@@ -1361,6 +1398,23 @@ class DeltaLogSpec extends SparkSuite {
     sources.DeltaLog.renameColumnMapped(dir, "n", "m")
     assert(sources.DeltaLog.read(spark, dir)
       .filter(col("m") === 5L).count() == 1)
+    // evolve-add the FREED name: its physical name must be fresh,
+    // never the renamed column's (a deterministic path-derived mint
+    // would collide and resurface m's historical data as n)
+    sources.DeltaLog.evolveSchema(dir, StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("m", LongType, nullable = true),
+      StructField("n", LongType, nullable = true))))
+    val stR = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last)
+    def physOf(c: String) = stR.schema(c).metadata
+      .getString("delta.columnMapping.physicalName")
+    assert(physOf("n") != physOf("m"),
+      "freed-name evolve collided with the renamed column's physical")
+    val rd = sources.DeltaLog.read(spark, dir)
+    assert(rd.filter(col("n").isNull).count() == rd.count(),
+      "re-added n must be all-NULL, not m's historical data")
+    assert(rd.filter(col("m") === 5L).count() == 1)
     // compact rewrites physically: layout collapses, rows + logical
     // read unchanged, every new file spells col-<uuid>
     sources.DeltaLog.compact(spark, dir)
