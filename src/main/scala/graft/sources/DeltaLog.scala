@@ -2431,20 +2431,25 @@ object DeltaLog {
         import spark.implicits._
         val probe = probeRows
           .toDF("m_bits", "word", "mask", "key_i", "n_words")
-        // manifest.distinct(): bloomCompact's stage-then-swap (or a
-        // crash inside it) can leave a row duplicated across parts —
-        // the exact-count filter below would read a duplicate as
-        // present != n_words and turn a genuine hit into a FALSE
-        // NEGATIVE (a wrongly-pruned file = silently undeleted
-        // rows). Grouping also keys by m_bits so a file bloomed
-        // under two geometries never merges their counts.
-        val hits = manifest.distinct()
+        // DUPLICATE-PROOF counting: bloomCompact's stage-then-swap
+        // (or a crash inside it) can leave manifest rows duplicated
+        // across parts, and an exact row-count filter would read a
+        // duplicate as present != n_words — a FALSE NEGATIVE, i.e. a
+        // wrongly-pruned file and silently undeleted rows. Counting
+        // DISTINCT words is immune (duplicate rows carry identical
+        // bits — the sidecar derives them from file content), and it
+        // costs nothing extra: the dedup happens on the tiny
+        // post-join row set (≤ keys × hashes per file), never on the
+        // full manifest. Grouping also keys by m_bits so a file
+        // bloomed under two geometries never merges their counts.
+        import org.apache.spark.sql.functions.countDistinct
+        val hits = manifest
           .join(broadcast(probe), Seq("m_bits", "word"))
           .groupBy(col("file"), col("m_bits"), col("key_i"),
             col("n_words"))
-          .agg(sum(when(expr("(bits & mask) = mask"), 1)
-            .otherwise(0)).as("ok"),
-            count(lit(1)).as("present"))
+          .agg(countDistinct(when(expr("(bits & mask) = mask"),
+              col("word"))).as("ok"),
+            countDistinct(col("word")).as("present"))
           .filter(col("ok") === col("n_words") &&
             col("present") === col("n_words"))
           .select("file").distinct()
