@@ -763,6 +763,38 @@ object DeltaLog {
     case _ => false
   }
 
+  /** The ONE mapping annotator (three writers used to carry private
+    * copies, and the copies drifted into a real bug — the evolve
+    * path's deterministic name minting): annotate `dt` recursively
+    * with `delta.columnMapping.id`s numbered depth-first from
+    * `startId + 1` and physical names from `mint(path)`, descending
+    * into array elements and map values. Returns the annotated type
+    * and the LAST id used (the new maxColumnId currency). */
+  private def annotateMapped(dt: DataType, startId: Long,
+      mint: String => String): (DataType, Long) = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    var nextId = startId
+    def go(dt: DataType, path: String): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        nextId += 1
+        val id = nextId
+        val inner = go(f.dataType, s"$path.${f.name}")
+        f.copy(dataType = inner, metadata = new MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName",
+            mint(s"$path.${f.name}"))
+          .build())
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = go(a.elementType, s"$path.element"))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = go(m.valueType, s"$path.value"))
+      case other => other
+    }
+    (go(dt, ""), nextId)
+  }
+
   /** A struct under a map KEY anywhere in the type? Refused at
     * creation AND replay under mapping (no lambda can rebuild map
     * keys positionally). */
@@ -1928,34 +1960,15 @@ object DeltaLog {
     // rather than minting a table every subsequent read refuses
     require(!df.schema.fields.exists(f => mapKeyStruct(f.dataType)),
       "structs under map KEYS with column mapping are out of scope")
-    import org.apache.spark.sql.types.MetadataBuilder
-    def physOf(path: String): String =
-      s"col-${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}"
-    // annotate RECURSIVELY: every nested struct field gets its own
-    // id and physicalName (the spec's shape; ids number depth-first)
-    var nextId = 0L
-    def annotate(dt: DataType, path: String): DataType = dt match {
-      case s: StructType => StructType(s.fields.map { f =>
-        nextId += 1
-        val id = nextId
-        val inner = annotate(f.dataType, s"$path.${f.name}")
-        f.copy(dataType = inner, metadata = new MetadataBuilder()
-          .withMetadata(f.metadata)
-          .putLong("delta.columnMapping.id", id)
-          .putString("delta.columnMapping.physicalName",
-            physOf(s"$path.${f.name}"))
-          .build())
-      })
-      // structs INSIDE arrays / map values get their own ids and
-      // physicalNames too (replay validates them recursively)
-      case a: org.apache.spark.sql.types.ArrayType =>
-        a.copy(elementType = annotate(a.elementType, s"$path.element"))
-      case m: org.apache.spark.sql.types.MapType =>
-        m.copy(valueType = annotate(m.valueType, s"$path.value"))
-      case other => other
-    }
-    val mappedSchema =
-      annotate(df.schema, "").asInstanceOf[StructType]
+    // annotate RECURSIVELY via the shared [[annotateMapped]]: every
+    // nested field (arrays / map values included) gets its own id
+    // and physicalName; ids number depth-first. Deterministic
+    // path-derived names are safe at CREATION only — evolve mints
+    // random (see mappedEvolution's collision note).
+    val (annotated, maxId) = annotateMapped(df.schema, 0L, path =>
+      s"col-${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}")
+    val mappedSchema = annotated.asInstanceOf[StructType]
+    val nextId = maxId
     // write physically at every nesting level: the hoisted
     // [[physicalize]], shared with the mapped append/merge writers
     val sub = s"part-${java.util.UUID.randomUUID}"
@@ -2042,33 +2055,11 @@ object DeltaLog {
       "mode=id with nested structs is out of scope — use mode=name " +
         "(commitOverwriteMapped), whose physical-NAME resolution " +
         "survives Spark's nested schema pruning")
-    import org.apache.spark.sql.types.MetadataBuilder
-    def physOf(path: String): String =
-      s"col-${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}"
-    // annotate RECURSIVELY (round 13: nested structs under mode=id,
-    // incl. inside arrays/map values) — ids number depth-first, the
-    // same scheme as the name-mode creation writer
-    var nextId = 0L
-    def annotate(dt: DataType, path: String): DataType = dt match {
-      case s: StructType => StructType(s.fields.map { f =>
-        nextId += 1
-        val id = nextId
-        val inner = annotate(f.dataType, s"$path.${f.name}")
-        f.copy(dataType = inner, metadata = new MetadataBuilder()
-          .withMetadata(f.metadata)
-          .putLong("delta.columnMapping.id", id)
-          .putString("delta.columnMapping.physicalName",
-            physOf(s"$path.${f.name}"))
-          .build())
-      })
-      case a: org.apache.spark.sql.types.ArrayType =>
-        a.copy(elementType = annotate(a.elementType, s"$path.element"))
-      case m: org.apache.spark.sql.types.MapType =>
-        m.copy(valueType = annotate(m.valueType, s"$path.value"))
-      case other => other
-    }
-    val mappedSchema =
-      annotate(df.schema, "").asInstanceOf[StructType]
+    // ids number depth-first via the shared [[annotateMapped]] —
+    // the same scheme as the name-mode creation writer
+    val (annotated, nextId) = annotateMapped(df.schema, 0L, path =>
+      s"col-${java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8"))}")
+    val mappedSchema = annotated.asInstanceOf[StructType]
     val sub = s"part-${java.util.UUID.randomUUID}"
     // physical names + parquet field ids: the `.as(name, metadata)`
     // alias spelling is the one whose ids reliably reach the parquet
@@ -2079,7 +2070,7 @@ object DeltaLog {
       "spark.sql.parquet.fieldId.write.enabled", "true")
     df.select(mappedSchema.fields.toSeq.map(f =>
         physicalize(col(f.name), f).as(physFieldName(f),
-          new MetadataBuilder()
+          new org.apache.spark.sql.types.MetadataBuilder()
             .putLong("parquet.field.id",
               f.metadata.getLong("delta.columnMapping.id"))
             .build())): _*)
@@ -3830,39 +3821,22 @@ object DeltaLog {
     // Delta evolution contract. Old physical files lack the new
     // physical column and null-fill on read, both modes.
     def mappedEvolution(st: State): (StructType, Map[String, String]) = {
-      import org.apache.spark.sql.types.MetadataBuilder
       var nextId = st.configuration
         .get("delta.columnMapping.maxColumnId")
         .map(_.toLong).getOrElse(0L)
-      def annotate(dt: DataType, path: String): DataType = dt match {
-        case s: StructType => StructType(s.fields.map { f =>
-          nextId += 1
-          val id = nextId
-          val inner = annotate(f.dataType, s"$path.${f.name}")
+      val evolved = StructType(newSchema.fields.map { f =>
+        st.schema.fields.find(_.name == f.name).getOrElse {
           // RANDOM physical names, never path-derived: a rename
           // frees the logical name but keeps its physical one, so a
           // later evolve-add of the freed name would mint the SAME
           // deterministic physical name and silently resolve to the
           // renamed column's historical data (the reason Delta mints
           // random names)
-          f.copy(dataType = inner, metadata = new MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong("delta.columnMapping.id", id)
-            .putString("delta.columnMapping.physicalName",
-              s"col-${java.util.UUID.randomUUID}")
-            .build())
-        })
-        case a: org.apache.spark.sql.types.ArrayType =>
-          a.copy(elementType = annotate(a.elementType, s"$path.element"))
-        case m: org.apache.spark.sql.types.MapType =>
-          m.copy(valueType = annotate(m.valueType, s"$path.value"))
-        case other => other
-      }
-      val evolved = StructType(newSchema.fields.map { f =>
-        st.schema.fields.find(_.name == f.name).getOrElse {
-          val annotated = annotate(
-            StructType(Seq(f)), "").asInstanceOf[StructType]
-          annotated.fields.head
+          val (annotated, maxId) = annotateMapped(
+            StructType(Seq(f)), nextId,
+            _ => s"col-${java.util.UUID.randomUUID}")
+          nextId = maxId
+          annotated.asInstanceOf[StructType].fields.head
         }
       })
       (evolved,
