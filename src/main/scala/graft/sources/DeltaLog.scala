@@ -1915,10 +1915,13 @@ object DeltaLog {
   def commitOverwritePartitioned(df: DataFrame, tableDir: String,
                                  partCols: Seq[String]): Long = {
     require(partCols.nonEmpty, "partitioned commit needs partition columns")
-    val st0 = versions(tableDir) match {
-      case vs if vs.nonEmpty => Some(replay(tableDir, vs.last))
-      case _ => None
-    }
+    // the SAME spec discipline as the append writers: an overwrite
+    // declaring different partition columns would land adds whose
+    // partitionValues the unrefreshed metaData cannot reconstruct
+    // (silently NULLed partition columns); mapped tables (always
+    // unpartitioned) refuse through the same check
+    val st0 = requirePartitionSpec(tableDir, partCols,
+      "commitOverwritePartitioned")
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
     val adds = partitionedAdds(df.sparkSession, tableDir, sub, partCols,
@@ -2463,32 +2466,26 @@ object DeltaLog {
     // point-equality conjuncts on a BLOOMED column probe the bloom
     // sidecar too — a key-equality delete on an unsorted layout
     // (where min/max cannot prune) scans only files whose bloom
-    // admits the key
-    val bloomKeep: (String, AddFile) => Boolean = {
-      val vs = versions(tableDir)
-      val probes =
-        if (vs.isEmpty) Seq.empty
-        else {
-          val st0 = replay(tableDir, vs.last)
-          bloomColsOf(st0).flatMap { c =>
-            ex.eqs.get(c).collect {
-              case v: Long => c -> v
-              case v: Int => c -> v.toLong
-            }
+    // admits the key. The probe setup rides deleteWhereFiltered's
+    // OWN replayed state (one replay per delete, not two).
+    deleteWhereFiltered(spark, tableDir, _.filter(predicate),
+      pruneSetup = st0 => {
+        val probes = bloomColsOf(st0).flatMap { c =>
+          ex.eqs.get(c).collect {
+            case v: Long => c -> v
+            case v: Int => c -> v.toLong
           }
         }
-      val verdicts = probes.flatMap { case (c, v) =>
-        bloomProbe(spark, tableDir, c, Seq(v))
-      }
-      (p, _) => {
-        val b = p.substring(p.lastIndexOf('/') + 1)
-        verdicts.forall { case (bloomed, hits) =>
-          !bloomed.contains(b) || hits.contains(b)
+        val verdicts = probes.flatMap { case (c, v) =>
+          bloomProbe(spark, tableDir, c, Seq(v))
         }
-      }
-    }
-    deleteWhereFiltered(spark, tableDir, _.filter(predicate),
-      prune = (st, p, a) => extractedKeep(st, ex, a) && bloomKeep(p, a))
+        (p, a) => extractedKeep(st0, ex, a) && {
+          val b = p.substring(p.lastIndexOf('/') + 1)
+          verdicts.forall { case (bloomed, hits) =>
+            !bloomed.contains(b) || hits.contains(b)
+          }
+        }
+      })
   }
 
   /** Can file `a` hold a row matching the extracted conjuncts?
@@ -2564,7 +2561,12 @@ object DeltaLog {
           partFiles(tableDir, BloomSidecarDir).isEmpty)
         (_, _) => true
       else {
-        val capped = k.limit(BloomProbeMaxKeys + 1)
+        // nulls dropped BEFORE the cap: a null key never matches the
+        // semi-join (no crash, no probe slot), and dropping it after
+        // limit() would let an over-cap key set masquerade as capped
+        // and probe with an incomplete list — wrongly pruned files
+        val capped = k.filter(k("_dw_key").isNotNull)
+          .limit(BloomProbeMaxKeys + 1)
           .collect().map(r => r.get(0) match {
             case l: Long => l
             case i: Int => i.toLong
@@ -2581,7 +2583,7 @@ object DeltaLog {
       }
     deleteWhereFiltered(spark, tableDir, d =>
       d.join(broadcast(k), d(keyCol) === k("_dw_key"), "left_semi"),
-      (st, p, a) => rangePrune(st, a) && bloomKeep(p, a))
+      st => (p, a) => rangePrune(st, a) && bloomKeep(p, a))
   }
 
   /** Test seam: data files the last delete actually scanned — the
@@ -2590,11 +2592,16 @@ object DeltaLog {
 
   private def deleteWhereFiltered(spark: SparkSession, tableDir: String,
       matchRows: DataFrame => DataFrame,
-      prune: (State, String, AddFile) => Boolean = (_, _, _) => true)
+      pruneSetup: State => (String, AddFile) => Boolean =
+        _ => (_, _) => true)
       : Long = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val st = replay(tableDir, vs.last)
+    // prune SETUP runs once against the single replay this call
+    // already pays (bloom probes, stats bounds) — callers must not
+    // re-replay the log for their own setup
+    val prune: (String, AddFile) => Boolean = pruneSetup(st)
     def resolve(p: String) =
       if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
     def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
@@ -2604,7 +2611,7 @@ object DeltaLog {
     // candidate files only — pruned files provably hold no match and
     // neither scan nor grow a deletion vector
     val candAdds: Map[String, AddFile] =
-      st.adds.filter { case (p, a) => prune(st, p, a) }
+      st.adds.filter { case (p, a) => prune(p, a) }
     lastDeleteFilesScanned = candAdds.size
     if (candAdds.isEmpty) return vs.last
     val existing: Map[String, DeletionVectors.Bitmap64] =
@@ -3821,6 +3828,20 @@ object DeltaLog {
     // Delta evolution contract. Old physical files lack the new
     // physical column and null-fill on read, both modes.
     def mappedEvolution(st: State): (StructType, Map[String, String]) = {
+      // refuse shapes REPLAY refuses before committing them — an
+      // evolve that minted a struct-under-id or map-key-struct
+      // column would brick the table (every later replay throws)
+      newSchema.fields
+        .filterNot(f => st.schema.fieldNames.contains(f.name))
+        .foreach { f =>
+          require(!mapKeyStruct(f.dataType),
+            s"evolved column ${f.name}: structs under map KEYS " +
+              "with column mapping are out of scope")
+          require(st.mappingMode == "name" || !anyStruct(f.dataType),
+            s"evolved column ${f.name}: nested structs under " +
+              "mode=id are out of scope (Spark's nested schema " +
+              "pruning drops field-id metadata)")
+        }
       var nextId = st.configuration
         .get("delta.columnMapping.maxColumnId")
         .map(_.toLong).getOrElse(0L)
@@ -4055,9 +4076,14 @@ object DeltaLog {
           partFiles(tableDir, BloomSidecarDir).isEmpty) candidates
       else {
         val c = bloomedKey.get
-        val vals = keyDf.select(col(c)).distinct()
+        // null keys filtered BEFORE the cap, not after: dropping a
+        // sampled null post-limit would undercount an over-cap key
+        // set and probe with an incomplete list (wrongly pruned
+        // files = silently unmatched merge keys)
+        val vals = keyDf.select(col(c)).filter(col(c).isNotNull)
+          .distinct()
           .limit(BloomProbeMaxKeys + 1).collect()
-          .flatMap(r => Option(r.get(0)).map {
+          .map(_.get(0) match {
             case l: Long => l
             case i: Int => i.toLong
           })

@@ -2006,6 +2006,27 @@ object Iceberg {
       removedFiles: Seq[DeltaLog.StreamFile] = Seq.empty,
       removedMaskFiles: Seq[String] = Seq.empty)
 
+  /** The scheme-normalized `file_path` targets of one position-delete
+    * parquet — driver-side Group read, O(delete-file rows), used by
+    * the overwrite planner's un-delete guard. */
+  private def posDeleteTargetPaths(deleteFile: String): Set[String] = {
+    val dr = org.apache.parquet.hadoop.ParquetReader.builder(
+      new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(deleteFile)).build()
+    val out = scala.collection.mutable.Set.empty[String]
+    try {
+      var g = dr.read()
+      while (g != null) {
+        val ft = g.getType
+        out += new String(g.getBinary(
+          ft.getFieldIndex("file_path"), 0).getBytes, "UTF-8")
+          .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+        g = dr.read()
+      }
+    } finally dr.close()
+    out.toSet
+  }
+
   private[graft] def cdfPlanBySnapshot(tableDir: String,
       fromExclusive: Long, to: Long,
       skipOverwriteSnapshots: Boolean = false): Seq[CdfSnapshot] = {
@@ -2110,6 +2131,31 @@ object Iceberg {
                 "cannot be inverted per removed file; use the batch " +
                 "table-diff reads (or skipOverwriteSnapshots)")
             def strip(p: String) = stripFileUri(p)
+            // UN-DELETE guard: an overwrite/RESTORE that drops a
+            // position-delete file while RETAINING its target data
+            // file resurrects rows — and a resurrection has no CDF
+            // spelling here (the Delta DV-shrink rule). The file-set
+            // diff below sees identical data files and would stream
+            // NOTHING, silently diverging a downstream MERGE silver.
+            // Deletes dropped alongside their target files (the
+            // compaction shape) pass — the mask machinery handles
+            // those.
+            def normU(p: String) =
+              p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+            val retainedN = cur.data.map(f => normU(f.path)).toSet
+              .intersect(parent.data.map(f => normU(f.path)).toSet)
+            val curDelN = cur.deleteFiles.map(normU).toSet
+            val droppedDel = parent.deleteFiles
+              .filterNot(d => curDelN.contains(normU(d)))
+            if (droppedDel.nonEmpty && retainedN.nonEmpty)
+              droppedDel.foreach { d =>
+                require(!posDeleteTargetPaths(strip(d))
+                    .exists(retainedN.contains),
+                  s"snapshot $id of $tableDir drops position-delete " +
+                    s"file $d targeting RETAINED data files — an " +
+                    "un-delete has no CDF spelling; use the batch " +
+                    "table-diff reads (or skipOverwriteSnapshots)")
+              }
             val curPaths = cur.data.map(f => strip(f.path)).toSet
             val parentPaths = parent.data.map(f => strip(f.path)).toSet
             def asStream(f: PlannedFile) = DeltaLog.StreamFile(

@@ -77,14 +77,18 @@ private[graft] object PruningPredicates {
         }
         lit.flatMap(l =>
           scala.util.Try(stored.trim.toLong).toOption.map(_ == l))
-      // date-partitioned tables (the 100 TB silver's usual layout):
-      // both formats store the tuple value as the ISO yyyy-MM-dd
-      // string both java.sql.Date and LocalDate print
+      // date-partitioned tables (the 100 TB silver's usual layout).
+      // PARSE the stored value rather than string-compare: a foreign
+      // writer's non-canonical spelling ("2024-1-5") must read as
+      // unprovable (None -> file kept), never as a mismatch — the
+      // superset contract the numeric branch above keeps by parsing
       case (org.apache.spark.sql.types.DateType, d: java.sql.Date) =>
-        Some(stored == d.toString)
+        scala.util.Try(java.time.LocalDate.parse(stored.trim))
+          .toOption.map(_ == d.toLocalDate)
       case (org.apache.spark.sql.types.DateType,
             d: java.time.LocalDate) =>
-        Some(stored == d.toString)
+        scala.util.Try(java.time.LocalDate.parse(stored.trim))
+          .toOption.map(_ == d)
       case _ => None // doubles/cross-type: skip pruning
     }
   }

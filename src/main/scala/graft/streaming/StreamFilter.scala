@@ -77,31 +77,53 @@ private[graft] object StreamFilter {
     * table still share an entry — callers that gate on it (q204) run
     * one query per table, which the per-table reset makes
     * explicit. */
+  /** Ranges kept LIVE per table before folding into the base sums —
+    * bounds driver memory on a long-running stream (one entry per
+    * micro-batch otherwise, unbounded over days of triggers).
+    * Replanning only ever re-submits the CURRENT batch's range, so a
+    * window this wide keeps the overwrite-not-double-count rule for
+    * every range that can actually replan. */
+  private val MaxLiveRanges = 1024
+
+  private final class TableStats {
+    private val ranges =
+      new java.util.LinkedHashMap[String, (Long, Long)]()
+    private var basePlanned = 0L
+    private var baseKept = 0L
+    def put(range: String, p: Long, k: Long): Unit = synchronized {
+      ranges.put(range, (p, k))
+      while (ranges.size > MaxLiveRanges) {
+        val it = ranges.entrySet.iterator
+        val e = it.next()
+        basePlanned += e.getValue._1
+        baseKept += e.getValue._2
+        it.remove()
+      }
+    }
+    def totals: (Long, Long) = synchronized {
+      var p = basePlanned; var k = baseKept
+      ranges.values.forEach { v => p += v._1; k += v._2 }
+      (p, k)
+    }
+  }
+
   private val planStats = scala.collection.concurrent.TrieMap
-    .empty[String, scala.collection.concurrent.TrieMap[
-      String, (Long, Long)]]
+    .empty[String, TableStats]
 
   /** Record one planInputPartitions call's counts for `table`'s
     * batch over `range` (any stable spelling of [start, end)). */
   private[graft] def record(table: String, range: String,
                             planned: Int, kept: Int): Unit =
-    planStats.getOrElseUpdate(table,
-        scala.collection.concurrent.TrieMap.empty)
-      .put(range, (planned.toLong, kept.toLong)): Unit
+    planStats.getOrElseUpdate(table, new TableStats)
+      .put(range, planned.toLong, kept.toLong)
 
   /** Clear `table`'s counts (call before the drain being measured). */
   private[graft] def reset(table: String): Unit =
     planStats.remove(table): Unit
 
   /** (planned, kept) totals for `table` since its last reset, summed
-    * over distinct batch ranges; (-1, -1) when the table never
-    * planned. */
+    * over distinct batch ranges (evicted ranges persist in the base
+    * sums); (-1, -1) when the table never planned. */
   private[graft] def statsFor(table: String): (Long, Long) =
-    planStats.get(table) match {
-      case None => (-1L, -1L)
-      case Some(m) =>
-        m.values.foldLeft((0L, 0L)) { case ((p, k), (p1, k1)) =>
-          (p + p1, k + k1)
-        }
-    }
+    planStats.get(table).map(_.totals).getOrElse((-1L, -1L))
 }

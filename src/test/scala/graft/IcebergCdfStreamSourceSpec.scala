@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.apache.spark.sql.streaming.Trigger
 
 /** `readStream.format("graft-iceberg-cdf")` — append snapshots as
-  * inserts, v2 position-delete snapshots as exactly their
+  * inserts (plus the un-delete guard spec below), v2 position-delete snapshots as exactly their
   * newly-deleted rows, refusals for the value-level shapes. */
 class IcebergCdfStreamSourceSpec extends SparkSuite {
   import spark.implicits._
@@ -56,6 +56,61 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
       .sortBy(t => (t._3, t._1)).toSeq
     assert(after == want :+ ((11L, "delete", 5L)),
       "exactly the new snapshot's delete — nothing redelivered")
+  }
+
+  test("an UN-DELETE (restore dropping pos-deletes on retained files) refuses") {
+    // snapshot 1 appends, snapshot 2 position-deletes; a FORGED
+    // snapshot 3 (foreign restore-as-overwrite: snapshot 1's
+    // manifest-list verbatim — same data files, delete file gone,
+    // parent = 2) resurrects the evens. The file-set diff sees
+    // identical data files and would stream NOTHING — the guard must
+    // refuse loudly instead of silently diverging a MERGE silver.
+    val work = Files.createTempDirectory("icdfundel").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      (1L to 6L).map(i => (i, s"s$i")).toDF("k", "s"), dir) // snap 1
+    sources.Iceberg.deleteWhere(spark, dir,
+      pmod(col("k"), lit(2L)) === 0) // snap 2
+    // forge snap 3 on top: clone the latest metadata, append a
+    // snapshot node reusing snap 1's manifest-list, advance the ref
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    val v = new String(java.nio.file.Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toInt
+    val meta = mapper.readTree(java.nio.file.Files.readAllBytes(
+        metaDir.resolve(s"v$v.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = meta.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    import scala.jdk.CollectionConverters._
+    val snap1 = snaps.elements().asScala
+      .find(_.get("snapshot-id").asLong == 1L).get
+    val forged = snaps.addObject()
+    forged.put("snapshot-id", 3L)
+    forged.put("parent-snapshot-id", 2L)
+    forged.put("sequence-number", 3L)
+    forged.put("timestamp-ms",
+      snap1.get("timestamp-ms").asLong + 2000L)
+    forged.put("manifest-list", snap1.get("manifest-list").asText)
+    forged.putObject("summary").put("operation", "overwrite")
+    meta.put("current-snapshot-id", 3L)
+    val refs = meta.get("refs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    refs.putObject("main").put("snapshot-id", 3L)
+      .put("type", "branch")
+    java.nio.file.Files.write(
+      metaDir.resolve(s"v${v + 1}.metadata.json"),
+      mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    java.nio.file.Files.write(metaDir.resolve("version-hint.text"),
+      (v + 1).toString.getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      drainTo(dir, s"$work/out", s"$work/ckpt")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("un-delete")),
+      s"expected the un-delete refusal, got: ${messages(e)}")
   }
 
   test("partitioned tables stream deletes with partition values reconstructed") {
