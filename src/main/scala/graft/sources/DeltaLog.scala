@@ -3842,9 +3842,15 @@ object DeltaLog {
               "mode=id are out of scope (Spark's nested schema " +
               "pruning drops field-id metadata)")
         }
-      var nextId = st.configuration
-        .get("delta.columnMapping.maxColumnId")
-        .map(_.toLong).getOrElse(0L)
+      // seed past BOTH the recorded maxColumnId and the schema's own
+      // max id (the renameColumnMapped discipline): a foreign mapped
+      // table with a missing/stale/garbled maxColumnId must never
+      // mint ids that collide with existing ones — id-keyed readers
+      // would silently misresolve the new column to old data
+      var nextId = math.max(maxMappedId(st.schema),
+        st.configuration.get("delta.columnMapping.maxColumnId")
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .getOrElse(0L))
       val evolved = StructType(newSchema.fields.map { f =>
         st.schema.fields.find(_.name == f.name).getOrElse {
           // RANDOM physical names, never path-derived: a rename

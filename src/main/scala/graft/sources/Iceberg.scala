@@ -2009,7 +2009,8 @@ object Iceberg {
   /** The scheme-normalized `file_path` targets of one position-delete
     * parquet — driver-side Group read, O(delete-file rows), used by
     * the overwrite planner's un-delete guard. */
-  private def posDeleteTargetPaths(deleteFile: String): Set[String] = {
+  private[graft] def posDeleteTargetPaths(
+      deleteFile: String): Set[String] = {
     val dr = org.apache.parquet.hadoop.ParquetReader.builder(
       new org.apache.parquet.hadoop.example.GroupReadSupport(),
       new org.apache.hadoop.fs.Path(deleteFile)).build()
@@ -2145,6 +2146,25 @@ object Iceberg {
             val retainedN = cur.data.map(f => normU(f.path)).toSet
               .intersect(parent.data.map(f => normU(f.path)).toSet)
             val curDelN = cur.deleteFiles.map(normU).toSet
+            // ADDED-delete guard (the inverse of the un-delete guard
+            // below): an overwrite that ADDS position/equality delete
+            // files — the shape foreign merge-on-read UPDATE/MERGE
+            // writers commit as operation=overwrite — has no spelling
+            // in a file-set diff. Retained files diff to nothing, so
+            // their new deletes would silently vanish; added files
+            // stream ALL their rows as inserts, so dead-on-arrival
+            // rows would surface. Both diverge a downstream MERGE
+            // silver — refuse loudly instead.
+            val parentDelN = parent.deleteFiles.map(normU).toSet
+            val addedDel = cur.deleteFiles
+              .filterNot(d => parentDelN.contains(normU(d)))
+            require(addedDel.isEmpty && cur.eqDeletes.isEmpty,
+              s"snapshot $id of $tableDir ADDS delete files " +
+                s"(${addedDel.size} positional, " +
+                s"${cur.eqDeletes.size} equality) in an overwrite — " +
+                "row-level deletes inside a file-replacement commit " +
+                "have no CDF spelling; use the batch table-diff " +
+                "reads (or skipOverwriteSnapshots)")
             val droppedDel = parent.deleteFiles
               .filterNot(d => curDelN.contains(normU(d)))
             if (droppedDel.nonEmpty && retainedN.nonEmpty)

@@ -144,11 +144,15 @@ private class DeltaCdfMicroBatchStream(schema: StructType,
       VersionOffset(DeltaLog.versions(tableDir).last)
     case Some(v) =>
       // ^-?\d+$ — a lone leading minus only; '5-3' or '--' must hit
-      // the descriptive message, not a raw NumberFormatException
-      require(v.matches("-?\\d+"),
+      // the descriptive message, not a raw NumberFormatException —
+      // and so must a digit string wider than Long (the regex alone
+      // still lets toLong throw raw)
+      val parsed = scala.util.Try(v.toLong).toOption
+        .filter(_ => v.matches("-?\\d+"))
+      require(parsed.isDefined,
         s"graft-delta-cdf: startingVersion must be a version number " +
           s"or 'latest', got '$v'")
-      VersionOffset(v.toLong - 1)
+      VersionOffset(parsed.get - 1)
     case None => VersionOffset(-1L)
   }
 

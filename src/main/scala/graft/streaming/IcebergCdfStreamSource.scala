@@ -222,9 +222,26 @@ private class IcebergCdfMicroBatchStream(schema: StructType,
         // pos-delete rows are read OUT of the data files — each
         // file's manifest partition tuple rides along so stripped
         // identity-partitioned files reconstruct their columns
-        snap.posDeleteFiles.map(d =>
+        snap.posDeleteFiles.map { d =>
+          // thread only the TARGET files' tuples into each task:
+          // dataTuples holds EVERY live file's tuple at the
+          // snapshot, so shipping it whole makes the per-task
+          // payload O(table-file-count) instead of O(files this
+          // delete file touches). One driver-side O(delete-rows)
+          // read per delete file — the same class of work the
+          // executor repeats for the rows themselves.
+          val tuples =
+            if (snap.dataTuples.isEmpty) snap.dataTuples
+            else {
+              def norm(p: String) = p.replaceFirst(
+                "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+              val targets = Iceberg.posDeleteTargetPaths(d)
+              snap.dataTuples.filter { case (k, _) =>
+                targets.contains(norm(k)) }
+            }
           IcebergPosDeletePartition(d, deleteConsts,
-            snap.dataTuples): InputPartition) ++
+            tuples): InputPartition
+        } ++
         // an EQUALITY-delete file is itself a parquet of the doomed
         // KEY VALUES — it rides the plain row reader, whose
         // name-resolution null-fills the non-key columns: one

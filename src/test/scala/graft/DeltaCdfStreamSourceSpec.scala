@@ -24,6 +24,30 @@ class DeltaCdfStreamSourceSpec extends SparkSuite {
     q.awaitTermination()
   }
 
+  test("malformed startingVersion refuses descriptively, overflow included") {
+    val work = Files.createTempDirectory("cdfstartv").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      Seq((1L, "a")).toDF("k", "s"), dir)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // '5-3' fails the regex; a 25-digit string PASSES the regex but
+    // overflows Long — both must hit the descriptive message, never
+    // a raw NumberFormatException
+    Seq("5-3", "9" * 25).foreach { bad =>
+      val e = intercept[Exception] {
+        drainTo(dir, s"$work/out-$bad".take(60),
+          s"$work/ckpt-$bad".take(60),
+          Map("startingVersion" -> bad))
+      }
+      assert(messages(e).exists(
+        _.contains("startingVersion must be a version number")),
+        s"for '$bad' expected the descriptive refusal, " +
+          s"got: ${messages(e)}")
+    }
+  }
+
   test("streamed CDF rows equal the batch readChanges row-for-row") {
     val work = Files.createTempDirectory("cdfstream").toString
     val dir = s"$work/t"

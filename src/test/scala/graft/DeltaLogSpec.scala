@@ -2351,6 +2351,46 @@ class DeltaLogSpec extends SparkSuite {
       evolvedRead.count())
   }
 
+  test("mapped evolveSchema survives a stale or garbled maxColumnId") {
+    // a FOREIGN mapped table can carry a maxColumnId below its
+    // actually-assigned ids (or plain garbage): minting from the
+    // config alone would hand out ids that COLLIDE with existing
+    // ones and id-keyed readers silently misresolve. The seed must
+    // be max(schema's own max id, Try(config)).
+    val dir = Files.createTempDirectory("dlogstale").toString + "/t"
+    val df = (1L to 3L).map(i => (i, s"s$i")).toDF("k", "s")
+    sources.DeltaLog.commitOverwriteMapped(df, dir)
+    val st0 = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last)
+    val assigned = sources.DeltaLog.maxMappedId(st0.schema)
+    // forge a STALE counter (0) — the foreign-writer failure mode
+    sources.DeltaLog.setTableProperties(dir,
+      Map("delta.columnMapping.maxColumnId" -> "0"))
+    sources.DeltaLog.evolveSchema(dir,
+      org.apache.spark.sql.types.StructType(st0.schema.fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType)))
+    val st1 = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last)
+    val extraId = st1.schema("extra").metadata
+      .getLong("delta.columnMapping.id")
+    assert(extraId > assigned,
+      s"id $extraId minted under a stale counter collides with " +
+        s"assigned ids <= $assigned")
+    // and a NON-NUMERIC counter degrades to the schema seed instead
+    // of a raw NumberFormatException
+    sources.DeltaLog.setTableProperties(dir,
+      Map("delta.columnMapping.maxColumnId" -> "not-a-number"))
+    sources.DeltaLog.evolveSchema(dir,
+      org.apache.spark.sql.types.StructType(st1.schema.fields :+
+        org.apache.spark.sql.types.StructField("extra2",
+          org.apache.spark.sql.types.LongType)))
+    val st2 = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last)
+    assert(st2.schema("extra2").metadata
+      .getLong("delta.columnMapping.id") > extraId)
+  }
+
   test("q188 gate shape: DV x mapping composes, files unrewritten; id mode too") {
     val got = sources.DeltaLog.deltaMappedDvRead(spark, sfDir)
     val orders = Tables.load(spark, sfDir, "orders")

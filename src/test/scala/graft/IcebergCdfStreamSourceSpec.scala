@@ -11,9 +11,13 @@ import org.apache.spark.sql.streaming.Trigger
 class IcebergCdfStreamSourceSpec extends SparkSuite {
   import spark.implicits._
 
-  private def drainTo(dir: String, out: String, ckpt: String): Unit = {
-    val q = spark.readStream.format("graft-iceberg-cdf")
-      .option("path", dir).load()
+  private def drainTo(dir: String, out: String, ckpt: String,
+      startingSnapshotId: Option[Long] = None): Unit = {
+    val r0 = spark.readStream.format("graft-iceberg-cdf")
+      .option("path", dir)
+    val q = startingSnapshotId
+      .fold(r0)(s => r0.option("startingSnapshotId", s.toString))
+      .load()
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
@@ -111,6 +115,64 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("un-delete")),
       s"expected the un-delete refusal, got: ${messages(e)}")
+  }
+
+  test("an overwrite ADDING delete files on retained data refuses") {
+    // snapshot 1 appends; snapshot 2 position-deletes. A FORGED
+    // snapshot 3 replays snapshot 2's state as operation=overwrite
+    // with parent = 1 — the shape a foreign merge-on-read
+    // UPDATE/MERGE writer commits: retained data files plus NEW
+    // delete files. The file-set diff sees identical data files and
+    // would stream NOTHING for the new deletes — the guard must
+    // refuse loudly instead of silently dropping them from the feed.
+    val work = Files.createTempDirectory("icdfadddel").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      (1L to 6L).map(i => (i, s"s$i")).toDF("k", "s"), dir) // snap 1
+    sources.Iceberg.deleteWhere(spark, dir,
+      pmod(col("k"), lit(2L)) === 0) // snap 2: adds a pos-delete file
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    val v = new String(java.nio.file.Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toInt
+    val meta = mapper.readTree(java.nio.file.Files.readAllBytes(
+        metaDir.resolve(s"v$v.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = meta.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    import scala.jdk.CollectionConverters._
+    val snap2 = snaps.elements().asScala
+      .find(_.get("snapshot-id").asLong == 2L).get
+    val forged = snaps.addObject()
+    forged.put("snapshot-id", 3L)
+    forged.put("parent-snapshot-id", 1L)
+    forged.put("sequence-number", 3L)
+    forged.put("timestamp-ms",
+      snap2.get("timestamp-ms").asLong + 2000L)
+    forged.put("manifest-list", snap2.get("manifest-list").asText)
+    forged.putObject("summary").put("operation", "overwrite")
+    meta.put("current-snapshot-id", 3L)
+    val refs = meta.get("refs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    refs.putObject("main").put("snapshot-id", 3L)
+      .put("type", "branch")
+    java.nio.file.Files.write(
+      metaDir.resolve(s"v${v + 1}.metadata.json"),
+      mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    java.nio.file.Files.write(metaDir.resolve("version-hint.text"),
+      (v + 1).toString.getBytes("UTF-8"))
+    // start the stream AFTER snapshot 1 so only the forged overwrite
+    // is in range (snapshot 2's honest delete would otherwise drain
+    // first and fail the assertion on the wrong arm)
+    val e = intercept[Exception] {
+      drainTo(dir, s"$work/out", s"$work/ckpt",
+        startingSnapshotId = Some(1L))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("ADDS delete files")),
+      s"expected the added-delete refusal, got: ${messages(e)}")
   }
 
   test("partitioned tables stream deletes with partition values reconstructed") {
