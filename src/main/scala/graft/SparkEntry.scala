@@ -544,7 +544,13 @@ object SparkEntry {
     // the SAME mapped cdc history through the STREAMING CDF source:
     // stream ≡ batch ≡ oracle, rename included
     "q212_delta_mapped_cdf_stream"
-      -> (sources.DeltaLog.deltaMappedCdcStream _)
+      -> (sources.DeltaLog.deltaMappedCdcStream _),
+    // the full write lifecycle (overwrite/append/MERGE/DV-delete/
+    // checkpoint) committed under OBJECT-STORE semantics — the
+    // conditional-put LogStore, no hard links, no atomic rename;
+    // in-fixture requires pin the routing (zero posix claims)
+    "q213_condput_lifecycle"
+      -> (sources.DeltaLog.condPutLifecycleRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -801,6 +807,8 @@ object SparkEntry {
     "q211_delta_mapped_cdc"
       -> sources.DeltaLog.deltaMappedCdcFeedSql,
     "q212_delta_mapped_cdf_stream"
-      -> sources.DeltaLog.deltaMappedCdcFeedSql
+      -> sources.DeltaLog.deltaMappedCdcFeedSql,
+    "q213_condput_lifecycle"
+      -> sources.DeltaLog.condPutLifecycleReadSql
   )
 }

@@ -196,6 +196,30 @@ object DeltaLog {
   @volatile private[graft] var commitClaimHook: (String, Long) => Unit =
     (_, _) => ()
 
+  /** One `add` action node → (path, [[AddFile]]) — shared by the
+    * [[Replayer]] and the row-level conflict checker's winner walk. */
+  private def parseAddNode(a: JsonNode): (String, AddFile) = {
+    val pv =
+      if (a.has("partitionValues"))
+        a.get("partitionValues").properties().asScala
+          // JSON null is the spec's encoding of a NULL partition
+          // value — asText would stringify it to "null"
+          .map(e => e.getKey ->
+            (if (e.getValue.isNull) null else e.getValue.asText))
+          .toMap
+      else Map.empty[String, String]
+    val size = if (a.has("size")) a.get("size").asLong else 0L
+    val stats =
+      if (a.has("stats") && !a.get("stats").isNull)
+        Some(a.get("stats").asText)
+      else None
+    val dv =
+      if (a.has("deletionVector") && !a.get("deletionVector").isNull)
+        Some(parseDvNode(a.get("deletionVector")))
+      else None
+    a.get("path").asText -> AddFile(pv, size, stats, dv)
+  }
+
   private class Replayer {
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
@@ -249,26 +273,8 @@ object DeltaLog {
           configuration.getOrElse("delta.columnMapping.mode", "none")
       }
       if (node.has("add")) {
-        val a = node.get("add")
-        val pv =
-          if (a.has("partitionValues"))
-            a.get("partitionValues").properties().asScala
-              // JSON null is the spec's encoding of a NULL partition
-              // value — asText would stringify it to "null"
-              .map(e => e.getKey ->
-                (if (e.getValue.isNull) null else e.getValue.asText))
-              .toMap
-          else Map.empty[String, String]
-        val size = if (a.has("size")) a.get("size").asLong else 0L
-        val stats =
-          if (a.has("stats") && !a.get("stats").isNull)
-            Some(a.get("stats").asText)
-          else None
-        val dv =
-          if (a.has("deletionVector") && !a.get("deletionVector").isNull)
-            Some(parseDvNode(a.get("deletionVector")))
-          else None
-        adds.put(a.get("path").asText, AddFile(pv, size, stats, dv))
+        val (p, a) = parseAddNode(node.get("add"))
+        adds.put(p, a)
       }
       if (node.has("remove"))
         adds.remove(node.get("remove").get("path").asText)
@@ -1085,11 +1091,11 @@ object DeltaLog {
     val lc = mapper.createObjectNode()
     lc.put("version", v).put("size", rows.size.toLong)
     lcShape.parts.foreach(lc.put("parts", _))
-    val tmpLc = Files.createTempFile(
-      Paths.get(logDir(tableDir)), "._last_checkpoint-", ".tmp")
-    Files.write(tmpLc, mapper.writeValueAsString(lc).getBytes("UTF-8"))
-    Files.move(tmpLc, Paths.get(logDir(tableDir), "_last_checkpoint"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // advisory pointer — a checkpoint only ever ACCELERATES replay,
+    // so the store-appropriate whole-object replace is enough
+    LogStore.current.putPointer(
+      Paths.get(logDir(tableDir), "_last_checkpoint"),
+      mapper.writeValueAsString(lc).getBytes("UTF-8"))
     v
   }
 
@@ -1194,23 +1200,17 @@ object DeltaLog {
   // ---------------------------------------------------------------
 
   /** Publish commit `v`. Returns false if another writer claimed `v`
-    * first — the open protocol's put-if-absent commit CAS (what Delta
-    * does on an object store with conditional PUT). The claim is
-    * `Files.createLink` FROM the fully-written tmp: atomic
-    * create-if-absent AND the published file carries complete content
-    * in the same instant — a rename (ATOMIC_MOVE) would silently
-    * REPLACE an existing commit on POSIX, letting two racers clobber
-    * each other; a claim-then-fill would expose an empty commit to
-    * readers. A crashed writer leaves only a dot-tmp the version
-    * listing never sees.
-    *
-    * REQUIRES hard-link support on `_delta_log`'s filesystem (every
-    * POSIX local/NFS filesystem; not FAT/exFAT or some fuse mounts).
-    * There is deliberately NO copy fallback — sibling paths
-    * (Staging.linkInto, exportSnapshots) copy because a lost link
-    * only costs bytes there; here a non-atomic publish would break
-    * the CAS that the whole commit protocol rests on. An unsupported
-    * filesystem fails loudly with the limitation named. */
+    * first — the open protocol's put-if-absent commit CAS, routed
+    * through [[LogStore.current]]: hard-link CAS on POSIX
+    * ([[PosixLogStore]] — atomic create-if-absent whose published
+    * name carries complete content in the same instant; a rename
+    * would silently REPLACE an existing commit, a claim-then-fill
+    * would expose an empty one), conditional PUT on object stores
+    * ([[ConditionalPutStore]] — what real Delta does on S3). A
+    * crashed writer leaves only a dot-tmp the version listing never
+    * sees. Sibling paths (Staging.linkInto, exportSnapshots) copy
+    * instead because a lost link only costs bytes there; here the
+    * claim IS the commit point. */
   private[graft] def writeActions(tableDir: String, v: Long,
                            actions: Seq[ObjectNode]): Boolean = {
     Files.createDirectories(Paths.get(logDir(tableDir)))
@@ -1231,17 +1231,7 @@ object DeltaLog {
     Files.write(tmp,
       stamped.map(mapper.writeValueAsString).mkString("", "\n", "\n")
         .getBytes("UTF-8"))
-    try { Files.createLink(commitFile(tableDir, v).toPath, tmp); true }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case e @ (_: UnsupportedOperationException | _: java.io.IOException) =>
-        throw new java.io.IOException(
-          s"cannot publish Delta commit $v under ${logDir(tableDir)}: " +
-            "the filesystem does not support hard links, which this " +
-            "writer requires for its atomic put-if-absent commit CAS " +
-            "(no copy fallback — a copy could not be atomic)", e)
-    }
-    finally Files.deleteIfExists(tmp)
+    LogStore.current.claimVersion(commitFile(tableDir, v).toPath, tmp)
   }
 
   private def protocolAction(minReader: Int = 1,
@@ -2712,10 +2702,11 @@ object DeltaLog {
             addAction(p, a.size, a.partitionValues, dataChange = true,
               a.stats, Some(descs(p))))
         }) ++ cdcActs
-      require(writeActions(tableDir, vs.last + 1, actions),
-        s"concurrent writer claimed version ${vs.last + 1} during " +
-          "delete — re-run against the new state")
-      vs.last + 1
+      // conflict-proving commit (the merge discipline): a winner
+      // provably holding no row this delete matches — the op's own
+      // prune predicate, superset contract — retries internally
+      commitRowOp(tableDir, vs.last, actions,
+        newDvs.map(_._1).toSet, prune, "delete")
     } finally if (cdfOn) matched.unpersist(): Unit
   }
 
@@ -3401,6 +3392,57 @@ object DeltaLog {
       |  ORDER BY o_orderkey LIMIT 8)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Session-cached CONDITIONAL-PUT lifecycle fixture (q213): the
+    * full writer surface — overwrite, append, MERGE INTO, row-level
+    * delete, checkpoint — committed with
+    * [[ConditionalPutStore]] active, i.e. under OBJECT-STORE commit
+    * semantics (no hard links, no atomic rename, put-if-absent only:
+    * the S3/MinIO storage the reference's lake lives on,
+    * docker-compose.yml:146-149). The builder `require`s the routing:
+    * every claim went through the conditional-put store and ZERO
+    * through the posix CAS — a silent fallback to links would pass
+    * the data check while breaking on a real object store. */
+  private[graft] def condPutLifecycleTable(spark: SparkSession,
+                                           dir: String): String =
+    cachedTable(spark, dir, "condput") { (o, t) =>
+      val posixBefore = PosixLogStore.claimsAttempted.get
+      val condBefore = ConditionalPutStore.claimsAttempted.get
+      LogStore.withStore(ConditionalPutStore) {
+        commitOverwrite(o.filter(col("o_orderkey") % 2 === 0), t)
+        commitAppend(o.filter(col("o_orderkey") % 2 === 1), t)
+        mergeInto(spark, t,
+          o.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("o_orderpriority", lit("MERGED")),
+          Seq("o_orderkey"))
+        deleteWhere(spark, t, col("o_orderkey") % 10 === 7)
+        checkpoint(spark, t) // _last_checkpoint rides putPointer
+      }
+      require(ConditionalPutStore.claimsAttempted.get >= condBefore + 4,
+        "the lifecycle's four commits must claim through the " +
+          "conditional-put store")
+      require(PosixLogStore.claimsAttempted.get == posixBefore,
+        "no commit may fall back to the posix hard-link CAS while " +
+          "the conditional-put store is active")
+    }
+
+  /** q213 — the q155/q172 write algebra through the OBJECT-STORE
+    * commit protocol: overwrite + append + MERGE + DV delete +
+    * checkpoint, all claimed via conditional PUT ([[LogStore]]), then
+    * read back through the ordinary replay path (which never cares
+    * which store published the commits — the log is the log). */
+  def condPutLifecycleRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, condPutLifecycleTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val condPutLifecycleReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'MERGED'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey % 10 <> 7
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Session-cached CDC-WIRE source table (the q206 feed): v0 = full
     * orders (the initial snapshot), v1 = an APPEND of the update
     * batch (status-'F' %3 keys re-emitted with priority 'MERGED' —
@@ -3960,6 +4002,103 @@ object DeltaLog {
                 source: DataFrame, keys: Seq[String]): Long =
     mergeInto(spark, tableDir, source, keys, None)
 
+  /** Internal retries taken by row-level ops after proving a racing
+    * winner DISJOINT — the seam the conflict-proving specs pin. */
+  private[graft] val rowOpConflictRetries =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** The real-Delta ConflictChecker discipline for a ROW-LEVEL op
+    * that lost its commit CAS: walk every winner commit in
+    * `(base, head]` and prove it disjoint from this op's footprint —
+    * then the op's already-computed actions are still correct at the
+    * new head and the caller may retry INTERNALLY instead of
+    * aborting to the user. Throws the loud abort when any winner
+    * cannot be proven disjoint. A winner is disjoint when:
+    *
+    *  - it carries no `metaData` (schema/partitioning/properties
+    *    could invalidate anything) and any `protocol` it carries is
+    *    one this reader still speaks (this engine's row-level
+    *    commits upgrade protocol monotonically — two disjoint
+    *    DV-deletes racing both carry the same v3 upgrade);
+    *  - none of its `remove` paths intersect `ourRemoves` — the
+    *    files THIS op rewrites (a shared file is a write-write
+    *    conflict: one of the two rewrites is stale);
+    *  - every `add` with dataChange=true provably holds no row this
+    *    op could match (`couldMatch` — the op's own partition-tuple
+    *    + stats pruning predicate, superset contract: unknown means
+    *    conflict). dataChange=false adds (OPTIMIZE rearrangements)
+    *    carry only rows that already existed at our base — they
+    *    cannot change a match decision, and a compaction touching
+    *    our files is already caught by the remove check. */
+  private def requireWinnersDisjoint(tableDir: String, base: Long,
+      head: Long, ourRemoves: Set[String],
+      couldMatch: (String, AddFile) => Boolean, op: String): Unit =
+    ((base + 1) to head).foreach { w =>
+      val nodes = Files.readAllLines(commitFile(tableDir, w).toPath)
+        .asScala.filter(_.nonEmpty).map(mapper.readTree)
+      nodes.foreach { n =>
+        require(!n.has("metaData"),
+          s"concurrent writer committed a metadata change at v$w " +
+            s"during $op — recompute against the new state and re-run")
+        if (n.has("protocol")) {
+          val p = n.get("protocol")
+          val feats =
+            if (p.has("readerFeatures"))
+              p.get("readerFeatures").elements().asScala
+                .map(_.asText).toSet
+            else Set.empty[String]
+          require(p.get("minReaderVersion").asInt <= 3 &&
+              (feats -- SupportedReaderFeatures).isEmpty,
+            s"concurrent writer committed an unsupported protocol " +
+              s"change at v$w during $op — recompute against the " +
+              "new state and re-run")
+        }
+        if (n.has("remove")) {
+          val rp = n.get("remove").get("path").asText
+          require(!ourRemoves.contains(rp),
+            s"concurrent writer at v$w rewrote $rp, which this $op " +
+              "also rewrites — recompute against the new state and " +
+              "re-run")
+        }
+        if (n.has("add")) {
+          val dataChange = !n.get("add").has("dataChange") ||
+            n.get("add").get("dataChange").asBoolean(true)
+          if (dataChange) {
+            val (ap, a) = parseAddNode(n.get("add"))
+            require(!couldMatch(ap, a),
+              s"concurrent writer at v$w added $ap, which may hold " +
+                s"rows this $op matches — recompute against the new " +
+                "state and re-run")
+          }
+        }
+      }
+    }
+
+  /** Commit-with-conflict-proving: attempt `actions` at head+1; on a
+    * lost CAS, prove the winners disjoint ([[requireWinnersDisjoint]]
+    * — throws the loud abort otherwise) and retry at the new head.
+    * Returns the committed version. Shared by [[mergeInto]] and the
+    * DV-delete commit. */
+  private def commitRowOp(tableDir: String, base: Long,
+      actions: Seq[ObjectNode], ourRemoves: Set[String],
+      couldMatch: (String, AddFile) => Boolean, op: String): Long = {
+    var checked = base
+    var committed = -1L
+    while (committed < 0) {
+      val head = versions(tableDir).last
+      if (head > checked) {
+        requireWinnersDisjoint(tableDir, checked, head, ourRemoves,
+          couldMatch, op)
+        checked = head
+        rowOpConflictRetries.incrementAndGet()
+      }
+      commitClaimHook(tableDir, head + 1)
+      if (writeActions(tableDir, head + 1, actions)) committed = head + 1
+      else commitCasRetries.incrementAndGet()
+    }
+    committed
+  }
+
   /** [[mergeInto]] with an optional `whenMatchedDelete` arm: source
     * rows satisfying the predicate are TOMBSTONES — their matched
     * target rows are deleted and the tombstone itself is never
@@ -4016,25 +4155,30 @@ object DeltaLog {
     // set is one tiny distinct over the broadcast-small source; a
     // source spanning >10k tuples skips the prune (it would match
     // most of the table anyway).
-    val candidates0: Map[String, AddFile] =
-      if (partCols.isEmpty || !partCols.forall(keys.contains)) st.adds
+    val srcTuples: Option[Array[Row]] =
+      if (partCols.isEmpty || !partCols.forall(keys.contains)) None
       else {
         val tuples = source.select(partCols.map(col): _*)
           .dropDuplicates().limit(10001).collect()
-        if (tuples.length > 10000) st.adds
-        else st.adds.filter { case (_, a) =>
-          tuples.exists { t =>
-            partCols.zipWithIndex.forall { case (c, i) =>
-              val stored = a.partitionValues.get(c).orNull
-              val v = t.get(i)
-              if (v == null) stored == null
-              else PruningPredicates
-                .eqMatches(st.schema(c).dataType, stored, v)
-                .getOrElse(true)
-            }
+        if (tuples.length > 10000) None else Some(tuples)
+      }
+    def partCouldMatch(a: AddFile): Boolean = srcTuples match {
+      case None => true
+      case Some(tuples) =>
+        tuples.exists { t =>
+          partCols.zipWithIndex.forall { case (c, i) =>
+            val stored = a.partitionValues.get(c).orNull
+            val v = t.get(i)
+            if (v == null) stored == null
+            else PruningPredicates
+              .eqMatches(st.schema(c).dataType, stored, v)
+              .getOrElse(true)
           }
         }
-      }
+    }
+    val candidates0: Map[String, AddFile] =
+      if (srcTuples.isEmpty) st.adds
+      else st.adds.filter { case (_, a) => partCouldMatch(a) }
     lastMergeFilesTotal = candidates0.size
     // STATS BOUND: source-key [min,max] vs each add's recorded
     // bounds — files that provably miss every source key are never
@@ -4046,30 +4190,32 @@ object DeltaLog {
         case _ => false
       }
     }
-    val candidates: Map[String, AddFile] =
-      if (longKeys.isEmpty || candidates0.isEmpty) candidates0
+    val ranges: Seq[(String, Long, Long)] =
+      if (longKeys.isEmpty || candidates0.isEmpty) Seq.empty
       else {
         import org.apache.spark.sql.functions.{max, min}
         val aggs = longKeys.flatMap(c => Seq(
           min(col(c).cast("long")), max(col(c).cast("long"))))
         val mm = keyDf.agg(aggs.head, aggs.tail: _*).collect().head
-        val ranges: Seq[(String, Long, Long)] =
-          longKeys.zipWithIndex.flatMap { case (c, i) =>
-            if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1)) None
-            else Some((c, mm.getLong(2 * i), mm.getLong(2 * i + 1)))
-          }
-        candidates0.filter { case (_, a) =>
-          val b = a.longBounds
-          ranges.forall { case (c, lo, hi) =>
-            // mapped tables key add.stats by PHYSICAL name (the
-            // stats job reads the files); resolve the logical key
-            b.get(st.columnMapping.getOrElse(c, c)) match {
-              case Some((mn, mx)) => mn <= hi && mx >= lo
-              case None => true
-            }
-          }
+        longKeys.zipWithIndex.flatMap { case (c, i) =>
+          if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1)) None
+          else Some((c, mm.getLong(2 * i), mm.getLong(2 * i + 1)))
         }
       }
+    def statsCouldMatch(a: AddFile): Boolean = {
+      val b = a.longBounds
+      ranges.forall { case (c, lo, hi) =>
+        // mapped tables key add.stats by PHYSICAL name (the
+        // stats job reads the files); resolve the logical key
+        b.get(st.columnMapping.getOrElse(c, c)) match {
+          case Some((mn, mx)) => mn <= hi && mx >= lo
+          case None => true
+        }
+      }
+    }
+    val candidates: Map[String, AddFile] =
+      if (ranges.isEmpty) candidates0
+      else candidates0.filter { case (_, a) => statsCouldMatch(a) }
     // BLOOM BOUND: when any merge key is a bloomed column, the
     // sidecar probe drops candidates no source key can hit —
     // probing ONE key column is sound for composite keys (a file
@@ -4223,11 +4369,16 @@ object DeltaLog {
           else physicalRows(changes, st),
           tableDir, partCols)
       }
-    require(writeActions(tableDir, vs.last + 1,
-      touched.map(p => removeAction(p)) ++ adds ++ cdc),
-      s"concurrent writer claimed version ${vs.last + 1} during merge " +
-        "— the pruning decision is stale; re-run against the new state")
-    vs.last + 1
+    // conflict-proving commit: a lost CAS re-reads the winners and
+    // retries INTERNALLY when provably disjoint (different
+    // partitions / non-intersecting key ranges / rearrangement-only
+    // commits) — partition-disjoint CDC writers no longer serialize
+    // through caller retries; a genuinely conflicting winner still
+    // aborts loudly
+    commitRowOp(tableDir, vs.last,
+      touched.map(p => removeAction(p)) ++ adds ++ cdc,
+      touched.toSet,
+      (_, a) => partCouldMatch(a) && statsCouldMatch(a), "merge")
   }
 
   // ---------------------------------------------------------------

@@ -1564,13 +1564,14 @@ object Iceberg {
     math.max(prevMax + 1, System.currentTimeMillis())
   }
 
-  /** Publish metadata version `v`: tmp + hard-link CAS like the Delta
-    * commit (metadata files are immutable — the LINK is the commit
-    * point; losing it means another writer owns vN and this attempt
-    * changed nothing). Returns whether the CAS won; only a WIN moves
-    * the advisory version-hint, and [[currentVersion]] takes
-    * max(hint, disk) so a crash inside the hint window (or a loser's
-    * stale hint) can never hide a committed version. */
+  /** Publish metadata version `v`: tmp + put-if-absent CAS through
+    * [[LogStore.current]], like the Delta commit (metadata files are
+    * immutable — the CLAIM is the commit point; losing it means
+    * another writer owns vN and this attempt changed nothing).
+    * Returns whether the CAS won; only a WIN moves the advisory
+    * version-hint, and [[currentVersion]] takes max(hint, disk) so a
+    * crash inside the hint window (or a loser's stale hint) can
+    * never hide a committed version. */
   private def publishMetadataVersion(tableDir: String, v: Int,
                                      meta: ObjectNode): Boolean = {
     commitClaimHook(tableDir, v)
@@ -1579,23 +1580,12 @@ object Iceberg {
     Files.write(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)
         .getBytes("UTF-8"))
-    val won =
-      try {
-        Files.createLink(
-          Paths.get(metaDir(tableDir), s"v$v.metadata.json"), tmp)
-        true
-      }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-      finally Files.deleteIfExists(tmp)
-    if (won) {
-      val hint = Files.createTempFile(
-        Paths.get(metaDir(tableDir)), ".hint-", ".tmp")
-      Files.write(hint, v.toString.getBytes("UTF-8"))
-      Files.move(hint, Paths.get(metaDir(tableDir), "version-hint.text"),
-        StandardCopyOption.ATOMIC_MOVE)
-    }
+    val won = LogStore.current.claimVersion(
+      Paths.get(metaDir(tableDir), s"v$v.metadata.json"), tmp)
+    if (won)
+      LogStore.current.putPointer(
+        Paths.get(metaDir(tableDir), "version-hint.text"),
+        v.toString.getBytes("UTF-8"))
     won
   }
 

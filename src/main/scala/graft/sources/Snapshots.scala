@@ -10,8 +10,10 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
   * spark/batch_gold.py:156-157 relies on Delta's atomic overwrite;
   * SURVEY §8 S5 note). Pure Spark + POSIX primitives:
   *
-  *  - **Commit claim**: a writer claims version n with `mkdir`
-  *    (atomic create-if-absent — the same CAS a Delta writer does on
+  *  - **Commit claim**: a writer claims version n with an atomic
+  *    create-if-absent slot claim through [[LogStore.current]]
+  *    (mkdir on POSIX, a conditional PUT of a marker object on an
+  *    object store — the same CAS a Delta writer does on
   *    `_delta_log/n.json`); losing a race just means retrying with
   *    n+1. No locks, no coordinator.
   *  - **Visibility = completeness**: a version exists for readers
@@ -23,10 +25,11 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
   *    dirs; a reader that resolved version n keeps reading n's files
   *    regardless of later commits ([[readVersion]] pins explicitly).
   *
-  * At 100 TB the same protocol holds on any store with atomic
-  * namespace ops (HDFS rename/mkdir; on S3, swap the mkdir-claim for
-  * a conditional PUT) — the data volume never touches the protocol,
-  * which moves one empty directory and one zero-byte marker per
+  * At 100 TB the same protocol holds on any store with an atomic
+  * create-if-absent ([[LogStore]]: HDFS rename/mkdir via
+  * [[PosixLogStore]], S3/MinIO conditional PUT via
+  * [[ConditionalPutStore]]) — the data volume never touches the
+  * protocol, which claims one slot and one zero-byte marker per
   * commit.
   */
 object Snapshots {
@@ -54,9 +57,10 @@ object Snapshots {
   def commit(df: DataFrame, tableDir: String): Int = {
     new File(tableDir).mkdirs()
     var v = nextCandidate(tableDir)
-    // mkdir is the atomic claim; exhaustion bound only guards a
-    // pathological FS (the loop advances past every claimed number)
-    while (!new File(versionDir(tableDir, v)).mkdir()) v += 1
+    // the slot claim is the atomic CAS; exhaustion bound only guards
+    // a pathological FS (the loop advances past every claimed number)
+    while (!LogStore.current.claimSlot(
+      java.nio.file.Paths.get(versionDir(tableDir, v)))) v += 1
     df.write.mode(SaveMode.Append).parquet(versionDir(tableDir, v))
     v
   }
@@ -95,7 +99,9 @@ object Snapshots {
     if (isComplete(tableDir, v)) false
     else {
       new File(tableDir).mkdirs()
-      new File(versionDir(tableDir, v)).mkdir() // may already be claimed
+      // may already be claimed — the single owning query rewrites
+      LogStore.current.claimSlot(
+        java.nio.file.Paths.get(versionDir(tableDir, v)))
       df.write.mode(SaveMode.Overwrite).parquet(versionDir(tableDir, v))
       true
     }
@@ -153,7 +159,8 @@ object Snapshots {
     require(statsCols.nonEmpty, "statsCols must name at least one column")
     new File(tableDir).mkdirs()
     var v = nextCandidate(tableDir)
-    while (!new File(versionDir(tableDir, v)).mkdir()) v += 1
+    while (!LogStore.current.claimSlot(
+      java.nio.file.Paths.get(versionDir(tableDir, v)))) v += 1
     val dir = versionDir(tableDir, v)
     // SUPPRESS the job's own _SUCCESS: letting the parquet commit drop
     // the marker and deleting it afterwards leaves a window (or, if the
@@ -208,7 +215,8 @@ object Snapshots {
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/$BloomDir")
     }
     onStatsBeforePublish()
-    new File(dir, "_SUCCESS").createNewFile()
+    LogStore.current.claimMarker(
+      java.nio.file.Paths.get(dir, "_SUCCESS"))
     v
   }
 
@@ -519,7 +527,8 @@ object Snapshots {
     // reclaimed before the failure propagates (the slot was never
     // published, so no reader can have observed it).
     var v = nextCandidate(tableDir)
-    while (!new File(versionDir(tableDir, v)).mkdir()) v += 1
+    while (!LogStore.current.claimSlot(
+      java.nio.file.Paths.get(versionDir(tableDir, v)))) v += 1
     try {
       Option(staging.listFiles()).getOrElse(Array.empty).foreach { f =>
         require(f.renameTo(new File(versionDir(tableDir, v), f.getName)),
@@ -542,7 +551,8 @@ object Snapshots {
           s"(read $base); unpublished stale merge $v discarded — retry")
     }
     // PUBLISH: _SUCCESS lands only after the check passes
-    new File(versionDir(tableDir, v), "_SUCCESS").createNewFile()
+    LogStore.current.claimMarker(
+      java.nio.file.Paths.get(versionDir(tableDir, v), "_SUCCESS"))
     v
   }
 

@@ -945,6 +945,84 @@ class DeltaLogSpec extends SparkSuite {
     (0L to n.toLong).foreach(v => sources.DeltaLog.replay(dir, v))
   }
 
+  test("partition-disjoint merges racing from one base both land internally") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("dlconflict").toString + "/t"
+    val base = (1L to 40L).map(i =>
+      (i, s"s$i", if (i % 2 == 0) "a" else "b")).toDF("k", "s", "p")
+    sources.DeltaLog.commitOverwritePartitioned(
+      base.repartition(2), dir, Seq("p"))
+    val srcA = (2L to 20L by 2).map(i => (i, "A", "a")).toDF("k", "s", "p")
+    val srcB = (1L to 19L by 2).map(i => (i, "B", "b")).toDF("k", "s", "p")
+    val retriesBefore = sources.DeltaLog.rowOpConflictRetries.get
+    // plant merge-B inside merge-A's claim window: A loses the CAS,
+    // must prove B disjoint (B's adds/removes live wholly in
+    // partition b, A's source tuples name only a) and retry
+    // INTERNALLY — the caller never sees the race
+    val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.DeltaLog.commitClaimHook = (d, _) =>
+      if (planted.compareAndSet(false, true))
+        sources.DeltaLog.mergeInto(spark, d, srcB, Seq("k", "p"))
+    try sources.DeltaLog.mergeInto(spark, dir, srcA, Seq("k", "p"))
+    finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+    assert(sources.DeltaLog.rowOpConflictRetries.get > retriesBefore,
+      "the internal conflict-proving retry must surface in its seam")
+    // BOTH merges' effects are visible — no lost update, no caller retry
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    (2L to 20L by 2).foreach(k => assert(got(k) == "A", s"k=$k"))
+    (1L to 19L by 2).foreach(k => assert(got(k) == "B", s"k=$k"))
+    (21L to 40L).foreach(k => assert(got(k) == s"s$k", s"k=$k"))
+  }
+
+  test("genuinely conflicting merges still abort loudly") {
+    val dir = Files.createTempDirectory("dlconflict2").toString + "/t"
+    val base = (1L to 40L).map(i =>
+      (i, s"s$i", if (i % 2 == 0) "a" else "b")).toDF("k", "s", "p")
+    sources.DeltaLog.commitOverwritePartitioned(
+      base.repartition(2), dir, Seq("p"))
+    // both touch partition a with overlapping keys: the winner's adds
+    // can hold rows the loser matches — no disjointness proof exists
+    val srcA = (2L to 20L by 2).map(i => (i, "A", "a")).toDF("k", "s", "p")
+    val srcB = (2L to 12L by 2).map(i => (i, "B", "a")).toDF("k", "s", "p")
+    val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.DeltaLog.commitClaimHook = (d, _) =>
+      if (planted.compareAndSet(false, true))
+        sources.DeltaLog.mergeInto(spark, d, srcB, Seq("k", "p"))
+    val e = try intercept[IllegalArgumentException] {
+      sources.DeltaLog.mergeInto(spark, dir, srcA, Seq("k", "p"))
+    } finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+    assert(e.getMessage.contains("recompute against the new state"),
+      s"expected the loud conflict abort, got: ${e.getMessage}")
+    // the winner's merge survives intact; the loser changed nothing
+    val got = sources.DeltaLog.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    (2L to 12L by 2).foreach(k => assert(got(k) == "B", s"k=$k"))
+    (14L to 20L by 2).foreach(k => assert(got(k) == s"s$k", s"k=$k"))
+  }
+
+  test("range-disjoint DV deletes racing from one base both land internally") {
+    val dir = Files.createTempDirectory("dlconflict3").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")), dir)
+    val retriesBefore = sources.DeltaLog.rowOpConflictRetries.get
+    // range-clustered files: the low delete's predicate range and
+    // the high delete's rewritten file stats provably miss each
+    // other, so the lost CAS retries internally
+    val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.DeltaLog.commitClaimHook = (d, _) =>
+      if (planted.compareAndSet(false, true))
+        sources.DeltaLog.deleteWhere(spark, d, col("k") >= 91L)
+    try sources.DeltaLog.deleteWhere(spark, dir, col("k") <= 10L)
+    finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+    assert(sources.DeltaLog.rowOpConflictRetries.get > retriesBefore,
+      "the internal conflict-proving retry must surface in its seam")
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == (11L to 90L),
+      "both deletes land exactly once, no lost update")
+  }
+
   test("q190 gate shape: history classification covers the writer surface") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val dir = Files.createTempDirectory("dloghist").toString + "/t"

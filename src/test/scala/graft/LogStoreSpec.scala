@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+
+import graft.sources.{ConditionalPutStore, LogStore, PosixLogStore,
+  Snapshots}
+
+/** The commit-point seam: every CAS race shape the engine's protocol
+  * rests on, green under BOTH stores — the POSIX hard-link CAS and
+  * the object-store conditional PUT (the storage the reference's own
+  * lake lives on: MinIO via S3A). The conditional-put runs prove the
+  * protocol never needs hard links, atomic renames, or fresh
+  * listings: mutual exclusion comes from put-if-absent alone. */
+class LogStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val stores = Seq(PosixLogStore, ConditionalPutStore)
+
+  test("put-if-absent semantics: first claim wins, loser changes nothing") {
+    stores.foreach { store =>
+      val dir = Files.createTempDirectory(s"ls-${store.name}")
+      val target = dir.resolve("00000000000000000001.json")
+      def tmpWith(s: String) = {
+        val t = Files.createTempFile(dir, ".w-", ".tmp")
+        Files.write(t, s.getBytes("UTF-8"))
+        t
+      }
+      val t1 = tmpWith("winner")
+      assert(store.claimVersion(target, t1), s"[${store.name}] first claim")
+      assert(!Files.exists(t1), s"[${store.name}] tmp consumed on win")
+      val t2 = tmpWith("loser")
+      assert(!store.claimVersion(target, t2), s"[${store.name}] second claim loses")
+      assert(!Files.exists(t2), s"[${store.name}] tmp consumed on loss")
+      assert(new String(Files.readAllBytes(target), "UTF-8") == "winner",
+        s"[${store.name}] the published object is the winner's, complete")
+      // slot + marker: create-if-absent, losing changes nothing
+      val slot = dir.resolve("v=0")
+      assert(store.claimSlot(slot) && !store.claimSlot(slot))
+      val marker = slot.resolve("_SUCCESS")
+      assert(store.claimMarker(marker) && !store.claimMarker(marker))
+      // pointer: replaceable, readers see old-or-new never partial
+      val hint = dir.resolve("version-hint.text")
+      store.putPointer(hint, "1".getBytes("UTF-8"))
+      store.putPointer(hint, "2".getBytes("UTF-8"))
+      assert(new String(Files.readAllBytes(hint), "UTF-8") == "2")
+    }
+  }
+
+  test("racing Delta appenders land contiguously under both stores") {
+    stores.foreach { store =>
+      LogStore.withStore(store) {
+        val dir = Files.createTempDirectory(s"dlrace-${store.name}")
+          .toString + "/t"
+        sources.DeltaLog.commitOverwrite(
+          Seq((0L, "base")).toDF("k", "s"), dir)
+        val attempted = store.claimsAttempted.get
+        val n = 4
+        val barrier = new java.util.concurrent.CyclicBarrier(n)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+        try {
+          val futures = (1 to n).map { i =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                barrier.await()
+                sources.DeltaLog.commitAppend(
+                  Seq((i.toLong, s"w$i")).toDF("k", "s"), dir)
+              }
+            })
+          }
+          val versions = futures.map(
+            _.get(180, java.util.concurrent.TimeUnit.SECONDS))
+          assert(versions.toSet.size == n,
+            s"[${store.name}] each appender owns a distinct version")
+        } finally pool.shutdown()
+        assert(sources.DeltaLog.versions(dir) == (0L to n.toLong),
+          s"[${store.name}] contiguous versions — no torn/skipped commit")
+        assert(sources.DeltaLog.read(spark, dir)
+          .collect().map(_.getLong(0)).sorted.toSeq == (0L to n.toLong),
+          s"[${store.name}] every append lands exactly once")
+        (0L to n.toLong).foreach(v => sources.DeltaLog.replay(dir, v))
+        // routing proof: the commits above went through THIS store
+        assert(store.claimsAttempted.get >= attempted + n,
+          s"[${store.name}] commit CAS must route through the store")
+      }
+    }
+  }
+
+  test("Delta planted-loser race retries internally under both stores") {
+    stores.foreach { store =>
+      LogStore.withStore(store) {
+        val dir = Files.createTempDirectory(s"dlplant-${store.name}")
+          .toString + "/t"
+        sources.DeltaLog.commitOverwrite(
+          Seq((0L, "base")).toDF("k", "s"), dir)
+        val before = sources.DeltaLog.commitCasRetries.get
+        val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+        sources.DeltaLog.commitClaimHook = (d, _) =>
+          if (planted.compareAndSet(false, true))
+            sources.DeltaLog.commitAppend(
+              Seq((100L, "racer")).toDF("k", "s"), d)
+        try sources.DeltaLog.commitAppend(
+          Seq((200L, "loser")).toDF("k", "s"), dir)
+        finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+        assert(sources.DeltaLog.commitCasRetries.get >= before + 1,
+          s"[${store.name}] the lost CAS must surface in the retry seam")
+        assert(sources.DeltaLog.versions(dir) == (0L to 2L))
+        assert(sources.DeltaLog.read(spark, dir)
+          .collect().map(_.getLong(0)).sorted.toSeq ==
+          Seq(0L, 100L, 200L),
+          s"[${store.name}] racer and loser both land exactly once")
+      }
+    }
+  }
+
+  test("Iceberg planted-loser race and stale hint under both stores") {
+    stores.foreach { store =>
+      LogStore.withStore(store) {
+        val dir = Files.createTempDirectory(s"iceplant-${store.name}")
+          .toString + "/t"
+        sources.Iceberg.commitOverwrite(
+          Seq((0L, "base")).toDF("k", "s"), dir)
+        val before = sources.Iceberg.commitCasRetries.get
+        val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+        sources.Iceberg.commitClaimHook = (d, _) =>
+          if (planted.compareAndSet(false, true))
+            sources.Iceberg.commitAppend(
+              Seq((100L, "racer")).toDF("k", "s"), d)
+        try sources.Iceberg.commitAppend(
+          Seq((200L, "loser")).toDF("k", "s"), dir)
+        finally sources.Iceberg.commitClaimHook = (_, _) => ()
+        assert(sources.Iceberg.commitCasRetries.get >= before + 1,
+          s"[${store.name}] the lost CAS must surface in the retry seam")
+        assert(sources.Iceberg.versions(dir) == (1 to 3),
+          s"[${store.name}] contiguous metadata versions")
+        assert(sources.Iceberg.read(spark, dir)
+          .collect().map(_.getLong(0)).sorted.toSeq ==
+          Seq(0L, 100L, 200L))
+        // crash-between-claim-and-hint: rewind the advisory hint —
+        // currentVersion takes max(hint, disk), nothing hides
+        Files.write(Paths.get(s"$dir/metadata/version-hint.text"),
+          "1".getBytes("UTF-8"))
+        assert(sources.Iceberg.read(spark, dir).count() == 3,
+          s"[${store.name}] a stale hint must not hide committed state")
+      }
+    }
+  }
+
+  test("Snapshots racing mergeCommits publish exactly one under both stores") {
+    stores.foreach { store =>
+      LogStore.withStore(store) {
+        val t = Files.createTempDirectory(s"snrace-${store.name}")
+          .toString + "/t"
+        Snapshots.mergeCommit(spark,
+          Seq((1, "a", 1L)).toDF("k", "s", "ver"), t, Seq("k"), "ver")
+        var innerV = -1
+        Snapshots.onMergeBeforeClaim = () => {
+          Snapshots.onMergeBeforeClaim = () => ()
+          innerV = Snapshots.mergeCommit(spark,
+            Seq((2, "winner", 1L)).toDF("k", "s", "ver"),
+            t, Seq("k"), "ver")
+        }
+        try {
+          intercept[java.util.ConcurrentModificationException] {
+            Snapshots.mergeCommit(spark,
+              Seq((1, "loser", 2L)).toDF("k", "s", "ver"),
+              t, Seq("k"), "ver")
+          }
+        } finally Snapshots.onMergeBeforeClaim = () => ()
+        assert(innerV == 1, s"[${store.name}] the planted racer wins v1")
+        assert(Snapshots.versions(t) == Seq(0, 1))
+        val leftovers = new java.io.File(t).listFiles()
+          .map(_.getName).toSet
+        assert(leftovers == Set("v=0", "v=1"),
+          s"[${store.name}] loser fully reclaimed, got $leftovers")
+        assert(Snapshots.read(spark, t).collect()
+          .map(r => r.getInt(0) -> r.getString(1)).toMap ==
+          Map(1 -> "a", 2 -> "winner"))
+      }
+    }
+  }
+
+  test("conditional-put commits never touch the posix primitives") {
+    // by construction the CondPut impl calls no createLink/ATOMIC_MOVE;
+    // this pins the complement: with CondPut active, a full Delta +
+    // Iceberg commit lifecycle routes ZERO claims through PosixLogStore
+    LogStore.withStore(ConditionalPutStore) {
+      val posixBefore = PosixLogStore.claimsAttempted.get
+      val condBefore = ConditionalPutStore.claimsAttempted.get
+      val dir = Files.createTempDirectory("condonly").toString
+      sources.DeltaLog.commitOverwrite(
+        Seq((1L, "a")).toDF("k", "s"), s"$dir/d")
+      sources.DeltaLog.commitAppend(
+        Seq((2L, "b")).toDF("k", "s"), s"$dir/d")
+      sources.Iceberg.commitOverwrite(
+        Seq((1L, "a")).toDF("k", "s"), s"$dir/i")
+      assert(sources.DeltaLog.read(spark, s"$dir/d").count() == 2)
+      assert(sources.Iceberg.read(spark, s"$dir/i").count() == 1)
+      assert(PosixLogStore.claimsAttempted.get == posixBefore,
+        "no commit may fall back to the posix CAS under conditional-put")
+      assert(ConditionalPutStore.claimsAttempted.get > condBefore)
+    }
+  }
+}
