@@ -550,7 +550,12 @@ object SparkEntry {
     // conditional-put LogStore, no hard links, no atomic rename;
     // in-fixture requires pin the routing (zero posix claims)
     "q213_condput_lifecycle"
-      -> (sources.DeltaLog.condPutLifecycleRead _)
+      -> (sources.DeltaLog.condPutLifecycleRead _),
+    // Iceberg partition-spec EVOLUTION: year(o_orderdate) generation
+    // + evolved month(o_orderdate) generation, one pruned read over
+    // both; in-query seam requires per-spec pruning on each
+    "q214_iceberg_spec_evolution"
+      -> (sources.Iceberg.icebergSpecEvolutionRead _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -809,6 +814,8 @@ object SparkEntry {
     "q212_delta_mapped_cdf_stream"
       -> sources.DeltaLog.deltaMappedCdcFeedSql,
     "q213_condput_lifecycle"
-      -> sources.DeltaLog.condPutLifecycleReadSql
+      -> sources.DeltaLog.condPutLifecycleReadSql,
+    "q214_iceberg_spec_evolution"
+      -> sources.Iceberg.icebergSpecEvolutionReadSql
   )
 }

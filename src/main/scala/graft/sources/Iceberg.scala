@@ -378,7 +378,8 @@ object Iceberg {
   private case class PlannedFile(path: String,
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       partition: Map[String, String] = Map.empty,
-      addedBy: Long = 0L)
+      addedBy: Long = 0L,
+      specId: Int = 0)
 
   /** One equality-delete file: its path, the field ids its rows
     * match on, and the snapshot that added it — it applies only to
@@ -447,7 +448,12 @@ object Iceberg {
         fieldOpt(r, "sequence_number").map(_.asInstanceOf[Long])
           .orElse(fieldOpt(r, "added_snapshot_id")
             .map(_.asInstanceOf[Long]))
-          .getOrElse(0L)))
+          .getOrElse(0L),
+        // the spec this manifest's files were written under — a
+        // multi-spec table (partition evolution) prunes each
+        // manifest with ITS OWN spec's transforms
+        fieldOpt(r, "partition_spec_id")
+          .map(_.asInstanceOf[Int]).getOrElse(0)))
     lastManifestsRead = manifests.size
     // an entry's own data sequence wins over its manifest's (v2
     // inheritance: null means inherit)
@@ -458,7 +464,7 @@ object Iceberg {
         .getOrElse(manifestSeq)
     val posB = Seq.newBuilder[String]
     val eqB = Seq.newBuilder[EqDelete]
-    manifests.filter(_._2 == 1).foreach { case (m, _, mSeq) =>
+    manifests.filter(_._2 == 1).foreach { case (m, _, mSeq, _) =>
       readAvro(m).foreach { e =>
         if (e.get("status").asInstanceOf[Int] != 2) {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -485,7 +491,8 @@ object Iceberg {
         }
       }
     }
-    val data = manifests.filter(_._2 == 0).flatMap { case (m, _, mSeq) =>
+    val data = manifests.filter(_._2 == 0).flatMap {
+      case (m, _, mSeq, mSpec) =>
       readAvro(m).flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED — not part of this snapshot
@@ -510,7 +517,7 @@ object Iceberg {
             }
           Some(PlannedFile(df.get("file_path").toString,
             boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds"),
-            pv, entrySeq(e, mSeq)))
+            pv, entrySeq(e, mSeq), mSpec))
         }
       }
     }
@@ -544,21 +551,36 @@ object Iceberg {
     val specId =
       if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt
       else 0
-    val spec = meta.get("partition-specs").elements().asScala
-      .find(_.get("spec-id").asInt == specId)
-      .getOrElse(throw new IllegalArgumentException(
+    partitionSpecsAll(meta).getOrElse(specId,
+      throw new IllegalArgumentException(
         s"default-spec-id $specId not in partition-specs"))
+  }
+
+  /** EVERY partition spec in the metadata keyed by spec-id — a
+    * multi-spec table (partition evolution: `partition-specs` is a
+    * LIST and each manifest records the `partition_spec_id` it was
+    * written under) must prune a manifest's files with the spec
+    * those tuples were derived from, not with whatever the default
+    * is today. */
+  private[graft] def partitionSpecsAll(
+      meta: ObjectNode): Map[Int, Seq[SpecField]] = {
+    if (!meta.has("partition-specs"))
+      return Map.empty
     val byId = fieldIds(meta).map(_.swap)
-    spec.get("fields").elements().asScala.map { f =>
-      val tr = f.get("transform").asText
-      require(graft.functions.IcebergTransforms.supported(tr),
-        s"unsupported partition transform '$tr' (this engine speaks " +
-          "identity, bucket[n], truncate[w], day, month, year)")
-      val sid = f.get("source-id").asInt
-      SpecField(f.get("name").asText, tr,
-        byId.getOrElse(sid, throw new IllegalArgumentException(
-          s"partition source-id $sid not in schema")))
-    }.toSeq
+    meta.get("partition-specs").elements().asScala.map { spec =>
+      spec.get("spec-id").asInt ->
+        spec.get("fields").elements().asScala.map { f =>
+          val tr = f.get("transform").asText
+          require(graft.functions.IcebergTransforms.supported(tr),
+            s"unsupported partition transform '$tr' (this engine " +
+              "speaks identity, bucket[n], truncate[w], day, month, " +
+              "year)")
+          val sid = f.get("source-id").asInt
+          SpecField(f.get("name").asText, tr,
+            byId.getOrElse(sid, throw new IllegalArgumentException(
+              s"partition source-id $sid not in schema")))
+        }.toSeq
+    }.toMap
   }
 
   // (round 13: the CDF stream's former partitioned-table refusal is
@@ -714,6 +736,86 @@ object Iceberg {
       .put("snapshot-id", snapshotId).put("type", refType)
     publishPinned(tableDir, v + 1, next, "setRef")
     v + 1
+  }
+
+  /** PARTITION-SPEC EVOLUTION (metadata-only, version-pinned):
+    * append a NEW spec to `partition-specs`, point `default-spec-id`
+    * at it, continue `field-id`s past every recorded one
+    * (`last-partition-id`). Existing manifests keep their spec ids
+    * and keep pruning under THEIR spec ([[readFiltered]]'s per-spec
+    * predicates); future commits must declare the new spec — the
+    * first thing a real Iceberg user does when daily partitions get
+    * too coarse is exactly this daily→hourly evolution. Returns the
+    * new spec id.
+    *
+    * Scope: the new spec's IDENTITY column set must equal the
+    * current default's. This engine's hive-shape writer STRIPS
+    * identity partition columns from data files, so changing the
+    * stripped set across generations would leave one generation's
+    * files missing a column the other spells physically — refused
+    * with the reason. Hidden transforms evolve freely (data files
+    * keep the full schema); FOREIGN multi-spec tables whose files
+    * carry every column read correctly under any spec history. */
+  def evolvePartitionSpec(tableDir: String,
+      partCols: Seq[String] = Seq.empty,
+      hiddenSpec: Seq[(String, String)] = Seq.empty): Int = {
+    import graft.functions.IcebergTransforms
+    require(partCols.isEmpty || hiddenSpec.isEmpty,
+      "a spec declares either identity partCols or hidden " +
+        "transforms, not both")
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    val schema = schemaFromMetadata(meta)
+    val colIds = fieldIds(meta)
+    (partCols ++ hiddenSpec.map(_._1)).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"partition source column $c not in table schema"))
+    hiddenSpec.foreach { case (src, tr) =>
+      require(IcebergTransforms.supported(tr) && tr != "identity",
+        s"unsupported hidden transform '$tr' on $src (identity goes " +
+          "through partCols)")
+    }
+    val curIdentity = partitionSpecOf(meta)
+      .filter(_.transform == "identity").map(_.sourceCol).toSet
+    require(partCols.toSet == curIdentity,
+      s"partition-spec evolution cannot change the IDENTITY column " +
+        s"set (${curIdentity.mkString(",")} -> " +
+        s"${partCols.mkString(",")}): this engine's hive-shape " +
+        "writer strips identity columns from data files, so the " +
+        "generations would disagree on which columns exist " +
+        "physically; evolve hidden transforms instead")
+    val newFields: Seq[(String, String, String)] =
+      partCols.map(c => (c, "identity", c)) ++
+        hiddenSpec.map { case (src, tr) =>
+          (IcebergTransforms.tupleName(tr, src), tr, src) }
+    val next = meta.deepCopy[ObjectNode]()
+    val specs =
+      if (next.has("partition-specs"))
+        next.withArray[ArrayNode]("partition-specs")
+      else next.putArray("partition-specs")
+    val existing = specs.elements().asScala.toSeq
+    val newSpecId = existing.map(_.get("spec-id").asInt)
+      .maxOption.getOrElse(-1) + 1
+    // field-ids continue past EVERY recorded one (and the recorded
+    // last-partition-id, whichever is higher) — reusing an old
+    // spec's field-id would alias two different transforms
+    var fieldId = math.max(
+      existing.flatMap(_.get("fields").elements().asScala)
+        .map(_.get("field-id").asInt).maxOption.getOrElse(999),
+      if (next.has("last-partition-id"))
+        next.get("last-partition-id").asInt else 999)
+    val node = specs.addObject()
+    node.put("spec-id", newSpecId)
+    val fs = node.putArray("fields")
+    newFields.foreach { case (name, tr, src) =>
+      fieldId += 1
+      fs.addObject().put("name", name).put("transform", tr)
+        .put("source-id", colIds(src)).put("field-id", fieldId)
+    }
+    next.put("default-spec-id", newSpecId)
+    next.put("last-partition-id", fieldId)
+    publishPinned(tableDir, v + 1, next, "evolvePartitionSpec")
+    newSpecId
   }
 
   /** Drop a ref; its snapshot becomes expirable again. */
@@ -1012,8 +1114,9 @@ object Iceberg {
     // prove a miss — keep the file (external superset rule)
     def parsedLong(s: String): Option[Long] =
       scala.util.Try(s.trim.toLong).toOption
-    val tuplePreds: Seq[Map[String, String] => Boolean] =
-      partitionSpecOf(meta).flatMap { f =>
+    def tuplePredsFor(spec: Seq[SpecField])
+        : Seq[Map[String, String] => Boolean] =
+      spec.flatMap { f =>
         f.transform match {
           case "identity" =>
             // type-aware through the source column's declared type —
@@ -1057,9 +1160,20 @@ object Iceberg {
           case _ => None
         }
       }
+    // one predicate set PER SPEC: a multi-spec table's manifests
+    // prune under the spec their tuples were derived from (daily
+    // files by the day field, post-evolution hourly files by the
+    // hour field); a file under a spec the metadata doesn't list
+    // prunes nothing (superset contract)
+    val predsBySpec: Map[Int, Seq[Map[String, String] => Boolean]] =
+      partitionSpecsAll(meta).map { case (id, sp) =>
+        id -> tuplePredsFor(sp) }
     val ranges = ex.longRanges
+    lastFilesTotalBySpec =
+      planned.data.groupBy(_.specId).map { case (k, v) => k -> v.size }
     val kept = planned.data
-      .filter(f => tuplePreds.forall(_(f.partition)))
+      .filter(f => predsBySpec.getOrElse(f.specId, Seq.empty)
+        .forall(_(f.partition)))
       .filter { f =>
         ranges.forall { case (c, lo, hi) =>
           ids.get(c).flatMap(id =>
@@ -1070,10 +1184,20 @@ object Iceberg {
             }).getOrElse(true)
         }
       }
+    lastFilesPlannedBySpec =
+      kept.groupBy(_.specId).map { case (k, v) => k -> v.size }
     scanPlanned(spark, readSchemaFor(meta), kept,
       partitionColsOf(meta), planned.deleteFiles, planned.eqDeletes,
       ids.map(_.swap)).filter(pred)
   }
+
+  /** Per-spec (pre-prune, post-prune) file counts of the last
+    * [[readFiltered]] — the seam q214 pins: a multi-spec read must
+    * show BOTH generations contributing files and both PRUNED. */
+  @volatile private[graft] var lastFilesTotalBySpec: Map[Int, Int] =
+    Map.empty
+  @volatile private[graft] var lastFilesPlannedBySpec: Map[Int, Int] =
+    Map.empty
 
   // ---------------------------------------------------------------
   // Writer (overwrite/append snapshots through the metadata chain)
@@ -1345,7 +1469,7 @@ object Iceberg {
       // (incremental readers diff snapshots by exactly that field) and
       // their content (an append after a v2 delete keeps the delete
       // manifests in force)
-      val prevManifests: Seq[(String, Long, Int, Any)] =
+      val prevManifests: Seq[(String, Long, Int, Any, Int)] =
         if (overwrite || prevMeta.isEmpty) Seq.empty
         else {
           // an append's PARENT is the branch head when committing to a
@@ -1363,21 +1487,31 @@ object Iceberg {
             .map(r => (r.get("manifest_path").toString,
               r.get("manifest_length").asInstanceOf[Long],
               fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
-              r.get("added_snapshot_id")))
+              r.get("added_snapshot_id"),
+              // carried manifests KEEP the spec they were written
+              // under — rewriting it to the current default would
+              // make their tuples prune under the wrong transforms
+              fieldOpt(r, "partition_spec_id")
+                .map(_.asInstanceOf[Int]).getOrElse(0)))
         }
       val fv = prevMeta.map(_.get("format-version").asInt).getOrElse(1)
       val listPath =
         s"${metaDir(tableDir)}/snap-$snapshotId-$commitUuid-v$v-manifest-list.avro"
+      // the NEW manifest was written under the table's current
+      // DEFAULT spec (the commit validated declaredSpec against it)
+      val defaultSpecId = prevMeta
+        .filter(_.has("default-spec-id"))
+        .map(_.get("default-spec-id").asInt).getOrElse(0)
       val listRecords = (prevManifests :+
         (manifestPath, new File(manifestPath).length(), 0,
-          snapshotId: Any)).map {
-          case (p, len, content, addedBy) =>
+          snapshotId: Any, defaultSpecId)).map {
+          case (p, len, content, addedBy, specId) =>
             val listSchema =
               if (fv == 2) manifestFileSchemaV2 else manifestFileSchema
             val r = new GenericData.Record(listSchema)
             r.put("manifest_path", p)
             r.put("manifest_length", len)
-            r.put("partition_spec_id", 0)
+            r.put("partition_spec_id", specId)
             if (fv == 2) r.put("content", content)
             else require(content == 0,
               "delete manifest carried into a v1 list — table corrupt")
@@ -1410,14 +1544,33 @@ object Iceberg {
         case None =>
           meta.set[ObjectNode]("schema", schemaToJson(tableSchema))
       }
-      val specs = meta.putArray("partition-specs")
-      val specFields = specs.addObject().put("spec-id", 0).putArray("fields")
-      tupleFields.zipWithIndex.foreach { case ((name, tr, src, _), i) =>
-        specFields.addObject()
-          .put("name", name).put("transform", tr)
-          .put("source-id", colIds(src)).put("field-id", 1000 + i)
+      // partition-specs carry VERBATIM once they exist (the schema
+      // rule): a table evolved to a multi-spec history must keep
+      // every spec its manifests reference — regenerating a
+      // single-spec list here would orphan the old generations'
+      // spec ids. Creation writes spec 0 from the declared fields.
+      prevMeta match {
+        case Some(m) if m.has("partition-specs") =>
+          meta.set[com.fasterxml.jackson.databind.JsonNode](
+            "partition-specs", m.get("partition-specs"))
+          meta.put("default-spec-id",
+            if (m.has("default-spec-id")) m.get("default-spec-id").asInt
+            else 0)
+          if (m.has("last-partition-id"))
+            meta.put("last-partition-id",
+              m.get("last-partition-id").asInt)
+        case _ =>
+          val specs = meta.putArray("partition-specs")
+          val specFields =
+            specs.addObject().put("spec-id", 0).putArray("fields")
+          tupleFields.zipWithIndex.foreach {
+            case ((name, tr, src, _), i) =>
+              specFields.addObject()
+                .put("name", name).put("transform", tr)
+                .put("source-id", colIds(src)).put("field-id", 1000 + i)
+          }
+          meta.put("default-spec-id", 0)
       }
-      meta.put("default-spec-id", 0)
       // properties carry across commits (table state, not snapshot
       // state) — dropping them would e.g. lose a migrated table's
       // name-mapping and break every later read of its id-less files
@@ -2533,7 +2686,11 @@ object Iceberg {
       val n = new GenericData.Record(manifestFileSchemaV2)
       n.put("manifest_path", r.get("manifest_path").toString)
       n.put("manifest_length", r.get("manifest_length"))
-      n.put("partition_spec_id", 0)
+      // carried manifests keep the spec they were written under
+      // (multi-spec tables prune per-manifest)
+      n.put("partition_spec_id",
+        fieldOpt(r, "partition_spec_id")
+          .map(_.asInstanceOf[Int]).getOrElse(0))
       n.put("content",
         fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0))
       n.put("added_snapshot_id", r.get("added_snapshot_id"))
@@ -2542,7 +2699,9 @@ object Iceberg {
       val n = new GenericData.Record(manifestFileSchemaV2)
       n.put("manifest_path", dm)
       n.put("manifest_length", new File(dm).length())
-      n.put("partition_spec_id", 0)
+      n.put("partition_spec_id",
+        if (meta.has("default-spec-id"))
+          meta.get("default-spec-id").asInt else 0)
       n.put("content", 1)
       n.put("added_snapshot_id", snapshotId)
       n
@@ -3105,6 +3264,60 @@ object Iceberg {
     """SELECT * FROM orders
       |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
       |  AND o_orderdate <  TIMESTAMP '1995-06-01 00:00:00'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Session-cached PARTITION-SPEC-EVOLUTION table (q214): even
+    * orders committed under `year(o_orderdate)` (spec 0), the spec
+    * evolved to `month(o_orderdate)` (spec 1), odd orders appended
+    * under it — two generations, two layouts, one table (the
+    * daily→hourly shape every real Iceberg user hits the first time
+    * they change partitioning). */
+  private[graft] def ordersIcebergSpecEvoTable(spark: SparkSession,
+                                               dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergspecevo") { (o, t) =>
+      import org.apache.spark.sql.functions.pmod
+      commitOverwriteHidden(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0), t,
+        Seq("o_orderdate" -> "year"))
+      evolvePartitionSpec(t, hiddenSpec = Seq("o_orderdate" -> "month"))
+      commitAppendHidden(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), t,
+        Seq("o_orderdate" -> "month"))
+    }
+
+  /** q214 — PARTITION-SPEC EVOLUTION: one raw date-range read over a
+    * table whose history spans TWO partition specs. Planning prunes
+    * each manifest under ITS OWN spec — the year generation by year
+    * ordinals, the month generation by month ordinals — and the
+    * in-query seam requires BOTH generations to contribute files AND
+    * both to have pruned (a reader that applied only the default
+    * spec would silently full-scan the old generation). The oracle
+    * is the plain full-table range filter. */
+  def icebergSpecEvolutionRead(spark: SparkSession,
+                               dir: String): DataFrame = {
+    val t = ordersIcebergSpecEvoTable(spark, dir)
+    val got = readFiltered(spark, t,
+      col("o_orderdate") >=
+        lit(java.sql.Timestamp.valueOf("1995-02-01 00:00:00")) &&
+        col("o_orderdate") <
+          lit(java.sql.Timestamp.valueOf("1995-09-01 00:00:00")))
+    Seq(0, 1).foreach { sid =>
+      val total = lastFilesTotalBySpec.getOrElse(sid, 0)
+      val planned = lastFilesPlannedBySpec.getOrElse(sid, 0)
+      require(planned > 0,
+        s"spec $sid contributed no files — the multi-spec read " +
+          "lost a generation")
+      require(planned < total,
+        s"spec $sid did not prune ($planned of $total files) — " +
+          "per-spec tuple pruning is off")
+    }
+    got.orderBy(col("o_orderkey"))
+  }
+
+  val icebergSpecEvolutionReadSql: String =
+    """SELECT * FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-02-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1995-09-01 00:00:00'
       |ORDER BY o_orderkey""".stripMargin
 
   /** q169 — ICEBERG TIMESTAMP TIME TRAVEL: `FOR TIMESTAMP AS OF` the

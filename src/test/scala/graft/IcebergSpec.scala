@@ -1560,4 +1560,113 @@ class IcebergSpec extends SparkSuite {
         col("o_orderstatus") === "P").count(),
       "every surviving 'P' row must be an even (post-delete) key")
   }
+
+  test("partition-spec evolution: per-spec pruning, stale-spec writes refuse") {
+    import org.apache.spark.sql.functions.pmod
+    val work = Files.createTempDirectory("icespecevo").toString
+    val t = s"$work/t"
+    // month decorrelated from key parity (i/2), so BOTH the even
+    // (year-spec) and odd (month-spec) generations span all 12 months
+    val df = (0L until 200L).map { i =>
+      (i, java.sql.Timestamp.valueOf(
+        f"1995-${(i / 2) % 12 + 1}%02d-0${i % 9 + 1} 00:00:00"))
+    }.toDF("k", "ts")
+    sources.Iceberg.commitOverwriteHidden(
+      df.filter(pmod(col("k"), lit(2)) === 0).coalesce(1), t,
+      Seq("ts" -> "year"))
+    val newSpec = sources.Iceberg.evolvePartitionSpec(
+      t, hiddenSpec = Seq("ts" -> "month"))
+    assert(newSpec == 1)
+    // a write still declaring the OLD spec refuses (the table's
+    // default moved); the NEW spec lands
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.commitAppendHidden(
+        df.filter(pmod(col("k"), lit(2)) === 1), t, Seq("ts" -> "year"))
+    }
+    assert(e.getMessage.contains("partition spec mismatch"))
+    sources.Iceberg.commitAppendHidden(
+      df.filter(pmod(col("k"), lit(2)) === 1).coalesce(1), t,
+      Seq("ts" -> "month"))
+    // full read sees both generations
+    assert(sources.Iceberg.read(spark, t).count() == 200)
+    // a range read prunes EACH generation under ITS OWN spec
+    val got = sources.Iceberg.readFiltered(spark, t,
+      col("ts") >= lit(java.sql.Timestamp.valueOf(
+        "1995-03-01 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf(
+          "1995-05-01 00:00:00")))
+    assert(got.count() == df.filter(col("ts") >=
+      lit(java.sql.Timestamp.valueOf("1995-03-01 00:00:00")) &&
+      col("ts") < lit(java.sql.Timestamp.valueOf(
+        "1995-05-01 00:00:00"))).count())
+    // year generation: single 1995 file (cannot prune to fewer);
+    // month generation: exactly the Mar/Apr/May files of 12 (the
+    // exclusive upper bound widens to May — superset contract)
+    assert(sources.Iceberg.lastFilesPlannedBySpec.getOrElse(1, -1) == 3,
+      s"month generation must plan 3 files, got " +
+        s"${sources.Iceberg.lastFilesPlannedBySpec}")
+    assert(sources.Iceberg.lastFilesTotalBySpec.getOrElse(1, -1) == 12)
+    assert(sources.Iceberg.lastFilesPlannedBySpec.getOrElse(0, -1) == 1)
+    // identity-set changes refuse with the measured reason
+    val e2 = intercept[IllegalArgumentException] {
+      sources.Iceberg.evolvePartitionSpec(t, partCols = Seq("k"))
+    }
+    assert(e2.getMessage.contains("IDENTITY column set"))
+  }
+
+  test("foreign multi-spec metadata: unknown default spec stays readable") {
+    import org.apache.spark.sql.functions.pmod
+    val work = Files.createTempDirectory("icespecforeign").toString
+    val t = s"$work/t"
+    val df = (0L until 100L).map { i =>
+      (i, java.sql.Timestamp.valueOf(
+        f"1995-${(i / 2) % 12 + 1}%02d-03 00:00:00"))
+    }.toDF("k", "ts")
+    sources.Iceberg.commitOverwriteHidden(
+      df.filter(pmod(col("k"), lit(2)) === 0).coalesce(1), t,
+      Seq("ts" -> "year"))
+    sources.Iceberg.evolvePartitionSpec(
+      t, hiddenSpec = Seq("ts" -> "month"))
+    sources.Iceberg.commitAppendHidden(
+      df.filter(pmod(col("k"), lit(2)) === 1).coalesce(1), t,
+      Seq("ts" -> "month"))
+    // FOREIGN evolution this engine didn't make: a third spec
+    // (bucket over k) appended by hand, default pointed at it — no
+    // manifest references it yet. Reads must keep serving both
+    // existing generations under THEIR specs.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = Paths.get(t, "metadata")
+    val v = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toInt
+    val meta = mapper.readTree(Files.readAllBytes(
+        metaDir.resolve(s"v$v.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val specs = meta.withArray[
+      com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
+    val s2 = specs.addObject()
+    s2.put("spec-id", 2)
+    s2.putArray("fields").addObject()
+      .put("name", "k_bucket").put("transform", "bucket[4]")
+      .put("source-id", 1).put("field-id", 1002)
+    meta.put("default-spec-id", 2)
+    meta.put("last-partition-id", 1002)
+    Files.write(metaDir.resolve(s"v${v + 1}.metadata.json"),
+      mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"),
+      (v + 1).toString.getBytes("UTF-8"))
+    assert(sources.Iceberg.read(spark, t).count() == 100,
+      "a foreign default spec with no files must not break reads")
+    val got = sources.Iceberg.readFiltered(spark, t,
+      col("ts") >= lit(java.sql.Timestamp.valueOf(
+        "1995-03-01 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf(
+          "1995-05-01 00:00:00")))
+    assert(got.count() ==
+      df.filter(col("ts") >= lit(java.sql.Timestamp.valueOf(
+        "1995-03-01 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf(
+          "1995-05-01 00:00:00"))).count(),
+      "per-spec pruning must keep serving the existing generations")
+    assert(sources.Iceberg.lastFilesPlannedBySpec.getOrElse(1, -1) == 3)
+  }
 }
