@@ -555,7 +555,17 @@ object SparkEntry {
     // + evolved month(o_orderdate) generation, one pruned read over
     // both; in-query seam requires per-spec pruning on each
     "q214_iceberg_spec_evolution"
-      -> (sources.Iceberg.icebergSpecEvolutionRead _)
+      -> (sources.Iceberg.icebergSpecEvolutionRead _),
+    // nested structs under mapping mode=id, pruning-safe: a
+    // single-nested-field projection (the shape Spark's nested
+    // pruning used to NULL) resolved by physicalName, rename included
+    "q215_delta_nested_mapping_id"
+      -> (sources.DeltaLog.deltaNestedMappedIdRead _),
+    // table$files metadata tables as SQL: per-file records + decoded
+    // key bounds equal the oracle's per-partition aggregates — the
+    // recorded stats every pruning layer rests on, verified
+    "q216_sql_file_stats"
+      -> (sources.DeltaLog.sqlFileStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -816,6 +826,10 @@ object SparkEntry {
     "q213_condput_lifecycle"
       -> sources.DeltaLog.condPutLifecycleReadSql,
     "q214_iceberg_spec_evolution"
-      -> sources.Iceberg.icebergSpecEvolutionReadSql
+      -> sources.Iceberg.icebergSpecEvolutionReadSql,
+    "q215_delta_nested_mapping_id"
+      -> sources.DeltaLog.deltaNestedMappedIdReadSql,
+    "q216_sql_file_stats"
+      -> sources.DeltaLog.sqlFileStatsSql
   )
 }

@@ -175,6 +175,30 @@ object GraftExtensions {
             litString(p, "iceberg_snapshots", "path")))
         case args => throw new IllegalArgumentException(
           s"iceberg_snapshots expects (path), got ${args.size} args")
+      },
+      // the `table$files` audit surface: per-file rows (path,
+      // partition, records, size, bounds, DV/content) straight off
+      // the replayed state / manifest walk — what an operator asks
+      // first when a 100 TB scan does not prune
+      tfn("delta_file_stats",
+        "delta_file_stats(path) - one row per live file: path, " +
+          "partition, records, live_records, size_bytes, has_dv, " +
+          "min/max stats JSON") {
+        case Seq(p) =>
+          plan(graft.sources.DeltaLog.fileStats(active,
+            litString(p, "delta_file_stats", "path")))
+        case args => throw new IllegalArgumentException(
+          s"delta_file_stats expects (path), got ${args.size} args")
+      },
+      tfn("iceberg_files",
+        "iceberg_files(path) - one row per manifest entry: path, " +
+          "partition, spec_id, content, records, size_bytes, " +
+          "long-decoded bounds") {
+        case Seq(p) =>
+          plan(graft.sources.Iceberg.filesTable(active,
+            litString(p, "iceberg_files", "path")))
+        case args => throw new IllegalArgumentException(
+          s"iceberg_files expects (path), got ${args.size} args")
       })
 
   /** Runtime registration on a pre-built session (the driver contract

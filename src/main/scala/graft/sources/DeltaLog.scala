@@ -357,19 +357,19 @@ object DeltaLog {
             def validateNested(dt: DataType, path: String): Unit =
               dt match {
                 case s: StructType => s.fields.foreach { nf =>
-                  // nested under mode=id stays refused, now for a
-                  // TESTED reason (round 13): Spark's nested schema
-                  // pruning rebuilds pruned struct fields WITHOUT
-                  // their parquet.field.id metadata, so a pruned
-                  // read of a renamed nested field silently NULLs —
-                  // loud refusal beats that. (mode=name is immune:
-                  // resolution is by physical NAME, which pruning
-                  // preserves.)
-                  require(mappingMode == "name",
-                    s"nested column $path.${nf.name}: nesting under " +
-                      "mode=id is out of scope (Spark's nested schema " +
-                      "pruning drops field-id metadata — a pruned " +
-                      "read would silently NULL)")
+                  // nested under mode=id reads through the
+                  // physical-NAME machinery (round 14, closing the
+                  // round-13 measured refusal): Spark's nested
+                  // schema pruning rebuilds pruned struct fields
+                  // WITHOUT their parquet.field.id metadata, so a
+                  // field-id read of a nested projection silently
+                  // NULLs — but the protocol records physicalName
+                  // under BOTH modes and requires files to use
+                  // physical column names, so nested resolution by
+                  // physicalName is sound for any conforming writer
+                  // (and pruning preserves names). The physicalName
+                  // requirement below is therefore load-bearing
+                  // under mode=id too.
                   require(nf.metadata.contains(
                       "delta.columnMapping.physicalName"),
                     s"nested column $path.${nf.name} lacks " +
@@ -695,11 +695,18 @@ object DeltaLog {
                             st: State): DataFrame = {
     def resolve(p: String) =
       if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
-    if (st.mappingMode == "id") {
-      // session-level switch for Spark's field-id matcher; safe to
-      // leave on — schemas WITHOUT id metadata still resolve by
-      // name, so unmapped reads are unaffected. idReadType stamps
-      // LOGICAL names with ids at EVERY nesting level.
+    if (idFlatRead(st)) {
+      // FLAT mode=id: session-level switch for Spark's field-id
+      // matcher; safe to leave on — schemas WITHOUT id metadata
+      // still resolve by name, so unmapped reads are unaffected.
+      // idReadType stamps LOGICAL names with ids. NESTED id-mode
+      // tables take the else-branch instead: Spark's nested schema
+      // pruning strips field-id metadata from pruned struct fields
+      // (measured round 13 — a projection of one nested field
+      // silently NULLs), while physical-NAME resolution survives
+      // pruning and is protocol-sound under both modes (files must
+      // use physical column names; physicalName is recorded under
+      // either mode).
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       val idSchema = idReadType(st.schema).asInstanceOf[StructType]
       spark.read.schema(idSchema).parquet(st.files.map(resolve): _*)
@@ -863,10 +870,17 @@ object DeltaLog {
     * rows). */
   private def mappedCols(st: State): Seq[org.apache.spark.sql.Column] =
     st.schema.fields.toSeq.map { f =>
-      (if (st.mappingMode == "id") col(f.name)
+      (if (idFlatRead(st)) col(f.name)
        else logicalize(col(st.columnMapping(f.name)), f.dataType))
         .as(f.name, org.apache.spark.sql.types.Metadata.empty)
     }
+
+  /** Does this mapped state ride Spark's native field-id matcher?
+    * Only FLAT mode=id schemas — nested ones read physically (see
+    * [[mappedScanRaw]]). */
+  private def idFlatRead(st: State): Boolean =
+    st.mappingMode == "id" &&
+      !st.schema.fields.exists(f => anyStruct(f.dataType))
 
   /** [[logicalize]]'s inverse: rebuild a logical column under its
     * PHYSICAL names at every nesting level, with the same NULL-struct
@@ -1442,6 +1456,106 @@ object DeltaLog {
     * thread ONE replay through the write path instead of each helper
     * re-replaying — a hot CDC append must not pay O(history) three
     * times per commit. */
+  /** Write-side enforcement of the table's declared invariants —
+    * `delta.constraints.<name>` CHECK expressions (the reference's
+    * own Postgres schema carries CHECKs, postgres_init/init.sql:134
+    * `review_score BETWEEN 1 AND 5`; a lakehouse engine must REFUSE
+    * bad writes, not just filter them later) and
+    * `delta.generationExpression` column metadata (Delta's generated
+    * columns: a provided value that disagrees with its expression is
+    * refused). ONE aggregate pass over the incoming batch computes
+    * every violation count (no shuffle — partial counts to the
+    * driver); zero invariants costs zero. CHECK fails only on FALSE:
+    * a NULL/UNKNOWN result passes, the SQL standard's semantics. */
+  private def enforceWriteInvariants(df: DataFrame, st: State): Unit = {
+    import org.apache.spark.sql.functions.{count, expr, lit, not, when}
+    val constraints = st.configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }.sortBy(_._1)
+    val gens = st.schema.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains("delta.generationExpression"))
+        Some(f.name -> f.metadata.getString("delta.generationExpression"))
+      else None
+    }
+    if (constraints.isEmpty && gens.isEmpty) return
+    val aggs = constraints.map { case (n, c) =>
+      count(when(expr(c) <=> lit(false), 1)).as(s"c_$n")
+    } ++ gens.map { case (n, g) =>
+      count(when(not(col(n) <=> expr(g)), 1)).as(s"g_$n")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    constraints.zipWithIndex.foreach { case ((n, c), i) =>
+      require(row.getLong(i) == 0L,
+        s"CHECK constraint '$n' ($c) violated by ${row.getLong(i)} " +
+          "incoming row(s) — write refused")
+    }
+    gens.zipWithIndex.foreach { case ((n, g), i) =>
+      val bad = row.getLong(constraints.size + i)
+      require(bad == 0L,
+        s"generated column '$n' must equal $g; $bad incoming row(s) " +
+          "disagree — write refused")
+    }
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT: validate EXISTING rows satisfy the
+    * CHECK (real Delta's rule — a constraint that the current data
+    * already violates must not be recordable), then commit the
+    * `delta.constraints.<name>` property. Every subsequent
+    * append/overwrite/merge enforces it. */
+  def addCheckConstraint(spark: SparkSession, tableDir: String,
+                         name: String, check: String): Long = {
+    import org.apache.spark.sql.functions.{expr, lit, not}
+    require(name.nonEmpty && !name.contains(' '),
+      s"constraint name '$name' must be a bare identifier")
+    val bad = read(spark, tableDir)
+      .filter(expr(check) <=> lit(false)).limit(1).collect()
+    require(bad.isEmpty,
+      s"cannot add CHECK constraint '$name' ($check): existing rows " +
+        s"already violate it (e.g. ${bad.headOption.getOrElse("")})")
+    setTableProperties(tableDir,
+      Map(s"delta.constraints.$name" -> check))
+  }
+
+  /** Declare `colName` GENERATED AS `generationExpr` (metadata-only
+    * commit stamping `delta.generationExpression` into the column's
+    * schema metadata). Existing rows must already satisfy it. */
+  def addGenerationExpression(spark: SparkSession, tableDir: String,
+                              colName: String,
+                              generationExpr: String): Long = {
+    import org.apache.spark.sql.functions.{expr, not}
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val st = replay(tableDir, vs.last)
+    require(st.schema.fieldNames.contains(colName),
+      s"generated column $colName not in table schema")
+    val bad = read(spark, tableDir)
+      .filter(not(col(colName) <=> expr(generationExpr)))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"cannot declare $colName generated as $generationExpr: " +
+        s"existing rows disagree (e.g. ${bad.headOption.getOrElse("")})")
+    val schemaOut = StructType(st.schema.fields.map { f =>
+      if (f.name != colName) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("delta.generationExpression", generationExpr)
+          .build())
+    })
+    var v = -1L
+    var done = false
+    while (!done) {
+      v = versions(tableDir).last + 1
+      commitClaimHook(tableDir, v)
+      done = writeActions(tableDir, v,
+        Seq(metaDataAction(schemaOut, st.partitionColumns,
+          st.configuration)))
+      if (!done) commitCasRetries.incrementAndGet()
+    }
+    v
+  }
+
   private def requirePartitionSpec(tableDir: String,
       partCols: Seq[String], op: String): Option[State] = {
     val vs = versions(tableDir)
@@ -1490,6 +1604,7 @@ object DeltaLog {
   private def commitOverwriteExtra(df: DataFrame, tableDir: String,
       extra: Seq[ObjectNode]): Long = {
     val st0 = requireUnpartitioned(tableDir, "commitOverwrite")
+    st0.foreach(enforceWriteInvariants(df, _))
     // data dir named by UUID, not by version: two racing writers must
     // not collide at the DATA write — only the log CAS decides order
     val sub = s"part-${java.util.UUID.randomUUID}"
@@ -1545,6 +1660,7 @@ object DeltaLog {
   private def commitAppendCore(df: DataFrame, tableDir: String,
                                partCols: Seq[String]): Long = {
     val st0 = requirePartitionSpec(tableDir, partCols, "commitAppend")
+    st0.foreach(enforceWriteInvariants(df, _))
     val sub = s"part-${java.util.UUID.randomUUID}"
     val adds: Seq[ObjectNode] =
       if (partCols.isEmpty) {
@@ -1780,6 +1896,35 @@ object DeltaLog {
     }.toDF("version", "operation")
   }
 
+  /** The `table$files` / DESCRIBE DETAIL audit surface (q216): one
+    * row per LIVE file of the current snapshot, straight off the
+    * replayed state — path, the log's partitionValues, stats
+    * numRecords, live records (numRecords minus the DV's
+    * cardinality), byte size, DV presence, and the raw min/max stats
+    * JSON for ad-hoc skipping diagnostics. Pure driver-side
+    * O(files) metadata; no data file is opened (the DV bitmap read
+    * is O(deleted rows) per masked file, the same cost every scan
+    * pays). The ops question this answers at 100 TB: which files
+    * would a given predicate even consider, and how dead is each. */
+  def fileStats(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val st = replay(tableDir, versions(tableDir).last)
+    st.adds.toSeq.sortBy(_._1).map { case (p, a) =>
+      val node = a.stats.map(mapper.readTree)
+      val records = node.filter(_.has("numRecords"))
+        .map(_.get("numRecords").asLong)
+      val dvCard = a.dv.map(d =>
+        DeletionVectors.readBitmap(tableDir, d).cardinality)
+      (p, a.partitionValues, records,
+        records.map(_ - dvCard.getOrElse(0L)), a.size, a.dv.isDefined,
+        node.filter(_.has("minValues"))
+          .map(n => mapper.writeValueAsString(n.get("minValues"))),
+        node.filter(_.has("maxValues"))
+          .map(n => mapper.writeValueAsString(n.get("maxValues"))))
+    }.toDF("path", "partition", "records", "live_records",
+      "size_bytes", "has_dv", "min_values", "max_values")
+  }
+
   /** Latest `txn` version recorded for `appId` — the protocol's
     * application-transaction watermark. O(commits) driver-side
     * metadata scan straight off the JSON log (txn actions are rare
@@ -1826,6 +1971,7 @@ object DeltaLog {
       requirePartitionSpec(tableDir, partCols, "commitAppendIdempotent")
     if (latestTxnVersion(tableDir, appId).exists(_ >= txnVersion))
       return None
+    st0.foreach(enforceWriteInvariants(df, _))
     val sub = s"part-${java.util.UUID.randomUUID}"
     val adds: Seq[ObjectNode] =
       if (partCols.isEmpty) {
@@ -1912,6 +2058,7 @@ object DeltaLog {
     // unpartitioned) refuse through the same check
     val st0 = requirePartitionSpec(tableDir, partCols,
       "commitOverwritePartitioned")
+    st0.foreach(enforceWriteInvariants(df, _))
     val sub = s"part-${java.util.UUID.randomUUID}"
     df.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
     val adds = partitionedAdds(df.sparkSession, tableDir, sub, partCols,
@@ -2025,6 +2172,43 @@ object DeltaLog {
       |  o_orderpriority AS priority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Session-cached NESTED mode=id table (q215): orders reshaped
+    * into a struct column, committed under mode=id, then a nested
+    * metadata-only RENAME (`meta.prio` → `priority`) — the id-mode
+    * promise that renames never rewrite data. */
+  private[graft] def ordersNestedMappedIdTable(spark: SparkSession,
+                                               dir: String): String =
+    cachedTable(spark, dir, "deltacmni") { (o, t) =>
+      import org.apache.spark.sql.functions.struct
+      val nested = o.select(col("o_orderkey"),
+        struct(col("o_custkey").as("custkey"),
+          col("o_orderpriority").as("prio")).as("meta"))
+      commitOverwriteMappedId(nested, t)
+      renameColumnMapped(t, "meta.prio", "priority")
+    }
+
+  /** q215 — NESTED STRUCTS × mode=id, PRUNING-SAFE (the round-13
+    * measured refusal, closed): the query projects a SINGLE nested
+    * field — exactly the shape where Spark's nested schema pruning
+    * strips `parquet.field.id` metadata and a field-id read silently
+    * NULLs (verified by experiment, round 13). Nested levels resolve
+    * by physicalName instead (the protocol records it under BOTH
+    * modes and requires files to use physical column names, so this
+    * is sound for any conforming writer — and names survive
+    * pruning); the mid-history nested rename proves metadata-only
+    * evolution still holds. A reader that kept field-id resolution
+    * here would surface an all-NULL `priority` and hash-mismatch. */
+  def deltaNestedMappedIdRead(spark: SparkSession,
+                              dir: String): DataFrame =
+    read(spark, ordersNestedMappedIdTable(spark, dir))
+      .select(col("o_orderkey"),
+        col("meta.priority").as("priority"))
+      .orderBy(col("o_orderkey"))
+
+  val deltaNestedMappedIdReadSql: String =
+    """SELECT o_orderkey, o_orderpriority AS priority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** [[commitOverwriteMapped]] with columnMapping mode=id — the
     * protocol's OTHER mapping mode, the one Delta migrations of
     * Iceberg/parquet tables produce: data files carry PARQUET FIELD
@@ -2040,14 +2224,13 @@ object DeltaLog {
     require(versions(tableDir).isEmpty,
       "mapped writer creates a fresh table (the mapping mode is fixed " +
         "at creation, as Delta fixes it)")
-    // replay refuses nested-under-id (Spark's nested schema pruning
-    // drops field-id metadata — silent NULLs on pruned reads), so
-    // refuse at creation too rather than minting an unreadable
-    // table; anyStruct also covers structs under map KEYS
-    require(!df.schema.fields.exists(f => anyStruct(f.dataType)),
-      "mode=id with nested structs is out of scope — use mode=name " +
-        "(commitOverwriteMapped), whose physical-NAME resolution " +
-        "survives Spark's nested schema pruning")
+    // structs under map KEYS stay refused (no sound physical
+    // spelling); other nesting is fine — nested levels read through
+    // the physical-name machinery (round 14), so Spark's
+    // field-id-stripping nested pruning can't NULL them
+    df.schema.fields.foreach(f => require(!mapKeyStruct(f.dataType),
+      s"column ${f.name}: structs under map KEYS with column " +
+        "mapping are out of scope"))
     // ids number depth-first via the shared [[annotateMapped]] —
     // the same scheme as the name-mode creation writer
     val (annotated, nextId) = annotateMapped(df.schema, 0L, path =>
@@ -2057,8 +2240,12 @@ object DeltaLog {
     // physical names + parquet field ids: the `.as(name, metadata)`
     // alias spelling is the one whose ids reliably reach the parquet
     // writer (a DataFrame.to's metadata is lost to Project
-    // collapsing — measured round 13); flat-only by the require
-    // above, so top-level aliases cover the schema
+    // collapsing — measured round 13). Top-level aliases carry the
+    // ids; INNER struct fields are spelled physically by
+    // [[physicalize]] without ids — sufficient for any
+    // protocol-conforming reader, which resolves by physical name
+    // where an id is absent (and this engine's nested-id read does
+    // exactly that)
     df.sparkSession.conf.set(
       "spark.sql.parquet.fieldId.write.enabled", "true")
     df.select(mappedSchema.fields.toSeq.map(f =>
@@ -3139,6 +3326,69 @@ object DeltaLog {
       |  AS t(version, operation)
       |ORDER BY version""".stripMargin
 
+  /** Session-cached status-partitioned tables with ONE file per
+    * partition (repartition by the partition column → one task per
+    * status → one file per hive dir), so the q216 file-stats rows
+    * ARE the per-partition aggregates the oracle recomputes. */
+  private[graft] def ordersDeltaFilesTable(spark: SparkSession,
+                                           dir: String): String =
+    cachedTable(spark, dir, "deltafiles") { (o, t) =>
+      commitOverwritePartitioned(o.repartition(col("o_orderstatus")),
+        t, Seq("o_orderstatus"))
+    }
+
+  private[graft] def ordersIcebergFilesTable(spark: SparkSession,
+                                             dir: String): String =
+    cachedTable(spark, dir, "icebergfiles") { (o, t) =>
+      Iceberg.commitAppendPartitioned(
+        o.repartition(col("o_orderstatus")), t, Seq("o_orderstatus"))
+    }
+
+  /** q216 — the `table$files` METADATA TABLES as SQL
+    * (`delta_file_stats` / `iceberg_files`, the DESCRIBE-surface
+    * companions of q190/q191's history/snapshots): both formats'
+    * per-file rows over one-file-per-partition fixtures, so records
+    * and the decoded o_orderkey bounds equal the per-status
+    * aggregates DuckDB recomputes from the raw data — the recorded
+    * stats themselves are what is being verified (a writer whose
+    * numRecords or min/max drifted from the data hash-mismatches
+    * here, and every stats-bound prune above rests on these). */
+  def sqlFileStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.extensions.GraftExtensions.registerTableFunctions(spark)
+    val dt = ordersDeltaFilesTable(spark, dir)
+    val it = ordersIcebergFilesTable(spark, dir)
+    spark.sql(
+      s"""SELECT 'delta' AS fmt,
+         |  element_at(partition, 'o_orderstatus') AS o_orderstatus,
+         |  records,
+         |  CAST(get_json_object(min_values, '$$.o_orderkey') AS BIGINT)
+         |    AS min_k,
+         |  CAST(get_json_object(max_values, '$$.o_orderkey') AS BIGINT)
+         |    AS max_k
+         |FROM delta_file_stats('$dt')
+         |UNION ALL
+         |SELECT 'iceberg' AS fmt,
+         |  element_at(partition, 'o_orderstatus') AS o_orderstatus,
+         |  records,
+         |  element_at(min_values, 'o_orderkey') AS min_k,
+         |  element_at(max_values, 'o_orderkey') AS max_k
+         |FROM iceberg_files('$it') WHERE content = 0
+         |ORDER BY fmt, o_orderstatus""".stripMargin)
+  }
+
+  val sqlFileStatsSql: String =
+    """SELECT fmt, o_orderstatus, records, min_k, max_k FROM (
+      |  SELECT 'delta' AS fmt, o_orderstatus,
+      |    count(*) AS records, min(o_orderkey) AS min_k,
+      |    max(o_orderkey) AS max_k
+      |  FROM orders GROUP BY o_orderstatus
+      |  UNION ALL
+      |  SELECT 'iceberg' AS fmt, o_orderstatus,
+      |    count(*) AS records, min(o_orderkey) AS min_k,
+      |    max(o_orderkey) AS max_k
+      |  FROM orders GROUP BY o_orderstatus)
+      |ORDER BY fmt, o_orderstatus""".stripMargin
+
   /** Incremental consumption — the Delta STREAMING-SOURCE offset
     * contract (versions are the offsets): all changes strictly AFTER
     * `sinceVersion`, plus the latest version for the consumer to
@@ -3879,10 +4129,7 @@ object DeltaLog {
           require(!mapKeyStruct(f.dataType),
             s"evolved column ${f.name}: structs under map KEYS " +
               "with column mapping are out of scope")
-          require(st.mappingMode == "name" || !anyStruct(f.dataType),
-            s"evolved column ${f.name}: nested structs under " +
-              "mode=id are out of scope (Spark's nested schema " +
-              "pruning drops field-id metadata)")
+
         }
       // seed past BOTH the recorded maxColumnId and the schema's own
       // max id (the renameColumnMapped discipline): a foreign mapped
@@ -4306,6 +4553,11 @@ object DeltaLog {
       case Some(p) => source.filter(!p)
       case None => source
     }
+    // CHECK constraints / generated columns hold for MERGE too: the
+    // rewritten survivors came from the table (enforced at their own
+    // write); only the incoming upsert rows need the gate
+    enforceWriteInvariants(
+      upserts.select(st.schema.fieldNames.map(col): _*), st)
     // rewrite set = touched survivors (ALL source-matched keys
     // removed — updates replaced, tombstones dropped; DV masks
     // folded) + every upsert row

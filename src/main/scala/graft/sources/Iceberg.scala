@@ -351,6 +351,61 @@ object Iceberg {
     }.toSeq.sortBy(_._1).toDF("snapshot_id", "operation")
   }
 
+  /** The `table$files` metadata table (q216): one row per manifest
+    * entry of the current snapshot — data files (content=0) AND
+    * delete files (1=positional, 2=equality) — with its partition
+    * tuple, the spec it was written under, its record count, byte
+    * size, and the manifest's value bounds decoded to longs where
+    * the encoding allows (other fields are absent from the maps —
+    * bounds only ever ACCELERATE, the superset rule). Driver-side
+    * O(files) manifest walk; no data file is opened. */
+  def filesTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    val idToName = fieldIds(meta).map(_.swap)
+    val snapId = meta.get("current-snapshot-id").asLong
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == snapId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current snapshot $snapId not in metadata"))
+    val rows = readAvro(snap.get("manifest-list").asText).flatMap { r =>
+      val specId = fieldOpt(r, "partition_spec_id")
+        .map(_.asInstanceOf[Int]).getOrElse(0)
+      readAvro(r.get("manifest_path").toString).flatMap { e =>
+        if (e.get("status").asInstanceOf[Int] == 2) None
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = fieldOpt(df, "content")
+            .map(_.asInstanceOf[Int]).getOrElse(0)
+          val pv: Map[String, String] = fieldOpt(df, "partition") match {
+            case Some(rec: GenericRecord) =>
+              rec.getSchema.getFields.asScala.map { f =>
+                f.name -> (rec.get(f.name) match {
+                  case null => null
+                  case v => v.toString
+                })
+              }.toMap
+            case _ => Map.empty
+          }
+          def decoded(field: String): Map[String, Long] =
+            boundsMap(df, field).flatMap { case (id, b) =>
+              for {
+                n <- idToName.get(id)
+                v <- longBound(b)
+              } yield n -> v
+            }
+          Some((stripFileUri(df.get("file_path").toString), pv, specId,
+            content, df.get("record_count").asInstanceOf[Long],
+            fieldOpt(df, "file_size_in_bytes")
+              .map(_.asInstanceOf[Long]).getOrElse(0L),
+            decoded("lower_bounds"), decoded("upper_bounds")))
+        }
+      }
+    }
+    rows.sortBy(_._1).toDF("path", "partition", "spec_id", "content",
+      "records", "size_bytes", "min_values", "max_values")
+  }
+
   /** Snapshot ids recorded in the current metadata, ascending. */
   def snapshotIds(tableDir: String): Seq[Long] = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
@@ -2338,6 +2393,111 @@ object Iceberg {
               "attribution here (use the batch table-diff reads)")
         }
       }
+  }
+
+  /** Per-plan seams for the eq-delete PRE-IMAGE option: parent data
+    * files considered / actually planned after the key-bounds prune
+    * (the "priced as O(matching files)" promise a spec pins). */
+  @volatile private[graft] var lastPreimageFilesTotal: Int = -1
+  @volatile private[graft] var lastPreimageFilesPlanned: Int = -1
+
+  /** Planning for the CDF stream's `eqDeletePreimages` option: for
+    * snapshot `snapshotId`, every equality-delete file it ADDED,
+    * with (key column names, the PARENT snapshot's live data files
+    * pruned by the delete keys' [min,max] against manifest value
+    * bounds — superset contract, unknown keeps — and the parent's
+    * position-delete masks). The delete file is read ONCE driver-side
+    * (O(keys)) for the bounds; the executor joins against only the
+    * surviving files, so a narrow CDC delete batch against a
+    * range-clustered 100 TB silver prices as O(matching files). */
+  private[graft] def eqDeletePreimagePlan(tableDir: String,
+      snapshotId: Long): Seq[(String, Seq[String],
+        Seq[(String, Map[String, String], Long)], Seq[String],
+        Seq[(String, Seq[String], Long)])] = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    val ids = fieldIds(meta)
+    val idToName = ids.map(_.swap)
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId not in metadata"))
+    if (!snap.has("parent-snapshot-id")) return Seq.empty
+    val parentId = snap.get("parent-snapshot-id").asLong
+    val parent = planFilesAll(tableDir, meta, parentId)
+    val cur = planFilesAll(tableDir, meta, snapshotId)
+    val parentEq = parent.eqDeletes.map(d => stripFileUri(d.path)).toSet
+    val newEq = cur.eqDeletes
+      .filterNot(d => parentEq.contains(stripFileUri(d.path)))
+    newEq.map { d =>
+      val keyCols = d.fieldIds.map(id =>
+        idToName.getOrElse(id, throw new IllegalArgumentException(
+          s"equality_ids field $id not in table schema")))
+      val bounds = eqDeleteKeyBounds(stripFileUri(d.path), keyCols)
+      val kept = parent.data.filter { f =>
+        bounds.forall { case (c, (lo, hi)) =>
+          ids.get(c).flatMap { id =>
+            (f.lower.get(id).flatMap(longBound),
+              f.upper.get(id).flatMap(longBound)) match {
+              case (Some(mn), Some(mx)) => Some(mn <= hi && mx >= lo)
+              case _ => None
+            }
+          }.getOrElse(true)
+        }
+      }
+      lastPreimageFilesTotal = parent.data.size
+      lastPreimageFilesPlanned = kept.size
+      // the parent's own EQUALITY deletes ride along, sequence-scoped:
+      // a stacked upsert history leaves earlier key versions dead by
+      // value — emitting one as a pre-image would resurrect it. Only
+      // masks that can cover at least one kept file matter.
+      val minSeq = kept.map(_.addedBy).minOption.getOrElse(Long.MaxValue)
+      val eqMasks = parent.eqDeletes.filter(_.addedBy > minSeq).map { m =>
+        (stripFileUri(m.path),
+          m.fieldIds.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"equality_ids field $id not in table schema"))),
+          m.addedBy)
+      }
+      (stripFileUri(d.path), keyCols,
+        kept.map(f => (stripFileUri(f.path), f.partition, f.addedBy)),
+        parent.deleteFiles.map(stripFileUri), eqMasks)
+    }
+  }
+
+  /** [min,max] of each long/int-typed key column of one
+    * equality-delete parquet — driver-side Group read, O(keys). */
+  private def eqDeleteKeyBounds(path: String,
+      keyCols: Seq[String]): Map[String, (Long, Long)] = {
+    val dr = org.apache.parquet.hadoop.ParquetReader.builder(
+      new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(path)).build()
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    try {
+      var g = dr.read()
+      while (g != null) {
+        val ft = g.getType
+        keyCols.foreach { c =>
+          if (ft.containsField(c) && g.getFieldRepetitionCount(c) > 0) {
+            val idx = ft.getFieldIndex(c)
+            val v: Option[Long] =
+              ft.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+                case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT64 => Some(g.getLong(idx, 0))
+                case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT32 =>
+                  Some(g.getInteger(idx, 0).toLong)
+                case _ => None
+              }
+            v.foreach { x =>
+              val (lo, hi) = acc.getOrElse(c, (x, x))
+              acc(c) = (math.min(lo, x), math.max(hi, x))
+            }
+          }
+        }
+        g = dr.read()
+      }
+    } finally dr.close()
+    acc.toMap
   }
 
   /** One append snapshot's ADDED data files (status=1 entries of its

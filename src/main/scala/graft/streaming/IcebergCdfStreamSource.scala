@@ -132,7 +132,8 @@ private class IcebergCdfStreamScan(schema: StructType,
       },
       options.getLong("maxSnapshotsPerTrigger", Long.MaxValue),
       options.getBoolean("vectorizedRead", true),
-      options.getBoolean("skipOverwriteSnapshots", false))
+      options.getBoolean("skipOverwriteSnapshots", false),
+      options.getBoolean("eqDeletePreimages", false))
 }
 
 /** One delete snapshot's worth of row-level deletes: the executor
@@ -159,12 +160,27 @@ private case class IcebergRemovedFilePartition(dataFile: String,
     maskFiles: Seq[String], constants: Map[String, String])
     extends InputPartition
 
+/** One equality-delete file under the `eqDeletePreimages` option:
+  * the executor reads the doomed KEY tuples (O(keys)), then walks
+  * the planner-pruned parent data files emitting each live row whose
+  * key is doomed — the full pre-image, partition tuples restored
+  * from `dataFiles`' manifest values. */
+private case class IcebergEqDeletePreimagePartition(deleteFile: String,
+    keyCols: Seq[String],
+    dataFiles: Seq[(String, Map[String, String], Long)],
+    maskFiles: Seq[String],
+    eqMasks: Seq[(String, Seq[String], Long)],
+    constants: Map[String, String])
+    extends InputPartition
+
 private class IcebergCdfMicroBatchStream(schema: StructType,
                                          tableDir: String,
                                          startingSnapshotId: Long,
                                          maxSnapshotsPerTrigger: Long,
                                          vectorizedRead: Boolean = true,
                                          skipOverwriteSnapshots:
+                                           Boolean = false,
+                                         eqDeletePreimages:
                                            Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -250,8 +266,21 @@ private class IcebergCdfMicroBatchStream(schema: StructType,
         // columns surface whenever they are equality key columns
         // (the identity-partitioned CDC-table shape); otherwise they
         // null-fill like any non-key column.
-        snap.eqDeleteFiles.map(d => DeltaFilePartition(
-          d, deleteConsts): InputPartition) ++
+        (if (!eqDeletePreimages)
+          snap.eqDeleteFiles.map(d => DeltaFilePartition(
+            d, deleteConsts): InputPartition)
+         else
+          // OPT-IN pre-image enrichment: instead of key rows with
+          // null-filled non-key columns (the wire shape), each
+          // delete row carries the FULL row it retired — the doomed
+          // keys joined against the PARENT snapshot's live data,
+          // priced as O(matching files) via the planner's key-bounds
+          // prune (what a Debezium-style downstream consumer wants)
+          Iceberg.eqDeletePreimagePlan(tableDir, snap.id).map {
+            case (d, keyCols, dataFiles, masks, eqMasks) =>
+              IcebergEqDeletePreimagePartition(d, keyCols, dataFiles,
+                masks, eqMasks, deleteConsts): InputPartition
+          }) ++
         // a true overwrite's REMOVED side: live rows stream as
         // deletes, masked by the parent's position deletes
         snap.removedFiles.map(f => IcebergRemovedFilePartition(
@@ -262,8 +291,11 @@ private class IcebergCdfMicroBatchStream(schema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (_, ids) = IcebergStreamSource.checkedSchema(tableDir)
+    // Spark refuses MIXED row/columnar partitions within one batch;
+    // the pre-image partitions are row-based (per-row key probes),
+    // so the option rides the row path end to end
     new IcebergCdfReaderFactory(schema.json, ids,
-      columnar = vectorizedRead)
+      columnar = vectorizedRead && !eqDeletePreimages)
   }
 }
 
@@ -358,8 +390,148 @@ private class IcebergCdfReaderFactory(schemaJson: String,
     case _: DeltaFilePartition => delegate.createReader(partition)
     case p: IcebergPosDeletePartition => posDeleteReader(p)
     case p: IcebergRemovedFilePartition => removedFileReader(p)
+    case p: IcebergEqDeletePreimagePartition => preimageReader(p)
     case other => throw new IllegalArgumentException(
       s"unexpected partition $other")
+  }
+
+  /** Canonical key-value spelling shared by the delete-file read and
+    * the data-file probe — ints widen to longs, string spellings
+    * unify — so tuple equality means VALUE equality. */
+  private def canonKey(v: Any): Any = v match {
+    case i: java.lang.Integer => i.longValue()
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case other => other
+  }
+
+  /** Pre-image reader: phase 1 reads the delete file's key tuples
+    * (O(keys)); phase 2 walks each planner-pruned parent data file,
+    * skipping parent-masked positions, emitting rows whose key tuple
+    * is doomed. Key columns absent from a (hive-stripped) data file
+    * resolve from its manifest partition tuple. */
+  private def preimageReader(p: IcebergEqDeletePreimagePartition)
+      : PartitionReader[InternalRow] = {
+    RowReadSupport.lastReadPath = "row"
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    def readTuples(file: String, cols: Seq[String]): Set[Seq[Any]] = {
+      val fields = cols.map(c => schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(
+          s"equality key $c not in stream schema")))
+      val dr = ParquetReader.builder(new GroupReadSupport(),
+        new Path(file)).build()
+      val acc = scala.collection.mutable.Set.empty[Seq[Any]]
+      try {
+        var g = dr.read()
+        var res: Array[FieldRes] = null
+        while (g != null) {
+          val ft = g.getType
+          if (res == null) res = resolve(fields.toArray, ft, fieldIds)
+          acc += res.toSeq.map(r => canonKey(value(g, ft, r)))
+          g = dr.read()
+        }
+      } finally dr.close()
+      acc.toSet
+    }
+    // phase 1: the doomed key set, plus the PARENT's own equality
+    // masks (sequence-scoped — a stacked upsert history leaves old
+    // key versions dead by value; a pre-image must never resurrect
+    // one). O(delete keys) each, the same rows the batch MoR scan's
+    // anti-joins read.
+    val keySet: Set[Seq[Any]] = readTuples(p.deleteFile, p.keyCols)
+    val eqMasks: Seq[(Seq[String], Long, Set[Seq[Any]])] =
+      p.eqMasks.map { case (f, cols, seq) =>
+        (cols, seq, readTuples(f, cols)) }
+    new PartitionReader[InternalRow] {
+      private var fileIdx = -1
+      private var reader: ParquetReader[
+        org.apache.parquet.example.data.Group] = _
+      private var res: Array[FieldRes] = _
+      private var maskRes: Map[Seq[String], Array[FieldRes]] = Map.empty
+      private var skip: Array[Long] = Array.empty
+      private var rowPos = -1L
+      private var fileSeq = 0L
+      private var consts: Map[String, Any] = Map.empty
+      private var current: org.apache.parquet.example.data.Group = _
+
+      private def constsFor(tuple: Map[String, String]): Map[String, Any] = {
+        val raw = p.constants ++ tuple
+        schema.fields.flatMap { f =>
+          raw.get(f.name)
+            .map(s => f.name -> decodeConstant(s, f.dataType, f.name))
+        }.toMap
+      }
+
+      private def nextFile(): Boolean = {
+        if (reader != null) { reader.close(); reader = null }
+        fileIdx += 1
+        if (fileIdx >= p.dataFiles.size) false
+        else {
+          val (f, tuple, seq) = p.dataFiles(fileIdx)
+          reader = ParquetReader.builder(new GroupReadSupport(),
+            new Path(f)).build()
+          res = null; maskRes = Map.empty
+          skip = maskPositions(f, p.maskFiles)
+          rowPos = -1L
+          fileSeq = seq
+          consts = constsFor(tuple)
+          true
+        }
+      }
+
+      private def tupleOf(g: org.apache.parquet.example.data.Group,
+          cols: Seq[String]): Seq[Any] = {
+        val ft = g.getType
+        val fields = cols.map(c => schema.fields.find(_.name == c).get)
+        val res0 = maskRes.getOrElse(cols, {
+          val r = resolve(fields.toArray, ft, fieldIds)
+          maskRes += cols -> r
+          r
+        })
+        fields.indices.map { i =>
+          if (consts.contains(fields(i).name))
+            canonKey(consts(fields(i).name))
+          else canonKey(value(g, ft, res0(i)))
+        }
+      }
+
+      private def doomed(g: org.apache.parquet.example.data.Group)
+          : Boolean =
+        keySet.contains(tupleOf(g, p.keyCols)) &&
+          // LIVE at the parent: no later-sequence equality mask
+          // covers this row (the stacked-upsert rule)
+          !eqMasks.exists { case (cols, seq, keys) =>
+            seq > fileSeq && keys.contains(tupleOf(g, cols))
+          }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null) { if (!nextFile()) return false }
+          else {
+            current = reader.read()
+            if (current == null) { reader.close(); reader = null }
+            else {
+              rowPos += 1
+              if (java.util.Arrays.binarySearch(skip, rowPos) < 0 &&
+                  doomed(current))
+                return true
+            }
+          }
+        }
+        false
+      }
+
+      override def get(): InternalRow = {
+        val ft = current.getType
+        if (res == null) res = resolve(schema.fields, ft, fieldIds)
+        new GenericInternalRow(res.map { r =>
+          if (consts.contains(r.f.name)) consts(r.f.name)
+          else value(current, ft, r)
+        }: Array[Any])
+      }
+
+      override def close(): Unit =
+        if (reader != null) reader.close()
+    }
   }
 
   /** Row-path removed-file reader: walk `dataFile` emitting every

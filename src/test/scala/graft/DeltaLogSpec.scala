@@ -1507,25 +1507,21 @@ class DeltaLogSpec extends SparkSuite {
       Set((1L, "a", -1L), (2L, "b", 5L)))
   }
 
-  test("mode=id NESTED refuses with the tested pruning rationale") {
-    // Round-13 investigation, pinned: a prototype id-nested reader
-    // (logical names + parquet.field.id at every level) read
-    // correctly UNPRUNED but returned silent NULLs the moment the
-    // query projected a single nested field, because Spark's nested
-    // schema pruning rebuilds pruned struct fields WITHOUT their
-    // field-id metadata (verified: same read succeeds with
-    // spark.sql.optimizer.nestedSchemaPruning.enabled=false). Loud
-    // refusal at CREATION and at REPLAY beats data-dependent NULLs.
-    import org.apache.spark.sql.functions.struct
+  test("mode=id map-KEY structs still refuse; flat rename intact") {
+    // Round 14 turned the nested-under-id refusal into a feature
+    // (physical-name resolution — see "nested mode=id" test); what
+    // REMAINS refused is the shape with no sound physical spelling:
+    // structs under map KEYS.
+    import org.apache.spark.sql.functions.{map_from_arrays, array, struct}
     val dir = Files.createTempDirectory("dlcmidn").toString + "/t"
-    val df = Seq((1L, (10L, "a")))
-      .toDF("k", "n0")
-      .select(col("k"),
-        struct(col("n0._1").as("x"), col("n0._2").as("y")).as("nest"))
+    val df = Seq((1L, 10L, "a")).toDF("k", "x", "y")
+      .select(col("k"), map_from_arrays(
+        array(struct(col("x").as("i"))),
+        array(col("y"))).as("m"))
     val e = intercept[IllegalArgumentException] {
       sources.DeltaLog.commitOverwriteMappedId(df, dir)
     }
-    assert(e.getMessage.contains("nested schema pruning"))
+    assert(e.getMessage.contains("map KEYS"))
     // flat id-mode keeps working through the unified write path
     val dir2 = Files.createTempDirectory("dlcmidf").toString + "/t"
     sources.DeltaLog.commitOverwriteMappedId(
@@ -2427,6 +2423,111 @@ class DeltaLogSpec extends SparkSuite {
     assert(evolvedRead.schema.fieldNames.contains("extra"))
     assert(evolvedRead.filter(col("extra").isNull).count() ==
       evolvedRead.count())
+  }
+
+  test("nested mode=id: pruned single-field projections carry VALUES") {
+    // the round-13 experiment shape: a projection of ONE nested
+    // field makes Spark's nested schema pruning rebuild the struct
+    // WITHOUT parquet.field.id metadata — a field-id read silently
+    // NULLs. The physical-name resolution must return real values.
+    import org.apache.spark.sql.functions.struct
+    val dir = Files.createTempDirectory("dlognid").toString + "/t"
+    val df = (1L to 50L).map(i => (i, s"s$i", i * 10L))
+      .toDF("k", "s", "v")
+      .select(col("k"),
+        struct(col("s").as("a"), col("v").as("b")).as("nest"))
+    sources.DeltaLog.commitOverwriteMappedId(df, dir)
+    // single-nested-field projection — the pruning trigger
+    val got = sources.DeltaLog.read(spark, dir)
+      .select(col("k"), col("nest.a"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(7L) == "s7" && got.size == 50,
+      s"nested id-mode projection must carry values, got ${got.take(3)}")
+    assert(!got.values.exists(_ == null),
+      "an all-NULL nested projection is the field-id-stripping bug")
+    // nested rename stays metadata-only and resolves post-rename
+    val rv = sources.DeltaLog.renameColumnMapped(dir, "nest.a", "alpha")
+    val lines = Files.readAllLines(
+      Paths.get(f"$dir/_delta_log/$rv%020d.json")).toArray.mkString
+    assert(!lines.contains("\"add\"") && !lines.contains("\"remove\""))
+    val post = sources.DeltaLog.read(spark, dir)
+      .select(col("k"), col("nest.alpha"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(post(7L) == "s7" && post.size == 50)
+    // DV delete composes: nested id-mode table, merge-on-read
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 5L === 0L)
+    val afterDel = sources.DeltaLog.read(spark, dir)
+    assert(afterDel.count() == 40)
+    assert(afterDel.select(col("nest.alpha")).na.drop().count() == 40)
+    // flat id-mode tables still ride the native field-id matcher
+    // (q187's contract) — nothing regressed for them
+    val flat = Files.createTempDirectory("dlognidf").toString + "/t"
+    sources.DeltaLog.commitOverwriteMappedId(
+      (1L to 5L).map(i => (i, s"x$i")).toDF("k", "s"), flat)
+    assert(sources.DeltaLog.read(spark, flat)
+      .collect().map(_.getString(1)).sorted.toSeq ==
+      (1 to 5).map(i => s"x$i"))
+  }
+
+  test("CHECK constraints and generated columns refuse bad writes") {
+    val dir = Files.createTempDirectory("dlconstraint").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      (1L to 10L).map(i => (i, i % 5 + 1, i * 2)).toDF("k", "score", "dbl"),
+      dir)
+    // adding a constraint EXISTING data violates refuses
+    val e0 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.addCheckConstraint(spark, dir,
+        "score_low", "score <= 3")
+    }
+    assert(e0.getMessage.contains("existing rows already violate"))
+    // the reference's own CHECK shape: score BETWEEN 1 AND 5
+    sources.DeltaLog.addCheckConstraint(spark, dir,
+      "score_range", "score BETWEEN 1 AND 5")
+    sources.DeltaLog.addGenerationExpression(spark, dir, "dbl", "k * 2")
+    // violating APPEND refuses, NAMING the constraint; nothing lands
+    val vBefore = sources.DeltaLog.versions(dir).last
+    val e1 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.commitAppend(
+        Seq((11L, 9L, 22L)).toDF("k", "score", "dbl"), dir)
+    }
+    assert(e1.getMessage.contains("score_range") &&
+      e1.getMessage.contains("BETWEEN"), e1.getMessage)
+    // violating generated column refuses
+    val e2 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.commitAppend(
+        Seq((11L, 3L, 23L)).toDF("k", "score", "dbl"), dir)
+    }
+    assert(e2.getMessage.contains("generated column 'dbl'"))
+    assert(sources.DeltaLog.versions(dir).last == vBefore,
+      "a refused write must commit nothing")
+    // NULL passes CHECK (SQL semantics: violation only on FALSE)
+    sources.DeltaLog.commitAppend(Seq((11L, Option.empty[Long], 22L))
+      .toDF("k", "score", "dbl"), dir)
+    // compliant MERGE lands; violating MERGE refuses
+    sources.DeltaLog.mergeInto(spark, dir,
+      Seq((1L, 5L, 2L)).toDF("k", "score", "dbl"), Seq("k"))
+    val e3 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.mergeInto(spark, dir,
+        Seq((1L, 7L, 2L)).toDF("k", "score", "dbl"), Seq("k"))
+    }
+    assert(e3.getMessage.contains("score_range"))
+    // metadata ROUND-TRIPS through the checkpoint: enforcement still
+    // fires on a checkpoint-seeded replay
+    sources.DeltaLog.checkpoint(spark, dir)
+    val e4 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.commitAppend(
+        Seq((12L, 0L, 24L)).toDF("k", "score", "dbl"), dir)
+    }
+    assert(e4.getMessage.contains("score_range"))
+    // and through a foreign-shaped replay: the raw configuration
+    // carries the constraint key for any real Delta client
+    val st = sources.DeltaLog.replay(dir,
+      sources.DeltaLog.versions(dir).last)
+    assert(st.configuration("delta.constraints.score_range") ==
+      "score BETWEEN 1 AND 5")
+    assert(st.schema("dbl").metadata
+      .getString("delta.generationExpression") == "k * 2")
+    assert(sources.DeltaLog.read(spark, dir).count() == 11)
   }
 
   test("mapped evolveSchema survives a stale or garbled maxColumnId") {

@@ -117,6 +117,73 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
       s"expected the un-delete refusal, got: ${messages(e)}")
   }
 
+  test("eqDeletePreimages: delete rows carry FULL pre-images, pruned, stacked-safe") {
+    val work = Files.createTempDirectory("icdfpre").toString
+    val dir = s"$work/t"
+    // range-clustered parent: 4 files with disjoint k ranges, so the
+    // planner's key-bounds prune has something to prove
+    sources.Iceberg.commitAppend(
+      (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")), dir)           // snap 1
+    // upsert round 1: eq-delete {3,7} + re-append new versions
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq(3L, 7L).toDF("k"))                              // snap 2
+    sources.Iceberg.commitAppend(
+      Seq((3L, "S3"), (7L, "S7")).toDF("k", "s"), dir)    // snap 3
+    // upsert round 2, STACKED: k=7 again (its live row is now snap
+    // 3's "S7" — the old "s7" is dead by value and must NOT be
+    // resurrected as a pre-image) plus a fresh key
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq(7L, 50L).toDF("k"))                             // snap 4
+    sources.Iceberg.commitAppend(
+      Seq((7L, "T7"), (50L, "T50")).toDF("k", "s"), dir)  // snap 5
+    val q = spark.readStream.format("graft-iceberg-cdf")
+      .option("path", dir).option("eqDeletePreimages", "true").load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$work/out")
+      .select("k", "s", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(t => (t._4, t._1, t._2)).toSeq
+    // batch pre-image derivation: each delete snapshot's doomed keys
+    // joined against its PARENT snapshot's state
+    val want =
+      (1L to 100L).map(i => (i, s"s$i", "insert", 1L)) ++
+        Seq((3L, "s3", "delete", 2L), (7L, "s7", "delete", 2L)) ++
+        Seq((3L, "S3", "insert", 3L), (7L, "S7", "insert", 3L)) ++
+        Seq((7L, "S7", "delete", 4L), (50L, "s50", "delete", 4L)) ++
+        Seq((7L, "T7", "insert", 5L), (50L, "T50", "insert", 5L))
+    assert(got == want.sortBy(t => (t._4, t._1, t._2)),
+      s"pre-images must equal the batch derivation; got " +
+        got.filter(_._3 == "delete").mkString(","))
+    // the price was O(matching files): the key-bounds prune planned
+    // fewer parent files than the snapshot holds
+    assert(sources.Iceberg.lastPreimageFilesPlanned <
+      sources.Iceberg.lastPreimageFilesTotal,
+      s"key-bounds prune off: planned " +
+        s"${sources.Iceberg.lastPreimageFilesPlanned} of " +
+        s"${sources.Iceberg.lastPreimageFilesTotal}")
+    // and WITHOUT the option the same history still streams the wire
+    // shape (null-filled non-key columns) — the default is unchanged
+    val q2 = spark.readStream.format("graft-iceberg-cdf")
+      .option("path", dir).load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/out2")
+      .option("checkpointLocation", s"$work/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val wire = spark.read.parquet(s"$work/out2")
+      .filter(col("_change_type") === "delete")
+      .select("k", "s").collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(wire.nonEmpty && wire.forall(_._2),
+      "the default wire shape must keep null-filled non-key columns")
+  }
+
   test("an overwrite ADDING delete files on retained data refuses") {
     // snapshot 1 appends; snapshot 2 position-deletes. A FORGED
     // snapshot 3 replays snapshot 2's state as operation=overwrite
