@@ -2812,30 +2812,127 @@ object Iceberg {
     }
     val snapshotId: Long = meta.get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong).max + 1L
-    // one delete manifest
-    val dm = s"${metaDir(tableDir)}/snap-$snapshotId-${
-      java.util.UUID.randomUUID}-d0.avro"
-    val dfr = new GenericData.Record(
-      deleteEntrySchema.getField("data_file").schema())
-    dfr.put("content", 1)
-    dfr.put("file_path", part.getPath)
-    dfr.put("file_format", "PARQUET")
-    dfr.put("record_count", nRows)
-    dfr.put("file_size_in_bytes", part.length())
-    val de = new GenericData.Record(deleteEntrySchema)
-    de.put("status", 1)
-    de.put("snapshot_id", snapshotId)
-    de.put("data_file", dfr)
-    writeAvro(dm, deleteEntrySchema, Seq(de))
-    commitDeleteSnapshot(tableDir, meta, v, curId, snapshotId, dm)
+    // one delete manifest per commit ATTEMPT (a conflict-proved
+    // retry re-mints it under the new snapshot id)
+    def writeManifest(sid: Long): String = {
+      val dm = s"${metaDir(tableDir)}/snap-$sid-${
+        java.util.UUID.randomUUID}-d0.avro"
+      val dfr = new GenericData.Record(
+        deleteEntrySchema.getField("data_file").schema())
+      dfr.put("content", 1)
+      dfr.put("file_path", part.getPath)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("record_count", nRows)
+      dfr.put("file_size_in_bytes", part.length())
+      val de = new GenericData.Record(deleteEntrySchema)
+      de.put("status", 1)
+      de.put("snapshot_id", sid)
+      de.put("data_file", dfr)
+      writeAvro(dm, deleteEntrySchema, Seq(de))
+      dm
+    }
+    commitDeleteSnapshot(tableDir, meta, v, curId, snapshotId,
+      writeManifest,
+      ex.longRanges.map { case (c, lo, hi) => c -> (lo, hi) }.toMap,
+      "row-level delete")
+  }
+
+  /** Internal retries taken by Iceberg row-level deletes after
+    * proving a racing winner disjoint — the Delta
+    * `rowOpConflictRetries` twin. */
+  private[graft] val rowOpConflictRetries =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Conflict proving for a row-level delete that lost its metadata
+    * CAS (the Delta `requireWinnersDisjoint` twin, under Iceberg's
+    * own semantics): the retry is sound iff
+    *
+    *  - the winner CHAIN from the new head back to our base snapshot
+    *    is intact and APPEND-ONLY (an overwrite/delete/replace could
+    *    have removed or re-deleted rows our delete file references —
+    *    and racing deletes could double-emit through CDF);
+    *  - schema and default partition spec are unchanged;
+    *  - every winner-ADDED data file PROVABLY misses the op's value
+    *    constraint (`valueRanges`, conjunct semantics: one provably
+    *    missed range is a proof) — position deletes stay valid
+    *    against untouched base files, and an equality delete
+    *    re-sequenced past the winner cannot swallow the winner's
+    *    rows when their key ranges provably miss. Unknown bounds =
+    *    conflict (superset contract).
+    *
+    * Throws the loud abort otherwise. */
+  private def requireIcebergWinnersDisjoint(tableDir: String,
+      baseMeta: ObjectNode, headMeta: ObjectNode, baseCurId: Long,
+      valueRanges: Map[String, (Long, Long)], op: String): Unit = {
+    require(schemaFromMetadata(baseMeta) == schemaFromMetadata(headMeta)
+        && partitionSpecOf(baseMeta) == partitionSpecOf(headMeta),
+      s"concurrent writer changed schema or partition spec during " +
+        s"$op — recompute against the new state and re-run")
+    val snaps = headMeta.get("snapshots").elements().asScala
+      .map(n => n.get("snapshot-id").asLong -> n).toMap
+    var cur = headMeta.get("current-snapshot-id").asLong
+    val winners = Seq.newBuilder[Long]
+    while (cur != baseCurId) {
+      val n = snaps.getOrElse(cur,
+        throw new IllegalArgumentException(
+          s"concurrent writer rewrote history during $op (snapshot " +
+            s"$cur missing) — recompute against the new state and " +
+            "re-run"))
+      val opName = Option(n.get("summary"))
+        .flatMap(su => Option(su.get("operation"))).map(_.asText)
+      require(opName.contains("append"),
+        s"concurrent ${opName.getOrElse("?")} snapshot $cur landed " +
+          s"during $op — only append winners are provably disjoint; " +
+          "recompute against the new state and re-run")
+      winners += cur
+      require(n.has("parent-snapshot-id"),
+        s"concurrent writer rewrote history during $op — recompute " +
+          "against the new state and re-run")
+      cur = n.get("parent-snapshot-id").asLong
+    }
+    val ids = fieldIds(headMeta)
+    val basePaths = planFilesAll(tableDir, baseMeta, baseCurId)
+      .data.map(f => stripFileUri(f.path)).toSet
+    val headCur = headMeta.get("current-snapshot-id").asLong
+    planFilesAll(tableDir, headMeta, headCur).data
+      .filterNot(f => basePaths.contains(stripFileUri(f.path)))
+      .foreach { f =>
+        val provedMiss = valueRanges.exists { case (c, (lo, hi)) =>
+          ids.get(c).exists { fid =>
+            (f.lower.get(fid).flatMap(longBound),
+              f.upper.get(fid).flatMap(longBound)) match {
+              case (Some(mn), Some(mx)) => mn > hi || mx < lo
+              case _ => false
+            }
+          }
+        }
+        require(provedMiss,
+          s"concurrent writer added ${f.path}, which may hold rows " +
+            s"this $op matches — recompute against the new state " +
+            "and re-run")
+      }
   }
 
   /** Shared tail of the v2 delete writers: publish a new snapshot
     * whose manifest-list = the current snapshot's manifests (content
-    * preserved) + one new DELETE manifest `dm`; metadata upgraded to
-    * format-version 2, history untouched. Returns the snapshot id. */
-  private def commitDeleteSnapshot(tableDir: String, meta: ObjectNode,
-      v: Int, curId: Long, snapshotId: Long, dm: String): Long = {
+    * preserved) + one new DELETE manifest; metadata upgraded to
+    * format-version 2, history untouched. A lost CAS retries
+    * INTERNALLY when the winners are provably disjoint
+    * ([[requireIcebergWinnersDisjoint]]) — the delete manifest is
+    * regenerated per attempt (`writeManifest`) so its recorded
+    * snapshot id and the list row's `added_snapshot_id` stay true,
+    * which is what sequence-scopes an equality delete correctly past
+    * the winner's appends. Returns the snapshot id. */
+  private def commitDeleteSnapshot(tableDir: String, meta0: ObjectNode,
+      v0: Int, curId0: Long, snapshotId0: Long,
+      writeManifest: Long => String,
+      valueRanges: Map[String, (Long, Long)], opName: String): Long = {
+    var meta = meta0
+    var v = v0
+    var curId = curId0
+    var snapshotId = snapshotId0
+    var dm = writeManifest(snapshotId)
+    while (true) {
     val curSnap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == curId).get
     val prev = readAvro(curSnap.get("manifest-list").asText)
@@ -2877,10 +2974,24 @@ object Iceberg {
     sn.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
     sn.put("sequence-number", snapshotId)
     sn.put("timestamp-ms", nextSnapshotTs(Some(meta)))
-    sn.putObject("summary").put("operation", "delete")
-    sn.put("manifest-list", listPath)
-    publishPinned(tableDir, v + 1, next, "row-level delete")
-    snapshotId
+      sn.putObject("summary").put("operation", "delete")
+      sn.put("manifest-list", listPath)
+      if (publishMetadataVersion(tableDir, v + 1, next))
+        return snapshotId
+      commitCasRetries.incrementAndGet()
+      val headV = currentVersion(tableDir)
+      val headMeta = loadMetadata(tableDir, headV)
+      requireIcebergWinnersDisjoint(tableDir, meta, headMeta, curId,
+        valueRanges, opName)
+      rowOpConflictRetries.incrementAndGet()
+      meta = headMeta
+      v = headV
+      curId = headMeta.get("current-snapshot-id").asLong
+      snapshotId = headMeta.get("snapshots").elements().asScala
+        .map(_.get("snapshot-id").asLong).max + 1L
+      dm = writeManifest(snapshotId)
+    }
+    -1L // unreachable
   }
 
   /** EQUALITY DELETE (v2, delete-file content=2): record the DISTINCT
@@ -2928,23 +3039,30 @@ object Iceberg {
     }
     val snapshotId: Long = meta.get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong).max + 1L
-    val dm = s"${metaDir(tableDir)}/snap-$snapshotId-${
-      java.util.UUID.randomUUID}-d0.avro"
-    val dfr = new GenericData.Record(
-      eqDeleteEntrySchema.getField("data_file").schema())
-    dfr.put("content", 2)
-    dfr.put("file_path", part.getPath)
-    dfr.put("file_format", "PARQUET")
-    dfr.put("record_count", nRows)
-    dfr.put("file_size_in_bytes", part.length())
-    dfr.put("equality_ids",
-      keys.columns.map(c => Int.box(ids(c))).toSeq.asJava)
-    val de = new GenericData.Record(eqDeleteEntrySchema)
-    de.put("status", 1)
-    de.put("snapshot_id", snapshotId)
-    de.put("data_file", dfr)
-    writeAvro(dm, eqDeleteEntrySchema, Seq(de))
-    commitDeleteSnapshot(tableDir, meta, v, curId, snapshotId, dm)
+    def writeManifest(sid: Long): String = {
+      val dm = s"${metaDir(tableDir)}/snap-$sid-${
+        java.util.UUID.randomUUID}-d0.avro"
+      val dfr = new GenericData.Record(
+        eqDeleteEntrySchema.getField("data_file").schema())
+      dfr.put("content", 2)
+      dfr.put("file_path", part.getPath)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("record_count", nRows)
+      dfr.put("file_size_in_bytes", part.length())
+      dfr.put("equality_ids",
+        keys.columns.map(c => Int.box(ids(c))).toSeq.asJava)
+      val de = new GenericData.Record(eqDeleteEntrySchema)
+      de.put("status", 1)
+      de.put("snapshot_id", sid)
+      de.put("data_file", dfr)
+      writeAvro(dm, eqDeleteEntrySchema, Seq(de))
+      dm
+    }
+    // the doomed keys' [min,max] per long-typed key column is the
+    // disjointness constraint a racing append is proved against
+    commitDeleteSnapshot(tableDir, meta, v, curId, snapshotId,
+      writeManifest, eqDeleteKeyBounds(part.getPath, keys.columns.toSeq),
+      "equality delete")
   }
 
   /** SCHEMA EVOLUTION: publish a new metadata version whose schema

@@ -1561,6 +1561,90 @@ class IcebergSpec extends SparkSuite {
       "every surviving 'P' row must be an even (post-delete) key")
   }
 
+  test("row-level deletes racing disjoint appends retry internally") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceconflict").toString + "/t"
+    sources.Iceberg.commitAppend(
+      (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")), dir) // snap 1
+    val before = sources.Iceberg.rowOpConflictRetries.get
+    // plant an append of PROVABLY-DISJOINT keys (manifest bounds
+    // [1000,1010] vs the delete's k <= 10) in the delete's claim
+    // window: the lost CAS must re-prove and retry INTERNALLY
+    val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.Iceberg.commitClaimHook = (d, _) =>
+      if (planted.compareAndSet(false, true))
+        sources.Iceberg.commitAppend(
+          (1000L to 1010L).map(i => (i, s"w$i")).toDF("k", "s"), d)
+    try sources.Iceberg.deleteWhere(spark, dir, col("k") <= 10L)
+    finally sources.Iceberg.commitClaimHook = (_, _) => ()
+    assert(sources.Iceberg.rowOpConflictRetries.get > before,
+      "the internal conflict-proving retry must surface in its seam")
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((11L to 100L) ++ (1000L to 1010L)),
+      "both the racing append and the delete land exactly once")
+    // an OVERLAPPING racing append still aborts loudly
+    val planted2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.Iceberg.commitClaimHook = (d, _) =>
+      if (planted2.compareAndSet(false, true))
+        sources.Iceberg.commitAppend(
+          Seq((12L, "overlap")).toDF("k", "s"), d)
+    val e = try intercept[IllegalArgumentException] {
+      sources.Iceberg.deleteWhere(spark, dir,
+        col("k") >= 11L && col("k") <= 20L)
+    } finally sources.Iceberg.commitClaimHook = (_, _) => ()
+    assert(e.getMessage.contains("recompute against the new state"),
+      e.getMessage)
+    // the winner's row survived; the aborted delete changed nothing
+    assert(sources.Iceberg.read(spark, dir)
+      .filter(col("k") <= 20L).count() == 11)
+  }
+
+  test("equality deletes racing appends: disjoint lands, overlap aborts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceconflict2").toString + "/t"
+    sources.Iceberg.commitAppend(
+      (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")), dir)
+    val before = sources.Iceberg.rowOpConflictRetries.get
+    val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.Iceberg.commitClaimHook = (d, _) =>
+      if (planted.compareAndSet(false, true))
+        sources.Iceberg.commitAppend(
+          (2000L to 2005L).map(i => (i, s"w$i")).toDF("k", "s"), d)
+    try sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq(3L, 7L).toDF("k"))
+    finally sources.Iceberg.commitClaimHook = (_, _) => ()
+    assert(sources.Iceberg.rowOpConflictRetries.get > before)
+    val got = sources.Iceberg.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((1L to 100L).filterNot(Set(3L, 7L)) ++
+      (2000L to 2005L)),
+      "the re-sequenced equality delete must not swallow the " +
+        "winner's disjoint rows")
+    // overlap: the winner appends k=42 while the delete retires k=42
+    // — re-sequencing would swallow the NEWER version; abort loudly
+    val planted2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.Iceberg.commitClaimHook = (d, _) =>
+      if (planted2.compareAndSet(false, true))
+        sources.Iceberg.commitAppend(
+          Seq((42L, "newer")).toDF("k", "s"), d)
+    val e = try intercept[IllegalArgumentException] {
+      sources.Iceberg.deleteWhereEquality(spark, dir, Seq(42L).toDF("k"))
+    } finally sources.Iceberg.commitClaimHook = (_, _) => ()
+    assert(e.getMessage.contains("recompute against the new state"))
+    // a racing DELETE winner is never provably disjoint here
+    val planted3 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.Iceberg.commitClaimHook = (d, _) =>
+      if (planted3.compareAndSet(false, true))
+        sources.Iceberg.deleteWhereEquality(spark, d, Seq(90L).toDF("k"))
+    val e2 = try intercept[IllegalArgumentException] {
+      sources.Iceberg.deleteWhereEquality(spark, dir, Seq(91L).toDF("k"))
+    } finally sources.Iceberg.commitClaimHook = (_, _) => ()
+    assert(e2.getMessage.contains("only append winners"), e2.getMessage)
+  }
+
   test("partition-spec evolution: per-spec pruning, stale-spec writes refuse") {
     import org.apache.spark.sql.functions.pmod
     val work = Files.createTempDirectory("icespecevo").toString
