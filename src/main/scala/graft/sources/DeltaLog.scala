@@ -1505,16 +1505,31 @@ object DeltaLog {
     * append/overwrite/merge enforces it. */
   def addCheckConstraint(spark: SparkSession, tableDir: String,
                          name: String, check: String): Long = {
-    import org.apache.spark.sql.functions.{expr, lit, not}
+    import org.apache.spark.sql.functions.{expr, lit}
     require(name.nonEmpty && !name.contains(' '),
       s"constraint name '$name' must be a bare identifier")
-    val bad = read(spark, tableDir)
-      .filter(expr(check) <=> lit(false)).limit(1).collect()
-    require(bad.isEmpty,
-      s"cannot add CHECK constraint '$name' ($check): existing rows " +
-        s"already violate it (e.g. ${bad.headOption.getOrElse("")})")
-    setTableProperties(tableDir,
-      Map(s"delta.constraints.$name" -> check))
+    var v = -1L
+    var done = false
+    while (!done) {
+      // validate INSIDE the claim loop: a lost CAS means rows landed
+      // between validation and commit — they must be re-checked, or
+      // a racing violating write slips under the new constraint
+      val vs = versions(tableDir)
+      require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+      val st = replay(tableDir, vs.last)
+      val bad = read(spark, tableDir)
+        .filter(expr(check) <=> lit(false)).limit(1).collect()
+      require(bad.isEmpty,
+        s"cannot add CHECK constraint '$name' ($check): existing " +
+          s"rows already violate it (e.g. ${bad.headOption.getOrElse("")})")
+      v = vs.last + 1
+      commitClaimHook(tableDir, v)
+      done = writeActions(tableDir, v,
+        Seq(metaDataAction(st.schema, st.partitionColumns,
+          st.configuration + (s"delta.constraints.$name" -> check))))
+      if (!done) commitCasRetries.incrementAndGet()
+    }
+    v
   }
 
   /** Declare `colName` GENERATED AS `generationExpr` (metadata-only
@@ -1524,29 +1539,32 @@ object DeltaLog {
                               colName: String,
                               generationExpr: String): Long = {
     import org.apache.spark.sql.functions.{expr, not}
-    val vs = versions(tableDir)
-    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
-    val st = replay(tableDir, vs.last)
-    require(st.schema.fieldNames.contains(colName),
-      s"generated column $colName not in table schema")
-    val bad = read(spark, tableDir)
-      .filter(not(col(colName) <=> expr(generationExpr)))
-      .limit(1).collect()
-    require(bad.isEmpty,
-      s"cannot declare $colName generated as $generationExpr: " +
-        s"existing rows disagree (e.g. ${bad.headOption.getOrElse("")})")
-    val schemaOut = StructType(st.schema.fields.map { f =>
-      if (f.name != colName) f
-      else f.copy(metadata =
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata)
-          .putString("delta.generationExpression", generationExpr)
-          .build())
-    })
     var v = -1L
     var done = false
     while (!done) {
-      v = versions(tableDir).last + 1
+      // the addCheckConstraint discipline: re-derive state AND
+      // re-validate existing rows per claim attempt, so neither a
+      // racing schema change nor racing violating rows slip under
+      val vs = versions(tableDir)
+      require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+      val st = replay(tableDir, vs.last)
+      require(st.schema.fieldNames.contains(colName),
+        s"generated column $colName not in table schema")
+      val bad = read(spark, tableDir)
+        .filter(not(col(colName) <=> expr(generationExpr)))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"cannot declare $colName generated as $generationExpr: " +
+          s"existing rows disagree (e.g. ${bad.headOption.getOrElse("")})")
+      val schemaOut = StructType(st.schema.fields.map { f =>
+        if (f.name != colName) f
+        else f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("delta.generationExpression", generationExpr)
+            .build())
+      })
+      v = vs.last + 1
       commitClaimHook(tableDir, v)
       done = writeActions(tableDir, v,
         Seq(metaDataAction(schemaOut, st.partitionColumns,

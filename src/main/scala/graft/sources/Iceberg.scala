@@ -606,9 +606,31 @@ object Iceberg {
     val specId =
       if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt
       else 0
-    partitionSpecsAll(meta).getOrElse(specId,
+    val spec = partitionSpecsAll(meta).getOrElse(specId,
       throw new IllegalArgumentException(
         s"default-spec-id $specId not in partition-specs"))
+    // the DEFAULT spec must be fully speakable — writers validate
+    // against it and pruned reads derive tuples from it. HISTORICAL
+    // specs are exempt (see partitionSpecsAll): they only ever
+    // weaken pruning, never correctness.
+    // `void` is readable in ANY spec (real Iceberg v1 replaces
+    // dropped partition fields with void IN PLACE): it derives no
+    // tuple value, prunes nothing, and is never an identity column —
+    // harmless to reads; this engine's own writers never declare it
+    spec.foreach(f =>
+      require(f.transform == "void" ||
+          graft.functions.IcebergTransforms.supported(f.transform),
+        s"unsupported partition transform '${f.transform}' (this " +
+          "engine speaks identity, bucket[n], truncate[w], day, " +
+          "month, year — plus read-only void)"))
+    val rawFields = meta.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt == specId)
+      .map(_.get("fields").size).getOrElse(0)
+    require(spec.size == rawFields,
+      s"default partition spec $specId has a field whose source-id " +
+        "is not in the schema — cannot derive tuples for writes or " +
+        "pruned reads")
+    spec
   }
 
   /** EVERY partition spec in the metadata keyed by spec-id — a
@@ -622,18 +644,22 @@ object Iceberg {
     if (!meta.has("partition-specs"))
       return Map.empty
     val byId = fieldIds(meta).map(_.swap)
+    // transforms are NOT validated here: a HISTORICAL spec with a
+    // transform this engine cannot speak (real Iceberg v1 partition
+    // evolution leaves `void` fields behind; foreign engines may use
+    // others) must not brick the table — per-spec pruning simply
+    // derives no predicate for such fields (the tuplePredsFor match
+    // falls through to None, the superset answer). Only the DEFAULT
+    // spec is require-validated, in [[partitionSpecOf]]. Unresolvable
+    // source-ids get the same soft treatment (a dropped column's
+    // void field has no living source).
     meta.get("partition-specs").elements().asScala.map { spec =>
       spec.get("spec-id").asInt ->
-        spec.get("fields").elements().asScala.map { f =>
-          val tr = f.get("transform").asText
-          require(graft.functions.IcebergTransforms.supported(tr),
-            s"unsupported partition transform '$tr' (this engine " +
-              "speaks identity, bucket[n], truncate[w], day, month, " +
-              "year)")
+        spec.get("fields").elements().asScala.flatMap { f =>
           val sid = f.get("source-id").asInt
-          SpecField(f.get("name").asText, tr,
-            byId.getOrElse(sid, throw new IllegalArgumentException(
-              s"partition source-id $sid not in schema")))
+          byId.get(sid).map(src =>
+            SpecField(f.get("name").asText, f.get("transform").asText,
+              src))
         }.toSeq
     }.toMap
   }

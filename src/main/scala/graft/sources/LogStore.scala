@@ -179,8 +179,13 @@ object ConditionalPutStore extends LogStore {
       else {
         val shadow = Files.createTempFile(target.getParent,
           "." + target.getFileName.toString + "-put-", ".tmp")
-        Files.copy(tmp, shadow, StandardCopyOption.REPLACE_EXISTING)
-        Files.move(shadow, target) // plain move — see class doc
+        try {
+          Files.copy(tmp, shadow, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(shadow, target) // plain move — see class doc
+        } catch { case e: Throwable =>
+          Files.deleteIfExists(shadow) // no stranded shadow objects
+          throw e
+        }
         claimsWon.incrementAndGet()
         true
       }
@@ -215,8 +220,13 @@ object ConditionalPutStore extends LogStore {
     lockFor(target).synchronized {
       val shadow = Files.createTempFile(target.getParent,
         "." + target.getFileName.toString + "-put-", ".tmp")
-      Files.write(shadow, bytes)
-      Files.move(shadow, target,
-        StandardCopyOption.REPLACE_EXISTING) // whole-object replace PUT
+      try {
+        Files.write(shadow, bytes)
+        Files.move(shadow, target,
+          StandardCopyOption.REPLACE_EXISTING) // whole-object replace
+      } catch { case e: Throwable =>
+        Files.deleteIfExists(shadow)
+        throw e
+      }
     }
 }

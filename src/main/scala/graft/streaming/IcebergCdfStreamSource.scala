@@ -469,7 +469,7 @@ private class IcebergCdfReaderFactory(schemaJson: String,
           val (f, tuple, seq) = p.dataFiles(fileIdx)
           reader = ParquetReader.builder(new GroupReadSupport(),
             new Path(f)).build()
-          res = null; maskRes = Map.empty
+          res = null; maskRes = Map.empty; tupleFields = Map.empty
           skip = maskPositions(f, p.maskFiles)
           rowPos = -1L
           fileSeq = seq
@@ -478,12 +478,22 @@ private class IcebergCdfReaderFactory(schemaJson: String,
         }
       }
 
+      // per-file caches: resolution AND the field lookups are done
+      // once per (file, column set), never per row
+      private var tupleFields:
+        Map[Seq[String], Array[org.apache.spark.sql.types.StructField]] =
+        Map.empty
       private def tupleOf(g: org.apache.parquet.example.data.Group,
           cols: Seq[String]): Seq[Any] = {
         val ft = g.getType
-        val fields = cols.map(c => schema.fields.find(_.name == c).get)
+        val fields = tupleFields.getOrElse(cols, {
+          val fs = cols.map(c =>
+            schema.fields.find(_.name == c).get).toArray
+          tupleFields += cols -> fs
+          fs
+        })
         val res0 = maskRes.getOrElse(cols, {
-          val r = resolve(fields.toArray, ft, fieldIds)
+          val r = resolve(fields, ft, fieldIds)
           maskRes += cols -> r
           r
         })

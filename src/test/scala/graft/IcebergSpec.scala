@@ -924,12 +924,19 @@ class IcebergSpec extends SparkSuite {
       .filter(_.getFileName.toString.endsWith(".metadata.json"))
       .toSeq.maxBy(_.getFileName.toString)
     val txt = new String(Files.readAllBytes(f), "UTF-8")
-      .replace("\"bucket[4]\"", "\"void\"")
+      .replace("\"bucket[4]\"", "\"zorder[k]\"")
     Files.write(f, txt.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       sources.Iceberg.readWhere(spark, dir)(_ => true).count()
     }
     assert(e.getMessage.contains("transform"))
+    // `void`, by contrast, is READ-legal in any spec (real Iceberg
+    // v1 replaces dropped partition fields with void in place): it
+    // derives nothing and prunes nothing, the table stays readable
+    Files.write(f, txt.replace("\"zorder[k]\"", "\"void\"")
+      .getBytes("UTF-8"))
+    assert(sources.Iceberg.read(spark, dir).count() == 1)
+    assert(sources.Iceberg.readWhere(spark, dir)(_ => true).count() == 1)
   }
 
   test("equality deletes: value match, sequence scoping, null keys") {
@@ -1729,9 +1736,15 @@ class IcebergSpec extends SparkSuite {
       com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
     val s2 = specs.addObject()
     s2.put("spec-id", 2)
-    s2.putArray("fields").addObject()
+    val f2 = s2.putArray("fields")
+    f2.addObject()
       .put("name", "k_bucket").put("transform", "bucket[4]")
       .put("source-id", 1).put("field-id", 1002)
+    // a VOID field (real Iceberg v1's dropped-partition-field shape)
+    // must be readable too — it derives nothing and prunes nothing
+    f2.addObject()
+      .put("name", "ts_old").put("transform", "void")
+      .put("source-id", 2).put("field-id", 1003)
     meta.put("default-spec-id", 2)
     meta.put("last-partition-id", 1002)
     Files.write(metaDir.resolve(s"v${v + 1}.metadata.json"),
