@@ -3465,11 +3465,10 @@ object DeltaLog {
       }
       afterSink(latest)
       Files.createDirectories(Paths.get(workDir))
-      val tmp = Files.createTempFile(Paths.get(workDir), ".offset-", ".tmp")
-      Files.write(tmp, latest.toString.getBytes("UTF-8"))
-      Files.move(tmp, offsetFile,
-        StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      // consumer-side advisory pointer — store-appropriate replace
+      // (ATOMIC_MOVE on posix, whole-object PUT on object stores)
+      LogStore.current.putPointer(offsetFile,
+        latest.toString.getBytes("UTF-8"))
     }
     latest
   }

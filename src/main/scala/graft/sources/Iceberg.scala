@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -2730,11 +2730,9 @@ object Iceberg {
       }
       afterSink(latest)
       Files.createDirectories(Paths.get(workDir))
-      val tmp = Files.createTempFile(Paths.get(workDir), ".offset-", ".tmp")
-      Files.write(tmp, latest.toString.getBytes("UTF-8"))
-      Files.move(tmp, offsetFile,
-        StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      // consumer-side advisory pointer — store-appropriate replace
+      LogStore.current.putPointer(offsetFile,
+        latest.toString.getBytes("UTF-8"))
       latest
     } else offset
   }

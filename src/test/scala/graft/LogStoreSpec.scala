@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.sources.{ConditionalPutStore, LogStore, PosixLogStore,
   Snapshots}
@@ -178,6 +179,64 @@ class LogStoreSpec extends SparkSuite {
           .map(r => r.getInt(0) -> r.getString(1)).toMap ==
           Map(1 -> "a", 2 -> "winner"))
       }
+    }
+  }
+
+  test("the streaming CDF-to-MERGE loop runs under conditional-put") {
+    // the q199-shape CDC pipeline — bronze commits, CDF stream,
+    // foreachBatch MERGE + key-delete into a silver — end to end
+    // with object-store commit semantics: every commit of every
+    // table (bronze, silver) claims via conditional PUT, including
+    // the ones made from Spark's STREAMING thread
+    LogStore.withStore(ConditionalPutStore) {
+      val posixBefore = PosixLogStore.claimsAttempted.get
+      val work = Files.createTempDirectory("lscdc").toString
+      val bronze = s"$work/bronze"
+      val silver = s"$work/silver"
+      sources.DeltaLog.commitOverwrite(
+        (1L to 20L).map(i => (i, s"v1-$i")).toDF("k", "s"), bronze)
+      // row-level change fidelity for MERGE commits needs the CDF
+      // property (the q199 discipline) — itself a conditional-put
+      // commit here
+      sources.DeltaLog.setTableProperties(bronze,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      sources.DeltaLog.mergeInto(spark, bronze,
+        (1L to 5L).map(i => (i, s"v2-$i")).toDF("k", "s"), Seq("k"))
+      sources.DeltaLog.deleteWhere(spark, bronze,
+        col("k") % 10L === 0L)
+      val q = spark.readStream.format("graft-delta-cdf")
+        .option("path", bronze).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                         _: Long) =>
+          val ups = batch
+            .filter(col("_change_type").isin("insert",
+              "update_postimage"))
+            .select(col("k"), col("s"))
+          if (!ups.isEmpty) {
+            if (sources.DeltaLog.versions(silver).isEmpty)
+              sources.DeltaLog.commitOverwrite(ups, silver)
+            else
+              sources.DeltaLog.mergeInto(spark, silver, ups, Seq("k"))
+          }
+          val dels = batch.filter(col("_change_type") === "delete")
+            .select(col("k"))
+          if (sources.DeltaLog.versions(silver).nonEmpty &&
+              !dels.isEmpty)
+            sources.DeltaLog.deleteWhereKeys(spark, silver, "k", dels)
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = sources.DeltaLog.read(spark, silver)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = (1L to 20L).filterNot(_ % 10 == 0).map(i =>
+        i -> (if (i <= 5) s"v2-$i" else s"v1-$i")).toMap
+      assert(got == want, s"silver diverged: ${got.toSeq.sorted.take(5)}")
+      assert(PosixLogStore.claimsAttempted.get == posixBefore,
+        "no commit — including streaming-thread ones — may fall " +
+          "back to the posix CAS under conditional-put")
     }
   }
 
