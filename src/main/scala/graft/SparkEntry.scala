@@ -565,7 +565,15 @@ object SparkEntry {
     // key bounds equal the oracle's per-partition aggregates — the
     // recorded stats every pruning layer rests on, verified
     "q216_sql_file_stats"
-      -> (sources.DeltaLog.sqlFileStats _)
+      -> (sources.DeltaLog.sqlFileStats _),
+    // CHECK constraints + generated columns through the write
+    // lifecycle; in-fixture requires pin the refusal arms
+    "q217_delta_constraints"
+      -> (sources.DeltaLog.deltaConstraintsRead _),
+    // eq-delete CDF pre-images as a hash-checked feed; in-query seam
+    // pins the key-bounds prune
+    "q218_iceberg_cdf_preimages"
+      -> (streaming.IcebergCdfStreamQueries.icebergCdfPreimageStream _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -830,6 +838,10 @@ object SparkEntry {
     "q215_delta_nested_mapping_id"
       -> sources.DeltaLog.deltaNestedMappedIdReadSql,
     "q216_sql_file_stats"
-      -> sources.DeltaLog.sqlFileStatsSql
+      -> sources.DeltaLog.sqlFileStatsSql,
+    "q217_delta_constraints"
+      -> sources.DeltaLog.deltaConstraintsReadSql,
+    "q218_iceberg_cdf_preimages"
+      -> streaming.IcebergCdfStreamQueries.icebergCdfPreimageStreamSql
   )
 }

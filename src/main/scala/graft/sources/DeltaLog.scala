@@ -3659,6 +3659,66 @@ object DeltaLog {
       |  ORDER BY o_orderkey LIMIT 8)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Session-cached CONSTRAINTS fixture (q217): an orders-derived
+    * table that declares a CHECK (`delta.constraints.*`) and a
+    * GENERATED column, then lives through enforced appends and a
+    * MERGE. The builder `require`s the refusal arms in-fixture —
+    * a violating append and a violating merge must both abort
+    * naming their invariant and commit NOTHING — so a regression to
+    * unenforced writes fails the gated query loudly, not just a
+    * spec. */
+  private[graft] def ordersConstraintsTable(spark: SparkSession,
+                                            dir: String): String =
+    cachedTable(spark, dir, "deltaconstraints") { (o, t) =>
+      val base = o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        (col("o_orderkey") % 10).as("key_mod"))
+      commitOverwrite(base.filter(col("o_orderkey") % 2 === 0), t)
+      addCheckConstraint(spark, t, "status_domain",
+        "o_orderstatus IN ('F','O','P')")
+      addGenerationExpression(spark, t, "key_mod", "o_orderkey % 10")
+      // enforced appends + merge: the valid half lands
+      commitAppend(base.filter(col("o_orderkey") % 2 === 1), t)
+      mergeInto(spark, t,
+        base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("P")),
+        Seq("o_orderkey"))
+      val vBefore = versions(t).last
+      def refused(body: => Unit, name: String): Unit = {
+        val ok = try { body; false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains(name) }
+        require(ok, s"a write violating $name must refuse loudly")
+      }
+      refused(commitAppend(
+        base.limit(1).withColumn("o_orderstatus", lit("X"))
+          .withColumn("o_orderkey", lit(-1L)), t), "status_domain")
+      refused(mergeInto(spark, t,
+        base.limit(1).withColumn("key_mod", lit(99L)), Seq("o_orderkey")),
+        "key_mod")
+      require(versions(t).last == vBefore,
+        "refused writes must commit nothing")
+    }
+
+  /** q217 — CHECK CONSTRAINTS + GENERATED COLUMNS through the write
+    * lifecycle (the reference's Postgres CHECK shape,
+    * postgres_init/init.sql:134, enforced at the lake): declared
+    * post-creation with existing-data validation, enforced on
+    * append AND merge (in-fixture refusal requires), and the
+    * surviving data — exactly the compliant writes — hash-checked
+    * against the oracle. */
+  def deltaConstraintsRead(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ordersConstraintsTable(spark, dir))
+      .orderBy(col("o_orderkey"))
+
+  val deltaConstraintsReadSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'P'
+      |       ELSE o_orderstatus END AS o_orderstatus,
+      |  o_orderkey % 10 AS key_mod
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Session-cached CONDITIONAL-PUT lifecycle fixture (q213): the
     * full writer surface — overwrite, append, MERGE INTO, row-level
     * delete, checkpoint — committed with

@@ -3568,6 +3568,27 @@ object Iceberg {
       |  AND o_orderdate <  TIMESTAMP '1995-06-01 00:00:00'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Session-cached PRE-IMAGE fixture (q218): orders range-clustered
+    * into 8 files (snap 1), an EQUALITY delete of the lowest ~decile
+    * of the key range (snap 2 — narrow by construction, so the
+    * pre-image planner's key-bounds prune has something to prove),
+    * and the re-appended new versions (snap 3) — the upsert wire. */
+  private[graft] def ordersIcebergPreimageTable(spark: SparkSession,
+                                                dir: String): String =
+    DeltaLog.cachedTable(spark, dir, "icebergpreimg") { (o, t) =>
+      import org.apache.spark.sql.functions.{max, min}
+      commitAppend(o.repartitionByRange(8, col("o_orderkey")), t)
+      val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .head()
+      // k <= lo + (hi - lo)/10  ⇔  10k <= 9*lo + hi (integer-exact,
+      // the same cut the oracle recomputes)
+      val cut = 9 * mm.getLong(0) + mm.getLong(1)
+      val doomed = o.filter(col("o_orderkey") * 10 <= cut)
+      deleteWhereEquality(spark, t, doomed.select(col("o_orderkey")))
+      commitAppend(doomed.withColumn("o_orderpriority", lit("UPSERT")),
+        t)
+    }
+
   /** Session-cached PARTITION-SPEC-EVOLUTION table (q214): even
     * orders committed under `year(o_orderdate)` (spec 0), the spec
     * evolved to `month(o_orderdate)` (spec 1), odd orders appended

@@ -823,6 +823,59 @@ object IcebergCdfStreamQueries {
       |       ELSE o_orderpriority END AS o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** q218 — EQ-DELETE PRE-IMAGE ENRICHMENT, gated (round 14's
+    * opt-in as a hash-checked feed): the stacked-upsert history
+    * drains with `eqDeletePreimages=true`, so the delete rows carry
+    * the FULL rows they retired — the parent snapshot's values,
+    * joined on the executor against only the key-bounds-pruned
+    * files (in-query seam `require`s planned < total; the doomed
+    * keys are the lowest decile of a range-clustered layout by
+    * construction). The oracle recomputes all three arms: a reader
+    * that null-filled non-keys (the wire default), resurrected a
+    * dead version, or emitted masked rows hash-mismatches. */
+  def icebergCdfPreimageStream(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = Iceberg.ordersIcebergPreimageTable(spark, dir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_icdfpre").toString
+    spark.readStream.format("graft-iceberg-cdf").option("path", t)
+      .option("eqDeletePreimages", "true").load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    require(Iceberg.lastPreimageFilesPlanned > 0 &&
+        Iceberg.lastPreimageFilesPlanned <
+          Iceberg.lastPreimageFilesTotal,
+      s"pre-image key-bounds prune off: planned " +
+        s"${Iceberg.lastPreimageFilesPlanned} of " +
+        s"${Iceberg.lastPreimageFilesTotal} parent files")
+    spark.read.parquet(s"$work/out")
+      .orderBy(col("_commit_version"), col("o_orderkey"),
+        col("_change_type"))
+  }
+
+  val icebergCdfPreimageStreamSql: String =
+    """WITH cut AS (SELECT 9 * min(o_orderkey) + max(o_orderkey) AS c
+      |  FROM orders),
+      |doomed AS (SELECT * FROM orders
+      |  WHERE o_orderkey * 10 <= (SELECT c FROM cut))
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority,
+      |  'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority,
+      |  'delete', 2 FROM doomed
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, 'UPSERT', 'insert', 3 FROM doomed
+      |ORDER BY _commit_version, o_orderkey, _change_type""".stripMargin
+
   /** q208 — PARTITIONED ICEBERG CDF STREAM (the refusal round 12
     * kept is now a feature): the identity-partitioned upsert table
     * (creation; equality-delete of (key, status) pairs; partitioned
