@@ -2954,10 +2954,13 @@ object DeltaLog {
       addAction(s"$sub/${f.getName}", f.length, Map.empty,
         dataChange = false, stats = Some(stats(f.getPath))))
     val removes = st.files.map(p => removeAction(p, dataChange = false))
-    require(writeActions(tableDir, base + 1, removes ++ adds),
-      s"concurrent writer claimed version ${base + 1} during compaction " +
-        "— rows may have changed; re-run compact against the new state")
-    base + 1
+    // conflict-proving commit: a racing APPEND never conflicts with a
+    // compaction (its files are not in the rewrite set and carry over
+    // by identity — at 100 TB, OPTIMIZE races ingest constantly and
+    // must not abort for it); a winner touching any INPUT file (DV
+    // delete, merge, another OPTIMIZE) still aborts loudly
+    commitRowOp(tableDir, base, removes ++ adds,
+      st.files.toSet, (_, _) => false, "compaction")
   }
 
   /** [[compact]] for a PARTITIONED table: OPTIMIZE compacts WITHIN
@@ -2984,10 +2987,9 @@ object DeltaLog {
     val adds = partitionedAdds(spark, tableDir, sub, st.partitionColumns,
       dataChange = false)
     val removes = st.files.map(p => removeAction(p, dataChange = false))
-    require(writeActions(tableDir, base + 1, removes ++ adds),
-      s"concurrent writer claimed version ${base + 1} during compaction " +
-        "— rows may have changed; re-run compact against the new state")
-    base + 1
+    // the compact discipline: append winners carry over by identity
+    commitRowOp(tableDir, base, removes ++ adds,
+      st.files.toSet, (_, _) => false, "compaction")
   }
 
   // ---------------------------------------------------------------

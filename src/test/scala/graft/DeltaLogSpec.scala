@@ -1001,6 +1001,40 @@ class DeltaLogSpec extends SparkSuite {
     (14L to 20L by 2).foreach(k => assert(got(k) == s"s$k", s"k=$k"))
   }
 
+  test("OPTIMIZE racing an append retries internally; racing delete aborts") {
+    val dir = Files.createTempDirectory("dlconflict4").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      (1L to 40L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartition(4), dir)
+    val retriesBefore = sources.DeltaLog.rowOpConflictRetries.get
+    // an append landing inside the compaction's claim window never
+    // conflicts: its files are not in the rewrite set — at 100 TB,
+    // OPTIMIZE must not abort because ingest won a claim
+    val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.DeltaLog.commitClaimHook = (d, _) =>
+      if (planted.compareAndSet(false, true))
+        sources.DeltaLog.commitAppend(
+          (41L to 45L).map(i => (i, s"w$i")).toDF("k", "s"), d)
+    try sources.DeltaLog.compact(spark, dir, targetFiles = 1)
+    finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+    assert(sources.DeltaLog.rowOpConflictRetries.get > retriesBefore)
+    assert(sources.DeltaLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 45L),
+      "compacted rows and the racing append both land exactly once")
+    // a winner touching an INPUT file (DV delete) still aborts
+    val planted2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sources.DeltaLog.commitClaimHook = (d, _) =>
+      if (planted2.compareAndSet(false, true))
+        sources.DeltaLog.deleteWhere(spark, d, col("k") === 3L)
+    val e = try intercept[IllegalArgumentException] {
+      sources.DeltaLog.compact(spark, dir, targetFiles = 1)
+    } finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+    assert(e.getMessage.contains("recompute against the new state"))
+    assert(sources.DeltaLog.read(spark, dir).count() == 44,
+      "the winner's delete survives; the aborted OPTIMIZE changed " +
+        "nothing")
+  }
+
   test("range-disjoint DV deletes racing from one base both land internally") {
     val dir = Files.createTempDirectory("dlconflict3").toString + "/t"
     sources.DeltaLog.commitOverwrite(
