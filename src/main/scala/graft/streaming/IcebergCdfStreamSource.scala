@@ -62,7 +62,15 @@ import graft.sources.Iceberg
   * partition columns are equality key columns (the
   * identity-partitioned CDC-table shape; otherwise they null-fill
   * like any non-key column). Options: `path` (required),
-  * `startingSnapshotId` (exclusive), `maxSnapshotsPerTrigger`. */
+  * `startingSnapshotId` (exclusive), `maxSnapshotsPerTrigger`,
+  * `skipOverwriteSnapshots`, `vectorizedRead`, and
+  * `eqDeletePreimages` (round 14: delete rows carry the FULL rows
+  * they retired — doomed keys joined against the parent snapshot's
+  * live data on the executor, priced as O(matching files) by a
+  * planner-side key-bounds prune, with the parent's positional AND
+  * sequence-scoped equality masks applied so a stacked upsert
+  * history never resurrects a dead key version; rides the row read
+  * path end to end). */
 class IcebergCdfStreamProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-iceberg-cdf"
