@@ -217,7 +217,15 @@ private class DeltaMicroBatchStream(schema: StructType, tableDir: String,
   override def initialOffset(): Offset = startingVersion match {
     case Some("latest") =>
       VersionOffset(DeltaLog.versions(tableDir).last)
-    case Some(v) => VersionOffset(v.toLong - 1)
+    case Some(v) =>
+      // descriptive refusal for every malformed spelling, including
+      // digit strings wider than Long (the CDF source's discipline)
+      val parsed = scala.util.Try(v.toLong).toOption
+        .filter(_ => v.matches("-?\\d+"))
+      require(parsed.isDefined,
+        s"graft-delta: startingVersion must be a version number or " +
+          s"'latest', got '$v'")
+      VersionOffset(parsed.get - 1)
     case None => VersionOffset(-1L)
   }
 

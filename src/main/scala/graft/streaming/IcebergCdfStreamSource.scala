@@ -132,10 +132,16 @@ private class IcebergCdfStreamScan(schema: StructType,
         case Some("latest") =>
           Iceberg.streamHead(IcebergStreamSource.pathOf(options), None)
         case Some(v) =>
-          require(v.forall(_.isDigit),
+          // digit-only AND Long-parseable: a 25-digit id passes the
+          // digit check but overflows toLong — both malformations
+          // must hit the descriptive message, never a raw
+          // NumberFormatException
+          val parsed = scala.util.Try(v.toLong).toOption
+            .filter(_ => v.nonEmpty && v.forall(_.isDigit))
+          require(parsed.isDefined,
             "graft-iceberg-cdf: startingSnapshotId must be a " +
               s"snapshot id or 'latest', got '$v'")
-          v.toLong
+          parsed.get
         case None => 0L
       },
       options.getLong("maxSnapshotsPerTrigger", Long.MaxValue),

@@ -204,7 +204,15 @@ private class IcebergMicroBatchStream(schema: StructType,
   override def initialOffset(): Offset = startingSnapshotId match {
     case Some("latest") =>
       SnapshotOffset(Iceberg.streamHead(tableDir, branch))
-    case Some(s) => SnapshotOffset(s.toLong)
+    case Some(s) =>
+      // descriptive refusal for every malformed spelling, overflow
+      // included (the shared startingVersion discipline)
+      val parsed = scala.util.Try(s.toLong).toOption
+        .filter(_ => s.nonEmpty && s.forall(_.isDigit))
+      require(parsed.isDefined,
+        "graft-iceberg: startingSnapshotId must be a snapshot id " +
+          s"or 'latest', got '$s'")
+      SnapshotOffset(parsed.get)
     case None => SnapshotOffset(0L)
   }
 
