@@ -2957,47 +2957,47 @@ object Iceberg {
     var snapshotId = snapshotId0
     var dm = writeManifest(snapshotId)
     while (true) {
-    val curSnap = meta.get("snapshots").elements().asScala
-      .find(_.get("snapshot-id").asLong == curId).get
-    val prev = readAvro(curSnap.get("manifest-list").asText)
-    val listPath =
-      s"${metaDir(tableDir)}/snap-$snapshotId-${
-        java.util.UUID.randomUUID}-manifest-list.avro"
-    val listRecords = prev.map { r =>
-      val n = new GenericData.Record(manifestFileSchemaV2)
-      n.put("manifest_path", r.get("manifest_path").toString)
-      n.put("manifest_length", r.get("manifest_length"))
-      // carried manifests keep the spec they were written under
-      // (multi-spec tables prune per-manifest)
-      n.put("partition_spec_id",
-        fieldOpt(r, "partition_spec_id")
-          .map(_.asInstanceOf[Int]).getOrElse(0))
-      n.put("content",
-        fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0))
-      n.put("added_snapshot_id", r.get("added_snapshot_id"))
-      n
-    } :+ {
-      val n = new GenericData.Record(manifestFileSchemaV2)
-      n.put("manifest_path", dm)
-      n.put("manifest_length", new File(dm).length())
-      n.put("partition_spec_id",
-        if (meta.has("default-spec-id"))
-          meta.get("default-spec-id").asInt else 0)
-      n.put("content", 1)
-      n.put("added_snapshot_id", snapshotId)
-      n
-    }
-    writeAvro(listPath, manifestFileSchemaV2, listRecords)
-    // v2 metadata: schema/spec/history unchanged, format upgraded
-    val next = meta.deepCopy[ObjectNode]()
-    next.put("format-version", 2)
-    next.put("last-sequence-number", snapshotId)
-    next.put("current-snapshot-id", snapshotId)
-    val sn = next.withArray[ArrayNode]("snapshots").addObject()
-    sn.put("snapshot-id", snapshotId)
-    sn.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
-    sn.put("sequence-number", snapshotId)
-    sn.put("timestamp-ms", nextSnapshotTs(Some(meta)))
+      val curSnap = meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == curId).get
+      val prev = readAvro(curSnap.get("manifest-list").asText)
+      val listPath =
+        s"${metaDir(tableDir)}/snap-$snapshotId-${
+          java.util.UUID.randomUUID}-manifest-list.avro"
+      val listRecords = prev.map { r =>
+        val n = new GenericData.Record(manifestFileSchemaV2)
+        n.put("manifest_path", r.get("manifest_path").toString)
+        n.put("manifest_length", r.get("manifest_length"))
+        // carried manifests keep the spec they were written under
+        // (multi-spec tables prune per-manifest)
+        n.put("partition_spec_id",
+          fieldOpt(r, "partition_spec_id")
+            .map(_.asInstanceOf[Int]).getOrElse(0))
+        n.put("content",
+          fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0))
+        n.put("added_snapshot_id", r.get("added_snapshot_id"))
+        n
+      } :+ {
+        val n = new GenericData.Record(manifestFileSchemaV2)
+        n.put("manifest_path", dm)
+        n.put("manifest_length", new File(dm).length())
+        n.put("partition_spec_id",
+          if (meta.has("default-spec-id"))
+            meta.get("default-spec-id").asInt else 0)
+        n.put("content", 1)
+        n.put("added_snapshot_id", snapshotId)
+        n
+      }
+      writeAvro(listPath, manifestFileSchemaV2, listRecords)
+      // v2 metadata: schema/spec/history unchanged, format upgraded
+      val next = meta.deepCopy[ObjectNode]()
+      next.put("format-version", 2)
+      next.put("last-sequence-number", snapshotId)
+      next.put("current-snapshot-id", snapshotId)
+      val sn = next.withArray[ArrayNode]("snapshots").addObject()
+      sn.put("snapshot-id", snapshotId)
+      sn.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
+      sn.put("sequence-number", snapshotId)
+      sn.put("timestamp-ms", nextSnapshotTs(Some(meta)))
       sn.putObject("summary").put("operation", "delete")
       sn.put("manifest-list", listPath)
       if (publishMetadataVersion(tableDir, v + 1, next))
