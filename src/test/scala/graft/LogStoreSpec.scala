@@ -182,6 +182,39 @@ class LogStoreSpec extends SparkSuite {
     }
   }
 
+  test("Snapshots stats commit + torn-claim heal under conditional-put") {
+    LogStore.withStore(ConditionalPutStore) {
+      val posixBefore = PosixLogStore.claimsAttempted.get
+      val t = Files.createTempDirectory("lssnap").toString + "/t"
+      // slot + withheld-_SUCCESS publish, both via the store: the
+      // stats/bloom manifest must land BEFORE the marker exactly as
+      // under posix
+      val v = Snapshots.commitWithStats(
+        (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s")
+          .repartitionByRange(4, col("k")),
+        t, Seq("k"))
+      assert(Snapshots.readPruned(spark, t, v, Seq(("k", 1L, 10L)))
+        .collect().map(_.getLong(0)).sorted.toSeq
+        .forall(k => k <= 100L))
+      assert(Snapshots.read(spark, t).count() == 100)
+      // exactly-once commitIfAbsent + torn-claim heal: claim the slot
+      // without completing it (a crashed writer), then the owning
+      // retry must rewrite and publish through the store
+      val t2 = Files.createTempDirectory("lssnap2").toString + "/t"
+      Files.createDirectories(Paths.get(t2))
+      assert(ConditionalPutStore.claimSlot(Paths.get(s"$t2/v=0")))
+      assert(Snapshots.commitIfAbsent(
+        Seq((1, "a")).toDF("k", "s"), t2, 0),
+        "the owning writer heals a torn claim")
+      assert(!Snapshots.commitIfAbsent(
+        Seq((1, "dup")).toDF("k", "s"), t2, 0),
+        "a replayed batch id is a no-op")
+      assert(Snapshots.read(spark, t2).count() == 1)
+      assert(PosixLogStore.claimsAttempted.get == posixBefore,
+        "no Snapshots claim may fall back to the posix primitives")
+    }
+  }
+
   test("the streaming CDF-to-MERGE loop runs under conditional-put") {
     // the q199-shape CDC pipeline — bronze commits, CDF stream,
     // foreachBatch MERGE + key-delete into a silver — end to end
