@@ -35,6 +35,17 @@ import java.util.concurrent.atomic.AtomicLong
   * agree on the commit point. Specs flip it with
   * [[LogStore.withStore]]; the `claims*` counters prove which store
   * the engine actually routed through.
+  *
+  * SCOPE — control plane only, deliberately: the seam carries every
+  * COMMIT POINT (version claims, slot claims, publish markers,
+  * advisory pointers). The DATA plane — parquet part files, staging
+  * dirs — is written by Spark's own output committers and by
+  * UUID-named paths no reader resolves until a commit references
+  * them, so it needs no atomicity from the store at all (on a real
+  * object store it rides the S3A/magic committers, exactly as the
+  * reference's own jobs do). That split is what makes the real-S3
+  * swap one class: correctness concentrates in the four methods
+  * below.
   */
 trait LogStore {
   def name: String
