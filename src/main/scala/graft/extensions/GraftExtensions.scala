@@ -181,24 +181,34 @@ object GraftExtensions {
       // the replayed state / manifest walk — what an operator asks
       // first when a 100 TB scan does not prune
       tfn("delta_file_stats",
-        "delta_file_stats(path) - one row per live file: path, " +
-          "partition, records, live_records, size_bytes, has_dv, " +
-          "min/max stats JSON") {
+        "delta_file_stats(path[, version]) - one row per live file: " +
+          "path, partition, records, live_records, size_bytes, " +
+          "has_dv, min/max stats JSON") {
         case Seq(p) =>
           plan(graft.sources.DeltaLog.fileStats(active,
             litString(p, "delta_file_stats", "path")))
+        case Seq(p, v) =>
+          plan(graft.sources.DeltaLog.fileStats(active,
+            litString(p, "delta_file_stats", "path"),
+            litLong(v, "delta_file_stats", "version")))
         case args => throw new IllegalArgumentException(
-          s"delta_file_stats expects (path), got ${args.size} args")
+          s"delta_file_stats expects (path[, version]), got " +
+            s"${args.size} args")
       },
       tfn("iceberg_files",
-        "iceberg_files(path) - one row per manifest entry: path, " +
-          "partition, spec_id, content, records, size_bytes, " +
-          "long-decoded bounds") {
+        "iceberg_files(path[, snapshot_id]) - one row per manifest " +
+          "entry: path, partition, spec_id, content, records, " +
+          "size_bytes, long-decoded bounds") {
         case Seq(p) =>
           plan(graft.sources.Iceberg.filesTable(active,
             litString(p, "iceberg_files", "path")))
+        case Seq(p, v) =>
+          plan(graft.sources.Iceberg.filesTable(active,
+            litString(p, "iceberg_files", "path"),
+            litLong(v, "iceberg_files", "snapshot_id")))
         case args => throw new IllegalArgumentException(
-          s"iceberg_files expects (path), got ${args.size} args")
+          s"iceberg_files expects (path[, snapshot_id]), got " +
+            s"${args.size} args")
       })
 
   /** Runtime registration on a pre-built session (the driver contract

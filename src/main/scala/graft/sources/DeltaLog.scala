@@ -1924,9 +1924,17 @@ object DeltaLog {
     * is O(deleted rows) per masked file, the same cost every scan
     * pays). The ops question this answers at 100 TB: which files
     * would a given predicate even consider, and how dead is each. */
-  def fileStats(spark: SparkSession, tableDir: String): DataFrame = {
+  def fileStats(spark: SparkSession, tableDir: String): DataFrame =
+    fileStats(spark, tableDir, versions(tableDir).last)
+
+  /** [[fileStats]] AS OF a pinned version — the layout question ops
+    * actually ask ("what did the table look like before that
+    * OPTIMIZE?"), same O(files) driver walk over the replayed
+    * state. */
+  def fileStats(spark: SparkSession, tableDir: String,
+                version: Long): DataFrame = {
     import spark.implicits._
-    val st = replay(tableDir, versions(tableDir).last)
+    val st = replay(tableDir, version)
     st.adds.toSeq.sortBy(_._1).map { case (p, a) =>
       val node = a.stats.map(mapper.readTree)
       val records = node.filter(_.has("numRecords"))

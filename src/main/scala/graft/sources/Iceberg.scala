@@ -360,14 +360,22 @@ object Iceberg {
     * bounds only ever ACCELERATE, the superset rule). Driver-side
     * O(files) manifest walk; no data file is opened. */
   def filesTable(spark: SparkSession, tableDir: String): DataFrame = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    filesTable(spark, tableDir, meta.get("current-snapshot-id").asLong)
+  }
+
+  /** [[filesTable]] AS OF a pinned snapshot — the at-version layout
+    * audit, same O(files) manifest walk. */
+  def filesTable(spark: SparkSession, tableDir: String,
+                 snapshotId: Long): DataFrame = {
     import spark.implicits._
     val meta = loadMetadata(tableDir, currentVersion(tableDir))
     val idToName = fieldIds(meta).map(_.swap)
-    val snapId = meta.get("current-snapshot-id").asLong
+    val snapId = snapshotId
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == snapId)
       .getOrElse(throw new IllegalArgumentException(
-        s"current snapshot $snapId not in metadata"))
+        s"snapshot $snapId not in metadata"))
     val rows = readAvro(snap.get("manifest-list").asText).flatMap { r =>
       val specId = fieldOpt(r, "partition_spec_id")
         .map(_.asInstanceOf[Int]).getOrElse(0)

@@ -107,4 +107,34 @@ class ExtensionsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("string literal"))
   }
+
+  test("file-stats metadata tables time-travel through the SQL argument") {
+    import spark.implicits._
+    graft.extensions.GraftExtensions.registerTableFunctions(spark)
+    val dd = java.nio.file.Files.createTempDirectory("tvfs").toString + "/t"
+    sources.DeltaLog.commitOverwrite(
+      (1L to 20L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartition(4), dd)
+    sources.DeltaLog.compact(spark, dd, targetFiles = 1)
+    // latest layout: the compacted single file; v0: the four originals
+    assert(spark.sql(s"SELECT count(*) FROM delta_file_stats('$dd')")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) FROM delta_file_stats('$dd', 0)")
+      .head().getLong(0) == 4L)
+    // records survive the pin: both layouts hold all 20 rows
+    assert(spark.sql(
+      s"SELECT sum(records) FROM delta_file_stats('$dd', 0)")
+      .head().getLong(0) == 20L)
+    val di = java.nio.file.Files.createTempDirectory("tvfsi").toString + "/t"
+    sources.Iceberg.commitAppend(
+      (1L to 10L).map(i => (i, s"s$i")).toDF("k", "s").coalesce(1), di)
+    sources.Iceberg.commitAppend(
+      (11L to 20L).map(i => (i, s"s$i")).toDF("k", "s").coalesce(1), di)
+    assert(spark.sql(
+      s"SELECT sum(records) FROM iceberg_files('$di') WHERE content = 0")
+      .head().getLong(0) == 20L)
+    assert(spark.sql(
+      s"SELECT sum(records) FROM iceberg_files('$di', 1) WHERE content = 0")
+      .head().getLong(0) == 10L)
+  }
 }
