@@ -108,6 +108,17 @@ object DeltaLog {
       stats.map(statsLongBounds).getOrElse(Map.empty)
   }
 
+  /** numRecords out of an `add.stats` JSON string — the DSv2 batch
+    * scan's row-count statistic (None when the writer recorded no
+    * stats, which then reports no row count rather than a wrong
+    * one). */
+  private[graft] def statsNumRecords(s: String): Option[Long] = {
+    val node = mapper.readTree(s)
+    if (node.has("numRecords") && node.get("numRecords").canConvertToLong)
+      Some(node.get("numRecords").asLong)
+    else None
+  }
+
   /** min/max of integer-valued columns out of an `add.stats` JSON
     * string — shared by the batch skip path ([[AddFile.longBounds]])
     * and the stream planner's per-file pruning. */

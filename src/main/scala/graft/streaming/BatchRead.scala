@@ -1,0 +1,489 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference, Expression => VExpression}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReaderFactory, Scan, ScanBuilder, Statistics,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  SupportsReportPartitioning, SupportsReportStatistics,
+  SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{
+  KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.sources.{And => FAnd, EqualNullSafe,
+  EqualTo => FEq, Filter, GreaterThan => FGt,
+  GreaterThanOrEqual => FGe, In => FIn, IsNotNull => FNotNull,
+  IsNull => FIsNull, LessThan => FLt, LessThanOrEqual => FLe}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{DeltaLog, Iceberg, PruningPredicates}
+
+/** DataSourceV2 BATCH reads for the open formats — the missing half
+  * of the `graft-delta` / `graft-iceberg` connectors. The streaming
+  * side has been DSv2 since round 9; batch reads so far went through
+  * the library's DataFrame APIs (`DeltaLog.read`/`readFiltered`,
+  * `Iceberg.read`), where pruning is an EXPLICIT call. This file
+  * makes `spark.read.format("graft-delta").load(dir)` a first-class
+  * relation Catalyst itself optimizes:
+  *
+  *  - `SupportsPushDownFilters`: planning-time FILE pruning from the
+  *    query's own WHERE clause — partition values (type-aware
+  *    equality, the eqMatches discipline) + per-file long bounds
+  *    (Delta `add.stats`, Iceberg manifest value bounds). Superset
+  *    contract: every filter is also returned as residual, so
+  *    unprovable conjuncts cost file reads, never wrong rows.
+  *  - `SupportsPushDownRequiredColumns`: column pruning — the scan
+  *    reads (and the vectorized reader materializes) only the
+  *    projected top-level columns. Nested fields deliberately prune
+  *    at the TOP level only: Spark's nested-schema pruning strips
+  *    the column-mapping/field-id metadata the mapped readers
+  *    resolve by (measured, round 13), so the scan keeps whole
+  *    structs and lets the Project above narrow them.
+  *  - `SupportsReportStatistics`: post-pushdown sizeInBytes/rowCount
+  *    from the log's own file sizes and stats, so a small dimension
+  *    read through the connector AUTO-BROADCASTS — at 100 TB the
+  *    difference between a map-side hash join and a sort-merge
+  *    shuffle of the fact table.
+  *  - `SupportsRuntimeFiltering`: DYNAMIC file pruning — Spark's
+  *    runtime-filtering rule feeds the join keys of an executed
+  *    build side (DPP-style `InSubqueryExec`) back into the scan,
+  *    which re-prunes its planned files by partition value AND stats
+  *    bounds before any fact-side task launches. A fact⟕dim join
+  *    with a selective dim filter reads the matching files only.
+  *  - `SupportsReportPartitioning` + `HasPartitionKey`: partitioned
+  *    tables report a `KeyGroupedPartitioning` over their identity
+  *    partition columns, so two tables partitioned on the join key
+  *    join WITHOUT A SHUFFLE under
+  *    `spark.sql.sources.v2.bucketing.enabled` — the
+  *    storage-partitioned join, the open formats' answer to bucketed
+  *    co-location at lake scale.
+  *
+  * Executor-side reading is the SAME vectorized machinery as the
+  * streams ([[DeltaFileReaderFactory]]): ColumnarBatch into
+  * whole-stage codegen, partition values as constant vectors,
+  * deletion vectors as per-file position masks (Delta DVs ride their
+  * log descriptors; Iceberg POSITION deletes are folded driver-side
+  * into the same inline-bitmap descriptors — O(delete rows) once at
+  * planning, zero join at execution). Iceberg tables with EQUALITY
+  * deletes refuse loudly toward [[Iceberg.read]]'s merge-on-read
+  * path: an equality delete matches on VALUES, which file-position
+  * masks cannot express without scanning the data at planning time.
+  *
+  * Time travel: `versionAsOf` (Delta), `snapshotAsOf` (Iceberg),
+  * `timestampAsOf` (both) pin the snapshot; the pinned state also
+  * freezes the file list, so a concurrent commit never tears a
+  * running query. Reference surface: spark/batch_silver.py:24-31
+  * reads bronze with `spark.read.format("delta")` — this is that
+  * call shape against this engine's own logs. */
+private[graft] object BatchScanStats {
+  /** Seam counters per table dir: live files in the pinned snapshot,
+    * files surviving planning-time pushdown, files surviving the
+    * LAST runtime-filter replan (-1 until runtime filtering ran). */
+  case class Stats(live: Long, pushdownKept: Long, runtimeKept: Long)
+
+  private val m =
+    scala.collection.concurrent.TrieMap.empty[String, Stats]
+
+  def reset(table: String): Unit = m.remove(table): Unit
+
+  private[streaming] def record(table: String, live: Long,
+                                kept: Long): Unit =
+    m.put(table, Stats(live, kept,
+      m.get(table).map(_.runtimeKept).getOrElse(-1L))): Unit
+
+  private[streaming] def recordRuntime(table: String,
+                                       kept: Long): Unit =
+    m.get(table) match {
+      case Some(s) => m.put(table, s.copy(runtimeKept = kept)): Unit
+      case None => m.put(table, Stats(-1L, -1L, kept)): Unit
+    }
+
+  def statsFor(table: String): Stats =
+    m.getOrElse(table, Stats(-1L, -1L, -1L))
+}
+
+/** File-level pruning from pushed/runtime V1 filters — the shared
+  * judge both connectors' batch scans apply per planned file.
+  * Everything here is PROVABLY prune-safe or keeps the file (the
+  * superset contract [[graft.sources.PruningPredicates]] documents);
+  * Spark re-applies every filter above the scan because
+  * `pushFilters` returns them all as residual. */
+private[streaming] object BatchPruning {
+
+  /** Filters this scan can use for pruning (reported as
+    * `PushedFilters` in explain; the rest are residual-only). */
+  def prunable(f: Filter): Boolean = f match {
+    case _: FEq | _: EqualNullSafe | _: FIn | _: FGt | _: FGe |
+         _: FLt | _: FLe | _: FIsNull | _: FNotNull => true
+    case FAnd(l, r) => prunable(l) || prunable(r)
+    case _ => false
+  }
+
+  private def longLit(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Can `file` (partition values + long bounds) possibly satisfy
+    * `filter`? False only on PROOF of a miss. `declared` maps column
+    * name → its table type (partition-value strings compare through
+    * it — the eqMatches rule). */
+  def mightMatch(filter: Filter, declared: Map[String, DataType],
+                 partCols: Set[String], pv: Map[String, String],
+                 bounds: Map[String, (Long, Long)]): Boolean = {
+    def eqAny(col: String, values: Seq[Any]): Boolean = {
+      if (values.isEmpty) return true // degenerate IN () — keep
+      val byPartition =
+        if (!partCols.contains(col) || !pv.contains(col)) true
+        else values.exists(v =>
+          declared.get(col)
+            .flatMap(dt => PruningPredicates.eqMatches(dt, pv(col), v))
+            .getOrElse(true))
+      val byStats = bounds.get(col) match {
+        case Some((lo, hi)) =>
+          values.exists(v =>
+            longLit(v).forall(l => l >= lo && l <= hi))
+        case None => true
+      }
+      byPartition && byStats
+    }
+    def rangeOk(col: String, cmp: (Long, Long, Long) => Boolean,
+                lit: Any): Boolean =
+      longLit(lit) match {
+        case Some(l) =>
+          val byBounds = bounds.get(col) match {
+            case Some((lo, hi)) => cmp(lo, hi, l)
+            case None => true
+          }
+          // an integral identity-partition value is its own
+          // [min, max] — prune range predicates on it too
+          val byPartition =
+            if (!partCols.contains(col)) true
+            else pv.get(col).flatMap(Option(_)) match {
+              case Some(s) if declared.get(col).exists(
+                  dt => dt == org.apache.spark.sql.types.LongType ||
+                    dt == org.apache.spark.sql.types.IntegerType ||
+                    dt == org.apache.spark.sql.types.ShortType ||
+                    dt == org.apache.spark.sql.types.ByteType) =>
+                scala.util.Try(s.trim.toLong).toOption
+                  .forall(p => cmp(p, p, l))
+              case _ => true
+            }
+          byBounds && byPartition
+        case None => true
+      }
+    filter match {
+      case FEq(col, v) if v != null => eqAny(col, Seq(v))
+      case EqualNullSafe(col, v) if v != null => eqAny(col, Seq(v))
+      // IN-list nulls match nothing (SQL three-valued IN), so the
+      // non-null subset alone decides; an all-null/empty list keeps
+      case FIn(col, vs) => eqAny(col, vs.toSeq.filter(_ != null))
+      case FGt(col, v) => rangeOk(col, (_, hi, l) => hi > l, v)
+      case FGe(col, v) => rangeOk(col, (_, hi, l) => hi >= l, v)
+      case FLt(col, v) => rangeOk(col, (lo, _, l) => lo < l, v)
+      case FLe(col, v) => rangeOk(col, (lo, _, l) => lo <= l, v)
+      case FIsNull(col) =>
+        // provable only from a partition value: stored non-null
+        // means NO row of the file has this column null
+        !(partCols.contains(col) && pv.get(col).exists(_ != null))
+      case FNotNull(col) =>
+        // a stored NULL partition value means EVERY row is null
+        !(partCols.contains(col) && pv.get(col).contains(null))
+      case FAnd(l, r) =>
+        mightMatch(l, declared, partCols, pv, bounds) &&
+          mightMatch(r, declared, partCols, pv, bounds)
+      case _ => true // Or/Not/strings-vs-stats/unknown: keep
+    }
+  }
+
+  def keepFile(filters: Seq[Filter], declared: Map[String, DataType],
+               partCols: Set[String], pv: Map[String, String],
+               bounds: Map[String, (Long, Long)]): Boolean =
+    filters.forall(mightMatch(_, declared, partCols, pv, bounds))
+}
+
+/** One batch-planned file: everything the scan needs to prune it,
+  * key it, and hand it to the shared reader factory. */
+private[streaming] case class BatchFile(path: String,
+    pv: Map[String, String], bounds: Map[String, (Long, Long)],
+    sizeBytes: Long, records: Option[Long],
+    dv: Option[graft.sources.DeletionVectors.Descriptor])
+
+/** [[DeltaFilePartition]] that also reports its partition KEY — the
+  * handle `BatchScanExec` groups tasks by under the
+  * storage-partitioned join. */
+private[streaming] class KeyedFilePartition(path: String,
+    pv: Map[String, String], tableDir: String,
+    dvSkip: Option[graft.sources.DeletionVectors.Descriptor],
+    @transient private val keyVals: Array[Any])
+  extends DeltaFilePartition(path, pv, tableDir, dvSkip, None)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // materialized eagerly (the driver groups by it); the row never
+  // ships to executors — @transient keeps the task binary lean
+  @transient private lazy val keyRow: InternalRow =
+    new GenericInternalRow(keyVals)
+  override def partitionKey(): InternalRow = keyRow
+}
+
+/** The two formats' shared batch Scan: pinned snapshot in, pruned
+  * file partitions out. Subclasses supply the snapshot plan and the
+  * reader factory; everything Catalyst-facing lives here. */
+private[streaming] abstract class OpenFormatBatchScan(
+    val tableDir: String, publicSchema: StructType,
+    partCols: Seq[String], files: Seq[BatchFile],
+    pushed: Array[Filter], required: Option[Seq[String]],
+    passPartitionValuesToReader: Boolean)
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering with SupportsReportPartitioning {
+
+  def readerFactory(prunedPublic: StructType): PartitionReaderFactory
+
+  /** Streaming delegate — the unified ScanBuilder serves both
+    * surfaces; pushdown never reaches the stream (Spark plans
+    * micro-batch scans without the V2 pushdown rule), so the
+    * delegate always sees the full schema. */
+  def streamingScan: Scan
+  override def toMicroBatchStream(cp: String): MicroBatchStream = {
+    require(pushed.isEmpty && required.isEmpty,
+      "internal: pushdown reached a streaming scan")
+    streamingScan.toMicroBatchStream(cp)
+  }
+
+  protected val declared: Map[String, DataType] =
+    publicSchema.fields.map(f => f.name -> f.dataType).toMap
+
+  /** Pruned PUBLIC schema, table field order. A required column the
+    * snapshot's schema lacks refuses loudly — null-filling a name
+    * the table never had would mask a typo'd projection. */
+  override val readSchema: StructType = required match {
+    case None => publicSchema
+    case Some(names) =>
+      val missing = names.filterNot(declared.contains)
+      require(missing.isEmpty,
+        s"$name: columns ${missing.mkString(", ")} not in the " +
+          s"pinned snapshot's schema " +
+          s"(${publicSchema.fieldNames.mkString(", ")})")
+      StructType(publicSchema.fields.filter(f =>
+        names.contains(f.name)))
+  }
+
+  def name: String
+
+  protected val afterPushdown: Seq[BatchFile] = {
+    val kept =
+      if (pushed.isEmpty) files
+      else files.filter(f => BatchPruning.keepFile(pushed.toSeq,
+        declared, partCols.toSet, f.pv, f.bounds))
+    BatchScanStats.record(tableDir, files.size.toLong,
+      kept.size.toLong)
+    kept
+  }
+
+  // ---- runtime filtering (dynamic file pruning) ----
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** Join keys Spark may feed back at runtime: partition columns
+    * plus every projected column with stats bounds on some file —
+    * the two metadata shapes the planner can prune with. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val statsCols = files.iterator.flatMap(_.bounds.keysIterator)
+      .toSet.intersect(readSchema.fieldNames.toSet)
+    (partCols.filter(readSchema.fieldNames.contains).toSet ++
+      statsCols).toArray.sorted.map(Expressions.column)
+  }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept =
+      if (runtimeFilters.isEmpty) afterPushdown
+      else {
+        val k = afterPushdown.filter(f =>
+          BatchPruning.keepFile(runtimeFilters.toSeq, declared,
+            partCols.toSet, f.pv, f.bounds))
+        BatchScanStats.recordRuntime(tableDir, k.size.toLong)
+        k
+      }
+    val spjKey = spjKeyCols
+    kept.map { f =>
+      val pv = if (passPartitionValuesToReader) f.pv else Map.empty[String, String]
+      if (spjKey.isEmpty)
+        DeltaFilePartition(f.path, pv, tableDir,
+          dvSkip = f.dv): InputPartition
+      else
+        new KeyedFilePartition(f.path, pv, tableDir, f.dv,
+          spjKey.map(c => decodeKey(f.pv, c)).toArray): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactory(readSchema)
+
+  // ---- statistics (post-pushdown — drives auto-broadcast) ----
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(afterPushdown.map(_.sizeBytes).sum)
+    override def numRows(): java.util.OptionalLong = {
+      val counts = afterPushdown.map(f =>
+        f.records.map(n => n - f.dv.map(_.cardinality).getOrElse(0L)))
+      if (counts.forall(_.isDefined))
+        java.util.OptionalLong.of(counts.flatten.sum)
+      else java.util.OptionalLong.empty()
+    }
+  }
+
+  // ---- storage-partitioned join ----
+  /** Partition columns usable as a grouping KEY: all of them must
+    * survive column pruning (a join can't cluster on a column the
+    * scan doesn't emit), be reconstructable (identity values ride
+    * every file), and decode cleanly. Empty = no SPJ. */
+  protected lazy val spjKeyCols: Seq[String] =
+    if (partCols.nonEmpty &&
+        partCols.forall(readSchema.fieldNames.contains) &&
+        files.forall(f => partCols.forall(f.pv.contains)) &&
+        scala.util.Try(files.foreach(f =>
+          partCols.foreach(c => decodeKey(f.pv, c)))).isSuccess)
+      partCols
+    else Seq.empty
+
+  private def decodeKey(pv: Map[String, String], c: String): Any =
+    pv(c) match {
+      case null => null
+      case s => RowReadSupport.decodeConstant(s, declared(c), c)
+    }
+
+  override def outputPartitioning(): Partitioning =
+    if (spjKeyCols.isEmpty)
+      new UnknownPartitioning(afterPushdown.size)
+    else {
+      val n = afterPushdown
+        .map(f => spjKeyCols.map(c => String.valueOf(f.pv(c))))
+        .distinct.size
+      new KeyGroupedPartitioning(
+        spjKeyCols.map(c =>
+          Expressions.identity(c): VExpression).toArray, n)
+    }
+
+  override def description(): String =
+    s"$name pushed=[${pushed.mkString(", ")}] " +
+      s"files=${afterPushdown.size}/${files.size}"
+}
+
+/** The unified `graft-delta` ScanBuilder: batch pushdown +
+  * streaming, one entry point. */
+private[streaming] class DeltaScanBuilder(schema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: Option[Seq[String]] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(BatchPruning.prunable)
+    filters // all residual — the superset contract
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // top-level names only: nested pruning strips the mapping
+    // metadata the mapped readers resolve by (round-13 measurement)
+    required = Some(requiredSchema.fieldNames.toSeq)
+
+  override def build(): Scan =
+    DeltaBatchScan(schema, options, pushed, required)
+}
+
+private[streaming] object DeltaBatchRead {
+  /** Pin the version: versionAsOf, timestampAsOf (epoch millis or
+    * ISO-8601 / SQL timestamp), else latest. */
+  def pinnedVersion(tableDir: String,
+                    options: CaseInsensitiveStringMap): Long = {
+    val v = Option(options.get("versionAsOf"))
+    val ts = Option(options.get("timestampAsOf"))
+    require(v.isEmpty || ts.isEmpty,
+      "graft-delta: versionAsOf and timestampAsOf are exclusive")
+    v match {
+      case Some(s) =>
+        val parsed = scala.util.Try(s.toLong).toOption
+          .filter(_ => s.matches("-?\\d+"))
+        require(parsed.isDefined,
+          s"graft-delta: versionAsOf must be a version number, got '$s'")
+        parsed.get
+      case None => ts match {
+        case Some(s) => DeltaLog.versionAsOf(tableDir, parseMillis(s))
+        case None => DeltaLog.versions(tableDir).last
+      }
+    }
+  }
+
+  def parseMillis(s: String): Long =
+    scala.util.Try(s.toLong).toOption
+      .filter(_ => s.matches("-?\\d+"))
+      .orElse(scala.util.Try(
+        java.time.Instant.parse(s).toEpochMilli).toOption)
+      .orElse(scala.util.Try(java.time.LocalDateTime
+        .parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli).toOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: timestampAsOf must be epoch millis or ISO-8601 " +
+          s"(UTC), got '$s'"))
+}
+
+private[streaming] object DeltaBatchScan {
+  def apply(fullSchema: StructType, options: CaseInsensitiveStringMap,
+            pushed: Array[Filter], required: Option[Seq[String]])
+      : DeltaBatchScan = {
+    val dir = DeltaStreamSource.pathOf(options)
+    val st = DeltaLog.replay(dir,
+      DeltaBatchRead.pinnedVersion(dir, options))
+    DeltaStreamSource.checkSupportedTypes(st.schema,
+      "graft-delta batch")
+    new DeltaBatchScan(fullSchema, options, pushed, required, dir, st)
+  }
+}
+
+private[streaming] class DeltaBatchScan private (
+    fullSchema: StructType, options: CaseInsensitiveStringMap,
+    pushed: Array[Filter], required: Option[Seq[String]],
+    dir: String, st: DeltaLog.State)
+  extends OpenFormatBatchScan(dir,
+    DeltaLog.stripFieldMetadata(st.schema).asInstanceOf[StructType],
+    st.partitionColumns,
+    st.adds.toSeq.sortBy(_._1).map { case (p, a) =>
+      BatchFile(
+        if (p.startsWith("/") || p.contains("://")) p else s"$dir/$p",
+        a.partitionValues, a.longBounds, a.size,
+        a.stats.flatMap(DeltaLog.statsNumRecords), a.dv)
+    },
+    pushed, required, passPartitionValuesToReader = true) {
+
+  override def name: String = s"graft-delta:$tableDir"
+
+  /** The ANNOTATED pruned schema: the executor resolves mapped
+    * tables' physical names / parquet field ids from the metadata
+    * the public pruned schema strips. */
+  override def readerFactory(prunedPublic: StructType)
+      : PartitionReaderFactory = {
+    val keep = prunedPublic.fieldNames.toSet
+    val annotated = StructType(
+      st.schema.fields.filter(f => keep.contains(f.name)))
+    new DeltaFileReaderFactory(annotated.json,
+      columnar = options.getBoolean("vectorizedRead", true),
+      metadataIdsInFiles = st.mappingMode == "id")
+  }
+
+  override def streamingScan: Scan =
+    new DeltaStreamScan(fullSchema, options)
+}

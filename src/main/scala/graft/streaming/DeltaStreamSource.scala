@@ -96,6 +96,15 @@ private[streaming] object DeltaStreamSource {
   def annotatedSchema(tableDir: String): StructType = {
     val st = DeltaLog.replay(tableDir,
       DeltaLog.versions(tableDir).last)
+    checkSupportedTypes(st.schema, "graft-delta")
+    st.schema
+  }
+
+  /** The connector reader's type scope — primitive leaves, structs
+    * at any depth — shared by the streaming and batch surfaces.
+    * Refusing here beats a task-side crash after the query
+    * started. */
+  def checkSupportedTypes(schema: StructType, who: String): Unit = {
     def check(dt: DataType, path: String): Unit = dt match {
       case s: StructType =>
         s.fields.foreach(f => check(f.dataType, s"$path${f.name}."))
@@ -103,11 +112,10 @@ private[streaming] object DeltaStreamSource {
            BooleanType | StringType | TimestampType |
            TimestampNTZType | DateType => ()
       case other => throw new IllegalArgumentException(
-        s"graft-delta: unsupported streaming column type $other " +
+        s"$who: unsupported column type $other " +
           s"at ${path.stripSuffix(".")}")
     }
-    check(st.schema, "")
-    st.schema
+    check(schema, "")
   }
 
   /** The PUBLIC streaming schema: [[annotatedSchema]] with the
@@ -136,11 +144,13 @@ private class DeltaStreamTable(schema: StructType,
       org.apache.spark.sql.connector.catalog.Column.create(
         f.name, f.dataType, f.nullable))
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ).asJava
+  // one builder serves both surfaces: batch planning gets pushdown
+  // (filters/columns/statistics/runtime filters — BatchRead.scala),
+  // streaming scans delegate to [[DeltaStreamScan]] untouched
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new DeltaStreamScan(schema, options)
-    }
+    new DeltaScanBuilder(schema, options)
 }
 
 private class DeltaStreamScan(schema: StructType,
@@ -796,14 +806,23 @@ private class DeltaFileReaderFactory(schemaJson: String,
     * schema-on-read rule), not fail a required-column check.
     * Recursive over nested structs. */
   private def translate(fields: Array[StructField],
-      ids: Map[String, Int]): Array[StructField] =
+      ids: Map[String, Int],
+      topLevel: Boolean = true): Array[StructField] =
     fields.map { f =>
       val name =
         if (f.metadata.contains("delta.columnMapping.physicalName"))
           f.metadata.getString("delta.columnMapping.physicalName")
         else f.name
+      // field ids attach at the TOP level only: NESTED levels
+      // resolve by physicalName even under mode=id — the protocol
+      // records physical names under both modes and requires data
+      // files to spell them, and Spark's nested field-id matching
+      // silently NULLs where its schema pruning strips the id
+      // metadata (measured, round 13; the batch DataFrame reader
+      // adopted the same rule in round 14 — DeltaLog.scala:371)
       val id: Option[Long] =
-        if (metadataIdsInFiles &&
+        if (!topLevel) None
+        else if (metadataIdsInFiles &&
             f.metadata.contains("delta.columnMapping.id"))
           Some(f.metadata.getLong("delta.columnMapping.id"))
         else ids.get(f.name).map(_.toLong)
@@ -814,7 +833,7 @@ private class DeltaFileReaderFactory(schemaJson: String,
       }
       val dt = f.dataType match {
         case st: StructType =>
-          StructType(translate(st.fields, Map.empty))
+          StructType(translate(st.fields, Map.empty, topLevel = false))
         case other => other
       }
       StructField(name, dt, nullable = true, meta)

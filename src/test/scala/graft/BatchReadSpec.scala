@@ -1,0 +1,261 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.streaming.BatchScanStats
+
+/** `spark.read.format("graft-delta")` — the DSv2 BATCH half of the
+  * connector (BatchRead.scala). These specs pin the Catalyst
+  * integration the DataFrame APIs can't express: filter pushdown
+  * pruning files inside the optimizer, column pruning reaching the
+  * scan, reported statistics driving auto-broadcast, runtime filters
+  * re-pruning planned files, and parity with [[sources.DeltaLog]]'s
+  * own reads across the table lifecycles (DVs, mapping, time
+  * travel). */
+class BatchReadSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def dsv2(dir: String, opts: (String, String)*): DataFrame = {
+    var r = spark.read.format("graft-delta").option("path", dir)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    df.collect() // finalize AQE
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    } ++ df.queryExecution.executedPlan.subqueries.flatMap(_.collect {
+      case b: BatchScanExec => b
+    })
+    scans.headOption.getOrElse(fail("no BatchScanExec in plan"))
+  }
+
+  test("batch read matches DeltaLog.read across append/compact history") {
+    val work = Files.createTempDirectory("dsv2b").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      (1L to 50L).map(i => (i, s"s$i", i * 10L)).toDF("k", "s", "v"), dir)
+    sources.DeltaLog.commitAppend(
+      (51L to 90L).map(i => (i, s"s$i", i * 10L)).toDF("k", "s", "v"), dir)
+    sources.DeltaLog.compact(spark, dir, targetFiles = 1)
+    assert(sortedRows(dsv2(dir)) ==
+      sortedRows(sources.DeltaLog.read(spark, dir)))
+  }
+
+  test("filter pushdown prunes partitions AND stats ranges; superset re-applied") {
+    val work = Files.createTempDirectory("dsv2p").toString
+    val dir = s"$work/t"
+    // 3 hive partitions × stats-bounded k ranges (one file per
+    // partition per append → 6 files)
+    val rows = (1L to 300L).map(i => (i, s"p${i % 3}"))
+    sources.DeltaLog.commitOverwritePartitioned(
+      rows.filter(_._1 <= 150).toDF("k", "p").repartition(col("p")),
+      dir, Seq("p"))
+    sources.DeltaLog.commitAppendPartitioned(
+      rows.filter(_._1 > 150).toDF("k", "p").repartition(col("p")),
+      dir, Seq("p"))
+    BatchScanStats.reset(dir)
+    val df = dsv2(dir).filter(col("p") === "p1" && col("k") <= 150L)
+    val expect = rows.filter(r => r._2 == "p1" && r._1 <= 150)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq == expect)
+    val s = BatchScanStats.statsFor(dir)
+    assert(s.live == 6, s"6 files live, saw ${s.live}")
+    assert(s.pushdownKept == 1,
+      s"partition p1 ∩ k<=150 is ONE file, kept ${s.pushdownKept}")
+    // the pushed filters surface in the scan's explain description
+    assert(scanOf(df).scan.description().contains("pushed="))
+  }
+
+  test("column pruning reaches the scan's readSchema") {
+    val work = Files.createTempDirectory("dsv2c").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      (1L to 20L).map(i => (i, s"s$i", i * 2L, s"x$i"))
+        .toDF("k", "s", "v", "w"), dir)
+    val df = dsv2(dir).select("k", "v")
+    assert(scanOf(df).scan.readSchema().fieldNames.toSeq ==
+      Seq("k", "v"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq == (1L to 20L).map(i => (i, i * 2L)))
+  }
+
+  test("deletion vectors mask rows through the batch connector") {
+    val work = Files.createTempDirectory("dsv2dv").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 7 === 0)
+    assert(sortedRows(dsv2(dir)) ==
+      sortedRows(sources.DeltaLog.read(spark, dir)))
+    assert(dsv2(dir).count() == (1L to 100L).count(_ % 7 != 0))
+  }
+
+  test("column-mapped tables (name + id + nested) read batch-DSv2") {
+    // the session-cached lifecycle fixtures carry renames at every
+    // nesting level — parity with the DataFrame reader is the gate
+    val mapped = sources.DeltaLog.ordersNestedMappedTable(spark, sfDir)
+    assert(sortedRows(dsv2(mapped)) ==
+      sortedRows(sources.DeltaLog.read(spark, mapped)))
+    val mappedId =
+      sources.DeltaLog.ordersNestedMappedIdTable(spark, sfDir)
+    assert(sortedRows(dsv2(mappedId)) ==
+      sortedRows(sources.DeltaLog.read(spark, mappedId)))
+  }
+
+  test("versionAsOf / timestampAsOf pin the snapshot") {
+    val work = Files.createTempDirectory("dsv2tt").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      (1L to 10L).map(i => (i, "v0")).toDF("k", "tag"), dir)
+    sources.DeltaLog.commitOverwrite(
+      (1L to 10L).map(i => (i, "v1")).toDF("k", "tag"), dir)
+    assert(dsv2(dir, "versionAsOf" -> "0")
+      .select("tag").distinct().as[String].collect().toSeq == Seq("v0"))
+    assert(dsv2(dir).select("tag").distinct()
+      .as[String].collect().toSeq == Seq("v1"))
+    val tsV0 = sources.DeltaLog.commitTimestamps(dir).head._2
+    assert(dsv2(dir, "timestampAsOf" -> tsV0.toString)
+      .select("tag").distinct().as[String].collect().toSeq == Seq("v0"))
+    // scan building is lazy — malformed options refuse at action
+    intercept[IllegalArgumentException] {
+      dsv2(dir, "versionAsOf" -> "0", "timestampAsOf" -> "1").collect()
+    }
+    intercept[IllegalArgumentException] {
+      dsv2(dir, "versionAsOf" -> "abc").collect()
+    }
+  }
+
+  test("reported statistics auto-broadcast a small dimension") {
+    val work = Files.createTempDirectory("dsv2st").toString
+    val dim = s"$work/dim"
+    val fact = s"$work/fact"
+    sources.DeltaLog.commitAppend(
+      (1L to 50L).map(i => (i, s"name$i")).toDF("k", "nm"), dim)
+    sources.DeltaLog.commitAppend(
+      (1L to 5000L).map(i => (i % 50 + 1, i)).toDF("k", "v"), fact)
+    val joined = dsv2(fact).join(dsv2(dim), "k")
+    joined.collect()
+    val bhj = joined.queryExecution.executedPlan.toString()
+    assert(bhj.contains("BroadcastHashJoin"),
+      s"small DSv2 side should auto-broadcast from reported stats:\n$bhj")
+    // and the numbers themselves: post-pushdown rowCount is exact
+    val scan = scanOf(dsv2(dim))
+      .scan.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics]
+    assert(scan.estimateStatistics().numRows().getAsLong == 50L)
+  }
+
+  test("runtime filtering re-prunes planned files at join time") {
+    val work = Files.createTempDirectory("dsv2rf").toString
+    val fact = s"$work/fact"
+    val dim = s"$work/dim"
+    // fact: 10 hive partitions, one file each; dim filter keeps 1
+    sources.DeltaLog.commitOverwritePartitioned(
+      (1L to 1000L).map(i => (i, s"p${i % 10}")).toDF("k", "p")
+        .repartition(col("p")), fact, Seq("p"))
+    sources.DeltaLog.commitAppend(
+      (0L to 9L).map(i => (s"p$i", s"d$i")).toDF("p", "d"), dim)
+    BatchScanStats.reset(fact)
+    val joined = dsv2(fact)
+      .join(dsv2(dim).filter(col("d") === "d3"), "p")
+    val n = joined.count()
+    assert(n == 100, s"partition p3 holds 100 rows, got $n")
+    val s = BatchScanStats.statsFor(fact)
+    assert(s.pushdownKept == 10)
+    assert(s.runtimeKept == 1,
+      s"runtime filter should keep exactly partition p3's file, " +
+        s"kept ${s.runtimeKept} (runtime filtering never ran = -1)")
+  }
+
+  test("runtime filter unit: stats bounds prune unpartitioned files") {
+    val work = Files.createTempDirectory("dsv2rfu").toString
+    val dir = s"$work/t"
+    // 4 appends → 4 files with disjoint k ranges in add.stats
+    (0L to 3L).foreach(b =>
+      sources.DeltaLog.commitAppend(
+        (b * 100L + 1 to b * 100L + 100).map(i => (i, i * 2))
+          .toDF("k", "v"), dir))
+    BatchScanStats.reset(dir)
+    val df = dsv2(dir)
+    df.collect() // builds the scan; pushdown kept = all 4
+    val scan = scanOf(df).scan
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsRuntimeFiltering]
+    assert(scan.filterAttributes().map(_.describe()).sorted.toSeq ==
+      Seq("k", "v"), "stats-bounded columns are runtime-filterable")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array[Any](5L, 350L))))
+    val parts = scan.asInstanceOf[org.apache.spark.sql.connector
+      .read.Scan].toBatch.planInputPartitions()
+    assert(parts.length == 2,
+      s"k∈{5,350} hits files 1 and 4 only, planned ${parts.length}")
+  }
+
+  test("storage-partitioned join: co-partitioned tables join shuffle-free") {
+    val work = Files.createTempDirectory("dsv2spj").toString
+    val a = s"$work/a"
+    val b = s"$work/b"
+    sources.DeltaLog.commitOverwritePartitioned(
+      (1L to 600L).map(i => (i, s"p${i % 3}")).toDF("k", "p")
+        .repartition(col("p")), a, Seq("p"))
+    sources.DeltaLog.commitOverwritePartitioned(
+      (1L to 30L).map(i => (s"p${i % 3}", i)).toDF("p", "n")
+        .repartition(col("p")), b, Seq("p"))
+    val expected = {
+      val j = dsv2(a).join(dsv2(b), "p")
+      assert(j.count() == 600L * 10)
+      sortedRows(j)
+    }
+    withSpj {
+      val j = dsv2(a).join(dsv2(b), "p")
+      assert(sortedRows(j) == expected, "SPJ must not change results")
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"co-partitioned DSv2 join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan)
+    }
+  }
+
+  private def withSpj[A](body: => A): A = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // force the non-broadcast join SPJ applies to
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("required column absent from the pinned snapshot refuses loudly") {
+    val work = Files.createTempDirectory("dsv2m").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      (1L to 5L).map(i => (i, i)).toDF("k", "v"), dir)
+    sources.DeltaLog.evolveSchema(dir,
+      org.apache.spark.sql.types.StructType(
+        dsv2(dir).schema.fields :+ org.apache.spark.sql.types
+          .StructField("w", org.apache.spark.sql.types.StringType)))
+    // column w exists at latest but NOT at version 0: the pinned
+    // read must refuse, not null-fill a name that never existed
+    val e = intercept[Exception] {
+      dsv2(dir, "versionAsOf" -> "0").select("k", "w").collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
