@@ -573,7 +573,19 @@ object SparkEntry {
     // eq-delete CDF pre-images as a hash-checked feed; in-query seam
     // pins the key-bounds prune
     "q218_iceberg_cdf_preimages"
-      -> (streaming.IcebergCdfStreamQueries.icebergCdfPreimageStream _)
+      -> (streaming.IcebergCdfStreamQueries.icebergCdfPreimageStream _),
+    // the DSv2 BATCH connectors (round 14): pushdown through
+    // Catalyst, runtime file filtering, merge-on-read via inline DV
+    // descriptors, storage-partitioned join — each with an in-query
+    // require over the BatchScanStats seam / the executed plan
+    "q219_dsv2_pushdown"
+      -> (streaming.BatchReadQueries.dsv2Pushdown _),
+    "q220_dsv2_runtime_filter"
+      -> (streaming.BatchReadQueries.dsv2RuntimeFilter _),
+    "q221_dsv2_iceberg_mor"
+      -> (streaming.BatchReadQueries.dsv2IcebergMor _),
+    "q222_dsv2_spj"
+      -> (streaming.BatchReadQueries.dsv2Spj _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -842,6 +854,14 @@ object SparkEntry {
     "q217_delta_constraints"
       -> sources.DeltaLog.deltaConstraintsReadSql,
     "q218_iceberg_cdf_preimages"
-      -> streaming.IcebergCdfStreamQueries.icebergCdfPreimageStreamSql
+      -> streaming.IcebergCdfStreamQueries.icebergCdfPreimageStreamSql,
+    "q219_dsv2_pushdown"
+      -> streaming.BatchReadQueries.dsv2PushdownSql,
+    "q220_dsv2_runtime_filter"
+      -> streaming.BatchReadQueries.dsv2RuntimeFilterSql,
+    "q221_dsv2_iceberg_mor"
+      -> streaming.BatchReadQueries.dsv2IcebergMorSql,
+    "q222_dsv2_spj"
+      -> streaming.BatchReadQueries.dsv2SpjSql
   )
 }

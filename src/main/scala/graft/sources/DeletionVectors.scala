@@ -310,7 +310,16 @@ private[graft] object DeletionVectors {
     * corrupted bitmap must fail, not silently resurrect rows. */
   def readBitmap(tableDir: String, d: Descriptor): Bitmap64 = {
     val bm = d.storageType match {
-      case "i" => Bitmap64.fromPortable(z85Decode(d.pathOrInlineDv))
+      case "i" =>
+        // Z85 transports 4-byte groups, so inline data is zero-padded
+        // at encode time; the descriptor's sizeInBytes names the true
+        // frame length (the spec's inline contract)
+        val raw = z85Decode(d.pathOrInlineDv)
+        require(raw.length >= d.sizeInBytes,
+          s"inline DV decodes ${raw.length} bytes < declared " +
+            s"sizeInBytes ${d.sizeInBytes}")
+        Bitmap64.fromPortable(
+          java.util.Arrays.copyOf(raw, d.sizeInBytes))
       case "u" | "p" =>
         val path = d.resolvePath(tableDir)
         val all = Files.readAllBytes(Paths.get(path))

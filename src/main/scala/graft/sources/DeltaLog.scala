@@ -3253,6 +3253,33 @@ object DeltaLog {
       |WHERE o_orderstatus = 'O' AND o_custkey <= 750
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Session-cached 3-row status dimension (q220): distinct order
+    * statuses with a derived lowercase tag — the selective build
+    * side whose join keys the runtime filter feeds back into the
+    * fact scan. */
+  private[graft] def ordersStatusDimTable(spark: SparkSession,
+                                          dir: String): String =
+    cachedTable(spark, dir, "deltadim") { (o, t) =>
+      commitAppend(o.select(col("o_orderstatus")).distinct()
+        .withColumn("tag",
+          org.apache.spark.sql.functions.lower(col("o_orderstatus"))),
+        t)
+    }
+
+  /** Session-cached status-partitioned per-status rollup (q222): the
+    * CO-PARTITIONED dimension the storage-partitioned join pairs
+    * with the status-partitioned orders — same partition column,
+    * same identity layout, so the join needs no shuffle. */
+  private[graft] def ordersStatusAggTable(spark: SparkSession,
+                                          dir: String): String =
+    cachedTable(spark, dir, "deltasagg") { (o, t) =>
+      commitOverwritePartitioned(
+        o.groupBy(col("o_orderstatus"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_orders")),
+        t, Seq("o_orderstatus"))
+    }
+
   /** Session-cached append/compaction lifecycle table: three APPEND
     * commits (order keys mod 3), a checkpoint, then an OPTIMIZE
     * [[compact]] — the log ends with a realistic mixed history

@@ -442,7 +442,9 @@ object Iceberg {
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       partition: Map[String, String] = Map.empty,
       addedBy: Long = 0L,
-      specId: Int = 0)
+      specId: Int = 0,
+      sizeBytes: Long = 0L,
+      records: Long = -1L)
 
   /** One equality-delete file: its path, the field ids its rows
     * match on, and the snapshot that added it — it applies only to
@@ -580,7 +582,11 @@ object Iceberg {
             }
           Some(PlannedFile(df.get("file_path").toString,
             boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds"),
-            pv, entrySeq(e, mSeq), mSpec))
+            pv, entrySeq(e, mSeq), mSpec,
+            fieldOpt(df, "file_size_in_bytes")
+              .map(_.asInstanceOf[Long]).getOrElse(0L),
+            Option(df.get("record_count"))
+              .map(_.asInstanceOf[Long]).getOrElse(-1L)))
         }
       }
     }
@@ -2685,6 +2691,100 @@ object Iceberg {
     * [[graft.streaming.IcebergStreamSource]]: unpartitioned tables
     * with primitive columns; the (logical name → field id) map lets
     * the executor-side reader resolve pre-rename files by ID. */
+  /** One DSv2-batch-planned data file: scheme-stripped path, its
+    * manifest partition tuple (stringified), name-decoded long value
+    * bounds, and size/records for the scan's reported statistics. */
+  private[graft] case class BatchFilePlan(path: String,
+      pv: Map[String, String], bounds: Map[String, (Long, Long)],
+      sizeBytes: Long, records: Option[Long])
+
+  /** The DSv2 batch scan's planning bridge (BatchRead.scala): the
+    * pinned snapshot's live data files plus its delete-file surface
+    * and the schema/partition facts the scan prunes and reconstructs
+    * with. Driver-side O(files) manifest walk, no data file opened
+    * (one footer decides the hive-migrated layout question). */
+  private[graft] case class BatchPlanned(schema: StructType,
+      ids: Map[String, Int], partCols: Seq[String],
+      filesCarryPartCols: Boolean, files: Seq[BatchFilePlan],
+      posDeleteFiles: Seq[String], hasEqDeletes: Boolean)
+
+  private[graft] def batchPlan(tableDir: String,
+                               snapshotId: Long): BatchPlanned = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    // snapshot 0 = empty history (the latestSnapshotId sentinel): a
+    // created-but-never-written table reads as its empty schema
+    if (snapshotId == 0L)
+      return BatchPlanned(schemaFromMetadata(meta),
+        if (hasNameMapping(meta)) Map.empty else fieldIds(meta),
+        partitionColsOf(meta), filesCarryPartCols = true,
+        Seq.empty, Seq.empty, hasEqDeletes = false)
+    val idToName = fieldIds(meta).map(_.swap)
+    val p = planFilesAll(tableDir, meta, snapshotId)
+    val partCols = partitionColsOf(meta)
+    def decode(b: Map[Int, Array[Byte]]): Map[String, Long] =
+      b.flatMap { case (id, bytes) =>
+        for {
+          n <- idToName.get(id)
+          v <- longBound(bytes)
+        } yield n -> v
+      }
+    val files = p.data.map { f =>
+      val lo = decode(f.lower)
+      val hi = decode(f.upper)
+      BatchFilePlan(stripFileUri(f.path), f.partition,
+        lo.keySet.intersect(hi.keySet)
+          .map(k => k -> (lo(k), hi(k))).toMap,
+        f.sizeBytes, Some(f.records).filter(_ >= 0))
+    }
+    val carry = partCols.isEmpty || p.data.isEmpty ||
+      dataFilesCarryPartitionCols(p.data.head.path, partCols)
+    BatchPlanned(schemaFromMetadata(meta),
+      if (hasNameMapping(meta)) Map.empty else fieldIds(meta),
+      partCols, carry, files,
+      p.deleteFiles.map(stripFileUri), p.eqDeletes.nonEmpty)
+  }
+
+  /** The snapshot's POSITION deletes folded into per-data-file
+    * INLINE deletion-vector descriptors — O(delete rows) driver work
+    * once at planning, zero join at execution: the batch scan
+    * attaches each file's descriptor to its task and the shared
+    * reader masks row positions exactly as it does Delta DVs.
+    * (Position deletes name (file, pos) pairs, and file names are
+    * per-file UUIDs, so sequence scoping is identity here — a delete
+    * can never hit a file written after it.) */
+  private[graft] def posDeleteDescriptors(deleteFiles: Seq[String])
+      : Map[String, DeletionVectors.Descriptor] = {
+    val bms = scala.collection.mutable.Map
+      .empty[String, DeletionVectors.Bitmap64]
+    deleteFiles.sorted.foreach { df =>
+      val dr = org.apache.parquet.hadoop.ParquetReader.builder(
+        new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(stripFileUri(df))).build()
+      try {
+        var g = dr.read()
+        while (g != null) {
+          val ft = g.getType
+          val path = new String(g.getBinary(
+            ft.getFieldIndex("file_path"), 0).getBytes, "UTF-8")
+          val pos = g.getLong(ft.getFieldIndex("pos"), 0)
+          bms.getOrElseUpdate(stripFileUri(path),
+            new DeletionVectors.Bitmap64).add(pos)
+          g = dr.read()
+        }
+      } finally dr.close()
+    }
+    bms.toMap.map { case (p, bm) =>
+      val data = bm.serializePortable
+      // Z85 transports 4-byte groups: pad; sizeInBytes keeps the
+      // true frame length for the decoder to slice back
+      val padded = java.util.Arrays.copyOf(data,
+        (data.length + 3) / 4 * 4)
+      p -> DeletionVectors.Descriptor("i",
+        DeletionVectors.z85Encode(padded), None, data.length,
+        bm.cardinality)
+    }
+  }
+
   private[graft] def streamSchema(tableDir: String)
       : (StructType, Map[String, Int]) = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))

@@ -277,7 +277,19 @@ private[streaming] abstract class OpenFormatBatchScan(
 
   def name: String
 
-  protected val afterPushdown: Seq[BatchFile] = {
+  /** Batch-only preconditions, forced at `toBatch` so a STREAMING
+    * query through the same builder never trips them (a stream on an
+    * equality-delete Iceberg table must keep refusing at its own
+    * plan-time seam, not at scan build). */
+  protected def batchPrereqs(): Unit = ()
+
+  /** Per-file row mask — overridable so a subclass can derive masks
+    * LAZILY (Iceberg folds its position deletes only when a batch
+    * actually plans). */
+  protected def dvFor(f: BatchFile)
+      : Option[graft.sources.DeletionVectors.Descriptor] = f.dv
+
+  protected lazy val afterPushdown: Seq[BatchFile] = {
     val kept =
       if (pushed.isEmpty) files
       else files.filter(f => BatchPruning.keepFile(pushed.toSeq,
@@ -303,7 +315,10 @@ private[streaming] abstract class OpenFormatBatchScan(
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
 
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    batchPrereqs()
+    this
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val kept =
@@ -317,12 +332,13 @@ private[streaming] abstract class OpenFormatBatchScan(
       }
     val spjKey = spjKeyCols
     kept.map { f =>
-      val pv = if (passPartitionValuesToReader) f.pv else Map.empty[String, String]
+      val pv = if (passPartitionValuesToReader) f.pv
+        else Map.empty[String, String]
       if (spjKey.isEmpty)
         DeltaFilePartition(f.path, pv, tableDir,
-          dvSkip = f.dv): InputPartition
+          dvSkip = dvFor(f)): InputPartition
       else
-        new KeyedFilePartition(f.path, pv, tableDir, f.dv,
+        new KeyedFilePartition(f.path, pv, tableDir, dvFor(f),
           spjKey.map(c => decodeKey(f.pv, c)).toArray): InputPartition
     }.toArray
   }
@@ -336,7 +352,8 @@ private[streaming] abstract class OpenFormatBatchScan(
       java.util.OptionalLong.of(afterPushdown.map(_.sizeBytes).sum)
     override def numRows(): java.util.OptionalLong = {
       val counts = afterPushdown.map(f =>
-        f.records.map(n => n - f.dv.map(_.cardinality).getOrElse(0L)))
+        f.records.map(n =>
+          n - dvFor(f).map(_.cardinality).getOrElse(0L)))
       if (counts.forall(_.isDefined))
         java.util.OptionalLong.of(counts.flatten.sum)
       else java.util.OptionalLong.empty()
@@ -380,10 +397,12 @@ private[streaming] abstract class OpenFormatBatchScan(
       s"files=${afterPushdown.size}/${files.size}"
 }
 
-/** The unified `graft-delta` ScanBuilder: batch pushdown +
-  * streaming, one entry point. */
-private[streaming] class DeltaScanBuilder(schema: StructType,
-    options: CaseInsensitiveStringMap)
+/** The unified ScanBuilder both connectors hand Spark: batch
+  * planning gets filter/column pushdown, streaming scans pass
+  * through untouched (Spark plans micro-batch scans without the V2
+  * pushdown rule, so a stream always builds with empty state). */
+private[streaming] final class OpenFormatScanBuilder(
+    mk: (Array[Filter], Option[Seq[String]]) => Scan)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -401,8 +420,7 @@ private[streaming] class DeltaScanBuilder(schema: StructType,
     // metadata the mapped readers resolve by (round-13 measurement)
     required = Some(requiredSchema.fieldNames.toSeq)
 
-  override def build(): Scan =
-    DeltaBatchScan(schema, options, pushed, required)
+  override def build(): Scan = mk(pushed, required)
 }
 
 private[streaming] object DeltaBatchRead {
@@ -486,4 +504,231 @@ private[streaming] class DeltaBatchScan private (
 
   override def streamingScan: Scan =
     new DeltaStreamScan(fullSchema, options)
+}
+
+private[streaming] object IcebergBatchScan {
+  /** Pin the snapshot: snapshotAsOf (an id), timestampAsOf (epoch
+    * millis or ISO-8601), branch (a ref name), else the latest. */
+  def pinnedSnapshot(tableDir: String,
+                     options: CaseInsensitiveStringMap): Long = {
+    val snap = Option(options.get("snapshotAsOf"))
+    val ts = Option(options.get("timestampAsOf"))
+    val branch = Option(options.get("branch"))
+    require(Seq(snap, ts, branch).count(_.isDefined) <= 1,
+      "graft-iceberg: snapshotAsOf / timestampAsOf / branch are " +
+        "exclusive")
+    snap match {
+      case Some(s) =>
+        val parsed = scala.util.Try(s.toLong).toOption
+          .filter(_ => s.matches("-?\\d+"))
+        require(parsed.isDefined,
+          s"graft-iceberg: snapshotAsOf must be a snapshot id, " +
+            s"got '$s'")
+        parsed.get
+      case None => ts match {
+        case Some(s) =>
+          Iceberg.snapshotAsOf(tableDir, DeltaBatchRead.parseMillis(s))
+        case None => branch match {
+          case Some(b) => Iceberg.refSnapshot(tableDir, b)
+          case None => Iceberg.latestSnapshotId(tableDir)
+        }
+      }
+    }
+  }
+
+  def apply(fullSchema: StructType, options: CaseInsensitiveStringMap,
+            pushed: Array[Filter], required: Option[Seq[String]])
+      : IcebergBatchScan = {
+    val dir = IcebergStreamSource.pathOf(options)
+    val snap = pinnedSnapshot(dir, options)
+    new IcebergBatchScan(fullSchema, options, pushed, required, dir,
+      snap, Iceberg.batchPlan(dir, snap))
+  }
+}
+
+private[streaming] class IcebergBatchScan private (
+    fullSchema: StructType, options: CaseInsensitiveStringMap,
+    pushed: Array[Filter], required: Option[Seq[String]],
+    dir: String, snap: Long, plan: Iceberg.BatchPlanned)
+  extends OpenFormatBatchScan(dir, plan.schema, plan.partCols,
+    plan.files.map(f =>
+      BatchFile(f.path, f.pv, f.bounds, f.sizeBytes, f.records,
+        dv = None)),
+    pushed, required,
+    // identity-partitioned MIGRATED tables strip partition columns
+    // from data files — only then must the reader reconstruct them
+    // from the manifest tuple (standard tables carry them as data)
+    passPartitionValuesToReader = !plan.filesCarryPartCols) {
+
+  override def name: String = s"graft-iceberg:$tableDir"
+
+  override protected def batchPrereqs(): Unit = {
+    require(!plan.hasEqDeletes,
+      s"graft-iceberg batch: snapshot $snap of $tableDir carries " +
+        "EQUALITY deletes — read it through Iceberg.read's " +
+        "merge-on-read path (equality deletes match on VALUES, " +
+        "which file-position masks cannot express without scanning " +
+        "the data at planning time)")
+    DeltaStreamSource.checkSupportedTypes(plan.schema,
+      "graft-iceberg batch")
+  }
+
+  /** Position deletes folded to per-file inline bitmap descriptors,
+    * ONCE, on first batch planning (a streaming query through this
+    * scan never pays for it). */
+  private lazy val posDvs
+      : Map[String, graft.sources.DeletionVectors.Descriptor] =
+    if (plan.posDeleteFiles.isEmpty) Map.empty
+    else Iceberg.posDeleteDescriptors(plan.posDeleteFiles)
+
+  override protected def dvFor(f: BatchFile)
+      : Option[graft.sources.DeletionVectors.Descriptor] =
+    posDvs.get(f.path)
+
+  override def readerFactory(prunedPublic: StructType)
+      : PartitionReaderFactory =
+    new DeltaFileReaderFactory(prunedPublic.json, plan.ids,
+      columnar = options.getBoolean("vectorizedRead", true))
+
+  override def streamingScan: Scan =
+    new IcebergStreamScan(fullSchema, options)
+}
+
+/** The gated queries over the DSv2 BATCH connectors (q219–q222) —
+  * each holds BOTH row correctness (the DuckDB oracle) and the
+  * optimizer behavior it demonstrates (an in-query `require` over
+  * the [[BatchScanStats]] seam or the executed plan, so a silent
+  * regression to full scans / shuffles fails the gate loudly). */
+object BatchReadQueries {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.col
+
+  private def deltaDf(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-delta").option("path", path).load()
+
+  private def icebergDf(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-iceberg").option("path", path).load()
+
+  /** q219 — DSv2 BATCH PUSHDOWN THROUGH CATALYST: q176's predicate
+    * spelled as a PLAIN `.filter` over
+    * `spark.read.format("graft-delta")` — no readWhere/readFiltered
+    * call anywhere. The V2 pushdown rule hands the conjuncts to the
+    * connector's ScanBuilder, which prunes files by partition value
+    * + add.stats bounds inside the OPTIMIZER; the in-query `require`
+    * pins files-kept < files-live, so a connector that stopped
+    * pruning fails the gate, not just a spec. At 100 TB this is the
+    * difference between the user writing pruning calls and the
+    * engine doing it for any WHERE clause. */
+  def dsv2Pushdown(spark: SparkSession, dir: String): DataFrame = {
+    val t = DeltaLog.ordersPartitionedTable(spark, dir)
+    BatchScanStats.reset(t)
+    val df = deltaDf(spark, t)
+      .filter(col("o_orderstatus") === "O" &&
+        col("o_custkey") <= org.apache.spark.sql.functions.lit(750L))
+      .orderBy(col("o_orderkey"))
+    df.count() // force planning so the seam fills
+    val s = BatchScanStats.statsFor(t)
+    require(s.live > 0 && s.pushdownKept < s.live,
+      s"DSv2 pushdown pruned nothing (live ${s.live}, kept " +
+        s"${s.pushdownKept})")
+    df
+  }
+
+  val dsv2PushdownSql: String =
+    """SELECT * FROM orders
+      |WHERE o_orderstatus = 'O' AND o_custkey <= 750
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q220 — RUNTIME (DYNAMIC FILE) FILTERING: the fact side is the
+    * status-partitioned orders through the connector; the build side
+    * is a 3-row dimension FILTERED ON A NON-JOIN COLUMN, so no
+    * static pushdown can prune the fact — only Spark's
+    * runtime-filtering rule, feeding the executed dim's join keys
+    * back into `scan.filter(...)`, can drop the non-matching
+    * partitions before any fact task launches. The `require` pins
+    * runtime-kept < pushdown-kept (runtime filtering that never ran
+    * reads -1 and fails). The 100 TB shape: fact⟕dim with a
+    * selective dim predicate reads the matching fraction, not the
+    * lake. */
+  def dsv2RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = DeltaLog.ordersPartitionedTable(spark, dir)
+    val d = DeltaLog.ordersStatusDimTable(spark, dir)
+    BatchScanStats.reset(t)
+    val out = deltaDf(spark, t)
+      .join(deltaDf(spark, d).filter(col("tag") === "f"),
+        "o_orderstatus")
+    out.count() // execute: the runtime filter fires during this run
+    val s = BatchScanStats.statsFor(t)
+    require(s.runtimeKept >= 0 && s.runtimeKept < s.pushdownKept,
+      s"runtime filtering did not prune (pushdown ${s.pushdownKept}, " +
+        s"runtime ${s.runtimeKept}; -1 = never ran)")
+    out.orderBy(col("o_orderkey"))
+  }
+
+  val dsv2RuntimeFilterSql: String =
+    """SELECT o_orderstatus, o_orderkey, o_custkey, o_totalprice,
+      |  o_orderdate, o_orderpriority, lower(o_orderstatus) AS tag
+      |FROM orders WHERE lower(o_orderstatus) = 'f'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q221 — ICEBERG MERGE-ON-READ THROUGH THE CONNECTOR: q158's
+    * position-delete table read via
+    * `spark.read.format("graft-iceberg")` — the snapshot's delete
+    * files fold into per-file INLINE bitmap descriptors at planning
+    * (O(delete rows), driver-side) and mask row positions on the
+    * executor exactly as Delta DVs do: no anti-join in the plan, the
+    * deleted tenth never leaves the scan. Same oracle as q158, so
+    * the two read paths are pinned equal. */
+  def dsv2IcebergMor(spark: SparkSession, dir: String): DataFrame = {
+    val t = Iceberg.ordersIcebergDeleteTable(spark, dir)
+    icebergDf(spark, t).orderBy(col("o_orderkey"))
+  }
+
+  val dsv2IcebergMorSql: String =
+    """SELECT * FROM orders WHERE o_orderkey % 10 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q222 — STORAGE-PARTITIONED JOIN: status-partitioned orders ⋈
+    * the status-partitioned per-status rollup, both through the
+    * connector, under `spark.sql.sources.v2.bucketing.enabled`. Both
+    * scans report a KeyGroupedPartitioning over the identity
+    * partition column, so EnsureRequirements inserts NO exchange —
+    * the probe `require`s a shuffle-free executed plan (and
+    * correctness holds under the oracle regardless of the conf, the
+    * write path replans with whatever the session says). The 100 TB
+    * shape: two lake tables co-partitioned on the join key join at
+    * file-group granularity with zero network. */
+  def dsv2Spj(spark: SparkSession, dir: String): DataFrame = {
+    val t = DeltaLog.ordersPartitionedTable(spark, dir)
+    val d = DeltaLog.ordersStatusAggTable(spark, dir)
+    def join() = deltaDf(spark, t).join(deltaDf(spark, d),
+      "o_orderstatus")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val probe = join()
+      probe.count()
+      val plan = probe.queryExecution.executedPlan.toString()
+      require(!plan.contains("Exchange"),
+        s"storage-partitioned join still shuffled:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    join().orderBy(col("o_orderkey"))
+  }
+
+  val dsv2SpjSql: String =
+    """SELECT o.o_orderstatus, o.o_orderkey, o.o_custkey,
+      |  o.o_totalprice, o.o_orderdate, o.o_orderpriority, d.n_orders
+      |FROM orders o
+      |JOIN (SELECT o_orderstatus, count(*) AS n_orders
+      |      FROM orders GROUP BY 1) d
+      |  ON o.o_orderstatus = d.o_orderstatus
+      |ORDER BY o.o_orderkey""".stripMargin
 }

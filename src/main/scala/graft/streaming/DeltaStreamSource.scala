@@ -150,7 +150,8 @@ private class DeltaStreamTable(schema: StructType,
   // (filters/columns/statistics/runtime filters — BatchRead.scala),
   // streaming scans delegate to [[DeltaStreamScan]] untouched
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new DeltaScanBuilder(schema, options)
+    new OpenFormatScanBuilder((pushed, required) =>
+      DeltaBatchScan(schema, options, pushed, required))
 }
 
 private class DeltaStreamScan(schema: StructType,

@@ -115,11 +115,14 @@ private class IcebergStreamTable(schema: StructType,
       org.apache.spark.sql.connector.catalog.Column.create(
         f.name, f.dataType, f.nullable))
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ).asJava
+  // one builder serves both surfaces: batch planning gets pushdown
+  // (filters/columns/statistics/runtime filters — BatchRead.scala),
+  // streaming scans delegate to [[IcebergStreamScan]] untouched
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new IcebergStreamScan(schema, options)
-    }
+    new OpenFormatScanBuilder((pushed, required) =>
+      IcebergBatchScan(schema, options, pushed, required))
 }
 
 private class IcebergStreamScan(schema: StructType,

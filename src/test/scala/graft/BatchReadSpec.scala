@@ -242,6 +242,130 @@ class BatchReadSpec extends SparkSuite {
     }
   }
 
+  // ---- graft-iceberg batch ----
+
+  private def iceberg(dir: String, opts: (String, String)*): DataFrame = {
+    var r = spark.read.format("graft-iceberg").option("path", dir)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("iceberg batch read matches Iceberg.read; renames resolve by field id") {
+    val work = Files.createTempDirectory("dsv2i").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      (1L to 40L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.Iceberg.renameColumn(dir, "s", "label")
+    sources.Iceberg.commitAppend(
+      (41L to 80L).map(i => (i, s"s$i")).toDF("k", "label"), dir)
+    assert(sortedRows(iceberg(dir)) ==
+      sortedRows(sources.Iceberg.read(spark, dir)))
+    assert(iceberg(dir).filter(col("label") === "s7").count() == 1,
+      "pre-rename files resolve the renamed column by field id")
+  }
+
+  test("iceberg position deletes mask through inline bitmap descriptors") {
+    val work = Files.createTempDirectory("dsv2ipd").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.Iceberg.deleteWhere(spark, dir, col("k") % 5 === 0)
+    assert(sortedRows(iceberg(dir)) ==
+      sortedRows(sources.Iceberg.read(spark, dir)))
+    assert(iceberg(dir).count() == (1L to 100L).count(_ % 5 != 0))
+  }
+
+  test("iceberg equality deletes refuse toward the merge-on-read path") {
+    val work = Files.createTempDirectory("dsv2ieq").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"), dir)
+    sources.Iceberg.upsert(spark, dir,
+      Seq((5L, "V5"), (21L, "V21")).toDF("k", "s"), Seq("k"))
+    val e = intercept[Exception] { iceberg(dir).collect() }
+    assert(e.getMessage.contains("EQUALITY deletes"),
+      s"loud refusal naming the reason, got: ${e.getMessage}")
+    // the DataFrame MoR path stays the documented read for this shape
+    assert(sources.Iceberg.read(spark, dir).count() == 21)
+  }
+
+  test("iceberg pushdown prunes partitions/bounds; snapshotAsOf + branch pin") {
+    val work = Files.createTempDirectory("dsv2ip").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitOverwritePartitioned(
+      (1L to 300L).map(i => (i, s"p${i % 3}")).toDF("k", "p")
+        .repartition(col("p")), dir, Seq("p"))
+    BatchScanStats.reset(dir)
+    val df = iceberg(dir).filter(col("p") === "p2")
+    assert(df.count() == 100)
+    val s = BatchScanStats.statsFor(dir)
+    assert(s.live == 3 && s.pushdownKept == 1,
+      s"identity-tuple pruning: ${s.live}/${s.pushdownKept}")
+    val snap0 = sources.Iceberg.snapshotIds(dir).head
+    sources.Iceberg.commitAppendPartitioned(
+      (301L to 310L).map(i => (i, "p0")).toDF("k", "p"), dir,
+      Seq("p"))
+    assert(iceberg(dir).count() == 310)
+    assert(iceberg(dir, "snapshotAsOf" -> snap0.toString).count() == 300)
+    sources.Iceberg.setRef(dir, "v300", snap0)
+    assert(iceberg(dir, "branch" -> "v300").count() == 300)
+  }
+
+  test("iceberg SPJ: co-partitioned tables join shuffle-free") {
+    val work = Files.createTempDirectory("dsv2ispj").toString
+    val a = s"$work/a"
+    val b = s"$work/b"
+    sources.Iceberg.commitOverwritePartitioned(
+      (1L to 600L).map(i => (i, s"p${i % 3}")).toDF("k", "p")
+        .repartition(col("p")), a, Seq("p"))
+    sources.Iceberg.commitOverwritePartitioned(
+      (1L to 30L).map(i => (s"p${i % 3}", i)).toDF("p", "n")
+        .repartition(col("p")), b, Seq("p"))
+    withSpj {
+      val j = iceberg(a).join(iceberg(b), "p")
+      assert(j.count() == 600L * 10)
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"co-partitioned iceberg join must not shuffle:\n$plan")
+    }
+  }
+
+  test("delta⋈iceberg SPJ: the formats co-locate ACROSS connectors") {
+    // both scans report the same KeyGroupedPartitioning over the
+    // identity partition column, so even a cross-format join plans
+    // shuffle-free — bucketed co-location at lake scale
+    val work = Files.createTempDirectory("dsv2xspj").toString
+    val a = s"$work/a"
+    val b = s"$work/b"
+    sources.DeltaLog.commitOverwritePartitioned(
+      (1L to 300L).map(i => (i, s"p${i % 3}")).toDF("k", "p")
+        .repartition(col("p")), a, Seq("p"))
+    sources.Iceberg.commitOverwritePartitioned(
+      (1L to 30L).map(i => (s"p${i % 3}", i)).toDF("p", "n")
+        .repartition(col("p")), b, Seq("p"))
+    withSpj {
+      val j = dsv2(a).join(iceberg(b), "p")
+      assert(j.count() == 300L * 10)
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"cross-format co-partitioned join must not shuffle:\n$plan")
+    }
+  }
+
+  test("streaming through the unified builder still drains exactly-once") {
+    val work = Files.createTempDirectory("dsv2sm").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      (1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    spark.readStream.format("graft-delta").option("path", dir).load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(spark.read.parquet(s"$work/out").count() == 10)
+  }
+
   test("required column absent from the pinned snapshot refuses loudly") {
     val work = Files.createTempDirectory("dsv2m").toString
     val dir = s"$work/t"
