@@ -240,7 +240,8 @@ private[streaming] abstract class OpenFormatBatchScan(
     val tableDir: String, publicSchema: StructType,
     partCols: Seq[String], files: Seq[BatchFile],
     pushed: Array[Filter], required: Option[Seq[String]],
-    passPartitionValuesToReader: Boolean)
+    passPartitionValuesToReader: Boolean,
+    limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -320,8 +321,31 @@ private[streaming] abstract class OpenFormatBatchScan(
     this
   }
 
+  /** Truncate a planned file list once the per-file LIVE row counts
+    * provably cover the pushed limit (partial push — Spark still
+    * applies the exact Limit above). Files without recorded counts
+    * disable truncation: dropping one could lose rows. */
+  private def applyLimit(fs: Seq[BatchFile]): Seq[BatchFile] =
+    limit match {
+      // under an ACTIVE key-grouped partitioning, truncation could
+      // drop whole partition groups out from under the reported
+      // numPartitions — leave the file list whole there
+      case Some(l) if fs.forall(_.records.isDefined) &&
+          (spjKeyCols.isEmpty || !org.apache.spark.sql.internal
+            .SQLConf.get.v2BucketingEnabled) =>
+        var acc = 0L
+        val (covered, _) = fs.span { f =>
+          val before = acc
+          acc += math.max(0L, f.records.get -
+            dvFor(f).map(_.cardinality).getOrElse(0L))
+          before < l
+        }
+        covered
+      case _ => fs
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept =
+    val kept = applyLimit(
       if (runtimeFilters.isEmpty) afterPushdown
       else {
         val k = afterPushdown.filter(f =>
@@ -329,7 +353,7 @@ private[streaming] abstract class OpenFormatBatchScan(
             partCols.toSet, f.pv, f.bounds))
         BatchScanStats.recordRuntime(tableDir, k.size.toLong)
         k
-      }
+      })
     val spjKey = spjKeyCols
     kept.map { f =>
       val pv = if (passPartitionValuesToReader) f.pv
@@ -358,6 +382,99 @@ private[streaming] abstract class OpenFormatBatchScan(
         java.util.OptionalLong.of(counts.flatten.sum)
       else java.util.OptionalLong.empty()
     }
+  }
+
+  // ---- metadata-only aggregates ----
+  /** Can the snapshot's file metadata answer aggregates EXACTLY at
+    * all? Subclasses veto (Iceberg equality deletes remove rows the
+    * manifests still count). */
+  protected def metadataAggSafe: Boolean = true
+
+  /** Answer `count(*)` / `min(longCol)` / `max(longCol)`, optionally
+    * grouped by partition columns, from per-file metadata alone —
+    * None when the metadata cannot answer EXACTLY: missing
+    * numRecords (count), missing bounds or any row mask (min/max —
+    * a deletion vector may have retired the extreme row), non-Long
+    * column types, group keys off the partition columns. Schema and
+    * row layout follow Spark's pushed-aggregate contract: group-by
+    * columns first, aggregate columns after, POSITIONAL. */
+  private[streaming] def metadataAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Array[InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{
+      CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types.{IntegerType, LongType,
+      StructField}
+    if (!metadataAggSafe) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions
+        .Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames()(0)).filter(declared.contains)
+      case _ => None
+    }
+    def box(c: String, v: Long): Any = declared(c) match {
+      case IntegerType => v.toInt
+      case _ => v
+    }
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq
+      .map(e => colOf(e).getOrElse(return None))
+    if (!groupCols.forall(partCols.contains)) return None
+    if (groupCols.nonEmpty &&
+        !files.forall(f => groupCols.forall(f.pv.contains)))
+      return None
+    val anyMask = files.exists(f => dvFor(f).isDefined)
+    def liveRows(f: BatchFile): Option[Long] =
+      f.records.map(n =>
+        n - dvFor(f).map(_.cardinality).getOrElse(0L))
+    def longTyped(c: String): Boolean = declared(c) match {
+      case LongType | IntegerType => true
+      case _ => false
+    }
+    // one evaluator per aggregate, applied per group
+    val evals: Seq[(StructField, Seq[BatchFile] => Any)] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          if (!files.forall(_.records.isDefined)) return None
+          (StructField("count(*)", LongType, nullable = false),
+            (fs: Seq[BatchFile]) =>
+              fs.map(liveRows(_).get).sum: Any)
+        case m: Min =>
+          val c = colOf(m.column).getOrElse(return None)
+          if (!longTyped(c) || anyMask ||
+              !files.forall(_.bounds.contains(c))) return None
+          (StructField(s"min($c)", declared(c)),
+            (fs: Seq[BatchFile]) =>
+              if (fs.isEmpty) null
+              else box(c, fs.map(_.bounds(c)._1).min))
+        case m: Max =>
+          val c = colOf(m.column).getOrElse(return None)
+          if (!longTyped(c) || anyMask ||
+              !files.forall(_.bounds.contains(c))) return None
+          (StructField(s"max($c)", declared(c)),
+            (fs: Seq[BatchFile]) =>
+              if (fs.isEmpty) null
+              else box(c, fs.map(_.bounds(c)._2).max))
+        case _ => return None // sum/avg/count(col): null counts unknown
+      }
+    val schema = StructType(
+      groupCols.map(c => StructField(c, declared(c))) ++ evals.map(_._1))
+    val rows: Array[InternalRow] =
+      if (groupCols.isEmpty)
+        Array(new GenericInternalRow(
+          evals.map(_._2(files)).toArray))
+      else files.groupBy(f => groupCols.map(f.pv(_)))
+        .toSeq.sortBy(_._1.mkString(" "))
+        .map { case (keys, fs) =>
+          val keyVals: Seq[Any] = groupCols.zip(keys).map {
+            case (_, null) => null
+            case (c, s) => RowReadSupport.decodeConstant(s,
+              declared(c), c)
+          }
+          new GenericInternalRow(
+            (keyVals ++ evals.map(_._2(fs))).toArray): InternalRow
+        }.toArray
+    Some((schema, rows))
   }
 
   // ---- storage-partitioned join ----
@@ -398,16 +515,30 @@ private[streaming] abstract class OpenFormatBatchScan(
 }
 
 /** The unified ScanBuilder both connectors hand Spark: batch
-  * planning gets filter/column pushdown, streaming scans pass
-  * through untouched (Spark plans micro-batch scans without the V2
-  * pushdown rule, so a stream always builds with empty state). */
+  * planning gets filter/column/limit/AGGREGATE pushdown, streaming
+  * scans pass through untouched (Spark plans micro-batch scans
+  * without the V2 pushdown rule, so a stream always builds with
+  * empty state).
+  *
+  * Aggregate pushdown is the METADATA-ONLY kind: `count(*)` /
+  * `min(longCol)` / `max(longCol)`, optionally grouped by partition
+  * columns, answered entirely from the log's per-file stats — the
+  * scan collapses to a driver-local row set and NO data file is
+  * opened. At 100 TB, `SELECT count(*) FROM fact` is O(files) driver
+  * metadata instead of a full scan. Anything the metadata cannot
+  * answer EXACTLY (missing stats, deletion vectors under min/max,
+  * non-partition group keys) declines the push and scans normally. */
 private[streaming] final class OpenFormatScanBuilder(
-    mk: (Array[Filter], Option[Seq[String]]) => Scan)
+    mk: (Array[Filter], Option[Seq[String]], Option[Int]) => Scan)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[Seq[String]] = None
+  private var limit: Option[Int] = None
+  private var agg: Option[(StructType, Array[InternalRow])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(BatchPruning.prunable)
@@ -417,10 +548,56 @@ private[streaming] final class OpenFormatScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // top-level names only: nested pruning strips the mapping
-    // metadata the mapped readers resolve by (round-13 measurement)
-    required = Some(requiredSchema.fieldNames.toSeq)
+    // metadata the mapped readers resolve by (round-13 measurement).
+    // A pushed aggregate replaced the scan output — nothing to prune.
+    if (agg.isEmpty) required = Some(requiredSchema.fieldNames.toSeq)
 
-  override def build(): Scan = mk(pushed, required)
+  /** LIMIT truncates the planned FILE LIST once the per-file row
+    * counts provably cover it (partial push: Spark keeps the Limit
+    * operator, the scan just stops planning files a 10-row preview
+    * of a million-file table would never read). */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  private def probe(
+      aggregation: org.apache.spark.sql.connector.expressions
+        .aggregate.Aggregation)
+      : Option[(StructType, Array[InternalRow])] =
+    // Spark only attempts aggregate pushdown with no post-scan
+    // filters; ours are always residual, so pushed is empty here —
+    // the guard keeps the metadata answer honest if that ever drifts
+    if (pushed.nonEmpty) None
+    else mk(Array.empty, None, None) match {
+      case s: OpenFormatBatchScan => s.metadataAggregate(aggregation)
+      case _ => None
+    }
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions
+        .aggregate.Aggregation): Boolean =
+    probe(aggregation).isDefined
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions
+        .aggregate.Aggregation): Boolean = {
+    agg = probe(aggregation)
+    agg.isDefined
+  }
+
+  override def build(): Scan = agg match {
+    case Some((aggSchema, aggRows)) =>
+      new Scan with org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = aggSchema
+        override def rows(): Array[InternalRow] = aggRows
+        override def description(): String =
+          s"graft metadata-only aggregate (${aggRows.length} rows, " +
+            "no data files read)"
+      }
+    case None => mk(pushed, required, limit)
+  }
 }
 
 private[streaming] object DeltaBatchRead {
@@ -461,21 +638,22 @@ private[streaming] object DeltaBatchRead {
 
 private[streaming] object DeltaBatchScan {
   def apply(fullSchema: StructType, options: CaseInsensitiveStringMap,
-            pushed: Array[Filter], required: Option[Seq[String]])
-      : DeltaBatchScan = {
+            pushed: Array[Filter], required: Option[Seq[String]],
+            limit: Option[Int] = None): DeltaBatchScan = {
     val dir = DeltaStreamSource.pathOf(options)
     val st = DeltaLog.replay(dir,
       DeltaBatchRead.pinnedVersion(dir, options))
     DeltaStreamSource.checkSupportedTypes(st.schema,
       "graft-delta batch")
-    new DeltaBatchScan(fullSchema, options, pushed, required, dir, st)
+    new DeltaBatchScan(fullSchema, options, pushed, required, limit,
+      dir, st)
   }
 }
 
 private[streaming] class DeltaBatchScan private (
     fullSchema: StructType, options: CaseInsensitiveStringMap,
     pushed: Array[Filter], required: Option[Seq[String]],
-    dir: String, st: DeltaLog.State)
+    limit: Option[Int], dir: String, st: DeltaLog.State)
   extends OpenFormatBatchScan(dir,
     DeltaLog.stripFieldMetadata(st.schema).asInstanceOf[StructType],
     st.partitionColumns,
@@ -485,7 +663,8 @@ private[streaming] class DeltaBatchScan private (
         a.partitionValues, a.longBounds, a.size,
         a.stats.flatMap(DeltaLog.statsNumRecords), a.dv)
     },
-    pushed, required, passPartitionValuesToReader = true) {
+    pushed, required, passPartitionValuesToReader = true,
+    limit = limit) {
 
   override def name: String = s"graft-delta:$tableDir"
 
@@ -537,19 +716,20 @@ private[streaming] object IcebergBatchScan {
   }
 
   def apply(fullSchema: StructType, options: CaseInsensitiveStringMap,
-            pushed: Array[Filter], required: Option[Seq[String]])
-      : IcebergBatchScan = {
+            pushed: Array[Filter], required: Option[Seq[String]],
+            limit: Option[Int] = None): IcebergBatchScan = {
     val dir = IcebergStreamSource.pathOf(options)
     val snap = pinnedSnapshot(dir, options)
-    new IcebergBatchScan(fullSchema, options, pushed, required, dir,
-      snap, Iceberg.batchPlan(dir, snap))
+    new IcebergBatchScan(fullSchema, options, pushed, required, limit,
+      dir, snap, Iceberg.batchPlan(dir, snap))
   }
 }
 
 private[streaming] class IcebergBatchScan private (
     fullSchema: StructType, options: CaseInsensitiveStringMap,
     pushed: Array[Filter], required: Option[Seq[String]],
-    dir: String, snap: Long, plan: Iceberg.BatchPlanned)
+    limit: Option[Int], dir: String, snap: Long,
+    plan: Iceberg.BatchPlanned)
   extends OpenFormatBatchScan(dir, plan.schema, plan.partCols,
     plan.files.map(f =>
       BatchFile(f.path, f.pv, f.bounds, f.sizeBytes, f.records,
@@ -558,9 +738,14 @@ private[streaming] class IcebergBatchScan private (
     // identity-partitioned MIGRATED tables strip partition columns
     // from data files — only then must the reader reconstruct them
     // from the manifest tuple (standard tables carry them as data)
-    passPartitionValuesToReader = !plan.filesCarryPartCols) {
+    passPartitionValuesToReader = !plan.filesCarryPartCols,
+    limit = limit) {
 
   override def name: String = s"graft-iceberg:$tableDir"
+
+  /** Equality deletes retire rows the manifests still count — no
+    * metadata aggregate can be exact on such a snapshot. */
+  override protected def metadataAggSafe: Boolean = !plan.hasEqDeletes
 
   override protected def batchPrereqs(): Unit = {
     require(!plan.hasEqDeletes,

@@ -150,8 +150,8 @@ private class DeltaStreamTable(schema: StructType,
   // (filters/columns/statistics/runtime filters — BatchRead.scala),
   // streaming scans delegate to [[DeltaStreamScan]] untouched
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new OpenFormatScanBuilder((pushed, required) =>
-      DeltaBatchScan(schema, options, pushed, required))
+    new OpenFormatScanBuilder((pushed, required, limit) =>
+      DeltaBatchScan(schema, options, pushed, required, limit))
 }
 
 private class DeltaStreamScan(schema: StructType,

@@ -121,8 +121,8 @@ private class IcebergStreamTable(schema: StructType,
   // (filters/columns/statistics/runtime filters — BatchRead.scala),
   // streaming scans delegate to [[IcebergStreamScan]] untouched
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new OpenFormatScanBuilder((pushed, required) =>
-      IcebergBatchScan(schema, options, pushed, required))
+    new OpenFormatScanBuilder((pushed, required, limit) =>
+      IcebergBatchScan(schema, options, pushed, required, limit))
 }
 
 private class IcebergStreamScan(schema: StructType,

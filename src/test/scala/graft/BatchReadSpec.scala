@@ -366,6 +366,109 @@ class BatchReadSpec extends SparkSuite {
     assert(spark.read.parquet(s"$work/out").count() == 10)
   }
 
+  // ---- limit + metadata-only aggregate pushdown ----
+
+  test("limit pushdown truncates the planned file list") {
+    val work = Files.createTempDirectory("dsv2l").toString
+    val dir = s"$work/t"
+    (0L to 4L).foreach(b => sources.DeltaLog.commitAppend(
+      (b * 10L + 1 to b * 10L + 10).map(i => (i, s"s$i"))
+        .toDF("k", "s").coalesce(1), dir))
+    val df = dsv2(dir).limit(5)
+    assert(df.count() == 5)
+    val parts = scanOf(df).scan.toBatch.planInputPartitions()
+    assert(parts.length == 1,
+      s"LIMIT 5 over 5×10-row files needs ONE file, planned " +
+        s"${parts.length}")
+    // whole-table read through the same table is untruncated
+    assert(dsv2(dir).count() == 50)
+  }
+
+  test("count(*) answers from metadata — no data file read") {
+    val work = Files.createTempDirectory("dsv2agg").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      (1L to 70L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitAppend(
+      (71L to 100L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    val df = dsv2(dir).groupBy().count()
+    assert(df.collect().head.getLong(0) == 100L)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("LocalTableScan") &&
+      !plan.contains("BatchScan"),
+      s"metadata count must not scan data:\n$plan")
+    // deletion vectors subtract exactly
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 4 === 0)
+    val df2 = dsv2(dir).groupBy().count()
+    assert(df2.collect().head.getLong(0) ==
+      (1L to 100L).count(_ % 4 != 0))
+    assert(df2.queryExecution.executedPlan.toString()
+      .contains("LocalTableScan"))
+  }
+
+  test("min/max answer from stats; DVs force a real scan (exactness)") {
+    val work = Files.createTempDirectory("dsv2mm").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      (5L to 500L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    import org.apache.spark.sql.functions.{max, min}
+    val df = dsv2(dir).agg(min("k").as("mn"), max("k").as("mx"))
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1)) == (5L, 500L))
+    assert(df.queryExecution.executedPlan.toString()
+      .contains("LocalTableScan"))
+    // a DV may have deleted the extreme row: min/max must DECLINE
+    // the metadata answer and scan (count may still push)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") === 500L)
+    val df2 = dsv2(dir).agg(min("k"), max("k"))
+    val r2 = df2.collect().head
+    assert((r2.getLong(0), r2.getLong(1)) == (5L, 499L))
+    assert(!df2.queryExecution.executedPlan.toString()
+      .contains("LocalTableScan"),
+      "stale stats must not answer min/max under deletion vectors")
+  }
+
+  test("group-by partition column count answers from the log") {
+    val work = Files.createTempDirectory("dsv2gagg").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitOverwritePartitioned(
+      (1L to 300L).map(i => (i, s"p${i % 3}")).toDF("k", "p")
+        .repartition(col("p")), dir, Seq("p"))
+    val df = dsv2(dir).groupBy("p").count().orderBy("p")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("p0", 100L), ("p1", 100L), ("p2", 100L)))
+    assert(df.queryExecution.executedPlan.toString()
+      .contains("LocalTableScan"))
+    // a non-partition group key cannot answer from metadata
+    val df2 = dsv2(dir).groupBy("k").count()
+    assert(df2.count() == 300)
+    assert(!df2.queryExecution.executedPlan.toString()
+      .contains("LocalTableScan"))
+  }
+
+  test("iceberg count(*) subtracts position deletes; eq-deletes decline") {
+    val work = Files.createTempDirectory("dsv2iagg").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.Iceberg.deleteWhere(spark, dir, col("k") % 10 === 0)
+    val df = iceberg(dir).groupBy().count()
+    assert(df.collect().head.getLong(0) == 90L)
+    assert(df.queryExecution.executedPlan.toString()
+      .contains("LocalTableScan"))
+    // equality deletes: metadata counts are stale — decline, and the
+    // fallback scan refuses loudly toward the MoR path (unchanged)
+    val dir2 = s"$work/t2"
+    sources.Iceberg.commitAppend(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"), dir2)
+    sources.Iceberg.upsert(spark, dir2,
+      Seq((5L, "V5")).toDF("k", "s"), Seq("k"))
+    val e = intercept[Exception] {
+      iceberg(dir2).groupBy().count().collect()
+    }
+    assert(e.getMessage.contains("EQUALITY deletes"))
+  }
+
   test("required column absent from the pinned snapshot refuses loudly") {
     val work = Files.createTempDirectory("dsv2m").toString
     val dir = s"$work/t"
