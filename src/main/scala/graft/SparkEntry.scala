@@ -585,7 +585,9 @@ object SparkEntry {
     "q221_dsv2_iceberg_mor"
       -> (streaming.BatchReadQueries.dsv2IcebergMor _),
     "q222_dsv2_spj"
-      -> (streaming.BatchReadQueries.dsv2Spj _)
+      -> (streaming.BatchReadQueries.dsv2Spj _),
+    "q223_dsv2_metadata_agg"
+      -> (streaming.MetadataAggQueries.dsv2MetadataAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -862,6 +864,8 @@ object SparkEntry {
     "q221_dsv2_iceberg_mor"
       -> streaming.BatchReadQueries.dsv2IcebergMorSql,
     "q222_dsv2_spj"
-      -> streaming.BatchReadQueries.dsv2SpjSql
+      -> streaming.BatchReadQueries.dsv2SpjSql,
+    "q223_dsv2_metadata_agg"
+      -> streaming.MetadataAggQueries.dsv2MetadataAggSql
   )
 }

@@ -917,3 +917,41 @@ object BatchReadQueries {
       |  ON o.o_orderstatus = d.o_orderstatus
       |ORDER BY o.o_orderkey""".stripMargin
 }
+
+/** q223's home — kept beside the other connector-gated queries. */
+object MetadataAggQueries {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.{col, max, min}
+
+  /** q223 — METADATA-ONLY AGGREGATES: per-status count/min/max over
+    * the partitioned orders through the connector. The pushed
+    * aggregate collapses the scan to a driver-local row set derived
+    * from the log's numRecords + add.stats bounds — the in-query
+    * `require` pins a LocalTableScan WITHOUT any BatchScan in the
+    * executed plan, so a regression to data-reading aggregation
+    * fails the gate. The oracle re-derives the same numbers from the
+    * raw rows, so the log's recorded stats are themselves
+    * hash-verified. At 100 TB: `SELECT count(*) ... GROUP BY
+    * partition` is O(files) driver metadata, zero bytes of data. */
+  def dsv2MetadataAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = DeltaLog.ordersPartitionedTable(spark, dir)
+    val df = spark.read.format("graft-delta").option("path", t).load()
+      .groupBy(col("o_orderstatus"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+    df.collect() // execute the probe copy to finalize the plan
+    val plan = df.queryExecution.executedPlan.toString()
+    require(plan.contains("LocalTableScan") &&
+        !plan.contains("BatchScan"),
+      s"metadata aggregate still scanned data:\n$plan")
+    df
+  }
+
+  val dsv2MetadataAggSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+}
