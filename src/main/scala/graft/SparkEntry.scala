@@ -587,7 +587,9 @@ object SparkEntry {
     "q222_dsv2_spj"
       -> (streaming.BatchReadQueries.dsv2Spj _),
     "q223_dsv2_metadata_agg"
-      -> (streaming.MetadataAggQueries.dsv2MetadataAgg _)
+      -> (streaming.MetadataAggQueries.dsv2MetadataAgg _),
+    "q224_dsv2_write"
+      -> (streaming.DeltaWriteQueries.dsv2Write _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -866,6 +868,8 @@ object SparkEntry {
     "q222_dsv2_spj"
       -> streaming.BatchReadQueries.dsv2SpjSql,
     "q223_dsv2_metadata_agg"
-      -> streaming.MetadataAggQueries.dsv2MetadataAggSql
+      -> streaming.MetadataAggQueries.dsv2MetadataAggSql,
+    "q224_dsv2_write"
+      -> streaming.DeltaWriteQueries.dsv2WriteSql
   )
 }

@@ -153,7 +153,7 @@ object GraftExtensions {
     val fits = scala.util.Try {
       val snapId = ref.map(graft.sources.Iceberg.refSnapshot(path, _))
         .orElse(snap)
-        .getOrElse(graft.sources.Iceberg.latestSnapshotId(path))
+        .getOrElse(graft.sources.Iceberg.mainSnapshotId(path))
       val p = graft.sources.Iceberg.batchPlan(path, snapId)
       !p.hasEqDeletes && p.schema.fields.forall(f => f.dataType match {
         case org.apache.spark.sql.types.LongType |

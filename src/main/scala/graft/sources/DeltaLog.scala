@@ -1721,6 +1721,105 @@ object DeltaLog {
     v
   }
 
+  /** One file the DSv2 WRITER produced: log-relative path, size,
+    * the file's partition values (null allowed), and the stats the
+    * writer tracked while writing (numRecords + long bounds — no
+    * post-write footer pass needed). */
+  private[graft] case class Dsv2File(relPath: String, size: Long,
+      partitionValues: Map[String, String], numRecords: Long,
+      bounds: Map[String, (Long, Long)])
+
+  /** Commit files the DSv2 write connector produced — the log half
+    * of `df.write.format("graft-delta")`. The data files are already
+    * on disk (invisible until this commit lands); this validates and
+    * commits:
+    *
+    *  - partition spec must equal the table's (or creates the table
+    *    with `partCols` on an empty dir);
+    *  - schema SHAPE must equal the table's — DSv2 writes never
+    *    evolve schema silently ([[evolveSchema]] is the explicit
+    *    path);
+    *  - CHECK constraints / generated columns are enforced by
+    *    READING BACK the just-written files (they are invisible to
+    *    readers until the commit, so the check is race-free) with
+    *    the same [[enforceWriteInvariants]] every library writer
+    *    uses — a violating DSv2 write deletes its files and refuses;
+    *  - bloom sidecars are written for bloom-configured tables;
+    *  - the version claim rides the same [[LogStore]] CAS loop as
+    *    every other commit (overwrite recomputes removes per retry).
+    */
+  private[graft] def commitDsv2(spark: SparkSession, tableDir: String,
+      logicalSchema: StructType, partCols: Seq[String],
+      files: Seq[Dsv2File], overwrite: Boolean): Long = {
+    val op = if (overwrite) "dsv2 overwrite" else "dsv2 append"
+    val st0 = requirePartitionSpec(tableDir, partCols, op)
+    st0.foreach { st =>
+      // compare LOGICAL shapes: schemaShape keys mapped schemas by
+      // physical name, but the incoming DSv2 schema is logical
+      require(schemaShape(stripFieldMetadata(st.schema)) ==
+          schemaShape(stripFieldMetadata(logicalSchema)),
+        s"$op to $tableDir: incoming schema shape " +
+          s"${stripFieldMetadata(logicalSchema)} does not match the " +
+          s"table's ${stripFieldMetadata(st.schema)} — use " +
+          "evolveSchema for schema changes")
+    }
+    def resolveAbs(rel: String) = s"$tableDir/$rel"
+    st0.foreach { st =>
+      val hasInvariants =
+        st.configuration.keys.exists(_.startsWith("delta.constraints.")) ||
+          st.schema.fields.exists(
+            _.metadata.contains("delta.generationExpression"))
+      if (hasInvariants) {
+        require(st.columnMapping.isEmpty,
+          s"$op: column-mapped tables with constraints/generated " +
+            "columns write through the library API " +
+            "(DeltaLog.commitAppend), not the DSv2 connector")
+        val dataSchema = StructType(st.schema
+          .filterNot(f => partCols.contains(f.name)))
+        val checked =
+          if (files.isEmpty)
+            spark.createDataFrame(
+              java.util.Collections.emptyList[Row](), st.schema)
+          else if (partCols.isEmpty)
+            spark.read.schema(dataSchema)
+              .parquet(files.map(f => resolveAbs(f.relPath)): _*)
+          else
+            PartitionedScan.scan(spark, st.schema, partCols,
+              files.map(f => (resolveAbs(f.relPath), f.partitionValues)))
+        try enforceWriteInvariants(checked, st)
+        catch {
+          case e: Throwable =>
+            files.foreach(f =>
+              Files.deleteIfExists(Paths.get(resolveAbs(f.relPath))))
+            throw e
+        }
+      }
+    }
+    maybeWriteBlooms(spark, tableDir,
+      files.map(f => new File(resolveAbs(f.relPath))), st0)
+    val adds = files.map(f => addAction(f.relPath, f.size,
+      f.partitionValues, dataChange = true,
+      stats = Some(statsJsonOf(f.numRecords, f.bounds))))
+    var v = -1L
+    var done = false
+    while (!done) {
+      val vs = versions(tableDir)
+      v = if (vs.isEmpty) 0L else vs.last + 1
+      val head: Seq[ObjectNode] =
+        if (vs.isEmpty)
+          Seq(protocolAction(), metaDataAction(
+            stripFieldMetadata(logicalSchema).asInstanceOf[StructType],
+            partCols))
+        else if (overwrite)
+          replay(tableDir, vs.last).files.map(p => removeAction(p))
+        else Seq.empty
+      commitClaimHook(tableDir, v)
+      done = writeActions(tableDir, v, head ++ adds)
+      if (!done) commitCasRetries.incrementAndGet()
+    }
+    v
+  }
+
   /** One file a streaming batch reads: absolute path, the add's
     * log-recorded partitionValues, the add's byte size (the
     * admission-control currency for maxBytesPerTrigger), and the

@@ -2785,6 +2785,17 @@ object Iceberg {
     }
   }
 
+  /** MAIN's head snapshot (current-snapshot-id; 0 = empty history) —
+    * the DSv2 batch default. NOT [[latestSnapshotId]]: that is the
+    * metadata LIST's tail, which a staged branch/WAP snapshot sits
+    * at without being on main. */
+  private[graft] def mainSnapshotId(tableDir: String): Long = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    if (!meta.has("current-snapshot-id") ||
+        meta.get("current-snapshot-id").isNull) 0L
+    else math.max(0L, meta.get("current-snapshot-id").asLong)
+  }
+
   private[graft] def streamSchema(tableDir: String)
       : (StructType, Map[String, Int]) = {
     val meta = loadMetadata(tableDir, currentVersion(tableDir))

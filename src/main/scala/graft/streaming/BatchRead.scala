@@ -709,7 +709,9 @@ private[streaming] object IcebergBatchScan {
           Iceberg.snapshotAsOf(tableDir, DeltaBatchRead.parseMillis(s))
         case None => branch match {
           case Some(b) => Iceberg.refSnapshot(tableDir, b)
-          case None => Iceberg.latestSnapshotId(tableDir)
+          // MAIN's head — the metadata list's tail may be a staged
+          // branch/WAP snapshot that is not on main
+          case None => Iceberg.mainSnapshotId(tableDir)
         }
       }
     }

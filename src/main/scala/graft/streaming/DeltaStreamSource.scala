@@ -75,9 +75,13 @@ class DeltaStreamProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DeltaStreamSource.tableSchema(DeltaStreamSource.pathOf(options))
 
+  // writes hand the DataFrame's own schema + partitionBy transforms
+  // to getTable (new tables have no log to infer from)
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new DeltaStreamTable(schema,
+    new DeltaStreamTable(schema, partitioning,
       new CaseInsensitiveStringMap(properties))
 }
 
@@ -134,8 +138,10 @@ private[streaming] object DeltaStreamSource {
 }
 
 private class DeltaStreamTable(schema: StructType,
+                               partitioning: Array[Transform],
                                options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"graft-delta:${DeltaStreamSource.pathOf(options)}"
   override def columns()
@@ -145,7 +151,41 @@ private class DeltaStreamTable(schema: StructType,
         f.name, f.dataType, f.nullable))
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_READ).asJava
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  /** The LOG's partition columns as identity transforms (the
+    * DataFrameWriter validates partitionBy against this); a table
+    * with no log yet reports whatever the write declared. */
+  override def partitioning(): Array[Transform] = {
+    val dir = DeltaStreamSource.pathOf(options)
+    val fromLog = scala.util.Try {
+      val vs = DeltaLog.versions(dir)
+      if (vs.isEmpty) Seq.empty[String]
+      else DeltaLog.replay(dir, vs.last).partitionColumns
+    }.getOrElse(Seq.empty)
+    if (fromLog.nonEmpty)
+      fromLog.map(c => org.apache.spark.sql.connector.expressions
+        .Expressions.identity(c)).toArray
+    else partitioning
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // partitionBy(...) arrives as identity transforms; anything else
+    // has no Delta spelling
+    val partCols = partitioning.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1,
+        s"graft-delta write: unsupported partition transform $t — " +
+          "Delta partitions by identity columns")
+      t.references()(0).fieldNames()(0)
+    }
+    new DeltaWriteBuilder(DeltaStreamSource.pathOf(options), info,
+      partCols)
+  }
   // one builder serves both surfaces: batch planning gets pushdown
   // (filters/columns/statistics/runtime filters — BatchRead.scala),
   // streaming scans delegate to [[DeltaStreamScan]] untouched

@@ -311,6 +311,21 @@ class BatchReadSpec extends SparkSuite {
     assert(iceberg(dir, "branch" -> "v300").count() == 300)
   }
 
+  test("iceberg batch default reads MAIN, not a staged branch head") {
+    val work = Files.createTempDirectory("dsv2wap").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    sources.Iceberg.commitAppendToBranch(
+      Seq((3L, "c")).toDF("k", "s"), dir, "audit")
+    // the staged snapshot is the metadata list's TAIL — a default
+    // read that picked the tail would leak the unpublished row
+    assert(iceberg(dir).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(iceberg(dir, "branch" -> "audit").select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("iceberg SPJ: co-partitioned tables join shuffle-free") {
     val work = Files.createTempDirectory("dsv2ispj").toString
     val a = s"$work/a"
