@@ -589,7 +589,37 @@ object SparkEntry {
     "q223_dsv2_metadata_agg"
       -> (streaming.MetadataAggQueries.dsv2MetadataAgg _),
     "q224_dsv2_write"
-      -> (streaming.DeltaWriteQueries.dsv2Write _)
+      -> (streaming.DeltaWriteQueries.dsv2Write _),
+    // the SQL CATALOGS (round 14): name-addressed DDL/DML — CREATE/
+    // INSERT/time-travel through TableCatalog (q225, q230), the
+    // DELETE path choice (metadata/DV q226 vs copy-on-write q229),
+    // copy-on-write UPDATE with a partition-pruned rewrite group
+    // (q227), SQL MERGE INTO (q228), and the `_file` metadata
+    // column (q231) — each with in-query requires over the seams
+    "q225_sql_catalog_lifecycle"
+      -> (streaming.SqlCatalogQueries.sqlLifecycle _),
+    "q226_sql_delete_metadata"
+      -> (streaming.SqlCatalogQueries.sqlDelete _),
+    "q227_sql_update_cow"
+      -> (streaming.SqlCatalogQueries.sqlUpdate _),
+    "q228_sql_merge"
+      -> (streaming.SqlCatalogQueries.sqlMerge _),
+    "q229_sql_delete_cow"
+      -> (streaming.SqlCatalogQueries.sqlCowDelete _),
+    "q230_sql_iceberg_catalog"
+      -> (streaming.SqlCatalogQueries.sqlIceberg _),
+    "q231_sql_file_column"
+      -> (streaming.SqlCatalogQueries.sqlFileColumn _),
+    // Iceberg write parity (round 14): the native DSv2 write path
+    // (q232, q224's twin) and COW SQL UPDATE/MERGE over the other
+    // format (q233/q234, q227/q228's twins) — partition-pruned
+    // rewrite groups, one overwrite snapshot, time travel across it
+    "q232_iceberg_dsv2_write"
+      -> (streaming.SqlCatalogQueries.icebergDsv2Write _),
+    "q233_iceberg_sql_update"
+      -> (streaming.SqlCatalogQueries.icebergSqlUpdate _),
+    "q234_iceberg_sql_merge"
+      -> (streaming.SqlCatalogQueries.icebergSqlMerge _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -870,6 +900,26 @@ object SparkEntry {
     "q223_dsv2_metadata_agg"
       -> streaming.MetadataAggQueries.dsv2MetadataAggSql,
     "q224_dsv2_write"
-      -> streaming.DeltaWriteQueries.dsv2WriteSql
+      -> streaming.DeltaWriteQueries.dsv2WriteSql,
+    "q225_sql_catalog_lifecycle"
+      -> streaming.SqlCatalogQueries.sqlLifecycleSql,
+    "q226_sql_delete_metadata"
+      -> streaming.SqlCatalogQueries.sqlDeleteSql,
+    "q227_sql_update_cow"
+      -> streaming.SqlCatalogQueries.sqlUpdateSql,
+    "q228_sql_merge"
+      -> streaming.SqlCatalogQueries.sqlMergeSql,
+    "q229_sql_delete_cow"
+      -> streaming.SqlCatalogQueries.sqlCowDeleteSql,
+    "q230_sql_iceberg_catalog"
+      -> streaming.SqlCatalogQueries.sqlIcebergSql,
+    "q231_sql_file_column"
+      -> streaming.SqlCatalogQueries.sqlFileColumnSql,
+    "q232_iceberg_dsv2_write"
+      -> streaming.SqlCatalogQueries.icebergDsv2WriteSql,
+    "q233_iceberg_sql_update"
+      -> streaming.SqlCatalogQueries.icebergSqlUpdateSql,
+    "q234_iceberg_sql_merge"
+      -> streaming.SqlCatalogQueries.icebergSqlMergeSql
   )
 }

@@ -1764,37 +1764,8 @@ object DeltaLog {
           "evolveSchema for schema changes")
     }
     def resolveAbs(rel: String) = s"$tableDir/$rel"
-    st0.foreach { st =>
-      val hasInvariants =
-        st.configuration.keys.exists(_.startsWith("delta.constraints.")) ||
-          st.schema.fields.exists(
-            _.metadata.contains("delta.generationExpression"))
-      if (hasInvariants) {
-        require(st.columnMapping.isEmpty,
-          s"$op: column-mapped tables with constraints/generated " +
-            "columns write through the library API " +
-            "(DeltaLog.commitAppend), not the DSv2 connector")
-        val dataSchema = StructType(st.schema
-          .filterNot(f => partCols.contains(f.name)))
-        val checked =
-          if (files.isEmpty)
-            spark.createDataFrame(
-              java.util.Collections.emptyList[Row](), st.schema)
-          else if (partCols.isEmpty)
-            spark.read.schema(dataSchema)
-              .parquet(files.map(f => resolveAbs(f.relPath)): _*)
-          else
-            PartitionedScan.scan(spark, st.schema, partCols,
-              files.map(f => (resolveAbs(f.relPath), f.partitionValues)))
-        try enforceWriteInvariants(checked, st)
-        catch {
-          case e: Throwable =>
-            files.foreach(f =>
-              Files.deleteIfExists(Paths.get(resolveAbs(f.relPath))))
-            throw e
-        }
-      }
-    }
+    st0.foreach(st =>
+      enforceDsv2Invariants(spark, tableDir, st, partCols, files, op))
     maybeWriteBlooms(spark, tableDir,
       files.map(f => new File(resolveAbs(f.relPath))), st0)
     val adds = files.map(f => addAction(f.relPath, f.size,
@@ -1818,6 +1789,128 @@ object DeltaLog {
       if (!done) commitCasRetries.incrementAndGet()
     }
     v
+  }
+
+  /** CHECK-constraint / generated-column enforcement for files a
+    * DSv2 writer already landed (invisible until the commit): read
+    * back exactly those files with the table schema and run the same
+    * [[enforceWriteInvariants]] every library writer uses. A
+    * violating batch deletes its files and refuses — nothing to
+    * vacuum, nothing half-committed. Zero invariants costs zero. */
+  private def enforceDsv2Invariants(spark: SparkSession,
+      tableDir: String, st: State, partCols: Seq[String],
+      files: Seq[Dsv2File], op: String): Unit = {
+    val hasInvariants =
+      st.configuration.keys.exists(_.startsWith("delta.constraints.")) ||
+        st.schema.fields.exists(
+          _.metadata.contains("delta.generationExpression"))
+    if (!hasInvariants) return
+    require(st.columnMapping.isEmpty,
+      s"$op: column-mapped tables with constraints/generated " +
+        "columns write through the library API " +
+        "(DeltaLog.commitAppend), not the DSv2 connector")
+    def resolveAbs(rel: String) = s"$tableDir/$rel"
+    val dataSchema = StructType(st.schema
+      .filterNot(f => partCols.contains(f.name)))
+    val checked =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), st.schema)
+      else if (partCols.isEmpty)
+        spark.read.schema(dataSchema)
+          .parquet(files.map(f => resolveAbs(f.relPath)): _*)
+      else
+        PartitionedScan.scan(spark, st.schema, partCols,
+          files.map(f => (resolveAbs(f.relPath), f.partitionValues)))
+    try enforceWriteInvariants(checked, st)
+    catch {
+      case e: Throwable =>
+        files.foreach(f =>
+          Files.deleteIfExists(Paths.get(resolveAbs(f.relPath))))
+        throw e
+    }
+  }
+
+  /** CREATE TABLE — a METADATA-ONLY version-0 commit (protocol +
+    * metaData with the declared schema/partitioning/properties and
+    * zero files), the SQL catalog's DDL primitive and exactly what
+    * real Delta writes for `CREATE TABLE ... USING delta`. The claim
+    * rides the same [[LogStore]] CAS as every commit, so two racing
+    * CREATEs resolve to one winner and one loud loser. */
+  def createTable(tableDir: String, schema: StructType,
+                  partCols: Seq[String],
+                  properties: Map[String, String] = Map.empty): Long = {
+    require(versions(tableDir).isEmpty,
+      s"CREATE TABLE: $tableDir already has _delta_log commits")
+    val missing = partCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"CREATE TABLE: partition columns ${missing.mkString(", ")} " +
+        "not in the declared schema")
+    val clean =
+      stripFieldMetadata(schema).asInstanceOf[StructType]
+    commitClaimHook(tableDir, 0L)
+    require(writeActions(tableDir, 0L,
+      Seq(protocolAction(), metaDataAction(clean, partCols, properties))),
+      s"CREATE TABLE lost the version-0 claim on $tableDir — a " +
+        "concurrent writer created this table first")
+    0L
+  }
+
+  /** Commit a COPY-ON-WRITE file replacement the SQL row-level ops
+    * (DELETE/UPDATE/MERGE through the DSv2 catalog) produced: the
+    * scanned rewrite-group files are REMOVED and the rewritten rows'
+    * files (already on disk, invisible) are ADDED, one atomic
+    * commit. `removedPaths` are the paths as the SCAN planned them
+    * (absolute or table-relative) and are resolved back to the log's
+    * own add keys — a path the base snapshot does not hold refuses
+    * loudly rather than committing a remove nothing tracks.
+    *
+    * Invariants are enforced on the REWRITTEN rows (an UPDATE must
+    * not forge a row a CHECK constraint refuses); bloom sidecars are
+    * written for bloom-configured tables, so a rewrite keeps the
+    * scattered-key delete path pruned. CDF-enabled tables refuse:
+    * a COW replace derives no row-level change files, and silently
+    * committing one would make every CDF reader mis-derive the file
+    * churn — [[mergeInto]]/[[deleteWhere]] are the CDF-correct
+    * spellings.
+    *
+    * CONCURRENCY: the [[commitRowOp]] conflict-proving discipline —
+    * a lost CAS re-proves every winner disjoint (no shared removes,
+    * no metadata change, every winner-added file provably outside
+    * `couldMatch`) and retries internally; genuine conflicts abort
+    * loudly for a re-run against the new state. */
+  private[graft] def commitReplaceDsv2(spark: SparkSession,
+      tableDir: String, base: Long, removedPaths: Seq[String],
+      files: Seq[Dsv2File],
+      couldMatch: (String, AddFile) => Boolean, op: String): Long = {
+    if (removedPaths.isEmpty && files.isEmpty) return base
+    val st = replay(tableDir, base)
+    require(!st.configuration.get("delta.enableChangeDataFeed")
+        .exists(_.trim.equalsIgnoreCase("true")),
+      s"$op on $tableDir: the table has " +
+        "delta.enableChangeDataFeed=true, and a SQL copy-on-write " +
+        "rewrite derives no row-level change files — CDF readers " +
+        "would mis-derive the file churn. Use DeltaLog.mergeInto / " +
+        "deleteWhere (they stamp cdc actions) on CDF tables")
+    val removedRel = removedPaths.map { p =>
+      val rel = p.stripPrefix(s"$tableDir/")
+      if (st.adds.contains(rel)) rel
+      else if (st.adds.contains(p)) p
+      else throw new IllegalStateException(
+        s"$op: rewrite group names $p, which snapshot v$base of " +
+          s"$tableDir does not hold — the scan and the commit " +
+          "disagree on the base state")
+    }
+    enforceDsv2Invariants(spark, tableDir, st, st.partitionColumns,
+      files, op)
+    maybeWriteBlooms(spark, tableDir,
+      files.map(f => new File(s"$tableDir/${f.relPath}")), Some(st))
+    val actions = removedRel.map(p => removeAction(p)) ++
+      files.map(f => addAction(f.relPath, f.size, f.partitionValues,
+        dataChange = true,
+        stats = Some(statsJsonOf(f.numRecords, f.bounds))))
+    commitRowOp(tableDir, base, actions, removedRel.toSet,
+      couldMatch, op)
   }
 
   /** One file a streaming batch reads: absolute path, the add's
@@ -4408,6 +4501,27 @@ object DeltaLog {
     * writes. Schema SHAPE is unchanged, so streaming sources pass the
     * commit through their schema-change guard. Returns the committed
     * version. */
+  /** ALTER TABLE UNSET TBLPROPERTIES — the removal twin of
+    * [[setTableProperties]] (which merges). Unknown keys are a
+    * no-op, real Delta's semantics. */
+  def removeTableProperties(tableDir: String,
+                            keys: Seq[String]): Long = {
+    var v = -1L
+    var done = false
+    while (!done) {
+      val vs = versions(tableDir)
+      require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+      val st = replay(tableDir, vs.last)
+      v = vs.last + 1
+      commitClaimHook(tableDir, v)
+      done = writeActions(tableDir, v,
+        Seq(metaDataAction(st.schema, st.partitionColumns,
+          st.configuration -- keys)))
+      if (!done) commitCasRetries.incrementAndGet()
+    }
+    v
+  }
+
   def setTableProperties(tableDir: String,
                          props: Map[String, String]): Long = {
     var v = -1L

@@ -693,6 +693,15 @@ object Iceberg {
     partitionSpecOf(meta)
       .filter(_.transform == "identity").map(_.sourceCol)
 
+  /** The DEFAULT partition spec as (source column, transform) pairs
+    * — identity fields spell `("col", "identity")`. The SQL
+    * catalog's INSERT path re-declares exactly this spec when it
+    * commits through [[commitAppendPartitioned]] /
+    * [[commitAppendHidden]]. */
+  def currentSpecFields(tableDir: String): Seq[(String, String)] =
+    partitionSpecOf(loadMetadata(tableDir, versions(tableDir).last))
+      .map(f => f.sourceCol -> f.transform)
+
   /** Do the snapshot's data files carry the partition columns
     * themselves (standard Iceberg: partition columns are ordinary
     * data columns, the tuple is derived metadata), or were they
@@ -1528,6 +1537,44 @@ object Iceberg {
               name -> typedPartitionValue(pv(name), t) })
           }
       }
+    // stats for every part file in ONE distributed footer job —
+    // the driver collects O(files) rows, never opens footers itself
+    val statsByPath = footerStatsBatch(df.sparkSession,
+      parts.map(_._1.getPath))
+    publishDataSnapshot(tableDir, df.schema, tupleFields, declaredSpec,
+      parts, statsByPath, overwrite, toBranch, summaryExtra, abortIf,
+      () => graft.util.Fs.deleteRecursively(new File(tableDir, sub)),
+      v, prevMeta, snapshotId)
+  }
+
+  /** The VERSION-DEPENDENT publish phase shared by [[commit]] (files
+    * just written from a DataFrame) and [[commitDsv2]] (files the
+    * DSv2 executors wrote, stats tracked while writing): write the
+    * new-files manifest once, then claim metadata versions until the
+    * CAS lands, re-deriving base metadata / version / snapshot id
+    * per attempt. `v0`/`prevMeta0`/`snapshotId0` are the caller's
+    * first-attempt view; the loop re-validates schema + spec against
+    * every racing winner. Returns the snapshot id (-1 when
+    * `abortIf` fired — idempotent replays walk away after
+    * `abortCleanup`). */
+  private def publishDataSnapshot(tableDir: String,
+      commitSchema: StructType,
+      tupleFields: Seq[(String, String, String, DataType)],
+      declaredSpec: Seq[SpecField],
+      parts: Seq[(File, Seq[(String, Any)])],
+      statsByPath: Map[String, (Long, Map[String, (Long, Long)])],
+      overwrite: Boolean, toBranch: Option[String],
+      summaryExtra: Map[String, String], abortIf: () => Boolean,
+      abortCleanup: () => Unit,
+      v0: Int, prevMeta0: Option[ObjectNode],
+      snapshotId0: Long): Long = {
+    def erased(s: StructType) = StructType(s.fields.map(f =>
+      StructField(f.name, f.dataType, nullable = true)))
+    val v = v0
+    val prevMeta = prevMeta0
+    val snapshotId = snapshotId0
+    val tableSchema =
+      prevMeta.map(schemaFromMetadata).getOrElse(commitSchema)
     // one new manifest for the added files — UUID-named so two RACING
     // committers never collide at a file write; only the metadata
     // hard-link CAS decides commit order (the same rule as Delta's
@@ -1536,14 +1583,10 @@ object Iceberg {
     val commitUuid = java.util.UUID.randomUUID
     val manifestPath =
       s"${metaDir(tableDir)}/snap-$commitUuid-m0.avro"
-    val colIds = df.schema.fields.zipWithIndex
+    val colIds = commitSchema.fields.zipWithIndex
       .map { case (f, i) => f.name -> (i + 1) }.toMap
     val entrySchema = manifestEntrySchemaFor(
       tupleFields.map { case (name, _, _, t) => name -> t })
-    // stats for every part file in ONE distributed footer job —
-    // the driver collects O(files) rows, never opens footers itself
-    val statsByPath = footerStatsBatch(df.sparkSession,
-      parts.map(_._1.getPath))
     writeAvro(manifestPath, entrySchema,
       parts.map { case (f, pv) =>
         manifestEntry(f.getPath, 1, colIds, entrySchema, pv,
@@ -1623,7 +1666,7 @@ object Iceberg {
         tableDir.getBytes("UTF-8")).toString)
       meta.put("location", tableDir)
       meta.put("last-updated-ms", 0L)
-      meta.put("last-column-id", df.schema.fields.length)
+      meta.put("last-column-id", commitSchema.fields.length)
       // carry the table's schema NODES verbatim once they exist — a
       // regenerated node would reset schema-id and drop the `schemas`
       // history an evolution recorded
@@ -1755,7 +1798,7 @@ object Iceberg {
       // data files and manifest and walks away
       if (abortIf()) {
         commitCasRetries.addAndGet(retries)
-        graft.util.Fs.deleteRecursively(new File(tableDir, sub))
+        abortCleanup()
         new File(manifestPath).delete(): Unit
         return -1L
       }
@@ -1768,9 +1811,9 @@ object Iceberg {
       curV = vs2.last + 1
       val p = loadMetadata(tableDir, vs2.last)
       val prevSchema = schemaFromMetadata(p)
-      require(erased(prevSchema) == erased(df.schema),
+      require(erased(prevSchema) == erased(commitSchema),
         s"schema changed under a racing commit: table has " +
-          s"$prevSchema, commit has ${df.schema}")
+          s"$prevSchema, commit has ${commitSchema}")
       require(partitionSpecOf(p) == declaredSpec,
         "partition spec changed under a racing commit: table has " +
           s"${partitionSpecOf(p)}, commit declares $declaredSpec")
@@ -1781,6 +1824,7 @@ object Iceberg {
     if (retries > 0) commitCasRetries.addAndGet(retries)
     curSnapshot
   }
+
 
   /** CAS losses retried by [[commit]] since session start — the
     * race-spec seam proving the loser actually lost and recovered
@@ -2059,6 +2103,209 @@ object Iceberg {
                          spec: Seq[(String, String)]): Long = {
     require(spec.nonEmpty, "hidden commit needs a transform spec")
     commit(df, tableDir, overwrite = false, hiddenSpec = spec)
+  }
+
+  /** Commit files a DSv2 WRITER already landed (the Iceberg half of
+    * `df.write.format("graft-iceberg")` / the SQL catalog's native
+    * INSERT): the executors wrote the parquet files — partition
+    * columns projected out hive-style, parquet field ids attached,
+    * numRecords + long bounds tracked while writing — and this
+    * publishes the manifest + metadata through the SAME
+    * [[publishDataSnapshot]] claim loop as every DataFrame commit.
+    * No footer pass: the writer-tracked stats become the manifest's
+    * record_count/value bounds directly. Identity specs only (hidden
+    * transforms need the derived-tuple write, which stays on the
+    * DataFrame path). Creates the table (spec 0, schema from the
+    * write) when no metadata exists. */
+  private[graft] def commitDsv2(tableDir: String,
+      logicalSchema: StructType, partCols: Seq[String],
+      files: Seq[DeltaLog.Dsv2File], overwrite: Boolean): Long = {
+    def erased(s: StructType) = StructType(s.fields.map(f =>
+      StructField(f.name, f.dataType, nullable = true)))
+    val tupleFields: Seq[(String, String, String, DataType)] =
+      partCols.map(c =>
+        (c, "identity", c, logicalSchema(c).dataType))
+    val declaredSpec = tupleFields.map {
+      case (name, tr, src, _) => SpecField(name, tr, src) }
+    Files.createDirectories(Paths.get(metaDir(tableDir)))
+    val vs = versions(tableDir)
+    val v = if (vs.isEmpty) 1 else vs.last + 1
+    val prevMeta =
+      if (vs.isEmpty) None else Some(loadMetadata(tableDir, vs.last))
+    prevMeta.foreach { m =>
+      val prevSchema = schemaFromMetadata(m)
+      require(erased(prevSchema) == erased(logicalSchema),
+        s"schema mismatch: table has $prevSchema, DSv2 commit has " +
+          s"$logicalSchema")
+      require(partitionSpecOf(m) == declaredSpec,
+        s"partition spec mismatch: table has ${partitionSpecOf(m)}, " +
+          s"DSv2 commit declares $declaredSpec")
+    }
+    val snapshotId: Long = prevMeta.map(
+      _.get("snapshots").elements().asScala
+        .map(_.get("snapshot-id").asLong).maxOption.getOrElse(0L))
+      .getOrElse(0L) + 1L
+    val parts: Seq[(File, Seq[(String, Any)])] =
+      files.sortBy(_.relPath).map { f =>
+        (new File(s"$tableDir/${f.relPath}"),
+          tupleFields.map { case (name, _, _, t) =>
+            name -> typedPartitionValue(
+              f.partitionValues.getOrElse(name, null), t)
+          })
+      }
+    val statsByPath: Map[String, (Long, Map[String, (Long, Long)])] =
+      files.map(f =>
+        s"$tableDir/${f.relPath}" -> (f.numRecords, f.bounds)).toMap
+    publishDataSnapshot(tableDir, logicalSchema, tupleFields,
+      declaredSpec, parts, statsByPath, overwrite, toBranch = None,
+      summaryExtra = Map.empty, abortIf = () => false,
+      abortCleanup = () => (), v, prevMeta, snapshotId)
+  }
+
+  /** Commit a COPY-ON-WRITE file replacement the SQL row-level ops
+    * produced against this Iceberg table (the
+    * [[DeltaLog.commitReplaceDsv2]] twin): publish one
+    * operation=overwrite snapshot whose manifest list is the current
+    * snapshot's manifests REWRITTEN to drop the replaced data files
+    * (each filtered manifest keeps its original `added_snapshot_id`
+    * and spec id — incremental readers' diff key) plus one new
+    * manifest holding the rewritten files. Delete manifests carry
+    * over untouched: position deletes against RETAINED files stay in
+    * force, entries against replaced files dangle harmlessly (their
+    * target path no longer plans).
+    *
+    * CONCURRENCY: a lost metadata CAS re-proves the winners disjoint
+    * under [[requireIcebergWinnersDisjoint]]'s append-only
+    * discipline — `valueRanges` is the op's own pushed-filter
+    * footprint (empty = nothing provable = any winner-added file
+    * conflicts) — then retries against the new head; the replaced
+    * set is untouched by provably-disjoint appends by construction. */
+  private[graft] def commitReplaceDsv2(tableDir: String,
+      baseV: Int, removedPaths: Set[String],
+      files: Seq[DeltaLog.Dsv2File],
+      valueRanges: Map[String, (Long, Long)], op: String): Long = {
+    val baseMeta = loadMetadata(tableDir, baseV)
+    val baseCurId = baseMeta.get("current-snapshot-id").asLong
+    val removed = removedPaths.map(stripFileUri)
+    val schema = schemaFromMetadata(baseMeta)
+    val colIds = schema.fields.zipWithIndex
+      .map { case (f, i) => f.name -> (i + 1) }.toMap
+    val tupleFields = partitionSpecOf(baseMeta).map(sf =>
+      (sf.name, sf.transform, sf.sourceCol,
+        schema(sf.sourceCol).dataType))
+    require(tupleFields.forall(_._2 == "identity"),
+      s"$op: copy-on-write rewrites only speak identity specs — " +
+        s"table $tableDir's default spec is " +
+        s"${partitionSpecOf(baseMeta)}")
+    val entrySchema = manifestEntrySchemaFor(
+      tupleFields.map { case (name, _, _, t) => name -> t })
+    var meta = baseMeta
+    var v = baseV
+    var curId = baseCurId
+    var snapshotId = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong).max + 1L
+    while (true) {
+      // the new-files manifest (re-minted per attempt so its list
+      // row's added_snapshot_id stays true)
+      val newManifest =
+        s"${metaDir(tableDir)}/snap-$snapshotId-${
+          java.util.UUID.randomUUID}-m0.avro"
+      writeAvro(newManifest, entrySchema,
+        files.sortBy(_.relPath).map { f =>
+          manifestEntry(s"$tableDir/${f.relPath}", 1, colIds,
+            entrySchema,
+            tupleFields.map { case (name, _, _, t) =>
+              name -> typedPartitionValue(
+                f.partitionValues.getOrElse(name, null), t) },
+            Some((f.numRecords, f.bounds)))
+        })
+      val curSnap = meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == curId).get
+      val fv = meta.get("format-version").asInt
+      val listSchema =
+        if (fv == 2) manifestFileSchemaV2 else manifestFileSchema
+      // carried manifests: rewrite any that reference a replaced
+      // data file (filtered copy, original added_snapshot_id kept);
+      // drop manifests left empty; delete manifests pass through
+      val carried = readAvro(curSnap.get("manifest-list").asText)
+        .flatMap { r =>
+          val content = fieldOpt(r, "content")
+            .map(_.asInstanceOf[Int]).getOrElse(0)
+          val path = r.get("manifest_path").toString
+          val specId = fieldOpt(r, "partition_spec_id")
+            .map(_.asInstanceOf[Int]).getOrElse(0)
+          val addedBy = r.get("added_snapshot_id")
+          if (content != 0)
+            Some((path, new File(path).length(), content, addedBy,
+              specId))
+          else {
+            val entries = readAvro(path)
+            val kept = entries.filter { e =>
+              val df0 = e.get("data_file")
+                .asInstanceOf[GenericRecord]
+              !removed.contains(
+                stripFileUri(df0.get("file_path").toString))
+            }
+            if (kept.size == entries.size)
+              Some((path, new File(path).length(), content, addedBy,
+                specId))
+            else if (kept.isEmpty) None
+            else {
+              val filtered =
+                s"${metaDir(tableDir)}/snap-$snapshotId-${
+                  java.util.UUID.randomUUID}-rw.avro"
+              writeAvro(filtered, entries.head.getSchema, kept)
+              Some((filtered, new File(filtered).length(), content,
+                addedBy, specId))
+            }
+          }
+        }
+      val listPath =
+        s"${metaDir(tableDir)}/snap-$snapshotId-${
+          java.util.UUID.randomUUID}-manifest-list.avro"
+      val defaultSpecId =
+        if (meta.has("default-spec-id"))
+          meta.get("default-spec-id").asInt else 0
+      writeAvro(listPath, listSchema,
+        (carried :+ (newManifest, new File(newManifest).length(), 0,
+          snapshotId: Any, defaultSpecId)).map {
+          case (p, len, content, addedBy, specId) =>
+            val r = new GenericData.Record(listSchema)
+            r.put("manifest_path", p)
+            r.put("manifest_length", len)
+            r.put("partition_spec_id", specId)
+            if (fv == 2) r.put("content", content)
+            r.put("added_snapshot_id", addedBy)
+            r
+        })
+      val next = meta.deepCopy[ObjectNode]()
+      if (fv == 2) next.put("last-sequence-number", snapshotId)
+      next.put("current-snapshot-id", snapshotId)
+      val sn = next.withArray[ArrayNode]("snapshots").addObject()
+      sn.put("snapshot-id", snapshotId)
+      sn.put("parent-snapshot-id", curId)
+      if (fv == 2) sn.put("sequence-number", snapshotId)
+      val ts = nextSnapshotTs(Some(meta))
+      sn.put("timestamp-ms", ts)
+      sn.putObject("summary").put("operation", "overwrite")
+      sn.put("manifest-list", listPath)
+      next.withArray[ArrayNode]("snapshot-log").addObject()
+        .put("timestamp-ms", ts).put("snapshot-id", snapshotId)
+      if (publishMetadataVersion(tableDir, v + 1, next))
+        return snapshotId
+      commitCasRetries.incrementAndGet()
+      val headV = currentVersion(tableDir)
+      val headMeta = loadMetadata(tableDir, headV)
+      requireIcebergWinnersDisjoint(tableDir, meta, headMeta, curId,
+        valueRanges, op)
+      rowOpConflictRetries.incrementAndGet()
+      meta = headMeta
+      v = headV
+      curId = headMeta.get("current-snapshot-id").asLong
+      snapshotId = headMeta.get("snapshots").elements().asScala
+        .map(_.get("snapshot-id").asLong).max + 1L
+    }
+    -1L // unreachable
   }
 
   /** INCREMENTAL APPEND SCAN — Iceberg's snapshot-diff read (the

@@ -107,6 +107,42 @@ private[graft] object BatchScanStats {
     m.getOrElse(table, Stats(-1L, -1L, -1L))
 }
 
+/** The connectors' METADATA COLUMNS (SupportsMetadataColumns):
+  * `_file` — the data file path a row came from, constant per file.
+  * Generally useful for lake ops debugging (`SELECT _file, count(*)
+  * ... GROUP BY _file`), and the backbone of the SQL row-level
+  * operations: Spark's runtime GROUP filter feeds matching `_file`
+  * values back into the scan, pruning the copy-on-write rewrite
+  * group to exactly the files that hold matches. Shadowed by a real
+  * data column of the same name, per the interface contract. */
+private[streaming] object MetaCols {
+  val File = "_file"
+  val fileField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(File,
+      org.apache.spark.sql.types.StringType, nullable = false)
+
+  val fileColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = File
+      override def dataType(): DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "data file path the row was read from"
+    }
+}
+
+/** Mixin giving a connector Table the [[MetaCols]] metadata
+  * columns. */
+private[streaming] trait OpenFormatMetadata
+  extends org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  def dataSchema: StructType
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (dataSchema.fieldNames.contains(MetaCols.File)) Array.empty
+    else Array(MetaCols.fileColumn)
+}
+
 /** File-level pruning from pushed/runtime V1 filters — the shared
   * judge both connectors' batch scans apply per planned file.
   * Everything here is PROVABLY prune-safe or keeps the file (the
@@ -261,20 +297,44 @@ private[streaming] abstract class OpenFormatBatchScan(
   protected val declared: Map[String, DataType] =
     publicSchema.fields.map(f => f.name -> f.dataType).toMap
 
-  /** Pruned PUBLIC schema, table field order. A required column the
-    * snapshot's schema lacks refuses loudly — null-filling a name
-    * the table never had would mask a typo'd projection. */
+  /** Was the `_file` METADATA column requested (via
+    * [[OpenFormatMetadata]] on the table)? Shadowed by a real data
+    * column of the same name, per the SupportsMetadataColumns
+    * contract. */
+  private val wantFile: Boolean = !declared.contains(MetaCols.File) &&
+    required.exists(_.contains(MetaCols.File))
+
+  /** Pruned PUBLIC schema, table field order (+ the `_file` metadata
+    * column when requested — its value is the data file's path,
+    * constant per file). A required column the snapshot's schema
+    * lacks refuses loudly — null-filling a name the table never had
+    * would mask a typo'd projection. */
   override val readSchema: StructType = required match {
     case None => publicSchema
     case Some(names) =>
-      val missing = names.filterNot(declared.contains)
+      val missing = names
+        .filterNot(n => wantFile && n == MetaCols.File)
+        .filterNot(declared.contains)
       require(missing.isEmpty,
         s"$name: columns ${missing.mkString(", ")} not in the " +
           s"pinned snapshot's schema " +
           s"(${publicSchema.fieldNames.mkString(", ")})")
       StructType(publicSchema.fields.filter(f =>
-        names.contains(f.name)))
+        names.contains(f.name)) ++
+        (if (wantFile) Seq(MetaCols.fileField) else Seq.empty))
   }
+
+  /** Pruning views of a file that treat `_file` as a per-file
+    * identity "partition value" — so equality/IN predicates on the
+    * metadata column (notably the runtime GROUP filter a SQL
+    * row-level operation feeds back) prune to exactly the named
+    * files. */
+  private def prunePv(f: BatchFile): Map[String, String] =
+    f.pv + (MetaCols.File -> f.path)
+  private lazy val prunePartCols: Set[String] =
+    partCols.toSet + MetaCols.File
+  private lazy val pruneDeclared: Map[String, DataType] =
+    declared + (MetaCols.File -> org.apache.spark.sql.types.StringType)
 
   def name: String
 
@@ -294,7 +354,7 @@ private[streaming] abstract class OpenFormatBatchScan(
     val kept =
       if (pushed.isEmpty) files
       else files.filter(f => BatchPruning.keepFile(pushed.toSeq,
-        declared, partCols.toSet, f.pv, f.bounds))
+        pruneDeclared, prunePartCols, prunePv(f), f.bounds))
     BatchScanStats.record(tableDir, files.size.toLong,
       kept.size.toLong)
     kept
@@ -310,7 +370,12 @@ private[streaming] abstract class OpenFormatBatchScan(
     val statsCols = files.iterator.flatMap(_.bounds.keysIterator)
       .toSet.intersect(readSchema.fieldNames.toSet)
     (partCols.filter(readSchema.fieldNames.contains).toSet ++
-      statsCols).toArray.sorted.map(Expressions.column)
+      statsCols ++
+      // the `_file` metadata column is the sharpest group key a
+      // runtime filter can feed back: IN(file paths) prunes to
+      // exactly the matching files
+      (if (wantFile) Set(MetaCols.File) else Set.empty))
+      .toArray.sorted.map(Expressions.column)
   }
 
   override def filter(filters: Array[Filter]): Unit =
@@ -344,20 +409,44 @@ private[streaming] abstract class OpenFormatBatchScan(
       case _ => fs
     }
 
+  /** The FINAL planned file set of the most recent
+    * `planInputPartitions` — after pushdown, runtime filtering and
+    * the limit. For an ordinary batch read it is diagnostics; for a
+    * SQL row-level operation it IS the rewrite group the write
+    * replaces ([[DeltaRowLevelOperation]]). */
+  @volatile private[streaming] var lastPlanned: Seq[BatchFile] = null
+
+  /** Could a file with these partition values / stats bounds hold a
+    * row matching this scan's PUSHED filters? The conflict-proving
+    * predicate SQL row-level commits test winner-added files with
+    * (superset contract: no pushed filters = anything matches). */
+  private[streaming] def groupFilterKeep(pv: Map[String, String],
+      bounds: Map[String, (Long, Long)]): Boolean =
+    BatchPruning.keepFile(pushed.toSeq, declared, partCols.toSet,
+      pv, bounds)
+
+  /** The statically-pushed filters — the row-level ops' conflict
+    * footprint. */
+  private[streaming] def pushedGroupFilters: Seq[Filter] = pushed.toSeq
+
   override def planInputPartitions(): Array[InputPartition] = {
     val kept = applyLimit(
       if (runtimeFilters.isEmpty) afterPushdown
       else {
         val k = afterPushdown.filter(f =>
-          BatchPruning.keepFile(runtimeFilters.toSeq, declared,
-            partCols.toSet, f.pv, f.bounds))
+          BatchPruning.keepFile(runtimeFilters.toSeq, pruneDeclared,
+            prunePartCols, prunePv(f), f.bounds))
         BatchScanStats.recordRuntime(tableDir, k.size.toLong)
         k
       })
+    lastPlanned = kept
     val spjKey = spjKeyCols
     kept.map { f =>
-      val pv = if (passPartitionValuesToReader) f.pv
-        else Map.empty[String, String]
+      val pv = (if (passPartitionValuesToReader) f.pv
+        else Map.empty[String, String]) ++
+        // `_file` rides the partition as a per-file constant — the
+        // reader emits it as a constant vector like partition values
+        (if (wantFile) Map(MetaCols.File -> f.path) else Map.empty)
       if (spjKey.isEmpty)
         DeltaFilePartition(f.path, pv, tableDir,
           dvSkip = dvFor(f)): InputPartition
@@ -675,7 +764,12 @@ private[streaming] class DeltaBatchScan private (
       : PartitionReaderFactory = {
     val keep = prunedPublic.fieldNames.toSet
     val annotated = StructType(
-      st.schema.fields.filter(f => keep.contains(f.name)))
+      st.schema.fields.filter(f => keep.contains(f.name)) ++
+        // `_file` metadata column: a per-partition constant, never
+        // resolved against the parquet files
+        prunedPublic.fields.filter(f =>
+          f.name == MetaCols.File &&
+            !st.schema.fieldNames.contains(MetaCols.File)))
     new DeltaFileReaderFactory(annotated.json,
       columnar = options.getBoolean("vectorizedRead", true),
       metadataIdsInFiles = st.mappingMode == "id")

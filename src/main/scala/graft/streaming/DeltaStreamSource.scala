@@ -141,7 +141,9 @@ private class DeltaStreamTable(schema: StructType,
                                partitioning: Array[Transform],
                                options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with OpenFormatMetadata {
+  override def dataSchema: StructType = schema
   override def name(): String =
     s"graft-delta:${DeltaStreamSource.pathOf(options)}"
   override def columns()

@@ -94,47 +94,54 @@ private[streaming] class DeltaWriteBuilder(tableDir: String,
               "— supported partition types are string, long, int, date")
         }
       }
-      // physical write schema: mapped tables spell physical names
-      // (+ parquet field ids under mode=id), matched to the INCOMING
-      // field order by logical name; unmapped tables pass through
-      val physical = st match {
-        case Some(s) if s.columnMapping.nonEmpty =>
-          require(s.schema.fieldNames.forall(schema.fieldNames.contains),
-            s"mapped graft-delta write: incoming columns " +
-              s"${schema.fieldNames.toSeq} must cover the table's " +
-              s"logical schema ${s.schema.fieldNames.toSeq}")
-          def translate(incoming: StructType,
-                        table: StructType): StructType =
-            StructType(incoming.fields.map { f =>
-              val tf = table.fields.find(_.name == f.name).getOrElse(
-                throw new IllegalArgumentException(
-                  s"mapped graft-delta write: column ${f.name} not " +
-                    "in the table schema"))
-              val name =
-                if (tf.metadata.contains("delta.columnMapping.physicalName"))
-                  tf.metadata.getString("delta.columnMapping.physicalName")
-                else tf.name
-              val meta =
-                if (s.mappingMode == "id" &&
-                    tf.metadata.contains("delta.columnMapping.id"))
-                  new org.apache.spark.sql.types.MetadataBuilder()
-                    .putLong("parquet.field.id",
-                      tf.metadata.getLong("delta.columnMapping.id"))
-                    .build()
-                else org.apache.spark.sql.types.Metadata.empty
-              val dt = (f.dataType, tf.dataType) match {
-                case (fi: StructType, ti: StructType) =>
-                  translate(fi, ti)
-                case (other, _) => other
-              }
-              StructField(name, dt, nullable = true, meta)
-            })
-          translate(schema, s.schema)
-        case _ => schema
-      }
+      val physical = Dsv2WriteSchemas.physicalFor(st, schema)
       new DeltaBatchWrite(tableDir, schema, physical, partCols,
         overwrite)
     }
+  }
+}
+
+/** Physical write schema derivation shared by every DSv2 writer
+  * (append/overwrite AND the SQL row-level rewrites): mapped tables
+  * spell physical names (+ parquet field ids under mode=id), matched
+  * to the INCOMING field order by logical name; unmapped tables pass
+  * through. */
+private[streaming] object Dsv2WriteSchemas {
+  def physicalFor(st: Option[graft.sources.DeltaLog.State],
+                  schema: StructType): StructType = st match {
+    case Some(s) if s.columnMapping.nonEmpty =>
+      require(s.schema.fieldNames.forall(schema.fieldNames.contains),
+        s"mapped graft-delta write: incoming columns " +
+          s"${schema.fieldNames.toSeq} must cover the table's " +
+          s"logical schema ${s.schema.fieldNames.toSeq}")
+      def translate(incoming: StructType,
+                    table: StructType): StructType =
+        StructType(incoming.fields.map { f =>
+          val tf = table.fields.find(_.name == f.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"mapped graft-delta write: column ${f.name} not " +
+                "in the table schema"))
+          val name =
+            if (tf.metadata.contains("delta.columnMapping.physicalName"))
+              tf.metadata.getString("delta.columnMapping.physicalName")
+            else tf.name
+          val meta =
+            if (s.mappingMode == "id" &&
+                tf.metadata.contains("delta.columnMapping.id"))
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong("parquet.field.id",
+                  tf.metadata.getLong("delta.columnMapping.id"))
+                .build()
+            else org.apache.spark.sql.types.Metadata.empty
+          val dt = (f.dataType, tf.dataType) match {
+            case (fi: StructType, ti: StructType) =>
+              translate(fi, ti)
+            case (other, _) => other
+          }
+          StructField(name, dt, nullable = true, meta)
+        })
+      translate(schema, s.schema)
+    case _ => schema
   }
 }
 
@@ -166,15 +173,15 @@ private[streaming] class DeltaBatchWrite(tableDir: String,
     }
 }
 
-private class DeltaWriterFactory(tableDir: String,
-    logicalJson: String, physicalJson: String, partCols: Seq[String])
-  extends DataWriterFactory {
+private[streaming] class DeltaWriterFactory(tableDir: String,
+    logicalJson: String, physicalJson: String, partCols: Seq[String],
+    relPrefix: String = "") extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new DeltaDataWriter(tableDir,
       DataType.fromJson(logicalJson).asInstanceOf[StructType],
       DataType.fromJson(physicalJson).asInstanceOf[StructType],
-      partCols)
+      partCols, relPrefix)
 }
 
 /** Executor-side writer: one open parquet file per partition value
@@ -182,8 +189,8 @@ private class DeltaWriterFactory(tableDir: String,
   * out via a codegen'd UnsafeProjection, numRecords + long/int
   * min/max tracked per file while writing. */
 private class DeltaDataWriter(tableDir: String, schema: StructType,
-    physical: StructType, partCols: Seq[String])
-  extends DataWriter[InternalRow] {
+    physical: StructType, partCols: Seq[String],
+    relPrefix: String = "") extends DataWriter[InternalRow] {
 
   private val partIdx: Array[(String, Int, DataType)] =
     partCols.toArray.map(c =>
@@ -207,6 +214,9 @@ private class DeltaDataWriter(tableDir: String, schema: StructType,
   private final class OpenFile(val relPath: String) {
     val abs = s"$tableDir/$relPath"
     val writer: ParquetOutputWriter = {
+      // prefixed layouts (iceberg's data/) need the subdir to exist
+      Option(new File(abs).getParentFile)
+        .foreach(d => java.nio.file.Files.createDirectories(d.toPath))
       val conf = new Configuration()
       conf.set("parquet.write.support.class",
         classOf[ParquetWriteSupport].getName)
@@ -257,7 +267,7 @@ private class DeltaDataWriter(tableDir: String, schema: StructType,
     val key: Seq[String] =
       partIdx.toSeq.map { case (_, i, dt) => pvString(row, i, dt) }
     val of = open.getOrElseUpdate(key,
-      new OpenFile(s"part-${UUID.randomUUID}.snappy.parquet"))
+      new OpenFile(s"${relPrefix}part-${UUID.randomUUID}.snappy.parquet"))
     val out = proj(row)
     // stats BEFORE write: the projection's UnsafeRow is reused
     var s = 0

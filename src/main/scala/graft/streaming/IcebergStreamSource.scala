@@ -53,10 +53,14 @@ class IcebergStreamProvider extends TableProvider
     IcebergStreamSource.checkedSchema(
       IcebergStreamSource.pathOf(options))._1
 
+  // writes hand the DataFrame's own schema + partitionBy transforms
+  // to getTable (new tables have no metadata to infer from)
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new IcebergStreamTable(schema,
-      new CaseInsensitiveStringMap(properties))
+      new CaseInsensitiveStringMap(properties), partitioning)
 }
 
 private[streaming] object IcebergStreamSource {
@@ -105,8 +109,12 @@ private[streaming] object IcebergStreamSource {
 }
 
 private class IcebergStreamTable(schema: StructType,
-                                 options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+                                 options: CaseInsensitiveStringMap,
+                                 declaredPartitioning: Array[Transform] =
+                                   Array.empty)
+    extends Table with SupportsRead with OpenFormatMetadata
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def dataSchema: StructType = schema
   override def name(): String =
     s"graft-iceberg:${IcebergStreamSource.pathOf(options)}"
   override def columns()
@@ -116,7 +124,46 @@ private class IcebergStreamTable(schema: StructType,
         f.name, f.dataType, f.nullable))
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_READ).asJava
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  /** The METADATA's identity spec as transforms once the table
+    * exists (the DataFrameWriter validates partitionBy against
+    * this); a table with no metadata yet reports whatever the write
+    * declared. */
+  override def partitioning(): Array[Transform] = {
+    val dir = IcebergStreamSource.pathOf(options)
+    val fromMeta = scala.util.Try {
+      if (graft.sources.Iceberg.versions(dir).isEmpty)
+        Seq.empty[(String, String)]
+      else graft.sources.Iceberg.currentSpecFields(dir)
+    }.getOrElse(Seq.empty)
+    if (fromMeta.nonEmpty)
+      fromMeta.collect { case (c, "identity") =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .identity(c): Transform
+      }.toArray
+    else declaredPartitioning
+  }
+
+  /** `df.write.format("graft-iceberg")` — the native DSv2 write
+    * ([[IcebergDsv2WriteBuilder]]): partitionBy(...) arrives as
+    * identity transforms (derived transforms write through
+    * [[graft.sources.Iceberg.commitAppendHidden]]). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val partCols = declaredPartitioning.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1,
+        s"graft-iceberg write: unsupported partition transform $t — " +
+          "derived transforms write through Iceberg.commitAppendHidden")
+      t.references()(0).fieldNames()(0)
+    }
+    new IcebergDsv2WriteBuilder(IcebergStreamSource.pathOf(options),
+      info, partCols)
+  }
   // one builder serves both surfaces: batch planning gets pushdown
   // (filters/columns/statistics/runtime filters — BatchRead.scala),
   // streaming scans delegate to [[IcebergStreamScan]] untouched

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
+  LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write,
+  WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder,
+  StructField, StructType}
+
+import graft.sources.{DeltaLog, Iceberg}
+
+/** The DSv2 WRITE half of `graft-iceberg` —
+  * `df.write.format("graft-iceberg").mode("append"/"overwrite")
+  * [.partitionBy(...)].save/option("path", dir)` and the SQL
+  * catalog's native INSERT. Executors run the SAME stats-tracking
+  * writers as the Delta connector ([[DeltaWriterFactory]]) with two
+  * Iceberg-specific twists: files land under `data/` and every
+  * column carries its `parquet.field.id` (position + 1 — the spec
+  * REQUIRES ids in data files so any client resolves columns across
+  * renames). Identity partition columns are projected out of the
+  * files hive-style and recorded as typed manifest tuples — exactly
+  * the layout [[Iceberg.commit]]'s DataFrame path writes. The driver
+  * then publishes through [[Iceberg.commitDsv2]]: writer-tracked
+  * numRecords + long bounds become the manifest's record_count and
+  * value bounds (no post-write footer pass), and the metadata claim
+  * rides the same CAS loop as every library commit.
+  *
+  * HIDDEN transform specs (bucket/truncate/day/...) refuse toward
+  * [[Iceberg.commitAppendHidden]] — deriving the tuple columns needs
+  * the DataFrame write path's codegen stage. */
+private[streaming] class IcebergDsv2WriteBuilder(tableDir: String,
+    info: LogicalWriteInfo, declaredPartCols: Seq[String])
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = {
+    overwrite = true
+    this
+  }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val schema = info.schema()
+      val partCols =
+        if (Iceberg.versions(tableDir).nonEmpty) {
+          val spec = Iceberg.currentSpecFields(tableDir)
+          val hidden = spec.filter(_._2 != "identity")
+          require(hidden.isEmpty,
+            s"graft-iceberg DSv2 write: table $tableDir partitions " +
+              s"by derived transforms ($hidden) — write through " +
+              "Iceberg.commitAppendHidden/commitOverwriteHidden")
+          val cols = spec.map(_._1)
+          require(declaredPartCols.isEmpty ||
+              declaredPartCols == cols,
+            s"graft-iceberg write: partitionBy(${declaredPartCols
+              .mkString(", ")}) does not match table $tableDir's " +
+              s"spec (${cols.mkString(", ")})")
+          cols
+        } else declaredPartCols
+      val missing = partCols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"graft-iceberg write: partition columns " +
+          s"${missing.mkString(", ")} not in the written columns")
+      new IcebergBatchWrite(tableDir, schema, partCols, overwrite)
+    }
+  }
+}
+
+private[streaming] object IcebergDsv2Write {
+  /** The PHYSICAL write schema: every top-level column stamped with
+    * its spec field id (position + 1, the id assignment every
+    * metadata writer in this engine uses), so the executor writers
+    * emit id-resolvable files. */
+  def fieldIdSchema(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      StructField(f.name, f.dataType, nullable = true,
+        new MetadataBuilder().withMetadata(Metadata.empty)
+          .putLong("parquet.field.id", i + 1L).build())
+    })
+}
+
+private[streaming] class IcebergBatchWrite(tableDir: String,
+    logicalSchema: StructType, partCols: Seq[String],
+    overwrite: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new DeltaWriterFactory(tableDir, logicalSchema.json,
+      IcebergDsv2Write.fieldIdSchema(logicalSchema).json, partCols,
+      relPrefix = "data/")
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq
+      .flatMap(_.asInstanceOf[Dsv2CommitMsg].files)
+    Iceberg.commitDsv2(tableDir, logicalSchema, partCols, files,
+      overwrite): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.filter(_ != null).foreach {
+      case Dsv2CommitMsg(files) => files.foreach(f =>
+        Files.deleteIfExists(
+          Paths.get(s"$tableDir/${f.relPath}")): Unit)
+      case _ => ()
+    }
+}
+
+/** The Iceberg COW replace write — [[ReplaceFilesBatchWrite]]'s
+  * twin: same executor writers, commit swaps the rewrite group for
+  * the new files through [[Iceberg.commitReplaceDsv2]]'s
+  * conflict-proving overwrite snapshot. */
+private[streaming] class IcebergReplaceBatchWrite(
+    op: IcebergRowLevelOperation, tableDir: String,
+    logicalSchema: StructType, partCols: Seq[String])
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new DeltaWriterFactory(tableDir, logicalSchema.json,
+      IcebergDsv2Write.fieldIdSchema(logicalSchema).json, partCols,
+      relPrefix = "data/")
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    op.commitReplace(messages.toSeq
+      .flatMap(_.asInstanceOf[Dsv2CommitMsg].files))
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.filter(_ != null).foreach {
+      case Dsv2CommitMsg(files) => files.foreach(f =>
+        Files.deleteIfExists(
+          Paths.get(s"$tableDir/${f.relPath}")): Unit)
+      case _ => ()
+    }
+}

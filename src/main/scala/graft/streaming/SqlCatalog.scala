@@ -1,0 +1,1353 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{
+  NamespaceAlreadyExistsException, NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier,
+  NamespaceChange, SupportsDeleteV2, SupportsNamespaces, SupportsRead,
+  SupportsRowLevelOperations, SupportsWrite, Table, TableCapability,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo,
+  PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder,
+  RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder,
+  WriterCommitMessage}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{DeltaLog, Iceberg}
+
+/** SQL CATALOGS for the open formats — the DSv2 `TableCatalog` layer
+  * that lets a session address this engine's tables BY NAME and run
+  * the whole SQL DDL/DML surface against them:
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.streaming.GraftDeltaCatalog
+  * spark.sql.catalog.graft.warehouse = /lake
+  *
+  * CREATE TABLE graft.db.orders (...) PARTITIONED BY (o_orderstatus)
+  * INSERT INTO graft.db.orders SELECT ...
+  * SELECT * FROM graft.db.orders VERSION AS OF 3
+  * DELETE FROM graft.db.orders WHERE o_orderstatus = 'X'
+  * UPDATE graft.db.orders SET o_totalprice = ... WHERE ...
+  * MERGE INTO graft.db.orders USING updates ON ... WHEN MATCHED ...
+  * ALTER TABLE graft.db.orders ADD COLUMN note STRING
+  * }}}
+  *
+  * The reference's users speak exactly this surface (Spark SQL over a
+  * Delta lakehouse: /root/reference/spark/batch_silver.py runs
+  * MERGE/DELETE through table names); this file is that surface over
+  * this engine's own logs. Tables live under the catalog's
+  * `warehouse` root as `<warehouse>/<namespace...>/<table>`;
+  * namespaces are directories, a table is a directory holding a
+  * `_delta_log` (Delta catalog) or `metadata` versions (Iceberg
+  * catalog). Everything routes through the SAME machinery every
+  * other surface uses — the DSv2 batch scans (file pruning, runtime
+  * filtering, metadata aggregates), the DSv2 writers (stats tracked
+  * while writing, LogStore CAS commits), [[DeltaLog.deleteWhere]]
+  * (DV deletes), and a group-based copy-on-write
+  * [[RowLevelOperation]] for SQL UPDATE/MERGE/arbitrary DELETE whose
+  * rewrite group is file-pruned by the command's own condition and
+  * whose commit rides the conflict-proving row-op loop.
+  *
+  * SQL DELETE takes the cheapest correct path automatically: Spark's
+  * `OptimizeMetadataOnlyDeleteFromTable` asks [[SupportsDeleteV2]]
+  * first (translatable predicates → [[DeltaLog.deleteWhere]]'s
+  * pruned deletion-vector path — no rewrite at all); anything it
+  * cannot express falls to the copy-on-write rewrite. At 100 TB
+  * that ordering is the difference between masking a few rows and
+  * rewriting files. */
+object GraftSqlSeams {
+  /** SupportsDeleteV2 deletes taken (the metadata/DV path, not the
+    * COW rewrite) — q-gates pin the path, not just the rows. */
+  val metadataDeletes = new java.util.concurrent.atomic.AtomicLong
+
+  /** Last COW replace per table dir: (files live at base, files in
+    * the rewrite group = removed, files added). */
+  private val replaces = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Long, Long)]
+
+  private[streaming] def recordReplace(dir: String, live: Long,
+      removed: Long, added: Long): Unit =
+    replaces.put(dir, (live, removed, added)): Unit
+
+  def lastReplace(dir: String): (Long, Long, Long) =
+    replaces.getOrElse(dir, (-1L, -1L, -1L))
+}
+
+/** V2 `Predicate` → `Column` translation for the SupportsDeleteV2
+  * surface. None = not fully expressible (the caller then declines
+  * `canDeleteWhere` and Spark falls back to the copy-on-write
+  * rewrite, which handles ANY condition). Values arrive as external
+  * Scala types (PredicateUtils.toV1 converts through
+  * CatalystTypeConverters), so `lit` round-trips them. */
+private[streaming] object SqlFilters {
+  import org.apache.spark.sql.functions.{col, lit, not => fnot}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(predicates: Array[Predicate]): Option[Column] = {
+    val v1 = predicates.toSeq.map(p =>
+      org.apache.spark.sql.graftbridge.Bridge.predicateToV1(p))
+    if (v1.exists(_.isEmpty)) None
+    else {
+      val cols = v1.flatten.map(fromFilter)
+      if (cols.exists(_.isEmpty)) None
+      else Some(cols.flatten.reduceOption(_ && _).getOrElse(lit(true)))
+    }
+  }
+
+  def fromFilter(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for { a <- fromFilter(l); b <- fromFilter(r) } yield a && b
+    case Or(l, r) =>
+      for { a <- fromFilter(l); b <- fromFilter(r) } yield a || b
+    case Not(c) => fromFilter(c).map(fnot)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
+
+/** Directory-warehouse plumbing the two catalogs share: identifiers
+  * map to `<warehouse>/<ns...>/<name>`, namespaces are plain
+  * directories, and what makes a directory a TABLE is the format's
+  * own on-disk signature ([[isTableDir]]). */
+private[streaming] abstract class GraftDirCatalog
+  extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  protected var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = options.get("warehouse")
+    require(wh != null,
+      s"catalog $name needs spark.sql.catalog.$name.warehouse")
+    warehouse = wh.stripSuffix("/")
+    Files.createDirectories(Paths.get(warehouse)): Unit
+  }
+
+  override def name(): String = catalogName
+
+  /** Is this directory one of THIS catalog's tables? */
+  protected def isTableDir(d: File): Boolean
+
+  protected def mkTable(ident: Identifier, dir: String): Table
+
+  private def seg(s: String): String = {
+    require(s.nonEmpty && !s.contains("/") && s != "." && s != "..",
+      s"illegal identifier segment '$s'")
+    s
+  }
+
+  protected def dirOf(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq.map(seg) :+
+      seg(ident.name)).mkString("/")
+
+  private def nsDir(ns: Array[String]): String =
+    (warehouse +: ns.toSeq.map(seg)).mkString("/")
+
+  protected def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  // ---- tables ----
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val d = new File(nsDir(ns))
+    if (!d.isDirectory || isTableDir(d))
+      throw new NoSuchNamespaceException(ns)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && isTableDir(f))
+      .map(_.getName).sorted.map(Identifier.of(ns, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(new File(dirOf(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    mkTable(ident, realDir(ident))
+  }
+
+  /** The table's REAL directory: external tables are symlinks under
+    * the warehouse, and `Files.createDirectories` through a
+    * symlinked path segment refuses — every data-path operation
+    * resolves to the link target first. */
+  protected def realDir(ident: Identifier): String = {
+    val p = Paths.get(dirOf(ident))
+    if (Files.isSymbolicLink(p))
+      Files.readSymbolicLink(p).toString
+    else p.toString
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val f = new File(dirOf(ident))
+    if (!isTableDir(f)) false
+    else {
+      // an external table (symlinked LOCATION) keeps its data —
+      // only the catalog entry goes; managed tables delete fully
+      if (Files.isSymbolicLink(f.toPath)) Files.delete(f.toPath)
+      else graft.util.Fs.deleteRecursively(f)
+      true
+    }
+  }
+
+  override def purgeTable(ident: Identifier): Boolean = {
+    val f = new File(dirOf(ident))
+    if (!isTableDir(f)) false
+    else {
+      // PURGE removes the data even for external tables
+      val target =
+        if (Files.isSymbolicLink(f.toPath))
+          Files.readSymbolicLink(f.toPath).toFile
+        else f
+      graft.util.Fs.deleteRecursively(target)
+      if (Files.isSymbolicLink(f.toPath)) Files.delete(f.toPath)
+      true
+    }
+  }
+
+  override def renameTable(old: Identifier, next: Identifier): Unit = {
+    val from = new File(dirOf(old))
+    if (!isTableDir(from)) throw new NoSuchTableException(old)
+    val to = new File(dirOf(next))
+    if (isTableDir(to)) throw new TableAlreadyExistsException(next)
+    require(to.getParentFile.isDirectory,
+      s"target namespace ${next.namespace.mkString(".")} does not exist")
+    Files.move(from.toPath, to.toPath): Unit
+  }
+
+  /** Create the table directory for `ident`, honoring an external
+    * LOCATION property as a symlink (the data lives at the location,
+    * the catalog entry under the warehouse). Refuses when the
+    * namespace directory does not exist. */
+  protected def createTableDir(ident: Identifier,
+      properties: util.Map[String, String]): String = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = new File(dirOf(ident))
+    if (!dir.getParentFile.isDirectory)
+      throw new NoSuchNamespaceException(ident.namespace)
+    Option(properties.get(TableCatalog.PROP_LOCATION)) match {
+      case Some(loc) =>
+        // Spark normalizes LOCATION to a URI string (file:/...)
+        val p = if (loc.startsWith("file:"))
+          Paths.get(java.net.URI.create(loc))
+        else Paths.get(loc)
+        Files.createDirectories(p)
+        Files.createSymbolicLink(dir.toPath, p): Unit
+      case None =>
+        Files.createDirectories(dir.toPath): Unit
+    }
+    dir.getPath
+  }
+
+  /** Table properties minus Spark's reserved / option keys — what
+    * actually lands in the format's own table configuration. */
+  protected def userProperties(
+      properties: util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap.filter { case (k, _) =>
+      !Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+        TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+        TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+        TableCatalog.PROP_TABLE_TYPE).contains(k) &&
+        !k.startsWith(TableCatalog.OPTION_PREFIX)
+    }
+
+  protected def identityPartCols(partitions: Array[Transform],
+                                 what: String): Seq[String] =
+    partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1,
+        s"$what: unsupported partition transform $t — tables " +
+          "partition by identity columns")
+      t.references()(0).fieldNames()(0)
+    }
+
+  // ---- namespaces ----
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || {
+      val d = new File(nsDir(ns))
+      d.isDirectory && !isTableDir(d)
+    }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    val d = new File(nsDir(ns))
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !isTableDir(f))
+      .map(_.getName).sorted.map(n => ns :+ n)
+  }
+
+  override def loadNamespaceMetadata(
+      ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    java.util.Collections.emptyMap[String, String]()
+  }
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(ns) && ns.nonEmpty)
+      throw new NamespaceAlreadyExistsException(ns)
+    Files.createDirectories(Paths.get(nsDir(ns))): Unit
+  }
+
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog $name: namespaces carry no mutable metadata")
+
+  override def dropNamespace(ns: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (ns.isEmpty) return false
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    val d = new File(nsDir(ns))
+    if (!cascade)
+      require(Option(d.listFiles()).forall(_.isEmpty),
+        s"namespace ${ns.mkString(".")} is not empty — DROP ... CASCADE")
+    graft.util.Fs.deleteRecursively(d)
+    true
+  }
+}
+
+/** The Delta-format SQL catalog: full DDL (CREATE/DROP/RENAME/ALTER
+  * with add-column, set/unset properties including CHECK constraints,
+  * mapped renames), INSERT INTO/OVERWRITE through the DSv2 writer,
+  * `VERSION AS OF` / `TIMESTAMP AS OF` time travel, DV-pruned
+  * DELETE, and copy-on-write UPDATE/MERGE/DELETE. */
+class GraftDeltaCatalog extends GraftDirCatalog {
+
+  override protected def isTableDir(d: File): Boolean =
+    new File(d, "_delta_log").isDirectory
+
+  override protected def mkTable(ident: Identifier,
+                                 dir: String): Table =
+    new DeltaSqlTable(fullName(ident), dir,
+      DeltaStreamSource.tableSchema(dir), pinnedVersion = None)
+
+  /** `SELECT ... VERSION AS OF v` — the pinned table reports the
+    * PINNED version's schema (a later evolution must not leak into a
+    * historical read). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = realDir(ident)
+    val v = scala.util.Try(version.trim.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-delta: VERSION AS OF takes a version number, " +
+          s"got '$version'"))
+    pinned(ident, dir, v)
+  }
+
+  /** `SELECT ... TIMESTAMP AS OF ts` — Spark hands MICROseconds. */
+  override def loadTable(ident: Identifier,
+                         timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = realDir(ident)
+    pinned(ident, dir,
+      DeltaLog.versionAsOf(dir, Math.floorDiv(timestampMicros, 1000L)))
+  }
+
+  private def pinned(ident: Identifier, dir: String, v: Long): Table =
+    new DeltaSqlTable(fullName(ident), dir,
+      DeltaLog.stripFieldMetadata(DeltaLog.replay(dir, v).schema)
+        .asInstanceOf[StructType],
+      pinnedVersion = Some(v))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val partCols = identityPartCols(partitions, "graft-delta")
+    createTableDir(ident, properties)
+    DeltaLog.createTable(realDir(ident), schema, partCols,
+      userProperties(properties))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = realDir(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft-delta ALTER: nested ADD COLUMN is not supported — " +
+            "evolve the whole struct through DeltaLog.evolveSchema")
+        val st = DeltaLog.replay(dir, DeltaLog.versions(dir).last)
+        DeltaLog.evolveSchema(dir, StructType(st.schema.fields :+
+          StructField(a.fieldNames()(0), a.dataType,
+            nullable = true))): Unit
+      case p: TableChange.SetProperty =>
+        // CHECK constraints validate EXISTING rows before landing
+        if (p.property.startsWith("delta.constraints."))
+          DeltaLog.addCheckConstraint(SparkSession.active, dir,
+            p.property.stripPrefix("delta.constraints."),
+            p.value): Unit
+        else
+          DeltaLog.setTableProperties(dir,
+            Map(p.property -> p.value)): Unit
+      case p: TableChange.RemoveProperty =>
+        DeltaLog.removeTableProperties(dir, Seq(p.property)): Unit
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft-delta ALTER: nested RENAME COLUMN is not supported")
+        DeltaLog.renameColumnMapped(dir, r.fieldNames()(0),
+          r.newName): Unit
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-delta ALTER: unsupported change $other")
+    }
+    loadTable(ident)
+  }
+}
+
+/** A Delta table addressed through the SQL catalog — the streaming/
+  * batch/write [[DeltaStreamTable]] surface plus the SQL row-level
+  * ops. `pinnedVersion` = a time-travel load: read-only, scans pin
+  * `versionAsOf`. */
+private[streaming] class DeltaSqlTable(sqlName: String,
+    private[streaming] val dir: String, schema: StructType,
+    pinnedVersion: Option[Long])
+  extends DeltaStreamTable(schema, Array.empty,
+    new CaseInsensitiveStringMap(
+      (Map("path" -> dir) ++
+        pinnedVersion.map(v => "versionAsOf" -> v.toString)).asJava))
+  with SupportsDeleteV2 with SupportsRowLevelOperations {
+
+  override def name(): String = sqlName
+
+  private def requireWritable(op: String): Unit =
+    require(pinnedVersion.isEmpty,
+      s"$op on a time-travel read of $sqlName " +
+        s"(VERSION AS OF ${pinnedVersion.get}) — writes go to the " +
+        "current table")
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable("INSERT")
+    super.newWriteBuilder(info)
+  }
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    pinnedVersion.isEmpty && SqlFilters.toColumn(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    requireWritable("DELETE")
+    val cond = SqlFilters.toColumn(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE predicates ${predicates.mkString(", ")} are not " +
+          "translatable — Spark should have taken the row-level path"))
+    GraftSqlSeams.metadataDeletes.incrementAndGet()
+    DeltaLog.deleteWhere(SparkSession.active, dir, cond): Unit
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireWritable(info.command.toString)
+    () => new DeltaRowLevelOperation(dir, schema, info.command)
+  }
+}
+
+/** GROUP-BASED (copy-on-write) row-level operation over a Delta
+  * table — what Spark's own `RewriteDeleteFromTable` /
+  * `RewriteUpdateTable` / `RewriteMergeIntoTable` plan against for
+  * SQL DELETE/UPDATE/MERGE:
+  *
+  *  1. the SCAN pins the table version and plans the REWRITE GROUP —
+  *     Spark pushes the command's own condition into the scan
+  *     builder (`GroupBasedRowLevelOperationScanPlanning`), so
+  *     partition values + `add.stats` bounds prune provably-missed
+  *     files out of the group at PLANNING time, and the
+  *     runtime-group-filter subquery (DPP over the same scan's
+  *     `filterAttributes`) re-prunes at RUNTIME — a one-partition
+  *     UPDATE on a 100 TB table rewrites that partition's matching
+  *     files, not the lake;
+  *  2. the WRITE receives the group's full rewritten row set
+  *     (survivors + updates + merge inserts) through the same
+  *     stats-tracking executor writer every DSv2 write uses;
+  *  3. the COMMIT removes exactly the planned group and adds the new
+  *     files atomically ([[DeltaLog.commitReplaceDsv2]]), with the
+  *     conflict-proving retry loop: racing winners provably outside
+  *     the group (by the pushed condition's own pruning predicate)
+  *     retry internally, genuine conflicts abort loudly.
+  *
+  * The FIRST scan this operation builds is the main row-level scan
+  * (Spark builds the runtime-group-filter scan later from the same
+  * operation); only it names the rewrite group. */
+private[streaming] class DeltaRowLevelOperation(dir: String,
+    tableSchema: StructType, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  private val base: Long = {
+    val vs = DeltaLog.versions(dir)
+    require(vs.nonEmpty, s"no _delta_log commits under $dir")
+    vs.last
+  }
+
+  @volatile private var mainScan: OpenFormatBatchScan = null
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-delta copy-on-write $cmd on $dir @v$base"
+
+  /** `_file` is required metadata: (a) Spark's rewrite then builds
+    * the projections that strip the `__row_operation`/metadata
+    * columns off the rows before they reach the data writer (the
+    * DataAndMetadataWritingSparkTask path — without metadata
+    * attributes a group-based MERGE would hand the writer its raw
+    * MergeRows output), and (b) the runtime group filter can feed
+    * matching FILE PATHS back into the scan — exact-file rewrite
+    * groups. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(MetaCols.File))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new OpenFormatScanBuilder((pushed, required, limit) => {
+      val scan = DeltaBatchScan(tableSchema,
+        new CaseInsensitiveStringMap(Map("path" -> dir,
+          "versionAsOf" -> base.toString).asJava),
+        pushed, required, limit)
+      if (mainScan == null) synchronized {
+        if (mainScan == null) mainScan = scan
+      }
+      scan
+    })
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new Write {
+      override def toBatch: BatchWrite = {
+        val st = DeltaLog.replay(dir, base)
+        val schema = info.schema()
+        new ReplaceFilesBatchWrite(DeltaRowLevelOperation.this, dir,
+          schema, Dsv2WriteSchemas.physicalFor(Some(st), schema),
+          st.partitionColumns)
+      }
+    }
+  }
+
+  /** The write's commit half: replace the scanned group with the
+    * written files. */
+  private[streaming] def commitReplace(
+      files: Seq[DeltaLog.Dsv2File]): Unit = {
+    val scan = mainScan
+    require(scan != null && scan.lastPlanned != null,
+      s"row-level $cmd on $dir committed before its scan planned — " +
+        "nothing names the rewrite group")
+    val group = scan.lastPlanned
+    GraftSqlSeams.recordReplace(dir,
+      live = DeltaLog.replay(dir, base).adds.size.toLong,
+      removed = group.size.toLong, added = files.size.toLong)
+    DeltaLog.commitReplaceDsv2(SparkSession.active, dir, base,
+      group.map(_.path), files,
+      couldMatch = (_, a) =>
+        scan.groupFilterKeep(a.partitionValues, a.longBounds),
+      op = s"SQL $cmd"): Unit
+  }
+}
+
+/** The ReplaceData write: executors run the ordinary stats-tracking
+  * [[DeltaDataWriter]]s; the driver commit swaps the rewrite group
+  * for the new files in one conflict-proven commit. */
+private[streaming] class ReplaceFilesBatchWrite(
+    op: DeltaRowLevelOperation, tableDir: String,
+    logicalSchema: StructType, physicalSchema: StructType,
+    partCols: Seq[String]) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    new DeltaWriterFactory(tableDir, logicalSchema.json,
+      physicalSchema.json, partCols)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    op.commitReplace(messages.toSeq
+      .flatMap(_.asInstanceOf[Dsv2CommitMsg].files))
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.filter(_ != null).foreach {
+      case Dsv2CommitMsg(files) => files.foreach(f =>
+        Files.deleteIfExists(
+          Paths.get(s"$tableDir/${f.relPath}")): Unit)
+      case _ => ()
+    }
+}
+
+/** The Iceberg-format SQL catalog: DDL, INSERT INTO/OVERWRITE (the
+  * V1Write bridge into the library's own distributed committers —
+  * identity AND hidden specs), snapshot/timestamp time travel, and
+  * position-delete `DELETE FROM`. A just-created table holds a
+  * schema marker until its first INSERT writes real metadata (real
+  * Iceberg's CREATE also commits no snapshot — readers of an empty
+  * table see zero rows either way). */
+class GraftIcebergCatalog extends GraftDirCatalog {
+
+  override protected def isTableDir(d: File): Boolean =
+    Iceberg.versions(d.getPath).nonEmpty ||
+      new File(d, IcebergSqlTables.Marker).isFile
+
+  override protected def mkTable(ident: Identifier,
+                                 dir: String): Table =
+    IcebergSqlTables.load(fullName(ident), dir, pinned = Map.empty)
+
+  /** `VERSION AS OF` = a SNAPSHOT ID (Iceberg's own convention). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    IcebergSqlTables.load(fullName(ident), realDir(ident),
+      pinned = Map("snapshotAsOf" -> version.trim))
+  }
+
+  override def loadTable(ident: Identifier,
+                         timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = realDir(ident)
+    IcebergSqlTables.load(fullName(ident), dir,
+      pinned = Map("snapshotAsOf" -> Iceberg.snapshotAsOf(dir,
+        Math.floorDiv(timestampMicros, 1000L)).toString))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val partCols = identityPartCols(partitions, "graft-iceberg")
+    createTableDir(ident, properties)
+    IcebergSqlTables.writeMarker(realDir(ident), schema, partCols)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = realDir(ident)
+    require(Iceberg.versions(dir).nonEmpty,
+      s"graft-iceberg ALTER on ${fullName(ident)}: the table has no " +
+        "metadata yet (no INSERT ran) — recreate it instead")
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft-iceberg ALTER: nested ADD COLUMN is not supported")
+        val cur = Iceberg.streamSchema(dir)._1
+        Iceberg.evolveSchema(dir, StructType(cur.fields :+
+          StructField(a.fieldNames()(0), a.dataType,
+            nullable = true))): Unit
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft-iceberg ALTER: nested RENAME COLUMN is not supported")
+        Iceberg.renameColumn(dir, r.fieldNames()(0), r.newName): Unit
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-iceberg ALTER: unsupported change $other")
+    }
+    loadTable(ident)
+  }
+}
+
+private[streaming] object IcebergSqlTables {
+  /** CREATE-but-never-written marker: the declared schema +
+    * partition columns, pending the first INSERT's real metadata. */
+  val Marker = ".graft-table.json"
+
+  private val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def writeMarker(dir: String, schema: StructType,
+                  partCols: Seq[String]): Unit = {
+    val missing = partCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"CREATE TABLE: partition columns ${missing.mkString(", ")} " +
+        "not in the declared schema")
+    val n = mapper.createObjectNode()
+    n.put("schemaJson", schema.json)
+    val pc = n.putArray("partCols")
+    partCols.foreach(pc.add)
+    Files.write(Paths.get(s"$dir/$Marker"),
+      mapper.writeValueAsString(n).getBytes("UTF-8")): Unit
+  }
+
+  def readMarker(dir: String): (StructType, Seq[String]) = {
+    val n = mapper.readTree(
+      Files.readAllBytes(Paths.get(s"$dir/$Marker")))
+    (DataType.fromJson(n.get("schemaJson").asText)
+      .asInstanceOf[StructType],
+      n.get("partCols").elements().asScala.map(_.asText).toSeq)
+  }
+
+  def load(sqlName: String, dir: String,
+           pinned: Map[String, String]): Table =
+    if (Iceberg.versions(dir).nonEmpty)
+      new IcebergSqlTable(sqlName, dir,
+        IcebergStreamSource.checkedSchema(dir)._1, pinned)
+    else {
+      require(pinned.isEmpty,
+        s"time travel on $sqlName: the table has no snapshots yet")
+      val (schema, partCols) = readMarker(dir)
+      new PendingIcebergTable(sqlName, dir, schema, partCols)
+    }
+
+  /** The V1Write bridge: route the batch into the library's own
+    * distributed committer under the table's CURRENT default spec —
+    * identity spec → hive-shape partitioned commit, hidden spec →
+    * transform-clustered commit, unpartitioned → plain. */
+  def insert(dir: String, df: DataFrame, overwrite: Boolean): Unit = {
+    val spec =
+      if (Iceberg.versions(dir).nonEmpty) Iceberg.currentSpecFields(dir)
+      else readMarker(dir)._2.map(_ -> "identity")
+    val (identity, hidden) = spec.partition(_._2 == "identity")
+    require(identity.isEmpty || hidden.isEmpty,
+      s"graft-iceberg INSERT into $dir: the default spec mixes " +
+        "identity and derived transforms — write through the " +
+        "library API (Iceberg.commitAppend*)")
+    if (hidden.nonEmpty) {
+      if (overwrite) Iceberg.commitOverwriteHidden(df, dir, hidden)
+      else Iceberg.commitAppendHidden(df, dir, hidden)
+    } else if (identity.nonEmpty) {
+      val cols = identity.map(_._1)
+      if (overwrite) Iceberg.commitOverwritePartitioned(df, dir, cols)
+      else Iceberg.commitAppendPartitioned(df, dir, cols)
+    } else {
+      if (overwrite) Iceberg.commitOverwrite(df, dir)
+      else Iceberg.commitAppend(df, dir)
+    }: Unit
+  }
+}
+
+/** A V1Write-capable WriteBuilder shared by the Iceberg SQL tables:
+  * Spark hands the whole batch as a DataFrame and the library's own
+  * committers (distributed write, manifest stats, CAS publish) land
+  * it — INSERT INTO appends, INSERT OVERWRITE replaces. */
+private[streaming] class IcebergV1WriteBuilder(dir: String)
+  extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame,
+                            overwriteParam: Boolean): Unit =
+          IcebergSqlTables.insert(dir, data,
+            overwrite || overwriteParam)
+      }
+  }
+}
+
+/** An Iceberg table addressed through the SQL catalog: the DSv2
+  * batch/streaming reads plus SQL INSERT (native DSv2 write under
+  * identity specs, the V1 bridge under hidden transforms),
+  * position-delete DELETE FROM, and copy-on-write UPDATE/MERGE
+  * through [[IcebergRowLevelOperation]]. */
+private[streaming] class IcebergSqlTable(sqlName: String, dir: String,
+    schema: StructType, pinned: Map[String, String])
+  extends IcebergStreamTable(schema,
+    new CaseInsensitiveStringMap((Map("path" -> dir) ++ pinned).asJava))
+  with SupportsWrite with SupportsDeleteV2
+  with SupportsRowLevelOperations {
+
+  override def name(): String = sqlName
+
+  /** V1_BATCH_WRITE only under HIDDEN transform specs (the V1
+    * bridge path) — declaring it alongside a native DSv2 Write makes
+    * Spark refuse the plan. */
+  override def capabilities(): util.Set[TableCapability] =
+    (super.capabilities().asScala.toSet ++
+      Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE) ++
+      (if (Iceberg.currentSpecFields(dir).exists(_._2 != "identity"))
+        Set(TableCapability.V1_BATCH_WRITE)
+      else Set.empty[TableCapability])).asJava
+
+  private def requireWritable(op: String): Unit =
+    require(pinned.isEmpty,
+      s"$op on a time-travel read of $sqlName ($pinned) — writes go " +
+        "to the current table")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable("INSERT")
+    // native DSv2 write when the spec is identity/unpartitioned;
+    // hidden transforms keep the V1 bridge (derived tuple columns
+    // need the DataFrame write path)
+    if (Iceberg.currentSpecFields(dir).forall(_._2 == "identity"))
+      new IcebergDsv2WriteBuilder(dir, info, Seq.empty)
+    else new IcebergV1WriteBuilder(dir)
+  }
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    pinned.isEmpty && SqlFilters.toColumn(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    requireWritable("DELETE")
+    val cond = SqlFilters.toColumn(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE predicates ${predicates.mkString(", ")} are not " +
+          "translatable"))
+    val spark = SparkSession.active
+    // SQL DELETE matching nothing is a no-op, not an error
+    if (Iceberg.read(spark, dir).filter(cond).isEmpty) return
+    GraftSqlSeams.metadataDeletes.incrementAndGet()
+    Iceberg.deleteWhere(spark, dir, cond): Unit
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireWritable(info.command.toString)
+    () => new IcebergRowLevelOperation(dir, dataSchema, info.command)
+  }
+}
+
+/** GROUP-BASED (copy-on-write) row-level operation over an Iceberg
+  * table — [[DeltaRowLevelOperation]]'s twin: the scan pins the
+  * current snapshot and plans the rewrite group (manifest-bounds +
+  * identity-partition pruning from the pushed command condition,
+  * runtime `_file` group filtering), the write reuses the Iceberg
+  * DSv2 executor writers (field ids, hive-stripped partition
+  * columns, tracked stats), and the commit publishes ONE
+  * operation=overwrite snapshot swapping the group for the new
+  * files ([[Iceberg.commitReplaceDsv2]]) under the append-only
+  * conflict-proving retry discipline. */
+private[streaming] class IcebergRowLevelOperation(dir: String,
+    tableSchema: StructType, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  private val baseV: Int = Iceberg.versions(dir).last
+  private val baseSnap: Long = Iceberg.mainSnapshotId(dir)
+
+  @volatile private var mainScan: OpenFormatBatchScan = null
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-iceberg copy-on-write $cmd on $dir @snap$baseSnap"
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(MetaCols.File))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new OpenFormatScanBuilder((pushed, required, limit) => {
+      val scan = IcebergBatchScan(tableSchema,
+        new CaseInsensitiveStringMap(Map("path" -> dir,
+          "snapshotAsOf" -> baseSnap.toString).asJava),
+        pushed, required, limit)
+      if (mainScan == null) synchronized {
+        if (mainScan == null) mainScan = scan
+      }
+      scan
+    })
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new Write {
+      override def toBatch: BatchWrite = {
+        val partCols = Iceberg.currentSpecFields(dir)
+          .filter(_._2 == "identity").map(_._1)
+        new IcebergReplaceBatchWrite(IcebergRowLevelOperation.this,
+          dir, info.schema(), partCols)
+      }
+    }
+  }
+
+  /** Conjunct long ranges of the pushed group filters — the winner
+    * disjointness proof's currency (empty = nothing provable = any
+    * racing append conflicts; superset contract). */
+  private def valueRanges: Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.sources.{And => FAnd,
+      EqualTo => FEq, GreaterThan => FGt, GreaterThanOrEqual => FGe,
+      LessThan => FLt, LessThanOrEqual => FLe}
+    val m = scala.collection.mutable.Map
+      .empty[String, (Long, Long)]
+    def num(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def add(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = m.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      m(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    def walk(f: Filter): Unit = f match {
+      case FEq(c, v) => num(v).foreach(l => add(c, l, l))
+      case FGt(c, v) => num(v).filter(_ < Long.MaxValue)
+        .foreach(l => add(c, l + 1, Long.MaxValue))
+      case FGe(c, v) => num(v).foreach(l => add(c, l, Long.MaxValue))
+      case FLt(c, v) => num(v).filter(_ > Long.MinValue)
+        .foreach(l => add(c, Long.MinValue, l - 1))
+      case FLe(c, v) => num(v).foreach(l => add(c, Long.MinValue, l))
+      case FAnd(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    val scan = mainScan
+    if (scan != null)
+      scan.pushedGroupFilters.foreach(walk)
+    m.toMap
+  }
+
+  private[streaming] def commitReplace(
+      files: Seq[DeltaLog.Dsv2File]): Unit = {
+    val scan = mainScan
+    require(scan != null && scan.lastPlanned != null,
+      s"row-level $cmd on $dir committed before its scan planned — " +
+        "nothing names the rewrite group")
+    val group = scan.lastPlanned
+    GraftSqlSeams.recordReplace(dir,
+      live = Iceberg.batchPlan(dir, baseSnap).files.size.toLong,
+      removed = group.size.toLong, added = files.size.toLong)
+    if (group.isEmpty && files.isEmpty) return
+    Iceberg.commitReplaceDsv2(dir, baseV,
+      group.map(_.path).toSet, files, valueRanges,
+      s"SQL $cmd"): Unit
+  }
+}
+
+/** A created-but-never-written Iceberg catalog table: reads are
+  * empty, the first INSERT writes the real metadata under the
+  * marker's declared spec. */
+private[streaming] class PendingIcebergTable(sqlName: String,
+    dir: String, declaredSchema: StructType, partCols: Seq[String])
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsDeleteV2 {
+
+  override def name(): String = sqlName
+
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    declaredSchema.fields.map(f =>
+      org.apache.spark.sql.connector.catalog.Column.create(
+        f.name, f.dataType, f.nullable))
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def partitioning(): Array[Transform] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c): Transform).toArray
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = declaredSchema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array.empty
+        override def createReaderFactory(): PartitionReaderFactory =
+          (_: InputPartition) => throw new IllegalStateException(
+            "empty table planned no partitions")
+        override def description(): String =
+          s"$sqlName (created, no snapshots yet — zero rows)"
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    // the first INSERT writes the real metadata under the marker's
+    // declared identity spec, natively through the DSv2 writers
+    new IcebergDsv2WriteBuilder(dir, info, partCols)
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    true
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = ()
+}
+
+/** The SQL catalogs' GATED QUERIES (q225–q231) — every statement is
+  * real Spark SQL against catalog-registered table names, the surface
+  * the reference's own jobs speak. Each query builds its fixture in a
+  * fresh namespace of a session-scoped warehouse (always-cold by
+  * design: the measured cost IS the DDL/DML path) and holds BOTH row
+  * correctness (the DuckDB oracle over the same source rows) and the
+  * engine behavior it demonstrates via in-query `require`s over the
+  * seams — pruning, the delete-path choice, time travel, the `_file`
+  * metadata column. */
+object SqlCatalogQueries {
+  import org.apache.spark.sql.functions.col
+
+  private val runIds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Register (once per session) the two catalogs over a
+    * session-scoped temp warehouse; returns a FRESH namespace so
+    * repeated runs never collide. */
+  private def freshNs(spark: SparkSession, iceberg: Boolean): String = {
+    val cat = if (iceberg) "graftice" else "graftsql"
+    if (!spark.conf.getOption(s"spark.sql.catalog.$cat").isDefined) {
+      val wh = Files.createTempDirectory(s"graft_wh_$cat").toString
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        if (iceberg) classOf[GraftIcebergCatalog].getName
+        else classOf[GraftDeltaCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    }
+    val ns = s"r${runIds.incrementAndGet()}"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    s"$cat.$ns"
+  }
+
+  private def warehouseOf(spark: SparkSession,
+                          iceberg: Boolean): String =
+    spark.conf.get(
+      s"spark.sql.catalog.${if (iceberg) "graftice" else "graftsql"}" +
+        ".warehouse")
+
+  /** The orders subset all seven queries speak, registered as a temp
+    * view for INSERT ... SELECT. */
+  private def ordersView(spark: SparkSession, dir: String): String = {
+    val v = s"orders_sqlcat_${runIds.incrementAndGet()}"
+    graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .createOrReplaceTempView(v)
+    v
+  }
+
+  private val cols =
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice"
+
+  /** q225 — SQL CATALOG LIFECYCLE: CREATE TABLE PARTITIONED BY,
+    * two INSERT INTO ... SELECT halves, VERSION AS OF pinning the
+    * first insert (in-query `require`), and a final filtered SELECT
+    * whose WHERE prunes files through the catalog (seam-pinned).
+    * This is the reference's own surface — Spark SQL DDL/DML over a
+    * lakehouse table addressed by NAME. */
+  def sqlLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.orders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v " +
+      "WHERE o_orderkey % 2 = 0")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v " +
+      "WHERE o_orderkey % 2 = 1")
+    val evens = spark.table(v)
+      .filter(col("o_orderkey") % 2 === 0).count()
+    val atV1 = spark.sql(
+      s"SELECT * FROM $ns.orders VERSION AS OF 1").count()
+    require(atV1 == evens,
+      s"VERSION AS OF 1 read $atV1 rows, first insert wrote $evens")
+    val tableDir =
+      s"${warehouseOf(spark, iceberg = false)}/${ns.split('.')(1)}/orders"
+    BatchScanStats.reset(tableDir)
+    val out = spark.sql(s"SELECT $cols FROM $ns.orders " +
+      "WHERE o_orderstatus = 'O' ORDER BY o_orderkey")
+    out.count()
+    val s = BatchScanStats.statsFor(tableDir)
+    require(s.live > 0 && s.pushdownKept < s.live,
+      s"catalog SELECT did not prune (live ${s.live}, kept " +
+        s"${s.pushdownKept})")
+    out
+  }
+
+  val sqlLifecycleSql: String =
+    s"""SELECT $cols FROM orders WHERE o_orderstatus = 'O'
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** q226 — SQL DELETE, METADATA PATH: a translatable predicate must
+    * take the SupportsDeleteV2 route (DeltaLog.deleteWhere's pruned
+    * deletion-vector delete — no rewrite), pinned by the
+    * [[GraftSqlSeams.metadataDeletes]] counter. */
+  def sqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.orders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
+    val before = GraftSqlSeams.metadataDeletes.get()
+    spark.sql(s"DELETE FROM $ns.orders WHERE o_orderstatus = 'F'")
+    require(GraftSqlSeams.metadataDeletes.get() == before + 1,
+      "a translatable SQL DELETE must take the SupportsDeleteV2 " +
+        "metadata/DV path, not the copy-on-write rewrite")
+    spark.sql(s"SELECT $cols FROM $ns.orders ORDER BY o_orderkey")
+  }
+
+  val sqlDeleteSql: String =
+    s"""SELECT $cols FROM orders WHERE o_orderstatus <> 'F'
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** q227 — SQL UPDATE, COPY-ON-WRITE with a PRUNED rewrite group:
+    * the UPDATE's own WHERE (a partition predicate) reaches the
+    * row-level scan as a group filter, so only the matching
+    * partition's files are rewritten — `require`d through
+    * [[GraftSqlSeams.lastReplace]] against the partition's actual
+    * file count. The 100 TB shape: a one-partition UPDATE rewrites
+    * that partition, not the lake. */
+  def sqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.orders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
+    val tableDir =
+      s"${warehouseOf(spark, iceberg = false)}/${ns.split('.')(1)}/orders"
+    val fFiles = DeltaLog
+      .replay(tableDir, DeltaLog.versions(tableDir).last)
+      .adds.values
+      .count(_.partitionValues.get("o_orderstatus").contains("F"))
+    spark.sql(s"UPDATE $ns.orders SET o_totalprice = " +
+      "o_totalprice + 10.0 WHERE o_orderstatus = 'F'")
+    val (live, removed, added) = GraftSqlSeams.lastReplace(tableDir)
+    require(removed == fFiles && removed < live && added >= 1,
+      s"SQL UPDATE must rewrite only the F partition's files " +
+        s"(live $live, removed $removed of $fFiles, added $added)")
+    spark.sql(s"SELECT $cols FROM $ns.orders ORDER BY o_orderkey")
+  }
+
+  val sqlUpdateSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q228 — SQL MERGE INTO through the catalog: target = orders with
+    * keys % 3 <> 0, source = keys % 4 = 0 at doubled price; matched
+    * keys update, new keys insert — Spark's own RewriteMergeIntoTable
+    * planning the copy-on-write group against this engine's
+    * row-level operation (the `_file`-metadata projection path). */
+  def sqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.orders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE)""")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v " +
+      "WHERE o_orderkey % 3 <> 0")
+    spark.sql(
+      s"""MERGE INTO $ns.orders t
+         |USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice * 2 AS o_totalprice
+         |       FROM $v WHERE o_orderkey % 4 = 0) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(s"SELECT $cols FROM $ns.orders ORDER BY o_orderkey")
+  }
+
+  val sqlMergeSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 4 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q229 — SQL DELETE, COPY-ON-WRITE path: a modulo predicate no
+    * metadata delete can express falls through to the row-level
+    * rewrite (`require`: the metadata counter did NOT move, the
+    * replace seam DID), stats-pruned by whatever conjuncts are
+    * provable and exact via the query's own residual filter. */
+  def sqlCowDelete(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.orders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE)""")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
+    val tableDir =
+      s"${warehouseOf(spark, iceberg = false)}/${ns.split('.')(1)}/orders"
+    val before = GraftSqlSeams.metadataDeletes.get()
+    spark.sql(s"DELETE FROM $ns.orders WHERE o_orderkey % 10 = 0")
+    require(GraftSqlSeams.metadataDeletes.get() == before,
+      "an untranslatable DELETE must take the row-level path")
+    val (_, removed, added) = GraftSqlSeams.lastReplace(tableDir)
+    require(removed >= 1 && added >= 1,
+      s"COW delete seam never fired (removed $removed, added $added)")
+    spark.sql(s"SELECT $cols FROM $ns.orders ORDER BY o_orderkey")
+  }
+
+  val sqlCowDeleteSql: String =
+    s"""SELECT $cols FROM orders WHERE o_orderkey % 10 <> 0
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** q230 — the ICEBERG SQL catalog: CREATE (schema marker, reads
+    * empty), INSERT creating the real metadata under the declared
+    * identity spec, a second INSERT, snapshot time travel
+    * (`require`), DELETE FROM via position deletes, and a pruned
+    * SELECT — the same name-addressed lifecycle over the OTHER open
+    * format. */
+  def sqlIceberg(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = true)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.orders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
+    require(spark.sql(s"SELECT * FROM $ns.orders").count() == 0,
+      "a created-but-never-written iceberg table must read empty")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v " +
+      "WHERE o_orderkey % 2 = 0")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v " +
+      "WHERE o_orderkey % 2 = 1")
+    val tableDir =
+      s"${warehouseOf(spark, iceberg = true)}/${ns.split('.')(1)}/orders"
+    val firstSnap = Iceberg.snapshotIds(tableDir).min
+    val evens = spark.table(v)
+      .filter(col("o_orderkey") % 2 === 0).count()
+    val atFirst = spark.sql(
+      s"SELECT * FROM $ns.orders VERSION AS OF $firstSnap").count()
+    require(atFirst == evens,
+      s"snapshot $firstSnap read $atFirst rows, first insert " +
+        s"wrote $evens")
+    spark.sql(s"DELETE FROM $ns.orders WHERE o_custkey <= 30")
+    spark.sql(s"SELECT $cols FROM $ns.orders " +
+      "WHERE o_orderstatus = 'O' ORDER BY o_orderkey")
+  }
+
+  val sqlIcebergSql: String =
+    s"""SELECT $cols FROM orders
+       |WHERE o_custkey > 30 AND o_orderstatus = 'O'
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** q231 — the `_file` METADATA COLUMN: rows know their data file.
+    * The in-query `require` pins `count(DISTINCT _file)` to the
+    * log's own live-file count; the RESULT is data-only (per-status
+    * rollup) so the oracle stays machine-independent. */
+  def sqlFileColumn(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.orders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
+    val tableDir =
+      s"${warehouseOf(spark, iceberg = false)}/${ns.split('.')(1)}/orders"
+    val liveFiles = DeltaLog
+      .replay(tableDir, DeltaLog.versions(tableDir).last).adds.size
+    val distinctFiles = spark.sql(
+      s"SELECT count(DISTINCT _file) FROM $ns.orders")
+      .head.getLong(0)
+    require(distinctFiles == liveFiles,
+      s"_file surfaced $distinctFiles distinct paths, the log " +
+        s"holds $liveFiles live files")
+    spark.sql(s"""SELECT o_orderstatus, count(*) AS n_orders
+      FROM $ns.orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  val sqlFileColumnSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+  /** q232 — ICEBERG DSV2 WRITE ROUNDTRIP (q224's twin): orders
+    * lands in a fresh Iceberg table through
+    * `df.write.format("graft-iceberg")` — first half partitioned by
+    * status via partitionBy, second half inheriting the metadata's
+    * spec — and reads back FILTERED through the batch connector. The
+    * hash gate covers the whole path (executor-written field-id
+    * files, hive-stripped partition columns, writer-tracked stats
+    * becoming manifest bounds, the metadata CAS); the in-query
+    * `require` pins that those recorded tuples/bounds PRUNE the
+    * read. Always-cold by design. */
+  def icebergDsv2Write(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val work = Files.createTempDirectory("graft_icew").toString
+    val t = s"$work/orders_iceberg_dsv2"
+    val o = graft.Tables.load(spark, dir, "orders")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.format("graft-iceberg").mode("append")
+      .partitionBy("o_orderstatus").save(t)
+    o.filter(pmod(col("o_orderkey"), lit(2)) =!= 0)
+      .write.format("graft-iceberg").mode("append").save(t)
+    BatchScanStats.reset(t)
+    val df = spark.read.format("graft-iceberg").option("path", t)
+      .load().filter(col("o_orderstatus") === "O")
+      .orderBy(col("o_orderkey"))
+    df.count()
+    val s = BatchScanStats.statsFor(t)
+    require(s.live > 0 && s.pushdownKept < s.live,
+      s"the iceberg DSv2 writer's recorded tuples/stats did not " +
+        s"prune (live ${s.live}, kept ${s.pushdownKept})")
+    df
+  }
+
+  val icebergDsv2WriteSql: String =
+    """SELECT * FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q233 — ICEBERG SQL UPDATE, COPY-ON-WRITE: q227's twin over the
+    * other format — the rewrite group prunes to the matching
+    * partition's files (identity tuple pruning from the pushed
+    * condition), the commit publishes ONE overwrite snapshot, and
+    * history stays time-travelable across it (in-query `require`s on
+    * both). */
+  def icebergSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = true)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.orders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
+    val tableDir =
+      s"${warehouseOf(spark, iceberg = true)}/${ns.split('.')(1)}/orders"
+    val preSnap = Iceberg.snapshotIds(tableDir).max
+    val fFiles = Iceberg.batchPlan(tableDir, preSnap)
+      .files.count(_.pv.get("o_orderstatus").contains("F"))
+    spark.sql(s"UPDATE $ns.orders SET o_totalprice = " +
+      "o_totalprice + 10.0 WHERE o_orderstatus = 'F'")
+    val (live, removed, added) = GraftSqlSeams.lastReplace(tableDir)
+    require(removed == fFiles && removed < live && added >= 1,
+      s"iceberg SQL UPDATE must rewrite only the F partition " +
+        s"(live $live, removed $removed of $fFiles, added $added)")
+    val preCount = spark.sql(
+      s"SELECT count(*) FROM $ns.orders VERSION AS OF $preSnap")
+      .head.getLong(0)
+    val postCount = spark.sql(s"SELECT count(*) FROM $ns.orders")
+      .head.getLong(0)
+    require(preCount == postCount,
+      s"the COW overwrite snapshot changed the row count " +
+        s"($preCount -> $postCount)")
+    spark.sql(s"SELECT $cols FROM $ns.orders ORDER BY o_orderkey")
+  }
+
+  val icebergSqlUpdateSql: String = sqlUpdateSql
+
+  /** q234 — ICEBERG SQL MERGE INTO: q228's twin — Spark's
+    * RewriteMergeIntoTable against the Iceberg row-level operation,
+    * `_file`-projected rows through the field-id executor writers,
+    * one overwrite snapshot. */
+  def icebergSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = true)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.orders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE)""")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v " +
+      "WHERE o_orderkey % 3 <> 0")
+    spark.sql(
+      s"""MERGE INTO $ns.orders t
+         |USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice * 2 AS o_totalprice
+         |       FROM $v WHERE o_orderkey % 4 = 0) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(s"SELECT $cols FROM $ns.orders ORDER BY o_orderkey")
+  }
+
+  val icebergSqlMergeSql: String = sqlMergeSql
+}

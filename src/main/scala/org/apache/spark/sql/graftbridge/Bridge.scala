@@ -22,4 +22,13 @@ object Bridge {
     * operator classes. */
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DSv2 `Predicate` → V1 `Filter` (literal values converted to
+    * external Scala types) — `PredicateUtils` is `private[sql]`, so
+    * the SQL catalog's SupportsDeleteV2 translation re-exports it
+    * here, the same pattern as the Column converters above. */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 }

@@ -1,0 +1,395 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.{DeltaLog, Iceberg}
+import graft.streaming.GraftSqlSeams
+
+/** The SQL catalogs (SqlCatalog.scala): name-addressed DDL/DML over
+  * the open formats — CREATE/ALTER/DROP/RENAME, INSERT INTO /
+  * OVERWRITE, time travel, metadata-path DELETE, and the group-based
+  * copy-on-write DELETE/UPDATE/MERGE with its pruning and conflict
+  * seams. */
+class SqlCatalogSpec extends SparkSuite {
+
+  private lazy val wh: String = {
+    val w = Files.createTempDirectory("graft_sqlcat").toString
+    spark.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.streaming.GraftDeltaCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.warehouse", w)
+    spark.conf.set("spark.sql.catalog.gice",
+      classOf[graft.streaming.GraftIcebergCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gice.warehouse", s"$w/_ice")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsql.db")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gice.db")
+    w
+  }
+
+  private def sql(q: String): DataFrame = { wh; spark.sql(q) }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("delta catalog: create, insert, select, time travel") {
+    sql("""CREATE TABLE gsql.db.t1 (k BIGINT, s STRING, v BIGINT)
+          |PARTITIONED BY (s)""".stripMargin)
+    assert(sql("SELECT * FROM gsql.db.t1").count() === 0)
+    sql("INSERT INTO gsql.db.t1 VALUES (1, 'a', 10), (2, 'b', 20)")
+    sql("INSERT INTO gsql.db.t1 VALUES (3, 'a', 30)")
+    assert(rows(sql("SELECT k, s, v FROM gsql.db.t1")) ===
+      Seq("[1,a,10]", "[2,b,20]", "[3,a,30]"))
+    // pushdown through the catalog: partition filter prunes
+    assert(rows(sql(
+      "SELECT k FROM gsql.db.t1 WHERE s = 'a'")) === Seq("[1]", "[3]"))
+    // VERSION AS OF: v0 = create (empty), v1 = first insert
+    assert(sql(
+      "SELECT * FROM gsql.db.t1 VERSION AS OF 0").count() === 0)
+    assert(rows(sql("SELECT k FROM gsql.db.t1 VERSION AS OF 1")) ===
+      Seq("[1]", "[2]"))
+    // a time-travel read refuses writes
+    val e = intercept[Exception](
+      sql("INSERT INTO gsql.db.t1 VERSION AS OF 1 VALUES (9,'z',9)"))
+    assert(e.getMessage != null)
+  }
+
+  test("delta catalog: listing, rename, drop, namespaces") {
+    sql("CREATE TABLE gsql.db.lst (k BIGINT)")
+    assert(rows(sql("SHOW TABLES IN gsql.db"))
+      .exists(_.contains("lst")))
+    sql("ALTER TABLE gsql.db.lst RENAME TO db.lst2")
+    assert(!rows(sql("SHOW TABLES IN gsql.db"))
+      .exists(_.contains("[db,lst,")))
+    sql("INSERT INTO gsql.db.lst2 VALUES (5)")
+    assert(sql("SELECT * FROM gsql.db.lst2").count() === 1)
+    sql("DROP TABLE gsql.db.lst2")
+    assert(!rows(sql("SHOW TABLES IN gsql.db"))
+      .exists(_.contains("lst2")))
+    sql("CREATE NAMESPACE gsql.db2")
+    assert(rows(sql("SHOW NAMESPACES IN gsql"))
+      .exists(_.contains("db2")))
+    sql("DROP NAMESPACE gsql.db2")
+  }
+
+  test("delta catalog: alter table add column, properties") {
+    sql("CREATE TABLE gsql.db.alt (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gsql.db.alt VALUES (1, 10)")
+    sql("ALTER TABLE gsql.db.alt ADD COLUMN note STRING")
+    sql("INSERT INTO gsql.db.alt VALUES (2, 20, 'hi')")
+    assert(rows(sql("SELECT k, v, note FROM gsql.db.alt")) ===
+      Seq("[1,10,null]", "[2,20,hi]"))
+    sql("ALTER TABLE gsql.db.alt SET TBLPROPERTIES ('x.y' = 'z')")
+    val dir = s"$wh/db/alt"
+    assert(DeltaLog.replay(dir, DeltaLog.versions(dir).last)
+      .configuration.get("x.y") === Some("z"))
+    sql("ALTER TABLE gsql.db.alt UNSET TBLPROPERTIES ('x.y')")
+    assert(!DeltaLog.replay(dir, DeltaLog.versions(dir).last)
+      .configuration.contains("x.y"))
+    // CHECK constraint through SET TBLPROPERTIES: validates existing
+    // rows, then refuses violating inserts
+    sql("""ALTER TABLE gsql.db.alt SET TBLPROPERTIES
+          |('delta.constraints.vpos' = 'v > 0')""".stripMargin)
+    val bad = intercept[Exception](
+      sql("INSERT INTO gsql.db.alt VALUES (3, -1, 'no')"))
+    assert(bad.getMessage.contains("vpos") ||
+      bad.getCause != null && bad.getCause.getMessage.contains("vpos"))
+  }
+
+  test("delta catalog: metadata-path DELETE takes deleteWhere") {
+    sql("""CREATE TABLE gsql.db.del (k BIGINT, s STRING)
+          |PARTITIONED BY (s)""".stripMargin)
+    sql("INSERT INTO gsql.db.del VALUES " +
+      "(1,'a'), (2,'a'), (3,'b'), (4,'b'), (5,'c')")
+    val before = GraftSqlSeams.metadataDeletes.get()
+    sql("DELETE FROM gsql.db.del WHERE s = 'b'")
+    assert(GraftSqlSeams.metadataDeletes.get() === before + 1,
+      "a translatable DELETE must take the SupportsDeleteV2 path")
+    assert(rows(sql("SELECT k FROM gsql.db.del")) ===
+      Seq("[1]", "[2]", "[5]"))
+  }
+
+  test("delta catalog: COW DELETE for untranslatable predicates") {
+    sql("CREATE TABLE gsql.db.delc (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gsql.db.delc SELECT id, id * 10 FROM range(100)")
+    val dir = s"$wh/db/delc"
+    val before = GraftSqlSeams.metadataDeletes.get()
+    sql("DELETE FROM gsql.db.delc WHERE k % 7 = 0")
+    assert(GraftSqlSeams.metadataDeletes.get() === before,
+      "modulo is untranslatable — must take the row-level path")
+    val (live, removed, added) = GraftSqlSeams.lastReplace(dir)
+    assert(live >= 1 && removed >= 1 && added >= 1)
+    assert(sql("SELECT * FROM gsql.db.delc").count() === 85)
+    assert(sql(
+      "SELECT * FROM gsql.db.delc WHERE k % 7 = 0").count() === 0)
+  }
+
+  test("delta catalog: COW UPDATE prunes the rewrite group") {
+    sql("""CREATE TABLE gsql.db.upd (k BIGINT, s STRING, v BIGINT)
+          |PARTITIONED BY (s)""".stripMargin)
+    sql("INSERT INTO gsql.db.upd SELECT id, 'a', id FROM range(10)")
+    sql("INSERT INTO gsql.db.upd SELECT id, 'b', id FROM range(10)")
+    sql("INSERT INTO gsql.db.upd SELECT id, 'c', id FROM range(10)")
+    val dir = s"$wh/db/upd"
+    val bFiles = DeltaLog.replay(dir, DeltaLog.versions(dir).last)
+      .adds.values.count(_.partitionValues.get("s").contains("b"))
+    sql("UPDATE gsql.db.upd SET v = v + 100 WHERE s = 'b'")
+    val (live, removed, added) = GraftSqlSeams.lastReplace(dir)
+    assert(removed === bFiles && removed < live && added >= 1,
+      s"UPDATE must rewrite only the matching partition's files " +
+        s"(live $live, removed $removed of $bFiles b-files, " +
+        s"added $added)")
+    assert(sql(
+      "SELECT sum(v) FROM gsql.db.upd WHERE s = 'b'").head.getLong(0)
+      === 45 + 1000)
+    assert(sql(
+      "SELECT sum(v) FROM gsql.db.upd WHERE s = 'a'").head.getLong(0)
+      === 45)
+  }
+
+  test("delta catalog: SQL MERGE INTO (update/insert/delete arms)") {
+    sql("CREATE TABLE gsql.db.mrg (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gsql.db.mrg SELECT id, id FROM range(10)")
+    spark.sql("SELECT * FROM VALUES (1, 100L), (2, 200L), (20, 2000L) " +
+      "AS src(k, v)").createOrReplaceTempView("mrg_src")
+    sql("""MERGE INTO gsql.db.mrg t USING mrg_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v = 200 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = rows(sql("SELECT k, v FROM gsql.db.mrg"))
+    assert(got.contains("[1,100]") && got.contains("[20,2000]"))
+    assert(!got.exists(_.startsWith("[2,")))
+    assert(got.contains("[3,3]") && got.size === 10)
+  }
+
+  test("delta catalog: COW refuses CDF tables, points at mergeInto") {
+    sql("CREATE TABLE gsql.db.cdf (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+    sql("INSERT INTO gsql.db.cdf VALUES (1, 1)")
+    val e = intercept[Exception](
+      sql("UPDATE gsql.db.cdf SET v = 2 WHERE k % 2 = 1"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("mergeInto")))
+  }
+
+  test("delta catalog: external LOCATION keeps data on DROP") {
+    val loc = Files.createTempDirectory("graft_ext").toString + "/ext1"
+    sql(s"CREATE TABLE gsql.db.ext (k BIGINT) LOCATION '$loc'")
+    sql("INSERT INTO gsql.db.ext VALUES (7)")
+    sql("DROP TABLE gsql.db.ext")
+    assert(DeltaLog.versions(loc).nonEmpty,
+      "external data must survive DROP TABLE")
+    assert(DeltaLog.read(spark, loc).count() === 1)
+  }
+
+  test("delta catalog: INSERT OVERWRITE replaces contents") {
+    sql("CREATE TABLE gsql.db.ovw (k BIGINT)")
+    sql("INSERT INTO gsql.db.ovw VALUES (1), (2)")
+    sql("INSERT OVERWRITE gsql.db.ovw VALUES (9)")
+    assert(rows(sql("SELECT * FROM gsql.db.ovw")) === Seq("[9]"))
+  }
+
+  test("iceberg catalog: create pending, insert creates metadata") {
+    sql("""CREATE TABLE gice.db.it (k BIGINT, s STRING, v BIGINT)
+          |PARTITIONED BY (s)""".stripMargin)
+    assert(sql("SELECT * FROM gice.db.it").count() === 0,
+      "a created-but-never-written table reads empty")
+    sql("INSERT INTO gice.db.it VALUES (1, 'a', 10), (2, 'b', 20)")
+    sql("INSERT INTO gice.db.it VALUES (3, 'a', 30)")
+    assert(rows(sql("SELECT k, s, v FROM gice.db.it")) ===
+      Seq("[1,a,10]", "[2,b,20]", "[3,a,30]"))
+    assert(rows(sql(
+      "SELECT k FROM gice.db.it WHERE s = 'a'")) === Seq("[1]", "[3]"))
+    val dir = s"$wh/_ice/db/it"
+    assert(Iceberg.currentSpecFields(dir) === Seq("s" -> "identity"))
+    // VERSION AS OF = snapshot id
+    val snaps = Iceberg.snapshotIds(dir)
+    assert(sql(s"SELECT * FROM gice.db.it VERSION AS OF ${snaps.min}")
+      .count() === 2)
+  }
+
+  test("iceberg catalog: DELETE FROM via position deletes") {
+    sql("CREATE TABLE gice.db.idel (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gice.db.idel SELECT id, id FROM range(20)")
+    sql("DELETE FROM gice.db.idel WHERE k >= 15")
+    assert(sql("SELECT * FROM gice.db.idel").count() === 15)
+    // matching-nothing DELETE is a no-op, not an error
+    sql("DELETE FROM gice.db.idel WHERE k >= 1000")
+    assert(sql("SELECT * FROM gice.db.idel").count() === 15)
+  }
+
+  test("iceberg catalog: INSERT OVERWRITE and alter add column") {
+    sql("CREATE TABLE gice.db.iovw (k BIGINT)")
+    sql("INSERT INTO gice.db.iovw VALUES (1), (2)")
+    sql("INSERT OVERWRITE gice.db.iovw VALUES (9)")
+    assert(rows(sql("SELECT * FROM gice.db.iovw")) === Seq("[9]"))
+    sql("ALTER TABLE gice.db.iovw ADD COLUMN s STRING")
+    sql("INSERT INTO gice.db.iovw VALUES (10, 'x')")
+    assert(rows(sql("SELECT k, s FROM gice.db.iovw")) ===
+      Seq("[10,x]", "[9,null]"))
+  }
+
+  test("row-level op conflict: racing disjoint appends retry") {
+    sql("""CREATE TABLE gsql.db.race (k BIGINT, s STRING)
+          |PARTITIONED BY (s)""".stripMargin)
+    sql("INSERT INTO gsql.db.race SELECT id, 'a' FROM range(10)")
+    sql("INSERT INTO gsql.db.race SELECT id, 'b' FROM range(10)")
+    val dir = s"$wh/db/race"
+    // plant a concurrent append into partition 'c' (provably outside
+    // the s='a' rewrite group) between scan planning and commit via
+    // the claim hook
+    @volatile var planted = false
+    sources.DeltaLog.commitClaimHook = (d, _) =>
+      if (d == dir && !planted) {
+        planted = true
+        val extra = spark.range(3).selectExpr("id AS k", "'c' AS s")
+        DeltaLog.commitAppendPartitioned(extra, dir, Seq("s")): Unit
+      }
+    try sql("UPDATE gsql.db.race SET k = k + 100 WHERE s = 'a'")
+    finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+    assert(planted)
+    // the update landed AND the racing append's rows survived
+    assert(sql("SELECT count(*) FROM gsql.db.race WHERE s = 'c'")
+      .head.getLong(0) === 3)
+    assert(sql(
+      "SELECT min(k) FROM gsql.db.race WHERE s = 'a'")
+      .head.getLong(0) === 100)
+  }
+
+  test("row-level op conflict: overlapping writer aborts loudly") {
+    sql("CREATE TABLE gsql.db.race2 (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gsql.db.race2 SELECT id, id FROM range(10)")
+    val dir = s"$wh/db/race2"
+    @volatile var planted = false
+    sources.DeltaLog.commitClaimHook = (d, _) =>
+      if (d == dir && !planted) {
+        planted = true
+        // a conflicting append whose rows the UPDATE's condition
+        // could match (no pushable pruning evidence)
+        val extra = spark.range(2).selectExpr("id + 50 AS k", "id AS v")
+        DeltaLog.commitAppend(extra, dir): Unit
+      }
+    try {
+      val e = intercept[Exception](
+        sql("UPDATE gsql.db.race2 SET v = v + 1 WHERE k % 2 = 0"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("concurrent writer")))
+    } finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+    assert(planted)
+  }
+  test("iceberg catalog: SQL UPDATE copy-on-write prunes the group") {
+    sql("""CREATE TABLE gice.db.iupd (k BIGINT, s STRING, v BIGINT)
+          |PARTITIONED BY (s)""".stripMargin)
+    sql("INSERT INTO gice.db.iupd SELECT id, 'a', id FROM range(10)")
+    sql("INSERT INTO gice.db.iupd SELECT id, 'b', id FROM range(10)")
+    sql("INSERT INTO gice.db.iupd SELECT id, 'c', id FROM range(10)")
+    val dir = s"$wh/_ice/db/iupd"
+    val bFiles = Iceberg.batchPlan(dir, Iceberg.snapshotIds(dir).max)
+      .files.count(_.pv.get("s").contains("b"))
+    assert(bFiles >= 1)
+    sql("UPDATE gice.db.iupd SET v = v + 100 WHERE s = 'b'")
+    val (live, removed, added) = GraftSqlSeams.lastReplace(dir)
+    assert(removed === bFiles && removed < live && added >= 1,
+      s"iceberg UPDATE must rewrite only partition b (live $live, " +
+        s"removed $removed of $bFiles, added $added)")
+    assert(sql("SELECT sum(v) FROM gice.db.iupd WHERE s = 'b'")
+      .head.getLong(0) === 45 + 1000)
+    assert(sql("SELECT sum(v) FROM gice.db.iupd WHERE s = 'a'")
+      .head.getLong(0) === 45)
+    // the pre-update snapshot still reads (time travel across a COW)
+    val preSnap = Iceberg.snapshotIds(dir).sorted.takeRight(2).head
+    assert(sql(
+      s"SELECT sum(v) FROM gice.db.iupd VERSION AS OF $preSnap " +
+        "WHERE s = 'b'").head.getLong(0) === 45)
+  }
+
+  test("iceberg catalog: SQL MERGE INTO (update + insert arms)") {
+    sql("CREATE TABLE gice.db.imrg (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gice.db.imrg SELECT id, id FROM range(10)")
+    spark.sql("SELECT * FROM VALUES (1, 100L), (20, 2000L) AS s(k, v)")
+      .createOrReplaceTempView("imrg_src")
+    sql("""MERGE INTO gice.db.imrg t USING imrg_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = rows(sql("SELECT k, v FROM gice.db.imrg"))
+    assert(got.contains("[1,100]") && got.contains("[20,2000]") &&
+      got.contains("[2,2]") && got.size === 11)
+  }
+
+  test("iceberg format write: DSv2 roundtrip with stats pruning") {
+    val t = Files.createTempDirectory("graft_icew").toString + "/t"
+    val df = spark.range(100).selectExpr("id AS k",
+      "CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END AS s")
+    df.filter("k < 50").write.format("graft-iceberg")
+      .mode("append").partitionBy("s").save(t)
+    df.filter("k >= 50").write.format("graft-iceberg")
+      .mode("append").save(t) // inherits the spec
+    // connector read == library read, both full
+    val viaConnector = rows(spark.read.format("graft-iceberg")
+      .option("path", t).load())
+    val viaLibrary = rows(Iceberg.read(spark, t))
+    assert(viaConnector === viaLibrary && viaConnector.size === 100)
+    // partition pruning through the connector on the written layout
+    graft.streaming.BatchScanStats.reset(t)
+    val pruned = spark.read.format("graft-iceberg").option("path", t)
+      .load().filter("s = 'e' AND k >= 50")
+    assert(pruned.count() === 25)
+    val st = graft.streaming.BatchScanStats.statsFor(t)
+    assert(st.live > 0 && st.pushdownKept < st.live,
+      s"writer-recorded tuples/bounds did not prune " +
+        s"(live ${st.live}, kept ${st.pushdownKept})")
+    // overwrite replaces
+    df.filter("k = 7").write.format("graft-iceberg")
+      .mode("overwrite").partitionBy("s").save(t)
+    assert(Iceberg.read(spark, t).count() === 1)
+  }
+
+  test("iceberg COW conflict: disjoint racing append retries") {
+    sql("CREATE TABLE gice.db.irace (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gice.db.irace SELECT id + 100, id FROM range(10)")
+    val dir = s"$wh/_ice/db/irace"
+    @volatile var planted = false
+    sources.Iceberg.commitClaimHook = (d, _) =>
+      if (d == dir && !planted) {
+        planted = true
+        // k in [0, 9]: provably outside the UPDATE's k >= 100 range
+        Iceberg.commitAppend(
+          spark.range(10).selectExpr("id AS k", "id AS v"), dir): Unit
+      }
+    try sql("UPDATE gice.db.irace SET v = v + 1 WHERE k >= 100")
+    finally sources.Iceberg.commitClaimHook = (_, _) => ()
+    assert(planted)
+    assert(sql("SELECT count(*) FROM gice.db.irace").head.getLong(0)
+      === 20)
+    assert(sql("SELECT sum(v) FROM gice.db.irace WHERE k >= 100")
+      .head.getLong(0) === 55)
+    assert(sql("SELECT sum(v) FROM gice.db.irace WHERE k < 100")
+      .head.getLong(0) === 45)
+  }
+
+  test("iceberg COW conflict: overlapping racing append aborts") {
+    sql("CREATE TABLE gice.db.irace2 (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gice.db.irace2 SELECT id, id FROM range(10)")
+    val dir = s"$wh/_ice/db/irace2"
+    @volatile var planted = false
+    sources.Iceberg.commitClaimHook = (d, _) =>
+      if (d == dir && !planted) {
+        planted = true
+        Iceberg.commitAppend(
+          spark.range(5).selectExpr("id AS k", "id AS v"), dir): Unit
+      }
+    try {
+      val e = intercept[Exception](
+        sql("UPDATE gice.db.irace2 SET v = v + 1 WHERE k >= 3"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("concurrent")))
+    } finally sources.Iceberg.commitClaimHook = (_, _) => ()
+    assert(planted)
+  }
+}
