@@ -619,7 +619,10 @@ object SparkEntry {
     "q233_iceberg_sql_update"
       -> (streaming.SqlCatalogQueries.icebergSqlUpdate _),
     "q234_iceberg_sql_merge"
-      -> (streaming.SqlCatalogQueries.icebergSqlMerge _)
+      -> (streaming.SqlCatalogQueries.icebergSqlMerge _),
+    // atomic CTAS/RTAS through the staging catalog (round 14)
+    "q235_sql_ctas"
+      -> (streaming.SqlCatalogQueries.sqlCtas _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -920,6 +923,8 @@ object SparkEntry {
     "q233_iceberg_sql_update"
       -> streaming.SqlCatalogQueries.icebergSqlUpdateSql,
     "q234_iceberg_sql_merge"
-      -> streaming.SqlCatalogQueries.icebergSqlMergeSql
+      -> streaming.SqlCatalogQueries.icebergSqlMergeSql,
+    "q235_sql_ctas"
+      -> streaming.SqlCatalogQueries.sqlCtasSql
   )
 }

@@ -2162,6 +2162,67 @@ object Iceberg {
       abortCleanup = () => (), v, prevMeta, snapshotId)
   }
 
+  /** Repoint every ABSOLUTE path a STAGED table's metadata recorded
+    * — `location`, snapshot `manifest-list`s, `metadata-log`
+    * entries, manifest-list `manifest_path`s and manifest
+    * `data_file.file_path`s — from the staging directory to the
+    * final one, BEFORE the rename publishes it (the atomic-CTAS
+    * half the directory move alone cannot provide: the spec's
+    * file-system tables store full paths). Freshly staged tables
+    * carry no position-delete files, so parquet delete-file CONTENTS
+    * (which also spell target paths) never need touching — the only
+    * caller is the SQL catalog's staged CTAS/RTAS commit. */
+  private[graft] def relocate(stagedDir: String, dest: String): Unit = {
+    if (versions(stagedDir).isEmpty) return
+    def fix(s: String): String =
+      if (s.startsWith(stagedDir)) dest + s.substring(stagedDir.length)
+      else s
+    val md = new File(metaDir(stagedDir))
+    Option(md.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".avro"))
+      .sortBy(_.getName).foreach { f =>
+        val recs = readAvro(f.getPath)
+        if (recs.nonEmpty) {
+          val schema = recs.head.getSchema
+          val fixed = recs.map { r =>
+            if (schema.getField("manifest_path") != null)
+              r.put("manifest_path",
+                fix(r.get("manifest_path").toString))
+            else if (schema.getField("data_file") != null) {
+              val dfr = r.get("data_file").asInstanceOf[GenericRecord]
+              dfr.put("file_path", fix(dfr.get("file_path").toString))
+            }
+            r
+          }
+          val tmp = s"${f.getPath}.reloc"
+          writeAvro(tmp, schema, fixed)
+          Files.move(Paths.get(tmp), f.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      }
+    versions(stagedDir).foreach { v =>
+      val p = Paths.get(s"${metaDir(stagedDir)}/v$v.metadata.json")
+      val meta = mapper.readTree(Files.readAllBytes(p))
+        .asInstanceOf[ObjectNode]
+      meta.put("location", fix(meta.get("location").asText))
+      meta.withArray[ArrayNode]("snapshots").elements().asScala
+        .foreach { sn =>
+          val s0 = sn.asInstanceOf[ObjectNode]
+          s0.put("manifest-list",
+            fix(s0.get("manifest-list").asText)): Unit
+        }
+      if (meta.has("metadata-log"))
+        meta.withArray[ArrayNode]("metadata-log").elements().asScala
+          .foreach { e =>
+            val e0 = e.asInstanceOf[ObjectNode]
+            e0.put("metadata-file",
+              fix(e0.get("metadata-file").asText)): Unit
+          }
+      Files.write(p, mapper.writeValueAsString(meta)
+        .getBytes("UTF-8")): Unit
+    }
+  }
+
   /** Commit a COPY-ON-WRITE file replacement the SQL row-level ops
     * produced against this Iceberg table (the
     * [[DeltaLog.commitReplaceDsv2]] twin): publish one

@@ -136,7 +136,8 @@ private[streaming] object SqlFilters {
   * directories, and what makes a directory a TABLE is the format's
   * own on-disk signature ([[isTableDir]]). */
 private[streaming] abstract class GraftDirCatalog
-  extends TableCatalog with SupportsNamespaces {
+  extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   protected var warehouse: String = _
@@ -276,6 +277,118 @@ private[streaming] abstract class GraftDirCatalog
         !k.startsWith(TableCatalog.OPTION_PREFIX)
     }
 
+  /** Create the FORMAT's table state under `dir` — the staging
+    * hook (Delta: a metadata-only v0 commit; Iceberg: the CREATE
+    * marker). */
+  protected def createUnder(dir: String, schema: StructType,
+      partCols: Seq[String], properties: Map[String, String]): Unit
+
+  /** Invoked between the staged write and the publishing rename —
+    * formats whose metadata records absolute paths (Iceberg)
+    * repoint them at the final location here. */
+  protected def beforePublishStaged(stagedDir: String,
+                                    dest: String): Unit = ()
+
+  /** ATOMIC CTAS / RTAS (`CREATE TABLE ... AS SELECT`,
+    * `[CREATE OR] REPLACE TABLE ... AS SELECT`): the query writes
+    * into a HIDDEN staged directory (`.staged-<name>-<uuid>`,
+    * invisible to listings and loads), and only `commitStagedChanges`
+    * moves it to the table's real name — a failed or aborted query
+    * leaves no half-written table, and on plain CREATE the final
+    * rename refuses if a racing CREATE landed first. REPLACE swaps
+    * the old directory aside and deletes it after the new one is in
+    * place (two renames — the only non-atomic window, and it is
+    * rename-sized). */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = true, orCreate = true)
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String], replace: Boolean,
+      orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!replace && tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !tableExists(ident))
+      throw new NoSuchTableException(ident)
+    val parent = new File(dirOf(ident)).getParentFile
+    if (!parent.isDirectory)
+      throw new NoSuchNamespaceException(ident.namespace)
+    val stagedDir = new File(parent,
+      s".staged-${ident.name}-${java.util.UUID.randomUUID}").getPath
+    Files.createDirectories(Paths.get(stagedDir))
+    val inner =
+      try {
+        createUnder(stagedDir, schema,
+          identityPartCols(partitions, name()),
+          userProperties(properties))
+        mkTable(ident, stagedDir)
+      } catch {
+        case e: Throwable =>
+          graft.util.Fs.deleteRecursively(new File(stagedDir))
+          throw e
+      }
+    new org.apache.spark.sql.connector.catalog.StagedTable
+      with SupportsWrite {
+      override def name(): String = inner.name()
+      override def columns()
+          : Array[org.apache.spark.sql.connector.catalog.Column] =
+        inner.columns()
+      override def capabilities(): util.Set[TableCapability] =
+        inner.capabilities()
+      override def partitioning(): Array[Transform] =
+        inner.partitioning()
+      override def newWriteBuilder(
+          info: LogicalWriteInfo): WriteBuilder =
+        inner.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+      override def abortStagedChanges(): Unit =
+        graft.util.Fs.deleteRecursively(new File(stagedDir))
+      override def commitStagedChanges(): Unit = {
+        val dest = Paths.get(dirOf(ident))
+        // format hook BEFORE the rename: nothing reads the hidden
+        // staged dir, so path rewrites happen out of sight and the
+        // rename itself stays the single publish point
+        beforePublishStaged(stagedDir, dest.toString)
+        if (!replace) {
+          if (isTableDir(dest.toFile)) {
+            abortStagedChanges()
+            throw new TableAlreadyExistsException(ident)
+          }
+          Files.move(Paths.get(stagedDir), dest,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        } else {
+          val old =
+            if (isTableDir(dest.toFile))
+              Some(new File(dest.getParent.toFile,
+                s".trash-${ident.name}-${java.util.UUID.randomUUID}"))
+            else None
+          old.foreach(o => Files.move(dest, o.toPath): Unit)
+          Files.move(Paths.get(stagedDir), dest,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          old.foreach(graft.util.Fs.deleteRecursively)
+        }
+      }
+    }
+  }
+
   protected def identityPartCols(partitions: Array[Transform],
                                  what: String): Seq[String] =
     partitions.toSeq.map { t =>
@@ -300,7 +413,8 @@ private[streaming] abstract class GraftDirCatalog
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
     val d = new File(nsDir(ns))
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !isTableDir(f))
+      .filter(f => f.isDirectory && !isTableDir(f) &&
+        !f.getName.startsWith("."))
       .map(_.getName).sorted.map(n => ns :+ n)
   }
 
@@ -387,6 +501,10 @@ class GraftDeltaCatalog extends GraftDirCatalog {
       userProperties(properties))
     loadTable(ident)
   }
+
+  override protected def createUnder(dir: String, schema: StructType,
+      partCols: Seq[String], properties: Map[String, String]): Unit =
+    DeltaLog.createTable(dir, schema, partCols, properties): Unit
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
@@ -641,6 +759,14 @@ class GraftIcebergCatalog extends GraftDirCatalog {
     IcebergSqlTables.writeMarker(realDir(ident), schema, partCols)
     loadTable(ident)
   }
+
+  override protected def createUnder(dir: String, schema: StructType,
+      partCols: Seq[String], properties: Map[String, String]): Unit =
+    IcebergSqlTables.writeMarker(dir, schema, partCols)
+
+  override protected def beforePublishStaged(stagedDir: String,
+                                             dest: String): Unit =
+    Iceberg.relocate(stagedDir, dest)
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
@@ -1350,4 +1476,36 @@ object SqlCatalogQueries {
   }
 
   val icebergSqlMergeSql: String = sqlMergeSql
+  /** q235 — ATOMIC CTAS / RTAS: `CREATE TABLE ... AS SELECT` stages
+    * into a hidden directory and publishes by ONE rename
+    * (StagingTableCatalog), then `REPLACE TABLE ... AS SELECT` swaps
+    * the whole table — schema change included — in one statement.
+    * The in-query `require`s pin the atomicity seam: no `.staged-`
+    * leftovers, and the replaced table's reads come entirely from
+    * the new snapshot. */
+  def sqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.big_orders AS
+      SELECT $cols FROM $v WHERE o_totalprice > 100000""")
+    spark.sql(s"""REPLACE TABLE $ns.big_orders AS
+      SELECT o_orderkey, o_orderstatus FROM $v
+      WHERE o_totalprice > 200000""")
+    val whDir = new java.io.File(
+      s"${warehouseOf(spark, iceberg = false)}/${ns.split('.')(1)}")
+    val staged = Option(whDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".staged"))
+    require(staged.isEmpty,
+      s"staged CTAS directories leaked: ${staged.map(_.getName).toSeq}")
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_orderstatus FROM $ns.big_orders " +
+        "ORDER BY o_orderkey")
+    require(out.columns.toSeq == Seq("o_orderkey", "o_orderstatus"),
+      "REPLACE TABLE did not swap the schema")
+    out
+  }
+
+  val sqlCtasSql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE o_totalprice > 200000 ORDER BY o_orderkey""".stripMargin
 }

@@ -392,4 +392,51 @@ class SqlCatalogSpec extends SparkSuite {
     } finally sources.Iceberg.commitClaimHook = (_, _) => ()
     assert(planted)
   }
+  test("delta catalog: atomic CTAS and REPLACE TABLE AS SELECT") {
+    sql("CREATE TABLE gsql.db.ctas AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(10)")
+    assert(sql("SELECT * FROM gsql.db.ctas").count() === 10)
+    // REPLACE swaps schema and contents in one statement
+    sql("REPLACE TABLE gsql.db.ctas AS SELECT id AS k FROM range(3)")
+    assert(sql("SELECT * FROM gsql.db.ctas").columns.toSeq === Seq("k"))
+    assert(sql("SELECT * FROM gsql.db.ctas").count() === 3)
+    // a failing CTAS aborts its staged directory and leaves no table
+    // runtime failure mid-write (ANSI cast throws past row 4)
+    intercept[Exception](sql("CREATE TABLE gsql.db.ctas2 AS " +
+      "SELECT CAST(CASE WHEN id < 5 THEN '1' ELSE 'boom' END " +
+      "AS BIGINT) AS x, id FROM range(10)"))
+    // schema-refused CTAS (NullType column) also leaves nothing
+    intercept[Exception](sql("CREATE TABLE gsql.db.ctas2 AS " +
+      "SELECT assert_true(id < 5) AS x, id FROM range(10)"))
+    intercept[Exception](sql("SELECT * FROM gsql.db.ctas2"))
+    val leftovers = Option(new java.io.File(s"$wh/db").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith(".staged"))
+    assert(leftovers.isEmpty,
+      s"staged dirs leaked: ${leftovers.map(_.getName).toSeq}")
+  }
+
+  test("iceberg catalog: CTAS and CREATE OR REPLACE AS SELECT") {
+    sql("CREATE TABLE gice.db.ictas AS " +
+      "SELECT id AS k, id * 3 AS v FROM range(8)")
+    assert(sql("SELECT sum(v) FROM gice.db.ictas").head.getLong(0)
+      === 84)
+    sql("CREATE OR REPLACE TABLE gice.db.ictas AS " +
+      "SELECT id AS k FROM range(2)")
+    assert(sql("SELECT * FROM gice.db.ictas").count() === 2)
+  }
+
+  test("delta catalog: streaming read by table name") {
+    import org.apache.spark.sql.streaming.Trigger
+    sql("CREATE TABLE gsql.db.strm (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gsql.db.strm SELECT id, id FROM range(5)")
+    sql("INSERT INTO gsql.db.strm SELECT id + 5, id FROM range(5)")
+    val cp = Files.createTempDirectory("graft_strmcp").toString
+    val q = spark.readStream.table("gsql.db.strm")
+      .writeStream.format("memory").queryName("strm_by_name")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM strm_by_name")
+      .head.getLong(0) === 10)
+  }
 }
