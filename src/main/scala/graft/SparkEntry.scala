@@ -622,7 +622,10 @@ object SparkEntry {
       -> (streaming.SqlCatalogQueries.icebergSqlMerge _),
     // atomic CTAS/RTAS through the staging catalog (round 14)
     "q235_sql_ctas"
-      -> (streaming.SqlCatalogQueries.sqlCtas _)
+      -> (streaming.SqlCatalogQueries.sqlCtas _),
+    // CALL cat.system.* maintenance procedures (round 14)
+    "q236_sql_procedures"
+      -> (streaming.SqlCatalogQueries.sqlProcedures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -925,6 +928,8 @@ object SparkEntry {
     "q234_iceberg_sql_merge"
       -> streaming.SqlCatalogQueries.icebergSqlMergeSql,
     "q235_sql_ctas"
-      -> streaming.SqlCatalogQueries.sqlCtasSql
+      -> streaming.SqlCatalogQueries.sqlCtasSql,
+    "q236_sql_procedures"
+      -> streaming.SqlCatalogQueries.sqlProceduresSql
   )
 }

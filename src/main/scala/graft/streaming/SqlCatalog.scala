@@ -137,7 +137,32 @@ private[streaming] object SqlFilters {
   * own on-disk signature ([[isTableDir]]). */
 private[streaming] abstract class GraftDirCatalog
   extends TableCatalog with SupportsNamespaces
-  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** This catalog's `CALL <name>.system.*` maintenance procedures. */
+  protected def procedures: Map[String, GraftProcedure]
+
+  /** A procedure's `table` argument ('ns.name' in THIS catalog) to
+    * its real directory. */
+  protected def resolveTableArg(t: String): String = {
+    val parts = t.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    if (!tableExists(ident))
+      throw new NoSuchTableException(ident)
+    realDir(ident)
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    GraftProcedures.load(procedures, name(), ident)
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty || ns.sameElements(Array("system")))
+      procedures.keys.toSeq.sorted
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   private var catalogName: String = _
   protected var warehouse: String = _
@@ -456,6 +481,9 @@ private[streaming] abstract class GraftDirCatalog
   * DELETE, and copy-on-write UPDATE/MERGE/DELETE. */
 class GraftDeltaCatalog extends GraftDirCatalog {
 
+  override protected lazy val procedures: Map[String, GraftProcedure] =
+    GraftProcedures.delta(resolveTableArg)
+
   override protected def isTableDir(d: File): Boolean =
     new File(d, "_delta_log").isDirectory
 
@@ -726,6 +754,9 @@ private[streaming] class ReplaceFilesBatchWrite(
   * Iceberg's CREATE also commits no snapshot — readers of an empty
   * table see zero rows either way). */
 class GraftIcebergCatalog extends GraftDirCatalog {
+
+  override protected lazy val procedures: Map[String, GraftProcedure] =
+    GraftProcedures.iceberg(resolveTableArg)
 
   override protected def isTableDir(d: File): Boolean =
     Iceberg.versions(d.getPath).nonEmpty ||
@@ -1508,4 +1539,38 @@ object SqlCatalogQueries {
   val sqlCtasSql: String =
     """SELECT o_orderkey, o_orderstatus FROM orders
       |WHERE o_totalprice > 200000 ORDER BY o_orderkey""".stripMargin
+  /** q236 — SQL MAINTENANCE PROCEDURES: the `CALL cat.system.*`
+    * surface over a catalog table — `optimize` compacts the
+    * small-file pileup (in-query `require`: files_after <
+    * files_before), `vacuum` deletes the unreferenced pre-compaction
+    * files (`require`: deleted ≥ 1), and the rows survive both,
+    * hash-checked against the oracle. At 100 TB this is the
+    * operational loop that keeps a streaming-ingest table readable —
+    * now one SQL statement instead of a library call. */
+  def sqlProcedures(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val nsOnly = ns.split('.')(1)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.orders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE)""")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v " +
+        s"WHERE o_orderkey % 4 = $i"))
+    val opt = spark.sql(
+      s"CALL graftsql.system.optimize(table => '$nsOnly.orders')")
+      .collect().head
+    require(opt.getLong(2) < opt.getLong(1),
+      s"optimize did not compact (${opt.getLong(1)} -> " +
+        s"${opt.getLong(2)} files)")
+    val vac = spark.sql(s"CALL graftsql.system.vacuum(" +
+      s"table => '$nsOnly.orders', keep_versions => 1)")
+      .collect().head
+    require(vac.getLong(0) >= 1,
+      "vacuum deleted no pre-compaction files")
+    spark.sql(s"SELECT $cols FROM $ns.orders ORDER BY o_orderkey")
+  }
+
+  val sqlProceduresSql: String =
+    s"""SELECT $cols FROM orders ORDER BY o_orderkey""".stripMargin
 }

@@ -439,4 +439,54 @@ class SqlCatalogSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) FROM strm_by_name")
       .head.getLong(0) === 10)
   }
+  test("delta catalog: CALL system.optimize / vacuum / restore") {
+    sql("CREATE TABLE gsql.db.popt (k BIGINT, v BIGINT)")
+    (0 until 4).foreach(i =>
+      sql(s"INSERT INTO gsql.db.popt SELECT id + ${i * 10}, id " +
+        "FROM range(10)"))
+    val dir = s"$wh/db/popt"
+    val before = DeltaLog
+      .replay(dir, DeltaLog.versions(dir).last).adds.size
+    val opt = sql("CALL gsql.system.optimize(table => 'db.popt')")
+      .collect().head
+    assert(opt.getLong(1) === before && opt.getLong(2) < before,
+      s"optimize did not compact ($opt)")
+    assert(sql("SELECT count(*) FROM gsql.db.popt").head.getLong(0)
+      === 40)
+    val vac = sql("CALL gsql.system.vacuum(table => 'db.popt', " +
+      "keep_versions => 1)").collect().head
+    assert(vac.getLong(0) >= 1, "vacuum deleted nothing")
+    assert(sql("SELECT count(*) FROM gsql.db.popt").head.getLong(0)
+      === 40)
+    // restore: back to the 2-insert state (v2), a NEW commit
+    sql("CREATE TABLE gsql.db.prst (k BIGINT)")
+    sql("INSERT INTO gsql.db.prst VALUES (1)")
+    sql("INSERT INTO gsql.db.prst VALUES (2)")
+    sql("CALL gsql.system.restore(table => 'db.prst', version => 1)")
+    assert(rows(sql("SELECT * FROM gsql.db.prst")) === Seq("[1]"))
+  }
+
+  test("iceberg catalog: CALL system rewrite / expire / rollback") {
+    sql("CREATE TABLE gice.db.popt (k BIGINT, v BIGINT)")
+    (0 until 3).foreach(i =>
+      sql(s"INSERT INTO gice.db.popt SELECT id + ${i * 10}, id " +
+        "FROM range(10)"))
+    val dir = s"$wh/_ice/db/popt"
+    val preSnaps = Iceberg.snapshotIds(dir)
+    sql("CALL gice.system.rewrite_data_files(table => 'db.popt')")
+    assert(sql("SELECT count(*) FROM gice.db.popt").head.getLong(0)
+      === 30)
+    val exp = sql("CALL gice.system.expire_snapshots(" +
+      "table => 'db.popt', keep_last => 1)").collect().head
+    assert(exp.getLong(0) >= 0)
+    assert(sql("SELECT count(*) FROM gice.db.popt").head.getLong(0)
+      === 30)
+    sql("CREATE TABLE gice.db.prb (k BIGINT)")
+    sql("INSERT INTO gice.db.prb VALUES (1)")
+    val firstSnap = Iceberg.snapshotIds(s"$wh/_ice/db/prb").max
+    sql("INSERT INTO gice.db.prb VALUES (2)")
+    sql("CALL gice.system.rollback_to_snapshot(table => 'db.prb', " +
+      s"snapshot_id => $firstSnap)")
+    assert(rows(sql("SELECT * FROM gice.db.prb")) === Seq("[1]"))
+  }
 }
