@@ -1848,9 +1848,33 @@ object DeltaLog {
         "not in the declared schema")
     val clean =
       stripFieldMetadata(schema).asInstanceOf[StructType]
+    // a declared mapping mode annotates the schema AT CREATION (the
+    // moment Delta fixes the mode): every field minted an id +
+    // physicalName, protocol raised to the mapping feature level
+    val mode = properties.get("delta.columnMapping.mode")
+      .map(_.trim.toLowerCase)
+    mode.foreach(m => require(m == "name" || m == "id",
+      s"CREATE TABLE: delta.columnMapping.mode must be name or id, " +
+        s"got '$m'"))
+    val (recorded, props, protocol) = mode match {
+      case Some(_) =>
+        require(!clean.fields.exists(f => mapKeyStruct(f.dataType)),
+          "structs under map KEYS with column mapping are out of scope")
+        require(partCols.isEmpty,
+          "CREATE TABLE: mapped tables are unpartitioned (the " +
+            "mapped writers' replay contract)")
+        val (annotated, maxId) = annotateMapped(clean, 0L, path =>
+          s"col-${java.util.UUID.nameUUIDFromBytes(
+            path.getBytes("UTF-8"))}")
+        (annotated.asInstanceOf[StructType],
+          properties +
+            ("delta.columnMapping.maxColumnId" -> maxId.toString),
+          protocolAction(minReader = 2, minWriter = 5))
+      case None => (clean, properties, protocolAction())
+    }
     commitClaimHook(tableDir, 0L)
     require(writeActions(tableDir, 0L,
-      Seq(protocolAction(), metaDataAction(clean, partCols, properties))),
+      Seq(protocol, metaDataAction(recorded, partCols, props))),
       s"CREATE TABLE lost the version-0 claim on $tableDir — a " +
         "concurrent writer created this table first")
     0L
@@ -2507,6 +2531,39 @@ object DeltaLog {
     * metadata op. Works under either mapping mode (the mode rides
     * the table's existing configuration). Returns the committed
     * version. */
+  /** ALTER TABLE DROP COLUMN — METADATA-ONLY on a column-mapped
+    * table (the reason real Delta requires mapping for drops: the
+    * physical column stays in the data files, unreferenced; readers
+    * resolve by the remaining mapping entries and never see it).
+    * Top-level, non-partition columns; dropping the last column
+    * refuses. Unmapped tables refuse — without mapping a drop means
+    * rewriting every data file. */
+  def dropColumnMapped(tableDir: String, name: String): Long = {
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val st = replay(tableDir, vs.last)
+    require(st.columnMapping.nonEmpty,
+      "dropColumnMapped needs a column-mapped table — without " +
+        "mapping a drop means rewriting every data file")
+    require(st.schema.fieldNames.contains(name), s"no column $name")
+    require(!st.partitionColumns.contains(name),
+      s"$name is a partition column — repartition instead")
+    require(st.schema.fields.length > 1,
+      "cannot drop the table's last column")
+    val remaining =
+      StructType(st.schema.fields.filterNot(_.name == name))
+    val maxId = math.max(maxMappedId(st.schema),
+      st.configuration.get("delta.columnMapping.maxColumnId")
+        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L))
+    require(writeActions(tableDir, vs.last + 1,
+      Seq(metaDataAction(remaining, st.partitionColumns,
+        st.configuration ++
+          Map("delta.columnMapping.mode" -> st.mappingMode,
+            "delta.columnMapping.maxColumnId" -> maxId.toString)))),
+      s"concurrent writer claimed version ${vs.last + 1}")
+    vs.last + 1
+  }
+
   def renameColumnMapped(tableDir: String, from: String,
                          to: String): Long = {
     val vs = versions(tableDir)

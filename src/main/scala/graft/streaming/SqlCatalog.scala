@@ -563,6 +563,10 @@ class GraftDeltaCatalog extends GraftDirCatalog {
           "graft-delta ALTER: nested RENAME COLUMN is not supported")
         DeltaLog.renameColumnMapped(dir, r.fieldNames()(0),
           r.newName): Unit
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft-delta ALTER: nested DROP COLUMN is not supported")
+        DeltaLog.dropColumnMapped(dir, d.fieldNames()(0)): Unit
       case other =>
         throw new UnsupportedOperationException(
           s"graft-delta ALTER: unsupported change $other")

