@@ -625,7 +625,10 @@ object SparkEntry {
       -> (streaming.SqlCatalogQueries.sqlCtas _),
     // CALL cat.system.* maintenance procedures (round 14)
     "q236_sql_procedures"
-      -> (streaming.SqlCatalogQueries.sqlProcedures _)
+      -> (streaming.SqlCatalogQueries.sqlProcedures _),
+    // native DSv2 streaming sinks, exactly-once (round 14)
+    "q237_streaming_sink"
+      -> (streaming.SqlCatalogQueries.streamingSink _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -930,6 +933,8 @@ object SparkEntry {
     "q235_sql_ctas"
       -> streaming.SqlCatalogQueries.sqlCtasSql,
     "q236_sql_procedures"
-      -> streaming.SqlCatalogQueries.sqlProceduresSql
+      -> streaming.SqlCatalogQueries.sqlProceduresSql,
+    "q237_streaming_sink"
+      -> streaming.SqlCatalogQueries.streamingSinkSql
   )
 }

@@ -1791,6 +1791,69 @@ object DeltaLog {
     v
   }
 
+  /** [[commitDsv2]] with the EXACTLY-ONCE txn watermark — the
+    * native DSv2 STREAMING sink's commit
+    * (`df.writeStream.format("graft-delta")`): the commit carries a
+    * `txn` action (appId = the streaming query id, version = the
+    * epoch id), a redelivered epoch — a restarted micro-batch, a
+    * racing instance of the same query — is detected and SKIPPED
+    * both up front and again inside the claim loop (the loser
+    * deletes its orphan files and walks away), exactly the
+    * [[commitAppendIdempotent]] discipline over executor-written
+    * files. Returns Some(version) when this call committed, None
+    * when the epoch was already recorded. */
+  private[graft] def commitDsv2Idempotent(spark: SparkSession,
+      tableDir: String, logicalSchema: StructType,
+      partCols: Seq[String], files: Seq[Dsv2File], appId: String,
+      txnVersion: Long): Option[Long] = {
+    def dropFiles(): Unit = files.foreach(f =>
+      Files.deleteIfExists(Paths.get(s"$tableDir/${f.relPath}")): Unit)
+    if (latestTxnVersion(tableDir, appId).exists(_ >= txnVersion)) {
+      dropFiles()
+      return None
+    }
+    val op = "dsv2 streaming append"
+    val st0 = requirePartitionSpec(tableDir, partCols, op)
+    st0.foreach { st =>
+      require(schemaShape(stripFieldMetadata(st.schema)) ==
+          schemaShape(stripFieldMetadata(logicalSchema)),
+        s"$op to $tableDir: incoming schema shape " +
+          s"${stripFieldMetadata(logicalSchema)} does not match the " +
+          s"table's ${stripFieldMetadata(st.schema)}")
+      enforceDsv2Invariants(spark, tableDir, st, partCols, files, op)
+    }
+    maybeWriteBlooms(spark, tableDir,
+      files.map(f => new File(s"$tableDir/${f.relPath}")), st0)
+    val txn = mapper.createObjectNode()
+    txn.putObject("txn").put("appId", appId)
+      .put("version", txnVersion).put("lastUpdated", 0L)
+    val adds = files.map(f => addAction(f.relPath, f.size,
+      f.partitionValues, dataChange = true,
+      stats = Some(statsJsonOf(f.numRecords, f.bounds))))
+    var v = -1L
+    var done = false
+    while (!done) {
+      // re-check INSIDE the loop: losing the CAS may mean a racing
+      // instance of the SAME query just recorded this very epoch
+      if (latestTxnVersion(tableDir, appId).exists(_ >= txnVersion)) {
+        dropFiles()
+        return None
+      }
+      val vs = versions(tableDir)
+      v = if (vs.isEmpty) 0L else vs.last + 1
+      val head: Seq[ObjectNode] =
+        if (vs.isEmpty)
+          Seq(protocolAction(), metaDataAction(
+            stripFieldMetadata(logicalSchema).asInstanceOf[StructType],
+            partCols))
+        else Seq.empty
+      commitClaimHook(tableDir, v)
+      done = writeActions(tableDir, v, (head :+ txn) ++ adds)
+      if (!done) commitCasRetries.incrementAndGet()
+    }
+    Some(v)
+  }
+
   /** CHECK-constraint / generated-column enforcement for files a
     * DSv2 writer already landed (invisible until the commit): read
     * back exactly those files with the table schema and run the same

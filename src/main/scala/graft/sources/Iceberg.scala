@@ -2119,7 +2119,43 @@ object Iceberg {
     * write) when no metadata exists. */
   private[graft] def commitDsv2(tableDir: String,
       logicalSchema: StructType, partCols: Seq[String],
-      files: Seq[DeltaLog.Dsv2File], overwrite: Boolean): Long = {
+      files: Seq[DeltaLog.Dsv2File], overwrite: Boolean): Long =
+    commitDsv2(tableDir, logicalSchema, partCols, files, overwrite,
+      summaryExtra = Map.empty, abortIf = () => false)
+
+  /** [[commitDsv2]] with the EXACTLY-ONCE epoch watermark — the
+    * native DSv2 STREAMING sink's commit: the snapshot summary
+    * carries (streaming-app-id, streaming-epoch-id) exactly as
+    * [[commitAppendIdempotent]] records them, a redelivered epoch is
+    * skipped up front and again inside the publish CAS loop (the
+    * loser deletes its orphan files and walks away). Returns
+    * Some(snapshotId) when this call committed. */
+  private[graft] def commitDsv2Idempotent(tableDir: String,
+      logicalSchema: StructType, partCols: Seq[String],
+      files: Seq[DeltaLog.Dsv2File], appId: String,
+      epochId: Long): Option[Long] = {
+    def recorded: Boolean =
+      latestStreamingEpoch(tableDir, appId).exists(_ >= epochId)
+    def dropFiles(): Unit = files.foreach(f =>
+      Files.deleteIfExists(Paths.get(s"$tableDir/${f.relPath}")): Unit)
+    if (recorded) {
+      dropFiles()
+      return None
+    }
+    val sid = commitDsv2(tableDir, logicalSchema, partCols, files,
+      overwrite = false,
+      summaryExtra = Map(
+        "streaming-app-id" -> appId,
+        "streaming-epoch-id" -> epochId.toString),
+      abortIf = () => recorded)
+    if (sid < 0) { dropFiles(); None } else Some(sid)
+  }
+
+  private def commitDsv2(tableDir: String,
+      logicalSchema: StructType, partCols: Seq[String],
+      files: Seq[DeltaLog.Dsv2File], overwrite: Boolean,
+      summaryExtra: Map[String, String],
+      abortIf: () => Boolean): Long = {
     def erased(s: StructType) = StructType(s.fields.map(f =>
       StructField(f.name, f.dataType, nullable = true)))
     val tupleFields: Seq[(String, String, String, DataType)] =
@@ -2158,7 +2194,7 @@ object Iceberg {
         s"$tableDir/${f.relPath}" -> (f.numRecords, f.bounds)).toMap
     publishDataSnapshot(tableDir, logicalSchema, tupleFields,
       declaredSpec, parts, statsByPath, overwrite, toBranch = None,
-      summaryExtra = Map.empty, abortIf = () => false,
+      summaryExtra, abortIf,
       abortCleanup = () => (), v, prevMeta, snapshotId)
   }
 

@@ -155,6 +155,7 @@ private class DeltaStreamTable(schema: StructType,
     Set(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
 
   /** The LOG's partition columns as identity transforms (the

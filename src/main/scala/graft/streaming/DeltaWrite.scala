@@ -63,42 +63,103 @@ private[streaming] class DeltaWriteBuilder(tableDir: String,
     this
   }
 
+  /** Resolve the write's (logical schema, physical schema,
+    * partition columns) against the table's current state — shared
+    * by the batch and streaming halves. */
+  private def resolved(): (StructType, StructType, Seq[String]) = {
+    val schema = info.schema()
+    val exists = DeltaLog.versions(tableDir).nonEmpty
+    val st =
+      if (exists)
+        Some(DeltaLog.replay(tableDir,
+          DeltaLog.versions(tableDir).last))
+      else None
+    val partCols = st match {
+      case Some(s) =>
+        require(declaredPartCols.isEmpty ||
+            declaredPartCols == s.partitionColumns,
+          s"graft-delta write: partitionBy(${declaredPartCols
+            .mkString(", ")}) does not match table $tableDir's " +
+            s"partitioning (${s.partitionColumns.mkString(", ")})")
+        s.partitionColumns
+      case None => declaredPartCols
+    }
+    val missing = partCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"graft-delta write: partition columns ${missing.mkString(", ")} " +
+        "not in the written columns")
+    partCols.foreach { c =>
+      schema(c).dataType match {
+        case StringType | LongType | IntegerType | DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"graft-delta write: partition column $c has type $other " +
+            "— supported partition types are string, long, int, date")
+      }
+    }
+    (schema, Dsv2WriteSchemas.physicalFor(st, schema), partCols)
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      val schema = info.schema()
-      val exists = DeltaLog.versions(tableDir).nonEmpty
-      val st =
-        if (exists)
-          Some(DeltaLog.replay(tableDir,
-            DeltaLog.versions(tableDir).last))
-        else None
-      val partCols = st match {
-        case Some(s) =>
-          require(declaredPartCols.isEmpty ||
-              declaredPartCols == s.partitionColumns,
-            s"graft-delta write: partitionBy(${declaredPartCols
-              .mkString(", ")}) does not match table $tableDir's " +
-              s"partitioning (${s.partitionColumns.mkString(", ")})")
-          s.partitionColumns
-        case None => declaredPartCols
-      }
-      val missing = partCols.filterNot(schema.fieldNames.contains)
-      require(missing.isEmpty,
-        s"graft-delta write: partition columns ${missing.mkString(", ")} " +
-          "not in the written columns")
-      partCols.foreach { c =>
-        schema(c).dataType match {
-          case StringType | LongType | IntegerType | DateType => ()
-          case other => throw new IllegalArgumentException(
-            s"graft-delta write: partition column $c has type $other " +
-              "— supported partition types are string, long, int, date")
-        }
-      }
-      val physical = Dsv2WriteSchemas.physicalFor(st, schema)
+      val (schema, physical, partCols) = resolved()
       new DeltaBatchWrite(tableDir, schema, physical, partCols,
         overwrite)
     }
+
+    /** `df.writeStream.format("graft-delta")` — the NATIVE
+      * exactly-once streaming sink: every epoch commits through
+      * [[DeltaLog.commitDsv2Idempotent]] with the streaming query id
+      * as the txn appId, so a restarted/replayed micro-batch is
+      * detected and skipped (its orphan files deleted) — real
+      * Delta's sink discipline, no foreachBatch needed. Append-only:
+      * complete/update modes have no log spelling here. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming
+          .StreamingWrite = {
+      require(!overwrite,
+        "graft-delta streaming sink is APPEND-only — complete mode " +
+          "rewrites the table per trigger; use " +
+          "foreachBatch + DeltaLog.commitOverwrite for that shape")
+      val (schema, physical, partCols) = resolved()
+      new DeltaStreamingWrite(tableDir, schema, physical, partCols,
+        info.queryId())
+    }
   }
+}
+
+/** The exactly-once streaming sink write: executor side is the same
+  * stats-tracking [[DeltaDataWriter]] (epoch-unique UUID file
+  * names); the driver commits each epoch idempotently under
+  * (queryId, epochId). */
+private[streaming] class DeltaStreamingWrite(tableDir: String,
+    logicalSchema: StructType, physicalSchema: StructType,
+    partCols: Seq[String], queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming
+    .StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming
+    .StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new DeltaWriterFactory(tableDir, logicalSchema.json,
+      physicalSchema.json, partCols)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    DeltaLog.commitDsv2Idempotent(
+      org.apache.spark.sql.SparkSession.active, tableDir,
+      logicalSchema, partCols,
+      messages.toSeq.flatMap(_.asInstanceOf[Dsv2CommitMsg].files),
+      appId = queryId, txnVersion = epochId): Unit
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.filter(_ != null).foreach {
+      case Dsv2CommitMsg(files) => files.foreach(f =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$tableDir/${f.relPath}")): Unit)
+      case _ => ()
+    }
 }
 
 /** Physical write schema derivation shared by every DSv2 writer
@@ -175,13 +236,20 @@ private[streaming] class DeltaBatchWrite(tableDir: String,
 
 private[streaming] class DeltaWriterFactory(tableDir: String,
     logicalJson: String, physicalJson: String, partCols: Seq[String],
-    relPrefix: String = "") extends DataWriterFactory {
+    relPrefix: String = "") extends DataWriterFactory
+  with org.apache.spark.sql.connector.write.streaming
+    .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new DeltaDataWriter(tableDir,
       DataType.fromJson(logicalJson).asInstanceOf[StructType],
       DataType.fromJson(physicalJson).asInstanceOf[StructType],
       partCols, relPrefix)
+  // streaming tasks write the same UUID-named invisible files —
+  // epoch identity lives in the COMMIT's txn/summary watermark
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
 }
 
 /** Executor-side writer: one open parquet file per partition value

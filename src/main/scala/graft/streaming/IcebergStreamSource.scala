@@ -126,6 +126,7 @@ private class IcebergStreamTable(schema: StructType,
     Set(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
 
   /** The METADATA's identity spec as transforms once the table

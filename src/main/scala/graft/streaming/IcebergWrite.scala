@@ -40,32 +40,84 @@ private[streaming] class IcebergDsv2WriteBuilder(tableDir: String,
     this
   }
 
+  private def resolvedPartCols(schema: StructType): Seq[String] = {
+    val partCols =
+      if (Iceberg.versions(tableDir).nonEmpty) {
+        val spec = Iceberg.currentSpecFields(tableDir)
+        val hidden = spec.filter(_._2 != "identity")
+        require(hidden.isEmpty,
+          s"graft-iceberg DSv2 write: table $tableDir partitions " +
+            s"by derived transforms ($hidden) — write through " +
+            "Iceberg.commitAppendHidden/commitOverwriteHidden")
+        val cols = spec.map(_._1)
+        require(declaredPartCols.isEmpty ||
+            declaredPartCols == cols,
+          s"graft-iceberg write: partitionBy(${declaredPartCols
+            .mkString(", ")}) does not match table $tableDir's " +
+            s"spec (${cols.mkString(", ")})")
+        cols
+      } else declaredPartCols
+    val missing = partCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"graft-iceberg write: partition columns " +
+        s"${missing.mkString(", ")} not in the written columns")
+    partCols
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val schema = info.schema()
-      val partCols =
-        if (Iceberg.versions(tableDir).nonEmpty) {
-          val spec = Iceberg.currentSpecFields(tableDir)
-          val hidden = spec.filter(_._2 != "identity")
-          require(hidden.isEmpty,
-            s"graft-iceberg DSv2 write: table $tableDir partitions " +
-              s"by derived transforms ($hidden) — write through " +
-              "Iceberg.commitAppendHidden/commitOverwriteHidden")
-          val cols = spec.map(_._1)
-          require(declaredPartCols.isEmpty ||
-              declaredPartCols == cols,
-            s"graft-iceberg write: partitionBy(${declaredPartCols
-              .mkString(", ")}) does not match table $tableDir's " +
-              s"spec (${cols.mkString(", ")})")
-          cols
-        } else declaredPartCols
-      val missing = partCols.filterNot(schema.fieldNames.contains)
-      require(missing.isEmpty,
-        s"graft-iceberg write: partition columns " +
-          s"${missing.mkString(", ")} not in the written columns")
-      new IcebergBatchWrite(tableDir, schema, partCols, overwrite)
+      new IcebergBatchWrite(tableDir, schema,
+        resolvedPartCols(schema), overwrite)
+    }
+
+    /** `df.writeStream.format("graft-iceberg")` — exactly-once via
+      * the snapshot-summary epoch watermark
+      * ([[Iceberg.commitDsv2Idempotent]]); append-only. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming
+          .StreamingWrite = {
+      require(!overwrite,
+        "graft-iceberg streaming sink is APPEND-only — complete " +
+          "mode rewrites the table per trigger; use foreachBatch + " +
+          "Iceberg.commitOverwrite for that shape")
+      val schema = info.schema()
+      new IcebergStreamingWrite(tableDir, schema,
+        resolvedPartCols(schema), info.queryId())
     }
   }
+}
+
+/** The Iceberg exactly-once streaming sink — the
+  * [[DeltaStreamingWrite]] twin: same executor writers, epoch
+  * identity in the snapshot summary. */
+private[streaming] class IcebergStreamingWrite(tableDir: String,
+    logicalSchema: StructType, partCols: Seq[String], queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming
+    .StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming
+    .StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new DeltaWriterFactory(tableDir, logicalSchema.json,
+      IcebergDsv2Write.fieldIdSchema(logicalSchema).json, partCols,
+      relPrefix = "data/")
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    Iceberg.commitDsv2Idempotent(tableDir, logicalSchema, partCols,
+      messages.toSeq.flatMap(_.asInstanceOf[Dsv2CommitMsg].files),
+      appId = queryId, epochId = epochId): Unit
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.filter(_ != null).foreach {
+      case Dsv2CommitMsg(files) => files.foreach(f =>
+        Files.deleteIfExists(
+          Paths.get(s"$tableDir/${f.relPath}")): Unit)
+      case _ => ()
+    }
 }
 
 private[streaming] object IcebergDsv2Write {

@@ -1577,4 +1577,51 @@ object SqlCatalogQueries {
 
   val sqlProceduresSql: String =
     s"""SELECT $cols FROM orders ORDER BY o_orderkey""".stripMargin
+  /** q237 — NATIVE STREAMING SINK, EXACTLY-ONCE: orders streams
+    * source→sink through `writeStream.format("graft-delta")` (the
+    * DSv2 StreamingWrite whose every epoch commits under a txn
+    * watermark), in TWO AvailableNow drains against one checkpoint
+    * with a source append in between; a THIRD drain with no new data
+    * must land nothing (in-query `require` — the exactly-once seam),
+    * and the sink's rows hash-check against the plain orders oracle.
+    * This is the reference's bronze-ingest shape
+    * (spark/streaming_bronze.py writes `.format("delta")` from a
+    * stream) on this engine's own log, no foreachBatch. */
+  def streamingSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.pmod
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("graft_ssink").toString
+    val src = s"$work/src"
+    val dst = s"$work/dst"
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    DeltaLog.commitAppend(
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0), src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("path", src).load()
+        .writeStream.format("graft-delta")
+        .option("path", dst)
+        .option("checkpointLocation", s"$work/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000): Unit
+    }
+    drain()
+    DeltaLog.commitAppend(
+      o.filter(pmod(col("o_orderkey"), lit(2)) =!= 0), src)
+    drain()
+    val afterTwo = DeltaLog.versions(dst).last
+    drain() // no new data: the txn watermark must land NOTHING
+    require(DeltaLog.versions(dst).last == afterTwo,
+      "an empty re-drain committed to the sink — the exactly-once " +
+        "watermark failed")
+    spark.read.format("graft-delta").option("path", dst).load()
+      .orderBy(col("o_orderkey"))
+  }
+
+  val streamingSinkSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 }

@@ -518,4 +518,86 @@ class SqlCatalogSpec extends SparkSuite {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("column-mapped")))
   }
+  test("delta streaming sink: exactly-once writeStream roundtrip") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("graft_dsink").toString
+    val src = s"$work/src"
+    val dst = s"$work/dst"
+    val cp = s"$work/cp"
+    DeltaLog.commitAppend(
+      spark.range(5).selectExpr("id AS k", "id * 2 AS v"), src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("path", src).load()
+        .writeStream.format("graft-delta")
+        .option("path", dst).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000): Unit
+    }
+    drain()
+    assert(DeltaLog.read(spark, dst).count() === 5)
+    // second drain with NO new source data: nothing re-lands
+    drain()
+    assert(DeltaLog.read(spark, dst).count() === 5)
+    // new source commit: only the delta lands
+    DeltaLog.commitAppend(
+      spark.range(3).selectExpr("id + 10 AS k", "id AS v"), src)
+    drain()
+    assert(DeltaLog.read(spark, dst).count() === 8)
+    // the epoch watermark itself: a replayed epoch commit is a no-op
+    val dummy = Seq.empty[graft.sources.DeltaLog.Dsv2File]
+    val appId = "replay-test"
+    val first = DeltaLog.commitDsv2Idempotent(spark, dst,
+      DeltaLog.read(spark, dst).schema, Seq.empty, dummy, appId, 7L)
+    val replay = DeltaLog.commitDsv2Idempotent(spark, dst,
+      DeltaLog.read(spark, dst).schema, Seq.empty, dummy, appId, 7L)
+    assert(first.isDefined && replay.isEmpty,
+      s"epoch replay must skip (first $first, replay $replay)")
+  }
+
+  test("iceberg streaming sink: exactly-once writeStream roundtrip") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("graft_isink").toString
+    val src = s"$work/src"
+    val dst = s"$work/dst"
+    val cp = s"$work/cp"
+    Iceberg.commitAppend(
+      spark.range(5).selectExpr("id AS k", "id * 2 AS v"), src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("path", src).load()
+        .writeStream.format("graft-iceberg")
+        .option("path", dst).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000): Unit
+    }
+    drain()
+    assert(Iceberg.read(spark, dst).count() === 5)
+    drain()
+    assert(Iceberg.read(spark, dst).count() === 5)
+    Iceberg.commitAppend(
+      spark.range(3).selectExpr("id + 10 AS k", "id AS v"), src)
+    drain()
+    assert(Iceberg.read(spark, dst).count() === 8)
+  }
+
+  test("delta catalog: writeStream.toTable lands exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    sql("CREATE TABLE gsql.db.tsink (k BIGINT, v BIGINT)")
+    val work = Files.createTempDirectory("graft_tsink").toString
+    val src = s"$work/src"
+    DeltaLog.commitAppend(
+      spark.range(4).selectExpr("id AS k", "id AS v"), src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("path", src).load()
+        .writeStream
+        .option("checkpointLocation", s"$work/cp")
+        .trigger(Trigger.AvailableNow()).toTable("gsql.db.tsink")
+      q.awaitTermination(60000): Unit
+    }
+    drain(); drain()
+    assert(sql("SELECT count(*) FROM gsql.db.tsink").head.getLong(0)
+      === 4)
+  }
 }
