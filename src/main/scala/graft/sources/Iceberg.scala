@@ -693,6 +693,18 @@ object Iceberg {
     partitionSpecOf(meta)
       .filter(_.transform == "identity").map(_.sourceCol)
 
+  /** The table properties recorded in the current metadata (empty
+    * for tables with none) — the SQL catalog's
+    * `SHOW TBLPROPERTIES` surface. */
+  def tableProperties(tableDir: String): Map[String, String] = {
+    val vs = versions(tableDir)
+    if (vs.isEmpty) return Map.empty
+    val meta = loadMetadata(tableDir, vs.last)
+    if (!meta.has("properties")) Map.empty
+    else meta.get("properties").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap
+  }
+
   /** The DEFAULT partition spec as (source column, transform) pairs
     * — identity fields spell `("col", "identity")`. The SQL
     * catalog's INSERT path re-declares exactly this spec when it

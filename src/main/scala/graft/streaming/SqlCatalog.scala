@@ -590,6 +590,12 @@ private[streaming] class DeltaSqlTable(sqlName: String,
 
   override def name(): String = sqlName
 
+  /** The log's table configuration — SHOW TBLPROPERTIES. */
+  override def properties(): util.Map[String, String] =
+    DeltaLog.replay(dir,
+      pinnedVersion.getOrElse(DeltaLog.versions(dir).last))
+      .configuration.asJava
+
   private def requireWritable(op: String): Unit =
     require(pinnedVersion.isEmpty,
       s"$op on a time-travel read of $sqlName " +
@@ -931,6 +937,10 @@ private[streaming] class IcebergSqlTable(sqlName: String, dir: String,
   with SupportsRowLevelOperations {
 
   override def name(): String = sqlName
+
+  /** The metadata's table properties — SHOW TBLPROPERTIES. */
+  override def properties(): util.Map[String, String] =
+    Iceberg.tableProperties(dir).asJava
 
   /** V1_BATCH_WRITE only under HIDDEN transform specs (the V1
     * bridge path) — declaring it alongside a native DSv2 Write makes

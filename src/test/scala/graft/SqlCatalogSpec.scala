@@ -600,4 +600,24 @@ class SqlCatalogSpec extends SparkSuite {
     assert(sql("SELECT count(*) FROM gsql.db.tsink").head.getLong(0)
       === 4)
   }
+  test("delta catalog: DataFrameWriterV2 append/createOrReplace, DESCRIBE") {
+    wh
+    // createOrReplace through writeTo = atomic RTAS from the API side
+    spark.range(6).selectExpr("id AS k", "id * 2 AS v")
+      .writeTo("gsql.db.w2").createOrReplace()
+    assert(sql("SELECT count(*) FROM gsql.db.w2").head.getLong(0) === 6)
+    spark.range(2).selectExpr("id + 100 AS k", "id AS v")
+      .writeTo("gsql.db.w2").append()
+    assert(sql("SELECT count(*) FROM gsql.db.w2").head.getLong(0) === 8)
+    // overwritePartitions-style replace via createOrReplace again
+    spark.range(1).selectExpr("id AS k", "id AS v")
+      .writeTo("gsql.db.w2").createOrReplace()
+    assert(sql("SELECT count(*) FROM gsql.db.w2").head.getLong(0) === 1)
+    // DESCRIBE surfaces the schema; SHOW TBLPROPERTIES the config
+    val desc = rows(sql("DESCRIBE TABLE gsql.db.w2"))
+    assert(desc.exists(_.contains("k")) && desc.exists(_.contains("v")))
+    sql("ALTER TABLE gsql.db.w2 SET TBLPROPERTIES ('team' = 'data')")
+    assert(rows(sql("SHOW TBLPROPERTIES gsql.db.w2"))
+      .exists(r => r.contains("team") && r.contains("data")))
+  }
 }
