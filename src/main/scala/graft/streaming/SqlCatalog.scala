@@ -405,10 +405,16 @@ private[streaming] abstract class GraftDirCatalog
               Some(new File(dest.getParent.toFile,
                 s".trash-${ident.name}-${java.util.UUID.randomUUID}"))
             else None
-          old.foreach(o => Files.move(dest, o.toPath): Unit)
+          old.foreach(o => Files.move(dest, o.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit)
           Files.move(Paths.get(stagedDir), dest,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          old.foreach(graft.util.Fs.deleteRecursively)
+          // an EXTERNAL table's entry is a symlink: delete only the
+          // link — following it would destroy the external data
+          old.foreach { o =>
+            if (Files.isSymbolicLink(o.toPath)) Files.delete(o.toPath)
+            else graft.util.Fs.deleteRecursively(o)
+          }
         }
       }
     }
@@ -686,11 +692,14 @@ private[streaming] class DeltaRowLevelOperation(dir: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new OpenFormatScanBuilder((pushed, required, limit) => {
+    new OpenFormatScanBuilder((pushed, required, _) => {
+      // limit is FORCED OFF: a truncated plan would shrink the
+      // rewrite group and lose rows (Spark never pushes limits into
+      // row-level scans today — this pins it)
       val scan = DeltaBatchScan(tableSchema,
         new CaseInsensitiveStringMap(Map("path" -> dir,
           "versionAsOf" -> base.toString).asJava),
-        pushed, required, limit)
+        pushed, required, limit = None)
       if (mainScan == null) synchronized {
         if (mainScan == null) mainScan = scan
       }
@@ -1021,11 +1030,12 @@ private[streaming] class IcebergRowLevelOperation(dir: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new OpenFormatScanBuilder((pushed, required, limit) => {
+    new OpenFormatScanBuilder((pushed, required, _) => {
+      // limit forced off — see DeltaRowLevelOperation
       val scan = IcebergBatchScan(tableSchema,
         new CaseInsensitiveStringMap(Map("path" -> dir,
           "snapshotAsOf" -> baseSnap.toString).asJava),
-        pushed, required, limit)
+        pushed, required, limit = None)
       if (mainScan == null) synchronized {
         if (mainScan == null) mainScan = scan
       }

@@ -620,4 +620,30 @@ class SqlCatalogSpec extends SparkSuite {
     assert(rows(sql("SHOW TBLPROPERTIES gsql.db.w2"))
       .exists(r => r.contains("team") && r.contains("data")))
   }
+  test("delta catalog: TRUNCATE TABLE and SHOW CREATE TABLE") {
+    sql("""CREATE TABLE gsql.db.trnc (k BIGINT, s STRING)
+          |PARTITIONED BY (s)""".stripMargin)
+    sql("INSERT INTO gsql.db.trnc VALUES (1, 'a'), (2, 'b')")
+    sql("TRUNCATE TABLE gsql.db.trnc")
+    assert(sql("SELECT * FROM gsql.db.trnc").count() === 0)
+    // the table stays writable after truncation
+    sql("INSERT INTO gsql.db.trnc VALUES (9, 'z')")
+    assert(rows(sql("SELECT k, s FROM gsql.db.trnc")) === Seq("[9,z]"))
+    val ddl = sql("SHOW CREATE TABLE gsql.db.trnc")
+      .head.getString(0)
+    assert(ddl.contains("CREATE TABLE") && ddl.contains("k BIGINT"),
+      s"unexpected DDL: $ddl")
+  }
+  test("delta catalog: REPLACE of an external table keeps its data") {
+    val loc = Files.createTempDirectory("graft_ext2").toString + "/e2"
+    sql(s"CREATE TABLE gsql.db.extr (k BIGINT) LOCATION '$loc'")
+    sql("INSERT INTO gsql.db.extr VALUES (1), (2)")
+    sql("REPLACE TABLE gsql.db.extr AS SELECT id AS k FROM range(5)")
+    assert(sql("SELECT count(*) FROM gsql.db.extr").head.getLong(0)
+      === 5)
+    // the external location's data survives — only the catalog
+    // entry (a symlink) was swapped
+    assert(DeltaLog.read(spark, loc).count() === 2,
+      "REPLACE of an external table must not destroy external data")
+  }
 }
