@@ -646,4 +646,44 @@ class SqlCatalogSpec extends SparkSuite {
     assert(DeltaLog.read(spark, loc).count() === 2,
       "REPLACE of an external table must not destroy external data")
   }
+  test("streaming sinks land in PARTITIONED tables under the spec") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("graft_psink").toString
+    // Delta: sink table pre-created partitioned; the stream inherits
+    val ddst = s"$work/ddst"
+    DeltaLog.createTable(ddst,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))), Seq("s"))
+    val src = s"$work/src"
+    DeltaLog.commitAppend(spark.range(10).selectExpr("id AS k",
+      "CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END AS s"), src)
+    val q1 = spark.readStream.format("graft-delta")
+      .option("path", src).load()
+      .writeStream.format("graft-delta").option("path", ddst)
+      .option("checkpointLocation", s"$work/dcp")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(60000)
+    val st = DeltaLog.replay(ddst, DeltaLog.versions(ddst).last)
+    assert(st.partitionColumns === Seq("s"))
+    assert(st.adds.values.forall(_.partitionValues.contains("s")),
+      "streamed adds must carry partitionValues")
+    assert(DeltaLog.read(spark, ddst).count() === 10)
+    // Iceberg: same shape through the iceberg sink
+    val idst = s"$work/idst"
+    Iceberg.commitAppendPartitioned(spark.range(0).selectExpr(
+      "id AS k", "CAST('x' AS STRING) AS s"), idst, Seq("s"))
+    val q2 = spark.readStream.format("graft-delta")
+      .option("path", src).load()
+      .writeStream.format("graft-iceberg").option("path", idst)
+      .option("checkpointLocation", s"$work/icp")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(Iceberg.read(spark, idst).count() === 10)
+    assert(Iceberg.read(spark, idst)
+      .filter(org.apache.spark.sql.functions.col("s") === "e")
+      .count() === 5)
+  }
 }
