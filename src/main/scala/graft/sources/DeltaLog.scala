@@ -4626,6 +4626,17 @@ object DeltaLog {
     * no-op, real Delta's semantics. */
   def removeTableProperties(tableDir: String,
                             keys: Seq[String]): Long = {
+    // protocol-bearing keys cannot be unset: without
+    // delta.columnMapping.mode/maxColumnId a mapped table's replay
+    // can no longer resolve physical names — real Delta refuses to
+    // unset table-feature properties the same way
+    val reserved = keys.filter(k =>
+      k.startsWith("delta.columnMapping.") ||
+        k == "delta.minReaderVersion" || k == "delta.minWriterVersion")
+    require(reserved.isEmpty,
+      s"UNSET TBLPROPERTIES ${reserved.mkString(", ")} on $tableDir: " +
+        "protocol-bearing properties cannot be removed — a mapped " +
+        "table's replay depends on them")
     var v = -1L
     var done = false
     while (!done) {

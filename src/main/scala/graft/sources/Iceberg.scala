@@ -2248,6 +2248,34 @@ object Iceberg {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
         }
       }
+    // second pass: rewriting a manifest changed its byte length, and
+    // manifest-LIST rows record manifest_length — spec-compliant
+    // readers use it for ranged reads, so refresh it from the file's
+    // actual post-rewrite size (the recorded path already points at
+    // `dest`; the file still lives under the staging dir until the
+    // publish)
+    Option(md.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".avro"))
+      .foreach { f =>
+        val recs = readAvro(f.getPath)
+        if (recs.nonEmpty &&
+            recs.head.getSchema.getField("manifest_path") != null &&
+            recs.head.getSchema.getField("manifest_length") != null) {
+          val fixed = recs.map { r =>
+            val p = r.get("manifest_path").toString
+            val local =
+              if (p.startsWith(dest)) stagedDir + p.substring(dest.length)
+              else p
+            val len = new File(local).length()
+            if (len > 0L) r.put("manifest_length", len)
+            r
+          }
+          val tmp = s"${f.getPath}.reloc"
+          writeAvro(tmp, recs.head.getSchema, fixed)
+          Files.move(Paths.get(tmp), f.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      }
     versions(stagedDir).foreach { v =>
       val p = Paths.get(s"${metaDir(stagedDir)}/v$v.metadata.json")
       val meta = mapper.readTree(Files.readAllBytes(p))
@@ -2314,11 +2342,17 @@ object Iceberg {
     var snapshotId = meta.get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong).max + 1L
     while (true) {
+      // every avro this ATTEMPT mints — a lost CAS deletes them
+      // before retrying (they reference a snapshot id that will be
+      // re-minted; leaving them would orphan unreferenced metadata
+      // no snapshot names and expire_snapshots cannot reclaim)
+      val minted = scala.collection.mutable.Buffer.empty[String]
       // the new-files manifest (re-minted per attempt so its list
       // row's added_snapshot_id stays true)
       val newManifest =
         s"${metaDir(tableDir)}/snap-$snapshotId-${
           java.util.UUID.randomUUID}-m0.avro"
+      minted += newManifest
       writeAvro(newManifest, entrySchema,
         files.sortBy(_.relPath).map { f =>
           manifestEntry(s"$tableDir/${f.relPath}", 1, colIds,
@@ -2364,6 +2398,7 @@ object Iceberg {
                 s"${metaDir(tableDir)}/snap-$snapshotId-${
                   java.util.UUID.randomUUID}-rw.avro"
               writeAvro(filtered, entries.head.getSchema, kept)
+              minted += filtered
               Some((filtered, new File(filtered).length(), content,
                 addedBy, specId))
             }
@@ -2372,6 +2407,7 @@ object Iceberg {
       val listPath =
         s"${metaDir(tableDir)}/snap-$snapshotId-${
           java.util.UUID.randomUUID}-manifest-list.avro"
+      minted += listPath
       val defaultSpecId =
         if (meta.has("default-spec-id"))
           meta.get("default-spec-id").asInt else 0
@@ -2403,6 +2439,10 @@ object Iceberg {
       if (publishMetadataVersion(tableDir, v + 1, next))
         return snapshotId
       commitCasRetries.incrementAndGet()
+      // this attempt's manifests/list reference a snapshot id the
+      // retry re-mints — delete them or they orphan (no snapshot
+      // ever names them, expire_snapshots cannot reclaim them)
+      minted.foreach(p => Files.deleteIfExists(Paths.get(p)): Unit)
       val headV = currentVersion(tableDir)
       val headMeta = loadMetadata(tableDir, headV)
       requireIcebergWinnersDisjoint(tableDir, meta, headMeta, curId,

@@ -73,6 +73,12 @@ object GraftSqlSeams {
     * COW rewrite) — q-gates pin the path, not just the rows. */
   val metadataDeletes = new java.util.concurrent.atomic.AtomicLong
 
+  /** DIRECTORY moves the catalog performed (the object-store
+    * no-go): the pointer-entry lifecycle performs NONE — this only
+    * moves on the legacy ADOPTED-directory fallbacks, and the
+    * conditional-put lifecycle specs pin it at zero. */
+  val dirMoves = new java.util.concurrent.atomic.AtomicLong
+
   /** Last COW replace per table dir: (files live at base, files in
     * the rewrite group = removed, files added). */
   private val replaces = scala.collection.concurrent.TrieMap
@@ -131,10 +137,73 @@ private[streaming] object SqlFilters {
   }
 }
 
+/** The catalog's PER-TABLE POINTER OBJECT — how a table is
+  * published, renamed, replaced, and dropped WITHOUT a single
+  * directory rename, so the whole lifecycle survives object stores
+  * (S3/MinIO have no atomic rename; a "directory move" is N copies).
+  *
+  * A managed table's DATA lives at a hidden immutable home
+  * (`<ns>/.tbl-<name>-<uuid>`) that never moves; its catalog ENTRY
+  * is a small JSON pointer file at `<warehouse>/<ns>/<name>`:
+  * `{"dir": "<absolute data dir>", "external": bool}`. Every entry
+  * mutation routes through the [[graft.sources.LogStore]] seam —
+  * CREATE/CTAS claim the entry with `claimVersion` (atomic
+  * create-if-absent: a racing CREATE loses the claim and aborts
+  * loudly), RTAS/REPLACE repoint it with `putPointer` (whole-object
+  * replace), RENAME claims the new name then deletes the old entry
+  * object, DROP deletes the entry object (single-object delete —
+  * atomic un-publish) and only then garbage-collects the data. This
+  * is the pointer-object discipline real object-store catalogs
+  * (Hive/Glue/Nessie table locations, Iceberg's own
+  * metadata-pointer) use — the staged directory is published by
+  * WRITING ITS POINTER, never by moving it. */
+private[graft] object TablePointer {
+  private val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def bytes(dir: String, external: Boolean): Array[Byte] = {
+    val n = mapper.createObjectNode()
+    n.put("dir", dir)
+    n.put("external", external)
+    mapper.writeValueAsString(n).getBytes("UTF-8")
+  }
+
+  /** Parse an entry file: Some((dataDir, external)) iff it is a
+    * pointer object; None for anything else (junk files never
+    * surface as tables). */
+  def read(entry: java.nio.file.Path): Option[(String, Boolean)] =
+    if (!Files.isRegularFile(entry)) None
+    else scala.util.Try {
+      val n = mapper.readTree(Files.readAllBytes(entry))
+      require(n.has("dir") && n.has("external"))
+      (n.get("dir").asText, n.get("external").asBoolean)
+    }.toOption
+
+  /** Publish `dir` as `entry` iff the name is free — the CREATE/CTAS
+    * commit point ([[graft.sources.LogStore.claimVersion]]). */
+  def claim(entry: java.nio.file.Path, dir: String,
+            external: Boolean): Boolean = {
+    val tmp = Files.createTempFile(entry.getParent,
+      "." + entry.getFileName.toString + "-ptr-", ".tmp")
+    Files.write(tmp, bytes(dir, external))
+    graft.sources.LogStore.current.claimVersion(entry, tmp)
+  }
+
+  /** Repoint an existing entry — the RTAS/REPLACE commit point
+    * (whole-object [[graft.sources.LogStore.putPointer]]). */
+  def repoint(entry: java.nio.file.Path, dir: String,
+              external: Boolean): Unit =
+    graft.sources.LogStore.current.putPointer(entry,
+      bytes(dir, external))
+}
+
 /** Directory-warehouse plumbing the two catalogs share: identifiers
   * map to `<warehouse>/<ns...>/<name>`, namespaces are plain
-  * directories, and what makes a directory a TABLE is the format's
-  * own on-disk signature ([[isTableDir]]). */
+  * directories, and a table ENTRY at that path is either a pointer
+  * object ([[TablePointer]] — every table this catalog creates) or,
+  * for ADOPTED pre-existing tables, a directory carrying the
+  * format's own on-disk signature ([[isTableDir]]) / a symlink to
+  * one. */
 private[streaming] abstract class GraftDirCatalog
   extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.StagingTableCatalog
@@ -151,6 +220,14 @@ private[streaming] abstract class GraftDirCatalog
     if (!tableExists(ident))
       throw new NoSuchTableException(ident)
     realDir(ident)
+  }
+
+  /** A procedure's `namespace` argument to its warehouse directory. */
+  protected def resolveNsArg(ns: String): String = {
+    val parts = ns.split('.')
+    if (!namespaceExists(parts))
+      throw new NoSuchNamespaceException(parts)
+    (warehouse +: parts.toSeq).mkString("/")
   }
 
   override def loadProcedure(ident: Identifier)
@@ -185,7 +262,10 @@ private[streaming] abstract class GraftDirCatalog
   protected def mkTable(ident: Identifier, dir: String): Table
 
   private def seg(s: String): String = {
-    require(s.nonEmpty && !s.contains("/") && s != "." && s != "..",
+    // leading-dot names are reserved for the catalog's own hidden
+    // machinery (.tbl-* data homes, .staged/.trash legacies) — they
+    // can never be addressed, listed, or created as tables
+    require(s.nonEmpty && !s.contains("/") && !s.startsWith("."),
       s"illegal identifier segment '$s'")
     s
   }
@@ -201,80 +281,135 @@ private[streaming] abstract class GraftDirCatalog
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
 
   // ---- tables ----
+  /** Is the entry at this path one of THIS catalog's tables — a
+    * pointer object whose target carries the format signature, an
+    * adopted table directory, or a legacy symlink to one? */
+  protected def isTableEntry(f: File): Boolean =
+    TablePointer.read(f.toPath) match {
+      case Some((dir, _)) => isTableDir(new File(dir))
+      case None => isTableDir(f)
+    }
+
   override def listTables(ns: Array[String]): Array[Identifier] = {
     val d = new File(nsDir(ns))
     if (!d.isDirectory || isTableDir(d))
       throw new NoSuchNamespaceException(ns)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && isTableDir(f))
+      .filter(f => !f.getName.startsWith(".") && isTableEntry(f))
       .map(_.getName).sorted.map(Identifier.of(ns, _))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTableDir(new File(dirOf(ident)))
+    isTableEntry(new File(dirOf(ident)))
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     mkTable(ident, realDir(ident))
   }
 
-  /** The table's REAL directory: external tables are symlinks under
-    * the warehouse, and `Files.createDirectories` through a
-    * symlinked path segment refuses — every data-path operation
-    * resolves to the link target first. */
+  /** The table's REAL data directory: pointer entries resolve to
+    * their recorded home ([[TablePointer]]); legacy symlink entries
+    * to the link target (`Files.createDirectories` through a
+    * symlinked path segment refuses, so every data-path operation
+    * resolves first); adopted directories to themselves. */
   protected def realDir(ident: Identifier): String = {
     val p = Paths.get(dirOf(ident))
-    if (Files.isSymbolicLink(p))
-      Files.readSymbolicLink(p).toString
-    else p.toString
+    TablePointer.read(p) match {
+      case Some((dir, _)) => dir
+      case None if Files.isSymbolicLink(p) =>
+        Files.readSymbolicLink(p).toString
+      case None => p.toString
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
     val f = new File(dirOf(ident))
-    if (!isTableDir(f)) false
-    else {
-      // an external table (symlinked LOCATION) keeps its data —
-      // only the catalog entry goes; managed tables delete fully
-      if (Files.isSymbolicLink(f.toPath)) Files.delete(f.toPath)
-      else graft.util.Fs.deleteRecursively(f)
-      true
+    if (!isTableEntry(f)) false
+    else TablePointer.read(f.toPath) match {
+      case Some((dir, external)) =>
+        // the entry-object delete IS the un-publish (atomic on any
+        // store); the managed data home is garbage afterwards —
+        // readers holding the old path finish their scan untouched
+        Files.delete(f.toPath)
+        if (!external) graft.util.Fs.deleteRecursively(new File(dir))
+        true
+      case None =>
+        // adopted entries: an external table (symlinked LOCATION)
+        // keeps its data — only the catalog entry goes
+        if (Files.isSymbolicLink(f.toPath)) Files.delete(f.toPath)
+        else graft.util.Fs.deleteRecursively(f)
+        true
     }
   }
 
   override def purgeTable(ident: Identifier): Boolean = {
     val f = new File(dirOf(ident))
-    if (!isTableDir(f)) false
-    else {
-      // PURGE removes the data even for external tables
-      val target =
-        if (Files.isSymbolicLink(f.toPath))
-          Files.readSymbolicLink(f.toPath).toFile
-        else f
-      graft.util.Fs.deleteRecursively(target)
-      if (Files.isSymbolicLink(f.toPath)) Files.delete(f.toPath)
-      true
+    if (!isTableEntry(f)) false
+    else TablePointer.read(f.toPath) match {
+      case Some((dir, _)) =>
+        // PURGE removes the data even for external tables
+        Files.delete(f.toPath)
+        graft.util.Fs.deleteRecursively(new File(dir))
+        true
+      case None =>
+        val target =
+          if (Files.isSymbolicLink(f.toPath))
+            Files.readSymbolicLink(f.toPath).toFile
+          else f
+        graft.util.Fs.deleteRecursively(target)
+        if (Files.isSymbolicLink(f.toPath)) Files.delete(f.toPath)
+        true
     }
   }
 
+  /** RENAME is two entry-object operations — claim the new name
+    * (create-if-absent through the LogStore seam: a racing CREATE
+    * of the same name loses exactly one of the two), then delete
+    * the old entry. The DATA DIRECTORY NEVER MOVES — its hidden
+    * home stays put and the new pointer names it, so the rename is
+    * object-store-safe. A crash between the two steps leaves the
+    * table briefly visible under both names (both resolve to the
+    * same data — benign; the next rename/drop of either heals it).
+    * Adopted directory entries have no pointer to repoint: their
+    * identity IS their path, so renaming one falls back to a real
+    * directory move — atomic on POSIX, refused under an
+    * object-store LogStore where a directory move would be N
+    * non-atomic copies. */
   override def renameTable(old: Identifier, next: Identifier): Unit = {
     val from = new File(dirOf(old))
-    if (!isTableDir(from)) throw new NoSuchTableException(old)
+    if (!isTableEntry(from)) throw new NoSuchTableException(old)
     val to = new File(dirOf(next))
-    if (isTableDir(to)) throw new TableAlreadyExistsException(next)
+    if (isTableEntry(to)) throw new TableAlreadyExistsException(next)
     require(to.getParentFile.isDirectory,
       s"target namespace ${next.namespace.mkString(".")} does not exist")
-    Files.move(from.toPath, to.toPath): Unit
+    TablePointer.read(from.toPath) match {
+      case Some((dir, external)) =>
+        if (!TablePointer.claim(to.toPath, dir, external))
+          throw new TableAlreadyExistsException(next)
+        Files.delete(from.toPath)
+      case None =>
+        require(graft.sources.LogStore.current eq
+            graft.sources.PosixLogStore,
+          s"RENAME of adopted directory table ${fullName(old)}: its " +
+            "identity is its path, and a directory move is not " +
+            "atomic on an object store — copy it into a managed " +
+            "table (CREATE TABLE ... AS SELECT) instead")
+        GraftSqlSeams.dirMoves.incrementAndGet()
+        Files.move(from.toPath, to.toPath): Unit
+    }
   }
 
-  /** Create the table directory for `ident`, honoring an external
-    * LOCATION property as a symlink (the data lives at the location,
-    * the catalog entry under the warehouse). Refuses when the
-    * namespace directory does not exist. */
-  protected def createTableDir(ident: Identifier,
-      properties: util.Map[String, String]): String = {
+  /** Prepare the DATA HOME for a new table — a hidden immutable
+    * `.tbl-<name>-<uuid>` directory under the namespace for managed
+    * tables, the resolved LOCATION for external ones. Nothing is
+    * published yet: the entry appears only when [[publishNewTable]]
+    * claims the pointer. Refuses when the namespace directory does
+    * not exist. */
+  protected def prepareDataDir(ident: Identifier,
+      properties: util.Map[String, String]): (String, Boolean) = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val dir = new File(dirOf(ident))
-    if (!dir.getParentFile.isDirectory)
+    val entry = new File(dirOf(ident))
+    if (!entry.getParentFile.isDirectory)
       throw new NoSuchNamespaceException(ident.namespace)
     Option(properties.get(TableCatalog.PROP_LOCATION)) match {
       case Some(loc) =>
@@ -283,12 +418,26 @@ private[streaming] abstract class GraftDirCatalog
           Paths.get(java.net.URI.create(loc))
         else Paths.get(loc)
         Files.createDirectories(p)
-        Files.createSymbolicLink(dir.toPath, p): Unit
+        (p.toString, true)
       case None =>
-        Files.createDirectories(dir.toPath): Unit
+        val d = new File(entry.getParentFile,
+          s".tbl-${ident.name}-${java.util.UUID.randomUUID}")
+        Files.createDirectories(d.toPath)
+        (d.getPath, false)
     }
-    dir.getPath
   }
+
+  /** The CREATE commit point: claim the entry pointer. On a lost
+    * claim (racing CREATE won) the prepared MANAGED home is deleted
+    * — external data is never destroyed by a losing CREATE. */
+  protected def publishNewTable(ident: Identifier, dataDir: String,
+                                external: Boolean): Unit =
+    if (!TablePointer.claim(Paths.get(dirOf(ident)), dataDir,
+        external)) {
+      if (!external)
+        graft.util.Fs.deleteRecursively(new File(dataDir))
+      throw new TableAlreadyExistsException(ident)
+    }
 
   /** Table properties minus Spark's reserved / option keys — what
     * actually lands in the format's own table configuration. */
@@ -308,22 +457,31 @@ private[streaming] abstract class GraftDirCatalog
   protected def createUnder(dir: String, schema: StructType,
       partCols: Seq[String], properties: Map[String, String]): Unit
 
-  /** Invoked between the staged write and the publishing rename —
-    * formats whose metadata records absolute paths (Iceberg)
-    * repoint them at the final location here. */
+  /** Invoked between the staged write and a LEGACY directory-move
+    * publish (RTAS over an adopted directory table, where the staged
+    * dir must physically move to the entry path) — formats whose
+    * metadata records absolute paths (Iceberg) repoint them at the
+    * final location here. The pointer-entry publish never needs it:
+    * the staged directory IS the table's permanent home. */
   protected def beforePublishStaged(stagedDir: String,
                                     dest: String): Unit = ()
 
   /** ATOMIC CTAS / RTAS (`CREATE TABLE ... AS SELECT`,
     * `[CREATE OR] REPLACE TABLE ... AS SELECT`): the query writes
-    * into a HIDDEN staged directory (`.staged-<name>-<uuid>`,
-    * invisible to listings and loads), and only `commitStagedChanges`
-    * moves it to the table's real name — a failed or aborted query
-    * leaves no half-written table, and on plain CREATE the final
-    * rename refuses if a racing CREATE landed first. REPLACE swaps
-    * the old directory aside and deletes it after the new one is in
-    * place (two renames — the only non-atomic window, and it is
-    * rename-sized). */
+    * into a HIDDEN `.tbl-<name>-<uuid>` directory (invisible to
+    * listings and loads — leading-dot names are unaddressable), and
+    * only `commitStagedChanges` publishes it, by CLAIMING or
+    * REPOINTING the table's entry pointer through the LogStore seam
+    * ([[TablePointer]]) — the staged directory never moves; it
+    * becomes the table's permanent data home. A failed or aborted
+    * query deletes the hidden directory and leaves no table; a
+    * racing plain CREATE makes exactly one claimant lose its
+    * pointer claim and abort loudly; REPLACE repoints in ONE
+    * whole-object put and garbage-collects the previous managed
+    * home afterwards. The only directory move left is the legacy
+    * fallback publishing OVER an adopted directory table (whose
+    * identity is its path) — POSIX-only, counted by
+    * [[GraftSqlSeams.dirMoves]]. */
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String])
@@ -358,7 +516,7 @@ private[streaming] abstract class GraftDirCatalog
     if (!parent.isDirectory)
       throw new NoSuchNamespaceException(ident.namespace)
     val stagedDir = new File(parent,
-      s".staged-${ident.name}-${java.util.UUID.randomUUID}").getPath
+      s".tbl-${ident.name}-${java.util.UUID.randomUUID}").getPath
     Files.createDirectories(Paths.get(stagedDir))
     val inner =
       try {
@@ -388,33 +546,55 @@ private[streaming] abstract class GraftDirCatalog
         graft.util.Fs.deleteRecursively(new File(stagedDir))
       override def commitStagedChanges(): Unit = {
         val dest = Paths.get(dirOf(ident))
-        // format hook BEFORE the rename: nothing reads the hidden
-        // staged dir, so path rewrites happen out of sight and the
-        // rename itself stays the single publish point
-        beforePublishStaged(stagedDir, dest.toString)
-        if (!replace) {
-          if (isTableDir(dest.toFile)) {
+        val destPointer = TablePointer.read(dest)
+        if (destPointer.isEmpty && isTableDir(dest.toFile)) {
+          // LEGACY fallback: the name is occupied by an ADOPTED
+          // directory table whose identity is its path — publishing
+          // over it needs real directory moves (POSIX-only; the
+          // pointer lifecycle never comes here)
+          require(graft.sources.LogStore.current eq
+              graft.sources.PosixLogStore,
+            s"RTAS over adopted directory table ${fullName(ident)}: " +
+              "directory moves are not atomic on an object store")
+          if (!replace) {
             abortStagedChanges()
             throw new TableAlreadyExistsException(ident)
           }
-          Files.move(Paths.get(stagedDir), dest,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-        } else {
-          val old =
-            if (isTableDir(dest.toFile))
-              Some(new File(dest.getParent.toFile,
-                s".trash-${ident.name}-${java.util.UUID.randomUUID}"))
-            else None
-          old.foreach(o => Files.move(dest, o.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit)
+          beforePublishStaged(stagedDir, dest.toString)
+          val trash = new File(dest.getParent.toFile,
+            s".trash-${ident.name}-${java.util.UUID.randomUUID}")
+          GraftSqlSeams.dirMoves.incrementAndGet()
+          Files.move(dest, trash.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          GraftSqlSeams.dirMoves.incrementAndGet()
           Files.move(Paths.get(stagedDir), dest,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          // an EXTERNAL table's entry is a symlink: delete only the
-          // link — following it would destroy the external data
-          old.foreach { o =>
-            if (Files.isSymbolicLink(o.toPath)) Files.delete(o.toPath)
-            else graft.util.Fs.deleteRecursively(o)
+          if (Files.isSymbolicLink(trash.toPath))
+            Files.delete(trash.toPath)
+          else graft.util.Fs.deleteRecursively(trash)
+        } else if (!replace) {
+          // CREATE: claim the entry pointer — the staged dir is the
+          // table's permanent home, published by ONE create-if-absent
+          // pointer claim; a racing CREATE makes exactly one of the
+          // two lose here
+          if (!TablePointer.claim(dest, stagedDir, external = false)) {
+            abortStagedChanges()
+            throw new TableAlreadyExistsException(ident)
           }
+        } else {
+          // REPLACE: one whole-object repoint, then GC the previous
+          // MANAGED home (an external table's data is never touched
+          // — only its entry is repointed away from it); a legacy
+          // symlink entry is deleted first so the pointer put lands
+          // on a plain path
+          val oldManaged = destPointer.collect {
+            case (dir, false) => dir
+          }
+          if (destPointer.isEmpty && Files.isSymbolicLink(dest))
+            Files.delete(dest)
+          TablePointer.repoint(dest, stagedDir, external = false)
+          oldManaged.foreach(d =>
+            graft.util.Fs.deleteRecursively(new File(d)))
         }
       }
     }
@@ -459,7 +639,15 @@ private[streaming] abstract class GraftDirCatalog
       metadata: util.Map[String, String]): Unit = {
     if (namespaceExists(ns) && ns.nonEmpty)
       throw new NamespaceAlreadyExistsException(ns)
-    Files.createDirectories(Paths.get(nsDir(ns))): Unit
+    // the path may be occupied by a TABLE (an adopted table dir
+    // fails namespaceExists but would make createDirectories a
+    // silent no-op, aliasing the table as a namespace; a pointer
+    // entry would make it fail confusingly) — refuse loudly
+    val p = Paths.get(nsDir(ns))
+    if (Files.exists(p) && !Files.isDirectory(p) ||
+        Files.isDirectory(p) && isTableDir(p.toFile))
+      throw new NamespaceAlreadyExistsException(ns)
+    Files.createDirectories(p): Unit
   }
 
   override def alterNamespace(ns: Array[String],
@@ -488,7 +676,8 @@ private[streaming] abstract class GraftDirCatalog
 class GraftDeltaCatalog extends GraftDirCatalog {
 
   override protected lazy val procedures: Map[String, GraftProcedure] =
-    GraftProcedures.delta(resolveTableArg)
+    GraftProcedures.delta(resolveTableArg) ++
+      GraftProcedures.common(resolveNsArg)
 
   override protected def isTableDir(d: File): Boolean =
     new File(d, "_delta_log").isDirectory
@@ -530,9 +719,10 @@ class GraftDeltaCatalog extends GraftDirCatalog {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val partCols = identityPartCols(partitions, "graft-delta")
-    createTableDir(ident, properties)
-    DeltaLog.createTable(realDir(ident), schema, partCols,
+    val (dataDir, external) = prepareDataDir(ident, properties)
+    DeltaLog.createTable(dataDir, schema, partCols,
       userProperties(properties))
+    publishNewTable(ident, dataDir, external)
     loadTable(ident)
   }
 
@@ -775,7 +965,8 @@ private[streaming] class ReplaceFilesBatchWrite(
 class GraftIcebergCatalog extends GraftDirCatalog {
 
   override protected lazy val procedures: Map[String, GraftProcedure] =
-    GraftProcedures.iceberg(resolveTableArg)
+    GraftProcedures.iceberg(resolveTableArg) ++
+      GraftProcedures.common(resolveNsArg)
 
   override protected def isTableDir(d: File): Boolean =
     Iceberg.versions(d.getPath).nonEmpty ||
@@ -805,8 +996,9 @@ class GraftIcebergCatalog extends GraftDirCatalog {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val partCols = identityPartCols(partitions, "graft-iceberg")
-    createTableDir(ident, properties)
-    IcebergSqlTables.writeMarker(realDir(ident), schema, partCols)
+    val (dataDir, external) = prepareDataDir(ident, properties)
+    IcebergSqlTables.writeMarker(dataDir, schema, partCols)
+    publishNewTable(ident, dataDir, external)
     loadTable(ident)
   }
 
@@ -1197,6 +1389,16 @@ object SqlCatalogQueries {
       s"spark.sql.catalog.${if (iceberg) "graftice" else "graftsql"}" +
         ".warehouse")
 
+  /** A catalog table's REAL data directory: the entry at
+    * `<warehouse>/<ns>/<name>` is a pointer object — the gates that
+    * probe the log directly resolve it exactly as the catalog does. */
+  private def tableDirOf(spark: SparkSession, iceberg: Boolean,
+                         ns: String, name: String): String = {
+    val entry = Paths.get(
+      s"${warehouseOf(spark, iceberg)}/${ns.split('.')(1)}/$name")
+    TablePointer.read(entry).map(_._1).getOrElse(entry.toString)
+  }
+
   /** The orders subset all seven queries speak, registered as a temp
     * view for INSERT ... SELECT. */
   private def ordersView(spark: SparkSession, dir: String): String = {
@@ -1216,8 +1418,16 @@ object SqlCatalogQueries {
     * first insert (in-query `require`), and a final filtered SELECT
     * whose WHERE prunes files through the catalog (seam-pinned).
     * This is the reference's own surface — Spark SQL DDL/DML over a
-    * lakehouse table addressed by NAME. */
-  def sqlLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    * lakehouse table addressed by NAME. The WHOLE lifecycle runs
+    * under [[graft.sources.ConditionalPutStore]] — object-store
+    * commit semantics (no hard links, no atomic renames) for the
+    * table's commits AND the catalog's own pointer-entry publish,
+    * with the dirMoves seam `require`d untouched: nothing on the
+    * path moved a directory. */
+  def sqlLifecycle(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.LogStore.withStore(
+        graft.sources.ConditionalPutStore) {
+    val moves0 = GraftSqlSeams.dirMoves.get()
     val ns = freshNs(spark, iceberg = false)
     val v = ordersView(spark, dir)
     spark.sql(s"""CREATE TABLE $ns.orders (
@@ -1234,7 +1444,7 @@ object SqlCatalogQueries {
     require(atV1 == evens,
       s"VERSION AS OF 1 read $atV1 rows, first insert wrote $evens")
     val tableDir =
-      s"${warehouseOf(spark, iceberg = false)}/${ns.split('.')(1)}/orders"
+      tableDirOf(spark, iceberg = false, ns, "orders")
     BatchScanStats.reset(tableDir)
     val out = spark.sql(s"SELECT $cols FROM $ns.orders " +
       "WHERE o_orderstatus = 'O' ORDER BY o_orderkey")
@@ -1243,6 +1453,8 @@ object SqlCatalogQueries {
     require(s.live > 0 && s.pushdownKept < s.live,
       s"catalog SELECT did not prune (live ${s.live}, kept " +
         s"${s.pushdownKept})")
+    require(GraftSqlSeams.dirMoves.get() == moves0,
+      "the conditional-put lifecycle moved a directory")
     out
   }
 
@@ -1288,7 +1500,7 @@ object SqlCatalogQueries {
       o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
     spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
     val tableDir =
-      s"${warehouseOf(spark, iceberg = false)}/${ns.split('.')(1)}/orders"
+      tableDirOf(spark, iceberg = false, ns, "orders")
     val fFiles = DeltaLog
       .replay(tableDir, DeltaLog.versions(tableDir).last)
       .adds.values
@@ -1352,7 +1564,7 @@ object SqlCatalogQueries {
       o_totalprice DOUBLE)""")
     spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
     val tableDir =
-      s"${warehouseOf(spark, iceberg = false)}/${ns.split('.')(1)}/orders"
+      tableDirOf(spark, iceberg = false, ns, "orders")
     val before = GraftSqlSeams.metadataDeletes.get()
     spark.sql(s"DELETE FROM $ns.orders WHERE o_orderkey % 10 = 0")
     require(GraftSqlSeams.metadataDeletes.get() == before,
@@ -1386,7 +1598,7 @@ object SqlCatalogQueries {
     spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v " +
       "WHERE o_orderkey % 2 = 1")
     val tableDir =
-      s"${warehouseOf(spark, iceberg = true)}/${ns.split('.')(1)}/orders"
+      tableDirOf(spark, iceberg = true, ns, "orders")
     val firstSnap = Iceberg.snapshotIds(tableDir).min
     val evens = spark.table(v)
       .filter(col("o_orderkey") % 2 === 0).count()
@@ -1417,7 +1629,7 @@ object SqlCatalogQueries {
       o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
     spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
     val tableDir =
-      s"${warehouseOf(spark, iceberg = false)}/${ns.split('.')(1)}/orders"
+      tableDirOf(spark, iceberg = false, ns, "orders")
     val liveFiles = DeltaLog
       .replay(tableDir, DeltaLog.versions(tableDir).last).adds.size
     val distinctFiles = spark.sql(
@@ -1484,7 +1696,7 @@ object SqlCatalogQueries {
       o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
     spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
     val tableDir =
-      s"${warehouseOf(spark, iceberg = true)}/${ns.split('.')(1)}/orders"
+      tableDirOf(spark, iceberg = true, ns, "orders")
     val preSnap = Iceberg.snapshotIds(tableDir).max
     val fFiles = Iceberg.batchPlan(tableDir, preSnap)
       .files.count(_.pv.get("o_orderstatus").contains("F"))
@@ -1531,14 +1743,24 @@ object SqlCatalogQueries {
   }
 
   val icebergSqlMergeSql: String = sqlMergeSql
-  /** q235 — ATOMIC CTAS / RTAS: `CREATE TABLE ... AS SELECT` stages
-    * into a hidden directory and publishes by ONE rename
-    * (StagingTableCatalog), then `REPLACE TABLE ... AS SELECT` swaps
-    * the whole table — schema change included — in one statement.
-    * The in-query `require`s pin the atomicity seam: no `.staged-`
-    * leftovers, and the replaced table's reads come entirely from
-    * the new snapshot. */
-  def sqlCtas(spark: SparkSession, dir: String): DataFrame = {
+  /** q235 — ATOMIC CTAS / RTAS, OBJECT-STORE SAFE: `CREATE TABLE
+    * ... AS SELECT` stages into a hidden `.tbl-` directory and
+    * publishes by ONE pointer-object claim through the LogStore
+    * seam (StagingTableCatalog + [[TablePointer]] — the staged
+    * directory never moves), then `REPLACE TABLE ... AS SELECT`
+    * swaps the whole table — schema change included — by ONE
+    * whole-object repoint, garbage-collecting the previous home.
+    * The whole statement pair runs under
+    * [[graft.sources.ConditionalPutStore]] (no hard links, no
+    * atomic renames — S3 semantics). The in-query `require`s pin
+    * the publish shape: the catalog entry is a pointer FILE, the
+    * replaced CTAS home was GC'd (exactly one referenced `.tbl-`
+    * home remains), zero directory moves, and the replaced table's
+    * reads come entirely from the new snapshot. */
+  def sqlCtas(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.LogStore.withStore(
+        graft.sources.ConditionalPutStore) {
+    val moves0 = GraftSqlSeams.dirMoves.get()
     val ns = freshNs(spark, iceberg = false)
     val v = ordersView(spark, dir)
     spark.sql(s"""CREATE TABLE $ns.big_orders AS
@@ -1548,10 +1770,18 @@ object SqlCatalogQueries {
       WHERE o_totalprice > 200000""")
     val whDir = new java.io.File(
       s"${warehouseOf(spark, iceberg = false)}/${ns.split('.')(1)}")
-    val staged = Option(whDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(".staged"))
-    require(staged.isEmpty,
-      s"staged CTAS directories leaked: ${staged.map(_.getName).toSeq}")
+    val entry = new java.io.File(whDir, "big_orders")
+    require(entry.isFile &&
+        TablePointer.read(entry.toPath).isDefined,
+      "CTAS/RTAS must publish a pointer entry, not move a directory")
+    val referenced = TablePointer.read(entry.toPath).get._1
+    val homes = Option(whDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".tbl-big_orders"))
+    require(homes.length == 1 && homes.head.getPath == referenced,
+      s"RTAS must GC the replaced home and reference the new one " +
+        s"(found ${homes.map(_.getName).toSeq}, pointer $referenced)")
+    require(GraftSqlSeams.dirMoves.get() == moves0,
+      "the CTAS/RTAS publish path moved a directory")
     val out = spark.sql(
       s"SELECT o_orderkey, o_orderstatus FROM $ns.big_orders " +
         "ORDER BY o_orderkey")

@@ -162,6 +162,37 @@ private[streaming] object GraftProcedures {
         { case Seq(t: String, b: String) =>
           one(Iceberg.fastForward(resolve(t), b).toLong) }))
 
+  /** Catalog-generic procedures. `remove_orphan_homes` is the GC
+    * half of the pointer-entry lifecycle: a crashed CTAS driver, a
+    * lost CREATE race, or a data-plane straggler task re-creating a
+    * deleted staging directory each leave a hidden `.tbl-` home no
+    * pointer references — invisible to every listing and load, but
+    * occupying storage. The sweep deletes exactly the unreferenced
+    * homes older than the caller's horizon (set it beyond your
+    * longest-running CTAS: an in-flight staged home is unreferenced
+    * BY DESIGN until its commit claims the pointer). `resolveNs`
+    * maps a namespace argument to its warehouse directory. */
+  def common(resolveNs: String => String): Map[String, GraftProcedure] =
+    Map(
+      "remove_orphan_homes" -> GraftProcedure("remove_orphan_homes",
+        "delete hidden .tbl- table homes no pointer entry references " +
+          "(crashed CTAS, lost CREATE races, straggler tasks)",
+        Seq("namespace" -> StringType, "older_than_ms" -> LongType),
+        StructType(Seq(StructField("deleted_homes", LongType))),
+        { case Seq(ns: String, olderThan: Long) =>
+          val d = new java.io.File(resolveNs(ns))
+          val entries = Option(d.listFiles()).getOrElse(Array.empty)
+          val referenced = entries.flatMap(f =>
+            TablePointer.read(f.toPath).map(_._1)).toSet
+          val cutoff = System.currentTimeMillis() - olderThan
+          val orphans = entries.filter(f =>
+            f.isDirectory && f.getName.startsWith(".tbl-") &&
+              !referenced.contains(f.getPath) &&
+              f.lastModified() < cutoff)
+          orphans.foreach(graft.util.Fs.deleteRecursively)
+          one(orphans.length.toLong)
+        }))
+
   /** Shared ProcedureCatalog plumbing for [[GraftDirCatalog]]. */
   def load(procs: Map[String, GraftProcedure], catalogName: String,
            ident: Identifier): UnboundProcedure = {

@@ -32,6 +32,12 @@ class SqlCatalogSpec extends SparkSuite {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** Resolve a catalog entry to the table's real data directory —
+    * every managed table's entry is a pointer object. */
+  private def tdir(entry: String): String =
+    graft.streaming.TablePointer
+      .read(java.nio.file.Paths.get(entry)).map(_._1).getOrElse(entry)
+
   test("delta catalog: create, insert, select, time travel") {
     sql("""CREATE TABLE gsql.db.t1 (k BIGINT, s STRING, v BIGINT)
           |PARTITIONED BY (s)""".stripMargin)
@@ -80,7 +86,7 @@ class SqlCatalogSpec extends SparkSuite {
     assert(rows(sql("SELECT k, v, note FROM gsql.db.alt")) ===
       Seq("[1,10,null]", "[2,20,hi]"))
     sql("ALTER TABLE gsql.db.alt SET TBLPROPERTIES ('x.y' = 'z')")
-    val dir = s"$wh/db/alt"
+    val dir = tdir(s"$wh/db/alt")
     assert(DeltaLog.replay(dir, DeltaLog.versions(dir).last)
       .configuration.get("x.y") === Some("z"))
     sql("ALTER TABLE gsql.db.alt UNSET TBLPROPERTIES ('x.y')")
@@ -112,7 +118,7 @@ class SqlCatalogSpec extends SparkSuite {
   test("delta catalog: COW DELETE for untranslatable predicates") {
     sql("CREATE TABLE gsql.db.delc (k BIGINT, v BIGINT)")
     sql("INSERT INTO gsql.db.delc SELECT id, id * 10 FROM range(100)")
-    val dir = s"$wh/db/delc"
+    val dir = tdir(s"$wh/db/delc")
     val before = GraftSqlSeams.metadataDeletes.get()
     sql("DELETE FROM gsql.db.delc WHERE k % 7 = 0")
     assert(GraftSqlSeams.metadataDeletes.get() === before,
@@ -130,7 +136,7 @@ class SqlCatalogSpec extends SparkSuite {
     sql("INSERT INTO gsql.db.upd SELECT id, 'a', id FROM range(10)")
     sql("INSERT INTO gsql.db.upd SELECT id, 'b', id FROM range(10)")
     sql("INSERT INTO gsql.db.upd SELECT id, 'c', id FROM range(10)")
-    val dir = s"$wh/db/upd"
+    val dir = tdir(s"$wh/db/upd")
     val bFiles = DeltaLog.replay(dir, DeltaLog.versions(dir).last)
       .adds.values.count(_.partitionValues.get("s").contains("b"))
     sql("UPDATE gsql.db.upd SET v = v + 100 WHERE s = 'b'")
@@ -202,7 +208,7 @@ class SqlCatalogSpec extends SparkSuite {
       Seq("[1,a,10]", "[2,b,20]", "[3,a,30]"))
     assert(rows(sql(
       "SELECT k FROM gice.db.it WHERE s = 'a'")) === Seq("[1]", "[3]"))
-    val dir = s"$wh/_ice/db/it"
+    val dir = tdir(s"$wh/_ice/db/it")
     assert(Iceberg.currentSpecFields(dir) === Seq("s" -> "identity"))
     // VERSION AS OF = snapshot id
     val snaps = Iceberg.snapshotIds(dir)
@@ -236,7 +242,7 @@ class SqlCatalogSpec extends SparkSuite {
           |PARTITIONED BY (s)""".stripMargin)
     sql("INSERT INTO gsql.db.race SELECT id, 'a' FROM range(10)")
     sql("INSERT INTO gsql.db.race SELECT id, 'b' FROM range(10)")
-    val dir = s"$wh/db/race"
+    val dir = tdir(s"$wh/db/race")
     // plant a concurrent append into partition 'c' (provably outside
     // the s='a' rewrite group) between scan planning and commit via
     // the claim hook
@@ -261,7 +267,7 @@ class SqlCatalogSpec extends SparkSuite {
   test("row-level op conflict: overlapping writer aborts loudly") {
     sql("CREATE TABLE gsql.db.race2 (k BIGINT, v BIGINT)")
     sql("INSERT INTO gsql.db.race2 SELECT id, id FROM range(10)")
-    val dir = s"$wh/db/race2"
+    val dir = tdir(s"$wh/db/race2")
     @volatile var planted = false
     sources.DeltaLog.commitClaimHook = (d, _) =>
       if (d == dir && !planted) {
@@ -287,7 +293,7 @@ class SqlCatalogSpec extends SparkSuite {
     sql("INSERT INTO gice.db.iupd SELECT id, 'a', id FROM range(10)")
     sql("INSERT INTO gice.db.iupd SELECT id, 'b', id FROM range(10)")
     sql("INSERT INTO gice.db.iupd SELECT id, 'c', id FROM range(10)")
-    val dir = s"$wh/_ice/db/iupd"
+    val dir = tdir(s"$wh/_ice/db/iupd")
     val bFiles = Iceberg.batchPlan(dir, Iceberg.snapshotIds(dir).max)
       .files.count(_.pv.get("s").contains("b"))
     assert(bFiles >= 1)
@@ -351,7 +357,7 @@ class SqlCatalogSpec extends SparkSuite {
   test("iceberg COW conflict: disjoint racing append retries") {
     sql("CREATE TABLE gice.db.irace (k BIGINT, v BIGINT)")
     sql("INSERT INTO gice.db.irace SELECT id + 100, id FROM range(10)")
-    val dir = s"$wh/_ice/db/irace"
+    val dir = tdir(s"$wh/_ice/db/irace")
     @volatile var planted = false
     sources.Iceberg.commitClaimHook = (d, _) =>
       if (d == dir && !planted) {
@@ -374,7 +380,7 @@ class SqlCatalogSpec extends SparkSuite {
   test("iceberg COW conflict: overlapping racing append aborts") {
     sql("CREATE TABLE gice.db.irace2 (k BIGINT, v BIGINT)")
     sql("INSERT INTO gice.db.irace2 SELECT id, id FROM range(10)")
-    val dir = s"$wh/_ice/db/irace2"
+    val dir = tdir(s"$wh/_ice/db/irace2")
     @volatile var planted = false
     sources.Iceberg.commitClaimHook = (d, _) =>
       if (d == dir && !planted) {
@@ -400,7 +406,7 @@ class SqlCatalogSpec extends SparkSuite {
     sql("REPLACE TABLE gsql.db.ctas AS SELECT id AS k FROM range(3)")
     assert(sql("SELECT * FROM gsql.db.ctas").columns.toSeq === Seq("k"))
     assert(sql("SELECT * FROM gsql.db.ctas").count() === 3)
-    // a failing CTAS aborts its staged directory and leaves no table
+    // a failing CTAS aborts its staged .tbl- home and leaves no table
     // runtime failure mid-write (ANSI cast throws past row 4)
     intercept[Exception](sql("CREATE TABLE gsql.db.ctas2 AS " +
       "SELECT CAST(CASE WHEN id < 5 THEN '1' ELSE 'boom' END " +
@@ -409,8 +415,13 @@ class SqlCatalogSpec extends SparkSuite {
     intercept[Exception](sql("CREATE TABLE gsql.db.ctas2 AS " +
       "SELECT assert_true(id < 5) AS x, id FROM range(10)"))
     intercept[Exception](sql("SELECT * FROM gsql.db.ctas2"))
+    // sweep straggler-resurrected homes before asserting (a
+    // cancelled write task may land a part file after the abort)
+    sql("CALL gsql.system.remove_orphan_homes(" +
+      "namespace => 'db', older_than_ms => 0)")
     val leftovers = Option(new java.io.File(s"$wh/db").listFiles())
-      .getOrElse(Array.empty).filter(_.getName.startsWith(".staged"))
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".tbl-ctas2"))
     assert(leftovers.isEmpty,
       s"staged dirs leaked: ${leftovers.map(_.getName).toSeq}")
   }
@@ -444,7 +455,7 @@ class SqlCatalogSpec extends SparkSuite {
     (0 until 4).foreach(i =>
       sql(s"INSERT INTO gsql.db.popt SELECT id + ${i * 10}, id " +
         "FROM range(10)"))
-    val dir = s"$wh/db/popt"
+    val dir = tdir(s"$wh/db/popt")
     val before = DeltaLog
       .replay(dir, DeltaLog.versions(dir).last).adds.size
     val opt = sql("CALL gsql.system.optimize(table => 'db.popt')")
@@ -471,7 +482,7 @@ class SqlCatalogSpec extends SparkSuite {
     (0 until 3).foreach(i =>
       sql(s"INSERT INTO gice.db.popt SELECT id + ${i * 10}, id " +
         "FROM range(10)"))
-    val dir = s"$wh/_ice/db/popt"
+    val dir = tdir(s"$wh/_ice/db/popt")
     val preSnaps = Iceberg.snapshotIds(dir)
     sql("CALL gice.system.rewrite_data_files(table => 'db.popt')")
     assert(sql("SELECT count(*) FROM gice.db.popt").head.getLong(0)
@@ -483,7 +494,7 @@ class SqlCatalogSpec extends SparkSuite {
       === 30)
     sql("CREATE TABLE gice.db.prb (k BIGINT)")
     sql("INSERT INTO gice.db.prb VALUES (1)")
-    val firstSnap = Iceberg.snapshotIds(s"$wh/_ice/db/prb").max
+    val firstSnap = Iceberg.snapshotIds(tdir(s"$wh/_ice/db/prb")).max
     sql("INSERT INTO gice.db.prb VALUES (2)")
     sql("CALL gice.system.rollback_to_snapshot(table => 'db.prb', " +
       s"snapshot_id => $firstSnap)")
@@ -492,7 +503,7 @@ class SqlCatalogSpec extends SparkSuite {
   test("delta catalog: DROP COLUMN is metadata-only on mapped tables") {
     sql("CREATE TABLE gsql.db.dropc (k BIGINT, v BIGINT, w STRING) " +
       "TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
-    val dir = s"$wh/db/dropc"
+    val dir = tdir(s"$wh/db/dropc")
     // CREATE with mapping property alone does not annotate the
     // schema; route through the mapped writer to mint the mapping
     val mapped = DeltaLog
@@ -642,10 +653,103 @@ class SqlCatalogSpec extends SparkSuite {
     assert(sql("SELECT count(*) FROM gsql.db.extr").head.getLong(0)
       === 5)
     // the external location's data survives — only the catalog
-    // entry (a symlink) was swapped
+    // entry (a pointer object) was repointed
     assert(DeltaLog.read(spark, loc).count() === 2,
       "REPLACE of an external table must not destroy external data")
   }
+  test("full lifecycle under ConditionalPutStore: zero dir renames") {
+    import graft.sources.{ConditionalPutStore, LogStore}
+    wh
+    LogStore.withStore(ConditionalPutStore) {
+      val moves0 = GraftSqlSeams.dirMoves.get()
+      val claims0 = ConditionalPutStore.claimsAttempted.get()
+      sql("CREATE NAMESPACE IF NOT EXISTS gsql.cps")
+      // CREATE + INSERT: table state and entry pointer both commit
+      // through the conditional-put seam
+      sql("CREATE TABLE gsql.cps.lc (k BIGINT, s STRING) " +
+        "PARTITIONED BY (s)")
+      sql("INSERT INTO gsql.cps.lc VALUES (1, 'a'), (2, 'b')")
+      // CTAS publishes by pointer claim, never a move
+      sql("CREATE TABLE gsql.cps.lc2 AS SELECT k FROM gsql.cps.lc")
+      assert(sql("SELECT * FROM gsql.cps.lc2").count() === 2)
+      // RTAS repoints and GCs the replaced home
+      sql("REPLACE TABLE gsql.cps.lc2 AS " +
+        "SELECT id AS k FROM range(5)")
+      assert(sql("SELECT * FROM gsql.cps.lc2").count() === 5)
+      // RENAME = claim new entry + delete old entry
+      sql("ALTER TABLE gsql.cps.lc2 RENAME TO cps.lc3")
+      assert(sql("SELECT * FROM gsql.cps.lc3").count() === 5)
+      assert(!sql("SHOW TABLES IN gsql.cps").collect()
+        .exists(_.toString.contains("lc2,")))
+      // racing CREATEs: exactly one of two claimants wins
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val results =
+        try {
+          import scala.concurrent._
+          import scala.concurrent.duration._
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          Await.result(Future.sequence((0 until 2).map(_ => Future(
+            scala.util.Try(spark.sql(
+              "CREATE TABLE gsql.cps.race AS " +
+                "SELECT id FROM range(3)"))))), 120.seconds)
+        } finally pool.shutdown()
+      assert(results.count(_.isSuccess) === 1,
+        s"exactly one racing CREATE must win: $results")
+      assert(sql("SELECT * FROM gsql.cps.race").count() === 3)
+      // mid-write abort leaves no table and no orphan home
+      intercept[Exception](sql("CREATE TABLE gsql.cps.boom AS " +
+        "SELECT CAST(CASE WHEN id < 5 THEN '1' ELSE 'x' END " +
+        "AS BIGINT) AS k FROM range(10)"))
+      intercept[Exception](sql("SELECT * FROM gsql.cps.boom"))
+      // DROP un-publishes by entry delete, then GCs
+      sql("DROP TABLE gsql.cps.lc3")
+      sql("DROP TABLE gsql.cps.lc")
+      sql("DROP TABLE gsql.cps.race")
+      // the orphan sweep reclaims anything a crash/abort/straggler
+      // left (the aborted CTAS's home may resurrect when a
+      // cancelled write task lands its part file after the abort's
+      // delete — data-plane stragglers are GC'd, never trusted);
+      // after it, zero hidden homes remain
+      sql("CALL gsql.system.remove_orphan_homes(" +
+        "namespace => 'cps', older_than_ms => 0)")
+      val leftover = Option(new java.io.File(s"$wh/cps").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith(".tbl-"))
+      assert(leftover.isEmpty,
+        s"orphan homes: ${leftover.map(_.getName).toSeq}")
+      assert(GraftSqlSeams.dirMoves.get() === moves0,
+        "the object-store lifecycle moved a directory")
+      assert(ConditionalPutStore.claimsAttempted.get() > claims0,
+        "commits did not route through the conditional-put store")
+    }
+  }
+
+  test("adopted directory table: readable, rename refused on objstore") {
+    wh
+    // a pre-existing delta directory dropped INTO the warehouse is
+    // adopted: readable/writable by name without any pointer entry
+    val dir = s"$wh/db/adopted"
+    DeltaLog.commitAppend(
+      spark.range(4).selectExpr("id AS k"), dir)
+    assert(sql("SELECT count(*) FROM gsql.db.adopted").head.getLong(0)
+      === 4)
+    // its identity is its path: renaming it needs a directory move,
+    // allowed on POSIX but refused under an object-store LogStore
+    graft.sources.LogStore.withStore(
+        graft.sources.ConditionalPutStore) {
+      val e = intercept[Exception](
+        sql("ALTER TABLE gsql.db.adopted RENAME TO db.adopted2"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("adopted")))
+    }
+    sql("ALTER TABLE gsql.db.adopted RENAME TO db.adopted2")
+    assert(sql("SELECT count(*) FROM gsql.db.adopted2").head.getLong(0)
+      === 4)
+    sql("DROP TABLE gsql.db.adopted2")
+  }
+
   test("streaming sinks land in PARTITIONED tables under the spec") {
     import org.apache.spark.sql.streaming.Trigger
     val work = Files.createTempDirectory("graft_psink").toString
