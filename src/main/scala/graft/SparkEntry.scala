@@ -628,7 +628,13 @@ object SparkEntry {
       -> (streaming.SqlCatalogQueries.sqlProcedures _),
     // native DSv2 streaming sinks, exactly-once (round 14)
     "q237_streaming_sink"
-      -> (streaming.SqlCatalogQueries.streamingSink _)
+      -> (streaming.SqlCatalogQueries.streamingSink _),
+    // SQL OPTIMIZE ZORDER BY + partitioned catalog streaming sink
+    // (round 15)
+    "q238_sql_optimize_zorder"
+      -> (streaming.SqlCatalogQueries.sqlOptimizeZorder _),
+    "q239_streaming_sink_partitioned"
+      -> (streaming.SqlCatalogQueries.streamingSinkPartitioned _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -935,6 +941,10 @@ object SparkEntry {
     "q236_sql_procedures"
       -> streaming.SqlCatalogQueries.sqlProceduresSql,
     "q237_streaming_sink"
-      -> streaming.SqlCatalogQueries.streamingSinkSql
+      -> streaming.SqlCatalogQueries.streamingSinkSql,
+    "q238_sql_optimize_zorder"
+      -> streaming.SqlCatalogQueries.sqlOptimizeZorderSql,
+    "q239_streaming_sink_partitioned"
+      -> streaming.SqlCatalogQueries.streamingSinkPartitionedSql
   )
 }

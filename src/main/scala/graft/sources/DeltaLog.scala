@@ -8,7 +8,7 @@ import scala.util.control.NonFatal
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, LongType, StringType,
   StructField, StructType}
@@ -3319,6 +3319,89 @@ object DeltaLog {
       dataChange = false)
     val removes = st.files.map(p => removeAction(p, dataChange = false))
     // the compact discipline: append winners carry over by identity
+    commitRowOp(tableDir, base, removes ++ adds,
+      st.files.toSet, (_, _) => false, "compaction")
+  }
+
+  /** OPTIMIZE ZORDER BY — [[compact]] whose layout is a MORTON
+    * (Z-order) re-cluster on `zorderCols`: each dimension is min/max
+    * NORMALIZED onto its bit range and the bits INTERLEAVED, so every
+    * written file covers a small hyper-rectangle in ALL the named
+    * dimensions at once and the refreshed `add.stats` min/max bounds
+    * prune scans filtered on ANY of them (a single-column sort gives
+    * perfect skipping on one dimension and none on the others — the
+    * [[graft.ops.Scale.zOrderedOrders]] trade, now reachable from
+    * `CALL <cat>.system.optimize_zorder`, real Delta's
+    * `OPTIMIZE ... ZORDER BY (...)`). Commits remove(old)+add(new)
+    * all `dataChange=false` — same rows, new layout; streaming
+    * readers may skip the commit entirely.
+    *
+    * Scale: one distributed pass — a broadcast bounds row, a
+    * projected z column, and a range-partitioned sort into
+    * `targetFiles` files (sampled bounds, no single-reducer funnel);
+    * the same cost class as any clustered rewrite, paid once per
+    * OPTIMIZE cycle. Dimensions must be integral or date columns
+    * (the bit interleave's domain). */
+  def compactZorder(spark: SparkSession, tableDir: String,
+      zorderCols: Seq[String], targetFiles: Int): Long = {
+    import org.apache.spark.sql.functions.{broadcast, datediff,
+      floor, lit, max, min, shiftleft, shiftright, when}
+    require(zorderCols.nonEmpty && targetFiles >= 1,
+      "optimize_zorder needs at least one column and targetFiles >= 1")
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
+    val base = vs.last
+    val st = replayMaybeCheckpointed(Some(spark), tableDir, base)
+    require(st.partitionColumns.isEmpty,
+      "optimize_zorder re-clusters unpartitioned tables (a " +
+        "partitioned table's skipping dimension is its partitioning)")
+    val schema = st.schema
+    zorderCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"optimize_zorder: no column $c in ${schema.fieldNames.toSeq}"))
+      require(Set("byte", "short", "integer", "long", "date")
+          .contains(f.dataType.typeName),
+        s"optimize_zorder: $c is ${f.dataType.typeName} — z-order " +
+          "dimensions must be integral or date columns")
+    }
+    // bits per dimension: the interleaved value must stay in a long
+    val bits = math.min(graft.ops.Scale.ZBits, 62 / zorderCols.length)
+    val snapshot = scanState(spark, tableDir, st)
+    def asLong(c: String): Column =
+      if (schema(c).dataType.typeName == "date")
+        datediff(col(c), lit("1970-01-01")).cast("long")
+      else col(c).cast("long")
+    val aggs = zorderCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(asLong(c)).as(s"mn$i"), max(asLong(c)).as(s"mx$i"))
+    }
+    val bounds = snapshot.agg(aggs.head, aggs.tail: _*)
+    def norm(i: Int, c: String): Column = {
+      val (mn, mx) = (col(s"mn$i"), col(s"mx$i"))
+      when(mx === mn || asLong(c).isNull, 0L).otherwise(
+        floor((asLong(c) - mn) * lit((1L << bits) - 1) / (mx - mn))
+          .cast("long"))
+    }
+    val z = (0 until bits).flatMap(i =>
+        zorderCols.zipWithIndex.map { case (c, j) =>
+          shiftleft(shiftright(norm(j, c), i).bitwiseAND(1L),
+            i * zorderCols.length + j)
+        }).reduce(_ bitwiseOR _)
+    val sub = s"part-${java.util.UUID.randomUUID}"
+    val clustered = snapshot.join(broadcast(bounds))
+      .withColumn("_z", z)
+      .repartitionByRange(targetFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    (if (st.columnMapping.isEmpty) clustered
+     else physicalRows(clustered, st))
+      .write.parquet(s"$tableDir/$sub")
+    val fs = partFiles(tableDir, sub)
+    val stats = statsJsonBatch(spark, fs)
+    val adds = fs.map(f =>
+      addAction(s"$sub/${f.getName}", f.length, Map.empty,
+        dataChange = false, stats = Some(stats(f.getPath))))
+    val removes = st.files.map(p => removeAction(p, dataChange = false))
     commitRowOp(tableDir, base, removes ++ adds,
       st.files.toSet, (_, _) => false, "compaction")
   }

@@ -1874,4 +1874,116 @@ object SqlCatalogQueries {
   val streamingSinkSql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q238 — SQL `OPTIMIZE ... ZORDER BY` (`CALL
+    * graftsql.system.optimize_zorder`): re-cluster a catalog table
+    * on the Morton interleave of (o_custkey, o_orderkey), then read
+    * a 2-D box through the catalog. In-query `require`s pin the
+    * whole contract: the commit classifies as OPTIMIZE (remove+add
+    * all dataChange=false — same rows, new layout), blooms were
+    * backfilled on the new files, and the box SELECT prunes files
+    * through the refreshed min/max stats in BOTH dimensions — the
+    * one-statement operational loop that keeps multi-dimensional
+    * point/range lookups cheap on a 100 TB fact table. */
+  def sqlOptimizeZorder(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val nsOnly = ns.split('.')(1)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.orders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE)""")
+    spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
+    // declare the bloomed lookup column: the zorder pass backfills
+    // sidecars for its re-clustered files
+    spark.sql(s"ALTER TABLE $ns.orders SET TBLPROPERTIES " +
+      s"('${DeltaLog.BloomColsProp}' = 'o_orderkey')")
+    val r = spark.sql(s"CALL graftsql.system.optimize_zorder(" +
+      s"table => '$nsOnly.orders', " +
+      "columns => 'o_custkey,o_orderkey', target_files => 16)")
+      .collect().head
+    require(r.getLong(2) >= 2 && r.getLong(3) >= 1,
+      s"optimize_zorder landed ${r.getLong(2)} files, bloomed " +
+        s"${r.getLong(3)}")
+    val tableDir = tableDirOf(spark, iceberg = false, ns, "orders")
+    val lastOp = DeltaLog.history(spark, tableDir)
+      .orderBy(col("version").desc).head.getString(1)
+    require(lastOp == "OPTIMIZE",
+      s"the z-order commit classified as $lastOp — it must be a " +
+        "dataChange=false OPTIMIZE")
+    BatchScanStats.reset(tableDir)
+    val out = spark.sql(s"SELECT $cols FROM $ns.orders " +
+      "WHERE o_custkey BETWEEN 50 AND 120 " +
+      "AND o_orderkey BETWEEN 100 AND 20000 ORDER BY o_orderkey")
+    out.count()
+    val s = BatchScanStats.statsFor(tableDir)
+    require(s.live >= 4 && s.pushdownKept < s.live,
+      s"the z-ordered layout did not prune the 2-D box " +
+        s"(live ${s.live}, kept ${s.pushdownKept})")
+    out
+  }
+
+  val sqlOptimizeZorderSql: String =
+    s"""SELECT $cols FROM orders
+       |WHERE o_custkey BETWEEN 50 AND 120
+       |  AND o_orderkey BETWEEN 100 AND 20000
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** q239 — PARTITIONED STREAMING SINK INTO THE SQL CATALOG:
+    * `writeStream ... .toTable("cat.ns.t")` against a
+    * status-partitioned catalog table — the native exactly-once
+    * DSv2 sink landing IDENTITY-PARTITIONED adds by table NAME
+    * (q237's shape promoted through the catalog + partitioning).
+    * Two AvailableNow drains with a source append between; a third
+    * empty drain must commit NOTHING (epoch watermark), a PLANTED
+    * epoch replay must be invisible (the idempotent commit returns
+    * None the second time), and every streamed add must carry its
+    * partition values — `require`d in-query. */
+  def streamingSinkPartitioned(spark: SparkSession,
+                               dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    import org.apache.spark.sql.streaming.Trigger
+    val ns = freshNs(spark, iceberg = false)
+    spark.sql(s"""CREATE TABLE $ns.osink (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
+    val work = Files.createTempDirectory("graft_psinkq").toString
+    val src = s"$work/src"
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    DeltaLog.commitAppend(
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0), src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("path", src).load()
+        .writeStream
+        .option("checkpointLocation", s"$work/cp")
+        .trigger(Trigger.AvailableNow()).toTable(s"$ns.osink")
+      q.awaitTermination(120000): Unit
+    }
+    drain()
+    DeltaLog.commitAppend(
+      o.filter(pmod(col("o_orderkey"), lit(2)) =!= 0), src)
+    drain()
+    val tableDir = tableDirOf(spark, iceberg = false, ns, "osink")
+    val afterTwo = DeltaLog.versions(tableDir).last
+    drain() // no new data: the epoch watermark must land NOTHING
+    require(DeltaLog.versions(tableDir).last == afterTwo,
+      "an empty re-drain committed to the catalog sink")
+    val st = DeltaLog.replay(tableDir, afterTwo)
+    require(st.partitionColumns == Seq("o_orderstatus") &&
+        st.adds.values.forall(_.partitionValues.contains("o_orderstatus")),
+      "streamed adds must land identity-partitioned")
+    // planted epoch replay: the same (appId, epoch) commits once
+    val first = DeltaLog.commitDsv2Idempotent(spark, tableDir,
+      st.schema, st.partitionColumns, Seq.empty, "q239-replay", 99L)
+    val replay = DeltaLog.commitDsv2Idempotent(spark, tableDir,
+      st.schema, st.partitionColumns, Seq.empty, "q239-replay", 99L)
+    require(first.isDefined && replay.isEmpty,
+      s"planted epoch replay was visible (first $first, " +
+        s"replay $replay)")
+    spark.sql(s"SELECT $cols FROM $ns.osink ORDER BY o_orderkey")
+  }
+
+  val streamingSinkPartitionedSql: String = streamingSinkSql
 }

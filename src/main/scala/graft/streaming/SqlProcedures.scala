@@ -111,6 +111,30 @@ private[streaming] object GraftProcedures {
             DeltaLog.replay(dir, DeltaLog.versions(dir).last).adds.size
           one(v, before.toLong, after.toLong)
         }),
+      "optimize_zorder" -> GraftProcedure("optimize_zorder",
+        "re-cluster the table on a Morton (Z-order) interleave of " +
+          "the named columns — one dataChange=false commit with " +
+          "fresh stats, blooms backfilled on the new layout (real " +
+          "Delta's OPTIMIZE ... ZORDER BY)",
+        Seq("table" -> StringType, "columns" -> StringType,
+          "target_files" -> IntegerType),
+        StructType(Seq(StructField("version", LongType),
+          StructField("files_before", LongType),
+          StructField("files_after", LongType),
+          StructField("files_bloomed", LongType))),
+        { case Seq(t: String, cols: String, target: Int) =>
+          val dir = resolve(t)
+          val spark = SparkSession.active
+          val before =
+            DeltaLog.replay(dir, DeltaLog.versions(dir).last).adds.size
+          val v = DeltaLog.compactZorder(spark, dir,
+            cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+            target)
+          val after =
+            DeltaLog.replay(dir, DeltaLog.versions(dir).last).adds.size
+          val bloomed = DeltaLog.bloomBackfill(spark, dir)
+          one(v, before.toLong, after.toLong, bloomed.toLong)
+        }),
       "vacuum" -> GraftProcedure("vacuum",
         "delete unreferenced data files beyond the retained versions",
         Seq("table" -> StringType, "keep_versions" -> IntegerType),
