@@ -634,7 +634,10 @@ object SparkEntry {
     "q238_sql_optimize_zorder"
       -> (streaming.SqlCatalogQueries.sqlOptimizeZorder _),
     "q239_streaming_sink_partitioned"
-      -> (streaming.SqlCatalogQueries.streamingSinkPartitioned _)
+      -> (streaming.SqlCatalogQueries.streamingSinkPartitioned _),
+    // native DSv2 writes under hidden transform specs (round 15)
+    "q240_iceberg_hidden_dsv2"
+      -> (streaming.SqlCatalogQueries.icebergHiddenDsv2Write _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -945,6 +948,8 @@ object SparkEntry {
     "q238_sql_optimize_zorder"
       -> streaming.SqlCatalogQueries.sqlOptimizeZorderSql,
     "q239_streaming_sink_partitioned"
-      -> streaming.SqlCatalogQueries.streamingSinkPartitionedSql
+      -> streaming.SqlCatalogQueries.streamingSinkPartitionedSql,
+    "q240_iceberg_hidden_dsv2"
+      -> streaming.SqlCatalogQueries.icebergHiddenDsv2WriteSql
   )
 }

@@ -2125,15 +2125,21 @@ object Iceberg {
     * publishes the manifest + metadata through the SAME
     * [[publishDataSnapshot]] claim loop as every DataFrame commit.
     * No footer pass: the writer-tracked stats become the manifest's
-    * record_count/value bounds directly. Identity specs only (hidden
-    * transforms need the derived-tuple write, which stays on the
-    * DataFrame path). Creates the table (spec 0, schema from the
-    * write) when no metadata exists. */
+    * record_count/value bounds directly. `hiddenSpec` writes land
+    * under a DERIVED-transform spec: the executor writers keyed the
+    * files on the transform tuple ([[graft.streaming]]'s writer
+    * derives it with the same [[graft.functions.IcebergTransforms]]
+    * scalars the pruner applies) and the manifest records the typed
+    * tuple under the spec's `<col>_bucket`-style names. Creates the
+    * table (spec 0, schema from the write) when no metadata
+    * exists. */
   private[graft] def commitDsv2(tableDir: String,
       logicalSchema: StructType, partCols: Seq[String],
-      files: Seq[DeltaLog.Dsv2File], overwrite: Boolean): Long =
+      files: Seq[DeltaLog.Dsv2File], overwrite: Boolean,
+      hiddenSpec: Seq[(String, String)] = Seq.empty): Long =
     commitDsv2(tableDir, logicalSchema, partCols, files, overwrite,
-      summaryExtra = Map.empty, abortIf = () => false)
+      summaryExtra = Map.empty, abortIf = () => false,
+      hiddenSpec = hiddenSpec)
 
   /** [[commitDsv2]] with the EXACTLY-ONCE epoch watermark — the
     * native DSv2 STREAMING sink's commit: the snapshot summary
@@ -2144,8 +2150,8 @@ object Iceberg {
     * Some(snapshotId) when this call committed. */
   private[graft] def commitDsv2Idempotent(tableDir: String,
       logicalSchema: StructType, partCols: Seq[String],
-      files: Seq[DeltaLog.Dsv2File], appId: String,
-      epochId: Long): Option[Long] = {
+      files: Seq[DeltaLog.Dsv2File], appId: String, epochId: Long,
+      hiddenSpec: Seq[(String, String)] = Seq.empty): Option[Long] = {
     def recorded: Boolean =
       latestStreamingEpoch(tableDir, appId).exists(_ >= epochId)
     def dropFiles(): Unit = files.foreach(f =>
@@ -2159,7 +2165,7 @@ object Iceberg {
       summaryExtra = Map(
         "streaming-app-id" -> appId,
         "streaming-epoch-id" -> epochId.toString),
-      abortIf = () => recorded)
+      abortIf = () => recorded, hiddenSpec = hiddenSpec)
     if (sid < 0) { dropFiles(); None } else Some(sid)
   }
 
@@ -2167,11 +2173,21 @@ object Iceberg {
       logicalSchema: StructType, partCols: Seq[String],
       files: Seq[DeltaLog.Dsv2File], overwrite: Boolean,
       summaryExtra: Map[String, String],
-      abortIf: () => Boolean): Long = {
+      abortIf: () => Boolean,
+      hiddenSpec: Seq[(String, String)]): Long = {
+    import graft.functions.IcebergTransforms
     def erased(s: StructType) = StructType(s.fields.map(f =>
       StructField(f.name, f.dataType, nullable = true)))
+    require(partCols.isEmpty || hiddenSpec.isEmpty,
+      "a DSv2 commit declares identity partCols or a hidden spec, " +
+        "not both")
     val tupleFields: Seq[(String, String, String, DataType)] =
-      partCols.map(c =>
+      if (hiddenSpec.nonEmpty)
+        hiddenSpec.map { case (src, tr) =>
+          (IcebergTransforms.tupleName(tr, src), tr, src,
+            IcebergTransforms.tupleType(tr, logicalSchema(src).dataType))
+        }
+      else partCols.map(c =>
         (c, "identity", c, logicalSchema(c).dataType))
     val declaredSpec = tupleFields.map {
       case (name, tr, src, _) => SpecField(name, tr, src) }

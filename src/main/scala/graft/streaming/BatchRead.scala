@@ -332,9 +332,27 @@ private[streaming] abstract class OpenFormatBatchScan(
   private def prunePv(f: BatchFile): Map[String, String] =
     f.pv + (MetaCols.File -> f.path)
   private lazy val prunePartCols: Set[String] =
-    partCols.toSet + MetaCols.File
+    partCols.toSet + MetaCols.File ++ extraPruneCols.keySet
   private lazy val pruneDeclared: Map[String, DataType] =
-    declared + (MetaCols.File -> org.apache.spark.sql.types.StringType)
+    declared ++ extraPruneCols +
+      (MetaCols.File -> org.apache.spark.sql.types.StringType)
+
+  /** PRUNE-SPACE columns a subclass adds beyond the public schema —
+    * hidden-transform TUPLE fields (`o_custkey_bucket` → int): they
+    * exist only in manifest partition tuples, never in rows. */
+  protected def extraPruneCols: Map[String, DataType] = Map.empty
+
+  /** Prune-space filters DERIVED from data-space ones — the hidden
+    * partitioning contract: a predicate on the RAW source column
+    * implies a predicate on its transform tuple (equality maps
+    * through any transform, ranges through the monotonic ones).
+    * Superset-safe by construction: a derived filter only ever
+    * REMOVES files whose tuple provably mismatches. */
+  protected def derivedPruneFilters(fs: Seq[Filter]): Seq[Filter] =
+    Seq.empty
+
+  private def withDerived(fs: Seq[Filter]): Seq[Filter] =
+    fs ++ derivedPruneFilters(fs)
 
   def name: String
 
@@ -353,7 +371,8 @@ private[streaming] abstract class OpenFormatBatchScan(
   protected lazy val afterPushdown: Seq[BatchFile] = {
     val kept =
       if (pushed.isEmpty) files
-      else files.filter(f => BatchPruning.keepFile(pushed.toSeq,
+      else files.filter(f => BatchPruning.keepFile(
+        withDerived(pushed.toSeq),
         pruneDeclared, prunePartCols, prunePv(f), f.bounds))
     BatchScanStats.record(tableDir, files.size.toLong,
       kept.size.toLong)
@@ -434,8 +453,8 @@ private[streaming] abstract class OpenFormatBatchScan(
       if (runtimeFilters.isEmpty) afterPushdown
       else {
         val k = afterPushdown.filter(f =>
-          BatchPruning.keepFile(runtimeFilters.toSeq, pruneDeclared,
-            prunePartCols, prunePv(f), f.bounds))
+          BatchPruning.keepFile(withDerived(runtimeFilters.toSeq),
+            pruneDeclared, prunePartCols, prunePv(f), f.bounds))
         BatchScanStats.recordRuntime(tableDir, k.size.toLong)
         k
       })
@@ -842,6 +861,113 @@ private[streaming] class IcebergBatchScan private (
   /** Equality deletes retire rows the manifests still count — no
     * metadata aggregate can be exact on such a snapshot. */
   override protected def metadataAggSafe: Boolean = !plan.hasEqDeletes
+
+  // ---- hidden-transform pruning ----
+  // The CURRENT default spec's derived fields: (tuple name,
+  // transform, source col, source type). Files written under OTHER
+  // specs simply lack the tuple key in their pv and are kept —
+  // superset-safe under spec evolution.
+  private lazy val hiddenFields
+      : Seq[(String, String, String, DataType)] =
+    Iceberg.currentSpecFields(dir).filter(_._2 != "identity")
+      .flatMap { case (src, tr) =>
+        plan.schema.fields.find(_.name == src).map(f =>
+          (graft.functions.IcebergTransforms.tupleName(tr, src), tr,
+            src, f.dataType))
+      }
+
+  override protected def extraPruneCols: Map[String, DataType] =
+    hiddenFields.flatMap { case (name, tr, _, srcT) =>
+      scala.util.Try(
+        graft.functions.IcebergTransforms.tupleType(tr, srcT))
+        .toOption.map(name -> _)
+    }.toMap
+
+  /** A raw-column predicate implies a tuple predicate: equality/IN
+    * through ANY transform, ranges through the MONOTONIC ones
+    * (truncate/day/month/year/hour; Gt/Lt widen to Ge/Le of the
+    * transformed value — superset). This is [[Iceberg.readFiltered]]
+    * (q177)'s derivation surfaced through the DSv2 optimizer path,
+    * sharing the [[graft.functions.IcebergTransforms]] scalars with
+    * the writer so assignment and pruning can never disagree. */
+  override protected def derivedPruneFilters(
+      fs: Seq[Filter]): Seq[Filter] = {
+    import graft.functions.IcebergTransforms._
+    if (hiddenFields.isEmpty) return Seq.empty
+    val bySrc = hiddenFields.map(h => h._3 -> h).toMap
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def micros(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => None
+    }
+    def days(v: Any): Option[Int] = v match {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+      case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+      case _ => None
+    }
+    def tupleLit(h: (String, String, String, DataType),
+                 v: Any): Option[Any] = h._2 match {
+      case BucketRe(n) => longOf(v).map(l => bucketLong(l, n.toInt))
+      case TruncateRe(w) => longOf(v).map { l =>
+        val tv = truncateLong(l, w.toLong)
+        if (h._4 == org.apache.spark.sql.types.IntegerType)
+          tv.toInt: Any
+        else tv: Any
+      }
+      case tr @ ("day" | "month" | "year" | "hour") =>
+        micros(v).map(us => timeOrdinalOfMicros(tr, us): Any)
+          .orElse(days(v).flatMap { d =>
+            tr match {
+              case "day" => Some(d: Any)
+              case "month" =>
+                val ld = java.time.LocalDate.ofEpochDay(d.toLong)
+                Some(monthOrdinal(ld.getYear, ld.getMonthValue): Any)
+              case "year" =>
+                Some(yearOrdinal(java.time.LocalDate
+                  .ofEpochDay(d.toLong).getYear): Any)
+              case _ => None // hour of a date literal
+            }
+          })
+      case _ => None
+    }
+    def monotonic(tr: String): Boolean = tr match {
+      case TruncateRe(_) | "day" | "month" | "year" | "hour" => true
+      case _ => false
+    }
+    def rangeDerive(c: String, v: Any, ge: Boolean): Seq[Filter] =
+      bySrc.get(c).filter(h => monotonic(h._2))
+        .flatMap(h => tupleLit(h, v).map(tv =>
+          (if (ge) FGe(h._1, tv) else FLe(h._1, tv)): Filter)).toSeq
+    def derive(f: Filter): Seq[Filter] = f match {
+      case FAnd(l, r) => derive(l) ++ derive(r)
+      case FEq(c, v) if v != null =>
+        bySrc.get(c).flatMap(h =>
+          tupleLit(h, v).map(tv => FEq(h._1, tv): Filter)).toSeq
+      case FIn(c, vs) if vs != null && vs.nonEmpty &&
+          vs.forall(_ != null) =>
+        bySrc.get(c).flatMap { h =>
+          val tvs = vs.toSeq.map(tupleLit(h, _))
+          if (tvs.forall(_.isDefined))
+            Some(FIn(h._1, tvs.flatten.toArray): Filter)
+          else None
+        }.toSeq
+      case FGe(c, v) => rangeDerive(c, v, ge = true)
+      case FGt(c, v) => rangeDerive(c, v, ge = true) // widen
+      case FLe(c, v) => rangeDerive(c, v, ge = false)
+      case FLt(c, v) => rangeDerive(c, v, ge = false) // widen
+      case _ => Seq.empty
+    }
+    fs.flatMap(derive)
+  }
 
   override protected def batchPrereqs(): Unit = {
     require(!plan.hasEqDeletes,

@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
 import org.apache.spark.sql.execution.datasources.parquet.{
   ParquetOutputWriter, ParquetWriteSupport}
 import org.apache.spark.sql.types.{DataType, DateType, IntegerType,
-  LongType, StringType, StructField, StructType}
+  LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.sources.DeltaLog
 
@@ -236,7 +236,9 @@ private[streaming] class DeltaBatchWrite(tableDir: String,
 
 private[streaming] class DeltaWriterFactory(tableDir: String,
     logicalJson: String, physicalJson: String, partCols: Seq[String],
-    relPrefix: String = "") extends DataWriterFactory
+    relPrefix: String = "",
+    hiddenSpec: Seq[(String, String)] = Seq.empty)
+  extends DataWriterFactory
   with org.apache.spark.sql.connector.write.streaming
     .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int,
@@ -244,7 +246,7 @@ private[streaming] class DeltaWriterFactory(tableDir: String,
     new DeltaDataWriter(tableDir,
       DataType.fromJson(logicalJson).asInstanceOf[StructType],
       DataType.fromJson(physicalJson).asInstanceOf[StructType],
-      partCols, relPrefix)
+      partCols, relPrefix, hiddenSpec)
   // streaming tasks write the same UUID-named invisible files —
   // epoch identity lives in the COMMIT's txn/summary watermark
   override def createWriter(partitionId: Int, taskId: Long,
@@ -255,14 +257,36 @@ private[streaming] class DeltaWriterFactory(tableDir: String,
 /** Executor-side writer: one open parquet file per partition value
   * seen (rows need not be clustered), partition columns projected
   * out via a codegen'd UnsafeProjection, numRecords + long/int
-  * min/max tracked per file while writing. */
+  * min/max tracked per file while writing.
+  *
+  * `hiddenSpec` (mutually exclusive with `partCols`) switches the
+  * writer to Iceberg HIDDEN partitioning: the file key is the
+  * DERIVED transform tuple (bucket/truncate/day/month/year/hour of
+  * a source column, the [[graft.functions.IcebergTransforms]]
+  * scalars — the same implementation the manifest pruner applies,
+  * so assignment and pruning can never disagree), the data files
+  * keep the FULL schema (nothing projected out — the spec's
+  * contract), and the commit message's partitionValues carry the
+  * tuple under Iceberg's `<col>_bucket`-style names. */
 private class DeltaDataWriter(tableDir: String, schema: StructType,
     physical: StructType, partCols: Seq[String],
-    relPrefix: String = "") extends DataWriter[InternalRow] {
+    relPrefix: String = "",
+    hiddenSpec: Seq[(String, String)] = Seq.empty)
+  extends DataWriter[InternalRow] {
+
+  require(partCols.isEmpty || hiddenSpec.isEmpty,
+    "a writer keys on identity partCols or a hidden spec, not both")
 
   private val partIdx: Array[(String, Int, DataType)] =
     partCols.toArray.map(c =>
       (c, schema.fieldIndex(c), schema(c).dataType))
+
+  // (tuple name, transform, source ordinal, source type)
+  private val hiddenIdx: Array[(String, String, Int, DataType)] =
+    hiddenSpec.toArray.map { case (src, tr) =>
+      (graft.functions.IcebergTransforms.tupleName(tr, src), tr,
+        schema.fieldIndex(src), schema(src).dataType)
+    }
   private val dataIdx: Array[Int] = schema.fields.zipWithIndex
     .collect { case (f, i) if !partCols.contains(f.name) => i }
   private val dataPhysical = StructType(
@@ -331,9 +355,47 @@ private class DeltaDataWriter(tableDir: String, schema: StructType,
         s"unreachable partition type $other")
     }
 
+  /** A row's derived tuple value under `transform`, rendered the way
+    * the manifest's hive-string bridge expects (int/long ordinals). */
+  private def hiddenValue(row: InternalRow, transform: String,
+                          idx: Int, dt: DataType): String = {
+    import graft.functions.IcebergTransforms._
+    if (row.isNullAt(idx)) return null
+    def longVal: Long = dt match {
+      case LongType => row.getLong(idx)
+      case IntegerType => row.getInt(idx).toLong
+      case other => throw new IllegalArgumentException(
+        s"hidden transform $transform over $other — long/int sources")
+    }
+    transform match {
+      case BucketRe(n) => bucketLong(longVal, n.toInt).toString
+      case TruncateRe(w) => truncateLong(longVal, w.toLong).toString
+      case "day" | "month" | "year" | "hour" => dt match {
+        case DateType =>
+          val d = java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong)
+          (transform match {
+            case "day" => row.getInt(idx)
+            case "month" => monthOrdinal(d.getYear, d.getMonthValue)
+            case "year" => yearOrdinal(d.getYear)
+            case _ => throw new IllegalArgumentException(
+              "hour transform needs a timestamp source")
+          }).toString
+        case TimestampType =>
+          timeOrdinalOfMicros(transform, row.getLong(idx)).toString
+        case other => throw new IllegalArgumentException(
+          s"time transform $transform over $other — date/timestamp")
+      }
+      case other => throw new IllegalArgumentException(
+        s"unsupported hidden transform '$other'")
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
     val key: Seq[String] =
-      partIdx.toSeq.map { case (_, i, dt) => pvString(row, i, dt) }
+      if (hiddenIdx.nonEmpty)
+        hiddenIdx.toSeq.map { case (_, tr, i, dt) =>
+          hiddenValue(row, tr, i, dt) }
+      else partIdx.toSeq.map { case (_, i, dt) => pvString(row, i, dt) }
     val of = open.getOrElseUpdate(key,
       new OpenFile(s"${relPrefix}part-${UUID.randomUUID}.snappy.parquet"))
     val out = proj(row)
@@ -360,8 +422,11 @@ private class DeltaDataWriter(tableDir: String, schema: StructType,
         case ((_, name, _), s) if of.sawValue(s) =>
           name -> (of.mins(s), of.maxs(s))
       }.toMap
+      val keyNames =
+        if (hiddenIdx.nonEmpty) hiddenIdx.toSeq.map(_._1)
+        else partIdx.toSeq.map(_._1)
       DeltaLog.Dsv2File(of.relPath, new File(of.abs).length,
-        partIdx.toSeq.map(_._1).zip(key).toMap, of.rows, bounds)
+        keyNames.zip(key).toMap, of.rows, bounds)
     }
     open.clear()
     Dsv2CommitMsg(files)

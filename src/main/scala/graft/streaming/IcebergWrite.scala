@@ -26,9 +26,13 @@ import graft.sources.{DeltaLog, Iceberg}
   * value bounds (no post-write footer pass), and the metadata claim
   * rides the same CAS loop as every library commit.
   *
-  * HIDDEN transform specs (bucket/truncate/day/...) refuse toward
-  * [[Iceberg.commitAppendHidden]] — deriving the tuple columns needs
-  * the DataFrame write path's codegen stage. */
+  * HIDDEN transform specs (bucket/truncate/day/month/year/hour) are
+  * native too: the executor writers key files on the DERIVED tuple
+  * ([[graft.functions.IcebergTransforms]] scalars — the same
+  * implementation the manifest pruner applies), data files keep the
+  * full schema, and the manifest records typed transform tuples —
+  * `df.write` / SQL INSERT INTO a bucket-partitioned table needs no
+  * DataFrame-path bridge. */
 private[streaming] class IcebergDsv2WriteBuilder(tableDir: String,
     info: LogicalWriteInfo, declaredPartCols: Seq[String])
   extends WriteBuilder with SupportsTruncate {
@@ -40,35 +44,54 @@ private[streaming] class IcebergDsv2WriteBuilder(tableDir: String,
     this
   }
 
-  private def resolvedPartCols(schema: StructType): Seq[String] = {
-    val partCols =
+  /** Resolve (identity partCols, hidden spec) against the table's
+    * CURRENT default spec — the write inherits it whole: identity
+    * specs project their columns out hive-style, HIDDEN transform
+    * specs (bucket/truncate/day/month/year/hour) key the executor
+    * writers on the derived tuple with the data files keeping the
+    * full schema. `partitionBy(...)` may only re-declare an identity
+    * spec (Spark's writer API has no transform spelling). */
+  private def resolvedSpec(
+      schema: StructType): (Seq[String], Seq[(String, String)]) = {
+    val (partCols, hidden) =
       if (Iceberg.versions(tableDir).nonEmpty) {
         val spec = Iceberg.currentSpecFields(tableDir)
-        val hidden = spec.filter(_._2 != "identity")
-        require(hidden.isEmpty,
-          s"graft-iceberg DSv2 write: table $tableDir partitions " +
-            s"by derived transforms ($hidden) — write through " +
-            "Iceberg.commitAppendHidden/commitOverwriteHidden")
-        val cols = spec.map(_._1)
-        require(declaredPartCols.isEmpty ||
-            declaredPartCols == cols,
-          s"graft-iceberg write: partitionBy(${declaredPartCols
-            .mkString(", ")}) does not match table $tableDir's " +
-            s"spec (${cols.mkString(", ")})")
-        cols
-      } else declaredPartCols
-    val missing = partCols.filterNot(schema.fieldNames.contains)
+        val hiddenFields = spec.filter(_._2 != "identity")
+        if (hiddenFields.nonEmpty) {
+          require(spec.forall(_._2 != "identity"),
+            s"graft-iceberg DSv2 write: table $tableDir mixes " +
+              "identity and derived transforms in one spec — write " +
+              "through Iceberg.commitAppendHidden")
+          require(declaredPartCols.isEmpty,
+            s"graft-iceberg write: partitionBy(${declaredPartCols
+              .mkString(", ")}) cannot re-declare table $tableDir's " +
+              s"hidden spec ($hiddenFields) — omit partitionBy; the " +
+              "write inherits the spec")
+          (Seq.empty[String], spec)
+        } else {
+          val cols = spec.map(_._1)
+          require(declaredPartCols.isEmpty ||
+              declaredPartCols == cols,
+            s"graft-iceberg write: partitionBy(${declaredPartCols
+              .mkString(", ")}) does not match table $tableDir's " +
+              s"spec (${cols.mkString(", ")})")
+          (cols, Seq.empty[(String, String)])
+        }
+      } else (declaredPartCols, Seq.empty[(String, String)])
+    val missing = (partCols ++ hidden.map(_._1))
+      .filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
-      s"graft-iceberg write: partition columns " +
+      s"graft-iceberg write: partition source columns " +
         s"${missing.mkString(", ")} not in the written columns")
-    partCols
+    (partCols, hidden)
   }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val schema = info.schema()
-      new IcebergBatchWrite(tableDir, schema,
-        resolvedPartCols(schema), overwrite)
+      val (partCols, hidden) = resolvedSpec(schema)
+      new IcebergBatchWrite(tableDir, schema, partCols, hidden,
+        overwrite)
     }
 
     /** `df.writeStream.format("graft-iceberg")` — exactly-once via
@@ -82,8 +105,9 @@ private[streaming] class IcebergDsv2WriteBuilder(tableDir: String,
           "mode rewrites the table per trigger; use foreachBatch + " +
           "Iceberg.commitOverwrite for that shape")
       val schema = info.schema()
-      new IcebergStreamingWrite(tableDir, schema,
-        resolvedPartCols(schema), info.queryId())
+      val (partCols, hidden) = resolvedSpec(schema)
+      new IcebergStreamingWrite(tableDir, schema, partCols, hidden,
+        info.queryId())
     }
   }
 }
@@ -92,7 +116,8 @@ private[streaming] class IcebergDsv2WriteBuilder(tableDir: String,
   * [[DeltaStreamingWrite]] twin: same executor writers, epoch
   * identity in the snapshot summary. */
 private[streaming] class IcebergStreamingWrite(tableDir: String,
-    logicalSchema: StructType, partCols: Seq[String], queryId: String)
+    logicalSchema: StructType, partCols: Seq[String],
+    hiddenSpec: Seq[(String, String)], queryId: String)
   extends org.apache.spark.sql.connector.write.streaming
     .StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming
@@ -102,13 +127,14 @@ private[streaming] class IcebergStreamingWrite(tableDir: String,
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new DeltaWriterFactory(tableDir, logicalSchema.json,
       IcebergDsv2Write.fieldIdSchema(logicalSchema).json, partCols,
-      relPrefix = "data/")
+      relPrefix = "data/", hiddenSpec = hiddenSpec)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit =
     Iceberg.commitDsv2Idempotent(tableDir, logicalSchema, partCols,
       messages.toSeq.flatMap(_.asInstanceOf[Dsv2CommitMsg].files),
-      appId = queryId, epochId = epochId): Unit
+      appId = queryId, epochId = epochId,
+      hiddenSpec = hiddenSpec): Unit
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =
@@ -135,19 +161,20 @@ private[streaming] object IcebergDsv2Write {
 
 private[streaming] class IcebergBatchWrite(tableDir: String,
     logicalSchema: StructType, partCols: Seq[String],
+    hiddenSpec: Seq[(String, String)],
     overwrite: Boolean) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     new DeltaWriterFactory(tableDir, logicalSchema.json,
       IcebergDsv2Write.fieldIdSchema(logicalSchema).json, partCols,
-      relPrefix = "data/")
+      relPrefix = "data/", hiddenSpec = hiddenSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
       .flatMap(_.asInstanceOf[Dsv2CommitMsg].files)
     Iceberg.commitDsv2(tableDir, logicalSchema, partCols, files,
-      overwrite): Unit
+      overwrite, hiddenSpec = hiddenSpec): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

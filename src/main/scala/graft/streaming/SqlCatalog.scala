@@ -1079,55 +1079,11 @@ private[streaming] object IcebergSqlTables {
       new PendingIcebergTable(sqlName, dir, schema, partCols)
     }
 
-  /** The V1Write bridge: route the batch into the library's own
-    * distributed committer under the table's CURRENT default spec —
-    * identity spec → hive-shape partitioned commit, hidden spec →
-    * transform-clustered commit, unpartitioned → plain. */
-  def insert(dir: String, df: DataFrame, overwrite: Boolean): Unit = {
-    val spec =
-      if (Iceberg.versions(dir).nonEmpty) Iceberg.currentSpecFields(dir)
-      else readMarker(dir)._2.map(_ -> "identity")
-    val (identity, hidden) = spec.partition(_._2 == "identity")
-    require(identity.isEmpty || hidden.isEmpty,
-      s"graft-iceberg INSERT into $dir: the default spec mixes " +
-        "identity and derived transforms — write through the " +
-        "library API (Iceberg.commitAppend*)")
-    if (hidden.nonEmpty) {
-      if (overwrite) Iceberg.commitOverwriteHidden(df, dir, hidden)
-      else Iceberg.commitAppendHidden(df, dir, hidden)
-    } else if (identity.nonEmpty) {
-      val cols = identity.map(_._1)
-      if (overwrite) Iceberg.commitOverwritePartitioned(df, dir, cols)
-      else Iceberg.commitAppendPartitioned(df, dir, cols)
-    } else {
-      if (overwrite) Iceberg.commitOverwrite(df, dir)
-      else Iceberg.commitAppend(df, dir)
-    }: Unit
-  }
-}
-
-/** A V1Write-capable WriteBuilder shared by the Iceberg SQL tables:
-  * Spark hands the whole batch as a DataFrame and the library's own
-  * committers (distributed write, manifest stats, CAS publish) land
-  * it — INSERT INTO appends, INSERT OVERWRITE replaces. */
-private[streaming] class IcebergV1WriteBuilder(dir: String)
-  extends WriteBuilder with SupportsTruncate {
-  private var overwrite = false
-  override def truncate(): WriteBuilder = { overwrite = true; this }
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      new InsertableRelation {
-        override def insert(data: DataFrame,
-                            overwriteParam: Boolean): Unit =
-          IcebergSqlTables.insert(dir, data,
-            overwrite || overwriteParam)
-      }
-  }
 }
 
 /** An Iceberg table addressed through the SQL catalog: the DSv2
-  * batch/streaming reads plus SQL INSERT (native DSv2 write under
-  * identity specs, the V1 bridge under hidden transforms),
+  * batch/streaming reads plus SQL INSERT (native DSv2 writes under
+  * identity AND hidden-transform specs — no V1 bridge),
   * position-delete DELETE FROM, and copy-on-write UPDATE/MERGE
   * through [[IcebergRowLevelOperation]]. */
 private[streaming] class IcebergSqlTable(sqlName: String, dir: String,
@@ -1143,15 +1099,9 @@ private[streaming] class IcebergSqlTable(sqlName: String, dir: String,
   override def properties(): util.Map[String, String] =
     Iceberg.tableProperties(dir).asJava
 
-  /** V1_BATCH_WRITE only under HIDDEN transform specs (the V1
-    * bridge path) — declaring it alongside a native DSv2 Write makes
-    * Spark refuse the plan. */
   override def capabilities(): util.Set[TableCapability] =
     (super.capabilities().asScala.toSet ++
-      Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE) ++
-      (if (Iceberg.currentSpecFields(dir).exists(_._2 != "identity"))
-        Set(TableCapability.V1_BATCH_WRITE)
-      else Set.empty[TableCapability])).asJava
+      Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)).asJava
 
   private def requireWritable(op: String): Unit =
     require(pinned.isEmpty,
@@ -1160,12 +1110,9 @@ private[streaming] class IcebergSqlTable(sqlName: String, dir: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable("INSERT")
-    // native DSv2 write when the spec is identity/unpartitioned;
-    // hidden transforms keep the V1 bridge (derived tuple columns
-    // need the DataFrame write path)
-    if (Iceberg.currentSpecFields(dir).forall(_._2 == "identity"))
-      new IcebergDsv2WriteBuilder(dir, info, Seq.empty)
-    else new IcebergV1WriteBuilder(dir)
+    // one native DSv2 write path for every spec shape — the builder
+    // resolves identity vs hidden transforms from the metadata
+    new IcebergDsv2WriteBuilder(dir, info, Seq.empty)
   }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
@@ -1986,4 +1933,60 @@ object SqlCatalogQueries {
   }
 
   val streamingSinkPartitionedSql: String = streamingSinkSql
+
+  /** q240 — NATIVE DSv2 WRITES UNDER A HIDDEN TRANSFORM SPEC: a
+    * `bucket[8](o_custkey)` table takes one third of orders through
+    * each write surface — the library DataFrame committer (which
+    * mints the spec), `df.write.format("graft-iceberg")` (the DSv2
+    * executor writers deriving the tuple with the same murmur3
+    * scalars), and SQL `INSERT INTO` through the catalog (no V1
+    * bridge left) — then a point predicate on the RAW customer key
+    * reads back through the DSv2 batch connector, PRUNED to the
+    * probe key's bucket by the optimizer-derived tuple predicate.
+    * In-query `require`s: every live file's manifest tuple carries
+    * `o_custkey_bucket`, and files kept < live. The 100 TB shape:
+    * point lookups on a bucket-clustered fact touch one bucket's
+    * files regardless of which surface wrote them. */
+  def icebergHiddenDsv2Write(spark: SparkSession,
+                             dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val work = Files.createTempDirectory("graft_hidw").toString
+    val t = s"$work/orders_bucket"
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    Iceberg.commitAppendHidden(
+      o.filter(pmod(col("o_orderkey"), lit(3)) === 0), t,
+      Seq("o_custkey" -> "bucket[8]"))
+    o.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+      .write.format("graft-iceberg").mode("append").save(t)
+    val ns = freshNs(spark, iceberg = true)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.bkt (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) LOCATION '$t'""")
+    spark.sql(s"INSERT INTO $ns.bkt SELECT $cols FROM $v " +
+      "WHERE o_orderkey % 3 = 2")
+    val snap = Iceberg.snapshotIds(t).max
+    val files = Iceberg.batchPlan(t, snap).files
+    require(files.nonEmpty &&
+        files.forall(_.pv.contains("o_custkey_bucket")),
+      "every write surface must land typed o_custkey_bucket tuples")
+    val probe = Iceberg.BucketProbeCustkey
+    BatchScanStats.reset(t)
+    val out = spark.read.format("graft-iceberg").option("path", t)
+      .load().filter(col("o_custkey") === probe)
+      .orderBy(col("o_orderkey"))
+    out.count()
+    val s = BatchScanStats.statsFor(t)
+    require(s.live >= 8 && s.pushdownKept < s.live,
+      s"the derived bucket predicate did not prune " +
+        s"(live ${s.live}, kept ${s.pushdownKept})")
+    out
+  }
+
+  val icebergHiddenDsv2WriteSql: String =
+    s"""SELECT $cols FROM orders
+       |WHERE o_custkey = ${Iceberg.BucketProbeCustkey}
+       |ORDER BY o_orderkey""".stripMargin
 }
