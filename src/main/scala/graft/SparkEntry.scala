@@ -637,7 +637,10 @@ object SparkEntry {
       -> (streaming.SqlCatalogQueries.streamingSinkPartitioned _),
     // native DSv2 writes under hidden transform specs (round 15)
     "q240_iceberg_hidden_dsv2"
-      -> (streaming.SqlCatalogQueries.icebergHiddenDsv2Write _)
+      -> (streaming.SqlCatalogQueries.icebergHiddenDsv2Write _),
+    // DECIMAL(10,2) stats/pruning/COW end-to-end (round 15)
+    "q241_decimal_stats"
+      -> (streaming.SqlCatalogQueries.decimalStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -950,6 +953,8 @@ object SparkEntry {
     "q239_streaming_sink_partitioned"
       -> streaming.SqlCatalogQueries.streamingSinkPartitionedSql,
     "q240_iceberg_hidden_dsv2"
-      -> streaming.SqlCatalogQueries.icebergHiddenDsv2WriteSql
+      -> streaming.SqlCatalogQueries.icebergHiddenDsv2WriteSql,
+    "q241_decimal_stats"
+      -> streaming.SqlCatalogQueries.decimalStatsSql
   )
 }

@@ -106,6 +106,14 @@ object DeltaLog {
       * ignored (they never prune). */
     def longBounds: Map[String, (Long, Long)] =
       stats.map(statsLongBounds).getOrElse(Map.empty)
+
+    /** [[longBounds]] plus long-backed DECIMAL columns decoded to
+      * their UNSCALED value at the schema's declared scale — the
+      * pruning ladder's currency for money-typed range predicates
+      * (the DSv2 scan converts predicate literals the same way, so
+      * both sides compare in unscaled space). */
+    def boundsFor(schema: StructType): Map[String, (Long, Long)] =
+      stats.map(s => statsBoundsFor(s, schema)).getOrElse(Map.empty)
   }
 
   /** numRecords out of an `add.stats` JSON string — the DSv2 batch
@@ -129,6 +137,41 @@ object DeltaLog {
       else node.get(name).properties().asScala
         .filter(_.getValue.canConvertToLong)
         .map(e => e.getKey -> e.getValue.asLong).toMap
+    val (lo, hi) = (side("minValues"), side("maxValues"))
+    lo.keySet.intersect(hi.keySet).map(k => k -> (lo(k), hi(k))).toMap
+  }
+
+  /** [[statsLongBounds]] widened by the SCHEMA: long-backed decimal
+    * stats (recorded as scaled decimal numbers) decode to their
+    * unscaled long. A value whose scale disagrees with the schema's
+    * is skipped — that file simply never prunes (superset). */
+  private[graft] def statsBoundsFor(s: String,
+      schema: StructType): Map[String, (Long, Long)] = {
+    val decimals: Map[String, org.apache.spark.sql.types.DecimalType] =
+      schema.fields.collect {
+        case f if f.dataType
+            .isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+            f.dataType.asInstanceOf[org.apache.spark.sql.types
+              .DecimalType].precision <= 18 =>
+          f.name -> f.dataType
+            .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+      }.toMap
+    if (decimals.isEmpty) return statsLongBounds(s)
+    val node = mapper.readTree(s)
+    def side(name: String): Map[String, Long] =
+      if (!node.has(name)) Map.empty
+      else node.get(name).properties().asScala.flatMap { e =>
+        decimals.get(e.getKey) match {
+          case Some(d) if e.getValue.isNumber =>
+            scala.util.Try(e.getValue.decimalValue()
+              .setScale(d.scale).unscaledValue().longValueExact())
+              .toOption.map(e.getKey -> _)
+          case Some(_) => None
+          case None if e.getValue.canConvertToLong =>
+            Some(e.getKey -> e.getValue.asLong)
+          case None => None
+        }
+      }.toMap
     val (lo, hi) = (side("minValues"), side("maxValues"))
     lo.keySet.intersect(hi.keySet).map(k => k -> (lo(k), hi(k))).toMap
   }
@@ -1329,13 +1372,25 @@ object DeltaLog {
     * STRING inside the add action (same numbers [[Iceberg]] writes
     * as manifest value bounds). */
   private def statsJsonOf(n: Long,
-                          bounds: Map[String, (Long, Long)]): String = {
+                          bounds: Map[String, (Long, Long)],
+                          schema: StructType = null): String = {
     val s = mapper.createObjectNode()
     s.put("numRecords", n)
     val mins = s.putObject("minValues")
     val maxs = s.putObject("maxValues")
     bounds.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
-      mins.put(c, lo); maxs.put(c, hi)
+      // decimal bounds arrive UNSCALED from the writer; the stats
+      // JSON spells them as scaled decimal numbers — what real
+      // Delta records and what a foreign reader expects
+      Option(schema).flatMap(_.fields.find(_.name == c))
+        .map(_.dataType) match {
+        case Some(d: org.apache.spark.sql.types.DecimalType)
+            if d.precision <= 18 =>
+          mins.put(c, java.math.BigDecimal.valueOf(lo, d.scale))
+          maxs.put(c, java.math.BigDecimal.valueOf(hi, d.scale)): Unit
+        case _ =>
+          mins.put(c, lo); maxs.put(c, hi): Unit
+      }
     }
     mapper.writeValueAsString(s)
   }
@@ -1770,7 +1825,8 @@ object DeltaLog {
       files.map(f => new File(resolveAbs(f.relPath))), st0)
     val adds = files.map(f => addAction(f.relPath, f.size,
       f.partitionValues, dataChange = true,
-      stats = Some(statsJsonOf(f.numRecords, f.bounds))))
+      stats = Some(statsJsonOf(f.numRecords, f.bounds,
+        logicalSchema))))
     var v = -1L
     var done = false
     while (!done) {
@@ -1829,7 +1885,8 @@ object DeltaLog {
       .put("version", txnVersion).put("lastUpdated", 0L)
     val adds = files.map(f => addAction(f.relPath, f.size,
       f.partitionValues, dataChange = true,
-      stats = Some(statsJsonOf(f.numRecords, f.bounds))))
+      stats = Some(statsJsonOf(f.numRecords, f.bounds,
+        logicalSchema))))
     var v = -1L
     var done = false
     while (!done) {
@@ -1995,7 +2052,8 @@ object DeltaLog {
     val actions = removedRel.map(p => removeAction(p)) ++
       files.map(f => addAction(f.relPath, f.size, f.partitionValues,
         dataChange = true,
-        stats = Some(statsJsonOf(f.numRecords, f.bounds))))
+        stats = Some(statsJsonOf(f.numRecords, f.bounds,
+        st.schema))))
     commitRowOp(tableDir, base, actions, removedRel.toSet,
       couldMatch, op)
   }

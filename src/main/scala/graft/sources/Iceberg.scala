@@ -1368,8 +1368,15 @@ object Iceberg {
       val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
       r.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
+          // decimal-annotated INT64 carries an UNSCALED value —
+          // recording it as a plain long would poison add.stats
+          // with mis-scaled bounds; footer-path decimal stats are
+          // simply omitted (superset — such files never prune)
           val isLong = c.getPrimitiveType.getPrimitiveTypeName ==
-            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 &&
+            !c.getPrimitiveType.getLogicalTypeAnnotation
+              .isInstanceOf[org.apache.parquet.schema
+                .LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
           val st = c.getStatistics
           if (isLong && c.getPath.size == 1 && st != null &&
             !st.isEmpty && st.hasNonNullValue) {
@@ -2217,9 +2224,20 @@ object Iceberg {
               f.partitionValues.getOrElse(name, null), t)
           })
       }
+    // manifest value bounds stay long/int-typed: the writer tracks
+    // decimal bounds as UNSCALED longs, but this engine's manifest
+    // bound encoding is the 8-byte long form — recording a decimal
+    // there would hand foreign readers spec-shaped bytes with the
+    // wrong meaning, so decimal columns are omitted (superset)
+    val integral: Set[String] = logicalSchema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType => f.name
+    }.toSet
     val statsByPath: Map[String, (Long, Map[String, (Long, Long)])] =
       files.map(f =>
-        s"$tableDir/${f.relPath}" -> (f.numRecords, f.bounds)).toMap
+        s"$tableDir/${f.relPath}" ->
+          (f.numRecords,
+            f.bounds.filter(b => integral.contains(b._1)))).toMap
     publishDataSnapshot(tableDir, logicalSchema, tupleFields,
       declaredSpec, parts, statsByPath, overwrite, toBranch = None,
       summaryExtra, abortIf,

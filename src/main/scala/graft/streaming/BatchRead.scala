@@ -168,6 +168,30 @@ private[streaming] object BatchPruning {
     case _ => None
   }
 
+  /** A predicate literal in the PRUNE-SPACE currency of `col`:
+    * plain long for integral columns; for long-backed DECIMAL
+    * columns the UNSCALED value at the column's declared scale (the
+    * same spelling the writer tracked and [[graft.sources.DeltaLog
+    * .statsBoundsFor]] decoded — both sides compare unscaled). A
+    * literal that cannot rescale exactly returns None → keep. */
+  private def litLong(declared: Map[String, DataType], col: String,
+                      v: Any): Option[Long] =
+    declared.get(col) match {
+      case Some(d: org.apache.spark.sql.types.DecimalType)
+          if d.precision <= 18 =>
+        val bd = v match {
+          case b: java.math.BigDecimal => Some(b)
+          case b: BigDecimal => Some(b.underlying)
+          case l: Long => Some(java.math.BigDecimal.valueOf(l))
+          case i: Int => Some(java.math.BigDecimal.valueOf(i.toLong))
+          case _ => None
+        }
+        bd.flatMap(b => scala.util.Try(
+          b.setScale(d.scale).unscaledValue().longValueExact())
+          .toOption)
+      case _ => longLit(v)
+    }
+
   /** Can `file` (partition values + long bounds) possibly satisfy
     * `filter`? False only on PROOF of a miss. `declared` maps column
     * name → its table type (partition-value strings compare through
@@ -186,14 +210,14 @@ private[streaming] object BatchPruning {
       val byStats = bounds.get(col) match {
         case Some((lo, hi)) =>
           values.exists(v =>
-            longLit(v).forall(l => l >= lo && l <= hi))
+            litLong(declared, col, v).forall(l => l >= lo && l <= hi))
         case None => true
       }
       byPartition && byStats
     }
     def rangeOk(col: String, cmp: (Long, Long, Long) => Boolean,
                 lit: Any): Boolean =
-      longLit(lit) match {
+      litLong(declared, col, lit) match {
         case Some(l) =>
           val byBounds = bounds.get(col) match {
             case Some((lo, hi)) => cmp(lo, hi, l)
@@ -768,7 +792,7 @@ private[streaming] class DeltaBatchScan private (
     st.adds.toSeq.sortBy(_._1).map { case (p, a) =>
       BatchFile(
         if (p.startsWith("/") || p.contains("://")) p else s"$dir/$p",
-        a.partitionValues, a.longBounds, a.size,
+        a.partitionValues, a.boundsFor(st.schema), a.size,
         a.stats.flatMap(DeltaLog.statsNumRecords), a.dv)
     },
     pushed, required, passPartitionValuesToReader = true,

@@ -115,6 +115,11 @@ private[streaming] object DeltaStreamSource {
       case LongType | IntegerType | DoubleType | FloatType |
            BooleanType | StringType | TimestampType |
            TimestampNTZType | DateType => ()
+      // long-backed decimals (money columns): vectorized read,
+      // writer-tracked unscaled bounds, pruning ladder — all wired;
+      // wider decimals (int128-backed) are not
+      case d: org.apache.spark.sql.types.DecimalType
+          if d.precision <= 18 => ()
       case other => throw new IllegalArgumentException(
         s"$who: unsupported column type $other " +
           s"at ${path.stripSuffix(".")}")
@@ -706,6 +711,10 @@ private[graft] object RowReadSupport {
                     val s = src.getUTF8String(r)
                     dst.putByteArray(j, s.getBytes): Unit
                   }
+                case d: org.apache.spark.sql.types.DecimalType =>
+                  (j, r) => dst.putDecimal(j,
+                    src.getDecimal(r, d.precision, d.scale),
+                    d.precision)
                 case other => throw new IllegalArgumentException(
                   s"filtered columnar copy: unsupported type $other")
               }
@@ -804,6 +813,17 @@ private[graft] object RowReadSupport {
             nanosOfDay / 1000L
         } else g.getLong(i, 0)
       case DateType => g.getInteger(i, 0)
+      // long-backed decimal: INT64 (or INT32 for p<=9) unscaled
+      case d: org.apache.spark.sql.types.DecimalType
+          if d.precision <= 18 =>
+        val prim = gt.getType(i).asPrimitiveType()
+          .getPrimitiveTypeName
+        val unscaled =
+          if (prim == org.apache.parquet.schema.PrimitiveType
+                .PrimitiveTypeName.INT32) g.getInteger(i, 0).toLong
+          else g.getLong(i, 0)
+        org.apache.spark.sql.types.Decimal
+          .createUnsafe(unscaled, d.precision, d.scale)
       case other => throw new IllegalArgumentException(
         s"graft stream reader: unsupported type $other")
     }

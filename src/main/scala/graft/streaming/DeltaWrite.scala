@@ -296,11 +296,29 @@ private class DeltaDataWriter(tableDir: String, schema: StructType,
   private val proj = UnsafeProjection.create(dataIdx.map(i =>
     BoundReference(i, schema.fields(i).dataType,
       nullable = true)).toSeq)
-  // stats positions within the DATA row
-  private val statCols: Array[(Int, String, Boolean)] =
+  // stats positions within the DATA row: (ordinal, name, extractor).
+  // Long-backed decimals track their UNSCALED value — the pruning
+  // ladder's currency; the commit re-spells it as a scaled decimal
+  // in add.stats (statsJsonOf)
+  private val statCols: Array[(Int, String,
+      (org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+        Int) => Long)] =
     dataLogical.fields.zipWithIndex.collect {
-      case (f, j) if f.dataType == LongType => (j, f.name, true)
-      case (f, j) if f.dataType == IntegerType => (j, f.name, false)
+      case (f, j) if f.dataType == LongType =>
+        (j, f.name, (r: org.apache.spark.sql.catalyst.expressions
+          .UnsafeRow, i: Int) => r.getLong(i))
+      case (f, j) if f.dataType == IntegerType =>
+        (j, f.name, (r: org.apache.spark.sql.catalyst.expressions
+          .UnsafeRow, i: Int) => r.getInt(i).toLong)
+      case (f, j) if f.dataType
+          .isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+          f.dataType.asInstanceOf[org.apache.spark.sql.types
+            .DecimalType].precision <= 18 =>
+        val d = f.dataType
+          .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+        (j, f.name, (r: org.apache.spark.sql.catalyst.expressions
+          .UnsafeRow, i: Int) =>
+          r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
     }
 
   private final class OpenFile(val relPath: String) {
@@ -402,9 +420,9 @@ private class DeltaDataWriter(tableDir: String, schema: StructType,
     // stats BEFORE write: the projection's UnsafeRow is reused
     var s = 0
     while (s < statCols.length) {
-      val (j, _, isLong) = statCols(s)
+      val (j, _, get) = statCols(s)
       if (!out.isNullAt(j)) {
-        val v = if (isLong) out.getLong(j) else out.getInt(j).toLong
+        val v = get(out, j)
         if (v < of.mins(s)) of.mins(s) = v
         if (v > of.maxs(s)) of.maxs(s) = v
         of.sawValue(s) = true

@@ -1989,4 +1989,65 @@ object SqlCatalogQueries {
     s"""SELECT $cols FROM orders
        |WHERE o_custkey = ${Iceberg.BucketProbeCustkey}
        |ORDER BY o_orderkey""".stripMargin
+
+  /** q241 — DECIMAL(10,2) END-TO-END: money-typed columns through
+    * the DSv2 writer (unscaled bounds tracked while writing,
+    * re-spelled as scaled decimal numbers in `add.stats` — the
+    * foreign-readable form), the batch scan's pruning ladder (a
+    * decimal range predicate converts to unscaled space and drops
+    * price bands the bounds provably miss — `require`d kept < live),
+    * and SQL UPDATE (the copy-on-write rewrite group pruned by the
+    * same decimal bounds — `require`d removed < live). Decimal
+    * min/max was the one stats type the ladder had not proven; at
+    * 100 TB money predicates are the most common range filters a
+    * warehouse sees. */
+  def decimalStats(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.dorders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DECIMAL(10,2))""")
+    // three price bands = three commits, so decimal bounds have
+    // something to prune between
+    val dcols = "o_orderkey, o_custkey, o_orderstatus, " +
+      "CAST(o_totalprice AS DECIMAL(10,2))"
+    spark.sql(s"INSERT INTO $ns.dorders SELECT $dcols FROM $v " +
+      "WHERE o_totalprice < 50000")
+    spark.sql(s"INSERT INTO $ns.dorders SELECT $dcols FROM $v " +
+      "WHERE o_totalprice >= 50000 AND o_totalprice < 150000")
+    spark.sql(s"INSERT INTO $ns.dorders SELECT $dcols FROM $v " +
+      "WHERE o_totalprice >= 150000")
+    val tableDir = tableDirOf(spark, iceberg = false, ns, "dorders")
+    BatchScanStats.reset(tableDir)
+    val big = spark.sql(s"SELECT count(*) FROM $ns.dorders " +
+      "WHERE o_totalprice > 250000.00").head.getLong(0)
+    require(big > 0, "the top price band is empty — bad fixture")
+    val s = BatchScanStats.statsFor(tableDir)
+    require(s.live >= 3 && s.pushdownKept < s.live,
+      s"decimal bounds did not prune the price bands " +
+        s"(live ${s.live}, kept ${s.pushdownKept})")
+    val liveFiles = DeltaLog
+      .replay(tableDir, DeltaLog.versions(tableDir).last).adds.size
+    spark.sql(s"UPDATE $ns.dorders SET o_totalprice = " +
+      "o_totalprice + 1.00 WHERE o_totalprice > 250000.00")
+    val (live, removed, added) = GraftSqlSeams.lastReplace(tableDir)
+    require(live.toInt == liveFiles && removed < live && added >= 1,
+      s"the decimal-pruned rewrite group must exclude the low " +
+        s"bands (live $live, removed $removed, added $added)")
+    // result surfaces the money column as DOUBLE: the oracle compare
+    // hashes typed encodings and DuckDB's decimal decays to float64 —
+    // the DECIMAL machinery under test all happened above
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      s"CAST(o_totalprice AS DOUBLE) AS o_totalprice " +
+      s"FROM $ns.dorders ORDER BY o_orderkey")
+  }
+
+  val decimalStatsSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(CAST(CASE
+      |    WHEN CAST(o_totalprice AS DECIMAL(10,2)) > 250000.00
+      |    THEN CAST(o_totalprice AS DECIMAL(10,2)) + 1.00
+      |    ELSE CAST(o_totalprice AS DECIMAL(10,2))
+      |  END AS DECIMAL(10,2)) AS DOUBLE) AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 }
