@@ -1296,10 +1296,24 @@ object DeltaLog {
       else ci +: actions
     val tmp = Files.createTempFile(
       Paths.get(logDir(tableDir)), s".$v-", ".json.tmp")
-    Files.write(tmp,
+    val bytes =
       stamped.map(mapper.writeValueAsString).mkString("", "\n", "\n")
-        .getBytes("UTF-8"))
-    LogStore.current.claimVersion(commitFile(tableDir, v).toPath, tmp)
+        .getBytes("UTF-8")
+    Files.write(tmp, bytes)
+    LogStore.current.claimVersion(
+        commitFile(tableDir, v).toPath, tmp) || {
+      // LOST-RESPONSE self-recognition: on a real object store the
+      // PUT can land while the response is lost (timeout, dropped
+      // connection) — the retry then finds its own commit at the
+      // claimed name. Byte-compare discriminates exactly: the
+      // attempted content carries this attempt's UUID part paths /
+      // in-commit timestamp, so a DIFFERENT writer's commit never
+      // matches, and re-claiming ownership prevents the duplicate
+      // append a blind bump-and-retry would land.
+      val target = commitFile(tableDir, v).toPath
+      scala.util.Try(Files.readAllBytes(target)).toOption
+        .exists(java.util.Arrays.equals(_, bytes))
+    }
   }
 
   private def protocolAction(minReader: Int = 1,

@@ -893,13 +893,27 @@ object Iceberg {
     }
     val curIdentity = partitionSpecOf(meta)
       .filter(_.transform == "identity").map(_.sourceCol).toSet
-    require(partCols.toSet == curIdentity,
-      s"partition-spec evolution cannot change the IDENTITY column " +
-        s"set (${curIdentity.mkString(",")} -> " +
-        s"${partCols.mkString(",")}): this engine's hive-shape " +
-        "writer strips identity columns from data files, so the " +
-        "generations would disagree on which columns exist " +
-        "physically; evolve hidden transforms instead")
+    if (partCols.toSet != curIdentity) {
+      // an identity-set change is sound ONLY when the live data
+      // files physically carry every affected column (the standard
+      // shape [[rewriteDataFilesFullSchema]] produces, and the shape
+      // foreign tables arrive in) — hive-stripped generations would
+      // disagree on which columns exist physically
+      val affected = (partCols.toSet ++ curIdentity).toSeq.sorted
+      val carried = scala.util.Try {
+        val p = batchPlan(tableDir, mainSnapshotId(tableDir))
+        p.files.isEmpty ||
+          dataFilesCarryPartitionCols(p.files.head.path, affected)
+      }.getOrElse(false)
+      require(carried,
+        s"partition-spec evolution cannot change the IDENTITY " +
+          s"column set (${curIdentity.mkString(",")} -> " +
+          s"${partCols.mkString(",")}) while live data files are " +
+          "hive-stripped: the generations would disagree on which " +
+          "columns exist physically — run " +
+          "rewriteDataFilesFullSchema first (files then carry " +
+          "every column), or evolve hidden transforms instead")
+    }
     val newFields: Seq[(String, String, String)] =
       partCols.map(c => (c, "identity", c)) ++
         hiddenSpec.map { case (src, tr) =>
@@ -1449,7 +1463,8 @@ object Iceberg {
                      hiddenSpec: Seq[(String, String)] = Seq.empty,
                      toBranch: Option[String] = None,
                      summaryExtra: Map[String, String] = Map.empty,
-                     abortIf: () => Boolean = () => false): Long = {
+                     abortIf: () => Boolean = () => false,
+                     forceStandardShape: Boolean = false): Long = {
     import graft.functions.IcebergTransforms
     require(partCols.isEmpty || hiddenSpec.isEmpty,
       "a commit declares either identity partCols (hive-shape) or a " +
@@ -1496,6 +1511,20 @@ object Iceberg {
           s"commit declares $declaredSpec")
     }
     val tableSchema = prevMeta.map(schemaFromMetadata).getOrElse(df.schema)
+    // STANDARD-SHAPE identity writes: once a table's live files carry
+    // their partition columns physically (standard Iceberg — the
+    // foreign-table shape, and what [[rewriteDataFilesFullSchema]]
+    // produces to unlock identity spec evolution), every later
+    // identity commit must keep that layout: mixing hive-stripped and
+    // column-carrying generations would leave the two disagreeing on
+    // which columns exist physically. Detected from the current
+    // snapshot; `forceStandardShape` is the rewrite's own entry.
+    val standardShape: Boolean = hiddenSpec.isEmpty &&
+      partCols.nonEmpty && (forceStandardShape ||
+        (prevMeta.isDefined && scala.util.Try {
+          val p = batchPlan(tableDir, mainSnapshotId(tableDir))
+          p.files.nonEmpty && p.filesCarryPartCols
+        }.getOrElse(false)))
     val snapshotId: Long = prevMeta.map(
       _.get("snapshots").elements().asScala
         .map(_.get("snapshot-id").asLong).maxOption.getOrElse(0L))
@@ -1528,13 +1557,25 @@ object Iceberg {
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
           .sortBy(_.getName).toSeq.map(f => (f, Seq.empty[(String, Any)]))
       } else {
+        // standard shape stages ALIAS columns so partitionBy strips
+        // only the alias — the data files keep every real column,
+        // while the value dirs still carry the tuple to decode
+        val aliasOf: Map[String, String] =
+          if (standardShape) partCols.map(c => c -> s"__pt_$c").toMap
+          else Map.empty
         val staged =
-          if (hiddenSpec.isEmpty) dfIds
-          else hiddenSpec.foldLeft(dfIds) { case (d, (src, tr)) =>
-            d.withColumn(IcebergTransforms.tupleName(tr, src),
-              IcebergTransforms.transformCol(tr, src))
-          }
-        staged.write.partitionBy(tupleNames: _*).parquet(s"$tableDir/$sub")
+          if (hiddenSpec.nonEmpty)
+            hiddenSpec.foldLeft(dfIds) { case (d, (src, tr)) =>
+              d.withColumn(IcebergTransforms.tupleName(tr, src),
+                IcebergTransforms.transformCol(tr, src))
+            }
+          else if (standardShape)
+            partCols.foldLeft(dfIds)((d, c) =>
+              d.withColumn(aliasOf(c), col(c)))
+          else dfIds
+        val stageNames = tupleNames.map(n => aliasOf.getOrElse(n, n))
+        staged.write.partitionBy(stageNames: _*)
+          .parquet(s"$tableDir/$sub")
         def walk(f: File): Seq[File] =
           if (f.isDirectory)
             Option(f.listFiles()).getOrElse(Array.empty)
@@ -1551,9 +1592,10 @@ object Iceberg {
             // prepend one dummy segment: hivePartitionValues expects
             // <stage>/<k=v dirs...>/<file>
             val pv = PartitionedScan.hivePartitionValues(
-              s"stage/$rel", tupleNames)
+              s"stage/$rel", stageNames)
             (f, tupleFields.map { case (name, _, _, t) =>
-              name -> typedPartitionValue(pv(name), t) })
+              name -> typedPartitionValue(
+                pv(aliasOf.getOrElse(name, name)), t) })
           }
       }
     // stats for every part file in ONE distributed footer job —
@@ -1888,11 +1930,19 @@ object Iceberg {
     commitClaimHook(tableDir, v)
     val tmp = Files.createTempFile(
       Paths.get(metaDir(tableDir)), s".v$v-", ".json.tmp")
-    Files.write(tmp,
+    val bytes =
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)
-        .getBytes("UTF-8"))
-    val won = LogStore.current.claimVersion(
-      Paths.get(metaDir(tableDir), s"v$v.metadata.json"), tmp)
+        .getBytes("UTF-8")
+    Files.write(tmp, bytes)
+    val target = Paths.get(metaDir(tableDir), s"v$v.metadata.json")
+    val won = LogStore.current.claimVersion(target, tmp) || {
+      // lost-response self-recognition (see DeltaLog.writeActions):
+      // the attempted metadata carries this attempt's snapshot
+      // uuid/timestamps, so byte equality proves the claim that
+      // "failed" was OURS landing without a response
+      scala.util.Try(Files.readAllBytes(target)).toOption
+        .exists(java.util.Arrays.equals(_, bytes))
+    }
     if (won)
       LogStore.current.putPointer(
         Paths.get(metaDir(tableDir), "version-hint.text"),
@@ -3749,6 +3799,29 @@ object Iceberg {
     else
       commit(read(spark, tableDir), tableDir, overwrite = true,
         identity.map(_.sourceCol))
+  }
+
+  /** REWRITE INTO STANDARD SHAPE: rewrite the current snapshot so
+    * every data file physically carries its identity partition
+    * columns (standard Iceberg's layout — partition columns are
+    * ordinary data columns, the manifest tuple is derived metadata)
+    * instead of this engine's hive-stripped migrated-table shape.
+    * This is the gate that unlocks IDENTITY partition-spec evolution
+    * ([[evolvePartitionSpec]]): once files carry every column, a new
+    * spec generation cannot disagree with the old one about which
+    * columns exist physically, and all LATER identity commits keep
+    * the standard shape automatically ([[commit]]'s detection).
+    * One distributed pass, clustered by the current spec; returns
+    * the new snapshot id. */
+  def rewriteDataFilesFullSchema(spark: SparkSession,
+                                 tableDir: String): Long = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    val spec = partitionSpecOf(meta)
+    require(spec.nonEmpty && spec.forall(_.transform == "identity"),
+      s"rewriteDataFilesFullSchema speaks identity specs — table " +
+        s"$tableDir's spec is $spec")
+    commit(read(spark, tableDir), tableDir, overwrite = true,
+      partCols = spec.map(_.sourceCol), forceStandardShape = true)
   }
 
   /** Every path a snapshot's plan touches: its manifest-list, its

@@ -1698,11 +1698,55 @@ class IcebergSpec extends SparkSuite {
         s"${sources.Iceberg.lastFilesPlannedBySpec}")
     assert(sources.Iceberg.lastFilesTotalBySpec.getOrElse(1, -1) == 12)
     assert(sources.Iceberg.lastFilesPlannedBySpec.getOrElse(0, -1) == 1)
-    // identity-set changes refuse with the measured reason
-    val e2 = intercept[IllegalArgumentException] {
-      sources.Iceberg.evolvePartitionSpec(t, partCols = Seq("k"))
+    // identity-set changes on THIS table are allowed: hidden-spec
+    // files carry every column, so no generation can disagree
+    // physically (the hive-stripped refusal is pinned in the
+    // dedicated evolve-after-rewrite test)
+  }
+
+  test("identity spec evolution: refused stripped, allowed after rewrite") {
+    import org.apache.spark.sql.functions.pmod
+    val work = Files.createTempDirectory("icespecident").toString
+    val t = s"$work/t"
+    val df = (0L until 40L).map(i =>
+      (i, s"s${i % 2}", s"b${i % 4}")).toDF("k", "s", "b")
+    sources.Iceberg.commitOverwritePartitioned(
+      df.filter(pmod(col("k"), lit(2)) === 0), t, Seq("s"))
+    sources.Iceberg.commitAppendPartitioned(
+      df.filter(pmod(col("k"), lit(2)) === 1), t, Seq("s"))
+    // hive-stripped generations refuse identity-set changes loudly
+    val e = intercept[IllegalArgumentException] {
+      sources.Iceberg.evolvePartitionSpec(t, partCols = Seq("b"))
     }
-    assert(e2.getMessage.contains("IDENTITY column set"))
+    assert(e.getMessage.contains("rewriteDataFilesFullSchema"))
+    // the rewrite makes every file carry every column ...
+    sources.Iceberg.rewriteDataFilesFullSchema(spark, t)
+    assert(sources.Iceberg.read(spark, t).count() === 40)
+    // ... which unlocks the evolution
+    val newSpec = sources.Iceberg.evolvePartitionSpec(
+      t, partCols = Seq("b"))
+    assert(newSpec === 1)
+    // appends under the NEW spec stay standard-shape automatically
+    val extra = (100L until 108L).map(i =>
+      (i, s"s${i % 2}", s"b${i % 4}")).toDF("k", "s", "b")
+    sources.Iceberg.commitAppendPartitioned(extra, t, Seq("b"))
+    assert(sources.Iceberg.read(spark, t).count() === 48)
+    // both generations serve a filtered read; the b generation
+    // prunes on its identity tuple, the s generation keeps
+    // (superset — its manifests never recorded b)
+    val out = sources.Iceberg.readFiltered(spark, t,
+      col("b") === "b1")
+    assert(out.count() ===
+      df.filter(col("b") === "b1").count() + 2)
+    val planned = sources.Iceberg.lastFilesPlannedBySpec
+    val total = sources.Iceberg.lastFilesTotalBySpec
+    assert(planned.getOrElse(1, -1) < total.getOrElse(1, 0) &&
+      planned.getOrElse(1, -1) >= 1,
+      s"the new-spec generation must prune on b " +
+        s"(planned $planned of $total)")
+    assert(planned.getOrElse(0, -1) == total.getOrElse(0, 0),
+      s"the old generation keeps all its files (superset): " +
+        s"$planned vs $total")
   }
 
   test("foreign multi-spec metadata: unknown default spec stays readable") {

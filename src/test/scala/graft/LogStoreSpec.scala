@@ -19,6 +19,135 @@ class LogStoreSpec extends SparkSuite {
 
   private val stores = Seq(PosixLogStore, ConditionalPutStore)
 
+  /** Fault-injecting wrapper: the next `loseNext` WINNING version
+    * claims report failure AFTER the put landed — the real
+    * object-store failure where the PUT succeeds but the response
+    * is lost (timeout, dropped connection). The commit loops must
+    * recognize their own landed commit instead of bump-and-retrying
+    * a duplicate. */
+  private class FaultyStore(inner: LogStore)
+    extends LogStore {
+    val name = s"faulty-${inner.name}"
+    val loseNext = new java.util.concurrent.atomic.AtomicInteger(0)
+    def claimVersion(target: java.nio.file.Path,
+                     tmp: java.nio.file.Path): Boolean = {
+      val won = inner.claimVersion(target, tmp)
+      if (won && loseNext.get() > 0) {
+        loseNext.decrementAndGet()
+        false
+      } else won
+    }
+    def claimSlot(d: java.nio.file.Path): Boolean = inner.claimSlot(d)
+    def claimMarker(f: java.nio.file.Path): Boolean =
+      inner.claimMarker(f)
+    def putPointer(t: java.nio.file.Path, b: Array[Byte]): Unit =
+      inner.putPointer(t, b)
+  }
+
+  test("lost PUT response: Delta commits recognize their own version") {
+    stores.foreach { store =>
+      val faulty = new FaultyStore(store)
+      val dir = Files.createTempDirectory(s"lost-${store.name}")
+        .toString + "/t"
+      LogStore.withStore(faulty) {
+        sources.DeltaLog.commitOverwrite(
+          Seq((0L, "base")).toDF("k", "s"), dir)
+        faulty.loseNext.set(1)
+        sources.DeltaLog.commitAppend(
+          Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+        assert(faulty.loseNext.get() == 0,
+          s"[${store.name}] the fault never fired")
+        // exactly TWO commits: the append that lost its response
+        // re-claimed ownership by content instead of duplicating
+        // itself at the next version
+        assert(sources.DeltaLog.versions(dir) == Seq(0L, 1L),
+          s"[${store.name}] lost response duplicated the commit")
+        assert(sources.DeltaLog.read(spark, dir).count() == 3)
+      }
+    }
+  }
+
+  test("lost PUT response: idempotent epoch commit stays exactly-once") {
+    stores.foreach { store =>
+      val faulty = new FaultyStore(store)
+      val dir = Files.createTempDirectory(s"lostep-${store.name}")
+        .toString + "/t"
+      LogStore.withStore(faulty) {
+        sources.DeltaLog.commitOverwrite(
+          Seq((0L, "base")).toDF("k", "s"), dir)
+        faulty.loseNext.set(1)
+        val first = sources.DeltaLog.commitAppendIdempotent(
+          Seq((1L, "a")).toDF("k", "s"), dir, "lost-app", 7L)
+        assert(first.isDefined,
+          s"[${store.name}] the lost-response commit must report " +
+            "its own landed version")
+        val replay = sources.DeltaLog.commitAppendIdempotent(
+          Seq((1L, "a")).toDF("k", "s"), dir, "lost-app", 7L)
+        assert(replay.isEmpty,
+          s"[${store.name}] epoch replay landed twice")
+        assert(sources.DeltaLog.read(spark, dir).count() == 2)
+      }
+    }
+  }
+
+  test("lost PUT response: Iceberg metadata claim recognizes itself") {
+    stores.foreach { store =>
+      val faulty = new FaultyStore(store)
+      val dir = Files.createTempDirectory(s"losti-${store.name}")
+        .toString + "/t"
+      LogStore.withStore(faulty) {
+        sources.Iceberg.commitAppend(
+          Seq((0L, "base")).toDF("k", "s"), dir)
+        faulty.loseNext.set(1)
+        sources.Iceberg.commitAppend(
+          Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+        assert(faulty.loseNext.get() == 0)
+        assert(sources.Iceberg.versions(dir) == Seq(1, 2),
+          s"[${store.name}] lost response duplicated the snapshot")
+        assert(sources.Iceberg.read(spark, dir).count() == 3)
+      }
+    }
+  }
+
+  test("stale listing + lost response in ONE commit loop") {
+    // a writer computes its version from a stale view (a racing
+    // append lands between the version computation and the claim),
+    // loses that claim GENUINELY (bytes differ — not its commit),
+    // retries at the new head, wins there, and THAT response is
+    // lost — the loop must end with both commits landed exactly
+    // once, contiguous
+    stores.foreach { store =>
+      val faulty = new FaultyStore(store)
+      val dir = Files.createTempDirectory(s"stale-${store.name}")
+        .toString + "/t"
+      LogStore.withStore(faulty) {
+        sources.DeltaLog.commitOverwrite(
+          Seq((0L, "base")).toDF("k", "s"), dir)
+        @volatile var planted = false
+        sources.DeltaLog.commitClaimHook = (d, v) =>
+          if (d == dir && v == 1L && !planted) {
+            planted = true
+            // the racing append this writer's stale listing missed
+            sources.DeltaLog.commitAppend(
+              Seq((10L, "race")).toDF("k", "s"), dir)
+            // and the retry's own claim will land but lose its
+            // response
+            faulty.loseNext.set(1)
+          }
+        try sources.DeltaLog.commitAppend(
+          Seq((1L, "mine")).toDF("k", "s"), dir)
+        finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+        assert(planted && faulty.loseNext.get() == 0)
+        assert(sources.DeltaLog.versions(dir) == Seq(0L, 1L, 2L),
+          s"[${store.name}] commit loop landed a duplicate or a gap")
+        val rows = sources.DeltaLog.read(spark, dir)
+          .collect().map(_.toString).sorted.toSeq
+        assert(rows == Seq("[0,base]", "[10,race]", "[1,mine]").sorted,
+          s"[${store.name}] rows wrong: $rows")
+      }
+    }
+  }
+
   test("put-if-absent semantics: first claim wins, loser changes nothing") {
     stores.foreach { store =>
       val dir = Files.createTempDirectory(s"ls-${store.name}")
