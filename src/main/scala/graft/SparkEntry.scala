@@ -640,7 +640,10 @@ object SparkEntry {
       -> (streaming.SqlCatalogQueries.icebergHiddenDsv2Write _),
     // DECIMAL(10,2) stats/pruning/COW end-to-end (round 15)
     "q241_decimal_stats"
-      -> (streaming.SqlCatalogQueries.decimalStats _)
+      -> (streaming.SqlCatalogQueries.decimalStats _),
+    // CDF derived from SQL copy-on-write DML (round 15)
+    "q242_sql_cdf_dml"
+      -> (streaming.SqlCatalogQueries.sqlCdfDml _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -955,6 +958,8 @@ object SparkEntry {
     "q240_iceberg_hidden_dsv2"
       -> streaming.SqlCatalogQueries.icebergHiddenDsv2WriteSql,
     "q241_decimal_stats"
-      -> streaming.SqlCatalogQueries.decimalStatsSql
+      -> streaming.SqlCatalogQueries.decimalStatsSql,
+    "q242_sql_cdf_dml"
+      -> streaming.SqlCatalogQueries.sqlCdfDmlSql
   )
 }

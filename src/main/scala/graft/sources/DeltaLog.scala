@@ -2014,6 +2014,101 @@ object DeltaLog {
     0L
   }
 
+  /** Declared row-identity columns for CDF derivation (this
+    * engine's spelling of Iceberg's identifier fields): when set on
+    * a CDF-enabled table, a SQL MERGE's copy-on-write change set
+    * classifies EXACTLY — post-rows whose key existed among the
+    * replaced rows are update_postimage, fresh keys are insert (and
+    * symmetrically preimage vs delete). Without it a mixed
+    * update+insert MERGE has no sound row pairing and falls back to
+    * the NET-CHANGES contract (delete + insert rows — what
+    * Iceberg's changelog emits without identifier fields). */
+  private[graft] val CdfKeyColsProp = "graft.cdf.keyColumns"
+
+  /** Derive the `_change_data` of a COPY-ON-WRITE replace from the
+    * replaced-vs-replacement ROW MULTISETS — real Delta's CDF
+    * contract for SQL DML re-expressed over Spark's group-based
+    * rewrite (which hands the connector final rows, not per-row
+    * tags):
+    *
+    *  - copied survivors appear in both sets and cancel
+    *    (`exceptAll` both ways — multiset difference);
+    *  - DELETE: every net pre-row is a `delete` (a delete adds
+    *    nothing — `require`d);
+    *  - UPDATE: net pre-rows are `update_preimage`, net post-rows
+    *    `update_postimage` (an update preserves row count —
+    *    `require`d);
+    *  - MERGE: exact tags under [[CdfKeyColsProp]] (key joins split
+    *    postimages from inserts); otherwise the documented
+    *    net-changes fallback (delete + insert).
+    *
+    * KNOWN derivation limit (inherent to rewrite-diffing, shared
+    * with Iceberg's changelog): an update that leaves a row
+    * byte-identical produces NO change rows — it is
+    * indistinguishable from a copied survivor.
+    *
+    * Cost: one scan of the rewrite GROUP and one of its
+    * replacement + a hash diff — proportional to the pruned group,
+    * never the table; paid only when CDF is on. */
+  private def cowChangeActions(spark: SparkSession, tableDir: String,
+      st: State, groupRel: Seq[String], files: Seq[Dsv2File],
+      op: String): Seq[ObjectNode] = {
+    val dataCols = st.schema.fieldNames.toSeq.map(col)
+    val pre0 = scanState(spark, tableDir,
+      st.copy(adds = groupRel.map(p => p -> st.adds(p)).toMap))
+      .select(dataCols: _*)
+    val post0 = scanState(spark, tableDir,
+      st.copy(adds = files.map(f => f.relPath ->
+        AddFile(f.partitionValues, f.size)).toMap))
+      .select(dataCols: _*)
+    val pre = pre0.exceptAll(post0)
+    val post = post0.exceptAll(pre0)
+    val cmd = op.stripPrefix("SQL ").trim
+    def tag(df: DataFrame, ct: String): DataFrame =
+      df.withColumn("_change_type", lit(ct))
+    val changes: DataFrame = cmd match {
+      case "DELETE" =>
+        require(post.isEmpty,
+          s"$op on $tableDir: a DELETE's replacement introduced " +
+            "rows — the rewrite is not a delete")
+        tag(pre, "delete")
+      case "UPDATE" =>
+        require(pre.count() == post.count(),
+          s"$op on $tableDir: an UPDATE must preserve row count — " +
+            "the rewrite is not an update")
+        tag(pre, "update_preimage")
+          .unionByName(tag(post, "update_postimage"))
+      case _ =>
+        st.configuration.get(CdfKeyColsProp)
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty) match {
+          case Some(keys) =>
+            val missing = keys.filterNot(st.schema.fieldNames.contains)
+            require(missing.isEmpty,
+              s"$CdfKeyColsProp names ${missing.mkString(", ")} — " +
+                "not in the table schema")
+            val preKeys = pre.select(keys.map(col): _*).distinct()
+            val postKeys = post.select(keys.map(col): _*).distinct()
+            tag(pre.join(postKeys, keys, "left_semi"),
+                "update_preimage")
+              .unionByName(tag(pre.join(postKeys, keys, "left_anti"),
+                "delete"))
+              .unionByName(tag(post.join(preKeys, keys, "left_semi"),
+                "update_postimage"))
+              .unionByName(tag(post.join(preKeys, keys, "left_anti"),
+                "insert"))
+          case None =>
+            // net-changes fallback: no declared row identity — a
+            // mixed update+insert MERGE cannot be soundly paired
+            tag(pre, "delete").unionByName(tag(post, "insert"))
+        }
+    }
+    writeChangeData(
+      if (st.columnMapping.isEmpty) changes
+      else physicalRows(changes, st),
+      tableDir, st.partitionColumns)
+  }
+
   /** Commit a COPY-ON-WRITE file replacement the SQL row-level ops
     * (DELETE/UPDATE/MERGE through the DSv2 catalog) produced: the
     * scanned rewrite-group files are REMOVED and the rewritten rows'
@@ -2026,30 +2121,25 @@ object DeltaLog {
     * Invariants are enforced on the REWRITTEN rows (an UPDATE must
     * not forge a row a CHECK constraint refuses); bloom sidecars are
     * written for bloom-configured tables, so a rewrite keeps the
-    * scattered-key delete path pruned. CDF-enabled tables refuse:
-    * a COW replace derives no row-level change files, and silently
-    * committing one would make every CDF reader mis-derive the file
-    * churn — [[mergeInto]]/[[deleteWhere]] are the CDF-correct
-    * spellings.
+    * scattered-key delete path pruned. CDF-enabled tables derive
+    * their row-level change files from the rewrite itself
+    * ([[cowChangeActions]]) and stamp cdc actions, so any Delta CDF
+    * reader — this engine's or a foreign client's — reads exact
+    * row-level changes instead of mis-deriving the file churn.
     *
     * CONCURRENCY: the [[commitRowOp]] conflict-proving discipline —
     * a lost CAS re-proves every winner disjoint (no shared removes,
     * no metadata change, every winner-added file provably outside
     * `couldMatch`) and retries internally; genuine conflicts abort
-    * loudly for a re-run against the new state. */
+    * loudly for a re-run against the new state. The derived change
+    * files stay valid across internal retries: a provably-disjoint
+    * winner never touches the rewrite group they diff. */
   private[graft] def commitReplaceDsv2(spark: SparkSession,
       tableDir: String, base: Long, removedPaths: Seq[String],
       files: Seq[Dsv2File],
       couldMatch: (String, AddFile) => Boolean, op: String): Long = {
     if (removedPaths.isEmpty && files.isEmpty) return base
     val st = replay(tableDir, base)
-    require(!st.configuration.get("delta.enableChangeDataFeed")
-        .exists(_.trim.equalsIgnoreCase("true")),
-      s"$op on $tableDir: the table has " +
-        "delta.enableChangeDataFeed=true, and a SQL copy-on-write " +
-        "rewrite derives no row-level change files — CDF readers " +
-        "would mis-derive the file churn. Use DeltaLog.mergeInto / " +
-        "deleteWhere (they stamp cdc actions) on CDF tables")
     val removedRel = removedPaths.map { p =>
       val rel = p.stripPrefix(s"$tableDir/")
       if (st.adds.contains(rel)) rel
@@ -2063,11 +2153,14 @@ object DeltaLog {
       files, op)
     maybeWriteBlooms(spark, tableDir,
       files.map(f => new File(s"$tableDir/${f.relPath}")), Some(st))
+    val cdcActs: Seq[ObjectNode] =
+      if (!cdfWriteEnabled(st)) Seq.empty
+      else cowChangeActions(spark, tableDir, st, removedRel, files, op)
     val actions = removedRel.map(p => removeAction(p)) ++
       files.map(f => addAction(f.relPath, f.size, f.partitionValues,
         dataChange = true,
         stats = Some(statsJsonOf(f.numRecords, f.bounds,
-        st.schema))))
+        st.schema)))) ++ cdcActs
     commitRowOp(tableDir, base, actions, removedRel.toSet,
       couldMatch, op)
   }

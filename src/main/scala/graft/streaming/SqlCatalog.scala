@@ -2042,6 +2042,83 @@ object SqlCatalogQueries {
       s"FROM $ns.dorders ORDER BY o_orderkey")
   }
 
+  /** q242 — CDF FROM SQL COPY-ON-WRITE DML: a
+    * `delta.enableChangeDataFeed=true` table (with declared row
+    * identity `graft.cdf.keyColumns=o_orderkey`) takes SQL UPDATE
+    * then SQL MERGE through Spark's own rewrite planning; each COW
+    * commit DERIVES its `_change_data` from the
+    * replaced-vs-replacement row multisets and stamps cdc actions
+    * ([[DeltaLog]] cowChangeActions) — update_preimage/postimage
+    * for the UPDATE, and EXACT tags for the MERGE (postimages split
+    * from inserts by the declared key). The result is the CDF read
+    * over both commits, hash-checked against the oracle's
+    * re-derived change set; the in-query `require` pins that the
+    * MERGE's commit carries all three change types (a net-changes
+    * fallback would spell delete+insert and fail it). */
+  def sqlCdfDml(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.corders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) TBLPROPERTIES (
+      'delta.enableChangeDataFeed' = 'true',
+      '${DeltaLog.CdfKeyColsProp}' = 'o_orderkey')""")
+    spark.sql(s"INSERT INTO $ns.corders SELECT $cols FROM $v")
+    spark.sql(s"UPDATE $ns.corders SET o_totalprice = " +
+      "o_totalprice + 5.0 WHERE o_orderkey % 10 = 0")
+    spark.sql(
+      s"""MERGE INTO $ns.corders t USING (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         -1.0 AS o_totalprice
+         |  FROM $v WHERE o_orderkey % 7 = 3
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, 'N', -2.0
+         |  FROM $v WHERE o_orderkey % 7 = 3) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val tableDir = tableDirOf(spark, iceberg = false, ns, "corders")
+    val ch = DeltaLog.readChanges(spark, tableDir, 2L, 3L)
+    val v3types = ch.filter(col("_commit_version") === 3)
+      .select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(v3types ==
+        Set("update_preimage", "update_postimage", "insert"),
+      s"the MERGE's cdc must carry exact tags, got $v3types")
+    ch.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("_change_type"), col("_commit_version"))
+      .orderBy(col("_commit_version"), col("_change_type"),
+        col("o_orderkey"))
+  }
+
+  val sqlCdfDmlSql: String =
+    """WITH v AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders),
+      |upd AS (SELECT * FROM v WHERE o_orderkey % 10 = 0),
+      |s2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 5.0
+      |       ELSE o_totalprice END AS o_totalprice FROM v),
+      |m AS (SELECT * FROM s2 WHERE o_orderkey % 7 = 3)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'update_preimage' AS _change_type,
+      |  CAST(2 AS BIGINT) AS _commit_version FROM upd
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice + 5.0, 'update_postimage', CAST(2 AS BIGINT)
+      |FROM upd
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'update_preimage', CAST(3 AS BIGINT) FROM m
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, -1.0,
+      |  'update_postimage', CAST(3 AS BIGINT) FROM m
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, o_custkey, 'N', -2.0,
+      |  'insert', CAST(3 AS BIGINT) FROM v WHERE o_orderkey % 7 = 3
+      |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin
+
   val decimalStatsSql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
       |  CAST(CAST(CASE

@@ -168,16 +168,46 @@ class SqlCatalogSpec extends SparkSuite {
     assert(got.contains("[3,3]") && got.size === 10)
   }
 
-  test("delta catalog: COW refuses CDF tables, points at mergeInto") {
+  test("delta catalog: SQL COW DML derives CDF change data") {
     sql("CREATE TABLE gsql.db.cdf (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true', " +
+      s"'${DeltaLog.CdfKeyColsProp}' = 'k')")
+    sql("INSERT INTO gsql.db.cdf SELECT id, id FROM range(10)")
+    val dir = tdir(s"$wh/db/cdf")
+    // v2: SQL UPDATE (COW) → update_preimage/postimage cdc rows
+    sql("UPDATE gsql.db.cdf SET v = v + 100 WHERE k % 2 = 1")
+    val u = DeltaLog.readChanges(spark, dir, 2, 2)
+    assert(u.filter("_change_type = 'update_preimage'").count() === 5)
+    assert(u.filter("_change_type = 'update_postimage' AND v >= 100")
+      .count() === 5)
+    // v3: SQL COW DELETE → delete cdc rows
+    sql("DELETE FROM gsql.db.cdf WHERE k % 3 = 0")
+    val d = DeltaLog.readChanges(spark, dir, 3, 3)
+    assert(rows(d.select("k", "_change_type")) ===
+      Seq("[0,delete]", "[3,delete]", "[6,delete]", "[9,delete]"))
+    // v4: SQL MERGE (update + insert arms) → EXACT tags under the
+    // declared key columns
+    spark.sql("SELECT * FROM VALUES (1, 7L), (20, 20L) AS s(k, v)")
+      .createOrReplaceTempView("cdf_src")
+    sql("""MERGE INTO gsql.db.cdf t USING cdf_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = DeltaLog.readChanges(spark, dir, 4, 4)
+    assert(rows(m.select("k", "v", "_change_type")).sorted ===
+      Seq("[1,101,update_preimage]", "[1,7,update_postimage]",
+        "[20,20,insert]").sorted)
+    // without declared keys, a mixed MERGE takes the documented
+    // net-changes fallback (delete + insert)
+    sql("CREATE TABLE gsql.db.cdfnk (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
-    sql("INSERT INTO gsql.db.cdf VALUES (1, 1)")
-    val e = intercept[Exception](
-      sql("UPDATE gsql.db.cdf SET v = 2 WHERE k % 2 = 1"))
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("mergeInto")))
+    sql("INSERT INTO gsql.db.cdfnk SELECT id, id FROM range(5)")
+    val dirNk = tdir(s"$wh/db/cdfnk")
+    sql("""MERGE INTO gsql.db.cdfnk t USING cdf_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val nk = DeltaLog.readChanges(spark, dirNk, 2, 2)
+    assert(rows(nk.select("k", "v", "_change_type")).sorted ===
+      Seq("[1,1,delete]", "[1,7,insert]", "[20,20,insert]").sorted)
   }
 
   test("delta catalog: external LOCATION keeps data on DROP") {
