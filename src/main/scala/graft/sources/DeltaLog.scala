@@ -2061,8 +2061,21 @@ object DeltaLog {
       st.copy(adds = files.map(f => f.relPath ->
         AddFile(f.partitionValues, f.size)).toMap))
       .select(dataCols: _*)
-    val pre = pre0.exceptAll(post0)
-    val post = post0.exceptAll(pre0)
+    // cached: the classification consumes each net set several
+    // times (guards, key joins, the change-file write) — without
+    // this every consumer re-scans the group's parquet
+    val pre = pre0.exceptAll(post0).persist()
+    val post = post0.exceptAll(pre0).persist()
+    try cowChangeWrite(spark, tableDir, st, pre, post, op)
+    finally {
+      pre.unpersist()
+      post.unpersist(): Unit
+    }
+  }
+
+  private def cowChangeWrite(spark: SparkSession, tableDir: String,
+      st: State, pre: DataFrame, post: DataFrame,
+      op: String): Seq[ObjectNode] = {
     val cmd = op.stripPrefix("SQL ").trim
     def tag(df: DataFrame, ct: String): DataFrame =
       df.withColumn("_change_type", lit(ct))

@@ -2072,7 +2072,7 @@ object SqlCatalogQueries {
          |         -1.0 AS o_totalprice
          |  FROM $v WHERE o_orderkey % 7 = 3
          |  UNION ALL
-         |  SELECT o_orderkey + 10000000, o_custkey, 'N', -2.0
+         |  SELECT o_orderkey + 1000000000, o_custkey, 'N', -2.0
          |  FROM $v WHERE o_orderkey % 7 = 3) s
          |ON t.o_orderkey = s.o_orderkey
          |WHEN MATCHED THEN UPDATE SET *
@@ -2115,7 +2115,7 @@ object SqlCatalogQueries {
       |SELECT o_orderkey, o_custkey, o_orderstatus, -1.0,
       |  'update_postimage', CAST(3 AS BIGINT) FROM m
       |UNION ALL
-      |SELECT o_orderkey + 10000000, o_custkey, 'N', -2.0,
+      |SELECT o_orderkey + 1000000000, o_custkey, 'N', -2.0,
       |  'insert', CAST(3 AS BIGINT) FROM v WHERE o_orderkey % 7 = 3
       |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin
 
