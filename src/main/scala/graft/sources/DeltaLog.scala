@@ -1481,7 +1481,14 @@ object DeltaLog {
     } else {
       changes.write.partitionBy(partCols: _*).parquet(s"$tableDir/$sub")
       val root = new File(tableDir).getPath
-      partFiles(tableDir, sub).map { f =>
+      partFiles(tableDir, sub).map { f0 =>
+        // per-file UUID basenames: Spark's writer reuses one task's
+        // part-<id> name across EVERY partition dir it touches, and
+        // the partitioned scan keys partitionValues by basename —
+        // a multi-partition change batch would collide
+        val f = new File(f0.getParentFile,
+          s"cdc-${java.util.UUID.randomUUID}.parquet")
+        Files.move(f0.toPath, f.toPath)
         val rel = f.getPath.stripPrefix(root + "/")
         // hive value dirs between the cdc subdir and the file name
         val pv = rel.split('/').filter(_.contains('=')).map { seg =>

@@ -34,7 +34,8 @@ import graft.sources.{DeltaLog, Iceberg}
   * `df.write` / SQL INSERT INTO a bucket-partitioned table needs no
   * DataFrame-path bridge. */
 private[streaming] class IcebergDsv2WriteBuilder(tableDir: String,
-    info: LogicalWriteInfo, declaredPartCols: Seq[String])
+    info: LogicalWriteInfo, declaredPartCols: Seq[String],
+    declaredHidden: Seq[(String, String)] = Seq.empty)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -77,7 +78,7 @@ private[streaming] class IcebergDsv2WriteBuilder(tableDir: String,
               s"spec (${cols.mkString(", ")})")
           (cols, Seq.empty[(String, String)])
         }
-      } else (declaredPartCols, Seq.empty[(String, String)])
+      } else (declaredPartCols, declaredHidden)
     val missing = (partCols ++ hidden.map(_._1))
       .filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,

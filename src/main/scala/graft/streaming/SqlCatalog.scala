@@ -324,7 +324,15 @@ private[streaming] abstract class GraftDirCatalog
 
   override def dropTable(ident: Identifier): Boolean = {
     val f = new File(dirOf(ident))
-    if (!isTableEntry(f)) false
+    if (!isTableEntry(f)) {
+      // a DEAD pointer (target lost its table state out-of-band) is
+      // invisible to listings/loads but still occupies the name —
+      // DROP TABLE is the explicit admin action that reclaims it
+      TablePointer.read(f.toPath) match {
+        case Some(_) => Files.delete(f.toPath); true
+        case None => false
+      }
+    }
     else TablePointer.read(f.toPath) match {
       case Some((dir, external)) =>
         // the entry-object delete IS the un-publish (atomic on any
@@ -992,19 +1000,50 @@ class GraftIcebergCatalog extends GraftDirCatalog {
         Math.floorDiv(timestampMicros, 1000L)).toString))
   }
 
+  /** `PARTITIONED BY` transform DDL → this engine's spec strings:
+    * identity columns plus the full hidden-transform vocabulary
+    * (`bucket(n, c)`, `truncate(w, c)`, `days/months/years/hours(c)`
+    * — real Iceberg's own SQL spellings), all landing natively
+    * through the DSv2 writers. */
+  private def parseSpec(
+      partitions: Array[Transform]): Seq[(String, String)] =
+    partitions.toSeq.map { t =>
+      require(t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1,
+        s"graft-iceberg: unsupported partition transform $t")
+      val src = t.references()(0).fieldNames()(0)
+      def intArg: Int = t.arguments.toSeq.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft-iceberg: transform $t needs an integer argument"))
+      t.name match {
+        case "identity" => src -> "identity"
+        case "bucket" => src -> s"bucket[$intArg]"
+        case "truncate" => src -> s"truncate[$intArg]"
+        case "days" | "day" => src -> "day"
+        case "months" | "month" => src -> "month"
+        case "years" | "year" => src -> "year"
+        case "hours" | "hour" => src -> "hour"
+        case other => throw new UnsupportedOperationException(
+          s"graft-iceberg: unsupported partition transform $other")
+      }
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val partCols = identityPartCols(partitions, "graft-iceberg")
+    val spec = parseSpec(partitions)
     val (dataDir, external) = prepareDataDir(ident, properties)
-    IcebergSqlTables.writeMarker(dataDir, schema, partCols)
+    IcebergSqlTables.writeMarker(dataDir, schema, spec)
     publishNewTable(ident, dataDir, external)
     loadTable(ident)
   }
 
   override protected def createUnder(dir: String, schema: StructType,
       partCols: Seq[String], properties: Map[String, String]): Unit =
-    IcebergSqlTables.writeMarker(dir, schema, partCols)
+    IcebergSqlTables.writeMarker(dir, schema,
+      partCols.map(_ -> "identity"))
 
   override protected def beforePublishStaged(stagedDir: String,
                                              dest: String): Unit =
@@ -1046,25 +1085,37 @@ private[streaming] object IcebergSqlTables {
     new com.fasterxml.jackson.databind.ObjectMapper()
 
   def writeMarker(dir: String, schema: StructType,
-                  partCols: Seq[String]): Unit = {
-    val missing = partCols.filterNot(schema.fieldNames.contains)
+                  spec: Seq[(String, String)]): Unit = {
+    val missing = spec.map(_._1).filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
-      s"CREATE TABLE: partition columns ${missing.mkString(", ")} " +
-        "not in the declared schema")
+      s"CREATE TABLE: partition source columns " +
+        s"${missing.mkString(", ")} not in the declared schema")
+    val (identity, hidden) = spec.partition(_._2 == "identity")
+    require(identity.isEmpty || hidden.isEmpty,
+      "CREATE TABLE: a spec mixes identity and derived transforms " +
+        "— out of scope (pick one clustering)")
     val n = mapper.createObjectNode()
     n.put("schemaJson", schema.json)
-    val pc = n.putArray("partCols")
-    partCols.foreach(pc.add)
+    val pc = n.putArray("spec")
+    spec.foreach { case (src, tr) =>
+      pc.addObject().put("src", src).put("transform", tr): Unit
+    }
     Files.write(Paths.get(s"$dir/$Marker"),
       mapper.writeValueAsString(n).getBytes("UTF-8")): Unit
   }
 
-  def readMarker(dir: String): (StructType, Seq[String]) = {
+  def readMarker(dir: String): (StructType, Seq[(String, String)]) = {
     val n = mapper.readTree(
       Files.readAllBytes(Paths.get(s"$dir/$Marker")))
+    val spec =
+      if (n.has("spec"))
+        n.get("spec").elements().asScala.map(e =>
+          e.get("src").asText -> e.get("transform").asText).toSeq
+      else // legacy identity-only marker shape
+        n.get("partCols").elements().asScala
+          .map(_.asText -> "identity").toSeq
     (DataType.fromJson(n.get("schemaJson").asText)
-      .asInstanceOf[StructType],
-      n.get("partCols").elements().asScala.map(_.asText).toSeq)
+      .asInstanceOf[StructType], spec)
   }
 
   def load(sqlName: String, dir: String,
@@ -1075,8 +1126,8 @@ private[streaming] object IcebergSqlTables {
     else {
       require(pinned.isEmpty,
         s"time travel on $sqlName: the table has no snapshots yet")
-      val (schema, partCols) = readMarker(dir)
-      new PendingIcebergTable(sqlName, dir, schema, partCols)
+      val (schema, spec) = readMarker(dir)
+      new PendingIcebergTable(sqlName, dir, schema, spec)
     }
 
 }
@@ -1249,11 +1300,17 @@ private[streaming] class IcebergRowLevelOperation(dir: String,
 
 /** A created-but-never-written Iceberg catalog table: reads are
   * empty, the first INSERT writes the real metadata under the
-  * marker's declared spec. */
+  * marker's declared spec (identity columns OR hidden transforms —
+  * `PARTITIONED BY (bucket(8, k), ...)`). */
 private[streaming] class PendingIcebergTable(sqlName: String,
-    dir: String, declaredSchema: StructType, partCols: Seq[String])
+    dir: String, declaredSchema: StructType,
+    spec: Seq[(String, String)])
   extends Table with SupportsRead with SupportsWrite
   with SupportsDeleteV2 {
+
+  private val (identitySpec, hiddenSpec) =
+    spec.partition(_._2 == "identity")
+  private def partCols: Seq[String] = identitySpec.map(_._1)
 
   override def name(): String = sqlName
 
@@ -1267,10 +1324,22 @@ private[streaming] class PendingIcebergTable(sqlName: String,
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  override def partitioning(): Array[Transform] =
-    partCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions
-        .identity(c): Transform).toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import graft.functions.IcebergTransforms.{BucketRe, TruncateRe}
+    spec.map {
+      case (c, "identity") => Expressions.identity(c): Transform
+      case (c, BucketRe(n)) => Expressions.bucket(n.toInt, c): Transform
+      case (c, TruncateRe(w)) => Expressions.apply("truncate",
+        Expressions.literal(w.toInt), Expressions.column(c)): Transform
+      case (c, "day") => Expressions.days(c): Transform
+      case (c, "month") => Expressions.months(c): Transform
+      case (c, "year") => Expressions.years(c): Transform
+      case (c, "hour") => Expressions.hours(c): Transform
+      case (c, other) => throw new IllegalStateException(
+        s"marker spec names unknown transform $other on $c")
+    }.toArray
+  }
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1290,8 +1359,9 @@ private[streaming] class PendingIcebergTable(sqlName: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     // the first INSERT writes the real metadata under the marker's
-    // declared identity spec, natively through the DSv2 writers
-    new IcebergDsv2WriteBuilder(dir, info, partCols)
+    // declared spec — identity OR hidden transforms — natively
+    // through the DSv2 writers
+    new IcebergDsv2WriteBuilder(dir, info, partCols, hiddenSpec)
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     true
@@ -2066,6 +2136,7 @@ object SqlCatalogQueries {
     spark.sql(s"INSERT INTO $ns.corders SELECT $cols FROM $v")
     spark.sql(s"UPDATE $ns.corders SET o_totalprice = " +
       "o_totalprice + 5.0 WHERE o_orderkey % 10 = 0")
+    val cordersDir = tableDirOf(spark, iceberg = false, ns, "corders")
     spark.sql(
       s"""MERGE INTO $ns.corders t USING (
          |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -2077,8 +2148,7 @@ object SqlCatalogQueries {
          |ON t.o_orderkey = s.o_orderkey
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    val tableDir = tableDirOf(spark, iceberg = false, ns, "corders")
-    val ch = DeltaLog.readChanges(spark, tableDir, 2L, 3L)
+    val ch = DeltaLog.readChanges(spark, cordersDir, 2L, 3L)
     val v3types = ch.filter(col("_commit_version") === 3)
       .select("_change_type").distinct()
       .collect().map(_.getString(0)).toSet

@@ -200,21 +200,35 @@ private[streaming] object GraftProcedures {
     Map(
       "remove_orphan_homes" -> GraftProcedure("remove_orphan_homes",
         "delete hidden .tbl- table homes no pointer entry references " +
-          "(crashed CTAS, lost CREATE races, straggler tasks)",
+          "(crashed CTAS, lost CREATE races, straggler tasks) and " +
+          "DEAD pointer entries whose target lost its table state",
         Seq("namespace" -> StringType, "older_than_ms" -> LongType),
-        StructType(Seq(StructField("deleted_homes", LongType))),
+        StructType(Seq(StructField("deleted_homes", LongType),
+          StructField("deleted_entries", LongType))),
         { case Seq(ns: String, olderThan: Long) =>
           val d = new java.io.File(resolveNs(ns))
           val entries = Option(d.listFiles()).getOrElse(Array.empty)
-          val referenced = entries.flatMap(f =>
-            TablePointer.read(f.toPath).map(_._1)).toSet
           val cutoff = System.currentTimeMillis() - olderThan
+          // dead pointers first: their targets are not tables, so
+          // nothing they reference counts as live below
+          def isTable(dir: String): Boolean = {
+            val t = new java.io.File(dir)
+            new java.io.File(t, "_delta_log").isDirectory ||
+              graft.sources.Iceberg.versions(dir).nonEmpty ||
+              new java.io.File(t, IcebergSqlTables.Marker).isFile
+          }
+          val dead = entries.filter(f => f.lastModified() < cutoff &&
+            TablePointer.read(f.toPath).exists(p => !isTable(p._1)))
+          dead.foreach(f =>
+            java.nio.file.Files.delete(f.toPath))
+          val referenced = entries.filterNot(dead.contains)
+            .flatMap(f => TablePointer.read(f.toPath).map(_._1)).toSet
           val orphans = entries.filter(f =>
             f.isDirectory && f.getName.startsWith(".tbl-") &&
               !referenced.contains(f.getPath) &&
               f.lastModified() < cutoff)
           orphans.foreach(graft.util.Fs.deleteRecursively)
-          one(orphans.length.toLong)
+          one(orphans.length.toLong, dead.length.toLong)
         }))
 
   /** Shared ProcedureCatalog plumbing for [[GraftDirCatalog]]. */

@@ -233,6 +233,45 @@ class DeltaCdfStreamSourceSpec extends SparkSuite {
       cold.map(cf => (cf.version, cf.changeType, cf.path)))
   }
 
+  test("SQL COW DML's derived cdc actions stream through the source") {
+    // the round-15 CDF-from-COW commits (SQL UPDATE/MERGE through
+    // the catalog) stamp cdc actions like mergeInto's — the CDF
+    // STREAM source must serve them with exact tags, no derivation
+    // from file churn
+    val work = Files.createTempDirectory("cdfcow").toString
+    spark.conf.set("spark.sql.catalog.gcdf",
+      classOf[graft.streaming.GraftDeltaCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdf.warehouse", s"$work/wh")
+    spark.sql("CREATE NAMESPACE gcdf.db")
+    spark.sql("CREATE TABLE gcdf.db.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true', " +
+      s"'${sources.DeltaLog.CdfKeyColsProp}' = 'k')")
+    spark.sql("INSERT INTO gcdf.db.t SELECT id, id FROM range(8)")
+    spark.sql("UPDATE gcdf.db.t SET v = v + 100 WHERE k % 2 = 0")
+    val dir = graft.streaming.TablePointer
+      .read(java.nio.file.Paths.get(s"$work/wh/db/t")).get._1
+    drainTo(dir, s"$work/out", s"$work/ckpt",
+      Map("startingVersion" -> "2"))
+    val got = spark.read.parquet(s"$work/out")
+    assert(got.filter(col("_change_type") === "update_preimage")
+      .count() === 4)
+    assert(got.filter(col("_change_type") === "update_postimage" &&
+      col("v") >= 100).count() === 4)
+    // and the stream keeps serving later COW MERGEs incrementally
+    spark.sql("SELECT * FROM VALUES (1, 7L), (50, 50L) AS s(k, v)")
+      .createOrReplaceTempView("cowsrc")
+    spark.sql("""MERGE INTO gcdf.db.t t USING cowsrc s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    drainTo(dir, s"$work/out", s"$work/ckpt",
+      Map("startingVersion" -> "2"))
+    val after = spark.read.parquet(s"$work/out")
+    assert(after.filter(col("_change_type") === "insert" &&
+      col("k") === 50).count() === 1)
+    assert(after.filter(col("_change_type") === "update_postimage" &&
+      col("k") === 1 && col("v") === 7).count() === 1)
+  }
+
   test("a schema change mid-history fails the CDF stream loudly") {
     val work = Files.createTempDirectory("cdfstream4").toString
     val dir = s"$work/t"

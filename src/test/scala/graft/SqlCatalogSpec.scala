@@ -208,6 +208,30 @@ class SqlCatalogSpec extends SparkSuite {
     val nk = DeltaLog.readChanges(spark, dirNk, 2, 2)
     assert(rows(nk.select("k", "v", "_change_type")).sorted ===
       Seq("[1,1,delete]", "[1,7,insert]", "[20,20,insert]").sorted)
+    // PARTITIONED table: the derived change files land
+    // hive-partitioned across MULTIPLE partitions in one commit
+    // (per-file UUID basenames — Spark's writer would otherwise
+    // reuse one task's part name across partition dirs), and the
+    // UPDATE's rewrite group prunes to the touched partition
+    sql("""CREATE TABLE gsql.db.cdfp (k BIGINT, s STRING, v BIGINT)
+          |PARTITIONED BY (s)
+          |TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')
+          |""".stripMargin)
+    sql("INSERT INTO gsql.db.cdfp SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id FROM range(10)")
+    val dirP = tdir(s"$wh/db/cdfp")
+    // touches BOTH partitions in one COW commit
+    sql("UPDATE gsql.db.cdfp SET v = v + 100 WHERE k % 3 = 0")
+    val p = DeltaLog.readChanges(spark, dirP, 2, 2)
+    assert(p.filter("_change_type = 'update_postimage'").count() === 4)
+    assert(p.select("s").distinct().count() === 2,
+      "change rows must restore partition values from both partitions")
+    // a partition-conjunct UPDATE prunes its rewrite group
+    sql("UPDATE gsql.db.cdfp SET v = v + 1 WHERE s = 'a' AND k = 2")
+    val (pl, pr, _) = GraftSqlSeams.lastReplace(dirP)
+    assert(pr < pl, s"partition conjunct did not prune ($pl/$pr)")
+    assert(DeltaLog.readChanges(spark, dirP, 3, 3)
+      .filter("_change_type = 'update_postimage'").count() === 1)
   }
 
   test("delta catalog: external LOCATION keeps data on DROP") {
@@ -265,6 +289,34 @@ class SqlCatalogSpec extends SparkSuite {
     sql("INSERT INTO gice.db.iovw VALUES (10, 'x')")
     assert(rows(sql("SELECT k, s FROM gice.db.iovw")) ===
       Seq("[10,x]", "[9,null]"))
+  }
+
+  test("iceberg catalog: PARTITIONED BY transform DDL writes natively") {
+    sql("""CREATE TABLE gice.db.bkt (k BIGINT, v BIGINT)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    sql("INSERT INTO gice.db.bkt SELECT id, id FROM range(40)")
+    val dir = tdir(s"$wh/_ice/db/bkt")
+    assert(Iceberg.currentSpecFields(dir) === Seq("k" -> "bucket[4]"))
+    // the optimizer-derived tuple predicate prunes to one bucket
+    graft.streaming.BatchScanStats.reset(dir)
+    assert(sql("SELECT * FROM gice.db.bkt WHERE k = 7").count() === 1)
+    val st = graft.streaming.BatchScanStats.statsFor(dir)
+    assert(st.live >= 2 && st.pushdownKept < st.live,
+      s"bucket DDL table did not prune (live ${st.live}, kept " +
+        s"${st.pushdownKept})")
+    // a second INSERT inherits the hidden spec
+    sql("INSERT INTO gice.db.bkt SELECT id + 100, id FROM range(10)")
+    assert(sql("SELECT count(*) FROM gice.db.bkt").head.getLong(0)
+      === 50)
+    // time-transform DDL over a date column
+    sql("""CREATE TABLE gice.db.dts (k BIGINT, d DATE)
+          |PARTITIONED BY (days(d))""".stripMargin)
+    sql("INSERT INTO gice.db.dts SELECT id, " +
+      "date_add(DATE'2024-01-01', CAST(id % 3 AS INT)) FROM range(12)")
+    val ddir = tdir(s"$wh/_ice/db/dts")
+    assert(Iceberg.currentSpecFields(ddir) === Seq("d" -> "day"))
+    assert(sql("SELECT count(*) FROM gice.db.dts " +
+      "WHERE d = DATE'2024-01-02'").head.getLong(0) === 4)
   }
 
   test("row-level op conflict: racing disjoint appends retry") {
@@ -752,6 +804,30 @@ class SqlCatalogSpec extends SparkSuite {
       assert(ConditionalPutStore.claimsAttempted.get() > claims0,
         "commits did not route through the conditional-put store")
     }
+  }
+
+  test("dead pointer entries: invisible, reclaimable, GC-swept") {
+    wh
+    sql("CREATE TABLE gsql.db.dead (k BIGINT)")
+    sql("INSERT INTO gsql.db.dead VALUES (1)")
+    val entry = java.nio.file.Paths.get(s"$wh/db/dead")
+    val home = graft.streaming.TablePointer.read(entry).get._1
+    // out-of-band damage: the data home vanishes under the pointer
+    graft.util.Fs.deleteRecursively(new java.io.File(home))
+    assert(!rows(sql("SHOW TABLES IN gsql.db"))
+      .exists(_.contains("dead,")),
+      "a dead pointer must be invisible to listings")
+    intercept[Exception](sql("SELECT * FROM gsql.db.dead"))
+    // the orphan sweep reclaims the dead entry ...
+    val r = sql("CALL gsql.system.remove_orphan_homes(" +
+      "namespace => 'db', older_than_ms => 0)").collect().head
+    assert(r.getLong(1) >= 1, s"dead entry not swept: $r")
+    assert(!java.nio.file.Files.exists(entry))
+    // ... and the name is creatable again
+    sql("CREATE TABLE gsql.db.dead (k BIGINT)")
+    sql("INSERT INTO gsql.db.dead VALUES (2)")
+    assert(rows(sql("SELECT * FROM gsql.db.dead")) === Seq("[2]"))
+    sql("DROP TABLE gsql.db.dead")
   }
 
   test("adopted directory table: readable, rename refused on objstore") {
