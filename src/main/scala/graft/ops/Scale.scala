@@ -81,6 +81,57 @@ object Scale {
         .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1))
     }
 
+  /** Re-cluster `df` on the MORTON interleave of `zorderCols` —
+    * the shared pass behind both formats' `optimize_zorder`
+    * maintenance (DeltaLog.compactZorder, Iceberg.rewriteZorder):
+    * each dimension min/max-NORMALIZED onto its bit range (raw
+    * interleave of unequal domains degenerates into a
+    * widest-dimension sort), bits interleaved k-way, then one
+    * range-partitioned sort into `targetFiles` partitions (sampled
+    * bounds — no single-reducer funnel). Dimensions must be
+    * integral or date columns; the returned frame carries exactly
+    * the input columns, clustered. */
+  def zClustered(df: DataFrame, zorderCols: Seq[String],
+                 targetFiles: Int): DataFrame = {
+    require(zorderCols.nonEmpty && targetFiles >= 1,
+      "zClustered needs at least one column and targetFiles >= 1")
+    val schema = df.schema
+    zorderCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"zClustered: no column $c in ${schema.fieldNames.toSeq}"))
+      require(Set("byte", "short", "integer", "long", "date")
+          .contains(f.dataType.typeName),
+        s"zClustered: $c is ${f.dataType.typeName} — z-order " +
+          "dimensions must be integral or date columns")
+    }
+    val bits = math.min(ZBits, 62 / zorderCols.length)
+    def asLong(c: String): org.apache.spark.sql.Column =
+      if (schema.fields.find(_.name == c).get.dataType.typeName == "date")
+        datediff(col(c), lit("1970-01-01")).cast("long")
+      else col(c).cast("long")
+    val aggs = zorderCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(asLong(c)).as(s"mn$i"), max(asLong(c)).as(s"mx$i"))
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    def norm(i: Int, c: String): org.apache.spark.sql.Column = {
+      val (mn, mx) = (col(s"mn$i"), col(s"mx$i"))
+      when(mx === mn || asLong(c).isNull, 0L).otherwise(
+        floor((asLong(c) - mn) * lit((1L << bits) - 1) / (mx - mn))
+          .cast("long"))
+    }
+    val z = (0 until bits).flatMap(i =>
+        zorderCols.zipWithIndex.map { case (c, j) =>
+          shiftleft(shiftright(norm(j, c), i).bitwiseAND(1L),
+            i * zorderCols.length + j)
+        }).reduce(_ bitwiseOR _)
+    df.join(broadcast(bounds))
+      .withColumn("_z", z)
+      .repartitionByRange(targetFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
   /** The matching DuckDB fragment (same shift/mask/or fold). */
   def zValueSql(a: String, b: String): String =
     (0 until ZBits).flatMap { i =>

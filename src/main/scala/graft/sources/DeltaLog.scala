@@ -3529,10 +3529,6 @@ object DeltaLog {
     * (the bit interleave's domain). */
   def compactZorder(spark: SparkSession, tableDir: String,
       zorderCols: Seq[String], targetFiles: Int): Long = {
-    import org.apache.spark.sql.functions.{broadcast, datediff,
-      floor, lit, max, min, shiftleft, shiftright, when}
-    require(zorderCols.nonEmpty && targetFiles >= 1,
-      "optimize_zorder needs at least one column and targetFiles >= 1")
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val base = vs.last
@@ -3540,44 +3536,9 @@ object DeltaLog {
     require(st.partitionColumns.isEmpty,
       "optimize_zorder re-clusters unpartitioned tables (a " +
         "partitioned table's skipping dimension is its partitioning)")
-    val schema = st.schema
-    zorderCols.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"optimize_zorder: no column $c in ${schema.fieldNames.toSeq}"))
-      require(Set("byte", "short", "integer", "long", "date")
-          .contains(f.dataType.typeName),
-        s"optimize_zorder: $c is ${f.dataType.typeName} — z-order " +
-          "dimensions must be integral or date columns")
-    }
-    // bits per dimension: the interleaved value must stay in a long
-    val bits = math.min(graft.ops.Scale.ZBits, 62 / zorderCols.length)
-    val snapshot = scanState(spark, tableDir, st)
-    def asLong(c: String): Column =
-      if (schema(c).dataType.typeName == "date")
-        datediff(col(c), lit("1970-01-01")).cast("long")
-      else col(c).cast("long")
-    val aggs = zorderCols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(asLong(c)).as(s"mn$i"), max(asLong(c)).as(s"mx$i"))
-    }
-    val bounds = snapshot.agg(aggs.head, aggs.tail: _*)
-    def norm(i: Int, c: String): Column = {
-      val (mn, mx) = (col(s"mn$i"), col(s"mx$i"))
-      when(mx === mn || asLong(c).isNull, 0L).otherwise(
-        floor((asLong(c) - mn) * lit((1L << bits) - 1) / (mx - mn))
-          .cast("long"))
-    }
-    val z = (0 until bits).flatMap(i =>
-        zorderCols.zipWithIndex.map { case (c, j) =>
-          shiftleft(shiftright(norm(j, c), i).bitwiseAND(1L),
-            i * zorderCols.length + j)
-        }).reduce(_ bitwiseOR _)
     val sub = s"part-${java.util.UUID.randomUUID}"
-    val clustered = snapshot.join(broadcast(bounds))
-      .withColumn("_z", z)
-      .repartitionByRange(targetFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    val clustered = graft.ops.Scale.zClustered(
+      scanState(spark, tableDir, st), zorderCols, targetFiles)
     (if (st.columnMapping.isEmpty) clustered
      else physicalRows(clustered, st))
       .write.parquet(s"$tableDir/$sub")

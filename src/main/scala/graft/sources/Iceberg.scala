@@ -1521,10 +1521,10 @@ object Iceberg {
     // snapshot; `forceStandardShape` is the rewrite's own entry.
     val standardShape: Boolean = hiddenSpec.isEmpty &&
       partCols.nonEmpty && (forceStandardShape ||
-        (prevMeta.isDefined && scala.util.Try {
-          val p = batchPlan(tableDir, mainSnapshotId(tableDir))
-          p.files.nonEmpty && p.filesCarryPartCols
-        }.getOrElse(false)))
+        prevMeta.exists(m => scala.util.Try(
+          firstDataFilePath(m).exists(p =>
+            dataFilesCarryPartitionCols(p, partCols)))
+          .getOrElse(false)))
     val snapshotId: Long = prevMeta.map(
       _.get("snapshots").elements().asScala
         .map(_.get("snapshot-id").asLong).maxOption.getOrElse(0L))
@@ -2381,6 +2381,28 @@ object Iceberg {
       Files.write(p, mapper.writeValueAsString(meta)
         .getBytes("UTF-8")): Unit
     }
+  }
+
+  /** ONE live data file's path from the current snapshot — the
+    * O(1-manifest) layout probe ([[dataFilesCarryPartitionCols]]'s
+    * input; layouts never mix in a snapshot, so one file decides).
+    * Reads the manifest LIST plus the first DATA manifest only —
+    * never plans the snapshot; a per-commit probe must not add
+    * O(files) driver work to every append on a 100 TB table. */
+  private def firstDataFilePath(meta: com.fasterxml.jackson.databind.JsonNode): Option[String] = {
+    val curId = meta.get("current-snapshot-id").asLong
+    meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == curId)
+      .flatMap { snap =>
+        readAvro(snap.get("manifest-list").asText).iterator
+          .filter(r => fieldOpt(r, "content")
+            .map(_.asInstanceOf[Int]).getOrElse(0) == 0)
+          .flatMap(r => readAvro(r.get("manifest_path").toString))
+          .map(_.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString)
+          .map(stripFileUri)
+          .nextOption()
+      }
   }
 
   /** Commit a COPY-ON-WRITE file replacement the SQL row-level ops
@@ -3799,6 +3821,26 @@ object Iceberg {
     else
       commit(read(spark, tableDir), tableDir, overwrite = true,
         identity.map(_.sourceCol))
+  }
+
+  /** REWRITE WITH Z-ORDER — [[DeltaLog.compactZorder]]'s Iceberg
+    * twin (real Iceberg spells it `rewrite_data_files(strategy =>
+    * 'sort', sort_order => 'zorder(...)')`): rewrite the current
+    * snapshot's rows clustered on the Morton interleave of
+    * `zorderCols` ([[graft.ops.Scale.zClustered]] — one
+    * range-partitioned distributed sort), publishing one overwrite
+    * snapshot whose manifest value bounds are computed fresh from
+    * the clustered files, so a filter on ANY named dimension prunes.
+    * Unpartitioned tables (a partitioned table's skipping dimension
+    * is its partitioning). Returns the new snapshot id. */
+  def rewriteZorder(spark: SparkSession, tableDir: String,
+      zorderCols: Seq[String], targetFiles: Int): Long = {
+    val meta = loadMetadata(tableDir, currentVersion(tableDir))
+    require(partitionSpecOf(meta).isEmpty,
+      s"rewriteZorder re-clusters unpartitioned tables — " +
+        s"$tableDir's spec is ${partitionSpecOf(meta)}")
+    commitOverwrite(graft.ops.Scale.zClustered(
+      read(spark, tableDir), zorderCols, targetFiles), tableDir)
   }
 
   /** REWRITE INTO STANDARD SHAPE: rewrite the current snapshot so

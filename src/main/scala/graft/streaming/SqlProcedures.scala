@@ -166,6 +166,28 @@ private[streaming] object GraftProcedures {
         { case Seq(t: String) =>
           one(Iceberg.rewriteDataFiles(SparkSession.active,
             resolve(t))) }),
+      "optimize_zorder" -> GraftProcedure("optimize_zorder",
+        "re-cluster the table on a Morton (Z-order) interleave of " +
+          "the named columns into one overwrite snapshot with fresh " +
+          "manifest bounds (real Iceberg's rewrite_data_files with " +
+          "a zorder sort_order)",
+        Seq("table" -> StringType, "columns" -> StringType,
+          "target_files" -> IntegerType),
+        StructType(Seq(StructField("snapshot_id", LongType),
+          StructField("files_before", LongType),
+          StructField("files_after", LongType))),
+        { case Seq(t: String, cols: String, target: Int) =>
+          val dir = resolve(t)
+          val spark = SparkSession.active
+          def liveFiles: Long =
+            Iceberg.batchPlan(dir, Iceberg.mainSnapshotId(dir))
+              .files.size.toLong
+          val before = liveFiles
+          val sid = Iceberg.rewriteZorder(spark, dir,
+            cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+            target)
+          one(sid, before, liveFiles)
+        }),
       "expire_snapshots" -> GraftProcedure("expire_snapshots",
         "drop history beyond the newest keep_last snapshots and " +
           "delete their unreferenced files",

@@ -582,6 +582,28 @@ class SqlCatalogSpec extends SparkSuite {
       s"snapshot_id => $firstSnap)")
     assert(rows(sql("SELECT * FROM gice.db.prb")) === Seq("[1]"))
   }
+  test("iceberg catalog: CALL system.optimize_zorder prunes both dims") {
+    sql("CREATE TABLE gice.db.zord (a BIGINT, b BIGINT)")
+    sql("INSERT INTO gice.db.zord SELECT id % 256, " +
+      "floor(id / 256) FROM range(65536)")
+    val r = sql("CALL gice.system.optimize_zorder(" +
+      "table => 'db.zord', columns => 'a,b', target_files => 16)")
+      .collect().head
+    assert(r.getLong(2) >= 2, s"zorder landed ${r.getLong(2)} files")
+    val dir = tdir(s"$wh/_ice/db/zord")
+    // a box filter on EITHER dimension prunes via the fresh bounds
+    graft.streaming.BatchScanStats.reset(dir)
+    assert(sql("SELECT count(*) FROM gice.db.zord " +
+      "WHERE a BETWEEN 10 AND 20 AND b BETWEEN 10 AND 20")
+      .head.getLong(0) === 121)
+    val st = graft.streaming.BatchScanStats.statsFor(dir)
+    assert(st.live >= 8 && st.pushdownKept < st.live,
+      s"the z-ordered manifest bounds did not prune the 2-D box " +
+        s"(live ${st.live}, kept ${st.pushdownKept})")
+    assert(sql("SELECT count(*) FROM gice.db.zord").head.getLong(0)
+      === 65536)
+  }
+
   test("delta catalog: DROP COLUMN is metadata-only on mapped tables") {
     sql("CREATE TABLE gsql.db.dropc (k BIGINT, v BIGINT, w STRING) " +
       "TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
