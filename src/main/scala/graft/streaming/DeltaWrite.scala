@@ -281,11 +281,14 @@ private class DeltaDataWriter(tableDir: String, schema: StructType,
     partCols.toArray.map(c =>
       (c, schema.fieldIndex(c), schema(c).dataType))
 
-  // (tuple name, transform, source ordinal, source type)
-  private val hiddenIdx: Array[(String, String, Int, DataType)] =
+  // (tuple name, per-row derivation closure): the transform is
+  // RESOLVED ONCE here — regex-matching the transform string per
+  // row would put a matcher in the write hot loop
+  private val hiddenIdx: Array[(String, InternalRow => String)] =
     hiddenSpec.toArray.map { case (src, tr) =>
-      (graft.functions.IcebergTransforms.tupleName(tr, src), tr,
-        schema.fieldIndex(src), schema(src).dataType)
+      (graft.functions.IcebergTransforms.tupleName(tr, src),
+        hiddenExtractor(tr, schema.fieldIndex(src),
+          schema(src).dataType))
     }
   private val dataIdx: Array[Int] = schema.fields.zipWithIndex
     .collect { case (f, i) if !partCols.contains(f.name) => i }
@@ -373,35 +376,47 @@ private class DeltaDataWriter(tableDir: String, schema: StructType,
         s"unreachable partition type $other")
     }
 
-  /** A row's derived tuple value under `transform`, rendered the way
-    * the manifest's hive-string bridge expects (int/long ordinals). */
-  private def hiddenValue(row: InternalRow, transform: String,
-                          idx: Int, dt: DataType): String = {
+  /** The derived-tuple extractor for `transform` over source
+    * ordinal `idx` of type `dt`, resolved ONCE per writer — the
+    * returned closure renders the per-row tuple value the way the
+    * manifest's hive-string bridge expects (int/long ordinals). */
+  private def hiddenExtractor(transform: String, idx: Int,
+                              dt: DataType): InternalRow => String = {
     import graft.functions.IcebergTransforms._
-    if (row.isNullAt(idx)) return null
-    def longVal: Long = dt match {
+    def longVal(row: InternalRow): Long = dt match {
       case LongType => row.getLong(idx)
       case IntegerType => row.getInt(idx).toLong
       case other => throw new IllegalArgumentException(
         s"hidden transform $transform over $other — long/int sources")
     }
+    def nullable(f: InternalRow => String): InternalRow => String =
+      row => if (row.isNullAt(idx)) null else f(row)
     transform match {
-      case BucketRe(n) => bucketLong(longVal, n.toInt).toString
-      case TruncateRe(w) => truncateLong(longVal, w.toLong).toString
-      case "day" | "month" | "year" | "hour" => dt match {
-        case DateType =>
-          val d = java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong)
-          (transform match {
-            case "day" => row.getInt(idx)
-            case "month" => monthOrdinal(d.getYear, d.getMonthValue)
-            case "year" => yearOrdinal(d.getYear)
-            case _ => throw new IllegalArgumentException(
-              "hour transform needs a timestamp source")
-          }).toString
+      case BucketRe(n) =>
+        val b = n.toInt
+        nullable(row => bucketLong(longVal(row), b).toString)
+      case TruncateRe(w) =>
+        val t = w.toLong
+        nullable(row => truncateLong(longVal(row), t).toString)
+      case tr @ ("day" | "month" | "year" | "hour") => dt match {
+        case DateType => tr match {
+          case "day" => nullable(row => row.getInt(idx).toString)
+          case "month" => nullable { row =>
+            val d = java.time.LocalDate
+              .ofEpochDay(row.getInt(idx).toLong)
+            monthOrdinal(d.getYear, d.getMonthValue).toString
+          }
+          case "year" => nullable(row => yearOrdinal(java.time
+            .LocalDate.ofEpochDay(row.getInt(idx).toLong)
+            .getYear).toString)
+          case _ => throw new IllegalArgumentException(
+            "hour transform needs a timestamp source")
+        }
         case TimestampType =>
-          timeOrdinalOfMicros(transform, row.getLong(idx)).toString
+          nullable(row =>
+            timeOrdinalOfMicros(tr, row.getLong(idx)).toString)
         case other => throw new IllegalArgumentException(
-          s"time transform $transform over $other — date/timestamp")
+          s"time transform $tr over $other — date/timestamp")
       }
       case other => throw new IllegalArgumentException(
         s"unsupported hidden transform '$other'")
@@ -411,8 +426,7 @@ private class DeltaDataWriter(tableDir: String, schema: StructType,
   override def write(row: InternalRow): Unit = {
     val key: Seq[String] =
       if (hiddenIdx.nonEmpty)
-        hiddenIdx.toSeq.map { case (_, tr, i, dt) =>
-          hiddenValue(row, tr, i, dt) }
+        hiddenIdx.toSeq.map { case (_, get) => get(row) }
       else partIdx.toSeq.map { case (_, i, dt) => pvString(row, i, dt) }
     val of = open.getOrElseUpdate(key,
       new OpenFile(s"${relPrefix}part-${UUID.randomUUID}.snappy.parquet"))

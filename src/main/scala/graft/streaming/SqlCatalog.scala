@@ -392,6 +392,20 @@ private[streaming] abstract class GraftDirCatalog
       s"target namespace ${next.namespace.mkString(".")} does not exist")
     TablePointer.read(from.toPath) match {
       case Some((dir, external)) =>
+        // a MANAGED home lives under its ORIGINAL namespace
+        // directory and never moves: renaming across namespaces
+        // would leave the new name's data inside a namespace whose
+        // later DROP ... CASCADE destroys it out from under the
+        // pointer — refuse; external locations are elsewhere by
+        // definition and rename freely
+        require(external ||
+            old.namespace.toSeq == next.namespace.toSeq,
+          s"RENAME of managed table ${fullName(old)} across " +
+            s"namespaces (${old.namespace.mkString(".")} -> " +
+            s"${next.namespace.mkString(".")}): its data home " +
+            "stays under the original namespace, which a later " +
+            "DROP NAMESPACE CASCADE would destroy — copy it " +
+            "(CREATE TABLE ... AS SELECT) instead")
         if (!TablePointer.claim(to.toPath, dir, external))
           throw new TableAlreadyExistsException(next)
         Files.delete(from.toPath)
