@@ -92,9 +92,24 @@ object Scale {
     * integral or date columns; the returned frame carries exactly
     * the input columns, clustered. */
   def zClustered(df: DataFrame, zorderCols: Seq[String],
-                 targetFiles: Int): DataFrame = {
+                 targetFiles: Int): DataFrame =
+    zClusteredBy(df, Seq.empty, zorderCols, targetFiles)
+
+  /** [[zClustered]] WITHIN leading group columns — the partitioned
+    * `OPTIMIZE ZORDER` shape: the range partitioning and the
+    * within-partition sort lead with `leadCols` (a table's
+    * partition columns), so each written file is a z-contiguous
+    * slice of ONE group — partition pruning and z-bounds pruning
+    * compose. */
+  def zClusteredBy(df: DataFrame, leadCols: Seq[String],
+                   zorderCols: Seq[String],
+                   targetFiles: Int): DataFrame = {
     require(zorderCols.nonEmpty && targetFiles >= 1,
       "zClustered needs at least one column and targetFiles >= 1")
+    require(leadCols.forall(df.schema.fieldNames.contains) &&
+        !zorderCols.exists(leadCols.contains),
+      s"z-order dimensions $zorderCols must be disjoint from the " +
+        s"leading group columns $leadCols")
     val schema = df.schema
     zorderCols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
@@ -125,10 +140,11 @@ object Scale {
           shiftleft(shiftright(norm(j, c), i).bitwiseAND(1L),
             i * zorderCols.length + j)
         }).reduce(_ bitwiseOR _)
+    val sortCols = leadCols.map(col) :+ col("_z")
     df.join(broadcast(bounds))
       .withColumn("_z", z)
-      .repartitionByRange(targetFiles, col("_z"))
-      .sortWithinPartitions("_z")
+      .repartitionByRange(targetFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
 

@@ -3526,30 +3526,50 @@ object DeltaLog {
     * `targetFiles` files (sampled bounds, no single-reducer funnel);
     * the same cost class as any clustered rewrite, paid once per
     * OPTIMIZE cycle. Dimensions must be integral or date columns
-    * (the bit interleave's domain). */
+    * (the bit interleave's domain). PARTITIONED tables z-order
+    * WITHIN each partition (the range sort leads with the partition
+    * columns — z-order never crosses partition boundaries, real
+    * Delta's semantics). */
   def compactZorder(spark: SparkSession, tableDir: String,
       zorderCols: Seq[String], targetFiles: Int): Long = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val base = vs.last
     val st = replayMaybeCheckpointed(Some(spark), tableDir, base)
-    require(st.partitionColumns.isEmpty,
-      "optimize_zorder re-clusters unpartitioned tables (a " +
-        "partitioned table's skipping dimension is its partitioning)")
     val sub = s"part-${java.util.UUID.randomUUID}"
-    val clustered = graft.ops.Scale.zClustered(
-      scanState(spark, tableDir, st), zorderCols, targetFiles)
-    (if (st.columnMapping.isEmpty) clustered
-     else physicalRows(clustered, st))
-      .write.parquet(s"$tableDir/$sub")
-    val fs = partFiles(tableDir, sub)
-    val stats = statsJsonBatch(spark, fs)
-    val adds = fs.map(f =>
-      addAction(s"$sub/${f.getName}", f.length, Map.empty,
-        dataChange = false, stats = Some(stats(f.getPath))))
-    val removes = st.files.map(p => removeAction(p, dataChange = false))
-    commitRowOp(tableDir, base, removes ++ adds,
-      st.files.toSet, (_, _) => false, "compaction")
+    if (st.partitionColumns.nonEmpty) {
+      // PARTITIONED OPTIMIZE ZORDER: the range partitioning and
+      // within-partition sort LEAD with the table's partition
+      // columns, so every written file is a z-contiguous slice of
+      // one partition — partition pruning and z-bounds pruning
+      // compose (real Delta's semantics: z-order never crosses
+      // partition boundaries)
+      graft.ops.Scale.zClusteredBy(scanState(spark, tableDir, st),
+          st.partitionColumns, zorderCols, targetFiles)
+        .write.partitionBy(st.partitionColumns: _*)
+        .parquet(s"$tableDir/$sub")
+      val adds = partitionedAdds(spark, tableDir, sub,
+        st.partitionColumns, dataChange = false)
+      val removes =
+        st.files.map(p => removeAction(p, dataChange = false))
+      commitRowOp(tableDir, base, removes ++ adds,
+        st.files.toSet, (_, _) => false, "compaction")
+    } else {
+      val clustered = graft.ops.Scale.zClustered(
+        scanState(spark, tableDir, st), zorderCols, targetFiles)
+      (if (st.columnMapping.isEmpty) clustered
+       else physicalRows(clustered, st))
+        .write.parquet(s"$tableDir/$sub")
+      val fs = partFiles(tableDir, sub)
+      val stats = statsJsonBatch(spark, fs)
+      val adds = fs.map(f =>
+        addAction(s"$sub/${f.getName}", f.length, Map.empty,
+          dataChange = false, stats = Some(stats(f.getPath))))
+      val removes =
+        st.files.map(p => removeAction(p, dataChange = false))
+      commitRowOp(tableDir, base, removes ++ adds,
+        st.files.toSet, (_, _) => false, "compaction")
+    }
   }
 
   // ---------------------------------------------------------------

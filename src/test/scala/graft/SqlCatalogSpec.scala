@@ -582,6 +582,34 @@ class SqlCatalogSpec extends SparkSuite {
       s"snapshot_id => $firstSnap)")
     assert(rows(sql("SELECT * FROM gice.db.prb")) === Seq("[1]"))
   }
+  test("delta optimize_zorder on a PARTITIONED table clusters within") {
+    sql("""CREATE TABLE gsql.db.zp (a BIGINT, b BIGINT, s STRING)
+          |PARTITIONED BY (s)""".stripMargin)
+    sql("INSERT INTO gsql.db.zp SELECT id % 128, " +
+      "CAST(floor(id / 128) AS BIGINT), " +
+      "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END FROM range(32768)")
+    val opt = sql("CALL gsql.system.optimize_zorder(" +
+      "table => 'db.zp', columns => 'a,b', target_files => 16)")
+      .collect().head
+    assert(opt.getLong(2) >= 4, s"landed ${opt.getLong(2)} files")
+    val dir = tdir(s"$wh/db/zp")
+    assert(DeltaLog.history(spark, dir)
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
+      .head.getString(1) === "OPTIMIZE")
+    // partition pruning AND z-bounds pruning compose: the box keeps
+    // well under half the partition's files
+    graft.streaming.BatchScanStats.reset(dir)
+    assert(sql("SELECT count(*) FROM gsql.db.zp WHERE s = 'x' AND " +
+      "a BETWEEN 5 AND 15 AND b BETWEEN 5 AND 15")
+      .head.getLong(0) > 0)
+    val st = graft.streaming.BatchScanStats.statsFor(dir)
+    assert(st.live >= 8 && st.pushdownKept < st.live / 2,
+      s"partitioned z-order did not compose pruning " +
+        s"(live ${st.live}, kept ${st.pushdownKept})")
+    assert(sql("SELECT count(*) FROM gsql.db.zp").head.getLong(0)
+      === 32768)
+  }
+
   test("iceberg catalog: CALL system.optimize_zorder prunes both dims") {
     sql("CREATE TABLE gice.db.zord (a BIGINT, b BIGINT)")
     sql("INSERT INTO gice.db.zord SELECT id % 256, " +
