@@ -643,7 +643,12 @@ object SparkEntry {
       -> (streaming.SqlCatalogQueries.decimalStats _),
     // CDF derived from SQL copy-on-write DML (round 15)
     "q242_sql_cdf_dml"
-      -> (streaming.SqlCatalogQueries.sqlCdfDml _)
+      -> (streaming.SqlCatalogQueries.sqlCdfDml _),
+    // Iceberg equality deletes through the DSv2 batch scan + SQL
+    // catalog (round 16): value-matched deletes fold to position
+    // masks at planning — the last format-parity read gap
+    "q243_iceberg_eqdelete_dsv2"
+      -> (streaming.BatchReadQueries.dsv2IcebergEqDelete _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -960,6 +965,8 @@ object SparkEntry {
     "q241_decimal_stats"
       -> streaming.SqlCatalogQueries.decimalStatsSql,
     "q242_sql_cdf_dml"
-      -> streaming.SqlCatalogQueries.sqlCdfDmlSql
+      -> streaming.SqlCatalogQueries.sqlCdfDmlSql,
+    "q243_iceberg_eqdelete_dsv2"
+      -> streaming.BatchReadQueries.dsv2IcebergEqDeleteSql
   )
 }

@@ -138,10 +138,13 @@ object GraftExtensions {
     }
 
   /** `iceberg_scan`'s plan: the connector unless the pinned snapshot
-    * carries EQUALITY deletes or non-primitive columns — those
-    * refuse at EXECUTION inside the connector (too late for SQL), so
-    * the probe here is a driver-side manifest walk deciding the path
-    * up front. */
+    * carries non-primitive columns, or an equality delete keyed on a
+    * hive-stripped identity partition column (the one eq-delete
+    * shape the connector's mask derivation cannot match row-wise) —
+    * those refuse at EXECUTION inside the connector (too late for
+    * SQL), so the probe here is a driver-side manifest walk deciding
+    * the path up front. Ordinary equality-delete snapshots stay on
+    * the connector: they fold to position masks at planning. */
   private def icebergScanPlan(path: String, snap: Option[Long],
       ref: Option[String])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
@@ -155,7 +158,9 @@ object GraftExtensions {
         .orElse(snap)
         .getOrElse(graft.sources.Iceberg.mainSnapshotId(path))
       val p = graft.sources.Iceberg.batchPlan(path, snapId)
-      !p.hasEqDeletes && p.schema.fields.forall(f => f.dataType match {
+      (p.filesCarryPartCols || p.eqDeletes.forall(
+        _.keyCols.forall(c => !p.partCols.contains(c)))) &&
+      p.schema.fields.forall(f => f.dataType match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.DoubleType |

@@ -3198,7 +3198,15 @@ object Iceberg {
     * bounds, and size/records for the scan's reported statistics. */
   private[graft] case class BatchFilePlan(path: String,
       pv: Map[String, String], bounds: Map[String, (Long, Long)],
-      sizeBytes: Long, records: Option[Long])
+      sizeBytes: Long, records: Option[Long], addedBy: Long = 0L)
+
+  /** One equality-delete file as the batch scan plans it: path (URI
+    * stripped), key COLUMN NAMES (equality_ids resolved through the
+    * metadata's field ids), and the snapshot that added it — the
+    * sequence-scope fence (applies only to data files added by
+    * EARLIER snapshots). */
+  private[graft] case class BatchEqDelete(path: String,
+      keyCols: Seq[String], addedBy: Long)
 
   /** The DSv2 batch scan's planning bridge (BatchRead.scala): the
     * pinned snapshot's live data files plus its delete-file surface
@@ -3208,7 +3216,9 @@ object Iceberg {
   private[graft] case class BatchPlanned(schema: StructType,
       ids: Map[String, Int], partCols: Seq[String],
       filesCarryPartCols: Boolean, files: Seq[BatchFilePlan],
-      posDeleteFiles: Seq[String], hasEqDeletes: Boolean)
+      posDeleteFiles: Seq[String], eqDeletes: Seq[BatchEqDelete]) {
+    def hasEqDeletes: Boolean = eqDeletes.nonEmpty
+  }
 
   private[graft] def batchPlan(tableDir: String,
                                snapshotId: Long): BatchPlanned = {
@@ -3219,7 +3229,7 @@ object Iceberg {
       return BatchPlanned(schemaFromMetadata(meta),
         if (hasNameMapping(meta)) Map.empty else fieldIds(meta),
         partitionColsOf(meta), filesCarryPartCols = true,
-        Seq.empty, Seq.empty, hasEqDeletes = false)
+        Seq.empty, Seq.empty, Seq.empty)
     val idToName = fieldIds(meta).map(_.swap)
     val p = planFilesAll(tableDir, meta, snapshotId)
     val partCols = partitionColsOf(meta)
@@ -3236,14 +3246,19 @@ object Iceberg {
       BatchFilePlan(stripFileUri(f.path), f.partition,
         lo.keySet.intersect(hi.keySet)
           .map(k => k -> (lo(k), hi(k))).toMap,
-        f.sizeBytes, Some(f.records).filter(_ >= 0))
+        f.sizeBytes, Some(f.records).filter(_ >= 0), f.addedBy)
     }
     val carry = partCols.isEmpty || p.data.isEmpty ||
       dataFilesCarryPartitionCols(p.data.head.path, partCols)
     BatchPlanned(schemaFromMetadata(meta),
       if (hasNameMapping(meta)) Map.empty else fieldIds(meta),
       partCols, carry, files,
-      p.deleteFiles.map(stripFileUri), p.eqDeletes.nonEmpty)
+      p.deleteFiles.map(stripFileUri),
+      p.eqDeletes.map(d => BatchEqDelete(stripFileUri(d.path),
+        d.fieldIds.map(id => idToName.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"equality_ids field $id not in table schema"))),
+        d.addedBy)))
   }
 
   /** The snapshot's POSITION deletes folded into per-data-file
@@ -3255,7 +3270,15 @@ object Iceberg {
     * per-file UUIDs, so sequence scoping is identity here — a delete
     * can never hit a file written after it.) */
   private[graft] def posDeleteDescriptors(deleteFiles: Seq[String])
-      : Map[String, DeletionVectors.Descriptor] = {
+      : Map[String, DeletionVectors.Descriptor] =
+    posDeleteBitmaps(deleteFiles).toMap
+      .map { case (p, bm) => p -> inlineDescriptor(bm) }
+
+  /** The raw (data file → position bitmap) fold behind
+    * [[posDeleteDescriptors]] — mutable so [[batchDeleteDescriptors]]
+    * can union equality-delete masks in before serializing once. */
+  private def posDeleteBitmaps(deleteFiles: Seq[String])
+      : scala.collection.mutable.Map[String, DeletionVectors.Bitmap64] = {
     val bms = scala.collection.mutable.Map
       .empty[String, DeletionVectors.Bitmap64]
     deleteFiles.sorted.foreach { df =>
@@ -3275,16 +3298,131 @@ object Iceberg {
         }
       } finally dr.close()
     }
-    bms.toMap.map { case (p, bm) =>
-      val data = bm.serializePortable
-      // Z85 transports 4-byte groups: pad; sizeInBytes keeps the
-      // true frame length for the decoder to slice back
-      val padded = java.util.Arrays.copyOf(data,
-        (data.length + 3) / 4 * 4)
-      p -> DeletionVectors.Descriptor("i",
-        DeletionVectors.z85Encode(padded), None, data.length,
-        bm.cardinality)
+    bms
+  }
+
+  /** One bitmap → the shared INLINE deletion-vector descriptor the
+    * batch reader masks with (Delta DV currency). */
+  private def inlineDescriptor(bm: DeletionVectors.Bitmap64)
+      : DeletionVectors.Descriptor = {
+    val data = bm.serializePortable
+    // Z85 transports 4-byte groups: pad; sizeInBytes keeps the
+    // true frame length for the decoder to slice back
+    val padded = java.util.Arrays.copyOf(data,
+      (data.length + 3) / 4 * 4)
+    DeletionVectors.Descriptor("i",
+      DeletionVectors.z85Encode(padded), None, data.length,
+      bm.cardinality)
+  }
+
+  /** Per-plan seams for the DSv2 batch EQ-DELETE mask derivation:
+    * live data files in the pinned snapshot / files the matching job
+    * actually scanned after the sequence-scope ∩ key-bounds prune
+    * (-1 until a plan with equality deletes ran). A spec pins
+    * planned < total on a range-clustered table — the "priced as
+    * O(matching files)" promise. */
+  @volatile private[graft] var lastEqMaskFilesTotal: Int = -1
+  @volatile private[graft] var lastEqMaskFilesPlanned: Int = -1
+
+  /** EQUALITY deletes folded to per-file POSITION masks for the DSv2
+    * batch scan — value-matched deletes become the same inline-bitmap
+    * currency as position deletes, so the executor masks rows with
+    * zero joins in the plan. The planning-time job:
+    *
+    *  1. per (delete, file): sequence scope (`delete.addedBy >
+    *     file.addedBy`) ∩ key-bounds overlap (the delete keys'
+    *     [min,max] — one driver-side O(keys) Group read — against
+    *     the manifests' long value bounds; unknown keeps, superset
+    *     contract). A narrow CDC delete against a range-clustered
+    *     100 TB table prices as O(matching files), spec-pinned via
+    *     the seams above.
+    *  2. group surviving files by their APPLICABLE delete set (at
+    *     most one distinct set per append generation) and run ONE
+    *     distributed matching job per group: scan only the union of
+    *     key columns plus `_metadata` row positions, left-semi join
+    *     each delete's broadcast DISTINCT keys with null-safe
+    *     equality, union, and collect the matched (file, pos) pairs
+    *     — O(deleted rows) driver bytes, the same bound as
+    *     [[posDeleteDescriptors]].
+    *
+    * Correctness under stacked upserts: masks only ever REMOVE rows,
+    * and a row appended after a delete lives in a file the sequence
+    * fence excludes — exactly [[scanPlanned]]'s MoR anti-join
+    * semantics, re-expressed as positions. Migrated tables whose
+    * data files hive-strip an identity partition column refuse when
+    * a delete keys on that column (the value never rides a data row,
+    * so row-wise matching is impossible) — [[Iceberg.read]] keeps
+    * serving that narrow shape. */
+  private[graft] def eqDeleteBatchMasks(spark: SparkSession,
+      plan: BatchPlanned): Map[String, Seq[Long]] = {
+    if (plan.eqDeletes.isEmpty || plan.files.isEmpty) return Map.empty
+    plan.eqDeletes.foreach(d => require(plan.filesCarryPartCols ||
+      d.keyCols.forall(c => !plan.partCols.contains(c)),
+      s"graft-iceberg batch: equality delete ${d.path} keys on a " +
+        "hive-stripped partition column — data rows never carry the " +
+        "value; read through Iceberg.read's merge-on-read path"))
+    val delBounds: Map[String, Map[String, (Long, Long)]] =
+      plan.eqDeletes.map(d =>
+        d.path -> eqDeleteKeyBounds(d.path, d.keyCols)).toMap
+    def applies(d: BatchEqDelete, f: BatchFilePlan): Boolean =
+      d.addedBy > f.addedBy && delBounds(d.path).forall {
+        case (c, (lo, hi)) => f.bounds.get(c)
+          .forall { case (mn, mx) => mn <= hi && mx >= lo }
+      }
+    val groups = plan.files
+      .groupBy(f => plan.eqDeletes.filter(applies(_, f)).map(_.path))
+      .filter(_._1.nonEmpty)
+    lastEqMaskFilesTotal = plan.files.size
+    lastEqMaskFilesPlanned = groups.valuesIterator.map(_.size).sum
+    if (groups.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val byName = plan.schema.fields.map(f => f.name -> f).toMap
+    if (plan.schema.fields.exists(
+        _.metadata.contains("parquet.field.id")))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    def norm(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    groups.toSeq.flatMap { case (delPaths, fs) =>
+      val dels = plan.eqDeletes.filter(d => delPaths.contains(d.path))
+      val keyCols = dels.flatMap(_.keyCols).distinct
+      val data = spark.read
+        .schema(StructType(keyCols.map(byName).toArray))
+        .parquet(fs.map(_.path).sorted: _*)
+        .select(keyCols.map(col) ++ Seq(
+          col("_metadata.file_path").as("_g_path"),
+          col("_metadata.row_index").as("_g_pos")): _*)
+      dels.map { d =>
+        // the delete file read with the TABLE schema's key fields —
+        // id-resolving when the metadata carries field ids, so
+        // foreign delete files with renamed columns still match
+        val keys = spark.read
+          .schema(StructType(d.keyCols.map(byName).toArray))
+          .parquet(d.path)
+          .select(d.keyCols.map(c => col(c).as(s"_eq_$c")): _*)
+          .dropDuplicates()
+        data.join(broadcast(keys),
+          d.keyCols.map(c => col(c) <=> col(s"_eq_$c"))
+            .reduce(_ && _), "left_semi")
+          .select(col("_g_path"), col("_g_pos"))
+      }.reduce(_ unionByName _).distinct()
+        .collect().toSeq
+        .map(r => (norm(r.getString(0)), r.getLong(1)))
+    }.groupBy(_._1).map { case (p, ps) => p -> ps.map(_._2) }
+  }
+
+  /** The pinned snapshot's FULL row-mask surface for the DSv2 batch
+    * scan: position-delete files folded driver-side (O(delete rows))
+    * UNIONED with equality deletes matched executor-side
+    * ([[eqDeleteBatchMasks]]) — one inline descriptor per data file,
+    * attached to its task like a Delta DV. */
+  private[graft] def batchDeleteDescriptors(spark: SparkSession,
+      plan: BatchPlanned): Map[String, DeletionVectors.Descriptor] = {
+    val bms = posDeleteBitmaps(plan.posDeleteFiles)
+    eqDeleteBatchMasks(spark, plan).foreach { case (p, poss) =>
+      val bm = bms.getOrElseUpdate(p, new DeletionVectors.Bitmap64)
+      poss.foreach(bm.add)
     }
+    bms.toMap.map { case (p, bm) => p -> inlineDescriptor(bm) }
   }
 
   /** MAIN's head snapshot (current-snapshot-id; 0 = empty history) —

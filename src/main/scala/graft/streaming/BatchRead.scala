@@ -69,10 +69,13 @@ import graft.sources.{DeltaLog, Iceberg, PruningPredicates}
   * deletion vectors as per-file position masks (Delta DVs ride their
   * log descriptors; Iceberg POSITION deletes are folded driver-side
   * into the same inline-bitmap descriptors — O(delete rows) once at
-  * planning, zero join at execution). Iceberg tables with EQUALITY
-  * deletes refuse loudly toward [[Iceberg.read]]'s merge-on-read
-  * path: an equality delete matches on VALUES, which file-position
-  * masks cannot express without scanning the data at planning time.
+  * planning, zero join at execution). Iceberg EQUALITY deletes fold
+  * into the SAME masks via one bounded distributed matching job at
+  * planning ([[Iceberg.eqDeleteBatchMasks]]): sequence-scoped and
+  * key-bounds-pruned to the files a delete can touch, scanning only
+  * the key columns, collecting O(deleted rows) — so a foreign
+  * CDC-written table (the Flink eq-delete wire) SELECTs natively
+  * with zero joins in the executed plan.
   *
   * Time travel: `versionAsOf` (Delta), `snapshotAsOf` (Iceberg),
   * `timestampAsOf` (both) pin the snapshot; the pinned state also
@@ -882,9 +885,11 @@ private[streaming] class IcebergBatchScan private (
 
   override def name: String = s"graft-iceberg:$tableDir"
 
-  /** Equality deletes retire rows the manifests still count — no
-    * metadata aggregate can be exact on such a snapshot. */
-  override protected def metadataAggSafe: Boolean = !plan.hasEqDeletes
+  // (Equality deletes used to veto metadata aggregates — the
+  // manifests still count the retired rows. Folding eq-deletes into
+  // per-file position masks restored exactness: count(*) subtracts
+  // each file's mask cardinality, and min/max already disable
+  // themselves whenever any mask exists, via the base class.)
 
   // ---- hidden-transform pruning ----
   // The CURRENT default spec's derived fields: (tuple name,
@@ -993,28 +998,35 @@ private[streaming] class IcebergBatchScan private (
     fs.flatMap(derive)
   }
 
-  override protected def batchPrereqs(): Unit = {
-    require(!plan.hasEqDeletes,
-      s"graft-iceberg batch: snapshot $snap of $tableDir carries " +
-        "EQUALITY deletes — read it through Iceberg.read's " +
-        "merge-on-read path (equality deletes match on VALUES, " +
-        "which file-position masks cannot express without scanning " +
-        "the data at planning time)")
+  override protected def batchPrereqs(): Unit =
     DeltaStreamSource.checkSupportedTypes(plan.schema,
       "graft-iceberg batch")
-  }
 
-  /** Position deletes folded to per-file inline bitmap descriptors,
-    * ONCE, on first batch planning (a streaming query through this
-    * scan never pays for it). */
-  private lazy val posDvs
+  /** The snapshot's delete surface folded to per-file inline bitmap
+    * descriptors, ONCE, on first batch planning (a streaming query
+    * through this scan never pays for it): position deletes
+    * driver-side (O(delete rows)), EQUALITY deletes via one bounded
+    * distributed matching job over only the pushdown-surviving files
+    * with an applicable delete ([[Iceberg.eqDeleteBatchMasks]] —
+    * sequence-scoped, key-bounds-pruned, O(deleted rows) collected).
+    * Scoping the mask job to `afterPushdown` is safe: `dvFor` is
+    * only ever consulted for files that survived pushdown, and
+    * metadata aggregates fire only on scans with no pushed filters
+    * (the superset pruning contract keeps filters residual). */
+  private lazy val delDvs
       : Map[String, graft.sources.DeletionVectors.Descriptor] =
-    if (plan.posDeleteFiles.isEmpty) Map.empty
-    else Iceberg.posDeleteDescriptors(plan.posDeleteFiles)
+    if (plan.posDeleteFiles.isEmpty && plan.eqDeletes.isEmpty)
+      Map.empty
+    else {
+      val kept = afterPushdown.map(_.path).toSet
+      Iceberg.batchDeleteDescriptors(
+        org.apache.spark.sql.SparkSession.active,
+        plan.copy(files = plan.files.filter(f => kept(f.path))))
+    }
 
   override protected def dvFor(f: BatchFile)
       : Option[graft.sources.DeletionVectors.Descriptor] =
-    posDvs.get(f.path)
+    delDvs.get(f.path)
 
   override def readerFactory(prunedPublic: StructType)
       : PartitionReaderFactory =
@@ -1162,6 +1174,61 @@ object BatchReadQueries {
       |      FROM orders GROUP BY 1) d
       |  ON o.o_orderstatus = d.o_orderstatus
       |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q243 — ICEBERG EQUALITY DELETES THROUGH THE CONNECTOR: the
+    * stacked-upsert table (two Flink-CDC-wire rounds — eq-delete +
+    * append each, five snapshots) SELECTed natively via
+    * `spark.read.format("graft-iceberg")` AND by NAME through the
+    * Iceberg SQL catalog — the last format-parity read gap closed.
+    * At planning, each equality delete folds to per-file POSITION
+    * masks: sequence-scoped, key-bounds-pruned to the files it can
+    * touch, matched by one bounded executor job over only the key
+    * columns ([[Iceberg.eqDeleteBatchMasks]]), then unioned into the
+    * same inline-bitmap descriptors position deletes use. In-query
+    * `require`s pin (a) the mask seam RAN (no silent fallback to the
+    * library read), (b) the executed plan is a bare BatchScan — zero
+    * joins, so the 100 TB read costs one masked scan, and (c) a
+    * foreign upsert landed inside a CATALOG table's directory serves
+    * the merged state by name. Oracle re-derives both upsert rounds
+    * relationally. */
+  def dsv2IcebergEqDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Iceberg.ordersIcebergUpsert2Table(spark, dir)
+    Iceberg.lastEqMaskFilesPlanned = -1
+    val df = icebergDf(spark, t).orderBy(col("o_orderkey"))
+    df.collect() // execute: masks derive, plan finalizes
+    require(Iceberg.lastEqMaskFilesPlanned >= 0,
+      "eq-mask derivation never ran — a fallback served the read")
+    val plan = df.queryExecution.executedPlan.toString()
+    require(plan.contains("BatchScan") && !plan.contains("Join"),
+      s"eq-deletes must fold to masks inside a bare scan:\n$plan")
+    val n = df.count()
+    val lib = Iceberg.read(spark, t).count()
+    require(n == lib, s"connector read $n rows, library MoR $lib")
+    // catalog arm: a foreign CDC writer upserts INSIDE a cataloged
+    // table's directory; SELECT by name serves the merged state
+    val ns = SqlCatalogQueries.freshNs(spark, iceberg = true)
+    spark.sql(s"CREATE TABLE $ns.ueq (k BIGINT, s STRING)")
+    spark.sql(
+      s"INSERT INTO $ns.ueq VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val tdir = SqlCatalogQueries.tableDirOf(spark, iceberg = true,
+      ns, "ueq")
+    Iceberg.upsert(spark, tdir,
+      Seq((2L, "B2"), (4L, "d")).toDF("k", "s"), Seq("k"))
+    val got = spark.sql(s"SELECT k, s FROM $ns.ueq ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    require(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")),
+      s"catalog read over the eq-delete snapshot got $got")
+    df
+  }
+
+  val dsv2IcebergEqDeleteSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN 'MERGED2'
+      |       WHEN o_orderkey % 3 = 0 THEN 'MERGED'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 }
 
 /** q223's home — kept beside the other connector-gated queries. */

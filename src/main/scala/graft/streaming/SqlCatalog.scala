@@ -20,9 +20,9 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo,
   PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder,
-  RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder,
+  RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder,
   WriterCommitMessage}
-import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -977,9 +977,11 @@ private[streaming] class ReplaceFilesBatchWrite(
     }
 }
 
-/** The Iceberg-format SQL catalog: DDL, INSERT INTO/OVERWRITE (the
-  * V1Write bridge into the library's own distributed committers —
-  * identity AND hidden specs), snapshot/timestamp time travel, and
+/** The Iceberg-format SQL catalog: DDL, INSERT INTO/OVERWRITE
+  * (native DSv2 writes committing through the library's distributed
+  * committers — identity AND hidden specs, with transform closures
+  * resolved once at writer construction), snapshot/timestamp time
+  * travel, and
   * position-delete `DELETE FROM`. A just-created table holds a
   * schema marker until its first INSERT writes real metadata (real
   * Iceberg's CREATE also commits no snapshot — readers of an empty
@@ -1399,8 +1401,10 @@ object SqlCatalogQueries {
 
   /** Register (once per session) the two catalogs over a
     * session-scoped temp warehouse; returns a FRESH namespace so
-    * repeated runs never collide. */
-  private def freshNs(spark: SparkSession, iceberg: Boolean): String = {
+    * repeated runs never collide. (Package-visible: the connector
+    * gates that need a catalog arm — q243 — share the harness.) */
+  private[streaming] def freshNs(spark: SparkSession,
+                                 iceberg: Boolean): String = {
     val cat = if (iceberg) "graftice" else "graftsql"
     if (!spark.conf.getOption(s"spark.sql.catalog.$cat").isDefined) {
       val wh = Files.createTempDirectory(s"graft_wh_$cat").toString
@@ -1423,8 +1427,9 @@ object SqlCatalogQueries {
   /** A catalog table's REAL data directory: the entry at
     * `<warehouse>/<ns>/<name>` is a pointer object — the gates that
     * probe the log directly resolve it exactly as the catalog does. */
-  private def tableDirOf(spark: SparkSession, iceberg: Boolean,
-                         ns: String, name: String): String = {
+  private[streaming] def tableDirOf(spark: SparkSession,
+                                    iceberg: Boolean,
+                                    ns: String, name: String): String = {
     val entry = Paths.get(
       s"${warehouseOf(spark, iceberg)}/${ns.split('.')(1)}/$name")
     TablePointer.read(entry).map(_._1).getOrElse(entry.toString)

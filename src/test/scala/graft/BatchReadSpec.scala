@@ -275,18 +275,111 @@ class BatchReadSpec extends SparkSuite {
     assert(iceberg(dir).count() == (1L to 100L).count(_ % 5 != 0))
   }
 
-  test("iceberg equality deletes refuse toward the merge-on-read path") {
+  test("iceberg equality deletes fold to position masks in the batch scan") {
     val work = Files.createTempDirectory("dsv2ieq").toString
     val dir = s"$work/t"
     sources.Iceberg.commitAppend(
       (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"), dir)
     sources.Iceberg.upsert(spark, dir,
       Seq((5L, "V5"), (21L, "V21")).toDF("k", "s"), Seq("k"))
+    sources.Iceberg.lastEqMaskFilesPlanned = -1
+    val df = iceberg(dir)
+    assert(sortedRows(df) ==
+      sortedRows(sources.Iceberg.read(spark, dir)),
+      "connector read must equal the library MoR read")
+    assert(df.count() == 21)
+    assert(df.filter(col("k") === 5L).collect().map(_.getString(1))
+      .toSeq == Seq("V5"), "upserted key surfaces the NEW row only")
+    // masks, not joins: the executed plan is a bare scan
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"),
+      s"eq-deletes must mask positions, not join:\n$plan")
+    assert(sources.Iceberg.lastEqMaskFilesPlanned >= 0,
+      "the eq-mask derivation seam never ran")
+    // STACKED upserts: the second delete retires both generations
+    sources.Iceberg.upsert(spark, dir,
+      Seq((5L, "V5b"), (7L, "V7b")).toDF("k", "s"), Seq("k"))
+    assert(sortedRows(iceberg(dir)) ==
+      sortedRows(sources.Iceberg.read(spark, dir)))
+    assert(iceberg(dir).filter(col("k") isin (5L, 7L))
+      .collect().map(_.getString(1)).sorted.toSeq == Seq("V5b", "V7b"))
+    // STACKED eq + pos deletes: a DELETE WHERE on top of the upsert
+    // history folds both currencies into one mask union
+    sources.Iceberg.deleteWhere(spark, dir, col("k") % 4 === 0)
+    assert(sortedRows(iceberg(dir)) ==
+      sortedRows(sources.Iceberg.read(spark, dir)))
+    assert(iceberg(dir).count() == 21 - 5) // k=4,8,12,16,20 gone
+  }
+
+  test("eq-delete sequence scope: rows appended AFTER the delete survive") {
+    val work = Files.createTempDirectory("dsv2ieqs").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "s"), dir)
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq(3L).toDF("k"))
+    sources.Iceberg.commitAppend(
+      Seq((3L, "reborn")).toDF("k", "s"), dir)
+    val rows = iceberg(dir).filter(col("k") === 3L).collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("reborn"),
+      "the re-appended row outlives the older equality delete")
+    assert(sortedRows(iceberg(dir)) ==
+      sortedRows(sources.Iceberg.read(spark, dir)))
+  }
+
+  test("eq-delete masks under schema evolution; key-bounds prune files") {
+    val work = Files.createTempDirectory("dsv2ieqe").toString
+    val dir = s"$work/t"
+    // two range-disjoint files, then a delete touching only one —
+    // the bounds prune must scan 1 of 2 files for the mask job
+    sources.Iceberg.commitAppend(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "s")
+        .repartition(1), dir)
+    sources.Iceberg.commitAppend(
+      (101L to 200L).map(i => (i, s"v$i")).toDF("k", "s")
+        .repartition(1), dir)
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq(150L, 160L).toDF("k"))
+    sources.Iceberg.lastEqMaskFilesTotal = -1
+    sources.Iceberg.lastEqMaskFilesPlanned = -1
+    assert(iceberg(dir).count() == 198)
+    assert(sources.Iceberg.lastEqMaskFilesTotal == 2 &&
+      sources.Iceberg.lastEqMaskFilesPlanned == 1,
+      s"key-bounds prune expected 1/2 files, got " +
+        s"${sources.Iceberg.lastEqMaskFilesPlanned}/" +
+        s"${sources.Iceberg.lastEqMaskFilesTotal}")
+    // schema evolution AFTER the delete: old files' masks still
+    // apply; the new column null-fills on pre-evolution files
+    val schema = sources.Iceberg.read(spark, dir).schema
+    sources.Iceberg.evolveSchema(dir,
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType)))
+    sources.Iceberg.commitAppend(
+      Seq((201L, "tail", 9L)).toDF("k", "s", "w"), dir)
+    val df = iceberg(dir)
+    assert(df.count() == 199)
+    assert(df.filter(col("k") === 150L).isEmpty,
+      "eq-deleted row must stay dead across schema evolution")
+    assert(df.filter(col("w").isNotNull).count() == 1)
+    assert(sortedRows(df) ==
+      sortedRows(sources.Iceberg.read(spark, dir)))
+  }
+
+  test("eq-delete keyed on a hive-stripped partition column refuses") {
+    val work = Files.createTempDirectory("dsv2ieqp").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitOverwritePartitioned(
+      (1L to 30L).map(i => (i, s"p${i % 3}")).toDF("k", "p")
+        .repartition(col("p")), dir, Seq("p"))
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq("p1").toDF("p"))
+    // data rows never carry the stripped identity column — row-wise
+    // matching is impossible; the library MoR path keeps serving it
     val e = intercept[Exception] { iceberg(dir).collect() }
-    assert(e.getMessage.contains("EQUALITY deletes"),
+    assert(e.getMessage.contains("hive-stripped partition column"),
       s"loud refusal naming the reason, got: ${e.getMessage}")
-    // the DataFrame MoR path stays the documented read for this shape
-    assert(sources.Iceberg.read(spark, dir).count() == 21)
+    assert(sources.Iceberg.read(spark, dir).count() == 20)
   }
 
   test("iceberg pushdown prunes partitions/bounds; snapshotAsOf + branch pin") {
@@ -461,7 +554,7 @@ class BatchReadSpec extends SparkSuite {
       .contains("LocalTableScan"))
   }
 
-  test("iceberg count(*) subtracts position deletes; eq-deletes decline") {
+  test("iceberg count(*) subtracts position deletes AND eq-delete masks") {
     val work = Files.createTempDirectory("dsv2iagg").toString
     val dir = s"$work/t"
     sources.Iceberg.commitAppend(
@@ -471,17 +564,20 @@ class BatchReadSpec extends SparkSuite {
     assert(df.collect().head.getLong(0) == 90L)
     assert(df.queryExecution.executedPlan.toString()
       .contains("LocalTableScan"))
-    // equality deletes: metadata counts are stale — decline, and the
-    // fallback scan refuses loudly toward the MoR path (unchanged)
+    // equality deletes: the manifests still count retired rows, but
+    // the mask fold restores exactness — count(*) answers
+    // metadata-side (records − mask cardinality), data files read
+    // only by the bounded mask job, never by the aggregate itself
     val dir2 = s"$work/t2"
     sources.Iceberg.commitAppend(
       (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"), dir2)
     sources.Iceberg.upsert(spark, dir2,
       Seq((5L, "V5")).toDF("k", "s"), Seq("k"))
-    val e = intercept[Exception] {
-      iceberg(dir2).groupBy().count().collect()
-    }
-    assert(e.getMessage.contains("EQUALITY deletes"))
+    val df2 = iceberg(dir2).groupBy().count()
+    assert(df2.collect().head.getLong(0) == 20L,
+      "records(21) − eq-masked(1): the retired generation subtracts")
+    assert(df2.queryExecution.executedPlan.toString()
+      .contains("LocalTableScan"))
   }
 
   test("required column absent from the pinned snapshot refuses loudly") {
