@@ -648,7 +648,14 @@ object SparkEntry {
     // catalog (round 16): value-matched deletes fold to position
     // masks at planning — the last format-parity read gap
     "q243_iceberg_eqdelete_dsv2"
-      -> (streaming.BatchReadQueries.dsv2IcebergEqDelete _)
+      -> (streaming.BatchReadQueries.dsv2IcebergEqDelete _),
+    // position-delta (SupportsDelta) SQL MERGE: DV tombstones, no
+    // rewrite, exact CDF tags with NO declared keys (round 16)
+    "q244_sql_merge_positiondelta"
+      -> (streaming.SqlCatalogQueries.sqlMergeDelta _),
+    // storage-partitioned join over hidden bucket specs (round 16)
+    "q245_bucket_spj"
+      -> (streaming.SqlCatalogQueries.sqlBucketSpj _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -967,6 +974,10 @@ object SparkEntry {
     "q242_sql_cdf_dml"
       -> streaming.SqlCatalogQueries.sqlCdfDmlSql,
     "q243_iceberg_eqdelete_dsv2"
-      -> streaming.BatchReadQueries.dsv2IcebergEqDeleteSql
+      -> streaming.BatchReadQueries.dsv2IcebergEqDeleteSql,
+    "q244_sql_merge_positiondelta"
+      -> streaming.SqlCatalogQueries.sqlMergeDeltaSql,
+    "q245_bucket_spj"
+      -> streaming.SqlCatalogQueries.sqlBucketSpjSql
   )
 }

@@ -192,7 +192,9 @@ object DeltaLog {
       readerFeatures: Set[String] = Set.empty,
       mappingMode: String = "none",
       columnMappingIds: Map[String, Long] = Map.empty,
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty,
+      minWriter: Int = 2,
+      writerFeatures: Set[String] = Set.empty) {
     def files: Seq[String] = adds.keys.toSeq.sorted
     def addPartitionValues: Map[String, Map[String, String]] =
       adds.map { case (p, a) => p -> a.partitionValues }
@@ -278,8 +280,10 @@ object DeltaLog {
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
     var minReader: Int = 1
+    var minWriter: Int = 2
     var mappingMode: String = "none"
     var readerFeatures: Set[String] = Set.empty
+    var writerFeatures: Set[String] = Set.empty
     // the latest metaData's full configuration map — carried forward
     // by metadata-only commits (rename, evolveSchema) so a rewrite
     // never silently drops a table property another key depends on
@@ -296,6 +300,17 @@ object DeltaLog {
             "2 when explained by columnMapping mode=name; 3 when every " +
             "readerFeature is one this reader speaks)")
         minReader = r
+        // writer-side protocol is parsed and CARRIED (a reader never
+        // checks writerFeatures — the spec gates writers, not reads)
+        // so this engine's own commits can preserve and grow it
+        minWriter =
+          if (p.has("minWriterVersion")) p.get("minWriterVersion").asInt
+          else 2
+        writerFeatures =
+          if (p.has("writerFeatures"))
+            p.get("writerFeatures").elements().asScala
+              .map(_.asText).toSet
+          else Set.empty
         readerFeatures =
           if (p.has("readerFeatures"))
             p.get("readerFeatures").elements().asScala
@@ -452,7 +467,8 @@ object DeltaLog {
           f.name -> f.metadata.getLong("delta.columnMapping.id")
         }.toMap
       State(schema, partCols, adds.toMap, mapping, minReader,
-        readerFeatures, mappingMode, mappingIds, configuration)
+        readerFeatures, mappingMode, mappingIds, configuration,
+        minWriter, writerFeatures)
     }
   }
 
@@ -1370,16 +1386,79 @@ object DeltaLog {
     a
   }
 
-  /** Protocol upgrade to reader 3 / writer 7 with explicit table
-    * features — the spec's spelling for deletion-vector tables. */
-  private def protocolActionV3(features: Seq[String]): ObjectNode = {
+  /** Fully-spelled protocol action. At minReaderVersion 3 the
+    * readerFeatures list is mandatory; at minWriterVersion 7 the
+    * writerFeatures list is mandatory AND must contain every reader
+    * feature too (the spec's containment rule). */
+  private def protocolFull(minReader: Int, minWriter: Int,
+      readerFeats: Set[String], writerFeats: Set[String]): ObjectNode = {
     val p = mapper.createObjectNode()
     val pr = p.putObject("protocol")
-    pr.put("minReaderVersion", 3).put("minWriterVersion", 7)
-    val rf = pr.putArray("readerFeatures"); features.foreach(rf.add)
-    val wf = pr.putArray("writerFeatures"); features.foreach(wf.add)
+    pr.put("minReaderVersion", minReader)
+      .put("minWriterVersion", minWriter)
+    if (minReader >= 3) {
+      val rf = pr.putArray("readerFeatures")
+      readerFeats.toSeq.sorted.foreach(rf.add)
+    }
+    if (minWriter >= 7) {
+      val wf = pr.putArray("writerFeatures")
+      (writerFeats ++ (if (minReader >= 3) readerFeats
+        else Set.empty[String])).toSeq.sorted.foreach(wf.add)
+    }
     p
   }
+
+  /** WRITER features the table's current state implies — carried
+    * along whenever a commit upgrades the protocol to table features
+    * (minWriter 7), so a foreign client keeps gating on EVERY
+    * capability the table uses, not just the newly-activated one.
+    * `appendOnly`/`invariants` are the spec's legacy-writer-2
+    * baseline features, included as real Delta does on upgrade. */
+  private def impliedWriterFeatures(st: State): Set[String] =
+    Set("appendOnly", "invariants") ++
+      (if (st.configuration.keys
+          .exists(_.startsWith("delta.constraints.")))
+        Set("checkConstraints") else Set.empty) ++
+      (if (st.schema.fields.exists(
+          _.metadata.contains("delta.generationExpression")))
+        Set("generatedColumns") else Set.empty) ++
+      (if (cdfWriteEnabled(st)) Set("changeDataFeed") else Set.empty) ++
+      (if (st.columnMapping.nonEmpty) Set("columnMapping")
+       else Set.empty)
+
+  /** Protocol upgrade to reader 3 / writer 7 with explicit table
+    * features — the spec's spelling for deletion-vector tables. The
+    * upgrade PRESERVES the table's existing feature surface: prior
+    * reader/writer feature lists carry over, and legacy-versioned
+    * capabilities (CHECK constraints, generated columns, CDF,
+    * column mapping) re-spell as their writer features. */
+  private def protocolActionV3(features: Seq[String],
+      st: State = null): ObjectNode = {
+    val prior = Option(st)
+    protocolFull(3, 7,
+      features.toSet ++ prior.map(_.readerFeatures).getOrElse(Set.empty),
+      features.toSet ++
+        prior.map(s => s.writerFeatures ++ impliedWriterFeatures(s))
+          .getOrElse(Set.empty))
+  }
+
+  /** One-feature WRITER-SIDE protocol upgrade, or None when the
+    * current protocol already gates it: legacy-versioned tables bump
+    * the legacy writer version (the spec's original spelling —
+    * checkConstraints = 3, CDF/generatedColumns = 4), feature-listed
+    * tables (minWriter 7) append the writer feature. Reader
+    * requirements never grow — these are writer-only features, and a
+    * foreign reader keeps reading the table untouched. */
+  private def writerUpgrade(st: State, feature: String,
+      legacyWriter: Int): Option[ObjectNode] =
+    if (st.minWriter >= 7) {
+      if (st.writerFeatures.contains(feature)) None
+      else Some(protocolFull(st.minReader, 7, st.readerFeatures,
+        st.writerFeatures + feature))
+    } else if (st.minWriter >= legacyWriter) None
+    else Some(protocolFull(st.minReader,
+      math.max(st.minWriter, legacyWriter), st.readerFeatures,
+      Set.empty))
 
   /** Delta's per-file data-skipping stats: numRecords + min/max of
     * top-level INT64 columns — the format spells them as a JSON
@@ -1611,9 +1690,13 @@ object DeltaLog {
           s"rows already violate it (e.g. ${bad.headOption.getOrElse("")})")
       v = vs.last + 1
       commitClaimHook(tableDir, v)
+      // the spec's writer gate: CHECK constraints require writer 3
+      // (legacy) / the checkConstraints writer feature — a foreign
+      // writer that would not enforce the constraint must refuse
       done = writeActions(tableDir, v,
-        Seq(metaDataAction(st.schema, st.partitionColumns,
-          st.configuration + (s"delta.constraints.$name" -> check))))
+        writerUpgrade(st, "checkConstraints", 3).toSeq :+
+        metaDataAction(st.schema, st.partitionColumns,
+          st.configuration + (s"delta.constraints.$name" -> check)))
       if (!done) commitCasRetries.incrementAndGet()
     }
     v
@@ -1653,9 +1736,12 @@ object DeltaLog {
       })
       v = vs.last + 1
       commitClaimHook(tableDir, v)
+      // generated columns gate foreign writers at writer 4 (legacy)
+      // / the generatedColumns writer feature
       done = writeActions(tableDir, v,
-        Seq(metaDataAction(schemaOut, st.partitionColumns,
-          st.configuration)))
+        writerUpgrade(st, "generatedColumns", 4).toSeq :+
+        metaDataAction(schemaOut, st.partitionColumns,
+          st.configuration))
       if (!done) commitCasRetries.incrementAndGet()
     }
     v
@@ -1997,6 +2083,14 @@ object DeltaLog {
     mode.foreach(m => require(m == "name" || m == "id",
       s"CREATE TABLE: delta.columnMapping.mode must be name or id, " +
         s"got '$m'"))
+    // the DECLARED properties may activate writer capabilities from
+    // the first commit: the protocol's writer version gates foreign
+    // writers at the spec's level (CHECK constraints = 3, CDF = 4)
+    val baseWriter = math.max(2, math.max(
+      if (properties.keys.exists(_.startsWith("delta.constraints.")))
+        3 else 2,
+      if (properties.get("delta.enableChangeDataFeed")
+          .exists(_.equalsIgnoreCase("true"))) 4 else 2))
     val (recorded, props, protocol) = mode match {
       case Some(_) =>
         require(!clean.fields.exists(f => mapKeyStruct(f.dataType)),
@@ -2010,8 +2104,10 @@ object DeltaLog {
         (annotated.asInstanceOf[StructType],
           properties +
             ("delta.columnMapping.maxColumnId" -> maxId.toString),
-          protocolAction(minReader = 2, minWriter = 5))
-      case None => (clean, properties, protocolAction())
+          protocolAction(minReader = 2,
+            minWriter = math.max(5, baseWriter)))
+      case None =>
+        (clean, properties, protocolAction(minWriter = baseWriter))
     }
     commitClaimHook(tableDir, 0L)
     require(writeActions(tableDir, 0L,
@@ -2182,6 +2278,156 @@ object DeltaLog {
         stats = Some(statsJsonOf(f.numRecords, f.bounds,
         st.schema)))) ++ cdcActs
     commitRowOp(tableDir, base, actions, removedRel.toSet,
+      couldMatch, op)
+  }
+
+  /** Commit a POSITION-DELTA MERGE (the SupportsDelta write —
+    * [[graft.streaming.DeltaPositionMergeOperation]]): the merge's
+    * per-row verdicts arrive as (file → deleted-position bitmap),
+    * (file → updated-position bitmap) and the new files holding
+    * inserted/updated rows. The touched files are NOT rewritten —
+    * their dead positions become DELETION VECTORS (remove+re-add of
+    * the same path with the DV descriptor, unioned over any existing
+    * DV — the Delta spec's stacked-delete contract, reader 3 /
+    * writer 7 `deletionVectors`).
+    *
+    * CDF (when `delta.enableChangeDataFeed`): EXACT tags with no
+    * declared keys and no rewrite diffing —
+    *
+    *  - `delete` / `update_preimage`: ONE bounded scan of the
+    *    touched files tags each row by which bitmap holds its
+    *    position (the verdicts themselves, re-read by position);
+    *  - `update_postimage` / `insert`: the new files, kept separate
+    *    by the writer precisely so the tag boundary is a file
+    *    boundary.
+    *
+    * Cost: O(touched files) data read for pre-images + O(new rows)
+    * written — never the table. A byte-identical UPDATE still emits
+    * its pre/post pair: the merge's verdict decides, not a diff. */
+  private[graft] def commitMergeDeltaDsv2(spark: SparkSession,
+      tableDir: String, base: Long,
+      deleted: Seq[(String, Array[Byte])],
+      updated: Seq[(String, Array[Byte])],
+      insFiles: Seq[Dsv2File], updFiles: Seq[Dsv2File],
+      couldMatch: (String, AddFile) => Boolean, op: String): Long = {
+    val st = replay(tableDir, base)
+    require(st.columnMapping.isEmpty,
+      s"$op: column-mapped tables take the group-based MERGE path")
+    def toRel(p: String): String = {
+      val rel = p.stripPrefix(s"$tableDir/")
+      if (st.adds.contains(rel)) rel
+      else if (st.adds.contains(p)) p
+      else throw new IllegalStateException(
+        s"$op: merge verdicts name $p, which snapshot v$base of " +
+          s"$tableDir does not hold")
+    }
+    def fold(ms: Seq[(String, Array[Byte])])
+        : Map[String, DeletionVectors.Bitmap64] =
+      ms.groupBy(m => toRel(m._1)).map { case (rel, parts) =>
+        val bm = new DeletionVectors.Bitmap64
+        parts.foreach(p =>
+          bm.or(DeletionVectors.Bitmap64.fromPortable(p._2)))
+        rel -> bm
+      }
+    val delBms = fold(deleted)
+    val updBms = fold(updated)
+    // MergeRows' contract: one verdict per target row — hold it
+    delBms.foreach { case (rel, bm) =>
+      updBms.get(rel).foreach(u => require(
+        !bm.toPositions.exists(u.contains),
+        s"$op: a row of $rel is both deleted and updated"))
+    }
+    val touched: Map[String, DeletionVectors.Bitmap64] =
+      (delBms.keySet ++ updBms.keySet).map { rel =>
+        val bm = new DeletionVectors.Bitmap64
+        delBms.get(rel).foreach(bm.or)
+        updBms.get(rel).foreach(bm.or)
+        rel -> bm
+      }.toMap
+    val newFiles = insFiles ++ updFiles
+    if (touched.isEmpty && newFiles.isEmpty) return base
+    enforceDsv2Invariants(spark, tableDir, st, st.partitionColumns,
+      newFiles, op)
+    maybeWriteBlooms(spark, tableDir,
+      newFiles.map(f => new File(s"$tableDir/${f.relPath}")), Some(st))
+    def resolveP(p: String) =
+      if (p.startsWith("/") || p.contains("://")) p else s"$tableDir/$p"
+    def baseName(rel: String) =
+      rel.substring(rel.lastIndexOf('/') + 1)
+    val cdcActs: Seq[ObjectNode] =
+      if (!cdfWriteEnabled(st)) Seq.empty
+      else {
+        val dataCols = st.schema.fieldNames.toSeq.map(col)
+        def newRows(files: Seq[Dsv2File],
+                    tag: String): Option[DataFrame] =
+          if (files.isEmpty) None
+          else Some(scanState(spark, tableDir,
+            st.copy(adds = files.map(f => f.relPath ->
+              AddFile(f.partitionValues, f.size)).toMap))
+            .select(dataCols: _*)
+            .withColumn("_change_type", lit(tag)))
+        val preRows: Option[DataFrame] =
+          if (touched.isEmpty) None
+          else {
+            import org.apache.spark.sql.functions.when
+            val delBc = spark.sparkContext.broadcast(
+              delBms.map { case (r, b) => baseName(r) -> b })
+            val updBc = spark.sparkContext.broadcast(
+              updBms.map { case (r, b) => baseName(r) -> b })
+            val adds = touched.keySet.toSeq.sorted
+              .map(r => r -> st.adds(r))
+            def withId(d: DataFrame): DataFrame = d
+              .withColumn("_dw_f", col("_metadata.file_name"))
+              .withColumn("_dw_p", col("_metadata.row_index"))
+            val live =
+              if (st.partitionColumns.isEmpty)
+                withId(spark.read.schema(st.schema)
+                  .parquet(adds.map(t => resolveP(t._1)): _*))
+              else PartitionedScan.scan(spark, st.schema,
+                st.partitionColumns,
+                adds.map { case (p, a) =>
+                  (resolveP(p), a.partitionValues) },
+                preProject = withId,
+                carryCols = Seq("_dw_f", "_dw_p"))
+            Some(live.withColumn("_change_type",
+                when(graft.functions.DvExprs.deleted(
+                  col("_dw_f"), col("_dw_p"), delBc), lit("delete"))
+                .when(graft.functions.DvExprs.deleted(
+                  col("_dw_f"), col("_dw_p"), updBc),
+                  lit("update_preimage")))
+              .filter(col("_change_type").isNotNull)
+              .select(dataCols :+ col("_change_type"): _*))
+          }
+        val parts = Seq(preRows, newRows(updFiles, "update_postimage"),
+          newRows(insFiles, "insert")).flatten
+        if (parts.isEmpty) Seq.empty
+        else writeChangeData(parts.reduce(_ unionByName _),
+          tableDir, st.partitionColumns)
+      }
+    // DV union with any existing vector (stacked deletes/merges)
+    val newDvs = touched.toSeq.sortBy(_._1).map { case (rel, bm) =>
+      st.adds(rel).dv.foreach(d =>
+        bm.or(DeletionVectors.readBitmap(tableDir, d)))
+      rel -> bm
+    }
+    val descs =
+      if (newDvs.isEmpty) Map.empty[String, DeletionVectors.Descriptor]
+      else DeletionVectors.writeDvFile(tableDir, newDvs)
+    val actions =
+      (if (touched.isEmpty) Seq.empty
+       else Seq(protocolActionV3(Seq("deletionVectors"), st))) ++
+      newDvs.flatMap { case (rel, _) =>
+        val a = st.adds(rel)
+        Seq(removeAction(rel),
+          addAction(rel, a.size, a.partitionValues, dataChange = true,
+            a.stats, Some(descs(rel))))
+      } ++
+      newFiles.map(f => addAction(f.relPath, f.size,
+        f.partitionValues, dataChange = true,
+        stats = Some(statsJsonOf(f.numRecords, f.bounds,
+          st.schema)))) ++
+      cdcActs
+    commitRowOp(tableDir, base, actions, touched.keySet,
       couldMatch, op)
   }
 
@@ -3416,7 +3662,7 @@ object DeltaLog {
         if (st.columnMapping.nonEmpty)
           Seq("deletionVectors", "columnMapping")
         else Seq("deletionVectors")
-      val actions = (protocolActionV3(features) +:
+      val actions = (protocolActionV3(features, st) +:
         newDvs.flatMap { case (p, _) =>
           val a = st.adds(p)
           Seq(removeAction(p),
@@ -4912,9 +5158,34 @@ object DeltaLog {
       val st = replay(tableDir, vs.last)
       v = vs.last + 1
       commitClaimHook(tableDir, v)
+      // properties that ACTIVATE writer capabilities upgrade the
+      // protocol in the same commit — ONE combined action (CDF =
+      // writer 4 legacy / the changeDataFeed writer feature; CHECK
+      // constraints = writer 3 / checkConstraints)
+      val wantFeats =
+        (if (props.get("delta.enableChangeDataFeed")
+            .exists(_.equalsIgnoreCase("true")))
+          Set("changeDataFeed") else Set.empty[String]) ++
+        (if (props.keys.exists(_.startsWith("delta.constraints.")))
+          Set("checkConstraints") else Set.empty[String])
+      val upgrade: Option[ObjectNode] =
+        if (wantFeats.isEmpty) None
+        else if (st.minWriter >= 7) {
+          if (wantFeats.subsetOf(st.writerFeatures)) None
+          else Some(protocolFull(st.minReader, 7, st.readerFeatures,
+            st.writerFeatures ++ wantFeats))
+        } else {
+          val need = math.max(st.minWriter, math.max(
+            if (wantFeats("changeDataFeed")) 4 else 2,
+            if (wantFeats("checkConstraints")) 3 else 2))
+          if (need <= st.minWriter) None
+          else Some(protocolFull(st.minReader, need,
+            st.readerFeatures, Set.empty))
+        }
       done = writeActions(tableDir, v,
-        Seq(metaDataAction(st.schema, st.partitionColumns,
-          st.configuration ++ props)))
+        upgrade.toSeq :+
+        metaDataAction(st.schema, st.partitionColumns,
+          st.configuration ++ props))
       if (!done) commitCasRetries.incrementAndGet()
     }
     v

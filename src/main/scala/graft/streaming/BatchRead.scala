@@ -133,6 +133,27 @@ private[streaming] object MetaCols {
       override def comment(): String =
         "data file path the row was read from"
     }
+
+  /** `_pos` — the row's PHYSICAL position within its data file
+    * (parquet row index, counted BEFORE any deletion-vector mask, so
+    * it is exactly the currency DV bitmaps and Iceberg position
+    * deletes key on). `(_file, _pos)` is a stable row identity — the
+    * rowId the delta-based (merge-on-read) row-level operations
+    * declare, as the Iceberg-Spark connector does. */
+  val Pos = "_pos"
+  val posField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(Pos,
+      org.apache.spark.sql.types.LongType, nullable = false)
+
+  val posColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = Pos
+      override def dataType(): DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical row position within the data file (pre-mask)"
+    }
 }
 
 /** Mixin giving a connector Table the [[MetaCols]] metadata
@@ -142,8 +163,11 @@ private[streaming] trait OpenFormatMetadata
   def dataSchema: StructType
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (dataSchema.fieldNames.contains(MetaCols.File)) Array.empty
-    else Array(MetaCols.fileColumn)
+    Array(
+      Option.unless(dataSchema.fieldNames.contains(MetaCols.File))(
+        MetaCols.fileColumn),
+      Option.unless(dataSchema.fieldNames.contains(MetaCols.Pos))(
+        MetaCols.posColumn)).flatten
 }
 
 /** File-level pruning from pushed/runtime V1 filters — the shared
@@ -331,6 +355,12 @@ private[streaming] abstract class OpenFormatBatchScan(
   private val wantFile: Boolean = !declared.contains(MetaCols.File) &&
     required.exists(_.contains(MetaCols.File))
 
+  /** Was the `_pos` METADATA column requested? Its value is the
+    * row's physical position within its file — synthesized by the
+    * reader (it exists in no file and no partition tuple). */
+  protected val wantPos: Boolean = !declared.contains(MetaCols.Pos) &&
+    required.exists(_.contains(MetaCols.Pos))
+
   /** Pruned PUBLIC schema, table field order (+ the `_file` metadata
     * column when requested — its value is the data file's path,
     * constant per file). A required column the snapshot's schema
@@ -341,6 +371,7 @@ private[streaming] abstract class OpenFormatBatchScan(
     case Some(names) =>
       val missing = names
         .filterNot(n => wantFile && n == MetaCols.File)
+        .filterNot(n => wantPos && n == MetaCols.Pos)
         .filterNot(declared.contains)
       require(missing.isEmpty,
         s"$name: columns ${missing.mkString(", ")} not in the " +
@@ -348,7 +379,8 @@ private[streaming] abstract class OpenFormatBatchScan(
           s"(${publicSchema.fieldNames.mkString(", ")})")
       StructType(publicSchema.fields.filter(f =>
         names.contains(f.name)) ++
-        (if (wantFile) Seq(MetaCols.fileField) else Seq.empty))
+        (if (wantFile) Seq(MetaCols.fileField) else Seq.empty) ++
+        (if (wantPos) Seq(MetaCols.posField) else Seq.empty))
   }
 
   /** Pruning views of a file that treat `_file` as a per-file
@@ -442,7 +474,7 @@ private[streaming] abstract class OpenFormatBatchScan(
       // drop whole partition groups out from under the reported
       // numPartitions — leave the file list whole there
       case Some(l) if fs.forall(_.records.isDefined) &&
-          (spjKeyCols.isEmpty || !org.apache.spark.sql.internal
+          (spjKeys.isEmpty || !org.apache.spark.sql.internal
             .SQLConf.get.v2BucketingEnabled) =>
         var acc = 0L
         val (covered, _) = fs.span { f =>
@@ -486,19 +518,19 @@ private[streaming] abstract class OpenFormatBatchScan(
         k
       })
     lastPlanned = kept
-    val spjKey = spjKeyCols
+    val keys = spjKeys
     kept.map { f =>
       val pv = (if (passPartitionValuesToReader) f.pv
         else Map.empty[String, String]) ++
         // `_file` rides the partition as a per-file constant — the
         // reader emits it as a constant vector like partition values
         (if (wantFile) Map(MetaCols.File -> f.path) else Map.empty)
-      if (spjKey.isEmpty)
+      if (keys.isEmpty)
         DeltaFilePartition(f.path, pv, tableDir,
           dvSkip = dvFor(f)): InputPartition
       else
         new KeyedFilePartition(f.path, pv, tableDir, dvFor(f),
-          spjKey.map(c => decodeKey(f.pv, c)).toArray): InputPartition
+          keys.map(_.keyOf(f)).toArray): InputPartition
     }.toArray
   }
 
@@ -613,35 +645,41 @@ private[streaming] abstract class OpenFormatBatchScan(
   }
 
   // ---- storage-partitioned join ----
-  /** Partition columns usable as a grouping KEY: all of them must
-    * survive column pruning (a join can't cluster on a column the
-    * scan doesn't emit), be reconstructable (identity values ride
-    * every file), and decode cleanly. Empty = no SPJ. */
-  protected lazy val spjKeyCols: Seq[String] =
+  /** One SPJ grouping key: the V2 transform the scan REPORTS and the
+    * per-file key extractor feeding `HasPartitionKey`. */
+  protected case class SpjKey(expr: VExpression,
+                              keyOf: BatchFile => Any)
+
+  /** The scan's key-grouped surface. Default: the IDENTITY partition
+    * columns — every one must survive column pruning (a join can't
+    * cluster on a column the scan doesn't emit), be reconstructable
+    * (values ride every file), and decode cleanly. Subclasses widen
+    * to HIDDEN transforms (bucket) whose ordinals ride the manifest
+    * tuples. Empty = no SPJ. */
+  protected lazy val spjKeys: Seq[SpjKey] =
     if (partCols.nonEmpty &&
         partCols.forall(readSchema.fieldNames.contains) &&
         files.forall(f => partCols.forall(f.pv.contains)) &&
         scala.util.Try(files.foreach(f =>
           partCols.foreach(c => decodeKey(f.pv, c)))).isSuccess)
-      partCols
+      partCols.map(c => SpjKey(Expressions.identity(c),
+        f => decodeKey(f.pv, c)))
     else Seq.empty
 
-  private def decodeKey(pv: Map[String, String], c: String): Any =
+  protected def decodeKey(pv: Map[String, String], c: String): Any =
     pv(c) match {
       case null => null
       case s => RowReadSupport.decodeConstant(s, declared(c), c)
     }
 
   override def outputPartitioning(): Partitioning =
-    if (spjKeyCols.isEmpty)
+    if (spjKeys.isEmpty)
       new UnknownPartitioning(afterPushdown.size)
     else {
       val n = afterPushdown
-        .map(f => spjKeyCols.map(c => String.valueOf(f.pv(c))))
+        .map(f => spjKeys.map(k => String.valueOf(k.keyOf(f))))
         .distinct.size
-      new KeyGroupedPartitioning(
-        spjKeyCols.map(c =>
-          Expressions.identity(c): VExpression).toArray, n)
+      new KeyGroupedPartitioning(spjKeys.map(_.expr).toArray, n)
     }
 
   override def description(): String =
@@ -811,14 +849,16 @@ private[streaming] class DeltaBatchScan private (
     val keep = prunedPublic.fieldNames.toSet
     val annotated = StructType(
       st.schema.fields.filter(f => keep.contains(f.name)) ++
-        // `_file` metadata column: a per-partition constant, never
-        // resolved against the parquet files
+        // `_file`/`_pos` metadata columns: a per-partition constant /
+        // a reader-synthesized counter, never resolved against the
+        // parquet files
         prunedPublic.fields.filter(f =>
-          f.name == MetaCols.File &&
-            !st.schema.fieldNames.contains(MetaCols.File)))
+          (f.name == MetaCols.File || f.name == MetaCols.Pos) &&
+            !st.schema.fieldNames.contains(f.name)))
     new DeltaFileReaderFactory(annotated.json,
       columnar = options.getBoolean("vectorizedRead", true),
-      metadataIdsInFiles = st.mappingMode == "id")
+      metadataIdsInFiles = st.mappingMode == "id",
+      posCol = wantPos)
   }
 
   override def streamingScan: Scan =
@@ -1002,6 +1042,45 @@ private[streaming] class IcebergBatchScan private (
     DeltaStreamSource.checkSupportedTypes(plan.schema,
       "graft-iceberg batch")
 
+  /** SPJ over the CURRENT spec, HIDDEN transforms included: identity
+    * columns group by value; `bucket[n]` fields group by their
+    * manifest tuple ordinal and report the `bucket` V2 transform —
+    * which the catalogs' shared `system.bucket` function resolves,
+    * so two bucket-partitioned tables join shuffle-free at
+    * file-group granularity (the q222 zero-exchange shape on hidden
+    * specs). Superset-safe: any file lacking a tuple key (written
+    * under an older spec), any non-bucket hidden transform, or a
+    * pruned-away source column collapses to no SPJ, never to a wrong
+    * grouping. */
+  override protected lazy val spjKeys: Seq[SpjKey] = {
+    import graft.functions.IcebergTransforms
+    val fields = Iceberg.currentSpecFields(dir)
+    if (fields.isEmpty || plan.files.isEmpty) Seq.empty
+    else {
+      val built: Seq[Option[SpjKey]] = fields.map {
+        case (src, "identity")
+            if readSchema.fieldNames.contains(src) &&
+              plan.files.forall(_.pv.contains(src)) &&
+              scala.util.Try(plan.files.foreach(f =>
+                decodeKey(f.pv, src))).isSuccess =>
+          Some(SpjKey(Expressions.identity(src),
+            f => decodeKey(f.pv, src)))
+        case (src, tr @ IcebergTransforms.BucketRe(n))
+            if readSchema.fieldNames.contains(src) && {
+              val t = IcebergTransforms.tupleName(tr, src)
+              plan.files.forall(_.pv.contains(t)) &&
+                scala.util.Try(plan.files.foreach(
+                  _.pv(t).toInt)).isSuccess
+            } =>
+          val t = IcebergTransforms.tupleName(tr, src)
+          Some(SpjKey(Expressions.bucket(n.toInt, src),
+            f => f.pv(t).toInt))
+        case _ => None
+      }
+      if (built.forall(_.isDefined)) built.flatten else Seq.empty
+    }
+  }
+
   /** The snapshot's delete surface folded to per-file inline bitmap
     * descriptors, ONCE, on first batch planning (a streaming query
     * through this scan never pays for it): position deletes
@@ -1031,7 +1110,8 @@ private[streaming] class IcebergBatchScan private (
   override def readerFactory(prunedPublic: StructType)
       : PartitionReaderFactory =
     new DeltaFileReaderFactory(prunedPublic.json, plan.ids,
-      columnar = options.getBoolean("vectorizedRead", true))
+      columnar = options.getBoolean("vectorizedRead", true),
+      posCol = wantPos)
 
   override def streamingScan: Scan =
     new IcebergStreamScan(fullSchema, options)

@@ -662,7 +662,8 @@ private[graft] object RowReadSupport {
   def filteredColumnarReader(
       reader: org.apache.spark.sql.execution.datasources.parquet
         .VectorizedParquetRecordReader,
-      schema: StructType, order: Array[Int], keep: Long => Boolean)
+      schema: StructType, order: Array[Int], keep: Long => Boolean,
+      posAt: Int = -1)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -690,6 +691,16 @@ private[graft] object RowReadSupport {
                 schema.fields.length)
             var c = 0
             while (c < schema.fields.length) {
+              if (c == posAt) {
+                // `_pos` metadata: the surviving rows' PHYSICAL file
+                // positions — the same counter the DV mask keys on
+                val dst = new OnHeapColumnVector(m,
+                  org.apache.spark.sql.types.LongType)
+                var j = 0
+                while (j < m) { dst.putLong(j, base + sel(j)); j += 1 }
+                vecs(c) = dst
+                c += 1
+              } else {
               val src = inner.column(order(c))
               val dt = schema.fields(c).dataType
               val dst = new OnHeapColumnVector(m, dt)
@@ -726,6 +737,7 @@ private[graft] object RowReadSupport {
               }
               vecs(c) = dst
               c += 1
+              }
             }
             out = new org.apache.spark.sql.vectorized.ColumnarBatch(
               vecs, m)
@@ -854,7 +866,8 @@ private[graft] object RowReadSupport {
 private class DeltaFileReaderFactory(schemaJson: String,
     fieldIds: Map[String, Int] = Map.empty,
     columnar: Boolean = true,
-    metadataIdsInFiles: Boolean = false)
+    metadataIdsInFiles: Boolean = false,
+    posCol: Boolean = false)
     extends PartitionReaderFactory {
   import RowReadSupport.{decodeConstant, resolve, value, FieldRes}
 
@@ -980,10 +993,52 @@ private class DeltaFileReaderFactory(schemaJson: String,
     RowReadSupport.lastReadPath = "columnar"
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val part = partition.asInstanceOf[DeltaFilePartition]
-    val (reader, order) =
-      openVectorized(part.path, part.partitionValues, schema)
+    // `_pos` metadata: synthesized (exists in no file) — open the
+    // parquet reader WITHOUT it, re-insert its slot in the order map
+    val posIdx =
+      if (!posCol) -1 else schema.fieldNames.indexOf(MetaCols.Pos)
+    val openSchema =
+      if (posIdx < 0) schema
+      else StructType(schema.fields.patch(posIdx, Nil, 1))
+    val (reader, order0) =
+      openVectorized(part.path, part.partitionValues, openSchema)
+    val order =
+      if (posIdx < 0) order0
+      else (order0.take(posIdx) :+ -1) ++ order0.drop(posIdx)
     val keep: Option[Long => Boolean] = RowReadSupport.dvKeep(part)
-    if (keep.isEmpty)
+    if (keep.isEmpty && posIdx >= 0)
+      // no row filter but `_pos` requested: per batch, one fresh
+      // position vector (base..base+n-1) joins the re-ordered file
+      // vectors — O(n) longs, still fully vectorized
+      new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+        private var filePos = 0L
+        private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+        override def next(): Boolean = {
+          val has = reader.nextKeyValue()
+          if (has) {
+            val inner = reader.getCurrentValue
+              .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+            val n = inner.numRows()
+            val posVec = new OnHeapColumnVector(n,
+              org.apache.spark.sql.types.LongType)
+            var i = 0
+            while (i < n) { posVec.putLong(i, filePos + i); i += 1 }
+            filePos += n
+            val vecs = Array.tabulate[
+                org.apache.spark.sql.vectorized.ColumnVector](
+              schema.fields.length)(c =>
+                if (c == posIdx) posVec else inner.column(order(c)))
+            batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+              vecs, n)
+          }
+          has
+        }
+        override def get()
+            : org.apache.spark.sql.vectorized.ColumnarBatch = batch
+        override def close(): Unit = reader.close()
+      }
+    else if (keep.isEmpty)
       // no row filter: zero-copy vector re-ordering
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
         private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
@@ -1012,7 +1067,7 @@ private class DeltaFileReaderFactory(schemaJson: String,
       // where CDC backlogs concentrate (delete-heavy batches), so
       // the copy buys throughput exactly where it matters.
       RowReadSupport.filteredColumnarReader(reader, schema, order,
-        keep.get)
+        keep.get, posAt = posIdx)
   }
 
 
@@ -1058,7 +1113,8 @@ private class DeltaFileReaderFactory(schemaJson: String,
         val fileType = current.getType
         if (res == null) res = resolve(schema.fields, fileType, fieldIds)
         val vals = res.map { r =>
-          if (constants.contains(r.f.name)) constants(r.f.name)
+          if (posCol && r.f.name == MetaCols.Pos) rowPos
+          else if (constants.contains(r.f.name)) constants(r.f.name)
           else value(current, fileType, r)
         }
         new GenericInternalRow(vals: Array[Any])

@@ -268,7 +268,7 @@ private[streaming] class DeltaWriterFactory(tableDir: String,
   * keep the FULL schema (nothing projected out — the spec's
   * contract), and the commit message's partitionValues carry the
   * tuple under Iceberg's `<col>_bucket`-style names. */
-private class DeltaDataWriter(tableDir: String, schema: StructType,
+private[streaming] class DeltaDataWriter(tableDir: String, schema: StructType,
     physical: StructType, partCols: Seq[String],
     relPrefix: String = "",
     hiddenSpec: Seq[(String, String)] = Seq.empty)

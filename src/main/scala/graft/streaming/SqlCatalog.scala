@@ -73,6 +73,10 @@ object GraftSqlSeams {
     * COW rewrite) — q-gates pin the path, not just the rows. */
   val metadataDeletes = new java.util.concurrent.atomic.AtomicLong
 
+  /** Position-delta (SupportsDelta) MERGE commits — q-gates pin
+    * that MERGE rode the DV-tombstone path, not a COW rewrite. */
+  val positionDeltaMerges = new java.util.concurrent.atomic.AtomicLong
+
   /** DIRECTORY moves the catalog performed (the object-store
     * no-go): the pointer-entry lifecycle performs NONE — this only
     * moves on the legacy ADOPTED-directory fallbacks, and the
@@ -195,6 +199,66 @@ private[graft] object TablePointer {
               external: Boolean): Unit =
     graft.sources.LogStore.current.putPointer(entry,
       bytes(dir, external))
+
+  /** Marker file inside a data directory meaning "this directory is
+    * OWNED by a pointer entry — never surface it by its own path".
+    * Written when an adopted-pointer table is RENAMED away from the
+    * path its data occupies; formats ignore foreign dot-files. */
+  val OwnerMarker = ".graft-owner"
+}
+
+/** The catalogs' SQL FUNCTION surface (`FunctionCatalog`) — the
+  * partition-transform functions Spark resolves a scan's reported
+  * `KeyGroupedPartitioning` expressions against. `system.bucket` is
+  * the one storage-partitioned joins over HIDDEN bucket specs need:
+  * both join sides resolve `bucket(n, col)` to a BoundFunction with
+  * the SAME canonicalName, which is what `EnsureRequirements` keys
+  * compatibility on — so two bucket-partitioned tables (either
+  * catalog) join with zero exchanges. The implementation IS
+  * [[graft.functions.IcebergTransforms.bucketLong]] — the same
+  * Murmur3 the writer assigns and the pruner derives with, so
+  * reported grouping and physical layout can never disagree. */
+private[streaming] object GraftSystemFunctions {
+  import org.apache.spark.sql.connector.catalog.functions.{
+    BoundFunction, ScalarFunction, UnboundFunction}
+  import org.apache.spark.sql.types.{DataType => SDataType,
+    IntegerType, LongType}
+
+  object BucketFunction extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets, col) — Iceberg bucket transform ordinal " +
+        "(Murmur3 over the long value)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket takes (numBuckets, col), got $inputType")
+      val srcT = inputType.fields(1).dataType
+      require(srcT == LongType || srcT == IntegerType,
+        s"bucket over $srcT — long/int sources (this engine's " +
+          "hidden-spec scope)")
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[SDataType] =
+          Array(IntegerType, srcT)
+        override def resultType(): SDataType = IntegerType
+        override def name(): String = "bucket"
+        // int and long sources hash THE SAME long value — one
+        // canonical name keeps them SPJ-compatible on purpose
+        override def canonicalName(): String = "graft.bucket"
+        override def isResultNullable: Boolean = false
+        override def produceResult(
+            input: org.apache.spark.sql.catalyst.InternalRow)
+            : Integer = {
+          val v =
+            if (srcT == LongType) input.getLong(1)
+            else input.getInt(1).toLong
+          Int.box(graft.functions.IcebergTransforms
+            .bucketLong(v, input.getInt(0)))
+        }
+      }
+    }
+  }
+
+  val all: Map[String, UnboundFunction] = Map("bucket" -> BucketFunction)
 }
 
 /** Directory-warehouse plumbing the two catalogs share: identifiers
@@ -207,7 +271,32 @@ private[graft] object TablePointer {
 private[streaming] abstract class GraftDirCatalog
   extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ---- functions (the SPJ transform-resolution surface) ----
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty || ns.sameElements(Array("system")))
+      GraftSystemFunctions.all.keys.toSeq.sorted
+        .map(Identifier.of(Array("system"), _)).toArray
+    else if (namespaceExists(ns)) Array.empty
+    else throw new NoSuchNamespaceException(ns)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions
+        .UnboundFunction =
+    if (ident.namespace.isEmpty ||
+        ident.namespace.sameElements(Array("system")))
+      GraftSystemFunctions.all.getOrElse(ident.name,
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident))
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    (ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("system"))) &&
+      GraftSystemFunctions.all.contains(ident.name)
 
   /** This catalog's `CALL <name>.system.*` maintenance procedures. */
   protected def procedures: Map[String, GraftProcedure]
@@ -281,26 +370,58 @@ private[streaming] abstract class GraftDirCatalog
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
 
   // ---- tables ----
+  /** Hidden pointer entry for a table CONVERTED from an adopted
+    * directory (`CALL system.adopt_table`): the data directory
+    * occupies the visible name path, so the pointer lives beside it
+    * as `.ptr-<name>` — unaddressable as an identifier, resolved
+    * and listed explicitly. After conversion, RTAS and RENAME ride
+    * the pointer lifecycle under ANY LogStore; the directory never
+    * moves. */
+  protected def ptrPath(ident: Identifier): java.nio.file.Path =
+    Paths.get((warehouse +: ident.namespace.toSeq.map(seg))
+      .mkString("/"), s".ptr-${seg(ident.name)}")
+
+  /** The hidden `.ptr-` entry's target, iff it still carries table
+    * state (a dead hidden pointer is invisible, like a dead plain
+    * one). */
+  protected def ptrEntry(ident: Identifier): Option[(String, Boolean)] =
+    TablePointer.read(ptrPath(ident))
+      .filter { case (dir, _) => isTableDir(new File(dir)) }
+
+  /** OWNED data directories (adopted-pointer tables renamed away
+    * from their path) never surface by their own path — the pointer
+    * entry is their only identity. */
+  private def owned(f: File): Boolean =
+    new File(f, TablePointer.OwnerMarker).isFile
+
   /** Is the entry at this path one of THIS catalog's tables — a
     * pointer object whose target carries the format signature, an
-    * adopted table directory, or a legacy symlink to one? */
+    * (un-owned) adopted table directory, or a legacy symlink to
+    * one? */
   protected def isTableEntry(f: File): Boolean =
     TablePointer.read(f.toPath) match {
       case Some((dir, _)) => isTableDir(new File(dir))
-      case None => isTableDir(f)
+      case None => isTableDir(f) && !owned(f)
     }
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
     val d = new File(nsDir(ns))
     if (!d.isDirectory || isTableDir(d))
       throw new NoSuchNamespaceException(ns)
-    Option(d.listFiles()).getOrElse(Array.empty)
+    val fs = Option(d.listFiles()).getOrElse(Array.empty)
+    val plain = fs
       .filter(f => !f.getName.startsWith(".") && isTableEntry(f))
-      .map(_.getName).sorted.map(Identifier.of(ns, _))
+      .map(_.getName)
+    val viaPtr = fs
+      .filter(_.getName.startsWith(".ptr-"))
+      .filter(f => TablePointer.read(f.toPath)
+        .exists { case (dir, _) => isTableDir(new File(dir)) })
+      .map(_.getName.stripPrefix(".ptr-"))
+    (plain ++ viaPtr).distinct.sorted.map(Identifier.of(ns, _))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTableEntry(new File(dirOf(ident)))
+    isTableEntry(new File(dirOf(ident))) || ptrEntry(ident).isDefined
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -308,22 +429,80 @@ private[streaming] abstract class GraftDirCatalog
   }
 
   /** The table's REAL data directory: pointer entries resolve to
-    * their recorded home ([[TablePointer]]); legacy symlink entries
-    * to the link target (`Files.createDirectories` through a
-    * symlinked path segment refuses, so every data-path operation
-    * resolves first); adopted directories to themselves. */
+    * their recorded home ([[TablePointer]]); hidden `.ptr-` entries
+    * (converted adopted tables) likewise — and take precedence over
+    * a directory at the name path, so a stale pre-RTAS home never
+    * shadows the pointer; legacy symlink entries to the link target
+    * (`Files.createDirectories` through a symlinked path segment
+    * refuses, so every data-path operation resolves first); adopted
+    * directories to themselves. */
   protected def realDir(ident: Identifier): String = {
     val p = Paths.get(dirOf(ident))
     TablePointer.read(p) match {
       case Some((dir, _)) => dir
-      case None if Files.isSymbolicLink(p) =>
-        Files.readSymbolicLink(p).toString
-      case None => p.toString
+      case None => ptrEntry(ident) match {
+        case Some((dir, _)) => dir
+        case None if Files.isSymbolicLink(p) =>
+          Files.readSymbolicLink(p).toString
+        case None => p.toString
+      }
     }
+  }
+
+  /** `CALL system.adopt_table` backing: convert an ADOPTED directory
+    * table into the pointer lifecycle — ONE create-if-absent claim
+    * of the hidden `.ptr-<name>` entry referencing the existing
+    * directory as its (now immutable) home. Metadata-only: no data
+    * moves, no directory renames, safe on any store. Racing
+    * adoptions decide at the claim and both succeed (same target);
+    * re-adopting is a no-op. Legacy symlink entries refuse — their
+    * identity is a POSIX link; copy them (CTAS) instead. */
+  private[streaming] def adoptTable(t: String): String = {
+    val parts = t.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    val entry = new File(dirOf(ident))
+    if (TablePointer.read(entry.toPath).isDefined)
+      return "already-managed"
+    if (ptrEntry(ident).isDefined) return "already-adopted"
+    require(!Files.isSymbolicLink(entry.toPath),
+      s"adopt_table: ${fullName(ident)} is a legacy symlink entry " +
+        "(POSIX-only) — copy it (CREATE TABLE ... AS SELECT) instead")
+    if (!isTableDir(entry) || owned(entry))
+      throw new NoSuchTableException(ident)
+    if (!TablePointer.claim(ptrPath(ident), entry.getPath,
+        external = false))
+      // racing adoption of the same table: the winner published the
+      // identical pointer — verify and succeed; anything else is a
+      // real conflict
+      require(TablePointer.read(ptrPath(ident))
+          .exists(_._1 == entry.getPath),
+        s"adopt_table: ${fullName(ident)}'s hidden entry is " +
+          "claimed by a different target")
+    "adopted"
   }
 
   override def dropTable(ident: Identifier): Boolean = {
     val f = new File(dirOf(ident))
+    // converted-adopted table: delete the hidden entry (the
+    // un-publish), then the managed home it references — which may
+    // be the name-path directory itself (un-renamed) or an owned
+    // directory elsewhere (post-rename names resolve plain, but a
+    // dead hidden entry may linger; reclaim either way)
+    if (!isTableEntry(f) && TablePointer.read(f.toPath).isEmpty &&
+        TablePointer.read(ptrPath(ident)).isDefined) {
+      val (dir, external) = TablePointer.read(ptrPath(ident)).get
+      Files.delete(ptrPath(ident))
+      if (!external) graft.util.Fs.deleteRecursively(new File(dir))
+      return true
+    }
+    if (isTableEntry(f) && TablePointer.read(f.toPath).isEmpty &&
+        ptrEntry(ident).isDefined) {
+      // un-renamed converted table: name path IS the home — the
+      // hidden entry goes first (un-publish), then the data
+      Files.delete(ptrPath(ident))
+      graft.util.Fs.deleteRecursively(f)
+      return true
+    }
     if (!isTableEntry(f)) {
       // a DEAD pointer (target lost its table state out-of-band) is
       // invisible to listings/loads but still occupies the name —
@@ -352,6 +531,15 @@ private[streaming] abstract class GraftDirCatalog
 
   override def purgeTable(ident: Identifier): Boolean = {
     val f = new File(dirOf(ident))
+    if (TablePointer.read(f.toPath).isEmpty &&
+        TablePointer.read(ptrPath(ident)).isDefined) {
+      val (dir, _) = TablePointer.read(ptrPath(ident)).get
+      Files.delete(ptrPath(ident))
+      graft.util.Fs.deleteRecursively(new File(dir))
+      if (f.isDirectory && f.getPath != dir)
+        graft.util.Fs.deleteRecursively(f)
+      return true
+    }
     if (!isTableEntry(f)) false
     else TablePointer.read(f.toPath) match {
       case Some((dir, _)) =>
@@ -385,11 +573,34 @@ private[streaming] abstract class GraftDirCatalog
     * non-atomic copies. */
   override def renameTable(old: Identifier, next: Identifier): Unit = {
     val from = new File(dirOf(old))
-    if (!isTableEntry(from)) throw new NoSuchTableException(old)
+    if (!tableExists(old)) throw new NoSuchTableException(old)
     val to = new File(dirOf(next))
-    if (isTableEntry(to)) throw new TableAlreadyExistsException(next)
+    if (tableExists(next)) throw new TableAlreadyExistsException(next)
     require(to.getParentFile.isDirectory,
       s"target namespace ${next.namespace.mkString(".")} does not exist")
+    // CONVERTED-adopted table (hidden .ptr entry): mark the home
+    // OWNED (its path stops surfacing as a table), claim the new
+    // name's PLAIN entry, delete the hidden one — three
+    // object-store-safe steps, no directory moves. Crash windows:
+    // after the marker, the old name still resolves via the hidden
+    // entry; after the claim, both names briefly resolve to the same
+    // data (benign, as with managed renames).
+    if (TablePointer.read(from.toPath).isEmpty &&
+        ptrEntry(old).isDefined) {
+      val (dir, external) = ptrEntry(old).get
+      require(external || old.namespace.toSeq == next.namespace.toSeq,
+        s"RENAME of managed table ${fullName(old)} across " +
+          s"namespaces: its data home stays under the original " +
+          "namespace, which a later DROP NAMESPACE CASCADE would " +
+          "destroy — copy it (CREATE TABLE ... AS SELECT) instead")
+      graft.sources.LogStore.current.putPointer(
+        Paths.get(dir, TablePointer.OwnerMarker),
+        s"""{"owner":"${dirOf(next)}"}""".getBytes("UTF-8"))
+      if (!TablePointer.claim(to.toPath, dir, external))
+        throw new TableAlreadyExistsException(next)
+      Files.delete(ptrPath(old))
+      return
+    }
     TablePointer.read(from.toPath) match {
       case Some((dir, external)) =>
         // a MANAGED home lives under its ORIGINAL namespace
@@ -569,7 +780,23 @@ private[streaming] abstract class GraftDirCatalog
       override def commitStagedChanges(): Unit = {
         val dest = Paths.get(dirOf(ident))
         val destPointer = TablePointer.read(dest)
-        if (destPointer.isEmpty && isTableDir(dest.toFile)) {
+        val viaPtr =
+          if (destPointer.isEmpty) ptrEntry(ident) else None
+        if (viaPtr.isDefined) {
+          // CONVERTED-adopted table: the pointer lifecycle, on the
+          // hidden entry — one whole-object repoint publishes the
+          // staged home, then the previous home is GC'd. No
+          // directory moves; safe on any store.
+          if (!replace) {
+            abortStagedChanges()
+            throw new TableAlreadyExistsException(ident)
+          }
+          val oldHome = viaPtr.filter(!_._2).map(_._1)
+          TablePointer.repoint(ptrPath(ident), stagedDir,
+            external = false)
+          oldHome.foreach(d =>
+            graft.util.Fs.deleteRecursively(new File(d)))
+        } else if (destPointer.isEmpty && isTableDir(dest.toFile)) {
           // LEGACY fallback: the name is occupied by an ADOPTED
           // directory table whose identity is its path — publishing
           // over it needs real directory moves (POSIX-only; the
@@ -699,7 +926,7 @@ class GraftDeltaCatalog extends GraftDirCatalog {
 
   override protected lazy val procedures: Map[String, GraftProcedure] =
     GraftProcedures.delta(resolveTableArg) ++
-      GraftProcedures.common(resolveNsArg)
+      GraftProcedures.common(resolveNsArg, adoptTable)
 
   override protected def isTableDir(d: File): Boolean =
     new File(d, "_delta_log").isDirectory
@@ -842,7 +1069,16 @@ private[streaming] class DeltaSqlTable(sqlName: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable(info.command.toString)
-    () => new DeltaRowLevelOperation(dir, schema, info.command)
+    // MERGE on unmapped tables takes the DELTA-BASED (position
+    // tombstone) path: exact per-row verdicts, DV commit, exact CDF
+    // without declared keys. DELETE/UPDATE (whose group-based CDF is
+    // already exact) and column-mapped tables keep the COW rewrite.
+    () =>
+      if (info.command == RowLevelOperation.Command.MERGE &&
+          DeltaLog.replay(dir, DeltaLog.versions(dir).last)
+            .columnMapping.isEmpty)
+        new DeltaPositionMergeOperation(dir, schema)
+      else new DeltaRowLevelOperation(dir, schema, info.command)
   }
 }
 
@@ -990,7 +1226,7 @@ class GraftIcebergCatalog extends GraftDirCatalog {
 
   override protected lazy val procedures: Map[String, GraftProcedure] =
     GraftProcedures.iceberg(resolveTableArg) ++
-      GraftProcedures.common(resolveNsArg)
+      GraftProcedures.common(resolveNsArg, adoptTable)
 
   override protected def isTableDir(d: File): Boolean =
     Iceberg.versions(d.getPath).nonEmpty ||
@@ -2216,4 +2452,145 @@ object SqlCatalogQueries {
       |    ELSE CAST(o_totalprice AS DECIMAL(10,2))
       |  END AS DECIMAL(10,2)) AS DOUBLE) AS o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q244 — POSITION-DELTA SQL MERGE (SupportsDelta): a mixed
+    * update+insert+delete MERGE on a CDF table with NO declared
+    * `graft.cdf.keyColumns` — the tags are EXACT anyway, because the
+    * merge's own per-row verdicts classify each row (no key pairing,
+    * no net-changes fallback, no rewrite diff). In-query `require`s
+    * pin the engine shape: (a) the [[GraftSqlSeams
+    * .positionDeltaMerges]] seam moved — MERGE rode the
+    * SupportsDelta path, not a COW rewrite; (b) every base file is
+    * still live at the same path and the matched rows became
+    * DELETION-VECTOR tombstones — a MERGE touching 1% of a 100 TB
+    * table writes ~1% new rows plus kilobytes of bitmap, never a
+    * group rewrite; (c) the cdc actions carry all four exact tags.
+    * Oracle re-derives the change set relationally. */
+  def sqlMergeDelta(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.morders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) TBLPROPERTIES (
+      'delta.enableChangeDataFeed' = 'true')""")
+    spark.sql(s"INSERT INTO $ns.morders SELECT $cols FROM $v")
+    val mDir = tableDirOf(spark, iceberg = false, ns, "morders")
+    val adds0 = graft.sources.DeltaLog
+      .replay(mDir, graft.sources.DeltaLog.versions(mDir).last)
+      .adds.keySet
+    val merges0 = GraftSqlSeams.positionDeltaMerges.get()
+    spark.sql(
+      s"""MERGE INTO $ns.morders t USING (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         -1.0 AS o_totalprice
+         |  FROM $v WHERE o_orderkey % 9 = 4
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice + 7.0
+         |  FROM $v WHERE o_orderkey % 9 = 1
+         |  UNION ALL
+         |  SELECT o_orderkey + 2000000000, o_custkey, 'N', -2.0
+         |  FROM $v WHERE o_orderkey % 9 = 1) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.o_totalprice < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(GraftSqlSeams.positionDeltaMerges.get() == merges0 + 1,
+      "MERGE did not ride the position-delta (SupportsDelta) path")
+    val st = graft.sources.DeltaLog
+      .replay(mDir, graft.sources.DeltaLog.versions(mDir).last)
+    require(adds0.subsetOf(st.adds.keySet),
+      "position-delta MERGE must keep every base file live (no " +
+        "copy-on-write rewrite)")
+    val tombstoned = st.adds.view.filterKeys(adds0)
+      .values.flatMap(_.dv).map(_.cardinality).sum
+    require(tombstoned > 0,
+      "matched rows must be deletion-vector tombstones")
+    val ch = DeltaLog.readChanges(spark, mDir, 2L, 2L)
+    val types = ch.select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(types == Set("delete", "update_preimage",
+        "update_postimage", "insert"),
+      s"exact tags expected without declared keys, got $types")
+    ch.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("_change_type"))
+      .orderBy(col("_change_type"), col("o_orderkey"))
+  }
+
+  /** q245 — STORAGE-PARTITIONED JOIN OVER HIDDEN BUCKET SPECS: two
+    * catalog tables created `PARTITIONED BY (bucket(8, o_orderkey))`
+    * and filled through the native hidden-spec DSv2 writer join ON
+    * THE BUCKET SOURCE COLUMN with ZERO exchanges: each scan reports
+    * `KeyGroupedPartitioning(bucket(8, o_orderkey))`, the catalog's
+    * `system.bucket` function (the writer's own Murmur3) resolves
+    * both sides to one canonical transform, and EnsureRequirements
+    * plans the join at file-group granularity — the q222 shape
+    * extended from identity partitions to hidden transforms. The
+    * in-query `require` pins the exchange-free executed plan; the
+    * oracle pins row correctness (and holds with the conf off —
+    * the fallback is an ordinary shuffle join, never wrong rows).
+    * At 100 TB: two bucket-co-located lake tables join with zero
+    * network. */
+  def sqlBucketSpj(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = true)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.bo (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) PARTITIONED BY (bucket(8, o_orderkey))""")
+    spark.sql(s"INSERT INTO $ns.bo SELECT $cols FROM $v")
+    spark.sql(s"""CREATE TABLE $ns.bp (
+      o_orderkey BIGINT, dbl DOUBLE)
+      PARTITIONED BY (bucket(8, o_orderkey))""")
+    spark.sql(s"INSERT INTO $ns.bp SELECT o_orderkey, " +
+      s"o_totalprice * 2 FROM $v WHERE o_orderkey % 3 = 0")
+    def joined() = spark.sql(
+      s"""SELECT a.o_orderkey, a.o_custkey, a.o_orderstatus,
+         |  a.o_totalprice, b.dbl
+         |FROM $ns.bo a JOIN $ns.bp b
+         |ON a.o_orderkey = b.o_orderkey""".stripMargin)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (c, _) =>
+      c -> scala.util.Try(spark.conf.get(c)).toOption }
+    confs.foreach { case (c, x) => spark.conf.set(c, x) }
+    try {
+      val probe = joined()
+      probe.count()
+      val plan = probe.queryExecution.executedPlan.toString()
+      require(!plan.contains("Exchange"),
+        s"hidden-bucket SPJ still shuffled:\n$plan")
+    } finally saved.foreach {
+      case (c, Some(x)) => spark.conf.set(c, x)
+      case (c, None) => spark.conf.unset(c)
+    }
+    joined().orderBy(col("o_orderkey"))
+  }
+
+  val sqlBucketSpjSql: String =
+    """SELECT a.o_orderkey, a.o_custkey, a.o_orderstatus,
+      |  a.o_totalprice, a.o_totalprice * 2 AS dbl
+      |FROM orders a WHERE a.o_orderkey % 3 = 0
+      |ORDER BY a.o_orderkey""".stripMargin
+
+  val sqlMergeDeltaSql: String =
+    """WITH v AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders),
+      |del AS (SELECT * FROM v WHERE o_orderkey % 9 = 4),
+      |upd AS (SELECT * FROM v WHERE o_orderkey % 9 = 1)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'delete' AS _change_type FROM del
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'update_preimage' FROM upd
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice + 7.0, 'update_postimage' FROM upd
+      |UNION ALL
+      |SELECT o_orderkey + 2000000000, o_custkey, 'N', -2.0,
+      |  'insert' FROM upd
+      |ORDER BY _change_type, o_orderkey""".stripMargin
 }

@@ -218,8 +218,18 @@ private[streaming] object GraftProcedures {
     * longest-running CTAS: an in-flight staged home is unreferenced
     * BY DESIGN until its commit claims the pointer). `resolveNs`
     * maps a namespace argument to its warehouse directory. */
-  def common(resolveNs: String => String): Map[String, GraftProcedure] =
+  def common(resolveNs: String => String,
+             adopt: String => String): Map[String, GraftProcedure] =
     Map(
+      "adopt_table" -> GraftProcedure("adopt_table",
+        "convert an ADOPTED directory table into the pointer-entry " +
+          "lifecycle: one create-if-absent claim of a hidden " +
+          ".ptr-<name> entry referencing the existing directory as " +
+          "its home — metadata-only, no data moves; RTAS and RENAME " +
+          "then work under any LogStore (object-store-safe)",
+        Seq("table" -> StringType),
+        StructType(Seq(StructField("result", StringType))),
+        { case Seq(t: String) => one(adopt(t)) }),
       "remove_orphan_homes" -> GraftProcedure("remove_orphan_homes",
         "delete hidden .tbl- table homes no pointer entry references " +
           "(crashed CTAS, lost CREATE races, straggler tasks) and " +

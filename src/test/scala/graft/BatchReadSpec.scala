@@ -580,6 +580,42 @@ class BatchReadSpec extends SparkSuite {
       .contains("LocalTableScan"))
   }
 
+  test("_pos metadata column: physical file positions, mask-stable") {
+    val work = Files.createTempDirectory("dsv2pos").toString
+    val dir = s"$work/t"
+    sources.DeltaLog.commitAppend(
+      (0L until 40L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartition(1), dir)
+    sources.DeltaLog.commitAppend(
+      (40L until 70L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartition(1), dir)
+    def posSets(opts: (String, String)*): Map[String, Seq[Long]] =
+      dsv2(dir, opts: _*)
+        .select(col("_file"), col("_pos"), col("k"))
+        .collect().groupBy(_.getString(0))
+        .map { case (f, rs) =>
+          f -> rs.map(_.getLong(1)).sorted.toSeq }
+    val byFile = posSets()
+    assert(byFile.size == 2)
+    assert(byFile.values.map(_.size).toSeq.sorted == Seq(30, 40))
+    byFile.values.foreach(ps =>
+      assert(ps == (0L until ps.size.toLong), s"dense 0..n-1, got $ps"))
+    // the ROW reader path agrees with the vectorized one
+    assert(posSets("vectorizedRead" -> "false") == byFile)
+    // positions are PHYSICAL: a DV mask removes rows without
+    // renumbering the survivors (the row-identity contract)
+    sources.DeltaLog.deleteWhere(spark, dir, col("k") % 3 === 0)
+    val masked = posSets()
+    masked.foreach { case (f, ps) =>
+      assert(ps.size < byFile(f).size && ps.forall(byFile(f).contains),
+        "survivor positions must be a stable subset")
+    }
+    assert(posSets("vectorizedRead" -> "false") == masked)
+    // (_file,_pos) pairs are unique — a usable row id
+    val ids = dsv2(dir).select(col("_file"), col("_pos")).collect()
+    assert(ids.length == ids.distinct.length)
+  }
+
   test("required column absent from the pinned snapshot refuses loudly") {
     val work = Files.createTempDirectory("dsv2m").toString
     val dir = s"$work/t"

@@ -2772,4 +2772,68 @@ class DeltaLogSpec extends SparkSuite {
     assert(v2 == 3L && sources.DeltaLog.versions(dir).last == 3L,
       "an empty merge on a CDF table must skip the commit")
   }
+
+  test("protocol write fidelity: features activate the spec's versions") {
+    def stOf(dir: String) =
+      sources.DeltaLog.replay(dir, sources.DeltaLog.versions(dir).last)
+    // plain table: the baseline (1, 2)
+    val d1 = Files.createTempDirectory("proto1").toString + "/t"
+    sources.DeltaLog.createTable(d1,
+      new org.apache.spark.sql.types.StructType().add("k", "bigint"),
+      Seq.empty)
+    assert((stOf(d1).minReader, stOf(d1).minWriter) == (1, 2))
+    // CDF declared at CREATE: writer 4 (the spec's changeDataFeed
+    // legacy level) — a foreign writer that would not stamp cdc
+    // actions must refuse; readers are untouched
+    val d2 = Files.createTempDirectory("proto2").toString + "/t"
+    sources.DeltaLog.createTable(d2,
+      new org.apache.spark.sql.types.StructType().add("k", "bigint"),
+      Seq.empty, Map("delta.enableChangeDataFeed" -> "true"))
+    assert((stOf(d2).minReader, stOf(d2).minWriter) == (1, 4))
+    // CHECK constraint added later: writer bumps to 3 in the SAME
+    // commit that records the constraint
+    sources.DeltaLog.commitAppend(
+      Seq((1L, "a")).toDF("k", "s"), d1 + "c")
+    sources.DeltaLog.addCheckConstraint(spark, d1 + "c", "kpos", "k > 0")
+    assert(stOf(d1 + "c").minWriter == 3)
+    // generated column: writer 4
+    sources.DeltaLog.addGenerationExpression(spark, d1 + "c", "s",
+      "concat('a', '')")
+    assert(stOf(d1 + "c").minWriter == 4)
+    // CDF enabled via properties post-hoc: writer 4 in one commit
+    val d3 = Files.createTempDirectory("proto3").toString + "/t"
+    sources.DeltaLog.commitAppend(Seq((1L, "x")).toDF("k", "s"), d3)
+    sources.DeltaLog.setTableProperties(d3,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    assert(stOf(d3).minWriter == 4)
+    // DV delete on that table: (3, 7) feature lists — readerFeatures
+    // carries deletionVectors only (CDF/constraints are WRITER
+    // features; listing them reader-side would wrongly lock out
+    // foreign readers), writerFeatures carries the full surface
+    sources.DeltaLog.deleteWhere(spark, d3, col("k") === 99L) // no match
+    sources.DeltaLog.commitAppend(Seq((2L, "y")).toDF("k", "s"), d3)
+    sources.DeltaLog.deleteWhere(spark, d3, col("k") === 1L)
+    val st3 = stOf(d3)
+    assert((st3.minReader, st3.minWriter) == (3, 7))
+    assert(st3.readerFeatures == Set("deletionVectors"),
+      s"reader features must stay minimal, got ${st3.readerFeatures}")
+    assert(Set("deletionVectors", "changeDataFeed", "appendOnly",
+      "invariants").subsetOf(st3.writerFeatures),
+      s"writer surface incomplete: ${st3.writerFeatures}")
+    // and the CDF stream still reads its own post-upgrade commits
+    assert(sources.DeltaLog.readChanges(spark, d3, 3L, 3L)
+      .filter("_change_type = 'delete'").count() == 1)
+    // a FOREIGN-authored feature-listed log still reads
+    val d4 = Files.createTempDirectory("proto4").toString + "/t"
+    writeLog(d4, 0,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,
+        |"writerFeatures":["appendOnly","invariants","icebergCompatV2"]}}"""
+        .stripMargin.replace("\n", ""),
+      metaData())
+    sources.DeltaLog.commitAppend(Seq((5L, "z")).toDF("k", "s"), d4)
+    assert(sources.DeltaLog.read(spark, d4).count() == 1,
+      "unknown WRITER features must not block reading")
+    assert(stOf(d4).writerFeatures.contains("icebergCompatV2"),
+      "foreign writer features must be carried, not dropped")
+  }
 }

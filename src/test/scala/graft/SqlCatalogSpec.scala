@@ -196,8 +196,10 @@ class SqlCatalogSpec extends SparkSuite {
     assert(rows(m.select("k", "v", "_change_type")).sorted ===
       Seq("[1,101,update_preimage]", "[1,7,update_postimage]",
         "[20,20,insert]").sorted)
-    // without declared keys, a mixed MERGE takes the documented
-    // net-changes fallback (delete + insert)
+    // WITHOUT declared keys the tags are STILL exact: MERGE rides
+    // the position-delta (SupportsDelta) operation, whose per-row
+    // verdicts classify directly — no key pairing, no net-changes
+    // fallback
     sql("CREATE TABLE gsql.db.cdfnk (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
     sql("INSERT INTO gsql.db.cdfnk SELECT id, id FROM range(5)")
@@ -207,7 +209,8 @@ class SqlCatalogSpec extends SparkSuite {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     val nk = DeltaLog.readChanges(spark, dirNk, 2, 2)
     assert(rows(nk.select("k", "v", "_change_type")).sorted ===
-      Seq("[1,1,delete]", "[1,7,insert]", "[20,20,insert]").sorted)
+      Seq("[1,1,update_preimage]", "[1,7,update_postimage]",
+        "[20,20,insert]").sorted)
     // PARTITIONED table: the derived change files land
     // hive-partitioned across MULTIPLE partitions in one commit
     // (per-file UUID basenames — Spark's writer would otherwise
@@ -232,6 +235,143 @@ class SqlCatalogSpec extends SparkSuite {
     assert(pr < pl, s"partition conjunct did not prune ($pl/$pr)")
     assert(DeltaLog.readChanges(spark, dirP, 3, 3)
       .filter("_change_type = 'update_postimage'").count() === 1)
+  }
+
+  test("delta catalog: MERGE is position-delta — DV tombstones, no rewrite") {
+    sql("CREATE TABLE gsql.db.pdm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+    sql("INSERT INTO gsql.db.pdm SELECT id, id FROM range(10)")
+    val dir = tdir(s"$wh/db/pdm")
+    def st() = DeltaLog.replay(dir, DeltaLog.versions(dir).last)
+    def sumDv(paths: Set[String]): Long =
+      st().adds.collect { case (p, a) if paths(p) =>
+        a.dv.map(_.cardinality).getOrElse(0L) }.sum
+    val adds0 = st().adds.keySet
+    val merges0 = GraftSqlSeams.positionDeltaMerges.get()
+    spark.sql("SELECT * FROM VALUES (3, 300L), (4, -1L), (20, 20L) " +
+      "AS s(k, v)").createOrReplaceTempView("pdm_src")
+    sql("""MERGE INTO gsql.db.pdm t USING pdm_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(GraftSqlSeams.positionDeltaMerges.get() === merges0 + 1,
+      "MERGE must ride the position-delta path")
+    // table state
+    assert(rows(sql("SELECT k, v FROM gsql.db.pdm WHERE k IN " +
+      "(3, 4, 20)")) === Seq("[20,20]", "[3,300]"))
+    assert(sql("SELECT count(*) FROM gsql.db.pdm").head.getLong(0)
+      === 10) // 10 - 1 deleted + 1 inserted
+    // the log: touched files are RE-ADDED at the SAME paths with
+    // deletion vectors covering the deleted + updated positions — no
+    // copy-on-write rewrite of survivors
+    assert(st().adds.keySet.intersect(adds0) === adds0,
+      "position-delta MERGE must keep every base file live")
+    assert(sumDv(adds0) === 2,
+      "the DVs must tombstone exactly del(4) + upd(3)")
+    // new files: the updated row + the insert
+    assert(st().adds.size === adds0.size + 2)
+    // exact CDF from the merge's own verdicts
+    val m = DeltaLog.readChanges(spark, dir, 2, 2)
+    assert(rows(m.select("k", "v", "_change_type")).sorted ===
+      Seq("[3,3,update_preimage]", "[3,300,update_postimage]",
+        "[4,4,delete]", "[20,20,insert]").sorted)
+    // NO-OP update: a byte-identical SET still emits its pre/post
+    // pair — the verdict decides, not a rewrite diff
+    spark.sql("SELECT * FROM VALUES (5, 5L) AS s(k, v)")
+      .createOrReplaceTempView("pdm_noop")
+    sql("""MERGE INTO gsql.db.pdm t USING pdm_noop s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val n = DeltaLog.readChanges(spark, dir, 3, 3)
+    assert(rows(n.select("k", "v", "_change_type")).sorted ===
+      Seq("[5,5,update_preimage]", "[5,5,update_postimage]").sorted)
+    // STACKED merge: a second merge rewriting the previously-updated
+    // row tombstones the UPDATE file; DVs on distinct files coexist
+    spark.sql("SELECT * FROM VALUES (3, 3000L) AS s(k, v)")
+      .createOrReplaceTempView("pdm_src2")
+    sql("""MERGE INTO gsql.db.pdm t USING pdm_src2 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(rows(sql("SELECT v FROM gsql.db.pdm WHERE k = 3"))
+      === Seq("[3000]"))
+    assert(DeltaLog.readChanges(spark, dir, 4, 4)
+      .filter("_change_type = 'update_postimage'").count() === 1)
+    // stacked DVs UNION: deleting another base-file row grows the
+    // base files' DV total (del 4, upd 3, noop-upd 5, del 7), and
+    // the second merge's tombstone of the rewritten k=3 row lands on
+    // merge 1's update file — never shrinking anything
+    spark.sql("SELECT * FROM VALUES (7, -1L) AS s(k, v)")
+      .createOrReplaceTempView("pdm_src3")
+    sql("""MERGE INTO gsql.db.pdm t USING pdm_src3 s ON t.k = s.k
+          |WHEN MATCHED AND s.v < 0 THEN DELETE""".stripMargin)
+    assert(sumDv(adds0) === 4,
+      "base-file DVs must union del(4)+upd(3)+noop(5)+del(7)")
+    assert(sumDv(st().adds.keySet) === 5,
+      "plus the stacked merge's tombstone on the update file")
+    assert(sql("SELECT count(*) FROM gsql.db.pdm").head.getLong(0)
+      === 9)
+  }
+
+  test("delta catalog: partitioned MERGE position-delta") {
+    sql("""CREATE TABLE gsql.db.pdmp (k BIGINT, s STRING, v BIGINT)
+          |PARTITIONED BY (s)
+          |TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')
+          |""".stripMargin)
+    sql("INSERT INTO gsql.db.pdmp SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id FROM range(10)")
+    val dir = tdir(s"$wh/db/pdmp")
+    spark.sql("SELECT * FROM VALUES (2, 'a', 200L), (21, 'c', 21L) " +
+      "AS s(k, s, v)").createOrReplaceTempView("pdmp_src")
+    sql("""MERGE INTO gsql.db.pdmp t USING pdmp_src s
+          |ON t.k = s.k AND t.s = s.s
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(sql("SELECT k, s, v FROM gsql.db.pdmp " +
+      "WHERE k IN (2, 21)")) === Seq("[2,a,200]", "[21,c,21]"))
+    val st = DeltaLog.replay(dir, DeltaLog.versions(dir).last)
+    // only partition a's file carries a DV; the insert landed in a
+    // NEW partition c file with its partition value recorded
+    val dvAdds = st.adds.filter(_._2.dv.isDefined)
+    assert(dvAdds.size === 1 &&
+      dvAdds.head._2.partitionValues === Map("s" -> "a"))
+    assert(st.adds.values.exists(_.partitionValues == Map("s" -> "c")))
+    // CDF rows restore partition values across all three partitions
+    val m = DeltaLog.readChanges(spark, dir, 2, 2)
+    assert(rows(m.select("k", "s", "v", "_change_type")).sorted ===
+      Seq("[2,a,2,update_preimage]", "[2,a,200,update_postimage]",
+        "[21,c,21,insert]").sorted)
+  }
+
+  test("SPJ over hidden bucket specs: zero-exchange catalog join") {
+    sql("CREATE TABLE gice.db.bj1 (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    sql("INSERT INTO gice.db.bj1 SELECT id, id * 2 FROM range(200)")
+    sql("CREATE TABLE gice.db.bj2 (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    sql("INSERT INTO gice.db.bj2 SELECT id, id * 3 FROM range(200)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (c, _) =>
+      c -> scala.util.Try(spark.conf.get(c)).toOption }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val df = sql("SELECT a.k, a.v, b.w FROM gice.db.bj1 a " +
+        "JOIN gice.db.bj2 b ON a.k = b.k")
+      assert(df.count() === 200)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"bucket-partitioned SPJ still shuffled:\n$plan")
+      assert(df.filter("k = 7").collect().map(r =>
+        (r.getLong(1), r.getLong(2))).toSeq === Seq((14L, 21L)))
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+    // correctness holds with the conf off too (ordinary shuffle join)
+    assert(sql("SELECT count(*) FROM gice.db.bj1 a " +
+      "JOIN gice.db.bj2 b ON a.k = b.k").head.getLong(0) === 200)
+    sql("DROP TABLE gice.db.bj1")
+    sql("DROP TABLE gice.db.bj2")
   }
 
   test("delta catalog: external LOCATION keeps data on DROP") {
@@ -904,6 +1044,142 @@ class SqlCatalogSpec extends SparkSuite {
     assert(sql("SELECT count(*) FROM gsql.db.adopted2").head.getLong(0)
       === 4)
     sql("DROP TABLE gsql.db.adopted2")
+  }
+
+  test("remove_orphan_homes vs in-flight CTAS: the grace-window matrix") {
+    wh
+    import graft.sources.{ConditionalPutStore, LogStore, PosixLogStore}
+    for ((store, tag) <- Seq((PosixLogStore, "px"),
+        (ConditionalPutStore, "cp"))) LogStore.withStore(store) {
+      val ns = new java.io.File(s"$wh/db")
+      // an IN-FLIGHT CTAS: a staged .tbl- home with real table state
+      // whose pointer is NOT yet claimed — unreferenced BY DESIGN
+      val inflight = new java.io.File(ns,
+        s".tbl-inflight$tag-${java.util.UUID.randomUUID}")
+      DeltaLog.commitAppend(
+        spark.range(4).selectExpr("id AS k"), inflight.getPath)
+      // a LOST-RACE residue: same shape, but it will never commit
+      val lost = new java.io.File(ns,
+        s".tbl-lost$tag-${java.util.UUID.randomUUID}")
+      DeltaLog.commitAppend(
+        spark.range(2).selectExpr("id AS k"), lost.getPath)
+      // sweep with a grace horizon beyond the CTAS runtime: BOTH
+      // homes survive (age < horizon) — a sweeper can never eat a
+      // live CTAS when the horizon is configured as documented
+      sql("CALL gsql.system.remove_orphan_homes(" +
+        "namespace => 'db', older_than_ms => 3600000)")
+      assert(inflight.isDirectory && lost.isDirectory,
+        "grace window must protect young staged homes")
+      // the CTAS commits: pointer claim through the store seam
+      assert(graft.streaming.TablePointer.claim(
+        java.nio.file.Paths.get(s"$wh/db/inflight$tag"),
+        inflight.getPath, external = false))
+      assert(sql(s"SELECT count(*) FROM gsql.db.inflight$tag")
+        .head.getLong(0) === 4)
+      // past the horizon, the sweep reclaims EXACTLY the lost home:
+      // the committed one is referenced and immune at ANY horizon
+      val r = sql("CALL gsql.system.remove_orphan_homes(" +
+        "namespace => 'db', older_than_ms => 0)").collect().head
+      assert(!lost.exists(), "lost-race home must be reclaimed")
+      assert(inflight.isDirectory,
+        "a referenced home is immune at any horizon")
+      assert(r.getLong(0) >= 1)
+      assert(sql(s"SELECT count(*) FROM gsql.db.inflight$tag")
+        .head.getLong(0) === 4)
+      sql(s"DROP TABLE gsql.db.inflight$tag")
+    }
+  }
+
+  test("adopt_table: full adopted lifecycle under ConditionalPutStore") {
+    wh
+    import graft.sources.{ConditionalPutStore, LogStore}
+    val dir = s"$wh/db/adint"
+    DeltaLog.commitAppend(spark.range(6).selectExpr("id AS k"), dir)
+    LogStore.withStore(ConditionalPutStore) {
+      val moves0 = GraftSqlSeams.dirMoves.get()
+      // un-adopted: RENAME and RTAS refuse loudly on an object store
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(intercept[Exception](sql(
+        "ALTER TABLE gsql.db.adint RENAME TO db.adint2")))
+        .exists(_.contains("adopted")))
+      // ADOPT: one metadata-only claim — the pointer lifecycle opens
+      assert(rows(sql(
+        "CALL gsql.system.adopt_table(table => 'db.adint')"))
+        === Seq("[adopted]"))
+      assert(rows(sql(
+        "CALL gsql.system.adopt_table(table => 'db.adint')"))
+        === Seq("[already-adopted]"))
+      assert(sql("SELECT count(*) FROM gsql.db.adint").head.getLong(0)
+        === 6)
+      assert(sql("SHOW TABLES IN gsql.db").collect()
+        .map(_.getString(1)).count(_ == "adint") === 1,
+        "adopted table listed exactly once")
+      // RTAS now rides the pointer (repoint + GC, no moves)
+      sql("REPLACE TABLE gsql.db.adint AS " +
+        "SELECT id * 10 AS k FROM range(3)")
+      assert(rows(sql("SELECT k FROM gsql.db.adint"))
+        === Seq("[0]", "[10]", "[20]"))
+      // RENAME rides the pointer: owner-mark + claim + delete
+      sql("ALTER TABLE gsql.db.adint RENAME TO db.adint2")
+      assert(rows(sql("SELECT k FROM gsql.db.adint2"))
+        === Seq("[0]", "[10]", "[20]"))
+      assert(!spark.catalog.tableExists("gsql.db.adint"))
+      assert(GraftSqlSeams.dirMoves.get() === moves0,
+        "the converted lifecycle must move no directories")
+      sql("DROP TABLE gsql.db.adint2")
+      assert(!spark.catalog.tableExists("gsql.db.adint2"))
+    }
+  }
+
+  test("adopt_table: rename keeps data in place; old name suppressed") {
+    wh
+    val dir = s"$wh/db/adrn"
+    DeltaLog.commitAppend(spark.range(5).selectExpr("id AS k"), dir)
+    sql("CALL gsql.system.adopt_table(table => 'db.adrn')")
+    sql("ALTER TABLE gsql.db.adrn RENAME TO db.adrn2")
+    // the DATA never moved: the home is still the old-name directory,
+    // now owner-marked so it no longer surfaces as a table
+    assert(new java.io.File(dir, "_delta_log").isDirectory,
+      "rename must not move the data directory")
+    assert(!spark.catalog.tableExists("gsql.db.adrn"),
+      "the owned directory must not resurface under its path name")
+    assert(sql("SELECT count(*) FROM gsql.db.adrn2").head.getLong(0)
+      === 5)
+    assert(!sql("SHOW TABLES IN gsql.db").collect()
+      .map(_.getString(1)).contains("adrn"))
+    // DROP of the new name reclaims the in-place home → old name free
+    sql("DROP TABLE gsql.db.adrn2")
+    assert(!new java.io.File(dir).exists())
+    sql("CREATE TABLE gsql.db.adrn (k BIGINT)")
+    sql("INSERT INTO gsql.db.adrn VALUES (42)")
+    assert(rows(sql("SELECT k FROM gsql.db.adrn")) === Seq("[42]"))
+    sql("DROP TABLE gsql.db.adrn")
+  }
+
+  test("adopt_table: racing adoptions both succeed on one pointer") {
+    wh
+    val dir = s"$wh/db/adrace"
+    DeltaLog.commitAppend(spark.range(3).selectExpr("id AS k"), dir)
+    import graft.sources.{ConditionalPutStore, LogStore}
+    LogStore.withStore(ConditionalPutStore) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val results = Await.result(
+        Future.sequence((1 to 4).map(_ => Future(
+          scala.util.Try(sql(
+            "CALL gsql.system.adopt_table(table => 'db.adrace')")
+            .head.getString(0))))), 60.seconds)
+      assert(results.forall(_.isSuccess),
+        s"racing adoptions must all succeed, got $results")
+      assert(results.map(_.get).toSet
+        .subsetOf(Set("adopted", "already-adopted")))
+    }
+    assert(sql("SELECT count(*) FROM gsql.db.adrace").head.getLong(0)
+      === 3)
+    sql("DROP TABLE gsql.db.adrace")
   }
 
   test("streaming sinks land in PARTITIONED tables under the spec") {
