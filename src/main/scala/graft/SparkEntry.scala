@@ -655,7 +655,11 @@ object SparkEntry {
       -> (streaming.SqlCatalogQueries.sqlMergeDelta _),
     // storage-partitioned join over hidden bucket specs (round 16)
     "q245_bucket_spj"
-      -> (streaming.SqlCatalogQueries.sqlBucketSpj _)
+      -> (streaming.SqlCatalogQueries.sqlBucketSpj _),
+    // Iceberg merge-on-read MERGE: one snapshot, pos-delete manifest
+    // + data manifest, zero rewrites (round 16)
+    "q246_iceberg_merge_mor"
+      -> (streaming.SqlCatalogQueries.sqlIcebergMergeDelta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -978,6 +982,8 @@ object SparkEntry {
     "q244_sql_merge_positiondelta"
       -> streaming.SqlCatalogQueries.sqlMergeDeltaSql,
     "q245_bucket_spj"
-      -> streaming.SqlCatalogQueries.sqlBucketSpjSql
+      -> streaming.SqlCatalogQueries.sqlBucketSpjSql,
+    "q246_iceberg_merge_mor"
+      -> streaming.SqlCatalogQueries.sqlIcebergMergeDeltaSql
   )
 }

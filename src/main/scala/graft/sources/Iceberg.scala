@@ -3620,6 +3620,155 @@ object Iceberg {
       "row-level delete")
   }
 
+  /** Commit a POSITION-DELTA MERGE (the SupportsDelta write over
+    * this format — [[graft.streaming.IcebergPositionMergeOperation]]
+    * ): the merge's per-row verdicts arrive as (scan file path →
+    * deleted/updated position bitmaps) plus the new data files
+    * holding inserted/updated rows, and land as ONE v2 snapshot
+    * (operation=overwrite) carrying ONE position-delete manifest
+    * (content=1 — the spec's MoR delete currency, explicit
+    * (file, pos) targets against the base files) AND the new data
+    * manifest (content=0) — real Iceberg's merge-on-read MERGE wire.
+    * No data file is rewritten; prior pos/eq delete files stay in
+    * force via the carried manifests, and the new files' higher
+    * sequence keeps them out of every older equality delete's scope.
+    * Conflict proving on a lost CAS is [[commitDeleteSnapshot]]'s:
+    * append-only winner chain + value-disjoint adds, else loud
+    * abort. Cost: O(changed rows) delete bytes + the new rows —
+    * never a table rewrite. */
+  private[graft] def commitMergeDsv2(spark: SparkSession,
+      tableDir: String, baseSnap: Long,
+      deleted: Seq[(String, Array[Byte])],
+      updated: Seq[(String, Array[Byte])],
+      insFiles: Seq[DeltaLog.Dsv2File],
+      updFiles: Seq[DeltaLog.Dsv2File],
+      valueRanges: Map[String, (Long, Long)], opName: String): Long = {
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    val curId = meta.get("current-snapshot-id").asLong
+    def fold(ms: Seq[(String, Array[Byte])])
+        : Map[String, DeletionVectors.Bitmap64] =
+      ms.groupBy(m => stripFileUri(m._1)).map { case (p, parts) =>
+        val bm = new DeletionVectors.Bitmap64
+        parts.foreach(x =>
+          bm.or(DeletionVectors.Bitmap64.fromPortable(x._2)))
+        p -> bm
+      }
+    val delBms = fold(deleted)
+    val updBms = fold(updated)
+    delBms.foreach { case (p, bm) =>
+      updBms.get(p).foreach(u => require(
+        !bm.toPositions.exists(u.contains),
+        s"$opName: a row of $p is both deleted and updated"))
+    }
+    val touched: Map[String, DeletionVectors.Bitmap64] =
+      (delBms.keySet ++ updBms.keySet).map { p =>
+        val bm = new DeletionVectors.Bitmap64
+        delBms.get(p).foreach(bm.or)
+        updBms.get(p).foreach(bm.or)
+        p -> bm
+      }.toMap
+    val newFiles = (insFiles ++ updFiles).sortBy(_.relPath)
+    if (touched.isEmpty && newFiles.isEmpty) return curId
+    // a head that moved past the scanned base snapshot is proved
+    // disjoint exactly as a lost-CAS retry would be (append-only
+    // chain + value-disjoint adds); then every touched path must
+    // still be live at the CURRENT head — positions stay valid
+    // against untouched base files, and re-deleting a row an
+    // intervening delete already retired is idempotent
+    if (curId != baseSnap)
+      requireIcebergWinnersDisjoint(tableDir, meta, meta, baseSnap,
+        valueRanges, opName)
+    val schema = schemaFromMetadata(meta)
+    val spec = currentSpecFields(tableDir)
+    val planned = planFilesAll(tableDir, meta, curId)
+    val live = planned.data.map(f => stripFileUri(f.path)).toSet
+    touched.keys.foreach(p => require(live(p),
+      s"$opName: merge verdicts name $p, which the current " +
+        s"snapshot $curId of $tableDir does not hold"))
+    if (touched.isEmpty)
+      // insert-only merge: an ordinary append commit
+      return commitDsv2(tableDir, schema,
+        spec.filter(_._2 == "identity").map(_._1), newFiles,
+        overwrite = false,
+        hiddenSpec = spec.filter(_._2 != "identity"))
+    import graft.functions.IcebergTransforms
+    val tupleFields: Seq[(String, String, String, DataType)] =
+      spec.map {
+        case (src, "identity") =>
+          (src, "identity", src, schema(src).dataType)
+        case (src, tr) =>
+          (IcebergTransforms.tupleName(tr, src), tr, src,
+            IcebergTransforms.tupleType(tr, schema(src).dataType))
+      }
+    val ids = fieldIds(meta)
+    val integral: Set[String] = schema.fields.collect {
+      case f if f.dataType == LongType ||
+        f.dataType == IntegerType => f.name
+    }.toSet
+    val dataManifests: Seq[(String, Long)] =
+      if (newFiles.isEmpty) Seq.empty
+      else {
+        val entrySchema = manifestEntrySchemaFor(
+          tupleFields.map(t => (t._1, t._4)))
+        val mp = s"${metaDir(tableDir)}/snap-${
+          java.util.UUID.randomUUID}-m0.avro"
+        writeAvro(mp, entrySchema, newFiles.map { f =>
+          manifestEntry(s"$tableDir/${f.relPath}", 1, ids, entrySchema,
+            tupleFields.map { case (name, _, _, t) =>
+              name -> typedPartitionValue(
+                f.partitionValues.getOrElse(name, null), t) },
+            Some((f.numRecords,
+              f.bounds.filter(b => integral(b._1)))))
+        })
+        Seq((mp, new File(mp).length()))
+      }
+    // the position-delete parquet: (file_path, pos) sorted, the
+    // spec's RESERVED field ids — O(changed rows), the same driver
+    // bound the verdict bitmaps already carry
+    val delRows: Seq[(String, Long)] = touched.toSeq.sortBy(_._1)
+      .flatMap { case (p, bm) => bm.toPositions.map(pos => (p, pos)) }
+    val sub = s"data/delete-${java.util.UUID.randomUUID}"
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    import spark.implicits._
+    delRows.toDF("file_path", "pos")
+      .select(
+        col("file_path").as("file_path",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", 2147483546L).build()),
+        col("pos").as("pos",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", 2147483545L).build()))
+      .repartition(1)
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .write.parquet(s"$tableDir/$sub")
+    val part = Option(new File(tableDir, sub).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val snapshotId: Long = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong).max + 1L
+    def writeManifest(sid: Long): String = {
+      val dm = s"${metaDir(tableDir)}/snap-$sid-${
+        java.util.UUID.randomUUID}-d0.avro"
+      val dfr = new GenericData.Record(
+        deleteEntrySchema.getField("data_file").schema())
+      dfr.put("content", 1)
+      dfr.put("file_path", part.getPath)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("record_count", delRows.length.toLong)
+      dfr.put("file_size_in_bytes", part.length())
+      val de = new GenericData.Record(deleteEntrySchema)
+      de.put("status", 1)
+      de.put("snapshot_id", sid)
+      de.put("data_file", dfr)
+      writeAvro(dm, deleteEntrySchema, Seq(de))
+      dm
+    }
+    commitDeleteSnapshot(tableDir, meta, v, curId, snapshotId,
+      writeManifest, valueRanges, opName, dataManifests,
+      operation = "overwrite")
+  }
+
   /** Internal retries taken by Iceberg row-level deletes after
     * proving a racing winner disjoint — the Delta
     * `rowOpConflictRetries` twin. */
@@ -3709,7 +3858,13 @@ object Iceberg {
   private def commitDeleteSnapshot(tableDir: String, meta0: ObjectNode,
       v0: Int, curId0: Long, snapshotId0: Long,
       writeManifest: Long => String,
-      valueRanges: Map[String, (Long, Long)], opName: String): Long = {
+      valueRanges: Map[String, (Long, Long)], opName: String,
+      // a MERGE commits its new DATA manifests in the SAME snapshot
+      // as its delete manifest (path, length) — content=0 entries
+      // added under this snapshot id; version-independent, written
+      // once by the caller
+      dataManifests: Seq[(String, Long)] = Seq.empty,
+      operation: String = "delete"): Long = {
     var meta = meta0
     var v = v0
     var curId = curId0
@@ -3735,14 +3890,15 @@ object Iceberg {
           fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0))
         n.put("added_snapshot_id", r.get("added_snapshot_id"))
         n
-      } :+ {
+      } ++ (dataManifests.map(m => (m._1, m._2, 0)) :+
+        ((dm, new File(dm).length(), 1))).map { case (p, len, content) =>
         val n = new GenericData.Record(manifestFileSchemaV2)
-        n.put("manifest_path", dm)
-        n.put("manifest_length", new File(dm).length())
+        n.put("manifest_path", p)
+        n.put("manifest_length", len)
         n.put("partition_spec_id",
           if (meta.has("default-spec-id"))
             meta.get("default-spec-id").asInt else 0)
-        n.put("content", 1)
+        n.put("content", content)
         n.put("added_snapshot_id", snapshotId)
         n
       }
@@ -3757,7 +3913,7 @@ object Iceberg {
       sn.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
       sn.put("sequence-number", snapshotId)
       sn.put("timestamp-ms", nextSnapshotTs(Some(meta)))
-      sn.putObject("summary").put("operation", "delete")
+      sn.putObject("summary").put("operation", operation)
       sn.put("manifest-list", listPath)
       if (publishMetadataVersion(tableDir, v + 1, next))
         return snapshotId

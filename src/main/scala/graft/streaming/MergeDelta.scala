@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.write.{DeltaBatchWrite,
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.{DeletionVectors, DeltaLog}
+import graft.sources.{DeletionVectors, DeltaLog, Iceberg}
 
 /** DELTA-BASED SQL MERGE over a Delta table — Spark's
   * `SupportsDelta` row-level operation, the architecture real
@@ -172,14 +172,17 @@ private[streaming] class PositionDeltaBatchWrite(
 
 private class PositionDeltaWriterFactory(tableDir: String,
     logicalJson: String, physicalJson: String, partCols: Seq[String],
-    rowIdJson: String) extends DeltaWriterFactory {
+    rowIdJson: String, relPrefix: String = "",
+    hiddenSpec: Seq[(String, String)] = Seq.empty)
+  extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DeltaWriter[InternalRow] =
     new PositionDeltaWriter(tableDir,
       DataType.fromJson(logicalJson).asInstanceOf[StructType],
       DataType.fromJson(physicalJson).asInstanceOf[StructType],
       partCols,
-      DataType.fromJson(rowIdJson).asInstanceOf[StructType])
+      DataType.fromJson(rowIdJson).asInstanceOf[StructType],
+      relPrefix, hiddenSpec)
 }
 
 /** Executor-side MERGE writer: inserted and updated rows flow into
@@ -189,7 +192,9 @@ private class PositionDeltaWriterFactory(tableDir: String,
   * deletes writes zero bytes of data. */
 private class PositionDeltaWriter(tableDir: String,
     logical: StructType, physical: StructType, partCols: Seq[String],
-    rowIdSchema: StructType) extends DeltaWriter[InternalRow] {
+    rowIdSchema: StructType, relPrefix: String = "",
+    hiddenSpec: Seq[(String, String)] = Seq.empty)
+  extends DeltaWriter[InternalRow] {
 
   // rowId field positions resolved by NAME — never assume the
   // projection's order matches the declaration's
@@ -197,7 +202,8 @@ private class PositionDeltaWriter(tableDir: String,
   private val posIdx = rowIdSchema.fieldIndex(MetaCols.Pos)
 
   private def mkWriter() =
-    new DeltaDataWriter(tableDir, logical, physical, partCols)
+    new DeltaDataWriter(tableDir, logical, physical, partCols,
+      relPrefix, hiddenSpec)
   private var insW: DeltaDataWriter = null
   private var updW: DeltaDataWriter = null
   private val delBms =
@@ -249,4 +255,119 @@ private class PositionDeltaWriter(tableDir: String,
     if (insW != null) insW.close()
     if (updW != null) updW.close()
   }
+}
+
+/** [[DeltaPositionMergeOperation]]'s ICEBERG twin — real Iceberg's
+  * merge-on-read MERGE: the same `(_file, _pos)` row ids and per-row
+  * verdicts, committed as ONE v2 snapshot carrying a POSITION-DELETE
+  * manifest (the spec's content=1 MoR currency, explicit
+  * (file, pos) targets — what a foreign Iceberg reader applies as an
+  * anti-join and this engine's scans fold into position masks) plus
+  * the new data manifest. No data file rewritten; the MoR debt is
+  * reclaimed by `rewrite_data_files` on the maintenance cadence.
+  * Scope: unpartitioned, hidden-transform, and hive-stripped
+  * identity tables (everything this engine's writer lays out);
+  * foreign standard-layout identity tables — whose data files CARRY
+  * partition columns — take the COW path instead, keeping one
+  * layout per table. */
+private[streaming] class IcebergPositionMergeOperation(dir: String,
+    tableSchema: StructType)
+  extends RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  import scala.jdk.CollectionConverters._
+
+  private val baseSnap: Long = Iceberg.mainSnapshotId(dir)
+
+  @volatile private var mainScan: OpenFormatBatchScan = null
+
+  override def command(): RowLevelOperation.Command =
+    RowLevelOperation.Command.MERGE
+
+  override def description(): String =
+    s"graft-iceberg position-delta MERGE on $dir @snap$baseSnap"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(MetaCols.File),
+      Expressions.column(MetaCols.Pos))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new OpenFormatScanBuilder((pushed, required, _) => {
+      val scan = IcebergBatchScan(tableSchema,
+        new CaseInsensitiveStringMap(Map("path" -> dir,
+          "snapshotAsOf" -> baseSnap.toString).asJava),
+        pushed, required, limit = None)
+      if (mainScan == null) synchronized {
+        if (mainScan == null) mainScan = scan
+      }
+      scan
+    })
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = {
+          val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
+            new IllegalStateException(
+              "iceberg MERGE write planned without a rowId schema"))
+          // inherit the table's CURRENT spec whole — identity
+          // (hive-stripped) XOR hidden transforms, the write
+          // builder's own resolution rule
+          val spec = Iceberg.currentSpecFields(dir)
+          val hidden = spec.filter(_._2 != "identity")
+          val partCols =
+            if (hidden.nonEmpty) Seq.empty else spec.map(_._1)
+          new IcebergPositionDeltaBatchWrite(
+            IcebergPositionMergeOperation.this, dir, info.schema(),
+            partCols, hidden, rowIdSchema)
+        }
+      }
+    }
+
+  private[streaming] def commitDelta(ins: Seq[DeltaLog.Dsv2File],
+      upd: Seq[DeltaLog.Dsv2File],
+      del: Seq[(String, Array[Byte])],
+      updPos: Seq[(String, Array[Byte])]): Unit = {
+    val scan = mainScan
+    require(scan != null,
+      s"position-delta MERGE on $dir committed before its scan " +
+        "planned — nothing pins the base state")
+    GraftSqlSeams.positionDeltaMerges.incrementAndGet()
+    Iceberg.commitMergeDsv2(SparkSession.active, dir, baseSnap,
+      del, updPos, ins, upd,
+      valueRanges = Map.empty, // conservative: any racing add conflicts
+      opName = "SQL MERGE"): Unit
+  }
+}
+
+private[streaming] class IcebergPositionDeltaBatchWrite(
+    op: IcebergPositionMergeOperation, tableDir: String,
+    logicalSchema: StructType, partCols: Seq[String],
+    hiddenSpec: Seq[(String, String)], rowIdSchema: StructType)
+  extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DeltaWriterFactory =
+    new PositionDeltaWriterFactory(tableDir, logicalSchema.json,
+      IcebergDsv2Write.fieldIdSchema(logicalSchema).json, partCols,
+      rowIdSchema.json, relPrefix = "data/", hiddenSpec = hiddenSpec)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.toSeq.map(_.asInstanceOf[MergeDeltaCommitMsg])
+    op.commitDelta(ms.flatMap(_.ins), ms.flatMap(_.upd),
+      ms.flatMap(_.del), ms.flatMap(_.updPos))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.filter(_ != null).foreach {
+      case m: MergeDeltaCommitMsg =>
+        (m.ins ++ m.upd).foreach(f =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(s"$tableDir/${f.relPath}")): Unit)
+      case _ => ()
+    }
 }

@@ -374,6 +374,87 @@ class SqlCatalogSpec extends SparkSuite {
     sql("DROP TABLE gice.db.bj2")
   }
 
+  test("iceberg catalog: MERGE is merge-on-read — one MoR snapshot") {
+    sql("CREATE TABLE gice.db.imor (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gice.db.imor SELECT id, id FROM range(10)")
+    val dir = tdir(s"$wh/_ice/db/imor")
+    def plan() = Iceberg.batchPlan(dir, Iceberg.mainSnapshotId(dir))
+    val files0 = plan().files.map(_.path).toSet
+    val snaps0 = Iceberg.snapshotIds(dir).size
+    spark.sql("SELECT * FROM VALUES (3, 300L), (4, -1L), (20, 20L) " +
+      "AS s(k, v)").createOrReplaceTempView("imor_src")
+    sql("""MERGE INTO gice.db.imor t USING imor_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // ONE new snapshot carrying deletes + adds; zero rewrites
+    assert(Iceberg.snapshotIds(dir).size === snaps0 + 1,
+      "the MoR merge must be one atomic snapshot")
+    val p1 = plan()
+    assert(files0.subsetOf(p1.files.map(_.path).toSet))
+    assert(p1.posDeleteFiles.size === 1)
+    // the delete file is foreign-readable: (file_path, pos) rows,
+    // sorted, naming only live base files
+    val delRows = spark.read.parquet(p1.posDeleteFiles.head)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(delRows.size === 2 && delRows == delRows.sorted,
+      s"spec sort order violated: $delRows")
+    assert(delRows.forall(r => files0.contains(r._1)))
+    // table state across BOTH read paths
+    assert(rows(sql("SELECT k, v FROM gice.db.imor WHERE k IN " +
+      "(3, 4, 20)")) === Seq("[20,20]", "[3,300]"))
+    assert(sql("SELECT count(*) FROM gice.db.imor").head.getLong(0)
+      === 10)
+    assert(sources.Iceberg.read(spark, dir).count() === 10)
+    // time travel to the pre-merge snapshot still sees 10 originals
+    assert(sources.Iceberg.readSnapshot(spark, dir,
+      Iceberg.snapshotIds(dir).sorted.apply(snaps0 - 1))
+      .filter("k = 4").count() === 1)
+    // STACKED: a second merge re-updating the rewritten row lands a
+    // pos-delete against merge 1's NEW file
+    spark.sql("SELECT * FROM VALUES (3, 3000L) AS s(k, v)")
+      .createOrReplaceTempView("imor_src2")
+    sql("""MERGE INTO gice.db.imor t USING imor_src2 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(rows(sql("SELECT v FROM gice.db.imor WHERE k = 3"))
+      === Seq("[3000]"))
+    assert(plan().posDeleteFiles.size === 2)
+    // maintenance reclaims the MoR debt: rewrite folds deletes in
+    sql("CALL gice.system.rewrite_data_files(table => 'db.imor')")
+    assert(plan().posDeleteFiles.isEmpty)
+    assert(sql("SELECT count(*) FROM gice.db.imor").head.getLong(0)
+      === 10)
+    assert(rows(sql("SELECT v FROM gice.db.imor WHERE k = 3"))
+      === Seq("[3000]"))
+  }
+
+  test("iceberg catalog: MoR MERGE on a hidden-bucket-spec table") {
+    sql("CREATE TABLE gice.db.imorb (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    sql("INSERT INTO gice.db.imorb SELECT id, id FROM range(20)")
+    val dir = tdir(s"$wh/_ice/db/imorb")
+    val files0 = Iceberg.batchPlan(dir, Iceberg.mainSnapshotId(dir))
+      .files.map(_.path).toSet
+    spark.sql("SELECT * FROM VALUES (5, 500L), (30, 30L) AS s(k, v)")
+      .createOrReplaceTempView("imorb_src")
+    sql("""MERGE INTO gice.db.imorb t USING imorb_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val p = Iceberg.batchPlan(dir, Iceberg.mainSnapshotId(dir))
+    assert(files0.subsetOf(p.files.map(_.path).toSet))
+    assert(p.posDeleteFiles.nonEmpty)
+    // the NEW files landed under the hidden spec: tuple keys present
+    val newFiles = p.files.filterNot(f => files0.contains(f.path))
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(_.pv.contains("k_bucket")),
+      s"merge writes must inherit the hidden spec: " +
+        s"${newFiles.map(_.pv)}")
+    assert(rows(sql("SELECT k, v FROM gice.db.imorb " +
+      "WHERE k IN (5, 30)")) === Seq("[30,30]", "[5,500]"))
+    assert(sql("SELECT count(*) FROM gice.db.imorb").head.getLong(0)
+      === 21)
+  }
+
   test("delta catalog: external LOCATION keeps data on DROP") {
     val loc = Files.createTempDirectory("graft_ext").toString + "/ext1"
     sql(s"CREATE TABLE gsql.db.ext (k BIGINT) LOCATION '$loc'")
