@@ -2746,6 +2746,41 @@ object Iceberg {
       removedFiles: Seq[DeltaLog.StreamFile] = Seq.empty,
       removedMaskFiles: Seq[String] = Seq.empty)
 
+  /** Every live data file's identity partition tuple at one
+    * snapshot — one walk of its content=0 manifests (the metadata
+    * class planning itself pays); empty map on unpartitioned
+    * tables. The CDF stream threads these into pos-delete pre-image
+    * reads over hive-stripped files. */
+  private def snapshotDataTuples(
+      s: com.fasterxml.jackson.databind.JsonNode,
+      partitioned: Boolean): Map[String, Map[String, String]] =
+    if (!partitioned) Map.empty
+    else readAvro(s.get("manifest-list").asText)
+      .filter(r => fieldOpt(r, "content")
+        .map(_.asInstanceOf[Int]).getOrElse(0) == 0)
+      .map(_.get("manifest_path").toString)
+      .flatMap { m =>
+        readAvro(m).flatMap { e =>
+          if (e.get("status").asInstanceOf[Int] == 2) None
+          else {
+            val df =
+              e.get("data_file").asInstanceOf[GenericRecord]
+            val pv = fieldOpt(df, "partition") match {
+              case Some(rec: GenericRecord) =>
+                rec.getSchema.getFields.asScala.map { f =>
+                  f.name -> (rec.get(f.name) match {
+                    case null => null
+                    case v => v.toString
+                  })
+                }.toMap
+              case _ => Map.empty[String, String]
+            }
+            Some(stripFileUri(
+              df.get("file_path").toString) -> pv)
+          }
+        }
+      }.toMap
+
   /** The scheme-normalized `file_path` targets of one position-delete
     * parquet — driver-side Group read, O(delete-file rows), used by
     * the overwrite planner's un-delete guard. */
@@ -2819,33 +2854,7 @@ object Iceberg {
             // of hive-stripped data files need each file's manifest
             // partition tuple — one walk of the snapshot's DATA
             // manifests (same metadata class as planning itself)
-            val tuples: Map[String, Map[String, String]] =
-              if (!partitioned) Map.empty
-              else readAvro(s.get("manifest-list").asText)
-                .filter(r => fieldOpt(r, "content")
-                  .map(_.asInstanceOf[Int]).getOrElse(0) == 0)
-                .map(_.get("manifest_path").toString)
-                .flatMap { m =>
-                  readAvro(m).flatMap { e =>
-                    if (e.get("status").asInstanceOf[Int] == 2) None
-                    else {
-                      val df =
-                        e.get("data_file").asInstanceOf[GenericRecord]
-                      val pv = fieldOpt(df, "partition") match {
-                        case Some(rec: GenericRecord) =>
-                          rec.getSchema.getFields.asScala.map { f =>
-                            f.name -> (rec.get(f.name) match {
-                              case null => null
-                              case v => v.toString
-                            })
-                          }.toMap
-                        case _ => Map.empty[String, String]
-                      }
-                      Some(stripFileUri(
-                        df.get("file_path").toString) -> pv)
-                    }
-                  }
-                }.toMap
+            val tuples = snapshotDataTuples(s, partitioned)
             CdfSnapshot(id, op, Seq.empty,
               entries.collect { case (1, p) => p },
               entries.collect { case (2, p) => p }, tuples)
@@ -2898,6 +2907,27 @@ object Iceberg {
             val parentDelN = parent.deleteFiles.map(normU).toSet
             val addedDel = cur.deleteFiles
               .filterNot(d => parentDelN.contains(normU(d)))
+            val parentPathsN = parent.data.map(f => normU(f.path)).toSet
+            val removedAny = parent.data.exists(f =>
+              !cur.data.map(x => normU(x.path)).toSet
+                .contains(normU(f.path)))
+            if (addedDel.nonEmpty && cur.eqDeletes.isEmpty &&
+                !removedAny) {
+              // the MERGE-ON-READ shape (this engine's own
+              // position-delta MERGE, and any foreign MoR writer):
+              // an overwrite that REMOVES nothing, ADDS data files,
+              // and ADDS position-delete files has an exact CDF
+              // spelling — the new pos-deletes stream their targeted
+              // rows as `delete` pre-images (the delete-snapshot
+              // machinery), the added files stream as `insert`s; an
+              // update surfaces as its delete+insert pair (the
+              // changelog contract without row lineage)
+              val added = addedDataFiles(s, id).filter(f =>
+                !parentPathsN.contains(normU(f.path)))
+              CdfSnapshot(id, "overwrite", added,
+                addedDel.map(strip), Seq.empty,
+                snapshotDataTuples(s, partitioned))
+            } else {
             require(addedDel.isEmpty && cur.eqDeletes.isEmpty,
               s"snapshot $id of $tableDir ADDS delete files " +
                 s"(${addedDel.size} positional, " +
@@ -2928,6 +2958,7 @@ object Iceberg {
                 .filterNot(f => curPaths.contains(strip(f.path)))
                 .map(asStream),
               removedMaskFiles = parent.deleteFiles.map(strip))
+            }
           case other => throw new IllegalArgumentException(
             s"snapshot $id of $tableDir is $other — the CDF stream " +
               "expresses appends, row-level deletes, and overwrite " +
@@ -3052,7 +3083,12 @@ object Iceberg {
       : Seq[DeltaLog.StreamFile] =
     readAvro(s.get("manifest-list").asText)
       .filter(r => fieldOpt(r, "added_snapshot_id")
-        .map(_.asInstanceOf[Long]).contains(id))
+        .map(_.asInstanceOf[Long]).contains(id) &&
+        // DATA manifests only: a MoR merge snapshot adds its delete
+        // manifest under the same snapshot id — its delete parquet
+        // must never surface as appended data
+        fieldOpt(r, "content")
+          .map(_.asInstanceOf[Int]).getOrElse(0) == 0)
       .map(_.get("manifest_path").toString)
       .flatMap { m =>
         readAvro(m).flatMap { e =>

@@ -184,14 +184,16 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
       "the default wire shape must keep null-filled non-key columns")
   }
 
-  test("an overwrite ADDING delete files on retained data refuses") {
+  test("an overwrite ADDING pos-delete files serves MoR change rows") {
     // snapshot 1 appends; snapshot 2 position-deletes. A FORGED
     // snapshot 3 replays snapshot 2's state as operation=overwrite
     // with parent = 1 — the shape a foreign merge-on-read
     // UPDATE/MERGE writer commits: retained data files plus NEW
-    // delete files. The file-set diff sees identical data files and
-    // would stream NOTHING for the new deletes — the guard must
-    // refuse loudly instead of silently dropping them from the feed.
+    // delete files. Round 16 (the position-delta MERGE round) gave
+    // this shape its exact CDF spelling: the added pos-deletes
+    // stream their TARGETED rows as `delete` pre-images and any
+    // added data files as `insert`s — the stream serves it instead
+    // of refusing.
     val work = Files.createTempDirectory("icdfadddel").toString
     val dir = s"$work/t"
     sources.Iceberg.commitAppend(
@@ -229,17 +231,17 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
     java.nio.file.Files.write(metaDir.resolve("version-hint.text"),
       (v + 1).toString.getBytes("UTF-8"))
     // start the stream AFTER snapshot 1 so only the forged overwrite
-    // is in range (snapshot 2's honest delete would otherwise drain
-    // first and fail the assertion on the wrong arm)
-    val e = intercept[Exception] {
-      drainTo(dir, s"$work/out", s"$work/ckpt",
-        startingSnapshotId = Some(1L))
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("ADDS delete files")),
-      s"expected the added-delete refusal, got: ${messages(e)}")
+    // is in range: its added pos-delete streams the even keys as
+    // delete pre-images with their full pre-image rows
+    drainTo(dir, s"$work/out", s"$work/ckpt",
+      startingSnapshotId = Some(1L))
+    val got = spark.read.parquet(s"$work/out")
+      .select("k", "s", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(got === Seq((2L, "s2", "delete"), (4L, "s4", "delete"),
+      (6L, "s6", "delete")),
+      s"MoR overwrite must stream its pos-delete pre-images, got $got")
   }
 
   test("partitioned tables stream deletes with partition values reconstructed") {

@@ -428,6 +428,38 @@ class SqlCatalogSpec extends SparkSuite {
       === Seq("[3000]"))
   }
 
+  test("iceberg catalog: streaming CDF serves the MoR MERGE snapshot") {
+    import org.apache.spark.sql.streaming.Trigger
+    sql("CREATE TABLE gice.db.imstr (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gice.db.imstr SELECT id, id FROM range(8)")
+    val dir = tdir(s"$wh/_ice/db/imstr")
+    spark.sql("SELECT * FROM VALUES (2, 200L), (3, -1L), (20, 20L) " +
+      "AS s(k, v)").createOrReplaceTempView("imstr_src")
+    sql("""MERGE INTO gice.db.imstr t USING imstr_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val work = Files.createTempDirectory("imstr").toString
+    val q = spark.readStream.format("graft-iceberg-cdf")
+      .option("path", dir)
+      .option("startingSnapshotId", "1").load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$work/out")
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    // the MoR merge streams: pre-images of the deleted AND updated
+    // rows as deletes, the new rows as inserts — the changelog
+    // contract (updates = delete+insert without row lineage)
+    assert(got === Seq((2L, 2L, "delete"), (2L, 200L, "insert"),
+      (3L, 3L, "delete"), (20L, 20L, "insert")),
+      s"MoR merge CDF mismatch: $got")
+  }
+
   test("iceberg catalog: MoR MERGE on a hidden-bucket-spec table") {
     sql("CREATE TABLE gice.db.imorb (k BIGINT, v BIGINT) " +
       "PARTITIONED BY (bucket(4, k))")
