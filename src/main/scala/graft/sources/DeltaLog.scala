@@ -77,6 +77,53 @@ object DeltaLog {
   private val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping")
 
+  /** WRITER features this engine commits FAITHFULLY — the spec's
+    * writer gate applied to OURSELVES: reading never checks these,
+    * but a MUTATING commit on a table whose protocol demands a
+    * writer capability outside this set must refuse, exactly as
+    * this engine expects foreign writers to refuse its own
+    * feature-listed tables. (`icebergCompatV2`-style marker features
+    * are not here on purpose: an unknown writer feature could carry
+    * semantics a blind commit corrupts.) */
+  private val SupportedWriterFeatures: Set[String] =
+    Set("appendOnly", "invariants", "checkConstraints",
+      "generatedColumns", "changeDataFeed", "columnMapping",
+      "deletionVectors", "timestampNtz")
+
+  /** The writer gate, called by the row-REMOVING/REWRITING entry
+    * points after the replay they already pay (DELETE, COW replace,
+    * position-delta MERGE, library mergeInto): legacy
+    * minWriterVersion 6 (identity columns) and any unimplemented
+    * writer feature refuse loudly — committing past them could
+    * silently corrupt the capability they protect. Plain APPENDS
+    * stay blind by design (they remove nothing, and taxing the
+    * streaming hot path with a per-append replay would cost more
+    * than the narrow identity-allocation edge it would close —
+    * disclosed). */
+  private def requireWriterSupported(st: State, tableDir: String,
+                                     op: String): Unit = {
+    require(st.minWriter <= 7 && st.minWriter != 6,
+      s"$op on $tableDir: minWriterVersion ${st.minWriter} " +
+        "(version 6 = identity columns) is not implemented — " +
+        "refusing a commit that could corrupt it")
+    val unknown = st.writerFeatures -- SupportedWriterFeatures
+    require(unknown.isEmpty,
+      s"$op on $tableDir: table requires writerFeatures " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this engine does " +
+        "not implement — refusing a commit that could corrupt them")
+  }
+
+  /** `delta.appendOnly` honoring (the appendOnly writer feature's
+    * semantics): commits that REMOVE rows refuse. OPTIMIZE-class
+    * rewrites (dataChange=false, same rows) stay allowed, as real
+    * Delta allows. */
+  private def requireNotAppendOnly(st: State, tableDir: String,
+                                   op: String): Unit =
+    require(!st.configuration.get("delta.appendOnly")
+        .exists(_.equalsIgnoreCase("true")),
+      s"$op on $tableDir: delta.appendOnly=true forbids removing " +
+        "or rewriting rows")
+
   private def logDir(tableDir: String) = s"$tableDir/_delta_log"
 
   private def commitFile(tableDir: String, v: Long) =
@@ -2256,6 +2303,8 @@ object DeltaLog {
       couldMatch: (String, AddFile) => Boolean, op: String): Long = {
     if (removedPaths.isEmpty && files.isEmpty) return base
     val st = replay(tableDir, base)
+    requireWriterSupported(st, tableDir, op)
+    if (removedPaths.nonEmpty) requireNotAppendOnly(st, tableDir, op)
     val removedRel = removedPaths.map { p =>
       val rel = p.stripPrefix(s"$tableDir/")
       if (st.adds.contains(rel)) rel
@@ -2311,6 +2360,7 @@ object DeltaLog {
       insFiles: Seq[Dsv2File], updFiles: Seq[Dsv2File],
       couldMatch: (String, AddFile) => Boolean, op: String): Long = {
     val st = replay(tableDir, base)
+    requireWriterSupported(st, tableDir, op)
     require(st.columnMapping.isEmpty,
       s"$op: column-mapped tables take the group-based MERGE path")
     def toRel(p: String): String = {
@@ -2346,6 +2396,7 @@ object DeltaLog {
       }.toMap
     val newFiles = insFiles ++ updFiles
     if (touched.isEmpty && newFiles.isEmpty) return base
+    if (touched.nonEmpty) requireNotAppendOnly(st, tableDir, op)
     enforceDsv2Invariants(spark, tableDir, st, st.partitionColumns,
       newFiles, op)
     maybeWriteBlooms(spark, tableDir,
@@ -3555,6 +3606,8 @@ object DeltaLog {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val st = replay(tableDir, vs.last)
+    requireWriterSupported(st, tableDir, "DELETE")
+    requireNotAppendOnly(st, tableDir, "DELETE")
     // prune SETUP runs once against the single replay this call
     // already pays (bloom probes, stats bounds) — callers must not
     // re-replay the log for their own setup
@@ -5369,6 +5422,8 @@ object DeltaLog {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"no _delta_log commits under $tableDir")
     val st = replayMaybeCheckpointed(Some(spark), tableDir, vs.last)
+    requireWriterSupported(st, tableDir, "MERGE")
+    requireNotAppendOnly(st, tableDir, "MERGE")
     require(keys.nonEmpty && keys.forall(st.schema.fieldNames.contains),
       s"merge keys $keys must exist in the target schema")
     val partCols = st.partitionColumns

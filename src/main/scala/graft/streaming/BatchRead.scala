@@ -1075,6 +1075,24 @@ private[streaming] class IcebergBatchScan private (
           val t = IcebergTransforms.tupleName(tr, src)
           Some(SpjKey(Expressions.bucket(n.toInt, src),
             f => f.pv(t).toInt))
+        case (src, tr @ IcebergTransforms.TruncateRe(w))
+            if readSchema.fieldNames.contains(src) && {
+              val t = IcebergTransforms.tupleName(tr, src)
+              plan.files.forall(_.pv.contains(t)) &&
+                scala.util.Try(plan.files.foreach(
+                  _.pv(t).toLong)).isSuccess
+            } =>
+          val t = IcebergTransforms.tupleName(tr, src)
+          val intSrc = plan.schema.fields.find(_.name == src)
+            .exists(_.dataType ==
+              org.apache.spark.sql.types.IntegerType)
+          // width in the function NAME: Spark's SPJ machinery keys
+          // only single-child transforms (see
+          // GraftSystemFunctions.TruncateWidthFunction)
+          Some(SpjKey(
+            Expressions.apply(s"truncate_$w",
+              Expressions.column(src)),
+            f => if (intSrc) f.pv(t).toInt else f.pv(t).toLong))
         case _ => None
       }
       if (built.forall(_.isDefined)) built.flatten else Seq.empty

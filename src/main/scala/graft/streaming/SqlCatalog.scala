@@ -258,7 +258,56 @@ private[streaming] object GraftSystemFunctions {
     }
   }
 
-  val all: Map[String, UnboundFunction] = Map("bucket" -> BucketFunction)
+  /** `truncate_<w>(col)` — the truncate transform with its WIDTH
+    * encoded in the function NAME. Spark's storage-partitioned-join
+    * machinery supports only SINGLE-CHILD transform expressions
+    * (`KeyGroupedPartitioning.isSupportedTransform`: one reference
+    * child; bucket gets a special numBuckets extraction), so a
+    * two-argument `truncate(w, col)` can never key a join. Baking
+    * the width into the name keeps the transform unary AND keeps
+    * different widths join-INcompatible (distinct canonicalNames) —
+    * the correctness property the parameter exists for. */
+  final class TruncateWidthFunction(w: Int) extends UnboundFunction {
+    override def name(): String = s"truncate_$w"
+    override def description(): String =
+      s"truncate_$w(col) — Iceberg truncate[$w] transform ordinal " +
+        "(floor to width multiples)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"truncate_$w takes (col), got $inputType")
+      val srcT = inputType.fields(0).dataType
+      require(srcT == LongType || srcT == IntegerType,
+        s"truncate over $srcT — long/int sources (this engine's " +
+          "hidden-spec scope)")
+      new ScalarFunction[Any] {
+        override def inputTypes(): Array[SDataType] = Array(srcT)
+        override def resultType(): SDataType = srcT
+        override def name(): String = s"truncate_$w"
+        override def canonicalName(): String = s"graft.truncate[$w]"
+        override def isResultNullable: Boolean = false
+        override def produceResult(
+            input: org.apache.spark.sql.catalyst.InternalRow): Any =
+          if (srcT == LongType)
+            graft.functions.IcebergTransforms
+              .truncateLong(input.getLong(0), w.toLong)
+          else
+            graft.functions.IcebergTransforms
+              .truncateLong(input.getInt(0).toLong, w.toLong).toInt
+      }
+    }
+  }
+
+  private val TruncateNameRe = "truncate_(\\d+)".r
+
+  /** Fixed-name functions; `truncate_<w>` resolves by pattern. */
+  val all: Map[String, UnboundFunction] = Map(
+    "bucket" -> BucketFunction)
+
+  def resolve(name: String): Option[UnboundFunction] =
+    all.get(name).orElse(name match {
+      case TruncateNameRe(w) => Some(new TruncateWidthFunction(w.toInt))
+      case _ => None
+    })
 }
 
 /** Directory-warehouse plumbing the two catalogs share: identifiers
@@ -287,7 +336,7 @@ private[streaming] abstract class GraftDirCatalog
         .UnboundFunction =
     if (ident.namespace.isEmpty ||
         ident.namespace.sameElements(Array("system")))
-      GraftSystemFunctions.all.getOrElse(ident.name,
+      GraftSystemFunctions.resolve(ident.name).getOrElse(
         throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis
@@ -296,7 +345,7 @@ private[streaming] abstract class GraftDirCatalog
   override def functionExists(ident: Identifier): Boolean =
     (ident.namespace.isEmpty ||
       ident.namespace.sameElements(Array("system"))) &&
-      GraftSystemFunctions.all.contains(ident.name)
+      GraftSystemFunctions.resolve(ident.name).isDefined
 
   /** This catalog's `CALL <name>.system.*` maintenance procedures. */
   protected def procedures: Map[String, GraftProcedure]

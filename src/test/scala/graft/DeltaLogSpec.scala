@@ -2835,5 +2835,48 @@ class DeltaLogSpec extends SparkSuite {
       "unknown WRITER features must not block reading")
     assert(stOf(d4).writerFeatures.contains("icebergCompatV2"),
       "foreign writer features must be carried, not dropped")
+    // ... but ROW-REMOVING commits refuse: a blind delete could
+    // corrupt whatever icebergCompatV2 protects (the writer gate,
+    // applied to ourselves)
+    val e4 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.deleteWhere(spark, d4, col("k") === 5L)
+    }
+    assert(e4.getMessage.contains("icebergCompatV2"))
+    // legacy minWriterVersion 6 (identity columns): same refusal
+    val d5 = Files.createTempDirectory("proto5").toString + "/t"
+    writeLog(d5, 0,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+      metaData())
+    sources.DeltaLog.commitAppend(Seq((1L, "a")).toDF("k", "s"), d5)
+    val e5 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.mergeInto(spark, d5,
+        Seq((1L, "b")).toDF("k", "s"), Seq("k"))
+    }
+    assert(e5.getMessage.contains("minWriterVersion 6"))
+  }
+
+  test("delta.appendOnly forbids row-removing commits") {
+    val dir = Files.createTempDirectory("aponly").toString + "/t"
+    sources.DeltaLog.createTable(dir,
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "bigint").add("s", "string"),
+      Seq.empty, Map("delta.appendOnly" -> "true"))
+    sources.DeltaLog.commitAppend(
+      (1L to 6L).map(i => (i, s"s$i")).toDF("k", "s"), dir)
+    sources.DeltaLog.commitAppend(
+      Seq((7L, "s7")).toDF("k", "s"), dir) // appends stay free
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.deleteWhere(spark, dir, col("k") === 3L)
+    }
+    assert(e.getMessage.contains("appendOnly"))
+    val e2 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.mergeInto(spark, dir,
+        Seq((3L, "x")).toDF("k", "s"), Seq("k"))
+    }
+    assert(e2.getMessage.contains("appendOnly"))
+    // OPTIMIZE-class rewrites (same rows, dataChange=false) stay
+    // allowed, as real Delta allows
+    sources.DeltaLog.compact(spark, dir, targetFiles = 1)
+    assert(sources.DeltaLog.read(spark, dir).count() == 7)
   }
 }

@@ -372,6 +372,27 @@ class SqlCatalogSpec extends SparkSuite {
       "JOIN gice.db.bj2 b ON a.k = b.k").head.getLong(0) === 200)
     sql("DROP TABLE gice.db.bj1")
     sql("DROP TABLE gice.db.bj2")
+    // TRUNCATE-transform twin: same zero-exchange shape
+    sql("CREATE TABLE gice.db.tj1 (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (truncate(50, k))")
+    sql("INSERT INTO gice.db.tj1 SELECT id, id * 2 FROM range(200)")
+    sql("CREATE TABLE gice.db.tj2 (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (truncate(50, k))")
+    sql("INSERT INTO gice.db.tj2 SELECT id, id * 3 FROM range(200)")
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val df = sql("SELECT a.k, a.v, b.w FROM gice.db.tj1 a " +
+        "JOIN gice.db.tj2 b ON a.k = b.k")
+      assert(df.count() === 200)
+      assert(!df.queryExecution.executedPlan.toString()
+        .contains("Exchange"),
+        "truncate-partitioned SPJ still shuffled")
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+    sql("DROP TABLE gice.db.tj1")
+    sql("DROP TABLE gice.db.tj2")
   }
 
   test("iceberg catalog: MERGE is merge-on-read — one MoR snapshot") {
