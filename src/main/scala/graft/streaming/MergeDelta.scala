@@ -56,7 +56,8 @@ import graft.sources.{DeletionVectors, DeltaLog, Iceberg}
   * upserts — this is that statement's engine path when the target
   * is CDF-enabled and large. */
 private[streaming] class DeltaPositionMergeOperation(dir: String,
-    tableSchema: StructType)
+    tableSchema: StructType,
+    cmd: RowLevelOperation.Command = RowLevelOperation.Command.MERGE)
   extends RowLevelOperation
   with org.apache.spark.sql.connector.write.SupportsDelta {
 
@@ -70,11 +71,10 @@ private[streaming] class DeltaPositionMergeOperation(dir: String,
 
   @volatile private var mainScan: OpenFormatBatchScan = null
 
-  override def command(): RowLevelOperation.Command =
-    RowLevelOperation.Command.MERGE
+  override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
-    s"graft-delta position-delta MERGE on $dir @v$base"
+    s"graft-delta position-delta $cmd on $dir @v$base"
 
   /** `(_file, _pos)` — the stable physical row identity; the same
     * currency the committed deletion vectors key on. */
@@ -129,7 +129,7 @@ private[streaming] class DeltaPositionMergeOperation(dir: String,
       del, updPos, ins, upd,
       couldMatch = (_, a) =>
         scan.groupFilterKeep(a.partitionValues, a.longBounds),
-      op = "SQL MERGE"): Unit
+      op = s"SQL $cmd"): Unit
   }
 }
 

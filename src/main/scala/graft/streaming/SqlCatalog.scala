@@ -1118,15 +1118,19 @@ private[streaming] class DeltaSqlTable(sqlName: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable(info.command.toString)
-    // MERGE on unmapped tables takes the DELTA-BASED (position
-    // tombstone) path: exact per-row verdicts, DV commit, exact CDF
-    // without declared keys. DELETE/UPDATE (whose group-based CDF is
-    // already exact) and column-mapped tables keep the COW rewrite.
+    // MERGE and (untranslatable-predicate) DELETE on unmapped tables
+    // take the DELTA-BASED (position tombstone) path: exact per-row
+    // verdicts, DV commit, exact CDF without declared keys — a
+    // scattered DELETE costs kilobytes of bitmap, never a rewrite.
+    // UPDATE keeps the COW rewrite (its group-based CDF is already
+    // exact, and COW is real Delta's default UPDATE), as do
+    // column-mapped tables for every command.
     () =>
-      if (info.command == RowLevelOperation.Command.MERGE &&
+      if ((info.command == RowLevelOperation.Command.MERGE ||
+           info.command == RowLevelOperation.Command.DELETE) &&
           DeltaLog.replay(dir, DeltaLog.versions(dir).last)
             .columnMapping.isEmpty)
-        new DeltaPositionMergeOperation(dir, schema)
+        new DeltaPositionMergeOperation(dir, schema, info.command)
       else new DeltaRowLevelOperation(dir, schema, info.command)
   }
 }
@@ -1885,11 +1889,16 @@ object SqlCatalogQueries {
       |FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 4 = 0
       |ORDER BY o_orderkey""".stripMargin
 
-  /** q229 — SQL DELETE, COPY-ON-WRITE path: a modulo predicate no
+  /** q229 — SQL DELETE, row-level path: a modulo predicate no
     * metadata delete can express falls through to the row-level
-    * rewrite (`require`: the metadata counter did NOT move, the
-    * replace seam DID), stats-pruned by whatever conjuncts are
-    * provable and exact via the query's own residual filter. */
+    * operation — which, since round 16, is the POSITION-DELTA
+    * (SupportsDelta) path: the matched rows' verdicts become
+    * deletion-vector tombstones on the touched files, no survivor
+    * rewrite. In-query `require`s pin the metadata counter did NOT
+    * move (row-level, not metadata), the position-delta seam DID,
+    * every base file is still live, and the tombstones landed as
+    * DVs. At 100 TB a scattered DELETE costs kilobytes of bitmap,
+    * never a rewrite. */
   def sqlCowDelete(spark: SparkSession, dir: String): DataFrame = {
     val ns = freshNs(spark, iceberg = false)
     val v = ordersView(spark, dir)
@@ -1899,13 +1908,21 @@ object SqlCatalogQueries {
     spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
     val tableDir =
       tableDirOf(spark, iceberg = false, ns, "orders")
+    val st0 = graft.sources.DeltaLog
+      .replay(tableDir, graft.sources.DeltaLog.versions(tableDir).last)
     val before = GraftSqlSeams.metadataDeletes.get()
+    val merges0 = GraftSqlSeams.positionDeltaMerges.get()
     spark.sql(s"DELETE FROM $ns.orders WHERE o_orderkey % 10 = 0")
     require(GraftSqlSeams.metadataDeletes.get() == before,
       "an untranslatable DELETE must take the row-level path")
-    val (_, removed, added) = GraftSqlSeams.lastReplace(tableDir)
-    require(removed >= 1 && added >= 1,
-      s"COW delete seam never fired (removed $removed, added $added)")
+    require(GraftSqlSeams.positionDeltaMerges.get() == merges0 + 1,
+      "the row-level DELETE must ride the position-delta path")
+    val st1 = graft.sources.DeltaLog
+      .replay(tableDir, graft.sources.DeltaLog.versions(tableDir).last)
+    require(st0.adds.keySet.subsetOf(st1.adds.keySet),
+      "a position-delta DELETE must keep every base file live")
+    require(st1.adds.values.flatMap(_.dv).map(_.cardinality).sum > 0,
+      "the deleted rows must be deletion-vector tombstones")
     spark.sql(s"SELECT $cols FROM $ns.orders ORDER BY o_orderkey")
   }
 

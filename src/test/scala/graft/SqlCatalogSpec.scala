@@ -115,16 +115,25 @@ class SqlCatalogSpec extends SparkSuite {
       Seq("[1]", "[2]", "[5]"))
   }
 
-  test("delta catalog: COW DELETE for untranslatable predicates") {
+  test("delta catalog: position-delta DELETE for untranslatable predicates") {
     sql("CREATE TABLE gsql.db.delc (k BIGINT, v BIGINT)")
     sql("INSERT INTO gsql.db.delc SELECT id, id * 10 FROM range(100)")
     val dir = tdir(s"$wh/db/delc")
+    def st() = DeltaLog.replay(dir, DeltaLog.versions(dir).last)
+    val adds0 = st().adds.keySet
     val before = GraftSqlSeams.metadataDeletes.get()
+    val merges0 = GraftSqlSeams.positionDeltaMerges.get()
     sql("DELETE FROM gsql.db.delc WHERE k % 7 = 0")
     assert(GraftSqlSeams.metadataDeletes.get() === before,
       "modulo is untranslatable — must take the row-level path")
-    val (live, removed, added) = GraftSqlSeams.lastReplace(dir)
-    assert(live >= 1 && removed >= 1 && added >= 1)
+    // round 16: the row-level DELETE is position-delta — the doomed
+    // rows become DV tombstones, no survivor rewrite
+    assert(GraftSqlSeams.positionDeltaMerges.get() === merges0 + 1)
+    assert(st().adds.keySet === adds0,
+      "a position-delta DELETE keeps every base file live and " +
+        "writes no new data files")
+    assert(st().adds.values.flatMap(_.dv).map(_.cardinality).sum
+      === 15)
     assert(sql("SELECT * FROM gsql.db.delc").count() === 85)
     assert(sql(
       "SELECT * FROM gsql.db.delc WHERE k % 7 = 0").count() === 0)
