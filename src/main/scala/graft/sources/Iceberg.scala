@@ -3802,7 +3802,9 @@ object Iceberg {
     }
     commitDeleteSnapshot(tableDir, meta, v, curId, snapshotId,
       writeManifest, valueRanges, opName, dataManifests,
-      operation = "overwrite")
+      // a verdict set with NO new rows is a pure row delete — label
+      // it as the spec does, so CDF consumers take the delete branch
+      operation = if (newFiles.isEmpty) "delete" else "overwrite")
   }
 
   /** Internal retries taken by Iceberg row-level deletes after

@@ -271,7 +271,8 @@ private class PositionDeltaWriter(tableDir: String,
   * partition columns — take the COW path instead, keeping one
   * layout per table. */
 private[streaming] class IcebergPositionMergeOperation(dir: String,
-    tableSchema: StructType)
+    tableSchema: StructType,
+    cmd: RowLevelOperation.Command = RowLevelOperation.Command.MERGE)
   extends RowLevelOperation
   with org.apache.spark.sql.connector.write.SupportsDelta {
 
@@ -281,11 +282,10 @@ private[streaming] class IcebergPositionMergeOperation(dir: String,
 
   @volatile private var mainScan: OpenFormatBatchScan = null
 
-  override def command(): RowLevelOperation.Command =
-    RowLevelOperation.Command.MERGE
+  override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
-    s"graft-iceberg position-delta MERGE on $dir @snap$baseSnap"
+    s"graft-iceberg position-delta $cmd on $dir @snap$baseSnap"
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(MetaCols.File),
@@ -340,7 +340,7 @@ private[streaming] class IcebergPositionMergeOperation(dir: String,
     Iceberg.commitMergeDsv2(SparkSession.active, dir, baseSnap,
       del, updPos, ins, upd,
       valueRanges = Map.empty, // conservative: any racing add conflicts
-      opName = "SQL MERGE"): Unit
+      opName = s"SQL $cmd"): Unit
   }
 }
 

@@ -1490,17 +1490,20 @@ private[streaming] class IcebergSqlTable(sqlName: String, dir: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable(info.command.toString)
-    // MERGE takes the position-delta (merge-on-read) path — real
-    // Iceberg's MERGE wire — except on foreign standard-layout
-    // identity tables (data files CARRY partition columns; this
-    // engine's writers hive-strip, and one table keeps one layout),
-    // which stay copy-on-write. DELETE/UPDATE keep COW (DELETE's
-    // metadata/MoR path already exists via SupportsDeleteV2).
+    // MERGE and (untranslatable-predicate) DELETE take the
+    // position-delta (merge-on-read) path — real Iceberg's row-delta
+    // wire — except on foreign standard-layout identity tables (data
+    // files CARRY partition columns; this engine's writers
+    // hive-strip, and one table keeps one layout), which stay
+    // copy-on-write. UPDATE keeps COW; translatable DELETEs keep the
+    // SupportsDeleteV2 metadata/MoR path, which never reaches here.
     () =>
-      if (info.command == RowLevelOperation.Command.MERGE && {
+      if ((info.command == RowLevelOperation.Command.MERGE ||
+           info.command == RowLevelOperation.Command.DELETE) && {
         val plan = Iceberg.batchPlan(dir, Iceberg.mainSnapshotId(dir))
         plan.partCols.isEmpty || !plan.filesCarryPartCols
-      }) new IcebergPositionMergeOperation(dir, dataSchema)
+      }) new IcebergPositionMergeOperation(dir, dataSchema,
+        info.command)
       else new IcebergRowLevelOperation(dir, dataSchema, info.command)
   }
 }

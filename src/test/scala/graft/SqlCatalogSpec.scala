@@ -490,6 +490,61 @@ class SqlCatalogSpec extends SparkSuite {
       s"MoR merge CDF mismatch: $got")
   }
 
+  test("iceberg catalog: untranslatable DELETE is merge-on-read too") {
+    sql("CREATE TABLE gice.db.idelu (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gice.db.idelu SELECT id, id * 10 FROM range(70)")
+    val dir = tdir(s"$wh/_ice/db/idelu")
+    def plan() = Iceberg.batchPlan(dir, Iceberg.mainSnapshotId(dir))
+    val files0 = plan().files.map(_.path).toSet
+    val merges0 = GraftSqlSeams.positionDeltaMerges.get()
+    sql("DELETE FROM gice.db.idelu WHERE k % 7 = 0")
+    assert(GraftSqlSeams.positionDeltaMerges.get() === merges0 + 1,
+      "the untranslatable DELETE must ride the position-delta path")
+    val p = plan()
+    assert(p.files.map(_.path).toSet === files0,
+      "a MoR DELETE keeps every data file live, adds none")
+    assert(p.posDeleteFiles.size === 1)
+    // a pure row delete is labeled operation=delete, as the spec
+    // does — CDF consumers take the delete branch
+    import scala.jdk.CollectionConverters._
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "metadata",
+          "v" + new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(dir, "metadata",
+              "version-hint.text")), "UTF-8").trim + ".metadata.json")))
+    val lastOp = meta.get("snapshots").elements().asScala.toSeq.last
+      .get("summary").get("operation").asText
+    assert(lastOp === "delete", s"pure row delete labeled $lastOp")
+    assert(sql("SELECT count(*) FROM gice.db.idelu").head.getLong(0)
+      === 60)
+    assert(sources.Iceberg.read(spark, dir).count() === 60)
+  }
+
+  test("adopt_table: iceberg-arm lifecycle under ConditionalPutStore") {
+    wh
+    import graft.sources.{ConditionalPutStore, LogStore}
+    val dir = s"$wh/_ice/db/iadint"
+    import spark.implicits._
+    Iceberg.commitAppend(
+      (1L to 5L).map(i => (i, i * 2)).toDF("k", "v"), dir)
+    LogStore.withStore(ConditionalPutStore) {
+      val moves0 = GraftSqlSeams.dirMoves.get()
+      assert(rows(sql(
+        "CALL gice.system.adopt_table(table => 'db.iadint')"))
+        === Seq("[adopted]"))
+      assert(sql("SELECT count(*) FROM gice.db.iadint")
+        .head.getLong(0) === 5)
+      sql("ALTER TABLE gice.db.iadint RENAME TO db.iadint2")
+      assert(sql("SELECT sum(v) FROM gice.db.iadint2")
+        .head.getLong(0) === 30)
+      assert(!spark.catalog.tableExists("gice.db.iadint"))
+      assert(GraftSqlSeams.dirMoves.get() === moves0)
+      sql("DROP TABLE gice.db.iadint2")
+      assert(!new java.io.File(dir).exists())
+    }
+  }
+
   test("iceberg catalog: MoR MERGE on a hidden-bucket-spec table") {
     sql("CREATE TABLE gice.db.imorb (k BIGINT, v BIGINT) " +
       "PARTITIONED BY (bucket(4, k))")
