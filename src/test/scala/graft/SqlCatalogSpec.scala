@@ -545,6 +545,38 @@ class SqlCatalogSpec extends SparkSuite {
     }
   }
 
+  test("iceberg catalog: MoR MERGE atop a foreign eq-delete upsert") {
+    import spark.implicits._
+    // a Flink-CDC-style writer upserts INSIDE a cataloged table's
+    // directory (eq-delete + append), then Spark MERGEs on top: the
+    // scan folds the eq-deletes to masks, the merge's verdicts
+    // reference the surviving positions, and the commit stacks a
+    // pos-delete over the eq-delete history
+    sql("CREATE TABLE gice.db.ieqm (k BIGINT, s STRING)")
+    sql("INSERT INTO gice.db.ieqm VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val dir = tdir(s"$wh/_ice/db/ieqm")
+    Iceberg.upsert(spark, dir,
+      Seq((2L, "B2"), (4L, "d")).toDF("k", "s"), Seq("k"))
+    spark.sql("SELECT * FROM VALUES (2, 'B3'), (3, CAST(NULL AS " +
+      "STRING)), (5, 'e') AS s(k, s)")
+      .createOrReplaceTempView("ieqm_src")
+    sql("""MERGE INTO gice.db.ieqm t USING ieqm_src s ON t.k = s.k
+          |WHEN MATCHED AND s.s IS NULL THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET s = s.s
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = sql("SELECT k, s FROM gice.db.ieqm ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "B3"), (4L, "d"), (5L, "e")),
+      s"MoR merge atop eq-deletes got $got")
+    // the eq-delete history stays in force alongside the new
+    // pos-delete; the library MoR read agrees
+    val p = Iceberg.batchPlan(dir, Iceberg.mainSnapshotId(dir))
+    assert(p.eqDeletes.nonEmpty && p.posDeleteFiles.nonEmpty)
+    assert(sources.Iceberg.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq === got)
+  }
+
   test("iceberg catalog: MoR MERGE on a hidden-bucket-spec table") {
     sql("CREATE TABLE gice.db.imorb (k BIGINT, v BIGINT) " +
       "PARTITIONED BY (bucket(4, k))")
