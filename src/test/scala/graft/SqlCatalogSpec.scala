@@ -577,6 +577,30 @@ class SqlCatalogSpec extends SparkSuite {
       .sortBy(_._1).toSeq === got)
   }
 
+  test("iceberg catalog: streaming CDF serves the MoR DELETE snapshot") {
+    import org.apache.spark.sql.streaming.Trigger
+    sql("CREATE TABLE gice.db.idstr (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gice.db.idstr SELECT id, id FROM range(9)")
+    val dir = tdir(s"$wh/_ice/db/idstr")
+    sql("DELETE FROM gice.db.idstr WHERE k % 4 = 0") // MoR pos-delete
+    val work = Files.createTempDirectory("idstr").toString
+    val q = spark.readStream.format("graft-iceberg-cdf")
+      .option("path", dir)
+      .option("startingSnapshotId", "1").load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$work/out")
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(got === Seq((0L, 0L, "delete"), (4L, 4L, "delete"),
+      (8L, 8L, "delete")),
+      s"MoR DELETE CDF mismatch: $got")
+  }
+
   test("iceberg catalog: MoR MERGE on a hidden-bucket-spec table") {
     sql("CREATE TABLE gice.db.imorb (k BIGINT, v BIGINT) " +
       "PARTITIONED BY (bucket(4, k))")
