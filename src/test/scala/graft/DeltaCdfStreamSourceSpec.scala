@@ -270,6 +270,16 @@ class DeltaCdfStreamSourceSpec extends SparkSuite {
       col("k") === 50).count() === 1)
     assert(after.filter(col("_change_type") === "update_postimage" &&
       col("k") === 1 && col("v") === 7).count() === 1)
+    // ... and a position-delta DELETE (DV tombstones, round 16)
+    // streams its exact delete rows from the same cdc actions
+    spark.sql("DELETE FROM gcdf.db.t WHERE k % 3 = 1")
+    drainTo(dir, s"$work/out", s"$work/ckpt",
+      Map("startingVersion" -> "2"))
+    val del = spark.read.parquet(s"$work/out")
+      .filter(col("_change_type") === "delete")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(del === Seq(1L, 4L, 7L),
+      s"position-delta DELETE cdc rows mismatch: $del")
   }
 
   test("a schema change mid-history fails the CDF stream loudly") {
