@@ -659,7 +659,14 @@ object SparkEntry {
     // Iceberg merge-on-read MERGE: one snapshot, pos-delete manifest
     // + data manifest, zero rewrites (round 16)
     "q246_iceberg_merge_mor"
-      -> (streaming.SqlCatalogQueries.sqlIcebergMergeDelta _)
+      -> (streaming.SqlCatalogQueries.sqlIcebergMergeDelta _),
+    // position-delta SQL UPDATE: scattered update = DV tombstones +
+    // new files, zero rewrites, exact pre/post CDF (round 17)
+    "q247_sql_update_positiondelta"
+      -> (streaming.SqlCatalogQueries.sqlUpdateDelta _),
+    // the same UPDATE as Iceberg merge-on-read wire (round 17)
+    "q248_iceberg_update_mor"
+      -> (streaming.SqlCatalogQueries.sqlIcebergUpdateMor _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -984,6 +991,10 @@ object SparkEntry {
     "q245_bucket_spj"
       -> streaming.SqlCatalogQueries.sqlBucketSpjSql,
     "q246_iceberg_merge_mor"
-      -> streaming.SqlCatalogQueries.sqlIcebergMergeDeltaSql
+      -> streaming.SqlCatalogQueries.sqlIcebergMergeDeltaSql,
+    "q247_sql_update_positiondelta"
+      -> streaming.SqlCatalogQueries.sqlUpdateDeltaSql,
+    "q248_iceberg_update_mor"
+      -> streaming.SqlCatalogQueries.sqlIcebergUpdateMorSql
   )
 }

@@ -113,6 +113,26 @@ object DeltaLog {
         "not implement — refusing a commit that could corrupt them")
   }
 
+  /** Should row-level DML on this table land as DELETION VECTORS
+    * (the position-delta path) instead of copy-on-write group
+    * rewrites? The table's own `delta.enableDeletionVectors` decides
+    * when set — real Delta's opt-in knob, so an explicit `false`
+    * keeps the protocol at the reader's level (no silent reader-3 /
+    * writer-7 upgrade without consent) and the group-based rewrite
+    * serves the command. Unset falls to the engine conf
+    * `spark.graft.delta.autoDeletionVectors` (default TRUE — this
+    * engine's 100 TB default is changed-rows + kilobytes of bitmap,
+    * never a group rewrite; flip the conf for fleets of legacy
+    * readers). */
+  private[graft] def dvWritesEnabled(st: State): Boolean =
+    st.configuration.get("delta.enableDeletionVectors") match {
+      case Some(v) => v.equalsIgnoreCase("true")
+      case None => scala.util.Try(
+          org.apache.spark.sql.SparkSession.active.conf
+            .get("spark.graft.delta.autoDeletionVectors")).toOption
+        .forall(_.equalsIgnoreCase("true"))
+    }
+
   /** `delta.appendOnly` honoring (the appendOnly writer feature's
     * semantics): commits that REMOVE rows refuse. OPTIMIZE-class
     * rewrites (dataChange=false, same rows) stay allowed, as real
@@ -2361,8 +2381,12 @@ object DeltaLog {
       couldMatch: (String, AddFile) => Boolean, op: String): Long = {
     val st = replay(tableDir, base)
     requireWriterSupported(st, tableDir, op)
-    require(st.columnMapping.isEmpty,
-      s"$op: column-mapped tables take the group-based MERGE path")
+    // column-mapped tables ride the SAME position-delta path: the
+    // writer already spells physical names (Dsv2WriteSchemas), the
+    // DV tombstones key on positions (name-independent), and the
+    // CDF pre-image scan below reads physically / by field id and
+    // surfaces logical names — rename between merges is a
+    // metadata-only commit the whole pipeline is indifferent to
     def toRel(p: String): String = {
       val rel = p.stripPrefix(s"$tableDir/")
       if (st.adds.contains(rel)) rel
@@ -2431,7 +2455,16 @@ object DeltaLog {
               .withColumn("_dw_f", col("_metadata.file_name"))
               .withColumn("_dw_p", col("_metadata.row_index"))
             val live =
-              if (st.partitionColumns.isEmpty)
+              if (st.columnMapping.nonEmpty)
+                // mapped (always unpartitioned, replay-enforced):
+                // physical / field-id read, row identity taken
+                // BEFORE the logical-name projection — the same
+                // decomposition deleteWhere uses
+                withId(mappedScanRaw(spark, tableDir,
+                    st.copy(adds = adds.toMap)))
+                  .select(mappedCols(st) ++
+                    Seq(col("_dw_f"), col("_dw_p")): _*)
+              else if (st.partitionColumns.isEmpty)
                 withId(spark.read.schema(st.schema)
                   .parquet(adds.map(t => resolveP(t._1)): _*))
               else PartitionedScan.scan(spark, st.schema,
@@ -2452,8 +2485,16 @@ object DeltaLog {
         val parts = Seq(preRows, newRows(updFiles, "update_postimage"),
           newRows(insFiles, "insert")).flatten
         if (parts.isEmpty) Seq.empty
-        else writeChangeData(parts.reduce(_ unionByName _),
-          tableDir, st.partitionColumns)
+        else {
+          val all = parts.reduce(_ unionByName _)
+          // mapped tables spell their CHANGE files physically too
+          // (the CDF reader logicalizes under the reading state's
+          // mapping — rename-safe), exactly as the COW path does
+          writeChangeData(
+            if (st.columnMapping.isEmpty) all
+            else physicalRows(all, st),
+            tableDir, st.partitionColumns)
+        }
       }
     // DV union with any existing vector (stacked deletes/merges)
     val newDvs = touched.toSeq.sortBy(_._1).map { case (rel, bm) =>

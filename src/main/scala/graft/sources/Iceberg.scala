@@ -4127,6 +4127,27 @@ object Iceberg {
     v + 1
   }
 
+  /** SET / UNSET table properties — the metadata-only commit
+    * `ALTER TABLE ... SET TBLPROPERTIES` publishes, and the knob
+    * real Iceberg's `write.<command>.mode` routing rides on. A None
+    * value removes the key. Returns the new metadata version. */
+  def setTableProperties(tableDir: String,
+      props: Map[String, Option[String]]): Int = {
+    val v = currentVersion(tableDir)
+    val meta = loadMetadata(tableDir, v)
+    val cur: Map[String, String] =
+      if (!meta.has("properties")) Map.empty
+      else meta.get("properties").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap
+    val next = meta.deepCopy[ObjectNode]()
+    val p = next.putObject("properties")
+    (cur -- props.collect { case (k, None) => k })
+      .++(props.collect { case (k, Some(x)) => k -> x })
+      .foreach { case (k, x) => p.put(k, x): Unit }
+    publishPinned(tableDir, v + 1, next, "setTableProperties")
+    v + 1
+  }
+
   /** MAINTENANCE: fold the accumulated position deletes into
     * rewritten data files (Iceberg's `rewrite_data_files` — the
     * compaction that ends the merge-on-read debt). The merged current

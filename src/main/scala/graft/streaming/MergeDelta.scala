@@ -49,12 +49,18 @@ import graft.sources.{DeletionVectors, DeltaLog, Iceberg}
   * a diff, decides (closing the rewrite-diff blind spot the
   * group-based path documents).
   *
-  * Scope: MERGE on unmapped tables ([[GraftDeltaCatalog]] routes
-  * column-mapped tables and DELETE/UPDATE to the group-based
-  * copy-on-write operation, whose CDF those commands derive
-  * exactly). Reference surface: spark/batch_gold.py's MERGE
-  * upserts — this is that statement's engine path when the target
-  * is CDF-enabled and large. */
+  * Scope (round 17): ALL SQL row-level DML — MERGE, UPDATE, and
+  * untranslatable DELETE — on unmapped AND column-mapped tables
+  * (mapped tables are always unpartitioned, replay-enforced; the
+  * writers spell physical names, the commit's CDF pre-image scan
+  * reads physically / by field id and surfaces logical names, so a
+  * rename between merges is a metadata-only no-op to this path).
+  * A table opts OUT with `delta.enableDeletionVectors=false` —
+  * [[DeltaSqlTable]] then routes to the group-based copy-on-write
+  * operation, whose CDF the rewrite derives exactly. Reference
+  * surface: spark/batch_gold.py's MERGE upserts and
+  * batch_silver.py's update-dominated CDC loop — this is those
+  * statements' engine path when the target is large. */
 private[streaming] class DeltaPositionMergeOperation(dir: String,
     tableSchema: StructType,
     cmd: RowLevelOperation.Command = RowLevelOperation.Command.MERGE)
@@ -337,9 +343,14 @@ private[streaming] class IcebergPositionMergeOperation(dir: String,
       s"position-delta MERGE on $dir committed before its scan " +
         "planned — nothing pins the base state")
     GraftSqlSeams.positionDeltaMerges.incrementAndGet()
+    // conflict footprint = the scan's own pushed filters: a racing
+    // append whose file stats provably miss every conjunct range is
+    // disjoint and the commit retries internally (the Delta path's
+    // groupFilterKeep discipline); an unprovable add aborts loudly
     Iceberg.commitMergeDsv2(SparkSession.active, dir, baseSnap,
       del, updPos, ins, upd,
-      valueRanges = Map.empty, // conservative: any racing add conflicts
+      valueRanges =
+        SqlFilters.conjunctLongRanges(scan.pushedGroupFilters),
       opName = s"SQL $cmd"): Unit
   }
 }

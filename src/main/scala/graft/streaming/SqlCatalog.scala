@@ -139,6 +139,41 @@ private[streaming] object SqlFilters {
     case AlwaysFalse() => Some(lit(false))
     case _ => None
   }
+
+  /** Conjunct long ranges of a pushed filter set — the row-level
+    * commits' winner-disjointness currency (empty = nothing provable
+    * = any racing add conflicts; superset contract). Shared by the
+    * copy-on-write AND position-delta Iceberg operations. */
+  def conjunctLongRanges(filters: Seq[Filter])
+      : Map[String, (Long, Long)] = {
+    val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def num(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def add(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = m.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      m(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(c, v) => num(v).foreach(l => add(c, l, l))
+      case GreaterThan(c, v) => num(v).filter(_ < Long.MaxValue)
+        .foreach(l => add(c, l + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) =>
+        num(v).foreach(l => add(c, l, Long.MaxValue))
+      case LessThan(c, v) => num(v).filter(_ > Long.MinValue)
+        .foreach(l => add(c, Long.MinValue, l - 1))
+      case LessThanOrEqual(c, v) =>
+        num(v).foreach(l => add(c, Long.MinValue, l))
+      case And(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    filters.foreach(walk)
+    m.toMap
+  }
 }
 
 /** The catalog's PER-TABLE POINTER OBJECT — how a table is
@@ -1103,7 +1138,13 @@ private[streaming] class DeltaSqlTable(sqlName: String,
   }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
-    pinnedVersion.isEmpty && SqlFilters.toColumn(predicates).isDefined
+    pinnedVersion.isEmpty && SqlFilters.toColumn(predicates).isDefined &&
+      // a table that opted OUT of deletion vectors must not take the
+      // DV metadata-delete path (it would silently upgrade the
+      // protocol to reader 3 / writer 7) — fall to the row-level
+      // operation, which routes to the copy-on-write rewrite below
+      DeltaLog.dvWritesEnabled(
+        DeltaLog.replay(dir, DeltaLog.versions(dir).last))
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     requireWritable("DELETE")
@@ -1118,18 +1159,19 @@ private[streaming] class DeltaSqlTable(sqlName: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable(info.command.toString)
-    // MERGE and (untranslatable-predicate) DELETE on unmapped tables
-    // take the DELTA-BASED (position tombstone) path: exact per-row
-    // verdicts, DV commit, exact CDF without declared keys — a
-    // scattered DELETE costs kilobytes of bitmap, never a rewrite.
-    // UPDATE keeps the COW rewrite (its group-based CDF is already
-    // exact, and COW is real Delta's default UPDATE), as do
-    // column-mapped tables for every command.
+    // ALL row-level DML — MERGE, UPDATE, untranslatable-predicate
+    // DELETE, on unmapped AND column-mapped tables — takes the
+    // DELTA-BASED (position tombstone) path: exact per-row verdicts,
+    // DV commit, exact CDF without declared keys. A scattered 100 TB
+    // UPDATE costs changed rows + kilobytes of bitmap, never a group
+    // rewrite. The table opts OUT via
+    // delta.enableDeletionVectors=false (real Delta's knob — no
+    // silent reader-3/writer-7 upgrade without consent), which keeps
+    // the group-based copy-on-write operation, whose CDF the rewrite
+    // derives exactly.
     () =>
-      if ((info.command == RowLevelOperation.Command.MERGE ||
-           info.command == RowLevelOperation.Command.DELETE) &&
-          DeltaLog.replay(dir, DeltaLog.versions(dir).last)
-            .columnMapping.isEmpty)
+      if (DeltaLog.dvWritesEnabled(
+          DeltaLog.replay(dir, DeltaLog.versions(dir).last)))
         new DeltaPositionMergeOperation(dir, schema, info.command)
       else new DeltaRowLevelOperation(dir, schema, info.command)
   }
@@ -1373,6 +1415,11 @@ class GraftIcebergCatalog extends GraftDirCatalog {
         require(r.fieldNames.length == 1,
           "graft-iceberg ALTER: nested RENAME COLUMN is not supported")
         Iceberg.renameColumn(dir, r.fieldNames()(0), r.newName): Unit
+      case s: TableChange.SetProperty =>
+        Iceberg.setTableProperties(dir,
+          Map(s.property -> Some(s.value))): Unit
+      case u: TableChange.RemoveProperty =>
+        Iceberg.setTableProperties(dir, Map(u.property -> None)): Unit
       case other =>
         throw new UnsupportedOperationException(
           s"graft-iceberg ALTER: unsupported change $other")
@@ -1490,21 +1537,31 @@ private[streaming] class IcebergSqlTable(sqlName: String, dir: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable(info.command.toString)
-    // MERGE and (untranslatable-predicate) DELETE take the
-    // position-delta (merge-on-read) path — real Iceberg's row-delta
-    // wire — except on foreign standard-layout identity tables (data
-    // files CARRY partition columns; this engine's writers
-    // hive-strip, and one table keeps one layout), which stay
-    // copy-on-write. UPDATE keeps COW; translatable DELETEs keep the
+    // ALL row-level DML — MERGE, UPDATE, untranslatable-predicate
+    // DELETE — takes the position-delta (merge-on-read) path, real
+    // Iceberg's row-delta wire: per-row verdicts committed as one v2
+    // snapshot with a position-delete manifest, zero data-file
+    // rewrites. The table's own `write.<command>.mode` property is
+    // honored when set (real Iceberg's knob: 'copy-on-write' keeps
+    // the group-based rewrite); unset defaults to merge-on-read —
+    // this engine's 100 TB default. Foreign standard-layout identity
+    // tables (data files CARRY partition columns; this engine's
+    // writers hive-strip, one table keeps one layout) stay
+    // copy-on-write regardless. Translatable DELETEs keep the
     // SupportsDeleteV2 metadata/MoR path, which never reaches here.
-    () =>
-      if ((info.command == RowLevelOperation.Command.MERGE ||
-           info.command == RowLevelOperation.Command.DELETE) && {
+    () => {
+      val cmdName =
+        info.command.toString.toLowerCase(java.util.Locale.ROOT)
+      val modeProp = s"write.$cmdName.mode"
+      val mor = Iceberg.tableProperties(dir)
+        .getOrElse(modeProp, "merge-on-read") == "merge-on-read"
+      if (mor && {
         val plan = Iceberg.batchPlan(dir, Iceberg.mainSnapshotId(dir))
         plan.partCols.isEmpty || !plan.filesCarryPartCols
       }) new IcebergPositionMergeOperation(dir, dataSchema,
         info.command)
       else new IcebergRowLevelOperation(dir, dataSchema, info.command)
+    }
   }
 }
 
@@ -1567,37 +1624,9 @@ private[streaming] class IcebergRowLevelOperation(dir: String,
     * disjointness proof's currency (empty = nothing provable = any
     * racing append conflicts; superset contract). */
   private def valueRanges: Map[String, (Long, Long)] = {
-    import org.apache.spark.sql.sources.{And => FAnd,
-      EqualTo => FEq, GreaterThan => FGt, GreaterThanOrEqual => FGe,
-      LessThan => FLt, LessThanOrEqual => FLe}
-    val m = scala.collection.mutable.Map
-      .empty[String, (Long, Long)]
-    def num(v: Any): Option[Long] = v match {
-      case l: Long => Some(l)
-      case i: Int => Some(i.toLong)
-      case s: Short => Some(s.toLong)
-      case b: Byte => Some(b.toLong)
-      case _ => None
-    }
-    def add(c: String, lo: Long, hi: Long): Unit = {
-      val (l0, h0) = m.getOrElse(c, (Long.MinValue, Long.MaxValue))
-      m(c) = (math.max(l0, lo), math.min(h0, hi))
-    }
-    def walk(f: Filter): Unit = f match {
-      case FEq(c, v) => num(v).foreach(l => add(c, l, l))
-      case FGt(c, v) => num(v).filter(_ < Long.MaxValue)
-        .foreach(l => add(c, l + 1, Long.MaxValue))
-      case FGe(c, v) => num(v).foreach(l => add(c, l, Long.MaxValue))
-      case FLt(c, v) => num(v).filter(_ > Long.MinValue)
-        .foreach(l => add(c, Long.MinValue, l - 1))
-      case FLe(c, v) => num(v).foreach(l => add(c, Long.MinValue, l))
-      case FAnd(l, r) => walk(l); walk(r)
-      case _ => ()
-    }
     val scan = mainScan
-    if (scan != null)
-      scan.pushedGroupFilters.foreach(walk)
-    m.toMap
+    if (scan == null) Map.empty
+    else SqlFilters.conjunctLongRanges(scan.pushedGroupFilters)
   }
 
   private[streaming] def commitReplace(
@@ -1825,18 +1854,24 @@ object SqlCatalogQueries {
        |ORDER BY o_orderkey""".stripMargin
 
   /** q227 — SQL UPDATE, COPY-ON-WRITE with a PRUNED rewrite group:
-    * the UPDATE's own WHERE (a partition predicate) reaches the
-    * row-level scan as a group filter, so only the matching
-    * partition's files are rewritten — `require`d through
-    * [[GraftSqlSeams.lastReplace]] against the partition's actual
-    * file count. The 100 TB shape: a one-partition UPDATE rewrites
-    * that partition, not the lake. */
+    * the table OPTS OUT of deletion vectors
+    * (`delta.enableDeletionVectors=false` — real Delta's knob,
+    * honored since round 17 so legacy readers never see a silent
+    * reader-3/writer-7 upgrade), which routes the UPDATE to the
+    * group-based rewrite. The UPDATE's own WHERE (a partition
+    * predicate) reaches the row-level scan as a group filter, so
+    * only the matching partition's files are rewritten — `require`d
+    * through [[GraftSqlSeams.lastReplace]] against the partition's
+    * actual file count. The 100 TB shape: a one-partition UPDATE
+    * rewrites that partition, not the lake. (The DV-default UPDATE
+    * is q247's gate.) */
   def sqlUpdate(spark: SparkSession, dir: String): DataFrame = {
     val ns = freshNs(spark, iceberg = false)
     val v = ordersView(spark, dir)
     spark.sql(s"""CREATE TABLE $ns.orders (
       o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
-      o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
+      o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)
+      TBLPROPERTIES ('delta.enableDeletionVectors' = 'false')""")
     spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
     val tableDir =
       tableDirOf(spark, iceberg = false, ns, "orders")
@@ -2037,11 +2072,14 @@ object SqlCatalogQueries {
       |ORDER BY o_orderkey""".stripMargin
 
   /** q233 — ICEBERG SQL UPDATE, COPY-ON-WRITE: q227's twin over the
-    * other format — the rewrite group prunes to the matching
-    * partition's files (identity tuple pruning from the pushed
-    * condition), the commit publishes ONE overwrite snapshot, and
-    * history stays time-travelable across it (in-query `require`s on
-    * both). */
+    * other format — the table pins `write.update.mode=copy-on-write`
+    * (real Iceberg's routing property, honored since round 17; the
+    * engine default is merge-on-read), so the rewrite group prunes
+    * to the matching partition's files (identity tuple pruning from
+    * the pushed condition), the commit publishes ONE overwrite
+    * snapshot, and history stays time-travelable across it
+    * (in-query `require`s on both). The MoR-default UPDATE is
+    * q248's gate. */
   def icebergSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
     val ns = freshNs(spark, iceberg = true)
     val v = ordersView(spark, dir)
@@ -2049,6 +2087,8 @@ object SqlCatalogQueries {
       o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
       o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
     spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
+    spark.sql(s"ALTER TABLE $ns.orders SET TBLPROPERTIES " +
+      "('write.update.mode' = 'copy-on-write')")
     val tableDir =
       tableDirOf(spark, iceberg = true, ns, "orders")
     val preSnap = Iceberg.snapshotIds(tableDir).max
@@ -2414,7 +2454,8 @@ object SqlCatalogQueries {
     val v = ordersView(spark, dir)
     spark.sql(s"""CREATE TABLE $ns.dorders (
       o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
-      o_totalprice DECIMAL(10,2))""")
+      o_totalprice DECIMAL(10,2)) TBLPROPERTIES (
+      'delta.enableDeletionVectors' = 'false')""")
     // three price bands = three commits, so decimal bounds have
     // something to prune between
     val dcols = "o_orderkey, o_custkey, o_orderstatus, " +
@@ -2451,7 +2492,9 @@ object SqlCatalogQueries {
   }
 
   /** q242 — CDF FROM SQL COPY-ON-WRITE DML: a
-    * `delta.enableChangeDataFeed=true` table (with declared row
+    * `delta.enableChangeDataFeed=true` table (opted OUT of deletion
+    * vectors, so the group-based rewrite serves the DML — the
+    * position-delta twin is q244/q247 — with declared row
     * identity `graft.cdf.keyColumns=o_orderkey`) takes SQL UPDATE
     * then SQL MERGE through Spark's own rewrite planning; each COW
     * commit DERIVES its `_change_data` from the
@@ -2470,6 +2513,7 @@ object SqlCatalogQueries {
       o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
       o_totalprice DOUBLE) TBLPROPERTIES (
       'delta.enableChangeDataFeed' = 'true',
+      'delta.enableDeletionVectors' = 'false',
       '${DeltaLog.CdfKeyColsProp}' = 'o_orderkey')""")
     spark.sql(s"INSERT INTO $ns.corders SELECT $cols FROM $v")
     spark.sql(s"UPDATE $ns.corders SET o_totalprice = " +
@@ -2717,6 +2761,111 @@ object SqlCatalogQueries {
     require(n == lib, s"connector read $n rows, library MoR $lib")
     out.orderBy(col("o_orderkey"))
   }
+
+  /** q247 — POSITION-DELTA SQL UPDATE (round 17): the r16 verdict's
+    * top item. A scattered, unprunable UPDATE (`o_orderkey % 7 = 3`
+    * — no partition, no stats range can prune it) rides the SAME
+    * SupportsDelta operation MERGE does: per-row update verdicts,
+    * updated positions tombstoned as deletion vectors on the touched
+    * files, updated rows written to NEW files — zero base files
+    * rewritten. In-query `require`s pin: the position-delta seam
+    * moved, every base file is still live, DV tombstones exist, and
+    * the CDF carries EXACTLY update_preimage/update_postimage (no
+    * declared keys, no rewrite diffing — the verdicts decide). At
+    * 100 TB a 1%-scattered UPDATE costs ~1% new bytes + kilobytes
+    * of bitmap where copy-on-write rewrites every touched group. */
+  def sqlUpdateDelta(spark: SparkSession, dir: String): DataFrame = {
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.uorders (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) TBLPROPERTIES (
+      'delta.enableChangeDataFeed' = 'true')""")
+    spark.sql(s"INSERT INTO $ns.uorders SELECT $cols FROM $v")
+    val uDir = tableDirOf(spark, iceberg = false, ns, "uorders")
+    val adds0 = graft.sources.DeltaLog
+      .replay(uDir, graft.sources.DeltaLog.versions(uDir).last)
+      .adds.keySet
+    val merges0 = GraftSqlSeams.positionDeltaMerges.get()
+    spark.sql(s"UPDATE $ns.uorders SET o_totalprice = " +
+      "o_totalprice + 5.0 WHERE o_orderkey % 7 = 3")
+    require(GraftSqlSeams.positionDeltaMerges.get() == merges0 + 1,
+      "UPDATE did not ride the position-delta (SupportsDelta) path")
+    val st = graft.sources.DeltaLog
+      .replay(uDir, graft.sources.DeltaLog.versions(uDir).last)
+    require(adds0.subsetOf(st.adds.keySet),
+      "position-delta UPDATE must keep every base file live (no " +
+        "copy-on-write rewrite)")
+    val tombstoned = st.adds.view.filterKeys(adds0)
+      .values.flatMap(_.dv).map(_.cardinality).sum
+    require(tombstoned > 0,
+      "updated rows must be deletion-vector tombstones")
+    val ch = DeltaLog.readChanges(spark, uDir, 2L, 2L)
+    val types = ch.select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(types == Set("update_preimage", "update_postimage"),
+      s"an UPDATE's CDF must be exact pre/post pairs, got $types")
+    ch.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("_change_type"))
+      .orderBy(col("_change_type"), col("o_orderkey"))
+  }
+
+  val sqlUpdateDeltaSql: String =
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 3)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'update_preimage' AS _change_type FROM upd
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice + 5.0, 'update_postimage' FROM upd
+      |ORDER BY _change_type, o_orderkey""".stripMargin
+
+  /** q248 — ICEBERG MERGE-ON-READ SQL UPDATE: q247 on the other
+    * format — the scattered UPDATE commits real Iceberg's MoR wire:
+    * ONE v2 snapshot (operation=overwrite) carrying a
+    * position-delete manifest tombstoning the updated positions plus
+    * the new data manifest holding the updated rows; zero data files
+    * rewritten, foreign-reader-applicable. In-query `require`s pin
+    * the seam, every base file live, position deletes present, and
+    * connector ≡ library MoR count. (`write.update.mode` honored:
+    * q233 pins the copy-on-write opt-out.) */
+  def sqlIcebergUpdateMor(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ns = freshNs(spark, iceberg = true)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.iupd (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE)""")
+    spark.sql(s"INSERT INTO $ns.iupd SELECT $cols FROM $v")
+    val tdir = tableDirOf(spark, iceberg = true, ns, "iupd")
+    val files0 = Iceberg
+      .batchPlan(tdir, Iceberg.mainSnapshotId(tdir))
+      .files.map(_.path).toSet
+    val merges0 = GraftSqlSeams.positionDeltaMerges.get()
+    spark.sql(s"UPDATE $ns.iupd SET o_totalprice = " +
+      "o_totalprice + 5.0 WHERE o_orderkey % 7 = 3")
+    require(GraftSqlSeams.positionDeltaMerges.get() == merges0 + 1,
+      "Iceberg UPDATE did not ride the position-delta path")
+    val plan2 = Iceberg
+      .batchPlan(tdir, Iceberg.mainSnapshotId(tdir))
+    require(files0.subsetOf(plan2.files.map(_.path).toSet),
+      "MoR UPDATE must keep every base data file live")
+    require(plan2.posDeleteFiles.nonEmpty,
+      "the update snapshot must carry POSITION deletes")
+    val out = spark.sql(s"SELECT * FROM $ns.iupd")
+    val n = out.count()
+    val lib = Iceberg.read(spark, tdir).count()
+    require(n == lib, s"connector read $n rows, library MoR $lib")
+    out.orderBy(col("o_orderkey"))
+  }
+
+  val sqlIcebergUpdateMorSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 5.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   val sqlIcebergMergeDeltaSql: String =
     """WITH v AS (

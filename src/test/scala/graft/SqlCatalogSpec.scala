@@ -140,8 +140,11 @@ class SqlCatalogSpec extends SparkSuite {
   }
 
   test("delta catalog: COW UPDATE prunes the rewrite group") {
+    // delta.enableDeletionVectors=false opts OUT of the
+    // position-delta default (round 17) — the COW rewrite serves
     sql("""CREATE TABLE gsql.db.upd (k BIGINT, s STRING, v BIGINT)
-          |PARTITIONED BY (s)""".stripMargin)
+          |PARTITIONED BY (s) TBLPROPERTIES
+          |('delta.enableDeletionVectors' = 'false')""".stripMargin)
     sql("INSERT INTO gsql.db.upd SELECT id, 'a', id FROM range(10)")
     sql("INSERT INTO gsql.db.upd SELECT id, 'b', id FROM range(10)")
     sql("INSERT INTO gsql.db.upd SELECT id, 'c', id FROM range(10)")
@@ -180,6 +183,7 @@ class SqlCatalogSpec extends SparkSuite {
   test("delta catalog: SQL COW DML derives CDF change data") {
     sql("CREATE TABLE gsql.db.cdf (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true', " +
+      "'delta.enableDeletionVectors' = 'false', " +
       s"'${DeltaLog.CdfKeyColsProp}' = 'k')")
     sql("INSERT INTO gsql.db.cdf SELECT id, id FROM range(10)")
     val dir = tdir(s"$wh/db/cdf")
@@ -227,7 +231,8 @@ class SqlCatalogSpec extends SparkSuite {
     // UPDATE's rewrite group prunes to the touched partition
     sql("""CREATE TABLE gsql.db.cdfp (k BIGINT, s STRING, v BIGINT)
           |PARTITIONED BY (s)
-          |TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')
+          |TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true',
+          |'delta.enableDeletionVectors' = 'false')
           |""".stripMargin)
     sql("INSERT INTO gsql.db.cdfp SELECT id, " +
       "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id FROM range(10)")
@@ -244,6 +249,59 @@ class SqlCatalogSpec extends SparkSuite {
     assert(pr < pl, s"partition conjunct did not prune ($pl/$pr)")
     assert(DeltaLog.readChanges(spark, dirP, 3, 3)
       .filter("_change_type = 'update_postimage'").count() === 1)
+  }
+
+  test("delta catalog: position-delta MERGE on a COLUMN-MAPPED table") {
+    // the r16 verdict's item 3: a mapped CDC silver gets the
+    // no-rewrite MERGE — writers spell physical names, DVs key on
+    // positions, CDF pre-images read physically and surface logical
+    // names; a RENAME between merges is metadata-only and the CDF
+    // keeps serving the CURRENT logical names
+    sql("CREATE TABLE gsql.db.mmap (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delta.columnMapping.mode' = 'name', " +
+      "'delta.enableChangeDataFeed' = 'true')")
+    sql("INSERT INTO gsql.db.mmap SELECT id, id FROM range(10)")
+    val dir = tdir(s"$wh/db/mmap")
+    def st() = DeltaLog.replay(dir, DeltaLog.versions(dir).last)
+    assert(st().columnMapping.nonEmpty, "fixture must be mapped")
+    val adds0 = st().adds.keySet
+    val merges0 = GraftSqlSeams.positionDeltaMerges.get()
+    spark.sql("SELECT * FROM VALUES (1, 100L), (2, -1L), (20, 2000L) " +
+      "AS s(k, v)").createOrReplaceTempView("mmap_src")
+    sql("""MERGE INTO gsql.db.mmap t USING mmap_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(GraftSqlSeams.positionDeltaMerges.get() === merges0 + 1,
+      "mapped MERGE must ride the position-delta path")
+    val st1 = st()
+    assert(adds0.subsetOf(st1.adds.keySet),
+      "mapped position-delta MERGE must keep every base file live")
+    assert(st1.adds.view.filterKeys(adds0)
+      .values.flatMap(_.dv).map(_.cardinality).sum === 2L,
+      "one deleted + one updated row tombstoned as DVs")
+    val got = rows(sql("SELECT k, v FROM gsql.db.mmap"))
+    assert(got.contains("[1,100]") && got.contains("[20,2000]") &&
+      !got.exists(_.startsWith("[2,")) && got.size === 10)
+    // exact CDF tags, logical names, no declared keys
+    val ch = DeltaLog.readChanges(spark, dir, 2, 2)
+    assert(rows(ch.select("k", "v", "_change_type")).sorted ===
+      Seq("[1,1,update_preimage]", "[1,100,update_postimage]",
+        "[2,2,delete]", "[20,2000,insert]").sorted)
+    // rename-safe: a metadata-only RENAME between merges — the next
+    // MERGE and its CDF speak the NEW logical name over the same
+    // physical columns
+    sql("ALTER TABLE gsql.db.mmap RENAME COLUMN v TO amount")
+    spark.sql("SELECT * FROM VALUES (3, 300L) AS s(k, amount)")
+      .createOrReplaceTempView("mmap_src2")
+    sql("""MERGE INTO gsql.db.mmap t USING mmap_src2 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET amount = s.amount""".stripMargin)
+    assert(GraftSqlSeams.positionDeltaMerges.get() === merges0 + 2)
+    val ch2 = DeltaLog.readChanges(spark, dir, 4, 4)
+    assert(rows(ch2.select("k", "amount", "_change_type")).sorted ===
+      Seq("[3,3,update_preimage]", "[3,300,update_postimage]").sorted)
+    assert(sql("SELECT amount FROM gsql.db.mmap WHERE k = 3")
+      .head.getLong(0) === 300)
   }
 
   test("delta catalog: MERGE is position-delta — DV tombstones, no rewrite") {
@@ -769,6 +827,10 @@ class SqlCatalogSpec extends SparkSuite {
     sql("INSERT INTO gice.db.iupd SELECT id, 'a', id FROM range(10)")
     sql("INSERT INTO gice.db.iupd SELECT id, 'b', id FROM range(10)")
     sql("INSERT INTO gice.db.iupd SELECT id, 'c', id FROM range(10)")
+    // write.update.mode=copy-on-write opts OUT of the merge-on-read
+    // default (round 17) — real Iceberg's routing property
+    sql("ALTER TABLE gice.db.iupd SET TBLPROPERTIES " +
+      "('write.update.mode' = 'copy-on-write')")
     val dir = tdir(s"$wh/_ice/db/iupd")
     val bFiles = Iceberg.batchPlan(dir, Iceberg.snapshotIds(dir).max)
       .files.count(_.pv.get("s").contains("b"))
@@ -830,7 +892,12 @@ class SqlCatalogSpec extends SparkSuite {
     assert(Iceberg.read(spark, t).count() === 1)
   }
 
-  test("iceberg COW conflict: disjoint racing append retries") {
+  // round 17: UPDATE defaults to merge-on-read, so this pair now
+  // pins the POSITION-DELTA commit's conflict proving (the r16
+  // valueRanges=Map.empty gap closed): a racing append whose file
+  // bounds provably miss the pushed range retries INTERNALLY; an
+  // overlapping add aborts loudly.
+  test("iceberg MoR conflict: disjoint racing append retries") {
     sql("CREATE TABLE gice.db.irace (k BIGINT, v BIGINT)")
     sql("INSERT INTO gice.db.irace SELECT id + 100, id FROM range(10)")
     val dir = tdir(s"$wh/_ice/db/irace")
@@ -853,7 +920,7 @@ class SqlCatalogSpec extends SparkSuite {
       .head.getLong(0) === 45)
   }
 
-  test("iceberg COW conflict: overlapping racing append aborts") {
+  test("iceberg MoR conflict: overlapping racing append aborts") {
     sql("CREATE TABLE gice.db.irace2 (k BIGINT, v BIGINT)")
     sql("INSERT INTO gice.db.irace2 SELECT id, id FROM range(10)")
     val dir = tdir(s"$wh/_ice/db/irace2")
@@ -874,6 +941,87 @@ class SqlCatalogSpec extends SparkSuite {
     } finally sources.Iceberg.commitClaimHook = (_, _) => ()
     assert(planted)
   }
+  test("iceberg MoR conflict: racing append vs MERGE race matrix") {
+    // the r16 verdict's item 2 done-criterion: a range-disjoint
+    // append racing a merge-on-read MERGE lands with NO caller
+    // retry; an overlapping one aborts loudly
+    sql("CREATE TABLE gice.db.mrace (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gice.db.mrace SELECT id + 100, id FROM range(10)")
+    val dir = tdir(s"$wh/_ice/db/mrace")
+    spark.sql("SELECT * FROM VALUES (105, 500L), (250, 900L) AS s(k, v)")
+      .createOrReplaceTempView("mrace_src")
+    @volatile var planted = false
+    sources.Iceberg.commitClaimHook = (d, _) =>
+      if (d == dir && !planted) {
+        planted = true
+        // k in [0, 9]: provably outside the merge's t.k >= 100 push
+        Iceberg.commitAppend(
+          spark.range(10).selectExpr("id AS k", "id AS v"), dir): Unit
+      }
+    try sql("""MERGE INTO gice.db.mrace t USING mrace_src s
+          |ON t.k = s.k AND t.k >= 100
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally sources.Iceberg.commitClaimHook = (_, _) => ()
+    assert(planted)
+    // merge landed (105 updated, 250 inserted) AND the racing
+    // append's 10 rows survived — no caller re-run
+    assert(sql("SELECT count(*) FROM gice.db.mrace").head.getLong(0)
+      === 21)
+    assert(sql("SELECT v FROM gice.db.mrace WHERE k = 105")
+      .head.getLong(0) === 500)
+    assert(sql("SELECT v FROM gice.db.mrace WHERE k = 250")
+      .head.getLong(0) === 900)
+    assert(sql("SELECT sum(v) FROM gice.db.mrace WHERE k < 100")
+      .head.getLong(0) === 45)
+  }
+
+  // the copy-on-write conflict loop keeps its own race coverage via
+  // the opt-out routing (the default now rides position-delta)
+  test("iceberg COW conflict (opt-out): disjoint racing append retries") {
+    sql("CREATE TABLE gice.db.crace (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gice.db.crace SELECT id + 100, id FROM range(10)")
+    sql("ALTER TABLE gice.db.crace SET TBLPROPERTIES " +
+      "('write.update.mode' = 'copy-on-write')")
+    val dir = tdir(s"$wh/_ice/db/crace")
+    @volatile var planted = false
+    sources.Iceberg.commitClaimHook = (d, _) =>
+      if (d == dir && !planted) {
+        planted = true
+        Iceberg.commitAppend(
+          spark.range(10).selectExpr("id AS k", "id AS v"), dir): Unit
+      }
+    try sql("UPDATE gice.db.crace SET v = v + 1 WHERE k >= 100")
+    finally sources.Iceberg.commitClaimHook = (_, _) => ()
+    assert(planted)
+    assert(sql("SELECT count(*) FROM gice.db.crace").head.getLong(0)
+      === 20)
+    assert(sql("SELECT sum(v) FROM gice.db.crace WHERE k >= 100")
+      .head.getLong(0) === 55)
+  }
+
+  test("delta COW conflict (opt-out): disjoint racing append retries") {
+    sql("""CREATE TABLE gsql.db.cwrace (k BIGINT, s STRING)
+          |PARTITIONED BY (s) TBLPROPERTIES
+          |('delta.enableDeletionVectors' = 'false')""".stripMargin)
+    sql("INSERT INTO gsql.db.cwrace SELECT id, 'a' FROM range(10)")
+    val dir = tdir(s"$wh/db/cwrace")
+    @volatile var planted = false
+    sources.DeltaLog.commitClaimHook = (d, _) =>
+      if (d == dir && !planted) {
+        planted = true
+        val extra = spark.range(3).selectExpr("id AS k", "'c' AS s")
+        DeltaLog.commitAppendPartitioned(extra, dir, Seq("s")): Unit
+      }
+    try sql("UPDATE gsql.db.cwrace SET k = k + 100 WHERE s = 'a'")
+    finally sources.DeltaLog.commitClaimHook = (_, _) => ()
+    assert(planted)
+    assert(sql("SELECT count(*) FROM gsql.db.cwrace WHERE s = 'c'")
+      .head.getLong(0) === 3)
+    assert(sql("SELECT min(k) FROM gsql.db.cwrace WHERE s = 'a'")
+      .head.getLong(0) === 100)
+  }
+
   test("delta catalog: atomic CTAS and REPLACE TABLE AS SELECT") {
     sql("CREATE TABLE gsql.db.ctas AS " +
       "SELECT id AS k, id * 2 AS v FROM range(10)")
