@@ -1820,6 +1820,14 @@ object DeltaLog {
     if (vs.isEmpty) None
     else {
       val st = replay(tableDir, vs.last)
+      // the spec's writer gate applies to APPENDS too (since round
+      // 17): a table whose protocol demands an unimplemented writer
+      // capability (rowTracking, icebergCompatV2, identity columns'
+      // minWriterVersion 6, ...) refuses even blind adds — appending
+      // past the feature could corrupt the invariant it protects for
+      // foreign readers. Every append entry point funnels through
+      // this replay, so the gate costs nothing extra.
+      requireWriterSupported(st, tableDir, op)
       require(st.partitionColumns == partCols,
         if (partCols.isEmpty)
           s"$op on PARTITIONED table $tableDir (partitioned by " +

@@ -78,6 +78,7 @@ object Iceberg {
       |{"name":"manifest_length","type":"long"},
       |{"name":"partition_spec_id","type":"int"},
       |{"name":"content","type":"int","default":0},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"added_snapshot_id","type":["null","long"],"default":null}
       |]}""".stripMargin)
 
@@ -1905,6 +1906,38 @@ object Iceberg {
   @volatile private[graft] var commitClaimHook: (String, Int) => Unit =
     (_, _) => ()
 
+  /** Snapshot id + SEQUENCE NUMBER for a new commit on `meta`'s
+    * current state. This engine's own tables mint ids max+1, making
+    * id and sequence coincide — the historical convention every
+    * reader here supports via the added_snapshot_id fallback. On a
+    * FOREIGN table whose random 64-bit snapshot ids approach
+    * overflow, max+1 could wrap (negative id, and a wrapped value
+    * used as a sequence would mis-scope later equality deletes) —
+    * so past 2^62 the id is minted RANDOM with a collision check,
+    * exactly as real clients do, and the sequence derives from the
+    * metadata's `last-sequence-number` + 1, written EXPLICITLY on
+    * the new manifest-list rows so sequence scoping never rides the
+    * id (cf. ADVICE r16). */
+  private def newSnapshotIdAndSeq(meta: ObjectNode): (Long, Long) = {
+    val ids = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong).toSet
+    val maxId = ids.maxOption.getOrElse(0L)
+    val lastSeq =
+      if (meta.has("last-sequence-number"))
+        meta.get("last-sequence-number").asLong
+      else maxId // legacy v1 metadata: ids ARE the sequence here
+    if (maxId < (1L << 62)) {
+      val id = maxId + 1
+      (id, math.max(lastSeq, maxId) + 1)
+    } else {
+      var id = 0L
+      do id = java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(1L, Long.MaxValue)
+      while (ids.contains(id))
+      (id, lastSeq + 1)
+    }
+  }
+
   /** Wall-clock timestamp for a new snapshot, forced past every
     * recorded one — same-millisecond commits (and clock skew) would
     * otherwise make `timestamp-ms` useless as the time-travel search
@@ -2445,8 +2478,9 @@ object Iceberg {
     var meta = baseMeta
     var v = baseV
     var curId = baseCurId
-    var snapshotId = meta.get("snapshots").elements().asScala
-      .map(_.get("snapshot-id").asLong).max + 1L
+    var minted0 = newSnapshotIdAndSeq(meta)
+    var snapshotId = minted0._1
+    var seqNum = minted0._2
     while (true) {
       // every avro this ATTEMPT mints — a lost CAS deletes them
       // before retrying (they reference a snapshot id that will be
@@ -2484,9 +2518,13 @@ object Iceberg {
           val specId = fieldOpt(r, "partition_spec_id")
             .map(_.asInstanceOf[Int]).getOrElse(0)
           val addedBy = r.get("added_snapshot_id")
+          // carried rows keep their recorded sequence (null = the
+          // reader's added_snapshot_id fallback, exact on this
+          // engine's own layouts)
+          val seq: Any = fieldOpt(r, "sequence_number").orNull
           if (content != 0)
             Some((path, new File(path).length(), content, addedBy,
-              specId))
+              specId, seq))
           else {
             val entries = readAvro(path)
             val kept = entries.filter { e =>
@@ -2497,7 +2535,7 @@ object Iceberg {
             }
             if (kept.size == entries.size)
               Some((path, new File(path).length(), content, addedBy,
-                specId))
+                specId, seq))
             else if (kept.isEmpty) None
             else {
               val filtered =
@@ -2506,7 +2544,7 @@ object Iceberg {
               writeAvro(filtered, entries.head.getSchema, kept)
               minted += filtered
               Some((filtered, new File(filtered).length(), content,
-                addedBy, specId))
+                addedBy, specId, seq))
             }
           }
         }
@@ -2519,23 +2557,25 @@ object Iceberg {
           meta.get("default-spec-id").asInt else 0
       writeAvro(listPath, listSchema,
         (carried :+ (newManifest, new File(newManifest).length(), 0,
-          snapshotId: Any, defaultSpecId)).map {
-          case (p, len, content, addedBy, specId) =>
+          snapshotId: Any, defaultSpecId, (seqNum: java.lang.Long): Any))
+          .map {
+          case (p, len, content, addedBy, specId, seq) =>
             val r = new GenericData.Record(listSchema)
             r.put("manifest_path", p)
             r.put("manifest_length", len)
             r.put("partition_spec_id", specId)
             if (fv == 2) r.put("content", content)
+            if (fv == 2 && seq != null) r.put("sequence_number", seq)
             r.put("added_snapshot_id", addedBy)
             r
         })
       val next = meta.deepCopy[ObjectNode]()
-      if (fv == 2) next.put("last-sequence-number", snapshotId)
+      if (fv == 2) next.put("last-sequence-number", seqNum)
       next.put("current-snapshot-id", snapshotId)
       val sn = next.withArray[ArrayNode]("snapshots").addObject()
       sn.put("snapshot-id", snapshotId)
       sn.put("parent-snapshot-id", curId)
-      if (fv == 2) sn.put("sequence-number", snapshotId)
+      if (fv == 2) sn.put("sequence-number", seqNum)
       val ts = nextSnapshotTs(Some(meta))
       sn.put("timestamp-ms", ts)
       sn.putObject("summary").put("operation", "overwrite")
@@ -2557,8 +2597,9 @@ object Iceberg {
       meta = headMeta
       v = headV
       curId = headMeta.get("current-snapshot-id").asLong
-      snapshotId = headMeta.get("snapshots").elements().asScala
-        .map(_.get("snapshot-id").asLong).max + 1L
+      minted0 = newSnapshotIdAndSeq(headMeta)
+      snapshotId = minted0._1
+      seqNum = minted0._2
     }
     -1L // unreachable
   }
@@ -2875,11 +2916,6 @@ object Iceberg {
             val parentId = s.get("parent-snapshot-id").asLong
             val parent = planFilesAll(tableDir, meta, parentId)
             val cur = planFilesAll(tableDir, meta, id)
-            require(parent.eqDeletes.isEmpty,
-              s"snapshot $id of $tableDir overwrites a state with " +
-                "EQUALITY deletes — their value-matched masking " +
-                "cannot be inverted per removed file; use the batch " +
-                "table-diff reads (or skipOverwriteSnapshots)")
             def strip(p: String) = stripFileUri(p)
             // UN-DELETE guard: an overwrite/RESTORE that drops a
             // position-delete file while RETAINING its target data
@@ -2907,34 +2943,58 @@ object Iceberg {
             val parentDelN = parent.deleteFiles.map(normU).toSet
             val addedDel = cur.deleteFiles
               .filterNot(d => parentDelN.contains(normU(d)))
+            val parentEqN =
+              parent.eqDeletes.map(d => normU(d.path)).toSet
+            val addedEq = cur.eqDeletes
+              .filterNot(d => parentEqN.contains(normU(d.path)))
             val parentPathsN = parent.data.map(f => normU(f.path)).toSet
             val removedAny = parent.data.exists(f =>
               !cur.data.map(x => normU(x.path)).toSet
                 .contains(normU(f.path)))
-            if (addedDel.nonEmpty && cur.eqDeletes.isEmpty &&
+            if ((addedDel.nonEmpty || addedEq.nonEmpty) &&
                 !removedAny) {
               // the MERGE-ON-READ shape (this engine's own
-              // position-delta MERGE, and any foreign MoR writer):
+              // position-delta MERGE, and any foreign MoR writer —
+              // Flink's combined CDC upsert commits exactly this):
               // an overwrite that REMOVES nothing, ADDS data files,
-              // and ADDS position-delete files has an exact CDF
-              // spelling — the new pos-deletes stream their targeted
+              // and ADDS position/equality delete files has an exact
+              // CDF spelling — new pos-deletes stream their targeted
               // rows as `delete` pre-images (the delete-snapshot
-              // machinery), the added files stream as `insert`s; an
+              // machinery), new EQ-deletes stream their doomed keys
+              // (or full pre-images under eqDeletePreimages, whose
+              // planner diffs parent-vs-current delete sets and so
+              // serves overwrite snapshots unchanged — r16 verdict
+              // item 5), and the added files stream as `insert`s; an
               // update surfaces as its delete+insert pair (the
-              // changelog contract without row lineage)
+              // changelog contract without row lineage). Sequence
+              // scoping holds by construction: only PARENT data
+              // files are probed for pre-images, so rows added in
+              // this same snapshot never match their own deletes.
               val added = addedDataFiles(s, id).filter(f =>
                 !parentPathsN.contains(normU(f.path)))
               CdfSnapshot(id, "overwrite", added,
-                addedDel.map(strip), Seq.empty,
+                addedDel.map(strip),
+                addedEq.map(d => strip(d.path)),
                 snapshotDataTuples(s, partitioned))
             } else {
-            require(addedDel.isEmpty && cur.eqDeletes.isEmpty,
+            // the FILE-REPLACEMENT shape: removed files stream as
+            // deletes masked by the parent's POSITION deletes — a
+            // parent EQUALITY delete's value-matched masking cannot
+            // be inverted per removed file, so that combination
+            // refuses to the batch table-diff reads
+            require(parent.eqDeletes.isEmpty,
+              s"snapshot $id of $tableDir overwrites a state with " +
+                "EQUALITY deletes — their value-matched masking " +
+                "cannot be inverted per removed file; use the batch " +
+                "table-diff reads (or skipOverwriteSnapshots)")
+            require(addedDel.isEmpty && addedEq.isEmpty,
               s"snapshot $id of $tableDir ADDS delete files " +
                 s"(${addedDel.size} positional, " +
-                s"${cur.eqDeletes.size} equality) in an overwrite — " +
-                "row-level deletes inside a file-replacement commit " +
-                "have no CDF spelling; use the batch table-diff " +
-                "reads (or skipOverwriteSnapshots)")
+                s"${addedEq.size} equality) in an overwrite that " +
+                "also REMOVES data files — row-level deletes inside " +
+                "a file-replacement commit have no CDF spelling; " +
+                "use the batch table-diff reads (or " +
+                "skipOverwriteSnapshots)")
             val droppedDel = parent.deleteFiles
               .filterNot(d => curDelN.contains(normU(d)))
             if (droppedDel.nonEmpty && retainedN.nonEmpty)
@@ -3252,7 +3312,8 @@ object Iceberg {
   private[graft] case class BatchPlanned(schema: StructType,
       ids: Map[String, Int], partCols: Seq[String],
       filesCarryPartCols: Boolean, files: Seq[BatchFilePlan],
-      posDeleteFiles: Seq[String], eqDeletes: Seq[BatchEqDelete]) {
+      posDeleteFiles: Seq[String], eqDeletes: Seq[BatchEqDelete],
+      tableDir: String = "") {
     def hasEqDeletes: Boolean = eqDeletes.nonEmpty
   }
 
@@ -3265,7 +3326,7 @@ object Iceberg {
       return BatchPlanned(schemaFromMetadata(meta),
         if (hasNameMapping(meta)) Map.empty else fieldIds(meta),
         partitionColsOf(meta), filesCarryPartCols = true,
-        Seq.empty, Seq.empty, Seq.empty)
+        Seq.empty, Seq.empty, Seq.empty, tableDir)
     val idToName = fieldIds(meta).map(_.swap)
     val p = planFilesAll(tableDir, meta, snapshotId)
     val partCols = partitionColsOf(meta)
@@ -3294,7 +3355,7 @@ object Iceberg {
         d.fieldIds.map(id => idToName.getOrElse(id,
           throw new IllegalArgumentException(
             s"equality_ids field $id not in table schema"))),
-        d.addedBy)))
+        d.addedBy)), tableDir)
   }
 
   /** The snapshot's POSITION deletes folded into per-data-file
@@ -3351,14 +3412,38 @@ object Iceberg {
       bm.cardinality)
   }
 
-  /** Per-plan seams for the DSv2 batch EQ-DELETE mask derivation:
+  /** Run `body` with a session conf temporarily set, restoring the
+    * prior value (or unsetting) afterwards — session confs must not
+    * leak past the bounded job that needed them (ADVICE r16): a
+    * later, unrelated name-resolving parquet read/write in the same
+    * session must see the session's own settings. `body` must
+    * MATERIALIZE its reads/writes before returning. */
+  private def withSessionConf[A](spark: SparkSession, key: String,
+                                 value: String)(body: => A): A = {
+    val prior = scala.util.Try(spark.conf.get(key)).toOption
+    spark.conf.set(key, value)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Per-TABLE seams for the DSv2 batch EQ-DELETE mask derivation:
     * live data files in the pinned snapshot / files the matching job
     * actually scanned after the sequence-scope ∩ key-bounds prune
-    * (-1 until a plan with equality deletes ran). A spec pins
+    * (absent until a plan with equality deletes ran for that dir).
+    * Keyed by table directory so concurrent scans of DIFFERENT
+    * tables never clobber each other's counts (ADVICE r16); a gate
+    * resets and reads its own table's entry. A spec pins
     * planned < total on a range-clustered table — the "priced as
     * O(matching files)" promise. */
-  @volatile private[graft] var lastEqMaskFilesTotal: Int = -1
-  @volatile private[graft] var lastEqMaskFilesPlanned: Int = -1
+  private val eqMaskStatsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private[graft] def eqMaskStats(tableDir: String): Option[(Int, Int)] =
+    Option(eqMaskStatsByDir.get(tableDir))
+  private[graft] def resetEqMaskStats(tableDir: String): Unit =
+    eqMaskStatsByDir.remove(tableDir): Unit
 
   /** EQUALITY deletes folded to per-file POSITION masks for the DSv2
     * batch scan — value-matched deletes become the same inline-bitmap
@@ -3385,18 +3470,14 @@ object Iceberg {
     * and a row appended after a delete lives in a file the sequence
     * fence excludes — exactly [[scanPlanned]]'s MoR anti-join
     * semantics, re-expressed as positions. Migrated tables whose
-    * data files hive-strip an identity partition column refuse when
-    * a delete keys on that column (the value never rides a data row,
-    * so row-wise matching is impossible) — [[Iceberg.read]] keeps
-    * serving that narrow shape. */
+    * data files hive-strip an identity partition column match
+    * through the MANIFEST partition tuple (the per-file value the
+    * spec records), synthesized as a literal column per
+    * partition-value subgroup — the value never rides a data row,
+    * but the tuple knows it (r16 verdict item 4). */
   private[graft] def eqDeleteBatchMasks(spark: SparkSession,
       plan: BatchPlanned): Map[String, Seq[Long]] = {
     if (plan.eqDeletes.isEmpty || plan.files.isEmpty) return Map.empty
-    plan.eqDeletes.foreach(d => require(plan.filesCarryPartCols ||
-      d.keyCols.forall(c => !plan.partCols.contains(c)),
-      s"graft-iceberg batch: equality delete ${d.path} keys on a " +
-        "hive-stripped partition column — data rows never carry the " +
-        "value; read through Iceberg.read's merge-on-read path"))
     val delBounds: Map[String, Map[String, (Long, Long)]] =
       plan.eqDeletes.map(d =>
         d.path -> eqDeleteKeyBounds(d.path, d.keyCols)).toMap
@@ -3408,25 +3489,48 @@ object Iceberg {
     val groups = plan.files
       .groupBy(f => plan.eqDeletes.filter(applies(_, f)).map(_.path))
       .filter(_._1.nonEmpty)
-    lastEqMaskFilesTotal = plan.files.size
-    lastEqMaskFilesPlanned = groups.valuesIterator.map(_.size).sum
+    eqMaskStatsByDir.put(plan.tableDir,
+      (plan.files.size, groups.valuesIterator.map(_.size).sum))
     if (groups.isEmpty) return Map.empty
     import org.apache.spark.sql.functions.{broadcast, col}
     val byName = plan.schema.fields.map(f => f.name -> f).toMap
-    if (plan.schema.fields.exists(
-        _.metadata.contains("parquet.field.id")))
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     def norm(p: String): String =
       if (p.startsWith("file:")) new java.net.URI(p).getPath else p
-    groups.toSeq.flatMap { case (delPaths, fs) =>
+    val needIds = plan.schema.fields.exists(
+      _.metadata.contains("parquet.field.id"))
+    def masks() = groups.toSeq.flatMap { case (delPaths, fs) =>
       val dels = plan.eqDeletes.filter(d => delPaths.contains(d.path))
       val keyCols = dels.flatMap(_.keyCols).distinct
-      val data = spark.read
-        .schema(StructType(keyCols.map(byName).toArray))
-        .parquet(fs.map(_.path).sorted: _*)
-        .select(keyCols.map(col) ++ Seq(
+      // hive-stripped identity partition columns never ride data
+      // rows — each file's value comes from its MANIFEST partition
+      // tuple, synthesized as a typed literal per partition-value
+      // subgroup (one scan per distinct tuple among the group's
+      // files; the common case is zero stripped keys = one scan)
+      val strippedKeys =
+        if (plan.filesCarryPartCols) Seq.empty[String]
+        else keyCols.filter(plan.partCols.contains)
+      val dataKeys = keyCols.filterNot(strippedKeys.contains)
+      def scanWith(files: Seq[BatchFilePlan],
+                   pv: Map[String, String]) = {
+        val base = spark.read
+          .schema(StructType(dataKeys.map(byName).toArray))
+          .parquet(files.map(_.path).sorted: _*)
+        strippedKeys.foldLeft(base) { (d, c) =>
+          val dt = byName(c).dataType
+          d.withColumn(c, Option(pv.getOrElse(c, null))
+            .map(v => org.apache.spark.sql.functions.lit(v).cast(dt))
+            .getOrElse(
+              org.apache.spark.sql.functions.lit(null).cast(dt)))
+        }.select(keyCols.map(col) ++ Seq(
           col("_metadata.file_path").as("_g_path"),
           col("_metadata.row_index").as("_g_pos")): _*)
+      }
+      val data =
+        if (strippedKeys.isEmpty) scanWith(fs, Map.empty)
+        else fs
+          .groupBy(f => strippedKeys.map(c => f.pv.getOrElse(c, null)))
+          .values.map(sub => scanWith(sub, sub.head.pv))
+          .reduce(_ unionByName _)
       dels.map { d =>
         // the delete file read with the TABLE schema's key fields —
         // id-resolving when the metadata carries field ids, so
@@ -3444,6 +3548,11 @@ object Iceberg {
         .collect().toSeq
         .map(r => (norm(r.getString(0)), r.getLong(1)))
     }.groupBy(_._1).map { case (p, ps) => p -> ps.map(_._2) }
+    // the collect() above materializes inside the scope — restore-safe
+    if (needIds)
+      withSessionConf(spark,
+        "spark.sql.parquet.fieldId.read.enabled", "true")(masks())
+    else masks()
   }
 
   /** The pinned snapshot's FULL row-mask surface for the DSv2 batch
@@ -3564,8 +3673,8 @@ object Iceberg {
     require(planned.data.nonEmpty, "nothing to delete from an empty table")
     // id-annotated so the position scan resolves post-rename files
     val schema = readSchemaFor(meta)
-    if (schema.fields.exists(_.metadata.contains("parquet.field.id")))
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val needReadIds =
+      schema.fields.exists(_.metadata.contains("parquet.field.id"))
     val partCols = partitionColsOf(meta)
     val dataSchema = StructType(
       schema.filterNot(f => partCols.contains(f.name)))
@@ -3608,19 +3717,26 @@ object Iceberg {
     val sub = s"data/delete-${java.util.UUID.randomUUID}"
     // the spec RESERVES field ids for position-delete columns:
     // file_path = 2147483546, pos = 2147483545 — real clients
-    // resolve delete files through exactly these ids
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    hits.filter(predicate)
-      .select(
-        col("_ice_path").as("file_path",
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id", 2147483546L).build()),
-        col("_ice_pos").as("pos",
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id", 2147483545L).build()))
-      .repartition(1)
-      .sortWithinPartitions(col("file_path"), col("pos")) // spec's sort
-      .write.parquet(s"$tableDir/$sub")
+    // resolve delete files through exactly these ids. Both fieldId
+    // confs apply only for the duration of this job (restore-safe:
+    // the write materializes the candidate scan too).
+    def writeDeletes(): Unit = withSessionConf(spark,
+        "spark.sql.parquet.fieldId.write.enabled", "true") {
+      hits.filter(predicate)
+        .select(
+          col("_ice_path").as("file_path",
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", 2147483546L).build()),
+          col("_ice_pos").as("pos",
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", 2147483545L).build()))
+        .repartition(1)
+        .sortWithinPartitions(col("file_path"), col("pos")) // spec's sort
+        .write.parquet(s"$tableDir/$sub")
+    }
+    if (needReadIds) withSessionConf(spark,
+      "spark.sql.parquet.fieldId.read.enabled", "true")(writeDeletes())
+    else writeDeletes()
     val part = Option(new File(tableDir, sub).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
@@ -3629,8 +3745,7 @@ object Iceberg {
       graft.util.Fs.deleteRecursively(new File(tableDir, sub))
       return curId
     }
-    val snapshotId: Long = meta.get("snapshots").elements().asScala
-      .map(_.get("snapshot-id").asLong).max + 1L
+    val snapshotId: Long = newSnapshotIdAndSeq(meta)._1
     // one delete manifest per commit ATTEMPT (a conflict-proved
     // retry re-mints it under the new snapshot id)
     def writeManifest(sid: Long): String = {
@@ -3765,24 +3880,25 @@ object Iceberg {
     val delRows: Seq[(String, Long)] = touched.toSeq.sortBy(_._1)
       .flatMap { case (p, bm) => bm.toPositions.map(pos => (p, pos)) }
     val sub = s"data/delete-${java.util.UUID.randomUUID}"
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     import spark.implicits._
-    delRows.toDF("file_path", "pos")
-      .select(
-        col("file_path").as("file_path",
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id", 2147483546L).build()),
-        col("pos").as("pos",
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id", 2147483545L).build()))
-      .repartition(1)
-      .sortWithinPartitions(col("file_path"), col("pos"))
-      .write.parquet(s"$tableDir/$sub")
+    withSessionConf(spark,
+        "spark.sql.parquet.fieldId.write.enabled", "true") {
+      delRows.toDF("file_path", "pos")
+        .select(
+          col("file_path").as("file_path",
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", 2147483546L).build()),
+          col("pos").as("pos",
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", 2147483545L).build()))
+        .repartition(1)
+        .sortWithinPartitions(col("file_path"), col("pos"))
+        .write.parquet(s"$tableDir/$sub")
+    }
     val part = Option(new File(tableDir, sub).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-    val snapshotId: Long = meta.get("snapshots").elements().asScala
-      .map(_.get("snapshot-id").asLong).max + 1L
+    val snapshotId: Long = newSnapshotIdAndSeq(meta)._1
     def writeManifest(sid: Long): String = {
       val dm = s"${metaDir(tableDir)}/snap-$sid-${
         java.util.UUID.randomUUID}-d0.avro"
@@ -3907,6 +4023,10 @@ object Iceberg {
     var v = v0
     var curId = curId0
     var snapshotId = snapshotId0
+    // the TRUE sequence number — coincides with the id on this
+    // engine's own tables, decouples on foreign random-id tables
+    // (overflow-safe; see newSnapshotIdAndSeq)
+    var seqNum = newSnapshotIdAndSeq(meta)._2
     var dm = writeManifest(snapshotId)
     while (true) {
       val curSnap = meta.get("snapshots").elements().asScala
@@ -3926,6 +4046,10 @@ object Iceberg {
             .map(_.asInstanceOf[Int]).getOrElse(0))
         n.put("content",
           fieldOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0))
+        // carried rows keep their recorded sequence (null = reader
+        // falls back to added_snapshot_id, the legacy convention)
+        fieldOpt(r, "sequence_number")
+          .foreach(s => n.put("sequence_number", s))
         n.put("added_snapshot_id", r.get("added_snapshot_id"))
         n
       } ++ (dataManifests.map(m => (m._1, m._2, 0)) :+
@@ -3937,6 +4061,8 @@ object Iceberg {
           if (meta.has("default-spec-id"))
             meta.get("default-spec-id").asInt else 0)
         n.put("content", content)
+        // explicit sequence: scoping never rides the snapshot id
+        n.put("sequence_number", seqNum)
         n.put("added_snapshot_id", snapshotId)
         n
       }
@@ -3944,12 +4070,12 @@ object Iceberg {
       // v2 metadata: schema/spec/history unchanged, format upgraded
       val next = meta.deepCopy[ObjectNode]()
       next.put("format-version", 2)
-      next.put("last-sequence-number", snapshotId)
+      next.put("last-sequence-number", seqNum)
       next.put("current-snapshot-id", snapshotId)
       val sn = next.withArray[ArrayNode]("snapshots").addObject()
       sn.put("snapshot-id", snapshotId)
       sn.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
-      sn.put("sequence-number", snapshotId)
+      sn.put("sequence-number", seqNum)
       sn.put("timestamp-ms", nextSnapshotTs(Some(meta)))
       sn.putObject("summary").put("operation", operation)
       sn.put("manifest-list", listPath)
@@ -3964,8 +4090,9 @@ object Iceberg {
       meta = headMeta
       v = headV
       curId = headMeta.get("current-snapshot-id").asLong
-      snapshotId = headMeta.get("snapshots").elements().asScala
-        .map(_.get("snapshot-id").asLong).max + 1L
+      val minted = newSnapshotIdAndSeq(headMeta)
+      snapshotId = minted._1
+      seqNum = minted._2
       dm = writeManifest(snapshotId)
     }
     -1L // unreachable
@@ -4014,8 +4141,7 @@ object Iceberg {
       graft.util.Fs.deleteRecursively(new File(tableDir, sub))
       return curId
     }
-    val snapshotId: Long = meta.get("snapshots").elements().asScala
-      .map(_.get("snapshot-id").asLong).max + 1L
+    val snapshotId: Long = newSnapshotIdAndSeq(meta)._1
     def writeManifest(sid: Long): String = {
       val dm = s"${metaDir(tableDir)}/snap-$sid-${
         java.util.UUID.randomUUID}-d0.avro"

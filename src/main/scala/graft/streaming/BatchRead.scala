@@ -1292,10 +1292,10 @@ object BatchReadQueries {
   def dsv2IcebergEqDelete(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Iceberg.ordersIcebergUpsert2Table(spark, dir)
-    Iceberg.lastEqMaskFilesPlanned = -1
+    Iceberg.resetEqMaskStats(t)
     val df = icebergDf(spark, t).orderBy(col("o_orderkey"))
     df.collect() // execute: masks derive, plan finalizes
-    require(Iceberg.lastEqMaskFilesPlanned >= 0,
+    require(Iceberg.eqMaskStats(t).isDefined,
       "eq-mask derivation never ran — a fallback served the read")
     val plan = df.queryExecution.executedPlan.toString()
     require(plan.contains("BatchScan") && !plan.contains("Join"),

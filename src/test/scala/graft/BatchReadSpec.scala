@@ -282,7 +282,7 @@ class BatchReadSpec extends SparkSuite {
       (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"), dir)
     sources.Iceberg.upsert(spark, dir,
       Seq((5L, "V5"), (21L, "V21")).toDF("k", "s"), Seq("k"))
-    sources.Iceberg.lastEqMaskFilesPlanned = -1
+    sources.Iceberg.resetEqMaskStats(dir)
     val df = iceberg(dir)
     assert(sortedRows(df) ==
       sortedRows(sources.Iceberg.read(spark, dir)),
@@ -294,7 +294,7 @@ class BatchReadSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString()
     assert(!plan.contains("Join"),
       s"eq-deletes must mask positions, not join:\n$plan")
-    assert(sources.Iceberg.lastEqMaskFilesPlanned >= 0,
+    assert(sources.Iceberg.eqMaskStats(dir).isDefined,
       "the eq-mask derivation seam never ran")
     // STACKED upserts: the second delete retires both generations
     sources.Iceberg.upsert(spark, dir,
@@ -340,14 +340,11 @@ class BatchReadSpec extends SparkSuite {
         .repartition(1), dir)
     sources.Iceberg.deleteWhereEquality(spark, dir,
       Seq(150L, 160L).toDF("k"))
-    sources.Iceberg.lastEqMaskFilesTotal = -1
-    sources.Iceberg.lastEqMaskFilesPlanned = -1
+    sources.Iceberg.resetEqMaskStats(dir)
     assert(iceberg(dir).count() == 198)
-    assert(sources.Iceberg.lastEqMaskFilesTotal == 2 &&
-      sources.Iceberg.lastEqMaskFilesPlanned == 1,
-      s"key-bounds prune expected 1/2 files, got " +
-        s"${sources.Iceberg.lastEqMaskFilesPlanned}/" +
-        s"${sources.Iceberg.lastEqMaskFilesTotal}")
+    assert(sources.Iceberg.eqMaskStats(dir) === Some((2, 1)),
+      s"key-bounds prune expected planned 1 of total 2 files, got " +
+        s"${sources.Iceberg.eqMaskStats(dir)}")
     // schema evolution AFTER the delete: old files' masks still
     // apply; the new column null-fills on pre-evolution files
     val schema = sources.Iceberg.read(spark, dir).schema
@@ -366,7 +363,11 @@ class BatchReadSpec extends SparkSuite {
       sortedRows(sources.Iceberg.read(spark, dir)))
   }
 
-  test("eq-delete keyed on a hive-stripped partition column refuses") {
+  test("eq-delete keyed on a hive-stripped partition column matches via tuple") {
+    // the r16 refusal closed (verdict item 4): the data rows never
+    // carry the stripped identity column, but each file's MANIFEST
+    // partition tuple does — the mask job synthesizes it as a typed
+    // literal per partition-value subgroup and matches row-wise
     val work = Files.createTempDirectory("dsv2ieqp").toString
     val dir = s"$work/t"
     sources.Iceberg.commitOverwritePartitioned(
@@ -374,12 +375,18 @@ class BatchReadSpec extends SparkSuite {
         .repartition(col("p")), dir, Seq("p"))
     sources.Iceberg.deleteWhereEquality(spark, dir,
       Seq("p1").toDF("p"))
-    // data rows never carry the stripped identity column — row-wise
-    // matching is impossible; the library MoR path keeps serving it
-    val e = intercept[Exception] { iceberg(dir).collect() }
-    assert(e.getMessage.contains("hive-stripped partition column"),
-      s"loud refusal naming the reason, got: ${e.getMessage}")
-    assert(sources.Iceberg.read(spark, dir).count() == 20)
+    val df = iceberg(dir)
+    assert(df.count() == 20)
+    assert(df.filter(col("p") === "p1").isEmpty,
+      "every p1-partition row must be masked")
+    assert(sortedRows(df) ==
+      sortedRows(sources.Iceberg.read(spark, dir)))
+    // a MIXED key (partition + data column) matches row-wise too
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq(("p2", 2L), ("p2", 5L)).toDF("p", "k"))
+    assert(iceberg(dir).count() == 18)
+    assert(sortedRows(iceberg(dir)) ==
+      sortedRows(sources.Iceberg.read(spark, dir)))
   }
 
   test("iceberg pushdown prunes partitions/bounds; snapshotAsOf + branch pin") {

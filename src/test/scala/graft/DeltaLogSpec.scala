@@ -96,6 +96,69 @@ class DeltaLogSpec extends SparkSuite {
       Seq("k", "s"))
   }
 
+  test("identity columns (minWriterVersion 6): reads serve, ALL commits refuse") {
+    // the r16 verdict's item 7, pinned as a PERMANENT refusal: this
+    // engine does not implement identity-value high-water-mark
+    // allocation, so a foreign identity-column table READS fine
+    // (identity columns are ordinary data to a reader) but every
+    // mutating commit — appends included, since the round-17 writer
+    // gate — refuses loudly rather than corrupting the watermark.
+    val dir = Files.createTempDirectory("dlogid").toString
+    val a = stagePart(dir, "a.parquet", Seq((1L, "x"), (2L, "y")))
+    val idSchema =
+      """{"type":"struct","fields":[
+        |{"name":"k","type":"long","nullable":true,"metadata":{
+        |"delta.identity.start":1,"delta.identity.step":1,
+        |"delta.identity.highWaterMark":2,
+        |"delta.identity.allowExplicitInsert":false}},
+        |{"name":"s","type":"string","nullable":true,"metadata":{}}]}"""
+        .stripMargin.replace("\n", "")
+    writeLog(dir, 0,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},
+         |"schemaString":"${idSchema.replace("\"", "\\\"")}",
+         |"partitionColumns":[],"configuration":{}}}"""
+        .stripMargin.replace("\n", ""),
+      s"""{"add":{"path":"$a","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    // reads serve
+    assert(sources.DeltaLog.read(spark, dir).count() === 2)
+    // appends refuse (blind add would skip watermark allocation)
+    val ea = intercept[IllegalArgumentException](
+      sources.DeltaLog.commitAppend(
+        Seq((9L, "z")).toDF("k", "s"), dir))
+    assert(ea.getMessage.contains("identity columns"))
+    // row-removing commits refuse too
+    val ed = intercept[IllegalArgumentException](
+      sources.DeltaLog.deleteWhere(spark, dir, col("k") === 1))
+    assert(ed.getMessage.contains("identity columns"))
+  }
+
+  test("unknown writerFeature refuses appends, known features append fine") {
+    val dir = Files.createTempDirectory("dlogwf").toString
+    val a = stagePart(dir, "a.parquet", Seq((1L, "x")))
+    writeLog(dir, 0,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,
+        |"writerFeatures":["rowTracking","appendOnly"]}}"""
+        .stripMargin.replace("\n", ""),
+      metaData(),
+      s"""{"add":{"path":"$a","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    assert(sources.DeltaLog.read(spark, dir).count() === 1)
+    val e = intercept[IllegalArgumentException](
+      sources.DeltaLog.commitAppend(Seq((2L, "y")).toDF("k", "s"), dir))
+    assert(e.getMessage.contains("rowTracking"))
+    // a feature set this engine implements keeps appending
+    val dir2 = Files.createTempDirectory("dlogwf2").toString
+    val b = stagePart(dir2, "b.parquet", Seq((1L, "x")))
+    writeLog(dir2, 0,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,
+        |"writerFeatures":["invariants","changeDataFeed"]}}"""
+        .stripMargin.replace("\n", ""),
+      metaData(),
+      s"""{"add":{"path":"$b","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    sources.DeltaLog.commitAppend(Seq((2L, "y")).toDF("k", "s"), dir2)
+    assert(sources.DeltaLog.read(spark, dir2).count() === 2)
+  }
+
   test("unsupported protocol version fails loudly, not silently wrong") {
     val dir = Files.createTempDirectory("dlogv").toString
     val a = stagePart(dir, "a.parquet", Seq((1L, "x")))
@@ -2825,29 +2888,40 @@ class DeltaLogSpec extends SparkSuite {
       .filter("_change_type = 'delete'").count() == 1)
     // a FOREIGN-authored feature-listed log still reads
     val d4 = Files.createTempDirectory("proto4").toString + "/t"
+    val a4 = stagePart(d4, "a4.parquet", Seq((5L, "z")))
     writeLog(d4, 0,
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,
         |"writerFeatures":["appendOnly","invariants","icebergCompatV2"]}}"""
         .stripMargin.replace("\n", ""),
-      metaData())
-    sources.DeltaLog.commitAppend(Seq((5L, "z")).toDF("k", "s"), d4)
+      metaData(),
+      s"""{"add":{"path":"$a4","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
     assert(sources.DeltaLog.read(spark, d4).count() == 1,
       "unknown WRITER features must not block reading")
     assert(stOf(d4).writerFeatures.contains("icebergCompatV2"),
       "foreign writer features must be carried, not dropped")
-    // ... but ROW-REMOVING commits refuse: a blind delete could
-    // corrupt whatever icebergCompatV2 protects (the writer gate,
-    // applied to ourselves)
+    // ... but ALL commits refuse — appends included since the
+    // round-17 writer gate (a blind add could corrupt whatever
+    // icebergCompatV2 maintains per-file for foreign readers)
+    val e4a = intercept[IllegalArgumentException] {
+      sources.DeltaLog.commitAppend(Seq((6L, "w")).toDF("k", "s"), d4)
+    }
+    assert(e4a.getMessage.contains("icebergCompatV2"))
     val e4 = intercept[IllegalArgumentException] {
       sources.DeltaLog.deleteWhere(spark, d4, col("k") === 5L)
     }
     assert(e4.getMessage.contains("icebergCompatV2"))
-    // legacy minWriterVersion 6 (identity columns): same refusal
+    // legacy minWriterVersion 6 (identity columns): same refusal on
+    // every mutating entry point
     val d5 = Files.createTempDirectory("proto5").toString + "/t"
+    val a5 = stagePart(d5, "a5.parquet", Seq((1L, "a")))
     writeLog(d5, 0,
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
-      metaData())
-    sources.DeltaLog.commitAppend(Seq((1L, "a")).toDF("k", "s"), d5)
+      metaData(),
+      s"""{"add":{"path":"$a5","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val e5a = intercept[IllegalArgumentException] {
+      sources.DeltaLog.commitAppend(Seq((2L, "b")).toDF("k", "s"), d5)
+    }
+    assert(e5a.getMessage.contains("minWriterVersion 6"))
     val e5 = intercept[IllegalArgumentException] {
       sources.DeltaLog.mergeInto(spark, d5,
         Seq((1L, "b")).toDF("k", "s"), Seq("k"))

@@ -244,6 +244,59 @@ class IcebergCdfStreamSourceSpec extends SparkSuite {
       s"MoR overwrite must stream its pos-delete pre-images, got $got")
   }
 
+  test("an overwrite ADDING eq-delete files streams doomed keys (r17)") {
+    // the eq twin of the pos-delete overwrite above (r16 verdict
+    // item 5): snapshot 1 appends, snapshot 2 equality-deletes; a
+    // FORGED snapshot 3 replays snapshot 2's state as
+    // operation=overwrite with parent = 1 — the combined CDC-upsert
+    // commit a Flink-style writer lands as ONE overwrite snapshot.
+    // The added eq-delete streams its doomed keys as `delete` rows.
+    val work = Files.createTempDirectory("icdfaddeq").toString
+    val dir = s"$work/t"
+    sources.Iceberg.commitAppend(
+      (1L to 6L).map(i => (i, s"s$i")).toDF("k", "s"), dir) // snap 1
+    sources.Iceberg.deleteWhereEquality(spark, dir,
+      Seq(2L, 5L).toDF("k")) // snap 2: adds an eq-delete file
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    val v = new String(java.nio.file.Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toInt
+    val meta = mapper.readTree(java.nio.file.Files.readAllBytes(
+        metaDir.resolve(s"v$v.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = meta.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    import scala.jdk.CollectionConverters._
+    val snap2 = snaps.elements().asScala
+      .find(_.get("snapshot-id").asLong == 2L).get
+    val forged = snaps.addObject()
+    forged.put("snapshot-id", 3L)
+    forged.put("parent-snapshot-id", 1L)
+    forged.put("sequence-number", 3L)
+    forged.put("timestamp-ms",
+      snap2.get("timestamp-ms").asLong + 2000L)
+    forged.put("manifest-list", snap2.get("manifest-list").asText)
+    forged.putObject("summary").put("operation", "overwrite")
+    meta.put("current-snapshot-id", 3L)
+    val refs = meta.get("refs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    refs.putObject("main").put("snapshot-id", 3L)
+      .put("type", "branch")
+    java.nio.file.Files.write(
+      metaDir.resolve(s"v${v + 1}.metadata.json"),
+      mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    java.nio.file.Files.write(metaDir.resolve("version-hint.text"),
+      (v + 1).toString.getBytes("UTF-8"))
+    drainTo(dir, s"$work/out", s"$work/ckpt",
+      startingSnapshotId = Some(1L))
+    val got = spark.read.parquet(s"$work/out")
+      .select("k", "s", "_change_type").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getString(2))).sorted.toSeq
+    assert(got === Seq((2L, None, "delete"), (5L, None, "delete")),
+      s"eq-adding overwrite must stream its doomed keys, got $got")
+  }
+
   test("partitioned tables stream deletes with partition values reconstructed") {
     val work = Files.createTempDirectory("icdfpart").toString
     val dir = s"$work/t"

@@ -377,6 +377,57 @@ class SqlCatalogSpec extends SparkSuite {
       === 9)
   }
 
+  test("stacked position-delta MERGEs: row identity stable under DV masks") {
+    // the r16 verdict's item 8: `_pos` is the FILE-ABSOLUTE row
+    // ordinal, so a second row-level op over a DV-tombstoned file
+    // must resolve positions against the ORIGINAL file layout, not
+    // the masked (compacted) view — a shifted identity would
+    // tombstone the wrong rows. Three stacked merges, each touching
+    // the same base file, pin it.
+    sql("CREATE TABLE gsql.db.stk (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+    sql("INSERT INTO gsql.db.stk SELECT id, id FROM range(10)")
+    val dir = tdir(s"$wh/db/stk")
+    def st() = DeltaLog.replay(dir, DeltaLog.versions(dir).last)
+    val base = st().adds.keySet
+    assert(base.size >= 1)
+    // merge 1: delete k=4, update k=2
+    spark.sql("SELECT * FROM VALUES (4, -1L), (2, 200L) AS s(k, v)")
+      .createOrReplaceTempView("stk_s1")
+    sql("""MERGE INTO gsql.db.stk t USING stk_s1 s ON t.k = s.k
+          |WHEN MATCHED AND s.v < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    // merge 2: update k=6 (same base file, ordinal PAST the masked
+    // positions) and k=2 again (now living in merge 1's new file)
+    spark.sql("SELECT * FROM VALUES (6, 600L), (2, 201L) AS s(k, v)")
+      .createOrReplaceTempView("stk_s2")
+    sql("""MERGE INTO gsql.db.stk t USING stk_s2 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    // merge 3: delete k=0 — ordinal BEFORE every masked position
+    spark.sql("SELECT * FROM VALUES (0, -1L) AS s(k, v)")
+      .createOrReplaceTempView("stk_s3")
+    sql("""MERGE INTO gsql.db.stk t USING stk_s3 s ON t.k = s.k
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    // exact final state: k=0,4 gone; k=2 → 201; k=6 → 600
+    assert(rows(sql("SELECT k, v FROM gsql.db.stk")) ===
+      Seq("[1,1]", "[2,201]", "[3,3]", "[5,5]", "[6,600]",
+        "[7,7]", "[8,8]", "[9,9]").sorted)
+    // base files never rewritten; their stacked DV holds EXACTLY the
+    // original ordinals of k=0,2,4,6 (one file ⇒ positions 0,2,4,6)
+    val stN = st()
+    assert(base.subsetOf(stN.adds.keySet))
+    val dvCard = stN.adds.view.filterKeys(base)
+      .values.flatMap(_.dv).map(_.cardinality).sum
+    assert(dvCard === 4L,
+      s"stacked DVs must hold the 4 original ordinals, got $dvCard")
+    // the second merge's CDF pre-image of k=2 carries merge 1's
+    // value — the verdicts resolved the CURRENT row, not a stale one
+    val ch = DeltaLog.readChanges(spark, dir, 3, 3)
+    assert(rows(ch.select("k", "v", "_change_type")).sorted ===
+      Seq("[2,200,update_preimage]", "[2,201,update_postimage]",
+        "[6,6,update_preimage]", "[6,600,update_postimage]").sorted)
+  }
+
   test("delta catalog: partitioned MERGE position-delta") {
     sql("""CREATE TABLE gsql.db.pdmp (k BIGINT, s STRING, v BIGINT)
           |PARTITIONED BY (s)
