@@ -2491,21 +2491,20 @@ object SqlCatalogQueries {
       s"FROM $ns.dorders ORDER BY o_orderkey")
   }
 
-  /** q242 — CDF FROM SQL COPY-ON-WRITE DML: a
-    * `delta.enableChangeDataFeed=true` table (opted OUT of deletion
-    * vectors, so the group-based rewrite serves the DML — the
-    * position-delta twin is q244/q247 — with declared row
-    * identity `graft.cdf.keyColumns=o_orderkey`) takes SQL UPDATE
-    * then SQL MERGE through Spark's own rewrite planning; each COW
-    * commit DERIVES its `_change_data` from the
-    * replaced-vs-replacement row multisets and stamps cdc actions
-    * ([[DeltaLog]] cowChangeActions) — update_preimage/postimage
-    * for the UPDATE, and EXACT tags for the MERGE (postimages split
-    * from inserts by the declared key). The result is the CDF read
-    * over both commits, hash-checked against the oracle's
+  /** q242 — CDF FROM SQL DML: a `delta.enableChangeDataFeed=true`
+    * table takes SQL UPDATE then SQL MERGE through Spark's own
+    * rewrite planning — since round 17 BOTH ride the default
+    * position-delta path, whose per-row verdicts stamp exact cdc
+    * actions (update_preimage/postimage for the UPDATE; exact
+    * three-tag MERGE with no key pairing needed). The result is the
+    * CDF read over both commits, hash-checked against the oracle's
     * re-derived change set; the in-query `require` pins that the
     * MERGE's commit carries all three change types (a net-changes
-    * fallback would spell delete+insert and fail it). */
+    * fallback would spell delete+insert and fail it). The
+    * copy-on-write derivation (cowChangeActions: multiset diff +
+    * declared-key pairing) keeps its own coverage through the
+    * opt-out gates — q227/q241 for UPDATE and SqlCatalogSpec's
+    * "SQL COW DML derives CDF" for the keyed MERGE. */
   def sqlCdfDml(spark: SparkSession, dir: String): DataFrame = {
     val ns = freshNs(spark, iceberg = false)
     val v = ordersView(spark, dir)
@@ -2513,7 +2512,6 @@ object SqlCatalogQueries {
       o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
       o_totalprice DOUBLE) TBLPROPERTIES (
       'delta.enableChangeDataFeed' = 'true',
-      'delta.enableDeletionVectors' = 'false',
       '${DeltaLog.CdfKeyColsProp}' = 'o_orderkey')""")
     spark.sql(s"INSERT INTO $ns.corders SELECT $cols FROM $v")
     spark.sql(s"UPDATE $ns.corders SET o_totalprice = " +
