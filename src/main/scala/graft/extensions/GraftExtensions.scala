@@ -279,6 +279,50 @@ object GraftExtensions {
         case args => throw new IllegalArgumentException(
           s"iceberg_files expects (path[, snapshot_id]), got " +
             s"${args.size} args")
+      },
+      // the CDF SQL face (round 17) — the `table_changes` spelling
+      // real Delta users query over the open log: row-level changes
+      // tagged _change_type/_commit_version between two versions,
+      // served by the SAME reader the CDF stream and the MERGE
+      // silver consume (DV diffs, position-delta verdict files,
+      // mapped tables — everything readChanges speaks)
+      tfn("delta_changes",
+        "delta_changes(path, from_version[, to_version]) - " +
+          "row-level CDF rows tagged _change_type/_commit_version") {
+        case Seq(p, f) =>
+          val path = litString(p, "delta_changes", "path")
+          plan(graft.sources.DeltaLog.readChanges(active, path,
+            litLong(f, "delta_changes", "from_version"),
+            graft.sources.DeltaLog.versions(path).last))
+        case Seq(p, f, t) =>
+          plan(graft.sources.DeltaLog.readChanges(active,
+            litString(p, "delta_changes", "path"),
+            litLong(f, "delta_changes", "from_version"),
+            litLong(t, "delta_changes", "to_version")))
+        case args => throw new IllegalArgumentException(
+          s"delta_changes expects (path, from_version[, " +
+            s"to_version]), got ${args.size} args")
+      },
+      // Iceberg's incremental append scan as SQL — rows of data
+      // files added in (from, to], tagged _snapshot_id; refuses
+      // overwrites in range exactly as the library read does
+      tfn("iceberg_appends",
+        "iceberg_appends(path, from_snapshot_exclusive" +
+          "[, to_snapshot]) - incremental append rows tagged " +
+          "_snapshot_id") {
+        case Seq(p, f) =>
+          val path = litString(p, "iceberg_appends", "path")
+          plan(graft.sources.Iceberg.readIncremental(active, path,
+            litLong(f, "iceberg_appends", "from_snapshot_exclusive"),
+            graft.sources.Iceberg.mainSnapshotId(path)))
+        case Seq(p, f, t) =>
+          plan(graft.sources.Iceberg.readIncremental(active,
+            litString(p, "iceberg_appends", "path"),
+            litLong(f, "iceberg_appends", "from_snapshot_exclusive"),
+            litLong(t, "iceberg_appends", "to_snapshot")))
+        case args => throw new IllegalArgumentException(
+          s"iceberg_appends expects (path, from_snapshot_exclusive" +
+            s"[, to_snapshot]), got ${args.size} args")
       })
 
   /** Runtime registration on a pre-built session (the driver contract

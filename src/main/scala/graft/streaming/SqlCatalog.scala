@@ -1382,7 +1382,8 @@ class GraftIcebergCatalog extends GraftDirCatalog {
       properties: util.Map[String, String]): Table = {
     val spec = parseSpec(partitions)
     val (dataDir, external) = prepareDataDir(ident, properties)
-    IcebergSqlTables.writeMarker(dataDir, schema, spec)
+    IcebergSqlTables.writeMarker(dataDir, schema, spec,
+      userProperties(properties))
     publishNewTable(ident, dataDir, external)
     loadTable(ident)
   }
@@ -1390,7 +1391,7 @@ class GraftIcebergCatalog extends GraftDirCatalog {
   override protected def createUnder(dir: String, schema: StructType,
       partCols: Seq[String], properties: Map[String, String]): Unit =
     IcebergSqlTables.writeMarker(dir, schema,
-      partCols.map(_ -> "identity"))
+      partCols.map(_ -> "identity"), properties)
 
   override protected def beforePublishStaged(stagedDir: String,
                                              dest: String): Unit =
@@ -1437,7 +1438,8 @@ private[streaming] object IcebergSqlTables {
     new com.fasterxml.jackson.databind.ObjectMapper()
 
   def writeMarker(dir: String, schema: StructType,
-                  spec: Seq[(String, String)]): Unit = {
+                  spec: Seq[(String, String)],
+                  props: Map[String, String] = Map.empty): Unit = {
     val missing = spec.map(_._1).filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"CREATE TABLE: partition source columns " +
@@ -1452,8 +1454,24 @@ private[streaming] object IcebergSqlTables {
     spec.foreach { case (src, tr) =>
       pc.addObject().put("src", src).put("transform", tr): Unit
     }
+    if (props.nonEmpty) {
+      val pn = n.putObject("props")
+      props.foreach { case (k, v) => pn.put(k, v): Unit }
+    }
     Files.write(Paths.get(s"$dir/$Marker"),
       mapper.writeValueAsString(n).getBytes("UTF-8")): Unit
+  }
+
+  /** Declared TBLPROPERTIES pending the first INSERT's metadata. */
+  def markerProps(dir: String): Map[String, String] = {
+    val f = Paths.get(s"$dir/$Marker")
+    if (!Files.isRegularFile(f)) Map.empty
+    else {
+      val n = mapper.readTree(Files.readAllBytes(f))
+      if (!n.has("props")) Map.empty
+      else n.get("props").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap
+    }
   }
 
   def readMarker(dir: String): (StructType, Seq[(String, String)]) = {
@@ -1472,10 +1490,29 @@ private[streaming] object IcebergSqlTables {
 
   def load(sqlName: String, dir: String,
            pinned: Map[String, String]): Table =
-    if (Iceberg.versions(dir).nonEmpty)
+    if (Iceberg.versions(dir).nonEmpty) {
+      // declared TBLPROPERTIES ride the marker until the first
+      // INSERT creates real metadata; publish them as ONE catch-up
+      // metadata commit the first time the table loads with both
+      // (idempotent: the marker is consumed by the publish)
+      val pending = markerProps(dir)
+      if (pending.nonEmpty) {
+        def covered() = {
+          val have = Iceberg.tableProperties(dir)
+          pending.forall { case (k, v) => have.get(k).contains(v) }
+        }
+        if (!covered())
+          // a racing load may publish first and win the version CAS;
+          // the loser's failure is benign iff the props then read back
+          try Iceberg.setTableProperties(dir,
+            pending.map { case (k, v) => k -> Some(v) }): Unit
+          catch { case e: Throwable => if (!covered()) throw e }
+        if (covered())
+          Files.deleteIfExists(Paths.get(s"$dir/$Marker")): Unit
+      }
       new IcebergSqlTable(sqlName, dir,
         IcebergStreamSource.checkedSchema(dir)._1, pinned)
-    else {
+    } else {
       require(pinned.isEmpty,
         s"time travel on $sqlName: the table has no snapshots yet")
       val (schema, spec) = readMarker(dir)
@@ -2085,10 +2122,9 @@ object SqlCatalogQueries {
     val v = ordersView(spark, dir)
     spark.sql(s"""CREATE TABLE $ns.orders (
       o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
-      o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
+      o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)
+      TBLPROPERTIES ('write.update.mode' = 'copy-on-write')""")
     spark.sql(s"INSERT INTO $ns.orders SELECT $cols FROM $v")
-    spark.sql(s"ALTER TABLE $ns.orders SET TBLPROPERTIES " +
-      "('write.update.mode' = 'copy-on-write')")
     val tableDir =
       tableDirOf(spark, iceberg = true, ns, "orders")
     val preSnap = Iceberg.snapshotIds(tableDir).max

@@ -137,4 +137,39 @@ class ExtensionsSpec extends SparkSuite {
       s"SELECT sum(records) FROM iceberg_files('$di', 1) WHERE content = 0")
       .head().getLong(0) == 10L)
   }
+
+  test("delta_changes / iceberg_appends: the CDF SQL face (round 17)") {
+    import spark.implicits._
+    graft.extensions.GraftExtensions.registerTableFunctions(spark)
+    val dd = java.nio.file.Files.createTempDirectory("tvfc").toString + "/t"
+    sources.DeltaLog.createTable(dd,
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("s", "string"),
+      Seq.empty, Map("delta.enableChangeDataFeed" -> "true"))
+    sources.DeltaLog.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dd)         // v1
+    sources.DeltaLog.deleteWhere(spark, dd,
+      org.apache.spark.sql.functions.col("k") === 1L)       // v2
+    val got = spark.sql(
+      s"""SELECT k, _change_type, _commit_version
+         |FROM delta_changes('$dd', 1) ORDER BY _commit_version, k"""
+        .stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "insert", 1L), (2L, "insert", 1L),
+      (1L, "delete", 2L)).sortBy(t => (t._3, t._1)))
+    // explicit to_version bounds the read
+    assert(spark.sql(s"SELECT count(*) FROM delta_changes('$dd', 1, 1)")
+      .head().getLong(0) == 2L)
+    val di = java.nio.file.Files.createTempDirectory("tvfci").toString + "/t"
+    sources.Iceberg.commitAppend(Seq((1L, "a")).toDF("k", "s"), di)
+    sources.Iceberg.commitAppend(Seq((2L, "b")).toDF("k", "s"), di)
+    sources.Iceberg.commitAppend(Seq((3L, "c")).toDF("k", "s"), di)
+    assert(spark.sql(
+      s"""SELECT k FROM iceberg_appends('$di', 1) ORDER BY k""")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(spark.sql(
+      s"""SELECT k, _snapshot_id FROM iceberg_appends('$di', 1, 2)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 2L)))
+  }
 }

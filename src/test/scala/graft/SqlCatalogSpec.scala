@@ -754,6 +754,30 @@ class SqlCatalogSpec extends SparkSuite {
     assert(rows(sql("SELECT * FROM gsql.db.ovw")) === Seq("[9]"))
   }
 
+  test("iceberg catalog: CREATE TABLE TBLPROPERTIES persist past first insert") {
+    // declared properties ride the pending-table marker until the
+    // first INSERT mints real metadata, then publish as one catch-up
+    // commit (round 17) — CREATE ... TBLPROPERTIES must never
+    // silently drop, and write.<cmd>.mode declared AT CREATION must
+    // steer the first row-level statement
+    sql("CREATE TABLE gice.db.props (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.update.mode' = 'copy-on-write', " +
+      "'owner.team' = 'etl')")
+    sql("INSERT INTO gice.db.props SELECT id, id FROM range(10)")
+    val dir = tdir(s"$wh/_ice/db/props")
+    val m0 = GraftSqlSeams.positionDeltaMerges.get()
+    sql("UPDATE gice.db.props SET v = v + 1 WHERE k % 2 = 0")
+    assert(GraftSqlSeams.positionDeltaMerges.get() === m0,
+      "write.update.mode=copy-on-write declared at CREATE must " +
+        "route the UPDATE to the COW rewrite")
+    assert(Iceberg.tableProperties(dir)
+      .get("owner.team") === Some("etl"))
+    assert(rows(sql("SHOW TBLPROPERTIES gice.db.props"))
+      .exists(_.contains("owner.team")))
+    assert(sql("SELECT sum(v) FROM gice.db.props").head.getLong(0)
+      === 45 + 5)
+  }
+
   test("iceberg catalog: create pending, insert creates metadata") {
     sql("""CREATE TABLE gice.db.it (k BIGINT, s STRING, v BIGINT)
           |PARTITIONED BY (s)""".stripMargin)
