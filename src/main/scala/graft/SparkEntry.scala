@@ -666,7 +666,11 @@ object SparkEntry {
       -> (streaming.SqlCatalogQueries.sqlUpdateDelta _),
     // the same UPDATE as Iceberg merge-on-read wire (round 17)
     "q248_iceberg_update_mor"
-      -> (streaming.SqlCatalogQueries.sqlIcebergUpdateMor _)
+      -> (streaming.SqlCatalogQueries.sqlIcebergUpdateMor _),
+    // delta_changes SQL table function over position-delta DML
+    // history (round 17)
+    "q249_sql_table_changes"
+      -> (streaming.SqlCatalogQueries.sqlTableChanges _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -995,6 +999,8 @@ object SparkEntry {
     "q247_sql_update_positiondelta"
       -> streaming.SqlCatalogQueries.sqlUpdateDeltaSql,
     "q248_iceberg_update_mor"
-      -> streaming.SqlCatalogQueries.sqlIcebergUpdateMorSql
+      -> streaming.SqlCatalogQueries.sqlIcebergUpdateMorSql,
+    "q249_sql_table_changes"
+      -> streaming.SqlCatalogQueries.sqlTableChangesSql
   )
 }

@@ -2679,6 +2679,73 @@ object SqlCatalogQueries {
       .orderBy(col("_change_type"), col("o_orderkey"))
   }
 
+  /** q249 — CDF THROUGH A SQL TABLE FUNCTION (round 17):
+    * `delta_changes(path, from[, to])` — the `table_changes`
+    * spelling real Delta users audit CDC with — over a catalog table
+    * whose change history came entirely from position-delta SQL DML:
+    * INSERT (v1, insert rows derived from the adds), a scattered
+    * UPDATE (v2 — DV tombstones + exact pre/post pairs), an
+    * untranslatable DELETE (v3 — position-delta tombstones). The TVF
+    * serves the full row-level change set by PATH in plain SQL; the
+    * in-query `require`s pin the bounded two-arg read (only v2's
+    * pairs) and that the DML stayed on the position-delta path. */
+  def sqlTableChanges(spark: SparkSession, dir: String): DataFrame = {
+    graft.extensions.GraftExtensions.registerTableFunctions(spark)
+    val ns = freshNs(spark, iceberg = false)
+    val v = ordersView(spark, dir)
+    spark.sql(s"""CREATE TABLE $ns.tc (
+      o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+      o_totalprice DOUBLE) TBLPROPERTIES (
+      'delta.enableChangeDataFeed' = 'true')""")
+    spark.sql(s"INSERT INTO $ns.tc SELECT $cols FROM $v")
+    val merges0 = GraftSqlSeams.positionDeltaMerges.get()
+    spark.sql(s"UPDATE $ns.tc SET o_totalprice = " +
+      "o_totalprice + 3.0 WHERE o_orderkey % 11 = 5")
+    spark.sql(s"DELETE FROM $ns.tc WHERE o_orderkey % 13 = 3")
+    require(GraftSqlSeams.positionDeltaMerges.get() == merges0 + 2,
+      "UPDATE and DELETE must both ride the position-delta path")
+    val tcDir = tableDirOf(spark, iceberg = false, ns, "tc")
+    val updPairs = spark.sql(
+      s"SELECT count(*) FROM delta_changes('$tcDir', 2, 2)")
+      .head.getLong(0)
+    val updRows = spark.table(v)
+      .filter(col("o_orderkey") % 11 === 5).count()
+    require(updPairs == 2 * updRows,
+      s"bounded delta_changes(2,2) must hold exactly the UPDATE's " +
+        s"pre/post pairs ($updPairs vs 2x$updRows)")
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  _change_type, _commit_version
+         |FROM delta_changes('$tcDir', 1)
+         |ORDER BY _commit_version, _change_type, o_orderkey"""
+        .stripMargin)
+  }
+
+  val sqlTableChangesSql: String =
+    """WITH v AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders),
+      |upd AS (SELECT * FROM v WHERE o_orderkey % 11 = 5),
+      |s2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 11 = 5 THEN o_totalprice + 3.0
+      |       ELSE o_totalprice END AS o_totalprice FROM v),
+      |del AS (SELECT * FROM s2 WHERE o_orderkey % 13 = 3)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      |FROM v
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'update_preimage', CAST(2 AS BIGINT) FROM upd
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice + 3.0, 'update_postimage', CAST(2 AS BIGINT)
+      |FROM upd
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'delete', CAST(3 AS BIGINT) FROM del
+      |ORDER BY _commit_version, _change_type, o_orderkey"""
+      .stripMargin
+
   /** q245 — STORAGE-PARTITIONED JOIN OVER HIDDEN BUCKET SPECS: two
     * catalog tables created `PARTITIONED BY (bucket(8, o_orderkey))`
     * and filled through the native hidden-spec DSv2 writer join ON

@@ -302,6 +302,13 @@ class SqlCatalogSpec extends SparkSuite {
       Seq("[3,3,update_preimage]", "[3,300,update_postimage]").sorted)
     assert(sql("SELECT amount FROM gsql.db.mmap WHERE k = 3")
       .head.getLong(0) === 300)
+    // SQL UPDATE on the renamed mapped table rides the same path
+    sql("UPDATE gsql.db.mmap SET amount = amount + 7 WHERE k % 5 = 4")
+    assert(GraftSqlSeams.positionDeltaMerges.get() === merges0 + 3)
+    assert(rows(DeltaLog.readChanges(spark, dir, 5, 5)
+      .select("k", "amount", "_change_type")).sorted ===
+      Seq("[4,4,update_preimage]", "[4,11,update_postimage]",
+        "[9,9,update_preimage]", "[9,16,update_postimage]").sorted)
   }
 
   test("delta catalog: MERGE is position-delta — DV tombstones, no rewrite") {
