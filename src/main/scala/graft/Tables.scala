@@ -19,6 +19,25 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Per-(session, dir, table) RELATION cache — the role a table
+    * catalog plays in a real deployment: `spark.read.parquet` lists
+    * the directory and reads parquet footers for schema inference on
+    * EVERY call (~65 ms/table measured warm at sf0.1), and the gated
+    * queries re-resolve the same immutable testdata tables thousands
+    * of times per bench run (round-17 slice probe: 0.65–0.95 s of
+    * pure driver-side re-resolution per OLAP query run — half its
+    * warm wall time). The cached value is the analyzed LogicalRelation
+    * handle only: schema + file listing, NO row data — every action
+    * still scans parquet, so nothing here caches or precomputes
+    * results. Keyed on the session object (a new session re-resolves)
+    * and the exact dir string (tests over other dirs never collide).
+    * The testdata dirs are immutable by contract; for mutable tables
+    * the open-format connectors (DeltaLog/Iceberg) own snapshot-scoped
+    * resolution and never route through here. */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Must be on before schema inference of the ns-timestamp events table;
     // harmless for the ms/us tables. Runtime-settable SQL conf.
@@ -31,12 +50,14 @@ object Tables {
     // per-group buffers, not the map, dominate) at any scale factor.
     spark.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-    val df = spark.read.parquet(path(sfDir, name))
-    // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects; read the raw int64 (legacy conf set in sessions()) and
-    // normalize to TimestampType (microsecond) here so every downstream
-    // operator sees an ordinary timestamp column.
-    if (name == "events") normalizeEventTs(df) else df
+    relationCache.computeIfAbsent((spark, sfDir, name), _ => {
+      val df = spark.read.parquet(path(sfDir, name))
+      // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+      // reader rejects; read the raw int64 (legacy conf above) and
+      // normalize to TimestampType (microsecond) here so every
+      // downstream operator sees an ordinary timestamp column.
+      if (name == "events") normalizeEventTs(df) else df
+    })
   }
 
   /** Normalize the events table's `ts` to the instant type
@@ -67,7 +88,18 @@ object Tables {
     * engine's relational surface is reachable from plain `spark.sql`
     * text exactly like the native functions GraftExtensions injects —
     * the catalog face of the engine (SqlSurfaceSpec proves §2 gates
-    * expressed as SQL text match their DataFrame spellings). */
+    * expressed as SQL text match their DataFrame spellings).
+    *
+    * Idempotent per (session, dir): once the ten views point at
+    * `sfDir` they stay valid for the session (testdata is immutable,
+    * nothing else names these views — grep-checked round 17), so
+    * repeat calls skip the ~0.1 s re-registration. A call with a
+    * DIFFERENT dir re-registers, so multi-SF test suites keep their
+    * semantics. */
+  private val viewsRegistered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    if (viewsRegistered.put(spark, sfDir) != sfDir)
+      names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }
