@@ -135,9 +135,17 @@ object Pipeline {
         () => write(warehouse.DateDim.dimTime(spark, sfDir), s"$outDir/warehouse/dim_time"),
         () => {
           val factDir = s"$outDir/warehouse/fact_order_lines"
-          val factSrc = warehouse.Star.factOrderLines(spark, sfDir)
+          // persist the joined fact for THIS commit only:
+          // repartitionByRange's range-boundary sampling job would
+          // otherwise execute the whole dim-join child a second time
+          // before the shuffle does (guide §2.4: don't recompute what
+          // one pass already produced). Unpersisted in the finally —
+          // nothing outlives the run.
+          val factSrc = warehouse.Star.factOrderLinesUnordered(spark, sfDir)
             .withColumn("month_key",
               col("date_key").cast("int").divide(100).cast("int"))
+            .persist()
+          try {
           def recentRollup(df: DataFrame): DataFrame = df
             .groupBy(col("month_key"))
             .agg(util.Cols.dsum(col("net_amount"), 4).as("net_revenue"),
@@ -162,10 +170,13 @@ object Pipeline {
           // l_orderkey BLOOM serves point lookups ("all lines of
           // order X") that the month-major sort leaves unprunable —
           // per-file orderkey spans are wide inside each month block
-          observed(fact, "fact_order_lines")(df =>
-            sources.Snapshots.commitWithStats(
-              df, factDir, Seq("month_key", "l_orderkey"),
-              Seq("l_orderkey")))
+          timed("fact_commit") {
+            observed(fact, "fact_order_lines")(df =>
+              sources.Snapshots.commitWithStats(
+                df, factDir, Seq("month_key", "l_orderkey"),
+                Seq("l_orderkey")))
+          }
+          timed("fact_recent") {
           // recent slice: newest months resolved from the manifest
           val v = sources.Snapshots.versions(factDir).last
           val maxMonth = sources.Snapshots
@@ -182,6 +193,8 @@ object Pipeline {
               .filter(col("month_key").between(loMonth, maxMonth))),
             s"$outDir/warehouse/mv_recent_revenue")
           }
+          }
+          } finally { factSrc.unpersist(); () }
         })
     }
   }
@@ -259,8 +272,10 @@ object Pipeline {
       (action: DataFrame => Unit): Unit = {
     val obs = new org.apache.spark.sql.Observation(
       s"write_${name}_${System.nanoTime()}")
+    val t0 = System.nanoTime()
     action(df.observe(obs, org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("n_rows")))
+    lastRunMetrics.put(s"${name}_ms", (System.nanoTime() - t0) / 1000000)
     lastRunMetrics.put(name, obs.get("n_rows").asInstanceOf[Long])
     ()
   }

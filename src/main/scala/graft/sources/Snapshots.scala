@@ -174,26 +174,58 @@ object Snapshots {
     onDataBeforeStats()
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"min_$c"),
-      max(col(c).cast("long")).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
-    spark.read.parquet(dir)
-      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$StatsDir")
+    // Stats come from the PARQUET FOOTERS the data job just wrote —
+    // O(files) driver-side metadata reads, no second data scan (what
+    // Delta's stats collection does on the write path; round 17). The
+    // footer min/max of an integral column IS min/max(cast(c as
+    // long)) and footer row counts ARE count(*), so the manifest is
+    // bit-identical to the old scan-derived one (SnapshotsSpec). A
+    // commit whose stats columns aren't integral — or whose footers
+    // lack stats — falls back to the original one-scan aggregation.
+    val fromFooters = footerStats(spark, dir, statsCols)
+    fromFooters match {
+      case Some(rows) =>
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType, nullable = true) +:
+            statsCols.flatMap(c => Seq(
+              org.apache.spark.sql.types.StructField(s"min_$c",
+                org.apache.spark.sql.types.LongType, nullable = true),
+              org.apache.spark.sql.types.StructField(s"max_$c",
+                org.apache.spark.sql.types.LongType, nullable = true))) :+
+            org.apache.spark.sql.types.StructField("n_rows",
+              org.apache.spark.sql.types.LongType, nullable = false))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/$StatsDir")
+      case None =>
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"min_$c"),
+          max(col(c).cast("long")).as(s"max_$c"))) :+
+          count(lit(1)).as("n_rows")
+        spark.read.parquet(dir)
+          .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/$StatsDir")
+    }
     if (bloomCols.nonEmpty) {
       // SIZE the filter from the data (Delta's numItems knob): a fixed
       // m saturates on big files — at 47k rows/file a 16k-bit bloom is
       // ~100% full and prunes nothing while looking committed. ~8 bits
       // per row keeps FPR ≈ 2-3% at every file size; the row counts
-      // come from the stats manifest just written (driver-side, one
-      // row per file). m rides along in the manifest so readers probe
+      // come from the footer pass (or the manifest just written on the
+      // fallback path). m rides along in the manifest so readers probe
       // with the writer's exact geometry.
-      val maxRowsRow = spark.read.parquet(s"$dir/$StatsDir")
-        .agg(max(col("n_rows"))).head()
-      val maxRows = if (maxRowsRow.isNullAt(0)) 0L else maxRowsRow.getLong(0)
+      val maxRows = fromFooters match {
+        case Some(rows) =>
+          if (rows.isEmpty) 0L
+          else rows.map(_.getLong(rows.head.length - 1)).max
+        case None =>
+          val maxRowsRow = spark.read.parquet(s"$dir/$StatsDir")
+            .agg(max(col("n_rows"))).head()
+          if (maxRowsRow.isNullAt(0)) 0L else maxRowsRow.getLong(0)
+      }
       val mBits = bloomSizeFor(maxRows)
       val reread = spark.read.parquet(dir)
       bloomCols.map { c =>
@@ -218,6 +250,75 @@ object Snapshots {
     LogStore.current.claimMarker(
       java.nio.file.Paths.get(dir, "_SUCCESS"))
     v
+  }
+
+  /** Per-file (min, max, n_rows) from the just-written parquet FOOTERS
+    * — the no-second-scan stats source. Returns None (caller falls
+    * back to the scan-based aggregation) when any stats column is not
+    * integral in every footer's schema (timestamp/string casts don't
+    * equal footer bounds), any footer lacks recorded statistics, or a
+    * footer can't be read. Zero-row files are skipped to match the
+    * scan path exactly (a groupBy over rows emits no group for them —
+    * and pruneFiles never reads a file absent from the manifest).
+    * Row layout matches the manifest schema: (file, min_c1, max_c1, …,
+    * n_rows). */
+  private def footerStats(spark: SparkSession, dir: String,
+                          statsCols: Seq[String]): Option[Seq[Row]] = {
+    import scala.jdk.CollectionConverters._
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val conf = spark.sessionState.newHadoopConf()
+    try {
+      val rows = files.toSeq.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val footer = r.getFooter
+          val fschema = footer.getFileMetaData.getSchema
+          val blocks = footer.getBlocks.asScala.toSeq
+          val nRows = blocks.map(_.getRowCount).sum
+          if (nRows == 0L) None
+          else {
+            val bounds = statsCols.flatMap { c =>
+              // top-level primitive integral column, else bail to scan
+              val idx = fschema.getFields.asScala.indexWhere(_.getName == c)
+              require(idx >= 0, s"stats column $c absent from footer")
+              val field = fschema.getFields.asScala(idx)
+              require(field.isPrimitive, s"stats column $c not primitive")
+              val prim = field.asPrimitiveType().getPrimitiveTypeName
+              val lt = field.getLogicalTypeAnnotation
+              val integral =
+                (prim == org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT32 ||
+                  prim == org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT64) &&
+                  (lt == null || lt.isInstanceOf[
+                    org.apache.parquet.schema.LogicalTypeAnnotation
+                      .IntLogicalTypeAnnotation])
+              require(integral, s"stats column $c not integral ($prim/$lt)")
+              val chunks = blocks.map { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == c)
+                  .getOrElse(sys.error(s"no chunk for $c"))
+              }
+              val stats = chunks.map(_.getStatistics)
+              require(stats.forall(s => s != null && !s.isEmpty),
+                s"footer stats missing for $c")
+              val nonNull = stats.filter(_.hasNonNullValue)
+              if (nonNull.isEmpty) Seq(null, null) // all-null column
+              else Seq(
+                java.lang.Long.valueOf(nonNull
+                  .map(_.genericGetMin.asInstanceOf[Number].longValue).min),
+                java.lang.Long.valueOf(nonNull
+                  .map(_.genericGetMax.asInstanceOf[Number].longValue).max))
+            }
+            Some(Row.fromSeq(f.getName +: bounds :+ nRows))
+          }
+        } finally r.close()
+      }
+      Some(rows)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Bloom geometry: [[BloomHashes]] probe positions per key; filter

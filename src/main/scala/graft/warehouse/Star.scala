@@ -36,7 +36,17 @@ object Star {
     * NOT broadcastable — the production shape is a shuffle join on
     * l_orderkey (or bucketed co-location); the hint here reproduces the
     * reference's stated plan at its own scale. */
-  def factOrderLines(spark: SparkSession, dir: String): DataFrame = {
+  def factOrderLines(spark: SparkSession, dir: String): DataFrame =
+    factOrderLinesUnordered(spark, dir)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** The fact rows WITHOUT the q08 gate's global presentation sort —
+    * for writers that immediately re-cluster (the q84 pipeline's
+    * range-partitioned fact layout): a global sort feeding a
+    * repartitionByRange is a full extra shuffle+sort the next exchange
+    * throws away, and the optimizer can't remove it across the
+    * pipeline's persist boundary (round 17, guide §2.4). */
+  def factOrderLinesUnordered(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val orders = Tables.load(spark, dir, "orders")
     li.join(broadcast(orders), li("l_orderkey") === orders("o_orderkey"), "left")
@@ -49,7 +59,6 @@ object Star {
         (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("net_amount"),
         (col("l_quantity") * col("l_tax")).as("tax_units"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   val factOrderLinesSql: String =
