@@ -54,6 +54,19 @@ object Bronze {
       col("event_id"), col("user_id"), col("event_type"), col("value"))
   }
 
+  /** Fan the raw micro-batch out to the session's parallelism BEFORE
+    * the envelope projection: the file-stream stand-in delivers one
+    * task per single-row-group file (input skew, guide §2.5 — a Kafka
+    * source would deliver one per topic partition), so the per-row
+    * `to_json` envelope and the parquet encode — the two costs that
+    * dominate the micro-batch — otherwise ride ONE thread. The
+    * exchange moves the small raw rows once; the heavy string work
+    * runs post-shuffle on every core. Scale-adaptive (cores, not a
+    * constant); a well-partitioned production source just pays one
+    * cheap rebalance of the batch. */
+  private def fanOut(spark: SparkSession, stream: DataFrame): DataFrame =
+    stream.repartition(spark.sparkContext.defaultParallelism)
+
   /** Run the ingest to completion over whatever files exist now
     * (Trigger.AvailableNow = drain-and-stop; a deployment would use
     * the reference's 5 s processing-time trigger, T1).
@@ -77,16 +90,19 @@ object Bronze {
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(srcDir)
-    val bronze = envelope(stream, "events")
-    val q = bronze.writeStream
+    val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // empty-gate on the RAW batch (pre-shuffle: limit-1 over the
+        // source scan, never a shuffle map); the envelope projection
+        // runs post-fan-out so to_json + parquet encode parallelize
         if (!batch.isEmpty) {
           // sortWithinPartitions = the clustered-sort storage analog
           // (SURVEY O3, ClickHouse MergeTree ORDER BY): rows land
           // time-ordered within each file for downstream range skips
-          batch.sortWithinPartitions("_event_ts")
+          envelope(fanOut(spark, batch), "events")
+            .sortWithinPartitions("_event_ts")
             .write.mode("append")
             .partitionBy("_source_table")
             .parquet(sinkDir)
@@ -123,14 +139,14 @@ object Bronze {
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(srcDir)
-    val bronze = envelope(stream, "events")
-    val q = bronze.writeStream
+    val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           graft.sources.Snapshots.commitIfAbsent(
-            batch.sortWithinPartitions("_event_ts"), tableDir, id.toInt)
+            envelope(fanOut(spark, batch), "events")
+              .sortWithinPartitions("_event_ts"), tableDir, id.toInt)
           ()
         }
       }
