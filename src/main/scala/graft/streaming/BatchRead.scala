@@ -1294,13 +1294,17 @@ object BatchReadQueries {
     val t = Iceberg.ordersIcebergUpsert2Table(spark, dir)
     Iceberg.resetEqMaskStats(t)
     val df = icebergDf(spark, t).orderBy(col("o_orderkey"))
-    df.collect() // execute: masks derive, plan finalizes
+    // ONE execution serves all three probes (round 17 — the old
+    // collect() + count() pair executed the masked scan twice and
+    // derived the masks twice): count() finalizes df's own plan for
+    // the shape require AND is the row count the library-parity
+    // check needs; masks derive during its planning.
+    val n = df.count()
     require(Iceberg.eqMaskStats(t).isDefined,
       "eq-mask derivation never ran — a fallback served the read")
     val plan = df.queryExecution.executedPlan.toString()
     require(plan.contains("BatchScan") && !plan.contains("Join"),
       s"eq-deletes must fold to masks inside a bare scan:\n$plan")
-    val n = df.count()
     val lib = Iceberg.read(spark, t).count()
     require(n == lib, s"connector read $n rows, library MoR $lib")
     // catalog arm: a foreign CDC writer upserts INSIDE a cataloged
