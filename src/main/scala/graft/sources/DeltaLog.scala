@@ -3592,51 +3592,63 @@ object DeltaLog {
       case LongType | IntegerType => true
       case _ => false
     }
-    val rangePrune: (State, AddFile) => Boolean =
-      if (!isLongKey) (_, _) => true
+    // ONE capped collect serves BOTH pruning layers when the key set
+    // is small (the common CDC-batch case — round 17: the separate
+    // min/max aggregate job was a second pass over the key set).
+    // Nulls dropped BEFORE the cap: a null key never matches the
+    // semi-join (no crash, no probe slot), and dropping it after
+    // limit() would let an over-cap key set masquerade as capped and
+    // probe with an incomplete list — wrongly pruned files.
+    val capped: Option[Array[Long]] =
+      if (!isLongKey) None
       else {
-        val mm = k.agg(org.apache.spark.sql.functions
-            .min(col("_dw_key")).cast("long"),
-          org.apache.spark.sql.functions
-            .max(col("_dw_key")).cast("long")).collect().head
-        if (mm.isNullAt(0)) (_, _) => true
-        else {
-          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-          (_, a) => a.longBounds.get(keyCol) match {
-            case Some((mn, mx)) => mn <= hi && mx >= lo
-            case None => true
-          }
-        }
-      }
-    // BLOOM pruning — the scattered-key case [min,max] is defeated
-    // by (a hash-distributed CDC delete batch spans every file's
-    // range): collect the distinct keys (bounded — a CDC batch is
-    // the broadcast-small side by construction; past the cap, skip)
-    // and keep only files whose bloom admits at least one key
-    val bloomKeep: (String, AddFile) => Boolean =
-      if (!isLongKey ||
-          partFiles(tableDir, BloomSidecarDir).isEmpty)
-        (_, _) => true
-      else {
-        // nulls dropped BEFORE the cap: a null key never matches the
-        // semi-join (no crash, no probe slot), and dropping it after
-        // limit() would let an over-cap key set masquerade as capped
-        // and probe with an incomplete list — wrongly pruned files
-        val capped = k.filter(k("_dw_key").isNotNull)
+        val c = k.filter(k("_dw_key").isNotNull)
           .limit(BloomProbeMaxKeys + 1)
           .collect().map(r => r.get(0) match {
             case l: Long => l
             case i: Int => i.toLong
           })
-        if (capped.length > BloomProbeMaxKeys) (_, _) => true
-        else bloomProbe(spark, tableDir, keyCol,
-            capped.toSeq) match {
-          case None => (_, _) => true
-          case Some((bloomed, hits)) => (p, _) => {
-            val b = p.substring(p.lastIndexOf('/') + 1)
-            !bloomed.contains(b) || hits.contains(b)
-          }
+        if (c.length > BloomProbeMaxKeys) None else Some(c)
+      }
+    val rangePrune: (State, AddFile) => Boolean =
+      if (!isLongKey) (_, _) => true
+      else {
+        val bounds: Option[(Long, Long)] = capped match {
+          case Some(c) if c.nonEmpty => Some((c.min, c.max))
+          case Some(_) => None // empty/all-null key set: keep all
+          case None => // over the cap: one aggregate pass for bounds
+            val mm = k.agg(org.apache.spark.sql.functions
+                .min(col("_dw_key")).cast("long"),
+              org.apache.spark.sql.functions
+                .max(col("_dw_key")).cast("long")).collect().head
+            if (mm.isNullAt(0)) None
+            else Some((mm.getLong(0), mm.getLong(1)))
         }
+        bounds match {
+          case None => (_, _) => true
+          case Some((lo, hi)) =>
+            (_, a) => a.longBounds.get(keyCol) match {
+              case Some((mn, mx)) => mn <= hi && mx >= lo
+              case None => true
+            }
+        }
+      }
+    // BLOOM pruning — the scattered-key case [min,max] is defeated
+    // by (a hash-distributed CDC delete batch spans every file's
+    // range): probe with the collected distinct keys (bounded — a
+    // CDC batch is the broadcast-small side by construction; past
+    // the cap, skip) and keep only files whose bloom admits ≥1 key
+    val bloomKeep: (String, AddFile) => Boolean =
+      (capped, partFiles(tableDir, BloomSidecarDir).isEmpty) match {
+        case (Some(c), false) =>
+          bloomProbe(spark, tableDir, keyCol, c.toSeq) match {
+            case None => (_, _) => true
+            case Some((bloomed, hits)) => (p, _) => {
+              val b = p.substring(p.lastIndexOf('/') + 1)
+              !bloomed.contains(b) || hits.contains(b)
+            }
+          }
+        case _ => (_, _) => true
       }
     deleteWhereFiltered(spark, tableDir, d =>
       d.join(broadcast(k), d(keyCol) === k("_dw_key"), "left_semi"),

@@ -272,7 +272,12 @@ object DeltaCdfStreamQueries {
         // is needed. Cache so the insert/delete splits scan the
         // source files once, not per action.
         val b = batch.persist()
-        try if (!b.isEmpty) {
+        try {
+          // ONE counts job off the cached batch routes every arm —
+          // the isEmpty-per-split triad was three jobs (round 17)
+          val counts = b.groupBy(col("_change_type")).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          if (counts.values.sum > 0) {
           val inserts = b
             .filter(col("_change_type") === "insert")
             .drop("_change_type", "_commit_version")
@@ -285,12 +290,13 @@ object DeltaCdfStreamQueries {
             .select("o_orderkey")
           if (DeltaLog.versions(silver).isEmpty)
             DeltaLog.commitOverwrite(inserts, silver): Unit
-          else if (!inserts.isEmpty)
+          else if (counts.getOrElse("insert", 0L) > 0)
             DeltaLog.mergeInto(spark, silver, inserts,
               Seq("o_orderkey")): Unit
-          if (!deletes.isEmpty)
+          if (counts.getOrElse("delete", 0L) > 0)
             DeltaLog.deleteWhereKeys(spark, silver,
               "o_orderkey", deletes): Unit
+          }
         } finally b.unpersist(): Unit
       }
       .option("checkpointLocation", s"$work/ckpt")
@@ -339,7 +345,10 @@ object DeltaCdfStreamQueries {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
                        _: Long) =>
         val b = batch.persist()
-        try if (!b.isEmpty) {
+        try {
+          val counts = b.groupBy(col("_change_type")).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          if (counts.values.sum > 0) {
           val inserts = b
             .filter(col("_change_type") === "insert")
             .drop("_change_type", "_commit_version")
@@ -351,7 +360,7 @@ object DeltaCdfStreamQueries {
             // partition pruning have real file sets to act on
             DeltaLog.commitOverwritePartitioned(
               inserts.repartition(4), silver, partCols): Unit
-          else if (!inserts.isEmpty) {
+          else if (counts.getOrElse("insert", 0L) > 0) {
             val nAll = DeltaLog.replay(silver,
               DeltaLog.versions(silver).last).files.size
             DeltaLog.mergeInto(spark, silver, inserts,
@@ -362,9 +371,10 @@ object DeltaCdfStreamQueries {
                 "files — partition pruning is off (the upsert batch " +
                 "touches one of three status partitions)")
           }
-          if (!deletes.isEmpty)
+          if (counts.getOrElse("delete", 0L) > 0)
             DeltaLog.deleteWhereKeys(spark, silver,
               "o_orderkey", deletes): Unit
+          }
         } finally b.unpersist(): Unit
       }
       .option("checkpointLocation", s"$work/ckpt")
