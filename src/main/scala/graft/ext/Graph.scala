@@ -65,10 +65,17 @@ object Graph {
         expr("r div outdeg").as("c"))
       val agg = edges.join(contrib, col("doc_a") === col("src"))
         .groupBy(col("doc_b")).agg(sum(col("c")).as("s"))
+      // localCheckpoint per iteration: `rank` feeds the next step
+      // TWICE (its own join input + the contribution source), so an
+      // unbroken lineage doubles the plan tree every iteration —
+      // analysis/codegen cost grows 2^iters and the final action
+      // re-executes earlier rounds. Node-sized rows, one tiny job
+      // each round; the iterative-algorithm idiom (guide §5).
       rank = rank.join(agg, col("doc_id") === col("doc_b"), "left")
         .select(col("doc_id"), col("outdeg"),
           (lit(base) +
             expr(s"($DampNum * coalesce(s, 0L)) div $DampDen")).as("r"))
+        .localCheckpoint()
     }
     rank.select(col("doc_id"), col("outdeg"), col("r").as("rank_units"))
       .orderBy(col("rank_units").desc, col("doc_id"))

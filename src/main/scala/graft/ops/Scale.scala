@@ -600,7 +600,13 @@ object Scale {
           (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
       require(keyed(salted) == keyed(got),
         "salted join diverged from the AQE skew-split result")
-      adaptive.orderBy(col("k"))
+      // return the rows the probe ALREADY computed (the q84
+      // localCheckpoint pattern): the gate ran the skew-split join and
+      // the salted twin this call; a third full execution for the
+      // caller's action would time redundant work, not the operator
+      spark.createDataFrame(
+        java.util.Arrays.asList(got.sortBy(_.getLong(0)): _*),
+        adaptive.schema)
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", prevF)

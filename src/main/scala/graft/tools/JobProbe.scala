@@ -47,6 +47,9 @@ object JobProbe {
     // in-process driver-thread sampler: every 10 ms grab the main
     // thread's stack and count the topmost frame inside org.apache.spark
     // / graft (skipping pure waits) — attributes the inter-job gaps.
+    // all-thread stack sampling is itself heavy (safepoints at 100 Hz
+    // distort concurrent runs) — keep it opt-in
+    val sampleOn = sys.env.get("SPARK_GRAFT_SAMPLE").forall(_ == "1")
     val mainThread = Thread.currentThread()
     val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     val stackDumps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -100,7 +103,7 @@ object JobProbe {
     for (name <- args; rep <- 1 to 2) {
       jobs.clear()
       samples.clear()
-      sampling = true
+      sampling = sampleOn
       val t0 = System.currentTimeMillis()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       val t1 = System.currentTimeMillis()
